@@ -1,0 +1,81 @@
+"""Text scalar functions: tokenization and engine-portable integer hashing.
+
+The dedup/similarity operators (MinHash, SimHash, fingerprinting) need a
+hash function that is (a) computed JVM-side with built-in expressions (no
+Python UDF in the hot path) and (b) exactly reproducible in ANSI SQL so
+the DuckDB oracle can state the expected answer. Java's String.hashCode
+recurrence (h*31 + char) modulo the Mersenne prime 2^31-1 satisfies both:
+pure integer arithmetic, no overflow in int64, identical left-fold in
+Spark's ``aggregate`` and DuckDB's ``list_reduce``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Modulus for all polynomial hashes — Mersenne prime 2^31 - 1.
+HASH_MOD = 2147483647
+#: Base for the character fold (Java String.hashCode's multiplier).
+HASH_BASE = 31
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization; drops empty strings (Java split keeps a
+    trailing '' under limit=-1, which DuckDB's string_split does not)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.filter(F.split(col, " "), lambda t: t != F.lit(""))
+
+
+def polyhash(c: Column | str) -> Column:
+    """Polynomial rolling hash of a string's characters, mod 2^31-1.
+
+    Implemented as transform(sequence) + aggregate so the fold order is
+    the explicit left-to-right character order — bit-identical to the
+    DuckDB oracle's list_reduce formulation.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.ascii(col.substr(i, F.lit(1))),
+    )
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * HASH_BASE + ch) % HASH_MOD,
+    )
+
+
+def polyhash_sql(expr: str) -> str:
+    """DuckDB SQL equivalent of :func:`polyhash` over a string expression."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({expr})+1), "
+        f"i -> CAST(ascii(substr({expr}, i, 1)) AS BIGINT))), "
+        f"(acc, ch) -> (acc * {HASH_BASE} + ch) % {HASH_MOD})"
+    )
+
+
+def minhash_perm(h: Column, a: int, b: int) -> Column:
+    """One universal-hash permutation (a*h + b) mod p over a token hash."""
+    return (h * F.lit(a) + F.lit(b)) % F.lit(HASH_MOD)
+
+
+def word_ngrams(c: Column | str, n: int) -> Column:
+    """Distinct word n-grams as '_'-joined strings (order-insensitive set).
+
+    '_' never occurs inside the lowercase-word tokens, so the join is
+    collision-free — and keeps gram strings pure ASCII so that
+    :func:`polyhash` over a gram is portable (F.ascii on multibyte chars
+    is not guaranteed to match other engines)."""
+    toks = tokens(c)
+    # Guard: sequence(1, 0) would produce a DESCENDING [1, 0] — short docs
+    # must yield an empty gram set instead.
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws("_", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)

@@ -1,0 +1,206 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Four tiers, all expressed with built-in Spark expressions (JVM-side, whole
+-stage codegen — no Python in the hot path), each scaling differently:
+
+- exact: md5 content hash → groupBy. One shuffle on the hash; at 100 TB
+  the hash groupBy is the canonical map-side-combinable dedup.
+- MinHash + LSH: per-doc integer signatures (narrow, no shuffle), then a
+  band-bucket self-join — the shuffle is on (band, band_key), whose
+  cardinality ≈ corpus size × n_bands, NOT the quadratic pair space.
+- SimHash: one 16-bit locality-sensitive fingerprint per doc; near-dup
+  candidates share the fingerprint (single groupBy).
+- n-gram Jaccard: exact verification on candidate pairs (or, small-scale,
+  a gram-explode self-join).
+
+Hashing uses the engine-portable polynomial hash (functions.text) so the
+DuckDB oracle can reproduce every signature bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.functions.text import (
+    HASH_MOD,
+    polyhash,
+    tokens,
+    word_ngrams,
+)
+
+#: Universal-hash parameters for the MinHash permutations (a*h + b) mod p.
+N_PERM = 8
+BAND_SIZE = 2
+MINHASH_A = [2 * p + 3 for p in range(N_PERM)]
+MINHASH_B = [97 * p + 11 for p in range(N_PERM)]
+
+SIMHASH_BITS = 16
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by md5 content hash (canonical = min id)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def token_hashes(text_col: Column | str) -> Column:
+    """Distinct-token integer hashes for a document (set semantics)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.transform(F.array_distinct(tokens(col)), polyhash)
+
+
+SHINGLE_N = 3
+
+
+def shingle_hashes(text_col: Column | str, n: int = SHINGLE_N) -> Column:
+    """Distinct word-n-gram shingle hashes — the MinHash feature set.
+
+    Shingles (not unigrams) are the right feature for near-dup detection:
+    over a small shared vocabulary, unigram token sets of unrelated docs
+    overlap almost completely, and LSH degenerates to the quadratic pair
+    space. Word n-grams keep the feature space large enough that bucket
+    collisions track true Jaccard similarity."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.transform(word_ngrams(col, n), polyhash)
+
+
+def minhash_signature(text_col: Column | str, n_perm: int = N_PERM) -> Column:
+    """MinHash signature over 3-gram shingles: per permutation p, min over
+    shingles of (a_p*h + b_p) mod 2^31-1. Empty docs get sentinel HASH_MOD."""
+    hashes = shingle_hashes(text_col)
+
+    def _perm(a: int, b: int):
+        # NB: a plain `lambda h, a=a, b=b:` would NOT work — pyspark reads
+        # the lambda's arity to decide the higher-order-function shape, and
+        # default args count as parameters.
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(HASH_MOD)
+
+    sig = [
+        F.coalesce(
+            F.array_min(F.transform(hashes, _perm(MINHASH_A[p], MINHASH_B[p]))),
+            F.lit(HASH_MOD).cast("long"),
+        )
+        for p in range(n_perm)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perm: int = N_PERM,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature, bucket-join within bands.
+
+    Scale path: the self-join key is (band_idx, band_key); bucket sizes are
+    bounded by collision rate, so the shuffle stays linear in corpus size.
+    Output: (id_a < id_b, n_shared_bands).
+    """
+    n_bands = n_perm // band_size
+    sigs = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(text_col, n_perm).alias("sig"),
+    )
+    bands = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.element_at("sig", b * band_size + i + 1)
+                                for i in range(band_size)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc", "band.band_idx", "band.band_key")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .groupBy(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity pairs ≥ threshold.
+
+    Gram-explode self-join: shared-gram counting joins on the gram value,
+    then |A∪B| = |A|+|B|-shared. The division is a single integer→double
+    op, so the similarity value is cross-engine exact.
+    """
+    grams = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    sizes = grams.groupBy("doc").agg(F.count(F.lit(1)).alias("n_grams"))
+    l, r = grams.alias("l"), grams.alias("r")
+    shared = (
+        l.join(r, (F.col("l.gram") == F.col("r.gram")) & (F.col("l.doc") < F.col("r.doc")))
+        .groupBy(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_grams").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "n_shared", "jaccard")
+    )
+
+
+def simhash(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash fingerprint: majority vote per bit over distinct-token
+    hashes, folded into a `bits`-wide integer. Pure integer arithmetic."""
+    hashes = token_hashes(text_col)
+
+    def _bit_vote(j: int):
+        return lambda acc, h: acc + (
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    weights = [
+        F.aggregate(hashes, F.lit(0).cast("long"), _bit_vote(j))
+        for j in range(bits)
+    ]
+    out = F.lit(0).cast("long")
+    for j, w in enumerate(weights):
+        out = out + F.when(w > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out

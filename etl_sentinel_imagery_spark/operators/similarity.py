@@ -1,0 +1,174 @@
+"""Vector similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- Brute-force cosine top-k — the exactness baseline. The small query set
+  is broadcast (no shuffle of the candidate corpus); scoring is built-in
+  array expressions (zip_with + aggregate → whole-stage codegen). The
+  per-query ranking window partitions by query id AFTER scoring, so the
+  shuffle carries only (query, candidate, score) rows.
+- IVF (inverted-file) — the 100 TB path: assign every vector to its
+  nearest centroid once (vectorized numpy via a pandas UDF — a real
+  matmul, Arrow-batched), then search only the probed buckets. Candidate
+  set shrinks by ~n_centroids/n_probe; the bucket assignment is a narrow
+  column, so the probe join is an equi-join on centroid id.
+
+All double math is sequential left-fold (F.aggregate) so the DuckDB
+oracle's list_reduce reproduces scores bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+
+def _seq_sum(arr: Column) -> Column:
+    """Sequential left-fold sum — deterministic, mirrors list_reduce."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    return _seq_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def l2_norm_sq(a: Column) -> Column:
+    return _seq_sum(F.transform(a, lambda x: x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))
+
+
+def as_double_array(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("array<double>")
+
+
+def with_normalized(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str
+) -> DataFrame:
+    """Project (id, unit-normalized vector). Norms are computed ONCE per
+    row here — pair scoring then reduces to a plain dot product, turning
+    the O(pairs·d) norm recomputation into O(rows·d)."""
+    # Three-step projection so the norm is a materialized column — embedding
+    # the norm subtree inside the transform lambda would re-evaluate it per
+    # element (O(d²) per row).
+    return (
+        df.select(F.col(id_col).alias(out_id), as_double_array(vec_col).alias("_v"))
+        .withColumn("_norm", F.sqrt(_seq_sum(F.transform(F.col("_v"), lambda x: x * x))))
+        .select(out_id, F.transform("_v", _div_by(F.col("_norm"))).alias(out_vec))
+    )
+
+
+def _div_by(denom: Column):
+    return lambda x: x / denom
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids_filter: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast query set × candidate scan × window."""
+    cand = with_normalized(embeddings, id_col, vec_col, "cand_id", "cand_vec")
+    qry = with_normalized(
+        embeddings.filter(query_ids_filter), id_col, vec_col, "query_id", "query_vec"
+    )
+    scored = (
+        cand.join(F.broadcast(qry))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            dot(F.col("query_vec"), F.col("cand_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cos_sim", F.col("rnk").alias("rnk"))
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (cosine) — one pass,
+    Arrow-batched numpy matmul inside a pandas UDF."""
+    cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf(IntegerType())
+    def nearest_centroid(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batches:
+            mat = np.stack(vecs.to_numpy())
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            yield pd.Series(np.argmax(mat @ cent.T, axis=1).astype("int32"))
+
+    return embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        nearest_centroid(F.col(vec_col)).alias("bucket"),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids_filter: Column,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe the n_probe nearest centroid buckets only."""
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    cent_normed = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf("array<int>")
+    def probe_buckets(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batches:
+            mat = np.stack(vecs.to_numpy())
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            order = np.argsort(-(mat @ cent_normed.T), axis=1)[:, :n_probe]
+            yield pd.Series(list(order.astype("int32")))
+
+    qry = (
+        embeddings.filter(query_ids_filter)
+        .select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(vec_col).alias("query_vec"),
+            F.explode(probe_buckets(F.col(vec_col))).alias("bucket"),
+        )
+    )
+    cand = assigned.select(
+        F.col(id_col).alias("cand_id"),
+        as_double_array(vec_col).alias("cand_vec"),
+        "bucket",
+    )
+    scored = (
+        cand.join(F.broadcast(qry), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("query_vec"), F.col("cand_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rnk")
+    )

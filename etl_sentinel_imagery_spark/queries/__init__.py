@@ -1,0 +1,36 @@
+"""The named query battery exposed through __spark_entry__."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_sentinel_imagery_spark.queries import (
+    events_q,
+    relational,
+    scalars,
+    text_q,
+    vectors_q,
+)
+from etl_sentinel_imagery_spark.queries.base import Q
+
+_MODULES = (relational, scalars, events_q, text_q, vectors_q)
+
+
+def all_queries() -> dict[str, Q]:
+    out: dict[str, Q] = {}
+    for m in _MODULES:
+        overlap = out.keys() & m.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(m.QUERIES)
+    return out
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in all_queries().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.sql for name, q in all_queries().items() if q.sql is not None}

@@ -1,0 +1,222 @@
+"""Event analytics battery — SURVEY.md §2.10 streaming-parity extensions.
+
+The reference has no streaming layer; these are the batch-mode equivalents
+of the Structured Streaming operators (tumbling/sliding windows,
+sessionization, watermark-style dedup), each verifiable against the DuckDB
+oracle. The live ``readStream`` wrappers over the same logic live in
+``etl_sentinel_imagery_spark.streaming``.
+
+Cross-engine determinism: all time arithmetic in integer MICROSECONDS
+(Spark ``unix_micros`` ≡ DuckDB ``epoch_us``); event sums accumulate as
+decimal(12,2) (values are 2-decimal); window/tumble starts computed by
+integer floor-division so bucket edges are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.functions.exact import dec
+from etl_sentinel_imagery_spark.queries.base import Q
+from etl_sentinel_imagery_spark.sources.tables import load_table
+
+US = 1_000_000
+TUMBLE_S = 900  # 15 minutes
+SLIDE_S = 300  # 5 minutes
+SLIDE_LEN_S = 600  # 10-minute sliding windows
+SESSION_GAP_US = 1800 * US  # 30-minute session gap
+
+
+def _json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 JSON decode: extract props.k, filter, aggregate per type."""
+    events = load_table(spark, sf_dir, "events")
+    k_val = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.withColumn("k_val", k_val)
+        .filter(F.col("k_val") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k_val").alias("sum_k"),
+            F.min("k_val").alias("min_k"),
+            F.max("k_val").alias("max_k"),
+        )
+    )
+
+
+_JSON_PROPS_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(k_val) AS sum_k,
+       MIN(k_val) AS min_k,
+       MAX(k_val) AS max_k
+FROM (
+    SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+)
+WHERE k_val > 50
+GROUP BY 1
+"""
+
+
+def _tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 15-min windows per event_type (F.window ≡ epoch floor)."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), f"{TUMBLE_S} seconds")
+    return (
+        events.groupBy(
+            win.start.alias("bucket_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 12, 2)).cast("double").alias("total_value"),
+        )
+    )
+
+
+_TUMBLING_SQL = f"""
+SELECT make_timestamp((epoch_us(ts) // {TUMBLE_S * US}) * {TUMBLE_S * US}) AS bucket_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-min windows every 5 min (each event lands in 2 windows)."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), f"{SLIDE_LEN_S} seconds", f"{SLIDE_S} seconds")
+    return events.groupBy(win.start.alias("window_start")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_SLIDING_SQL = f"""
+SELECT window_start, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM (
+    SELECT make_timestamp(
+               (epoch_us(ts) // {SLIDE_S * US}) * {SLIDE_S * US} - offs.o * {SLIDE_S * US}
+           ) AS window_start,
+           user_id
+    FROM events
+    CROSS JOIN (VALUES (0), (1)) offs(o)
+)
+GROUP BY 1
+"""
+
+
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap → lag + cumulative session id
+    (the batch equivalent of session_window; SURVEY §2.10)."""
+    events = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.lag(F.unix_micros(F.col("ts"))).over(order_w).alias("prev_us"),
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_us").isNull()
+            | ((F.col("ts_us") - F.col("prev_us")) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_id = with_gap.withColumn("session_id", F.sum("new_session").over(sess_w))
+    return with_id.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_SESSIONIZE_SQL = f"""
+SELECT user_id, session_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM (
+    SELECT user_id, event_id, ts,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_us IS NULL
+                         OR (epoch_us(ts) - prev_us) > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM (
+            SELECT user_id, event_id, ts,
+                   LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+            FROM events
+        )
+    )
+)
+GROUP BY 1, 2
+"""
+
+
+def _dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the earliest occurrence — the batch analogue of
+    dropDuplicatesWithinWatermark (and the reference's idempotent
+    uuid-keyed cache sink, tx.py:92-96)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+_DEDUP_FIRST_SQL = """
+SELECT user_id, event_type, event_id, ts
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+    FROM events
+)
+WHERE rn = 1
+"""
+
+
+def _lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead battery: inter-event gap per user in whole microseconds."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w))
+        .alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+_LAG_GAPS_SQL = """
+SELECT event_id, user_id, ts,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+       LEAD(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "events_json_props": Q(_json_props, _JSON_PROPS_SQL, "F14 JSON extraction + agg"),
+    "events_tumbling_window": Q(_tumbling_window, _TUMBLING_SQL, "tumbling windows (batch)"),
+    "events_sliding_window": Q(_sliding_window, _SLIDING_SQL, "sliding windows (batch)"),
+    "events_sessionize": Q(_sessionize, _SESSIONIZE_SQL, "sessionization via lag+cumsum"),
+    "events_dedup_first": Q(_dedup_first_event, _DEDUP_FIRST_SQL, "keyed dedup keep-earliest"),
+    "events_lag_gaps": Q(_lag_gaps, _LAG_GAPS_SQL, "lag/lead inter-event gaps"),
+}

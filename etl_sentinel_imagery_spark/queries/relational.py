@@ -1,0 +1,393 @@
+"""Relational query battery — SURVEY.md §2.2-2.7 operator coverage.
+
+Each query exercises one operator family the reference implements (or that
+Spark provides as 'absent-in-reference' machinery, SURVEY.md §2.3-2.7),
+expressed DataFrame-first so Catalyst handles pushdown / pruning / join
+selection, with a DuckDB oracle stating the expected answer.
+
+Determinism rules (see functions.exact): decimal/integer accumulation,
+single final cast to double; every ORDER BY used under a LIMIT carries a
+unique tiebreak key; timestamps compared in UTC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.functions.exact import dec, dsum, money
+from etl_sentinel_imagery_spark.plans.flagship import (
+    FLAGSHIP_ORACLE_SQL,
+    top_supplier_per_region,
+)
+from etl_sentinel_imagery_spark.queries.base import Q
+from etl_sentinel_imagery_spark.sources.tables import load_table
+
+
+# --- P4/P5/P6: equality + range + ≤ predicates, projection pruning -------
+def _filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pushed-down predicate battery (imagery_store.py:216-221 analog)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("l_discount") <= F.lit(0.05))
+    ).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+
+
+_FILTER_RANGE_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+FROM lineitem
+WHERE l_returnflag = 'R'
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-07-01'
+  AND l_discount <= 0.05
+"""
+
+
+# --- A1/A2: grouped aggregation (TPC-H Q1 shape) -------------------------
+def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sum battery (the reference's A1 groupby-sum, imagery_store.py:252)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = money("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2)
+    )
+    charge = (
+        money("l_extendedprice")
+        * (F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2))
+        * (F.lit(1).cast("decimal(4,2)") + dec("l_tax", 4, 2))
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn(
+            "avg_price", F.col("sum_base_price") / F.col("count_order")
+        )
+    )
+
+
+_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- O1-O3: sort desc + deterministic top-k ------------------------------
+def _topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with unique tiebreak (sort→limit, imagery_store.py:253-259 analog).
+
+    Catalyst plans TakeOrderedAndProject — top-k without a full sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate").limit(10)
+
+
+_TOPK_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- J3 + A1: broadcast dim join + grouped agg ---------------------------
+def _orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join on small dims (J3, imagery_store.py:94 analog)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("num_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+_ORDERS_PER_NATION_SQL = """
+SELECT n.n_name AS nation_name,
+       COUNT(*) AS num_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
+# --- semi / anti joins (absent-in-reference machinery, SURVEY §2.3) ------
+def _customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O")
+    return customer.join(
+        open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+_SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+"""
+
+
+def _customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+_ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+# --- distinct + approx-exact agg pair ------------------------------------
+def _distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_DISTINCT_COUNTS_SQL = """
+SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses,
+       COUNT(*) AS n_orders
+FROM orders
+"""
+
+
+# --- W1 idiom: top-1-per-group via window (imagery_store.py:252-259) -----
+def _latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").alias("latest_orderdate"),
+            F.col("o_totalprice").alias("latest_totalprice"),
+        )
+    )
+
+
+_LATEST_ORDER_SQL = """
+SELECT o_custkey AS custkey,
+       o_orderkey AS latest_orderkey,
+       o_orderdate AS latest_orderdate,
+       o_totalprice AS latest_totalprice
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders
+)
+WHERE rn = 1
+"""
+
+
+# --- window frames: rank + running sum (SURVEY §2.5 ext) -----------------
+def _window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    order_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    rank_w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(order_w).alias("seq"),
+        F.rank().over(rank_w).alias("price_rank"),
+        F.sum(money("o_totalprice"))
+        .over(order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+_WINDOW_RUNNING_SQL = """
+SELECT o_orderkey, o_custkey,
+       ROW_NUMBER() OVER seq_w AS seq,
+       RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_rank,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+WINDOW seq_w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# --- set operations (SURVEY §2.7, absent in reference) -------------------
+def _nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    cust_nations = customer.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    supp_nations = supplier.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = cust_nations.intersect(supp_nations).withColumn("tag", F.lit("both"))
+    cust_only = cust_nations.exceptAll(supp_nations).withColumn(
+        "tag", F.lit("customer_only")
+    )
+    return both.unionByName(cust_only).select("tag", "nationkey")
+
+
+_NATION_SET_OPS_SQL = """
+SELECT 'both' AS tag, nationkey FROM (
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+)
+UNION ALL
+SELECT 'customer_only' AS tag, nationkey FROM (
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+)
+"""
+
+
+# --- rollup (grouping sets family, SURVEY §2.4 ext) ----------------------
+def _rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup(
+        F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal").alias("total_acctbal"),
+    )
+
+
+_ROLLUP_SQL = """
+SELECT r.r_name AS region_name, n.n_name AS nation_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+
+# --- pivot (conditional aggregation) -------------------------------------
+def _pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .select(
+            "priority",
+            F.col("F").alias("n_f"),
+            F.col("O").alias("n_o"),
+            F.col("P").alias("n_p"),
+        )
+    )
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders
+GROUP BY 1
+"""
+
+
+# --- case/when + having (derived columns P3 + post-agg filter) -----------
+def _part_size_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    size_class = (
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 30, "medium")
+        .otherwise("large")
+    )
+    return (
+        part.withColumn("size_class", size_class)
+        .groupBy("p_brand", "size_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("p_retailprice").alias("total_price"),
+        )
+        .filter(F.col("n_parts") > 5)
+    )
+
+
+_PART_SIZE_CLASSES_SQL = """
+SELECT p_brand, size_class, n_parts, total_price
+FROM (
+    SELECT p_brand,
+           CASE WHEN p_size < 10 THEN 'small'
+                WHEN p_size < 30 THEN 'medium'
+                ELSE 'large' END AS size_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM part
+    GROUP BY 1, 2
+)
+WHERE n_parts > 5
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "flagship_top_supplier_per_region": Q(
+        top_supplier_per_region,
+        FLAGSHIP_ORACLE_SQL,
+        "filter→join→agg→window-top1-with-tiebreak (the reference's selection query shape)",
+    ),
+    "filter_range_pushdown": Q(_filter_range, _FILTER_RANGE_SQL, "P4/P5/P6 predicates"),
+    "pricing_summary": Q(_pricing_summary, _PRICING_SUMMARY_SQL, "A1 grouped agg battery"),
+    "topk_orders": Q(_topk_orders, _TOPK_ORDERS_SQL, "O1-O3 sort+limit top-k"),
+    "orders_per_nation": Q(_orders_per_nation, _ORDERS_PER_NATION_SQL, "J3 broadcast join + agg"),
+    "customers_with_open_orders": Q(_customers_with_open_orders, _SEMI_JOIN_SQL, "semi join"),
+    "customers_without_orders": Q(_customers_without_orders, _ANTI_JOIN_SQL, "anti join"),
+    "distinct_counts": Q(_distinct_counts, _DISTINCT_COUNTS_SQL, "distinct aggregation"),
+    "latest_order_per_customer": Q(_latest_order_per_customer, _LATEST_ORDER_SQL, "W1 top-1-per-group"),
+    "window_running_totals": Q(_window_running, _WINDOW_RUNNING_SQL, "window frames: rank + running sum"),
+    "nation_set_ops": Q(_nation_set_ops, _NATION_SET_OPS_SQL, "U: intersect/except/union"),
+    "rollup_region_nation": Q(_rollup_region_nation, _ROLLUP_SQL, "rollup grouping sets"),
+    "pivot_status_by_priority": Q(_pivot_status_by_priority, _PIVOT_SQL, "pivot"),
+    "part_size_classes": Q(_part_size_classes, _PART_SIZE_CLASSES_SQL, "case/when + having"),
+}

@@ -1,0 +1,145 @@
+"""Scalar-function battery — SURVEY.md §2.8 (F1-F17) coverage.
+
+The reference's scalar layer is string splitting / substring date assembly
+/ prefix stripping / casts / templating (`imagery_store.py:119-132`,
+`85-87`). These queries exercise each family over the driver tables with
+exact cross-engine semantics (note: double→int casts TRUNCATE in Spark but
+ROUND in DuckDB, so every such cast goes through an explicit ``floor``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.queries.base import Q
+from etl_sentinel_imagery_spark.sources.tables import load_table
+
+
+def _string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 split+index, F3 prefix strip, F9 templating, regex, array ops."""
+    part = load_table(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    return part.select(
+        "p_partkey",
+        toks.getItem(0).alias("first_word"),
+        F.size(toks).alias("n_words"),
+        F.element_at(F.array_sort(toks), 1).alias("first_sorted_word"),
+        F.regexp_extract(F.col("p_brand"), "([0-9]+)", 1)
+        .cast("int")
+        .alias("brand_num"),
+        F.upper(F.col("p_type")).alias("type_upper"),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.substring(F.col("p_name"), 1, 4).alias("name_prefix"),
+        (F.col("p_partkey") % 7).alias("key_mod7"),
+        F.floor(F.col("p_retailprice")).cast("bigint").alias("price_floor"),
+    )
+
+
+_STRING_BATTERY_SQL = """
+SELECT p_partkey,
+       string_split(p_name, ' ')[1] AS first_word,
+       len(string_split(p_name, ' ')) AS n_words,
+       list_sort(string_split(p_name, ' '))[1] AS first_sorted_word,
+       CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INTEGER) AS brand_num,
+       upper(p_type) AS type_upper,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       length(p_name) AS name_len,
+       substr(p_name, 1, 4) AS name_prefix,
+       p_partkey % 7 AS key_mod7,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor
+FROM part
+"""
+
+
+def _date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F4 date assembly + truncation battery over order dates."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.substring(F.col("o_orderdate").cast("string"), 1, 10).alias("date_str"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).alias("days_since_epoch_start"),
+        F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("year_month"),
+    )
+
+
+_DATE_BATTERY_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       CAST(day(o_orderdate) AS INTEGER) AS order_day,
+       CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+       date_trunc('month', o_orderdate) AS month_start,
+       substr(CAST(o_orderdate AS VARCHAR), 1, 10) AS date_str,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+           AS days_since_epoch_start,
+       strftime(o_orderdate, '%Y-%m') AS year_month
+FROM orders
+"""
+
+
+def _clip_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 clip-scale-cast — the reference's reflectance normalization
+    (`tx.py:20-23`: clip(x/10000, 0, 1)*255 → uint8) applied to a numeric
+    column. floor() keeps the final int cast identical across engines."""
+    events = load_table(spark, sf_dir, "events")
+    scaled = F.least(
+        F.greatest(F.col("value") / F.lit(200.0), F.lit(0.0)), F.lit(1.0)
+    ) * F.lit(255.0)
+    return events.select(
+        "event_id",
+        F.floor(scaled).cast("int").alias("value_u8"),
+    )
+
+
+_CLIP_SCALE_SQL = """
+SELECT event_id,
+       CAST(floor(least(greatest(value / 200.0, 0.0), 1.0) * 255.0) AS INTEGER) AS value_u8
+FROM events
+"""
+
+
+def _array_exists_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 EXISTS-over-array + array transforms (the Attributes/any pattern,
+    imagery_store.py:217-220) over token arrays built from part names."""
+    part = load_table(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    return (
+        part.withColumn("has_widget", F.array_contains(toks, "widget"))
+        .withColumn(
+            "n_long_words",
+            F.size(F.filter(toks, lambda t: F.length(t) > 5)),
+        )
+        .withColumn(
+            "upper_words", F.array_join(F.transform(toks, F.upper), ",")
+        )
+        .filter(F.col("has_widget"))
+        .select("p_partkey", "has_widget", "n_long_words", "upper_words")
+    )
+
+
+_ARRAY_EXISTS_SQL = """
+SELECT p_partkey,
+       list_contains(string_split(p_name, ' '), 'widget') AS has_widget,
+       len(list_filter(string_split(p_name, ' '), t -> length(t) > 5)) AS n_long_words,
+       array_to_string(list_transform(string_split(p_name, ' '), t -> upper(t)), ',')
+           AS upper_words
+FROM part
+WHERE list_contains(string_split(p_name, ' '), 'widget')
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "scalar_string_battery": Q(_string_battery, _STRING_BATTERY_SQL, "F1/F3/F8/F9 strings"),
+    "scalar_date_battery": Q(_date_battery, _DATE_BATTERY_SQL, "F2/F4 dates"),
+    "clip_scale_cast": Q(_clip_scale_battery, _CLIP_SCALE_SQL, "F11/R1 normalize on columns"),
+    "array_exists_battery": Q(_array_exists_battery, _ARRAY_EXISTS_SQL, "P8 exists over arrays"),
+}

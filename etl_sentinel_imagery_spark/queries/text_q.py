@@ -1,0 +1,272 @@
+"""Text-analysis + dedup query battery over the documents table.
+
+The LLM-data-pipeline extensions (SURVEY.md §2.10 ext): quality stats,
+language heuristics, token counting, document fingerprinting, exact dedup,
+MinHash-LSH, SimHash, and exact n-gram Jaccard — every one oracle-checked,
+because every hash is the engine-portable polynomial hash
+(functions.text.polyhash) reproduced in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.functions.exact import dec
+from etl_sentinel_imagery_spark.functions.text import (
+    HASH_MOD,
+    polyhash,
+    polyhash_sql,
+    tokens,
+    word_ngrams,
+)
+from etl_sentinel_imagery_spark.operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    N_PERM,
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signature,
+    simhash,
+)
+from etl_sentinel_imagery_spark.queries.base import Q
+from etl_sentinel_imagery_spark.sources.tables import load_table
+
+STOPWORDS = ("the", "a", "of", "and")
+
+# DuckDB fragments mirroring functions.text ------------------------------
+_TOKS = "string_split(text, ' ')"
+_TOKHASHES = (
+    f"list_transform(list_distinct({_TOKS}), tok -> {polyhash_sql('tok')})"
+)
+
+
+def _shingle_hashes_sql(n: int) -> str:
+    return f"list_transform({_ngrams_sql(n)}, g -> {polyhash_sql('g')})"
+
+
+def _ngrams_sql(n: int) -> str:
+    toks = _TOKS
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), '_')))"
+    )
+
+
+# --- text stats / quality scoring ----------------------------------------
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    total_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        (total_len.cast("double") / n_tokens).alias("avg_token_len"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        (
+            F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+            * (F.lit(0.5) + F.lit(0.5) * (n_distinct.cast("double") / n_tokens))
+        ).alias("quality_score"),
+    )
+
+
+_TEXT_STATS_SQL = f"""
+SELECT doc_id, lang,
+       length(text) AS n_chars_calc,
+       len({_TOKS}) AS n_tokens,
+       len(list_distinct({_TOKS})) AS n_distinct_tokens,
+       CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+           / len({_TOKS}) AS avg_token_len,
+       CAST(len(list_filter({_TOKS},
+                t -> list_contains(['the','a','of','and'], t))) AS DOUBLE)
+           / len({_TOKS}) AS stopword_ratio,
+       least(len({_TOKS}) / 100.0, 1.0)
+           * (0.5 + 0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                           / len({_TOKS}))) AS quality_score
+FROM documents
+"""
+
+
+# --- language-ID heuristic ------------------------------------------------
+def _lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language heuristic, aggregated per true lang so the
+    oracle also validates the confusion counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast(
+        "double"
+    ) / F.size(toks)
+    guessed = F.when(ratio >= 0.08, "en").otherwise("other")
+    return (
+        docs.withColumn("guessed_lang", guessed)
+        .groupBy("lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_LANG_GUESS_SQL = f"""
+SELECT lang, guessed_lang, COUNT(*) AS n_docs
+FROM (
+    SELECT lang,
+           CASE WHEN CAST(len(list_filter({_TOKS},
+                          t -> list_contains(['the','a','of','and'], t))) AS DOUBLE)
+                     / len({_TOKS}) >= 0.08
+                THEN 'en' ELSE 'other' END AS guessed_lang
+    FROM documents
+)
+GROUP BY 1, 2
+"""
+
+
+# --- exact dedup -----------------------------------------------------------
+def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- document fingerprint (rolling hash + winnowing-style min-gram) -------
+def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams5 = word_ngrams(F.col("text"), 5)
+    min_gram_hash = F.coalesce(
+        F.array_min(F.transform(grams5, polyhash)), F.lit(HASH_MOD).cast("long")
+    )
+    return docs.select(
+        "doc_id",
+        polyhash(F.col("text")).alias("full_hash"),
+        min_gram_hash.alias("min_gram_hash"),
+    )
+
+
+_FINGERPRINTS_SQL = f"""
+SELECT doc_id,
+       {polyhash_sql("text")} AS full_hash,
+       coalesce(list_min(list_transform({_ngrams_sql(5)},
+                g -> {polyhash_sql("g")})), {HASH_MOD}) AS min_gram_hash
+FROM documents
+"""
+
+
+# --- MinHash signatures + LSH candidate pairs -----------------------------
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[F.element_at(sig, p + 1).alias(f"sig{p}") for p in range(N_PERM)],
+    )
+
+
+def _minhash_sig_sql_exprs() -> list[str]:
+    shingles = _shingle_hashes_sql(3)
+    return [
+        f"coalesce(list_min(list_transform({shingles}, "
+        f"h -> (h * {MINHASH_A[p]} + {MINHASH_B[p]}) % {HASH_MOD})), "
+        f"{HASH_MOD}) AS sig{p}"
+        for p in range(N_PERM)
+    ]
+
+
+_MINHASH_SIGS_SQL = (
+    "SELECT doc_id, " + ", ".join(_minhash_sig_sql_exprs()) + " FROM documents"
+)
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text")
+
+
+_MINHASH_PAIRS_SQL = f"""
+WITH sigs AS ({_MINHASH_SIGS_SQL}),
+bands AS (
+    SELECT doc_id, b,
+           concat_ws('_',
+               CASE b WHEN 0 THEN sig0 WHEN 1 THEN sig2 WHEN 2 THEN sig4 ELSE sig6 END,
+               CASE b WHEN 0 THEN sig1 WHEN 1 THEN sig3 WHEN 2 THEN sig5 ELSE sig7 END
+           ) AS band_key
+    FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
+)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_shared_bands
+FROM bands l
+JOIN bands r ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+GROUP BY 1, 2
+"""
+
+
+# --- SimHash ---------------------------------------------------------------
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text")).alias("simhash16"))
+
+
+_SIMHASH_SQL = f"""
+WITH th AS (
+    SELECT doc_id, unnest({_TOKHASHES}) AS h FROM documents
+),
+w AS (
+    SELECT doc_id,
+           {", ".join(f"SUM(((h >> {j}) & 1) * 2 - 1) AS w{j}" for j in range(16))}
+    FROM th GROUP BY 1
+)
+SELECT doc_id,
+       {" + ".join(f"(CASE WHEN w{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))}
+           AS simhash16
+FROM w
+"""
+
+
+# --- exact n-gram Jaccard pairs -------------------------------------------
+def _jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+_JACCARD_SQL = f"""
+WITH grams AS (
+    SELECT doc_id, unnest({_ngrams_sql(3)}) AS gram FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
+shared AS (
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM grams l JOIN grams r ON l.gram = r.gram AND l.doc_id < r.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared,
+       CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared) >= 0.5
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "text_stats": Q(_text_stats, _TEXT_STATS_SQL, "quality stats + scoring"),
+    "lang_guess": Q(_lang_guess, _LANG_GUESS_SQL, "language-ID heuristic"),
+    "docs_exact_dedup": Q(_exact_dedup, _EXACT_DEDUP_SQL, "exact dedup via md5"),
+    "docs_fingerprints": Q(_fingerprints, _FINGERPRINTS_SQL, "rolling-hash fingerprints"),
+    "docs_minhash_signatures": Q(_minhash_sigs, _MINHASH_SIGS_SQL, "MinHash signatures"),
+    "docs_minhash_lsh_pairs": Q(_minhash_pairs, _MINHASH_PAIRS_SQL, "MinHash LSH candidate pairs"),
+    "docs_simhash": Q(_simhash, _SIMHASH_SQL, "SimHash fingerprints"),
+    "docs_jaccard_pairs": Q(_jaccard, _JACCARD_SQL, "exact 3-gram Jaccard pairs"),
+}

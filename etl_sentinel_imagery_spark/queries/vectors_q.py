@@ -1,0 +1,155 @@
+"""Embedding similarity battery over the embeddings table.
+
+Scores are bit-deterministic across engines: float32 arrays are widened
+to double (exact), then dotted/normed with explicit sequential left-folds
+that DuckDB's list_reduce reproduces op-for-op (see operators.similarity).
+The IVF variant is the scale path — approximate by construction, so it
+carries no SQL oracle (rows-only check) and is instead validated by a
+recall-vs-brute-force pytest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.operators.similarity import (
+    as_double_array,
+    brute_force_topk,
+    ivf_topk,
+    l2_norm_sq,
+)
+from etl_sentinel_imagery_spark.queries.base import Q
+from etl_sentinel_imagery_spark.sources.tables import load_table
+
+N_QUERIES = 20
+TOP_K = 5
+N_CENTROIDS = 8
+NEAR_DUP_THRESHOLD = 0.42  # this corpus's max pairwise cosine is ~0.51 —
+# 0.42 keeps the query discriminating; real near-dup dedup uses ~0.95
+# (operator default), which on THIS synthetic data returns an empty set.
+
+# DuckDB fragments mirroring the sequential folds --------------------------
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i])), "
+    "(acc, x) -> acc + x)"
+)
+_NORM_SQ = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, len({a})+1), i -> {a}[i] * {a}[i])), "
+    "(acc, x) -> acc + x)"
+)
+
+#: unit-normalized embeddings CTE — norms computed once per row, exactly
+#: mirroring operators.similarity.with_normalized's op sequence.
+_NORMED_CTE = f"""
+normed AS (
+    SELECT vec_id,
+           list_transform(v, x -> x / nrm) AS vn
+    FROM (
+        SELECT vec_id, v, sqrt({_NORM_SQ.format(a="v")}) AS nrm
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    )
+)
+"""
+
+
+def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = as_double_array("embedding")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.sqrt(l2_norm_sq(vec)).alias("l2_norm"),
+    )
+
+
+_NORMS_SQL = f"""
+SELECT vec_id, label,
+       len(embedding) AS dim,
+       sqrt({_NORM_SQ.format(a="CAST(embedding AS DOUBLE[])")}) AS l2_norm
+FROM embeddings
+"""
+
+
+def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, F.col("vec_id") < N_QUERIES, k=TOP_K)
+
+
+_COSINE_TOPK_SQL = f"""
+WITH {_NORMED_CTE},
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           {_DOT.format(a="q.vn", b="c.vn")} AS cos_sim
+    FROM normed q
+    JOIN normed c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, cand_id, cos_sim, rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rnk
+    FROM scored
+)
+WHERE rnk <= {TOP_K}
+"""
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
+    """Deterministic centroid seed: the first N_CENTROIDS vectors by id
+    (a k-means init stand-in; at scale this would be a sampled k-means||)."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_CENTROIDS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return np.array([r["embedding"] for r in rows], dtype="float64")
+
+
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, F.col("vec_id") < N_QUERIES, _centroids(spark, sf_dir), k=TOP_K
+    )
+
+
+def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine high-similarity pairs, exact pairwise.
+
+    At 100 TB this exact form is replaced by LSH/IVF blocking; it stays
+    here as the oracle-checkable ground truth the blocked variants are
+    measured against."""
+    from etl_sentinel_imagery_spark.operators.similarity import dot, with_normalized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = with_normalized(emb, "vec_id", "embedding", "id_a", "va")
+    b = with_normalized(emb, "vec_id", "embedding", "id_b", "vb")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dot(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= F.lit(NEAR_DUP_THRESHOLD))
+    )
+
+
+_NEAR_DUP_SQL = f"""
+WITH {_NORMED_CTE}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_DOT.format(a="a.vn", b="b.vn")} AS cos_sim
+FROM normed a
+JOIN normed b ON a.vec_id < b.vec_id
+WHERE {_DOT.format(a="a.vn", b="b.vn")} >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "embedding_norms": Q(_norms, _NORMS_SQL, "l2 norms (sequential-fold exact)"),
+    "cosine_topk_bruteforce": Q(_cosine_topk, _COSINE_TOPK_SQL, "exact cosine top-k"),
+    "embedding_near_dup_pairs": Q(_near_dup_pairs, _NEAR_DUP_SQL, "cosine ≥0.95 near-dup pairs"),
+    "ann_ivf_topk": Q(_ann_ivf_topk, None, "IVF approximate top-k (scale path; no SQL oracle)"),
+}

@@ -1,0 +1,125 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every query in __spark_entry__.queries() on Spark and its oracle_sql
+on DuckDB over the same parquet tables, then compares row count, sorted
+column names, and values (exact for ints/strings/timestamps, exact for
+doubles too — the battery is engineered to be bit-deterministic).
+
+Usage: python tools/verify_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from etl_sentinel_imagery_spark.session import get_spark
+from etl_sentinel_imagery_spark.sources.tables import TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    errs: list[str] = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        return [
+            f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
+        ]
+    if len(spark_df) != len(duck_df):
+        errs.append(f"row count: spark={len(spark_df)} duck={len(duck_df)}")
+        return errs
+    s, d = normalize(spark_df), normalize(duck_df)
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+            sa, da = sv.astype(float).to_numpy(), dv.astype(float).to_numpy()
+            mism = 0
+            for x, y in zip(sa, da):
+                if x != y and not (math.isnan(x) and math.isnan(y)):
+                    mism += 1
+            if mism:
+                bad = [(x, y) for x, y in zip(sa, da) if x != y][:3]
+                errs.append(f"col {c}: {mism} float mismatches, e.g. {bad}")
+        else:
+            neq = (sv.astype(str) != dv.astype(str)).sum()
+            if neq:
+                ex = [
+                    (a, b)
+                    for a, b in zip(sv.astype(str), dv.astype(str))
+                    if a != b
+                ][:3]
+                errs.append(f"col {c}: {neq} mismatches, e.g. {ex}")
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("verify-parity")
+    con = duck_connection(sf_dir)
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in sqls:
+            print(f"ok   {name}: rows={len(sdf)} (no oracle, rows-only) "
+                  f"[{time.time()-t0:.1f}s]")
+            if len(sdf) == 0:
+                print(f"WARN {name}: zero rows")
+            continue
+        try:
+            ddf = con.execute(sqls[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        errs = compare(name, sdf, ddf)
+        if errs:
+            failures += 1
+            print(f"FAIL {name}: rows={len(sdf)}")
+            for e in errs:
+                print(f"     {e}")
+        else:
+            print(f"ok   {name}: rows={len(sdf)} hash-match [{time.time()-t0:.1f}s]")
+
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
