@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+{"metric": "...", "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": <scale factor>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_sentinel_imagery_spark.queries import queries as _queries
+from etl_sentinel_imagery_spark.session import get_spark
+
+#: Headline set: the flagship plus the heaviest representative per family
+#: (agg, join+window, sessionization, windows, dedup tiers, similarity).
+HEADLINE = [
+    "flagship_top_supplier_per_region",
+    "pricing_summary",
+    "orders_per_nation",
+    "latest_order_per_customer",
+    "window_running_totals",
+    "events_tumbling_window",
+    "events_sessionize",
+    "docs_exact_dedup",
+    "docs_minhash_lsh_pairs",
+    "docs_jaccard_pairs",
+    "text_stats",
+    "cosine_topk_bruteforce",
+    "embedding_near_dup_pairs",
+    "ann_ivf_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = _queries()
+
+    # JVM/codegen warmup outside the measured window
+    qs["topk_orders"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

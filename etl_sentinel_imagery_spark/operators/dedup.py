@@ -106,9 +106,20 @@ def minhash_lsh_pairs(
     Output: (id_a < id_b, n_shared_bands).
     """
     n_bands = n_perm // band_size
-    sigs = df.select(
-        F.col(id_col).alias("doc"),
-        minhash_signature(text_col, n_perm).alias("sig"),
+    # Two exchanges around the signature projection, for different reasons:
+    # the one BELOW spreads the CPU-bound shingle hashing across cores even
+    # when the source is a single parquet split; the one ABOVE is a
+    # materialization barrier — without it, projection collapse inlines the
+    # full MinHash expression into each of the band keys and recomputes it
+    # 2×n_bands times per doc. The second shuffle moves only (doc, 8 longs).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sigs = (
+        df.repartition(par)
+        .select(
+            F.col(id_col).alias("doc"),
+            minhash_signature(text_col, n_perm).alias("sig"),
+        )
+        .repartition(par, "doc")
     )
     bands = sigs.select(
         "doc",
@@ -160,7 +171,8 @@ def jaccard_pairs(
     then |A∪B| = |A|+|B|-shared. The division is a single integer→double
     op, so the similarity value is cross-engine exact.
     """
-    grams = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    grams = df.repartition(par).select(
         F.col(id_col).alias("doc"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
     )

@@ -1,0 +1,124 @@
+"""Product-selection pipeline — the reference's core query, Spark-first.
+
+Reference semantics (`/root/reference/code/imagery_store.py:205-273`):
+OData-pushed filters (platform/productType/date-range/cloudCover/tileId)
+→ footprint geometry → AOI-coverage ratio per product (overlay + area)
+→ group-sum per product Id → sort by summed ratio desc → keep best Id →
+latest-OriginDate tiebreak → single product record projection.
+
+Here each stage is a DataFrame op: the filters are Catalyst predicates
+(pushable to any source), coverage is bbox-intersection column arithmetic
+(exact for the reference's effectively-rectangular tile footprints; the
+exact polygon-overlay variant lives in operators.geometry), the ranking
+is one window. At scale: the catalog is the big side (millions of
+products), the AOI is one broadcast row — no shuffle until the terminal
+top-1, which TakeOrderedAndProject handles without a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def wkt_bbox(wkt: Column) -> dict[str, Column]:
+    """Bounding box of a WKT POLYGON, parsed entirely JVM-side
+    (regexp + array transforms; F6/F7, dataset.py:38-40 analog)."""
+    coords = F.regexp_extract(wkt, r"POLYGON \(\((.+)\)\)", 1)
+    pairs = F.split(coords, ", ")
+    xs = F.transform(pairs, lambda p: F.split(p, " ").getItem(0).cast("double"))
+    ys = F.transform(pairs, lambda p: F.split(p, " ").getItem(1).cast("double"))
+    return {
+        "minx": F.array_min(xs),
+        "miny": F.array_min(ys),
+        "maxx": F.array_max(xs),
+        "maxy": F.array_max(ys),
+    }
+
+
+def filter_products(
+    catalog: DataFrame,
+    platform: str,
+    product_type: str,
+    date_start: str,
+    date_end: str,
+    cloud_max: float,
+    tile_id: str | None = None,
+) -> DataFrame:
+    """P4-P8: the reference's `$filter` predicates as Catalyst filters.
+
+    Date compare is STRICT gt/lt on ISO strings — lexical, exactly as the
+    reference builds `ContentDate/Start gt {start} and lt {end}`
+    (imagery_store.py:218; lexical == chronological for ISO strings)."""
+    out = catalog.filter(
+        (F.col("platform") == platform)
+        & (F.col("productType") == product_type)
+        & (F.col("ContentDate_Start") > date_start)
+        & (F.col("ContentDate_Start") < date_end)
+        & (F.col("cloudCover") <= cloud_max)
+    )
+    if tile_id is not None:
+        out = out.filter(F.col("tileId") == tile_id)
+    return out
+
+
+def with_coverage_ratio(
+    products: DataFrame,
+    aoi_bbox: tuple[float, float, float, float],
+    footprint_col: str = "GeoFootprint",
+) -> DataFrame:
+    """J1/P3: AOI-coverage ratio = area(footprint ∩ AOI) / area(AOI).
+
+    Bbox fast path (tile footprints are axis-aligned): intersection width
+    × height over the AOI area, clamped at 0. The AOI is a handful of
+    scalars — broadcast as literals, so this is a narrow map stage with
+    no shuffle (the reference's overlay+groupby, imagery_store.py:249-251,
+    collapses to per-row arithmetic)."""
+    aminx, aminy, amaxx, amaxy = aoi_bbox
+    aoi_area = (amaxx - aminx) * (amaxy - aminy)
+    bb = wkt_bbox(F.col(footprint_col))
+    iw = F.greatest(
+        F.least(bb["maxx"], F.lit(amaxx)) - F.greatest(bb["minx"], F.lit(aminx)),
+        F.lit(0.0),
+    )
+    ih = F.greatest(
+        F.least(bb["maxy"], F.lit(amaxy)) - F.greatest(bb["miny"], F.lit(aminy)),
+        F.lit(0.0),
+    )
+    return products.withColumn("area_ratio", iw * ih / F.lit(aoi_area))
+
+
+def rank_by_coverage(products_with_ratio: DataFrame) -> DataFrame:
+    """A1+W1: group-sum ratio per product, rank by (ratio desc,
+    OriginDate desc, Id asc) — the reference's sort/tiebreak chain
+    (imagery_store.py:252-259) as a single window."""
+    per_product = products_with_ratio.groupBy(
+        "Id", "Name", "S3Path", "OriginDate", "tileId", "cloudCover",
+        "relativeOrbitNumber",
+    ).agg(F.sum("area_ratio").alias("area_ratio"))
+    w = Window.orderBy(
+        F.desc("area_ratio"), F.desc("OriginDate"), F.asc("Id")
+    )
+    return per_product.withColumn("rank", F.row_number().over(w))
+
+
+def best_product(ranked: DataFrame, bands: list[str]) -> DataFrame:
+    """O3+P2: the winning row, projected to the reference's product
+    record (imagery_store.py:259-269): uuid, name, s3path, tile,
+    product_date ([:10] truncate), cloudcoverage, bands, num_bands,
+    orbit, area_ratio."""
+    return (
+        ranked.filter(F.col("rank") == 1)
+        .select(
+            F.col("Id").alias("uuid"),
+            F.col("Name").alias("name"),
+            F.col("S3Path").alias("s3path"),
+            F.col("tileId").alias("tile"),
+            F.substring(F.col("OriginDate"), 1, 10).alias("product_date"),
+            F.col("cloudCover").alias("cloudcoverage"),
+            F.array(*[F.lit(b) for b in bands]).alias("bands"),
+            F.lit(len(bands)).alias("num_bands"),
+            F.col("relativeOrbitNumber").alias("orbit"),
+            F.col("area_ratio").alias("area_ratio"),
+        )
+    )

@@ -58,11 +58,15 @@ def with_normalized(
     the O(pairs·d) norm recomputation into O(rows·d)."""
     # Three-step projection so the norm is a materialized column — embedding
     # the norm subtree inside the transform lambda would re-evaluate it per
-    # element (O(d²) per row).
+    # element (O(d²) per row). The repartition spreads the downstream
+    # pairwise scoring across cores even when the source parquet is a
+    # single split, and materializes the normalization exactly once.
+    par = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.select(F.col(id_col).alias(out_id), as_double_array(vec_col).alias("_v"))
         .withColumn("_norm", F.sqrt(_seq_sum(F.transform(F.col("_v"), lambda x: x * x))))
         .select(out_id, F.transform("_v", _div_by(F.col("_norm"))).alias(out_vec))
+        .repartition(par)
     )
 
 

@@ -10,12 +10,13 @@ from etl_sentinel_imagery_spark.queries import (
     events_q,
     relational,
     scalars,
+    sentinel,
     text_q,
     vectors_q,
 )
 from etl_sentinel_imagery_spark.queries.base import Q
 
-_MODULES = (relational, scalars, events_q, text_q, vectors_q)
+_MODULES = (relational, scalars, events_q, text_q, vectors_q, sentinel)
 
 
 def all_queries() -> dict[str, Q]:

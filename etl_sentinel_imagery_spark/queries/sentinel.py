@@ -1,0 +1,232 @@
+"""Sentinel-domain query battery — the reference's own pipeline, oracled.
+
+These queries run on the embedded deterministic catalog fixture (the
+driver materializes no catalog table), and their oracles embed the SAME
+fixture as a DuckDB VALUES relation — so the reference's actual selection
+semantics (SURVEY.md §2.2-2.6, §3.2) are hash-checked end-to-end, not
+just rows-counted. The numeric bbox columns ride along in the VALUES so
+the oracle never parses WKT; the Spark side parses the WKT footprints
+(F6/F7) and must land on identical doubles (0.25°-grid coordinates are
+exact in binary FP).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.operators.selection import (
+    best_product,
+    filter_products,
+    rank_by_coverage,
+    with_coverage_ratio,
+)
+from etl_sentinel_imagery_spark.queries.base import Q
+from etl_sentinel_imagery_spark.sources.catalog_fixture import (
+    AOI,
+    SELECT_PARAMS,
+    bands_df,
+    bands_values_sql,
+    catalog_df,
+    catalog_values_sql,
+)
+
+_AOI_BBOX = (AOI["minx"], AOI["miny"], AOI["maxx"], AOI["maxy"])
+_AOI_AREA = (AOI["maxx"] - AOI["minx"]) * (AOI["maxy"] - AOI["miny"])
+_BANDS = ["B02", "B03", "B04", "B08"]
+
+_FILTER_SQL = f"""
+    platform = '{SELECT_PARAMS["platform"]}'
+    AND productType = '{SELECT_PARAMS["product_type"]}'
+    AND ContentDate_Start > '{SELECT_PARAMS["date_start"]}'
+    AND ContentDate_Start < '{SELECT_PARAMS["date_end"]}'
+    AND cloudCover <= {SELECT_PARAMS["cloud_max"]}
+"""
+
+_RATIO_SQL = f"""
+    greatest(least(maxx, {AOI['maxx']!r}) - greatest(minx, {AOI['minx']!r}), 0.0)
+    * greatest(least(maxy, {AOI['maxy']!r}) - greatest(miny, {AOI['miny']!r}), 0.0)
+    / {_AOI_AREA!r}
+"""
+
+_RANKED_CTE = f"""
+ranked AS (
+    SELECT Id, Name, S3Path, OriginDate, tileId, cloudCover,
+           relativeOrbitNumber, area_ratio,
+           ROW_NUMBER() OVER (
+               ORDER BY area_ratio DESC, OriginDate DESC, Id ASC) AS rank
+    FROM (
+        SELECT Id, Name, S3Path, OriginDate, tileId, cloudCover,
+               relativeOrbitNumber, SUM(area_ratio) AS area_ratio
+        FROM (
+            SELECT *, {_RATIO_SQL} AS area_ratio
+            FROM {catalog_values_sql()}
+            WHERE {_FILTER_SQL}
+        )
+        GROUP BY 1, 2, 3, 4, 5, 6, 7
+    )
+)
+"""
+
+
+def _ranked(spark: SparkSession) -> DataFrame:
+    cat = filter_products(
+        catalog_df(spark),
+        SELECT_PARAMS["platform"],
+        SELECT_PARAMS["product_type"],
+        SELECT_PARAMS["date_start"],
+        SELECT_PARAMS["date_end"],
+        SELECT_PARAMS["cloud_max"],
+    )
+    return rank_by_coverage(with_coverage_ratio(cat, _AOI_BBOX))
+
+
+def _coverage_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ranked(spark).select(
+        F.col("Id").alias("product_id"),
+        F.col("tileId").alias("tile"),
+        "area_ratio",
+        "rank",
+        F.col("OriginDate").alias("origin_date"),
+    )
+
+
+_COVERAGE_RANKING_SQL = f"""
+WITH {_RANKED_CTE}
+SELECT Id AS product_id, tileId AS tile, area_ratio, rank,
+       OriginDate AS origin_date
+FROM ranked
+"""
+
+
+def _select_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return best_product(_ranked(spark), _BANDS)
+
+
+_SELECT_BEST_SQL = f"""
+WITH {_RANKED_CTE}
+SELECT Id AS uuid, Name AS name, S3Path AS s3path, tileId AS tile,
+       substr(OriginDate, 1, 10) AS product_date,
+       cloudCover AS cloudcoverage,
+       {_BANDS!r} AS bands,
+       {len(_BANDS)} AS num_bands,
+       relativeOrbitNumber AS orbit,
+       area_ratio
+FROM ranked WHERE rank = 1
+"""
+
+
+def _attrs_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13/J2: the reference's Attributes-list→columns promotion
+    (imagery_store.py:191-198, 227-235) via map_from_entries — no
+    positional concat, the map is computed from the same row."""
+    cat = catalog_df(spark)
+    m = F.map_from_entries(
+        F.transform(
+            F.col("Attributes"), lambda a: F.struct(a["Name"], a["Value"])
+        )
+    )
+    return cat.select(
+        F.col("Id").alias("product_id"),
+        m.getItem("productType").alias("attr_product_type"),
+        m.getItem("tileId").alias("attr_tile"),
+        m.getItem("cloudCover").cast("double").alias("attr_cloud"),
+        F.size("Attributes").alias("n_attrs"),
+    )
+
+
+_ATTRS_UNPACK_SQL = f"""
+SELECT Id AS product_id,
+       productType AS attr_product_type,
+       tileId AS attr_tile,
+       cloudCover AS attr_cloud,
+       3 AS n_attrs
+FROM {catalog_values_sql()}
+"""
+
+
+def _name_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F5: product-name field extraction (imagery_store.py:119-128)
+    and Footprint SRID/WKT extraction (imagery_store.py:85-86)."""
+    cat = catalog_df(spark)
+    parts = F.split(F.col("Name"), "_")
+    datestr = parts.getItem(2)
+    return cat.select(
+        F.col("Id").alias("product_id"),
+        parts.getItem(0).alias("platform_part"),
+        parts.getItem(1).alias("ptype_part"),
+        F.concat_ws(
+            "-",
+            F.substring(datestr, 1, 4),
+            F.substring(datestr, 5, 2),
+            F.substring(datestr, 7, 2),
+        ).alias("sensing_date"),
+        parts.getItem(4).alias("orbit_part"),
+        F.substring(parts.getItem(5), 2, 10).alias("tile_part"),
+        F.regexp_extract(F.col("Footprint"), "SRID=([0-9]+)", 1).alias("srid"),
+        F.regexp_extract(F.col("Footprint"), ";(.*)'", 1).alias("footprint_wkt"),
+    )
+
+
+_NAME_PARSE_SQL = f"""
+SELECT Id AS product_id,
+       string_split(Name, '_')[1] AS platform_part,
+       string_split(Name, '_')[2] AS ptype_part,
+       concat_ws('-', substr(string_split(Name, '_')[3], 1, 4),
+                      substr(string_split(Name, '_')[3], 5, 2),
+                      substr(string_split(Name, '_')[3], 7, 2)) AS sensing_date,
+       string_split(Name, '_')[5] AS orbit_part,
+       substr(string_split(Name, '_')[6], 2, 10) AS tile_part,
+       regexp_extract(Footprint, 'SRID=([0-9]+)', 1) AS srid,
+       regexp_extract(Footprint, ';(.*)''', 1) AS footprint_wkt
+FROM {catalog_values_sql()}
+"""
+
+
+def _band_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10+O4+A2: IMAGE_FILE regex resolve (imagery_store.py:118) for the
+    requested bands at 10 m, deterministic band order via array_sort
+    (imagery_store.py:67-68), band count (A2)."""
+    bands = bands_df(spark)
+    pattern = f".*_({'|'.join(_BANDS)})_10m$"
+    return (
+        bands.filter(F.col("image_file").rlike(pattern))
+        .groupBy("product_id")
+        .agg(
+            F.array_sort(F.collect_list("band")).alias("bands"),
+            F.array_sort(F.collect_list("image_file")).alias("band_files"),
+            F.count(F.lit(1)).alias("num_bands"),
+        )
+    )
+
+
+_BAND_RESOLVE_SQL = f"""
+SELECT product_id,
+       list_sort(list(band)) AS bands,
+       list_sort(list(image_file)) AS band_files,
+       COUNT(*) AS num_bands
+FROM {bands_values_sql()}
+WHERE regexp_matches(image_file, '.*_({"|".join(_BANDS)})_10m$')
+GROUP BY 1
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "sentinel_coverage_ranking": Q(
+        _coverage_ranking, _COVERAGE_RANKING_SQL,
+        "filters + coverage ratio + group-sum + rank (imagery_store.py:216-259)",
+    ),
+    "sentinel_select_best": Q(
+        _select_best, _SELECT_BEST_SQL,
+        "full selection pipeline → product record (imagery_store.py:259-269)",
+    ),
+    "sentinel_attrs_unpack": Q(
+        _attrs_unpack, _ATTRS_UNPACK_SQL, "F13 attribute-list → columns"
+    ),
+    "sentinel_name_parse": Q(
+        _name_parse, _NAME_PARSE_SQL, "F1-F5 name/footprint parsing"
+    ),
+    "sentinel_band_resolve": Q(
+        _band_resolve, _BAND_RESOLVE_SQL, "P10 band regex + O4 sort + A2 count"
+    ),
+}

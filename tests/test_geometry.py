@@ -1,0 +1,95 @@
+"""Golden tests for the numpy geometry kernel (SURVEY.md §5 step 2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_sentinel_imagery_spark.functions.geometry import (
+    bbox,
+    clip_polygon_convex,
+    intersection_area,
+    parse_wkt_polygon,
+    point_in_polygon,
+    shoelace_area,
+    to_wkt_polygon,
+)
+
+SQUARE = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])
+
+
+def test_parse_wkt_roundtrip():
+    ring = parse_wkt_polygon("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    assert np.array_equal(ring, SQUARE)
+    assert parse_wkt_polygon(to_wkt_polygon(ring)).shape == (4, 2)
+
+
+def test_parse_wkt_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_wkt_polygon("LINESTRING (0 0, 1 1)")
+
+
+def test_shoelace_area():
+    assert shoelace_area(SQUARE) == 4.0
+    tri = np.array([[0, 0], [1, 0], [0, 1]], dtype=float)
+    assert shoelace_area(tri) == 0.5
+    # orientation-independent
+    assert shoelace_area(SQUARE[::-1]) == 4.0
+
+
+def test_bbox():
+    assert bbox(SQUARE) == (0.0, 0.0, 2.0, 2.0)
+
+
+def test_clip_identical():
+    out = clip_polygon_convex(SQUARE, SQUARE)
+    assert shoelace_area(out) == 4.0
+
+
+def test_clip_partial_overlap():
+    shifted = SQUARE + 1.0  # unit overlap square [1,2]×[1,2]
+    out = clip_polygon_convex(SQUARE, shifted)
+    assert shoelace_area(out) == pytest.approx(1.0)
+
+
+def test_clip_disjoint():
+    far = SQUARE + 10.0
+    assert intersection_area(SQUARE, far) == 0.0
+
+
+def test_clip_triangle_against_square():
+    # right triangle half-in: (−1,0)(1,0)(−1,2) clipped by unit-square×2
+    tri = np.array([[-1.0, 0.0], [1.0, 0.0], [-1.0, 2.0]])
+    got = intersection_area(tri, SQUARE)
+    # inside piece: triangle (0,0)(1,0)(0,1) → area 0.5
+    assert got == pytest.approx(0.5)
+
+
+def test_clip_concave_subject():
+    # concave "L" subject against a convex square — S-H handles concave subjects
+    l_shape = np.array(
+        [[0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [1.0, 1.0], [1.0, 3.0], [0.0, 3.0]]
+    )
+    clip = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])
+    got = intersection_area(l_shape, clip)
+    # L ∩ [0,2]² = [0,2]×[0,1] ∪ [0,1]×[1,2] → 2 + 1 = 3
+    assert got == pytest.approx(3.0)
+
+
+def test_point_in_polygon():
+    assert point_in_polygon(1.0, 1.0, SQUARE)
+    assert point_in_polygon(0.0, 1.0, SQUARE)  # boundary counts inside
+    assert not point_in_polygon(3.0, 1.0, SQUARE)
+
+
+def test_coverage_matches_bbox_fastpath():
+    """The exact overlay and the bbox fast path agree on axis-aligned
+    footprints (the invariant that justifies the fast path in
+    operators.selection.with_coverage_ratio)."""
+    aoi = np.array([[1.25, 43.25], [1.75, 43.25], [1.75, 43.75], [1.25, 43.75]])
+    foot = np.array([[1.5, 43.0], [2.5, 43.0], [2.5, 44.0], [1.5, 44.0]])
+    exact = intersection_area(foot, aoi) / shoelace_area(aoi)
+    iw = min(2.5, 1.75) - max(1.5, 1.25)
+    ih = min(44.0, 43.75) - max(43.0, 43.25)
+    assert exact == pytest.approx(iw * ih / 0.25)
+    assert exact == pytest.approx(0.5)
