@@ -1,0 +1,138 @@
+"""Multimodal columns: binary payloads with typed metadata.
+
+The 100 TB training-data-pipeline pattern: media rides in DataFrames as
+opaque ``binary`` columns plus a typed metadata struct; all per-item
+compute happens in Arrow-batched pandas stages (mapInPandas), so bytes
+never round-trip through Python row objects. Real decoders (PIL/ffmpeg)
+are NOT in this container — the decode kernel is stubbed behind
+``decoder=``: the default raises NotImplementedError; tests inject the
+deterministic fake. Everything around the stub — schema, batching,
+partitioning, UDF signatures — is real and tested.
+
+Reference tie-in: this is the engine's generalization of the reference's
+raster-file handling (binary band files + XML metadata,
+imagery_store.py:110-147 / SURVEY.md §2.1 S7).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA_SUFFIX = (
+    "payload binary, "
+    "meta struct<mime:string, width:int, height:int, n_frames:int>"
+)
+
+
+def attach_synthetic_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Wrap each document's text bytes as a fake media payload with typed
+    metadata — the ingestion shape a binaryFile scan would produce."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    n = F.octet_length(payload)
+    return docs.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/x-fake").alias("mime"),
+            (n % 64 + 16).cast("int").alias("width"),
+            (n % 48 + 12).cast("int").alias("height"),
+            (n % 7 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def byte_histogram(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-item 256-bin byte histogram — a real feature-extraction kernel
+    (numpy bincount per Arrow batch)."""
+
+    def _hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hists = [
+                np.bincount(
+                    np.frombuffer(p, dtype=np.uint8), minlength=256
+                ).astype("int64").tolist()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "histogram": hists})
+
+    return media.mapInPandas(_hist, schema=f"{id_col} bigint, histogram array<bigint>")
+
+
+def default_decoder(payload: bytes, meta: dict) -> np.ndarray:
+    """Real image decode needs PIL/opencv — not in this container."""
+    raise NotImplementedError(
+        "image decode requires an imaging library not present in this "
+        "environment; inject a decoder (see fake_decoder)"
+    )
+
+
+def fake_decoder(payload: bytes, meta: dict) -> np.ndarray:
+    """Deterministic stand-in decoder: sha256-seeded (h, w, 3) uint8."""
+    h, w = int(meta["height"]), int(meta["width"])
+    digest = hashlib.sha256(payload).digest()
+    rng = np.frombuffer((digest * ((h * w * 3) // len(digest) + 1))[: h * w * 3], dtype=np.uint8)
+    return rng.reshape(h, w, 3)
+
+
+def decode_and_summarize(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    decoder: Callable[[bytes, dict], np.ndarray] = default_decoder,
+) -> DataFrame:
+    """Decode → per-channel mean summary. The decode seam the real
+    pipeline would fill with PIL; summary math is real numpy."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                img = decoder(r["payload"], r["meta"])
+                rows.append(
+                    {
+                        id_col: r[id_col],
+                        "height": img.shape[0],
+                        "width": img.shape[1],
+                        "channel_means": [float(img[..., c].mean()) for c in range(img.shape[2])],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        _decode,
+        schema=f"{id_col} bigint, height int, width int, channel_means array<double>",
+    )
+
+
+def sample_frames(
+    media: DataFrame, every_nth: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame sampling for video-shaped payloads: split the byte stream
+    into meta.n_frames equal chunks, keep every n-th — one output row per
+    kept frame (the explode shape a real frame extractor produces)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = r["payload"]
+                nf = int(r["meta"]["n_frames"])
+                size = max(len(data) // nf, 1)
+                for fi in range(0, nf, every_nth):
+                    rows.append(
+                        {
+                            id_col: r[id_col],
+                            "frame_idx": fi,
+                            "frame_bytes": data[fi * size : (fi + 1) * size],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        _sample, schema=f"{id_col} bigint, frame_idx int, frame_bytes binary"
+    )

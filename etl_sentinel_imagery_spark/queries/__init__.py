@@ -11,12 +11,13 @@ from etl_sentinel_imagery_spark.queries import (
     relational,
     scalars,
     sentinel,
+    temporal_q,
     text_q,
     vectors_q,
 )
 from etl_sentinel_imagery_spark.queries.base import Q
 
-_MODULES = (relational, scalars, events_q, text_q, vectors_q, sentinel)
+_MODULES = (relational, scalars, events_q, text_q, vectors_q, sentinel, temporal_q)
 
 
 def all_queries() -> dict[str, Q]:

@@ -371,6 +371,48 @@ WHERE n_parts > 5
 """
 
 
+# --- unpivot (stack) ------------------------------------------------------
+def _unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot then unpivot back to rows — melt via stack()."""
+    wide = _pivot_status_by_priority(spark, sf_dir)
+    return wide.selectExpr(
+        "priority",
+        "stack(3, 'F', n_f, 'O', n_o, 'P', n_p) AS (status, n_orders)",
+    ).filter(F.col("n_orders") > 0)
+
+
+_UNPIVOT_SQL = """
+SELECT o_orderpriority AS priority, o_orderstatus AS status,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+# --- exact percentiles (probe-verified bit-equal to quantile_cont) --------
+def _percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50_price,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price,
+       quantile_cont(l_quantity, 0.5) AS p50_qty,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Q] = {
     "flagship_top_supplier_per_region": Q(
         top_supplier_per_region,
@@ -389,5 +431,7 @@ QUERIES: dict[str, Q] = {
     "nation_set_ops": Q(_nation_set_ops, _NATION_SET_OPS_SQL, "U: intersect/except/union"),
     "rollup_region_nation": Q(_rollup_region_nation, _ROLLUP_SQL, "rollup grouping sets"),
     "pivot_status_by_priority": Q(_pivot_status_by_priority, _PIVOT_SQL, "pivot"),
+    "unpivot_status_counts": Q(_unpivot_status_counts, _UNPIVOT_SQL, "unpivot via stack"),
     "part_size_classes": Q(_part_size_classes, _PART_SIZE_CLASSES_SQL, "case/when + having"),
+    "percentiles_by_flag": Q(_percentiles, _PERCENTILES_SQL, "exact percentiles"),
 }

@@ -137,8 +137,32 @@ WHERE list_contains(string_split(p_name, ' '), 'widget')
 """
 
 
+def _multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column battery: text → binary payload, byte length, content
+    hash — the opaque-media-column plumbing (operators.multimodal) at its
+    oracle-checkable core."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha256_hex"),
+        F.md5(payload).alias("md5_hex"),
+    )
+
+
+_MULTIMODAL_BYTES_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha256_hex,
+       md5(text) AS md5_hex
+FROM documents
+"""
+
+
 QUERIES: dict[str, Q] = {
     "scalar_string_battery": Q(_string_battery, _STRING_BATTERY_SQL, "F1/F3/F8/F9 strings"),
+    "multimodal_bytes": Q(_multimodal_bytes, _MULTIMODAL_BYTES_SQL, "binary payload battery"),
     "scalar_date_battery": Q(_date_battery, _DATE_BATTERY_SQL, "F2/F4 dates"),
     "clip_scale_cast": Q(_clip_scale_battery, _CLIP_SCALE_SQL, "F11/R1 normalize on columns"),
     "array_exists_battery": Q(_array_exists_battery, _ARRAY_EXISTS_SQL, "P8 exists over arrays"),

@@ -211,6 +211,60 @@ GROUP BY 1
 """
 
 
+def _xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/F15/A3: MTD_MSIL2A.xml metadata scan (imagery_store.py:110-132)
+    — IMAGE_FILE extraction as regexp_extract_all over the node text,
+    scalar assessments as first-match extracts, band files filtered to
+    the requested bands at 10 m (P10) and sorted (O4)."""
+    from etl_sentinel_imagery_spark.sources.catalog_fixture import mtd_xml_df
+
+    xml = mtd_xml_df(spark)
+    files = F.expr(r"regexp_extract_all(xml, '<IMAGE_FILE>([^<]+)</IMAGE_FILE>', 1)")
+    band_pattern = f".*_({'|'.join(_BANDS)})_10m$"
+    return xml.select(
+        "product_id",
+        F.array_sort(F.filter(files, lambda f: f.rlike(band_pattern))).alias(
+            "band_files"
+        ),
+        F.size(files).alias("n_image_files"),
+        F.regexp_extract(
+            F.col("xml"),
+            "<Cloud_Coverage_Assessment>([^<]+)</Cloud_Coverage_Assessment>",
+            1,
+        )
+        .cast("double")
+        .alias("cloud_coverage"),
+        F.regexp_extract(
+            F.col("xml"), "<SENSING_ORBIT_DIRECTION>([^<]+)</SENSING_ORBIT_DIRECTION>", 1
+        ).alias("orbit_direction"),
+        F.regexp_extract(
+            F.col("xml"), "<SPECIAL_VALUE_INDEX>([^<]+)</SPECIAL_VALUE_INDEX>", 1
+        )
+        .cast("int")
+        .alias("nodata_index"),
+    )
+
+
+_XML_SCAN_SQL = f"""
+SELECT product_id,
+       list_sort(list_filter(
+           regexp_extract_all(xml, '<IMAGE_FILE>([^<]+)</IMAGE_FILE>', 1),
+           f -> regexp_matches(f, '.*_({"|".join(_BANDS)})_10m$'))) AS band_files,
+       len(regexp_extract_all(xml, '<IMAGE_FILE>([^<]+)</IMAGE_FILE>', 1))
+           AS n_image_files,
+       CAST(regexp_extract(xml,
+           '<Cloud_Coverage_Assessment>([^<]+)</Cloud_Coverage_Assessment>', 1)
+           AS DOUBLE) AS cloud_coverage,
+       regexp_extract(xml,
+           '<SENSING_ORBIT_DIRECTION>([^<]+)</SENSING_ORBIT_DIRECTION>', 1)
+           AS orbit_direction,
+       CAST(regexp_extract(xml,
+           '<SPECIAL_VALUE_INDEX>([^<]+)</SPECIAL_VALUE_INDEX>', 1) AS INTEGER)
+           AS nodata_index
+FROM {{MTD_VALUES}}
+"""
+
+
 QUERIES: dict[str, Q] = {
     "sentinel_coverage_ranking": Q(
         _coverage_ranking, _COVERAGE_RANKING_SQL,
@@ -229,4 +283,20 @@ QUERIES: dict[str, Q] = {
     "sentinel_band_resolve": Q(
         _band_resolve, _BAND_RESOLVE_SQL, "P10 band regex + O4 sort + A2 count"
     ),
+    "sentinel_xml_scan": Q(
+        _xml_scan, None, "S5 XML metadata scan"  # sql filled below
+    ),
 }
+
+
+def _finalize_xml_sql() -> None:
+    from etl_sentinel_imagery_spark.sources.catalog_fixture import mtd_xml_values_sql
+
+    QUERIES["sentinel_xml_scan"] = Q(
+        _xml_scan,
+        _XML_SCAN_SQL.replace("{MTD_VALUES}", mtd_xml_values_sql()),
+        "S5/F15/A3 XML metadata scan",
+    )
+
+
+_finalize_xml_sql()

@@ -201,3 +201,42 @@ def bands_values_sql() -> str:
         for pid, band, res in BAND_FILE_ROWS
     )
     return f"(VALUES {rows}) AS bands(product_id, image_file, band, resolution_m)"
+
+
+# --- MTD_MSIL2A.xml documents (the S5 XML metadata source) ----------------
+_XML_META = {  # per product: cloud coverage, orbit direction, nodata index
+    "p-full": (2.7, "DESCENDING", 0),
+    "p-east": (1.1, "DESCENDING", 0),
+    "p-south": (0.9, "ASCENDING", 0),
+}
+
+
+def mtd_xml(pid: str) -> str:
+    """A miniature MTD_MSIL2A.xml in the shape the reference parses
+    (imagery_store.py:110-132): IMAGE_FILE entries + scalar assessments."""
+    cloud, orbit, nodata = _XML_META[pid]
+    files = "\n    ".join(
+        f"<IMAGE_FILE>{_image_file(pid, band, res)}</IMAGE_FILE>"
+        for p2, band, res in BAND_FILE_ROWS
+        if p2 == pid
+    )
+    return f"""<n1:Level-2A_User_Product>
+  <Product_Organisation>
+    {files}
+  </Product_Organisation>
+  <Cloud_Coverage_Assessment>{cloud}</Cloud_Coverage_Assessment>
+  <SENSING_ORBIT_DIRECTION>{orbit}</SENSING_ORBIT_DIRECTION>
+  <SPECIAL_VALUE_INDEX>{nodata}</SPECIAL_VALUE_INDEX>
+</n1:Level-2A_User_Product>"""
+
+
+def mtd_xml_df(spark: SparkSession) -> DataFrame:
+    rows = [(pid, mtd_xml(pid)) for pid in sorted(_XML_META)]
+    return spark.createDataFrame(rows, schema="product_id string, xml string")
+
+
+def mtd_xml_values_sql() -> str:
+    rows = ",\n ".join(
+        f"({_sql_str(pid)}, {_sql_str(mtd_xml(pid))})" for pid in sorted(_XML_META)
+    )
+    return f"(VALUES {rows}) AS mtd(product_id, xml)"

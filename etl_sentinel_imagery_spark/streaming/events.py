@@ -1,0 +1,127 @@
+"""Structured Streaming event analytics (SURVEY.md §2.10 extensions).
+
+The reference is batch-only; these are the streaming-native forms of the
+batch queries in queries.events_q, sharing semantics with the DuckDB-
+oracled batch versions (same windows, same session gap). Each builder
+takes a streaming DataFrame (``spark.readStream``) and returns the
+transformed streaming DataFrame; ``run_to_memory`` drives any of them to
+completion over a bounded source for tests (memory sink +
+processAllAvailable — the documented local smoke pattern).
+
+Watermarks: 10 minutes — late events beyond that are dropped from
+windowed state; state stores stay bounded at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+WATERMARK = "10 minutes"
+
+
+def read_events_stream(spark: SparkSession, parquet_dir_or_file: str) -> DataFrame:
+    """Bounded-source streaming read for local smoke; production swaps in
+    kafka/kinesis with the same downstream graph."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(parquet_dir_or_file)
+    )
+
+
+def tumbling_counts(events: DataFrame, width: str = "15 minutes") -> DataFrame:
+    """Streaming tumbling-window counts per event type (append mode)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", width), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_aggregates(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (F.session_window) — the streaming twin of
+    the batch lag+cumsum sessionization."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Keyed streaming dedup with bounded state."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total, emitted once per micro-batch —
+    the engine's template for operators Spark lacks natively."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drive a bounded streaming query to completion into a memory sink
+    and return the materialized result table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,102 @@
+"""Structured Streaming smoke tests: bounded parquet source → memory sink.
+
+Each streaming query's semantics are anchored to its DuckDB-oracled batch
+twin (queries.events_q); here we assert the streaming results agree with
+the batch computation over the same bounded input.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.sources.tables import load_table
+from etl_sentinel_imagery_spark.streaming.events import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_to_memory,
+    running_user_totals,
+    session_aggregates,
+    tumbling_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """The raw events.parquet has NANOS timestamps the streaming reader
+    can't ingest either — stage a micros copy via the batch loader."""
+    out = str(tmp_path_factory.mktemp("events_stream") / "events")
+    load_table(spark, SF_DIR, "events").coalesce(1).write.parquet(out)
+    return out
+
+
+def test_streaming_tumbling_matches_batch(spark, events_stream_dir):
+    stream = tumbling_counts(read_events_stream(spark, events_stream_dir))
+    got = run_to_memory(stream, "t_tumbling", "append")
+    from etl_sentinel_imagery_spark.queries.events_q import _tumbling_window
+
+    # batch twin over the same input (bucket_start, event_type, n, total)
+    batch = _tumbling_window(spark, SF_DIR)
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    # append-mode emits only closed windows (watermark) — a suffix of
+    # windows may be withheld; everything emitted must match batch exactly
+    assert g <= b
+    assert len(g) >= len(b) * 0.9  # bounded source: nearly all windows close
+
+
+def test_streaming_sessions_subset_of_batch(spark, events_stream_dir):
+    stream = session_aggregates(read_events_stream(spark, events_stream_dir))
+    got = run_to_memory(stream, "t_sessions", "append")
+    from etl_sentinel_imagery_spark.queries.events_q import _sessionize
+
+    from datetime import timedelta
+
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in _sessionize(spark, SF_DIR).collect()
+    }
+    # session_window's end = last event + gap; the batch twin reports
+    # end = max(ts) — normalize before comparing
+    emitted = {
+        (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"] - timedelta(minutes=30),
+            r["n_events"],
+        )
+        for r in got.collect()
+    }
+    assert emitted, "no sessions emitted"
+    assert emitted <= batch
+
+
+def test_streaming_dedup(spark, events_stream_dir):
+    stream = dedup_within_watermark(read_events_stream(spark, events_stream_dir))
+    got = run_to_memory(stream, "t_dedup", "append")
+    n = got.count()
+    distinct_keys = got.select("user_id", "event_type").distinct().count()
+    assert n == distinct_keys  # each key emitted at most once within watermark
+
+
+def test_streaming_stateful_running_totals(spark, events_stream_dir):
+    stream = running_user_totals(read_events_stream(spark, events_stream_dir))
+    got = run_to_memory(stream, "t_state", "update")
+    rows = got.collect()
+    assert rows
+    # final state per user (last update) must equal the batch totals
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    batch = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    for uid, (n, tv) in batch.items():
+        assert final[uid][0] == n
+        assert abs(final[uid][1] - tv) < 1e-6

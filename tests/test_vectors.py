@@ -1,0 +1,68 @@
+"""Vector similarity tests: IVF recall vs brute force, LSH vs true Jaccard."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.queries.vectors_q import (
+    _ann_ivf_topk,
+    _cosine_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF (8 centroids, 2 probes) must recover a solid fraction of the
+    exact top-5 — the accuracy/cost dial of the scale path."""
+    exact = {
+        (r["query_id"], r["cand_id"]) for r in _cosine_topk(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"]) for r in _ann_ivf_topk(spark, SF_DIR).collect()
+    }
+    assert len(exact) == 100  # 20 queries × top-5
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.35, f"recall collapsed: {recall}"
+
+
+def test_minhash_lsh_candidates_capture_true_dups(spark):
+    """Every high-Jaccard pair (the true near-dups) must appear among the
+    LSH candidates — LSH trades precision, not recall, at this band
+    config (4 bands × 2 rows)."""
+    from etl_sentinel_imagery_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+    from etl_sentinel_imagery_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8).collect()
+    }
+    cand_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert true_pairs, "fixture has no near-dup documents at jaccard≥0.8"
+    missed = true_pairs - cand_pairs
+    assert len(missed) <= max(1, len(true_pairs) // 10), (
+        f"LSH missed {len(missed)}/{len(true_pairs)} true near-dups"
+    )
+
+
+def test_exact_dedup_finds_identical_docs(spark):
+    from etl_sentinel_imagery_spark.operators.dedup import exact_dedup_groups
+    from etl_sentinel_imagery_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    groups = exact_dedup_groups(docs, "doc_id", "text")
+    n_docs = docs.count()
+    n_groups = groups.count()
+    n_dupes = groups.filter(F.col("n_copies") > 1).count()
+    assert n_groups <= n_docs
+    # duplicate mass accounted for exactly
+    total = groups.agg(F.sum("n_copies")).collect()[0][0]
+    assert total == n_docs
+    assert n_dupes >= 0
