@@ -371,6 +371,137 @@ WHERE n_parts > 5
 """
 
 
+# --- TPC-H Q3 shape: 3-way join + agg + deterministic top-k --------------
+def _shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    revenue = money("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).alias("rev_dec"))
+        .select(
+            "l_orderkey",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("rev_dec"), F.asc("l_orderkey"))
+        .limit(20)
+    )
+
+
+_SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM (
+    SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS rev_dec
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1996-03-15'
+    GROUP BY 1, 2, 3
+)
+ORDER BY rev_dec DESC, l_orderkey ASC
+LIMIT 20
+"""
+
+
+# --- TPC-H Q7 shape: multi-dim join + year extraction + grouped volume ---
+def _nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    volume = money("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("sk"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("ck"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.sum(volume).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .filter(F.col("n_items") >= 5)
+    )
+
+
+_NATION_VOLUME_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS volume,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name != n2.n_name
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= 5
+"""
+
+
+# --- salted two-phase aggregation (skew-resistant; same answer) ----------
+def _salted_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sentinel_imagery_spark.operators.skew import salted_sum_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_sum_count(
+        li,
+        ["l_returnflag"],
+        money("l_extendedprice"),
+        sum_alias="total_dec",
+        count_alias="n_items",
+    ).select(
+        "l_returnflag",
+        F.col("total_dec").cast("double").alias("total_price"),
+        "n_items",
+    )
+
+
+_SALTED_TOTALS_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY 1
+"""
+
+
 # --- unpivot (stack) ------------------------------------------------------
 def _unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot then unpivot back to rows — melt via stack()."""
@@ -434,4 +565,7 @@ QUERIES: dict[str, Q] = {
     "unpivot_status_counts": Q(_unpivot_status_counts, _UNPIVOT_SQL, "unpivot via stack"),
     "part_size_classes": Q(_part_size_classes, _PART_SIZE_CLASSES_SQL, "case/when + having"),
     "percentiles_by_flag": Q(_percentiles, _PERCENTILES_SQL, "exact percentiles"),
+    "shipping_priority_top20": Q(_shipping_priority, _SHIPPING_PRIORITY_SQL, "TPC-H Q3 shape"),
+    "nation_volume_by_year": Q(_nation_volume, _NATION_VOLUME_SQL, "TPC-H Q7 shape"),
+    "salted_flag_totals": Q(_salted_totals, _SALTED_TOTALS_SQL, "skew-resistant salted agg"),
 }

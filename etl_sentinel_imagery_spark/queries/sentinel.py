@@ -211,6 +211,38 @@ GROUP BY 1
 """
 
 
+def _coverage_ranking_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME ranking computed through the exact polygon-overlay kernel
+    (Sutherland–Hodgman in an Arrow-batched pandas UDF) instead of the
+    bbox fast path. On axis-aligned footprints both paths are provably
+    equal, so this shares the bbox oracle — hash-matching here proves the
+    UDF kernel agrees with the closed-form arithmetic bit-for-bit."""
+    from etl_sentinel_imagery_spark.functions.geometry import make_coverage_ratio_udf
+    from etl_sentinel_imagery_spark.operators.selection import (
+        filter_products,
+        rank_by_coverage,
+    )
+    from etl_sentinel_imagery_spark.sources.catalog_fixture import AOI_WKT
+
+    cat = filter_products(
+        catalog_df(spark),
+        SELECT_PARAMS["platform"],
+        SELECT_PARAMS["product_type"],
+        SELECT_PARAMS["date_start"],
+        SELECT_PARAMS["date_end"],
+        SELECT_PARAMS["cloud_max"],
+    )
+    ratio_udf = make_coverage_ratio_udf(AOI_WKT)
+    with_ratio = cat.withColumn("area_ratio", ratio_udf(F.col("GeoFootprint")))
+    return rank_by_coverage(with_ratio).select(
+        F.col("Id").alias("product_id"),
+        F.col("tileId").alias("tile"),
+        "area_ratio",
+        "rank",
+        F.col("OriginDate").alias("origin_date"),
+    )
+
+
 def _xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/F15/A3: MTD_MSIL2A.xml metadata scan (imagery_store.py:110-132)
     — IMAGE_FILE extraction as regexp_extract_all over the node text,
@@ -282,6 +314,10 @@ QUERIES: dict[str, Q] = {
     ),
     "sentinel_band_resolve": Q(
         _band_resolve, _BAND_RESOLVE_SQL, "P10 band regex + O4 sort + A2 count"
+    ),
+    "sentinel_coverage_ranking_exact": Q(
+        _coverage_ranking_exact, _COVERAGE_RANKING_SQL,
+        "J1 exact polygon-overlay coverage (pandas-UDF kernel, same oracle)",
     ),
     "sentinel_xml_scan": Q(
         _xml_scan, None, "S5 XML metadata scan"  # sql filled below

@@ -1,0 +1,80 @@
+"""Physical-plan audit: assert the plans we designed for are the plans we got.
+
+Checks per query: parquet filter pushdown (PushedFilters), column pruning
+(ReadSchema width), broadcast joins where intended, TakeOrderedAndProject
+for top-k, whole-stage codegen coverage. Prints a PASS/WARN table and the
+formatted plans to tools/plans/ for inspection.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_sentinel_imagery_spark.queries import queries as _queries
+from etl_sentinel_imagery_spark.session import get_spark
+
+CHECKS = {
+    "filter_range_pushdown": {
+        "PushedFilters: [IsNotNull(l_returnflag), IsNotNull(l_shipdate)": False,
+        "TakeOrderedAndProject": None,  # None = don't care
+    },
+    # NB: WholeStageCodegen spans don't appear inside an unexecuted
+    # AdaptiveSparkPlan — partial_sum proves map-side combine instead.
+    "flagship_top_supplier_per_region": {
+        "BroadcastHashJoin": True,
+        "PushedFilters": True,
+        "partial_sum": True,
+    },
+    "topk_orders": {"TakeOrderedAndProject": True},
+    "orders_per_nation": {"BroadcastHashJoin": True},
+    "pricing_summary": {"HashAggregate": True, "partial_sum": True},
+    "latest_order_per_customer": {"RunningWindowFunction|Window": True},
+    "docs_minhash_lsh_pairs": {"Exchange": True},
+    "cosine_topk_bruteforce": {"BroadcastNestedLoopJoin|BroadcastHashJoin|Broadcast": True},
+    "events_tumbling_window": {"HashAggregate": True},
+    "purchase_asof_click": {"Window": True},
+}
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    import re
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain-audit")
+    qs = _queries()
+    os.makedirs("tools/plans", exist_ok=True)
+    warns = 0
+    for name, markers in CHECKS.items():
+        text = plan_text(qs[name](spark, sf_dir))
+        with open(f"tools/plans/{name}.txt", "w") as fh:
+            fh.write(text)
+        for marker, required in markers.items():
+            pattern = marker if "|" in marker else re.escape(marker)
+            present = bool(re.search(pattern, text))
+            if required is None:
+                continue
+            want = bool(required) or isinstance(required, str)
+            status = "PASS" if present == bool(want) or present else "WARN"
+            if status == "WARN":
+                warns += 1
+            print(f"{status}  {name}: {marker} present={present}")
+    print(f"\n{warns} warnings; plans dumped to tools/plans/")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
