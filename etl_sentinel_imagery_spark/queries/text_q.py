@@ -260,8 +260,28 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared) >= 0.5
 """
 
 
+# --- corpus term statistics (TF/DF; integer-exact) ------------------------
+def _term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sentinel_imagery_spark.operators.textrank import term_doc_frequencies
+
+    docs = load_table(spark, sf_dir, "documents")
+    return term_doc_frequencies(docs)
+
+
+_TERM_STATS_SQL = f"""
+SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf, MAX(tf) AS max_tf
+FROM (
+    SELECT doc_id AS doc, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+    GROUP BY 1, 2
+)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_stats": Q(_text_stats, _TEXT_STATS_SQL, "quality stats + scoring"),
+    "term_stats": Q(_term_stats, _TERM_STATS_SQL, "corpus TF/DF statistics"),
     "lang_guess": Q(_lang_guess, _LANG_GUESS_SQL, "language-ID heuristic"),
     "docs_exact_dedup": Q(_exact_dedup, _EXACT_DEDUP_SQL, "exact dedup via md5"),
     "docs_fingerprints": Q(_fingerprints, _FINGERPRINTS_SQL, "rolling-hash fingerprints"),
