@@ -11,13 +11,23 @@ from etl_sentinel_imagery_spark.queries import (
     relational,
     scalars,
     sentinel,
+    sql_api,
     temporal_q,
     text_q,
     vectors_q,
 )
 from etl_sentinel_imagery_spark.queries.base import Q
 
-_MODULES = (relational, scalars, events_q, text_q, vectors_q, sentinel, temporal_q)
+_MODULES = (
+    relational,
+    scalars,
+    events_q,
+    text_q,
+    vectors_q,
+    sentinel,
+    temporal_q,
+    sql_api,
+)
 
 
 def all_queries() -> dict[str, Q]:
