@@ -90,7 +90,12 @@ def select_product(
     bands: list[str],
     tile_id: str | None = None,
 ) -> DataFrame:
-    """Stage b (imagery_store.py:205-273): filters → coverage → top-1."""
+    """Stage b (imagery_store.py:205-273): filters → coverage → top-1.
+
+    The by-AOI path applies the spatial Intersects predicate (P7,
+    imagery_store.py:185) — products disjoint from the AOI never reach
+    ranking, so an off-catalog AOI yields an empty selection rather than
+    a zero-coverage 'winner'."""
     filtered = filter_products(
         catalog,
         params["platform"],
@@ -100,9 +105,10 @@ def select_product(
         params["cloud_max"],
         tile_id=tile_id,
     )
-    return best_product(
-        rank_by_coverage(with_coverage_ratio(filtered, aoi_bbox)), bands
+    with_ratio = with_coverage_ratio(filtered, aoi_bbox).filter(
+        F.col("area_ratio") > 0.0
     )
+    return best_product(rank_by_coverage(with_ratio), bands)
 
 
 def etl_process_tile(
