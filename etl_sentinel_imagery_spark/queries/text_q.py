@@ -46,6 +46,14 @@ def _shingle_hashes_sql(n: int) -> str:
     return f"list_transform({_ngrams_sql(n)}, g -> {polyhash_sql('g')})"
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, repartitioned so CPU-bound hashing projections spread
+    across cores even when the source parquet is a single split (same
+    rationale as operators.dedup.minhash_lsh_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _ngrams_sql(n: int) -> str:
     toks = _TOKS
     return (
@@ -145,7 +153,7 @@ GROUP BY 1
 
 # --- document fingerprint (rolling hash + winnowing-style min-gram) -------
 def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     grams5 = word_ngrams(F.col("text"), 5)
     min_gram_hash = F.coalesce(
         F.array_min(F.transform(grams5, polyhash)), F.lit(HASH_MOD).cast("long")
@@ -168,7 +176,7 @@ FROM documents
 
 # --- MinHash signatures + LSH candidate pairs -----------------------------
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     sig = minhash_signature(F.col("text"))
     return docs.select(
         "doc_id",
@@ -215,7 +223,7 @@ GROUP BY 1, 2
 
 # --- SimHash ---------------------------------------------------------------
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return docs.select("doc_id", simhash(F.col("text")).alias("simhash16"))
 
 
