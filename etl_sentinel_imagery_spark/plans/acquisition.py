@@ -18,8 +18,6 @@ from __future__ import annotations
 
 from typing import Protocol
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_sentinel_imagery_spark.functions.exact import dec
 from etl_sentinel_imagery_spark.functions.text import (
     HASH_MOD,
     polyhash,
@@ -268,6 +267,36 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared) >= 0.5
 """
 
 
+# --- BPE-ish regex token counting ----------------------------------------
+#: GPT-2-style pretokenizer classes, ASCII-simplified: letter runs, digit
+#: runs, punctuation runs (same semantics in Java regex and RE2).
+_BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+
+def _token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.expr(f"regexp_extract_all(text, '{_BPE_PATTERN}', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(pieces)).alias("n_distinct_pieces"),
+        F.size(F.filter(pieces, lambda p: p.rlike("^[0-9]+$"))).alias(
+            "n_numeric_tokens"
+        ),
+    )
+
+
+_TOKEN_COUNT_BPE_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '{_BPE_PATTERN}')))
+           AS n_distinct_pieces,
+       len(list_filter(regexp_extract_all(text, '{_BPE_PATTERN}'),
+           p -> regexp_matches(p, '^[0-9]+$'))) AS n_numeric_tokens
+FROM documents
+"""
+
+
 # --- corpus term statistics (TF/DF; integer-exact) ------------------------
 def _term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_sentinel_imagery_spark.operators.textrank import term_doc_frequencies
@@ -290,6 +319,7 @@ GROUP BY 1
 QUERIES: dict[str, Q] = {
     "text_stats": Q(_text_stats, _TEXT_STATS_SQL, "quality stats + scoring"),
     "term_stats": Q(_term_stats, _TERM_STATS_SQL, "corpus TF/DF statistics"),
+    "token_count_bpe": Q(_token_count_bpe, _TOKEN_COUNT_BPE_SQL, "BPE-ish regex tokenizer"),
     "lang_guess": Q(_lang_guess, _LANG_GUESS_SQL, "language-ID heuristic"),
     "docs_exact_dedup": Q(_exact_dedup, _EXACT_DEDUP_SQL, "exact dedup via md5"),
     "docs_fingerprints": Q(_fingerprints, _FINGERPRINTS_SQL, "rolling-hash fingerprints"),

@@ -111,6 +111,46 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_user_activity(events: DataFrame) -> DataFrame:
+    """Streaming sliding windows (10 min window / 5 min slide)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"), "n_events", "approx_users"
+        )
+    )
+
+
+def run_foreach_batch_to_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """foreachBatch sink: the exactly-once pattern for arbitrary sinks —
+    per-epoch idempotent write (overwrite by batch id partition)."""
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drive a bounded streaming query to completion into a memory sink
     and return the materialized result table."""

@@ -81,6 +81,35 @@ def test_streaming_dedup(spark, events_stream_dir):
     assert n == distinct_keys  # each key emitted at most once within watermark
 
 
+def test_streaming_sliding_window(spark, events_stream_dir):
+    from etl_sentinel_imagery_spark.streaming.events import sliding_user_activity
+
+    stream = sliding_user_activity(read_events_stream(spark, events_stream_dir))
+    got = run_to_memory(stream, "t_sliding", "append")
+    rows = got.collect()
+    assert rows
+    # every event lands in exactly 2 windows → totals double-count
+    batch_n = load_table(spark, SF_DIR, "events").count()
+    emitted_n = sum(r["n_events"] for r in rows)
+    assert emitted_n <= 2 * batch_n
+    assert emitted_n >= 2 * batch_n * 0.9  # append mode may hold last windows
+
+
+def test_streaming_foreach_batch_sink(spark, events_stream_dir, tmp_path):
+    from etl_sentinel_imagery_spark.streaming.events import (
+        run_foreach_batch_to_parquet,
+        tumbling_counts,
+    )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = tumbling_counts(read_events_stream(spark, events_stream_dir))
+    run_foreach_batch_to_parquet(stream, out, ckpt)
+    sunk = spark.read.parquet(out)
+    assert sunk.count() > 0
+    assert "epoch_id" in sunk.columns
+
+
 def test_streaming_stateful_running_totals(spark, events_stream_dir):
     stream = running_user_totals(read_events_stream(spark, events_stream_dir))
     got = run_to_memory(stream, "t_state", "update")
