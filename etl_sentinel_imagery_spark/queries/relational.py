@@ -502,6 +502,73 @@ GROUP BY 1
 """
 
 
+# --- full outer join + null handling -------------------------------------
+def _customer_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two grouped sides; coalesce null counts — the
+    outer-join + null-function battery (absent-in-reference machinery)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    joined = cust.join(supp, cust.ck == supp.sk, "full_outer")
+    return joined.select(
+        F.coalesce(F.col("ck"), F.col("sk")).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_suppliers"),
+        F.nullif(F.col("n_supp"), F.lit(0)).alias("n_supp_or_null"),
+        (
+            F.coalesce(F.col("n_cust"), F.lit(0))
+            - F.coalesce(F.col("n_supp"), F.lit(0))
+        ).alias("imbalance"),
+    )
+
+
+_CUST_SUPP_BALANCE_SQL = """
+SELECT coalesce(c.ck, s.sk) AS nationkey,
+       coalesce(c.n_cust, 0) AS n_customers,
+       coalesce(s.n_supp, 0) AS n_suppliers,
+       nullif(s.n_supp, 0) AS n_supp_or_null,
+       coalesce(c.n_cust, 0) - coalesce(s.n_supp, 0) AS imbalance
+FROM (SELECT c_nationkey AS ck, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS sk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+  ON c.ck = s.sk
+"""
+
+
+# --- date arithmetic battery ---------------------------------------------
+def _date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("due_date"),
+        F.add_months(d, 3).alias("quarter_later"),
+        F.last_day(d).alias("month_end"),
+        F.dayofweek(d).alias("dow"),
+        F.weekofyear(d).alias("week_of_year"),
+        F.trunc(d, "year").alias("year_start"),
+    )
+
+
+_DATE_ARITHMETIC_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS quarter_later,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS week_of_year,
+       CAST(date_trunc('year', o_orderdate) AS DATE) AS year_start
+FROM orders
+"""
+
+
 # --- unpivot (stack) ------------------------------------------------------
 def _unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot then unpivot back to rows — melt via stack()."""
@@ -566,6 +633,10 @@ QUERIES: dict[str, Q] = {
     "part_size_classes": Q(_part_size_classes, _PART_SIZE_CLASSES_SQL, "case/when + having"),
     "percentiles_by_flag": Q(_percentiles, _PERCENTILES_SQL, "exact percentiles"),
     "shipping_priority_top20": Q(_shipping_priority, _SHIPPING_PRIORITY_SQL, "TPC-H Q3 shape"),
+    "customer_supplier_balance": Q(
+        _customer_supplier_balance, _CUST_SUPP_BALANCE_SQL, "full outer join + null funcs"
+    ),
+    "date_arithmetic_battery": Q(_date_arithmetic, _DATE_ARITHMETIC_SQL, "date arithmetic"),
     "nation_volume_by_year": Q(_nation_volume, _NATION_VOLUME_SQL, "TPC-H Q7 shape"),
     "salted_flag_totals": Q(_salted_totals, _SALTED_TOTALS_SQL, "skew-resistant salted agg"),
 }

@@ -103,6 +103,20 @@ def test_acquire_tile_path_stack_and_normalize(spark, tmp_path):
     assert [r["uuid"] for r in cached.select("uuid").collect()] == ["p-full"]
 
 
+def test_cache_sink_idempotent_rerun(spark, tmp_path):
+    """Re-running a product overwrites exactly its own partition (the
+    reference's `{uuid}.tif` overwrite semantics, tx.py:92-96)."""
+    cache = str(tmp_path / "cache")
+    for _ in range(2):  # run the same acquisition twice
+        acquire(
+            spark, catalog_df(spark), AOI_BBOX, SELECT_PARAMS, BANDS,
+            SyntheticBandSource(height=4, width=4), cache_dir=cache,
+        ).collect()
+    cached = spark.read.parquet(cache)
+    assert cached.count() == 1  # one row per product, not appended twice
+    assert [r["uuid"] for r in cached.select("uuid").collect()] == ["p-full"]
+
+
 def test_acquire_polygon_path_clips(spark):
     # clip bbox in raster CRS: source anchors x at 600000, 10 m px, 4×4
     clip_bbox = (600000.0, 4799980.0, 600020.0, 4800000.0)  # 2×2 window

@@ -1,0 +1,93 @@
+"""Scale-path stress: MinHash-LSH dedup over a self-generated corpus.
+
+Synthesizes N documents Spark-side (no driver materialization): a base
+corpus of vocabulary-sampled docs plus a controlled fraction of near-
+duplicates (one word substituted), then runs the full shingle→minhash→
+band→bucket-join pipeline and reports wall time + pair counts. This is
+the evidence run for PERF.md's claim that the LSH shuffle stays linear
+in corpus size.
+
+Usage: python tools/stress_minhash.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.operators.dedup import minhash_lsh_pairs
+from etl_sentinel_imagery_spark.session import get_spark
+
+VOCAB = (
+    "the a of and spark table join scan hash merge sort window batch stream "
+    "query filter group agg row column key value part order line fast slow "
+    "big small data set dup near exact shard block chunk"
+).split()
+
+
+def synth_docs(spark, n_docs: int, words_per_doc: int = 60, dup_frac: float = 0.1):
+    """Deterministic corpus: doc i's words are vocab[(i*7 + j*13) % V];
+    every 1/dup_frac-th doc is a near-copy of its predecessor with one
+    substituted word."""
+    v = len(VOCAB)
+    vocab_arr = F.array(*[F.lit(w) for w in VOCAB])
+
+    def word_at(doc_id_col, j):
+        # hash-mixed word choice: deterministic but collision-free across
+        # doc ids (a linear formula cycles and makes whole doc groups
+        # identical → quadratic LSH buckets — realistic only for
+        # worst-case boilerplate corpora)
+        idx = F.pmod(F.xxhash64(doc_id_col, j), F.lit(v)) + 1
+        return F.element_at(vocab_arr, idx.cast("int"))
+
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+                lambda j: word_at(F.col("id"), j),
+            ),
+        ).alias("text"),
+    )
+    step = max(int(1 / dup_frac), 2)
+    dup = F.col("doc_id") % step == 1
+    prev_words = F.transform(
+        F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+        lambda j: word_at(F.col("doc_id") - 1, j),
+    )
+    near_copy = F.concat_ws(
+        " ", F.concat(F.slice(prev_words, 1, words_per_doc - 1), F.array(F.lit("zzz")))
+    )
+    return base.select(
+        "doc_id", F.when(dup, near_copy).otherwise(F.col("text")).alias("text")
+    )
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    spark = get_spark("stress-minhash")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = synth_docs(spark, n_docs)
+    docs.count()  # materialize generation outside the timed window? No —
+    # generation is trivially cheap; time the full pipeline honestly:
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    n_pairs = pairs.count()
+    wall = time.time() - t0
+    n_expected_dups = docs.filter(F.col("doc_id") % 10 == 1).count()
+    print(
+        f"n_docs={n_docs} lsh_candidate_pairs={n_pairs} "
+        f"planted_near_dups={n_expected_dups} wall={wall:.1f}s "
+        f"docs_per_sec={n_docs / wall:.0f}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
