@@ -160,10 +160,101 @@ FROM documents
 """
 
 
+def _fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity join: close part names by Levenshtein distance,
+    blocked on the first word to bound the pair space (the classic
+    block-then-verify fuzzy-match shape; exact integer DP both engines)."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_partkey", "p_name").withColumn(
+        "blk", F.split(F.col("p_name"), " ").getItem(0)
+    )
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 4)
+    )
+
+
+_FUZZY_NAME_PAIRS_SQL = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+FROM part a
+JOIN part b
+  ON string_split(a.p_name, ' ')[1] = string_split(b.p_name, ' ')[1]
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+"""
+
+
+def _array_transform_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deeper array-function battery: sequence, zip_with, flatten,
+    slicing, aggregate — over per-order lineitem quantity arrays."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+        ).alias("lines")
+    )
+    qtys = F.transform(F.col("lines"), lambda s: s["l_quantity"].cast("bigint"))
+    return per_order.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.size(qtys).alias("n_lines"),
+        F.aggregate(qtys, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "total_qty"
+        ),
+        F.element_at(qtys, 1).alias("first_qty"),
+        F.element_at(qtys, -1).alias("last_qty"),
+        F.aggregate(
+            F.zip_with(
+                qtys,
+                F.sequence(F.lit(1), F.size(qtys)).cast("array<bigint>"),
+                lambda q, i: q * i,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("weighted_qty"),
+        F.array_max(qtys).alias("max_qty"),
+        F.slice(qtys, 1, 2).alias("first_two"),
+    )
+
+
+_ARRAY_TRANSFORM_SQL = """
+SELECT l_orderkey AS orderkey,
+       len(qtys) AS n_lines,
+       CAST(list_sum(qtys) AS BIGINT) AS total_qty,
+       qtys[1] AS first_qty,
+       qtys[-1] AS last_qty,
+       CAST(list_sum(list_transform(range(1, len(qtys)+1), i -> qtys[i] * i))
+            AS BIGINT) AS weighted_qty,
+       list_max(qtys) AS max_qty,
+       list_slice(qtys, 1, 2) AS first_two
+FROM (
+    SELECT l_orderkey,
+           list_transform(
+               list_sort(list([CAST(l_linenumber AS BIGINT), CAST(l_quantity AS BIGINT)])),
+               p -> p[2]
+           ) AS qtys
+    FROM lineitem
+    GROUP BY 1
+)
+"""
+
+
 QUERIES: dict[str, Q] = {
     "scalar_string_battery": Q(_string_battery, _STRING_BATTERY_SQL, "F1/F3/F8/F9 strings"),
     "multimodal_bytes": Q(_multimodal_bytes, _MULTIMODAL_BYTES_SQL, "binary payload battery"),
     "scalar_date_battery": Q(_date_battery, _DATE_BATTERY_SQL, "F2/F4 dates"),
     "clip_scale_cast": Q(_clip_scale_battery, _CLIP_SCALE_SQL, "F11/R1 normalize on columns"),
     "array_exists_battery": Q(_array_exists_battery, _ARRAY_EXISTS_SQL, "P8 exists over arrays"),
+    "fuzzy_name_pairs": Q(_fuzzy_name_pairs, _FUZZY_NAME_PAIRS_SQL, "Levenshtein block-join"),
+    "array_transform_battery": Q(_array_transform_battery, _ARRAY_TRANSFORM_SQL, "zip_with/sequence/aggregate arrays"),
 }
