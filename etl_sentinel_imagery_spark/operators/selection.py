@@ -102,6 +102,65 @@ def rank_by_coverage(products_with_ratio: DataFrame) -> DataFrame:
     return per_product.withColumn("rank", F.row_number().over(w))
 
 
+def select_best_per_aoi(
+    products: DataFrame,
+    aoi_df: DataFrame,
+    footprint_col: str = "GeoFootprint",
+) -> DataFrame:
+    """Multi-AOI selection as ONE joined plan — the scale form of the
+    per-AOI driver loop (plans/main.py): broadcast the AOI table (small
+    control-plane side), join on bbox intersection, compute coverage per
+    (aoi, product), window top-1 per AOI.
+
+    aoi_df needs (fid, bbox struct<minx,miny,maxx,maxy>) — the shape the
+    geo readers produce. One shuffle total (the per-AOI window over
+    already-aggregated rows) regardless of AOI count."""
+    bb = wkt_bbox(F.col(footprint_col))
+    p = products.withColumns(
+        {"p_minx": bb["minx"], "p_miny": bb["miny"], "p_maxx": bb["maxx"], "p_maxy": bb["maxy"]}
+    )
+    a = F.broadcast(
+        aoi_df.select(
+            "fid",
+            F.col("bbox.minx").alias("a_minx"),
+            F.col("bbox.miny").alias("a_miny"),
+            F.col("bbox.maxx").alias("a_maxx"),
+            F.col("bbox.maxy").alias("a_maxy"),
+        )
+    )
+    joined = p.join(
+        a,
+        (F.col("p_minx") < F.col("a_maxx"))
+        & (F.col("p_maxx") > F.col("a_minx"))
+        & (F.col("p_miny") < F.col("a_maxy"))
+        & (F.col("p_maxy") > F.col("a_miny")),
+    )
+    iw = F.least("p_maxx", "a_maxx") - F.greatest("p_minx", "a_minx")
+    ih = F.least("p_maxy", "a_maxy") - F.greatest("p_miny", "a_miny")
+    aoi_area = (F.col("a_maxx") - F.col("a_minx")) * (F.col("a_maxy") - F.col("a_miny"))
+    scored = joined.withColumn("area_ratio", iw * ih / aoi_area)
+    per = scored.groupBy(
+        "fid", "Id", "Name", "S3Path", "OriginDate", "tileId", "cloudCover",
+        "relativeOrbitNumber",
+    ).agg(F.sum("area_ratio").alias("area_ratio"))
+    w = Window.partitionBy("fid").orderBy(
+        F.desc("area_ratio"), F.desc("OriginDate"), F.asc("Id")
+    )
+    return (
+        per.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "fid",
+            F.col("Id").alias("uuid"),
+            F.col("Name").alias("name"),
+            F.col("tileId").alias("tile"),
+            F.substring(F.col("OriginDate"), 1, 10).alias("product_date"),
+            F.col("cloudCover").alias("cloudcoverage"),
+            "area_ratio",
+        )
+    )
+
+
 def best_product(ranked: DataFrame, bands: list[str]) -> DataFrame:
     """O3+P2: the winning row, projected to the reference's product
     record (imagery_store.py:259-269): uuid, name, s3path, tile,
