@@ -243,6 +243,78 @@ def _coverage_ranking_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MULTI_AOIS = [
+    (1, 1.25, 43.25, 1.75, 43.75),
+    (2, 2.25, 43.25, 2.75, 43.75),
+    (3, 60.0, 10.0, 61.0, 11.0),  # intersects nothing → absent from output
+]
+
+
+def _select_best_multi_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-AOI joined selection (operators.selection.
+    select_best_per_aoi) — thousands of AOIs as ONE plan; oracled."""
+    from etl_sentinel_imagery_spark.operators.selection import (
+        filter_products,
+        select_best_per_aoi,
+    )
+
+    cat = filter_products(
+        catalog_df(spark),
+        SELECT_PARAMS["platform"],
+        SELECT_PARAMS["product_type"],
+        SELECT_PARAMS["date_start"],
+        SELECT_PARAMS["date_end"],
+        SELECT_PARAMS["cloud_max"],
+    )
+    aois = spark.createDataFrame(
+        _MULTI_AOIS, "fid int, minx double, miny double, maxx double, maxy double"
+    ).select(
+        "fid",
+        F.struct(
+            F.col("minx").alias("minx"), F.col("miny").alias("miny"),
+            F.col("maxx").alias("maxx"), F.col("maxy").alias("maxy"),
+        ).alias("bbox"),
+    )
+    return select_best_per_aoi(cat, aois)
+
+
+_AOI_VALUES = ",\n ".join(
+    f"({fid}, {minx!r}, {miny!r}, {maxx!r}, {maxy!r})"
+    for fid, minx, miny, maxx, maxy in _MULTI_AOIS
+)
+
+_MULTI_AOI_SQL = f"""
+WITH aois(fid, a_minx, a_miny, a_maxx, a_maxy) AS (VALUES {_AOI_VALUES}),
+scored AS (
+    SELECT a.fid, catalog.Id, catalog.Name, catalog.OriginDate,
+           catalog.tileId, catalog.cloudCover,
+           (least(catalog.maxx, a.a_maxx) - greatest(catalog.minx, a.a_minx))
+           * (least(catalog.maxy, a.a_maxy) - greatest(catalog.miny, a.a_miny))
+           / ((a.a_maxx - a.a_minx) * (a.a_maxy - a.a_miny)) AS area_ratio
+    FROM {catalog_values_sql()}
+    JOIN aois a
+      ON catalog.minx < a.a_maxx AND catalog.maxx > a.a_minx
+     AND catalog.miny < a.a_maxy AND catalog.maxy > a.a_miny
+    WHERE {_FILTER_SQL}
+),
+per AS (
+    SELECT fid, Id, Name, OriginDate, tileId, cloudCover,
+           SUM(area_ratio) AS area_ratio
+    FROM scored GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT fid, Id AS uuid, Name AS name, tileId AS tile,
+       substr(OriginDate, 1, 10) AS product_date,
+       cloudCover AS cloudcoverage, area_ratio
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY fid
+        ORDER BY area_ratio DESC, OriginDate DESC, Id ASC) AS rn
+    FROM per
+)
+WHERE rn = 1
+"""
+
+
 def _xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/F15/A3: MTD_MSIL2A.xml metadata scan (imagery_store.py:110-132)
     — IMAGE_FILE extraction as regexp_extract_all over the node text,
@@ -314,6 +386,10 @@ QUERIES: dict[str, Q] = {
     ),
     "sentinel_band_resolve": Q(
         _band_resolve, _BAND_RESOLVE_SQL, "P10 band regex + O4 sort + A2 count"
+    ),
+    "sentinel_select_best_multi_aoi": Q(
+        _select_best_multi_aoi, _MULTI_AOI_SQL,
+        "multi-AOI joined selection (one plan for N AOIs)",
     ),
     "sentinel_coverage_ranking_exact": Q(
         _coverage_ranking_exact, _COVERAGE_RANKING_SQL,
