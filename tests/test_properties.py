@@ -35,12 +35,50 @@ def test_rect_intersection_matches_closed_form(x1, y1, w1, h1, x2, y2, w2, h2):
 @given(st.lists(st.tuples(coord, coord), min_size=3, max_size=8), coord, coord,
        st.floats(0.5, 30), st.floats(0.5, 30))
 def test_clip_area_bounded(pts, cx, cy, cw, ch):
-    """area(subject ∩ clip) ≤ area(clip) for any (possibly degenerate)
-    subject ring — S-H never inflates area beyond the convex clip."""
-    subject = np.array(pts, dtype=float)
+    """area(subject ∩ clip) ≤ min(area(subject), area(clip)) for any
+    SIMPLE subject ring (the kernel's contract — Sutherland–Hodgman is
+    undefined on self-intersecting rings, as hypothesis duly discovered
+    with a raw point list). Angular sort around the centroid turns the
+    random points into a star-shaped, always-simple polygon."""
+    raw = np.array(pts, dtype=float)
+    center = raw.mean(axis=0)
+    order = np.argsort(np.arctan2(raw[:, 1] - center[1], raw[:, 0] - center[0]))
+    subject = raw[order]
     clip = rect(cx, cy, cw, ch)
     got = intersection_area(subject, clip)
-    assert -1e-9 <= got <= shoelace_area(clip) + 1e-9
+    bound = min(shoelace_area(subject), shoelace_area(clip))
+    assert -1e-9 <= got <= bound + 1e-9
+
+
+def test_asof_strict_and_range_boundaries(spark):
+    """Strict as-of excludes equal timestamps; range join includes the
+    left instant and excludes exactly window-width-old rows."""
+    from pyspark.sql import functions as F
+
+    from etl_sentinel_imagery_spark.operators.asof import (
+        as_of_join,
+        range_join_count,
+    )
+
+    left = spark.createDataFrame([(1, 100, 10)], "k int, t bigint, lid bigint")
+    right = spark.createDataFrame(
+        [(1, 100, 7), (1, 90, 5)], "k int, t bigint, rid bigint"
+    )
+    inclusive = as_of_join(left, right, "k", "t", ["rid"]).collect()[0]
+    assert inclusive["asof_rid"] == 7  # ts==100 matches (≤)
+    strict = as_of_join(left, right, "k", "t", ["rid"], strict=True).collect()[0]
+    assert strict["asof_rid"] == 5  # ts==100 excluded (<)
+
+    # range (t-10, t]: right at t=100 (in), t=90 (exactly window-old: OUT)
+    counts = range_join_count(
+        left,
+        right,
+        key="k",
+        left_ts_us=F.col("t"),
+        right_ts_us=F.col("t"),
+        window_us=10,
+    ).collect()[0]
+    assert counts["n_in_window"] == 1
 
 
 def test_asof_join_matches_pandas_merge_asof(spark):
