@@ -44,6 +44,14 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
     )
+    # Measured: a larger heap made the bench consistently SLOWER on this
+    # box (G1 pause behavior with the default 1g was best: 14-18s vs
+    # 16-27s at 8g) — so the default stays the JVM default; override via
+    # SPARK_GRAFT_DRIVER_MEM only if a workload actually spills.
+    if "SPARK_GRAFT_DRIVER_MEM" in os.environ:
+        builder = builder.config(
+            "spark.driver.memory", os.environ["SPARK_GRAFT_DRIVER_MEM"]
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
