@@ -502,6 +502,87 @@ GROUP BY 1
 """
 
 
+# --- RANGE window frames + value window functions -------------------------
+def _window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames (trailing 90-day spend per customer) + first/last
+    value window functions — the frame-spec depth of SURVEY §2.5 ext."""
+    orders = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    with_days = orders.withColumn("order_day", days)
+    range_w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_day")
+        .rangeBetween(-90, Window.currentRow)
+    )
+    seq_w = Window.partitionBy("o_custkey").orderBy("order_day", "o_orderkey")
+    full_w = seq_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return with_days.select(
+        "o_orderkey",
+        "o_custkey",
+        "order_day",
+        F.sum(money("o_totalprice")).over(range_w).cast("double").alias(
+            "spend_90d"
+        ),
+        F.count(F.lit(1)).over(range_w).alias("n_orders_90d"),
+        F.first("o_orderkey").over(full_w).alias("first_orderkey"),
+        F.last("o_orderkey").over(full_w).alias("last_orderkey"),
+    )
+
+
+_WINDOW_RANGE_SQL = """
+SELECT o_orderkey, o_custkey, order_day,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER rw AS DOUBLE) AS spend_90d,
+       COUNT(*) OVER rw AS n_orders_90d,
+       FIRST_VALUE(o_orderkey) OVER sw AS first_orderkey,
+       LAST_VALUE(o_orderkey) OVER sw AS last_orderkey
+FROM (
+    SELECT *, CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                   AS INTEGER) AS order_day
+    FROM orders
+)
+WINDOW rw AS (PARTITION BY o_custkey ORDER BY order_day
+              RANGE BETWEEN 90 PRECEDING AND CURRENT ROW),
+       sw AS (PARTITION BY o_custkey ORDER BY order_day, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# --- string-function battery 2: replace/translate/pad/trim ----------------
+def _string_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace(F.col("c_name"), "0+", "0").alias("name_squeezed"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("seg_lower_vowels"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.rpad(F.col("c_mktsegment"), 12, ".").alias("seg_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias(
+            "seg_trimmed"
+        ),
+        F.reverse(F.col("c_mktsegment")).alias("seg_reversed"),
+        F.initcap(F.lower(F.col("c_mktsegment"))).alias("seg_title"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+    )
+
+
+_STRING_BATTERY2_SQL = """
+SELECT c_custkey,
+       regexp_replace(c_name, '0+', '0', 'g') AS name_squeezed,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+       rpad(c_mktsegment, 12, '.') AS seg_padded,
+       trim('  ' || c_mktsegment || ' ') AS seg_trimmed,
+       reverse(c_mktsegment) AS seg_reversed,
+       -- initcap: capitalize first letter of each word
+       list_aggregate(list_transform(string_split(lower(c_mktsegment), ' '),
+           w -> upper(w[1]) || w[2:]), 'string_agg', ' ') AS seg_title,
+       repeat('ab', 3) AS repeated,
+       CAST(instr(c_name, '#') AS INTEGER) AS hash_pos
+FROM customer
+"""
+
+
 # --- full outer join + null handling -------------------------------------
 def _customer_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join of two grouped sides; coalesce null counts — the
@@ -626,6 +707,8 @@ QUERIES: dict[str, Q] = {
     "distinct_counts": Q(_distinct_counts, _DISTINCT_COUNTS_SQL, "distinct aggregation"),
     "latest_order_per_customer": Q(_latest_order_per_customer, _LATEST_ORDER_SQL, "W1 top-1-per-group"),
     "window_running_totals": Q(_window_running, _WINDOW_RUNNING_SQL, "window frames: rank + running sum"),
+    "window_range_frame": Q(_window_range_frame, _WINDOW_RANGE_SQL, "RANGE frames + first/last value"),
+    "scalar_string_battery2": Q(_string_battery2, _STRING_BATTERY2_SQL, "replace/translate/pad/trim"),
     "nation_set_ops": Q(_nation_set_ops, _NATION_SET_OPS_SQL, "U: intersect/except/union"),
     "rollup_region_nation": Q(_rollup_region_nation, _ROLLUP_SQL, "rollup grouping sets"),
     "pivot_status_by_priority": Q(_pivot_status_by_priority, _PIVOT_SQL, "pivot"),

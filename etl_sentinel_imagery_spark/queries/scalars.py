@@ -249,6 +249,40 @@ FROM (
 """
 
 
+def _map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 map operations: build, merge, filter, and interrogate maps —
+    output projected to array/scalar types (map column hashing is
+    engine-representation-specific, keys/values arrays are not)."""
+    part = load_table(spark, sf_dir, "part")
+    m1 = F.create_map(F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type"))
+    m2 = F.create_map(F.lit("size"), F.col("p_size").cast("string"))
+    merged = F.map_concat(m1, m2)
+    return part.select(
+        "p_partkey",
+        F.array_sort(F.map_keys(merged)).alias("keys_sorted"),
+        F.size(merged).alias("n_entries"),
+        F.element_at(merged, "brand").alias("brand_val"),
+        F.array_sort(
+            F.map_keys(F.map_filter(merged, lambda k, v: F.length(v) > 5))
+        ).alias("long_value_keys"),
+    )
+
+
+_MAP_FUNCTIONS_SQL = """
+SELECT p_partkey,
+       ['brand', 'size', 'type'] AS keys_sorted,
+       3 AS n_entries,
+       p_brand AS brand_val,
+       list_sort(
+           list_filter(
+               [CASE WHEN length(p_brand) > 5 THEN 'brand' END,
+                CASE WHEN length(CAST(p_size AS VARCHAR)) > 5 THEN 'size' END,
+                CASE WHEN length(p_type) > 5 THEN 'type' END],
+               k -> k IS NOT NULL)) AS long_value_keys
+FROM part
+"""
+
+
 QUERIES: dict[str, Q] = {
     "scalar_string_battery": Q(_string_battery, _STRING_BATTERY_SQL, "F1/F3/F8/F9 strings"),
     "multimodal_bytes": Q(_multimodal_bytes, _MULTIMODAL_BYTES_SQL, "binary payload battery"),
@@ -257,4 +291,5 @@ QUERIES: dict[str, Q] = {
     "array_exists_battery": Q(_array_exists_battery, _ARRAY_EXISTS_SQL, "P8 exists over arrays"),
     "fuzzy_name_pairs": Q(_fuzzy_name_pairs, _FUZZY_NAME_PAIRS_SQL, "Levenshtein block-join"),
     "array_transform_battery": Q(_array_transform_battery, _ARRAY_TRANSFORM_SQL, "zip_with/sequence/aggregate arrays"),
+    "map_functions_battery": Q(_map_functions_battery, _MAP_FUNCTIONS_SQL, "F12 map build/merge/filter"),
 }
