@@ -11,6 +11,16 @@ deterministic, so Spark and DuckDB produce bit-identical doubles.
 The driver data stores money as 2-decimal doubles (verified: max deviation
 from 2-decimal grid < 1e-8), so a decimal(18,2) cast recovers the exact
 intended value on both engines.
+
+CAST-PARITY BOUNDARY (measured): the final decimal→double cast agrees
+across engines only while the decimal's SCALED integer stays below 2^53.
+DuckDB converts int128→double first and divides by 10^scale after — two
+roundings — while Spark's BigDecimal cast rounds once; both reduce to the
+single correctly-rounded quotient only when the int128→double step is
+exact. At scale 2 that bounds values to ~9e13 (three orders of magnitude
+above the sf0.1 sums). For larger magnitudes (e.g. sums of SQUARED
+prices) keep moments in integer/bigint domains instead — see
+queries.relational._agg_battery2 for the pattern and the failure case.
 """
 
 from __future__ import annotations

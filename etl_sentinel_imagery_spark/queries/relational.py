@@ -650,6 +650,67 @@ FROM orders
 """
 
 
+# --- aggregation battery 2: bool/conditional aggs, sets, exact variance --
+def _agg_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / bool_and / bool_or / sorted collect_set, plus variance
+    from EXACT integer moments (Σq, Σq² as BIGINT — quantity is integral
+    and small, so the moment→double conversion is exact and the 4-op
+    float formula is bit-identical across engines).
+
+    NB: the decimal-moment variant on prices hash-MISMATCHED: DuckDB's
+    decimal→double cast double-rounds (int128→double, then /10^scale)
+    while Spark's BigDecimal cast rounds once — for >2^53-magnitude sums
+    they differ in the last ulp. Integer moments sidestep the cast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.bool_or(F.col("l_quantity") >= 50).alias("any_bulk"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+        F.sum(q).alias("sum_q"),
+        F.sum(q * q).alias("sum_q_sq"),
+    ).select(
+        "flag",
+        "n",
+        "n_discounted",
+        "any_bulk",
+        "all_positive",
+        "statuses",
+        (
+            (
+                F.col("sum_q_sq").cast("double")
+                - F.col("sum_q").cast("double")
+                * F.col("sum_q").cast("double")
+                / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("variance_qty"),
+    )
+
+
+_AGG_BATTERY2_SQL = """
+SELECT flag, n, n_discounted, any_bulk, all_positive, statuses,
+       (CAST(sum_q_sq AS DOUBLE)
+        - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE) / n) / (n - 1)
+           AS variance_qty
+FROM (
+    SELECT l_returnflag AS flag,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           bool_or(l_quantity >= 50) AS any_bulk,
+           bool_and(l_quantity > 0) AS all_positive,
+           list_sort(list_distinct(list(l_linestatus))) AS statuses,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+           CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                AS BIGINT) AS sum_q_sq
+    FROM lineitem
+    GROUP BY 1
+)
+"""
+
+
 # --- unpivot (stack) ------------------------------------------------------
 def _unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot then unpivot back to rows — melt via stack()."""
@@ -722,4 +783,5 @@ QUERIES: dict[str, Q] = {
     "date_arithmetic_battery": Q(_date_arithmetic, _DATE_ARITHMETIC_SQL, "date arithmetic"),
     "nation_volume_by_year": Q(_nation_volume, _NATION_VOLUME_SQL, "TPC-H Q7 shape"),
     "salted_flag_totals": Q(_salted_totals, _SALTED_TOTALS_SQL, "skew-resistant salted agg"),
+    "agg_battery2": Q(_agg_battery2, _AGG_BATTERY2_SQL, "bool/conditional aggs + exact variance"),
 }
