@@ -161,23 +161,27 @@ FROM documents
 
 
 def _fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String-similarity join: close part names by Levenshtein distance,
-    blocked on the first word to bound the pair space (the classic
-    block-then-verify fuzzy-match shape; exact integer DP both engines)."""
+    """String-similarity join: close DISTINCT part names by Levenshtein
+    distance, blocked on the first word (the block-then-verify fuzzy
+    shape; exact integer DP both engines). Name-level dedup first —
+    raw rows share names heavily, making row-level pairing quadratic
+    (measured 11.7M pairs at sf0.1 before the dedup)."""
     part = load_table(spark, sf_dir, "part")
-    names = part.select("p_partkey", "p_name").withColumn(
-        "blk", F.split(F.col("p_name"), " ").getItem(0)
+    names = (
+        part.select("p_name").distinct().withColumn(
+            "blk", F.split(F.col("p_name"), " ").getItem(0)
+        )
     )
     a, b = names.alias("a"), names.alias("b")
     return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_name") < F.col("b.p_name")),
         )
         .select(
-            F.col("a.p_partkey").alias("key_a"),
-            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
             F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= 4)
@@ -185,12 +189,13 @@ def _fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FUZZY_NAME_PAIRS_SQL = """
-SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
        CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
-FROM part a
-JOIN part b
+FROM names a
+JOIN names b
   ON string_split(a.p_name, ' ')[1] = string_split(b.p_name, ' ')[1]
- AND a.p_partkey < b.p_partkey
+ AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= 4
 """
 
