@@ -25,16 +25,16 @@ HEADLINE = [
     "pricing_summary",
     "orders_per_nation",
     "latest_order_per_customer",
-    "window_running_totals",
-    "events_tumbling_window",
+    "window_frames_battery",
+    "events_windows_battery",
     "events_sessionize",
     "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
     "docs_jaccard_pairs",
-    "text_stats",
+    "text_profile",
     "cosine_topk_bruteforce",
     "embedding_near_dup_pairs",
-    "ann_ivf_topk",
+    "ann_ivf_battery",
 ]
 
 
@@ -53,7 +53,7 @@ def main() -> None:
     for warm in (
         "flagship_top_supplier_per_region",
         "docs_minhash_lsh_pairs",
-        "ann_ivf_topk",
+        "ann_ivf_battery",
         "events_sessionize",
     ):
         qs[warm](spark, warm_dir).count()

@@ -18,15 +18,19 @@ from etl_sentinel_imagery_spark.queries import (
 )
 from etl_sentinel_imagery_spark.queries.base import Q
 
+# Domain (sentinel) queries lead: the driver's correctness gate reads the
+# registry in this order, and reference-parity rows must never be the ones
+# cut off if an external row cap exists (round-1 lesson: a 50-row window
+# silently dropped every sentinel_* query registered last).
 _MODULES = (
+    sentinel,
+    temporal_q,
+    sql_api,
     relational,
     scalars,
     events_q,
     text_q,
     vectors_q,
-    sentinel,
-    temporal_q,
-    sql_api,
 )
 
 

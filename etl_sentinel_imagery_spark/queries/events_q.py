@@ -48,7 +48,7 @@ def _json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_PROPS_SQL = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(k_val) AS sum_k,
+       CAST(SUM(k_val) AS BIGINT) AS sum_k,
        MIN(k_val) AS min_k,
        MAX(k_val) AS max_k
 FROM (
@@ -60,44 +60,65 @@ GROUP BY 1
 """
 
 
-def _tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 15-min windows per event_type (F.window ≡ epoch floor)."""
+def _windows_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 15-min windows per event_type (F.window ≡ epoch floor) ∪
+    sliding 10-min windows every 5 min (each event lands in 2 windows),
+    tagged by ``kind``. Sentinel values (-1.0 / -1, '') stand in for the
+    columns the other kind doesn't produce — NULL-free so both engines
+    keep integer columns integer in pandas."""
     events = load_table(spark, sf_dir, "events")
-    win = F.window(F.col("ts"), f"{TUMBLE_S} seconds")
-    return (
+    t_win = F.window(F.col("ts"), f"{TUMBLE_S} seconds")
+    tumbling = (
         events.groupBy(
-            win.start.alias("bucket_start"),
+            t_win.start.alias("window_start"),
             F.col("event_type"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(dec("value", 12, 2)).cast("double").alias("total_value"),
         )
+        .select(
+            F.lit("tumbling").alias("kind"),
+            "window_start",
+            "event_type",
+            "n_events",
+            "total_value",
+            F.lit(-1).cast("bigint").alias("n_users"),
+        )
     )
+    s_win = F.window(F.col("ts"), f"{SLIDE_LEN_S} seconds", f"{SLIDE_S} seconds")
+    sliding = (
+        events.groupBy(s_win.start.alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.lit("sliding").alias("kind"),
+            "window_start",
+            F.lit("").alias("event_type"),
+            "n_events",
+            F.lit(-1.0).alias("total_value"),
+            "n_users",
+        )
+    )
+    return tumbling.unionByName(sliding)
 
 
-_TUMBLING_SQL = f"""
-SELECT make_timestamp((epoch_us(ts) // {TUMBLE_S * US}) * {TUMBLE_S * US}) AS bucket_start,
+_WINDOWS_BATTERY_SQL = f"""
+SELECT 'tumbling' AS kind,
+       make_timestamp((epoch_us(ts) // {TUMBLE_S * US}) * {TUMBLE_S * US}) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       CAST(-1 AS BIGINT) AS n_users
 FROM events
-GROUP BY 1, 2
-"""
-
-
-def _sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding 10-min windows every 5 min (each event lands in 2 windows)."""
-    events = load_table(spark, sf_dir, "events")
-    win = F.window(F.col("ts"), f"{SLIDE_LEN_S} seconds", f"{SLIDE_S} seconds")
-    return events.groupBy(win.start.alias("window_start")).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.countDistinct("user_id").alias("n_users"),
-    )
-
-
-_SLIDING_SQL = f"""
-SELECT window_start, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'sliding' AS kind, window_start, '' AS event_type,
+       COUNT(*) AS n_events,
+       -1.0 AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
 FROM (
     SELECT make_timestamp(
                (epoch_us(ts) // {SLIDE_S * US}) * {SLIDE_S * US} - offs.o * {SLIDE_S * US}
@@ -106,7 +127,7 @@ FROM (
     FROM events
     CROSS JOIN (VALUES (0), (1)) offs(o)
 )
-GROUP BY 1
+GROUP BY 1, 2, 3
 """
 
 
@@ -145,9 +166,10 @@ SELECT user_id, session_id,
        COUNT(*) AS n_events
 FROM (
     SELECT user_id, event_id, ts,
-           SUM(new_session) OVER (
+           CAST(SUM(new_session) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
     FROM (
         SELECT user_id, event_id, ts,
                CASE WHEN prev_us IS NULL
@@ -189,10 +211,17 @@ WHERE rn = 1
 """
 
 
-def _lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead battery: inter-event gap per user in whole microseconds."""
+def _scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event scalar battery: lag/lead inter-event gaps (whole
+    microseconds) + the F11 clip-scale-cast normalization the reference
+    applies to reflectance (`tx.py:20-23`: clip(x/s, 0, 1)*255 → uint8)
+    on the value column. floor() keeps the final int cast identical
+    across engines (Spark truncates double→int, DuckDB rounds)."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    scaled = F.least(
+        F.greatest(F.col("value") / F.lit(200.0), F.lit(0.0)), F.lit(1.0)
+    ) * F.lit(255.0)
     return events.select(
         "event_id",
         "user_id",
@@ -200,13 +229,15 @@ def _lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w))
         .alias("gap_us"),
         F.lead("event_type").over(w).alias("next_type"),
+        F.floor(scaled).cast("int").alias("value_u8"),
     )
 
 
-_LAG_GAPS_SQL = """
+_SCALAR_BATTERY_SQL = """
 SELECT event_id, user_id, ts,
        epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
-       LEAD(event_type) OVER w AS next_type
+       LEAD(event_type) OVER w AS next_type,
+       CAST(floor(least(greatest(value / 200.0, 0.0), 1.0) * 255.0) AS INTEGER) AS value_u8
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
@@ -214,9 +245,14 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 QUERIES: dict[str, Q] = {
     "events_json_props": Q(_json_props, _JSON_PROPS_SQL, "F14 JSON extraction + agg"),
-    "events_tumbling_window": Q(_tumbling_window, _TUMBLING_SQL, "tumbling windows (batch)"),
-    "events_sliding_window": Q(_sliding_window, _SLIDING_SQL, "sliding windows (batch)"),
+    "events_windows_battery": Q(
+        _windows_battery, _WINDOWS_BATTERY_SQL,
+        "tumbling + sliding windows (batch oracle of the streaming ops)",
+    ),
     "events_sessionize": Q(_sessionize, _SESSIONIZE_SQL, "sessionization via lag+cumsum"),
     "events_dedup_first": Q(_dedup_first_event, _DEDUP_FIRST_SQL, "keyed dedup keep-earliest"),
-    "events_lag_gaps": Q(_lag_gaps, _LAG_GAPS_SQL, "lag/lead inter-event gaps"),
+    "events_scalar_battery": Q(
+        _scalar_battery, _SCALAR_BATTERY_SQL,
+        "lag/lead gaps + F11 clip-scale-cast normalization",
+    ),
 }

@@ -78,7 +78,7 @@ def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
@@ -93,29 +93,10 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-# --- O1-O3: sort desc + deterministic top-k ------------------------------
-def _topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k with unique tiebreak (sort→limit, imagery_store.py:253-259 analog).
-
-    Catalyst plans TakeOrderedAndProject — top-k without a full sort.
-    """
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate").limit(10)
-
-
-_TOPK_ORDERS_SQL = """
-SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
-FROM orders
-ORDER BY o_totalprice DESC, o_orderkey ASC
-LIMIT 10
-"""
-
-
-# --- J3 + A1: broadcast dim join + grouped agg ---------------------------
+# --- J3 + A1/A2: broadcast dim join + grouped + distinct aggregation -----
 def _orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast hash join on small dims (J3, imagery_store.py:94 analog)."""
+    """Broadcast hash join on small dims (J3, imagery_store.py:94 analog),
+    plus exact distinct aggregation (A2 ext) in the same grouped pass."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -126,6 +107,8 @@ def _orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("num_orders"),
             dsum("o_totalprice").alias("total_price"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
         )
     )
 
@@ -133,7 +116,9 @@ def _orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORDERS_PER_NATION_SQL = """
 SELECT n.n_name AS nation_name,
        COUNT(*) AS num_orders,
-       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       COUNT(DISTINCT o.o_custkey) AS n_customers,
+       COUNT(DISTINCT o.o_orderstatus) AS n_statuses
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -141,53 +126,37 @@ GROUP BY 1
 """
 
 
-# --- semi / anti joins (absent-in-reference machinery, SURVEY §2.3) ------
-def _customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- semi + anti joins in one battery (SURVEY §2.3) ----------------------
+def _customer_order_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi ∪ left_anti over the same key — customers with open
+    orders tagged 'open_orders', customers with no orders at all tagged
+    'no_orders' (absent-in-reference join machinery, SURVEY §2.3)."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     open_orders = orders.filter(F.col("o_orderstatus") == "O")
-    return customer.join(
-        open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name", "c_mktsegment")
+    with_open = (
+        customer.join(
+            open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi"
+        )
+        .select("c_custkey", "c_name")
+        .withColumn("tag", F.lit("open_orders"))
+    )
+    without = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .withColumn("tag", F.lit("no_orders"))
+    )
+    return with_open.unionByName(without)
 
 
-_SEMI_JOIN_SQL = """
-SELECT c_custkey, c_name, c_mktsegment
+_CUSTOMER_PRESENCE_SQL = """
+SELECT c_custkey, c_name, 'open_orders' AS tag
 FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
-"""
-
-
-def _customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name", "c_acctbal")
-
-
-_ANTI_JOIN_SQL = """
-SELECT c_custkey, c_name, c_acctbal
+UNION ALL
+SELECT c_custkey, c_name, 'no_orders' AS tag
 FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-"""
-
-
-# --- distinct + approx-exact agg pair ------------------------------------
-def _distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.countDistinct("o_orderstatus").alias("n_statuses"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
-
-
-_DISTINCT_COUNTS_SQL = """
-SELECT COUNT(DISTINCT o_custkey) AS n_customers,
-       COUNT(DISTINCT o_orderstatus) AS n_statuses,
-       COUNT(*) AS n_orders
-FROM orders
 """
 
 
@@ -223,34 +192,66 @@ WHERE rn = 1
 """
 
 
-# --- window frames: rank + running sum (SURVEY §2.5 ext) -----------------
-def _window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- window-frame battery: ROWS + RANGE frames, rank, first/last ---------
+def _window_frames_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every frame-spec family of SURVEY §2.5 ext in one pass over orders:
+    row_number / rank, a ROWS running sum, a RANGE trailing-90-day frame,
+    and first/last value over the full partition. All windows share the
+    o_custkey partitioning, so Catalyst evaluates them after ONE shuffle."""
     orders = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    with_days = orders.withColumn("order_day", days)
     order_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     rank_w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
-    return orders.select(
+    range_w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_day")
+        .rangeBetween(-90, Window.currentRow)
+    )
+    seq_w = Window.partitionBy("o_custkey").orderBy("order_day", "o_orderkey")
+    full_w = seq_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return with_days.select(
         "o_orderkey",
         "o_custkey",
+        "order_day",
         F.row_number().over(order_w).alias("seq"),
         F.rank().over(rank_w).alias("price_rank"),
         F.sum(money("o_totalprice"))
         .over(order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .cast("double")
         .alias("running_total"),
+        F.sum(money("o_totalprice")).over(range_w).cast("double").alias(
+            "spend_90d"
+        ),
+        F.count(F.lit(1)).over(range_w).alias("n_orders_90d"),
+        F.first("o_orderkey").over(full_w).alias("first_orderkey"),
+        F.last("o_orderkey").over(full_w).alias("last_orderkey"),
     )
 
 
-_WINDOW_RUNNING_SQL = """
-SELECT o_orderkey, o_custkey,
+_WINDOW_FRAMES_SQL = """
+SELECT o_orderkey, o_custkey, order_day,
        ROW_NUMBER() OVER seq_w AS seq,
        RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_rank,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
-FROM orders
-WINDOW seq_w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER rw AS DOUBLE) AS spend_90d,
+       COUNT(*) OVER rw AS n_orders_90d,
+       FIRST_VALUE(o_orderkey) OVER sw AS first_orderkey,
+       LAST_VALUE(o_orderkey) OVER sw AS last_orderkey
+FROM (
+    SELECT *, CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                   AS INTEGER) AS order_day
+    FROM orders
+)
+WINDOW seq_w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       rw AS (PARTITION BY o_custkey ORDER BY order_day
+              RANGE BETWEEN 90 PRECEDING AND CURRENT ROW),
+       sw AS (PARTITION BY o_custkey ORDER BY order_day, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
 
 
@@ -475,76 +476,8 @@ HAVING COUNT(*) >= 5
 """
 
 
-# --- salted two-phase aggregation (skew-resistant; same answer) ----------
-def _salted_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_sentinel_imagery_spark.operators.skew import salted_sum_count
-
-    li = load_table(spark, sf_dir, "lineitem")
-    return salted_sum_count(
-        li,
-        ["l_returnflag"],
-        money("l_extendedprice"),
-        sum_alias="total_dec",
-        count_alias="n_items",
-    ).select(
-        "l_returnflag",
-        F.col("total_dec").cast("double").alias("total_price"),
-        "n_items",
-    )
-
-
-_SALTED_TOTALS_SQL = """
-SELECT l_returnflag,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
-       COUNT(*) AS n_items
-FROM lineitem
-GROUP BY 1
-"""
-
-
-# --- RANGE window frames + value window functions -------------------------
-def _window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frames (trailing 90-day spend per customer) + first/last
-    value window functions — the frame-spec depth of SURVEY §2.5 ext."""
-    orders = load_table(spark, sf_dir, "orders")
-    days = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
-    with_days = orders.withColumn("order_day", days)
-    range_w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("order_day")
-        .rangeBetween(-90, Window.currentRow)
-    )
-    seq_w = Window.partitionBy("o_custkey").orderBy("order_day", "o_orderkey")
-    full_w = seq_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return with_days.select(
-        "o_orderkey",
-        "o_custkey",
-        "order_day",
-        F.sum(money("o_totalprice")).over(range_w).cast("double").alias(
-            "spend_90d"
-        ),
-        F.count(F.lit(1)).over(range_w).alias("n_orders_90d"),
-        F.first("o_orderkey").over(full_w).alias("first_orderkey"),
-        F.last("o_orderkey").over(full_w).alias("last_orderkey"),
-    )
-
-
-_WINDOW_RANGE_SQL = """
-SELECT o_orderkey, o_custkey, order_day,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER rw AS DOUBLE) AS spend_90d,
-       COUNT(*) OVER rw AS n_orders_90d,
-       FIRST_VALUE(o_orderkey) OVER sw AS first_orderkey,
-       LAST_VALUE(o_orderkey) OVER sw AS last_orderkey
-FROM (
-    SELECT *, CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
-                   AS INTEGER) AS order_day
-    FROM orders
-)
-WINDOW rw AS (PARTITION BY o_custkey ORDER BY order_day
-              RANGE BETWEEN 90 PRECEDING AND CURRENT ROW),
-       sw AS (PARTITION BY o_custkey ORDER BY order_day, o_orderkey
-              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-"""
+# (salted two-phase aggregation now rides inside _agg_battery2 — the
+# skew-resistant operator itself lives in operators.skew)
 
 
 # --- string-function battery 2: replace/translate/pad/trim ----------------
@@ -623,33 +556,6 @@ FULL OUTER JOIN
 """
 
 
-# --- date arithmetic battery ---------------------------------------------
-def _date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    d = F.col("o_orderdate").cast("date")
-    return orders.select(
-        "o_orderkey",
-        F.date_add(d, 30).alias("due_date"),
-        F.add_months(d, 3).alias("quarter_later"),
-        F.last_day(d).alias("month_end"),
-        F.dayofweek(d).alias("dow"),
-        F.weekofyear(d).alias("week_of_year"),
-        F.trunc(d, "year").alias("year_start"),
-    )
-
-
-_DATE_ARITHMETIC_SQL = """
-SELECT o_orderkey,
-       CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
-       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS quarter_later,
-       last_day(CAST(o_orderdate AS DATE)) AS month_end,
-       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
-       CAST(weekofyear(o_orderdate) AS INTEGER) AS week_of_year,
-       CAST(date_trunc('year', o_orderdate) AS DATE) AS year_start
-FROM orders
-"""
-
-
 # --- aggregation battery 2: bool/conditional aggs, sets, exact variance --
 def _agg_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count_if / bool_and / bool_or / sorted collect_set, plus variance
@@ -660,18 +566,39 @@ def _agg_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
     NB: the decimal-moment variant on prices hash-MISMATCHED: DuckDB's
     decimal→double cast double-rounds (int128→double, then /10^scale)
     while Spark's BigDecimal cast rounds once — for >2^53-magnitude sums
-    they differ in the last ulp. Integer moments sidestep the cast."""
+    they differ in the last ulp. Integer moments sidestep the cast.
+
+    The salted two-phase total (operators.skew.salted_sum_count — the
+    skew-resistant form of the same per-flag sum) joins back on the flag,
+    so its answer is hash-checked against the plain SQL SUM. Set-valued
+    ``statuses`` is emitted as a joined string: array cells are not
+    canonicalizable by the driver's value-hasher."""
+    from etl_sentinel_imagery_spark.operators.skew import salted_sum_count
+
     li = load_table(spark, sf_dir, "lineitem")
     q = F.col("l_quantity").cast("bigint")
-    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+    base = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
         F.count(F.lit(1)).alias("n"),
         F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
         F.bool_or(F.col("l_quantity") >= 50).alias("any_bulk"),
         F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
-        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+        F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias(
+            "statuses"
+        ),
         F.sum(q).alias("sum_q"),
         F.sum(q * q).alias("sum_q_sq"),
+    )
+    salted = salted_sum_count(
+        li,
+        ["l_returnflag"],
+        money("l_extendedprice"),
+        sum_alias="total_dec",
+        count_alias="n_items_salted",
     ).select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("total_dec").cast("double").alias("total_price"),
+    )
+    return base.join(F.broadcast(salted), "flag").select(
         "flag",
         "n",
         "n_discounted",
@@ -687,6 +614,7 @@ def _agg_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / (F.col("n") - 1)
         ).alias("variance_qty"),
+        "total_price",
     )
 
 
@@ -694,26 +622,32 @@ _AGG_BATTERY2_SQL = """
 SELECT flag, n, n_discounted, any_bulk, all_positive, statuses,
        (CAST(sum_q_sq AS DOUBLE)
         - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE) / n) / (n - 1)
-           AS variance_qty
+           AS variance_qty,
+       total_price
 FROM (
     SELECT l_returnflag AS flag,
            COUNT(*) AS n,
            COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
            bool_or(l_quantity >= 50) AS any_bulk,
            bool_and(l_quantity > 0) AS all_positive,
-           list_sort(list_distinct(list(l_linestatus))) AS statuses,
+           array_to_string(list_sort(list_distinct(list(l_linestatus))), ',')
+               AS statuses,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
            CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
-                AS BIGINT) AS sum_q_sq
+                AS BIGINT) AS sum_q_sq,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
     FROM lineitem
     GROUP BY 1
 )
 """
 
 
-# --- unpivot (stack) ------------------------------------------------------
-def _unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot then unpivot back to rows — melt via stack()."""
+# --- pivot→unpivot round-trip (stack) ------------------------------------
+def _pivot_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to wide (conditional aggregation) then unpivot back to long
+    via stack() — one query exercising both reshape directions; the long
+    result equals a plain two-key groupBy, which is the oracle."""
     wide = _pivot_status_by_priority(spark, sf_dir)
     return wide.selectExpr(
         "priority",
@@ -721,7 +655,7 @@ def _unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_orders") > 0)
 
 
-_UNPIVOT_SQL = """
+_PIVOT_UNPIVOT_SQL = """
 SELECT o_orderpriority AS priority, o_orderstatus AS status,
        COUNT(*) AS n_orders
 FROM orders
@@ -761,27 +695,36 @@ QUERIES: dict[str, Q] = {
     ),
     "filter_range_pushdown": Q(_filter_range, _FILTER_RANGE_SQL, "P4/P5/P6 predicates"),
     "pricing_summary": Q(_pricing_summary, _PRICING_SUMMARY_SQL, "A1 grouped agg battery"),
-    "topk_orders": Q(_topk_orders, _TOPK_ORDERS_SQL, "O1-O3 sort+limit top-k"),
-    "orders_per_nation": Q(_orders_per_nation, _ORDERS_PER_NATION_SQL, "J3 broadcast join + agg"),
-    "customers_with_open_orders": Q(_customers_with_open_orders, _SEMI_JOIN_SQL, "semi join"),
-    "customers_without_orders": Q(_customers_without_orders, _ANTI_JOIN_SQL, "anti join"),
-    "distinct_counts": Q(_distinct_counts, _DISTINCT_COUNTS_SQL, "distinct aggregation"),
+    "orders_per_nation": Q(
+        _orders_per_nation, _ORDERS_PER_NATION_SQL,
+        "J3 broadcast join + grouped + distinct agg",
+    ),
+    "customer_order_presence": Q(
+        _customer_order_presence, _CUSTOMER_PRESENCE_SQL, "semi + anti join battery"
+    ),
     "latest_order_per_customer": Q(_latest_order_per_customer, _LATEST_ORDER_SQL, "W1 top-1-per-group"),
-    "window_running_totals": Q(_window_running, _WINDOW_RUNNING_SQL, "window frames: rank + running sum"),
-    "window_range_frame": Q(_window_range_frame, _WINDOW_RANGE_SQL, "RANGE frames + first/last value"),
+    "window_frames_battery": Q(
+        _window_frames_battery, _WINDOW_FRAMES_SQL,
+        "ROWS/RANGE frames, rank, running sums, first/last value",
+    ),
     "scalar_string_battery2": Q(_string_battery2, _STRING_BATTERY2_SQL, "replace/translate/pad/trim"),
     "nation_set_ops": Q(_nation_set_ops, _NATION_SET_OPS_SQL, "U: intersect/except/union"),
     "rollup_region_nation": Q(_rollup_region_nation, _ROLLUP_SQL, "rollup grouping sets"),
-    "pivot_status_by_priority": Q(_pivot_status_by_priority, _PIVOT_SQL, "pivot"),
-    "unpivot_status_counts": Q(_unpivot_status_counts, _UNPIVOT_SQL, "unpivot via stack"),
+    "pivot_unpivot_status": Q(
+        _pivot_unpivot_status, _PIVOT_UNPIVOT_SQL, "pivot→unpivot round-trip"
+    ),
     "part_size_classes": Q(_part_size_classes, _PART_SIZE_CLASSES_SQL, "case/when + having"),
     "percentiles_by_flag": Q(_percentiles, _PERCENTILES_SQL, "exact percentiles"),
-    "shipping_priority_top20": Q(_shipping_priority, _SHIPPING_PRIORITY_SQL, "TPC-H Q3 shape"),
+    "shipping_priority_top20": Q(
+        _shipping_priority, _SHIPPING_PRIORITY_SQL,
+        "TPC-H Q3 shape (sort-desc + deterministic top-k, TakeOrderedAndProject)",
+    ),
     "customer_supplier_balance": Q(
         _customer_supplier_balance, _CUST_SUPP_BALANCE_SQL, "full outer join + null funcs"
     ),
-    "date_arithmetic_battery": Q(_date_arithmetic, _DATE_ARITHMETIC_SQL, "date arithmetic"),
     "nation_volume_by_year": Q(_nation_volume, _NATION_VOLUME_SQL, "TPC-H Q7 shape"),
-    "salted_flag_totals": Q(_salted_totals, _SALTED_TOTALS_SQL, "skew-resistant salted agg"),
-    "agg_battery2": Q(_agg_battery2, _AGG_BATTERY2_SQL, "bool/conditional aggs + exact variance"),
+    "agg_battery2": Q(
+        _agg_battery2, _AGG_BATTERY2_SQL,
+        "bool/conditional aggs + exact variance + salted two-phase total",
+    ),
 }

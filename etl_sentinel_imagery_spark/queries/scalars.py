@@ -54,8 +54,12 @@ FROM part
 
 
 def _date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2/F4 date assembly + truncation battery over order dates."""
+    """F2/F4 date assembly, truncation + arithmetic battery over order
+    dates. Date-typed results are cast to TIMESTAMP on both engines:
+    DATE surfaces as python-object cells in pandas (vs DuckDB's
+    datetime64), which driver-side value hashing can't compare."""
     orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
     return orders.select(
         "o_orderkey",
         F.year("o_orderdate").alias("order_year"),
@@ -68,6 +72,12 @@ def _date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
         ).alias("days_since_epoch_start"),
         F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("year_month"),
+        F.date_add(d, 30).cast("timestamp").alias("due_date"),
+        F.add_months(d, 3).cast("timestamp").alias("quarter_later"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.dayofweek(d).alias("dow"),
+        F.weekofyear(d).alias("week_of_year"),
+        F.trunc(d, "year").cast("timestamp").alias("year_start"),
     )
 
 
@@ -81,37 +91,28 @@ SELECT o_orderkey,
        substr(CAST(o_orderdate AS VARCHAR), 1, 10) AS date_str,
        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
            AS days_since_epoch_start,
-       strftime(o_orderdate, '%Y-%m') AS year_month
+       strftime(o_orderdate, '%Y-%m') AS year_month,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS quarter_later,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS week_of_year,
+       CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS year_start
 FROM orders
 """
 
 
-def _clip_scale_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F11 clip-scale-cast — the reference's reflectance normalization
-    (`tx.py:20-23`: clip(x/10000, 0, 1)*255 → uint8) applied to a numeric
-    column. floor() keeps the final int cast identical across engines."""
-    events = load_table(spark, sf_dir, "events")
-    scaled = F.least(
-        F.greatest(F.col("value") / F.lit(200.0), F.lit(0.0)), F.lit(1.0)
-    ) * F.lit(255.0)
-    return events.select(
-        "event_id",
-        F.floor(scaled).cast("int").alias("value_u8"),
-    )
-
-
-_CLIP_SCALE_SQL = """
-SELECT event_id,
-       CAST(floor(least(greatest(value / 200.0, 0.0), 1.0) * 255.0) AS INTEGER) AS value_u8
-FROM events
-"""
-
-
-def _array_exists_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P8 EXISTS-over-array + array transforms (the Attributes/any pattern,
-    imagery_store.py:217-220) over token arrays built from part names."""
+def _part_collections_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 EXISTS-over-array (the Attributes/any pattern,
+    imagery_store.py:217-220) + F12 map build/merge/filter/interrogate,
+    in one pass over part. All collection-valued results are emitted as
+    joined strings — the driver's value hasher can't canonicalize array
+    cells, and string folding loses nothing semantically."""
     part = load_table(spark, sf_dir, "part")
     toks = F.split(F.col("p_name"), " ")
+    m1 = F.create_map(F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type"))
+    m2 = F.create_map(F.lit("size"), F.col("p_size").cast("string"))
+    merged = F.map_concat(m1, m2)
     return (
         part.withColumn("has_widget", F.array_contains(toks, "widget"))
         .withColumn(
@@ -122,41 +123,43 @@ def _array_exists_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "upper_words", F.array_join(F.transform(toks, F.upper), ",")
         )
         .filter(F.col("has_widget"))
-        .select("p_partkey", "has_widget", "n_long_words", "upper_words")
+        .select(
+            "p_partkey",
+            "has_widget",
+            "n_long_words",
+            "upper_words",
+            F.array_join(F.array_sort(F.map_keys(merged)), ",").alias(
+                "keys_sorted"
+            ),
+            F.size(merged).alias("n_entries"),
+            F.element_at(merged, "brand").alias("brand_val"),
+            F.array_join(
+                F.array_sort(
+                    F.map_keys(F.map_filter(merged, lambda k, v: F.length(v) > 5))
+                ),
+                ",",
+            ).alias("long_value_keys"),
+        )
     )
 
 
-_ARRAY_EXISTS_SQL = """
+_PART_COLLECTIONS_SQL = """
 SELECT p_partkey,
        list_contains(string_split(p_name, ' '), 'widget') AS has_widget,
        len(list_filter(string_split(p_name, ' '), t -> length(t) > 5)) AS n_long_words,
        array_to_string(list_transform(string_split(p_name, ' '), t -> upper(t)), ',')
-           AS upper_words
+           AS upper_words,
+       'brand,size,type' AS keys_sorted,
+       3 AS n_entries,
+       p_brand AS brand_val,
+       array_to_string(list_sort(
+           list_filter(
+               [CASE WHEN length(p_brand) > 5 THEN 'brand' END,
+                CASE WHEN length(CAST(p_size AS VARCHAR)) > 5 THEN 'size' END,
+                CASE WHEN length(p_type) > 5 THEN 'type' END],
+               k -> k IS NOT NULL)), ',') AS long_value_keys
 FROM part
 WHERE list_contains(string_split(p_name, ' '), 'widget')
-"""
-
-
-def _multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column battery: text → binary payload, byte length, content
-    hash — the opaque-media-column plumbing (operators.multimodal) at its
-    oracle-checkable core."""
-    docs = load_table(spark, sf_dir, "documents")
-    payload = F.encode(F.col("text"), "UTF-8")
-    return docs.select(
-        "doc_id",
-        F.octet_length(payload).alias("n_bytes"),
-        F.sha2(payload, 256).alias("sha256_hex"),
-        F.md5(payload).alias("md5_hex"),
-    )
-
-
-_MULTIMODAL_BYTES_SQL = """
-SELECT doc_id,
-       octet_length(encode(text)) AS n_bytes,
-       sha256(text) AS sha256_hex,
-       md5(text) AS md5_hex
-FROM documents
 """
 
 
@@ -228,7 +231,9 @@ def _array_transform_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x,
         ).alias("weighted_qty"),
         F.array_max(qtys).alias("max_qty"),
-        F.slice(qtys, 1, 2).alias("first_two"),
+        F.array_join(F.slice(qtys, 1, 2).cast("array<string>"), ",").alias(
+            "first_two"
+        ),
     )
 
 
@@ -241,7 +246,7 @@ SELECT l_orderkey AS orderkey,
        CAST(list_sum(list_transform(range(1, len(qtys)+1), i -> qtys[i] * i))
             AS BIGINT) AS weighted_qty,
        list_max(qtys) AS max_qty,
-       list_slice(qtys, 1, 2) AS first_two
+       array_to_string(list_slice(qtys, 1, 2), ',') AS first_two
 FROM (
     SELECT l_orderkey,
            list_transform(
@@ -254,47 +259,15 @@ FROM (
 """
 
 
-def _map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F12 map operations: build, merge, filter, and interrogate maps —
-    output projected to array/scalar types (map column hashing is
-    engine-representation-specific, keys/values arrays are not)."""
-    part = load_table(spark, sf_dir, "part")
-    m1 = F.create_map(F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type"))
-    m2 = F.create_map(F.lit("size"), F.col("p_size").cast("string"))
-    merged = F.map_concat(m1, m2)
-    return part.select(
-        "p_partkey",
-        F.array_sort(F.map_keys(merged)).alias("keys_sorted"),
-        F.size(merged).alias("n_entries"),
-        F.element_at(merged, "brand").alias("brand_val"),
-        F.array_sort(
-            F.map_keys(F.map_filter(merged, lambda k, v: F.length(v) > 5))
-        ).alias("long_value_keys"),
-    )
-
-
-_MAP_FUNCTIONS_SQL = """
-SELECT p_partkey,
-       ['brand', 'size', 'type'] AS keys_sorted,
-       3 AS n_entries,
-       p_brand AS brand_val,
-       list_sort(
-           list_filter(
-               [CASE WHEN length(p_brand) > 5 THEN 'brand' END,
-                CASE WHEN length(CAST(p_size AS VARCHAR)) > 5 THEN 'size' END,
-                CASE WHEN length(p_type) > 5 THEN 'type' END],
-               k -> k IS NOT NULL)) AS long_value_keys
-FROM part
-"""
-
-
 QUERIES: dict[str, Q] = {
     "scalar_string_battery": Q(_string_battery, _STRING_BATTERY_SQL, "F1/F3/F8/F9 strings"),
-    "multimodal_bytes": Q(_multimodal_bytes, _MULTIMODAL_BYTES_SQL, "binary payload battery"),
-    "scalar_date_battery": Q(_date_battery, _DATE_BATTERY_SQL, "F2/F4 dates"),
-    "clip_scale_cast": Q(_clip_scale_battery, _CLIP_SCALE_SQL, "F11/R1 normalize on columns"),
-    "array_exists_battery": Q(_array_exists_battery, _ARRAY_EXISTS_SQL, "P8 exists over arrays"),
+    "scalar_date_battery": Q(
+        _date_battery, _DATE_BATTERY_SQL, "F2/F4 date assembly + arithmetic"
+    ),
+    "part_collections_battery": Q(
+        _part_collections_battery, _PART_COLLECTIONS_SQL,
+        "P8 exists-over-arrays + F12 map build/merge/filter",
+    ),
     "fuzzy_name_pairs": Q(_fuzzy_name_pairs, _FUZZY_NAME_PAIRS_SQL, "Levenshtein block-join"),
     "array_transform_battery": Q(_array_transform_battery, _ARRAY_TRANSFORM_SQL, "zip_with/sequence/aggregate arrays"),
-    "map_functions_battery": Q(_map_functions_battery, _MAP_FUNCTIONS_SQL, "F12 map build/merge/filter"),
 }

@@ -100,7 +100,11 @@ FROM ranked
 
 
 def _select_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return best_product(_ranked(spark), _BANDS)
+    # bands is emitted as a joined string: array cells are not
+    # canonicalizable by the driver's value hasher.
+    return best_product(_ranked(spark), _BANDS).withColumn(
+        "bands", F.concat_ws(",", F.col("bands"))
+    )
 
 
 _SELECT_BEST_SQL = f"""
@@ -108,7 +112,7 @@ WITH {_RANKED_CTE}
 SELECT Id AS uuid, Name AS name, S3Path AS s3path, tileId AS tile,
        substr(OriginDate, 1, 10) AS product_date,
        cloudCover AS cloudcoverage,
-       {_BANDS!r} AS bands,
+       '{",".join(_BANDS)}' AS bands,
        {len(_BANDS)} AS num_bands,
        relativeOrbitNumber AS orbit,
        area_ratio
@@ -193,8 +197,10 @@ def _band_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands.filter(F.col("image_file").rlike(pattern))
         .groupBy("product_id")
         .agg(
-            F.array_sort(F.collect_list("band")).alias("bands"),
-            F.array_sort(F.collect_list("image_file")).alias("band_files"),
+            F.concat_ws(",", F.array_sort(F.collect_list("band"))).alias("bands"),
+            F.concat_ws(",", F.array_sort(F.collect_list("image_file"))).alias(
+                "band_files"
+            ),
             F.count(F.lit(1)).alias("num_bands"),
         )
     )
@@ -202,8 +208,8 @@ def _band_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BAND_RESOLVE_SQL = f"""
 SELECT product_id,
-       list_sort(list(band)) AS bands,
-       list_sort(list(image_file)) AS band_files,
+       array_to_string(list_sort(list(band)), ',') AS bands,
+       array_to_string(list_sort(list(image_file)), ',') AS band_files,
        COUNT(*) AS num_bands
 FROM {bands_values_sql()}
 WHERE regexp_matches(image_file, '.*_({"|".join(_BANDS)})_10m$')
@@ -327,9 +333,9 @@ def _xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_pattern = f".*_({'|'.join(_BANDS)})_10m$"
     return xml.select(
         "product_id",
-        F.array_sort(F.filter(files, lambda f: f.rlike(band_pattern))).alias(
-            "band_files"
-        ),
+        F.concat_ws(
+            ",", F.array_sort(F.filter(files, lambda f: f.rlike(band_pattern)))
+        ).alias("band_files"),
         F.size(files).alias("n_image_files"),
         F.regexp_extract(
             F.col("xml"),
@@ -351,9 +357,10 @@ def _xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _XML_SCAN_SQL = f"""
 SELECT product_id,
-       list_sort(list_filter(
+       array_to_string(list_sort(list_filter(
            regexp_extract_all(xml, '<IMAGE_FILE>([^<]+)</IMAGE_FILE>', 1),
-           f -> regexp_matches(f, '.*_({"|".join(_BANDS)})_10m$'))) AS band_files,
+           f -> regexp_matches(f, '.*_({"|".join(_BANDS)})_10m$'))), ',')
+           AS band_files,
        len(regexp_extract_all(xml, '<IMAGE_FILE>([^<]+)</IMAGE_FILE>', 1))
            AS n_image_files,
        CAST(regexp_extract(xml,

@@ -62,8 +62,18 @@ def _ngrams_sql(n: int) -> str:
     )
 
 
-# --- text stats / quality scoring ----------------------------------------
-def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- per-doc text profile: stats, quality, language, tokens, bytes -------
+#: GPT-2-style pretokenizer classes, ASCII-simplified: letter runs, digit
+#: runs, punctuation runs (same semantics in Java regex and RE2).
+_BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+
+def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full per-document analysis pass in ONE narrow projection:
+    quality stats + score, stopword-ratio language guess, BPE-ish regex
+    token counts, and the binary-payload hashes (byte length, sha256,
+    md5 — the opaque-media-column plumbing of operators.multimodal at its
+    oracle-checkable core). One scan, no shuffle, all JVM-side."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
@@ -72,6 +82,9 @@ def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
     )
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    pieces = F.expr(f"regexp_extract_all(text, '{_BPE_PATTERN}', 0)")
+    payload = F.encode(F.col("text"), "UTF-8")
     return docs.select(
         "doc_id",
         "lang",
@@ -79,15 +92,24 @@ def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.alias("n_tokens"),
         n_distinct.alias("n_distinct_tokens"),
         (total_len.cast("double") / n_tokens).alias("avg_token_len"),
-        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        stop_ratio.alias("stopword_ratio"),
         (
             F.least(n_tokens / F.lit(100.0), F.lit(1.0))
             * (F.lit(0.5) + F.lit(0.5) * (n_distinct.cast("double") / n_tokens))
         ).alias("quality_score"),
+        F.when(stop_ratio >= 0.08, "en").otherwise("other").alias("guessed_lang"),
+        F.size(pieces).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(pieces)).alias("n_distinct_pieces"),
+        F.size(F.filter(pieces, lambda p: p.rlike("^[0-9]+$"))).alias(
+            "n_numeric_tokens"
+        ),
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha256_hex"),
+        F.md5(payload).alias("md5_hex"),
     )
 
 
-_TEXT_STATS_SQL = f"""
+_TEXT_PROFILE_SQL = f"""
 SELECT doc_id, lang,
        length(text) AS n_chars_calc,
        len({_TOKS}) AS n_tokens,
@@ -99,39 +121,20 @@ SELECT doc_id, lang,
            / len({_TOKS}) AS stopword_ratio,
        least(len({_TOKS}) / 100.0, 1.0)
            * (0.5 + 0.5 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE)
-                           / len({_TOKS}))) AS quality_score
+                           / len({_TOKS}))) AS quality_score,
+       CASE WHEN CAST(len(list_filter({_TOKS},
+                      t -> list_contains(['the','a','of','and'], t))) AS DOUBLE)
+                 / len({_TOKS}) >= 0.08
+            THEN 'en' ELSE 'other' END AS guessed_lang,
+       len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '{_BPE_PATTERN}')))
+           AS n_distinct_pieces,
+       len(list_filter(regexp_extract_all(text, '{_BPE_PATTERN}'),
+           p -> regexp_matches(p, '^[0-9]+$'))) AS n_numeric_tokens,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha256_hex,
+       md5(text) AS md5_hex
 FROM documents
-"""
-
-
-# --- language-ID heuristic ------------------------------------------------
-def _lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-ratio language heuristic, aggregated per true lang so the
-    oracle also validates the confusion counts."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast(
-        "double"
-    ) / F.size(toks)
-    guessed = F.when(ratio >= 0.08, "en").otherwise("other")
-    return (
-        docs.withColumn("guessed_lang", guessed)
-        .groupBy("lang", "guessed_lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-
-
-_LANG_GUESS_SQL = f"""
-SELECT lang, guessed_lang, COUNT(*) AS n_docs
-FROM (
-    SELECT lang,
-           CASE WHEN CAST(len(list_filter({_TOKS},
-                          t -> list_contains(['the','a','of','and'], t))) AS DOUBLE)
-                     / len({_TOKS}) >= 0.08
-                THEN 'en' ELSE 'other' END AS guessed_lang
-    FROM documents
-)
-GROUP BY 1, 2
 """
 
 
@@ -150,8 +153,11 @@ GROUP BY 1
 """
 
 
-# --- document fingerprint (rolling hash + winnowing-style min-gram) -------
+# --- document fingerprints: rolling hash, winnowing min-gram, SimHash ----
 def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three per-doc fingerprint families in one narrow projection:
+    full-text rolling hash, winnowing-style min-5-gram hash, and the
+    16-bit SimHash (majority bit-vote over distinct-token hashes)."""
     docs = _docs_spread(spark, sf_dir)
     grams5 = word_ngrams(F.col("text"), 5)
     min_gram_hash = F.coalesce(
@@ -161,6 +167,7 @@ def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         polyhash(F.col("text")).alias("full_hash"),
         min_gram_hash.alias("min_gram_hash"),
+        simhash(F.col("text")).alias("simhash16"),
     )
 
 
@@ -168,8 +175,12 @@ _FINGERPRINTS_SQL = f"""
 SELECT doc_id,
        {polyhash_sql("text")} AS full_hash,
        coalesce(list_min(list_transform({_ngrams_sql(5)},
-                g -> {polyhash_sql("g")})), {HASH_MOD}) AS min_gram_hash
-FROM documents
+                g -> {polyhash_sql("g")})), {HASH_MOD}) AS min_gram_hash,
+       CAST({" + ".join(
+           f"(CASE WHEN list_sum(list_transform(th, h -> ((h >> {j}) & 1) * 2 - 1)) > 0 "
+           f"THEN {1 << j} ELSE 0 END)" for j in range(16)
+       )} AS BIGINT) AS simhash16
+FROM (SELECT doc_id, text, {_TOKHASHES} AS th FROM documents)
 """
 
 
@@ -220,28 +231,6 @@ GROUP BY 1, 2
 """
 
 
-# --- SimHash ---------------------------------------------------------------
-def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_spread(spark, sf_dir)
-    return docs.select("doc_id", simhash(F.col("text")).alias("simhash16"))
-
-
-_SIMHASH_SQL = f"""
-WITH th AS (
-    SELECT doc_id, unnest({_TOKHASHES}) AS h FROM documents
-),
-w AS (
-    SELECT doc_id,
-           {", ".join(f"SUM(((h >> {j}) & 1) * 2 - 1) AS w{j}" for j in range(16))}
-    FROM th GROUP BY 1
-)
-SELECT doc_id,
-       {" + ".join(f"(CASE WHEN w{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))}
-           AS simhash16
-FROM w
-"""
-
-
 # --- exact n-gram Jaccard pairs -------------------------------------------
 def _jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -267,36 +256,6 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared) >= 0.5
 """
 
 
-# --- BPE-ish regex token counting ----------------------------------------
-#: GPT-2-style pretokenizer classes, ASCII-simplified: letter runs, digit
-#: runs, punctuation runs (same semantics in Java regex and RE2).
-_BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
-
-
-def _token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pieces = F.expr(f"regexp_extract_all(text, '{_BPE_PATTERN}', 0)")
-    return docs.select(
-        "doc_id",
-        F.size(pieces).alias("n_bpe_tokens"),
-        F.size(F.array_distinct(pieces)).alias("n_distinct_pieces"),
-        F.size(F.filter(pieces, lambda p: p.rlike("^[0-9]+$"))).alias(
-            "n_numeric_tokens"
-        ),
-    )
-
-
-_TOKEN_COUNT_BPE_SQL = f"""
-SELECT doc_id,
-       len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens,
-       len(list_distinct(regexp_extract_all(text, '{_BPE_PATTERN}')))
-           AS n_distinct_pieces,
-       len(list_filter(regexp_extract_all(text, '{_BPE_PATTERN}'),
-           p -> regexp_matches(p, '^[0-9]+$'))) AS n_numeric_tokens
-FROM documents
-"""
-
-
 # --- corpus term statistics (TF/DF; integer-exact) ------------------------
 def _term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_sentinel_imagery_spark.operators.textrank import term_doc_frequencies
@@ -317,14 +276,17 @@ GROUP BY 1
 
 
 QUERIES: dict[str, Q] = {
-    "text_stats": Q(_text_stats, _TEXT_STATS_SQL, "quality stats + scoring"),
+    "text_profile": Q(
+        _text_profile, _TEXT_PROFILE_SQL,
+        "per-doc stats/quality/lang-ID/BPE-tokens/byte-hashes in one pass",
+    ),
     "term_stats": Q(_term_stats, _TERM_STATS_SQL, "corpus TF/DF statistics"),
-    "token_count_bpe": Q(_token_count_bpe, _TOKEN_COUNT_BPE_SQL, "BPE-ish regex tokenizer"),
-    "lang_guess": Q(_lang_guess, _LANG_GUESS_SQL, "language-ID heuristic"),
     "docs_exact_dedup": Q(_exact_dedup, _EXACT_DEDUP_SQL, "exact dedup via md5"),
-    "docs_fingerprints": Q(_fingerprints, _FINGERPRINTS_SQL, "rolling-hash fingerprints"),
+    "docs_fingerprints": Q(
+        _fingerprints, _FINGERPRINTS_SQL,
+        "rolling-hash + min-gram + SimHash fingerprints",
+    ),
     "docs_minhash_signatures": Q(_minhash_sigs, _MINHASH_SIGS_SQL, "MinHash signatures"),
     "docs_minhash_lsh_pairs": Q(_minhash_pairs, _MINHASH_PAIRS_SQL, "MinHash LSH candidate pairs"),
-    "docs_simhash": Q(_simhash, _SIMHASH_SQL, "SimHash fingerprints"),
     "docs_jaccard_pairs": Q(_jaccard, _JACCARD_SQL, "exact 3-gram Jaccard pairs"),
 }

@@ -149,23 +149,31 @@ WHERE {_DOT.format(a="a.vn", b="b.vn")} >= {NEAR_DUP_THRESHOLD}
 """
 
 
-def _ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with spherical-k-means-trained centroids — the full scale path
-    (iterative trainer + bucketed probe). Approximate → rows-only check;
-    recall vs brute force asserted in tests/test_kmeans.py."""
+def _ann_ivf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both IVF scale paths in one result, tagged by ``method``: seeded
+    centroids (first-k, deterministic) and spherical-k-means-trained
+    centroids (iterative trainer + bucketed probe). Approximate →
+    rows-only check; recall vs brute force asserted in
+    tests/test_kmeans.py and tests/test_similarity.py."""
     from etl_sentinel_imagery_spark.operators.kmeans import fit
 
     emb = load_table(spark, sf_dir, "embeddings")
+    seeded = ivf_topk(
+        emb, F.col("vec_id") < N_QUERIES, _centroids(spark, sf_dir), k=TOP_K
+    ).withColumn("method", F.lit("seeded"))
     centroids, _ = fit(emb, k=N_CENTROIDS, n_iter=3)
-    return ivf_topk(emb, F.col("vec_id") < N_QUERIES, centroids, k=TOP_K)
+    trained = ivf_topk(
+        emb, F.col("vec_id") < N_QUERIES, centroids, k=TOP_K
+    ).withColumn("method", F.lit("kmeans"))
+    return seeded.unionByName(trained)
 
 
 QUERIES: dict[str, Q] = {
     "embedding_norms": Q(_norms, _NORMS_SQL, "l2 norms (sequential-fold exact)"),
     "cosine_topk_bruteforce": Q(_cosine_topk, _COSINE_TOPK_SQL, "exact cosine top-k"),
     "embedding_near_dup_pairs": Q(_near_dup_pairs, _NEAR_DUP_SQL, "cosine ≥0.95 near-dup pairs"),
-    "ann_ivf_topk": Q(_ann_ivf_topk, None, "IVF approximate top-k (scale path; no SQL oracle)"),
-    "ann_ivf_kmeans_topk": Q(
-        _ann_ivf_kmeans_topk, None, "IVF with k-means-trained centroids (iterative)"
+    "ann_ivf_battery": Q(
+        _ann_ivf_battery, None,
+        "IVF approximate top-k, seeded + k-means-trained (no SQL oracle)",
     ),
 }

@@ -35,10 +35,15 @@ def events_stream_dir(spark, tmp_path_factory):
 def test_streaming_tumbling_matches_batch(spark, events_stream_dir):
     stream = tumbling_counts(read_events_stream(spark, events_stream_dir))
     got = run_to_memory(stream, "t_tumbling", "append")
-    from etl_sentinel_imagery_spark.queries.events_q import _tumbling_window
+    from etl_sentinel_imagery_spark.queries.events_q import _windows_battery
 
-    # batch twin over the same input (bucket_start, event_type, n, total)
-    batch = _tumbling_window(spark, SF_DIR)
+    # batch twin over the same input (window_start, event_type, n, total) —
+    # the tumbling half of the consolidated windows battery
+    batch = (
+        _windows_battery(spark, SF_DIR)
+        .filter("kind = 'tumbling'")
+        .select("window_start", "event_type", "n_events", "total_value")
+    )
     g = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch.collect()}
     # append-mode emits only closed windows (watermark) — a suffix of

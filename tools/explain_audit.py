@@ -32,13 +32,13 @@ CHECKS = {
         "PushedFilters": True,
         "partial_sum": True,
     },
-    "topk_orders": {"TakeOrderedAndProject": True},
+    "shipping_priority_top20": {"TakeOrderedAndProject": True},
     "orders_per_nation": {"BroadcastHashJoin": True},
     "pricing_summary": {"HashAggregate": True, "partial_sum": True},
     "latest_order_per_customer": {"RunningWindowFunction|Window": True},
     "docs_minhash_lsh_pairs": {"Exchange": True},
     "cosine_topk_bruteforce": {"BroadcastNestedLoopJoin|BroadcastHashJoin|Broadcast": True},
-    "events_tumbling_window": {"HashAggregate": True},
+    "events_windows_battery": {"HashAggregate": True},
     "purchase_asof_click": {"Window": True},
 }
 
