@@ -19,7 +19,7 @@ DuckDB oracle can reproduce every signature bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_sentinel_imagery_spark.functions.text import (
@@ -34,6 +34,14 @@ N_PERM = 8
 BAND_SIZE = 2
 MINHASH_A = [2 * p + 3 for p in range(N_PERM)]
 MINHASH_B = [97 * p + 11 for p in range(N_PERM)]
+
+#: LSH bucket-size cap. A bucket of n docs contributes n·(n-1)/2 candidate
+#: pairs — one boilerplate mega-bucket (every shingle-identical doc in the
+#: corpus) re-enters the quadratic regime the banding exists to avoid. A
+#: bucket larger than the cap carries no ranking information anyway (its
+#: members are wholesale near-identical; exact dedup or a canonical-pick
+#: handles them), so it is dropped from pair generation.
+MAX_BUCKET = 64
 
 SIMHASH_BITS = 16
 
@@ -98,11 +106,16 @@ def minhash_lsh_pairs(
     text_col: str,
     n_perm: int = N_PERM,
     band_size: int = BAND_SIZE,
+    max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature, bucket-join within bands.
 
     Scale path: the self-join key is (band_idx, band_key); bucket sizes are
     bounded by collision rate, so the shuffle stays linear in corpus size.
+    Buckets larger than ``max_bucket`` are dropped before the self-join
+    (the quadratic-regime guard — see MAX_BUCKET; ``None`` disables). The
+    bucket count runs as a window over the SAME (band_idx, band_key) key
+    the join shuffles on, so Catalyst reuses one exchange for both.
     Output: (id_a < id_b, n_shared_bands).
     """
     n_bands = n_perm // band_size
@@ -141,6 +154,13 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc", "band.band_idx", "band.band_key")
+    if max_bucket is not None:
+        w = Window.partitionBy("band_idx", "band_key")
+        bands = (
+            bands.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("bucket_n") <= max_bucket)
+            .drop("bucket_n")
+        )
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -192,6 +212,56 @@ def jaccard_pairs(
             "jaccard",
             F.col("n_shared").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "n_shared", "jaccard")
+    )
+
+
+def jaccard_verify_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pairs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard, verified ONLY on candidate ``pairs``
+    (columns id_a < id_b) — the 100 TB companion of :func:`jaccard_pairs`.
+
+    Scale shape: the corpus is semi-join-pruned to docs that appear in a
+    candidate pair, each surviving doc computes its distinct-gram set once
+    (narrow), and the pair relation joins the two gram sets BY DOC ID.
+    Every shuffle key is a doc id — linear in the candidate set — so a
+    stop-gram-like hot shingle cannot skew an exchange the way the
+    gram-value self-join in :func:`jaccard_pairs` can. Intersection sizes
+    come from `array_intersect` on the two bounded-size gram arrays.
+    The division is the same single integer→double op, so similarity
+    values stay cross-engine exact.
+    """
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("cid"))
+        .union(pairs.select(F.col("id_b").alias("cid")))
+        .distinct()
+    )
+    grams = df.join(
+        cand_ids, df[id_col] == cand_ids["cid"], "left_semi"
+    ).select(
+        F.col(id_col).alias("doc"),
+        word_ngrams(F.col(text_col), n).alias("grams"),
+    )
+    ga = grams.select(F.col("doc").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc").alias("id_b"), F.col("grams").alias("grams_b"))
+    shared = F.size(F.array_intersect("grams_a", "grams_b"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("n_shared", shared)
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.size("grams_a") + F.size("grams_b") - F.col("n_shared")),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "n_shared", "jaccard")

@@ -20,11 +20,12 @@ from etl_sentinel_imagery_spark.functions.text import (
     word_ngrams,
 )
 from etl_sentinel_imagery_spark.operators.dedup import (
+    MAX_BUCKET,
     MINHASH_A,
     MINHASH_B,
     N_PERM,
     exact_dedup_groups,
-    jaccard_pairs,
+    jaccard_verify_pairs,
     minhash_lsh_pairs,
     minhash_signature,
     simhash,
@@ -214,8 +215,11 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, "doc_id", "text")
 
 
-_MINHASH_PAIRS_SQL = f"""
-WITH sigs AS ({_MINHASH_SIGS_SQL}),
+#: Shared CTE chain: signatures → bands → bucket-size-capped bands →
+#: candidate pairs, mirroring operators.dedup.minhash_lsh_pairs including
+#: its MAX_BUCKET quadratic-regime guard.
+_LSH_CTES = f"""
+sigs AS ({_MINHASH_SIGS_SQL}),
 bands AS (
     SELECT doc_id, b,
            concat_ws('_',
@@ -223,36 +227,55 @@ bands AS (
                CASE b WHEN 0 THEN sig1 WHEN 1 THEN sig3 WHEN 2 THEN sig5 ELSE sig7 END
            ) AS band_key
     FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
+),
+capped AS (
+    SELECT doc_id, b, band_key
+    FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY b, band_key) AS bucket_n
+        FROM bands
+    )
+    WHERE bucket_n <= {MAX_BUCKET}
+),
+cand AS (
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_shared_bands
+    FROM capped l
+    JOIN capped r ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    GROUP BY 1, 2
 )
-SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_shared_bands
-FROM bands l
-JOIN bands r ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-GROUP BY 1, 2
+"""
+
+_MINHASH_PAIRS_SQL = f"""
+WITH {_LSH_CTES}
+SELECT id_a, id_b, n_shared_bands FROM cand
 """
 
 
-# --- exact n-gram Jaccard pairs -------------------------------------------
+# --- n-gram Jaccard, verified on LSH candidate pairs ----------------------
 def _jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB dedup pipeline end-to-end: MinHash-LSH candidate
+    generation (bucketed, capped) → exact Jaccard verification joined BY
+    DOC ID on the candidate pairs only. No shuffle is ever keyed on a
+    gram value, so hot shingles cannot skew an exchange. The all-pairs
+    gram-explode form (operators.dedup.jaccard_pairs) remains the
+    small-scale ground truth; tests/test_dedup.py asserts this candidate
+    path reproduces it exactly on the test corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    cands = minhash_lsh_pairs(docs, "doc_id", "text")
+    return jaccard_verify_pairs(docs, "doc_id", "text", cands, n=3, threshold=0.5)
 
 
 _JACCARD_SQL = f"""
-WITH grams AS (
-    SELECT doc_id, unnest({_ngrams_sql(3)}) AS gram FROM documents
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
-shared AS (
-    SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_shared
-    FROM grams l JOIN grams r ON l.gram = r.gram AND l.doc_id < r.doc_id
-    GROUP BY 1, 2
-)
-SELECT id_a, id_b, n_shared,
-       CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared) AS jaccard
-FROM shared
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared) >= 0.5
+WITH {_LSH_CTES},
+grams AS (SELECT doc_id, {_ngrams_sql(3)} AS g FROM documents)
+SELECT id_a, id_b,
+       len(list_intersect(a.g, b.g)) AS n_shared,
+       CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+           / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+FROM cand
+JOIN grams a ON a.doc_id = id_a
+JOIN grams b ON b.doc_id = id_b
+WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+          / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5
 """
 
 
@@ -288,5 +311,8 @@ QUERIES: dict[str, Q] = {
     ),
     "docs_minhash_signatures": Q(_minhash_sigs, _MINHASH_SIGS_SQL, "MinHash signatures"),
     "docs_minhash_lsh_pairs": Q(_minhash_pairs, _MINHASH_PAIRS_SQL, "MinHash LSH candidate pairs"),
-    "docs_jaccard_pairs": Q(_jaccard, _JACCARD_SQL, "exact 3-gram Jaccard pairs"),
+    "docs_jaccard_pairs": Q(
+        _jaccard, _JACCARD_SQL,
+        "LSH candidates → exact 3-gram Jaccard verification (scale path)",
+    ),
 }

@@ -1,0 +1,74 @@
+"""Dedup scale-path semantics: LSH bucket cap + candidate-verified Jaccard.
+
+The registry query `docs_jaccard_pairs` runs the 100 TB shape (LSH
+candidates → verify by doc id). These tests pin it to the small-scale
+ground truth (all-pairs gram-explode Jaccard) and prove the MAX_BUCKET
+guard actually bounds the pair space on a planted mega-bucket corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.operators.dedup import (
+    jaccard_pairs,
+    jaccard_verify_pairs,
+    minhash_lsh_pairs,
+)
+from etl_sentinel_imagery_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def _pair_set(df):
+    return {
+        (r["id_a"], r["id_b"], r["n_shared"], round(r["jaccard"], 12))
+        for r in df.collect()
+    }
+
+
+def test_candidate_verified_jaccard_matches_exact(spark):
+    """On the test corpus, LSH recall at J>=0.5 is total: the candidate-
+    verified path must reproduce the exact all-pairs result bit-for-bit
+    (if LSH ever misses a true pair here, the permutation count — not
+    this test — is what needs changing)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = _pair_set(jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5))
+    cands = minhash_lsh_pairs(docs, "doc_id", "text")
+    verified = _pair_set(
+        jaccard_verify_pairs(docs, "doc_id", "text", cands, n=3, threshold=0.5)
+    )
+    assert verified == exact
+    assert exact, "fixture corpus has no Jaccard>=0.5 pairs — test is vacuous"
+
+
+def test_bucket_cap_bounds_mega_bucket(spark):
+    """A boilerplate corpus (N identical docs) collides into one bucket
+    per band; uncapped, the self-join is N^2. With the cap, the mega
+    bucket is dropped entirely and the planted distinct docs still pair
+    normally."""
+    n_boiler = 200
+    boiler = spark.range(n_boiler).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate footer text repeated verbatim always").alias(
+            "text"
+        ),
+    )
+    # two genuinely-similar docs that must survive the cap
+    extra = spark.createDataFrame(
+        [
+            (10_001, "alpha beta gamma delta epsilon zeta eta theta"),
+            (10_002, "alpha beta gamma delta epsilon zeta eta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = boiler.unionByName(extra)
+
+    capped = minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=64)
+    pairs = capped.collect()
+    # mega bucket dropped: none of the quadratic boilerplate pairs appear
+    assert all(r["id_a"] >= 10_000 for r in pairs), pairs
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(10_001, 10_002)}
+
+    uncapped = minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=None)
+    n_uncapped = uncapped.count()
+    assert n_uncapped >= n_boiler * (n_boiler - 1) // 2

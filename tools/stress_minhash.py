@@ -86,6 +86,28 @@ def main() -> None:
         f"planted_near_dups={n_expected_dups} wall={wall:.1f}s "
         f"docs_per_sec={n_docs / wall:.0f}"
     )
+
+    # Mega-bucket scenario: 20% of the corpus is ONE boilerplate doc.
+    # Uncapped this bucket alone is (n/5)^2/2 pairs; the MAX_BUCKET guard
+    # must keep the candidate count near the healthy-corpus level.
+    boiler_frac = 5
+    mega = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % boiler_frac == 0, F.lit("boilerplate footer " * 20)
+        ).otherwise(F.col("text")),
+    )
+    t0 = time.time()
+    n_capped = minhash_lsh_pairs(mega, "doc_id", "text").count()
+    wall_capped = time.time() - t0
+    n_boiler = n_docs // boiler_frac
+    quad = n_boiler * (n_boiler - 1) // 2
+    print(
+        f"mega-bucket corpus: boiler_docs={n_boiler} "
+        f"uncapped_floor={quad} capped_pairs={n_capped} "
+        f"wall={wall_capped:.1f}s (dropped buckets bounded the join: "
+        f"{'OK' if n_capped < quad / 10 else 'STILL QUADRATIC'})"
+    )
     spark.stop()
 
 
