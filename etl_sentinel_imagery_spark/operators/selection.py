@@ -88,18 +88,67 @@ def with_coverage_ratio(
     return products.withColumn("area_ratio", iw * ih / F.lit(aoi_area))
 
 
-def rank_by_coverage(products_with_ratio: DataFrame) -> DataFrame:
-    """A1+W1: group-sum ratio per product, rank by (ratio desc,
-    OriginDate desc, Id asc) — the reference's sort/tiebreak chain
-    (imagery_store.py:252-259) as a single window."""
-    per_product = products_with_ratio.groupBy(
+def _coverage_order() -> list[Column]:
+    """The reference's sort/tiebreak chain (imagery_store.py:252-259).
+    Id asc is a UNIQUE final tiebreak → this is a total order, which
+    global_rank requires."""
+    return [F.desc("area_ratio"), F.desc("OriginDate"), F.asc("Id")]
+
+
+def _coverage_agg(products_with_ratio: DataFrame) -> DataFrame:
+    """A1: group-sum ratio per product (imagery_store.py:250-251)."""
+    return products_with_ratio.groupBy(
         "Id", "Name", "S3Path", "OriginDate", "tileId", "cloudCover",
         "relativeOrbitNumber",
     ).agg(F.sum("area_ratio").alias("area_ratio"))
-    w = Window.orderBy(
-        F.desc("area_ratio"), F.desc("OriginDate"), F.asc("Id")
+
+
+def global_rank(
+    df: DataFrame, order_cols: list[Column], rank_col: str = "rank"
+) -> DataFrame:
+    """Distributed global ranking with NO single-partition window.
+
+    `Window.orderBy(...)` with no partitionBy funnels every row through
+    one task ("No Partition Defined for Window" warning) — fine for a
+    handful of rows, a scale-killer on a 100×-broader catalog. Instead:
+    range-repartition on the sort keys (a total order ACROSS partitions),
+    rank locally within each partition, then shift by the partition
+    prefix counts. The only unpartitioned window left runs over the
+    per-partition count table — at most `spark.sql.shuffle.partitions`
+    rows, bounded regardless of data size — and the offset join
+    broadcasts that same tiny table.
+
+    Requires ``order_cols`` to be a TOTAL order (unique final tiebreak):
+    range boundaries may split ties, which would make ranks of tied rows
+    partition-dependent.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    local_w = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrank", F.row_number().over(local_w))
     )
-    return per_product.withColumn("rank", F.row_number().over(w))
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_lrank") + F.col("_off")).cast("int"))
+        .drop("_pid", "_lrank")
+    )
+
+
+def rank_by_coverage(products_with_ratio: DataFrame) -> DataFrame:
+    """A1+W1: group-sum ratio per product, rank by (ratio desc,
+    OriginDate desc, Id asc) — the full ranking, via the two-phase
+    distributed :func:`global_rank` (no single-partition window)."""
+    return global_rank(_coverage_agg(products_with_ratio), _coverage_order())
 
 
 def select_best_per_aoi(
@@ -161,13 +210,31 @@ def select_best_per_aoi(
     )
 
 
+def best_product_direct(
+    products_with_ratio: DataFrame, bands: list[str]
+) -> DataFrame:
+    """The top-1 selection WITHOUT materializing a full ranking:
+    aggregate per product, then orderBy(...).limit(1) — Catalyst plans
+    TakeOrderedAndProject (per-partition top-1 + driver merge of single
+    rows), no global sort, no window. This is the 100 TB path for the
+    single-AOI selection; :func:`rank_by_coverage` exists for when the
+    whole ranking is the product."""
+    best = _coverage_agg(products_with_ratio).orderBy(*_coverage_order()).limit(1)
+    return _product_record(best, bands)
+
+
 def best_product(ranked: DataFrame, bands: list[str]) -> DataFrame:
-    """O3+P2: the winning row, projected to the reference's product
-    record (imagery_store.py:259-269): uuid, name, s3path, tile,
-    product_date ([:10] truncate), cloudcoverage, bands, num_bands,
+    """O3+P2: the winning row of an already-ranked frame, projected to
+    the reference's product record (imagery_store.py:259-269)."""
+    return _product_record(ranked.filter(F.col("rank") == 1), bands)
+
+
+def _product_record(best: DataFrame, bands: list[str]) -> DataFrame:
+    """P2 projection (imagery_store.py:259-269): uuid, name, s3path,
+    tile, product_date ([:10] truncate), cloudcoverage, bands, num_bands,
     orbit, area_ratio."""
     return (
-        ranked.filter(F.col("rank") == 1)
+        best
         .select(
             F.col("Id").alias("uuid"),
             F.col("Name").alias("name"),

@@ -29,9 +29,8 @@ from etl_sentinel_imagery_spark.operators.raster import (
     stack_bands,
 )
 from etl_sentinel_imagery_spark.operators.selection import (
-    best_product,
+    best_product_direct,
     filter_products,
-    rank_by_coverage,
     with_coverage_ratio,
 )
 
@@ -106,7 +105,8 @@ def select_product(
     with_ratio = with_coverage_ratio(filtered, aoi_bbox).filter(
         F.col("area_ratio") > 0.0
     )
-    return best_product(rank_by_coverage(with_ratio), bands)
+    # top-1 via TakeOrderedAndProject — no full ranking materialized
+    return best_product_direct(with_ratio, bands)
 
 
 def etl_process_tile(

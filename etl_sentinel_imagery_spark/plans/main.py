@@ -1,15 +1,20 @@
 """Batch entry point — the reference's CLI run (§3.1), composed.
 
 `download_imagery.py:34-49`: Hydra config → AOI load → AreaDataset →
-(commented-out) per-tile loop with failure tolerance. This is that flow
-with the intended semantics: config dataclass → AOI reader → one
-acquisition per AOI row, per-row failure tolerance (a failing AOI logs
-and continues — the try/except the reference sketched), results unioned
-into one DataFrame of product records + cache writes.
+(commented-out) per-tile loop with failure tolerance.
 
-The loop is over AOIs (a handful of control-plane rows); each iteration
-schedules distributed work. Thousands of AOIs would instead join the AOI
-table against the catalog in one plan — noted in PERF.md.
+Two execution modes:
+
+- :func:`run_joined` (DEFAULT, the scale path): every AOI in ONE joined
+  plan (operators.selection.select_best_per_aoi — broadcast AOI table,
+  per-fid window), then band fetch + ETL once over the DISTINCT winning
+  products. No driver-side loop; thousands of AOIs cost one extra
+  broadcast join, and two AOIs sharing a winner fetch it once.
+- :func:`run` (fault-isolation option): the reference-shaped per-AOI
+  loop — one acquisition per AOI row, a failing AOI logs and continues
+  (the try/except `download_imagery.py:44-49` sketched). Use when AOIs
+  must fail independently (e.g. a flaky band source), at the cost of one
+  scheduled plan per AOI.
 """
 
 from __future__ import annotations
@@ -18,7 +23,16 @@ import logging
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_sentinel_imagery_spark.plans.acquisition import BandSource, acquire
+from etl_sentinel_imagery_spark.plans.acquisition import (
+    BandSource,
+    acquire,
+    etl_process_tile,
+    write_cache,
+)
+from etl_sentinel_imagery_spark.operators.selection import (
+    filter_products,
+    select_best_per_aoi,
+)
 from etl_sentinel_imagery_spark.sources.config import AcquisitionConfig
 from etl_sentinel_imagery_spark.sources.geo_readers import (
     read_aoi_csv,
@@ -36,6 +50,40 @@ def read_aoi(spark: SparkSession, path: str) -> DataFrame:
     raise ValueError(f"unsupported AOI format: {path}")
 
 
+def run_joined(
+    spark: SparkSession,
+    config: AcquisitionConfig,
+    catalog: DataFrame,
+    source: BandSource,
+    cache_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The default scale path: all AOIs as ONE joined plan.
+
+    Returns ``(selection, stacked)``: the per-AOI winner table
+    (fid → product record) and the ETL'd rasters of the distinct winning
+    products. AOIs that intersect nothing simply don't appear in
+    ``selection`` — no empty-guard loop needed."""
+    if config.aoi_path is None:
+        raise ValueError("config.aoi_path is required")
+    aois = read_aoi(spark, config.aoi_path)
+    p = config.selection_params()
+    filtered = filter_products(
+        catalog,
+        p["platform"],
+        p["product_type"],
+        p["date_start"],
+        p["date_end"],
+        p["cloud_max"],
+    )
+    selection = select_best_per_aoi(filtered, aois)
+    winners = selection.select("uuid").distinct()
+    rasters = source.fetch(spark, winners, config.bands)
+    stacked = etl_process_tile(rasters, normalize=config.normalize)
+    if cache_dir is not None:
+        write_cache(stacked, cache_dir)
+    return selection, stacked
+
+
 def run(
     spark: SparkSession,
     config: AcquisitionConfig,
@@ -43,8 +91,10 @@ def run(
     source: BandSource,
     cache_dir: str | None = None,
 ) -> list[DataFrame]:
-    """One acquisition per AOI row; failures are tolerated per-row
-    (download_imagery.py:44-49 intended semantics)."""
+    """Fault-isolation mode: one acquisition per AOI row; failures are
+    tolerated per-row (download_imagery.py:44-49 intended semantics).
+    Prefer :func:`run_joined` unless per-AOI failure isolation is
+    required."""
     if config.aoi_path is None:
         raise ValueError("config.aoi_path is required")
     aois = read_aoi(spark, config.aoi_path).collect()

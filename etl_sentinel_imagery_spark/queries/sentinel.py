@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_sentinel_imagery_spark.operators.selection import (
-    best_product,
+    best_product_direct,
     filter_products,
     rank_by_coverage,
     with_coverage_ratio,
@@ -100,9 +100,18 @@ FROM ranked
 
 
 def _select_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # bands is emitted as a joined string: array cells are not
-    # canonicalizable by the driver's value hasher.
-    return best_product(_ranked(spark), _BANDS).withColumn(
+    # top-1 via TakeOrderedAndProject (best_product_direct) — no global
+    # ranking window. bands is emitted as a joined string: array cells
+    # are not canonicalizable by the driver's value hasher.
+    cat = filter_products(
+        catalog_df(spark),
+        SELECT_PARAMS["platform"],
+        SELECT_PARAMS["product_type"],
+        SELECT_PARAMS["date_start"],
+        SELECT_PARAMS["date_end"],
+        SELECT_PARAMS["cloud_max"],
+    )
+    return best_product_direct(with_coverage_ratio(cat, _AOI_BBOX), _BANDS).withColumn(
         "bands", F.concat_ws(",", F.col("bands"))
     )
 

@@ -5,7 +5,7 @@ from __future__ import annotations
 import json
 
 from etl_sentinel_imagery_spark.plans.acquisition import SyntheticBandSource
-from etl_sentinel_imagery_spark.plans.main import run
+from etl_sentinel_imagery_spark.plans.main import run, run_joined
 from etl_sentinel_imagery_spark.sources.config import AcquisitionConfig
 from etl_sentinel_imagery_spark.sources.catalog_fixture import catalog_df
 
@@ -41,6 +41,26 @@ def _write_aoi(tmp_path) -> str:
     p = tmp_path / "aoi.geojson"
     p.write_text(json.dumps(fc))
     return str(p)
+
+
+def test_run_joined_single_plan(spark, tmp_path):
+    """Default mode: both AOIs resolved in ONE joined plan — the covered
+    AOI selects p-full, the off-catalog AOI silently yields no row."""
+    cfg = AcquisitionConfig(aoi_path=_write_aoi(tmp_path))
+    cache = str(tmp_path / "cache_joined")
+    selection, stacked = run_joined(
+        spark,
+        cfg,
+        catalog_df(spark),
+        SyntheticBandSource(height=4, width=4),
+        cache_dir=cache,
+    )
+    sel = selection.collect()
+    assert [(r["fid"], r["uuid"]) for r in sel] == [(1, "p-full")]
+    st = stacked.collect()
+    assert len(st) == 1 and st[0]["product_id"] == "p-full"
+    cached = spark.read.parquet(cache)
+    assert cached.select("uuid").distinct().count() == 1
 
 
 def test_run_batch_over_aoi_file(spark, tmp_path):
