@@ -75,9 +75,15 @@ def range_join_count(
     count_alias: str = "n_in_window",
 ) -> DataFrame:
     """left + count of right rows with same key and
-    right_ts ∈ (left_ts − window, left_ts]. Bucketized equi-join."""
-    l = left.withColumn("_lus", left_ts_us).withColumn(
-        "_lb", (F.col("_lus") / window_us).cast("long")
+    right_ts ∈ (left_ts − window, left_ts]. Bucketized equi-join.
+
+    Left rows need no uniqueness precondition: an internal per-row id
+    joins the re-group key, so fully duplicate left rows each keep their
+    own output row instead of collapsing with summed hits."""
+    l = (
+        left.withColumn("_lrow", F.monotonically_increasing_id())
+        .withColumn("_lus", left_ts_us)
+        .withColumn("_lb", (F.col("_lus") / window_us).cast("long"))
     )
     r = (
         right.withColumn("_rus", right_ts_us)
@@ -100,7 +106,7 @@ def range_join_count(
     )
     out_cols = [c for c in left.columns]
     return (
-        joined.groupBy(*[F.col(c) for c in out_cols], F.col("_lus"))
+        joined.groupBy(*[F.col(c) for c in out_cols], F.col("_lus"), F.col("_lrow"))
         .agg(F.sum("_hit").alias(count_alias))
-        .drop("_lus")
+        .drop("_lus", "_lrow")
     )

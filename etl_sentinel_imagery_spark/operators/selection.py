@@ -66,17 +66,32 @@ def with_coverage_ratio(
     products: DataFrame,
     aoi_bbox: tuple[float, float, float, float],
     footprint_col: str = "GeoFootprint",
+    mode: str = "intersection",
 ) -> DataFrame:
-    """J1/P3: AOI-coverage ratio = area(footprint ∩ AOI) / area(AOI).
+    """J1/P3: AOI-coverage ratio, bbox fast path (axis-aligned tiles).
 
-    Bbox fast path (tile footprints are axis-aligned): intersection width
-    × height over the AOI area, clamped at 0. The AOI is a handful of
-    scalars — broadcast as literals, so this is a narrow map stage with
-    no shuffle (the reference's overlay+groupby, imagery_store.py:249-251,
-    collapses to per-row arithmetic)."""
+    ``mode="intersection"`` (default): area(footprint ∩ AOI)/area(AOI) —
+    what "how much of my AOI does this product cover" means. DIVERGES
+    from the reference when candidate footprints differ in size: the
+    reference's union-overlay groupby (imagery_store.py:249-251)
+    effectively ranks by area(footprint)/area(AOI) INCLUDING footprint
+    area outside the AOI, so a huge mostly-irrelevant footprint can
+    outrank a tight fully-covering one. ``mode="reference"`` reproduces
+    that ranking for byte-parity comparisons. Divergence documented in
+    COVERAGE.md §J1.
+
+    The AOI is a handful of scalars — broadcast as literals, so either
+    mode is a narrow map stage with no shuffle."""
     aminx, aminy, amaxx, amaxy = aoi_bbox
     aoi_area = (amaxx - aminx) * (amaxy - aminy)
     bb = wkt_bbox(F.col(footprint_col))
+    if mode == "reference":
+        ratio = (
+            (bb["maxx"] - bb["minx"]) * (bb["maxy"] - bb["miny"]) / F.lit(aoi_area)
+        )
+        return products.withColumn("area_ratio", ratio)
+    if mode != "intersection":
+        raise ValueError(f"unknown coverage mode: {mode!r}")
     iw = F.greatest(
         F.least(bb["maxx"], F.lit(amaxx)) - F.greatest(bb["minx"], F.lit(aminx)),
         F.lit(0.0),

@@ -71,9 +71,70 @@ class AcquisitionConfig:
         }
 
 
+#: Reference nested-key aliases (`/root/reference/conf/config.yaml`):
+#: a reference-shaped YAML loads with identical semantics, not defaults.
+_REF_ALIASES: dict[tuple[str, str], str] = {
+    ("data", "aoi"): "aoi_path",
+    ("data", "tile_ids"): "tile_ids",
+    ("cache", "feature_dir"): "imagery_directory",
+    ("imagery", "start_date"): "date_start",
+    ("imagery", "end_date"): "date_end",
+    ("imagery", "platform_name"): "platform",
+    ("imagery", "product_type"): "product_type",
+    ("imagery", "cloud_coverage_max"): "cloud_max",
+    ("imagery", "resolution"): "resolution_m",
+    ("imagery", "bands"): "bands",
+    ("imagery", "format"): "output_format",
+    ("imagery", "api_id"): "username",
+    ("imagery", "api_secret"): "password",
+}
+#: Reference keys with no engine equivalent (framework/runtime concerns).
+_REF_IGNORED: set[tuple[str, ...]] = {
+    ("hydra",),
+    ("data", "crs"),
+    ("data", "global_dataset"),
+    ("imagery", "api_url"),
+    ("imagery", "processing_level"),
+}
+_REF_GROUPS = {g for g, _ in _REF_ALIASES}
+
+
 def load_config(path: str) -> AcquisitionConfig:
+    """Load a flat engine config OR a reference-shaped nested one.
+
+    Unrecognized keys RAISE instead of silently loading defaults — a
+    typo'd `cloud_coverage_max` must not quietly select 4.0%-cloud
+    products. Alias resolution runs BEFORE env interpolation so ignored
+    reference keys (e.g. imagery.api_url) never demand their env vars."""
     with open(path) as fh:
         raw = yaml.safe_load(fh) or {}
-    data = _interpolate(raw)
-    known = {f for f in AcquisitionConfig.__dataclass_fields__}
-    return AcquisitionConfig(**{k: v for k, v in data.items() if k in known})
+    known = set(AcquisitionConfig.__dataclass_fields__)
+    out: dict = {}
+    unknown: list[str] = []
+    for k, v in raw.items():
+        if k in known:
+            out[k] = v
+        elif k in _REF_GROUPS and isinstance(v, dict):
+            for kk, vv in v.items():
+                tgt = _REF_ALIASES.get((k, kk))
+                if tgt is not None:
+                    out[tgt] = vv
+                elif (k, kk) not in _REF_IGNORED:
+                    unknown.append(f"{k}.{kk}")
+        elif (k,) not in _REF_IGNORED:
+            unknown.append(k)
+    if unknown:
+        raise ValueError(
+            f"unrecognized config keys {unknown} in {path}; "
+            f"known: {sorted(known)} plus reference aliases "
+            f"{sorted('.'.join(a) for a in _REF_ALIASES)}"
+        )
+    out = _interpolate(out)
+    if "resolution_m" in out:
+        out["resolution_m"] = int(float(out["resolution_m"]))
+    if "cloud_max" in out:
+        out["cloud_max"] = float(out["cloud_max"])
+    for key in ("date_start", "date_end"):
+        if key in out:
+            out[key] = str(out[key])
+    return AcquisitionConfig(**out)

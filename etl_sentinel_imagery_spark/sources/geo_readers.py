@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from etl_sentinel_imagery_spark.operators.selection import wkt_bbox
 
-AOI_SCHEMA = "fid int, tile_id string, geometry string"
+AOI_SCHEMA = "fid bigint, tile_id string, geometry string"
 
 
 def _with_bbox(df: DataFrame) -> DataFrame:
@@ -40,9 +40,12 @@ def read_aoi_csv(spark: SparkSession, path: str) -> DataFrame:
     intended semantics — the reference's CSV branch never returned)."""
     raw = spark.read.option("header", True).csv(path)
     cols = [
-        F.col("fid").cast("int").alias("fid")
+        # fid stays BIGINT: monotonically_increasing_id packs the
+        # partition id into bits >= 33, so an int cast would collide ids
+        # across partitions and silently merge distinct AOIs downstream.
+        F.col("fid").cast("bigint").alias("fid")
         if "fid" in raw.columns
-        else F.monotonically_increasing_id().cast("int").alias("fid"),
+        else F.monotonically_increasing_id().alias("fid"),
         F.col("tile_id").alias("tile_id")
         if "tile_id" in raw.columns
         else F.lit(None).cast("string").alias("tile_id"),

@@ -129,13 +129,19 @@ def sliding_user_activity(events: DataFrame) -> DataFrame:
 def run_foreach_batch_to_parquet(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:
-    """foreachBatch sink: the exactly-once pattern for arbitrary sinks —
-    per-epoch idempotent write (overwrite by batch id partition)."""
+    """foreachBatch sink: exactly-once via per-epoch idempotent writes.
+
+    Each micro-batch lands in its own epoch_id partition with DYNAMIC
+    partition overwrite — a replayed epoch (failure between sink write
+    and checkpoint commit) rewrites exactly its own partition instead of
+    appending duplicates. Append mode would be at-least-once."""
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
         (
             batch_df.withColumn("epoch_id", F.lit(epoch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
             .parquet(out_dir)
         )
 

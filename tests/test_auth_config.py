@@ -79,3 +79,47 @@ def test_config_missing_env_raises(tmp_path):
     p.write_text("username: ${oc.env:DEFINITELY_UNSET_VAR_42}\n")
     with pytest.raises(KeyError):
         load_config(str(p))
+
+
+def test_config_reference_nested_shape(tmp_path, monkeypatch):
+    """A reference-shaped YAML (conf/config.yaml nesting + key names)
+    loads with identical semantics — not silently as all-defaults. The
+    ignored imagery.api_url must NOT demand its env var."""
+    monkeypatch.setenv("COPERNICUSHUB_API_ID", "bob")
+    monkeypatch.setenv("COPERNICUSHUB_API_SECRET", "s3cret")
+    p = tmp_path / "config.yaml"
+    p.write_text(
+        "hydra:\n  run:\n    dir: ./outputs\n"
+        "cache:\n  feature_dir: cache/s2\n"
+        "data:\n  aoi: data/toulouse.geojson\n  crs: epsg:4326\n"
+        "  global_dataset: data/tiles.csv\n  tile_ids: []\n"
+        "imagery:\n"
+        "  api_url: ${oc.env:COPERNICUSHUB_API_URL}\n"
+        "  api_id: ${oc.env:COPERNICUSHUB_API_ID}\n"
+        "  api_secret: ${oc.env:COPERNICUSHUB_API_SECRET}\n"
+        "  start_date: 2023-05-01\n"
+        "  end_date: 2023-09-05\n"
+        "  platform_name: SENTINEL-2\n"
+        "  processing_level: Level-2A\n"
+        "  product_type: S2MSI2A\n"
+        "  cloud_coverage_max: 7.5\n"
+        "  resolution: 10.0\n"
+        "  bands: [ 'B02', 'B03' ]\n"
+        "  format: UINT8\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.aoi_path == "data/toulouse.geojson"
+    assert cfg.imagery_directory == "cache/s2"
+    assert cfg.platform == "SENTINEL-2"
+    assert cfg.cloud_max == 7.5
+    assert cfg.date_start == "2023-05-01" and cfg.date_end == "2023-09-05"
+    assert cfg.resolution_m == 10
+    assert cfg.bands == ["B02", "B03"]
+    assert cfg.username == "bob" and cfg.password == "s3cret"
+
+
+def test_config_unknown_key_raises(tmp_path):
+    p = tmp_path / "config.yaml"
+    p.write_text("cloud_coverage_maximum: 3.0\n")
+    with pytest.raises(ValueError, match="unrecognized config keys"):
+        load_config(str(p))

@@ -80,6 +80,20 @@ def test_asof_strict_and_range_boundaries(spark):
     ).collect()[0]
     assert counts["n_in_window"] == 1
 
+    # fully duplicate left rows must NOT collapse into one summed row
+    dup_left = spark.createDataFrame(
+        [(1, 100, 10), (1, 100, 10)], "k int, t bigint, lid bigint"
+    )
+    dup_counts = range_join_count(
+        dup_left,
+        right,
+        key="k",
+        left_ts_us=F.col("t"),
+        right_ts_us=F.col("t"),
+        window_us=10,
+    ).collect()
+    assert [r["n_in_window"] for r in dup_counts] == [1, 1]
+
 
 def test_asof_join_matches_pandas_merge_asof(spark):
     """Cross-check the merged-stream window implementation against
