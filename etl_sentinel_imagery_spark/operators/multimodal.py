@@ -65,10 +65,17 @@ def byte_histogram(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def default_decoder(payload: bytes, meta: dict) -> np.ndarray:
-    """Real image decode needs PIL/opencv — not in this container."""
+    """GeoTIFF payloads decode natively (pure-numpy codec, functions.
+    geotiff) to (H, W, C); other formats need PIL/opencv — not in this
+    container."""
+    if payload[:4] == b"II*\x00":
+        from etl_sentinel_imagery_spark.functions.geotiff import decode_geotiff
+
+        arr, _transform, _crs, _nodata = decode_geotiff(payload)
+        return np.transpose(arr, (1, 2, 0))
     raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "environment; inject a decoder (see fake_decoder)"
+        "non-TIFF image decode requires an imaging library not present in "
+        "this environment; inject a decoder (see fake_decoder)"
     )
 
 

@@ -167,6 +167,7 @@ def acquire(
     clip_bbox: tuple[float, float, float, float] | None = None,
     normalize: bool = True,
     reproject_4326: bool = False,
+    cache_format: str = "parquet",
 ) -> DataFrame:
     """Entry point 2 analog (dataset.py:35-59): the full per-AOI pipeline.
 
@@ -187,5 +188,15 @@ def acquire(
             rasters, normalize=normalize, reproject_4326=reproject_4326
         )
     if cache_dir is not None:
-        write_cache(stacked, cache_dir)
+        if cache_format == "geotiff":
+            # the reference's {uuid}.tif cache (dataset.py:54) as bytes
+            from etl_sentinel_imagery_spark.operators.raster_io import (
+                write_cache_geotiff,
+            )
+
+            write_cache_geotiff(
+                stacked, cache_dir, dtype="uint8" if normalize else "int32"
+            )
+        else:
+            write_cache(stacked, cache_dir)
     return stacked

@@ -117,6 +117,28 @@ def test_cache_sink_idempotent_rerun(spark, tmp_path):
     assert [r["uuid"] for r in cached.select("uuid").collect()] == ["p-full"]
 
 
+def test_acquire_geotiff_cache_roundtrip(spark, tmp_path):
+    """cache_format='geotiff': the cache holds real GeoTIFF bytes that
+    decode back to the stacked normalized pixels (S8, tx.py:28-34)."""
+    from etl_sentinel_imagery_spark.functions.geotiff import decode_geotiff
+
+    cache = str(tmp_path / "tif_cache")
+    out = acquire(
+        spark, catalog_df(spark), AOI_BBOX, SELECT_PARAMS, BANDS,
+        SyntheticBandSource(height=4, width=4),
+        cache_dir=cache, normalize=True, cache_format="geotiff",
+    ).collect()
+    cached = spark.read.parquet(cache).collect()
+    assert len(cached) == 1 and cached[0]["uuid"] == "p-full"
+    arr, transform, crs, _ = decode_geotiff(cached[0]["tif"])
+    assert arr.dtype == np.uint8
+    np.testing.assert_array_equal(
+        arr.astype("int64"), np.array(out[0]["pixels"], dtype="int64")
+    )
+    assert crs == "epsg:32631"
+    assert transform["a"] == 10.0 and transform["e"] == -10.0
+
+
 def test_acquire_polygon_path_clips(spark):
     # clip bbox in raster CRS: source anchors x at 600000, 10 m px, 4×4
     clip_bbox = (600000.0, 4799980.0, 600020.0, 4800000.0)  # 2×2 window
