@@ -37,16 +37,23 @@ from etl_sentinel_imagery_spark.sources.config import AcquisitionConfig
 from etl_sentinel_imagery_spark.sources.geo_readers import (
     read_aoi_csv,
     read_aoi_geojson,
+    read_aoi_gpkg,
+    read_aoi_shp,
 )
 
 log = logging.getLogger(__name__)
 
 
 def read_aoi(spark: SparkSession, path: str) -> DataFrame:
+    """All four reference AOI formats (download_imagery.py:16-30)."""
     if path.endswith((".geojson", ".json")):
         return read_aoi_geojson(spark, path)
     if path.endswith(".csv"):
         return read_aoi_csv(spark, path)
+    if path.endswith(".gpkg"):
+        return read_aoi_gpkg(spark, path)
+    if path.endswith(".shp"):
+        return read_aoi_shp(spark, path)
     raise ValueError(f"unsupported AOI format: {path}")
 
 

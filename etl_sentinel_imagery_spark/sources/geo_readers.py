@@ -71,6 +71,180 @@ def _geojson_geom_to_wkt(geom: dict) -> str:
     raise ValueError(f"unsupported GeoJSON geometry type {t}")
 
 
+def _wkb_to_wkt(buf: bytes, offset: int = 0) -> str:
+    """WKB Polygon/MultiPolygon → WKT (outer rings only, like the
+    GeoJSON path — AOI clip windows have no holes)."""
+    import struct as _s
+
+    def ring_points(b, off, little):
+        fmt = "<" if little else ">"
+        (n,) = _s.unpack_from(fmt + "I", b, off)
+        off += 4
+        pts = _s.unpack_from(fmt + f"{2 * n}d", b, off)
+        return list(zip(pts[0::2], pts[1::2])), off + 16 * n
+
+    def polygon(b, off):
+        little = b[off] == 1
+        fmt = "<" if little else ">"
+        (gtype,) = _s.unpack_from(fmt + "I", b, off + 1)
+        if gtype & 0xFF != 3:
+            raise ValueError(f"expected WKB Polygon, got type {gtype}")
+        (n_rings,) = _s.unpack_from(fmt + "I", b, off + 5)
+        off += 9
+        outer, off = ring_points(b, off, little)
+        for _ in range(n_rings - 1):  # skip holes
+            _pts, off = ring_points(b, off, little)
+        return outer, off
+
+    little = buf[offset] == 1
+    fmt = "<" if little else ">"
+    (gtype,) = _s.unpack_from(fmt + "I", buf, offset + 1)
+    base = gtype & 0xFF
+    if base == 3:
+        outer, _ = polygon(buf, offset)
+        inner = ", ".join(f"{x:g} {y:g}" for x, y in outer)
+        return f"POLYGON (({inner}))"
+    if base == 6:
+        (n_polys,) = _s.unpack_from(fmt + "I", buf, offset + 5)
+        off = offset + 9
+        parts = []
+        for _ in range(n_polys):
+            outer, off = polygon(buf, off)
+            inner = ", ".join(f"{x:g} {y:g}" for x, y in outer)
+            parts.append(f"(({inner}))")
+        return "MULTIPOLYGON (" + ", ".join(parts) + ")"
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def read_aoi_gpkg(
+    spark: SparkSession, path: str, layer: str | None = None
+) -> DataFrame:
+    """GeoPackage (S2, download_imagery.py:22-27) → AOI schema.
+
+    A GPKG is a SQLite file (stdlib sqlite3, no geopandas): feature
+    table from gpkg_contents, geometry column from
+    gpkg_geometry_columns, each geometry a GeoPackage binary blob =
+    'GP' header (+ optional envelope) followed by standard WKB."""
+    import sqlite3
+
+    con = sqlite3.connect(path)
+    try:
+        if layer is None:
+            row = con.execute(
+                "SELECT table_name FROM gpkg_contents "
+                "WHERE data_type = 'features' LIMIT 1"
+            ).fetchone()
+            if row is None:
+                raise ValueError(f"no feature layer in {path}")
+            layer = row[0]
+        (geom_col,) = con.execute(
+            "SELECT column_name FROM gpkg_geometry_columns WHERE table_name = ?",
+            (layer,),
+        ).fetchone()
+        cols = [
+            r[1]
+            for r in con.execute(f'PRAGMA table_info("{layer}")').fetchall()
+        ]
+        has_tile = "tile_id" in cols
+        fid_col = "fid" if "fid" in cols else "rowid"
+        sel = f'SELECT {fid_col}, "{geom_col}"' + (
+            ", tile_id" if has_tile else ""
+        )
+        rows = []
+        for rec in con.execute(f'{sel} FROM "{layer}"'):
+            blob = rec[1]
+            if blob[:2] != b"GP":
+                raise ValueError("not a GeoPackage geometry blob")
+            flags = blob[3]
+            env_code = (flags >> 1) & 0b111
+            env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}[env_code]
+            wkt = _wkb_to_wkt(blob, 8 + env_len)
+            rows.append((int(rec[0]), rec[2] if has_tile else None, wkt))
+    finally:
+        con.close()
+    return _with_bbox(spark.createDataFrame(rows, schema=AOI_SCHEMA))
+
+
+def read_aoi_shp(spark: SparkSession, path: str) -> DataFrame:
+    """ESRI Shapefile (S2, download_imagery.py:22-27) → AOI schema.
+
+    Driver-side struct parse of the .shp main file (100-byte big-endian
+    header, per-record [num, length] headers, shape type 5 = Polygon:
+    bbox, part index array, packed points; outer rings only). A sibling
+    .dbf (dBase III) is read for fid/tile_id attributes when present;
+    otherwise fid is the record number."""
+    import os
+    import struct as _s
+
+    with open(path, "rb") as fh:
+        shp = fh.read()
+    (file_code,) = _s.unpack_from(">I", shp, 0)
+    if file_code != 9994:
+        raise ValueError(f"{path} is not a shapefile")
+    attrs = _read_dbf(os.path.splitext(path)[0] + ".dbf")
+    rows = []
+    off = 100
+    while off < len(shp):
+        rec_num, content_len = _s.unpack_from(">II", shp, off)
+        off += 8
+        (shape_type,) = _s.unpack_from("<I", shp, off)
+        if shape_type != 5:
+            raise ValueError(f"only Polygon (5) supported, got {shape_type}")
+        n_parts, n_points = _s.unpack_from("<II", shp, off + 36)
+        parts = _s.unpack_from(f"<{n_parts}I", shp, off + 44)
+        pts_off = off + 44 + 4 * n_parts
+        pts = _s.unpack_from(f"<{2 * n_points}d", shp, pts_off)
+        xy = list(zip(pts[0::2], pts[1::2]))
+        # outer ring = first part (shapefile outer rings are clockwise;
+        # holes are the later parts for single-polygon records)
+        end = parts[1] if n_parts > 1 else n_points
+        outer = xy[parts[0] : end]
+        inner = ", ".join(f"{x:g} {y:g}" for x, y in outer)
+        rec_attrs = attrs.get(rec_num, {})
+        rows.append(
+            (
+                int(rec_attrs.get("fid", rec_num - 1)),
+                rec_attrs.get("tile_id"),
+                f"POLYGON (({inner}))",
+            )
+        )
+        off += 2 * content_len  # content_len is in 16-bit words
+    return _with_bbox(spark.createDataFrame(rows, schema=AOI_SCHEMA))
+
+
+def _read_dbf(path: str) -> dict[int, dict]:
+    """Minimal dBase III reader: record number (1-based, matching .shp
+    record numbers) → {field: value}. Missing file → no attributes."""
+    import struct as _s
+
+    try:
+        with open(path, "rb") as fh:
+            buf = fh.read()
+    except FileNotFoundError:
+        return {}
+    n_records, header_len, record_len = _s.unpack_from("<IHH", buf, 4)
+    fields = []
+    off = 32
+    while buf[off] != 0x0D:
+        name = buf[off : off + 11].split(b"\x00", 1)[0].decode("ascii")
+        ftype = chr(buf[off + 11])
+        flen = buf[off + 16]
+        fields.append((name, ftype, flen))
+        off += 32
+    out: dict[int, dict] = {}
+    off = header_len
+    for rec in range(1, n_records + 1):
+        vals: dict = {}
+        pos = off + 1  # skip deletion flag
+        for name, ftype, flen in fields:
+            raw = buf[pos : pos + flen].decode("ascii", "replace").strip()
+            vals[name] = int(raw) if ftype == "N" and raw.lstrip("-").isdigit() else (raw or None)
+            pos += flen
+        out[rec] = vals
+        off += record_len
+    return out
+
+
 def read_aoi_geojson(spark: SparkSession, path: str) -> DataFrame:
     """GeoJSON FeatureCollection → (fid, tile_id, geometry WKT, bbox).
 

@@ -63,3 +63,120 @@ def test_read_aoi_geojson(spark, tmp_path):
     assert row["fid"] == 7
     assert row["geometry"].startswith("POLYGON ((1.2047 43.3882")
     assert row["bbox"]["miny"] == 43.3882
+
+
+def _wkb_polygon(coords: list[tuple[float, float]]) -> bytes:
+    """Little-endian WKB Polygon with a single ring (test fixture side —
+    independent encoder, exercising the reader's parser)."""
+    import struct
+
+    buf = struct.pack("<BII", 1, 3, 1) + struct.pack("<I", len(coords))
+    for x, y in coords:
+        buf += struct.pack("<dd", x, y)
+    return buf
+
+
+RING = [(1.25, 43.25), (1.75, 43.25), (1.75, 43.75), (1.25, 43.75), (1.25, 43.25)]
+
+
+def test_read_aoi_gpkg(spark, tmp_path):
+    """Hand-built GeoPackage: SQLite + gpkg_contents/gpkg_geometry_columns
+    + a feature table whose geometry is a GP-header + WKB blob."""
+    import sqlite3
+    import struct
+
+    from etl_sentinel_imagery_spark.sources.geo_readers import read_aoi_gpkg
+
+    path = str(tmp_path / "aoi.gpkg")
+    con = sqlite3.connect(path)
+    con.execute(
+        "CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT)"
+    )
+    con.execute(
+        "CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT)"
+    )
+    con.execute(
+        "CREATE TABLE aoi (fid INTEGER PRIMARY KEY, tile_id TEXT, geom BLOB)"
+    )
+    con.execute("INSERT INTO gpkg_contents VALUES ('aoi', 'features')")
+    con.execute("INSERT INTO gpkg_geometry_columns VALUES ('aoi', 'geom')")
+    # GP header: magic, version 0, flags bit1-3=1 → 32-byte XY envelope
+    header = b"GP" + bytes([0, 0b10]) + struct.pack("<i", 4326)
+    envelope = struct.pack("<4d", 1.25, 1.75, 43.25, 43.75)
+    blob = header + envelope + _wkb_polygon(RING)
+    con.execute("INSERT INTO aoi VALUES (3, '31TCJ', ?)", (blob,))
+    con.commit()
+    con.close()
+
+    row = read_aoi_gpkg(spark, path).collect()[0]
+    assert row["fid"] == 3 and row["tile_id"] == "31TCJ"
+    assert row["geometry"] == (
+        "POLYGON ((1.25 43.25, 1.75 43.25, 1.75 43.75, 1.25 43.75, 1.25 43.25))"
+    )
+    assert row["bbox"]["maxx"] == 1.75
+
+
+def test_read_aoi_shp_with_dbf(spark, tmp_path):
+    """Hand-built shapefile record (type 5 polygon) + dBase III .dbf."""
+    import struct
+
+    from etl_sentinel_imagery_spark.sources.geo_readers import read_aoi_shp
+
+    # --- .shp: 100-byte header + one polygon record
+    n_pts = len(RING)
+    content = struct.pack("<I", 5)  # shape type
+    content += struct.pack("<4d", 1.25, 43.25, 1.75, 43.75)  # bbox
+    content += struct.pack("<II", 1, n_pts)  # numparts, numpoints
+    content += struct.pack("<I", 0)  # part offsets
+    for x, y in RING:
+        content += struct.pack("<dd", x, y)
+    content_words = len(content) // 2
+    rec = struct.pack(">II", 1, content_words) + content
+    file_words = (100 + len(rec)) // 2
+    header = struct.pack(">I", 9994) + b"\x00" * 20 + struct.pack(">I", file_words)
+    header += struct.pack("<II", 1000, 5)  # version, shape type
+    header += struct.pack("<8d", 1.25, 43.25, 1.75, 43.75, 0, 0, 0, 0)
+    shp_path = tmp_path / "aoi.shp"
+    shp_path.write_bytes(header + rec)
+
+    # --- .dbf: fields fid (N), tile_id (C)
+    fid_field = b"fid".ljust(11, b"\x00") + b"N" + b"\x00" * 4 + bytes([8]) + b"\x00" * 15
+    tile_field = (
+        b"tile_id".ljust(11, b"\x00") + b"C" + b"\x00" * 4 + bytes([8]) + b"\x00" * 15
+    )
+    dbf_header = struct.pack(
+        "<BBBBIHH", 3, 24, 1, 1, 1, 32 + 64 + 1, 1 + 8 + 8
+    ) + b"\x00" * 20
+    record = b" " + b"       9" + b"31TCJ   "
+    (tmp_path / "aoi.dbf").write_bytes(
+        dbf_header + fid_field + tile_field + b"\x0d" + record
+    )
+
+    row = read_aoi_shp(spark, str(shp_path)).collect()[0]
+    assert row["fid"] == 9 and row["tile_id"] == "31TCJ"
+    assert row["geometry"] == (
+        "POLYGON ((1.25 43.25, 1.75 43.25, 1.75 43.75, 1.25 43.75, 1.25 43.25))"
+    )
+
+
+def test_read_aoi_shp_without_dbf(spark, tmp_path):
+    """No sibling .dbf → fid falls back to 0-based record number."""
+    import struct
+
+    from etl_sentinel_imagery_spark.sources.geo_readers import read_aoi_shp
+
+    content = struct.pack("<I", 5)
+    content += struct.pack("<4d", 0, 0, 1, 1)
+    content += struct.pack("<II", 1, 4)
+    content += struct.pack("<I", 0)
+    for x, y in [(0, 0), (1, 0), (1, 1), (0, 0)]:
+        content += struct.pack("<dd", float(x), float(y))
+    rec = struct.pack(">II", 1, len(content) // 2) + content
+    header = struct.pack(">I", 9994) + b"\x00" * 20
+    header += struct.pack(">I", (100 + len(rec)) // 2)
+    header += struct.pack("<II", 1000, 5) + struct.pack("<8d", 0, 0, 1, 1, 0, 0, 0, 0)
+    p = tmp_path / "bare.shp"
+    p.write_bytes(header + rec)
+    row = read_aoi_shp(spark, str(p)).collect()[0]
+    assert row["fid"] == 0 and row["tile_id"] is None
+    assert row["geometry"].startswith("POLYGON ((0 0")
