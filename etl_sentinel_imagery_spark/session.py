@@ -42,6 +42,9 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python DataSource pushFilters (sources.odata_source) is gated
+        # off by default in Spark 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     # Measured: a larger heap made the bench consistently SLOWER on this

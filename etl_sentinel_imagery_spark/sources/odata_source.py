@@ -1,0 +1,134 @@
+"""DSv2 OData catalog connector with real filter pushdown.
+
+The reference's central optimization is server-side `$filter` pushdown
+(`/root/reference/code/imagery_store.py:216-221`). sources.odata renders
+those strings; THIS module is the connector that makes Catalyst emit
+them: a Spark 4 Python DataSource whose reader implements
+``pushFilters`` — the engine's selection predicates (platform /
+productType / tileId equality, ContentDate range, cloudCover ceiling)
+are claimed at planning time, rendered into the exact OData `$filter`
+the reference builds, and removed from Spark's post-scan evaluation.
+Residual predicates stay Spark-side.
+
+No network in this environment: ``read()`` serves the embedded catalog
+fixture, honoring the pushed `$filter` exactly as the live endpoint
+would. A networked deployment swaps ``_serve`` for a paged HTTP GET of
+``build_url`` output (one InputPartition per page).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from etl_sentinel_imagery_spark.sources.odata import _attr_eq, _attr_le
+
+_SOURCE_NAME = "odata_catalog"
+
+
+def _render_clause(f: Filter) -> str | None:
+    """One Catalyst filter → one OData clause (None = not expressible)."""
+    col = f.attribute[-1] if isinstance(f.attribute, tuple) else f.attribute
+    if isinstance(f, EqualTo):
+        if col == "platform":
+            return f"Collection/Name eq '{f.value}'"
+        if col in ("productType", "tileId"):
+            return _attr_eq(col, f.value)
+    if isinstance(f, GreaterThan) and col == "ContentDate_Start":
+        return f"ContentDate/Start gt {f.value}T00:00:00.000Z"
+    if isinstance(f, LessThan) and col == "ContentDate_Start":
+        return f"ContentDate/Start lt {f.value}T00:00:00.000Z"
+    if isinstance(f, LessThanOrEqual) and col == "cloudCover":
+        return _attr_le("cloudCover", float(f.value))
+    return None
+
+
+def _matches(row: dict, f: Filter) -> bool:
+    """The fixture 'server' honoring a pushed predicate."""
+    col = f.attribute[-1] if isinstance(f.attribute, tuple) else f.attribute
+    v = row[col]
+    if isinstance(f, EqualTo):
+        return v == f.value
+    if isinstance(f, GreaterThan):
+        return v > f.value
+    if isinstance(f, LessThan):
+        return v < f.value
+    if isinstance(f, LessThanOrEqual):
+        return v <= f.value
+    raise AssertionError(f"unpushable filter reached the server: {f}")
+
+
+class ODataCatalogReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self.schema = schema
+        self.options = options
+        self.pushed: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        # NB: planning runs in a separate Python worker — the observable
+        # contract is the BatchScan's PushedFilters line in explain()
+        # (asserted in tests/test_odata.py) plus rendered_filter() on a
+        # pickled-back reader.
+        residual = []
+        for f in filters:
+            if _render_clause(f) is not None:
+                self.pushed.append(f)
+            else:
+                residual.append(f)
+        return iter(residual)
+
+    def rendered_filter(self) -> str:
+        """The OData `$filter` string for the pushed predicate set —
+        exactly what a live endpoint would receive via build_url."""
+        return " and ".join(c for f in self.pushed if (c := _render_clause(f)))
+
+    def partitions(self):
+        # one catalog page; a live endpoint paginates ($top/$skip) with
+        # one InputPartition per page for parallel fetch
+        return [InputPartition(0)]
+
+    def read(self, partition) -> Iterator[tuple]:
+        from etl_sentinel_imagery_spark.sources.catalog_fixture import (
+            CATALOG_COLUMNS,
+            CATALOG_ROWS,
+            _row_tuple,
+        )
+
+        for raw in CATALOG_ROWS:
+            t = _row_tuple(raw)
+            row = dict(zip(CATALOG_COLUMNS, t[: len(CATALOG_COLUMNS)]))
+            if all(_matches(row, f) for f in self.pushed):
+                yield t
+
+
+class ODataCatalogDataSource(DataSource):
+    """spark.read.format("odata_catalog").load() — the catalog as a scan
+    with reference-parity `$filter` pushdown."""
+
+    @classmethod
+    def name(cls) -> str:
+        return _SOURCE_NAME
+
+    def schema(self) -> str:
+        from etl_sentinel_imagery_spark.sources.catalog_fixture import (
+            _CATALOG_SCHEMA,
+        )
+
+        return _CATALOG_SCHEMA
+
+    def reader(self, schema) -> ODataCatalogReader:
+        return ODataCatalogReader(schema, self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(ODataCatalogDataSource)

@@ -48,3 +48,65 @@ def test_url_has_expand_and_page_cap():
     assert url.startswith("https://catalogue.dataspace.copernicus.eu/odata/v1/Products?$filter=")
     assert "$expand=Attributes" in url
     assert "$top=20" in url  # server page cap, imagery_store.py:45
+
+
+def test_dsv2_connector_pushes_filters(spark):
+    """The Python DataSource claims the reference's predicate set at
+    planning time: PushedFilters appear on the BatchScan, Spark's
+    residual filter keeps only null checks, and results match the
+    DataFrame-catalog path exactly."""
+    import io
+    from contextlib import redirect_stdout
+
+    from etl_sentinel_imagery_spark.operators.selection import filter_products
+    from etl_sentinel_imagery_spark.sources import odata_source
+    from etl_sentinel_imagery_spark.sources.catalog_fixture import catalog_df
+
+    odata_source.register(spark)
+    scan = spark.read.format("odata_catalog").load()
+    sel = filter_products(scan, "SENTINEL-2", "S2MSI2A", "2023-05-01",
+                          "2023-09-05", 4.0)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        sel.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [EqualTo(platform,SENTINEL-2)" in plan
+    assert "LessThanOrEqual(cloudCover,4.0)" in plan
+    # everything pushable was pushed: the post-scan Filter has no
+    # comparison predicates left, only the isnotnull guards
+    cond = [l for l in plan.splitlines() if l.startswith("Condition")]
+    assert cond and "=" not in cond[0].replace("Condition :", "")
+
+    got = sorted(r["Id"] for r in sel.select("Id").collect())
+    want_df = filter_products(catalog_df(spark), "SENTINEL-2", "S2MSI2A",
+                              "2023-05-01", "2023-09-05", 4.0)
+    want = sorted(r["Id"] for r in want_df.select("Id").collect())
+    assert got == want and len(got) == 7
+
+
+def test_dsv2_rendered_filter_matches_reference_strings():
+    """Pushed predicates render to the same OData clauses build_filter
+    emits (imagery_store.py:216-221 parity at the connector boundary)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, LessThanOrEqual
+
+    from etl_sentinel_imagery_spark.sources.odata_source import ODataCatalogReader
+
+    r = ODataCatalogReader(None, {})
+    residual = list(
+        r.pushFilters(
+            [
+                EqualTo(("platform",), "SENTINEL-2"),
+                EqualTo(("productType",), "S2MSI2A"),
+                GreaterThan(("ContentDate_Start",), "2023-05-01"),
+                LessThanOrEqual(("cloudCover",), 4.0),
+                EqualTo(("Id",), "p-full"),  # not OData-expressible
+            ]
+        )
+    )
+    assert len(residual) == 1 and residual[0].attribute == ("Id",)
+    f = r.rendered_filter()
+    assert "Collection/Name eq 'SENTINEL-2'" in f
+    assert "att/Name eq 'productType' and" in f
+    assert "ContentDate/Start gt 2023-05-01T00:00:00.000Z" in f
+    assert "att/OData.CSC.DoubleAttribute/Value le 4.0" in f
