@@ -107,6 +107,129 @@ def intersection_area(subject: np.ndarray, clip_convex: np.ndarray) -> float:
     return shoelace_area(inter) if len(inter) >= 3 else 0.0
 
 
+def _is_convex(ring: np.ndarray) -> bool:
+    """True if the ring's turns are all one sign (collinear runs allowed)."""
+    n = len(ring)
+    sign = 0
+    for i in range(n):
+        o, a, b = ring[i], ring[(i + 1) % n], ring[(i + 2) % n]
+        cr = (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+        if cr != 0:
+            if sign == 0:
+                sign = 1 if cr > 0 else -1
+            elif (cr > 0) != (sign > 0):
+                return False
+    return True
+
+
+def triangulate(ring: np.ndarray) -> list[np.ndarray]:
+    """Ear-clipping triangulation of a simple polygon (no holes). O(n²),
+    fine for control-plane AOI rings. Returns CCW triangles that
+    partition the polygon — disjoint interiors, exact area sum."""
+    pts = ring[::-1].copy() if not _is_ccw(ring) else ring.copy()
+    idx = list(range(len(pts)))
+    tris: list[np.ndarray] = []
+
+    def cross(o, a, b) -> float:
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def in_tri(p, a, b, c, inclusive: bool) -> bool:
+        # inclusive: points ON the candidate ear's boundary also block it
+        # — an ear diagonal grazing a reflex vertex produces a triangle
+        # that pokes outside the polygon (the L-shape's (1,1) case)
+        d1, d2, d3 = cross(a, b, p), cross(b, c, p), cross(c, a, p)
+        if inclusive:
+            return d1 >= 0 and d2 >= 0 and d3 >= 0
+        return d1 > 0 and d2 > 0 and d3 > 0
+
+    def find_ear(inclusive: bool) -> int | None:
+        n = len(idx)
+        for k in range(n):
+            i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+            a, b, c = pts[i0], pts[i1], pts[i2]
+            if cross(a, b, c) <= 0:  # reflex or degenerate corner
+                continue
+            if any(
+                in_tri(pts[j], a, b, c, inclusive)
+                for j in idx
+                if j not in (i0, i1, i2)
+            ):
+                continue
+            return k
+        return None
+
+    guard = 0
+    while len(idx) > 3:
+        guard += 1
+        if guard > 10_000:
+            raise ValueError("triangulation did not converge (self-intersecting ring?)")
+        # inclusive blocking first (correctness); strict as the progress
+        # fallback when only boundary-touching ears remain (two-ears
+        # theorem guarantees one under the strict test)
+        k = find_ear(inclusive=True)
+        if k is None:
+            k = find_ear(inclusive=False)
+        if k is not None:
+            n = len(idx)
+            i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+            tris.append(np.array([pts[i0], pts[i1], pts[i2]]))
+            idx.pop(k)
+        else:
+            # only degenerate (zero-area) corners left — drop one and go on
+            idx.pop(0)
+    if len(idx) == 3:
+        a, b, c = pts[idx[0]], pts[idx[1]], pts[idx[2]]
+        if cross(a, b, c) != 0:
+            tris.append(np.array([a, b, c]))
+    return tris
+
+
+def intersection_area_general(subject: np.ndarray, clip: np.ndarray) -> float:
+    """area(subject ∩ clip) for ARBITRARY simple polygons.
+
+    Convex clip → one Sutherland–Hodgman pass. Concave clip →
+    triangulated (ear clipping); the triangles partition the clip region,
+    so per-triangle S–H areas sum to the exact intersection area. This is
+    the general-overlay parity point with the reference's
+    `gpd.overlay(..., how='union')` (imagery_store.py:249), which handles
+    arbitrary AOI shapes."""
+    if _is_convex(clip):
+        return intersection_area(subject, clip)
+    return sum(intersection_area(subject, tri) for tri in triangulate(clip))
+
+
+_WKT_MULTI_RE = re.compile(r"MULTIPOLYGON\s*\((.+)\)\s*$", re.IGNORECASE | re.DOTALL)
+_RING_RE = re.compile(r"\(\(([^()]+)\)\)")
+
+
+def parse_wkt_rings(wkt: str) -> list[np.ndarray]:
+    """POLYGON → [outer ring]; MULTIPOLYGON → [outer ring per member]
+    (outer rings only — AOI/footprint usage has no holes)."""
+    if _WKT_MULTI_RE.search(wkt):
+        rings = []
+        for m in _RING_RE.finditer(wkt):
+            pts = np.array(
+                [[float(v) for v in p.strip().split()] for p in m.group(1).split(",")]
+            )
+            if len(pts) > 1 and np.array_equal(pts[0], pts[-1]):
+                pts = pts[:-1]
+            rings.append(pts)
+        if rings:
+            return rings
+    return [parse_wkt_polygon(wkt)]
+
+
+def multi_intersection_area(subject_wkt: str, clip_rings: list[np.ndarray]) -> float:
+    """Σ over (footprint member × clip ring) intersection areas — exact
+    when members are disjoint (MultiPolygon semantics) and clip rings are
+    disjoint (a multi-part AOI)."""
+    return sum(
+        intersection_area_general(s, c)
+        for s in parse_wkt_rings(subject_wkt)
+        for c in clip_rings
+    )
+
+
 def point_in_polygon(px: float, py: float, ring: np.ndarray) -> bool:
     """Ray-casting point-in-polygon (edges count as inside)."""
     n = len(ring)
@@ -139,26 +262,27 @@ def make_coverage_ratio_udf(aoi_wkt: str):
 
     Exact-overlay variant of operators.selection.with_coverage_ratio —
     needed when footprints are not axis-aligned (true Sentinel-2 swath
-    footprints are clipped parallelograms)."""
-    aoi = parse_wkt_polygon(aoi_wkt)
-    aoi_area = shoelace_area(aoi)
+    footprints are clipped parallelograms). Handles CONCAVE AOIs
+    (triangulated clip), multi-part AOIs, and MULTIPOLYGON footprints."""
+    aoi_rings = parse_wkt_rings(aoi_wkt)
+    aoi_area = sum(shoelace_area(r) for r in aoi_rings)
 
     @F.pandas_udf(DoubleType())
     def _ratio(wkts: pd.Series) -> pd.Series:
         return wkts.map(
-            lambda w: intersection_area(parse_wkt_polygon(w), aoi) / aoi_area
+            lambda w: multi_intersection_area(w, aoi_rings) / aoi_area
         )
 
     return _ratio
 
 
 def make_intersects_udf(aoi_wkt: str):
-    aoi = parse_wkt_polygon(aoi_wkt)
+    aoi_rings = parse_wkt_rings(aoi_wkt)
 
     @F.pandas_udf(BooleanType())
     def _intersects(wkts: pd.Series) -> pd.Series:
         return wkts.map(
-            lambda w: intersection_area(parse_wkt_polygon(w), aoi) > 0.0
+            lambda w: multi_intersection_area(w, aoi_rings) > 0.0
         )
 
     return _intersects

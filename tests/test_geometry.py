@@ -93,3 +93,77 @@ def test_coverage_matches_bbox_fastpath():
     ih = min(44.0, 43.75) - max(43.0, 43.25)
     assert exact == pytest.approx(iw * ih / 0.25)
     assert exact == pytest.approx(0.5)
+
+
+# --- general (concave / multi) overlay ------------------------------------
+def test_triangulate_partitions_area():
+    from etl_sentinel_imagery_spark.functions.geometry import (
+        shoelace_area,
+        triangulate,
+    )
+
+    L = np.array([(0, 0), (2, 0), (2, 1), (1, 1), (1, 2), (0, 2)], dtype=float)
+    tris = triangulate(L)
+    assert len(tris) == 4  # n-2 triangles for a simple hexagon
+    assert abs(sum(shoelace_area(t) for t in tris) - 3.0) < 1e-12
+
+
+def test_concave_clip_exact_area():
+    """L-shaped AOI ∩ unit square with known closed-form answer."""
+    from etl_sentinel_imagery_spark.functions.geometry import (
+        intersection_area_general,
+    )
+
+    L = np.array([(0, 0), (2, 0), (2, 1), (1, 1), (1, 2), (0, 2)], dtype=float)
+    # square covering [0.5, 1.5]²: inside-L part is everything except the
+    # [1, 1.5]² quadrant → 1 − 0.25
+    sq = np.array([(0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5)], dtype=float)
+    assert abs(intersection_area_general(sq, L) - 0.75) < 1e-12
+    # convex clip falls back to the single-pass path, same answer
+    assert abs(intersection_area_general(L, sq) - 0.75) < 1e-12
+
+
+def test_concave_clip_matches_grid_estimate():
+    """Randomized star-shaped concave AOIs: exact kernel vs a dense
+    point-in-polygon grid (Monte-Carlo-free, deterministic)."""
+    from etl_sentinel_imagery_spark.functions.geometry import (
+        intersection_area_general,
+        point_in_polygon,
+    )
+
+    rng = np.random.RandomState(11)
+    for _ in range(3):
+        # star polygon around (0.5, 0.5): angles sorted, radii vary → simple
+        angles = np.sort(rng.uniform(0, 2 * np.pi, 9))
+        radii = rng.uniform(0.15, 0.45, 9)
+        ring = np.stack(
+            [0.5 + radii * np.cos(angles), 0.5 + radii * np.sin(angles)], axis=1
+        )
+        subject = np.array([(0.2, 0.2), (0.8, 0.2), (0.8, 0.8), (0.2, 0.8)])
+        exact = intersection_area_general(subject, ring)
+        n = 220
+        xs = (np.arange(n) + 0.5) / n
+        hits = sum(
+            point_in_polygon(x, y, ring) and point_in_polygon(x, y, subject)
+            for x in xs
+            for y in xs
+        )
+        approx = hits / (n * n)
+        assert abs(exact - approx) < 0.01, (exact, approx)
+
+
+def test_multipolygon_footprint_parse_and_area():
+    from etl_sentinel_imagery_spark.functions.geometry import (
+        multi_intersection_area,
+        parse_wkt_rings,
+    )
+
+    wkt = (
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+        "((2 0, 3 0, 3 1, 2 1, 2 0)))"
+    )
+    rings = parse_wkt_rings(wkt)
+    assert len(rings) == 2
+    clip = [np.array([(0.5, 0.0), (2.5, 0.0), (2.5, 1.0), (0.5, 1.0)])]
+    # left member contributes 0.5, right member 0.5
+    assert abs(multi_intersection_area(wkt, clip) - 1.0) < 1e-12
