@@ -161,24 +161,14 @@ def mosaic_first(
     return out, (res_x, 0.0, minx, 0.0, res_y, maxy)
 
 
-# --- minimal transverse-mercator (UTM→WGS84), spherical form --------------
+# --- transverse mercator (UTM↔WGS84), ellipsoidal Krüger series -----------
 def utm_inverse(zone: int, northern: bool = True) -> Callable:
-    """Spherical transverse-mercator inverse (public textbook formulas) —
-    adequate for test-grade reprojection; swap in a geodesic library for
-    production accuracy."""
-    R = 6378137.0
-    k0 = 0.9996
-    lon0 = math.radians(zone * 6 - 183)
+    """Ellipsoidal UTM inverse (functions.proj Krüger series) — matches
+    PROJ to sub-millimeter within a zone, replacing the round-1
+    spherical stand-in (which was off by ~24 km in northing at 45°)."""
+    from etl_sentinel_imagery_spark.functions.proj import utm_inverse as _inv
 
-    def inv(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        x = (np.asarray(x, dtype=float) - 500000.0) / (k0 * R)
-        y0 = np.asarray(y, dtype=float) - (0.0 if northern else 10000000.0)
-        y0 = y0 / (k0 * R)
-        lon = lon0 + np.arctan2(np.sinh(x), np.cos(y0))
-        lat = np.arcsin(np.sin(y0) / np.cosh(x))
-        return np.degrees(lon), np.degrees(lat)
-
-    return inv
+    return _inv(zone, northern)
 
 
 # =========================== Spark stages ================================
@@ -290,16 +280,11 @@ def reproject_stacks(stacked_df: DataFrame, dst_crs: str = "epsg:4326") -> DataF
                     raise NotImplementedError(f"source CRS {crs}")
                 zone = int(crs[-2:])
                 inv = utm_inverse(zone)
+                from etl_sentinel_imagery_spark.functions.proj import (
+                    utm_forward,
+                )
 
-                def fwd(lon, lat, _inv=inv, _z=zone):
-                    # forward TM (needed to map dst grid → src coords)
-                    R, k0 = 6378137.0, 0.9996
-                    lon0 = math.radians(_z * 6 - 183)
-                    lam = np.radians(np.asarray(lon, dtype=float)) - lon0
-                    phi = np.radians(np.asarray(lat, dtype=float))
-                    x = R * k0 * np.arctanh(np.cos(phi) * np.sin(lam))
-                    y = R * k0 * np.arctan2(np.tan(phi), np.cos(lam))
-                    return x + 500000.0, y
+                fwd = utm_forward(zone)  # maps dst grid → src coords
 
                 dst_t, dst_shape = default_wgs84_grid(
                     src_t, (pix.shape[1], pix.shape[2]), inv
