@@ -69,14 +69,34 @@ class SyntheticBandSource:
 
 
 class HttpBandSource:
-    """Live CDSE downloader (imagery_store.py:92-147 semantics): metadata
-    join on uuid, MTD XML band resolve, then per-band chunked streaming
-    HTTP with redirect-following inside foreachPartition tasks, coalesced
-    to the 4-connection quota. Requires network access."""
+    """Live downloader (imagery_store.py:92-147 semantics): per-band
+    chunked streaming HTTP with redirect-following and 401→token-refresh
+    retry inside executor tasks, coalesced to the 4-connection quota.
+    Fully implemented in sources.http_bands and exercised against a
+    local fake server (tests/test_http_bands.py); this wrapper binds the
+    engine's URL scheme + token endpoint. Needs network (or a local
+    server) at fetch time."""
+
+    def __init__(self, base_url: str, token_url: str):
+        self.base_url, self.token_url = base_url, token_url
 
     def fetch(self, spark: SparkSession, products: DataFrame, bands: list[str]) -> DataFrame:
-        raise NotImplementedError(
-            "no network access in this environment; use SyntheticBandSource"
+        import functools
+
+        from etl_sentinel_imagery_spark.sources.http_bands import (
+            fetch_bands_http,
+            make_token_manager,
+            simple_band_url,
+        )
+
+        return fetch_bands_http(
+            spark,
+            products,
+            bands,
+            url_for=functools.partial(simple_band_url, self.base_url),
+            token_manager_factory=functools.partial(
+                make_token_manager, self.token_url
+            ),
         )
 
 
