@@ -239,6 +239,12 @@ def jaccard_verify_pairs(
     The division is the same single integer→double op, so similarity
     values stay cross-engine exact.
     """
+    # `pairs` fans out three ways below (both cand-id branches + the
+    # final join). Without a materialization barrier Spark recomputes the
+    # entire candidate-generation lineage (e.g. the full MinHash-LSH
+    # pipeline) once per branch — measured 3× the LSH cost at sf0.1.
+    # localCheckpoint materializes the (tiny) pair set once, eagerly.
+    pairs = pairs.localCheckpoint(eager=True)
     cand_ids = (
         pairs.select(F.col("id_a").alias("cid"))
         .union(pairs.select(F.col("id_b").alias("cid")))
