@@ -42,12 +42,18 @@ def fit(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "first_k",
 ) -> tuple[np.ndarray, list[float]]:
     """Run n_iter Lloyd's passes; returns (centroids, per-iter inertia).
 
     Inertia here = mean(1 − cos(x, centroid(x))) — monotone non-increasing
-    for spherical k-means up to empty-cluster resets."""
-    centroids = init_centroids(embeddings, k, id_col, vec_col)
+    for spherical k-means up to empty-cluster resets. ``init``:
+    'first_k' (deterministic test seed) or 'scalable' (k-means||, the
+    corpus-scale initialization)."""
+    if init == "scalable":
+        centroids = init_centroids_scalable(embeddings, k, id_col=id_col, vec_col=vec_col)
+    else:
+        centroids = init_centroids(embeddings, k, id_col, vec_col)
     inertias: list[float] = []
 
     for _ in range(n_iter):
@@ -98,3 +104,90 @@ def fit(
                     new_centroids[r["bucket"]] = v / norm
         centroids = new_centroids
     return centroids, inertias
+
+
+def init_centroids_scalable(
+    embeddings: DataFrame,
+    k: int,
+    l: int | None = None,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """k-means|| initialization (Bahmani et al. 2012, public algorithm),
+    deterministic: the per-point Bernoulli draws use an id-keyed integer
+    hash instead of an RNG, so the same corpus always seeds the same
+    centroids (reproducible pipelines, retry-safe).
+
+    Each round is ONE distributed pass (cost + oversampled draw); the
+    ≤ l·rounds+1 candidates are reduced driver-side by weighted
+    farthest-first + weighted Lloyd — k-means++'s reclustering step with
+    the randomness replaced by maximin, which is deterministic."""
+    l = l or 2 * k
+    first = (
+        embeddings.orderBy(id_col).limit(1).select(vec_col).collect()[0][vec_col]
+    )
+    centers = [np.asarray(first, dtype="float64")]
+    centers[0] = centers[0] / np.linalg.norm(centers[0])
+
+    for rnd in range(rounds):
+        cent = np.stack(centers)
+
+        @F.pandas_udf("double")
+        def best_d2(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for vecs in batches:
+                mat = _normalize_rows(np.stack(vecs.map(np.asarray)))
+                yield pd.Series(1.0 - (mat @ cent.T).max(axis=1))
+
+        scored = embeddings.select(
+            F.col(id_col), F.col(vec_col), best_d2(F.col(vec_col)).alias("d2")
+        )
+        psi = scored.agg(F.sum("d2")).collect()[0][0]
+        if not psi or psi <= 0:
+            break  # every point coincides with a center already
+        u = (
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(rnd)), F.lit(1_000_000))
+            + F.lit(0.5)
+        ) / F.lit(1_000_000.0)
+        drawn = scored.filter(
+            u < F.lit(float(l)) * F.col("d2") / F.lit(float(psi))
+        ).collect()
+        for r in drawn:
+            v = np.asarray(r[vec_col], dtype="float64")
+            centers.append(v / np.linalg.norm(v))
+
+    cand = np.stack(centers)
+    if len(centers) <= k:
+        # tiny corpus: pad with repeats of the first center
+        pad = np.repeat(cand[:1], k - len(centers) + 1, axis=0)
+        return np.vstack([cand, pad])[:k]
+
+    # weight candidates by how much corpus they attract (one pass)
+    counts = {
+        r["bucket"]: r["n"]
+        for r in ivf_assign(embeddings, cand, id_col, vec_col)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    w = np.array([counts.get(i, 0) for i in range(len(cand))], dtype="float64")
+
+    # deterministic weighted farthest-first seeding over the candidates
+    chosen = [int(np.argmax(w))]
+    for _ in range(k - 1):
+        d2 = 1.0 - (cand @ cand[chosen].T).max(axis=1)
+        d2[chosen] = -1.0
+        chosen.append(int(np.argmax(w * d2)))
+    centroids = cand[chosen]
+
+    # a few weighted Lloyd passes on the candidate set (driver-side numpy)
+    for _ in range(5):
+        assign = np.argmax(cand @ centroids.T, axis=1)
+        for j in range(k):
+            sel = assign == j
+            if w[sel].sum() > 0:
+                v = (cand[sel] * w[sel, None]).sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[j] = v / n
+    return centroids

@@ -176,3 +176,79 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "cos_sim", "rnk")
     )
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus bucketed by nearest centroid — parquet
+    PARTITIONED BY bucket, so probes become partition-PRUNED scans
+    (the ROADMAP'd 100 TB layout: a probe of n_probe buckets reads
+    n_probe/n_centroids of the data, enforced by the planner, visible
+    as PartitionFilters in explain)."""
+    (
+        ivf_assign(embeddings, centroids, id_col, vec_col)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries_df: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over a persisted IVF index.
+
+    The union of all probed buckets lands as a literal IN-filter on the
+    partition column, so the parquet scan never touches unprobed
+    buckets. Queries are collected driver-side to compute the probe set
+    (they are the small side by construction) and broadcast into the
+    bucket join."""
+    cent_normed = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    q_rows = queries_df.select(id_col, vec_col).collect()
+    q_ids = [r[id_col] for r in q_rows]
+    q_mat = np.stack([np.asarray(r[vec_col], dtype="float64") for r in q_rows])
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    probes = np.argsort(-(q_mat @ cent_normed.T), axis=1)[:, :n_probe]
+    probe_set = sorted({int(b) for row in probes for b in row})
+
+    qry = spark.createDataFrame(
+        [
+            (int(qid), q_mat[i].tolist(), int(b))
+            for i, qid in enumerate(q_ids)
+            for b in probes[i]
+        ],
+        "query_id bigint, query_vec array<double>, bucket int",
+    )
+    index = spark.read.parquet(index_path).filter(F.col("bucket").isin(probe_set))
+    cand = index.select(
+        F.col(id_col).alias("cand_id"),
+        as_double_array(vec_col).alias("cand_vec"),
+        "bucket",
+    )
+    scored = (
+        cand.join(F.broadcast(qry), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("query_vec"), F.col("cand_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rnk")
+    )

@@ -126,6 +126,40 @@ def sliding_user_activity(events: DataFrame) -> DataFrame:
     )
 
 
+def purchases_with_recent_click(
+    events: DataFrame, window: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's click events within the preceding ``window``.
+
+    Both sides carry watermarks so the join state is bounded: Spark can
+    discard click state older than watermark + interval. The join
+    condition is the same (t−w, t] interval as the batch as-of/range
+    operators (operators.asof), making the batch queries the semantic
+    oracle for this streaming form."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"),
+                F.col("event_id").alias("purchase_id"), "value")
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") > F.col("purchase_ts") - F.expr(f"INTERVAL {window}")),
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts", "value")
+
+
 def run_foreach_batch_to_parquet(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:

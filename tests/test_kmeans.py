@@ -47,3 +47,59 @@ def test_trained_centroids_beat_naive_for_recall(spark):
 
     r_naive, r_trained = recall(naive), recall(trained)
     assert r_trained >= r_naive - 0.05, (r_naive, r_trained)
+
+
+def test_scalable_init_deterministic_and_competitive(spark):
+    """k-means|| init: reproducible (hash-keyed draws, no RNG), right
+    shape, unit-norm, and at least as good a starting point as first-k
+    on final inertia after the same number of Lloyd passes."""
+    from etl_sentinel_imagery_spark.operators.kmeans import (
+        init_centroids_scalable,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    c1 = init_centroids_scalable(emb, k=8)
+    c2 = init_centroids_scalable(emb, k=8)
+    np.testing.assert_array_equal(c1, c2)
+    assert c1.shape == (8, 64)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+    _, inert_first = fit(emb, k=8, n_iter=3, init="first_k")
+    _, inert_scal = fit(emb, k=8, n_iter=3, init="scalable")
+    assert inert_scal[-1] <= inert_first[-1] + 0.02, (inert_first, inert_scal)
+
+
+def test_ivf_persisted_index_partition_pruned(spark, tmp_path):
+    """The persisted IVF layout: probes must show up as PartitionFilters
+    on the parquet scan (planner-enforced bucket pruning), and recall
+    must match the in-memory IVF path exactly."""
+    import io
+    from contextlib import redirect_stdout
+
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+    from etl_sentinel_imagery_spark.queries.vectors_q import _centroids
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = _centroids(spark, SF_DIR)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, cents, path)
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    indexed = ivf_topk_indexed(spark, path, queries, cents, k=5)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        indexed.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    got = {(r["query_id"], r["cand_id"]) for r in indexed.collect()}
+    want = {
+        (r["query_id"], r["cand_id"])
+        for r in ivf_topk(emb, F.col("vec_id") < 20, cents, k=5).collect()
+    }
+    assert got == want

@@ -134,3 +134,44 @@ def test_streaming_stateful_running_totals(spark, events_stream_dir):
     for uid, (n, tv) in batch.items():
         assert final[uid][0] == n
         assert abs(final[uid][1] - tv) < 1e-6
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
+    """Stream-stream join vs the identical batch join over the same
+    input: every emitted (purchase, click) pair must match, and for
+    pairs whose event-time is safely inside the watermark horizon the
+    streaming result must be complete."""
+    from etl_sentinel_imagery_spark.streaming.events import (
+        purchases_with_recent_click,
+    )
+
+    stream = purchases_with_recent_click(
+        read_events_stream(spark, events_stream_dir)
+    )
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in run_to_memory(stream, "t_ssjoin", "append").collect()
+    }
+
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = {
+        (r["purchase_id"], r["click_id"])
+        for r in purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") > F.col("purchase_ts") - F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got <= batch
+    assert len(got) >= len(batch) * 0.9  # bounded source: nearly all emitted
+    assert batch, "fixture has no purchase-after-click pairs"
