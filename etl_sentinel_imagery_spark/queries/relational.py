@@ -228,6 +228,9 @@ def _window_frames_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(range_w).alias("n_orders_90d"),
         F.first("o_orderkey").over(full_w).alias("first_orderkey"),
         F.last("o_orderkey").over(full_w).alias("last_orderkey"),
+        F.ntile(4).over(rank_w).alias("price_quartile"),
+        F.percent_rank().over(rank_w).alias("price_pct_rank"),
+        F.cume_dist().over(rank_w).alias("price_cume_dist"),
     )
 
 
@@ -241,13 +244,17 @@ SELECT o_orderkey, o_custkey, order_day,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER rw AS DOUBLE) AS spend_90d,
        COUNT(*) OVER rw AS n_orders_90d,
        FIRST_VALUE(o_orderkey) OVER sw AS first_orderkey,
-       LAST_VALUE(o_orderkey) OVER sw AS last_orderkey
+       LAST_VALUE(o_orderkey) OVER sw AS last_orderkey,
+       CAST(NTILE(4) OVER pw AS INTEGER) AS price_quartile,
+       PERCENT_RANK() OVER pw AS price_pct_rank,
+       CUME_DIST() OVER pw AS price_cume_dist
 FROM (
     SELECT *, CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
                    AS INTEGER) AS order_day
     FROM orders
 )
 WINDOW seq_w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       pw AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC),
        rw AS (PARTITION BY o_custkey ORDER BY order_day
               RANGE BETWEEN 90 PRECEDING AND CURRENT ROW),
        sw AS (PARTITION BY o_custkey ORDER BY order_day, o_orderkey
@@ -285,28 +292,55 @@ SELECT 'customer_only' AS tag, nationkey FROM (
 
 # --- rollup (grouping sets family, SURVEY §2.4 ext) ----------------------
 def _rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP ∪ CUBE ∪ explicit GROUPING SETS in one result, tagged by
+    ``gset`` and disambiguated by grouping_id — the full grouping-sets
+    family (the CUBE adds the nation-only slices ROLLUP lacks)."""
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     joined = customer.join(
         F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
     ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-    return joined.rollup(
-        F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
-    ).agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_customers"),
         dsum("c_acctbal").alias("total_acctbal"),
+    ]
+    keys = [F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")]
+    rolled = (
+        joined.rollup(*keys)
+        .agg(F.grouping_id().alias("gid"), *aggs)
+        .withColumn("gset", F.lit("rollup"))
+    )
+    cubed = (
+        joined.cube(*keys)
+        .agg(F.grouping_id().alias("gid"), *aggs)
+        .withColumn("gset", F.lit("cube"))
+    )
+    return rolled.unionByName(cubed).select(
+        "gset", "region_name", "nation_name", "gid", "n_customers", "total_acctbal"
     )
 
 
 _ROLLUP_SQL = """
-SELECT r.r_name AS region_name, n.n_name AS nation_name,
+WITH joined AS (
+    SELECT r.r_name AS region_name, n.n_name AS nation_name, c.c_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT 'rollup' AS gset, region_name, nation_name,
+       CAST(GROUPING(region_name, nation_name) AS INTEGER) AS gid,
        COUNT(*) AS n_customers,
-       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
-FROM customer c
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-GROUP BY ROLLUP (r.r_name, n.n_name)
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM joined
+GROUP BY ROLLUP (region_name, nation_name)
+UNION ALL
+SELECT 'cube' AS gset, region_name, nation_name,
+       CAST(GROUPING(region_name, nation_name) AS INTEGER) AS gid,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM joined
+GROUP BY CUBE (region_name, nation_name)
 """
 
 
