@@ -93,9 +93,19 @@ class ODataCatalogReader(DataSourceReader):
         return " and ".join(c for f in self.pushed if (c := _render_clause(f)))
 
     def partitions(self):
-        # one catalog page; a live endpoint paginates ($top/$skip) with
-        # one InputPartition per page for parallel fetch
-        return [InputPartition(0)]
+        # $top/$skip pagination: one InputPartition per page → pages
+        # fetch in parallel across executors. page_size comes from the
+        # 'page_size' option (default: the server's $top cap, 20 —
+        # imagery_store.py:45). The fixture's page count is known
+        # planning-side; a live endpoint would issue one $count=true
+        # probe here instead.
+        from etl_sentinel_imagery_spark.sources.catalog_fixture import (
+            CATALOG_ROWS,
+        )
+
+        page = int(self.options.get("page_size", "20"))
+        n_pages = max(1, -(-len(CATALOG_ROWS) // page))
+        return [InputPartition((p * page, page)) for p in range(n_pages)]
 
     def read(self, partition) -> Iterator[tuple]:
         from etl_sentinel_imagery_spark.sources.catalog_fixture import (
@@ -104,11 +114,20 @@ class ODataCatalogReader(DataSourceReader):
             _row_tuple,
         )
 
+        skip, top = partition.value
+        # the "server" applies $filter BEFORE $skip/$top pagination,
+        # exactly like the live OData endpoint
+        i = 0
         for raw in CATALOG_ROWS:
             t = _row_tuple(raw)
             row = dict(zip(CATALOG_COLUMNS, t[: len(CATALOG_COLUMNS)]))
-            if all(_matches(row, f) for f in self.pushed):
+            if not all(_matches(row, f) for f in self.pushed):
+                continue
+            if i >= skip + top:
+                break
+            if i >= skip:
                 yield t
+            i += 1
 
 
 class ODataCatalogDataSource(DataSource):

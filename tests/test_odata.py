@@ -110,3 +110,23 @@ def test_dsv2_rendered_filter_matches_reference_strings():
     assert "att/Name eq 'productType' and" in f
     assert "ContentDate/Start gt 2023-05-01T00:00:00.000Z" in f
     assert "att/OData.CSC.DoubleAttribute/Value le 4.0" in f
+
+
+def test_dsv2_pagination_partitions(spark):
+    """$top/$skip pagination: page_size=5 over the 12-row fixture gives
+    one InputPartition per page and identical union-of-pages results."""
+    from etl_sentinel_imagery_spark.sources import odata_source
+
+    odata_source.register(spark)
+    paged = (
+        spark.read.format("odata_catalog").option("page_size", "5").load()
+    )
+    assert paged.rdd.getNumPartitions() == 3  # ceil(12 / 5)
+    whole = spark.read.format("odata_catalog").load()
+    assert sorted(r["Id"] for r in paged.collect()) == sorted(
+        r["Id"] for r in whole.collect()
+    )
+    # pushdown composes with pagination: the server filters BEFORE
+    # paging, so filtered pages still union to the filtered catalog
+    filtered = paged.filter("platform = 'SENTINEL-2' AND cloudCover <= 4.0")
+    assert filtered.count() == 10

@@ -40,6 +40,9 @@ CHECKS = {
     "cosine_topk_bruteforce": {"BroadcastNestedLoopJoin|BroadcastHashJoin|Broadcast": True},
     "events_windows_battery": {"HashAggregate": True},
     "purchase_asof_click": {"Window": True},
+    # grouping sets plan through an Expand node feeding the aggregate
+    "rollup_region_nation": {"Expand": True, "BroadcastHashJoin": True},
+    "window_frames_battery": {"Window": True},
 }
 
 
