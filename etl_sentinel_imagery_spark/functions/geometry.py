@@ -26,12 +26,16 @@ _WKT_POLY_RE = re.compile(r"POLYGON\s*\(\((.+?)\)\)", re.IGNORECASE)
 
 def parse_wkt_polygon(wkt: str) -> np.ndarray:
     """Outer ring of a WKT POLYGON as an (n, 2) float array (closed ring's
-    duplicate last vertex dropped). Raises ValueError on malformed input."""
+    duplicate last vertex dropped; interior rings/holes skipped). Raises
+    ValueError on malformed input."""
     m = _WKT_POLY_RE.search(wkt)
     if not m:
         raise ValueError(f"not a WKT polygon: {wkt[:80]!r}")
+    # a hole-bearing polygon matches as 'outer),(hole...' — keep the
+    # outer ring (text before the first close-paren)
+    outer = m.group(1).split(")")[0]
     pts = np.array(
-        [[float(v) for v in p.strip().split()] for p in m.group(1).split(",")]
+        [[float(v) for v in p.strip().split()] for p in outer.split(",")]
     )
     if len(pts) > 1 and np.array_equal(pts[0], pts[-1]):
         pts = pts[:-1]
@@ -199,23 +203,34 @@ def intersection_area_general(subject: np.ndarray, clip: np.ndarray) -> float:
 
 
 _WKT_MULTI_RE = re.compile(r"MULTIPOLYGON\s*\((.+)\)\s*$", re.IGNORECASE | re.DOTALL)
-_RING_RE = re.compile(r"\(\(([^()]+)\)\)")
+#: one MULTIPOLYGON member = '((outer[,holes...]))'; `.*?` spans the
+#: '),(' hole separators so members WITH holes still match
+_MEMBER_RE = re.compile(r"\(\((.*?)\)\)(?=\s*,|\s*$)", re.DOTALL)
+
+
+def _ring_points(coord_text: str) -> np.ndarray:
+    pts = np.array(
+        [[float(v) for v in p.strip().split()] for p in coord_text.split(",")]
+    )
+    if len(pts) > 1 and np.array_equal(pts[0], pts[-1]):
+        pts = pts[:-1]
+    return pts
 
 
 def parse_wkt_rings(wkt: str) -> list[np.ndarray]:
-    """POLYGON → [outer ring]; MULTIPOLYGON → [outer ring per member]
-    (outer rings only — AOI/footprint usage has no holes)."""
-    if _WKT_MULTI_RE.search(wkt):
+    """POLYGON → [outer ring]; MULTIPOLYGON → [outer ring per member].
+    Holes (interior rings) are dropped per the documented outer-ring-only
+    policy — but a member WITH holes still contributes its outer ring."""
+    m = _WKT_MULTI_RE.search(wkt)
+    if m:
         rings = []
-        for m in _RING_RE.finditer(wkt):
-            pts = np.array(
-                [[float(v) for v in p.strip().split()] for p in m.group(1).split(",")]
-            )
-            if len(pts) > 1 and np.array_equal(pts[0], pts[-1]):
-                pts = pts[:-1]
-            rings.append(pts)
-        if rings:
-            return rings
+        for member in _MEMBER_RE.finditer(m.group(1)):
+            # member text is 'outer' or 'outer),(hole1),(hole2' —
+            # the outer ring is everything before the first ')'
+            rings.append(_ring_points(member.group(1).split(")")[0]))
+        if not rings:
+            raise ValueError(f"no polygon members parsed from {wkt[:80]!r}")
+        return rings
     return [parse_wkt_polygon(wkt)]
 
 

@@ -131,7 +131,10 @@ def encode_geotiff(
         entries.append((_T_GDAL_NODATA, _FT_ASCII, (nodata_ascii,)))
     entries.sort(key=lambda e: e[0])
 
-    ifd_offset = 8 + len(data)
+    # TIFF 6.0 requires IFDs and out-of-line values on word boundaries —
+    # pad an odd-length strip before placing the IFD
+    data_pad = b"\x00" * (len(data) % 2)
+    ifd_offset = 8 + len(data) + len(data_pad)
     # IFD: count + 12 bytes/entry + next-IFD pointer; overflow area after
     overflow_offset = ifd_offset + 2 + 12 * len(entries) + 4
     ifd = struct.pack("<H", len(entries))
@@ -158,11 +161,11 @@ def encode_geotiff(
             ifd += struct.pack(
                 "<HHLL", tag, ftype, count, overflow_offset + len(overflow)
             )
-            overflow += raw
+            overflow += raw + b"\x00" * (len(raw) % 2)  # keep values word-aligned
     ifd += struct.pack("<L", 0)  # no next IFD
 
     header = _II + struct.pack("<HL", _MAGIC, ifd_offset)
-    return header + data + ifd + overflow
+    return header + data + data_pad + ifd + overflow
 
 
 def decode_geotiff(buf: bytes) -> tuple[np.ndarray, dict, str, int | None]:

@@ -119,8 +119,9 @@ def init_centroids_scalable(
     hash instead of an RNG, so the same corpus always seeds the same
     centroids (reproducible pipelines, retry-safe).
 
-    Each round is ONE distributed pass (cost + oversampled draw); the
-    ≤ l·rounds+1 candidates are reduced driver-side by weighted
+    Each round scores the corpus once — the scored frame is persisted so
+    the ψ aggregate and the oversampled draw share one UDF pass — then
+    the ≤ l·rounds+1 candidates are reduced driver-side by weighted
     farthest-first + weighted Lloyd — k-means++'s reclustering step with
     the randomness replaced by maximin, which is deterministic."""
     l = l or 2 * k
@@ -139,19 +140,25 @@ def init_centroids_scalable(
                 mat = _normalize_rows(np.stack(vecs.map(np.asarray)))
                 yield pd.Series(1.0 - (mat @ cent.T).max(axis=1))
 
+        # persisted: the ψ aggregate and the draw below both consume this
+        # frame — without the barrier the full-corpus scoring UDF would
+        # run twice per round
         scored = embeddings.select(
             F.col(id_col), F.col(vec_col), best_d2(F.col(vec_col)).alias("d2")
-        )
-        psi = scored.agg(F.sum("d2")).collect()[0][0]
-        if not psi or psi <= 0:
-            break  # every point coincides with a center already
-        u = (
-            F.pmod(F.xxhash64(F.col(id_col), F.lit(rnd)), F.lit(1_000_000))
-            + F.lit(0.5)
-        ) / F.lit(1_000_000.0)
-        drawn = scored.filter(
-            u < F.lit(float(l)) * F.col("d2") / F.lit(float(psi))
-        ).collect()
+        ).persist()
+        try:
+            psi = scored.agg(F.sum("d2")).collect()[0][0]
+            if not psi or psi <= 0:
+                break  # every point coincides with a center already
+            u = (
+                F.pmod(F.xxhash64(F.col(id_col), F.lit(rnd)), F.lit(1_000_000))
+                + F.lit(0.5)
+            ) / F.lit(1_000_000.0)
+            drawn = scored.filter(
+                u < F.lit(float(l)) * F.col("d2") / F.lit(float(psi))
+            ).collect()
+        finally:
+            scored.unpersist()
         for r in drawn:
             v = np.asarray(r[vec_col], dtype="float64")
             centers.append(v / np.linalg.norm(v))

@@ -90,6 +90,13 @@ def scd2_apply(
     untouched history ∪ closed-out old versions ∪ new open versions."""
     payload = [c for c in updates.columns if c not in keys]
     compare = compare_cols if compare_cols is not None else payload
+    if not payload:
+        raise ValueError(
+            "SCD2 update batch has no payload columns beyond the keys — "
+            "nothing to version"
+        )
+    if not compare:
+        raise ValueError("compare_cols must name at least one column")
     _assert_unique(updates, keys, "SCD2 update batch")
 
     current = dim.filter(F.col("is_current"))

@@ -65,14 +65,27 @@ def byte_histogram(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def default_decoder(payload: bytes, meta: dict) -> np.ndarray:
-    """GeoTIFF payloads decode natively (pure-numpy codec, functions.
-    geotiff) to (H, W, C); other formats need PIL/opencv — not in this
-    container."""
+    """Baseline GeoTIFF payloads decode natively (pure-numpy codec,
+    functions.geotiff) to (H, W, C); other formats need PIL/opencv —
+    not in this container."""
     if payload[:4] == b"II*\x00":
         from etl_sentinel_imagery_spark.functions.geotiff import decode_geotiff
 
-        arr, _transform, _crs, _nodata = decode_geotiff(payload)
+        try:
+            arr, _transform, _crs, _nodata = decode_geotiff(payload)
+        except (KeyError, ValueError, IndexError) as e:
+            # a little-endian TIFF outside the baseline-GeoTIFF subset
+            # (compressed, tiled, no geo tags, …) — surface guidance,
+            # not a bare KeyError from a missing tag
+            raise NotImplementedError(
+                f"TIFF payload outside the baseline GeoTIFF subset ({e!r});"
+                " inject a full decoder (see fake_decoder)"
+            ) from e
         return np.transpose(arr, (1, 2, 0))
+    if payload[:4] == b"MM\x00*":
+        raise NotImplementedError(
+            "big-endian TIFF is outside the baseline codec; inject a decoder"
+        )
     raise NotImplementedError(
         "non-TIFF image decode requires an imaging library not present in "
         "this environment; inject a decoder (see fake_decoder)"

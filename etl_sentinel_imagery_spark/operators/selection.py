@@ -22,10 +22,15 @@ from pyspark.sql import functions as F
 
 
 def wkt_bbox(wkt: Column) -> dict[str, Column]:
-    """Bounding box of a WKT POLYGON, parsed entirely JVM-side
-    (regexp + array transforms; F6/F7, dataset.py:38-40 analog)."""
-    coords = F.regexp_extract(wkt, r"POLYGON \(\((.+)\)\)", 1)
-    pairs = F.split(coords, ", ")
+    """Bounding box of a WKT POLYGON or MULTIPOLYGON, parsed entirely
+    JVM-side (regexp + array transforms; F6/F7, dataset.py:38-40
+    analog). Stripping the keyword and all parens leaves the flat
+    'x y, x y, …' pair list regardless of ring/member nesting — the
+    bbox is winding- and hole-insensitive by construction."""
+    coords = F.regexp_replace(
+        F.regexp_replace(wkt, r"[A-Za-z]+\s*", ""), r"[()]", ""
+    )
+    pairs = F.split(coords, ",\\s*")
     xs = F.transform(pairs, lambda p: F.split(p, " ").getItem(0).cast("double"))
     ys = F.transform(pairs, lambda p: F.split(p, " ").getItem(1).cast("double"))
     return {

@@ -195,17 +195,36 @@ def read_aoi_shp(spark: SparkSession, path: str) -> DataFrame:
         pts_off = off + 44 + 4 * n_parts
         pts = _s.unpack_from(f"<{2 * n_points}d", shp, pts_off)
         xy = list(zip(pts[0::2], pts[1::2]))
-        # outer ring = first part (shapefile outer rings are clockwise;
-        # holes are the later parts for single-polygon records)
-        end = parts[1] if n_parts > 1 else n_points
-        outer = xy[parts[0] : end]
-        inner = ", ".join(f"{x:g} {y:g}" for x, y in outer)
+        # The spec distinguishes OUTER rings (clockwise) from holes
+        # (counter-clockwise) by winding — a multi-part record may be a
+        # multi-island AOI, so every CW ring is kept (holes dropped per
+        # the outer-ring-only policy shared with the other readers).
+        bounds = list(parts) + [n_points]
+        outers = []
+        for pi in range(n_parts):
+            ring = xy[bounds[pi] : bounds[pi + 1]]
+            signed2 = sum(
+                x1 * y2 - x2 * y1
+                for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1])
+            )
+            if signed2 <= 0:  # clockwise → outer ring
+                outers.append(ring)
+        if not outers:  # degenerate: keep part 0 rather than drop the record
+            outers = [xy[bounds[0] : bounds[1]]]
+        ring_txts = [
+            "(" + ", ".join(f"{x:g} {y:g}" for x, y in ring) + ")"
+            for ring in outers
+        ]
+        if len(ring_txts) == 1:
+            wkt = f"POLYGON ({ring_txts[0]})"
+        else:
+            wkt = "MULTIPOLYGON (" + ", ".join(f"({t})" for t in ring_txts) + ")"
         rec_attrs = attrs.get(rec_num, {})
         rows.append(
             (
                 int(rec_attrs.get("fid", rec_num - 1)),
                 rec_attrs.get("tile_id"),
-                f"POLYGON (({inner}))",
+                wkt,
             )
         )
         off += 2 * content_len  # content_len is in 16-bit words

@@ -50,13 +50,22 @@ def _get(url: str, headers: dict[str, str]):
 def download_band(url: str, tm: TokenManager) -> bytes:
     """One band payload: redirect-following, chunked, 401→refresh+retry."""
 
+    origin = urllib.parse.urlsplit(url).netloc
+
     def _attempt(token: str) -> bytes:
         target, redirects = url, 0
         while True:
+            # Only the original host gets the bearer token: redirects
+            # typically land on presigned object-storage URLs where a
+            # forwarded Authorization header both leaks the session
+            # token cross-origin and trips "only one auth mechanism"
+            # rejections on S3-style endpoints.
+            same_origin = urllib.parse.urlsplit(target).netloc == origin
+            headers = {"Authorization": f"Bearer {token}"} if same_origin else {}
             try:
-                resp = _get(target, {"Authorization": f"Bearer {token}"})
+                resp = _get(target, headers)
             except urllib.error.HTTPError as e:
-                if e.code in (301, 302, 303, 307):
+                if e.code in (301, 302, 303, 307, 308):
                     redirects += 1
                     if redirects > MAX_REDIRECTS:
                         raise RuntimeError(f"redirect loop at {target}") from e

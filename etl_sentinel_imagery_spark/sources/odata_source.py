@@ -44,10 +44,13 @@ def _render_clause(f: Filter) -> str | None:
             return f"Collection/Name eq '{f.value}'"
         if col in ("productType", "tileId"):
             return _attr_eq(col, f.value)
-    if isinstance(f, GreaterThan) and col == "ContentDate_Start":
-        return f"ContentDate/Start gt {f.value}T00:00:00.000Z"
-    if isinstance(f, LessThan) and col == "ContentDate_Start":
-        return f"ContentDate/Start lt {f.value}T00:00:00.000Z"
+    if isinstance(f, (GreaterThan, LessThan)) and col == "ContentDate_Start":
+        # date-only literals gain the midnight suffix; literals that
+        # already carry a time component pass through unmangled
+        v = str(f.value)
+        lit = v if "T" in v else f"{v}T00:00:00.000Z"
+        op = "gt" if isinstance(f, GreaterThan) else "lt"
+        return f"ContentDate/Start {op} {lit}"
     if isinstance(f, LessThanOrEqual) and col == "cloudCover":
         return _attr_le("cloudCover", float(f.value))
     return None

@@ -167,3 +167,30 @@ def test_multipolygon_footprint_parse_and_area():
     clip = [np.array([(0.5, 0.0), (2.5, 0.0), (2.5, 1.0), (0.5, 1.0)])]
     # left member contributes 0.5, right member 0.5
     assert abs(multi_intersection_area(wkt, clip) - 1.0) < 1e-12
+
+
+def test_multipolygon_member_with_hole_keeps_outer_ring():
+    """Review regression: a member WITH a hole must contribute its outer
+    ring (previously the whole member silently vanished)."""
+    from etl_sentinel_imagery_spark.functions.geometry import parse_wkt_rings
+
+    wkt = (
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+        "((2 2, 6 2, 6 6, 2 6, 2 2), (3 3, 4 3, 4 4, 3 4, 3 3)))"
+    )
+    rings = parse_wkt_rings(wkt)
+    assert len(rings) == 2
+    assert rings[1].tolist() == [[2, 2], [6, 2], [6, 6], [2, 6]]
+
+    only_holed = "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1)))"
+    (ring,) = parse_wkt_rings(only_holed)
+    assert ring.tolist() == [[0, 0], [4, 0], [4, 4], [0, 4]]
+
+
+def test_polygon_with_hole_outer_ring_only():
+    from etl_sentinel_imagery_spark.functions.geometry import parse_wkt_polygon
+
+    ring = parse_wkt_polygon(
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    )
+    assert ring.tolist() == [[0, 0], [4, 0], [4, 4], [0, 4]]

@@ -112,3 +112,23 @@ def test_multimodal_default_decoder_handles_tiff():
     img = default_decoder(buf, {})
     assert img.shape == (2, 2, 3)
     np.testing.assert_array_equal(img, np.transpose(arr, (1, 2, 0)))
+
+
+def test_word_alignment_odd_payload():
+    """TIFF 6.0: IFD and out-of-line values must sit on word boundaries
+    even when the strip byte count is odd (3x3 uint8 = 9 bytes)."""
+    import struct
+
+    buf = encode_geotiff(np.zeros((3, 3), dtype="uint8"), TRANSFORM, "epsg:32631")
+    (ifd_offset,) = struct.unpack("<L", buf[4:8])
+    assert ifd_offset % 2 == 0
+    (n_entries,) = struct.unpack("<H", buf[ifd_offset : ifd_offset + 2])
+    for i in range(n_entries):
+        off = ifd_offset + 2 + 12 * i
+        _tag, ftype, count = struct.unpack("<HHL", buf[off : off + 8])
+        size = {2: 1, 3: 2, 4: 4, 12: 8}[ftype] * count
+        if size > 4:
+            (voff,) = struct.unpack("<L", buf[off + 8 : off + 12])
+            assert voff % 2 == 0, f"tag {_tag} value at odd offset {voff}"
+    out, _, _, _ = decode_geotiff(buf)
+    assert out.shape == (1, 3, 3)
