@@ -292,3 +292,85 @@ def simhash(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:
     for j, w in enumerate(weights):
         out = out + F.when(w > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return out
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate CLUSTERS from candidate pairs: connected components by
+    iterative min-label propagation — the step that turns near-dup PAIRS
+    into per-cluster canonical ids (keep min id, drop the rest).
+
+    Each iteration is one join + one min-aggregate over the undirected
+    edge list: label(v) ← min(label(v), min over neighbors of label(u)).
+    Converges in O(diameter) rounds; dup clusters from LSH pairs are
+    shallow (near-cliques), so 3-4 rounds is typical. Labels are
+    localCheckpointed every round — iterative lineage would otherwise
+    grow unboundedly and re-execute from scratch each action.
+
+    Returns (node, component) where component = min node id reachable.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce("nbr_min", F.col("component"))
+                    < F.col("component")
+                ).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup clustering: LSH candidates → exact Jaccard
+    verification → connected components → (id, canonical_id, is_canonical).
+    Docs in no cluster are their own canonical. The full 100 TB dedup
+    recipe as one composition."""
+    cands = minhash_lsh_pairs(df, id_col, text_col)
+    verified = jaccard_verify_pairs(df, id_col, text_col, cands, threshold=threshold)
+    comp = connected_components(verified)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, F.col("id") == comp["node"], "left")
+        .select(
+            "id",
+            F.coalesce("component", F.col("id")).alias("canonical_id"),
+        )
+        .withColumn("is_canonical", F.col("id") == F.col("canonical_id"))
+    )

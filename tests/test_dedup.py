@@ -72,3 +72,59 @@ def test_bucket_cap_bounds_mega_bucket(spark):
     uncapped = minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=None)
     n_uncapped = uncapped.count()
     assert n_uncapped >= n_boiler * (n_boiler - 1) // 2
+
+
+def test_connected_components_vs_union_find(spark):
+    """Label propagation must agree with a driver-side union-find on a
+    graph with chains, a clique, and singleton-free structure."""
+    from etl_sentinel_imagery_spark.operators.dedup import connected_components
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain → component 1
+        (10, 11), (11, 12), (10, 12),    # triangle → component 10
+        (20, 21),                        # pair → component 20
+        (30, 31), (32, 31),              # V-shape → component 30
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
+
+
+def test_dedup_clusters_end_to_end(spark):
+    """Full recipe on the fixture corpus: every exact-duplicate group
+    must land in one cluster with the min doc_id canonical."""
+    from etl_sentinel_imagery_spark.operators.dedup import (
+        dedup_clusters,
+        exact_dedup_groups,
+    )
+    from etl_sentinel_imagery_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    clusters = {r["id"]: r["canonical_id"] for r in dedup_clusters(docs, "doc_id", "text").collect()}
+    assert len(clusters) == docs.count()  # every doc labeled
+    # exact duplicates (jaccard 1.0 ≥ threshold) must share a canonical
+    for g in exact_dedup_groups(docs, "doc_id", "text").filter("n_copies > 1").collect():
+        members = [i for i, c in clusters.items() if c == clusters[g["canonical_id"]]]
+        assert g["canonical_id"] in members and len(members) >= g["n_copies"]
+    # canonical really is the min of its cluster
+    for i, c in clusters.items():
+        assert c <= i
