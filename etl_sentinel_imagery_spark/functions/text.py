@@ -79,3 +79,43 @@ def word_ngrams(c: Column | str, n: int) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+#: PII patterns, engine-portable (same semantics in Java regex and RE2):
+#: plain character classes only — no lookbehind, no POSIX classes.
+PII_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+",
+    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def scrub_pii(c: Column | str) -> Column:
+    """Redact PII spans with typed placeholders — the training-data
+    scrubbing pass. Chained JVM regexp_replace (replaces ALL matches),
+    no Python in the path."""
+    col = F.col(c) if isinstance(c, str) else c
+    for name, pat in PII_PATTERNS.items():
+        col = F.regexp_replace(col, pat, f"<{name}>")
+    return col
+
+
+def count_pii(c: Column | str) -> Column:
+    """Total PII matches across all pattern families (pre-redaction):
+    regexp_extract_all length per family, summed."""
+    col = F.col(c) if isinstance(c, str) else c
+    total = None
+    for pat in PII_PATTERNS.values():
+        n = F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+        total = n if total is None else total + n
+    return total
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Canonical text form for dedup/fingerprint stability: lowercase,
+    control chars stripped, runs of whitespace collapsed, trimmed."""
+    col = F.col(c) if isinstance(c, str) else c
+    lowered = F.lower(col)
+    no_ctl = F.regexp_replace(lowered, r"[\x00-\x1f\x7f]", " ")
+    collapsed = F.regexp_replace(no_ctl, r"\s+", " ")
+    return F.trim(collapsed)

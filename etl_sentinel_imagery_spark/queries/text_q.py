@@ -14,8 +14,12 @@ from pyspark.sql import functions as F
 
 from etl_sentinel_imagery_spark.functions.text import (
     HASH_MOD,
+    PII_PATTERNS,
+    count_pii,
+    normalize_text,
     polyhash,
     polyhash_sql,
+    scrub_pii,
     tokens,
     word_ngrams,
 )
@@ -69,12 +73,24 @@ def _ngrams_sql(n: int) -> str:
 _BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
 
 
+#: DuckDB mirrors of functions.text PII scrubbing — generated from the
+#: same PII_PATTERNS so the two engines cannot drift
+_SCRUB_SQL = "text"
+for _name, _pat in PII_PATTERNS.items():
+    _SCRUB_SQL = f"regexp_replace({_SCRUB_SQL}, '{_pat}', '<{_name}>', 'g')"
+_PII_COUNT_SQL = " + ".join(
+    f"len(regexp_extract_all(text, '{_pat}'))" for _pat in PII_PATTERNS.values()
+)
+
+
 def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full per-document analysis pass in ONE narrow projection:
     quality stats + score, stopword-ratio language guess, BPE-ish regex
-    token counts, and the binary-payload hashes (byte length, sha256,
+    token counts, the binary-payload hashes (byte length, sha256,
     md5 — the opaque-media-column plumbing of operators.multimodal at its
-    oracle-checkable core). One scan, no shuffle, all JVM-side."""
+    oracle-checkable core), and the training-data hygiene columns (PII
+    match count, scrubbed-text and normalized-text content hashes). One
+    scan, no shuffle, all JVM-side."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
@@ -107,6 +123,11 @@ def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(payload).alias("n_bytes"),
         F.sha2(payload, 256).alias("sha256_hex"),
         F.md5(payload).alias("md5_hex"),
+        count_pii(F.col("text")).alias("n_pii"),
+        F.md5(F.encode(scrub_pii(F.col("text")), "UTF-8")).alias("scrubbed_md5"),
+        F.md5(F.encode(normalize_text(F.col("text")), "UTF-8")).alias(
+            "normalized_md5"
+        ),
     )
 
 
@@ -134,7 +155,12 @@ SELECT doc_id, lang,
            p -> regexp_matches(p, '^[0-9]+$'))) AS n_numeric_tokens,
        octet_length(encode(text)) AS n_bytes,
        sha256(text) AS sha256_hex,
-       md5(text) AS md5_hex
+       md5(text) AS md5_hex,
+       {_PII_COUNT_SQL} AS n_pii,
+       md5({_SCRUB_SQL}) AS scrubbed_md5,
+       md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')))
+           AS normalized_md5
 FROM documents
 """
 

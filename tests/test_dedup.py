@@ -128,3 +128,51 @@ def test_dedup_clusters_end_to_end(spark):
     # canonical really is the min of its cluster
     for i, c in clusters.items():
         assert c <= i
+
+
+def test_pii_scrub_and_normalize(spark):
+    """PII redaction + text normalization on crafted strings, and DuckDB
+    agreement on the same strings (the engine-portability contract the
+    text_profile oracle relies on)."""
+    import duckdb
+
+    from etl_sentinel_imagery_spark.functions.text import (
+        PII_PATTERNS,
+        count_pii,
+        normalize_text,
+        scrub_pii,
+    )
+
+    rows = [
+        (1, "contact me at alice.smith+x@example.org or +33 1 23 45 67 89"),
+        (2, "server 192.168.0.1 responded; no pii here otherwise"),
+        (3, "MiXeD   Case\twith\ncontrol\x07chars  and   runs"),
+        (4, "clean text"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (r["scrubbed"], r["n_pii"], r["norm"])
+        for r in df.select(
+            "id",
+            scrub_pii("text").alias("scrubbed"),
+            count_pii("text").alias("n_pii"),
+            normalize_text("text").alias("norm"),
+        ).collect()
+    }
+    assert got[1][0] == "contact me at <email> or <phone>"
+    assert got[1][1] == 2
+    assert got[2][0] == "server <ipv4> responded; no pii here otherwise"
+    assert got[2][1] == 1
+    assert got[3][2] == "mixed case with control chars and runs"
+    assert got[4] == ("clean text", 0, "clean text")
+
+    # DuckDB mirror scrubs to the identical strings
+    con = duckdb.connect()
+    scrub_sql = "text"
+    for name, pat in PII_PATTERNS.items():
+        scrub_sql = f"regexp_replace({scrub_sql}, '{pat}', '<{name}>', 'g')"
+    for rid, text in rows:
+        (duck_scrub,) = con.execute(
+            f"SELECT {scrub_sql} FROM (SELECT ? AS text)", [text]
+        ).fetchone()
+        assert duck_scrub == got[rid][0], (rid, duck_scrub, got[rid][0])
