@@ -108,6 +108,22 @@ def main() -> None:
         f"wall={wall_capped:.1f}s (dropped buckets bounded the join: "
         f"{'OK' if n_capped < quad / 10 else 'STILL QUADRATIC'})"
     )
+
+    # Full dedup recipe: candidates → verify → connected components.
+    # Label propagation must converge in a few rounds on near-clique
+    # dup clusters, and wall time stays join-dominated, not iteration-
+    # dominated.
+    from etl_sentinel_imagery_spark.operators.dedup import dedup_clusters
+
+    t0 = time.time()
+    clusters = dedup_clusters(docs, "doc_id", "text")
+    n_canonical = clusters.filter("is_canonical").count()
+    n_total = clusters.count()
+    wall_cluster = time.time() - t0
+    print(
+        f"dedup_clusters: docs={n_total} canonical={n_canonical} "
+        f"removed={n_total - n_canonical} wall={wall_cluster:.1f}s"
+    )
     spark.stop()
 
 
