@@ -84,10 +84,21 @@ def word_ngrams(c: Column | str, n: int) -> Column:
 #: PII patterns, engine-portable (same semantics in Java regex and RE2):
 #: plain character classes only — no lookbehind, no POSIX classes.
 PII_PATTERNS = {
-    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+",
-    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+    # (?i) — case-insensitive inline flag, identical in Java regex and
+    # RE2 — so John@Company.ORG redacts like john@company.org
+    "email": r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+",
+    # formatted numbers require a leading '+'/'(' OR a ≥9-digit pure run;
+    # this keeps 'yyyy-mm-dd hh:mm' date+time strings (no +/(, digit runs
+    # of ≤4) from being falsely redacted. RE2 has no lookaround, so the
+    # date exclusion must come from the anchors, not a negative assertion.
+    "phone": r"[(+][0-9][0-9()\- ]{6,}[0-9]|[0-9]{9,}",
     "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
 }
+
+#: normalization regexes shared by normalize_text and its SQL mirror
+#: (interpolated in queries.text_q) so the engines cannot drift
+NORM_CTRL_PATTERN = r"[\x00-\x1f\x7f]"
+NORM_WS_PATTERN = r"\s+"
 
 
 def scrub_pii(c: Column | str) -> Column:
@@ -101,13 +112,16 @@ def scrub_pii(c: Column | str) -> Column:
 
 
 def count_pii(c: Column | str) -> Column:
-    """Total PII matches across all pattern families (pre-redaction):
-    regexp_extract_all length per family, summed."""
+    """Number of spans :func:`scrub_pii` redacts: each family counts on
+    the text ALREADY scrubbed by earlier families, so a span matching
+    two families (an IP inside an email's domain) counts once — n_pii
+    always equals the placeholder count in the scrubbed output."""
     col = F.col(c) if isinstance(c, str) else c
     total = None
-    for pat in PII_PATTERNS.values():
+    for name, pat in PII_PATTERNS.items():
         n = F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
         total = n if total is None else total + n
+        col = F.regexp_replace(col, pat, f"<{name}>")
     return total
 
 
@@ -116,6 +130,6 @@ def normalize_text(c: Column | str) -> Column:
     control chars stripped, runs of whitespace collapsed, trimmed."""
     col = F.col(c) if isinstance(c, str) else c
     lowered = F.lower(col)
-    no_ctl = F.regexp_replace(lowered, r"[\x00-\x1f\x7f]", " ")
-    collapsed = F.regexp_replace(no_ctl, r"\s+", " ")
+    no_ctl = F.regexp_replace(lowered, NORM_CTRL_PATTERN, " ")
+    collapsed = F.regexp_replace(no_ctl, NORM_WS_PATTERN, " ")
     return F.trim(collapsed)

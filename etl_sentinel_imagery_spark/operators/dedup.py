@@ -298,7 +298,7 @@ def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Duplicate CLUSTERS from candidate pairs: connected components by
     iterative min-label propagation — the step that turns near-dup PAIRS
@@ -307,9 +307,11 @@ def connected_components(
     Each iteration is one join + one min-aggregate over the undirected
     edge list: label(v) ← min(label(v), min over neighbors of label(u)).
     Converges in O(diameter) rounds; dup clusters from LSH pairs are
-    shallow (near-cliques), so 3-4 rounds is typical. Labels are
-    localCheckpointed every round — iterative lineage would otherwise
-    grow unboundedly and re-execute from scratch each action.
+    shallow (near-cliques), so 3-4 rounds is typical, but chain-shaped
+    components need diameter rounds — hence RAISE (never return wrong
+    labels silently) if max_iter passes without convergence. Labels are
+    localCheckpointed every round (iterative lineage would otherwise
+    grow unboundedly) and the superseded round's blocks are released.
 
     Returns (node, component) where component = min node id reachable.
     """
@@ -346,10 +348,20 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         n_changed = updated.filter(F.col("_changed")).count()
+        # release the superseded round's checkpoint blocks (best-effort:
+        # the new checkpoint is already materialized)
+        try:
+            labels.rdd.unpersist(False)
+        except Exception:
+            pass
         labels = updated.drop("_changed")
         if n_changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"({n_changed} labels still changing) — a component's diameter "
+        "exceeds max_iter; raise max_iter"
+    )
 
 
 def dedup_clusters(
@@ -358,13 +370,30 @@ def dedup_clusters(
     text_col: str,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """End-to-end near-dup clustering: LSH candidates → exact Jaccard
-    verification → connected components → (id, canonical_id, is_canonical).
-    Docs in no cluster are their own canonical. The full 100 TB dedup
-    recipe as one composition."""
+    """End-to-end near-dup clustering: exact-duplicate edges ∪ (LSH
+    candidates → exact Jaccard verification) → connected components →
+    (id, canonical_id, is_canonical). Docs in no cluster are their own
+    canonical. The full 100 TB dedup recipe as one composition.
+
+    The EXACT tier is load-bearing, not redundant: identical-content
+    groups larger than MAX_BUCKET are deliberately dropped by the LSH
+    bucket cap (the quadratic-regime guard), so without the hash-groupBy
+    edges a 10k-copy boilerplate group would sail through unclustered —
+    the cap's docstring defers exactly this case to exact dedup."""
     cands = minhash_lsh_pairs(df, id_col, text_col)
     verified = jaccard_verify_pairs(df, id_col, text_col, cands, threshold=threshold)
-    comp = connected_components(verified)
+    # exact-duplicate edges: every copy → its group's min id. Linear
+    # (one edge per duplicate row), immune to the bucket cap.
+    hashed = df.select(F.col(id_col).alias("hid"), F.md5(F.col(text_col)).alias("h"))
+    exact_edges = (
+        hashed.withColumn(
+            "c", F.min("hid").over(Window.partitionBy("h"))
+        )
+        .filter(F.col("hid") != F.col("c"))
+        .select(F.col("c").alias("id_a"), F.col("hid").alias("id_b"))
+    )
+    all_edges = verified.select("id_a", "id_b").unionByName(exact_edges)
+    comp = connected_components(all_edges)
     return (
         df.select(F.col(id_col).alias("id"))
         .join(comp, F.col("id") == comp["node"], "left")

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from etl_sentinel_imagery_spark.functions.text import (
     HASH_MOD,
+    NORM_CTRL_PATTERN,
+    NORM_WS_PATTERN,
     PII_PATTERNS,
     count_pii,
     normalize_text,
@@ -74,13 +76,15 @@ _BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
 
 
 #: DuckDB mirrors of functions.text PII scrubbing — generated from the
-#: same PII_PATTERNS so the two engines cannot drift
+#: same PII_PATTERNS so the two engines cannot drift. The count terms are
+#: PROGRESSIVE (each family counts on the text already scrubbed by the
+#: earlier families), mirroring count_pii's no-double-count semantics.
 _SCRUB_SQL = "text"
+_pii_terms = []
 for _name, _pat in PII_PATTERNS.items():
+    _pii_terms.append(f"len(regexp_extract_all({_SCRUB_SQL}, '{_pat}'))")
     _SCRUB_SQL = f"regexp_replace({_SCRUB_SQL}, '{_pat}', '<{_name}>', 'g')"
-_PII_COUNT_SQL = " + ".join(
-    f"len(regexp_extract_all(text, '{_pat}'))" for _pat in PII_PATTERNS.values()
-)
+_PII_COUNT_SQL = " + ".join(_pii_terms)
 
 
 def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,7 +163,7 @@ SELECT doc_id, lang,
        {_PII_COUNT_SQL} AS n_pii,
        md5({_SCRUB_SQL}) AS scrubbed_md5,
        md5(trim(regexp_replace(regexp_replace(lower(text),
-           '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')))
+           '{NORM_CTRL_PATTERN}', ' ', 'g'), '{NORM_WS_PATTERN}', ' ', 'g')))
            AS normalized_md5
 FROM documents
 """

@@ -132,22 +132,26 @@ def test_dedup_clusters_end_to_end(spark):
 
 def test_pii_scrub_and_normalize(spark):
     """PII redaction + text normalization on crafted strings, and DuckDB
-    agreement on the same strings (the engine-portability contract the
-    text_profile oracle relies on)."""
+    agreement via the PRODUCTION scrub SQL (the same string the
+    text_profile oracle ships — not a test-local rebuild)."""
     import duckdb
 
     from etl_sentinel_imagery_spark.functions.text import (
-        PII_PATTERNS,
         count_pii,
         normalize_text,
         scrub_pii,
     )
+    from etl_sentinel_imagery_spark.queries.text_q import _SCRUB_SQL
 
     rows = [
         (1, "contact me at alice.smith+x@example.org or +33 1 23 45 67 89"),
         (2, "server 192.168.0.1 responded; no pii here otherwise"),
         (3, "MiXeD   Case\twith\ncontrol\x07chars  and   runs"),
         (4, "clean text"),
+        (5, "Reach John.Smith@Company.ORG today"),      # mixed-case email
+        (6, "updated 2024-01-01 12:34 by job 7"),       # date+time is NOT pii
+        (7, "call 0612345789 now"),                     # bare >=9-digit run
+        (8, "mail user@192.168.0.1.example"),           # overlap: email wins, counted once
     ]
     df = spark.createDataFrame(rows, "id long, text string")
     got = {
@@ -165,14 +169,57 @@ def test_pii_scrub_and_normalize(spark):
     assert got[2][1] == 1
     assert got[3][2] == "mixed case with control chars and runs"
     assert got[4] == ("clean text", 0, "clean text")
+    assert got[5][0] == "Reach <email> today" and got[5][1] == 1
+    assert got[6][0] == "updated 2024-01-01 12:34 by job 7" and got[6][1] == 0
+    assert got[7][0] == "call <phone> now" and got[7][1] == 1
+    # the overlap span is redacted once and counted once
+    assert got[8][0] == "mail <email>" and got[8][1] == 1
 
-    # DuckDB mirror scrubs to the identical strings
+    # DuckDB's production scrub SQL produces the identical strings
     con = duckdb.connect()
-    scrub_sql = "text"
-    for name, pat in PII_PATTERNS.items():
-        scrub_sql = f"regexp_replace({scrub_sql}, '{pat}', '<{name}>', 'g')"
     for rid, text in rows:
         (duck_scrub,) = con.execute(
-            f"SELECT {scrub_sql} FROM (SELECT ? AS text)", [text]
+            f"SELECT {_SCRUB_SQL} FROM (SELECT ? AS text)", [text]
         ).fetchone()
         assert duck_scrub == got[rid][0], (rid, duck_scrub, got[rid][0])
+
+
+def test_dedup_clusters_mega_group_via_exact_tier(spark):
+    """Identical-content groups LARGER than MAX_BUCKET are dropped by
+    the LSH cap — the exact-dup edge tier must still collapse them to
+    one canonical (review regression: previously every copy stayed
+    'canonical')."""
+    from etl_sentinel_imagery_spark.operators.dedup import dedup_clusters
+
+    n_boiler = 200  # > MAX_BUCKET = 64
+    boiler = spark.range(n_boiler).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate footer text repeated verbatim").alias("text"),
+    )
+    distinct = spark.createDataFrame(
+        [(10_001, "alpha beta gamma delta unique"), (10_002, "omega psi chi unique too")],
+        "doc_id long, text string",
+    )
+    out = dedup_clusters(boiler.unionByName(distinct), "doc_id", "text")
+    canon = {r["id"]: r["canonical_id"] for r in out.collect()}
+    assert all(canon[i] == 0 for i in range(n_boiler))  # one cluster, min id
+    assert canon[10_001] == 10_001 and canon[10_002] == 10_002
+    assert out.filter("is_canonical").count() == 3
+
+
+def test_connected_components_long_chain_and_nonconvergence(spark):
+    """A 30-node chain needs ~29 rounds (diameter) — must converge under
+    the default max_iter and RAISE, not silently mislabel, when capped
+    below the diameter."""
+    import pytest as _pytest
+
+    from etl_sentinel_imagery_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "id_a long, id_b long"
+    )
+    labels = {r["node"]: r["component"] for r in connected_components(chain).collect()}
+    assert set(labels.values()) == {1} and len(labels) == 30
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
