@@ -133,3 +133,43 @@ def normalize_text(c: Column | str) -> Column:
     no_ctl = F.regexp_replace(lowered, NORM_CTRL_PATTERN, " ")
     collapsed = F.regexp_replace(no_ctl, NORM_WS_PATTERN, " ")
     return F.trim(collapsed)
+
+
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+):
+    """Split documents into overlapping token windows — the training-data
+    chunking pass (context-window packing prep). Pure JVM expressions:
+    tokenize → sequence of window starts → slice per window → posexplode.
+    One narrow projection, no shuffle; a doc shorter than one window
+    yields exactly one chunk.
+
+    Output: (id, chunk_idx, chunk_text, n_chunk_tokens).
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # window starts: 1, 1+stride, ... while start <= max(n - overlap, 1)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(n - F.lit(overlap), F.lit(1)),
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(toks, s, chunk_tokens))
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        "chunk_text",
+        F.size(tokens(F.col("chunk_text"))).alias("n_chunk_tokens"),
+    )

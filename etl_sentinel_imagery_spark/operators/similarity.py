@@ -252,3 +252,84 @@ def ivf_topk_indexed(
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "cos_sim", "rnk")
     )
+
+
+# --- int8 scalar quantization (the ANN memory lever at 100 TB) ------------
+def quantize_embeddings_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, float]:
+    """Symmetric per-corpus int8 quantization: q = round(x * 127 / amax).
+
+    One tiny aggregate finds the corpus absolute max (a single double to
+    the driver), then a narrow JVM-side projection emits tinyint arrays —
+    4× smaller than float32, 8× smaller than the double arrays the exact
+    kernels widen to. Returns (quantized_df, scale) where
+    dequantized ≈ q * scale."""
+    amax_row = embeddings.agg(
+        F.max(
+            F.aggregate(
+                F.transform(as_double_array(vec_col), F.abs),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            )
+        ).alias("amax")
+    ).collect()[0]
+    amax = float(amax_row["amax"])
+    if amax == 0.0:
+        raise ValueError("all-zero embedding corpus cannot be quantized")
+    scale = amax / 127.0
+    q = F.transform(
+        as_double_array(vec_col),
+        lambda x: F.round(x / F.lit(scale)).cast("tinyint"),
+    )
+    return (
+        embeddings.select(F.col(id_col), q.alias("q_embedding")),
+        scale,
+    )
+
+
+def dequantize_topk(
+    quantized: DataFrame,
+    query_ids: DataFrame,
+    scale: float,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k over the int8 corpus: scores computed on
+    dequantized doubles (q·scale), same join/window shape as the exact
+    path — the recall-vs-compression measurement harness."""
+    deq = F.transform(F.col("q_embedding"), lambda v: v * F.lit(scale))
+    base = quantized.select(F.col(id_col), deq.alias("v"))
+    cand = base.select(F.col(id_col).alias("cand_id"), F.col("v").alias("cv"))
+    qry = base.join(
+        query_ids.select(F.col(id_col).alias("qid")),
+        base[id_col] == F.col("qid"),
+        "left_semi",
+    ).select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    scored = (
+        cand.join(F.broadcast(qry))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                F.aggregate(
+                    F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (norm(F.col("qv")) * norm(F.col("cv")))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rnk")
+    )

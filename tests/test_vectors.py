@@ -66,3 +66,55 @@ def test_exact_dedup_finds_identical_docs(spark):
     total = groups.agg(F.sum("n_copies")).collect()[0][0]
     assert total == n_docs
     assert n_dupes >= 0
+
+
+def test_int8_quantization_recall(spark):
+    """int8 scalar quantization: 4x smaller storage must keep top-5
+    recall >= 0.9 vs the exact float path on the fixture corpus."""
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        dequantize_topk,
+        quantize_embeddings_int8,
+    )
+    from etl_sentinel_imagery_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q, scale = quantize_embeddings_int8(emb)
+    assert 0 < scale < 1  # unit-ish embeddings → amax < 127
+    row = q.first()
+    assert all(-127 <= v <= 127 for v in row["q_embedding"])
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in dequantize_topk(q, queries, scale, k=5).collect()
+    }
+    exact = {
+        (r["query_id"], r["cand_id"]) for r in _cosine_topk(spark, SF_DIR).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+
+
+def test_chunk_documents_windows(spark):
+    from etl_sentinel_imagery_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(150))),  # 150 tokens
+            (2, "short doc only"),                        # 3 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=64, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts at 1, 57, 113 → 3 chunks of 64, 64, 38 tokens
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["n_chunk_tokens"] for r in c1] == [64, 64, 38]
+    assert c1[0]["chunk_text"].split()[0] == "w0"
+    assert c1[1]["chunk_text"].split()[0] == "w56"   # stride 56, 1-indexed
+    # overlap: last 8 tokens of chunk 0 == first 8 of chunk 1
+    assert c1[0]["chunk_text"].split()[-8:] == c1[1]["chunk_text"].split()[:8]
+    # doc 2: one chunk, intact
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short doc only"
