@@ -191,6 +191,44 @@ def run_foreach_batch_to_parquet(
         q.stop()
 
 
+def run_foreach_batch_upsert(
+    stream_df: DataFrame, keys: list[str], out_dir: str, checkpoint_dir: str
+) -> None:
+    """Streaming UPSERT sink: each update-mode micro-batch MERGEs into a
+    keyed parquet table (operators.merge.merge_upsert), so the table
+    always holds the latest row per key — the foreachBatch + MERGE
+    composition a lakehouse `MERGE INTO` sink would run.
+
+    Replay safety: merge_upsert is idempotent for identical batches
+    (matched keys replace, nothing appends twice). The merged frame is
+    eagerly localCheckpointed BEFORE the overwrite — reading and
+    overwriting the same parquet path in one lazy plan would otherwise
+    race the scan against the truncation."""
+    from etl_sentinel_imagery_spark.operators.merge import merge_upsert
+
+    def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(keys)
+        try:
+            target = spark.read.parquet(out_dir)
+            merged = merge_upsert(target, batch.select(*target.columns), keys)
+            merged = merged.localCheckpoint(eager=True)
+        except Exception:  # first epoch: no table yet
+            merged = batch
+        merged.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drive a bounded streaming query to completion into a memory sink
     and return the materialized result table."""

@@ -224,3 +224,43 @@ def test_streaming_dedup_state_expires_after_watermark(spark, tmp_path):
     # but event 2 and 5 (inside-watermark dups) must NEVER appear.
     assert 2 not in got and 5 not in got
     assert {1, 4, 6} <= set(got)
+
+
+def test_streaming_upsert_sink_latest_per_key(spark, events_stream_dir, tmp_path):
+    """Update-mode per-user aggregates upserted into a keyed parquet
+    table: the final table must equal the batch groupBy exactly (one row
+    per user, latest totals) — no appended history."""
+    from etl_sentinel_imagery_spark.streaming.events import (
+        WATERMARK,
+        read_events_stream,
+        run_foreach_batch_upsert,
+    )
+
+    events = read_events_stream(spark, events_stream_dir)
+    agg = (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+    )
+    out = str(tmp_path / "upsert_table")
+    ckpt = str(tmp_path / "upsert_ckpt")
+    run_foreach_batch_upsert(agg, ["user_id"], out, ckpt)
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("tv"),
+        )
+        .collect()
+    }
+    assert got == want
