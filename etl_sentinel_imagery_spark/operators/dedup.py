@@ -393,7 +393,9 @@ def dedup_clusters(
         .select(F.col("c").alias("id_a"), F.col("hid").alias("id_b"))
     )
     all_edges = verified.select("id_a", "id_b").unionByName(exact_edges)
-    comp = connected_components(all_edges)
+    # star contraction: round count is O(log n) regardless of how long
+    # the transitive near-dup chains get
+    comp = connected_components_star(all_edges)
     return (
         df.select(F.col(id_col).alias("id"))
         .join(comp, F.col("id") == comp["node"], "left")
@@ -402,4 +404,97 @@ def dedup_clusters(
             F.coalesce("component", F.col("id")).alias("canonical_id"),
         )
         .withColumn("is_canonical", F.col("id") == F.col("canonical_id"))
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond" — public algorithm): converges in O(log n) rounds regardless
+    of component DIAMETER, where min-label propagation
+    (:func:`connected_components`) needs O(diameter) rounds and loses on
+    chain-shaped components.
+
+    large-star hangs every neighbor larger than the center onto the
+    neighborhood minimum; small-star re-hangs the smaller neighbors.
+    At the fixpoint the edge set IS the star (child → component-min).
+    Each round's edge set is localCheckpointed (lineage stays flat) and
+    compared by (count, hash-sum) checksum for convergence.
+    """
+    def bidir(e: DataFrame) -> DataFrame:
+        return e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+
+    def large_star(eb: DataFrame) -> DataFrame:
+        mins = eb.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("mn"), F.col("u"))
+        return (
+            eb.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(eb: DataFrame) -> DataFrame:
+        lt = eb.filter(F.col("v") < F.col("u"))
+        mins = lt.groupBy("u").agg(F.min("v").alias("mn"))
+        joined = lt.join(mins, "u")
+        ev = (
+            joined.filter(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        )
+        eu = mins.select("u", F.col("mn").alias("v"))
+        return ev.union(eu).filter(F.col("u") != F.col("v")).distinct()
+
+    def checksum(e: DataFrame) -> tuple:
+        # hash-sum in decimal(38,0): a bigint SUM of xxhash64 values
+        # overflows under ANSI mode
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = checksum(edges)
+    for _ in range(max_iter):
+        stepped = small_star(bidir(large_star(bidir(edges)))).localCheckpoint(
+            eager=True
+        )
+        cur = checksum(stepped)
+        try:
+            edges.rdd.unpersist(False)
+        except Exception:
+            pass
+        edges = stepped
+        if cur == prev:
+            # fixpoint: edges are (child, root) star edges
+            children = edges.select(
+                F.col("u").alias("node"), F.col("v").alias("component")
+            )
+            roots = (
+                edges.select(F.col("v").alias("node"))
+                .distinct()
+                .join(children.select("node"), "node", "left_anti")
+                .withColumn("component", F.col("node"))
+            )
+            return children.unionByName(roots)
+        prev = cur
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds"
     )

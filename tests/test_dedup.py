@@ -223,3 +223,40 @@ def test_connected_components_long_chain_and_nonconvergence(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=3)
+
+
+def test_star_components_match_propagation(spark):
+    """Alternating star contraction must produce the identical labeling
+    as min-label propagation on mixed graph shapes, and converge on a
+    long chain in far fewer rounds than the chain's diameter."""
+    from etl_sentinel_imagery_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),
+        (10, 11), (11, 12), (10, 12),
+        (20, 21),
+        (30, 31), (32, 31),
+    ] + [(i, i + 1) for i in range(100, 130)]  # 31-node chain
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    star = {
+        (r["node"], r["component"])
+        for r in connected_components_star(df).collect()
+    }
+    prop = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    assert star == prop
+
+    # diameter 30, star must converge well under 10 alternating rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 31)], "id_a long, id_b long"
+    )
+    labels = {
+        r["node"]: r["component"]
+        for r in connected_components_star(chain, max_iter=10).collect()
+    }
+    assert set(labels.values()) == {1} and len(labels) == 31
