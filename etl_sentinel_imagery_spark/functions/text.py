@@ -144,17 +144,27 @@ def chunk_documents(
 ):
     """Split documents into overlapping token windows — the training-data
     chunking pass (context-window packing prep). Pure JVM expressions:
-    tokenize → sequence of window starts → slice per window → posexplode.
-    One narrow projection, no shuffle; a doc shorter than one window
-    yields exactly one chunk.
+    tokenize ONCE (behind a repartition materialization barrier —
+    projection collapse would otherwise inline the tokenize into the
+    per-window slice lambda and re-split the whole document once per
+    window, the recompute hazard operators.dedup documents for MinHash),
+    then sequence of window starts → slice per window → posexplode.
+    A non-empty doc shorter than one window yields exactly one chunk;
+    empty/whitespace-only docs yield zero chunks. n_chunk_tokens is
+    arithmetic (least(chunk_tokens, n − start + 1)) — no re-tokenize.
 
     Output: (id, chunk_idx, chunk_text, n_chunk_tokens).
     """
     stride = chunk_tokens - overlap
     if stride <= 0:
         raise ValueError("overlap must be smaller than chunk_tokens")
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tok_df = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .repartition(par)
+    )
+    n = F.size(F.col("_toks"))
     # window starts: 1, 1+stride, ... while start <= max(n - overlap, 1)
     starts = F.sequence(
         F.lit(1),
@@ -162,14 +172,20 @@ def chunk_documents(
         F.lit(stride),
     )
     chunks = F.transform(
-        starts, lambda s: F.concat_ws(" ", F.slice(toks, s, chunk_tokens))
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(F.col("_toks"), s, chunk_tokens)).alias(
+                "txt"
+            ),
+            F.least(F.lit(chunk_tokens), n - s + 1).alias("n_toks"),
+        ),
     )
-    return df.select(
+    return tok_df.select(
         F.col(id_col),
-        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
     ).select(
         id_col,
         "chunk_idx",
-        "chunk_text",
-        F.size(tokens(F.col("chunk_text"))).alias("n_chunk_tokens"),
+        F.col("chunk.txt").alias("chunk_text"),
+        F.col("chunk.n_toks").alias("n_chunk_tokens"),
     )

@@ -297,35 +297,36 @@ def dequantize_topk(
     k: int = 5,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Brute-force cosine top-k over the int8 corpus: scores computed on
-    dequantized doubles (q·scale), same join/window shape as the exact
-    path — the recall-vs-compression measurement harness."""
+    """Brute-force cosine top-k over the int8 corpus: the recall-vs-
+    compression measurement harness, same join/window shape as the exact
+    path. Vectors are dequantized and unit-normalized ONCE PER ROW (the
+    with_normalized discipline — per-pair norms would triple the
+    arithmetic), so the pair score is one dot product. Rows that
+    quantized to all zeros are dropped: their cosine is 0/0 = NaN, and
+    NaN sorts ABOVE every real score under desc — one degenerate vector
+    would otherwise become rank 1 for every query."""
     deq = F.transform(F.col("q_embedding"), lambda v: v * F.lit(scale))
-    base = quantized.select(F.col(id_col), deq.alias("v"))
-    cand = base.select(F.col(id_col).alias("cand_id"), F.col("v").alias("cv"))
+    n2 = l2_norm_sq(deq)
+    base = (
+        quantized.select(F.col(id_col), deq.alias("v"), n2.alias("n2"))
+        .filter(F.col("n2") > 0)
+        .select(
+            id_col,
+            F.transform(
+                F.col("v"), lambda x: x / F.sqrt(F.col("n2"))
+            ).alias("vn"),
+        )
+    )
+    cand = base.select(F.col(id_col).alias("cand_id"), F.col("vn").alias("cv"))
     qry = base.join(
         query_ids.select(F.col(id_col).alias("qid")),
         base[id_col] == F.col("qid"),
         "left_semi",
-    ).select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
-    )
+    ).select(F.col(id_col).alias("query_id"), F.col("vn").alias("qv"))
     scored = (
         cand.join(F.broadcast(qry))
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            (
-                F.aggregate(
-                    F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (norm(F.col("qv")) * norm(F.col("cv")))
-            ).alias("cos_sim"),
-        )
+        .select("query_id", "cand_id", dot(F.col("qv"), F.col("cv")).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (

@@ -207,14 +207,23 @@ def run_foreach_batch_upsert(
     from etl_sentinel_imagery_spark.operators.merge import merge_upsert
 
     def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates(keys)
+        # ONLY path-not-found means "first epoch" — any other failure
+        # (transient read error, merge failure) must propagate: catching
+        # it would overwrite the accumulated table with one batch.
         try:
             target = spark.read.parquet(out_dir)
-            merged = merge_upsert(target, batch.select(*target.columns), keys)
-            merged = merged.localCheckpoint(eager=True)
-        except Exception:  # first epoch: no table yet
+        except AnalysisException:
+            target = None
+        if target is None:
             merged = batch
+        else:
+            merged = merge_upsert(
+                target, batch.select(*target.columns), keys
+            ).localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(out_dir)
 
     q = (

@@ -226,17 +226,28 @@ def test_streaming_dedup_state_expires_after_watermark(spark, tmp_path):
     assert {1, 4, 6} <= set(got)
 
 
-def test_streaming_upsert_sink_latest_per_key(spark, events_stream_dir, tmp_path):
+def test_streaming_upsert_sink_latest_per_key(spark, tmp_path):
     """Update-mode per-user aggregates upserted into a keyed parquet
     table: the final table must equal the batch groupBy exactly (one row
     per user, latest totals) — no appended history."""
     from etl_sentinel_imagery_spark.streaming.events import (
         WATERMARK,
-        read_events_stream,
         run_foreach_batch_upsert,
     )
 
-    events = read_events_stream(spark, events_stream_dir)
+    # multi-file source + maxFilesPerTrigger=1 → several micro-batches,
+    # so the MERGE branch (not just the first-epoch write) is exercised
+    multi = str(tmp_path / "events_multi")
+    load_table(spark, SF_DIR, "events").repartition(4).write.parquet(multi)
+    events = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(multi)
+    )
     agg = (
         events.withWatermark("ts", WATERMARK)
         .groupBy("user_id")

@@ -118,3 +118,36 @@ def test_chunk_documents_windows(spark):
     assert c1[0]["chunk_text"].split()[-8:] == c1[1]["chunk_text"].split()[:8]
     # doc 2: one chunk, intact
     assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short doc only"
+
+
+def test_chunk_documents_empty_and_zero_norm_quant(spark):
+    """Review regressions: empty docs yield ZERO chunks (no phantom ''
+    row), and an embedding that quantizes to all zeros is excluded from
+    dequantized top-k instead of becoming a NaN rank-1 for every query."""
+    from etl_sentinel_imagery_spark.functions.text import chunk_documents
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        dequantize_topk,
+        quantize_embeddings_int8,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one real doc")], "doc_id long, text string"
+    )
+    out = chunk_documents(docs).collect()
+    assert [(r["doc_id"], r["chunk_text"]) for r in out] == [(3, "one real doc")]
+
+    # vec 99 is tiny relative to amax → rounds to all-zero int8
+    emb = spark.createDataFrame(
+        [
+            (0, [100.0, 0.0]),
+            (1, [99.0, 9.0]),
+            (99, [0.1, 0.1]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q, scale = quantize_embeddings_int8(emb)
+    zero_row = [r for r in q.collect() if r["vec_id"] == 99][0]
+    assert all(v == 0 for v in zero_row["q_embedding"])
+    top = dequantize_topk(q, emb.filter(F.col("vec_id") == 0), scale, k=2).collect()
+    assert [r["cand_id"] for r in top] == [1]  # zero-norm row excluded
+    assert all(r["cos_sim"] == r["cos_sim"] for r in top)  # no NaN
