@@ -334,3 +334,56 @@ def dequantize_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "cos_sim", "rnk")
     )
+
+
+def quantize_embeddings_int8_per_dim(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list]:
+    """Per-DIMENSION symmetric int8 quantization: q_j = round(x_j·127/amax_j).
+
+    On anisotropic embeddings (dimensions with very different dynamic
+    ranges) a single corpus scale crushes the small dimensions to 0;
+    per-dim scales keep each dimension's full 8-bit resolution. One
+    aggregate computes the element-wise |x| max via zip_with fold (a
+    dim-length array to the driver), then a narrow zip_with projection
+    quantizes. Returns (quantized_df, scales) with
+    dequantized_j ≈ q_j · scales[j]. Zero-range dimensions get scale 0
+    and dequantize to exact 0."""
+    amax_row = embeddings.agg(
+        F.aggregate(
+            F.collect_list(F.transform(as_double_array(vec_col), F.abs)),
+            F.array().cast("array<double>"),
+            lambda acc, v: F.when(F.size(acc) == 0, v).otherwise(
+                F.zip_with(acc, v, lambda a, b: F.greatest(a, b))
+            ),
+        ).alias("amax")
+    ).collect()[0]
+    amax = [float(x) for x in amax_row["amax"]]
+    if not any(amax):
+        raise ValueError("all-zero embedding corpus cannot be quantized")
+    scales = [a / 127.0 for a in amax]
+    scale_arr = F.array(*[F.lit(s) for s in scales])
+    q = F.zip_with(
+        as_double_array(vec_col),
+        scale_arr,
+        lambda x, s: F.when(s > 0, F.round(x / s)).otherwise(F.lit(0)).cast(
+            "tinyint"
+        ),
+    )
+    return (
+        embeddings.select(F.col(id_col), q.alias("q_embedding")),
+        scales,
+    )
+
+
+def dequantize_per_dim(quantized: DataFrame, scales: list) -> DataFrame:
+    """(id, q_embedding) → (id, embedding double array), q_j·scales[j]."""
+    scale_arr = F.array(*[F.lit(float(s)) for s in scales])
+    return quantized.select(
+        "*",
+        F.zip_with(
+            F.col("q_embedding"), scale_arr, lambda q, s: q * s
+        ).alias("embedding_deq"),
+    ).drop("q_embedding")

@@ -151,3 +151,41 @@ def test_chunk_documents_empty_and_zero_norm_quant(spark):
     top = dequantize_topk(q, emb.filter(F.col("vec_id") == 0), scale, k=2).collect()
     assert [r["cand_id"] for r in top] == [1]  # zero-norm row excluded
     assert all(r["cos_sim"] == r["cos_sim"] for r in top)  # no NaN
+
+
+def test_per_dim_quantization_beats_global_on_anisotropic(spark):
+    """A corpus with one huge dimension: global scaling crushes the
+    small dimensions to zero; per-dim scales preserve them."""
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        dequantize_per_dim,
+        quantize_embeddings_int8,
+        quantize_embeddings_int8_per_dim,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1000.0, 0.30, 0.10]),
+            (1, [990.0, -0.20, 0.05]),
+            (2, [1010.0, 0.25, -0.08]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    g, _gscale = quantize_embeddings_int8(emb)
+    # global scale ≈ 1010/127 ≈ 8 → the ±0.3 dims all round to 0
+    assert all(
+        r["q_embedding"][1] == 0 and r["q_embedding"][2] == 0
+        for r in g.collect()
+    )
+
+    q, scales = quantize_embeddings_int8_per_dim(emb)
+    assert len(scales) == 3
+    rows = {r["vec_id"]: r["q_embedding"] for r in q.collect()}
+    assert rows[0][1] == 127  # 0.30 is dim-1's amax → full resolution
+    deq = {
+        r["vec_id"]: r["embedding_deq"]
+        for r in dequantize_per_dim(q, scales).collect()
+    }
+    # per-dim reconstruction error bounded by half a quantization step
+    for vid, orig in ((0, [1000.0, 0.30, 0.10]), (1, [990.0, -0.20, 0.05])):
+        for j in range(3):
+            assert abs(deq[vid][j] - orig[j]) <= scales[j] / 2 + 1e-9
