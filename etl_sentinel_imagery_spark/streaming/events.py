@@ -241,6 +241,34 @@ def run_foreach_batch_upsert(
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drive a bounded streaming query to completion into a memory sink
     and return the materialized result table."""
+    df, _metrics = run_to_memory_with_metrics(stream_df, name, output_mode)
+    return df
+
+
+def collect_state_metrics(query) -> dict:
+    """Watermark/state observability from a StreamingQuery's progress
+    events: total rows DROPPED as too-late, and the peak state-store row
+    count — the two numbers a production pipeline alerts on (silent late
+    drops and unbounded state are the classic streaming failure modes)."""
+    import json
+
+    dropped = 0
+    max_state_rows = 0
+    for p in query.recentProgress:
+        prog = p if isinstance(p, dict) else json.loads(p.json)
+        for so in prog.get("stateOperators") or []:
+            dropped += int(so.get("numRowsDroppedByWatermark", 0) or 0)
+            max_state_rows = max(max_state_rows, int(so.get("numRowsTotal", 0) or 0))
+    return {
+        "rows_dropped_by_watermark": dropped,
+        "max_state_rows": max_state_rows,
+    }
+
+
+def run_to_memory_with_metrics(
+    stream_df: DataFrame, name: str, output_mode: str
+) -> tuple[DataFrame, dict]:
+    """run_to_memory + the state metrics gathered over the full run."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -249,6 +277,7 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFram
     )
     try:
         q.processAllAvailable()
+        metrics = collect_state_metrics(q)
     finally:
         q.stop()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}"), metrics

@@ -114,3 +114,60 @@ def test_aqe_handles_skewed_join(spark):
     joined = left.join(right, "k")
     hot = 100_000 * 99 // 100
     assert joined.count() == hot + left.filter((F.col("k") > 1) & (F.col("k") < 50)).count()
+
+
+def test_watermark_drop_metrics_observed(spark, tmp_path):
+    """The drops proven above must also be OBSERVABLE: progress metrics
+    report the dropped-late-row count and a bounded state size — what a
+    production alert hooks onto."""
+    import os
+
+    import pandas as pd
+
+    from etl_sentinel_imagery_spark.streaming.events import (
+        collect_state_metrics,
+    )
+
+    src = str(tmp_path / "metrics_src")
+    b1 = pd.DataFrame(
+        {
+            "event_id": range(100),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta([int(i * 1.2) for i in range(100)], unit="m"),
+            "user_id": [i % 7 for i in range(100)],
+            "event_type": ["click"] * 100,
+            "value": [1.0] * 100,
+            "props": ["{}"] * 100,
+        }
+    )
+    b2 = b1.head(10).assign(event_id=range(1000, 1010))
+    os.makedirs(src)
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    ).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("metrics_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        metrics = collect_state_metrics(q)
+    finally:
+        q.stop()
+    # numRowsDroppedByWatermark counts STATE-OPERATOR input rows: the 10
+    # stale events share one 15-min window, so map-side partial
+    # aggregation collapses them into a single window row before the
+    # watermark filter — 1 dropped state row == the whole late batch
+    assert metrics["rows_dropped_by_watermark"] == 1
+    assert 0 < metrics["max_state_rows"] <= 10  # open 15-min windows only
