@@ -20,15 +20,19 @@ from __future__ import annotations
 
 from typing import Iterator
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from etl_sentinel_imagery_spark.sources.odata import _attr_eq, _attr_le
@@ -151,6 +155,66 @@ class ODataCatalogDataSource(DataSource):
     def reader(self, schema) -> ODataCatalogReader:
         return ODataCatalogReader(schema, self.options)
 
+    def writer(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError("catalog writes are append-only (POST semantics)")
+        return ODataCatalogWriter(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(ODataCatalogDataSource)
+
+
+# --- write path: two-phase commit to a catalog staging area ---------------
+@dataclass
+class _PartFile(WriterCommitMessage):
+    staged: str
+    n_rows: int
+
+
+class ODataCatalogWriter(DataSourceWriter):
+    """Append new product records to the catalog — the POST side of the
+    connector, with proper two-phase commit: executors stage JSON-lines
+    part files under `_staging/`, and only the driver's commit() renames
+    them into place and writes the manifest. A failed/speculative task's
+    staging file is never visible; abort() removes all staged parts.
+    (A live deployment swaps the rename for the batched POST call.)"""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _PartFile:
+        import json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        part = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(part, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(recursive=True)) + "\n")
+                n += 1
+        return _PartFile(staged=part, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        final = []
+        for m in messages:
+            dest = os.path.join(self.path, os.path.basename(m.staged))
+            os.replace(m.staged, dest)
+            final.append({"file": os.path.basename(dest), "n_rows": m.n_rows})
+        with open(os.path.join(self.path, "_manifest.json"), "w") as fh:
+            json.dump({"parts": final, "n_rows": sum(p["n_rows"] for p in final)}, fh)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.staged)
+            except FileNotFoundError:
+                pass

@@ -130,3 +130,46 @@ def test_dsv2_pagination_partitions(spark):
     # paging, so filtered pages still union to the filtered catalog
     filtered = paged.filter("platform = 'SENTINEL-2' AND cloudCover <= 4.0")
     assert filtered.count() == 10
+
+
+def test_dsv2_write_path_two_phase_commit(spark, tmp_path):
+    """The connector's POST side: executors stage JSON-lines parts,
+    commit() publishes them + a manifest; append-only enforced."""
+    import json
+    import os
+
+    from etl_sentinel_imagery_spark.sources import odata_source
+    from etl_sentinel_imagery_spark.sources.catalog_fixture import (
+        catalog_df,
+    )
+
+    odata_source.register(spark)
+    out = str(tmp_path / "catalog_post")
+    new_products = catalog_df(spark).filter("Id = 'p-full'")
+    (
+        new_products.write.format("odata_catalog")
+        .mode("append")
+        .option("path", out)
+        .save()
+    )
+    files = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert files and not os.listdir(os.path.join(out, "_staging"))
+    manifest = json.load(open(os.path.join(out, "_manifest.json")))
+    assert manifest["n_rows"] == 1
+    rows = [
+        json.loads(line)
+        for f in files
+        for line in open(os.path.join(out, f))
+    ]
+    assert [r["Id"] for r in rows] == ["p-full"]
+    assert rows[0]["Attributes"][0]["Name"]  # nested structs serialized
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="append-only"):
+        (
+            new_products.write.format("odata_catalog")
+            .mode("overwrite")
+            .option("path", out)
+            .save()
+        )
