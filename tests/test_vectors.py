@@ -189,3 +189,37 @@ def test_per_dim_quantization_beats_global_on_anisotropic(spark):
     for vid, orig in ((0, [1000.0, 0.30, 0.10]), (1, [990.0, -0.20, 0.05])):
         for j in range(3):
             assert abs(deq[vid][j] - orig[j]) <= scales[j] / 2 + 1e-9
+
+
+def test_pq_topk_recall(spark):
+    """Product quantization (64 dims → 8 bytes/vector): ADC top-20 must
+    recover most of the exact top-5 — the compression/recall tradeoff
+    that makes billion-scale ANN fit in memory."""
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from etl_sentinel_imagery_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    # near-uniform random embeddings are PQ's worst case (top-k decided
+    # by tiny margins); 16 subspaces x 64 codes = 16 bytes/vector still
+    # cuts storage 16x vs float32
+    books = train_pq_codebooks(emb, m=16, k=64)
+    assert books.shape == (16, 64, 4)
+    encoded = pq_encode(emb, books)
+    row = encoded.first()
+    assert len(row["pq_codes"]) == 16
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    approx = {}
+    for r in pq_topk(encoded, queries, books, k=20).collect():
+        approx.setdefault(r["query_id"], set()).add(r["cand_id"])
+    exact = {}
+    for r in _cosine_topk(spark, SF_DIR).collect():
+        exact.setdefault(r["query_id"], set()).add(r["cand_id"])
+    hits = sum(len(exact[q] & approx[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall_at_20 = hits / total
+    assert recall_at_20 >= 0.5, recall_at_20
