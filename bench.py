@@ -31,6 +31,8 @@ HEADLINE = [
     "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
     "docs_jaccard_pairs",
+    "dedup_clusters",
+    "docs_chunking",
     "text_profile",
     "cosine_topk_bruteforce",
     "embedding_near_dup_pairs",

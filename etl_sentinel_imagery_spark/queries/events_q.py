@@ -28,38 +28,6 @@ SLIDE_LEN_S = 600  # 10-minute sliding windows
 SESSION_GAP_US = 1800 * US  # 30-minute session gap
 
 
-def _json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F14 JSON decode: extract props.k, filter, aggregate per type."""
-    events = load_table(spark, sf_dir, "events")
-    k_val = F.get_json_object(F.col("props"), "$.k").cast("int")
-    return (
-        events.withColumn("k_val", k_val)
-        .filter(F.col("k_val") > 50)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("k_val").alias("sum_k"),
-            F.min("k_val").alias("min_k"),
-            F.max("k_val").alias("max_k"),
-        )
-    )
-
-
-_JSON_PROPS_SQL = """
-SELECT event_type,
-       COUNT(*) AS n_events,
-       CAST(SUM(k_val) AS BIGINT) AS sum_k,
-       MIN(k_val) AS min_k,
-       MAX(k_val) AS max_k
-FROM (
-    SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
-    FROM events
-)
-WHERE k_val > 50
-GROUP BY 1
-"""
-
-
 def _windows_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 15-min windows per event_type (F.window ≡ epoch floor) ∪
     sliding 10-min windows every 5 min (each event lands in 2 windows),
@@ -213,15 +181,20 @@ WHERE rn = 1
 
 def _scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event scalar battery: lag/lead inter-event gaps (whole
-    microseconds) + the F11 clip-scale-cast normalization the reference
+    microseconds), the F11 clip-scale-cast normalization the reference
     applies to reflectance (`tx.py:20-23`: clip(x/s, 0, 1)*255 → uint8)
-    on the value column. floor() keeps the final int cast identical
-    across engines (Spark truncates double→int, DuckDB rounds)."""
+    on the value column, and the F14 JSON property decode
+    (get_json_object over the props payload — formerly the standalone
+    events_json_props query; the grouped-agg machinery it also exercised
+    is covered by the aggregation batteries). floor() keeps the final
+    int cast identical across engines (Spark truncates double→int,
+    DuckDB rounds)."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     scaled = F.least(
         F.greatest(F.col("value") / F.lit(200.0), F.lit(0.0)), F.lit(1.0)
     ) * F.lit(255.0)
+    k_val = F.get_json_object(F.col("props"), "$.k").cast("int")
     return events.select(
         "event_id",
         "user_id",
@@ -230,6 +203,8 @@ def _scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gap_us"),
         F.lead("event_type").over(w).alias("next_type"),
         F.floor(scaled).cast("int").alias("value_u8"),
+        k_val.alias("k_val"),
+        F.when(k_val > 50, "hi").otherwise("lo").alias("k_band"),
     )
 
 
@@ -237,14 +212,16 @@ _SCALAR_BATTERY_SQL = """
 SELECT event_id, user_id, ts,
        epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
        LEAD(event_type) OVER w AS next_type,
-       CAST(floor(least(greatest(value / 200.0, 0.0), 1.0) * 255.0) AS INTEGER) AS value_u8
+       CAST(floor(least(greatest(value / 200.0, 0.0), 1.0) * 255.0) AS INTEGER) AS value_u8,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+            THEN 'hi' ELSE 'lo' END AS k_band
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
 QUERIES: dict[str, Q] = {
-    "events_json_props": Q(_json_props, _JSON_PROPS_SQL, "F14 JSON extraction + agg"),
     "events_windows_battery": Q(
         _windows_battery, _WINDOWS_BATTERY_SQL,
         "tumbling + sliding windows (batch oracle of the streaming ops)",
@@ -253,6 +230,6 @@ QUERIES: dict[str, Q] = {
     "events_dedup_first": Q(_dedup_first_event, _DEDUP_FIRST_SQL, "keyed dedup keep-earliest"),
     "events_scalar_battery": Q(
         _scalar_battery, _SCALAR_BATTERY_SQL,
-        "lag/lead gaps + F11 clip-scale-cast normalization",
+        "lag/lead gaps + F11 clip-scale-cast + F14 JSON decode",
     ),
 }

@@ -184,47 +184,34 @@ GROUP BY 1
 """
 
 
-# --- document fingerprints: rolling hash, winnowing min-gram, SimHash ----
-def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three per-doc fingerprint families in one narrow projection:
-    full-text rolling hash, winnowing-style min-5-gram hash, and the
-    16-bit SimHash (majority bit-vote over distinct-token hashes)."""
+# --- document signatures: all per-doc fingerprint families in one row ----
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every per-doc signature family in ONE narrow projection (one scan,
+    no shuffle): full-text rolling hash, winnowing-style min-5-gram hash,
+    the 16-bit SimHash (majority bit-vote over distinct-token hashes),
+    and the 8-permutation MinHash signature the LSH pipeline bands over.
+    (Merged from the former docs_fingerprints + docs_minhash_signatures
+    queries — same columns, one registry row.)"""
     docs = _docs_spread(spark, sf_dir)
     grams5 = word_ngrams(F.col("text"), 5)
     min_gram_hash = F.coalesce(
         F.array_min(F.transform(grams5, polyhash)), F.lit(HASH_MOD).cast("long")
     )
+    sig = minhash_signature(F.col("text"))
     return docs.select(
         "doc_id",
         polyhash(F.col("text")).alias("full_hash"),
         min_gram_hash.alias("min_gram_hash"),
         simhash(F.col("text")).alias("simhash16"),
-    )
-
-
-_FINGERPRINTS_SQL = f"""
-SELECT doc_id,
-       {polyhash_sql("text")} AS full_hash,
-       coalesce(list_min(list_transform({_ngrams_sql(5)},
-                g -> {polyhash_sql("g")})), {HASH_MOD}) AS min_gram_hash,
-       CAST({" + ".join(
-           f"(CASE WHEN list_sum(list_transform(th, h -> ((h >> {j}) & 1) * 2 - 1)) > 0 "
-           f"THEN {1 << j} ELSE 0 END)" for j in range(16)
-       )} AS BIGINT) AS simhash16
-FROM (SELECT doc_id, text, {_TOKHASHES} AS th FROM documents)
-"""
-
-
-# --- MinHash signatures + LSH candidate pairs -----------------------------
-def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_spread(spark, sf_dir)
-    sig = minhash_signature(F.col("text"))
-    return docs.select(
-        "doc_id",
         *[F.element_at(sig, p + 1).alias(f"sig{p}") for p in range(N_PERM)],
     )
 
 
+# NB: the SQL mirror (_SIGNATURES_SQL) is assembled below, after
+# _minhash_sig_sql_exprs is defined.
+
+
+# --- MinHash signatures (SQL mirror — feeds the LSH CTEs + docs_signatures)
 def _minhash_sig_sql_exprs() -> list[str]:
     shingles = _shingle_hashes_sql(3)
     return [
@@ -238,6 +225,20 @@ def _minhash_sig_sql_exprs() -> list[str]:
 _MINHASH_SIGS_SQL = (
     "SELECT doc_id, " + ", ".join(_minhash_sig_sql_exprs()) + " FROM documents"
 )
+
+_SIGNATURES_SQL = f"""
+SELECT d.doc_id,
+       {polyhash_sql("text")} AS full_hash,
+       coalesce(list_min(list_transform({_ngrams_sql(5)},
+                g -> {polyhash_sql("g")})), {HASH_MOD}) AS min_gram_hash,
+       CAST({" + ".join(
+           f"(CASE WHEN list_sum(list_transform(d.th, h -> ((h >> {j}) & 1) * 2 - 1)) > 0 "
+           f"THEN {1 << j} ELSE 0 END)" for j in range(16)
+       )} AS BIGINT) AS simhash16,
+       {", ".join(f"s.sig{p}" for p in range(N_PERM))}
+FROM (SELECT doc_id, text, {_TOKHASHES} AS th FROM documents) d
+JOIN ({_MINHASH_SIGS_SQL}) s ON s.doc_id = d.doc_id
+"""
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,6 +310,100 @@ WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
 """
 
 
+# --- document chunking: overlapping token windows -------------------------
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 8
+
+
+def _chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking pass: split every document into overlapping
+    64-token windows (8-token overlap) — the context-window packing prep
+    step of an LLM data pipeline (tokenize once → sequence of starts →
+    slice → posexplode; all JVM expressions, no shuffle)."""
+    from etl_sentinel_imagery_spark.functions.text import chunk_documents
+
+    docs = _docs_spread(spark, sf_dir)
+    return chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+
+
+_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+#: starts 1, 1+stride, … while start ≤ max(n − overlap, 1); slice end is
+#: INCLUSIVE in DuckDB's list_slice (start + chunk_tokens − 1 mirrors
+#: Spark's slice(start, length=chunk_tokens)); chunk_idx recovers
+#: posexplode's 0-based position arithmetically from the start offset.
+_CHUNKING_SQL = f"""
+SELECT doc_id,
+       CAST((s - 1) // {_STRIDE} AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(toks, s, s + {CHUNK_TOKENS - 1}), ' ')
+           AS chunk_text,
+       CAST(least({CHUNK_TOKENS}, n - s + 1) AS INTEGER) AS n_chunk_tokens
+FROM (
+    SELECT doc_id, toks, n,
+           unnest(range(1, greatest(n - {CHUNK_OVERLAP}, 1) + 1, {_STRIDE})) AS s
+    FROM (
+        SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n
+        FROM documents
+    )
+    WHERE n > 0
+)
+"""
+
+
+# --- end-to-end near-dup clustering (the 100 TB dedup recipe) -------------
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup recipe as ONE oracle-checked query: exact-duplicate
+    edges ∪ (MinHash-LSH candidates → exact Jaccard ≥ 0.5 verification) →
+    alternating star-contraction connected components → per-doc canonical
+    assignment. The DuckDB oracle restates the component labels with a
+    recursive transitive-closure CTE (min reachable id), so the O(log n)
+    distributed algorithm is checked against an independent formulation."""
+    from etl_sentinel_imagery_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(docs, "doc_id", "text", threshold=0.5)
+
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_LSH_CTES},
+grams AS (SELECT doc_id, {_ngrams_sql(3)} AS g FROM documents),
+verified AS (
+    SELECT id_a, id_b
+    FROM cand
+    JOIN grams a ON a.doc_id = id_a
+    JOIN grams b ON b.doc_id = id_b
+    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5
+),
+exact_edges AS (
+    SELECT MIN(doc_id) OVER (PARTITION BY md5(text)) AS id_a, doc_id AS id_b
+    FROM documents
+    QUALIFY id_a != id_b
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM verified
+    UNION
+    SELECT id_b, id_a FROM verified
+    UNION
+    SELECT id_a, id_b FROM exact_edges
+    UNION
+    SELECT id_b, id_a FROM exact_edges
+),
+reach(u, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+    UNION
+    SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u
+),
+comp AS (SELECT u AS node, MIN(r) AS component FROM reach GROUP BY u)
+SELECT d.doc_id AS id,
+       coalesce(c.component, d.doc_id) AS canonical_id,
+       coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d
+LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 # --- corpus term statistics (TF/DF; integer-exact) ------------------------
 def _term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_sentinel_imagery_spark.operators.textrank import term_doc_frequencies
@@ -335,14 +430,21 @@ QUERIES: dict[str, Q] = {
     ),
     "term_stats": Q(_term_stats, _TERM_STATS_SQL, "corpus TF/DF statistics"),
     "docs_exact_dedup": Q(_exact_dedup, _EXACT_DEDUP_SQL, "exact dedup via md5"),
-    "docs_fingerprints": Q(
-        _fingerprints, _FINGERPRINTS_SQL,
-        "rolling-hash + min-gram + SimHash fingerprints",
+    "docs_signatures": Q(
+        _signatures, _SIGNATURES_SQL,
+        "rolling-hash + min-gram + SimHash + MinHash signatures, one pass",
     ),
-    "docs_minhash_signatures": Q(_minhash_sigs, _MINHASH_SIGS_SQL, "MinHash signatures"),
     "docs_minhash_lsh_pairs": Q(_minhash_pairs, _MINHASH_PAIRS_SQL, "MinHash LSH candidate pairs"),
     "docs_jaccard_pairs": Q(
         _jaccard, _JACCARD_SQL,
         "LSH candidates → exact 3-gram Jaccard verification (scale path)",
+    ),
+    "docs_chunking": Q(
+        _chunking, _CHUNKING_SQL,
+        "overlapping 64-token chunk windows (context-packing prep)",
+    ),
+    "dedup_clusters": Q(
+        _dedup_clusters, _DEDUP_CLUSTERS_SQL,
+        "exact ∪ LSH-verified edges → connected components → canonical ids",
     ),
 }

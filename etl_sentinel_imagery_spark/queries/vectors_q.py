@@ -56,22 +56,67 @@ normed AS (
 """
 
 
-def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _quant_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norms + int8 quantization in one oracle-checked battery: per-vector
+    L2 norm (sequential-fold exact) joined with integer statistics of the
+    per-corpus symmetric int8 code (operators.similarity.
+    quantize_embeddings_int8 — the 4× ANN storage lever). All quantized
+    outputs are integers, so the row hash is rounding-mode-proof; the
+    only doubles are the norm (exact fold) and the corpus scale (one
+    max-fold → division, identical in both engines)."""
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
+    quantized, scale = quantize_embeddings_int8(emb)
+    q = F.col("q_embedding")
+    qstats = quantized.select(
+        "vec_id",
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("q_sum"),
+        F.array_min(q).cast("int").alias("q_min"),
+        F.array_max(q).cast("int").alias("q_max"),
+        F.size(F.filter(q, lambda x: F.abs(x) == 127)).alias("n_sat"),
+        F.size(F.filter(q, lambda x: x == 0)).alias("n_zero"),
+        F.lit(scale).alias("scale"),
+    )
     vec = as_double_array("embedding")
-    return emb.select(
+    norms = emb.select(
         "vec_id",
         "label",
         F.size("embedding").alias("dim"),
         F.sqrt(l2_norm_sq(vec)).alias("l2_norm"),
     )
+    return norms.join(qstats, "vec_id")
 
 
-_NORMS_SQL = f"""
-SELECT vec_id, label,
-       len(embedding) AS dim,
-       sqrt({_NORM_SQ.format(a="CAST(embedding AS DOUBLE[])")}) AS l2_norm
-FROM embeddings
+_ABS_MAX_FOLD = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), "
+    "(acc, x) -> greatest(acc, x))"
+)
+
+_QUANT_BATTERY_SQL = f"""
+WITH amax AS (SELECT max({_ABS_MAX_FOLD}) AS a FROM embeddings),
+q AS (
+    SELECT vec_id, label,
+           len(embedding) AS dim,
+           sqrt({_NORM_SQ.format(a="CAST(embedding AS DOUBLE[])")}) AS l2_norm,
+           a / 127.0 AS scale,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(round(x / (a / 127.0)) AS BIGINT)) AS qv
+    FROM embeddings, amax
+)
+SELECT vec_id, label, dim, l2_norm,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS INTEGER) AS q_min,
+       CAST(list_max(qv) AS INTEGER) AS q_max,
+       len(list_filter(qv, x -> abs(x) = 127)) AS n_sat,
+       len(list_filter(qv, x -> x = 0)) AS n_zero,
+       scale
+FROM q
 """
 
 
@@ -150,30 +195,69 @@ WHERE {_DOT.format(a="a.vn", b="b.vn")} >= {NEAR_DUP_THRESHOLD}
 
 
 def _ann_ivf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both IVF scale paths in one result, tagged by ``method``: seeded
-    centroids (first-k, deterministic) and spherical-k-means-trained
-    centroids (iterative trainer + bucketed probe). Approximate →
-    rows-only check; recall vs brute force asserted in
-    tests/test_kmeans.py and tests/test_similarity.py."""
+    """Every compressed/approximate ANN tier in one result, tagged by
+    ``method`` (score semantics per tier: cosine for seeded/kmeans/int8 —
+    higher is better; ADC squared-L2 for pq — lower is better):
+
+    - ``seeded``: IVF probe over first-k centroids (deterministic)
+    - ``kmeans``: IVF probe over spherical-k-means-trained centroids
+    - ``int8``:  brute-force cosine over the per-corpus int8 code (4×)
+    - ``pq``:    product-quantization ADC lookup-table search (16×)
+
+    Approximate → rows-only check; recall vs brute force asserted in
+    tests/test_kmeans.py, test_similarity.py, test_vectors.py."""
     from etl_sentinel_imagery_spark.operators.kmeans import fit
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        dequantize_topk,
+        pq_encode,
+        pq_topk,
+        quantize_embeddings_int8,
+        train_pq_codebooks,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    seeded = ivf_topk(
-        emb, F.col("vec_id") < N_QUERIES, _centroids(spark, sf_dir), k=TOP_K
-    ).withColumn("method", F.lit("seeded"))
+    qids = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    def tag(df: DataFrame, method: str, score_col: str) -> DataFrame:
+        return df.select(
+            F.lit(method).alias("method"),
+            "query_id",
+            "cand_id",
+            F.col(score_col).alias("score"),
+            "rnk",
+        )
+
+    seeded = tag(
+        ivf_topk(emb, F.col("vec_id") < N_QUERIES, _centroids(spark, sf_dir), k=TOP_K),
+        "seeded", "cos_sim",
+    )
     centroids, _ = fit(emb, k=N_CENTROIDS, n_iter=3)
-    trained = ivf_topk(
-        emb, F.col("vec_id") < N_QUERIES, centroids, k=TOP_K
-    ).withColumn("method", F.lit("kmeans"))
-    return seeded.unionByName(trained)
+    trained = tag(
+        ivf_topk(emb, F.col("vec_id") < N_QUERIES, centroids, k=TOP_K),
+        "kmeans", "cos_sim",
+    )
+    quantized, scale = quantize_embeddings_int8(emb)
+    int8 = tag(
+        dequantize_topk(quantized, qids.select("vec_id"), scale, k=TOP_K),
+        "int8", "cos_sim",
+    )
+    books = train_pq_codebooks(emb, m=8, k=16, n_iter=5)
+    pq = tag(
+        pq_topk(pq_encode(emb, books), qids, books, k=TOP_K),
+        "pq", "dist",
+    )
+    return seeded.unionByName(trained).unionByName(int8).unionByName(pq)
 
 
 QUERIES: dict[str, Q] = {
-    "embedding_norms": Q(_norms, _NORMS_SQL, "l2 norms (sequential-fold exact)"),
+    "embedding_quant_battery": Q(
+        _quant_battery, _QUANT_BATTERY_SQL,
+        "l2 norms + int8 quantization integer stats (exact)",
+    ),
     "cosine_topk_bruteforce": Q(_cosine_topk, _COSINE_TOPK_SQL, "exact cosine top-k"),
     "embedding_near_dup_pairs": Q(_near_dup_pairs, _NEAR_DUP_SQL, "cosine ≥0.95 near-dup pairs"),
     "ann_ivf_battery": Q(
         _ann_ivf_battery, None,
-        "IVF approximate top-k, seeded + k-means-trained (no SQL oracle)",
+        "ANN tiers: IVF seeded/k-means + int8 + PQ ADC (no SQL oracle)",
     ),
 }
