@@ -1,0 +1,86 @@
+"""Train/eval contamination detection — benchmark decontamination.
+
+Before training, every serious LLM data pipeline checks the training
+corpus for verbatim overlap with its evaluation benchmarks (n-gram
+collision is the standard test). The scale shape matters: the TRAIN side
+is the 100 TB corpus and must never shuffle on gram text; the EVAL side
+is a few thousand benchmark documents. So the eval side's distinct
+n-grams are built first and broadcast, and the train side streams
+through a broadcast hash join — contaminated grams are identified inside
+the scan stage, and only the (train_id, eval_id, gram-hit) triples (a
+vanishingly small set) reach the one aggregation shuffle.
+
+No reference analog; part of the SURVEY.md §2.10 LLM-pipeline
+extensions, alongside operators.dedup (which catches train-train
+duplication; this catches train-EVAL leakage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.functions.text import word_ngrams
+
+#: Standard decontamination gram length (long enough that natural reuse
+#: of phrases is rare; 8-13 are the published range).
+CONTAM_N = 8
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = CONTAM_N,
+    min_shared: int = 1,
+) -> DataFrame:
+    """(train_id, eval_id, n_shared_grams) for every train/eval pair
+    sharing ≥ ``min_shared`` distinct word n-grams.
+
+    Both sides' grams are DISTINCT per document (word_ngrams dedups), so
+    the count is set-intersection size — a repeated boilerplate phrase
+    inside one doc cannot inflate it."""
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    tr = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_shared)
+    )
+
+
+def contaminated_train_ids(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = CONTAM_N,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Distinct train-doc ids to QUARANTINE (hit ≥ min_shared grams of
+    any eval doc) — the set an anti-join removes before training."""
+    hits = ngram_contamination(train, eval_df, id_col, text_col, n, min_shared)
+    return hits.select(F.col("train_id").alias(id_col)).distinct()
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = CONTAM_N,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Training corpus with contaminated docs removed (left-anti join on
+    the quarantine set — the id set is small, so the anti join
+    broadcasts)."""
+    bad = contaminated_train_ids(train, eval_df, id_col, text_col, n, min_shared)
+    return train.join(F.broadcast(bad), id_col, "left_anti")

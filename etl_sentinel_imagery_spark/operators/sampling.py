@@ -1,0 +1,144 @@
+"""Deterministic hash-based sampling, splitting, and source mixing.
+
+The training-data operations a 100 TB pipeline runs constantly: carve a
+train/val/test split, draw a repeatable sample, downsample sources to
+target mixture weights. All of them are pure FILTERS on a deterministic
+per-key hash — no shuffle, no RNG state, no driver coordination — so
+they compose with predicate pushdown, run identically on 1 or 1000
+executors, and re-running the pipeline yields byte-identical selections
+(the property actual training reproducibility depends on).
+
+The hash is the first 8 hex chars of md5(seed ∥ key) read as a uint32 —
+chosen over xxhash64/rand because every engine in the parity loop can
+state it exactly (DuckDB: ``CAST('0x' || substr(md5(..),1,8) AS
+BIGINT)``), making sampled outputs oracle-checkable. md5 throughput is
+not a bottleneck: one hash per ROW is orders of magnitude cheaper than
+the per-token work around it.
+
+No reference analog (the reference has no sampling layer); these are the
+LLM-data-pipeline extensions SURVEY.md §2.10 calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Hash space: 8 hex chars = 32 bits.
+HASH_SPACE = 1 << 32
+
+
+def hash_bucket(key: Column | str, seed: str = "") -> Column:
+    """Deterministic uniform value in [0, 2^32) from md5(seed ∥ key)."""
+    col = F.col(key) if isinstance(key, str) else key
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def hash_bucket_sql(expr: str, seed: str = "") -> str:
+    """DuckDB mirror of :func:`hash_bucket` over a SQL expression."""
+    return (
+        f"CAST(('0x' || substr(md5('{seed}' || CAST({expr} AS VARCHAR)), 1, 8))"
+        f" AS BIGINT)"
+    )
+
+
+def _threshold(fraction: float) -> int:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return int(fraction * HASH_SPACE)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli-by-key sample: keep rows whose bucket falls
+    below fraction·2^32. Unlike ``df.sample`` this is repeatable across
+    runs, engines, and partitionings, and keyed — every row of one key
+    goes the same way, so sampling after an explode/join cannot split a
+    logical record."""
+    return df.filter(hash_bucket(key_col, seed) < F.lit(_threshold(fraction)))
+
+
+def assign_split(
+    key: Column | str,
+    weights: dict[str, float],
+    seed: str = "",
+) -> Column:
+    """Label each row 'train'/'val'/'test' (any names) by hash range.
+
+    ``weights`` maps label → probability mass (must sum to ~1; the last
+    label absorbs rounding). Insertion order defines the ranges, so the
+    assignment is stable under re-runs and against the SQL mirror
+    (:func:`assign_split_sql` iterates the same dict)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(key, seed)
+    labels = list(weights)
+    expr = None
+    acc = 0.0
+    for label in labels[:-1]:
+        acc += weights[label]
+        cond = bucket < F.lit(_threshold(acc))
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return (
+        F.lit(labels[0]) if expr is None else expr.otherwise(F.lit(labels[-1]))
+    )
+
+
+def assign_split_sql(expr: str, weights: dict[str, float], seed: str = "") -> str:
+    """DuckDB mirror of :func:`assign_split` (same cumulative thresholds)."""
+    bucket = hash_bucket_sql(expr, seed)
+    labels = list(weights)
+    parts = []
+    acc = 0.0
+    for label in labels[:-1]:
+        acc += weights[label]
+        parts.append(f"WHEN {bucket} < {_threshold(acc)} THEN '{label}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{labels[-1]}' END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. keep 100% of high-quality
+    docs, 10% of mid, 1% of boilerplate). The per-stratum threshold is a
+    small CASE expression — no join, no shuffle; strata not listed get
+    ``default_fraction``."""
+    bucket = hash_bucket(key_col, seed)
+    thr = F.lit(_threshold(default_fraction))
+    for stratum, frac in fractions.items():
+        thr = F.when(
+            F.col(stratum_col) == stratum, F.lit(_threshold(frac))
+        ).otherwise(thr)
+    return df.filter(bucket < thr)
+
+
+def weighted_mix(
+    sources: dict[str, tuple[DataFrame, float]],
+    key_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Mix corpora to target weights: each source is hash-downsampled by
+    its weight and tagged with its name (``mix_source`` column). Weights
+    are KEEP FRACTIONS per source (a 100 TB mixing pass downsamples; it
+    never upsamples — repeat epochs handle oversampling downstream).
+    Schemas must match across sources."""
+    out = None
+    for name, (df, frac) in sources.items():
+        part = hash_sample(df, key_col, frac, seed=f"{seed}:{name}").withColumn(
+            "mix_source", F.lit(name)
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("no sources given")
+    return out

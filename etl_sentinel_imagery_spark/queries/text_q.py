@@ -87,14 +87,28 @@ for _name, _pat in PII_PATTERNS.items():
 _PII_COUNT_SQL = " + ".join(_pii_terms)
 
 
+#: Deterministic split weights for the per-doc profile (operators.sampling).
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SAMPLE_FRACTION = 0.1
+SAMPLE_SEED = "profile"
+
+
 def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full per-document analysis pass in ONE narrow projection:
     quality stats + score, stopword-ratio language guess, BPE-ish regex
     token counts, the binary-payload hashes (byte length, sha256,
     md5 — the opaque-media-column plumbing of operators.multimodal at its
-    oracle-checkable core), and the training-data hygiene columns (PII
-    match count, scrubbed-text and normalized-text content hashes). One
-    scan, no shuffle, all JVM-side."""
+    oracle-checkable core), the training-data hygiene columns (PII
+    match count, scrubbed-text and normalized-text content hashes), and
+    the deterministic train/val/test assignment + 10% sample membership
+    (operators.sampling hash buckets — reproducible across engines and
+    cluster sizes). One scan, no shuffle, all JVM-side."""
+    from etl_sentinel_imagery_spark.operators.sampling import (
+        HASH_SPACE,
+        assign_split,
+        hash_bucket,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
@@ -132,6 +146,11 @@ def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.encode(normalize_text(F.col("text")), "UTF-8")).alias(
             "normalized_md5"
         ),
+        assign_split("doc_id", SPLIT_WEIGHTS, seed=SAMPLE_SEED).alias("split"),
+        (
+            hash_bucket("doc_id", seed=SAMPLE_SEED)
+            < F.lit(int(SAMPLE_FRACTION * HASH_SPACE))
+        ).alias("in_sample"),
     )
 
 
@@ -164,9 +183,27 @@ SELECT doc_id, lang,
        md5({_SCRUB_SQL}) AS scrubbed_md5,
        md5(trim(regexp_replace(regexp_replace(lower(text),
            '{NORM_CTRL_PATTERN}', ' ', 'g'), '{NORM_WS_PATTERN}', ' ', 'g')))
-           AS normalized_md5
+           AS normalized_md5,
+       __SPLIT_CASE__ AS split,
+       __SAMPLE_BUCKET__ < __SAMPLE_THRESHOLD__ AS in_sample
 FROM documents
 """
+
+
+def _finish_text_profile_sql() -> str:
+    from etl_sentinel_imagery_spark.operators.sampling import (
+        HASH_SPACE,
+        assign_split_sql,
+        hash_bucket_sql,
+    )
+
+    return (
+        _TEXT_PROFILE_SQL.replace(
+            "__SPLIT_CASE__", assign_split_sql("doc_id", SPLIT_WEIGHTS, SAMPLE_SEED)
+        )
+        .replace("__SAMPLE_BUCKET__", hash_bucket_sql("doc_id", SAMPLE_SEED))
+        .replace("__SAMPLE_THRESHOLD__", str(int(SAMPLE_FRACTION * HASH_SPACE)))
+    )
 
 
 # --- exact dedup -----------------------------------------------------------
@@ -425,8 +462,8 @@ GROUP BY 1
 
 QUERIES: dict[str, Q] = {
     "text_profile": Q(
-        _text_profile, _TEXT_PROFILE_SQL,
-        "per-doc stats/quality/lang-ID/BPE-tokens/byte-hashes in one pass",
+        _text_profile, _finish_text_profile_sql(),
+        "per-doc stats/quality/lang-ID/byte-hashes/split-assign in one pass",
     ),
     "term_stats": Q(_term_stats, _TERM_STATS_SQL, "corpus TF/DF statistics"),
     "docs_exact_dedup": Q(_exact_dedup, _EXACT_DEDUP_SQL, "exact dedup via md5"),

@@ -74,6 +74,32 @@ def test_bucket_cap_bounds_mega_bucket(spark):
     assert n_uncapped >= n_boiler * (n_boiler - 1) // 2
 
 
+def test_bucket_cap_drop_metrics_observation(spark):
+    """The cap's drop accounting rides the job via CollectMetrics: an
+    Observation passed to minhash_lsh_pairs reports total band rows,
+    rows dropped in over-cap buckets, and the largest dropped bucket —
+    with no extra action beyond the candidate-pair job itself."""
+    from pyspark.sql import Observation
+
+    from etl_sentinel_imagery_spark.operators.dedup import N_PERM, BAND_SIZE
+
+    n_boiler = 200
+    docs = spark.range(n_boiler).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate footer text repeated verbatim always").alias(
+            "text"
+        ),
+    )
+    obs = Observation("lsh_cap")
+    minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=64, observation=obs).count()
+    m = obs.get
+    n_bands = N_PERM // BAND_SIZE
+    # identical docs → every doc lands in one full bucket per band
+    assert m["band_rows"] == n_boiler * n_bands
+    assert m["dropped_band_rows"] == n_boiler * n_bands
+    assert m["largest_dropped_bucket"] == n_boiler
+
+
 def test_connected_components_vs_union_find(spark):
     """Label propagation must agree with a driver-side union-find on a
     graph with chains, a clique, and singleton-free structure."""
@@ -241,9 +267,11 @@ def test_star_components_match_propagation(spark):
         (30, 31), (32, 31),
     ] + [(i, i + 1) for i in range(100, 130)]  # 31-node chain
     df = spark.createDataFrame(edges, "id_a long, id_b long")
+    # force the DISTRIBUTED star path (small_graph_edges=None): the
+    # driver-side union-find shortcut must not be the only path tested
     star = {
         (r["node"], r["component"])
-        for r in connected_components_star(df).collect()
+        for r in connected_components_star(df, small_graph_edges=None).collect()
     }
     prop = {
         (r["node"], r["component"])
@@ -251,12 +279,22 @@ def test_star_components_match_propagation(spark):
     }
     assert star == prop
 
+    # the size-adaptive default (union-find under the threshold) must
+    # produce the identical labeling as the distributed rounds
+    hybrid = {
+        (r["node"], r["component"])
+        for r in connected_components_star(df).collect()
+    }
+    assert hybrid == star
+
     # diameter 30, star must converge well under 10 alternating rounds
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 31)], "id_a long, id_b long"
     )
     labels = {
         r["node"]: r["component"]
-        for r in connected_components_star(chain, max_iter=10).collect()
+        for r in connected_components_star(
+            chain, max_iter=10, small_graph_edges=None
+        ).collect()
     }
     assert set(labels.values()) == {1} and len(labels) == 31

@@ -1,0 +1,192 @@
+"""Deterministic sampling/splitting/mixing + decontamination operators.
+
+Cross-engine determinism is checked against DuckDB where the semantics
+are SQL-expressible (hash buckets, split assignment); scale properties
+(broadcast on the eval side of contamination) are asserted on the plan.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.operators.decontaminate import (
+    contaminated_train_ids,
+    decontaminate,
+    ngram_contamination,
+)
+from etl_sentinel_imagery_spark.operators.sampling import (
+    HASH_SPACE,
+    assign_split,
+    assign_split_sql,
+    hash_bucket,
+    hash_bucket_sql,
+    hash_sample,
+    stratified_sample,
+    weighted_mix,
+)
+from etl_sentinel_imagery_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_hash_bucket_matches_duckdb(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    got = {
+        r["doc_id"]: r["b"]
+        for r in docs.select(
+            "doc_id", hash_bucket("doc_id", seed="s1").alias("b")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {hash_bucket_sql('doc_id', 's1')} "
+            f"FROM documents LIMIT 50"
+        ).fetchall()
+    )
+    assert got == {k: want[k] for k in got}
+    assert all(0 <= b < HASH_SPACE for b in got.values())
+
+
+def test_hash_sample_deterministic_and_sized(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    s1 = hash_sample(docs, "doc_id", 0.2, seed="a")
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2, seed="a").select("doc_id").collect()}
+    assert ids1 == ids2  # repeatable
+    # uniform hash → sample size within a loose binomial band
+    assert 0.1 * n < len(ids1) < 0.3 * n
+    # monotone: a bigger fraction strictly contains a smaller one
+    ids_half = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.5, seed="a").select("doc_id").collect()}
+    assert ids1 <= ids_half
+    # different seed → different draw
+    ids_b = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2, seed="b").select("doc_id").collect()}
+    assert ids1 != ids_b
+
+
+def test_assign_split_matches_duckdb_and_partitions(spark):
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in docs.select(
+            "doc_id", assign_split("doc_id", weights, seed="sp").alias("split")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {assign_split_sql('doc_id', weights, 'sp')} "
+            f"FROM documents"
+        ).fetchall()
+    )
+    assert got == want
+    # every row gets exactly one label; train dominates
+    counts = {}
+    for v in got.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+    assert counts["train"] > counts.get("test", 0)
+
+
+def test_assign_split_rejects_bad_weights(spark):
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_split("doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_stratified_sample_per_stratum_fractions(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = stratified_sample(
+        docs, "doc_id", "lang", {"en": 1.0, "de": 0.0}, default_fraction=0.5
+    )
+    langs = dict(
+        out.groupBy("lang").count().collect()
+    ) if False else {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    base = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert langs.get("en") == base.get("en")  # keep all
+    assert "de" not in langs  # drop all
+    for lang, n in base.items():
+        if lang in ("en", "de"):
+            continue
+        assert 0.25 * n < langs.get(lang, 0) < 0.75 * n  # ≈ half
+
+
+def test_weighted_mix_tags_and_downsamples(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    web = docs.filter(F.col("doc_id") % 2 == 0)
+    books = docs.filter(F.col("doc_id") % 2 == 1)
+    mixed = weighted_mix(
+        {"web": (web, 0.25), "books": (books, 1.0)}, "doc_id", seed="mx"
+    )
+    counts = {r["mix_source"]: r["count"] for r in mixed.groupBy("mix_source").count().collect()}
+    assert counts["books"] == books.count()  # weight 1.0 keeps everything
+    nw = web.count()
+    assert 0.1 * nw < counts["web"] < 0.45 * nw  # ≈ quarter
+    # deterministic: re-running yields the identical selection
+    again = weighted_mix(
+        {"web": (web, 0.25), "books": (books, 1.0)}, "doc_id", seed="mx"
+    )
+    assert {tuple(r) for r in mixed.select("doc_id", "mix_source").collect()} == {
+        tuple(r) for r in again.select("doc_id", "mix_source").collect()
+    }
+
+
+def test_contamination_finds_planted_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog every single day"),
+            (2, "completely unrelated content about spark partitions and shuffles"),
+            (3, "another clean document with no benchmark text at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog every single morning")],
+        "doc_id long, text string",
+    )
+    hits = ngram_contamination(train, eval_df, n=8).collect()
+    assert {(r["train_id"], r["eval_id"]) for r in hits} == {(1, 100)}
+    # "the quick ... lazy dog every single" → shared 8-gram window count
+    assert hits[0]["n_shared_grams"] >= 3
+
+    bad = contaminated_train_ids(train, eval_df, n=8)
+    assert {r["doc_id"] for r in bad.collect()} == {1}
+
+    clean = decontaminate(train, eval_df, n=8)
+    assert {r["doc_id"] for r in clean.collect()} == {2, 3}
+
+
+def test_contamination_eval_side_broadcast(spark):
+    """Scale shape: the eval gram set must be the broadcast side; the
+    train corpus must not shuffle on gram text."""
+    docs = load_table(spark, SF_DIR, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    plan = ngram_contamination(docs, eval_df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_on_fixture_corpus_self_overlap(spark):
+    """Every doc fully contaminates itself: using a slice of the corpus
+    as the eval set must flag at least the overlapping ids (the fixture
+    corpus also plants near-duplicates, which may add more)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    eval_df = docs.filter(F.col("doc_id") < 5)
+    bad = {r["doc_id"] for r in contaminated_train_ids(docs, eval_df).collect()}
+    have_grams = {
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") < 5)
+        .select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n"))
+        .filter(F.col("n") >= 8)
+        .collect()
+    }
+    assert have_grams <= bad
