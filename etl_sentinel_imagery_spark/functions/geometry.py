@@ -219,8 +219,8 @@ def _ring_points(coord_text: str) -> np.ndarray:
 
 def parse_wkt_rings(wkt: str) -> list[np.ndarray]:
     """POLYGON → [outer ring]; MULTIPOLYGON → [outer ring per member].
-    Holes (interior rings) are dropped per the documented outer-ring-only
-    policy — but a member WITH holes still contributes its outer ring."""
+    Holes (interior rings) are dropped — use :func:`parse_wkt_signed_rings`
+    when holes must participate in area arithmetic."""
     m = _WKT_MULTI_RE.search(wkt)
     if m:
         rings = []
@@ -234,14 +234,55 @@ def parse_wkt_rings(wkt: str) -> list[np.ndarray]:
     return [parse_wkt_polygon(wkt)]
 
 
-def multi_intersection_area(subject_wkt: str, clip_rings: list[np.ndarray]) -> float:
-    """Σ over (footprint member × clip ring) intersection areas — exact
-    when members are disjoint (MultiPolygon semantics) and clip rings are
-    disjoint (a multi-part AOI)."""
+_RING_SPLIT_RE = re.compile(r"\)\s*,\s*\(")
+
+
+def parse_wkt_signed_rings(wkt: str) -> list[tuple[np.ndarray, int]]:
+    """Every ring of a POLYGON/MULTIPOLYGON with its area sign: outer
+    rings +1, interior rings (holes) −1. WKT validity semantics (holes
+    lie inside their outer ring and are mutually disjoint) make signed
+    area sums exact: area(member) = Σ sign·area(ring)."""
+    out: list[tuple[np.ndarray, int]] = []
+    m = _WKT_MULTI_RE.search(wkt)
+    if m:
+        for member in _MEMBER_RE.finditer(m.group(1)):
+            ring_texts = _RING_SPLIT_RE.split(member.group(1))
+            out.append((_ring_points(ring_texts[0]), 1))
+            out.extend((_ring_points(t), -1) for t in ring_texts[1:])
+        if not out:
+            raise ValueError(f"no polygon members parsed from {wkt[:80]!r}")
+        return out
+    p = _WKT_POLY_RE.search(wkt)
+    if not p:
+        raise ValueError(f"not a WKT polygon: {wkt[:80]!r}")
+    ring_texts = _RING_SPLIT_RE.split(p.group(1))
+    out.append((_ring_points(ring_texts[0]), 1))
+    out.extend((_ring_points(t), -1) for t in ring_texts[1:])
+    return out
+
+
+def multi_intersection_area(
+    subject_wkt: str,
+    clip_rings: "list[np.ndarray] | list[tuple[np.ndarray, int]]",
+) -> float:
+    """area(subject ∩ clip) for hole-bearing multi-part polygons on both
+    sides, by signed inclusion-exclusion over ring pairs:
+
+        Σ_s Σ_c sign(s)·sign(c)·area(ring_s ∩ ring_c)
+
+    Exact under WKT validity (members disjoint, holes inside their outer
+    and disjoint): subtracting hole∩clip-outer removes hole area once,
+    and adding hole∩clip-hole restores the doubly-subtracted overlap.
+    ``clip_rings`` accepts plain ring arrays (treated as outers, the
+    pre-hole call shape) or (ring, sign) pairs from
+    :func:`parse_wkt_signed_rings`."""
+    signed_clip = [
+        c if isinstance(c, tuple) else (c, 1) for c in clip_rings
+    ]
     return sum(
-        intersection_area_general(s, c)
-        for s in parse_wkt_rings(subject_wkt)
-        for c in clip_rings
+        s_sign * c_sign * intersection_area_general(s, c)
+        for s, s_sign in parse_wkt_signed_rings(subject_wkt)
+        for c, c_sign in signed_clip
     )
 
 
@@ -278,9 +319,10 @@ def make_coverage_ratio_udf(aoi_wkt: str):
     Exact-overlay variant of operators.selection.with_coverage_ratio —
     needed when footprints are not axis-aligned (true Sentinel-2 swath
     footprints are clipped parallelograms). Handles CONCAVE AOIs
-    (triangulated clip), multi-part AOIs, and MULTIPOLYGON footprints."""
-    aoi_rings = parse_wkt_rings(aoi_wkt)
-    aoi_area = sum(shoelace_area(r) for r in aoi_rings)
+    (triangulated clip), multi-part AOIs, MULTIPOLYGON footprints, and
+    interior rings (holes) on both sides via signed ring arithmetic."""
+    aoi_rings = parse_wkt_signed_rings(aoi_wkt)
+    aoi_area = sum(sign * shoelace_area(r) for r, sign in aoi_rings)
 
     @F.pandas_udf(DoubleType())
     def _ratio(wkts: pd.Series) -> pd.Series:
@@ -292,7 +334,7 @@ def make_coverage_ratio_udf(aoi_wkt: str):
 
 
 def make_intersects_udf(aoi_wkt: str):
-    aoi_rings = parse_wkt_rings(aoi_wkt)
+    aoi_rings = parse_wkt_signed_rings(aoi_wkt)
 
     @F.pandas_udf(BooleanType())
     def _intersects(wkts: pd.Series) -> pd.Series:

@@ -54,26 +54,48 @@ def read_aoi_csv(spark: SparkSession, path: str) -> DataFrame:
     return _with_bbox(raw.select(*cols))
 
 
+def _ring_txt(ring) -> str:
+    return "(" + ", ".join(f"{x:g} {y:g}" for x, y in ring) + ")"
+
+
+def _point_in_ring(px: float, py: float, ring) -> bool:
+    """Ray-casting containment (used to attach SHP holes to their outer)."""
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if (y1 > py) != (y2 > py):
+            if px < x1 + (py - y1) * (x2 - x1) / (y2 - y1):
+                inside = not inside
+    return inside
+
+
+def _poly_txt(rings) -> str:
+    """[outer, hole, ...] → '((outer), (hole), ...)'."""
+    return "(" + ", ".join(_ring_txt(r) for r in rings) + ")"
+
+
 def _geojson_geom_to_wkt(geom: dict) -> str:
-    """Polygon/MultiPolygon GeoJSON geometry → WKT (outer rings only for
-    the AOI use case)."""
+    """Polygon/MultiPolygon GeoJSON geometry → WKT. Interior rings
+    (holes) are preserved — the overlay kernel handles them via signed
+    ring arithmetic (functions.geometry.parse_wkt_signed_rings)."""
     t = geom["type"]
     if t == "Polygon":
-        rings = geom["coordinates"]
-        inner = ", ".join(f"{x:g} {y:g}" for x, y in rings[0])
-        return f"POLYGON (({inner}))"
+        return f"POLYGON {_poly_txt(geom['coordinates'])}"
     if t == "MultiPolygon":
-        parts = []
-        for poly in geom["coordinates"]:
-            inner = ", ".join(f"{x:g} {y:g}" for x, y in poly[0])
-            parts.append(f"(({inner}))")
-        return "MULTIPOLYGON (" + ", ".join(parts) + ")"
+        return (
+            "MULTIPOLYGON ("
+            + ", ".join(_poly_txt(p) for p in geom["coordinates"])
+            + ")"
+        )
     raise ValueError(f"unsupported GeoJSON geometry type {t}")
 
 
 def _wkb_to_wkt(buf: bytes, offset: int = 0) -> str:
-    """WKB Polygon/MultiPolygon → WKT (outer rings only, like the
-    GeoJSON path — AOI clip windows have no holes)."""
+    """WKB Polygon/MultiPolygon → WKT. All rings are preserved (ring 0
+    outer, rest holes — WKB ring order carries that distinction straight
+    into the WKT hole syntax the overlay kernel consumes)."""
     import struct as _s
 
     def ring_points(b, off, little):
@@ -91,27 +113,26 @@ def _wkb_to_wkt(buf: bytes, offset: int = 0) -> str:
             raise ValueError(f"expected WKB Polygon, got type {gtype}")
         (n_rings,) = _s.unpack_from(fmt + "I", b, off + 5)
         off += 9
-        outer, off = ring_points(b, off, little)
-        for _ in range(n_rings - 1):  # skip holes
-            _pts, off = ring_points(b, off, little)
-        return outer, off
+        rings = []
+        for _ in range(n_rings):
+            pts, off = ring_points(b, off, little)
+            rings.append(pts)
+        return rings, off
 
     little = buf[offset] == 1
     fmt = "<" if little else ">"
     (gtype,) = _s.unpack_from(fmt + "I", buf, offset + 1)
     base = gtype & 0xFF
     if base == 3:
-        outer, _ = polygon(buf, offset)
-        inner = ", ".join(f"{x:g} {y:g}" for x, y in outer)
-        return f"POLYGON (({inner}))"
+        rings, _ = polygon(buf, offset)
+        return f"POLYGON {_poly_txt(rings)}"
     if base == 6:
         (n_polys,) = _s.unpack_from(fmt + "I", buf, offset + 5)
         off = offset + 9
         parts = []
         for _ in range(n_polys):
-            outer, off = polygon(buf, off)
-            inner = ", ".join(f"{x:g} {y:g}" for x, y in outer)
-            parts.append(f"(({inner}))")
+            rings, off = polygon(buf, off)
+            parts.append(_poly_txt(rings))
         return "MULTIPOLYGON (" + ", ".join(parts) + ")"
     raise ValueError(f"unsupported WKB geometry type {gtype}")
 
@@ -196,29 +217,37 @@ def read_aoi_shp(spark: SparkSession, path: str) -> DataFrame:
         pts = _s.unpack_from(f"<{2 * n_points}d", shp, pts_off)
         xy = list(zip(pts[0::2], pts[1::2]))
         # The spec distinguishes OUTER rings (clockwise) from holes
-        # (counter-clockwise) by winding — a multi-part record may be a
-        # multi-island AOI, so every CW ring is kept (holes dropped per
-        # the outer-ring-only policy shared with the other readers).
+        # (counter-clockwise) by winding. Outers become members; each
+        # hole is attached to the outer ring that contains its first
+        # vertex (shapefiles guarantee holes lie inside an outer).
         bounds = list(parts) + [n_points]
-        outers = []
+        outers: list[list] = []
+        holes: list[list] = []
         for pi in range(n_parts):
             ring = xy[bounds[pi] : bounds[pi + 1]]
             signed2 = sum(
                 x1 * y2 - x2 * y1
                 for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1])
             )
-            if signed2 <= 0:  # clockwise → outer ring
-                outers.append(ring)
+            (outers if signed2 <= 0 else holes).append(ring)
         if not outers:  # degenerate: keep part 0 rather than drop the record
-            outers = [xy[bounds[0] : bounds[1]]]
-        ring_txts = [
-            "(" + ", ".join(f"{x:g} {y:g}" for x, y in ring) + ")"
-            for ring in outers
-        ]
-        if len(ring_txts) == 1:
-            wkt = f"POLYGON ({ring_txts[0]})"
+            outers, holes = [xy[bounds[0] : bounds[1]]], []
+        members = [[o] for o in outers]
+        for hole in holes:
+            hx, hy = hole[0]
+            for member in members:
+                if _point_in_ring(hx, hy, member[0]):
+                    member.append(hole)
+                    break
+            # a hole matching no outer is dropped (malformed input)
+        if len(members) == 1:
+            wkt = f"POLYGON {_poly_txt(members[0])}"
         else:
-            wkt = "MULTIPOLYGON (" + ", ".join(f"({t})" for t in ring_txts) + ")"
+            wkt = (
+                "MULTIPOLYGON ("
+                + ", ".join(_poly_txt(m) for m in members)
+                + ")"
+            )
         rec_attrs = attrs.get(rec_num, {})
         rows.append(
             (

@@ -180,3 +180,87 @@ def test_read_aoi_shp_without_dbf(spark, tmp_path):
     row = read_aoi_shp(spark, str(p)).collect()[0]
     assert row["fid"] == 0 and row["tile_id"] is None
     assert row["geometry"].startswith("POLYGON ((0 0")
+
+
+def _wkb_polygon_rings(rings: list[list[tuple[float, float]]]) -> bytes:
+    import struct
+
+    buf = struct.pack("<BII", 1, 3, len(rings))
+    for ring in rings:
+        buf += struct.pack("<I", len(ring))
+        for x, y in ring:
+            buf += struct.pack("<dd", x, y)
+    return buf
+
+
+def test_geojson_and_wkb_preserve_holes(spark, tmp_path):
+    """Interior rings survive both readers and feed the signed-ring
+    overlay: a donut AOI's area excludes the hole."""
+    import json
+
+    from etl_sentinel_imagery_spark.functions.geometry import (
+        parse_wkt_signed_rings,
+        shoelace_area,
+    )
+    from etl_sentinel_imagery_spark.sources.geo_readers import _wkb_to_wkt
+
+    outer = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+    hole = [(3, 3), (3, 7), (7, 7), (7, 3), (3, 3)]
+    gj = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"fid": 1},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [outer, hole],
+                },
+            }
+        ],
+    }
+    p = tmp_path / "donut.geojson"
+    p.write_text(json.dumps(gj))
+    row = read_aoi_geojson(spark, str(p)).collect()[0]
+    signed = parse_wkt_signed_rings(row["geometry"])
+    assert [s for _, s in signed] == [1, -1]
+    assert abs(sum(s * shoelace_area(r) for r, s in signed) - 84.0) < 1e-12
+
+    wkt = _wkb_to_wkt(_wkb_polygon_rings([outer, hole]))
+    signed = parse_wkt_signed_rings(wkt)
+    assert [s for _, s in signed] == [1, -1]
+    assert abs(sum(s * shoelace_area(r) for r, s in signed) - 84.0) < 1e-12
+
+
+def test_shp_hole_attached_to_outer(spark, tmp_path):
+    """A CCW (hole) part lands as an interior ring of the CW outer that
+    contains it."""
+    import struct
+
+    from etl_sentinel_imagery_spark.functions.geometry import (
+        parse_wkt_signed_rings,
+        shoelace_area,
+    )
+    from etl_sentinel_imagery_spark.sources.geo_readers import read_aoi_shp
+
+    outer = [(0, 0), (0, 10), (10, 10), (10, 0), (0, 0)]  # CW (shp outer)
+    hole = [(3, 3), (7, 3), (7, 7), (3, 7), (3, 3)]  # CCW (shp hole)
+    pts = outer + hole
+    content = struct.pack("<I", 5)
+    content += struct.pack("<4d", 0, 0, 10, 10)
+    content += struct.pack("<II", 2, len(pts))
+    content += struct.pack("<II", 0, len(outer))
+    for x, y in pts:
+        content += struct.pack("<dd", x, y)
+    rec = struct.pack(">II", 1, len(content) // 2) + content
+    header = struct.pack(">I", 9994) + b"\x00" * 20
+    header += struct.pack(">I", (100 + len(rec)) // 2)
+    header += struct.pack("<II", 1000, 5)
+    header += struct.pack("<8d", 0, 0, 10, 10, 0, 0, 0, 0)
+    p = tmp_path / "donut.shp"
+    p.write_bytes(header + rec)
+
+    row = read_aoi_shp(spark, str(p)).collect()[0]
+    signed = parse_wkt_signed_rings(row["geometry"])
+    assert [s for _, s in signed] == [1, -1]
+    assert abs(sum(s * shoelace_area(r) for r, s in signed) - 84.0) < 1e-12

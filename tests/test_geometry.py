@@ -194,3 +194,71 @@ def test_polygon_with_hole_outer_ring_only():
         "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
     )
     assert ring.tolist() == [[0, 0], [4, 0], [4, 4], [0, 4]]
+
+
+def test_signed_rings_and_hole_area_arithmetic():
+    """Holes participate via signed inclusion-exclusion: a donut subject
+    against a clip overlapping the hole subtracts exactly the hole∩clip
+    area; a subject fully inside the hole intersects nothing."""
+    from etl_sentinel_imagery_spark.functions.geometry import (
+        multi_intersection_area,
+        parse_wkt_signed_rings,
+    )
+
+    donut = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"
+    rings = parse_wkt_signed_rings(donut)
+    assert [s for _, s in rings] == [1, -1]
+
+    # clip covering everything → donut's own area = 100 − 16
+    clip_all = parse_wkt_signed_rings("POLYGON ((-1 -1, 11 -1, 11 11, -1 11, -1 -1))")
+    assert abs(multi_intersection_area(donut, clip_all) - 84.0) < 1e-12
+
+    # clip half-overlapping the hole: [0,5]² ∩ donut = 25 − 4
+    clip_q = parse_wkt_signed_rings("POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))")
+    assert abs(multi_intersection_area(donut, clip_q) - 21.0) < 1e-12
+
+    # subject entirely inside the hole → zero intersection
+    inner = "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"
+    donut_rings = parse_wkt_signed_rings(donut)
+    assert multi_intersection_area(inner, donut_rings) == 0.0
+
+    # donut-vs-donut: both holes subtract, hole∩hole adds back once
+    donut2 = "POLYGON ((2 2, 12 2, 12 12, 2 12, 2 2), (5 5, 9 5, 9 9, 5 9, 5 5))"
+    # outer∩outer = 8·8=64; hole1∩outer2 = [3,7]²∩[2,12]² = 16
+    # outer1∩hole2 = [5,9]²∩[0,10]² = 16; hole1∩hole2 = [5,7]² = 4
+    expect = 64.0 - 16.0 - 16.0 + 4.0
+    assert abs(
+        multi_intersection_area(donut, parse_wkt_signed_rings(donut2)) - expect
+    ) < 1e-12
+
+
+def test_coverage_udf_with_holed_aoi(spark):
+    """End-to-end: a donut AOI's coverage ratio divides by the TRUE AOI
+    area (outer − hole) and excludes footprint area inside the hole."""
+    from etl_sentinel_imagery_spark.functions.geometry import (
+        make_coverage_ratio_udf,
+        make_intersects_udf,
+    )
+
+    donut = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"
+    df = spark.createDataFrame(
+        [
+            ("full", "POLYGON ((-1 -1, 11 -1, 11 11, -1 11, -1 -1))"),
+            ("in_hole", "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"),
+            ("half", "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))"),
+        ],
+        "name string, footprint string",
+    )
+    import pyspark.sql.functions as F
+
+    out = {
+        r["name"]: (r["ratio"], r["hits"])
+        for r in df.select(
+            "name",
+            make_coverage_ratio_udf(donut)(F.col("footprint")).alias("ratio"),
+            make_intersects_udf(donut)(F.col("footprint")).alias("hits"),
+        ).collect()
+    }
+    assert abs(out["full"][0] - 1.0) < 1e-12 and out["full"][1]
+    assert out["in_hole"][0] == 0.0 and not out["in_hole"][1]
+    assert abs(out["half"][0] - 21.0 / 84.0) < 1e-12 and out["half"][1]
