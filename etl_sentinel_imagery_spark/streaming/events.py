@@ -160,6 +160,19 @@ def purchases_with_recent_click(
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts", "value")
 
 
+def enrich_with_dimension(
+    events: DataFrame, dim: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment join: each event picks up its dimension
+    attributes (the streaming analog of the batch broadcast point-lookup,
+    J3). The static side is broadcast — per micro-batch Spark re-plans
+    the join, so a small dimension never shuffles the stream, and an
+    updated dimension snapshot is picked up on the next batch without
+    restarting the query. No watermark needed: stream-static joins keep
+    no join state."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
 def run_foreach_batch_to_parquet(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:

@@ -1,0 +1,131 @@
+"""Z-order layout: per-file min/max footprints must shrink on EVERY
+clustered column vs a single-column sort, and a 2-D box predicate must
+touch fewer files. Verified against the actual parquet footers (pyarrow
+row-group statistics) — the same stats a 100 TB scan prunes on."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.operators.layout import (
+    with_zorder,
+    zorder_layout,
+)
+from etl_sentinel_imagery_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+N_FILES = 8
+
+
+def _file_ranges(path: str, cols: list[str]) -> list[dict[str, tuple]]:
+    out = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins: dict = {}
+        maxs: dict = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    st = col.statistics
+                    if name not in mins or st.min < mins[name]:
+                        mins[name] = st.min
+                    if name not in maxs or st.max > maxs[name]:
+                        maxs[name] = st.max
+        if mins:
+            out.append({c: (mins[c], maxs[c]) for c in cols})
+    return out
+
+
+def _avg_span(ranges, col, lo, hi) -> float:
+    width = hi - lo
+    return sum((r[col][1] - r[col][0]) / width for r in ranges) / len(ranges)
+
+
+def test_zorder_narrows_file_footprints_both_dims(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice")
+    )
+    lo_c, hi_c = 1.0, float(
+        orders.agg(F.max("o_custkey")).collect()[0][0]
+    )
+    lo_p, hi_p = (
+        float(orders.agg(F.min("o_totalprice")).collect()[0][0]),
+        float(orders.agg(F.max("o_totalprice")).collect()[0][0]),
+    )
+
+    single = str(tmp_path / "single")
+    (
+        orders.repartitionByRange(N_FILES, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.parquet(single)
+    )
+    zpath = str(tmp_path / "zorder")
+    zorder_layout(orders, ["o_custkey", "o_totalprice"], N_FILES).write.parquet(
+        zpath
+    )
+
+    cols = ["o_custkey", "o_totalprice"]
+    s_ranges = _file_ranges(single, cols)
+    z_ranges = _file_ranges(zpath, cols)
+    assert len(s_ranges) >= N_FILES // 2 and len(z_ranges) >= N_FILES // 2
+
+    # custkey-sorted layout: custkey spans tiny, price spans ≈ full width
+    assert _avg_span(s_ranges, "o_custkey", lo_c, hi_c) < 0.3
+    assert _avg_span(s_ranges, "o_totalprice", lo_p, hi_p) > 0.8
+    # z-order: BOTH dims well under full width
+    z_c = _avg_span(z_ranges, "o_custkey", lo_c, hi_c)
+    z_p = _avg_span(z_ranges, "o_totalprice", lo_p, hi_p)
+    assert z_c < 0.75 and z_p < 0.75
+    # box queries: files whose [min,max] boxes intersect the predicate
+    def touched(ranges, ck_box, tp_box):
+        return sum(
+            1
+            for r in ranges
+            if not (
+                r["o_custkey"][1] < ck_box[0]
+                or r["o_custkey"][0] > ck_box[1]
+                or r["o_totalprice"][1] < tp_box[0]
+                or r["o_totalprice"][0] > tp_box[1]
+            )
+        )
+
+    mid_c = (lo_c + hi_c) / 2
+    mid_p = (lo_p + hi_p) / 2
+    box_c = (mid_c, mid_c + 0.05 * (hi_c - lo_c))
+    box_p = (mid_p, mid_p + 0.05 * (hi_p - lo_p))
+    all_c = (lo_c, hi_c)
+    all_p = (lo_p, hi_p)
+    # the single-dim sort cannot prune the OTHER dim: a price-only
+    # predicate hits every custkey-sorted file — while the z-order prunes
+    # BOTH single-dim predicates (the property a one-column sort lacks)
+    assert touched(s_ranges, all_c, box_p) == len(s_ranges)
+    assert touched(z_ranges, all_c, box_p) < len(z_ranges)
+    assert touched(z_ranges, box_c, all_p) < len(z_ranges)
+
+
+def test_zorder_preserves_rows_and_is_deterministic(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    z1 = with_zorder(orders, ["o_custkey", "o_totalprice"])
+    assert z1.count() == orders.count()
+    a = {r["o_orderkey"]: r["zval"] for r in z1.select("o_orderkey", "zval").collect()}
+    z2 = with_zorder(orders, ["o_custkey", "o_totalprice"])
+    b = {r["o_orderkey"]: r["zval"] for r in z2.select("o_orderkey", "zval").collect()}
+    assert a == b
+    # zval stays within the interleaved bit budget
+    import math
+
+    assert max(a.values()) < (1 << (2 * 6 + 2)) and min(a.values()) >= 0
+    assert math.isfinite(sum(a.values()))
+
+
+def test_zorder_rejects_empty_cols(spark):
+    import pytest
+
+    orders = load_table(spark, SF_DIR, "orders")
+    with pytest.raises(ValueError, match="at least one column"):
+        with_zorder(orders, [])

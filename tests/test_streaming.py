@@ -275,3 +275,34 @@ def test_streaming_upsert_sink_latest_per_key(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_stream_dir):
+    """Stream-static broadcast join: streamed events enriched with a
+    static user dimension must equal the identical batch join, and the
+    static side must not block unbounded processing (no watermark
+    required for stream-static)."""
+    from etl_sentinel_imagery_spark.streaming.events import enrich_with_dimension
+
+    events_batch = spark.read.parquet(events_stream_dir)
+    dim = (
+        events_batch.select("user_id")
+        .distinct()
+        .withColumn("user_tier", F.when(F.col("user_id") % 3 == 0, "gold").otherwise("std"))
+    )
+    stream = read_events_stream(spark, events_stream_dir)
+    out = run_to_memory(
+        enrich_with_dimension(stream, dim).select(
+            "event_id", "user_id", "user_tier"
+        ),
+        "enriched_mem",
+        "append",
+    )
+    got = {(r["event_id"], r["user_tier"]) for r in out.collect()}
+    want = {
+        (r["event_id"], r["user_tier"])
+        for r in events_batch.join(F.broadcast(dim), "user_id", "left")
+        .select("event_id", "user_tier")
+        .collect()
+    }
+    assert got == want and got

@@ -22,7 +22,7 @@ from etl_sentinel_imagery_spark.session import get_spark
 
 CHECKS = {
     "filter_range_pushdown": {
-        "PushedFilters: [IsNotNull(l_returnflag), IsNotNull(l_shipdate)": False,
+        "PushedFilters: [IsNotNull(l_returnflag), IsNotNull(l_shipdate)": True,
         "TakeOrderedAndProject": None,  # None = don't care
     },
     # NB: WholeStageCodegen spans don't appear inside an unexecuted
@@ -43,6 +43,18 @@ CHECKS = {
     # grouping sets plan through an Expand node feeding the aggregate
     "rollup_region_nation": {"Expand": True, "BroadcastHashJoin": True},
     "window_frames_battery": {"Window": True},
+    # chunking: tokenize → sequence/slice/posexplode are all generators —
+    # no aggregation, no join; the only Exchange is the anti-recompute
+    # barrier, and no Sort may appear anywhere
+    "docs_chunking": {"Generate": True, "Sort": False},
+    # the profile battery is one narrow projection: a scan and a project,
+    # never a join/aggregate/sort
+    "text_profile": {"Project": True, "HashAggregate": False, "Sort": False},
+    # quantization battery: the corpus amax is one tiny aggregate; the
+    # per-row join of norms×codes must be a broadcast or sort-merge on
+    # vec_id — and the final plan must keep partial aggregation off the
+    # row path (no window, no expand)
+    "embedding_quant_battery": {"Project": True, "Expand": False},
 }
 
 
@@ -70,8 +82,8 @@ def main() -> int:
             present = bool(re.search(pattern, text))
             if required is None:
                 continue
-            want = bool(required) or isinstance(required, str)
-            status = "PASS" if present == bool(want) or present else "WARN"
+            want = True if isinstance(required, str) else bool(required)
+            status = "PASS" if present == want else "WARN"
             if status == "WARN":
                 warns += 1
             print(f"{status}  {name}: {marker} present={present}")
