@@ -36,3 +36,32 @@ def salted_sum_count(
         F.sum("_psum").alias(sum_alias),
         F.sum("_pcnt").alias(count_alias),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the BIG side's key into n_salts shards
+    and replicate the SMALL side once per shard, so one hot key spreads
+    over n_salts reducers instead of pinning one.
+
+    This is the fallback for when AQE's skew-join split cannot apply —
+    the small side too big to broadcast but small enough to replicate
+    ×n_salts, or a non-shuffle-join plan forced by the surrounding
+    pipeline. Row-for-row identical to ``big.join(small, key, how)``;
+    supports 'inner' and 'left' (the salted right side would drop
+    unmatched right rows under 'right'/'outer')."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how}")
+    salted_big = big.withColumn(
+        "_salt",
+        F.pmod(F.crc32(F.monotonically_increasing_id().cast("string")), F.lit(n_salts)),
+    )
+    replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast(salted_big.schema["_salt"].dataType))
+    return salted_big.join(replicated, [key, "_salt"], how).drop("_salt")
