@@ -66,8 +66,18 @@ def with_zorder(
     if not cols:
         raise ValueError("need at least one column to z-order")
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+
+    def as_double(c: str) -> Column:
+        # date→double is not a valid cast; route temporals through
+        # timestamp (epoch seconds)
+        dt = df.schema[c].dataType.typeName()
+        col = F.col(c)
+        if dt in ("date", "timestamp", "timestamp_ntz"):
+            col = col.cast("timestamp")
+        return col.cast("double")
+
     casted = df.select(
-        "*", *[F.col(c).cast("double").alias(f"__z_{c}") for c in cols]
+        "*", *[as_double(c).alias(f"__z_{c}") for c in cols]
     )
     cuts = casted.stat.approxQuantile(
         [f"__z_{c}" for c in cols], probs, relative_error

@@ -40,8 +40,9 @@ def hash_bucket(key: Column | str, seed: str = "") -> Column:
 
 def hash_bucket_sql(expr: str, seed: str = "") -> str:
     """DuckDB mirror of :func:`hash_bucket` over a SQL expression."""
+    q = seed.replace("'", "''")
     return (
-        f"CAST(('0x' || substr(md5('{seed}' || CAST({expr} AS VARCHAR)), 1, 8))"
+        f"CAST(('0x' || substr(md5('{q}' || CAST({expr} AS VARCHAR)), 1, 8))"
         f" AS BIGINT)"
     )
 

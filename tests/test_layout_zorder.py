@@ -129,3 +129,15 @@ def test_zorder_rejects_empty_cols(spark):
     orders = load_table(spark, SF_DIR, "orders")
     with pytest.raises(ValueError, match="at least one column"):
         with_zorder(orders, [])
+
+
+def test_zorder_on_date_column(spark):
+    """Temporal columns route through timestamp — a date dim must produce
+    varying (non-null-collapsed) buckets."""
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "od", F.col("o_orderdate").cast("date")
+    )
+    z = with_zorder(orders, ["od", "o_custkey"])
+    n_distinct = z.select("zval").distinct().count()
+    assert n_distinct > 50  # dates actually spread the curve
+    assert z.filter(F.col("zval").isNull()).count() == 0
