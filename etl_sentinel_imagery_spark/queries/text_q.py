@@ -151,6 +151,26 @@ def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             hash_bucket("doc_id", seed=SAMPLE_SEED)
             < F.lit(int(SAMPLE_FRACTION * HASH_SPACE))
         ).alias("in_sample"),
+        # Gopher/Dolma-style repetition signals: the filters web-scale
+        # curation actually applies (high dup-3gram or one-token-dominated
+        # docs are boilerplate/spam)
+        F.when(
+            n_tokens >= 3,
+            F.lit(1.0)
+            - F.size(word_ngrams(F.col("text"), 3)).cast("double")
+            / (n_tokens - F.lit(2)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_ratio"),
+        (
+            F.array_max(
+                F.transform(
+                    F.array_distinct(toks),
+                    lambda t: F.size(F.filter(toks, lambda x: x == t)),
+                )
+            ).cast("double")
+            / n_tokens
+        ).alias("top_token_ratio"),
     )
 
 
@@ -185,7 +205,14 @@ SELECT doc_id, lang,
            '{NORM_CTRL_PATTERN}', ' ', 'g'), '{NORM_WS_PATTERN}', ' ', 'g')))
            AS normalized_md5,
        __SPLIT_CASE__ AS split,
-       __SAMPLE_BUCKET__ < __SAMPLE_THRESHOLD__ AS in_sample
+       __SAMPLE_BUCKET__ < __SAMPLE_THRESHOLD__ AS in_sample,
+       CASE WHEN len({_TOKS}) >= 3
+            THEN 1.0 - CAST(len({_ngrams_sql(3)}) AS DOUBLE)
+                       / (len({_TOKS}) - 2)
+            ELSE 0.0 END AS dup_3gram_ratio,
+       CAST(list_max(list_transform(list_distinct({_TOKS}),
+                t -> len(list_filter({_TOKS}, x -> x = t)))) AS DOUBLE)
+           / len({_TOKS}) AS top_token_ratio
 FROM documents
 """
 
