@@ -1,0 +1,143 @@
+"""End-to-end training-corpus curation plan.
+
+The composition a data-curation team actually runs, as one declarative
+pipeline over the engine's operators:
+
+    ingest (JSONL/parquet) → quality filter (token counts + repetition
+    signals) → PII scrub → exact+near dedup (keep canonicals) →
+    benchmark decontamination → train/val/test split → chunk →
+    partitioned parquet + corpus statistics
+
+Every stage is a DataFrame transformation; the only actions are the
+per-stage row counts in the returned report (each a cheap count job —
+drop ``collect_stats`` for a single-action pipeline at full scale).
+Stage thresholds default to Gopher-style web-curation values.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.functions.text import (
+    chunk_documents,
+    scrub_pii,
+    tokens,
+    word_ngrams,
+)
+from etl_sentinel_imagery_spark.operators.dedup import dedup_clusters
+from etl_sentinel_imagery_spark.operators.decontaminate import (
+    contaminated_train_ids,
+)
+from etl_sentinel_imagery_spark.operators.sampling import assign_split
+
+
+@dataclass
+class CurationConfig:
+    min_tokens: int = 5
+    max_dup_3gram_ratio: float = 0.5
+    max_top_token_ratio: float = 0.5
+    dedup_threshold: float = 0.5
+    contamination_ngram: int = 8
+    split_weights: dict = field(
+        default_factory=lambda: {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    split_seed: str = "curate"
+    chunk_tokens: int = 64
+    chunk_overlap: int = 8
+
+
+def _quality_filter(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    dup3 = F.when(
+        n >= 3,
+        F.lit(1.0) - F.size(word_ngrams(F.col("text"), 3)).cast("double") / (n - 2),
+    ).otherwise(F.lit(0.0))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    ).cast("double") / n
+    return docs.filter(
+        (n >= cfg.min_tokens)
+        & (dup3 <= cfg.max_dup_3gram_ratio)
+        & (top <= cfg.max_top_token_ratio)
+    )
+
+
+def curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    eval_df: DataFrame | None = None,
+    cfg: CurationConfig | None = None,
+    collect_stats: bool = True,
+) -> dict:
+    """Run the full curation pipeline; write ``documents/`` (partitioned
+    by split) and ``chunks/`` under ``out_dir``; return the stage-count
+    report. ``docs`` must be (doc_id, lang, text)-shaped (see
+    sources.jsonl for the ingest path)."""
+    cfg = cfg or CurationConfig()
+    report: dict = {}
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        if collect_stats:
+            report[name] = df.count()
+        return df
+
+    stage("ingested", docs)
+    quality = stage("after_quality", _quality_filter(docs, cfg))
+    scrubbed = quality.withColumn("text", scrub_pii(F.col("text")))
+
+    clusters = dedup_clusters(
+        scrubbed, "doc_id", "text", threshold=cfg.dedup_threshold
+    )
+    canon = stage(
+        "after_dedup",
+        scrubbed.join(
+            clusters.filter(F.col("is_canonical")).select(
+                F.col("id").alias("doc_id")
+            ),
+            "doc_id",
+            "left_semi",
+        ),
+    )
+
+    if eval_df is not None:
+        bad = contaminated_train_ids(
+            canon, eval_df, n=cfg.contamination_ngram
+        )
+        canon = stage(
+            "after_decontamination",
+            canon.join(F.broadcast(bad), "doc_id", "left_anti"),
+        )
+
+    final = canon.withColumn(
+        "split", assign_split("doc_id", cfg.split_weights, seed=cfg.split_seed)
+    )
+    final.write.mode("overwrite").partitionBy("split").parquet(
+        f"{out_dir}/documents"
+    )
+
+    chunks = chunk_documents(
+        final.filter(F.col("split") == "train"),
+        "doc_id",
+        "text",
+        chunk_tokens=cfg.chunk_tokens,
+        overlap=cfg.chunk_overlap,
+    )
+    chunks.write.mode("overwrite").parquet(f"{out_dir}/chunks")
+    if collect_stats:
+        report["train_chunks"] = spark.read.parquet(f"{out_dir}/chunks").count()
+        report["splits"] = {
+            r["split"]: r["count"]
+            for r in spark.read.parquet(f"{out_dir}/documents")
+            .groupBy("split")
+            .count()
+            .collect()
+        }
+    return report

@@ -1,0 +1,82 @@
+"""End-to-end curation plan: every stage must catch its planted case."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.plans.corpus_pipeline import (
+    CurationConfig,
+    curate_corpus,
+)
+
+GOOD = (
+    "the quick brown fox jumps over a lazy dog while the calm river "
+    "flows past ancient stone bridges toward distant mountain valleys"
+)
+
+
+def _mk_docs(spark):
+    rows = [
+        (1, "en", GOOD),
+        (2, "en", GOOD.replace("dog", "cat")),  # near-dup of 1 → clustered
+        (3, "en", GOOD),  # exact dup of 1 → clustered
+        (4, "en", "too short"),  # quality: min_tokens
+        (5, "en", "spam spam spam spam spam spam spam spam spam spam"),  # top-token
+        (6, "en", "contact sales@example.com about the unique offer on "
+                  "vintage telescopes and handmade brass instruments"),  # PII
+        (7, "en", "benchmark sentence alpha beta gamma delta epsilon zeta "
+                  "eta theta iota kappa entirely verbatim in the eval set"),  # contaminated
+        (8, "en", "completely independent prose describing glacier fed "
+                  "lakes and the migration patterns of arctic terns"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_curation_pipeline_stages_and_outputs(spark, tmp_path):
+    docs = _mk_docs(spark)
+    eval_df = spark.createDataFrame(
+        [(100, "benchmark sentence alpha beta gamma delta epsilon zeta eta "
+               "theta iota kappa entirely verbatim in the eval set")],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "curated")
+    report = curate_corpus(spark, docs, out, eval_df=eval_df)
+
+    assert report["ingested"] == 8
+    # 4 (short) and 5 (repetition) fall at quality
+    assert report["after_quality"] == 6
+    # 1,2,3 collapse to one canonical → lose 2
+    assert report["after_dedup"] == 4
+    # 7 is verbatim in the eval set → quarantined
+    assert report["after_decontamination"] == 3
+
+    docs_out = spark.read.parquet(f"{out}/documents")
+    ids = {r["doc_id"] for r in docs_out.collect()}
+    assert 7 not in ids and 4 not in ids and 5 not in ids
+    assert len(ids & {1, 2, 3}) == 1  # one canonical survivor
+    # PII scrubbed in place
+    t6 = docs_out.filter(F.col("doc_id") == 6).collect()[0]["text"]
+    assert "sales@example.com" not in t6 and "<email>" in t6
+    # split column partitions the output and every row carries a label
+    assert set(
+        r["split"] for r in docs_out.select("split").distinct().collect()
+    ) <= {"train", "val", "test"}
+
+    chunks = spark.read.parquet(f"{out}/chunks")
+    assert report["train_chunks"] == chunks.count()
+    n_train = docs_out.filter(F.col("split") == "train").count()
+    assert chunks.select("doc_id").distinct().count() == n_train
+
+
+def test_curation_pipeline_without_eval(spark, tmp_path):
+    docs = _mk_docs(spark)
+    report = curate_corpus(
+        spark,
+        docs,
+        str(tmp_path / "c2"),
+        cfg=CurationConfig(min_tokens=3),
+    )
+    assert "after_decontamination" not in report
+    # the 2-token doc falls on min_tokens; the spam doc still falls on
+    # its repetition ratios regardless of the relaxed token floor
+    assert report["after_quality"] == 6
