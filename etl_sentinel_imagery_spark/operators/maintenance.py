@@ -1,0 +1,102 @@
+"""Table maintenance: small-file compaction.
+
+Streaming sinks and fine-grained partitioned writes fragment a table
+into thousands of tiny files; at 100 TB the scan then pays per-file
+open/footer costs that dwarf the data read. Compaction bin-packs the
+SMALL files into target-size rewrites and leaves right-sized files
+untouched — rewriting only the fraction of the table that needs it,
+not the whole partition.
+
+Driver work is file METADATA only (names + sizes via Hadoop's
+FileSystem API — thousands of entries, never data); the rewrite itself
+is one Spark job over just the selected files. The swap is
+crash-ordered: new files land under a temp name inside the directory,
+originals are deleted only after the write commits, so a failure
+leaves either the old files or old+new (duplicates a re-run cleans),
+never a hole.
+"""
+
+from __future__ import annotations
+
+import math
+import uuid
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every parquet data file directly under ``path``."""
+    fs, hpath, _ = _fs(spark, path)
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(".parquet") and not name.startswith("_"):
+            out.append((st.getPath().toString(), int(st.getLen())))
+    return out
+
+
+def plan_compaction(
+    files: list[tuple[str, int]],
+    target_bytes: int,
+    small_ratio: float = 0.5,
+) -> list[str]:
+    """Files worth rewriting: smaller than ``small_ratio``·target. Files
+    already near target size are left alone — rewriting them buys
+    nothing and costs a full read+write."""
+    return [p for p, sz in files if sz < target_bytes * small_ratio]
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_ratio: float = 0.5,
+) -> dict:
+    """Bin-pack the small files of a parquet directory into ~target-size
+    files, in place. Returns a report: files before/after, bytes
+    rewritten, small files compacted. No-op (and no job) when fewer than
+    two small files exist."""
+    files = list_data_files(spark, path)
+    small = plan_compaction(files, target_bytes, small_ratio)
+    if len(small) < 2:
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "compacted": 0,
+            "bytes_rewritten": 0,
+        }
+    small_set = set(small)
+    bytes_rewritten = sum(sz for p, sz in files if p in small_set)
+    n_out = max(1, math.ceil(bytes_rewritten / target_bytes))
+
+    df = spark.read.parquet(*small)
+    tmp = f"{path}/_compact_{uuid.uuid4().hex}"
+    df.coalesce(n_out).write.parquet(tmp)
+
+    fs, _, jvm = _fs(spark, path)
+    # move the committed rewrites up into the table directory…
+    moved = []
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(tmp)):
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(".parquet"):
+            dest = jvm.org.apache.hadoop.fs.Path(
+                f"{path}/compacted-{uuid.uuid4().hex}.parquet"
+            )
+            fs.rename(st.getPath(), dest)
+            moved.append(dest.toString())
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    # …then retire the originals (old data stays readable up to here)
+    for p in small:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(p), False)
+    return {
+        "files_before": len(files),
+        "files_after": len(files) - len(small) + len(moved),
+        "compacted": len(small),
+        "bytes_rewritten": bytes_rewritten,
+    }

@@ -1,0 +1,66 @@
+"""Compaction: small files merge, right-sized files untouched, data
+byte-identical before/after."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.operators.maintenance import (
+    compact_parquet_dir,
+    list_data_files,
+    plan_compaction,
+)
+from etl_sentinel_imagery_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_compaction_merges_small_preserves_data(spark, tmp_path):
+    p = str(tmp_path / "table")
+    orders = load_table(spark, SF_DIR, "orders")
+    # fragment: 12 tiny files
+    orders.repartition(12).write.parquet(p)
+    before_files = list_data_files(spark, p)
+    assert len(before_files) == 12
+    before_rows = {
+        r["o_orderkey"] for r in spark.read.parquet(p).collect()
+    }
+
+    report = compact_parquet_dir(spark, p, target_bytes=64 * 1024 * 1024)
+    assert report["compacted"] == 12
+    after_files = list_data_files(spark, p)
+    assert len(after_files) == report["files_after"] < 12
+
+    after = spark.read.parquet(p)
+    assert {r["o_orderkey"] for r in after.collect()} == before_rows
+    assert after.count() == len(before_rows)
+
+
+def test_compaction_leaves_big_files_alone(spark, tmp_path):
+    p = str(tmp_path / "table2")
+    orders = load_table(spark, SF_DIR, "orders")
+    orders.coalesce(1).write.parquet(p)
+    (big_path, big_sz) = list_data_files(spark, p)[0]
+    # add tiny siblings
+    orders.limit(50).repartition(3).write.mode("append").parquet(p)
+    assert len(list_data_files(spark, p)) == 4
+
+    report = compact_parquet_dir(spark, p, target_bytes=2 * big_sz)
+    # the big file must survive with its original name
+    names = {f for f, _ in list_data_files(spark, p)}
+    assert big_path in names
+    assert report["compacted"] == 3
+    total = load_table(spark, SF_DIR, "orders").count() + 50
+    assert spark.read.parquet(p).count() == total
+
+
+def test_compaction_noop_on_single_small_file(spark, tmp_path):
+    p = str(tmp_path / "table3")
+    load_table(spark, SF_DIR, "orders").coalesce(1).write.parquet(p)
+    report = compact_parquet_dir(spark, p, target_bytes=10**12)
+    assert report["compacted"] == 0
+    assert report["files_before"] == report["files_after"] == 1
+
+
+def test_plan_compaction_threshold():
+    files = [("a", 10), ("b", 100), ("c", 49), ("d", 50)]
+    assert plan_compaction(files, target_bytes=100, small_ratio=0.5) == ["a", "c"]
