@@ -50,10 +50,14 @@ def hll_sketch(
     h = _hash60(F.col(key_col))
     idx = h.bitwiseAND(F.lit(HLL_M - 1))
     w = F.shiftright(h, HLL_P)
-    # rho = leading-zero count of the 51-bit substream + 1
+    # rho = leading-zero count of the 51-bit substream + 1. Bit length
+    # comes from the BINARY-STRING length (conv base 10→2) — an exact
+    # integer path; floor(log2(w)) computed as ln(w)/ln(2) in doubles
+    # can be off by one at exact powers of two, and differently so per
+    # engine, which would silently skew registers.
     rho = (
         F.when(w == 0, F.lit(_SUB_BITS + 1))
-        .otherwise(F.lit(_SUB_BITS) - F.floor(F.log2(w)))
+        .otherwise(F.lit(_SUB_BITS + 1) - F.length(F.conv(w, 10, 2)))
         .cast("int")
     )
     per_reg = (

@@ -157,6 +157,15 @@ def _centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
     return np.array([r["embedding"] for r in rows], dtype="float64")
 
 
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded-IVF top-k alone (no battery tagging) — the recall-vs-brute-
+    force pytest fixture path (tests/test_vectors.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, F.col("vec_id") < N_QUERIES, _centroids(spark, sf_dir), k=TOP_K
+    )
+
+
 def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine high-similarity pairs, exact pairwise.
 
