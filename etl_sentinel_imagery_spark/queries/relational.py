@@ -96,33 +96,93 @@ GROUP BY l_returnflag, l_linestatus
 # --- J3 + A1/A2: broadcast dim join + grouped + distinct aggregation -----
 def _orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast hash join on small dims (J3, imagery_store.py:94 analog),
-    plus exact distinct aggregation (A2 ext) in the same grouped pass."""
+    plus exact distinct aggregation (A2 ext) in the same grouped pass —
+    and, alongside the exact distinct, the per-nation HLL register
+    statistics (operators.sketches): integer register sum / used-count of
+    the customer sketch, cross-checked against DuckDB's independent SQL
+    restatement of the same md5-60-bit register computation. The exact
+    n_customers next to the sketch columns is the accuracy anchor."""
+    from etl_sentinel_imagery_spark.operators.sketches import hll_sketch
+
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(
-            F.count(F.lit(1)).alias("num_orders"),
-            dsum("o_totalprice").alias("total_price"),
-            F.countDistinct("o_custkey").alias("n_customers"),
-            F.countDistinct("o_orderstatus").alias("n_statuses"),
-        )
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey).join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    )
+    base = joined.groupBy(F.col("n_name").alias("nation_name")).agg(
+        F.count(F.lit(1)).alias("num_orders"),
+        dsum("o_totalprice").alias("total_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+    sk = hll_sketch(
+        joined.select(F.col("n_name").alias("nation_name"), "o_custkey"),
+        ["nation_name"],
+        "o_custkey",
+    ).select(
+        "nation_name",
+        F.aggregate(
+            "hll", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("hll_reg_sum"),
+        F.size(F.filter("hll", lambda r: r > 0)).alias("hll_n_used"),
+    )
+    return base.join(sk, "nation_name")
+
+
+def _hll_regs_sql(key_expr: str) -> str:
+    """DuckDB restatement of operators.sketches register computation:
+    60-bit md5 hash → 9-bit index + max-of-rho registers."""
+    from etl_sentinel_imagery_spark.operators.sketches import (
+        _SUB_BITS,
+        HLL_M,
+        HLL_P,
     )
 
+    return f"""
+    SELECT nation_name,
+           hv & {HLL_M - 1} AS idx,
+           CASE WHEN (hv >> {HLL_P}) = 0 THEN {_SUB_BITS + 1}
+                ELSE {_SUB_BITS + 1} - length(bin(hv >> {HLL_P})) END AS rho
+    FROM (
+        SELECT nation_name,
+               CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM j
+    )
+    """
 
-_ORDERS_PER_NATION_SQL = """
-SELECT n.n_name AS nation_name,
-       COUNT(*) AS num_orders,
-       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
-       COUNT(DISTINCT o.o_custkey) AS n_customers,
-       COUNT(DISTINCT o.o_orderstatus) AS n_statuses
-FROM orders o
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n   ON c.c_nationkey = n.n_nationkey
-GROUP BY 1
+
+_ORDERS_PER_NATION_SQL = f"""
+WITH j AS (
+    SELECT n.n_name AS nation_name, o.o_custkey, o.o_totalprice, o.o_orderstatus
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+),
+base AS (
+    SELECT nation_name,
+           COUNT(*) AS num_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM j
+    GROUP BY 1
+),
+regs AS (
+    SELECT nation_name, idx, MAX(rho) AS mx
+    FROM ({_hll_regs_sql("o_custkey")})
+    GROUP BY 1, 2
+),
+st AS (
+    SELECT nation_name,
+           CAST(SUM(mx) AS BIGINT) AS hll_reg_sum,
+           COUNT(*) AS hll_n_used
+    FROM regs
+    GROUP BY 1
+)
+SELECT base.*, st.hll_reg_sum, st.hll_n_used
+FROM base JOIN st USING (nation_name)
 """
 
 
