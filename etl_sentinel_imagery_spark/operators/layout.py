@@ -53,38 +53,89 @@ def _interleave(bucket_cols: list[Column], bits: int) -> Column:
     return z
 
 
+def _as_double(df: DataFrame, c: str) -> Column:
+    # date→double is not a valid cast; route temporals through
+    # timestamp (epoch seconds)
+    dt = df.schema[c].dataType.typeName()
+    col = F.col(c)
+    if dt in ("date", "timestamp", "timestamp_ntz"):
+        col = col.cast("timestamp")
+    return col.cast("double")
+
+
+def compute_zorder_cuts(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = DEFAULT_BITS,
+    relative_error: float = 0.001,
+) -> dict[str, list[float]]:
+    """Quantile cut points per column (one approxQuantile pass). Persist
+    these (save_zorder_cuts) and reuse them across a steady ingest so
+    every write's files land on the SAME curve — freshly-derived cuts
+    per write would drift as the distribution does, making file ranges
+    mutually inconsistent between compactions."""
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    casted = df.select(*[_as_double(df, c).alias(f"__z_{c}") for c in cols])
+    cuts = casted.stat.approxQuantile(
+        [f"__z_{c}" for c in cols], probs, relative_error
+    )
+    return {c: sorted(set(cut)) for c, cut in zip(cols, cuts)}
+
+
+def save_zorder_cuts(spark, path: str, cuts: dict[str, list[float]]) -> None:
+    """Persist cut points as JSON via the Hadoop FileSystem API (works on
+    local paths and object stores alike)."""
+    import json
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    out.write(bytearray(json.dumps(cuts).encode("utf-8")))
+    out.close()
+
+
+def load_zorder_cuts(spark, path: str) -> dict[str, list[float]]:
+    import json
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    try:
+        data = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
 def with_zorder(
     df: DataFrame,
     cols: list[str],
     bits: int = DEFAULT_BITS,
     relative_error: float = 0.001,
+    cuts: dict[str, list[float]] | None = None,
 ) -> DataFrame:
     """Add a ``zval`` column: Morton code over the quantile-rank buckets
     of ``cols`` (numeric/date/timestamp). Quantile ranks (not raw values)
     make the curve robust to skew — each bucket holds ~equal row counts
-    regardless of the value distribution."""
+    regardless of the value distribution. Pass persisted ``cuts``
+    (compute_zorder_cuts/load_zorder_cuts) to keep successive writes on
+    one consistent curve; otherwise cuts derive from ``df`` itself."""
     if not cols:
         raise ValueError("need at least one column to z-order")
-    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-
-    def as_double(c: str) -> Column:
-        # date→double is not a valid cast; route temporals through
-        # timestamp (epoch seconds)
-        dt = df.schema[c].dataType.typeName()
-        col = F.col(c)
-        if dt in ("date", "timestamp", "timestamp_ntz"):
-            col = col.cast("timestamp")
-        return col.cast("double")
-
+    if cuts is None:
+        cuts = compute_zorder_cuts(df, cols, bits, relative_error)
+    missing = [c for c in cols if c not in cuts]
+    if missing:
+        raise ValueError(f"cuts missing for columns: {missing}")
     casted = df.select(
-        "*", *[as_double(c).alias(f"__z_{c}") for c in cols]
-    )
-    cuts = casted.stat.approxQuantile(
-        [f"__z_{c}" for c in cols], probs, relative_error
+        "*", *[_as_double(df, c).alias(f"__z_{c}") for c in cols]
     )
     buckets = [
-        _bucketize(F.col(f"__z_{c}"), sorted(set(cut)))
-        for c, cut in zip(cols, cuts)
+        _bucketize(F.col(f"__z_{c}"), cuts[c]) for c in cols
     ]
     return casted.withColumn("zval", _interleave(buckets, bits)).drop(
         *[f"__z_{c}" for c in cols]
@@ -96,6 +147,7 @@ def zorder_layout(
     cols: list[str],
     n_files: int,
     bits: int = DEFAULT_BITS,
+    cuts: dict[str, list[float]] | None = None,
 ) -> DataFrame:
     """Cluster ``df`` into ``n_files`` output partitions along the
     Z-curve of ``cols``: range-partition on zval (contiguous curve
@@ -104,7 +156,7 @@ def zorder_layout(
     ``.write.parquet(...)`` — every file then covers a narrow range of
     every clustered column, which is what the scan planner prunes on."""
     return (
-        with_zorder(df, cols, bits)
+        with_zorder(df, cols, bits, cuts=cuts)
         .repartitionByRange(n_files, "zval")
         .sortWithinPartitions("zval")
     )

@@ -100,3 +100,48 @@ def compact_parquet_dir(
         "compacted": len(small),
         "bytes_rewritten": bytes_rewritten,
     }
+
+
+def list_partition_dirs(spark: SparkSession, root: str) -> list[str]:
+    """Leaf partition directories (key=value path segments, any depth)
+    under a partitioned table root — metadata-only recursion."""
+    fs, hroot, jvm = _fs(spark, root)
+    leaves: list[str] = []
+
+    def walk(hpath) -> None:
+        subdirs = [
+            st.getPath()
+            for st in fs.listStatus(hpath)
+            if st.isDirectory() and "=" in st.getPath().getName()
+        ]
+        if not subdirs:
+            leaves.append(hpath.toString())
+            return
+        for sub in subdirs:
+            walk(sub)
+
+    walk(hroot)
+    return leaves
+
+
+def compact_partitioned_table(
+    spark: SparkSession,
+    root: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_ratio: float = 0.5,
+) -> dict:
+    """Per-partition compaction walk: each leaf partition directory is
+    compacted independently with the same crash-ordered swap, so the
+    table stays readable throughout and a failure affects at most one
+    partition's in-flight rewrite. Returns the aggregate report plus
+    per-partition detail."""
+    detail = {}
+    totals = {"files_before": 0, "files_after": 0, "compacted": 0, "bytes_rewritten": 0}
+    for leaf in list_partition_dirs(spark, root):
+        rep = compact_parquet_dir(spark, leaf, target_bytes, small_ratio)
+        detail[leaf] = rep
+        for k in totals:
+            totals[k] += rep[k]
+    totals["partitions"] = len(detail)
+    totals["detail"] = detail
+    return totals

@@ -64,3 +64,29 @@ def test_compaction_noop_on_single_small_file(spark, tmp_path):
 def test_plan_compaction_threshold():
     files = [("a", 10), ("b", 100), ("c", 49), ("d", 50)]
     assert plan_compaction(files, target_bytes=100, small_ratio=0.5) == ["a", "c"]
+
+
+def test_partitioned_table_compaction_walk(spark, tmp_path):
+    from etl_sentinel_imagery_spark.operators.maintenance import (
+        compact_partitioned_table,
+        list_partition_dirs,
+    )
+
+    p = str(tmp_path / "ptable")
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "bucket", (F.col("o_orderkey") % 3).cast("int")
+    )
+    orders.repartition(6).write.partitionBy("bucket").parquet(p)
+    leaves = list_partition_dirs(spark, p)
+    assert len(leaves) == 3 and all("bucket=" in l for l in leaves)
+    before = spark.read.parquet(p)
+    before_n = before.count()
+
+    report = compact_partitioned_table(spark, p, target_bytes=64 * 1024 * 1024)
+    assert report["partitions"] == 3
+    assert report["compacted"] > 0
+    after = spark.read.parquet(p)
+    assert after.count() == before_n
+    # fewer files overall, per-partition detail consistent
+    assert report["files_after"] < report["files_before"]
+    assert sum(d["compacted"] for d in report["detail"].values()) == report["compacted"]
