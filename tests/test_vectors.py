@@ -223,3 +223,35 @@ def test_pq_topk_recall(spark):
     total = sum(len(v) for v in exact.values())
     recall_at_20 = hits / total
     assert recall_at_20 >= 0.5, recall_at_20
+
+
+def test_ivf_probe_dial_monotone_to_exact(spark):
+    """The accuracy/cost dial: recall must be non-decreasing in n_probe,
+    and probing EVERY bucket must reproduce the exact top-k (at full
+    probing IVF degenerates to brute force over all candidates)."""
+    import numpy as np
+
+    from etl_sentinel_imagery_spark.operators.similarity import ivf_topk
+    from etl_sentinel_imagery_spark.queries.vectors_q import (
+        N_CENTROIDS,
+        _centroids,
+    )
+    from etl_sentinel_imagery_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = _centroids(spark, SF_DIR)
+    exact = {
+        (r["query_id"], r["cand_id"]) for r in _cosine_topk(spark, SF_DIR).collect()
+    }
+
+    recalls = []
+    for n_probe in (1, 2, N_CENTROIDS):
+        approx = {
+            (r["query_id"], r["cand_id"])
+            for r in ivf_topk(
+                emb, F.col("vec_id") < 20, cents, k=5, n_probe=n_probe
+            ).collect()
+        }
+        recalls.append(len(exact & approx) / len(exact))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0, recalls
