@@ -41,19 +41,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.parquet stores ts as INT64 TIMESTAMP(NANOS), which the Spark
-    parquet reader rejects outright. Read nanos as long (legacy conf) and
-    convert to a microsecond timestamp JVM-side — same truncation DuckDB
-    applies when it narrows ns→us, so the oracle sees identical instants."""
+    """Normalize events.ts to a session-TZ timestamp across driver testdata
+    generations: older drops stored INT64 TIMESTAMP(NANOS) (rejected by the
+    Spark reader without the legacy conf), newer drops store TIMESTAMP(US)
+    without tz (read as TIMESTAMP_NTZ). Both land as TIMESTAMP under the
+    UTC session zone — the same instants DuckDB sees — so oracle parity
+    holds regardless of which generation is on disk."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         raw = spark.read.parquet(path)
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        if isinstance(raw.schema["ts"].dataType, T.LongType):
+            ts = F.timestamp_micros(F.expr("ts div 1000"))
+        else:  # timestamp or timestamp_ntz — unify on session-TZ timestamp
+            ts = F.col("ts").cast("timestamp")
+        return raw.withColumn("ts", ts).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
 
