@@ -93,3 +93,173 @@ def test_sketches_survive_parquet_roundtrip(spark, tmp_path):
     a = {str(r["day"]): list(r["hll"]) for r in daily.collect()}
     b = {str(r["day"]): list(r["hll"]) for r in back.collect()}
     assert a == b
+
+# --- sparse HLL ----------------------------------------------------------
+
+
+def test_sparse_matches_dense_register_for_register(spark):
+    """Sparse map == dense array minus zeros, at default and non-default
+    precision; estimates from either representation are identical."""
+    from etl_sentinel_imagery_spark.operators.sketches import (
+        hll_estimate_sparse,
+        hll_sketch_sparse,
+        hll_sparse_to_dense,
+    )
+
+    events = load_table(spark, SF_DIR, "events").withColumn("g", F.lit(1))
+    for p in (6, 9):
+        dense = hll_sketch(events, ["g"], "user_id", p=p).collect()[0]["hll"]
+        row = (
+            hll_sketch_sparse(events, ["g"], "user_id", p=p)
+            .select(
+                "hll",
+                hll_sparse_to_dense("hll", p=p).alias("densified"),
+                hll_estimate_sparse("hll", p=p).alias("est"),
+            )
+            .collect()[0]
+        )
+        assert list(row["densified"]) == list(dense)
+        assert dict(row["hll"]) == {
+            i: r for i, r in enumerate(dense) if r > 0
+        }
+        dense_est = (
+            hll_sketch(events, ["g"], "user_id", p=p)
+            .select(hll_estimate("hll", p=p).alias("est"))
+            .collect()[0]["est"]
+        )
+        assert row["est"] == dense_est
+
+
+def test_sparse_merge_exact_and_smaller_on_fine_grains(spark):
+    """Merged sparse shards == whole-corpus sparse sketch, and per-day
+    sparse sketches store far fewer than m entries (the storage win)."""
+    from etl_sentinel_imagery_spark.operators.sketches import (
+        hll_sketch_sparse,
+        hll_sparse_merge_agg,
+    )
+
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    ).withColumn("g", F.lit(1))
+    whole = hll_sketch_sparse(events, ["g"], "user_id").collect()[0]["hll"]
+    daily = hll_sketch_sparse(events, ["day"], "user_id")
+    merged = (
+        daily.groupBy()
+        .agg(hll_sparse_merge_agg("hll").alias("hll"))
+        .collect()[0]["hll"]
+    )
+    assert dict(merged) == dict(whole)
+    sizes = [len(r["hll"]) for r in daily.collect()]
+    assert max(sizes) < HLL_M  # fine grains stay sparse
+
+
+def test_precision_dial(spark):
+    """Higher p -> more registers and a within-bound estimate at p=12."""
+    from etl_sentinel_imagery_spark.operators.sketches import hll_sketch as hs
+
+    events = load_table(spark, SF_DIR, "events").withColumn("g", F.lit(1))
+    exact = events.select("user_id").distinct().count()
+    for p in (6, 12):
+        sk = hs(events, ["g"], "user_id", p=p)
+        row = sk.select(hll_estimate("hll", p=p).alias("est")).collect()[0]
+        assert len(sk.collect()[0]["hll"]) == 1 << p
+        assert abs(row["est"] - exact) / exact < exact_error_bound(exact, p=p)
+
+
+# --- top-k heavy hitters -------------------------------------------------
+
+
+def test_topk_exact_when_k_covers_domain(spark):
+    """k >= #distinct items -> the sketch IS the exact count map, off=0."""
+    from etl_sentinel_imagery_spark.operators.sketches import topk_sketch
+
+    orders = load_table(spark, SF_DIR, "orders")
+    sk = topk_sketch(orders, [], "o_orderpriority", k=10).collect()[0]
+    exact = {
+        r["o_orderpriority"]: r["cnt"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert dict(sk["items"]) == exact
+    assert sk["off"] == 0
+
+
+def test_topk_truncation_bounds_and_merge(spark):
+    """Truncated sketches keep the Mergeable-Summaries bounds through a
+    merge: stored estimates bracket the true count within [true, true+off],
+    absent items' true counts are <= off, and the true top-1 survives."""
+    from etl_sentinel_imagery_spark.operators.sketches import (
+        topk_merge_agg,
+        topk_sketch,
+    )
+
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    k = 3
+    daily = topk_sketch(events, ["day"], "user_id", k=k)
+    merged = (
+        daily.groupBy()
+        .agg(topk_merge_agg("items", "off", k).alias("m"))
+        .select(F.col("m.items").alias("items"), F.col("m.off").alias("off"))
+        .collect()[0]
+    )
+    true_counts = {
+        str(r["user_id"]): r["cnt"]
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    items, off = dict(merged["items"]), merged["off"]
+    assert 0 < len(items) <= k
+    for item, est in items.items():
+        assert true_counts[item] <= est <= true_counts[item] + off
+    for item, cnt in true_counts.items():
+        if item not in items:
+            assert cnt <= off
+
+
+# --- fixed-edge histogram ------------------------------------------------
+
+
+def test_histogram_exact_counts_and_merge(spark):
+    """Bin counts match exact predicates; per-day merge == whole build;
+    quantile estimate lands within one bin of the exact quantile."""
+    from etl_sentinel_imagery_spark.operators.sketches import (
+        histogram_merge_agg,
+        histogram_quantile_est,
+        histogram_sketch,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "day", F.to_date("o_orderdate")
+    )
+    edges = [50_000.0, 150_000.0, 300_000.0]
+    whole = histogram_sketch(orders, [], "o_totalprice", edges).collect()[0]["hist"]
+    exact = [
+        orders.filter(F.col("o_totalprice") < edges[0]).count(),
+        orders.filter(
+            (F.col("o_totalprice") >= edges[0]) & (F.col("o_totalprice") < edges[1])
+        ).count(),
+        orders.filter(
+            (F.col("o_totalprice") >= edges[1]) & (F.col("o_totalprice") < edges[2])
+        ).count(),
+        orders.filter(F.col("o_totalprice") >= edges[2]).count(),
+    ]
+    assert list(whole) == exact
+    daily = histogram_sketch(orders, ["day"], "o_totalprice", edges)
+    merged = (
+        daily.groupBy()
+        .agg(histogram_merge_agg("hist", len(edges) + 1).alias("hist"))
+        .collect()[0]["hist"]
+    )
+    assert list(merged) == exact
+    est_median = (
+        daily.groupBy()
+        .agg(histogram_merge_agg("hist", len(edges) + 1).alias("hist"))
+        .select(histogram_quantile_est("hist", edges, 0.5).alias("m"))
+        .collect()[0]["m"]
+    )
+    true_median = orders.approxQuantile("o_totalprice", [0.5], 0.0)[0]
+    lo = max([e for e in edges if e <= true_median], default=edges[0])
+    hi = min([e for e in edges if e > true_median], default=edges[-1])
+    assert lo <= est_median <= hi
