@@ -758,26 +758,106 @@ GROUP BY 1, 2
 
 
 # --- exact percentiles (probe-verified bit-equal to quantile_cont) --------
+#: Fixed histogram edges for l_extendedprice (operators.sketches).
+_HIST_EDGES = [20_000.0, 40_000.0, 70_000.0]
+
+
 def _percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles PLUS the two exact-checkable sketch operators
+    (operators.sketches): a fixed-edge histogram built at the finer
+    (returnflag × linestatus) grain and MERGED up to returnflag — proving
+    the rollup-merge path inside an oracle-checked query — and a top-3
+    heavy-hitters sketch of l_linenumber whose stored counts and
+    truncation offset are exact by construction."""
+    from etl_sentinel_imagery_spark.operators.sketches import (
+        histogram_merge_agg,
+        histogram_sketch,
+        topk_sketch,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    base = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
         F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
         F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )
+    fine = histogram_sketch(
+        li, ["l_returnflag", "l_linestatus"], "l_extendedprice", _HIST_EDGES
+    )
+    hist = (
+        fine.groupBy("l_returnflag")
+        .agg(histogram_merge_agg("hist", len(_HIST_EDGES) + 1).alias("hist"))
+        .select(
+            "l_returnflag",
+            F.concat_ws(
+                ",", F.transform("hist", lambda x: x.cast("string"))
+            ).alias("price_hist"),
+        )
+    )
+    tk = topk_sketch(li, ["l_returnflag"], "l_linenumber", k=3).select(
+        "l_returnflag",
+        F.array_join(
+            F.transform(
+                F.sort_array(F.map_entries("items")),
+                lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+            ),
+            ",",
+        ).alias("top3_linenumbers"),
+        F.col("off").alias("top3_off"),
+    )
+    return base.join(hist, "l_returnflag").join(tk, "l_returnflag")
 
 
-_PERCENTILES_SQL = """
-SELECT l_returnflag,
-       quantile_cont(l_extendedprice, 0.5) AS p50_price,
-       quantile_cont(l_extendedprice, 0.9) AS p90_price,
-       quantile_cont(l_quantity, 0.5) AS p50_qty,
-       MIN(l_extendedprice) AS min_price,
-       MAX(l_extendedprice) AS max_price
-FROM lineitem
-GROUP BY 1
+_PERCENTILES_SQL = f"""
+WITH base AS (
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY 1
+),
+hist AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (l_extendedprice < {_HIST_EDGES[0]}) AS VARCHAR)
+           || ',' ||
+           CAST(COUNT(*) FILTER (l_extendedprice >= {_HIST_EDGES[0]}
+                AND l_extendedprice < {_HIST_EDGES[1]}) AS VARCHAR)
+           || ',' ||
+           CAST(COUNT(*) FILTER (l_extendedprice >= {_HIST_EDGES[1]}
+                AND l_extendedprice < {_HIST_EDGES[2]}) AS VARCHAR)
+           || ',' ||
+           CAST(COUNT(*) FILTER (l_extendedprice >= {_HIST_EDGES[2]}) AS VARCHAR)
+           AS price_hist
+    FROM lineitem
+    GROUP BY 1
+),
+cnts AS (
+    SELECT l_returnflag, CAST(l_linenumber AS VARCHAR) AS item, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY l_returnflag ORDER BY cnt DESC, item ASC) AS rn
+    FROM cnts
+),
+tk AS (
+    SELECT l_returnflag,
+           string_agg(CASE WHEN rn <= 3 THEN item || ':' || CAST(cnt AS VARCHAR) END,
+                      ',' ORDER BY item) AS top3_linenumbers,
+           COALESCE(MAX(CASE WHEN rn = 4 THEN cnt END), 0) AS top3_off
+    FROM ranked
+    GROUP BY 1
+)
+SELECT base.*, hist.price_hist, tk.top3_linenumbers, tk.top3_off
+FROM base
+JOIN hist USING (l_returnflag)
+JOIN tk USING (l_returnflag)
 """
 
 
@@ -808,7 +888,10 @@ QUERIES: dict[str, Q] = {
         _pivot_unpivot_status, _PIVOT_UNPIVOT_SQL, "pivot→unpivot round-trip"
     ),
     "part_size_classes": Q(_part_size_classes, _PART_SIZE_CLASSES_SQL, "case/when + having"),
-    "percentiles_by_flag": Q(_percentiles, _PERCENTILES_SQL, "exact percentiles"),
+    "percentiles_by_flag": Q(
+        _percentiles, _PERCENTILES_SQL,
+        "exact percentiles + merged histogram sketch + top-k heavy-hitters sketch",
+    ),
     "shipping_priority_top20": Q(
         _shipping_priority, _SHIPPING_PRIORITY_SQL,
         "TPC-H Q3 shape (sort-desc + deterministic top-k, TakeOrderedAndProject)",
