@@ -19,6 +19,7 @@ oracle's list_reduce reproduces scores bit-for-bit.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -178,6 +179,37 @@ def ivf_topk(
     )
 
 
+def ivf_bucket_stats(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-bucket pruning statistics: (bucket, n_members, min_cos) where
+    min_cos = the WORST member↔centroid cosine in the bucket — i.e. the
+    bucket's angular radius r_b = arccos(min_cos). One grouped aggregate
+    over the assigned corpus; centroids enter as literal arrays (k×d
+    doubles — broadcast-scale). The radius is what turns fixed-n_probe
+    IVF into bounded multi-probe: for any member x of bucket b,
+    angle(q,x) ≥ angle(q,c_b) − r_b, so cos(angle(q,c_b) − r_b) is a
+    sound upper bound on any similarity hiding in b."""
+    cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in cent]
+    )
+    c_vec = F.element_at(cent_arr, F.col("bucket") + 1)
+    return (
+        assigned.select(
+            "bucket",
+            cosine(as_double_array(vec_col), c_vec).alias("_cos"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("_cos").alias("min_cos"),
+        )
+    )
+
+
 def write_ivf_index(
     embeddings: DataFrame,
     centroids: np.ndarray,
@@ -189,12 +221,17 @@ def write_ivf_index(
     PARTITIONED BY bucket, so probes become partition-PRUNED scans
     (the ROADMAP'd 100 TB layout: a probe of n_probe buckets reads
     n_probe/n_centroids of the data, enforced by the planner, visible
-    as PartitionFilters in explain)."""
+    as PartitionFilters in explain). Bucket pruning stats land beside
+    the data under ``_bucket_stats`` — the underscore prefix keeps the
+    directory invisible to the parquet table scan (Hadoop hidden-file
+    convention), the same trick Spark itself uses for _SUCCESS."""
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
     (
-        ivf_assign(embeddings, centroids, id_col, vec_col)
+        ivf_bucket_stats(assigned, centroids, vec_col)
+        .coalesce(1)
         .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(path)
+        .parquet(path + "/_bucket_stats")
     )
 
 
@@ -251,6 +288,116 @@ def ivf_topk_indexed(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "cos_sim", "rnk")
+    )
+
+
+def ivf_topk_indexed_adaptive(
+    spark,
+    index_path: str,
+    queries_df: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 2,
+    min_sim: float = -1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe over a persisted IVF index with triangle-inequality
+    bucket bounds: a per-query EXACTNESS CERTIFICATE plus threshold
+    pruning.
+
+    Per (query, bucket) the bound cos(max(0, angle(q, c_b) − r_b)) — r_b
+    the bucket's angular radius from ``_bucket_stats`` — caps the best
+    similarity any member of b can achieve. Probe ORDER stays centroid
+    similarity (with few, wide buckets the bounds saturate at ~1 and
+    ordering by them degrades to noise — measured, not guessed: recall
+    dropped 72→43 pairs on the test corpus), but the bounds earn their
+    keep two ways:
+
+    - ``exact`` output column: true iff the query found a full k rows
+      and NO unprobed bucket's bound reaches its k-th best score — the
+      answer is then PROVABLY the exact top-k ("approximate with a
+      certificate"; at full probing every row certifies).
+    - ``min_sim``: buckets whose bound is below it are skipped even
+      inside the probe budget — they provably cannot contribute a
+      result at or above the threshold. In threshold-search mode
+      (min_sim = the caller's similarity floor) this prunes the scan
+      further than n_probe alone, at zero recall cost above the floor.
+
+    Probe selection is driver-side numpy over (queries × k_centroids)
+    — the small side by construction — and the scan stays partition-
+    pruned by the probed-bucket IN-filter."""
+    cent_normed = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    stats_rows = spark.read.parquet(index_path + "/_bucket_stats").collect()
+    radius = np.zeros(len(cent_normed))
+    for r in stats_rows:
+        radius[int(r["bucket"])] = math.acos(
+            min(1.0, max(-1.0, float(r["min_cos"])))
+        )
+
+    q_rows = queries_df.select(id_col, vec_col).collect()
+    q_ids = [int(r[id_col]) for r in q_rows]
+    q_mat = np.stack([np.asarray(r[vec_col], dtype="float64") for r in q_rows])
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sims = np.clip(q_mat @ cent_normed.T, -1.0, 1.0)
+    # upper bound on any member similarity per (query, bucket)
+    bounds = np.cos(np.maximum(np.arccos(sims) - radius[None, :], 0.0))
+    order = np.argsort(-sims, axis=1, kind="stable")
+    probe_rows = []
+    unprobed_bound = np.full(len(q_ids), -2.0)  # -2 = nothing unprobed
+    for i, qid in enumerate(q_ids):
+        for pos, b in enumerate(order[i]):
+            if pos < n_probe and bounds[i, b] >= min_sim:
+                probe_rows.append((int(qid), q_mat[i].tolist(), int(b)))
+            else:
+                # skipped by budget OR threshold-pruned: either way its
+                # bound caps what the certificate must beat
+                unprobed_bound[i] = max(unprobed_bound[i], bounds[i, b])
+    probe_set = sorted({b for _, _, b in probe_rows})
+
+    qry = spark.createDataFrame(
+        probe_rows, "query_id bigint, query_vec array<double>, bucket int"
+    )
+    limits = spark.createDataFrame(
+        [(int(qid), float(unprobed_bound[i])) for i, qid in enumerate(q_ids)],
+        "query_id bigint, unprobed_bound double",
+    )
+    index = spark.read.parquet(index_path).filter(F.col("bucket").isin(probe_set))
+    cand = index.select(
+        F.col(id_col).alias("cand_id"),
+        as_double_array(vec_col).alias("cand_vec"),
+        "bucket",
+    )
+    scored = (
+        cand.join(F.broadcast(qry), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("query_vec"), F.col("cand_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    topk = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+    kth = Window.partitionBy("query_id")
+    return (
+        topk.withColumn("_kth", F.min("cos_sim").over(kth))
+        .withColumn("_nk", F.count(F.lit(1)).over(kth))
+        .join(F.broadcast(limits), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            "cos_sim",
+            "rnk",
+            # fewer than k rows found means a fuller bucket could add
+            # rows, so the certificate requires a full top-k too; the
+            # comparison is STRICT so a bound-tied unprobed candidate
+            # (which could displace a row on the id tiebreak) blocks it
+            ((F.col("_nk") >= k) & (F.col("_kth") > F.col("unprobed_bound")))
+            .alias("exact"),
+        )
     )
 
 

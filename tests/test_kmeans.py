@@ -103,3 +103,82 @@ def test_ivf_persisted_index_partition_pruned(spark, tmp_path):
         for r in ivf_topk(emb, F.col("vec_id") < 20, cents, k=5).collect()
     }
     assert got == want
+
+
+def test_ivf_adaptive_multiprobe_certificate(spark, tmp_path):
+    """Bound-ordered multi-probe: (a) the _bucket_stats sidecar holds a
+    radius row per bucket and stays invisible to the data scan, (b) every
+    query flagged `exact` matches brute force EXACTLY (certificate
+    soundness — the triangle-inequality bound did its job), (c) at full
+    probing every query certifies and the whole result equals brute
+    force, (d) same probe order as the plain path → identical recall,
+    and (e) threshold pruning never loses a result above the floor."""
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_indexed,
+        ivf_topk_indexed_adaptive,
+        write_ivf_index,
+    )
+    from etl_sentinel_imagery_spark.queries.vectors_q import _centroids
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = _centroids(spark, SF_DIR)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, cents, path)
+
+    # (a) sidecar shape + hidden-from-scan
+    stats = spark.read.parquet(path + "/_bucket_stats")
+    srows = stats.collect()
+    assert sum(r["n_members"] for r in srows) == emb.count()
+    assert all(-1.0 <= r["min_cos"] <= 1.0 for r in srows)
+    assert spark.read.parquet(path).count() == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact_rows = brute_force_topk(emb, F.col("vec_id") < 20, k=5).collect()
+    exact_by_q: dict = {}
+    for r in exact_rows:
+        exact_by_q.setdefault(r["query_id"], set()).add(r["cand_id"])
+
+    # (b) certificate soundness at a tight probe budget
+    adaptive = ivf_topk_indexed_adaptive(
+        spark, path, queries, cents, k=5, n_probe=2
+    ).collect()
+    got_by_q: dict = {}
+    certified = set()
+    for r in adaptive:
+        got_by_q.setdefault(r["query_id"], set()).add(r["cand_id"])
+        if r["exact"]:
+            certified.add(r["query_id"])
+    for qid in certified:
+        assert got_by_q[qid] == exact_by_q[qid], f"certificate lied for {qid}"
+
+    # (c) full probing: everything certifies, result == brute force
+    full = ivf_topk_indexed_adaptive(
+        spark, path, queries, cents, k=5, n_probe=len(cents)
+    ).collect()
+    assert all(r["exact"] for r in full)
+    full_by_q: dict = {}
+    for r in full:
+        full_by_q.setdefault(r["query_id"], set()).add(r["cand_id"])
+    assert full_by_q == exact_by_q
+
+    # (d) same probe order as the plain path → identical result set
+    plain = ivf_topk_indexed(spark, path, queries, cents, k=5, n_probe=2).collect()
+    assert {(r["query_id"], r["cand_id"]) for r in adaptive} == {
+        (r["query_id"], r["cand_id"]) for r in plain
+    }
+
+    # (e) threshold pruning: results >= floor are preserved exactly
+    floor = 0.2
+    pruned = ivf_topk_indexed_adaptive(
+        spark, path, queries, cents, k=5, n_probe=2, min_sim=floor
+    ).collect()
+    kept = {
+        (r["query_id"], r["cand_id"])
+        for r in adaptive
+        if r["cos_sim"] >= floor
+    }
+    got_pruned = {
+        (r["query_id"], r["cand_id"]) for r in pruned if r["cos_sim"] >= floor
+    }
+    assert kept == got_pruned, "threshold pruning changed above-floor results"
