@@ -519,10 +519,19 @@ LIMIT 20
 
 # --- TPC-H Q7 shape: multi-dim join + year extraction + grouped volume ---
 def _nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape. The orders→customer hop runs through
+    operators.skew.salted_join (big fact side salted into 8 shards,
+    customer replicated per shard) — row-for-row identical to the plain
+    equi-join the oracle states, so the skew-proof join is itself under
+    the strict-hash gate, not just pytest equality."""
+    from etl_sentinel_imagery_spark.operators.skew import salted_join
+
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supplier = load_table(spark, sf_dir, "supplier")
-    customer = load_table(spark, sf_dir, "customer")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
     n1 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
     )
@@ -533,11 +542,15 @@ def _nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2)
     )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(supplier, li.l_suppkey == supplier.s_suppkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(n1), supplier.s_nationkey == F.col("sk"))
-        .join(F.broadcast(n2), customer.c_nationkey == F.col("ck"))
+        salted_join(
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(supplier, li.l_suppkey == supplier.s_suppkey),
+            customer,
+            "o_custkey",
+            n_salts=8,
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -899,7 +912,10 @@ QUERIES: dict[str, Q] = {
     "customer_supplier_balance": Q(
         _customer_supplier_balance, _CUST_SUPP_BALANCE_SQL, "full outer join + null funcs"
     ),
-    "nation_volume_by_year": Q(_nation_volume, _NATION_VOLUME_SQL, "TPC-H Q7 shape"),
+    "nation_volume_by_year": Q(
+        _nation_volume, _NATION_VOLUME_SQL,
+        "TPC-H Q7 shape via skew-proof salted join",
+    ),
     "agg_battery2": Q(
         _agg_battery2, _AGG_BATTERY2_SQL,
         "bool/conditional aggs + exact variance + salted two-phase total",
