@@ -84,3 +84,57 @@ def decontaminate(
     broadcasts)."""
     bad = contaminated_train_ids(train, eval_df, id_col, text_col, n, min_shared)
     return train.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = CONTAM_N,
+    min_shared: int = 1,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Exact decontamination with a Bloom pre-filter (operators.bloom) —
+    the shape for when the eval gram set outgrows a comfortable broadcast
+    hash join: the grams compress to an n_bits/8-byte filter that tests
+    every train gram INSIDE the scan stage.
+
+    Three stages, exactness preserved end to end:
+
+    1. eval grams → one Bloom filter (tiny, built once, mergeable
+       across benchmark suites).
+    2. train docs split by `EXISTS gram: bloom(gram)` — a narrow
+       projection, no shuffle. No-hit docs are PROVABLY clean (Bloom
+       has no false negatives) and pass straight through.
+    3. only the bloom-positive suspects (true contaminations + FP rate
+       × corpus) pay the exact gram join of :func:`decontaminate`.
+
+    Returns exactly ``decontaminate(train, eval_df, ...)`` row-for-row.
+    """
+    from etl_sentinel_imagery_spark.operators.bloom import (
+        bloom_build,
+        bloom_contains_hash,
+    )
+    from etl_sentinel_imagery_spark.functions.text import polyhash
+
+    ev_grams = eval_df.select(
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    bloom = bloom_build(ev_grams, "gram", n_bits=n_bits, n_hashes=n_hashes)
+
+    gram_hashes = F.transform(word_ngrams(F.col(text_col), n), polyhash)
+    hit = F.exists(
+        gram_hashes,
+        lambda h: bloom_contains_hash(F.col("words"), h, n_bits, n_hashes),
+    )
+    tagged = train.crossJoin(F.broadcast(bloom.select("words"))).withColumn(
+        "_suspect", hit
+    )
+    clean = tagged.filter(~F.col("_suspect")).drop("_suspect", "words")
+    suspects = tagged.filter(F.col("_suspect")).drop("_suspect", "words")
+    bad = contaminated_train_ids(suspects, eval_df, id_col, text_col, n, min_shared)
+    return clean.unionByName(
+        suspects.join(F.broadcast(bad), id_col, "left_anti")
+    )
