@@ -91,6 +91,8 @@ _PII_COUNT_SQL = " + ".join(_pii_terms)
 SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SAMPLE_FRACTION = 0.1
 SAMPLE_SEED = "profile"
+#: Training-sequence length for the packing columns (operators.packing).
+PACK_SEQ_LEN = 256
 
 
 def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,7 +104,13 @@ def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     match count, scrubbed-text and normalized-text content hashes), and
     the deterministic train/val/test assignment + 10% sample membership
     (operators.sampling hash buckets — reproducible across engines and
-    cluster sizes). One scan, no shuffle, all JVM-side."""
+    cluster sizes). One scan, no shuffle, all JVM-side — plus, joined on
+    at the end, the sequence-packing placement columns from
+    operators.packing: the doc's global token offset in doc_id order
+    computed by the TWO-PHASE distributed prefix sum (never a
+    single-task global window), which the oracle restates as the plain
+    `SUM(...) OVER (ORDER BY ...)` it must equal."""
+    from etl_sentinel_imagery_spark.operators.packing import with_global_offset
     from etl_sentinel_imagery_spark.operators.sampling import (
         HASH_SPACE,
         assign_split,
@@ -110,6 +118,27 @@ def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    packing = with_global_offset(
+        docs.select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("_nt")
+        ),
+        "doc_id",
+        "_nt",
+        out_col="tok_offset",
+    ).select(
+        "doc_id",
+        "tok_offset",
+        F.expr(f"tok_offset div {PACK_SEQ_LEN}").alias("pack_seq_first"),
+        F.when(
+            F.col("_nt") > 0,
+            F.expr(f"(tok_offset + _nt - 1) div {PACK_SEQ_LEN}")
+            - F.expr(f"tok_offset div {PACK_SEQ_LEN}")
+            + 1,
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("pack_seq_spans"),
+    )
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
@@ -171,7 +200,7 @@ def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
             / n_tokens
         ).alias("top_token_ratio"),
-    )
+    ).join(packing, "doc_id")
 
 
 _TEXT_PROFILE_SQL = f"""
@@ -212,9 +241,24 @@ SELECT doc_id, lang,
             ELSE 0.0 END AS dup_3gram_ratio,
        CAST(list_max(list_transform(list_distinct({_TOKS}),
                 t -> len(list_filter({_TOKS}, x -> x = t)))) AS DOUBLE)
-           / len({_TOKS}) AS top_token_ratio
+           / len({_TOKS}) AS top_token_ratio,
+       CAST(COALESCE(SUM(len({_TOKS})) OVER (
+                ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset,
+       __PACK_FIRST__ AS pack_seq_first,
+       CAST(CASE WHEN len({_TOKS}) > 0
+                 THEN __PACK_LAST__ - __PACK_FIRST__ + 1
+                 ELSE 0 END AS INTEGER) AS pack_seq_spans
 FROM documents
 """
+
+#: Packing arithmetic shared between the first/spans mirrors. The window
+#: expression must be repeated (DuckDB lacks lateral column aliases in
+#: window context), so it is templated in via replace.
+_PACK_OFF = (
+    f"CAST(COALESCE(SUM(len({_TOKS})) OVER (ORDER BY doc_id ROWS BETWEEN "
+    f"UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+)
 
 
 def _finish_text_profile_sql() -> str:
@@ -230,6 +274,11 @@ def _finish_text_profile_sql() -> str:
         )
         .replace("__SAMPLE_BUCKET__", hash_bucket_sql("doc_id", SAMPLE_SEED))
         .replace("__SAMPLE_THRESHOLD__", str(int(SAMPLE_FRACTION * HASH_SPACE)))
+        .replace(
+            "__PACK_LAST__",
+            f"(({_PACK_OFF} + len({_TOKS}) - 1) // {PACK_SEQ_LEN})",
+        )
+        .replace("__PACK_FIRST__", f"({_PACK_OFF} // {PACK_SEQ_LEN})")
     )
 
 
