@@ -6,7 +6,8 @@ pipeline over the engine's operators:
     ingest (JSONL/parquet) → quality filter (token counts + repetition
     signals) → PII scrub → exact+near dedup (keep canonicals) →
     benchmark decontamination → train/val/test split → chunk →
-    partitioned parquet + corpus statistics
+    sequence packing (operators.packing) → partitioned parquet +
+    corpus statistics
 
 Every stage is a DataFrame transformation; the only actions are the
 per-stage row counts in the returned report (each a cheap count job —
@@ -47,6 +48,7 @@ class CurationConfig:
     split_seed: str = "curate"
     chunk_tokens: int = 64
     chunk_overlap: int = 8
+    pack_seq_len: int = 256
 
 
 def _quality_filter(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
@@ -131,8 +133,33 @@ def curate_corpus(
         overlap=cfg.chunk_overlap,
     )
     chunks.write.mode("overwrite").parquet(f"{out_dir}/chunks")
+
+    # sequence packing: lay the train chunks end-to-end (doc, chunk_idx)
+    # order and emit the per-(chunk × sequence) copy plan a sequence
+    # writer executes. The uid packs chunk_idx into the low 20 bits so
+    # ONE bigint carries the (doc, chunk) order — with_global_offset
+    # needs a single unique order key.
+    from etl_sentinel_imagery_spark.operators.packing import (
+        pack_sequence_slices,
+    )
+
+    written_chunks = spark.read.parquet(f"{out_dir}/chunks")
+    packed = pack_sequence_slices(
+        written_chunks.withColumn(
+            "chunk_uid",
+            F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_idx"),
+        ),
+        "chunk_uid",
+        "n_chunk_tokens",
+        seq_len=cfg.pack_seq_len,
+    )
+    packed.write.mode("overwrite").parquet(f"{out_dir}/sequences")
     if collect_stats:
         report["train_chunks"] = spark.read.parquet(f"{out_dir}/chunks").count()
+        seqs = spark.read.parquet(f"{out_dir}/sequences")
+        report["train_sequences"] = seqs.agg(
+            (F.max("seq_idx") + 1).alias("n")
+        ).collect()[0]["n"]
         report["splits"] = {
             r["split"]: r["count"]
             for r in spark.read.parquet(f"{out_dir}/documents")

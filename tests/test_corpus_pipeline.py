@@ -67,6 +67,13 @@ def test_curation_pipeline_stages_and_outputs(spark, tmp_path):
     n_train = docs_out.filter(F.col("split") == "train").count()
     assert chunks.select("doc_id").distinct().count() == n_train
 
+    # packing stage: slices account for every train-chunk token exactly,
+    # and the sequence count matches total_tokens / seq_len
+    seqs = spark.read.parquet(f"{out}/sequences")
+    total_tokens = chunks.agg(F.sum("n_chunk_tokens")).collect()[0][0]
+    assert seqs.agg(F.sum("slice_len")).collect()[0][0] == total_tokens
+    assert report["train_sequences"] == -(-total_tokens // 256)
+
 
 def test_curation_pipeline_without_eval(spark, tmp_path):
     docs = _mk_docs(spark)
