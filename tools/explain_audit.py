@@ -47,9 +47,13 @@ CHECKS = {
     # no aggregation, no join; the only Exchange is the anti-recompute
     # barrier, and no Sort may appear anywhere
     "docs_chunking": {"Generate": True, "Sort": False},
-    # the profile battery is one narrow projection: a scan and a project,
-    # never a join/aggregate/sort
-    "text_profile": {"Project": True, "HashAggregate": False, "Sort": False},
+    # the profile battery is one narrow projection plus the packing-
+    # offset join: the only Sort allowed is the prefix-sum's in-partition
+    # sort of the TWO-column (doc_id, token-count) side — the wide text
+    # projection itself must never sort, and the per-partition totals
+    # aggregate runs in its own control-plane job, so no HashAggregate
+    # may appear in this plan
+    "text_profile": {"Project": True, "HashAggregate": False, "Sort": None},
     # quantization battery: the corpus amax is one tiny aggregate; the
     # per-row join of norms×codes must be a broadcast or sort-merge on
     # vec_id — and the final plan must keep partial aggregation off the
