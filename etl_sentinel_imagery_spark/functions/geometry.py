@@ -188,15 +188,130 @@ def triangulate(ring: np.ndarray) -> list[np.ndarray]:
     return tris
 
 
-def intersection_area_general(subject: np.ndarray, clip: np.ndarray) -> float:
-    """area(subject ∩ clip) for ARBITRARY simple polygons.
+def _segments_properly_cross(p1, p2, q1, q2):
+    """Intersection point of two OPEN segments crossing properly (shared
+    endpoints and collinear overlap excluded), else None."""
+    d1 = (p2[0] - p1[0], p2[1] - p1[1])
+    d2 = (q2[0] - q1[0], q2[1] - q1[1])
+    denom = d1[0] * d2[1] - d1[1] * d2[0]
+    if denom == 0:
+        return None
+    w = (q1[0] - p1[0], q1[1] - p1[1])
+    t = (w[0] * d2[1] - w[1] * d2[0]) / denom
+    u = (w[0] * d1[1] - w[1] * d1[0]) / denom
+    if 0.0 < t < 1.0 and 0.0 < u < 1.0:
+        return (p1[0] + t * d1[0], p1[1] + t * d1[1])
+    return None
 
-    Convex clip → one Sutherland–Hodgman pass. Concave clip →
+
+def is_simple_ring(ring: np.ndarray) -> bool:
+    """True when no two non-adjacent edges properly cross. O(n²) pair
+    scan — AOI rings are control-plane-sized."""
+    n = len(ring)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if j == i or (j + 1) % n == i or (i + 1) % n == j:
+                continue
+            if _segments_properly_cross(
+                ring[i], ring[(i + 1) % n], ring[j], ring[(j + 1) % n]
+            ):
+                return False
+    return True
+
+
+def split_self_intersections(ring: np.ndarray) -> list[np.ndarray]:
+    """Untwist a self-intersecting ring into SIMPLE loops.
+
+    1. Every proper edge×edge crossing point is inserted into both edges
+       (ordered by the parameter along each edge).
+    2. One walk over the augmented vertex sequence with a stack: when a
+       crossing point reappears, the vertices since its first visit pop
+       off as one simple loop; the walk continues from the crossing.
+       (A bowtie quad pops into its two triangles; a figure-eight into
+       its two squares.)
+
+    Zero-area slivers are dropped. The popped loops are simple, but NOT
+    guaranteed interior-disjoint: a stroke whose core region winds more
+    than once (a pentagram, a doubled loop) pops loops that overlap
+    there. Callers needing union semantics must check disjointness (see
+    intersection_area_general, which raises rather than double-count —
+    the honest boundary of this upgrade; the full fix is a planar
+    overlay à la Bentley–Ottmann)."""
+    n = len(ring)
+    cuts: dict[int, list[tuple[float, tuple]]] = {i: [] for i in range(n)}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if (j + 1) % n == i or (i + 1) % n == j:
+                continue
+            pt = _segments_properly_cross(
+                ring[i], ring[(i + 1) % n], ring[j], ring[(j + 1) % n]
+            )
+            if pt is None:
+                continue
+            for e in (i, j):
+                a, b = ring[e], ring[(e + 1) % n]
+                d = (b[0] - a[0], b[1] - a[1])
+                t = (
+                    (pt[0] - a[0]) / d[0]
+                    if abs(d[0]) >= abs(d[1])
+                    else (pt[1] - a[1]) / d[1]
+                )
+                cuts[e].append((t, pt))
+    walk: list[tuple] = []
+    for i in range(n):
+        walk.append(tuple(ring[i]))
+        for _, pt in sorted(cuts[i], key=lambda c: c[0]):
+            walk.append(pt)
+    loops: list[np.ndarray] = []
+    path: list[tuple] = []
+    seen: dict[tuple, int] = {}
+    for v in walk:
+        if v in seen:
+            k = seen[v]
+            loop = np.array(path[k:])
+            if len(loop) >= 3 and shoelace_area(loop) > 0:
+                loops.append(loop)
+            for dropped in path[k + 1 :]:
+                seen.pop(dropped, None)
+            path = path[: k + 1]
+        else:
+            seen[v] = len(path)
+            path.append(v)
+    if len(path) >= 3:
+        tail = np.array(path)
+        if shoelace_area(tail) > 0:
+            loops.append(tail)
+    return loops
+
+
+def intersection_area_general(subject: np.ndarray, clip: np.ndarray) -> float:
+    """area(subject ∩ clip) for ARBITRARY polygons — concave, and (new)
+    self-intersecting clip rings under UNION semantics.
+
+    Convex clip → one Sutherland–Hodgman pass. Concave simple clip →
     triangulated (ear clipping); the triangles partition the clip region,
     so per-triangle S–H areas sum to the exact intersection area. This is
     the general-overlay parity point with the reference's
     `gpd.overlay(..., how='union')` (imagery_store.py:249), which handles
-    arbitrary AOI shapes."""
+    arbitrary AOI shapes.
+
+    Self-intersecting clip → untwisted into simple loops
+    (:func:`split_self_intersections`); the loops' intersection areas
+    sum when their interiors are disjoint (the accidental-twist cases:
+    bowties, figure-eights, star strokes). Loops that OVERLAP (a
+    winding-2 stroke) would double-count, so that case raises instead
+    of answering wrong — the honest boundary of this upgrade."""
+    if not is_simple_ring(clip):
+        loops = split_self_intersections(clip)
+        for a in range(len(loops)):
+            for b in range(a + 1, len(loops)):
+                if intersection_area_general(loops[a], loops[b]) > 1e-12:
+                    raise ValueError(
+                        "self-intersecting ring untwists into overlapping "
+                        "loops (winding > 1) — union area undefined without "
+                        "a full planar overlay"
+                    )
+        return sum(intersection_area_general(subject, lp) for lp in loops)
     if _is_convex(clip):
         return intersection_area(subject, clip)
     return sum(intersection_area(subject, tri) for tri in triangulate(clip))

@@ -262,3 +262,105 @@ def test_coverage_udf_with_holed_aoi(spark):
     assert abs(out["full"][0] - 1.0) < 1e-12 and out["full"][1]
     assert out["in_hole"][0] == 0.0 and not out["in_hole"][1]
     assert abs(out["half"][0] - 21.0 / 84.0) < 1e-12 and out["half"][1]
+
+
+# --- self-intersecting rings: untwist into simple loops -------------------
+
+
+def test_bowtie_untwists_into_two_triangles():
+    from etl_sentinel_imagery_spark.functions.geometry import (
+        intersection_area_general,
+        is_simple_ring,
+        split_self_intersections,
+    )
+    import numpy as np
+
+    bowtie = np.array([(0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 2.0)])
+    assert not is_simple_ring(bowtie)
+    loops = split_self_intersections(bowtie)
+    assert len(loops) == 2
+    areas = sorted(
+        round(abs(a), 10)
+        for a in (
+            (loops[0][:, 0] * np.roll(loops[0][:, 1], -1)
+             - np.roll(loops[0][:, 0], -1) * loops[0][:, 1]).sum() / 2,
+            (loops[1][:, 0] * np.roll(loops[1][:, 1], -1)
+             - np.roll(loops[1][:, 0], -1) * loops[1][:, 1]).sum() / 2,
+        )
+    )
+    assert areas == [1.0, 1.0]
+    big = np.array([(-10.0, -10.0), (10.0, -10.0), (10.0, 10.0), (-10.0, 10.0)])
+    assert abs(intersection_area_general(big, bowtie) - 2.0) < 1e-12
+    # clipping still works through the untwist: x>=1 keeps exactly the
+    # right triangle (the left one only touches the line at (1,1))
+    right = np.array([(1.0, -10.0), (10.0, -10.0), (10.0, 10.0), (1.0, 10.0)])
+    assert abs(intersection_area_general(right, bowtie) - 1.0) < 1e-12
+
+
+def test_double_crossing_zigzag_untwists_exactly():
+    """A zigzag stroke with two proper crossings: three disjoint loops,
+    exact union area through the clip path."""
+    import numpy as np
+
+    from etl_sentinel_imagery_spark.functions.geometry import (
+        intersection_area_general,
+        split_self_intersections,
+    )
+
+    # zigzag hexagon with two proper crossings at (-1,0) and (1,0):
+    # untwists into left triangle (1) + center diamond (2) + right
+    # triangle (1), pairwise disjoint
+    eight = np.array(
+        [
+            (-2.0, -1.0), (-2.0, 1.0), (0.0, -1.0),
+            (2.0, 1.0), (2.0, -1.0), (0.0, 1.0),
+        ]
+    )
+    loops = split_self_intersections(eight)
+    assert len(loops) == 3
+    big = np.array([(-10.0, -10.0), (10.0, -10.0), (10.0, 10.0), (-10.0, 10.0)])
+    assert abs(intersection_area_general(big, eight) - 4.0) < 1e-12
+
+
+def test_pentagram_stroke_overlapping_loops_raise():
+    """A {5/2} star stroke's stack-walk loops OVERLAP in the core region
+    (winding 2) — the operator must refuse rather than double-count."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from etl_sentinel_imagery_spark.functions.geometry import (
+        intersection_area_general,
+    )
+
+    star = np.array(
+        [
+            (math.cos(math.radians(90 + i * 144)), math.sin(math.radians(90 + i * 144)))
+            for i in range(5)
+        ]
+    )
+    big = np.array([(-2.0, -2.0), (2.0, -2.0), (2.0, 2.0), (-2.0, 2.0)])
+    with pytest.raises(ValueError, match="overlapping"):
+        intersection_area_general(big, star)
+
+
+def test_winding_overlap_raises_not_wrong():
+    import numpy as np
+    import pytest
+
+    from etl_sentinel_imagery_spark.functions.geometry import (
+        intersection_area_general,
+    )
+
+    # one crossing at (4,6); the popped inner loop lies INSIDE the outer
+    # loop -> union is ambiguous without full overlay -> must raise
+    folded = np.array(
+        [
+            (0.0, 0.0), (6.0, 0.0), (6.0, 6.0), (2.0, 6.0),
+            (2.0, 2.0), (4.0, 2.0), (4.0, 8.0), (0.0, 8.0),
+        ]
+    )
+    big = np.array([(-10.0, -10.0), (10.0, -10.0), (10.0, 10.0), (-10.0, 10.0)])
+    with pytest.raises(ValueError, match="overlapping"):
+        intersection_area_general(big, folded)
