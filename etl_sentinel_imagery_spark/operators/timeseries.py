@@ -1,0 +1,107 @@
+"""Time-series completion operators: gap-filling resample and
+forward fill.
+
+Aggregating events into time buckets silently DROPS empty buckets —
+downstream consumers (anomaly detectors, charts, schedulers reading
+"events per hour") need the zero rows to exist. The reference has no
+time-series surface; these extend the events battery family
+(queries/events_q.py, operators/asof.py) with the two standard
+completion steps:
+
+- `resample_counts`: per group, a COMPLETE bucket axis from the group's
+  own min to max bucket (`F.sequence` over timestamps — one array per
+  group, exploded; bounded by time-range/step, not by row count), left-
+  joined against the observed aggregates with zero fill.
+- `forward_fill`: last-seen-value propagation over ordered rows — the
+  canonical `last(value, ignorenulls=True)` running window per group.
+
+Scale: resample shuffles on the group key twice (agg + join) — both
+map-side combinable / broadcastable when the bucket axis is small;
+forward_fill is one window per group with no extra shuffle beyond the
+partitionBy. Both are pure built-in expressions, restatable in SQL
+(DuckDB `generate_series` + `last_value IGNORE NULLS`), which the tests
+exercise cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_counts(
+    events: DataFrame,
+    ts_col: str,
+    step: str,
+    group_cols: list[str],
+    agg_exprs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Per-group bucketized aggregates over a COMPLETE bucket axis.
+
+    Returns (group_cols..., bucket timestamp, n_events, <agg_exprs...>)
+    with one row for EVERY ``step``-aligned bucket between each group's
+    first and last event — empty buckets carry n_events=0 and NULL for
+    the custom aggregates. ``step`` is an interval literal ('1 hour').
+    """
+    bucket = F.date_trunc("hour", F.col(ts_col)) if step == "1 hour" else None
+    # window-align via timestamp arithmetic for arbitrary steps
+    if bucket is None:
+        bucket = F.timestamp_seconds(
+            (F.unix_timestamp(F.col(ts_col)) / _step_seconds(step)).cast(
+                "long"
+            )
+            * _step_seconds(step)
+        )
+    aggs = [F.count(F.lit(1)).alias("n_events")] + [
+        expr.alias(name) for name, expr in (agg_exprs or {}).items()
+    ]
+    observed = (
+        events.withColumn("bucket", bucket)
+        .groupBy(*group_cols, "bucket")
+        .agg(*aggs)
+    )
+    axis = (
+        observed.groupBy(*group_cols)
+        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+        .select(
+            *group_cols,
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step}"))
+            ).alias("bucket"),
+        )
+    )
+    filled = axis.join(observed, [*group_cols, "bucket"], "left")
+    return filled.withColumn(
+        "n_events", F.coalesce("n_events", F.lit(0).cast("long"))
+    )
+
+
+def _step_seconds(step: str) -> int:
+    qty, unit = step.split()
+    mult = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+    }[unit]
+    return int(qty) * mult
+
+
+def forward_fill(
+    df: DataFrame,
+    order_col: str,
+    value_cols: list[str],
+    group_cols: list[str],
+) -> DataFrame:
+    """Replace NULLs in ``value_cols`` with the last non-null value in
+    ``order_col`` order within each group (rows before the first
+    non-null stay NULL)."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in value_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
