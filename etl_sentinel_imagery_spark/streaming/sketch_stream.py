@@ -1,0 +1,105 @@
+"""Streaming HLL sketch rollup — distinct-count state that survives
+replays for free.
+
+The rollup-table pattern (operators.sketches) run continuously: each
+micro-batch's keys fold into a persisted per-group sketch table, so
+"distinct users per day" is always one `hll_estimate` away — no raw
+event retention, no re-scan. The state is the sketch itself, NOT a
+count, which buys two properties a counter cannot offer:
+
+- **Replay idempotence without epoch bookkeeping**: the merge is a
+  register-wise max, and max is idempotent — a micro-batch applied
+  twice (failure between sink write and checkpoint commit) lands on
+  the identical registers. The at-least-once foreachBatch contract
+  composes into EXACTLY-ONCE state with zero dedup machinery.
+- **Mergeable downstream**: the persisted sketches keep answering
+  any-slice rollups (`hll_merge_agg` over any group subset).
+
+Sink shape per batch: sketch the batch (one map-side-combinable
+aggregation), full-outer-merge with the persisted table on the group
+key, rewrite. The table is one row of m ints per group — control-plane
+sized — so the rewrite is the cheap side of the batch; a key-partitioned
+MERGE (operators.merge) takes over if groups ever outgrow that.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.operators.sketches import (
+    HLL_P,
+    hll_merge_cols,
+    hll_sketch,
+)
+
+
+def merge_sketch_table(
+    spark,
+    batch_sketch: DataFrame,
+    table_dir: str,
+    group_cols: list[str],
+    p: int = HLL_P,
+) -> DataFrame:
+    """(existing table if any) ∪ batch sketches, register-wise max on
+    group-key collisions. Returns the merged frame (caller persists)."""
+    if os.path.isdir(table_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(table_dir)
+    ):
+        prev = spark.read.parquet(table_dir).withColumnRenamed("hll", "_prev")
+        merged = batch_sketch.withColumnRenamed("hll", "_new").join(
+            prev, group_cols, "full_outer"
+        )
+        empty = F.transform(
+            F.sequence(F.lit(0), F.lit((1 << p) - 1)), lambda _: F.lit(0)
+        )
+        return merged.select(
+            *group_cols,
+            hll_merge_cols(
+                F.coalesce("_new", empty), F.coalesce("_prev", empty)
+            ).alias("hll"),
+        )
+    return batch_sketch
+
+
+def run_sketch_rollup(
+    stream_df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    p: int = HLL_P,
+) -> None:
+    """foreachBatch sink maintaining the persisted sketch table. The
+    rewrite goes through a temp directory + atomic rename so a reader
+    (or a crash) never observes a half-written table."""
+    spark = stream_df.sparkSession
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sk = hll_sketch(batch_df, group_cols, key_col, p=p)
+        merged = merge_sketch_table(spark, sk, table_dir, group_cols, p=p)
+        tmp = f"{table_dir}__epoch{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{table_dir}__old{epoch_id}"
+        if os.path.isdir(table_dir):
+            os.rename(table_dir, old)
+        os.rename(tmp, table_dir)
+        if os.path.isdir(old):
+            import shutil
+
+            shutil.rmtree(old)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

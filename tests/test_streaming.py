@@ -306,3 +306,48 @@ def test_stream_static_enrichment_matches_batch(spark, events_stream_dir):
         .collect()
     }
     assert got == want and got
+
+
+def test_streaming_sketch_rollup_equals_batch_sketch(spark, tmp_path):
+    """The foreachBatch HLL rollup: after the stream drains, the
+    persisted per-day sketches must equal the batch-built sketches
+    REGISTER FOR REGISTER, and re-merging the full input once more (a
+    simulated replay) must not move a single register (idempotence)."""
+    from etl_sentinel_imagery_spark.operators.sketches import hll_sketch
+    from etl_sentinel_imagery_spark.streaming.sketch_stream import (
+        merge_sketch_table,
+        run_sketch_rollup,
+    )
+
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    src = str(tmp_path / "events_multi")
+    # several files → several micro-batches under maxFilesPerTrigger
+    events.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = str(tmp_path / "sketches")
+    run_sketch_rollup(
+        stream, ["day"], "user_id", table, str(tmp_path / "ckpt")
+    )
+
+    got = {
+        str(r["day"]): list(r["hll"])
+        for r in spark.read.parquet(table).collect()
+    }
+    want = {
+        str(r["day"]): list(r["hll"])
+        for r in hll_sketch(events, ["day"], "user_id").collect()
+    }
+    assert got == want
+
+    # replay the WHOLE input against the final table: registers unmoved
+    replayed = merge_sketch_table(
+        spark, hll_sketch(events, ["day"], "user_id"), table, ["day"]
+    )
+    after = {str(r["day"]): list(r["hll"]) for r in replayed.collect()}
+    assert after == want
