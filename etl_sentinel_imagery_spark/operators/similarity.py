@@ -291,6 +291,57 @@ def ivf_topk_indexed(
     )
 
 
+def append_to_ivf_index(
+    new_embeddings: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted IVF index — the steady-
+    ingest maintenance op (rebuilding a 100 TB index per batch is not a
+    plan). New vectors are assigned and APPENDED to their bucket
+    partitions (touched buckets only — partitioned append writes no
+    other partition), and the ``_bucket_stats`` sidecar merges exactly:
+    n_members adds, min_cos takes the min — both associative, so an
+    appended index's stats equal a from-scratch build's, and the
+    adaptive probe bounds stay sound (a bucket's radius can only grow).
+    Centroids must be the ones the index was built with."""
+    assigned = ivf_assign(new_embeddings, centroids, id_col, vec_col)
+    assigned.write.mode("append").partitionBy("bucket").parquet(path)
+    spark = new_embeddings.sparkSession
+    new_stats = ivf_bucket_stats(assigned, centroids, vec_col)
+    prev = spark.read.parquet(path + "/_bucket_stats")
+    merged = (
+        prev.withColumnRenamed("n_members", "_pn")
+        .withColumnRenamed("min_cos", "_pc")
+        .join(
+            new_stats.withColumnRenamed("n_members", "_nn").withColumnRenamed(
+                "min_cos", "_nc"
+            ),
+            "bucket",
+            "full_outer",
+        )
+        .select(
+            "bucket",
+            (F.coalesce("_pn", F.lit(0)) + F.coalesce("_nn", F.lit(0))).alias(
+                "n_members"
+            ),
+            F.least(
+                F.coalesce("_pc", F.lit(1.0)), F.coalesce("_nc", F.lit(1.0))
+            ).alias("min_cos"),
+        )
+    )
+    # the sidecar is control-plane-sized: stage driver-side, then swap
+    rows = merged.collect()
+    (
+        spark.createDataFrame(rows, merged.schema)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "/_bucket_stats")
+    )
+
+
 def ivf_topk_indexed_adaptive(
     spark,
     index_path: str,

@@ -182,3 +182,46 @@ def test_ivf_adaptive_multiprobe_certificate(spark, tmp_path):
         (r["query_id"], r["cand_id"]) for r in pruned if r["cos_sim"] >= floor
     }
     assert kept == got_pruned, "threshold pruning changed above-floor results"
+
+
+def test_ivf_incremental_append_equals_full_build(spark, tmp_path):
+    """append_to_ivf_index: (half build + half append) must equal the
+    from-scratch index — same row count per bucket, identical sidecar
+    stats (the merges are exact), and identical adaptive search output
+    including the certificate column."""
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_topk_indexed_adaptive,
+        write_ivf_index,
+    )
+    from etl_sentinel_imagery_spark.queries.vectors_q import _centroids
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = _centroids(spark, SF_DIR)
+    mid = 250
+
+    full_path = str(tmp_path / "ivf_full")
+    write_ivf_index(emb, cents, full_path)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    write_ivf_index(emb.filter(F.col("vec_id") < mid), cents, inc_path)
+    append_to_ivf_index(emb.filter(F.col("vec_id") >= mid), cents, inc_path)
+
+    stats = lambda p: {
+        r["bucket"]: (r["n_members"], r["min_cos"])
+        for r in spark.read.parquet(p + "/_bucket_stats").collect()
+    }
+    assert stats(inc_path) == stats(full_path)
+    assert (
+        spark.read.parquet(inc_path).count()
+        == spark.read.parquet(full_path).count()
+    )
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    rows = lambda p: sorted(
+        (r["query_id"], r["cand_id"], r["rnk"], r["exact"])
+        for r in ivf_topk_indexed_adaptive(
+            spark, p, queries, cents, k=5, n_probe=2
+        ).collect()
+    )
+    assert rows(inc_path) == rows(full_path)
