@@ -305,7 +305,9 @@ def topk_merge_agg(items_col: str, off_col: str, k: int) -> Column:
     key-wise estimate addition over the entry union (a key absent from
     one side contributes that side's off — its upper bound), then
     re-truncation to k. Returns struct<items, off>."""
-    rows = F.collect_list(F.struct(F.col(items_col), F.col(off_col)))
+    rows = F.collect_list(
+        F.struct(F.col(items_col).alias("items"), F.col(off_col).alias("off"))
+    )
     empty = F.expr("cast(map() as map<string,bigint>)")
     seed = F.struct(empty.alias("items"), F.lit(0).cast("long").alias("off"))
 

@@ -1,0 +1,89 @@
+"""Sketch rollup tables: slice answers from merged sketches must match
+(exactly, or within the sketch's proven bounds) the same computation run
+directly on the raw slice — and the date filter must partition-prune."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.operators.sketches import exact_error_bound
+from etl_sentinel_imagery_spark.plans.rollup_tables import (
+    VALUE_EDGES,
+    build_rollup_table,
+    read_slice,
+    slice_summary,
+)
+from etl_sentinel_imagery_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_rollup_slice_answers_match_raw(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    table = str(tmp_path / "rollup")
+    build_rollup_table(events, table)
+
+    days = sorted(r["day"] for r in events.select("day").distinct().collect())
+    lo, hi = days[0], days[len(days) // 2]
+    raw = events.filter((F.col("day") >= lo) & (F.col("day") <= hi))
+
+    row = slice_summary(spark, table, lo, hi).collect()[0]
+
+    # exact pieces: event count and histogram
+    assert row["n_events"] == raw.count()
+    exact_hist = [
+        raw.filter(F.col("value") < VALUE_EDGES[0]).count(),
+        raw.filter(
+            (F.col("value") >= VALUE_EDGES[0]) & (F.col("value") < VALUE_EDGES[1])
+        ).count(),
+        raw.filter(
+            (F.col("value") >= VALUE_EDGES[1]) & (F.col("value") < VALUE_EDGES[2])
+        ).count(),
+        raw.filter(F.col("value") >= VALUE_EDGES[2]).count(),
+    ]
+    assert list(row["value_hist"]) == exact_hist
+
+    # sketch pieces: HLL within bound, top-k within merge bounds
+    exact_users = raw.select("user_id").distinct().count()
+    assert (
+        abs(row["est_distinct_users"] - exact_users) / exact_users
+        < exact_error_bound(exact_users)
+    )
+    true_counts = {
+        str(r["user_id"]): r["cnt"]
+        for r in raw.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    items, off = dict(row["top_items"]), row["top_off"]
+    assert items
+    for item, est in items.items():
+        assert true_counts[item] <= est <= true_counts[item] + off
+    for item, cnt in true_counts.items():
+        if item not in items:
+            assert cnt <= off
+
+
+def test_rollup_typed_slice_and_partition_pruning(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    table = str(tmp_path / "rollup")
+    build_rollup_table(events, table)
+
+    days = sorted(r["day"] for r in events.select("day").distinct().collect())
+    lo = hi = days[0]
+
+    # typed slice: exact count equality against raw
+    raw = events.filter((F.col("day") == lo) & (F.col("event_type") == "click"))
+    row = slice_summary(spark, table, lo, hi, event_type="click").collect()[0]
+    assert row["n_events"] == raw.count()
+
+    # the day filter must reach the scan as a PartitionFilter
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        read_slice(spark, table, lo, hi).explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "day" in plan
