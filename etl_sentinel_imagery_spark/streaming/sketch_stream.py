@@ -103,3 +103,58 @@ def run_sketch_rollup(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def run_additive_sketch_rollup(
+    stream_df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    value_col: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    k: int = 8,
+    edges: list[float] | None = None,
+) -> None:
+    """Streaming rollup for the ADDITIVE sketches (top-k heavy hitters,
+    histograms) — the ones register-max idempotence does NOT save.
+
+    A replayed micro-batch merged into shared state would double its
+    counts, so unlike :func:`run_sketch_rollup` the state here is
+    per-EPOCH: each batch writes its own sketch rows into an
+    ``epoch_id=`` partition with dynamic partition overwrite — a replay
+    rewrites exactly its own partition (the same recipe as
+    streaming.events.run_foreach_batch_to_parquet). Readers get the
+    rolled-up answer by merging across epochs with the sketches' own
+    aggregates (`topk_merge_agg` / `histogram_merge_agg`), which is the
+    mergeability property doing the exactly-once work at read time."""
+    from etl_sentinel_imagery_spark.operators.sketches import (
+        histogram_sketch,
+        topk_sketch,
+    )
+
+    hist_edges = edges or [10.0, 50.0, 200.0]
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        top = topk_sketch(batch_df, group_cols, key_col, k=k)
+        hist = histogram_sketch(batch_df, group_cols, value_col, hist_edges)
+        (
+            top.join(hist, group_cols)
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(table_dir)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -351,3 +351,86 @@ def test_streaming_sketch_rollup_equals_batch_sketch(spark, tmp_path):
     )
     after = {str(r["day"]): list(r["hll"]) for r in replayed.collect()}
     assert after == want
+
+
+def test_streaming_additive_sketch_rollup_bounds_and_replay(spark, tmp_path):
+    """Per-epoch additive sketches: merged-across-epochs answers keep the
+    sketch bounds vs the batch truth, histograms merge EXACTLY, and a
+    replayed epoch (dynamic partition overwrite) changes nothing."""
+    from etl_sentinel_imagery_spark.operators.sketches import (
+        histogram_merge_agg,
+        topk_merge_agg,
+    )
+    from etl_sentinel_imagery_spark.streaming.sketch_stream import (
+        run_additive_sketch_rollup,
+    )
+
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    src = str(tmp_path / "events_multi")
+    events.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = str(tmp_path / "additive")
+    edges = [10.0, 50.0, 200.0]
+    run_additive_sketch_rollup(
+        stream, ["day"], "user_id", "value", table, str(tmp_path / "ckpt"),
+        k=3, edges=edges,
+    )
+
+    merged = (
+        spark.read.parquet(table)
+        .groupBy("day")
+        .agg(
+            topk_merge_agg("items", "off", 3).alias("top"),
+            histogram_merge_agg("hist", len(edges) + 1).alias("hist"),
+        )
+        .collect()
+    )
+    assert merged
+
+    for row in merged:
+        day = row["day"]
+        raw = events.filter(F.col("day") == day)
+        exact_hist = [
+            raw.filter(F.col("value") < edges[0]).count(),
+            raw.filter((F.col("value") >= edges[0]) & (F.col("value") < edges[1])).count(),
+            raw.filter((F.col("value") >= edges[1]) & (F.col("value") < edges[2])).count(),
+            raw.filter(F.col("value") >= edges[2]).count(),
+        ]
+        assert list(row["hist"]) == exact_hist
+        true_counts = {
+            str(r["user_id"]): r["cnt"]
+            for r in raw.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        items, off = dict(row["top"]["items"]), row["top"]["off"]
+        for item, est in items.items():
+            assert true_counts[item] <= est <= true_counts[item] + off
+        for item, cnt in true_counts.items():
+            if item not in items:
+                assert cnt <= off
+
+    # replay: rerun the whole stream against a FRESH checkpoint but the
+    # SAME table — every epoch rewrites its own partition, rows unchanged
+    before = sorted(
+        map(str, spark.read.parquet(table).drop("epoch_id").collect())
+    )
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_additive_sketch_rollup(
+        stream2, ["day"], "user_id", "value", table, str(tmp_path / "ckpt2"),
+        k=3, edges=edges,
+    )
+    after = sorted(
+        map(str, spark.read.parquet(table).drop("epoch_id").collect())
+    )
+    assert after == before
