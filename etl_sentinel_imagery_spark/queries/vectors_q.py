@@ -256,8 +256,14 @@ QUERIES: dict[str, Q] = {
         _quant_battery, _QUANT_BATTERY_SQL,
         "l2 norms + int8 quantization integer stats (exact)",
     ),
-    "cosine_topk_bruteforce": Q(_cosine_topk, _COSINE_TOPK_SQL, "exact cosine top-k"),
-    "embedding_near_dup_pairs": Q(_near_dup_pairs, _NEAR_DUP_SQL, "cosine ≥0.95 near-dup pairs"),
+    "cosine_topk_bruteforce": Q(
+        _cosine_topk, _COSINE_TOPK_SQL,
+        "exact cosine top-k (sf-capped O(n²) ground-truth anchor; scale path = ann_ivf_battery)",
+    ),
+    "embedding_near_dup_pairs": Q(
+        _near_dup_pairs, _NEAR_DUP_SQL,
+        "cosine ≥0.95 near-dup pairs (sf-capped exact anchor; scale path = LSH/IVF blocking)",
+    ),
     "ann_ivf_battery": Q(
         _ann_ivf_battery, None,
         "ANN tiers: IVF seeded/k-means + int8 + PQ ADC (no SQL oracle)",
