@@ -156,3 +156,55 @@ def sample_frames(
     return media.mapInPandas(
         _sample, schema=f"{id_col} bigint, frame_idx int, frame_bytes binary"
     )
+
+
+def fake_text_encoder(texts: list, dim: int = 64) -> np.ndarray:
+    """Deterministic stand-in embedder: token-hash feature projection.
+
+    Each token hashes (sha256) to a pseudo-random ±1 direction; a text's
+    embedding is the L2-normalized token-vector sum — a real bag-of-
+    words random projection, so DUPLICATE texts embed identically
+    (cosine 1) and token-overlapping texts land close, which is exactly
+    the structure the downstream near-dup/ANN operators exploit. A real
+    pipeline injects a model encoder with this same list[str] →
+    (n, dim) float32 contract."""
+    out = np.zeros((len(texts), dim), dtype="float64")
+    for i, t in enumerate(texts):
+        for tok in t.split():
+            digest = hashlib.sha256(tok.encode()).digest()
+            bits = np.frombuffer(
+                (digest * (dim // len(digest) + 1))[:dim], dtype=np.uint8
+            )
+            out[i] += np.where(bits & 1, 1.0, -1.0)
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return (out / norms).astype("float32")
+
+
+def embed_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    encoder: Callable[[list], np.ndarray] | None = None,
+) -> DataFrame:
+    """(id, embedding array<float>) via an injectable batch encoder —
+    the inference-plumbing step between the text pipeline and the vector
+    operators (similarity/IVF/quantization). Arrow-batched mapInPandas:
+    the encoder sees a whole batch (the contract real model servers
+    want), bytes never row-trip through Python objects."""
+    enc = encoder or (lambda ts: fake_text_encoder(ts, dim))
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = enc(list(pdf[text_col]))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "embedding": [v.tolist() for v in vecs],
+                }
+            )
+
+    return docs.mapInPandas(
+        _embed, schema=f"{id_col} bigint, embedding array<float>"
+    )

@@ -69,3 +69,52 @@ def test_frame_sampling(media):
         nf = metas[doc_id]
         assert sorted(idxs) == list(range(0, nf, 2))
         assert all(isinstance(r["frame_bytes"], bytes) for r in frames)
+
+
+def test_embed_text_to_ivf_near_dup_end_to_end(spark, tmp_path):
+    """The full text → embedding → persisted IVF → near-dup composition:
+    exact duplicate texts embed identically (cosine 1) and surface as
+    each other's top-1 neighbors through the index; the encoder is
+    deterministic across partitionings."""
+    from pyspark.sql import functions as F
+
+    from etl_sentinel_imagery_spark.operators.kmeans import fit
+    from etl_sentinel_imagery_spark.operators.multimodal import embed_text
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        ivf_topk_indexed_adaptive,
+        write_ivf_index,
+    )
+    from etl_sentinel_imagery_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    # plant exact duplicates with fresh ids
+    dups = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = docs.unionByName(dups)
+
+    emb = embed_text(corpus, "doc_id", "text").withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    # determinism across partitionings
+    a = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    b = {
+        r["vec_id"]: r["embedding"]
+        for r in embed_text(corpus.repartition(7), "doc_id", "text")
+        .withColumnRenamed("doc_id", "vec_id")
+        .collect()
+    }
+    assert a == b
+
+    cents, _ = fit(emb, k=4, n_iter=2)
+    path = str(tmp_path / "text_ivf")
+    write_ivf_index(emb, cents, path)
+    queries = emb.filter(F.col("vec_id") >= 100000)
+    hits = ivf_topk_indexed_adaptive(
+        spark, path, queries, cents, k=1, n_probe=2
+    ).collect()
+    # every planted dup's nearest neighbor is its original, at cosine ~1
+    assert len(hits) == 5
+    for r in hits:
+        assert r["cand_id"] == r["query_id"] - 100000
+        assert abs(r["cos_sim"] - 1.0) < 1e-9
