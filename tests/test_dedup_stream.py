@@ -101,3 +101,68 @@ def test_band_keys_identical_to_batch_construction(spark):
         s = sigs[doc]
         expect = f"{s[band_idx * 2]}_{s[band_idx * 2 + 1]}"
         assert band_key == expect
+
+
+def test_ttl_expires_idle_bucket_state_real_clock(spark, tmp_path):
+    """The processing-time TTL branch, driven by a REAL continuous
+    trigger (the one path processAllAvailable cannot exercise — it
+    hangs when timeouts keep scheduling no-data batches): docs seen
+    before an idle period longer than the TTL must NOT pair with docs
+    arriving after it, while a fresh duplicate pair in the late batch
+    still pairs (proving the late batch was processed)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_sentinel_imagery_spark.streaming.dedup_stream import (
+        lsh_candidate_pairs_stream,
+    )
+
+    src = str(tmp_path / "docs")
+    schema = "doc_id bigint, text string"
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    fresh = "completely different sentinel content marching in step here"
+    spark.createDataFrame([(1, text), (2, text)], schema).coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).parquet(src)
+    )
+    pairs = lsh_candidate_pairs_stream(stream, ttl_ms=2000)
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("ttl_pairs")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        def seen():
+            return {
+                (r["id_a"], r["id_b"])
+                for r in spark.sql(
+                    "SELECT DISTINCT id_a, id_b FROM ttl_pairs"
+                ).collect()
+            }
+
+        deadline = time.time() + 60
+        while (1, 2) not in seen() and time.time() < deadline:
+            time.sleep(0.5)
+        assert (1, 2) in seen(), "initial duplicate pair never emitted"
+
+        time.sleep(8)  # idle — 4× the TTL; empty batches fire expiry
+
+        spark.createDataFrame(
+            [(3, text), (4, fresh), (5, fresh)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        deadline = time.time() + 60
+        while (4, 5) not in seen() and time.time() < deadline:
+            time.sleep(0.5)
+        assert (4, 5) in seen(), "late batch never processed"
+
+        stale = {p for p in seen() if 3 in p and (1 in p or 2 in p)}
+        assert not stale, f"expired bucket still paired: {stale}"
+    finally:
+        q.stop()
