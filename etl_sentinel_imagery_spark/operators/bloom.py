@@ -148,9 +148,15 @@ def bloom_filter_members(
     direction (no false negatives ⇒ dropped rows are provably absent);
     ``negate=False`` keeps false positives and needs a verify step for
     exactness."""
+    # one execution of the build aggregation: the collected row supplies
+    # n_bits/n_hashes AND the words — re-referencing `bloom` in the join
+    # would re-run the whole build from lineage
     row = bloom.collect()[0]
     n_bits, n_hashes = int(row["n_bits"]), int(row["n_hashes"])
-    joined = df.crossJoin(F.broadcast(bloom.select("words")))
+    words_df = df.sparkSession.createDataFrame(
+        [(list(row["words"]),)], "words array<bigint>"
+    )
+    joined = df.crossJoin(F.broadcast(words_df))
     cond = bloom_contains(F.col("words"), F.col(key_col), n_bits, n_hashes)
     if negate:
         cond = ~cond

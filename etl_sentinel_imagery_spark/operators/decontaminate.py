@@ -129,12 +129,18 @@ def decontaminate_bloom(
         gram_hashes,
         lambda h: bloom_contains_hash(F.col("words"), h, n_bits, n_hashes),
     )
-    tagged = train.crossJoin(F.broadcast(bloom.select("words"))).withColumn(
-        "_suspect", hit
+    # ONE bloom scan of the corpus, reduced to the (tiny) suspect-id set
+    # and materialized — fanning the tagged corpus into multiple branches
+    # would re-run the per-gram k-probe scan once per branch. The final
+    # answer needs only `train ∖ quarantined`, and quarantined ⊆
+    # suspects, so the clean/suspect split never has to appear in the
+    # output plan at all.
+    suspect_ids = (
+        train.crossJoin(F.broadcast(bloom.select("words")))
+        .filter(hit)
+        .select(id_col)
+        .localCheckpoint(eager=True)
     )
-    clean = tagged.filter(~F.col("_suspect")).drop("_suspect", "words")
-    suspects = tagged.filter(F.col("_suspect")).drop("_suspect", "words")
+    suspects = train.join(F.broadcast(suspect_ids), id_col, "left_semi")
     bad = contaminated_train_ids(suspects, eval_df, id_col, text_col, n, min_shared)
-    return clean.unionByName(
-        suspects.join(F.broadcast(bad), id_col, "left_anti")
-    )
+    return train.join(F.broadcast(bad), id_col, "left_anti")

@@ -98,22 +98,33 @@ def funnel_counts(
     ts_col: str = "ts",
     window_seconds: int | None = None,
 ) -> DataFrame:
-    """The funnel chart: one row per step with the entity count that
-    reached AT LEAST that step — monotonically non-increasing."""
+    """The funnel chart: EXACTLY one row per step (zero-count steps
+    included — a consumer zipping against the steps list must never
+    misalign) with the entity count that reached at least that step —
+    monotonically non-increasing."""
     prog = funnel_progress(
         events, steps, entity_col, type_col, ts_col, window_seconds
     )
     step_rows = F.explode(
         F.sequence(F.lit(1), F.lit(len(steps)))
     ).alias("step")
-    return (
+    counts = (
         prog.select(step_rows, "steps_completed")
         .filter(F.col("steps_completed") >= F.col("step"))
         .groupBy("step")
         .agg(F.count(F.lit(1)).alias("n_entities"))
-        .withColumn(
-            "step_name",
-            F.element_at(F.array(*[F.lit(s) for s in steps]), F.col("step")),
+    )
+    axis = events.sparkSession.range(1).select(
+        F.explode(F.sequence(F.lit(1), F.lit(len(steps)))).alias("step")
+    )
+    return (
+        axis.join(counts, "step", "left")
+        .select(
+            "step",
+            F.coalesce("n_entities", F.lit(0).cast("long")).alias("n_entities"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in steps]), F.col("step")
+            ).alias("step_name"),
         )
         .orderBy("step")
     )

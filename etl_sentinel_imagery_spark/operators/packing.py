@@ -43,11 +43,18 @@ def with_global_offset(
     ambiguous and the result nondeterministic across runs."""
     val = F.col(value_col) if isinstance(value_col, str) else value_col
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Materialization barrier: the totals collect below AND the returned
+    # frame both consume this shuffle. Without it the range-sort runs
+    # twice (2× the dominant cost), and — worse — repartitionByRange
+    # RE-SAMPLES boundaries on the second run, so a nondeterministic
+    # upstream could land rows in a different _pid than the one their
+    # _poff was computed from: silently wrong offsets.
     parted = (
         df.withColumn("_val", val.cast("long"))
         .repartitionByRange(n, order_col)
         .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w = (
         Window.partitionBy("_pid")

@@ -306,9 +306,24 @@ def append_to_ivf_index(
     n_members adds, min_cos takes the min — both associative, so an
     appended index's stats equal a from-scratch build's, and the
     adaptive probe bounds stay sound (a bucket's radius can only grow).
-    Centroids must be the ones the index was built with."""
-    assigned = ivf_assign(new_embeddings, centroids, id_col, vec_col)
-    assigned.write.mode("append").partitionBy("bucket").parquet(path)
+    Centroids must be the ones the index was built with.
+
+    Failure ordering is deliberate: the WIDENED stats commit BEFORE the
+    data append. A crash between the two leaves radii that over-cover
+    (bounds looser than the data warrants) — the certificate stays
+    SOUND, merely conservative; the reverse order would leave stale
+    tight radii that could certify a wrong top-k. The sidecar rewrite
+    itself goes through a temp dir + rename swap, so a crash mid-swap
+    yields a missing sidecar (loud read error on the next adaptive
+    query), never a silently wrong one."""
+    import os
+    import shutil
+
+    # materialize once: the stats aggregate and the data append both
+    # consume the assignment, and the append batch is the small side
+    assigned = ivf_assign(
+        new_embeddings, centroids, id_col, vec_col
+    ).localCheckpoint(eager=True)
     spark = new_embeddings.sparkSession
     new_stats = ivf_bucket_stats(assigned, centroids, vec_col)
     prev = spark.read.parquet(path + "/_bucket_stats")
@@ -332,14 +347,23 @@ def append_to_ivf_index(
             ).alias("min_cos"),
         )
     )
-    # the sidecar is control-plane-sized: stage driver-side, then swap
+    # control-plane-sized: stage driver-side, write fresh, swap in
     rows = merged.collect()
+    stats_dir = path + "/_bucket_stats"
+    tmp_dir = stats_dir + "_tmp"
+    old_dir = stats_dir + "_old"
     (
         spark.createDataFrame(rows, merged.schema)
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(path + "/_bucket_stats")
+        .parquet(tmp_dir)
     )
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(stats_dir, old_dir)
+    os.rename(tmp_dir, stats_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    # stats committed (wider) — now the data append
+    assigned.write.mode("append").partitionBy("bucket").parquet(path)
 
 
 def ivf_topk_indexed_adaptive(

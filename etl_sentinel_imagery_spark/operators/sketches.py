@@ -346,7 +346,11 @@ def histogram_sketch(
     v = F.col(value_col).cast("double")
     idx = F.size(F.filter(edge_arr, lambda e: v >= e))
     per_bin = (
-        df.select(*group_cols, idx.alias("_idx"))
+        # NULL values are EXCLUDED (COUNT(value) semantics) — without the
+        # filter, `v >= e` is NULL for every edge, the size() lands on 0,
+        # and NULLs would silently inflate the (-inf, e0) bin
+        df.filter(v.isNotNull())
+        .select(*group_cols, idx.alias("_idx"))
         .groupBy(*group_cols, "_idx")
         .agg(F.count(F.lit(1)).alias("_cnt"))
     )

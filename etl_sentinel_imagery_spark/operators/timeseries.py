@@ -43,15 +43,13 @@ def resample_counts(
     first and last event — empty buckets carry n_events=0 and NULL for
     the custom aggregates. ``step`` is an interval literal ('1 hour').
     """
-    bucket = F.date_trunc("hour", F.col(ts_col)) if step == "1 hour" else None
-    # window-align via timestamp arithmetic for arbitrary steps
-    if bucket is None:
-        bucket = F.timestamp_seconds(
-            (F.unix_timestamp(F.col(ts_col)) / _step_seconds(step)).cast(
-                "long"
-            )
-            * _step_seconds(step)
-        )
+    # epoch-arithmetic alignment for every step (no date_trunc special
+    # cases: one code path, and under the pinned-UTC session the
+    # arithmetic is identical for whole-unit steps anyway)
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts_col)) / _step_seconds(step)).cast("long")
+        * _step_seconds(step)
+    )
     aggs = [F.count(F.lit(1)).alias("n_events")] + [
         expr.alias(name) for name, expr in (agg_exprs or {}).items()
     ]

@@ -147,7 +147,24 @@ def curate_corpus(
     packed = pack_sequence_slices(
         written_chunks.withColumn(
             "chunk_uid",
-            F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_idx"),
+            # fail LOUDLY on bit overflow: a colliding uid would break
+            # the unique-order precondition of with_global_offset and
+            # silently overlap training sequences
+            F.when(
+                (F.col("chunk_idx") < F.lit(1 << 20))
+                & (F.col("doc_id") >= 0)
+                & (F.col("doc_id") < F.lit(1 << 43)),
+                F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_idx"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("chunk_uid overflow: doc_id="),
+                        F.col("doc_id").cast("string"),
+                        F.lit(" chunk_idx="),
+                        F.col("chunk_idx").cast("string"),
+                    )
+                )
+            ),
         ),
         "chunk_uid",
         "n_chunk_tokens",

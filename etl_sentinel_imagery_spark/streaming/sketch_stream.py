@@ -36,6 +36,26 @@ from etl_sentinel_imagery_spark.operators.sketches import (
 )
 
 
+_POINTER = "_CURRENT"
+
+
+def _current_version(table_dir: str) -> str | None:
+    """Resolve the committed version directory via the pointer file."""
+    ptr = os.path.join(table_dir, _POINTER)
+    if not os.path.isfile(ptr):
+        return None
+    with open(ptr) as f:
+        name = f.read().strip()
+    path = os.path.join(table_dir, name)
+    return path if os.path.isdir(path) else None
+
+
+def read_sketch_table(spark, table_dir: str) -> DataFrame | None:
+    """Read the committed sketch table state (None before first epoch)."""
+    cur = _current_version(table_dir)
+    return spark.read.parquet(cur) if cur else None
+
+
 def merge_sketch_table(
     spark,
     batch_sketch: DataFrame,
@@ -43,12 +63,11 @@ def merge_sketch_table(
     group_cols: list[str],
     p: int = HLL_P,
 ) -> DataFrame:
-    """(existing table if any) ∪ batch sketches, register-wise max on
-    group-key collisions. Returns the merged frame (caller persists)."""
-    if os.path.isdir(table_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(table_dir)
-    ):
-        prev = spark.read.parquet(table_dir).withColumnRenamed("hll", "_prev")
+    """(committed table state if any) ∪ batch sketches, register-wise
+    max on group-key collisions. Returns the merged frame."""
+    existing = read_sketch_table(spark, table_dir)
+    if existing is not None:
+        prev = existing.withColumnRenamed("hll", "_prev")
         merged = batch_sketch.withColumnRenamed("hll", "_new").join(
             prev, group_cols, "full_outer"
         )
@@ -72,9 +91,18 @@ def run_sketch_rollup(
     checkpoint_dir: str,
     p: int = HLL_P,
 ) -> None:
-    """foreachBatch sink maintaining the persisted sketch table. The
-    rewrite goes through a temp directory + atomic rename so a reader
-    (or a crash) never observes a half-written table."""
+    """foreachBatch sink maintaining the persisted sketch table.
+
+    Crash safety is a versioned-directory + pointer-file protocol, NOT
+    a directory-rename dance: each epoch writes a fresh ``v{epoch}``
+    directory in full, then commits it with one atomic ``os.replace``
+    of the ``_CURRENT`` pointer file. A crash at ANY point leaves the
+    pointer naming a complete committed version — the old state is
+    never unlinked before the new one is live (a rename-out/rename-in
+    swap has a window where the table simply does not exist, and a
+    post-crash replay would then rebuild from one batch and delete the
+    stranded history). Superseded versions are pruned only AFTER the
+    commit, best-effort."""
     spark = stream_df.sparkSession
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
@@ -82,16 +110,20 @@ def run_sketch_rollup(
             return
         sk = hll_sketch(batch_df, group_cols, key_col, p=p)
         merged = merge_sketch_table(spark, sk, table_dir, group_cols, p=p)
-        tmp = f"{table_dir}__epoch{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = f"{table_dir}__old{epoch_id}"
-        if os.path.isdir(table_dir):
-            os.rename(table_dir, old)
-        os.rename(tmp, table_dir)
-        if os.path.isdir(old):
-            import shutil
+        os.makedirs(table_dir, exist_ok=True)
+        vname = f"v{epoch_id}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(table_dir, vname)
+        )
+        ptr_tmp = os.path.join(table_dir, f"{_POINTER}.tmp{epoch_id}")
+        with open(ptr_tmp, "w") as f:
+            f.write(vname)
+        os.replace(ptr_tmp, os.path.join(table_dir, _POINTER))  # commit
+        import shutil
 
-            shutil.rmtree(old)
+        for entry in os.listdir(table_dir):
+            if entry.startswith("v") and entry != vname:
+                shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
 
     q = (
         stream_df.writeStream.foreachBatch(_apply)

@@ -335,9 +335,13 @@ def test_streaming_sketch_rollup_equals_batch_sketch(spark, tmp_path):
         stream, ["day"], "user_id", table, str(tmp_path / "ckpt")
     )
 
+    from etl_sentinel_imagery_spark.streaming.sketch_stream import (
+        read_sketch_table,
+    )
+
     got = {
         str(r["day"]): list(r["hll"])
-        for r in spark.read.parquet(table).collect()
+        for r in read_sketch_table(spark, table).collect()
     }
     want = {
         str(r["day"]): list(r["hll"])

@@ -49,11 +49,18 @@ CHECKS = {
     "docs_chunking": {"Generate": True, "Sort": False},
     # the profile battery is one narrow projection plus the packing-
     # offset join: the only Sort allowed is the prefix-sum's in-partition
-    # sort of the TWO-column (doc_id, token-count) side — the wide text
-    # projection itself must never sort, and the per-partition totals
-    # aggregate runs in its own control-plane job, so no HashAggregate
-    # may appear in this plan
-    "text_profile": {"Project": True, "HashAggregate": False, "Sort": None},
+    # sort (global=false) of the TWO-column (doc_id, token-count) side.
+    # A GLOBAL sort — `Arguments: [...], true, 0` in the formatted plan,
+    # the single-task no-partition-window antipattern the packing module
+    # replaces — must stay absent (the `|`-alternation keeps the marker
+    # in regex mode; the right alternative never matches). The
+    # per-partition totals aggregate runs in its own control-plane job,
+    # so no HashAggregate may appear either.
+    "text_profile": {
+        "Project": True,
+        "HashAggregate": False,
+        r"\], true, 0|\bNEVERMATCH\b": False,
+    },
     # quantization battery: the corpus amax is one tiny aggregate; the
     # per-row join of norms×codes must be a broadcast or sort-merge on
     # vec_id — and the final plan must keep partial aggregation off the
