@@ -296,25 +296,56 @@ def intersection_area_general(subject: np.ndarray, clip: np.ndarray) -> float:
     arbitrary AOI shapes.
 
     Self-intersecting clip → untwisted into simple loops
-    (:func:`split_self_intersections`); the loops' intersection areas
-    sum when their interiors are disjoint (the accidental-twist cases:
-    bowties, figure-eights, star strokes). Loops that OVERLAP (a
-    winding-2 stroke) would double-count, so that case raises instead
-    of answering wrong — the honest boundary of this upgrade."""
+    (:func:`split_self_intersections`) and answered under UNION
+    semantics by inclusion–exclusion over the loops: disjoint-loop
+    strokes (bowties, figure-eights) reduce to the plain sum, and
+    overlapping-loop strokes (a pentagram's winding-2 core) subtract
+    the pairwise overlaps back out — exact, because every k-way loop
+    intersection decomposes into iterated convex (triangle) clips."""
     if not is_simple_ring(clip):
         loops = split_self_intersections(clip)
-        for a in range(len(loops)):
-            for b in range(a + 1, len(loops)):
-                if intersection_area_general(loops[a], loops[b]) > 1e-12:
-                    raise ValueError(
-                        "self-intersecting ring untwists into overlapping "
-                        "loops (winding > 1) — union area undefined without "
-                        "a full planar overlay"
-                    )
-        return sum(intersection_area_general(subject, lp) for lp in loops)
+        if len(loops) > 8:
+            raise ValueError(
+                f"ring untwists into {len(loops)} loops — inclusion-"
+                "exclusion cost is 2^loops; this is not an accidental "
+                "twist but a pathological stroke"
+            )
+        return _union_intersection_area(subject, loops)
     if _is_convex(clip):
         return intersection_area(subject, clip)
     return sum(intersection_area(subject, tri) for tri in triangulate(clip))
+
+
+def _multi_clip_area(subject: np.ndarray, loops) -> float:
+    """area(subject ∩ loop_1 ∩ … ∩ loop_m): each loop is decomposed
+    into interior-disjoint triangles, so the running piece set stays
+    interior-disjoint through every convex clip — the final areas sum
+    without double counting."""
+    pieces = [subject]
+    for lp in loops:
+        tris = [lp] if _is_convex(lp) else triangulate(lp)
+        nxt = []
+        for piece in pieces:
+            for tri in tris:
+                inter = clip_polygon_convex(piece, tri)
+                if len(inter) >= 3:
+                    nxt.append(inter)
+        pieces = nxt
+        if not pieces:
+            return 0.0
+    return sum(shoelace_area(p) for p in pieces)
+
+
+def _union_intersection_area(subject: np.ndarray, loops) -> float:
+    """area(subject ∩ (loop_1 ∪ … ∪ loop_n)) by inclusion–exclusion."""
+    from itertools import combinations
+
+    total = 0.0
+    for r in range(1, len(loops) + 1):
+        sign = 1.0 if r % 2 == 1 else -1.0
+        for combo in combinations(loops, r):
+            total += sign * _multi_clip_area(subject, combo)
+    return total
 
 
 _WKT_MULTI_RE = re.compile(r"MULTIPOLYGON\s*\((.+)\)\s*$", re.IGNORECASE | re.DOTALL)

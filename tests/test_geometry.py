@@ -322,16 +322,18 @@ def test_double_crossing_zigzag_untwists_exactly():
     assert abs(intersection_area_general(big, eight) - 4.0) < 1e-12
 
 
-def test_pentagram_stroke_overlapping_loops_raise():
-    """A {5/2} star stroke's stack-walk loops OVERLAP in the core region
-    (winding 2) — the operator must refuse rather than double-count."""
+def test_pentagram_stroke_union_area_inclusion_exclusion():
+    """A {5/2} star stroke's stack-walk loops OVERLAP in the core
+    (winding 2); inclusion–exclusion must subtract the overlap back out.
+    Cross-checked two ways: the closed-form pentagram union area, and a
+    point-in-any-loop grid rasterization."""
     import math
 
     import numpy as np
-    import pytest
 
     from etl_sentinel_imagery_spark.functions.geometry import (
         intersection_area_general,
+        split_self_intersections,
     )
 
     star = np.array(
@@ -341,20 +343,55 @@ def test_pentagram_stroke_overlapping_loops_raise():
         ]
     )
     big = np.array([(-2.0, -2.0), (2.0, -2.0), (2.0, 2.0), (-2.0, 2.0)])
-    with pytest.raises(ValueError, match="overlapping"):
-        intersection_area_general(big, star)
+    got = intersection_area_general(big, star)
+
+    # closed form for a {5/2} pentagram with unit circumradius:
+    # 10 · (tip triangle) + inner pentagon
+    c1, c2 = math.cos(math.pi / 5), math.cos(2 * math.pi / 5)
+    s1 = math.sin(math.pi / 5)
+    r_inner_vertex = c2 / c1  # inner pentagon circumradius
+    pentagon = 2.5 * r_inner_vertex**2 * math.sin(2 * math.pi / 5)
+    # tip: isoceles triangle between two adjacent inner vertices and an
+    # outer vertex; 5 tips total
+    inner_side = 2 * r_inner_vertex * math.sin(math.pi / 5)
+    tip_h = 1.0 - r_inner_vertex * math.cos(math.pi / 5)
+    tips = 5 * 0.5 * inner_side * tip_h
+    closed_form = pentagon + tips
+    assert abs(got - closed_form) < 1e-9, (got, closed_form)
+
+    # grid rasterization cross-check (union = point in ANY loop)
+    loops = split_self_intersections(star)
+
+    def in_loop(p, ring):
+        n, c = len(ring), False
+        for i in range(n):
+            a, b = ring[i], ring[(i + 1) % n]
+            if (a[1] > p[1]) != (b[1] > p[1]):
+                x = a[0] + (p[1] - a[1]) / (b[1] - a[1]) * (b[0] - a[0])
+                if p[0] < x:
+                    c = not c
+        return c
+
+    step = 0.02
+    xs = np.arange(-1.0, 1.0, step)
+    hits = sum(
+        1
+        for x in xs
+        for y in xs
+        if any(in_loop((x + step / 2, y + step / 2), lp) for lp in loops)
+    )
+    assert abs(got - hits * step * step) < 0.03
 
 
-def test_winding_overlap_raises_not_wrong():
+def test_nested_loop_fold_unions_without_double_count():
     import numpy as np
-    import pytest
 
     from etl_sentinel_imagery_spark.functions.geometry import (
         intersection_area_general,
     )
 
-    # one crossing at (4,6); the popped inner loop lies INSIDE the outer
-    # loop -> union is ambiguous without full overlay -> must raise
+    # one crossing at (4,6); the popped inner loop (area 8) lies fully
+    # INSIDE the outer loop (area 44) — union must be 44, not 52
     folded = np.array(
         [
             (0.0, 0.0), (6.0, 0.0), (6.0, 6.0), (2.0, 6.0),
@@ -362,5 +399,12 @@ def test_winding_overlap_raises_not_wrong():
         ]
     )
     big = np.array([(-10.0, -10.0), (10.0, -10.0), (10.0, 10.0), (-10.0, 10.0)])
-    with pytest.raises(ValueError, match="overlapping"):
-        intersection_area_general(big, folded)
+    assert abs(intersection_area_general(big, folded) - 44.0) < 1e-9
+    # and a clip that slices through both loops stays exact: x >= 3
+    # keeps 3x2=6 of the outer band x∈[3,6]y∈[0,6], plus the x∈[4,6]
+    # rest... easier: complement check — left half + right half == whole
+    left = np.array([(-10.0, -10.0), (3.0, -10.0), (3.0, 10.0), (-10.0, 10.0)])
+    right = np.array([(3.0, -10.0), (10.0, -10.0), (10.0, 10.0), (3.0, 10.0)])
+    la = intersection_area_general(left, folded)
+    ra = intersection_area_general(right, folded)
+    assert abs(la + ra - 44.0) < 1e-9
