@@ -30,10 +30,16 @@ SESSION_GAP_US = 1800 * US  # 30-minute session gap
 
 def _windows_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 15-min windows per event_type (F.window ≡ epoch floor) ∪
-    sliding 10-min windows every 5 min (each event lands in 2 windows),
+    sliding 10-min windows every 5 min (each event lands in 2 windows) ∪
+    gap-FILLED 6-hour resample per event_type (operators.timeseries —
+    empty buckets exist with n_events=0, which plain groupBy drops),
     tagged by ``kind``. Sentinel values (-1.0 / -1, '') stand in for the
-    columns the other kind doesn't produce — NULL-free so both engines
+    columns the other kinds don't produce — NULL-free so both engines
     keep integer columns integer in pandas."""
+    from etl_sentinel_imagery_spark.operators.timeseries import (
+        resample_counts,
+    )
+
     events = load_table(spark, sf_dir, "events")
     t_win = F.window(F.col("ts"), f"{TUMBLE_S} seconds")
     tumbling = (
@@ -70,7 +76,15 @@ def _windows_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
-    return tumbling.unionByName(sliding)
+    resampled = resample_counts(events, "ts", "6 hours", ["event_type"]).select(
+        F.lit("resampled_6h").alias("kind"),
+        F.col("bucket").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.lit(-1.0).alias("total_value"),
+        F.lit(-1).cast("bigint").alias("n_users"),
+    )
+    return tumbling.unionByName(sliding).unionByName(resampled)
 
 
 _WINDOWS_BATTERY_SQL = f"""
@@ -96,6 +110,31 @@ FROM (
     CROSS JOIN (VALUES (0), (1)) offs(o)
 )
 GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'resampled_6h' AS kind, axis.bucket AS window_start, axis.event_type,
+       COALESCE(obs.n, 0) AS n_events,
+       -1.0 AS total_value,
+       CAST(-1 AS BIGINT) AS n_users
+FROM (
+    SELECT event_type,
+           unnest(generate_series(MIN(bucket), MAX(bucket), INTERVAL 6 HOUR))
+               AS bucket
+    FROM (
+        SELECT event_type,
+               make_timestamp((epoch_us(ts) // {21600 * US}) * {21600 * US})
+                   AS bucket
+        FROM events
+    )
+    GROUP BY 1
+) axis
+LEFT JOIN (
+    SELECT event_type,
+           make_timestamp((epoch_us(ts) // {21600 * US}) * {21600 * US})
+               AS bucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+) obs USING (event_type, bucket)
 """
 
 
@@ -224,7 +263,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 QUERIES: dict[str, Q] = {
     "events_windows_battery": Q(
         _windows_battery, _WINDOWS_BATTERY_SQL,
-        "tumbling + sliding windows (batch oracle of the streaming ops)",
+        "tumbling + sliding windows + gap-filled resample (batch oracle of the streaming ops)",
     ),
     "events_sessionize": Q(_sessionize, _SESSIONIZE_SQL, "sessionization via lag+cumsum"),
     "events_dedup_first": Q(_dedup_first_event, _DEDUP_FIRST_SQL, "keyed dedup keep-earliest"),
