@@ -194,27 +194,86 @@ GROUP BY 1, 2
 """
 
 
+#: Funnel config carried by events_dedup_first (operators.funnel).
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WINDOW_S = 6 * 3600
+
+
 def _dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed dedup keeping the earliest occurrence — the batch analogue of
     dropDuplicatesWithinWatermark (and the reference's idempotent
-    uuid-keyed cache sink, tx.py:92-96)."""
+    uuid-keyed cache sink, tx.py:92-96) — PLUS the per-user funnel state
+    from operators.funnel (view → click → purchase, 6-hour pairwise
+    window) joined on: the per-level DP restated independently in the
+    oracle as a DuckDB list_reduce fold, so the funnel operator sits
+    under the strict-hash gate."""
+    from etl_sentinel_imagery_spark.operators.funnel import funnel_progress
+
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    return (
+    deduped = (
         events.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts")
     )
+    funnel = funnel_progress(
+        events, FUNNEL_STEPS, window_seconds=FUNNEL_WINDOW_S
+    ).select(
+        F.col("entity").alias("user_id"),
+        F.col("steps_completed").alias("funnel_steps"),
+        F.concat_ws(
+            ",", F.transform("level_ts", lambda x: x.cast("string"))
+        ).alias("funnel_levels"),
+    )
+    return deduped.join(funnel, "user_id")
 
 
-_DEDUP_FIRST_SQL = """
-SELECT user_id, event_type, event_id, ts
-FROM (
-    SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
-    FROM events
+_FUNNEL_STEP_CASE = " ".join(
+    f"WHEN '{s}' THEN {i + 1}" for i, s in enumerate(FUNNEL_STEPS)
 )
-WHERE rn = 1
+_FUNNEL_K = len(FUNNEL_STEPS)
+_DEDUP_FIRST_SQL = f"""
+WITH funnel AS (
+    SELECT user_id,
+           len(list_filter(levels, x -> x >= 0)) AS funnel_steps,
+           array_to_string(
+               list_transform(levels, x -> CAST(x AS VARCHAR)), ',')
+               AS funnel_levels
+    FROM (
+        SELECT user_id,
+            list_reduce(
+              list_prepend(
+                [{", ".join(["CAST(-1 AS BIGINT)"] * _FUNNEL_K)}],
+                list_transform(
+                  list_sort(list(struct_pack(
+                      t := epoch_us(ts) // 1000000, e := event_type))),
+                  ev -> [ev.t,
+                         CASE ev.e {_FUNNEL_STEP_CASE} ELSE 0 END,
+                         CAST(0 AS BIGINT)]
+                )
+              ),
+              (acc, ev) -> list_transform(range(1, {_FUNNEL_K + 1}), j ->
+                CASE WHEN ev[2] = j
+                      AND (j = 1 OR (acc[j-1] >= 0 AND ev[1] >= acc[j-1]
+                                     AND ev[1] - acc[j-1] <= {FUNNEL_WINDOW_S}))
+                     THEN greatest(acc[j], ev[1]) ELSE acc[j] END)
+            ) AS levels
+        FROM events
+        GROUP BY 1
+    )
+)
+SELECT d.user_id, d.event_type, d.event_id, d.ts,
+       f.funnel_steps, f.funnel_levels
+FROM (
+    SELECT user_id, event_type, event_id, ts
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+) d
+JOIN funnel f USING (user_id)
 """
 
 
@@ -266,7 +325,10 @@ QUERIES: dict[str, Q] = {
         "tumbling + sliding windows + gap-filled resample (batch oracle of the streaming ops)",
     ),
     "events_sessionize": Q(_sessionize, _SESSIONIZE_SQL, "sessionization via lag+cumsum"),
-    "events_dedup_first": Q(_dedup_first_event, _DEDUP_FIRST_SQL, "keyed dedup keep-earliest"),
+    "events_dedup_first": Q(
+        _dedup_first_event, _DEDUP_FIRST_SQL,
+        "keyed dedup keep-earliest + per-user funnel DP state",
+    ),
     "events_scalar_battery": Q(
         _scalar_battery, _SCALAR_BATTERY_SQL,
         "lag/lead gaps + F11 clip-scale-cast + F14 JSON decode",
