@@ -304,26 +304,23 @@ def intersection_area_general(subject: np.ndarray, clip: np.ndarray) -> float:
     intersection decomposes into iterated convex (triangle) clips."""
     if not is_simple_ring(clip):
         loops = split_self_intersections(clip)
-        if len(loops) > 8:
-            raise ValueError(
-                f"ring untwists into {len(loops)} loops — inclusion-"
-                "exclusion cost is 2^loops; this is not an accidental "
-                "twist but a pathological stroke"
-            )
         return _union_intersection_area(subject, loops)
     if _is_convex(clip):
         return intersection_area(subject, clip)
     return sum(intersection_area(subject, tri) for tri in triangulate(clip))
 
 
-def _multi_clip_area(subject: np.ndarray, loops) -> float:
-    """area(subject ∩ loop_1 ∩ … ∩ loop_m): each loop is decomposed
-    into interior-disjoint triangles, so the running piece set stays
-    interior-disjoint through every convex clip — the final areas sum
+def _loop_triangles(lp: np.ndarray) -> list:
+    return [lp] if _is_convex(lp) else triangulate(lp)
+
+
+def _multi_clip_area(subject: np.ndarray, tri_lists) -> float:
+    """area(subject ∩ loop_1 ∩ … ∩ loop_m) given each loop's (interior-
+    disjoint) triangle decomposition — the running piece set stays
+    interior-disjoint through every convex clip, so the final areas sum
     without double counting."""
     pieces = [subject]
-    for lp in loops:
-        tris = [lp] if _is_convex(lp) else triangulate(lp)
+    for tris in tri_lists:
         nxt = []
         for piece in pieces:
             for tri in tris:
@@ -337,14 +334,51 @@ def _multi_clip_area(subject: np.ndarray, loops) -> float:
 
 
 def _union_intersection_area(subject: np.ndarray, loops) -> float:
-    """area(subject ∩ (loop_1 ∪ … ∪ loop_n)) by inclusion–exclusion."""
+    """area(subject ∩ (loop_1 ∪ … ∪ loop_n)).
+
+    Inclusion–exclusion is only paid where it is needed: loops are first
+    grouped into OVERLAP CLUSTERS (connected components of the pairwise-
+    overlap graph); clusters are interior-disjoint from each other, so
+    their contributions sum plainly, and the 2^k expansion (with its
+    8-loop cost cap) runs per cluster — a stroke of many disjoint
+    bowties stays O(n), while a pentagram's overlapping pair still
+    subtracts its core. Each loop is triangulated exactly once and the
+    triangle lists are reused across every subset term."""
     from itertools import combinations
 
+    tris = [_loop_triangles(lp) for lp in loops]
+    n = len(loops)
+    # pairwise-overlap graph → clusters via union-find
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in range(n):
+        for b in range(a + 1, n):
+            if _multi_clip_area(loops[a], [tris[b]]) > 1e-12:
+                parent[find(a)] = find(b)
+    clusters: dict[int, list[int]] = {}
+    for i in range(n):
+        clusters.setdefault(find(i), []).append(i)
+
     total = 0.0
-    for r in range(1, len(loops) + 1):
-        sign = 1.0 if r % 2 == 1 else -1.0
-        for combo in combinations(loops, r):
-            total += sign * _multi_clip_area(subject, combo)
+    for members in clusters.values():
+        if len(members) > 8:
+            raise ValueError(
+                f"{len(members)} mutually-overlapping loops — inclusion-"
+                "exclusion cost is 2^k; this winding structure needs a "
+                "full planar overlay"
+            )
+        for r in range(1, len(members) + 1):
+            sign = 1.0 if r % 2 == 1 else -1.0
+            for combo in combinations(members, r):
+                total += sign * _multi_clip_area(
+                    subject, [tris[i] for i in combo]
+                )
     return total
 
 

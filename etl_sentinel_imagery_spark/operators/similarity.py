@@ -210,6 +210,47 @@ def ivf_bucket_stats(
     )
 
 
+def _stats_dir(path: str) -> str:
+    return path + "/_bucket_stats"
+
+
+def _read_bucket_stats(spark, path: str) -> DataFrame:
+    """Resolve the committed stats version via the pointer file (with a
+    legacy fallback to a bare parquet directory)."""
+    import os
+
+    sdir = _stats_dir(path)
+    ptr = os.path.join(sdir, "_CURRENT")
+    if os.path.isfile(ptr):
+        with open(ptr) as f:
+            return spark.read.parquet(os.path.join(sdir, f.read().strip()))
+    return spark.read.parquet(sdir)
+
+
+def _commit_bucket_stats(stats: DataFrame, path: str) -> None:
+    """Versioned-dir + atomic pointer-replace commit (the same protocol
+    as streaming.sketch_stream): a crash at any point leaves the
+    pointer naming a COMPLETE version — no window where the sidecar is
+    missing or half-written."""
+    import os
+    import shutil
+    import uuid
+
+    sdir = _stats_dir(path)
+    os.makedirs(sdir, exist_ok=True)
+    vname = f"v_{uuid.uuid4().hex[:8]}"
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sdir, vname)
+    )
+    ptr_tmp = os.path.join(sdir, f"_CURRENT.tmp{vname}")
+    with open(ptr_tmp, "w") as f:
+        f.write(vname)
+    os.replace(ptr_tmp, os.path.join(sdir, "_CURRENT"))
+    for entry in os.listdir(sdir):
+        if entry.startswith("v_") and entry != vname:
+            shutil.rmtree(os.path.join(sdir, entry), ignore_errors=True)
+
+
 def write_ivf_index(
     embeddings: DataFrame,
     centroids: np.ndarray,
@@ -224,15 +265,11 @@ def write_ivf_index(
     as PartitionFilters in explain). Bucket pruning stats land beside
     the data under ``_bucket_stats`` — the underscore prefix keeps the
     directory invisible to the parquet table scan (Hadoop hidden-file
-    convention), the same trick Spark itself uses for _SUCCESS."""
+    convention, the same trick Spark itself uses for _SUCCESS) — and
+    commit via the versioned-pointer protocol (_commit_bucket_stats)."""
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    (
-        ivf_bucket_stats(assigned, centroids, vec_col)
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(path + "/_bucket_stats")
-    )
+    _commit_bucket_stats(ivf_bucket_stats(assigned, centroids, vec_col), path)
 
 
 def ivf_topk_indexed(
@@ -312,13 +349,12 @@ def append_to_ivf_index(
     data append. A crash between the two leaves radii that over-cover
     (bounds looser than the data warrants) — the certificate stays
     SOUND, merely conservative; the reverse order would leave stale
-    tight radii that could certify a wrong top-k. The sidecar rewrite
-    itself goes through a temp dir + rename swap, so a crash mid-swap
-    yields a missing sidecar (loud read error on the next adaptive
-    query), never a silently wrong one."""
-    import os
-    import shutil
-
+    tight radii that could certify a wrong top-k. The sidecar commits
+    via the versioned-pointer protocol (_commit_bucket_stats), so there
+    is NO window where it is missing or half-written. Known caveat:
+    re-running the whole append after such a crash adds the batch's
+    n_members again (min_cos is idempotent, counts are not) —
+    n_members is diagnostic only and never enters a bound."""
     # materialize once: the stats aggregate and the data append both
     # consume the assignment, and the append batch is the small side
     assigned = ivf_assign(
@@ -326,7 +362,7 @@ def append_to_ivf_index(
     ).localCheckpoint(eager=True)
     spark = new_embeddings.sparkSession
     new_stats = ivf_bucket_stats(assigned, centroids, vec_col)
-    prev = spark.read.parquet(path + "/_bucket_stats")
+    prev = _read_bucket_stats(spark, path)
     merged = (
         prev.withColumnRenamed("n_members", "_pn")
         .withColumnRenamed("min_cos", "_pc")
@@ -347,21 +383,12 @@ def append_to_ivf_index(
             ).alias("min_cos"),
         )
     )
-    # control-plane-sized: stage driver-side, write fresh, swap in
+    # control-plane-sized: stage driver-side (breaks the read→write
+    # dependency on the current version), then pointer-commit
     rows = merged.collect()
-    stats_dir = path + "/_bucket_stats"
-    tmp_dir = stats_dir + "_tmp"
-    old_dir = stats_dir + "_old"
-    (
-        spark.createDataFrame(rows, merged.schema)
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(tmp_dir)
+    _commit_bucket_stats(
+        spark.createDataFrame(rows, merged.schema), path
     )
-    shutil.rmtree(old_dir, ignore_errors=True)
-    os.rename(stats_dir, old_dir)
-    os.rename(tmp_dir, stats_dir)
-    shutil.rmtree(old_dir, ignore_errors=True)
     # stats committed (wider) — now the data append
     assigned.write.mode("append").partitionBy("bucket").parquet(path)
 
@@ -403,7 +430,7 @@ def ivf_topk_indexed_adaptive(
     — the small side by construction — and the scan stays partition-
     pruned by the probed-bucket IN-filter."""
     cent_normed = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    stats_rows = spark.read.parquet(index_path + "/_bucket_stats").collect()
+    stats_rows = _read_bucket_stats(spark, index_path).collect()
     radius = np.zeros(len(cent_normed))
     for r in stats_rows:
         radius[int(r["bucket"])] = math.acos(

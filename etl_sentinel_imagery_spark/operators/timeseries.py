@@ -43,11 +43,14 @@ def resample_counts(
     first and last event — empty buckets carry n_events=0 and NULL for
     the custom aggregates. ``step`` is an interval literal ('1 hour').
     """
-    # epoch-arithmetic alignment for every step (no date_trunc special
-    # cases: one code path, and under the pinned-UTC session the
-    # arithmetic is identical for whole-unit steps anyway)
+    # epoch-arithmetic alignment for every step (one code path; under
+    # the pinned-UTC session it matches date_trunc for whole-unit
+    # steps). floor, NOT cast("long"): cast truncates toward zero, which
+    # would misalign pre-1970 timestamps upward into the wrong bucket
     bucket = F.timestamp_seconds(
-        (F.unix_timestamp(F.col(ts_col)) / _step_seconds(step)).cast("long")
+        F.floor(
+            F.unix_timestamp(F.col(ts_col)) / _step_seconds(step)
+        ).cast("long")
         * _step_seconds(step)
     )
     aggs = [F.count(F.lit(1)).alias("n_events")] + [

@@ -151,7 +151,8 @@ def curate_corpus(
             # the unique-order precondition of with_global_offset and
             # silently overlap training sequences
             F.when(
-                (F.col("chunk_idx") < F.lit(1 << 20))
+                (F.col("chunk_idx") >= 0)
+                & (F.col("chunk_idx") < F.lit(1 << 20))
                 & (F.col("doc_id") >= 0)
                 & (F.col("doc_id") < F.lit(1 << 43)),
                 F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_idx"),

@@ -106,12 +106,19 @@ def run_sketch_rollup(
     spark = stream_df.sparkSession
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        import uuid
+
         if not batch_df.take(1):
             return
         sk = hll_sketch(batch_df, group_cols, key_col, p=p)
         merged = merge_sketch_table(spark, sk, table_dir, group_cols, p=p)
         os.makedirs(table_dir, exist_ok=True)
-        vname = f"v{epoch_id}"
+        # the version name carries a per-ATTEMPT nonce: a replayed epoch
+        # lazily READS the committed version while writing the new one,
+        # and reusing v{epoch_id} would overwrite the very directory the
+        # merge scan is reading (Spark refuses, or worse, the committed
+        # state is deleted before the scan runs)
+        vname = f"v{epoch_id}_{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(
             os.path.join(table_dir, vname)
         )
@@ -171,8 +178,15 @@ def run_additive_sketch_rollup(
             return
         top = topk_sketch(batch_df, group_cols, key_col, k=k)
         hist = histogram_sketch(batch_df, group_cols, value_col, hist_edges)
+        # LEFT join: histogram_sketch drops a group whose values were
+        # all NULL in this batch (COUNT(value) semantics) — an inner
+        # join would silently discard that group's top-k sketch too
+        zeros = F.array(
+            *[F.lit(0).cast("long") for _ in range(len(hist_edges) + 1)]
+        )
         (
-            top.join(hist, group_cols)
+            top.join(hist, group_cols, "left")
+            .withColumn("hist", F.coalesce("hist", zeros))
             .withColumn("epoch_id", F.lit(epoch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -348,7 +348,6 @@ def test_pentagram_stroke_union_area_inclusion_exclusion():
     # closed form for a {5/2} pentagram with unit circumradius:
     # 10 · (tip triangle) + inner pentagon
     c1, c2 = math.cos(math.pi / 5), math.cos(2 * math.pi / 5)
-    s1 = math.sin(math.pi / 5)
     r_inner_vertex = c2 / c1  # inner pentagon circumradius
     pentagon = 2.5 * r_inner_vertex**2 * math.sin(2 * math.pi / 5)
     # tip: isoceles triangle between two adjacent inner vertices and an
@@ -408,3 +407,34 @@ def test_nested_loop_fold_unions_without_double_count():
     la = intersection_area_general(left, folded)
     ra = intersection_area_general(right, folded)
     assert abs(la + ra - 44.0) < 1e-9
+
+
+def test_many_disjoint_loops_skip_inclusion_exclusion_cap():
+    """11 pairwise-disjoint loops from one zigzag stroke: the 2^k
+    inclusion-exclusion cap applies per OVERLAP CLUSTER, so disjoint
+    loops (11 singleton clusters) must answer exactly, not raise."""
+    import numpy as np
+
+    from etl_sentinel_imagery_spark.functions.geometry import (
+        intersection_area_general,
+        split_self_intersections,
+    )
+
+    up = [(-2.0, -1.0), (-2.0, 1.0)] + [
+        (float(4 * i), -1.0) if j == 0 else (float(4 * i + 2), 1.0)
+        for i in range(5)
+        for j in (0, 1)
+    ]
+    down = [(float(18), -1.0)] + [
+        (float(16 - 4 * i), 1.0) if j == 0 else (float(14 - 4 * i), -1.0)
+        for i in range(4)
+        for j in (0, 1)
+    ] + [(0.0, 1.0)]
+    ring = np.array(up + down)
+    loops = split_self_intersections(ring)
+    assert len(loops) == 11  # well past the per-cluster cap of 8
+    big = np.array([(-30.0, -30.0), (30.0, -30.0), (30.0, 30.0), (-30.0, 30.0)])
+    got = intersection_area_general(big, ring)
+    from etl_sentinel_imagery_spark.functions.geometry import shoelace_area
+
+    assert abs(got - sum(shoelace_area(lp) for lp in loops)) < 1e-9

@@ -127,7 +127,11 @@ def test_ivf_adaptive_multiprobe_certificate(spark, tmp_path):
     write_ivf_index(emb, cents, path)
 
     # (a) sidecar shape + hidden-from-scan
-    stats = spark.read.parquet(path + "/_bucket_stats")
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        _read_bucket_stats,
+    )
+
+    stats = _read_bucket_stats(spark, path)
     srows = stats.collect()
     assert sum(r["n_members"] for r in srows) == emb.count()
     assert all(-1.0 <= r["min_cos"] <= 1.0 for r in srows)
@@ -207,9 +211,13 @@ def test_ivf_incremental_append_equals_full_build(spark, tmp_path):
     write_ivf_index(emb.filter(F.col("vec_id") < mid), cents, inc_path)
     append_to_ivf_index(emb.filter(F.col("vec_id") >= mid), cents, inc_path)
 
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        _read_bucket_stats,
+    )
+
     stats = lambda p: {
         r["bucket"]: (r["n_members"], r["min_cos"])
-        for r in spark.read.parquet(p + "/_bucket_stats").collect()
+        for r in _read_bucket_stats(spark, p).collect()
     }
     assert stats(inc_path) == stats(full_path)
     assert (

@@ -52,14 +52,13 @@ CHECKS = {
     # sort (global=false) of the TWO-column (doc_id, token-count) side.
     # A GLOBAL sort — `Arguments: [...], true, 0` in the formatted plan,
     # the single-task no-partition-window antipattern the packing module
-    # replaces — must stay absent (the `|`-alternation keeps the marker
-    # in regex mode; the right alternative never matches). The
-    # per-partition totals aggregate runs in its own control-plane job,
-    # so no HashAggregate may appear either.
+    # replaces — must stay absent (`re:` prefix = explicit regex marker).
+    # The per-partition totals aggregate runs in its own control-plane
+    # job, so no HashAggregate may appear either.
     "text_profile": {
         "Project": True,
         "HashAggregate": False,
-        r"\], true, 0|\bNEVERMATCH\b": False,
+        r"re:\], true, 0": False,
     },
     # quantization battery: the corpus amax is one tiny aggregate; the
     # per-row join of norms×codes must be a broadcast or sort-merge on
@@ -89,7 +88,15 @@ def main() -> int:
         with open(f"tools/plans/{name}.txt", "w") as fh:
             fh.write(text)
         for marker, required in markers.items():
-            pattern = marker if "|" in marker else re.escape(marker)
+            # `re:`-prefixed markers are explicit regexes; `|`-bearing
+            # markers stay regexes for back-compat with the alternation
+            # markers above; everything else is a literal
+            if marker.startswith("re:"):
+                pattern = marker[3:]
+            elif "|" in marker:
+                pattern = marker
+            else:
+                pattern = re.escape(marker)
             present = bool(re.search(pattern, text))
             if required is None:
                 continue
