@@ -198,7 +198,13 @@ def minhash_lsh_pairs(
             # the join reads the checkpoint instead of recomputing the
             # signature pipeline per side
             bands = bands.localCheckpoint()
-    left = bands.alias("l")
+    # shuffle_hash hint: the band table is CORPUS-sized, and without the
+    # hint AQE happily broadcasts it once its estimate slips under the
+    # threshold — the anti-scale plan (measured: a 200k-doc stress run
+    # OOMed the driver building that broadcast). The equi-join keys
+    # shuffle both sides into co-partitioned buckets instead, which is
+    # the plan this operator is designed around.
+    left = bands.alias("l").hint("shuffle_hash")
     right = bands.alias("r")
     return (
         left.join(
@@ -293,8 +299,16 @@ def jaccard_verify_pairs(
         F.col(id_col).alias("doc"),
         word_ngrams(F.col(text_col), n).alias("grams"),
     )
-    ga = grams.select(F.col("doc").alias("id_a"), F.col("grams").alias("grams_a"))
-    gb = grams.select(F.col("doc").alias("id_b"), F.col("grams").alias("grams_b"))
+    # shuffle_hash on the gram-array sides: their rows carry whole
+    # shingle arrays, so AQE's size estimate runs low and it tries to
+    # BROADCAST a candidate-corpus-sized table (measured: OOMed the
+    # driver at 200k docs); the id-keyed shuffle join is the scale plan
+    ga = grams.select(
+        F.col("doc").alias("id_a"), F.col("grams").alias("grams_a")
+    ).hint("shuffle_hash")
+    gb = grams.select(
+        F.col("doc").alias("id_b"), F.col("grams").alias("grams_b")
+    ).hint("shuffle_hash")
     shared = F.size(F.array_intersect("grams_a", "grams_b"))
     return (
         pairs.select("id_a", "id_b")
