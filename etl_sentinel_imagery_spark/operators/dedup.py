@@ -530,7 +530,10 @@ def connected_components_star(
         ).distinct()
 
     def large_star(eb: DataFrame) -> DataFrame:
-        mins = eb.groupBy("u").agg(F.min("v").alias("mn"))
+        # shuffle_hash: mins is |V|-sized — on a giant graph an AQE
+        # broadcast of it is the same driver-OOM trap as the LSH band
+        # join (see minhash_lsh_pairs); the u-keyed shuffle join scales
+        mins = eb.groupBy("u").agg(F.min("v").alias("mn")).hint("shuffle_hash")
         m = F.least(F.col("mn"), F.col("u"))
         return (
             eb.join(mins, "u")
@@ -542,7 +545,7 @@ def connected_components_star(
 
     def small_star(eb: DataFrame) -> DataFrame:
         lt = eb.filter(F.col("v") < F.col("u"))
-        mins = lt.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = lt.groupBy("u").agg(F.min("v").alias("mn")).hint("shuffle_hash")
         joined = lt.join(mins, "u")
         ev = (
             joined.filter(F.col("v") != F.col("mn"))
