@@ -657,6 +657,13 @@ def train_pq_codebooks(
     # ranking is EXACTLY cosine ranking — without this, raw-L2 ADC and
     # the cosine ground truth disagree and recall craters
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return _train_subspace_books(mat, m, k, n_iter)
+
+
+def _train_subspace_books(
+    mat: np.ndarray, m: int, k: int, n_iter: int
+) -> np.ndarray:
+    """Per-subspace k-means over an (n, d) sample → (m, k, d/m) books."""
     d = mat.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -679,14 +686,68 @@ def train_pq_codebooks(
     return books
 
 
+def _pq_reconstruct(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Nearest-codeword reconstruction of each row (the quantized Y)."""
+    m, k, sub = books.shape
+    out = np.zeros_like(mat)
+    for j in range(m):
+        x = mat[:, j * sub : (j + 1) * sub]
+        d2 = ((x[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        out[:, j * sub : (j + 1) * sub] = books[j][np.argmin(d2, axis=1)]
+    return out
+
+
+def train_opq(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 10,
+    n_outer: int = 8,
+    vec_col: str = "embedding",
+    sample_limit: int = 4096,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Optimized Product Quantization (Ge et al., OPQ-NP): learn an
+    ORTHOGONAL rotation R that redistributes variance/correlation across
+    the PQ subspaces before quantizing, by alternating
+
+    1. fix R → train subspace codebooks on the rotated sample X·R;
+    2. fix the codebooks' reconstruction Q → solve the orthogonal
+       Procrustes problem min_R ||X·R − Q||_F (SVD of XᵀQ).
+
+    Rotation preserves inner products, so cosine ranking in the rotated
+    space is cosine ranking in the original — OPQ only reduces
+    quantization error, never changes what "nearest" means. Returns
+    (R (d×d), codebooks (m, k, d/m)); encode/search with the pq_*
+    functions passing ``rotation=R``. Deterministic: same sample, same
+    inits, no RNG."""
+    rows = embeddings.orderBy("vec_id").limit(sample_limit).select(vec_col).collect()
+    mat = np.array([r[vec_col] for r in rows], dtype="float64")
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    d = mat.shape[1]
+    rot = np.eye(d)
+    books = None
+    for _ in range(n_outer):
+        y = mat @ rot
+        books = _train_subspace_books(y, m, k, n_iter)
+        q = _pq_reconstruct(y, books)
+        u, _s, vt = np.linalg.svd(mat.T @ q)
+        rot = u @ vt
+    # final books for the final rotation
+    books = _train_subspace_books(mat @ rot, m, k, n_iter)
+    return rot, books
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Encode each vector as m uint8 codes (nearest codeword per
-    subspace) — d·4 bytes → m bytes. Arrow-batched numpy."""
+    subspace) — d·4 bytes → m bytes. Arrow-batched numpy. Pass the
+    ``rotation`` from train_opq for OPQ encoding (vectors rotate before
+    the subspace split)."""
     m, k, sub = codebooks.shape
 
     @F.pandas_udf("array<tinyint>")
@@ -694,6 +755,8 @@ def pq_encode(
         for vecs in batches:
             mat = np.stack(vecs.to_numpy()).astype("float64")
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            if rotation is not None:
+                mat = mat @ rotation
             codes = np.zeros((len(mat), m), dtype="int8")
             for j in range(m):
                 x = mat[:, j * sub : (j + 1) * sub]
@@ -711,18 +774,24 @@ def pq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k: each query precomputes an (m × k)
     lookup table of subspace squared distances ONCE (driver-side — the
     query set is the small side), then scoring a candidate is m table
     lookups per query, no float vector math in the scan. Smaller
-    distance = better (L2 ADC, the standard PQ search)."""
+    distance = better (L2 ADC, the standard PQ search). Pass the
+    train_opq ``rotation`` when the corpus was OPQ-encoded — queries
+    rotate identically, and since rotation preserves L2/cosine, the
+    ranking semantics are unchanged."""
     m, kk, sub = codebooks.shape
     q_rows = queries_df.select(id_col, vec_col).collect()
     luts = {}
     for r in q_rows:
         qv = np.asarray(r[vec_col], dtype="float64")
         qv = qv / np.linalg.norm(qv)
+        if rotation is not None:
+            qv = qv @ rotation
         lut = np.zeros((m, kk))
         for j in range(m):
             lut[j] = (

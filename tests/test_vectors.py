@@ -255,3 +255,54 @@ def test_ivf_probe_dial_monotone_to_exact(spark):
         recalls.append(len(exact & approx) / len(exact))
     assert recalls == sorted(recalls), recalls
     assert recalls[-1] == 1.0, recalls
+
+
+def test_opq_rotation_reduces_quantization_error_and_holds_recall(spark):
+    """OPQ vs plain PQ at the same (m, k) budget: the learned rotation
+    must be orthogonal, must strictly reduce reconstruction error on the
+    training sample (the objective it optimizes), and end-to-end ADC
+    recall@20 of the exact top-5 must not degrade."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        _pq_reconstruct,
+        pq_encode,
+        pq_topk,
+        train_opq,
+        train_pq_codebooks,
+    )
+    from etl_sentinel_imagery_spark.queries.vectors_q import _cosine_topk
+    from etl_sentinel_imagery_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rot, opq_books = train_opq(emb, m=8, k=16, n_iter=5, n_outer=6)
+    pq_books = train_pq_codebooks(emb, m=8, k=16, n_iter=5)
+
+    # orthogonality
+    assert np.allclose(rot @ rot.T, np.eye(rot.shape[0]), atol=1e-9)
+
+    # reconstruction error on the training sample
+    rows = emb.orderBy("vec_id").limit(4096).select("embedding").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype="float64")
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    err_pq = ((mat - _pq_reconstruct(mat, pq_books)) ** 2).sum()
+    err_opq = ((mat @ rot - _pq_reconstruct(mat @ rot, opq_books)) ** 2).sum()
+    assert err_opq < err_pq, (err_opq, err_pq)
+
+    # end-to-end recall@20 of exact top-5
+    exact = {
+        (r["query_id"], r["cand_id"]) for r in _cosine_topk(spark, SF_DIR).collect()
+    }
+    queries = emb.filter(F.col("vec_id") < 20)
+
+    def recall(books, rotation):
+        enc = pq_encode(emb, books, rotation=rotation)
+        hits = {
+            (r["query_id"], r["cand_id"])
+            for r in pq_topk(enc, queries, books, k=20, rotation=rotation).collect()
+        }
+        return len(exact & hits) / len(exact)
+
+    r_pq, r_opq = recall(pq_books, None), recall(opq_books, rot)
+    assert r_opq >= r_pq - 0.05, (r_pq, r_opq)
