@@ -119,3 +119,49 @@ def test_stale_straggler_cannot_corrupt_levels(spark, tmp_path):
     )
     assert got[1] == (2, [100, 150, -1])
     assert got[2] == (1, [100, -1, -1])
+
+
+def test_ordered_mode_recovers_out_of_order_completion(spark, tmp_path):
+    """click(t=150) ARRIVES before view(t=100): arrival-order mode can't
+    complete the funnel; watermark-ordered mode buffers both, drains
+    them in event-time order once the watermark passes, and completes."""
+    src = str(tmp_path / "events")
+
+    def feed(rows):
+        spark.createDataFrame(rows, SCHEMA).withColumn(
+            "ts", F.timestamp_seconds("secs")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    feed([(1, 150, "click")])
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+        .withWatermark("ts", "10 seconds")
+    )
+    q = (
+        funnel_progress_stream(
+            stream, ["view", "click"], ordered=True
+        )
+        .writeStream.format("memory")
+        .queryName("funnel_ordered")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        feed([(1, 100, "view")])  # out of order, within nothing drained yet
+        q.processAllAvailable()
+        # two flush batches: the first raises the max event time, the
+        # second runs with the advanced watermark and drains the buffer
+        feed([(1, 10_000, "noise")])
+        q.processAllAvailable()
+        feed([(1, 20_000, "noise")])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM funnel_ordered").collect()
+        best = max(
+            (r["steps_completed"], list(r["level_ts"])) for r in rows
+        )
+        assert best == (2, [100, 150])
+    finally:
+        q.stop()
