@@ -503,6 +503,48 @@ def ivf_topk_indexed_adaptive(
     )
 
 
+def rerank_exact(
+    shortlist: DataFrame,
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN serving: exact-cosine rerank of a compressed-tier
+    SHORTLIST (PQ/int8/IVF output with (query_id, cand_id) columns).
+
+    The standard production shape: a cheap recall pass over compressed
+    codes fans out to shortlist_size × queries candidates, then ONLY
+    those rows touch the full-precision vectors — the corpus-wide scan
+    stays on the small codes, and the exact math runs on a candidate
+    set linear in the query count. Recall@k of the reranked result is
+    the shortlist's recall@shortlist_size, which is strictly ≥ the
+    compressed tier's own recall@k — compression errors inside the
+    shortlist are repaired for free.
+
+    Both vector fetches are id-equi-joins against the embeddings table
+    (shuffle on ids, or broadcast when the shortlist is small); scores
+    are the same sequential-fold cosine as the exact tier."""
+    pairs = shortlist.select("query_id", "cand_id")
+    cand_v = with_normalized(embeddings, id_col, vec_col, "cand_id", "cv")
+    qry_v = with_normalized(embeddings, id_col, vec_col, "query_id", "qv")
+    scored = (
+        pairs.join(cand_v, "cand_id")
+        .join(F.broadcast(qry_v.join(
+            pairs.select("query_id").distinct(), "query_id", "left_semi"
+        )), "query_id")
+        .select(
+            "query_id", "cand_id", dot(F.col("qv"), F.col("cv")).alias("cos_sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rnk")
+    )
+
+
 # --- int8 scalar quantization (the ANN memory lever at 100 TB) ------------
 def quantize_embeddings_int8(
     embeddings: DataFrame,

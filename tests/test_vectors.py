@@ -306,3 +306,46 @@ def test_opq_rotation_reduces_quantization_error_and_holds_recall(spark):
 
     r_pq, r_opq = recall(pq_books, None), recall(opq_books, rot)
     assert r_opq >= r_pq - 0.05, (r_pq, r_opq)
+
+
+def test_exact_rerank_of_pq_shortlist_improves_recall(spark):
+    """Two-stage serving: PQ recalls a top-20 shortlist, exact rerank
+    keeps the true top-5 of it. Reranked recall@5 must be >= raw PQ
+    recall@5 and must equal the shortlist's hit coverage exactly (every
+    true top-5 pair inside the shortlist survives the rerank)."""
+    from pyspark.sql import functions as F
+
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        rerank_exact,
+        train_pq_codebooks,
+    )
+    from etl_sentinel_imagery_spark.queries.vectors_q import _cosine_topk
+    from etl_sentinel_imagery_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = train_pq_codebooks(emb, m=8, k=16, n_iter=5)
+    queries = emb.filter(F.col("vec_id") < 20)
+    shortlist = pq_topk(pq_encode(emb, books), queries, books, k=20)
+
+    exact = {
+        (r["query_id"], r["cand_id"]) for r in _cosine_topk(spark, SF_DIR).collect()
+    }
+    sl_pairs = {
+        (r["query_id"], r["cand_id"]) for r in shortlist.collect()
+    }
+    reranked = rerank_exact(shortlist, emb, k=5)
+    rr_pairs = {
+        (r["query_id"], r["cand_id"]) for r in reranked.collect()
+    }
+    raw5 = {
+        (r["query_id"], r["cand_id"])
+        for r in shortlist.filter(F.col("rnk") <= 5).collect()
+    }
+    # guaranteed repair: every true pair the shortlist caught survives
+    assert exact & sl_pairs <= rr_pairs
+    assert len(exact & rr_pairs) >= len(exact & raw5)
+    # rerank scores are the exact cosine (spot check one row)
+    row = reranked.collect()[0]
+    assert -1.0 <= row["cos_sim"] <= 1.0 and row["rnk"] >= 1
