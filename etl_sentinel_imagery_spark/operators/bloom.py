@@ -158,6 +158,13 @@ def bloom_filter_members(
     )
     joined = df.crossJoin(F.broadcast(words_df))
     cond = bloom_contains(F.col("words"), F.col(key_col), n_bits, n_hashes)
+    # polyhash(NULL) is NULL, so the membership test is NULL for NULL
+    # keys and a bare ~cond would drop them from the "definitely absent"
+    # output even though a NULL key is provably not in the filter.
+    # Coalesce to False BEFORE negation: NULL keys are excluded from the
+    # positive direction (can't hash ⇒ can't be a member) and kept in
+    # the negated one.
+    cond = F.coalesce(cond, F.lit(False))
     if negate:
         cond = ~cond
     return joined.filter(cond).drop("words")

@@ -496,9 +496,16 @@ def ivf_topk_indexed_adaptive(
             # fewer than k rows found means a fuller bucket could add
             # rows, so the certificate requires a full top-k too; the
             # comparison is STRICT so a bound-tied unprobed candidate
-            # (which could displace a row on the id tiebreak) blocks it
-            ((F.col("_nk") >= k) & (F.col("_kth") > F.col("unprobed_bound")))
-            .alias("exact"),
+            # (which could displace a row on the id tiebreak) blocks it.
+            # The bound is padded by 1e-12: it goes through an acos/cos
+            # round-trip in float64, and ~1e-15 rounding could shrink it
+            # below an exactly-tied member's similarity (a duplicate
+            # vector in an unprobed bucket) — the pad only ever makes
+            # the certificate MORE conservative, never unsound.
+            (
+                (F.col("_nk") >= k)
+                & (F.col("_kth") > F.col("unprobed_bound") + F.lit(1e-12))
+            ).alias("exact"),
         )
     )
 

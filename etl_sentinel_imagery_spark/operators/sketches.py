@@ -155,11 +155,22 @@ def hll_sparse_merge_agg(col: Column | str) -> Column:
 def hll_estimate_sparse(col: Column | str, p: int = HLL_P) -> Column:
     """Estimate straight from the sparse map: absent registers contribute
     2^0 = 1 to the harmonic sum and count as zeros for linear counting —
-    identical math to hll_estimate on the densified array, without
-    materializing m entries."""
+    the same math as hll_estimate on the densified array, without
+    materializing m entries.
+
+    Summation order is PINNED so the double result is deterministic for
+    a given register set regardless of map entry order (map_zip_with
+    merges can reorder keys): the zeros term is added first, then the
+    nonzero registers fold in ascending register-index order. This is
+    equal to the dense estimate within float tolerance, not bit-for-bit
+    — the dense fold interleaves its 1.0 terms at the zero positions,
+    and double addition is order-sensitive at the ulp level."""
     m = 1 << p
     c = F.col(col) if isinstance(col, str) else col
-    vals = F.map_values(c)
+    # sort entries by register index so the fold order is canonical
+    vals = F.transform(
+        F.array_sort(F.map_entries(c)), lambda e: e.getField("value")
+    )
     nnz = F.size(vals)
     zeros = F.lit(m) - nnz
     inv_sum = zeros.cast("double") + F.aggregate(

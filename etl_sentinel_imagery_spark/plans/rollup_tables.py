@@ -69,10 +69,19 @@ def build_rollup_table(
     hist = histogram_sketch(base, grain, "value", VALUE_EDGES).select(
         *grain, F.col("hist").alias("value_hist")
     )
+    # hist is LEFT-joined: histogram_sketch drops a (day, event_type)
+    # group whose value column is all NULL (COUNT(value) semantics), and
+    # an inner join here would silently drop that cell's exact count,
+    # HLL, and top-k too. Mirror run_additive_sketch_rollup: keep the
+    # cell and coalesce its histogram to the all-zero array.
+    zero_hist = F.array(
+        *[F.lit(0).cast("long") for _ in range(len(VALUE_EDGES) + 1)]
+    )
     (
         counts.join(hll, grain)
         .join(top, grain)
-        .join(hist, grain)
+        .join(hist, grain, "left")
+        .withColumn("value_hist", F.coalesce("value_hist", zero_hist))
         .write.mode("overwrite")
         .partitionBy("day")
         .parquet(out_dir)

@@ -84,3 +84,19 @@ def test_bloom_decontaminate_matches_plain_exactly(spark):
     assert bloomed == plain
     # sanity: contamination actually happened (the test isn't vacuous)
     assert len(plain) < docs.count()
+
+
+def test_null_keys_definitely_absent_not_dropped(spark):
+    """polyhash(NULL) is NULL; without the coalesce, NULL-key rows would
+    vanish from BOTH directions. Semantics pinned here: a NULL key is
+    provably not in the filter, so it lands in the negate output and is
+    excluded from the positive one."""
+    bloom = bloom_build(_keys(spark, 0, 100), "k", N_BITS, N_HASHES)
+    probe = _keys(spark, 0, 10).unionByName(
+        spark.range(1).select(F.lit(None).cast("string").alias("k"))
+    )
+    absent = bloom_filter_members(probe, "k", bloom, negate=True)
+    assert [r["k"] for r in absent.collect()] == [None]
+    present = bloom_filter_members(probe, "k", bloom, negate=False)
+    assert None not in {r["k"] for r in present.collect()}
+    assert present.count() == 10

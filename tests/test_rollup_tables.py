@@ -87,3 +87,27 @@ def test_rollup_typed_slice_and_partition_pruning(spark, tmp_path):
         read_slice(spark, table, lo, hi).explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "day" in plan
+
+
+def test_all_null_value_cell_survives_with_zero_histogram(spark, tmp_path):
+    """A (day, event_type) cell whose value column is all NULL must keep
+    its exact count / HLL / top-k in the rollup (histogram LEFT-joins in
+    and coalesces to the all-zero array) — an inner join would silently
+    drop the whole cell and every slice containing it would undercount."""
+    events = load_table(spark, SF_DIR, "events")
+    planted = events.limit(7).withColumn(
+        "ts", F.lit("2031-01-01 00:00:00").cast("timestamp")
+    ).withColumn("event_type", F.lit("nullval")).withColumn(
+        "value", F.lit(None).cast("double")
+    )
+    table = str(tmp_path / "rollup")
+    build_rollup_table(events.unionByName(planted), table)
+
+    import datetime
+
+    d = datetime.date(2031, 1, 1)
+    row = slice_summary(spark, table, d, d, event_type="nullval").collect()[0]
+    assert row["n_events"] == 7
+    assert list(row["value_hist"]) == [0] * (len(VALUE_EDGES) + 1)
+    assert row["est_distinct_users"] > 0
+    assert row["top_items"]
