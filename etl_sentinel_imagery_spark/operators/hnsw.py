@@ -1,0 +1,306 @@
+"""Partitioned HNSW (hierarchical navigable small world) ANN index.
+
+The 100 TB shape: one HNSW graph PER SHARD. Graph construction is
+inherently sequential (every insert reads the graph built so far), so
+the unit of parallelism is the shard — each executor builds an
+in-memory numpy graph over its hash-assigned slice of the corpus
+(applyInPandas), and the adjacency rows persist to parquet partitioned
+by shard id. Search fans the (small, broadcast-scale) query set out to
+every shard's graph, beam-searches each in parallel, and merges the
+per-shard top-k with one global window. This is the standard
+faiss/hnswlib-on-Spark deployment shape: shards trade a fan-out factor
+for embarrassingly parallel build AND search, and shard count scales
+with the corpus while per-shard memory stays bounded.
+
+Versus IVF (operators.similarity): IVF's recall is capped by whether
+the true neighbors' buckets are probed; HNSW's recall dial (ef_search)
+degrades smoothly and needs no trained centroids. Cost per query is
+O(shards × ef × m × d) versus IVF's probed-bucket scan.
+
+Everything is DETERMINISTIC — no RNG anywhere:
+
+- node levels come from an md5 hash of the id mapped through the
+  standard geometric law (floor(-ln(u) · 1/ln(m))),
+- inserts happen in ascending-id order,
+- every heap carries (score, id) so ties break on id.
+
+Approximate by construction → no SQL oracle; recall is pinned against
+brute force in tests/test_hnsw.py (≥ IVF at equal candidate budget).
+
+Reference parity note: the reference engine has no ANN tier at all
+(code/*.py is exact geo/metadata processing); this extends the engine
+for embedding-scale training-data pipelines alongside IVF/PQ.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import heapq
+import math
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Graph degree (max neighbors per node per level).
+DEFAULT_M = 8
+#: Beam width during construction.
+DEFAULT_EF_BUILD = 48
+#: Default shard count — at real scale this tracks corpus/executor size.
+DEFAULT_SHARDS = 4
+
+_GRAPH_SCHEMA = (
+    "shard int, node_id bigint, level int, neighbors array<bigint>"
+)
+_SEARCH_SCHEMA = "query_id bigint, cand_id bigint, cos_sim double"
+
+
+def _level_of(node_id: int, m: int) -> int:
+    """Deterministic geometric level: md5(id) → uniform (0,1) → the
+    floor(-ln(u)/ln(m)) law every HNSW implementation draws randomly."""
+    h = int(hashlib.md5(str(int(node_id)).encode()).hexdigest()[:8], 16)
+    u = (h + 1) / 4294967297.0  # (0, 1], never 0
+    return int(-math.log(u) / math.log(m))
+
+
+def shard_of(id_col: Column | str, n_shards: int) -> Column:
+    """Deterministic shard assignment — same hash both at build and at
+    query time, so the vector join is a co-partitioned equi-join."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.abs(F.crc32(c.cast("string")) % n_shards).cast("int")
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return mat / n
+
+
+def _greedy_descend(
+    vecs: np.ndarray, adj: dict[int, list[int]], q: np.ndarray, start: int
+) -> int:
+    """One-level greedy walk: move to the best neighbor until no
+    neighbor improves on the current node (ties never move — id order
+    of the adjacency list makes the walk deterministic)."""
+    cur, cur_sim = start, float(vecs[start] @ q)
+    improved = True
+    while improved:
+        improved = False
+        nbrs = adj.get(cur)
+        if not nbrs:
+            break
+        sims = vecs[nbrs] @ q  # one batched matvec per hop
+        b = int(np.argmax(sims))
+        if float(sims[b]) > cur_sim:
+            cur, cur_sim, improved = nbrs[b], float(sims[b]), True
+    return cur
+
+
+def _beam_search(
+    vecs: np.ndarray,
+    adj: dict[int, list[int]],
+    q: np.ndarray,
+    entry: int,
+    ef: int,
+) -> list[tuple[float, int]]:
+    """Level-0 beam search (the classic SEARCH-LAYER): a candidate
+    min-heap keyed by -sim and a bounded result heap of size ef.
+    Returns [(sim, idx)] sorted best-first, ties on id."""
+    entry_sim = float(vecs[entry] @ q)
+    visited = {entry}
+    cand: list[tuple[float, int]] = [(-entry_sim, entry)]
+    best: list[tuple[float, int]] = [(entry_sim, entry)]  # min-heap
+    while cand:
+        neg_sim, node = heapq.heappop(cand)
+        if -neg_sim < best[0][0] and len(best) >= ef:
+            break
+        new = [nb for nb in adj.get(node, ()) if nb not in visited]
+        if not new:
+            continue
+        visited.update(new)
+        sims = vecs[new] @ q  # one batched matvec per expanded node
+        for nb, s in zip(new, sims):
+            s = float(s)
+            if len(best) < ef or s > best[0][0]:
+                heapq.heappush(cand, (-s, nb))
+                heapq.heappush(best, (s, nb))
+                if len(best) > ef:
+                    heapq.heappop(best)
+    return sorted(best, key=lambda t: (-t[0], t[1]))
+
+
+def _build_graph(
+    ids: np.ndarray, vecs: np.ndarray, m: int, ef_build: int
+) -> tuple[list[dict[int, list[int]]], int, int]:
+    """Sequential HNSW construction over one shard (positions are row
+    indices into vecs). Returns (adj_per_level, entry_pos, max_level)."""
+    order = np.argsort(ids, kind="stable")
+    levels = [_level_of(int(ids[p]), m) for p in range(len(ids))]
+    top = max((levels[p] for p in order), default=0)
+    adj: list[dict[int, list[int]]] = [dict() for _ in range(top + 1)]
+    entry, max_lvl = -1, -1
+    for pos in order:
+        pos = int(pos)
+        lvl = levels[pos]
+        if entry < 0:
+            for lev in range(lvl + 1):
+                adj[lev][pos] = []
+            entry, max_lvl = pos, lvl
+            continue
+        q = vecs[pos]
+        cur = entry
+        for lev in range(max_lvl, lvl, -1):
+            cur = _greedy_descend(vecs, adj[lev], q, cur)
+        for lev in range(min(lvl, max_lvl), -1, -1):
+            found = _beam_search(vecs, adj[lev], q, cur, ef_build)
+            cap = m if lev > 0 else 2 * m  # level 0 keeps 2M, per the paper
+            nbrs = [idx for _, idx in found[:m]]
+            adj[lev][pos] = list(nbrs)
+            for nb in nbrs:
+                lst = adj[lev][nb]
+                lst.append(pos)
+                if len(lst) > cap:
+                    # prune to the best cap by similarity TO THE NEIGHBOR
+                    s = vecs[lst] @ vecs[nb]
+                    order = sorted(
+                        range(len(lst)),
+                        key=lambda i: (-float(s[i]), lst[i]),
+                    )
+                    adj[lev][nb] = [lst[i] for i in order[:cap]]
+            cur = nbrs[0] if nbrs else cur
+        if lvl > max_lvl:
+            for lev in range(max_lvl + 1, lvl + 1):
+                adj[lev].setdefault(pos, [])
+            entry, max_lvl = pos, lvl
+    return adj, entry, max_lvl
+
+
+def hnsw_build(
+    embeddings: DataFrame,
+    n_shards: int = DEFAULT_SHARDS,
+    m: int = DEFAULT_M,
+    ef_build: int = DEFAULT_EF_BUILD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build per-shard HNSW graphs → adjacency rows
+    (shard, node_id, level, neighbors array of node ids).
+
+    One shuffle (groupBy shard), then each group builds independently
+    in numpy. The output is pure data — persist it with hnsw_persist
+    and search it years later without rebuilding."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        vecs = _normalize(np.stack(pdf["_v"].to_numpy()).astype("float64"))
+        shard = int(pdf["_shard"].iloc[0])
+        adj, _, _ = _build_graph(ids, vecs, m, ef_build)
+        rows = []
+        for lev, layer in enumerate(adj):
+            for pos, nbrs in layer.items():
+                rows.append(
+                    (
+                        shard,
+                        int(ids[pos]),
+                        lev,
+                        [int(ids[o]) for o in nbrs],
+                    )
+                )
+        return pd.DataFrame(
+            rows, columns=["shard", "node_id", "level", "neighbors"]
+        )
+
+    src = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        shard_of(id_col, n_shards).alias("_shard"),
+    )
+    return src.groupBy("_shard").applyInPandas(build, _GRAPH_SCHEMA)
+
+
+def hnsw_persist(graph: DataFrame, path: str) -> None:
+    """Persist adjacency rows partitioned by shard — a shard's search
+    task reads exactly its own partition (PartitionFilters)."""
+    graph.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+
+def hnsw_topk(
+    embeddings: DataFrame,
+    graph: DataFrame,
+    query_ids: Iterable[int],
+    k: int = 10,
+    ef_search: int = 48,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search every shard's graph for the broadcast query set and merge:
+    per-shard beam search (applyInPandas, one task per shard) → one
+    global per-query window over shards × k rows.
+
+    The query VECTORS are fetched driver-side (queries are
+    control-plane-sized — the same contract as IVF's centroid collect);
+    candidates never leave their shard until the final k rows."""
+    qset = sorted(int(q) for q in query_ids)
+    qrows = (
+        embeddings.filter(F.col(id_col).isin(qset))
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    qids = np.array([r["qid"] for r in qrows], dtype="int64")
+    qvecs = _normalize(np.stack([np.array(r[1]) for r in qrows]).astype("float64"))
+
+    def search(pdf: pd.DataFrame) -> pd.DataFrame:
+        # reassemble this shard's graph + vectors
+        node_rows = pdf[pdf["level"] == 0]
+        ids = node_rows["node_id"].to_numpy()
+        pos_of = {int(i): p for p, i in enumerate(ids)}
+        vecs = _normalize(
+            np.stack(node_rows["_v"].to_numpy()).astype("float64")
+        )
+        max_lvl = int(pdf["level"].max())
+        adj: list[dict[int, list[int]]] = [dict() for _ in range(max_lvl + 1)]
+        for lev, nid, nbrs in zip(
+            pdf["level"], pdf["node_id"], pdf["neighbors"]
+        ):
+            adj[int(lev)][pos_of[int(nid)]] = [
+                pos_of[int(o)] for o in nbrs
+            ]
+        # entry = max-level node, min id on ties (mirrors the build)
+        top_nodes = sorted(adj[max_lvl].keys(), key=lambda p: int(ids[p]))
+        entry = top_nodes[0]
+        out = []
+        for qi, qv in zip(qids, qvecs):
+            cur = entry
+            for lev in range(max_lvl, 0, -1):
+                cur = _greedy_descend(vecs, adj[lev], qv, cur)
+            found = _beam_search(vecs, adj[0], qv, cur, ef_search)
+            n_out = 0
+            for sim, pos in found:
+                cand = int(ids[pos])
+                if cand == int(qi):
+                    continue
+                out.append((int(qi), cand, float(sim)))
+                n_out += 1
+                if n_out >= k:
+                    break
+        return pd.DataFrame(out, columns=["query_id", "cand_id", "cos_sim"])
+
+    vecs_df = embeddings.select(
+        F.col(id_col).alias("node_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    per_shard = (
+        graph.join(vecs_df, "node_id")
+        .groupBy("shard")
+        .applyInPandas(search, _SEARCH_SCHEMA)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    return (
+        per_shard.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rnk")
+    )

@@ -179,6 +179,73 @@ def ivf_topk(
     )
 
 
+def ivf_topk_expr(
+    embeddings: DataFrame,
+    query_ids_filter: Column,
+    n_centroids: int = 8,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Seeded-IVF top-k with EXPRESSION-ONLY math — the oracle-checkable
+    twin of ivf_topk. Centroids are the first ``n_centroids`` vectors by
+    id, normalized with the same sequential fold as every other score;
+    the per-vector bucket assignment is the rank-1 row of a per-id
+    window over the (vector × centroid) similarity table; probe buckets
+    are the query-side ranks ≤ n_probe. Every double op is a sequential
+    left fold, so DuckDB restates the WHOLE query bit-for-bit — which
+    the numpy/BLAS matmul inside ivf_assign cannot (pairwise-summation
+    order differs, which can flip argmax near ties).
+
+    Scale shape: sims is corpus × n_centroids rows windowed per vector
+    id (never-skewed keys); the probe join stays a bucket equi-join with
+    the tiny query side broadcast. Prefer the numpy path when
+    n_centroids × dim makes the matmul dominate; this path keeps
+    everything inside whole-stage codegen."""
+    normed = with_normalized(embeddings, id_col, vec_col, "vid", "vn")
+    cent = normed.filter(F.col("vid") < n_centroids).select(
+        F.col("vid").cast("int").alias("cidx"), F.col("vn").alias("cv")
+    )
+    sims = normed.join(F.broadcast(cent)).select(
+        "vid", "vn", "cidx", dot(F.col("vn"), F.col("cv")).alias("sim")
+    )
+    aw = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("cidx"))
+    ranked = sims.withColumn("r", F.row_number().over(aw))
+    buckets = ranked.filter(F.col("r") == 1).select(
+        F.col("vid").alias("cand_id"),
+        F.col("cidx").alias("bucket"),
+        F.col("vn").alias("cv"),
+    )
+    qids = embeddings.filter(query_ids_filter).select(
+        F.col(id_col).alias("vid")
+    )
+    probes = (
+        ranked.join(F.broadcast(qids), "vid", "left_semi")
+        .filter(F.col("r") <= n_probe)
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("cidx").alias("bucket"),
+            F.col("vn").alias("qv"),
+        )
+    )
+    scored = (
+        buckets.join(F.broadcast(probes), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rnk")
+    )
+
+
 def ivf_bucket_stats(
     assigned: DataFrame,
     centroids: np.ndarray,

@@ -588,41 +588,6 @@ HAVING COUNT(*) >= 5
 
 
 # --- string-function battery 2: replace/translate/pad/trim ----------------
-def _string_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        F.regexp_replace(F.col("c_name"), "0+", "0").alias("name_squeezed"),
-        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("seg_lower_vowels"),
-        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
-        F.rpad(F.col("c_mktsegment"), 12, ".").alias("seg_padded"),
-        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias(
-            "seg_trimmed"
-        ),
-        F.reverse(F.col("c_mktsegment")).alias("seg_reversed"),
-        F.initcap(F.lower(F.col("c_mktsegment"))).alias("seg_title"),
-        F.repeat(F.lit("ab"), 3).alias("repeated"),
-        F.instr(F.col("c_name"), "#").alias("hash_pos"),
-    )
-
-
-_STRING_BATTERY2_SQL = """
-SELECT c_custkey,
-       regexp_replace(c_name, '0+', '0', 'g') AS name_squeezed,
-       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
-       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
-       rpad(c_mktsegment, 12, '.') AS seg_padded,
-       trim('  ' || c_mktsegment || ' ') AS seg_trimmed,
-       reverse(c_mktsegment) AS seg_reversed,
-       -- initcap: capitalize first letter of each word
-       list_aggregate(list_transform(string_split(lower(c_mktsegment), ' '),
-           w -> upper(w[1]) || w[2:]), 'string_agg', ' ') AS seg_title,
-       repeat('ab', 3) AS repeated,
-       CAST(instr(c_name, '#') AS INTEGER) AS hash_pos
-FROM customer
-"""
-
-
 # --- full outer join + null handling -------------------------------------
 def _customer_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join of two grouped sides; coalesce null counts — the
@@ -894,7 +859,6 @@ QUERIES: dict[str, Q] = {
         _window_frames_battery, _WINDOW_FRAMES_SQL,
         "ROWS/RANGE frames, rank, running sums, first/last value",
     ),
-    "scalar_string_battery2": Q(_string_battery2, _STRING_BATTERY2_SQL, "replace/translate/pad/trim"),
     "nation_set_ops": Q(_nation_set_ops, _NATION_SET_OPS_SQL, "U: intersect/except/union"),
     "rollup_region_nation": Q(_rollup_region_nation, _ROLLUP_SQL, "rollup grouping sets"),
     "pivot_unpivot_status": Q(

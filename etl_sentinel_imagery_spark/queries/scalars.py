@@ -34,6 +34,22 @@ def _string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("p_name"), 1, 4).alias("name_prefix"),
         (F.col("p_partkey") % 7).alias("key_mod7"),
         F.floor(F.col("p_retailprice")).cast("bigint").alias("price_floor"),
+        # replace/translate/pad/trim/case tier (formerly
+        # scalar_string_battery2 over customer — consolidated here to
+        # free a registry slot for ann_deterministic_battery)
+        F.regexp_replace(F.col("p_name"), "o+", "o").alias("name_squeezed"),
+        F.translate(F.col("p_type"), "AEIOU", "aeiou").alias(
+            "type_lower_vowels"
+        ),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.rpad(F.col("p_brand"), 12, ".").alias("brand_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias(
+            "brand_trimmed"
+        ),
+        F.reverse(F.col("p_brand")).alias("brand_reversed"),
+        F.initcap(F.lower(F.col("p_type"))).alias("type_title"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.instr(F.col("p_name"), " ").alias("space_pos"),
     )
 
 
@@ -48,7 +64,18 @@ SELECT p_partkey,
        length(p_name) AS name_len,
        substr(p_name, 1, 4) AS name_prefix,
        p_partkey % 7 AS key_mod7,
-       CAST(floor(p_retailprice) AS BIGINT) AS price_floor
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       regexp_replace(p_name, 'o+', 'o', 'g') AS name_squeezed,
+       translate(p_type, 'AEIOU', 'aeiou') AS type_lower_vowels,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+       rpad(p_brand, 12, '.') AS brand_padded,
+       trim('  ' || p_brand || ' ') AS brand_trimmed,
+       reverse(p_brand) AS brand_reversed,
+       -- initcap: capitalize first letter of each word
+       list_aggregate(list_transform(string_split(lower(p_type), ' '),
+           w -> upper(w[1]) || w[2:]), 'string_agg', ' ') AS type_title,
+       repeat('ab', 3) AS repeated,
+       CAST(instr(p_name, ' ') AS INTEGER) AS space_pos
 FROM part
 """
 
@@ -260,7 +287,10 @@ FROM (
 
 
 QUERIES: dict[str, Q] = {
-    "scalar_string_battery": Q(_string_battery, _STRING_BATTERY_SQL, "F1/F3/F8/F9 strings"),
+    "scalar_string_battery": Q(
+        _string_battery, _STRING_BATTERY_SQL,
+        "F1/F3/F8/F9 strings + replace/translate/pad/trim/case tier",
+    ),
     "scalar_date_battery": Q(
         _date_battery, _DATE_BATTERY_SQL, "F2/F4 date assembly + arithmetic"
     ),

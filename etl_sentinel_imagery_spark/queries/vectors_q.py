@@ -196,24 +196,148 @@ WHERE {_DOT.format(a="a.vn", b="b.vn")} >= {NEAR_DUP_THRESHOLD}
 """
 
 
+def _ann_deterministic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two fully deterministic ANN tiers under a strict value oracle
+    (VERDICT r2 item 1 — these were rows-only inside ann_ivf_battery):
+
+    - ``seeded_expr``: seeded IVF (first-8 centroids, argmax assignment,
+      2-probe) computed with expression-only sequential-fold math
+      (operators.similarity.ivf_topk_expr) so DuckDB restates the whole
+      plan — assignment windows, probe ranks, scores — bit-for-bit.
+    - ``int8``: brute-force cosine over the per-corpus int8 code — the
+      4× compression tier, whose quantize→dequantize→normalize→dot
+      chain is integer-exact up to the shared sequential folds.
+
+    The approximate/trained tiers (k-means IVF, PQ ADC) stay in
+    ann_ivf_battery under the rows-only check with recall pinned in
+    pytest — approximation, not determinism, is what blocks their
+    oracle, and splitting them out keeps this row strict-hash-green."""
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        dequantize_topk,
+        ivf_topk_expr,
+        quantize_embeddings_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def tag(df: DataFrame, method: str) -> DataFrame:
+        return df.select(
+            F.lit(method).alias("method"),
+            "query_id",
+            "cand_id",
+            F.col("cos_sim").alias("score"),
+            "rnk",
+        )
+
+    seeded = tag(
+        ivf_topk_expr(
+            emb,
+            F.col("vec_id") < N_QUERIES,
+            n_centroids=N_CENTROIDS,
+            k=TOP_K,
+        ),
+        "seeded_expr",
+    )
+    quantized, scale = quantize_embeddings_int8(emb)
+    qids = emb.filter(F.col("vec_id") < N_QUERIES)
+    int8 = tag(
+        dequantize_topk(quantized, qids.select("vec_id"), scale, k=TOP_K),
+        "int8",
+    )
+    return seeded.unionByName(int8)
+
+
+_N_PROBE = 2
+
+_ANN_DETERMINISTIC_SQL = f"""
+WITH {_NORMED_CTE},
+cent AS (
+    SELECT CAST(vec_id AS INTEGER) AS cidx, vn AS cv
+    FROM normed WHERE vec_id < {N_CENTROIDS}
+),
+sims AS (
+    SELECT n.vec_id AS vid, n.vn, c.cidx,
+           {_DOT.format(a="n.vn", b="c.cv")} AS sim
+    FROM normed n CROSS JOIN cent c
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vid ORDER BY sim DESC, cidx ASC) AS r
+    FROM sims
+),
+buckets AS (
+    SELECT vid AS cand_id, cidx AS bucket, vn AS cv FROM ranked WHERE r = 1
+),
+probes AS (
+    SELECT vid AS query_id, cidx AS bucket, vn AS qv
+    FROM ranked WHERE r <= {_N_PROBE} AND vid < {N_QUERIES}
+),
+ivf_scored AS (
+    SELECT p.query_id, b.cand_id,
+           {_DOT.format(a="p.qv", b="b.cv")} AS score
+    FROM probes p JOIN buckets b USING (bucket)
+    WHERE b.cand_id != p.query_id
+),
+ivf_topk AS (
+    SELECT 'seeded_expr' AS method, query_id, cand_id, score, rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS rnk
+          FROM ivf_scored)
+    WHERE rnk <= {TOP_K}
+),
+amax AS (SELECT max({_ABS_MAX_FOLD}) AS a FROM embeddings),
+deq AS (
+    SELECT vec_id,
+           list_transform(
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(round(x / (a / 127.0)) AS BIGINT)),
+               x -> x * (a / 127.0)) AS v
+    FROM embeddings, amax
+),
+dbase AS (
+    SELECT vec_id, list_transform(v, x -> x / sqrt(n2)) AS vn
+    FROM (SELECT vec_id, v, {_NORM_SQ.format(a="v")} AS n2 FROM deq)
+    WHERE n2 > 0
+),
+int8_scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           {_DOT.format(a="q.vn", b="c.vn")} AS score
+    FROM dbase q JOIN dbase c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+),
+int8_topk AS (
+    SELECT 'int8' AS method, query_id, cand_id, score, rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS rnk
+          FROM int8_scored)
+    WHERE rnk <= {TOP_K}
+)
+SELECT * FROM ivf_topk UNION ALL SELECT * FROM int8_topk
+"""
+
+
 def _ann_ivf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every compressed/approximate ANN tier in one result, tagged by
     ``method`` (score semantics per tier: cosine for seeded/kmeans/int8 —
     higher is better; ADC squared-L2 for pq — lower is better):
 
-    - ``seeded``: IVF probe over first-k centroids (deterministic)
+    - ``seeded``: IVF probe over first-k centroids (numpy-matmul
+      assignment — the production path; its expression twin carries the
+      oracle in ann_deterministic_battery)
     - ``kmeans``: IVF probe over spherical-k-means-trained centroids
-    - ``int8``:  brute-force cosine over the per-corpus int8 code (4×)
     - ``pq``:    product-quantization ADC lookup-table search (16×)
+    - ``hnsw``:  per-shard navigable-small-world graph search
+      (operators.hnsw — deterministic build, but graph-order dependent
+      ⇒ not SQL-expressible)
 
     Approximate → rows-only check; recall vs brute force asserted in
-    tests/test_kmeans.py, test_similarity.py, test_vectors.py."""
+    tests/test_kmeans.py, test_similarity.py, test_vectors.py. The
+    deterministic int8 tier moved to ann_deterministic_battery where it
+    is strict-hash-checked."""
     from etl_sentinel_imagery_spark.operators.kmeans import fit
     from etl_sentinel_imagery_spark.operators.similarity import (
-        dequantize_topk,
         pq_encode,
         pq_topk,
-        quantize_embeddings_int8,
         train_pq_codebooks,
     )
 
@@ -238,17 +362,18 @@ def _ann_ivf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_topk(emb, F.col("vec_id") < N_QUERIES, centroids, k=TOP_K),
         "kmeans", "cos_sim",
     )
-    quantized, scale = quantize_embeddings_int8(emb)
-    int8 = tag(
-        dequantize_topk(quantized, qids.select("vec_id"), scale, k=TOP_K),
-        "int8", "cos_sim",
-    )
     books = train_pq_codebooks(emb, m=8, k=16, n_iter=5)
     pq = tag(
         pq_topk(pq_encode(emb, books), qids, books, k=TOP_K),
         "pq", "dist",
     )
-    return seeded.unionByName(trained).unionByName(int8).unionByName(pq)
+    from etl_sentinel_imagery_spark.operators.hnsw import hnsw_build, hnsw_topk
+
+    hnsw = tag(
+        hnsw_topk(emb, hnsw_build(emb), range(N_QUERIES), k=TOP_K),
+        "hnsw", "cos_sim",
+    )
+    return seeded.unionByName(trained).unionByName(pq).unionByName(hnsw)
 
 
 QUERIES: dict[str, Q] = {
@@ -264,8 +389,12 @@ QUERIES: dict[str, Q] = {
         _near_dup_pairs, _NEAR_DUP_SQL,
         "cosine ≥0.95 near-dup pairs (sf-capped exact anchor; scale path = LSH/IVF blocking)",
     ),
+    "ann_deterministic_battery": Q(
+        _ann_deterministic_battery, _ANN_DETERMINISTIC_SQL,
+        "deterministic ANN tiers: expression-seeded IVF + int8 brute force (strict oracle)",
+    ),
     "ann_ivf_battery": Q(
         _ann_ivf_battery, None,
-        "ANN tiers: IVF seeded/k-means + int8 + PQ ADC (no SQL oracle)",
+        "approximate ANN tiers: IVF seeded/k-means + PQ ADC (no SQL oracle; recall pinned in pytest)",
     ),
 }

@@ -349,3 +349,34 @@ def test_exact_rerank_of_pq_shortlist_improves_recall(spark):
     # rerank scores are the exact cosine (spot check one row)
     row = reranked.collect()[0]
     assert -1.0 <= row["cos_sim"] <= 1.0 and row["rnk"] >= 1
+
+
+def test_ivf_expr_twin_matches_numpy_assignment_recall(spark):
+    """The expression-only seeded-IVF twin (the oracle-checkable path)
+    must recover the same recall band as the numpy-assignment production
+    path, and its per-query output must be a well-formed top-5 (exactly
+    5 ranked rows per query unless its probed buckets ran dry)."""
+    from etl_sentinel_imagery_spark.operators.similarity import ivf_topk_expr
+    from etl_sentinel_imagery_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = ivf_topk_expr(emb, F.col("vec_id") < 20, n_centroids=8, k=5).collect()
+    expr_pairs = {(r["query_id"], r["cand_id"]) for r in rows}
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rnk"])
+    assert set(per_q) == set(range(20))
+    for q, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+    exact = {
+        (r["query_id"], r["cand_id"]) for r in _cosine_topk(spark, SF_DIR).collect()
+    }
+    recall = len(exact & expr_pairs) / len(exact)
+    assert recall >= 0.35, f"expr-twin recall collapsed: {recall}"
+    # and it agrees almost everywhere with the numpy-assignment path —
+    # the two differ only where BLAS summation order flips an argmax tie
+    numpy_pairs = {
+        (r["query_id"], r["cand_id"]) for r in _ann_ivf_topk(spark, SF_DIR).collect()
+    }
+    overlap = len(expr_pairs & numpy_pairs) / max(len(numpy_pairs), 1)
+    assert overlap >= 0.9, f"expr/numpy seeded-IVF diverged: {overlap}"
