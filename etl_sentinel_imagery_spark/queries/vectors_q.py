@@ -144,6 +144,11 @@ WHERE rnk <= {TOP_K}
 """
 
 
+#: Per-sf_dir temp path of the persisted seeded-IVF index the battery's
+#: ivf_adaptive serving tier probes — built once per process.
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
 def _centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
     """Deterministic centroid seed: the first N_CENTROIDS vectors by id
     (a k-means init stand-in; at scale this would be a sampled k-means||)."""
@@ -321,9 +326,12 @@ def _ann_ivf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``method`` (score semantics per tier: cosine for seeded/kmeans/int8 —
     higher is better; ADC squared-L2 for pq — lower is better):
 
-    - ``seeded``: IVF probe over first-k centroids (numpy-matmul
-      assignment — the production path; its expression twin carries the
-      oracle in ann_deterministic_battery)
+    - ``ivf_adaptive``: THE SERVING DEFAULT — multi-probe over a
+      PERSISTED seeded-IVF index (operators.similarity.
+      ivf_topk_indexed_adaptive) with the per-query exactness
+      certificate surfaced as the ``exact`` column: true iff the
+      triangle-inequality bucket bounds PROVE the returned rows are the
+      exact top-k despite probing only n_probe buckets
     - ``kmeans``: IVF probe over spherical-k-means-trained centroids
     - ``pq``:    product-quantization ADC lookup-table search (16×)
     - ``hnsw``:  per-shard navigable-small-world graph search
@@ -331,14 +339,18 @@ def _ann_ivf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
       ⇒ not SQL-expressible)
 
     Approximate → rows-only check; recall vs brute force asserted in
-    tests/test_kmeans.py, test_similarity.py, test_vectors.py. The
-    deterministic int8 tier moved to ann_deterministic_battery where it
-    is strict-hash-checked."""
+    tests/test_kmeans.py, test_hnsw.py, test_vectors.py; certificate
+    soundness vs brute force in test_kmeans.py. The deterministic
+    seeded-expression and int8 tiers live in ann_deterministic_battery
+    under the strict hash oracle. (``exact`` is NULL for the tiers that
+    carry no certificate.)"""
     from etl_sentinel_imagery_spark.operators.kmeans import fit
     from etl_sentinel_imagery_spark.operators.similarity import (
+        ivf_topk_indexed_adaptive,
         pq_encode,
         pq_topk,
         train_pq_codebooks,
+        write_ivf_index,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -351,11 +363,26 @@ def _ann_ivf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cand_id",
             F.col(score_col).alias("score"),
             "rnk",
+            F.lit(None).cast("boolean").alias("exact"),
         )
 
-    seeded = tag(
-        ivf_topk(emb, F.col("vec_id") < N_QUERIES, _centroids(spark, sf_dir), k=TOP_K),
-        "seeded", "cos_sim",
+    cents = _centroids(spark, sf_dir)
+    index_path = _IVF_INDEX_CACHE.get(sf_dir)
+    if index_path is None:
+        import tempfile
+
+        index_path = tempfile.mkdtemp(prefix="ann_ivf_idx_")
+        write_ivf_index(emb, cents, index_path)
+        _IVF_INDEX_CACHE[sf_dir] = index_path
+    adaptive = ivf_topk_indexed_adaptive(
+        spark, index_path, qids, cents, k=TOP_K
+    ).select(
+        F.lit("ivf_adaptive").alias("method"),
+        "query_id",
+        "cand_id",
+        F.col("cos_sim").alias("score"),
+        "rnk",
+        "exact",
     )
     centroids, _ = fit(emb, k=N_CENTROIDS, n_iter=3)
     trained = tag(
@@ -373,7 +400,7 @@ def _ann_ivf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         hnsw_topk(emb, hnsw_build(emb), range(N_QUERIES), k=TOP_K),
         "hnsw", "cos_sim",
     )
-    return seeded.unionByName(trained).unionByName(pq).unionByName(hnsw)
+    return adaptive.unionByName(trained).unionByName(pq).unionByName(hnsw)
 
 
 QUERIES: dict[str, Q] = {
@@ -395,6 +422,6 @@ QUERIES: dict[str, Q] = {
     ),
     "ann_ivf_battery": Q(
         _ann_ivf_battery, None,
-        "approximate ANN tiers: IVF seeded/k-means + PQ ADC (no SQL oracle; recall pinned in pytest)",
+        "approximate ANN tiers: adaptive-probe IVF serving default (exactness certificate) + k-means + PQ + HNSW",
     ),
 }
