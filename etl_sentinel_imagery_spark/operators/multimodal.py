@@ -86,9 +86,83 @@ def default_decoder(payload: bytes, meta: dict) -> np.ndarray:
         raise NotImplementedError(
             "big-endian TIFF is outside the baseline codec; inject a decoder"
         )
+    from etl_sentinel_imagery_spark.functions.jp2 import is_jp2, parse_jp2
+
+    if is_jp2(payload):
+        # the reference's actual band format (imagery_store.py:67). The
+        # structure parses natively (functions.jp2) — geometry, depth,
+        # tiling, wavelet — but pixel reconstruction needs the EBCOT
+        # Tier-1 entropy decoder, which cannot be validated in this
+        # container (no conformance streams, no reference decoder);
+        # see functions/jp2.py's irreducibility note.
+        info = parse_jp2(payload)
+        raise NotImplementedError(
+            f"JPEG2000 {info.width}x{info.height}, "
+            f"{info.n_components}x{info.bit_depth}-bit, "
+            f"{'5/3 reversible' if info.reversible else '9/7 irreversible'} "
+            f"wavelet, {info.decomposition_levels} levels, "
+            f"{len(info.tile_parts)} tile-part(s): structure parsed, but "
+            "EBCOT Tier-1 pixel decode requires an imaging library not "
+            "present in this environment; inject a decoder "
+            "(see fake_decoder), or use jp2_metadata() for the typed "
+            "header columns"
+        )
     raise NotImplementedError(
         "non-TIFF image decode requires an imaging library not present in "
         "this environment; inject a decoder (see fake_decoder)"
+    )
+
+
+JP2_META_SCHEMA = (
+    "width int, height int, n_components int, bit_depth int, "
+    "tile_width int, tile_height int, n_tiles int, levels int, "
+    "reversible boolean, progression string, n_tile_parts int, "
+    "coded_bytes bigint, parse_error string"
+)
+
+
+def jp2_metadata(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Typed JPEG2000 header columns from opaque payload bytes — the
+    schema/partition-planning pass a 100 TB imagery ingest runs BEFORE
+    committing to decode cost: tile grid → decode fan-out, coded_bytes →
+    skew estimate, depth/components → output schema. Arrow-batched
+    mapInPandas; unparseable payloads land with a ``parse_error``
+    instead of failing the scan (corrupt-input quarantine, same policy
+    as sources.jsonl)."""
+    from etl_sentinel_imagery_spark.functions.jp2 import Jp2ParseError, parse_jp2
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    i = parse_jp2(bytes(payload))
+                    rows.append(
+                        (
+                            key, i.width, i.height, i.n_components,
+                            i.bit_depth, i.tile_width, i.tile_height,
+                            i.n_tiles_x * i.n_tiles_y,
+                            i.decomposition_levels, i.reversible,
+                            i.progression, len(i.tile_parts),
+                            sum(tp.data_length for tp in i.tile_parts),
+                            None,
+                        )
+                    )
+                except Jp2ParseError as e:
+                    rows.append(
+                        (key,) + (None,) * 12 + (str(e),)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col] + [
+                    c.split(" ")[0] for c in JP2_META_SCHEMA.split(", ")
+                ],
+            )
+
+    return media.mapInPandas(
+        _parse, schema=f"{id_col} bigint, {JP2_META_SCHEMA}"
     )
 
 

@@ -49,6 +49,27 @@ class _FakeCdse(BaseHTTPRequestHandler):
             self.send_header("Location", "/data/" + self.path[len("/band/"):])
             self.end_headers()
             return
+        if self.path.startswith("/jp2band/"):
+            self.send_response(302)
+            self.send_header(
+                "Location", "/jp2data/" + self.path[len("/jp2band/"):]
+            )
+            self.end_headers()
+            return
+        if self.path.startswith("/jp2data/"):
+            auth = self.headers.get("Authorization", "")
+            if not auth.startswith("Bearer tok-") or auth == "Bearer tok-0":
+                self.send_response(401)
+                self.end_headers()
+                return
+            from tests.test_jp2 import _codestream, _jp2_container
+
+            buf = _jp2_container(_codestream(n_tiles=2))
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(buf)))
+            self.end_headers()
+            self.wfile.write(buf)
+            return
         if self.path.startswith("/data/"):
             auth = self.headers.get("Authorization", "")
             # first issued token is always stale → forces the 401 path
@@ -172,3 +193,48 @@ def test_acquire_via_http_source(spark, server):
     np.testing.assert_array_equal(
         np.array(row["pixels"][0]), _band_array("p-full", "B02")
     )
+
+
+def test_fetch_jp2_bands_end_to_end(spark, server):
+    """The reference's REAL band format over the wire (CDSE serves .jp2,
+    imagery_store.py:67): redirect + auth + chunked fetch of JPEG2000
+    bytes, native structure parse (functions.jp2) supplying the typed
+    dims, injected pixel stand-in for the EBCOT stage (the documented
+    irreducible seam), landing in SINGLE_BAND_SCHEMA."""
+    import numpy as np
+
+    from etl_sentinel_imagery_spark.functions.jp2 import parse_jp2
+    from etl_sentinel_imagery_spark.sources.http_bands import (
+        fetch_bands_http,
+        make_token_manager,
+    )
+
+    def jp2_decode(buf: bytes) -> dict:
+        info = parse_jp2(buf)  # real header parse drives the schema
+        assert info.is_container and info.reversible
+        h, w = info.height, info.width
+        px = (np.arange(h * w, dtype="int32").reshape(h, w)
+              * info.n_components) % 10000
+        return {
+            "height": h,
+            "width": w,
+            "pixels": px.tolist(),
+            "transform": [0.0, 10.0, 0.0, 0.0, 0.0, -10.0],
+            "crs": "epsg:32631",
+            "nodata": 0,
+        }
+
+    products = spark.createDataFrame([("p-jp2",)], "uuid string")
+    out = fetch_bands_http(
+        spark,
+        products,
+        ["B02"],
+        functools.partial("{}/jp2band/{}/{}".format, server),
+        functools.partial(make_token_manager, f"{server}/token"),
+        decode=jp2_decode,
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["height"], row["width"]) == (256, 512)
+    assert row["band"] == "B02" and row["crs"] == "epsg:32631"
+    assert row["pixels"][0][:4] == [0, 3, 6, 9]
