@@ -333,17 +333,100 @@ def _multi_clip_area(subject: np.ndarray, tri_lists) -> float:
     return sum(shoelace_area(p) for p in pieces)
 
 
+def _edges_of(ring: np.ndarray) -> list:
+    out = []
+    n = len(ring)
+    for i in range(n):
+        p, q = ring[i], ring[(i + 1) % n]
+        if p[0] != q[0] or p[1] != q[1]:
+            out.append((float(p[0]), float(p[1]), float(q[0]), float(q[1])))
+    return out
+
+
+def _crossing_xs(e1, e2) -> list:
+    """x-coordinates where two segments meet (proper crossing or T/endpoint
+    touch) — the slab cuts that make per-slab segment order constant.
+    Collinear overlaps need no cut: their endpoints are vertex cuts."""
+    x1, y1, x2, y2 = e1
+    x3, y3, x4, y4 = e2
+    d1x, d1y = x2 - x1, y2 - y1
+    d2x, d2y = x4 - x3, y4 - y3
+    denom = d1x * d2y - d1y * d2x
+    if denom == 0.0:
+        return []
+    t = ((x3 - x1) * d2y - (y3 - y1) * d2x) / denom
+    u = ((x3 - x1) * d1y - (y3 - y1) * d1x) / denom
+    if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+        return [x1 + t * d1x]
+    return []
+
+
+def _slab_union_area(subject: np.ndarray, loops) -> float:
+    """area(subject ∩ (loop_1 ∪ … ∪ loop_n)) by vertical-slab trapezoid
+    decomposition — the planar-arrangement answer whose cost is
+    polynomial in vertices + crossings instead of 2^k in mutually
+    overlapping loops (this is what retires the old 8-loop guard; the
+    reference's gpd.overlay has no such cap, imagery_store.py:249).
+
+    Cut x's = every vertex x + every pairwise edge-crossing x (subject
+    edges included). Between consecutive cuts no two spanning segments
+    cross, so their vertical order is constant and the plane decomposes
+    into trapezoidal bands; each band's membership (inside subject AND
+    inside ≥1 loop) is decided once at its midpoint and its area is the
+    exact trapezoid integral. Exact for piecewise-linear boundaries —
+    the same decomposition Bentley–Ottmann sweeps, built directly from
+    the O(E²) crossing set (polygon edge counts here are small; the
+    sweep's O((n+k)log n) event queue would buy nothing but bugs)."""
+    rings = [np.asarray(subject, dtype=float)] + [
+        np.asarray(lp, dtype=float) for lp in loops
+    ]
+    edges = [e for ring in rings for e in _edges_of(ring)]
+    xs: set[float] = set()
+    for x1, _, x2, _ in edges:
+        xs.add(x1)
+        xs.add(x2)
+    for i in range(len(edges)):
+        for j in range(i + 1, len(edges)):
+            xs.update(_crossing_xs(edges[i], edges[j]))
+    cuts = sorted(xs)
+    total = 0.0
+    for xa, xb in zip(cuts, cuts[1:]):
+        if xb <= xa:
+            continue
+        xm = 0.5 * (xa + xb)
+        span = []
+        for x1, y1, x2, y2 in edges:
+            lo, hi = (x1, x2) if x1 <= x2 else (x2, x1)
+            if lo <= xa and hi >= xb:  # endpoints are cuts ⇒ exact test
+                s = (y2 - y1) / (x2 - x1)
+                span.append(
+                    (y1 + (xm - x1) * s, y1 + (xa - x1) * s, y1 + (xb - x1) * s)
+                )
+        span.sort()
+        for (ym1, ya1, yb1), (ym2, ya2, yb2) in zip(span, span[1:]):
+            if ym2 <= ym1:
+                continue
+            ymid = 0.5 * (ym1 + ym2)
+            if point_in_polygon(xm, ymid, rings[0]) and any(
+                point_in_polygon(xm, ymid, lp) for lp in rings[1:]
+            ):
+                total += (xb - xa) * ((ya2 - ya1) + (yb2 - yb1)) * 0.5
+    return total
+
+
 def _union_intersection_area(subject: np.ndarray, loops) -> float:
     """area(subject ∩ (loop_1 ∪ … ∪ loop_n)).
 
     Inclusion–exclusion is only paid where it is needed: loops are first
     grouped into OVERLAP CLUSTERS (connected components of the pairwise-
     overlap graph); clusters are interior-disjoint from each other, so
-    their contributions sum plainly, and the 2^k expansion (with its
-    8-loop cost cap) runs per cluster — a stroke of many disjoint
-    bowties stays O(n), while a pentagram's overlapping pair still
-    subtracts its core. Each loop is triangulated exactly once and the
-    triangle lists are reused across every subset term."""
+    their contributions sum plainly, and the 2^k expansion runs per
+    cluster — a stroke of many disjoint bowties stays O(n), while a
+    pentagram's overlapping pair still subtracts its core. Each loop is
+    triangulated exactly once and the triangle lists are reused across
+    every subset term. Clusters past 8 mutually overlapping loops
+    switch to the slab decomposition (:func:`_slab_union_area`), whose
+    cost is polynomial — no winding structure is refused anymore."""
     from itertools import combinations
 
     tris = [_loop_triangles(lp) for lp in loops]
@@ -368,11 +451,10 @@ def _union_intersection_area(subject: np.ndarray, loops) -> float:
     total = 0.0
     for members in clusters.values():
         if len(members) > 8:
-            raise ValueError(
-                f"{len(members)} mutually-overlapping loops — inclusion-"
-                "exclusion cost is 2^k; this winding structure needs a "
-                "full planar overlay"
-            )
+            # 2^k inclusion–exclusion would blow up — answer this
+            # cluster with the polynomial planar decomposition instead
+            total += _slab_union_area(subject, [loops[i] for i in members])
+            continue
         for r in range(1, len(members) + 1):
             sign = 1.0 if r % 2 == 1 else -1.0
             for combo in combinations(members, r):

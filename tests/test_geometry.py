@@ -438,3 +438,109 @@ def test_many_disjoint_loops_skip_inclusion_exclusion_cap():
     from etl_sentinel_imagery_spark.functions.geometry import shoelace_area
 
     assert abs(got - sum(shoelace_area(lp) for lp in loops)) < 1e-9
+
+
+def test_slab_union_area_matches_inclusion_exclusion_on_pentagram():
+    """The slab decomposition and the 2^k inclusion–exclusion are
+    independent exact algorithms — on the pentagram's overlapping loops
+    they must agree to float precision."""
+    import math
+
+    import numpy as np
+
+    from etl_sentinel_imagery_spark.functions.geometry import (
+        _slab_union_area,
+        _union_intersection_area,
+        split_self_intersections,
+    )
+
+    star = np.array(
+        [
+            (math.cos(math.radians(90 + i * 144)), math.sin(math.radians(90 + i * 144)))
+            for i in range(5)
+        ]
+    )
+    big = np.array([(-2.0, -2.0), (2.0, -2.0), (2.0, 2.0), (-2.0, 2.0)])
+    loops = split_self_intersections(star)
+    ie = _union_intersection_area(big, loops)
+    slab = _slab_union_area(big, loops)
+    assert abs(ie - slab) < 1e-9, (ie, slab)
+
+
+def _grid_union_estimate(loops, lo, hi, step):
+    import numpy as np
+
+    from etl_sentinel_imagery_spark.functions.geometry import point_in_polygon
+
+    xs = np.arange(lo, hi, step)
+    return (
+        sum(
+            1
+            for x in xs
+            for y in xs
+            if any(point_in_polygon(x + step / 2, y + step / 2, lp) for lp in loops)
+        )
+        * step
+        * step
+    )
+
+
+def test_twelve_loop_winding_spiral_no_longer_refused():
+    """A stroke that winds 12 times around the origin pops 12 mutually
+    overlapping loops — the old 8-loop inclusion–exclusion cap raised
+    here; the slab path answers it, cross-checked by rasterization."""
+    import math
+
+    import numpy as np
+
+    from etl_sentinel_imagery_spark.functions.geometry import (
+        intersection_area_general,
+        split_self_intersections,
+    )
+
+    turns, per = 12, 24
+    pts = []
+    for i in range(turns * per):
+        th = 2 * math.pi * i / per
+        r = 1.0 + 0.04 * (i / per)
+        pts.append((r * math.cos(th), r * math.sin(th)))
+    ring = np.array(pts)
+    loops = split_self_intersections(ring)
+    assert len(loops) >= 10  # the winding structure really is deep
+    big = np.array([(-3.0, -3.0), (3.0, -3.0), (3.0, 3.0), (-3.0, 3.0)])
+    got = intersection_area_general(big, ring)  # must not raise
+    est = _grid_union_estimate(loops, -1.6, 1.6, 0.02)
+    assert abs(got - est) < 0.05, (got, est)
+
+
+def test_random_stroke_property_slab_equals_inclusion_exclusion():
+    """Property check on seeded random self-intersecting strokes: where
+    the cluster is small enough for inclusion–exclusion, the two exact
+    algorithms must agree to 1e-9; rasterization bounds both."""
+    import numpy as np
+
+    from etl_sentinel_imagery_spark.functions.geometry import (
+        _slab_union_area,
+        _union_intersection_area,
+        split_self_intersections,
+    )
+
+    rng = np.random.default_rng(7)
+    big = np.array([(-4.0, -4.0), (4.0, -4.0), (4.0, 4.0), (-4.0, 4.0)])
+    checked = 0
+    for _ in range(12):
+        n = int(rng.integers(6, 11))
+        ring = rng.uniform(-2.0, 2.0, size=(n, 2))
+        loops = split_self_intersections(ring)
+        if not loops or sum(len(lp) for lp in loops) < 3:
+            continue
+        try:
+            ie = _union_intersection_area(big, loops)
+        except ValueError:
+            continue
+        slab = _slab_union_area(big, loops)
+        assert abs(ie - slab) < 1e-9, (ie, slab)
+        est = _grid_union_estimate(loops, -2.2, 2.2, 0.02)
+        assert abs(slab - est) < 0.08, (slab, est)
+        checked += 1
+    assert checked >= 6  # the property actually exercised real strokes
