@@ -198,13 +198,17 @@ def minhash_lsh_pairs(
             # the join reads the checkpoint instead of recomputing the
             # signature pipeline per side
             bands = bands.localCheckpoint()
-    # shuffle_hash hint: the band table is CORPUS-sized, and without the
-    # hint AQE happily broadcasts it once its estimate slips under the
-    # threshold — the anti-scale plan (measured: a 200k-doc stress run
-    # OOMed the driver building that broadcast). The equi-join keys
-    # shuffle both sides into co-partitioned buckets instead, which is
-    # the plan this operator is designed around.
-    left = bands.alias("l").hint("shuffle_hash")
+    # merge (sort-merge) hint: the band table is CORPUS-sized, and
+    # without a hint AQE happily broadcasts it once its estimate slips
+    # under the threshold — the anti-scale plan (measured: a 200k-doc
+    # stress run OOMed the driver building that broadcast). The r2 fix
+    # pinned shuffle_hash, which merely moved the OOM out one order of
+    # magnitude: at 1M docs the per-partition ShuffledHashJoin build map
+    # (corpus × bands / n_partitions rows) stopped fitting (measured:
+    # SparkOutOfMemoryError "not enough memory to build hash map").
+    # Sort-merge is the only strategy of the three that SPILLS — the
+    # correct fact-fact default at any scale.
+    left = bands.alias("l").hint("merge")
     right = bands.alias("r")
     return (
         left.join(
@@ -299,16 +303,18 @@ def jaccard_verify_pairs(
         F.col(id_col).alias("doc"),
         word_ngrams(F.col(text_col), n).alias("grams"),
     )
-    # shuffle_hash on the gram-array sides: their rows carry whole
+    # merge hint on the gram-array sides: their rows carry whole
     # shingle arrays, so AQE's size estimate runs low and it tries to
     # BROADCAST a candidate-corpus-sized table (measured: OOMed the
-    # driver at 200k docs); the id-keyed shuffle join is the scale plan
+    # driver at 200k docs); sort-merge keeps the id-keyed shuffle AND
+    # spills if a partition's build side outgrows memory (the
+    # shuffle_hash pin it replaces hit exactly that at 1M docs)
     ga = grams.select(
         F.col("doc").alias("id_a"), F.col("grams").alias("grams_a")
-    ).hint("shuffle_hash")
+    ).hint("merge")
     gb = grams.select(
         F.col("doc").alias("id_b"), F.col("grams").alias("grams_b")
-    ).hint("shuffle_hash")
+    ).hint("merge")
     shared = F.size(F.array_intersect("grams_a", "grams_b"))
     return (
         pairs.select("id_a", "id_b")
@@ -530,10 +536,12 @@ def connected_components_star(
         ).distinct()
 
     def large_star(eb: DataFrame) -> DataFrame:
-        # shuffle_hash: mins is |V|-sized — on a giant graph an AQE
-        # broadcast of it is the same driver-OOM trap as the LSH band
-        # join (see minhash_lsh_pairs); the u-keyed shuffle join scales
-        mins = eb.groupBy("u").agg(F.min("v").alias("mn")).hint("shuffle_hash")
+        # merge: mins is |V|-sized — an AQE broadcast of it is the
+        # same driver-OOM trap as the LSH band join, and a shuffled-hash
+        # build map is the 1M-doc executor-OOM trap (see
+        # minhash_lsh_pairs); sort-merge spills, so the u-keyed shuffle
+        # join survives any |V|
+        mins = eb.groupBy("u").agg(F.min("v").alias("mn")).hint("merge")
         m = F.least(F.col("mn"), F.col("u"))
         return (
             eb.join(mins, "u")
@@ -545,7 +553,7 @@ def connected_components_star(
 
     def small_star(eb: DataFrame) -> DataFrame:
         lt = eb.filter(F.col("v") < F.col("u"))
-        mins = lt.groupBy("u").agg(F.min("v").alias("mn")).hint("shuffle_hash")
+        mins = lt.groupBy("u").agg(F.min("v").alias("mn")).hint("merge")
         joined = lt.join(mins, "u")
         ev = (
             joined.filter(F.col("v") != F.col("mn"))

@@ -52,7 +52,8 @@ def as_double_array(c: Column | str) -> Column:
 
 
 def with_normalized(
-    df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str
+    df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str,
+    spread: bool = True,
 ) -> DataFrame:
     """Project (id, unit-normalized vector). Norms are computed ONCE per
     row here — pair scoring then reduces to a plain dot product, turning
@@ -62,13 +63,17 @@ def with_normalized(
     # element (O(d²) per row). The repartition spreads the downstream
     # pairwise scoring across cores even when the source parquet is a
     # single split, and materializes the normalization exactly once.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    return (
+    # ``spread=False`` for query/broadcast-bound sides: a 20-row side
+    # gains nothing from a 32-task exchange (measured ~0.1 s pure
+    # overhead per query on the brute-force battery).
+    out = (
         df.select(F.col(id_col).alias(out_id), as_double_array(vec_col).alias("_v"))
         .withColumn("_norm", F.sqrt(_seq_sum(F.transform(F.col("_v"), lambda x: x * x))))
         .select(out_id, F.transform("_v", _div_by(F.col("_norm"))).alias(out_vec))
-        .repartition(par)
     )
+    if spread:
+        out = out.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return out
 
 
 def _div_by(denom: Column):
@@ -85,7 +90,8 @@ def brute_force_topk(
     """Exact cosine top-k: broadcast query set × candidate scan × window."""
     cand = with_normalized(embeddings, id_col, vec_col, "cand_id", "cand_vec")
     qry = with_normalized(
-        embeddings.filter(query_ids_filter), id_col, vec_col, "query_id", "query_vec"
+        embeddings.filter(query_ids_filter), id_col, vec_col,
+        "query_id", "query_vec", spread=False,
     )
     scored = (
         cand.join(F.broadcast(qry))

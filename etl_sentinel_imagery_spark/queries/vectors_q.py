@@ -181,9 +181,10 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     a = with_normalized(emb, "vec_id", "embedding", "id_a", "va")
-    b = with_normalized(emb, "vec_id", "embedding", "id_b", "vb")
+    b = with_normalized(emb, "vec_id", "embedding", "id_b", "vb", spread=False)
     # broadcast the right side: the theta-join (id_a < id_b) is a nested-
     # loop join — broadcasting parallelizes it across the left's partitions
+    # (broadcast-bound side skips the parallelism exchange: spread=False)
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", dot(F.col("va"), F.col("vb")).alias("cos_sim"))

@@ -71,7 +71,14 @@ def synth_docs(spark, n_docs: int, words_per_doc: int = 60, dup_frac: float = 0.
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
-    spark = get_spark("stress-minhash")
+    # The bench keeps the JVM-default 1g heap (measured faster there);
+    # this harness pushes 20x the bench corpus through 32 concurrent
+    # tasks, where 1g OOMs in the clustering phase — size the heap to
+    # the job. SPARK_GRAFT_DRIVER_MEM still overrides.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+    spark = get_spark(
+        "stress-minhash", extra_conf={"spark.driver.memory": mem}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     docs = synth_docs(spark, n_docs)
     docs.count()  # materialize generation outside the timed window? No —
