@@ -1,0 +1,119 @@
+"""BPE trainer/encoder: the word-frequency factorization must be
+EXACTLY equivalent to naive corpus-level training (the property that
+justifies running only word counting at corpus scale), encoding must
+invert to the original text, and token counts must be consistent."""
+
+from __future__ import annotations
+
+from etl_sentinel_imagery_spark.operators.bpe import (
+    EOW,
+    _symbols,
+    bpe_encode,
+    encode_word,
+    train_bpe,
+    train_bpe_distributed,
+    word_freqs,
+)
+from etl_sentinel_imagery_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- independent reference: naive corpus-level BPE (no word table) -------
+def _naive_train(corpus_words: list, n_merges: int) -> list:
+    """Textbook BPE over the raw token stream: count adjacent pairs over
+    EVERY word occurrence (no frequency table), merge the best, repeat.
+    Deliberately the dumbest correct formulation."""
+    seqs = [list(_symbols(w)) for w in corpus_words if w]
+    merges = []
+    for _ in range(n_merges):
+        pc: dict = {}
+        for s in seqs:
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + 1
+        if not pc:
+            break
+        best_count = max(pc.values())
+        pair = min(p for p, c in pc.items() if c == best_count)
+        merges.append(pair)
+        for s in seqs:
+            i = 0
+            while i < len(s) - 1:
+                if s[i] == pair[0] and s[i + 1] == pair[1]:
+                    s[i : i + 2] = [s[i] + s[i + 1]]
+                else:
+                    i += 1
+    return merges
+
+
+CORPUS = (
+    "the cat sat on the mat "
+    "the bat sat on the cat "
+    "a rat and the cat chat "
+    "low lower lowest slow slower slowest "
+    "new newer newest renew renewal"
+).split()
+
+
+def test_word_table_training_equals_naive_corpus_training():
+    from collections import Counter
+
+    freqs = list(Counter(CORPUS).items())
+    got = train_bpe(freqs, n_merges=40)
+    want = _naive_train(CORPUS, n_merges=40)
+    assert got == want
+
+
+def test_encode_roundtrip_and_greedy_rank_order():
+    freqs = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = train_bpe(freqs, n_merges=20)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    for w, _ in freqs:
+        toks = encode_word(w, ranks)
+        # concatenation restores the word + end marker
+        assert "".join(toks) == w + EOW
+        # a fully-merged frequent word collapses to one token
+    assert encode_word("newest", ranks) == ["newest" + EOW]
+    # unseen word still encodes (falls back toward chars), lossless
+    toks = encode_word("lowestest", ranks)
+    assert "".join(toks) == "lowestest" + EOW and len(toks) >= 2
+
+
+def test_spark_word_freqs_and_encode_consistent(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    wf = word_freqs(docs)
+    # frequencies sum to the corpus token count
+    import pyspark.sql.functions as F
+
+    from etl_sentinel_imagery_spark.functions.text import tokens
+
+    total = wf.agg(F.sum("freq")).collect()[0][0]
+    direct = (
+        docs.select(
+            F.size(F.filter(tokens(F.lower(F.col("text"))), lambda t: t != ""))
+            .alias("n")
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert total == direct
+
+    merges = train_bpe_distributed(docs.limit(100), n_merges=60)
+    assert len(merges) == 60
+    enc = bpe_encode(docs.limit(100), merges)
+    rows = enc.collect()
+    assert len(rows) == 100
+    for r in rows[:10]:
+        assert r["n_bpe_tokens"] == len(r["bpe_tokens"])
+        # lossless: stripping EOW and joining restores the whitespace-
+        # collapsed lowercased text
+        rebuilt = "".join(r["bpe_tokens"]).replace(EOW, " ").rstrip()
+    # distributed encode agrees with driver-side encode_word per doc
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    doc0 = docs.limit(100).orderBy("doc_id").collect()[0]
+    want: list = []
+    for w in doc0["text"].lower().split(" "):
+        if w:
+            want.extend(encode_word(w, ranks))
+    got = [r for r in rows if r["doc_id"] == doc0["doc_id"]][0]["bpe_tokens"]
+    assert got == want
