@@ -204,3 +204,45 @@ def run_additive_sketch_rollup(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def run_kll_rollup(
+    stream_df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    k: int = 200,
+) -> None:
+    """Streaming KLL quantile rollup — additive like top-k/histogram
+    (a replayed batch merged into shared state would double ``n``), so
+    it uses the same epoch-keyed exactly-once recipe: each micro-batch
+    sketches its own rows (operators.kll two-phase build) and writes
+    them under its ``epoch_id=`` partition with dynamic overwrite.
+    Readers answer any-slice quantiles by merging epoch rows with
+    ``kll_merge_rows`` — KLL's merge bound does the exactly-once work
+    at read time, exactly as mergeability does for the count sketches."""
+    from etl_sentinel_imagery_spark.operators.kll import kll_sketch
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        (
+            kll_sketch(batch_df, group_cols, value_col, k=k)
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(table_dir)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -438,3 +438,65 @@ def test_streaming_additive_sketch_rollup_bounds_and_replay(spark, tmp_path):
         map(str, spark.read.parquet(table).drop("epoch_id").collect())
     )
     assert after == before
+
+
+def test_streaming_kll_rollup_bounds_and_replay(spark, tmp_path):
+    """Epoch-keyed KLL rollup: quantiles merged across micro-batch
+    epochs keep the rank bound vs the batch truth with EXACT n, and a
+    whole-stream replay into the same table changes nothing (dynamic
+    epoch overwrite)."""
+    import numpy as np
+
+    from etl_sentinel_imagery_spark.operators.kll import kll_merge_rows
+    from etl_sentinel_imagery_spark.streaming.sketch_stream import run_kll_rollup
+
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "etype", F.col("event_type")
+    )
+    src = str(tmp_path / "events_kll")
+    events.repartition(3).write.parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    table = str(tmp_path / "kll_rollup")
+    run_kll_rollup(stream(), ["etype"], "value", table, str(tmp_path / "ck1"))
+
+    def merged_by_type():
+        rows = spark.read.parquet(table).collect()
+        out: dict = {}
+        for et in {r["etype"] for r in rows}:
+            part = sorted(
+                (r for r in rows if r["etype"] == et),
+                key=lambda r: r["epoch_id"],
+            )
+            out[et] = kll_merge_rows([r["kll"] for r in part])
+        return out
+
+    merged = merged_by_type()
+    raw = events.filter(F.col("value").isNotNull()).select(
+        "etype", F.col("value").cast("double").alias("v")
+    ).collect()
+    by_type: dict = {}
+    for r in raw:
+        by_type.setdefault(r["etype"], []).append(r["v"])
+    assert set(merged) == set(by_type)
+    for et, vals in by_type.items():
+        s = np.sort(np.array(vals))
+        sk = merged[et]
+        assert sk.n == len(vals)
+        for q in (0.1, 0.5, 0.9):
+            est = sk.quantile(q)
+            rank = np.searchsorted(s, est, side="right") / len(s)
+            assert abs(rank - q) <= max(0.015, 3.0 / len(s))
+
+    # replay the entire stream with a FRESH checkpoint into the same
+    # table: every epoch rewrites its own partition; answers unchanged
+    before = {et: sk.to_row() for et, sk in merged.items()}
+    run_kll_rollup(stream(), ["etype"], "value", table, str(tmp_path / "ck2"))
+    after = {et: sk.to_row() for et, sk in merged_by_type().items()}
+    assert after == before
