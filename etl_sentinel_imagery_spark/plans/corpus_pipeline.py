@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from etl_sentinel_imagery_spark.functions.text import (
     chunk_documents,
+    max_run_length,
     scrub_pii,
     tokens,
     word_ngrams,
@@ -51,6 +52,12 @@ class CurationConfig:
     pack_seq_len: int = 256
     zorder_chunks: bool = True
     chunk_files: int = 8
+    #: Keep only docs classified (operators.langid trigram profiles)
+    #: into these languages; None disables the language gate.
+    keep_langs: list | None = None
+    #: Train a BPE tokenizer on the post-dedup corpus and attach real
+    #: token counts (n_bpe_real) to the documents table; 0 disables.
+    bpe_merges: int = 0
 
 
 def _quality_filter(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
@@ -60,12 +67,9 @@ def _quality_filter(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
         n >= 3,
         F.lit(1.0) - F.size(word_ngrams(F.col("text"), 3)).cast("double") / (n - 2),
     ).otherwise(F.lit(0.0))
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
-        )
-    ).cast("double") / n
+    # sorted run-length fold, not the O(n × n_distinct) transform+filter
+    # (the same linearization text_profile got — functions.text)
+    top = max_run_length(toks).cast("double") / n
     return docs.filter(
         (n >= cfg.min_tokens)
         & (dup3 <= cfg.max_dup_3gram_ratio)
@@ -95,6 +99,21 @@ def curate_corpus(
 
     stage("ingested", docs)
     quality = stage("after_quality", _quality_filter(docs, cfg))
+    if cfg.keep_langs is not None:
+        # trigram language gate (operators.langid): keep docs whose
+        # PREDICTED language is allowed — docs too short to produce
+        # trigram evidence drop out with the rest (semi join)
+        from etl_sentinel_imagery_spark.operators.langid import classify
+
+        allowed = classify(quality).filter(
+            F.col("lang_pred").isin(list(cfg.keep_langs))
+        )
+        quality = stage(
+            "after_langid",
+            quality.join(
+                allowed.select("doc_id"), "doc_id", "left_semi"
+            ),
+        )
     scrubbed = quality.withColumn("text", scrub_pii(F.col("text")))
 
     clusters = dedup_clusters(
@@ -123,6 +142,21 @@ def curate_corpus(
     final = canon.withColumn(
         "split", assign_split("doc_id", cfg.split_weights, seed=cfg.split_seed)
     )
+    if cfg.bpe_merges > 0:
+        # train the BPE tokenizer on the CURATED corpus (operators.bpe:
+        # word counting at corpus scale, merges on the vocab table) and
+        # attach real token counts — the budget numbers packing and
+        # curriculum sampling consume
+        from etl_sentinel_imagery_spark.operators.bpe import (
+            bpe_encode,
+            train_bpe_distributed,
+        )
+
+        merges = train_bpe_distributed(canon, cfg.bpe_merges)
+        counts = bpe_encode(canon, merges).select(
+            "doc_id", F.col("n_bpe_tokens").alias("n_bpe_real")
+        )
+        final = final.join(counts, "doc_id")
     final.write.mode("overwrite").partitionBy("split").parquet(
         f"{out_dir}/documents"
     )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_sentinel_imagery_spark.functions.text import (
+    max_run_length,
     HASH_MOD,
     NORM_CTRL_PATTERN,
     NORM_WS_PATTERN,
@@ -93,35 +94,6 @@ SAMPLE_FRACTION = 0.1
 SAMPLE_SEED = "profile"
 #: Training-sequence length for the packing columns (operators.packing).
 PACK_SEQ_LEN = 256
-
-
-def _max_run_length(toks) -> F.Column:
-    """Longest run of equal elements in ``array_sort(toks)`` — i.e. the
-    count of the most frequent token — as one sequential JVM fold over a
-    (prev, run, best) accumulator. Initial ``prev`` is NULL so the first
-    element (including an empty-string token) always starts a run of 1:
-    ``t == NULL`` is NULL and F.when sends it to the otherwise branch."""
-    step = lambda acc, t: F.struct(  # noqa: E731
-        t.alias("prev"),
-        F.when(t == acc.getField("prev"), acc.getField("run") + F.lit(1))
-        .otherwise(F.lit(1))
-        .alias("run"),
-        F.greatest(
-            acc.getField("best"),
-            F.when(t == acc.getField("prev"), acc.getField("run") + F.lit(1))
-            .otherwise(F.lit(1)),
-        ).alias("best"),
-    )
-    return F.aggregate(
-        F.array_sort(toks),
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-        ),
-        step,
-        lambda acc: acc.getField("best"),
-    )
 
 
 def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,7 +198,7 @@ def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # was O(n_tokens × n_distinct) per document — ~10^9 comparisons
         # for a 100k-token doc. The oracle keeps the independent
         # quadratic formulation, which also guards this fold's logic.
-        (_max_run_length(toks).cast("double") / n_tokens).alias(
+        (max_run_length(toks).cast("double") / n_tokens).alias(
             "top_token_ratio"
         ),
     ).join(packing, "doc_id")

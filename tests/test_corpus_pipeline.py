@@ -93,3 +93,40 @@ def test_curation_pipeline_without_eval(spark, tmp_path):
     # the 2-token doc falls on min_tokens; the spam doc still falls on
     # its repetition ratios regardless of the relaxed token floor
     assert report["after_quality"] == 6
+
+
+def test_curation_language_gate_and_bpe_counts(spark, tmp_path):
+    """Optional stages: the trigram language gate drops the planted
+    German doc; BPE training attaches real token counts consistent with
+    a driver-side re-encode."""
+    rows = [
+        (1, "en", GOOD),
+        (2, "en", "completely independent prose describing glacier fed "
+                  "lakes and the migration patterns of arctic terns"),
+        (3, "de", "der alte mann sitzt auf der bank am wasser und denkt "
+                  "über die vergangenen jahre nach während die kinder "
+                  "auf den grünen feldern spielen"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = str(tmp_path / "curated_lang")
+    cfg = CurationConfig(keep_langs=["en"], bpe_merges=30)
+    report = curate_corpus(spark, docs, out, cfg=cfg)
+
+    assert report["ingested"] == 3
+    assert report["after_langid"] == 2  # German doc gated out
+
+    written = spark.read.parquet(f"{out}/documents")
+    got = {r["doc_id"]: r for r in written.collect()}
+    assert set(got) == {1, 2}
+    from etl_sentinel_imagery_spark.operators.bpe import (
+        encode_word,
+        train_bpe_distributed,
+    )
+
+    merges = train_bpe_distributed(docs.filter("doc_id != 3"), 30)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    for doc_id, _, text in rows[:2]:
+        want = sum(
+            len(encode_word(w, ranks)) for w in text.lower().split(" ") if w
+        )
+        assert got[doc_id]["n_bpe_real"] == want
