@@ -106,3 +106,46 @@ def forward_fill(
     for c in value_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def rolling_zscore(
+    counts: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    n_buckets: int = 4,
+) -> DataFrame:
+    """Per-key rolling z-score over the trailing ``n_buckets`` buckets
+    (current inclusive) of a GAP-FILLED count table — the standard
+    monitoring/anomaly signal ("is this bucket's count unusual vs its
+    recent baseline").
+
+    Run it on resample_counts output, not raw groupBy counts: gap
+    filling makes the ROWS frame a true TIME window (absent buckets
+    exist as zeros; on a sparse table a ROWS frame would silently span
+    arbitrary time). All statistics derive from EXACT integer sums
+    (Σv, Σv² as bigint over a window frame), so mean/variance/z are a
+    fixed sequence of double ops both engines reproduce bit-for-bit —
+    the same exact-moments trick as agg_battery2's variance. Adds
+    ``roll_mean``, ``roll_z`` (0.0 where the frame has <2 buckets or
+    zero variance — NULL-free for engine-portable hashing)."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(-(n_buckets - 1), 0)
+    )
+    v = F.col(value_col).cast("long")
+    s = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    c = F.count(v).over(w)
+    mean = s.cast("double") / c
+    var = (
+        s2.cast("double") - s.cast("double") * s.cast("double") / c
+    ) / (c - F.lit(1))
+    z = F.when(
+        (c > 1) & (var > 0),
+        (v.cast("double") - mean) / F.sqrt(var),
+    ).otherwise(F.lit(0.0))
+    return counts.select(
+        "*", mean.alias("roll_mean"), z.alias("roll_z")
+    )

@@ -76,7 +76,8 @@ def _windows_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
-    resampled = resample_counts(events, "ts", "6 hours", ["event_type"]).select(
+    base = resample_counts(events, "ts", "6 hours", ["event_type"])
+    resampled = base.select(
         F.lit("resampled_6h").alias("kind"),
         F.col("bucket").alias("window_start"),
         "event_type",
@@ -84,10 +85,53 @@ def _windows_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1.0).alias("total_value"),
         F.lit(-1).cast("bigint").alias("n_users"),
     )
-    return tumbling.unionByName(sliding).unionByName(resampled)
+    # rolling anomaly signal over the SAME gap-filled axis: trailing-4-
+    # bucket z-score per event_type (operators.timeseries.rolling_zscore
+    # — exact integer moments, so the double result is engine-portable);
+    # the z rides in total_value, the frame mean in... n_users stays -1
+    from etl_sentinel_imagery_spark.operators.timeseries import rolling_zscore
+
+    zscored = rolling_zscore(
+        base, ["event_type"], "bucket", "n_events", n_buckets=4
+    ).select(
+        F.lit("rolling_z6h").alias("kind"),
+        F.col("bucket").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.col("roll_z").alias("total_value"),
+        F.lit(-1).cast("bigint").alias("n_users"),
+    )
+    return (
+        tumbling.unionByName(sliding)
+        .unionByName(resampled)
+        .unionByName(zscored)
+    )
 
 
 _WINDOWS_BATTERY_SQL = f"""
+WITH resampled AS (
+    SELECT axis.event_type, axis.bucket, COALESCE(obs.n, 0) AS n_events
+    FROM (
+        SELECT event_type,
+               unnest(generate_series(MIN(bucket), MAX(bucket),
+                                      INTERVAL 6 HOUR)) AS bucket
+        FROM (
+            SELECT event_type,
+                   make_timestamp((epoch_us(ts) // {21600 * US}) * {21600 * US})
+                       AS bucket
+            FROM events
+        )
+        GROUP BY 1
+    ) axis
+    LEFT JOIN (
+        SELECT event_type,
+               make_timestamp((epoch_us(ts) // {21600 * US}) * {21600 * US})
+                   AS bucket,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    ) obs USING (event_type, bucket)
+)
 SELECT 'tumbling' AS kind,
        make_timestamp((epoch_us(ts) // {TUMBLE_S * US}) * {TUMBLE_S * US}) AS window_start,
        event_type,
@@ -111,30 +155,31 @@ FROM (
 )
 GROUP BY 1, 2, 3
 UNION ALL
-SELECT 'resampled_6h' AS kind, axis.bucket AS window_start, axis.event_type,
-       COALESCE(obs.n, 0) AS n_events,
+SELECT 'resampled_6h' AS kind, bucket AS window_start, event_type,
+       n_events,
        -1.0 AS total_value,
        CAST(-1 AS BIGINT) AS n_users
+FROM resampled
+UNION ALL
+SELECT 'rolling_z6h' AS kind, bucket AS window_start, event_type,
+       n_events,
+       CASE WHEN c > 1 AND
+                 (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/c)
+                     / (c - 1) > 0
+            THEN (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE)/c)
+                 / sqrt((CAST(s2 AS DOUBLE)
+                         - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/c) / (c - 1))
+            ELSE 0.0 END AS total_value,
+       CAST(-1 AS BIGINT) AS n_users
 FROM (
-    SELECT event_type,
-           unnest(generate_series(MIN(bucket), MAX(bucket), INTERVAL 6 HOUR))
-               AS bucket
-    FROM (
-        SELECT event_type,
-               make_timestamp((epoch_us(ts) // {21600 * US}) * {21600 * US})
-                   AS bucket
-        FROM events
-    )
-    GROUP BY 1
-) axis
-LEFT JOIN (
-    SELECT event_type,
-           make_timestamp((epoch_us(ts) // {21600 * US}) * {21600 * US})
-               AS bucket,
-           COUNT(*) AS n
-    FROM events
-    GROUP BY 1, 2
-) obs USING (event_type, bucket)
+    SELECT event_type, bucket, n_events,
+           SUM(n_events) OVER fr AS s,
+           SUM(n_events * n_events) OVER fr AS s2,
+           COUNT(n_events) OVER fr AS c
+    FROM resampled
+    WINDOW fr AS (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+)
 """
 
 

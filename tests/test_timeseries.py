@@ -88,3 +88,21 @@ def test_forward_fill_matches_duckdb(spark):
     # both populated and leading-null rows exist (non-vacuous)
     vals = list(got.values())
     assert any(v is None for v in vals) and any(v is not None for v in vals)
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    """A flat series with one planted spike: the spike bucket gets a
+    large positive z; flat stretches get z=0 (zero variance guard)."""
+    from etl_sentinel_imagery_spark.operators.timeseries import rolling_zscore
+
+    rows = [("a", i, 10 if i != 6 else 100) for i in range(10)]
+    counts = spark.createDataFrame(rows, "k string, bucket int, n long")
+    got = {
+        r["bucket"]: r
+        for r in rolling_zscore(counts, ["k"], "bucket", "n").collect()
+    }
+    assert got[6]["roll_z"] > 1.4  # the spike stands out vs its frame
+    assert got[3]["roll_z"] == 0.0  # flat frame → zero variance → 0
+    assert abs(got[3]["roll_mean"] - 10.0) < 1e-12
+    # frame is trailing: bucket 9's frame [6..9] still carries the spike
+    assert got[9]["roll_z"] < 0.0  # 10 is below the spike-inflated mean
