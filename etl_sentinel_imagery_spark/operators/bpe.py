@@ -214,3 +214,54 @@ def train_bpe_distributed(
     """End-to-end: corpus → word table (Spark) → merges (driver)."""
     rows = word_freqs(docs, text_col).collect()
     return train_bpe([(r["word"], r["freq"]) for r in rows], n_merges)
+
+
+# --- tokenizer artifact persistence --------------------------------------
+#: Artifact layout: <dir>/v_<hash>.json holding {"version", "n_merges",
+#: "merges": [[l, r], ...]}, plus a _CURRENT pointer file naming the
+#: committed version — the same versioned-pointer protocol as the IVF
+#: bucket-stats sidecar, so a crash mid-save never leaves a reader
+#: seeing a half-written tokenizer (which would silently change every
+#: downstream token count).
+
+
+def save_tokenizer(merges: list, dir_path: str) -> str:
+    """Commit the merge list as a versioned tokenizer artifact; returns
+    the version name. Content-addressed (sha256 of the merge list), so
+    re-saving an identical tokenizer is a no-op that re-points to the
+    existing version."""
+    import hashlib
+    import json
+    import os
+
+    payload = json.dumps(
+        {"n_merges": len(merges), "merges": [list(p) for p in merges]},
+        separators=(",", ":"),
+    )
+    version = "v_" + hashlib.sha256(payload.encode()).hexdigest()[:16]
+    os.makedirs(dir_path, exist_ok=True)
+    vfile = os.path.join(dir_path, f"{version}.json")
+    if not os.path.exists(vfile):
+        tmp = vfile + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, vfile)  # atomic on POSIX
+    ptr_tmp = os.path.join(dir_path, "_CURRENT.tmp")
+    with open(ptr_tmp, "w") as f:
+        f.write(version)
+    os.replace(ptr_tmp, os.path.join(dir_path, "_CURRENT"))
+    return version
+
+
+def load_tokenizer(dir_path: str, version: str | None = None) -> list:
+    """Load a committed tokenizer (the _CURRENT version by default, or a
+    pinned one — reproducing an old run needs its exact merges)."""
+    import json
+    import os
+
+    if version is None:
+        with open(os.path.join(dir_path, "_CURRENT")) as f:
+            version = f.read().strip()
+    with open(os.path.join(dir_path, f"{version}.json")) as f:
+        data = json.load(f)
+    return [tuple(p) for p in data["merges"]]

@@ -117,3 +117,23 @@ def test_spark_word_freqs_and_encode_consistent(spark):
             want.extend(encode_word(w, ranks))
     got = [r for r in rows if r["doc_id"] == doc0["doc_id"]][0]["bpe_tokens"]
     assert got == want
+
+
+def test_tokenizer_artifact_roundtrip_and_pointer_commit(tmp_path):
+    from etl_sentinel_imagery_spark.operators.bpe import (
+        load_tokenizer,
+        save_tokenizer,
+    )
+
+    merges = train_bpe([("low", 5), ("lower", 2), ("newest", 6)], 15)
+    d = str(tmp_path / "tok")
+    v1 = save_tokenizer(merges, d)
+    assert load_tokenizer(d) == merges
+    # content-addressed: identical tokenizer re-commit keeps the version
+    assert save_tokenizer(merges, d) == v1
+    # a new tokenizer commits a new version; the old stays loadable
+    merges2 = train_bpe([("alpha", 3), ("beta", 2)], 10)
+    v2 = save_tokenizer(merges2, d)
+    assert v2 != v1
+    assert load_tokenizer(d) == merges2
+    assert load_tokenizer(d, version=v1) == merges
