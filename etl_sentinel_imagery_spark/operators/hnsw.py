@@ -131,49 +131,68 @@ def _beam_search(
     return sorted(best, key=lambda t: (-t[0], t[1]))
 
 
+def _insert_node(
+    pos: int,
+    lvl: int,
+    vecs: np.ndarray,
+    adj: list,
+    entry: int,
+    max_lvl: int,
+    m: int,
+    ef_build: int,
+) -> tuple[int, int]:
+    """One standard HNSW insert against existing state; returns the new
+    (entry, max_lvl). Shared verbatim by build and incremental append —
+    which is WHY appending ids above the existing range reproduces a
+    from-scratch build bit-for-bit (same inserts, same order)."""
+    while len(adj) <= lvl:
+        adj.append(dict())
+    if entry < 0:
+        for lev in range(lvl + 1):
+            adj[lev][pos] = []
+        return pos, lvl
+    q = vecs[pos]
+    cur = entry
+    for lev in range(max_lvl, lvl, -1):
+        cur = _greedy_descend(vecs, adj[lev], q, cur)
+    for lev in range(min(lvl, max_lvl), -1, -1):
+        found = _beam_search(vecs, adj[lev], q, cur, ef_build)
+        cap = m if lev > 0 else 2 * m  # level 0 keeps 2M, per the paper
+        nbrs = [idx for _, idx in found[:m]]
+        adj[lev][pos] = list(nbrs)
+        for nb in nbrs:
+            lst = adj[lev][nb]
+            lst.append(pos)
+            if len(lst) > cap:
+                # prune to the best cap by similarity TO THE NEIGHBOR
+                s = vecs[lst] @ vecs[nb]
+                order = sorted(
+                    range(len(lst)),
+                    key=lambda i: (-float(s[i]), lst[i]),
+                )
+                adj[lev][nb] = [lst[i] for i in order[:cap]]
+        cur = nbrs[0] if nbrs else cur
+    if lvl > max_lvl:
+        for lev in range(max_lvl + 1, lvl + 1):
+            adj[lev].setdefault(pos, [])
+        return pos, lvl
+    return entry, max_lvl
+
+
 def _build_graph(
     ids: np.ndarray, vecs: np.ndarray, m: int, ef_build: int
 ) -> tuple[list[dict[int, list[int]]], int, int]:
     """Sequential HNSW construction over one shard (positions are row
     indices into vecs). Returns (adj_per_level, entry_pos, max_level)."""
     order = np.argsort(ids, kind="stable")
-    levels = [_level_of(int(ids[p]), m) for p in range(len(ids))]
-    top = max((levels[p] for p in order), default=0)
-    adj: list[dict[int, list[int]]] = [dict() for _ in range(top + 1)]
+    adj: list[dict[int, list[int]]] = [dict()]
     entry, max_lvl = -1, -1
     for pos in order:
         pos = int(pos)
-        lvl = levels[pos]
-        if entry < 0:
-            for lev in range(lvl + 1):
-                adj[lev][pos] = []
-            entry, max_lvl = pos, lvl
-            continue
-        q = vecs[pos]
-        cur = entry
-        for lev in range(max_lvl, lvl, -1):
-            cur = _greedy_descend(vecs, adj[lev], q, cur)
-        for lev in range(min(lvl, max_lvl), -1, -1):
-            found = _beam_search(vecs, adj[lev], q, cur, ef_build)
-            cap = m if lev > 0 else 2 * m  # level 0 keeps 2M, per the paper
-            nbrs = [idx for _, idx in found[:m]]
-            adj[lev][pos] = list(nbrs)
-            for nb in nbrs:
-                lst = adj[lev][nb]
-                lst.append(pos)
-                if len(lst) > cap:
-                    # prune to the best cap by similarity TO THE NEIGHBOR
-                    s = vecs[lst] @ vecs[nb]
-                    order = sorted(
-                        range(len(lst)),
-                        key=lambda i: (-float(s[i]), lst[i]),
-                    )
-                    adj[lev][nb] = [lst[i] for i in order[:cap]]
-            cur = nbrs[0] if nbrs else cur
-        if lvl > max_lvl:
-            for lev in range(max_lvl + 1, lvl + 1):
-                adj[lev].setdefault(pos, [])
-            entry, max_lvl = pos, lvl
+        lvl = _level_of(int(ids[pos]), m)
+        entry, max_lvl = _insert_node(
+            pos, lvl, vecs, adj, entry, max_lvl, m, ef_build
+        )
     return adj, entry, max_lvl
 
 
@@ -303,4 +322,107 @@ def hnsw_topk(
         per_shard.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "cos_sim", "rnk")
+    )
+
+
+def hnsw_append(
+    embeddings_all: DataFrame,
+    graph: DataFrame,
+    new_ids_filter: Column,
+    n_shards: int = DEFAULT_SHARDS,
+    m: int = DEFAULT_M,
+    ef_build: int = DEFAULT_EF_BUILD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incrementally insert new vectors into persisted per-shard graphs
+    — the steady-ingest maintenance op (mirroring append_to_ivf_index:
+    a 100 TB index is never rebuilt per batch).
+
+    ``embeddings_all`` must cover old AND new vectors (inserts compute
+    distances to existing nodes); ``new_ids_filter`` selects the rows to
+    add. Each shard reassembles its graph, then runs the SAME insert
+    procedure as hnsw_build over the new ids in ascending order. Because
+    build also inserts in ascending id order, appending ids ABOVE the
+    existing range replays a from-scratch build's exact steps — the
+    appended graph is bit-identical to a full rebuild (pinned in
+    tests). Out-of-order id appends still yield a valid bounded-degree
+    graph, just not the rebuild's byte image.
+
+    Returns the full new adjacency row set (old shards' untouched rows
+    included) — persist with hnsw_persist; only shards that received
+    vectors actually changed."""
+
+    def extend(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        graph_rows = pdf[pdf["level"] >= 0]
+        new_rows = pdf[pdf["level"] < 0]
+        node_rows = (
+            pdf[pdf["level"] == 0]
+            if len(graph_rows)
+            else pdf.iloc[0:0]
+        )
+        old_ids = node_rows["node_id"].to_numpy()
+        new_ids = np.sort(new_rows["node_id"].to_numpy())
+        ids = np.concatenate([old_ids, new_ids]).astype("int64")
+        # NB not itertuples: pandas renames leading-underscore columns
+        vec_of = {}
+        for nid, v in zip(pdf["node_id"], pdf["_v"]):
+            if v is not None:
+                vec_of[int(nid)] = v
+        vecs = _normalize(
+            np.stack([np.asarray(vec_of[int(i)]) for i in ids]).astype(
+                "float64"
+            )
+        )
+        pos_of = {int(i): p for p, i in enumerate(ids)}
+        max_lvl = int(graph_rows["level"].max()) if len(graph_rows) else -1
+        adj: list[dict[int, list[int]]] = [
+            dict() for _ in range(max_lvl + 1)
+        ] or [dict()]
+        for lev, nid, nbrs in zip(
+            graph_rows["level"], graph_rows["node_id"], graph_rows["neighbors"]
+        ):
+            adj[int(lev)][pos_of[int(nid)]] = [pos_of[int(o)] for o in nbrs]
+        if max_lvl >= 0:
+            entry = min(adj[max_lvl].keys(), key=lambda p: int(ids[p]))
+        else:
+            entry = -1
+        for nid in new_ids:
+            pos = pos_of[int(nid)]
+            lvl = _level_of(int(nid), m)
+            entry, max_lvl = _insert_node(
+                pos, lvl, vecs, adj, entry, max_lvl, m, ef_build
+            )
+        rows = []
+        for lev, layer in enumerate(adj):
+            for pos, nbrs in layer.items():
+                rows.append(
+                    (shard, int(ids[pos]), lev, [int(ids[o]) for o in nbrs])
+                )
+        return pd.DataFrame(
+            rows, columns=["shard", "node_id", "level", "neighbors"]
+        )
+
+    vecs_df = embeddings_all.select(
+        F.col(id_col).alias("node_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    old = graph.join(vecs_df, "node_id").select(
+        "shard", "node_id", "level", "neighbors", "_v"
+    )
+    new = (
+        embeddings_all.filter(new_ids_filter)
+        .select(
+            F.col(id_col).alias("node_id"),
+            shard_of(id_col, n_shards).alias("shard"),
+            F.lit(-1).alias("level"),
+            F.lit(None).cast("array<bigint>").alias("neighbors"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+    )
+    return (
+        old.unionByName(new)
+        .groupBy("shard")
+        .applyInPandas(extend, _GRAPH_SCHEMA)
     )

@@ -112,3 +112,60 @@ def test_hnsw_shortlist_reranks_to_full_recall_gain(spark):
         rr_top.setdefault(r["query_id"], set()).add(r["cand_id"])
 
     assert _recall_at_k(rr_top, truth) >= _recall_at_k(raw_top, truth)
+
+
+def test_append_monotone_ids_bit_identical_to_rebuild(spark):
+    """Append ids above the existing range: the appended graph must be
+    BYTE-IDENTICAL to a from-scratch build over the full corpus — build
+    and append share the same insert procedure and the same ascending-id
+    order, so the steps replay exactly (the IVF append==rebuild
+    guarantee, now for graphs)."""
+    from etl_sentinel_imagery_spark.operators.hnsw import hnsw_append
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_ids = emb.count()
+    cut = n_ids // 2
+    half = hnsw_build(emb.filter(F.col("vec_id") < cut))
+    appended = hnsw_append(emb, half, F.col("vec_id") >= cut)
+    full = hnsw_build(emb)
+
+    def rows(df):
+        return sorted(
+            (r["shard"], r["node_id"], r["level"], tuple(r["neighbors"]))
+            for r in df.collect()
+        )
+
+    assert rows(appended) == rows(full)
+
+    # and the appended graph searches identically to the full build
+    a = sorted(map(tuple, hnsw_topk(emb, appended, range(10), k=K).collect()))
+    b = sorted(map(tuple, hnsw_topk(emb, full, range(10), k=K).collect()))
+    assert a == b
+
+
+def test_append_into_empty_and_degree_bound(spark):
+    """Appending into an empty graph == building; degree caps hold after
+    append (the bounded-degree invariant a navigable graph needs)."""
+    from etl_sentinel_imagery_spark.operators.hnsw import (
+        DEFAULT_M,
+        hnsw_append,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 300)
+    empty = hnsw_build(emb.filter(F.lit(False)))
+    assert empty.count() == 0
+    grown = hnsw_append(emb, empty, F.lit(True))
+    built = hnsw_build(emb)
+    got = sorted(
+        (r["shard"], r["node_id"], r["level"], tuple(r["neighbors"]))
+        for r in grown.collect()
+    )
+    want = sorted(
+        (r["shard"], r["node_id"], r["level"], tuple(r["neighbors"]))
+        for r in built.collect()
+    )
+    assert got == want
+    over = grown.filter(
+        (F.col("level") == 0) & (F.size("neighbors") > 2 * DEFAULT_M)
+    ).count()
+    assert over == 0
