@@ -65,6 +65,20 @@ CHECKS = {
     # vec_id — and the final plan must keep partial aggregation off the
     # row path (no window, no expand)
     "embedding_quant_battery": {"Project": True, "Expand": False},
+    # deterministic ANN battery (round 3): the expression-seeded tier's
+    # centroid table and probe set must broadcast (the corpus side never
+    # does), and windows carry the assignment/top-k ranks
+    "ann_deterministic_battery": {
+        "BroadcastHashJoin|BroadcastExchange": True,
+        "Window": True,
+    },
+    # dedup joins are pinned sort-merge since the 1M stress (the only
+    # spilling strategy): the band self-join must NOT plan as a
+    # broadcast or shuffled-hash build of the corpus-sized side
+    "docs_jaccard_pairs": {
+        "SortMergeJoin": True,
+        "ShuffledHashJoin": False,
+    },
 }
 
 
