@@ -157,11 +157,11 @@ def kll_sketch(
         F.col(value_col).cast("double").alias("_v"),
         F.spark_partition_id().alias("_pid"),
     ).filter(F.col("_v").isNotNull())
-    # group keys surface as strings (the sketch table is a serving
-    # artifact keyed for lookup, not a join-back fact table); callers
-    # needing typed keys cast on the way out
+    # group keys keep their source dtypes, so the sketch table joins
+    # back against fact/rollup tables without casts
+    ftypes = {f.name: f.dataType.simpleString() for f in src.schema.fields}
     out_schema = ", ".join(
-        [f"`{c}` string" for c in group_cols]
+        [f"`{c}` {ftypes[c]}" for c in group_cols]
         + ["_pid int", f"kll {KLL_FIELD}"]
     )
 
@@ -172,7 +172,7 @@ def kll_sketch(
             if len(pdf):
                 pid = int(pdf["_pid"].iloc[0])
             vals = pdf["_v"].to_numpy()
-            keycols = [pdf[c].astype(str).to_numpy() for c in group_cols]
+            keycols = [pdf[c].to_numpy() for c in group_cols]
             for i in range(len(pdf)):
                 key = tuple(kc[i] for kc in keycols)
                 sk = sketches.get(key)
@@ -201,16 +201,19 @@ def kll_sketch(
         )
 
     final_schema = ", ".join(
-        [f"`{c}` string" for c in group_cols] + [f"kll {KLL_FIELD}"]
+        [f"`{c}` {ftypes[c]}" for c in group_cols] + [f"kll {KLL_FIELD}"]
     )
     return part.groupBy(*group_cols).applyInPandas(merge_group, final_schema)
 
 
 def kll_merge_rows(rows) -> KllSketch:
     """Merge sketch structs (e.g. a slice of a rollup table) driver-side
-    — deterministic given row order; sort by your slice key first."""
+    — deterministic given row order; sort by your slice key first.
+    NULL rows (a rollup cell whose values were all NULL) are skipped."""
     acc = None
     for row in rows:
+        if row is None:
+            continue
         sk = KllSketch.from_row(row)
         acc = sk if acc is None else acc.merge(sk)
     return acc if acc is not None else KllSketch()

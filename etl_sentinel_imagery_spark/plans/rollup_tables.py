@@ -69,11 +69,16 @@ def build_rollup_table(
     hist = histogram_sketch(base, grain, "value", VALUE_EDGES).select(
         *grain, F.col("hist").alias("value_hist")
     )
-    # hist is LEFT-joined: histogram_sketch drops a (day, event_type)
-    # group whose value column is all NULL (COUNT(value) semantics), and
-    # an inner join here would silently drop that cell's exact count,
-    # HLL, and top-k too. Mirror run_additive_sketch_rollup: keep the
-    # cell and coalesce its histogram to the all-zero array.
+    from etl_sentinel_imagery_spark.operators.kll import kll_sketch
+
+    kll = kll_sketch(base, grain, "value")
+    # hist/kll are LEFT-joined: the value sketches drop a
+    # (day, event_type) group whose value column is all NULL
+    # (COUNT(value) semantics), and an inner join here would silently
+    # drop that cell's exact count, HLL, and top-k too. Mirror
+    # run_additive_sketch_rollup: keep the cell, coalesce the histogram
+    # to the all-zero array, and leave kll NULL (kll_merge_rows skips
+    # NULLs at read time).
     zero_hist = F.array(
         *[F.lit(0).cast("long") for _ in range(len(VALUE_EDGES) + 1)]
     )
@@ -82,6 +87,7 @@ def build_rollup_table(
         .join(top, grain)
         .join(hist, grain, "left")
         .withColumn("value_hist", F.coalesce("value_hist", zero_hist))
+        .join(kll, grain, "left")
         .write.mode("overwrite")
         .partitionBy("day")
         .parquet(out_dir)
@@ -111,9 +117,27 @@ def slice_summary(
     k: int = TOP_K,
 ) -> DataFrame:
     """The whole slice answered from sketches in one row: exact event
-    count, distinct-user estimate, merged top-k user map + offset, and
-    the merged value histogram."""
+    count, distinct-user estimate, merged top-k user map + offset, the
+    merged value histogram, and KLL value quantiles (p50/p90/p99).
+
+    The KLL merge happens driver-side over the slice's sketch rows —
+    the rollup table is control-plane-sized by construction (one row
+    per day × type), and KLL's compaction is algorithmic, not an
+    expression; rows merge in (day, event_type) order so the answer is
+    replay-deterministic."""
+    from etl_sentinel_imagery_spark.operators.kll import kll_merge_rows
+
     sl = read_slice(spark, table_dir, day_lo, day_hi, event_type)
+    kll_rows = (
+        sl.select("day", "event_type", "kll")
+        .collect()
+    )
+    merged_kll = kll_merge_rows(
+        r["kll"] for r in sorted(
+            kll_rows, key=lambda r: (str(r["day"]), r["event_type"])
+        )
+    )
+    q50, q90, q99 = (merged_kll.quantile(q) for q in (0.5, 0.9, 0.99))
     merged = sl.groupBy().agg(
         F.sum("n_events").alias("n_events"),
         hll_sparse_merge_agg("hll").alias("hll"),
@@ -128,4 +152,7 @@ def slice_summary(
         F.col("top.items").alias("top_items"),
         F.col("top.off").alias("top_off"),
         "value_hist",
+        F.lit(q50).cast("double").alias("value_p50"),
+        F.lit(q90).cast("double").alias("value_p90"),
+        F.lit(q99).cast("double").alias("value_p99"),
     )

@@ -111,3 +111,29 @@ def test_all_null_value_cell_survives_with_zero_histogram(spark, tmp_path):
     assert list(row["value_hist"]) == [0] * (len(VALUE_EDGES) + 1)
     assert row["est_distinct_users"] > 0
     assert row["top_items"]
+
+
+def test_slice_quantiles_from_kll_within_bound(spark, tmp_path):
+    """slice_summary's KLL quantiles must sit within the rank bound of
+    the raw slice's exact quantiles — the any-slice percentile answer
+    without rescanning raw data."""
+    import numpy as np
+
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    table = str(tmp_path / "rollup")
+    build_rollup_table(events, table)
+    days = sorted(r["day"] for r in events.select("day").distinct().collect())
+    lo, hi = days[0], days[len(days) // 2]
+    row = slice_summary(spark, table, lo, hi).collect()[0]
+
+    raw = events.filter(
+        (F.col("day") >= lo) & (F.col("day") <= hi)
+        & F.col("value").isNotNull()
+    ).select(F.col("value").cast("double").alias("v")).collect()
+    s = np.sort(np.array([r["v"] for r in raw]))
+    for q, est in ((0.5, row["value_p50"]), (0.9, row["value_p90"]),
+                   (0.99, row["value_p99"])):
+        rank = np.searchsorted(s, est, side="right") / len(s)
+        assert abs(rank - q) <= 0.02, (q, est, rank)
