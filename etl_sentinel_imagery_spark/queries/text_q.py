@@ -37,6 +37,9 @@ from etl_sentinel_imagery_spark.operators.dedup import (
     minhash_signature,
     simhash,
 )
+from etl_sentinel_imagery_spark.operators.substring_dedup import (
+    duplicated_span_table,
+)
 from etl_sentinel_imagery_spark.queries.base import Q
 from etl_sentinel_imagery_spark.sources.tables import load_table
 
@@ -283,18 +286,106 @@ def _finish_text_profile_sql() -> str:
     )
 
 
-# --- exact dedup -----------------------------------------------------------
+# --- per-doc dedup profile: exact groups + duplicated-substring spans -----
+SUBSTR_K = 8
+
+
 def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return exact_dedup_groups(docs, "doc_id", "text")
+    """Per-document dedup profile, two resolutions in one row: the md5
+    exact-duplicate group (content_hash / canonical_id / n_copies) and
+    the corpus-wide duplicated-SUBSTRING spans at token-8-gram
+    resolution (operators.substring_dedup — the Lee et al. 2022 exact
+    substring pass re-expressed as distributed k-gram matching), with
+    the span list, covered-token count, and the span-stripped
+    clean_text all oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    groups = exact_dedup_groups(docs, "doc_id", "text")
+    spans = duplicated_span_table(docs, "doc_id", "text", k=SUBSTR_K)
+    spans_str = F.concat_ws(
+        ",",
+        F.transform(
+            "dup_spans",
+            lambda s: F.concat_ws(":", s["lo"], s["hi"]),
+        ),
+    )
+    return (
+        spans.withColumn("content_hash", F.md5("text"))
+        .join(groups, "content_hash")
+        .select(
+            "doc_id",
+            "content_hash",
+            "canonical_id",
+            "n_copies",
+            "n_dup_spans",
+            "dup_token_count",
+            spans_str.alias("dup_spans_str"),
+            "clean_text",
+        )
+    )
 
 
-_EXACT_DEDUP_SQL = """
-SELECT md5(text) AS content_hash,
-       MIN(doc_id) AS canonical_id,
-       COUNT(*) AS n_copies
-FROM documents
-GROUP BY 1
+_EXACT_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), t -> t != '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS start,
+         array_to_string(tk[i:i+{SUBSTR_K - 1}], '_') AS gram
+  FROM toks, UNNEST(generate_series(1, len(tk) - {SUBSTR_K - 1})) u(i)
+),
+freq AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+flagged AS (SELECT g.doc_id, g.start FROM grams g JOIN freq f USING (gram)),
+covered AS (
+  SELECT DISTINCT doc_id, start + j AS idx
+  FROM flagged, UNNEST(generate_series(0, {SUBSTR_K - 1})) v(j)
+),
+islands AS (
+  SELECT doc_id, idx,
+         idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx) AS isl
+  FROM covered
+),
+spans AS (
+  SELECT doc_id, MIN(idx) AS lo, MAX(idx) AS hi
+  FROM islands GROUP BY doc_id, isl
+),
+span_agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_dup_spans,
+         SUM(hi - lo + 1) AS dup_token_count,
+         STRING_AGG(lo || ':' || hi, ',' ORDER BY lo) AS dup_spans_str
+  FROM spans GROUP BY doc_id
+),
+cov_lists AS (SELECT doc_id, list(idx) AS cov FROM covered GROUP BY doc_id),
+groups AS (
+  SELECT md5(text) AS content_hash,
+         MIN(doc_id) AS canonical_id,
+         COUNT(*) AS n_copies
+  FROM documents GROUP BY 1
+)
+SELECT t.doc_id,
+       md5(t.text) AS content_hash,
+       g.canonical_id,
+       g.n_copies,
+       COALESCE(s.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(s.dup_token_count, 0) AS dup_token_count,
+       COALESCE(s.dup_spans_str, '') AS dup_spans_str,
+       -- COALESCE: DuckDB array_to_string([]) is NULL, Spark concat_ws ''
+       COALESCE(array_to_string(
+         list_transform(
+           list_filter(
+             generate_series(1, len(t.tk)),
+             p -> NOT COALESCE(list_contains(c.cov, p), FALSE)
+           ),
+           p -> t.tk[p]
+         ),
+         ' '
+       ), '') AS clean_text
+FROM toks t
+JOIN groups g ON md5(t.text) = g.content_hash
+LEFT JOIN span_agg s USING (doc_id)
+LEFT JOIN cov_lists c USING (doc_id)
 """
 
 
