@@ -30,6 +30,68 @@ def term_doc_frequencies(docs: DataFrame, id_col: str = "doc_id", text_col: str 
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 retrieval: top_k (doc, score, n_hits) for a bag of
+    query terms — the classic lexical ranking function (Robertson &
+    Zaragoza 2009), idf = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Scale shape: the posting explode filters to QUERY terms before the
+    (doc, term) groupBy, so the shuffle carries only matching
+    occurrences, not the corpus vocabulary; per-term df is a
+    |query|-row broadcast; N and avgdl are one scalar aggregate
+    (collected — control-plane-sized); the final ranking is one
+    map-side-combinable per-doc sum + TakeOrderedAndProject. Like
+    :func:`tfidf`, the ln keeps scores out of the hash-compared oracle
+    battery (libm last-ulp variance) — accuracy is pinned in pytest
+    against an independent reference implementation.
+    """
+    q = [t for t in dict.fromkeys(query_terms)]  # dedup, keep order
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(tokens(text_col))).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], float(stats["avgdl"])
+    postings = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.size(tokens(text_col)).alias("dl"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .where(F.col("term").isin(q))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0
+        + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    contrib = idf * (
+        F.col("tf") * F.lit(k1 + 1.0) / (F.col("tf") + norm)
+    )
+    return (
+        postings.join(F.broadcast(dfreq), "term")
+        .groupBy("doc")
+        .agg(
+            F.sum(contrib).alias("score"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+        .orderBy(F.desc("score"), "doc")
+        .limit(top_k)
+    )
+
+
 def tfidf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc, term, tf, df, tfidf) with smoothed log idf."""
     n_docs = docs.count()

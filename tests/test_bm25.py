@@ -1,0 +1,92 @@
+"""BM25 retrieval vs an independent pure-Python reference."""
+
+from __future__ import annotations
+
+import math
+
+from etl_sentinel_imagery_spark.operators.textrank import bm25_topk
+from etl_sentinel_imagery_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def _ref_bm25(corpus, query, k1=1.2, b=0.75):
+    """Textbook implementation from scratch: dict counters, no Spark."""
+    toks = {d: t.split() for d, t in corpus}
+    toks = {d: [x for x in t if x] for d, t in toks.items()}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    q = list(dict.fromkeys(query))
+    df = {t: sum(1 for tk in toks.values() if t in tk) for t in q}
+    out = {}
+    for d, tk in toks.items():
+        s, hits = 0.0, 0
+        for t in q:
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+        if hits:
+            out[d] = (s, hits)
+    return out
+
+
+CORPUS = [
+    (1, "spark query engine runs distributed query plans"),
+    (2, "the cat sat on the mat"),
+    (3, "query optimization in a distributed engine"),
+    (4, "cats and dogs and cats again"),
+    (5, "distributed systems need query planners and engines"),
+    (6, "an unrelated document about cooking pasta"),
+]
+
+
+def test_matches_reference_scores_and_ranking(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    query = ["distributed", "query", "engine"]
+    got = bm25_topk(df, query, top_k=10).collect()
+    want = _ref_bm25(CORPUS, query)
+    assert {r["doc"] for r in got} == set(want)
+    for r in got:
+        assert abs(r["score"] - want[r["doc"]][0]) < 1e-12
+        assert r["n_hits"] == want[r["doc"]][1]
+    # ranking is by score desc (doc asc tiebreak)
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+    # doc 1 matches query+engine+distributed-free? it has query×2, engine
+    assert got[0]["doc"] in (1, 3, 5)
+
+
+def test_top_k_truncates(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    got = bm25_topk(df, ["query"], top_k=2).collect()
+    assert len(got) == 2
+
+
+def test_duplicate_query_terms_do_not_double_count(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    once = bm25_topk(df, ["query"], top_k=10).collect()
+    twice = bm25_topk(df, ["query", "query"], top_k=10).collect()
+    assert [(r["doc"], r["score"]) for r in once] == [
+        (r["doc"], r["score"]) for r in twice
+    ]
+
+
+def test_real_documents_table(spark):
+    """Sanity at sf0.001: reference parity on the real corpus for a
+    query drawn from its own vocabulary."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    # pick frequent-ish tokens deterministically from the first doc
+    query = corpus[0][1].split()[:3]
+    got = bm25_topk(docs, query, top_k=25).collect()
+    want = _ref_bm25(corpus, query)
+    want_top = sorted(
+        want.items(), key=lambda kv: (-kv[1][0], kv[0])
+    )[:25]
+    assert [(r["doc"], r["n_hits"]) for r in got] == [
+        (d, h) for d, (s, h) in want_top
+    ]
+    for r, (d, (s, h)) in zip(got, want_top):
+        assert abs(r["score"] - s) < 1e-9
