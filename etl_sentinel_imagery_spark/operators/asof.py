@@ -110,3 +110,76 @@ def range_join_count(
         .agg(F.sum("_hit").alias(count_alias))
         .drop("_lus", "_lrow")
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    key: str | None = None,
+    how: str = "inner",
+    max_bins_per_interval: int = 100_000,
+) -> DataFrame:
+    """General point-in-interval join (right rows are [start, end]
+    ranges, both inclusive, arbitrary lengths) via multi-bin bucketing —
+    the equi-join form of a theta-join Spark would otherwise plan as a
+    broadcast-nested-loop scan.
+
+    Each interval explodes to every ``bin_width``-aligned bin it covers;
+    each point carries its single containing bin. The equi-join on
+    (key?, bin) meets every (point, interval) candidate in EXACTLY ONE
+    bin — the point's own — so no post-join dedup is needed; an exact
+    range filter finishes the predicate. Fan-out per interval is
+    ceil(len/width)+1, so pick ``bin_width`` near the typical interval
+    length: shorter widths shrink candidate sets but multiply interval
+    copies. An interval exploding past ``max_bins_per_interval`` raises
+    rather than silently producing a mega-task (a year-long interval at
+    1-second bins is a plan bug, not data).
+
+    ``how="left"`` keeps matchless points with NULL interval columns.
+    Interval columns come back ``iv_``-prefixed.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type {how!r}")
+    guard = (F.col(end_col) - F.col(start_col)) / F.lit(bin_width)
+    iv = (
+        intervals
+        # assert_true inside a filter is NOT prunable (unlike a dropped
+        # projection column), so the mega-interval guard always runs
+        .where(
+            F.assert_true(
+                guard <= max_bins_per_interval,
+                F.format_string(
+                    "interval spans more than %d bins; widen bin_width",
+                    F.lit(max_bins_per_interval),
+                ),
+            ).isNull()
+        )
+        .select(
+            *[F.col(c).alias(f"iv_{c}") for c in intervals.columns],
+            # floor, not cast: cast truncates toward zero and misaligns
+            # negative timestamps (the resample_counts lesson)
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start_col) / bin_width).cast("long"),
+                    F.floor(F.col(end_col) / bin_width).cast("long"),
+                )
+            ).alias("_ivbin"),
+        )
+    )
+    pt = points.withColumn(
+        "_ptbin", F.floor(F.col(point_ts) / bin_width).cast("long")
+    )
+    cond = F.col("_ptbin") == F.col("_ivbin")
+    if key is not None:
+        cond = cond & (F.col(key) == F.col(f"iv_{key}"))
+    in_range = (
+        (F.col(point_ts) >= F.col(f"iv_{start_col}"))
+        & (F.col(point_ts) <= F.col(f"iv_{end_col}"))
+    )
+    if how == "inner":
+        return pt.join(iv, cond & in_range).drop("_ptbin", "_ivbin")
+    return pt.join(iv, cond & in_range, "left").drop("_ptbin", "_ivbin")
