@@ -315,6 +315,67 @@ def resize_media(
     )
 
 
+def default_audio_decoder(payload: bytes, meta: dict) -> tuple:
+    """WAV PCM decodes natively (pure-stdlib codec, functions.wav) to
+    ((n_frames, n_channels) samples, sample_rate); compressed audio
+    (mp3/ogg/aac) needs a codec library — inject a decoder with this
+    same contract."""
+    from etl_sentinel_imagery_spark.functions.wav import decode_wav, is_wav
+
+    if is_wav(payload):
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "compressed audio decode requires a codec library not present in "
+        "this environment; inject a decoder with the "
+        "(payload, meta) -> (samples, sample_rate) contract"
+    )
+
+
+def audio_frame_features(
+    media: DataFrame,
+    frame_ms: int = 25,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: Callable[[bytes, dict], tuple] = default_audio_decoder,
+) -> DataFrame:
+    """Decode → per-frame (rms, zero-crossing-rate) rows — the classic
+    first-pass audio featurization (speech/music/silence gating), fully
+    real end-to-end for WAV payloads. One output row per frame (the
+    explode shape); numpy does the DSP per Arrow batch."""
+    from etl_sentinel_imagery_spark.functions.wav import frame_features
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                samples, rate = decoder(
+                    bytes(r[payload_col]), r.get("meta")
+                )
+                feats = frame_features(samples, rate, frame_ms)
+                for fi in range(feats.shape[0]):
+                    rows.append(
+                        {
+                            id_col: r[id_col],
+                            "frame_idx": fi,
+                            "rms": float(feats[fi, 0]),
+                            "zcr": float(feats[fi, 1]),
+                            "sample_rate": int(rate),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_idx", "rms", "zcr", "sample_rate"],
+            )
+
+    return media.mapInPandas(
+        _feat,
+        schema=(
+            f"{id_col} bigint, frame_idx int, rms double, zcr double, "
+            "sample_rate int"
+        ),
+    )
+
+
 def fake_text_encoder(texts: list, dim: int = 64) -> np.ndarray:
     """Deterministic stand-in embedder: token-hash feature projection.
 
