@@ -1,0 +1,152 @@
+"""Grid-indexed spatial join — point-in-polygon at corpus scale.
+
+The reference's spatial work joins a handful of AOIs against product
+footprints (one broadcast row, operators.selection); a general engine
+also needs the many-points × many-polygons shape (geotag enrichment,
+admin-region rollups), which Spark would otherwise plan as a broadcast
+nested loop with a python predicate — the O(n·m) trap. This is the 2-D
+analog of operators.asof.interval_join:
+
+1. every polygon explodes to the grid cells its BBOX covers (the bbox
+   comes from the JVM-side WKT parse, operators.selection.wkt_bbox —
+   no python before the join);
+2. every point carries its single containing cell;
+3. the equi-join on (cell_x, cell_y) meets each candidate pair in
+   EXACTLY ONE cell — the point's — so no post-join dedup;
+4. the exact even-odd point-in-ring test (holes honored) runs only on
+   grid-colocated candidates, vectorized per Arrow batch with a
+   per-batch WKT parse memo (each polygon parses once per batch, not
+   once per candidate row).
+
+Pick ``cell_size`` near the typical polygon bbox edge: candidate count
+per point ≈ polygons overlapping its cell. A polygon whose bbox covers
+more than ``max_cells_per_polygon`` cells raises (non-prunable
+assert_true filter) — a continent-sized polygon at street-level cells
+is a plan bug, the same policy as interval_join's mega-interval guard.
+
+Boundary semantics follow functions.geometry.point_in_polygon: points
+exactly on an edge count as inside (each ring independently, so a point
+on a hole's edge is inside the hole → excluded).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.functions.geometry import (
+    parse_wkt_signed_rings,
+    point_in_polygon,
+)
+from etl_sentinel_imagery_spark.operators.selection import wkt_bbox
+
+
+def point_in_wkt(px: float, py: float, rings: list) -> bool:
+    """Even-odd membership over parsed signed rings: inside the outer
+    ring(s), outside the holes."""
+    outer = any(
+        point_in_polygon(px, py, ring) for ring, sign in rings if sign > 0
+    )
+    if not outer:
+        return False
+    return not any(
+        point_in_polygon(px, py, ring) for ring, sign in rings if sign < 0
+    )
+
+
+def grid_spatial_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    cell_size: float,
+    x_col: str = "x",
+    y_col: str = "y",
+    wkt_col: str = "wkt",
+    how: str = "inner",
+    max_cells_per_polygon: int = 100_000,
+) -> DataFrame:
+    """Join each point to every polygon containing it. Polygon columns
+    come back ``poly_``-prefixed; ``how="left"`` keeps matchless points
+    with NULLs."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type {how!r}")
+    bb = wkt_bbox(F.col(wkt_col))
+    n_cells = (
+        (F.floor(bb["maxx"] / cell_size) - F.floor(bb["minx"] / cell_size) + 1)
+        * (F.floor(bb["maxy"] / cell_size) - F.floor(bb["miny"] / cell_size) + 1)
+    )
+    cells = F.flatten(
+        F.transform(
+            F.sequence(
+                F.floor(bb["minx"] / cell_size).cast("long"),
+                F.floor(bb["maxx"] / cell_size).cast("long"),
+            ),
+            lambda cx: F.transform(
+                F.sequence(
+                    F.floor(bb["miny"] / cell_size).cast("long"),
+                    F.floor(bb["maxy"] / cell_size).cast("long"),
+                ),
+                lambda cy: F.struct(cx.alias("cx"), cy.alias("cy")),
+            ),
+        )
+    )
+    poly = (
+        polygons.where(
+            F.assert_true(
+                n_cells <= max_cells_per_polygon,
+                F.format_string(
+                    "polygon bbox covers more than %d cells; widen cell_size",
+                    F.lit(max_cells_per_polygon),
+                ),
+            ).isNull()
+        )
+        .select(
+            *[F.col(c).alias(f"poly_{c}") for c in polygons.columns],
+            F.explode(cells).alias("_cell"),
+        )
+        .select("*", F.col("_cell.cx").alias("_pcx"), F.col("_cell.cy").alias("_pcy"))
+        .drop("_cell")
+    )
+    pt = points.select(
+        "*",
+        F.floor(F.col(x_col) / cell_size).cast("long").alias("_cx"),
+        F.floor(F.col(y_col) / cell_size).cast("long").alias("_cy"),
+    )
+    cond = (F.col("_cx") == F.col("_pcx")) & (F.col("_cy") == F.col("_pcy"))
+    cand = pt.join(poly, cond)
+
+    # exact test on grid-colocated candidates only; polygons parse once
+    # per (batch, wkt) via the memo, not once per candidate row
+    out_schema = cand.drop("_cx", "_cy", "_pcx", "_pcy").schema
+    wkt_out = f"poly_{wkt_col}"
+
+    def _exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            memo: dict = {}
+
+            def hit(row) -> bool:
+                w = row[wkt_out]
+                rings = memo.get(w)
+                if rings is None:
+                    rings = memo[w] = parse_wkt_signed_rings(w)
+                return point_in_wkt(row[x_col], row[y_col], rings)
+
+            keep = pdf[pdf.apply(hit, axis=1)] if len(pdf) else pdf
+            yield keep.drop(columns=["_cx", "_cy", "_pcx", "_pcy"])
+
+    matched = cand.mapInPandas(_exact, schema=out_schema)
+    if how == "inner":
+        return matched
+    # left: anti-join the matched point ids back — needs a stable point
+    # identity, so require the caller's point columns to be the identity
+    pcols = points.columns
+    missing = points.join(
+        matched.select(*pcols).dropDuplicates(pcols), pcols, "anti"
+    )
+    null_polys = [
+        F.lit(None).cast(polygons.schema[c].dataType).alias(f"poly_{c}")
+        for c in polygons.columns
+    ]
+    return matched.unionByName(missing.select(*pcols, *null_polys))
