@@ -4,10 +4,10 @@ The composition a data-curation team actually runs, as one declarative
 pipeline over the engine's operators:
 
     ingest (JSONL/parquet) → quality filter (token counts + repetition
-    signals) → PII scrub → exact+near dedup (keep canonicals) →
-    benchmark decontamination → train/val/test split → chunk →
-    sequence packing (operators.packing) → partitioned parquet +
-    corpus statistics
+    signals) → [language gate] → [LM perplexity gate] → PII scrub →
+    exact+near dedup (keep canonicals) → benchmark decontamination →
+    train/val/test split → chunk → sequence packing (operators.packing)
+    → partitioned parquet + corpus statistics
 
 Every stage is a DataFrame transformation; the only actions are the
 per-stage row counts in the returned report (each a cheap count job —
@@ -58,6 +58,12 @@ class CurationConfig:
     #: Train a BPE tokenizer on the post-dedup corpus and attach real
     #: token counts (n_bpe_real) to the documents table; 0 disables.
     bpe_merges: int = 0
+    #: CCNet-style LM perplexity gate (operators.lm_score): drop docs
+    #: whose mean token NLL exceeds this; None disables. The bigram LM
+    #: trains on the reference corpus passed to curate_corpus(lm_ref=…),
+    #: or on the quality-passed corpus itself (typicality ranking) when
+    #: no reference is given.
+    lm_max_nll: float | None = None
 
 
 def _quality_filter(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
@@ -84,6 +90,7 @@ def curate_corpus(
     eval_df: DataFrame | None = None,
     cfg: CurationConfig | None = None,
     collect_stats: bool = True,
+    lm_ref: DataFrame | None = None,
 ) -> dict:
     """Run the full curation pipeline; write ``documents/`` (partitioned
     by split) and ``chunks/`` under ``out_dir``; return the stage-count
@@ -113,6 +120,17 @@ def curate_corpus(
             quality.join(
                 allowed.select("doc_id"), "doc_id", "left_semi"
             ),
+        )
+    if cfg.lm_max_nll is not None:
+        from etl_sentinel_imagery_spark.operators.lm_score import (
+            perplexity_filter,
+            train_bigram_lm,
+        )
+
+        lm = train_bigram_lm(lm_ref if lm_ref is not None else quality)
+        quality = stage(
+            "after_lm_filter",
+            perplexity_filter(quality, lm, cfg.lm_max_nll),
         )
     scrubbed = quality.withColumn("text", scrub_pii(F.col("text")))
 

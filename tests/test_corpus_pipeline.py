@@ -130,3 +130,34 @@ def test_curation_language_gate_and_bpe_counts(spark, tmp_path):
             len(encode_word(w, ranks)) for w in text.lower().split(" ") if w
         )
         assert got[doc_id]["n_bpe_real"] == want
+
+
+def test_curation_lm_perplexity_gate(spark, tmp_path):
+    """Optional LM gate: the gibberish doc scores far above the fluent
+    docs under the reference-trained bigram LM and is dropped."""
+    from etl_sentinel_imagery_spark.operators.lm_score import (
+        score_docs,
+        train_bigram_lm,
+    )
+
+    fluent = [
+        (1, "en", GOOD),
+        (2, "en", "completely independent prose describing glacier fed "
+                  "lakes and the migration patterns of arctic terns"),
+    ]
+    gibberish = (3, "en", "zxq qqv bnmp wrt klx vvx trz ppw qqn mzx lkj "
+                          "vbn wer tyu iop asd")
+    docs = spark.createDataFrame(
+        fluent + [gibberish], "doc_id long, lang string, text string"
+    )
+    ref = spark.createDataFrame(fluent, "doc_id long, lang string, text string")
+    lm = train_bigram_lm(ref)
+    s = {r["doc_id"]: r["nll"] for r in score_docs(docs, lm).collect()}
+    cut = (max(s[1], s[2]) + s[3]) / 2
+    out = str(tmp_path / "curated_lm")
+    report = curate_corpus(
+        spark, docs, out, cfg=CurationConfig(lm_max_nll=cut), lm_ref=ref
+    )
+    assert report["after_lm_filter"] == 2
+    written = spark.read.parquet(f"{out}/documents")
+    assert {r["doc_id"] for r in written.collect()} == {1, 2}
