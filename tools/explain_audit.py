@@ -79,6 +79,15 @@ CHECKS = {
         "SortMergeJoin": True,
         "ShuffledHashJoin": False,
     },
+    # substring-dedup profile (round 3): the duplicated-gram occurrence
+    # join is pinned sort-merge (occurrence side is corpus-sized, same
+    # spill argument), the gram frequency groupBy must partial-aggregate
+    # map-side, and the positional explode must be a Generate
+    "docs_exact_dedup": {
+        "SortMergeJoin": True,
+        "partial_count": True,
+        "Generate": True,
+    },
 }
 
 
