@@ -1,0 +1,178 @@
+"""File-level Bloom data-skipping index — point lookups without
+partition keys.
+
+Parquet footers skip row groups by min/max, and partitioning prunes on
+the partition column — but a point lookup on a HIGH-CARDINALITY
+non-partition key (doc by id, user by email hash) still scans every
+file. The standard lake-format answer (Delta/Iceberg bloom filter
+indexes, Parquet's own optional bloom pages) is a per-file Bloom
+filter consulted BEFORE any data file opens. This module builds that
+sidecar from the engine's mergeable bloom kernel (operators.bloom —
+same portable polyhash, so the index is engine-checkable):
+
+- `build_file_bloom_index`: one scan; per (file, word) `bit_or` is
+  map-side combinable, so the shuffle carries ≤ n_files × n_words
+  rows however big the table. The index lands beside the data under
+  `_bloom_idx_<col>/` (underscore prefix = invisible to table scans,
+  the Hadoop hidden-file convention) via the versioned-pointer commit
+  every other sidecar in this engine uses — a crash leaves the pointer
+  naming a complete version.
+- `bloom_pruned_lookup`: reads the control-plane-sized index
+  (n_files rows), tests the probe values against each file's filter
+  (no false negatives ⇒ skipped files provably lack the keys), then
+  scans ONLY surviving files. Expected files read per probe ≈
+  matching files + FP_rate × n_files; the exact filter on the pruned
+  scan keeps semantics exact either way.
+
+The index is advisory state derived from data: stale after appends
+(new files simply aren't pruned-ABLE — `bloom_pruned_lookup` unions
+unindexed files into the scan rather than silently missing them) and
+rebuilt idempotently.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.functions.text import polyhash
+from etl_sentinel_imagery_spark.operators.bloom import (
+    WORD_BITS,
+    _positions,
+    bloom_contains,
+)
+
+
+def _idx_dir(table_dir: str, key_col: str) -> str:
+    return os.path.join(table_dir, f"_bloom_idx_{key_col}")
+
+
+def build_file_bloom_index(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    n_bits: int = 1 << 15,
+    n_hashes: int = 4,
+) -> None:
+    """Build/replace the per-file Bloom sidecar for ``key_col``.
+
+    ``n_bits`` sizes each FILE's filter (power of two) — at the default
+    32 Kbit / 4 hashes a 10k-key file sits at ~1.2% FP."""
+    if n_bits & (n_bits - 1):
+        raise ValueError("n_bits must be a power of two")
+    n_words = n_bits // WORD_BITS
+    keyed = spark.read.parquet(table_dir).select(
+        F.input_file_name().alias("file"),
+        polyhash(F.col(key_col).cast("string")).alias("_h"),
+    )
+    pos = F.array(*_positions(F.col("_h"), n_bits, n_hashes))
+    per_word = (
+        keyed.where(F.col("_h").isNotNull())
+        .select("file", F.explode(pos).alias("_pos"))
+        .select(
+            "file",
+            (F.col("_pos") / WORD_BITS).cast("int").alias("_w"),
+            F.pow(F.lit(2.0), (F.col("_pos") % WORD_BITS).cast("double"))
+            .cast("long")
+            .alias("_m"),
+        )
+        .groupBy("file", "_w")
+        .agg(F.bit_or("_m").alias("_bits"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_wordmap"), i.cast("int")),
+            F.lit(0).cast("long"),
+        ),
+    )
+    index = (
+        per_word.groupBy("file")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_w"), F.col("_bits")))
+            ).alias("_wordmap")
+        )
+        .select(
+            "file",
+            dense.alias("words"),
+            F.lit(n_bits).alias("n_bits"),
+            F.lit(n_hashes).alias("n_hashes"),
+        )
+    )
+    sdir = _idx_dir(table_dir, key_col)
+    os.makedirs(sdir, exist_ok=True)
+    vname = f"v_{uuid.uuid4().hex[:8]}"
+    index.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sdir, vname)
+    )
+    ptr_tmp = os.path.join(sdir, f"_CURRENT.tmp{vname}")
+    with open(ptr_tmp, "w") as f:
+        f.write(vname)
+    os.replace(ptr_tmp, os.path.join(sdir, "_CURRENT"))
+    for entry in os.listdir(sdir):
+        if entry.startswith("v_") and entry != vname:
+            shutil.rmtree(os.path.join(sdir, entry), ignore_errors=True)
+
+
+def read_file_bloom_index(
+    spark: SparkSession, table_dir: str, key_col: str
+) -> DataFrame:
+    sdir = _idx_dir(table_dir, key_col)
+    with open(os.path.join(sdir, "_CURRENT")) as f:
+        return spark.read.parquet(os.path.join(sdir, f.read().strip()))
+
+
+def bloom_pruned_lookup(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    values: list,
+) -> tuple[DataFrame, dict]:
+    """Exact point lookup ``key_col IN values`` scanning only files whose
+    Bloom filter admits at least one probe value (plus any files newer
+    than the index — appended data is never silently missed).
+
+    Returns (rows DataFrame, stats dict with files_total / files_read /
+    files_unindexed)."""
+    idx_rows = read_file_bloom_index(spark, table_dir, key_col).collect()
+    if not idx_rows:
+        raise ValueError("empty bloom index")
+    n_bits = int(idx_rows[0]["n_bits"])
+    n_hashes = int(idx_rows[0]["n_hashes"])
+    idx = spark.createDataFrame(
+        [(r["file"], list(r["words"])) for r in idx_rows],
+        "file string, words array<bigint>",
+    )
+    probe = F.lit(False)
+    for v in values:
+        probe = probe | F.coalesce(
+            bloom_contains(
+                F.col("words"), F.lit(str(v)), n_bits, n_hashes
+            ),
+            F.lit(False),
+        )
+    candidates = [r["file"] for r in idx.where(probe).select("file").collect()]
+    indexed = {r["file"] for r in idx_rows}
+    # inputFiles() is a FileIndex listing — metadata only, no data scan
+    # (an input_file_name() distinct would read the whole table and
+    # defeat the index)
+    all_files = set(spark.read.parquet(table_dir).inputFiles())
+    unindexed = sorted(all_files - indexed)
+    stats = {
+        "files_total": len(all_files),
+        "files_read": len(candidates) + len(unindexed),
+        "files_unindexed": len(unindexed),
+    }
+    to_read = candidates + unindexed
+    if not to_read:
+        schema = spark.read.parquet(table_dir).schema
+        return spark.createDataFrame([], schema), stats
+    rows = spark.read.parquet(*to_read).where(
+        F.col(key_col).cast("string").isin([str(v) for v in values])
+    )
+    return rows, stats
