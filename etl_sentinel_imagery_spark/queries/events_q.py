@@ -204,38 +204,96 @@ def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sess_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     with_id = with_gap.withColumn("session_id", F.sum("new_session").over(sess_w))
-    return with_id.groupBy("user_id", "session_id").agg(
+    sessions = with_id.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    # per-session purchase count via the general interval join
+    # (operators.asof.interval_join): purchases are points on the
+    # microsecond axis, sessions are [start, end] intervals keyed by
+    # user — the bucketized equi-join form, oracle-checked against a
+    # plain BETWEEN join
+    from etl_sentinel_imagery_spark.operators.asof import interval_join
+
+    pts = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("p_us")
+    )
+    iv = sessions.select(
+        "user_id",
+        "session_id",
+        F.unix_micros(F.col("session_start")).alias("lo"),
+        F.unix_micros(F.col("session_end")).alias("hi"),
+    )
+    hits = (
+        interval_join(
+            pts, iv, "p_us", "lo", "hi", 3_600_000_000, key="user_id"
+        )
+        .groupBy("iv_user_id", "iv_session_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        sessions.join(
+            hits,
+            (sessions["user_id"] == hits["iv_user_id"])
+            & (sessions["session_id"] == hits["iv_session_id"]),
+            "left",
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+    )
 
 
 _SESSIONIZE_SQL = f"""
-SELECT user_id, session_id,
-       MIN(ts) AS session_start,
-       MAX(ts) AS session_end,
-       COUNT(*) AS n_events
-FROM (
-    SELECT user_id, event_id, ts,
-           CAST(SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS session_id
+WITH sessions AS (
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
     FROM (
         SELECT user_id, event_id, ts,
-               CASE WHEN prev_us IS NULL
-                         OR (epoch_us(ts) - prev_us) > {SESSION_GAP_US}
-                    THEN 1 ELSE 0 END AS new_session
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
         FROM (
             SELECT user_id, event_id, ts,
-                   LAG(epoch_us(ts)) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-            FROM events
+                   CASE WHEN prev_us IS NULL
+                             OR (epoch_us(ts) - prev_us) > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM (
+                SELECT user_id, event_id, ts,
+                       LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                FROM events
+            )
         )
     )
+    GROUP BY 1, 2
+),
+-- the interval join restated as the plain BETWEEN theta-join the
+-- bucketized operator replaces (microsecond axis both engines)
+purch AS (
+    SELECT s.user_id, s.session_id, COUNT(*) AS n_purchases
+    FROM sessions s
+    JOIN events p
+      ON p.user_id = s.user_id
+     AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) >= epoch_us(s.session_start)
+     AND epoch_us(p.ts) <= epoch_us(s.session_end)
+    GROUP BY 1, 2
 )
-GROUP BY 1, 2
+SELECT s.user_id, s.session_id, s.session_start, s.session_end,
+       s.n_events, COALESCE(p.n_purchases, 0) AS n_purchases
+FROM sessions s
+LEFT JOIN purch p
+  ON p.user_id = s.user_id AND p.session_id = s.session_id
 """
 
 
