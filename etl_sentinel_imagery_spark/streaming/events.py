@@ -127,7 +127,7 @@ def sliding_user_activity(events: DataFrame) -> DataFrame:
 
 
 def purchases_with_recent_click(
-    events: DataFrame, window: str = "30 minutes"
+    events: DataFrame, window: str = "30 minutes", how: str = "inner"
 ) -> DataFrame:
     """Stream-stream interval join: each purchase joined to the same
     user's click events within the preceding ``window``.
@@ -136,7 +136,15 @@ def purchases_with_recent_click(
     discard click state older than watermark + interval. The join
     condition is the same (t−w, t] interval as the batch as-of/range
     operators (operators.asof), making the batch queries the semantic
-    oracle for this streaming form."""
+    oracle for this streaming form.
+
+    ``how="left_outer"``: purchases with NO qualifying click still emit
+    (NULL click columns) — but only once the watermark passes their
+    join horizon, because until then a matching click could still
+    arrive. That is Spark's outer stream-stream join contract: the
+    watermark is what makes "no match" a decidable fact, which is why
+    outer joins REQUIRE both the watermark and the event-time range
+    condition this join carries."""
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(
@@ -157,6 +165,7 @@ def purchases_with_recent_click(
         (F.col("user_id") == F.col("c_user"))
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") > F.col("purchase_ts") - F.expr(f"INTERVAL {window}")),
+        how,
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts", "value")
 
 

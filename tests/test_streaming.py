@@ -500,3 +500,74 @@ def test_streaming_kll_rollup_bounds_and_replay(spark, tmp_path):
     run_kll_rollup(stream(), ["etype"], "value", table, str(tmp_path / "ck2"))
     after = {et: sk.to_row() for et, sk in merged_by_type().items()}
     assert after == before
+
+
+def test_stream_stream_left_outer_join_emits_matchless(spark, tmp_path):
+    """Left-outer stream-stream join: a purchase with no click in its
+    window emits with NULL click columns — but only after the watermark
+    passes its join horizon (the decidability contract)."""
+    from etl_sentinel_imagery_spark.streaming.events import (
+        purchases_with_recent_click,
+        run_to_memory,
+    )
+
+    src = str(tmp_path / "ev")
+    schema = (
+        "event_id bigint, user_id bigint, secs bigint, "
+        "event_type string, value double"
+    )
+    base = 1_700_000_000
+    batches = [
+        # user 1: click then purchase 5 min later → matched pair
+        # user 2: purchase with NO click → must still emit
+        [
+            (1, 1, base, "click", 0.0),
+            (2, 1, base + 300, "purchase", 9.5),
+            (3, 2, base + 300, "purchase", 4.5),
+        ],
+        # far-future events on BOTH sides: the query watermark is the
+        # MIN across watermark nodes, so a click-only flush would leave
+        # the purchase-side watermark (and the outer decision) stuck
+        [
+            (4, 9, base + 40_000, "click", 0.0),
+            (5, 9, base + 40_000, "purchase", 0.0),
+        ],
+        [
+            (6, 9, base + 80_000, "click", 0.0),
+            (7, 9, base + 80_000, "purchase", 0.0),
+        ],
+    ]
+    q = None
+    try:
+        for rows in batches:
+            df = spark.createDataFrame(rows, schema).select(
+                "event_id", "user_id",
+                F.timestamp_seconds("secs").alias("ts"),
+                "event_type", "value",
+            )
+            df.coalesce(1).write.mode("append").parquet(src)
+            if q is None:
+                stream = spark.readStream.schema(
+                    spark.read.parquet(src).schema
+                ).parquet(src)
+                joined = purchases_with_recent_click(
+                    stream, how="left_outer"
+                )
+                q = (
+                    joined.writeStream.format("memory")
+                    .queryName("t_ssjoin_outer")
+                    .outputMode("append")
+                    .option("checkpointLocation", str(tmp_path / "ck"))
+                    .start()
+                )
+            q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM t_ssjoin_outer").collect()
+    finally:
+        if q is not None:
+            q.stop()
+    by_purchase = {r["purchase_id"]: r for r in rows}
+    # flush purchases may or may not have finalized; 2 and 3 must have
+    assert {2, 3} <= set(by_purchase)
+    assert by_purchase[2]["click_id"] == 1
+    assert by_purchase[3]["click_id"] is None  # matchless, NULL-padded
+    assert by_purchase[3]["value"] == 4.5
