@@ -160,3 +160,84 @@ def zorder_layout(
         .repartitionByRange(n_files, "zval")
         .sortWithinPartitions("zval")
     )
+
+
+def _hilbert_2d(x0: Column, y0: Column, bits: int) -> Column:
+    """Hilbert curve index of 2-D bucket coords (the classic xy2d walk,
+    public domain — Wikipedia's formulation), unrolled into ``bits``
+    rounds of pure expressions. Unlike Morton, the Hilbert curve is
+    CONTINUOUS: consecutive indices are always grid neighbors, so a
+    contiguous file segment never spans the diagonal jumps Z-order
+    takes — measurably tighter per-file bounding boxes on range-heavy
+    workloads."""
+    n1 = F.lit((1 << bits) - 1).cast("long")
+    init = F.struct(
+        x0.cast("long").alias("x"),
+        y0.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    # an F.aggregate fold, NOT an unrolled python loop: each round's
+    # (x, y) feed the next, so inlined substitution would grow the
+    # expression tree exponentially in `bits` (measured: OOMed codegen
+    # at bits=6). The fold evaluates iteratively at runtime — the same
+    # reason polyhash is a fold.
+    def step(acc: Column, i: Column) -> Column:
+        x, y, d = acc["x"], acc["y"], acc["d"]
+        s = F.pow(F.lit(2.0), i.cast("double")).cast("long")
+        rx = F.when(x.bitwiseAND(s) > 0, 1).otherwise(0).cast("long")
+        ry = F.when(y.bitwiseAND(s) > 0, 1).otherwise(0).cast("long")
+        d2 = d + s * s * (rx * 3).bitwiseXOR(ry)
+        # rot(): when ry==0, reflect (if rx==1) against the FULL grid
+        # (n-1, not s-1) then swap axes
+        refl_x = F.when(rx == 1, n1 - x).otherwise(x)
+        refl_y = F.when(rx == 1, n1 - y).otherwise(y)
+        nx = F.when(ry == 0, refl_y).otherwise(x)
+        ny = F.when(ry == 0, refl_x).otherwise(y)
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    seq = F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1))
+    return F.aggregate(seq, init, step)["d"]
+
+
+def with_hilbert(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = DEFAULT_BITS,
+    relative_error: float = 0.001,
+    cuts: dict[str, list[float]] | None = None,
+) -> DataFrame:
+    """Add an ``hval`` column: Hilbert index over the quantile-rank
+    buckets of exactly TWO columns (the curve generalizes to d>2 but
+    2-D covers the dominant pair-clustering case; use with_zorder for
+    wider key sets). Same cut-persistence contract as with_zorder."""
+    if len(cols) != 2:
+        raise ValueError("with_hilbert clusters exactly 2 columns")
+    if cuts is None:
+        cuts = compute_zorder_cuts(df, cols, bits, relative_error)
+    missing = [c for c in cols if c not in cuts]
+    if missing:
+        raise ValueError(f"cuts missing for columns: {missing}")
+    casted = df.select(
+        "*", *[_as_double(df, c).alias(f"__z_{c}") for c in cols]
+    )
+    bx = _bucketize(F.col(f"__z_{cols[0]}"), cuts[cols[0]])
+    by = _bucketize(F.col(f"__z_{cols[1]}"), cuts[cols[1]])
+    return casted.withColumn("hval", _hilbert_2d(bx, by, bits)).drop(
+        *[f"__z_{c}" for c in cols]
+    )
+
+
+def hilbert_layout(
+    df: DataFrame,
+    cols: list[str],
+    n_files: int,
+    bits: int = DEFAULT_BITS,
+    cuts: dict[str, list[float]] | None = None,
+) -> DataFrame:
+    """zorder_layout's Hilbert twin: range-partition + sort on hval."""
+    return (
+        with_hilbert(df, cols, bits, cuts=cuts)
+        .repartitionByRange(n_files, "hval")
+        .sortWithinPartitions("hval")
+    )
