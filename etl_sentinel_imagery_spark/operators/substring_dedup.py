@@ -72,7 +72,10 @@ def positional_ngrams(
         F.size(toks) >= k,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.concat_ws("_", F.slice(toks, i, k)),
+            # single-space separator: tokens are whitespace-split, so a
+            # space can never occur INSIDE a token — the join is
+            # collision-free ('_' would alias ["a","b_c"] with ["a_b","c"])
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return tok_df.select(

@@ -332,7 +332,9 @@ WITH toks AS (
 ),
 grams AS (
   SELECT doc_id, i AS start,
-         array_to_string(tk[i:i+{SUBSTR_K - 1}], '_') AS gram
+         -- space separator: collision-free because tokens cannot
+         -- contain whitespace (matches the Spark side)
+         array_to_string(tk[i:i+{SUBSTR_K - 1}], ' ') AS gram
   FROM toks, UNNEST(generate_series(1, len(tk) - {SUBSTR_K - 1})) u(i)
 ),
 freq AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),

@@ -122,3 +122,21 @@ def test_min_count_threshold(spark):
         ).collect()
     }
     assert out2 == {1: 0, 2: 0, 3: 0}
+
+
+def test_underscore_tokens_do_not_collide(spark):
+    """['a','b_c','d',...] and ['a_b','c','d',...] must NOT alias: the
+    gram key joins tokens with a space (which cannot occur inside a
+    whitespace-split token), not '_'."""
+    d = _docs(
+        spark,
+        [
+            (1, "a b_c d e f"),
+            (2, "a_b c d e f"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["n_dup_spans"]
+        for r in duplicated_span_table(d, "doc_id", "text", k=4).collect()
+    }
+    assert out == {1: 0, 2: 0}

@@ -119,15 +119,20 @@ def main() -> None:
             graph = hnsw_build(corpus, n_shards=cpus)
             hnsw_persist(graph, hnsw_path)
             out["hnsw_build_s"] = round(time.time() - t0, 2)
-            t0 = time.time()
-            h = hnsw_topk(
-                corpus,
-                spark.read.parquet(hnsw_path),
-                range(N_QUERIES),
-                k=TOP_K,
-            ).collect()
-            out["hnsw_probe_s"] = round(time.time() - t0, 2)
-            out["hnsw_recall_at_10"] = round(recall_at_k(h, exact), 4)
+            graph_df = spark.read.parquet(hnsw_path)
+            for ef in (48, 192):
+                t0 = time.time()
+                h = hnsw_topk(
+                    corpus,
+                    graph_df,
+                    range(N_QUERIES),
+                    k=TOP_K,
+                    ef_search=ef,
+                ).collect()
+                out[f"hnsw_probe_s_ef{ef}"] = round(time.time() - t0, 2)
+                out[f"hnsw_recall_at_10_ef{ef}"] = round(
+                    recall_at_k(h, exact), 4
+                )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(out))
