@@ -59,32 +59,34 @@ def _mask(bit: Column) -> Column:
     return F.pow(F.lit(2.0), bit.cast("double")).cast("long")
 
 
-def bloom_build(
+def bloom_words_per_group(
     df: DataFrame,
-    key_col: Column | str,
-    n_bits: int = 1 << 20,
-    n_hashes: int = 4,
+    group_cols: list[str],
+    key: Column,
+    n_bits: int,
+    n_hashes: int,
 ) -> DataFrame:
-    """Build one Bloom filter over every value of ``key_col``:
-    a single-row DataFrame (words array<long>, n_bits, n_hashes).
-
-    Shape: keys explode to k (word, mask) pairs, ``bit_or`` per word is
-    map-side combinable (the shuffle carries ≤ n_words rows however big
-    the input), then one dense-array assembly. n_bits must be a power
-    of two (the double-hash stride argument needs it)."""
+    """One Bloom word array PER GROUP (empty ``group_cols`` = one filter
+    for the whole frame): keys explode to k (word, mask) pairs, the
+    per-(group, word) ``bit_or`` is map-side combinable (the shuffle
+    carries ≤ n_groups × n_words rows however big the input), then one
+    dense-array assembly per group. The single shared implementation of
+    the word layout — bloom_build and the file-skipping index
+    (operators.skipping) both delegate here, so the layout cannot
+    drift between builder and ``bloom_contains``."""
     if n_bits & (n_bits - 1):
         raise ValueError("n_bits must be a power of two")
     n_words = n_bits // WORD_BITS
-    key = F.col(key_col) if isinstance(key_col, str) else key_col
     h = polyhash(key)
     pos = F.array(*_positions(h, n_bits, n_hashes))
     per_word = (
-        df.select(F.explode(pos).alias("_pos"))
+        df.select(*group_cols, F.explode(pos).alias("_pos"))
         .select(
+            *group_cols,
             (F.col("_pos") / WORD_BITS).cast("int").alias("_w"),
             _mask(F.col("_pos") % WORD_BITS).alias("_m"),
         )
-        .groupBy("_w")
+        .groupBy(*group_cols, "_w")
         .agg(F.bit_or("_m").alias("_bits"))
     )
     dense = F.transform(
@@ -94,18 +96,32 @@ def bloom_build(
         ),
     )
     return (
-        per_word.groupBy()
+        per_word.groupBy(*group_cols)
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct(F.col("_w"), F.col("_bits")))
             ).alias("_wordmap")
         )
         .select(
+            *group_cols,
             dense.alias("words"),
             F.lit(n_bits).alias("n_bits"),
             F.lit(n_hashes).alias("n_hashes"),
         )
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: Column | str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Build one Bloom filter over every value of ``key_col``:
+    a single-row DataFrame (words array<long>, n_bits, n_hashes).
+    See :func:`bloom_words_per_group` for the shape argument."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return bloom_words_per_group(df, [], key, n_bits, n_hashes)
 
 
 def bloom_merge_cols(a: Column, b: Column) -> Column:

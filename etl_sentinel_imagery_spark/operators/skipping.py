@@ -39,11 +39,9 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_sentinel_imagery_spark.functions.text import polyhash
 from etl_sentinel_imagery_spark.operators.bloom import (
-    WORD_BITS,
-    _positions,
     bloom_contains,
+    bloom_words_per_group,
 )
 
 
@@ -61,48 +59,18 @@ def build_file_bloom_index(
     """Build/replace the per-file Bloom sidecar for ``key_col``.
 
     ``n_bits`` sizes each FILE's filter (power of two) — at the default
-    32 Kbit / 4 hashes a 10k-key file sits at ~1.2% FP."""
-    if n_bits & (n_bits - 1):
-        raise ValueError("n_bits must be a power of two")
-    n_words = n_bits // WORD_BITS
+    32 Kbit / 4 hashes a 10k-key file sits at ~1.2% FP. Keys hash
+    through their string form (the same form lookups probe with);
+    partition columns need no index — the planner prunes them natively.
+    """
     keyed = spark.read.parquet(table_dir).select(
         F.input_file_name().alias("file"),
-        polyhash(F.col(key_col).cast("string")).alias("_h"),
-    )
-    pos = F.array(*_positions(F.col("_h"), n_bits, n_hashes))
-    per_word = (
-        keyed.where(F.col("_h").isNotNull())
-        .select("file", F.explode(pos).alias("_pos"))
-        .select(
-            "file",
-            (F.col("_pos") / WORD_BITS).cast("int").alias("_w"),
-            F.pow(F.lit(2.0), (F.col("_pos") % WORD_BITS).cast("double"))
-            .cast("long")
-            .alias("_m"),
-        )
-        .groupBy("file", "_w")
-        .agg(F.bit_or("_m").alias("_bits"))
-    )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(n_words - 1)),
-        lambda i: F.coalesce(
-            F.element_at(F.col("_wordmap"), i.cast("int")),
-            F.lit(0).cast("long"),
-        ),
-    )
-    index = (
-        per_word.groupBy("file")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("_w"), F.col("_bits")))
-            ).alias("_wordmap")
-        )
-        .select(
-            "file",
-            dense.alias("words"),
-            F.lit(n_bits).alias("n_bits"),
-            F.lit(n_hashes).alias("n_hashes"),
-        )
+        F.col(key_col).cast("string").alias("_k"),
+    ).where(F.col("_k").isNotNull())
+    # the word layout lives in ONE place (operators.bloom) so the index
+    # can never drift from bloom_contains
+    index = bloom_words_per_group(
+        keyed, ["file"], F.col("_k"), n_bits, n_hashes
     )
     sdir = _idx_dir(table_dir, key_col)
     os.makedirs(sdir, exist_ok=True)
@@ -172,7 +140,14 @@ def bloom_pruned_lookup(
     if not to_read:
         schema = spark.read.parquet(table_dir).schema
         return spark.createDataFrame([], schema), stats
-    rows = spark.read.parquet(*to_read).where(
-        F.col(key_col).cast("string").isin([str(v) for v in values])
+    # basePath keeps hive-partition columns (and their schema position)
+    # identical to a whole-table read even though only leaf files are
+    # listed; the filter stays on the RAW column so it pushes down to
+    # the parquet reader (a cast would block PushedFilters and row-group
+    # min/max skipping inside the surviving files)
+    rows = (
+        spark.read.option("basePath", table_dir)
+        .parquet(*to_read)
+        .where(F.col(key_col).isin(values))
     )
     return rows, stats
