@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_sentinel_imagery_spark.functions.text import tokens
@@ -78,17 +78,26 @@ def train_bigram_lm(
     vocab = (
         uni_all.orderBy(F.desc("c"), "w").limit(max_vocab).select("w")
     )
-    # map OOV → UNK once, at the array level, then derive both tables
-    # from the SAME mapped arrays (train/score symmetry)
-    mapped = _with_mapped_array(docs, text_col, vocab)
+    # map OOV → UNK by joining exploded rows against the (bounded,
+    # broadcast) vocab table — O(1) per token via the hash join, not an
+    # O(max_vocab) array_contains scan inside a transform (review
+    # finding: the scan made train/score cost corpus_tokens × V).
+    # Mapping is pointwise, so pairing raw tokens FIRST and mapping the
+    # two pair slots afterwards equals mapping-then-pairing.
     uni = (
-        mapped.select(F.explode("_mtoks").alias("w"))
+        _map_oov(
+            docs.select(F.explode(tokens(text_col)).alias("w")),
+            ["w"],
+            vocab,
+        )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c_w"))
     )
+    pairs = docs.select(
+        F.explode(_bigram_pairs(tokens(text_col))).alias("p")
+    ).select(F.col("p.v").alias("v"), F.col("p.w").alias("w"))
     big = (
-        mapped.select(F.explode(_bigram_pairs()).alias("p"))
-        .select(F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+        _map_oov(pairs, ["v", "w"], vocab)
         .groupBy("v", "w")
         .agg(F.count(F.lit(1)).alias("c_vw"))
     )
@@ -109,26 +118,31 @@ def train_bigram_lm(
     )
 
 
-def _with_mapped_array(docs: DataFrame, text_col: str, vocab: DataFrame):
-    """docs + ``_mtoks`` array with OOV replaced by UNK (broadcast
-    membership via a joined vocab array — vocabulary is bounded)."""
-    vocab_arr = vocab.agg(
-        F.array_sort(F.collect_set("w")).alias("_vocab")
-    )
-    return docs.crossJoin(F.broadcast(vocab_arr)).select(
-        "*",
-        F.transform(
-            tokens(text_col),
-            lambda t: F.when(
-                F.array_contains(F.col("_vocab"), t), t
+def _map_oov(df: DataFrame, cols: list[str], vocab: DataFrame) -> DataFrame:
+    """Replace every out-of-vocabulary value in ``cols`` with UNK via a
+    broadcast hash join per column (BOS passes through — it is a
+    sentinel, not a vocabulary member)."""
+    out = df
+    for c in cols:
+        flag = f"_in_{c}"
+        out = out.join(
+            F.broadcast(
+                vocab.select(F.col("w").alias(c), F.lit(True).alias(flag))
+            ),
+            c,
+            "left",
+        ).withColumn(
+            c,
+            F.when(
+                (F.col(c) == BOS) | F.col(flag).isNotNull(), F.col(c)
             ).otherwise(F.lit(UNK)),
-        ).alias("_mtoks"),
-    )
+        ).drop(flag)
+    return out
 
 
-def _bigram_pairs():
-    """(v, w) struct array over BOS-prefixed ``_mtoks``."""
-    with_bos = F.concat(F.array(F.lit(BOS)), F.col("_mtoks"))
+def _bigram_pairs(arr: Column) -> Column:
+    """(v, w) struct array over the BOS-prefixed token array."""
+    with_bos = F.concat(F.array(F.lit(BOS)), arr)
     n = F.size(with_bos)
     return F.zip_with(
         F.slice(with_bos, 1, n - 1),
@@ -145,17 +159,20 @@ def score_docs(
     broadcast_model: bool = True,
 ) -> DataFrame:
     """(id, n_scored, nll) — mean negative log p per token (lower =
-    more natural). Empty docs get NULL nll. ``broadcast_model=False``
-    switches the bigram join to shuffle (sort-merge) for models too big
-    to broadcast."""
+    more natural). Tokenless docs are ABSENT from the output (explode
+    yields no pair rows for them — callers wanting a row per doc left-
+    join this result back). ``broadcast_model=False`` switches the
+    bigram join to shuffle (sort-merge) for models too big to
+    broadcast."""
     vocab = lm.unigrams.select("w")
-    mapped = _with_mapped_array(
-        docs.select(id_col, text_col), text_col, vocab
+    pairs = _map_oov(
+        docs.select(
+            F.col(id_col),
+            F.explode(_bigram_pairs(tokens(text_col))).alias("p"),
+        ).select(id_col, F.col("p.v").alias("v"), F.col("p.w").alias("w")),
+        ["v", "w"],
+        vocab,
     )
-    pairs = mapped.select(
-        F.col(id_col),
-        F.explode(_bigram_pairs()).alias("p"),
-    ).select(id_col, F.col("p.v").alias("v"), F.col("p.w").alias("w"))
     big = lm.bigrams
     ctx = lm.context_totals
     uni = lm.unigrams
