@@ -57,11 +57,17 @@ def pagerank(
     # (src, dst, deg) fixed for the whole run — compute once, checkpoint
     # so iterations reuse the materialized table instead of re-joining
     fan = e.join(outdeg, "src").localCheckpoint()
+    # the dangling NODE SET is also run-constant: checkpoint it so the
+    # per-iteration mass collect doesn't re-run the edge distinct +
+    # out-degree aggregation from lineage every round (review finding)
+    dangling_nodes = nodes.join(
+        outdeg, nodes["node"] == outdeg["src"], "anti"
+    ).localCheckpoint()
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iter):
         dangling = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"], "anti")
+            ranks.join(dangling_nodes, "node", "semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .collect()[0][0]
         )

@@ -28,6 +28,11 @@ Design — bucket finality via event-time watermark:
 - The z statistics replay the batch formula on the ring: exact integer
   Σv / Σv² folded to double in the same operation order, so the emitted
   doubles are bit-identical to `rolling_zscore`'s (asserted in tests).
+  Bound, stated honestly: bit-parity holds while the window's Σv stays
+  under 2^26.5 (so s·s is exact in a double, ~90M events per bucket at
+  the default 4-bucket frame) — beyond that Python's exact-int s*s and
+  the batch side's double-squared s can differ by 1 ulp. Statistical
+  agreement is unaffected.
 - Drain without new per-key data uses ``EventTimeTimeout``: after each
   update the key arms a timeout at its next finalization boundary, so a
   key whose events stopped still emits its trailing buckets when OTHER
