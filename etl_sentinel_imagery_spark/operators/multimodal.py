@@ -315,6 +315,61 @@ def resize_media(
     )
 
 
+def gif_frame_table(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Animated-GIF payloads → one row per COMPOSITED frame with typed
+    stats — the real-container video path (functions.gif decodes LZW +
+    disposal natively; mp4-class codecs stay behind the decoder seam).
+    Unparseable payloads land with ``parse_error`` instead of failing
+    the scan (the jp2_metadata quarantine policy)."""
+    from etl_sentinel_imagery_spark.functions.gif import (
+        GifParseError,
+        decode_gif,
+    )
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    frames, delays = decode_gif(bytes(payload))
+                except (GifParseError, IndexError, KeyError) as e:
+                    rows.append(
+                        (key, None, None, None, None, None, str(e))
+                    )
+                    continue
+                for fi, (fr, d) in enumerate(zip(frames, delays)):
+                    rows.append(
+                        (
+                            key,
+                            fi,
+                            int(d),
+                            int(fr.shape[0]),
+                            int(fr.shape[1]),
+                            [float(fr[..., c].mean()) for c in range(3)],
+                            None,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "frame_idx", "delay_cs", "height", "width",
+                    "channel_means", "parse_error",
+                ],
+            )
+
+    return media.mapInPandas(
+        _frames,
+        schema=(
+            f"{id_col} bigint, frame_idx int, delay_cs int, height int, "
+            "width int, channel_means array<double>, parse_error string"
+        ),
+    )
+
+
 def default_audio_decoder(payload: bytes, meta: dict) -> tuple:
     """WAV PCM decodes natively (pure-stdlib codec, functions.wav) to
     ((n_frames, n_channels) samples, sample_rate); compressed audio

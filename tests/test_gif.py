@@ -1,0 +1,178 @@
+"""GIF codec: independent LZW encode/decode cross-check, hand-built
+stream decode, compositing/transparency/interlace semantics, and the
+Spark frame-table operator."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from etl_sentinel_imagery_spark.functions.gif import (
+    GifParseError,
+    decode_gif,
+    encode_gif,
+    is_gif,
+    lzw_decode,
+    lzw_encode,
+)
+from etl_sentinel_imagery_spark.operators.multimodal import gif_frame_table
+
+PALETTE = np.array(
+    [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+)
+
+
+def test_lzw_roundtrip_random_and_adversarial():
+    rng = np.random.default_rng(23)
+    cases = [
+        bytes(rng.integers(0, 4, 500, dtype=np.uint8)),
+        b"\x00" * 1000,  # maximal dictionary reuse
+        bytes([0, 1] * 400),  # KwKwK-heavy
+        bytes(rng.integers(0, 256, 6000, dtype=np.uint8)),  # forces 4096 cap
+    ]
+    for i, px in enumerate(cases):
+        mcs = 2 if max(px) < 4 else 8
+        dec = lzw_decode(lzw_encode(px, mcs), mcs, len(px))
+        assert dec == px, f"case {i}"
+
+
+def test_lzw_decode_hand_built_stream():
+    """Stream assembled by hand from the spec's coding rules (CLEAR,
+    literals growing the dictionary, reuse of code 6, END) — decoder
+    validated against the spec, not just our own encoder."""
+    # min_code_size=2: CLEAR=4 END=5, width starts at 3
+    # codes: CLEAR(4), 0, 1, 6(="01"), END(5)  → pixels 0,1,0,1
+    codes = [(4, 3), (0, 3), (1, 3), (6, 3), (5, 3)]
+    acc = n = 0
+    buf = bytearray()
+    for c, w in codes:
+        acc |= c << n
+        n += w
+        while n >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        buf.append(acc & 0xFF)
+    assert lzw_decode(bytes(buf), 2, 4) == bytes([0, 1, 0, 1])
+
+
+def test_gif_roundtrip_animation():
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 4, size=(3, 8, 11), dtype=np.uint8)
+    buf = encode_gif(frames, PALETTE, delays=[5, 10, 15])
+    assert is_gif(buf)
+    rgb, delays = decode_gif(buf)
+    assert rgb.shape == (3, 8, 11, 3)
+    assert delays == [5, 10, 15]
+    for i in range(3):
+        assert np.array_equal(rgb[i], PALETTE[frames[i]])
+
+
+def test_transparency_composites_over_previous_frame():
+    """Frame 2 marks color 0 transparent: those pixels must show frame
+    1's content (real compositing, not palette lookup)."""
+    f1 = np.full((4, 4), 1, dtype=np.uint8)  # all red
+    f2 = np.zeros((4, 4), dtype=np.uint8)  # transparent except one px
+    f2[2, 2] = 2  # green
+    buf = bytearray(encode_gif(np.stack([f1, f2]), PALETTE))
+    # set the transparency flag + index 0 on the SECOND graphics control
+    # extension (0x21 0xF9 04 <flags> ...)
+    hits = []
+    i = 0
+    while True:
+        i = buf.find(b"\x21\xf9\x04", i)
+        if i < 0:
+            break
+        hits.append(i)
+        i += 3
+    assert len(hits) == 2
+    buf[hits[1] + 3] |= 0x01  # transparent flag; index byte is already 0
+    rgb, _ = decode_gif(bytes(buf))
+    assert np.array_equal(rgb[1][2, 2], PALETTE[2])
+    assert np.array_equal(rgb[1][0, 0], PALETTE[1])  # shows frame 1
+
+
+def test_interlaced_image_deinterlaces():
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 4, size=(9, 5), dtype=np.uint8)
+    buf = bytearray(encode_gif(frame[None], PALETTE))
+    # flip the interlace flag and physically reorder rows into the
+    # 4-pass order the flag promises
+    i = buf.find(b"\x2c")
+    il, it, iw, ih, iflags = struct.unpack("<HHHHB", buf[i + 1 : i + 10])
+    order = (
+        list(range(0, 9, 8))
+        + list(range(4, 9, 8))
+        + list(range(2, 9, 4))
+        + list(range(1, 9, 2))
+    )
+    from etl_sentinel_imagery_spark.functions.gif import lzw_encode as enc
+
+    reordered = frame[order].tobytes()
+    data = enc(reordered, 2)
+    new = bytearray(buf[: i + 1])
+    new += struct.pack("<HHHHB", il, it, iw, ih, iflags | 0x40)
+    new.append(2)
+    for j in range(0, len(data), 255):
+        chunk = data[j : j + 255]
+        new.append(len(chunk))
+        new += chunk
+    new += b"\x00\x3b"
+    rgb, _ = decode_gif(bytes(new))
+    assert np.array_equal(rgb[0], PALETTE[frame])
+
+
+def test_disposal_3_raises_and_non_gif_rejected():
+    with pytest.raises(GifParseError):
+        decode_gif(b"definitely not a gif at all")
+    f = np.zeros((2, 2), dtype=np.uint8)
+    buf = bytearray(encode_gif(f[None], PALETTE))
+    i = buf.find(b"\x21\xf9\x04")
+    buf[i + 3] |= 3 << 2  # disposal method 3
+    with pytest.raises(GifParseError, match="disposal"):
+        decode_gif(bytes(buf))
+
+
+def test_spark_frame_table(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for doc in (1, 2):
+        frames = rng.integers(0, 4, size=(doc + 1, 6, 7), dtype=np.uint8)
+        rows.append((doc, bytearray(encode_gif(frames, PALETTE))))
+    rows.append((3, bytearray(b"corrupt bytes here")))
+    media = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = gif_frame_table(media).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [r["frame_idx"] for r in sorted(by_doc[1], key=lambda r: r["frame_idx"])] == [0, 1]
+    assert [r["frame_idx"] for r in sorted(by_doc[2], key=lambda r: r["frame_idx"])] == [0, 1, 2]
+    for doc in (1, 2):
+        for r in by_doc[doc]:
+            assert (r["height"], r["width"]) == (6, 7)
+            assert len(r["channel_means"]) == 3
+            assert r["parse_error"] is None
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["parse_error"]
+
+
+def test_real_world_gifs_decode_if_present():
+    """Real encoder output (idlelib icons, when present on the host)
+    is the convention oracle: a wrong LZW width rule desyncs within a
+    few codes on every one of these."""
+    import glob
+    import os
+
+    pattern = (
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+        "python3.11/idlelib/Icons/*.gif"
+    )
+    files = sorted(glob.glob(pattern))
+    if not files:
+        pytest.skip("no real-world gif fixtures on this host")
+    for f in files:
+        with open(f, "rb") as fh:
+            rgb, _ = decode_gif(fh.read())
+        assert rgb.ndim == 4 and rgb.shape[3] == 3 and rgb.shape[0] >= 1
