@@ -176,3 +176,24 @@ def test_real_world_gifs_decode_if_present():
         with open(f, "rb") as fh:
             rgb, _ = decode_gif(fh.read())
         assert rgb.ndim == 4 and rgb.shape[3] == 3 and rgb.shape[0] >= 1
+
+
+def test_gif_flows_through_image_decoder_seam(spark):
+    """default_decoder now handles GIF natively: decode_and_summarize
+    and resize_media work on GIF payloads with NO injected decoder."""
+    from etl_sentinel_imagery_spark.operators.multimodal import (
+        decode_and_summarize,
+        resize_media,
+    )
+
+    rng = np.random.default_rng(5)
+    frame = rng.integers(0, 4, size=(10, 12), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_gif(frame[None], PALETTE)))],
+        "doc_id bigint, payload binary",
+    )
+    s = decode_and_summarize(media).collect()[0]
+    assert (s["height"], s["width"]) == (10, 12)
+    assert len(s["channel_means"]) == 3
+    r = resize_media(media, 5, 6, method="nearest").collect()[0]
+    assert (r["height"], r["width"]) == (5, 6)
