@@ -38,14 +38,30 @@ def pagerank(
     n_iter: int = 20,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(node, rank) over the directed graph ``edges``; ranks sum to 1.
 
-    Parallel edges count once (the edge set is made distinct — PageRank
-    over multigraphs weights links, which is a different operator)."""
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    Unweighted (default): parallel edges count once (the edge set is
+    made distinct). With ``weight_col``: each edge carries rank
+    proportional to weight / Σ(out-weights) — parallel edges are
+    meaningful and kept (their weights add)."""
+    if weight_col is None:
+        e = edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.lit(1.0).alias("w"),
+        ).distinct()
+    else:
+        e = (
+            edges.select(
+                F.col(src_col).alias("src"),
+                F.col(dst_col).alias("dst"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -53,7 +69,7 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("deg"))
     # (src, dst, deg) fixed for the whole run — compute once, checkpoint
     # so iterations reuse the materialized table instead of re-joining
     fan = e.join(outdeg, "src").localCheckpoint()
@@ -73,7 +89,10 @@ def pagerank(
         )
         contrib = (
             fan.join(ranks, fan["src"] == ranks["node"])
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .select(
+                "dst",
+                (F.col("rank") * F.col("w") / F.col("deg")).alias("c"),
+            )
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )

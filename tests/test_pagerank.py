@@ -78,3 +78,46 @@ def test_parallel_edges_count_once(spark):
     b = _run(spark, [(0, 1), (1, 0)])
     for v in a:
         assert abs(a[v] - b[v]) < 1e-12
+
+
+def test_weighted_edges_shift_rank(spark):
+    """Weighted variant vs a dense reference: node 0 splits rank 3:1
+    between nodes 1 and 2."""
+
+    def ref(n_iter=20, d=0.85):
+        # nodes 0,1,2; 0->1 w3, 0->2 w1; 1->0 w1; 2->0 w1
+        import numpy as np
+
+        r = np.full(3, 1 / 3)
+        for _ in range(n_iter):
+            contrib = np.zeros(3)
+            contrib[1] += r[0] * 3 / 4
+            contrib[2] += r[0] * 1 / 4
+            contrib[0] += r[1] + r[2]
+            r = 0.15 / 3 + d * contrib
+        return r
+
+    df = spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "src bigint, dst bigint, w double",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, weight_col="w").collect()
+    }
+    want = ref()
+    for i in range(3):
+        assert abs(got[i] - want[i]) < 1e-9
+    assert got[1] > got[2]  # the heavier edge wins
+
+    # parallel weighted edges add: (0,1,3) == (0,1,1)+(0,1,2)
+    df2 = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 1, 2.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "src bigint, dst bigint, w double",
+    )
+    got2 = {
+        r["node"]: r["rank"]
+        for r in pagerank(df2, weight_col="w").collect()
+    }
+    for i in range(3):
+        assert abs(got[i] - got2[i]) < 1e-12
