@@ -946,3 +946,69 @@ def pq_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "dist", "rnk")
     )
+
+
+def brute_force_topk_gemm(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via BLOCKED MATRIX MULTIPLY — the fast exact
+    path for serving and for ground-truth computation at scale.
+
+    `brute_force_topk` scores each pair with a sequential-fold dot
+    expression (deliberately: that form is DuckDB-restatable and is the
+    hash-battery anchor). This variant trades the oracle for raw
+    throughput: the query matrix (Q × d, control-plane-sized) broadcasts
+    to every corpus partition, each Arrow batch scores with ONE numpy
+    GEMM (batch × d @ d × Q — BLAS, ~50× the per-pair fold), keeps only
+    its per-partition top-k per query, and a single global window over
+    partitions × Q × k rows picks the final k. The corpus is never
+    shuffled; the shuffle carries candidate rows only.
+
+    Equality with brute_force_topk is up to float summation order
+    (GEMM accumulates in a different order than the sequential fold) —
+    identical top-k sets on non-degenerate data, pinned in pytest.
+    """
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.stack(
+        [np.asarray(r[vec_col], dtype="float64") for r in q_rows]
+    )
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ q_mat.T  # (batch, Q) — one BLAS call
+            top = min(k + 1, len(ids))  # +1 absorbs the self-match
+            part = np.argpartition(-sims, top - 1, axis=0)[:top]
+            rows = []
+            for qi in range(len(q_ids)):
+                for ci in part[:, qi]:
+                    if ids[ci] == q_ids[qi]:
+                        continue
+                    rows.append(
+                        (int(q_ids[qi]), int(ids[ci]), float(sims[ci, qi]))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["query_id", "cand_id", "cos_sim"]
+            )
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id bigint, cand_id bigint, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rnk")
+    )

@@ -380,3 +380,25 @@ def test_ivf_expr_twin_matches_numpy_assignment_recall(spark):
     }
     overlap = len(expr_pairs & numpy_pairs) / max(len(numpy_pairs), 1)
     assert overlap >= 0.9, f"expr/numpy seeded-IVF diverged: {overlap}"
+
+
+def test_gemm_topk_matches_fold_topk(spark):
+    """Blocked-GEMM exact top-k returns the same (query, cand, rnk)
+    sets as the fold-expression anchor (scores equal within float
+    summation order)."""
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_gemm,
+    )
+    from etl_sentinel_imagery_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    a = brute_force_topk(emb, F.col("vec_id") < 20, k=5).collect()
+    b = brute_force_topk_gemm(emb, queries, k=5).collect()
+    key = lambda rows: {
+        (r["query_id"], r["rnk"]): (r["cand_id"], round(r["cos_sim"], 9))
+        for r in rows
+    }
+    assert key(a) == key(b)

@@ -32,7 +32,7 @@ from etl_sentinel_imagery_spark.operators.hnsw import (
     hnsw_topk,
 )
 from etl_sentinel_imagery_spark.operators.similarity import (
-    brute_force_topk,
+    brute_force_topk_gemm,
     ivf_topk_indexed,
     write_ivf_index,
 )
@@ -86,9 +86,7 @@ def main() -> None:
     queries = synth_vectors(spark, N_QUERIES)  # ids 0..Q-1 ⊂ corpus ids
 
     t0 = time.time()
-    exact = brute_force_topk(
-        corpus, F.col("vec_id") < N_QUERIES, k=TOP_K
-    ).collect()
+    exact = brute_force_topk_gemm(corpus, queries, k=TOP_K).collect()
     out["brute_force_s"] = round(time.time() - t0, 2)
 
     cent = np.stack(
