@@ -88,6 +88,13 @@ CHECKS = {
         "partial_count": True,
         "Generate": True,
     },
+    # sessionize carries the bucketized interval join (round 3): the
+    # purchases-in-session predicate must plan as an equi-join on the
+    # bin keys, never a BroadcastNestedLoop theta-join
+    "events_sessionize": {
+        "BroadcastNestedLoop": False,
+        "Window": True,
+    },
 }
 
 
