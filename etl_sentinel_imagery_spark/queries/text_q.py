@@ -316,8 +316,8 @@ def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content_hash",
             "canonical_id",
             "n_copies",
-            "n_dup_spans",
-            "dup_token_count",
+            F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+            F.col("dup_token_count").cast("long").alias("dup_token_count"),
             spans_str.alias("dup_spans_str"),
             "clean_text",
         )
@@ -370,8 +370,9 @@ SELECT t.doc_id,
        md5(t.text) AS content_hash,
        g.canonical_id,
        g.n_copies,
-       COALESCE(s.n_dup_spans, 0) AS n_dup_spans,
-       COALESCE(s.dup_token_count, 0) AS dup_token_count,
+       CAST(COALESCE(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       -- SUM yields HUGEINT, which pandas renders as float64 — pin BIGINT
+       CAST(COALESCE(s.dup_token_count, 0) AS BIGINT) AS dup_token_count,
        COALESCE(s.dup_spans_str, '') AS dup_spans_str,
        -- COALESCE: DuckDB array_to_string([]) is NULL, Spark concat_ws ''
        COALESCE(array_to_string(
