@@ -150,3 +150,63 @@ def grid_spatial_join(
         for c in polygons.columns
     ]
     return matched.unionByName(missing.select(*pcols, *null_polys))
+
+
+def radius_join(
+    points_a: DataFrame,
+    points_b: DataFrame,
+    radius: float,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """All (a, b) pairs with euclidean distance <= radius — the
+    ST_DWithin shape, as a grid equi-join.
+
+    Cells are radius-sized, so any qualifying pair sits within one cell
+    of each other on both axes: the B side explodes to its 3x3 cell
+    neighborhood, the A side carries its single cell, and every
+    candidate pair meets EXACTLY ONCE (in A's cell — B emits each
+    neighbor cell once). Exact distance filters the candidates; the
+    fan-out is a constant 9, independent of data. B's columns come back
+    ``b_``-prefixed with a ``dist`` column appended.
+    """
+    cx = F.floor(F.col(x_col) / radius).cast("long")
+    cy = F.floor(F.col(y_col) / radius).cast("long")
+    a = points_a.select(
+        "*", cx.alias("_acx"), cy.alias("_acy")
+    )
+    off = F.sequence(F.lit(-1), F.lit(1))
+    # neighbor cells computed from the ORIGINAL columns: referencing the
+    # b_-aliases from the same select would be a lateral column alias
+    # (Spark rejects it inside generators)
+    b = points_b.select(
+        *[F.col(c).alias(f"b_{c}") for c in points_b.columns],
+        F.explode(
+            F.flatten(
+                F.transform(
+                    off,
+                    lambda dx: F.transform(
+                        off,
+                        lambda dy: F.struct(
+                            (F.floor(F.col(x_col) / radius).cast("long") + dx).alias("cx"),
+                            (F.floor(F.col(y_col) / radius).cast("long") + dy).alias("cy"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("_bc"),
+    )
+    dist = F.sqrt(
+        F.pow(F.col(x_col) - F.col(f"b_{x_col}"), 2)
+        + F.pow(F.col(y_col) - F.col(f"b_{y_col}"), 2)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("_acx") == F.col("_bc.cx"))
+            & (F.col("_acy") == F.col("_bc.cy")),
+        )
+        .withColumn("dist", dist)
+        .where(F.col("dist") <= radius)
+        .drop("_acx", "_acy", "_bc")
+    )

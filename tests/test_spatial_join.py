@@ -107,3 +107,40 @@ def test_mega_polygon_guard(spark):
         grid_spatial_join(
             p_df, g_df, cell_size=1.0, max_cells_per_polygon=100
         ).collect()
+
+
+def test_radius_join_matches_naive(spark):
+    rng = random.Random(31)
+    a = [(i, rng.uniform(0, 50), rng.uniform(0, 50)) for i in range(200)]
+    b = [(j, rng.uniform(0, 50), rng.uniform(0, 50)) for j in range(150)]
+    from etl_sentinel_imagery_spark.operators.spatial_join import radius_join
+
+    a_df = spark.createDataFrame(a, "aid bigint, x double, y double")
+    b_df = spark.createDataFrame(b, "bid bigint, x double, y double")
+    got = {
+        (r["aid"], r["b_bid"])
+        for r in radius_join(a_df, b_df, 3.0).collect()
+    }
+    want = {
+        (ai, bi)
+        for ai, ax, ay in a
+        for bi, bx, by in b
+        if ((ax - bx) ** 2 + (ay - by) ** 2) ** 0.5 <= 3.0
+    }
+    assert got == want and len(want) > 100
+    # exactly-once: no duplicate candidate pairs survive
+    rows = radius_join(a_df, b_df, 3.0).collect()
+    assert len(rows) == len(got)
+
+
+def test_radius_join_negative_coords_and_boundary(spark):
+    from etl_sentinel_imagery_spark.operators.spatial_join import radius_join
+
+    a_df = spark.createDataFrame(
+        [(1, -5.0, -5.0)], "aid bigint, x double, y double"
+    )
+    b_df = spark.createDataFrame(
+        [(7, -5.0, -8.0), (8, -5.0, -8.1)], "bid bigint, x double, y double"
+    )
+    got = {(r["aid"], r["b_bid"]) for r in radius_join(a_df, b_df, 3.0).collect()}
+    assert got == {(1, 7)}  # dist 3.0 inclusive; 3.1 excluded
