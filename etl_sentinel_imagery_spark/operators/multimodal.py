@@ -86,6 +86,13 @@ def default_decoder(payload: bytes, meta: dict) -> np.ndarray:
         raise NotImplementedError(
             "big-endian TIFF is outside the baseline codec; inject a decoder"
         )
+    from etl_sentinel_imagery_spark.functions.gif import decode_gif, is_gif
+
+    if is_gif(payload):
+        # native GIF decode (functions.gif): first composited frame as
+        # the still image — animated payloads go through gif_frame_table
+        frames, _delays = decode_gif(payload)
+        return frames[0]
     from etl_sentinel_imagery_spark.functions.jp2 import is_jp2, parse_jp2
 
     if is_jp2(payload):
@@ -186,7 +193,9 @@ def decode_and_summarize(
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                img = decoder(r["payload"], r["meta"])
+                # meta is optional: self-describing payloads (GeoTIFF,
+                # GIF) need none; .get keeps meta-less media tables valid
+                img = decoder(r["payload"], r.get("meta"))
                 rows.append(
                     {
                         id_col: r[id_col],
