@@ -10,9 +10,12 @@ audio and functions.geotiff for images; mp4-class codecs stay behind
 the injectable decoder seam.
 
 Scope (documented, not silent): global + local color tables,
-interlaced images (4-pass), transparency, disposal methods 0/1
-(leave) and 2 (restore background); disposal 3 (restore previous) is
-rare and raises. Validation is NOT circular: besides the independent
+interlaced images (4-pass), transparency, all four disposal methods
+(0/1 leave, 2 restore background, 3 restore previous — the region is
+snapshotted before the draw and restored after the frame is emitted).
+Truncated or out-of-bounds streams raise GifParseError (never a bare
+struct/numpy error), so the Spark-side quarantine can rely on one
+exception family. Validation is NOT circular: besides the independent
 encoder/decoder cross-check (encoder builds the string→code
 dictionary, decoder the code→string one including the KwKwK case) and
 hand-built spec streams, the decoder is validated against REAL
@@ -172,14 +175,19 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
 def decode_gif(buf: bytes) -> tuple[np.ndarray, list[int]]:
     """GIF bytes → ((n_frames, H, W, 3) uint8 RGB, per-frame delay in
     hundredths of a second). Frames are COMPOSITED onto the logical
-    screen (disposal 0/1 leave, 2 restores background; 3 raises)."""
+    screen (disposal 0/1 leave, 2 restores background, 3 restores the
+    pre-frame region)."""
     if not is_gif(buf):
         raise GifParseError("not a GIF stream")
+    if len(buf) < 13:
+        raise GifParseError("truncated GIF header")
     w, h, flags, bg, _ar = struct.unpack("<HHBBB", buf[6:13])
     pos = 13
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 7)
+        if pos + 3 * n > len(buf):
+            raise GifParseError("truncated global color table")
         gct = np.frombuffer(buf[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
 
@@ -197,10 +205,14 @@ def decode_gif(buf: bytes) -> tuple[np.ndarray, list[int]]:
     def read_subblocks(p):
         chunks = []
         while True:
+            if p >= len(buf):
+                raise GifParseError("truncated sub-block chain")
             n = buf[p]
             p += 1
             if n == 0:
                 break
+            if p + n > len(buf):
+                raise GifParseError("truncated sub-block payload")
             chunks.append(buf[p : p + n])
             p += n
         return b"".join(chunks), p
@@ -221,17 +233,27 @@ def decode_gif(buf: bytes) -> tuple[np.ndarray, list[int]]:
             continue
         if block != 0x2C:
             raise GifParseError(f"unknown block 0x{block:02x}")
+        if pos + 9 > len(buf):
+            raise GifParseError("truncated image descriptor")
         il, it, iw, ih, iflags = struct.unpack("<HHHHB", buf[pos : pos + 9])
         pos += 9
+        if il + iw > w or it + ih > h:
+            raise GifParseError(
+                "image descriptor exceeds the logical screen"
+            )
         table = gct
         if iflags & 0x80:
             n = 2 << (iflags & 7)
+            if pos + 3 * n > len(buf):
+                raise GifParseError("truncated local color table")
             table = np.frombuffer(
                 buf[pos : pos + 3 * n], dtype=np.uint8
             ).reshape(n, 3)
             pos += 3 * n
         if table is None:
             raise GifParseError("image with no color table")
+        if pos >= len(buf):
+            raise GifParseError("truncated image data")
         min_code = buf[pos]
         pos += 1
         data, pos = read_subblocks(pos)
@@ -240,10 +262,9 @@ def decode_gif(buf: bytes) -> tuple[np.ndarray, list[int]]:
         ).reshape(ih, iw)
         if iflags & 0x40:
             idx = _deinterlace(idx)
-        if disposal == 3:
-            raise GifParseError(
-                "disposal method 3 (restore previous) not supported"
-            )
+        # disposal 3 = restore previous: only the drawn region changes,
+        # so snapshotting it is equivalent to snapshotting the canvas
+        saved = canvas[it : it + ih, il : il + iw].copy() if disposal == 3 else None
         region = canvas[it : it + ih, il : il + iw]
         rgb = table[np.minimum(idx, len(table) - 1)]
         if transparent is not None:
@@ -258,18 +279,31 @@ def decode_gif(buf: bytes) -> tuple[np.ndarray, list[int]]:
                 gct[bg] if gct is not None and bg < len(gct) else 0
             )
             canvas[it : it + ih, il : il + iw] = bg_rgb
+        elif disposal == 3:
+            canvas[it : it + ih, il : il + iw] = saved
+        # per GIF89a a Graphic Control Extension governs only the single
+        # following rendering block — without this reset a later frame
+        # lacking its own GCE would inherit transparency/disposal/delay
+        transparent, disposal, delay = None, 0, 0
     if not frames:
         raise GifParseError("no image blocks")
     return np.stack(frames), delays
 
 
 def encode_gif(
-    frames: np.ndarray, palette: np.ndarray, delays: list[int] | None = None
+    frames: np.ndarray,
+    palette: np.ndarray,
+    delays: list[int] | None = None,
+    disposals: list[int] | None = None,
+    transparent: int | None = None,
 ) -> bytes:
     """(n_frames, H, W) palette-INDEX frames + (n, 3) uint8 palette →
-    animated GIF89a bytes (global table, full frames, no transparency).
-    The test-side counterpart of decode_gif; also a legitimate sink for
-    small rendered animations."""
+    animated GIF89a bytes (global table, full frames). ``disposals``
+    sets each frame's disposal method (default 1 = leave);
+    ``transparent`` marks one palette index transparent on every
+    frame's GCE. The independent counterpart of decode_gif, and the
+    kernel behind the :func:`~...operators.multimodal.gif_sink`
+    animation sink."""
     frames = np.asarray(frames, dtype=np.uint8)
     if frames.ndim == 2:
         frames = frames[None]
@@ -282,8 +316,11 @@ def encode_gif(
     out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
     out += table.tobytes()
     delays = delays or [10] * nf
-    for f, d in zip(frames, delays):
-        out += bytes([0x21, 0xF9, 4, 0x04]) + struct.pack("<H", d) + b"\x00\x00"
+    disposals = disposals or [1] * nf
+    for f, d, disp in zip(frames, delays, disposals):
+        gflags = (disp & 7) << 2 | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gflags]) + struct.pack("<H", d)
+        out += bytes([transparent or 0, 0])
         out += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, w, h, 0)
         min_code = depth
         out.append(min_code)

@@ -144,7 +144,14 @@ def interval_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type {how!r}")
-    guard = (F.col(end_col) - F.col(start_col)) / F.lit(bin_width)
+    # count the TRUE fan-out — floor(end/w) - floor(start/w) + 1, exactly
+    # what the sequence() below emits — not the (end-start)/w length
+    # ratio, which undercounts by up to 2 bins near bin boundaries
+    guard = (
+        F.floor(F.col(end_col) / bin_width)
+        - F.floor(F.col(start_col) / bin_width)
+        + F.lit(1)
+    )
     iv = (
         intervals
         # assert_true inside a filter is NOT prunable (unlike a dropped

@@ -208,11 +208,50 @@ def bpe_encode(
     )
 
 
+def capped_word_freqs(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_freq: int = 1,
+    max_vocab: int | None = 1_000_000,
+) -> DataFrame:
+    """:func:`word_freqs` bounded to a driver-safe size.
+
+    A web-scale corpus's distinct-"word" table (typos, URLs, hex hashes)
+    is effectively unbounded — Heaps' law gives sub-millions of NATURAL
+    words, but the tail of junk tokens grows with the corpus, so an
+    uncapped ``collect()`` is a driver OOM at exactly the scale training
+    targets. Standard BPE practice bounds it twice: a frequency floor
+    (``min_freq``) and a top-``max_vocab`` cap (freq desc, word asc —
+    deterministic). The cap runs as ``orderBy().limit()`` ⇒ Spark's
+    TakeOrderedAndProject, a distributed per-partition top-V + driver
+    merge — never a single-partition global sort.
+
+    Exactness note: with a non-binding cap, training on the word table
+    is EXACTLY corpus-level BPE (the tested property). When the cap
+    binds, dropped rare words stop contributing their (tiny) pair
+    counts — the same approximation HF/SentencePiece make, and rare
+    words can't win merges anyway when n_merges ≪ vocab."""
+    wf = word_freqs(docs, text_col)
+    if min_freq > 1:
+        wf = wf.where(F.col("freq") >= min_freq)
+    if max_vocab is not None:
+        wf = wf.orderBy(F.desc("freq"), F.asc("word")).limit(max_vocab)
+    return wf
+
+
 def train_bpe_distributed(
-    docs: DataFrame, n_merges: int, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_freq: int = 1,
+    max_vocab: int | None = 1_000_000,
 ) -> list:
-    """End-to-end: corpus → word table (Spark) → merges (driver)."""
-    rows = word_freqs(docs, text_col).collect()
+    """End-to-end: corpus → bounded word table (Spark) → merges (driver).
+
+    The collect is capped at ``max_vocab`` rows (default 1M ≈ tens of MB
+    — control-plane-sized by construction); see
+    :func:`capped_word_freqs` for the bounding semantics."""
+    rows = capped_word_freqs(docs, text_col, min_freq, max_vocab).collect()
     return train_bpe([(r["word"], r["freq"]) for r in rows], n_merges)
 
 

@@ -17,6 +17,7 @@ imagery_store.py:110-147 / SURVEY.md §2.1 S7).
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Callable, Iterator
 
 import numpy as np
@@ -279,14 +280,23 @@ def resize_media(
             rows = []
             for _, r in pdf.iterrows():
                 payload = bytes(r["payload"])
+                hwc = None
                 if payload[:4] == b"II*\x00":
-                    chw, transform, crs, nodata = decode_geotiff(payload)
-                    hwc = np.transpose(chw, (1, 2, 0))
-                    in_h, in_w = hwc.shape[:2]
-                    t2 = dict(transform)
-                    t2["a"] = transform["a"] * in_w / out_w
-                    t2["e"] = transform["e"] * in_h / out_h
-                else:
+                    # sniff, don't commit: a little-endian TIFF without
+                    # the geo tags (plain TIFF) raises KeyError inside
+                    # decode_geotiff — that payload belongs to the
+                    # injected decoder seam, not a hard failure
+                    try:
+                        chw, transform, crs, nodata = decode_geotiff(payload)
+                    except KeyError:
+                        pass
+                    else:
+                        hwc = np.transpose(chw, (1, 2, 0))
+                        in_h, in_w = hwc.shape[:2]
+                        t2 = dict(transform)
+                        t2["a"] = transform["a"] * in_w / out_w
+                        t2["e"] = transform["e"] * in_h / out_h
+                if hwc is None:
                     hwc = decoder(payload, r.get("meta"))
                     crs, nodata = "epsg:4326", None
                     t2 = {
@@ -345,7 +355,14 @@ def gif_frame_table(
             for key, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     frames, delays = decode_gif(bytes(payload))
-                except (GifParseError, IndexError, KeyError) as e:
+                # decode_gif raises GifParseError on everything it can
+                # anticipate, but corrupt payloads can still surface
+                # struct.error (short unpack) or ValueError (numpy shape
+                # mismatch) from depths the parser didn't guard — the
+                # quarantine contract is "no corrupt payload fails the
+                # task", so catch the full family (GifParseError
+                # subclasses ValueError)
+                except (ValueError, struct.error, IndexError, KeyError) as e:
                     rows.append(
                         (key, None, None, None, None, None, str(e))
                     )
@@ -376,6 +393,52 @@ def gif_frame_table(
             f"{id_col} bigint, frame_idx int, delay_cs int, height int, "
             "width int, channel_means array<double>, parse_error string"
         ),
+    )
+
+
+def gif_sink(
+    frames_df: DataFrame,
+    id_col: str = "doc_id",
+    frame_idx_col: str = "frame_idx",
+    pixels_col: str = "pixels",
+    delay_cs: int = 10,
+) -> DataFrame:
+    """Rendered single-band frame tables → animated-GIF payloads: one
+    row per ``id_col`` with the frames (``pixels array<array<int>>``,
+    the raster operators' band shape, values clipped to 0..255)
+    composited in ``frame_idx`` order onto a 256-level grayscale
+    palette. The encode side of :func:`gif_frame_table` — e.g. a
+    normalize→clip raster pipeline's time series rendered as an
+    animation. One applyInPandas group per animation; payload size is
+    bounded by the animation itself, not the table."""
+    from etl_sentinel_imagery_spark.functions.gif import encode_gif
+
+    gray = np.arange(256, dtype=np.uint8)
+    palette = np.stack([gray, gray, gray], axis=1)
+
+    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(frame_idx_col, ignore_index=True)
+        frames = np.stack(
+            [
+                np.clip(np.asarray(list(p), dtype=np.int64), 0, 255).astype(
+                    np.uint8
+                )
+                for p in pdf[pixels_col]
+            ]
+        )
+        payload = encode_gif(
+            frames, palette, delays=[int(delay_cs)] * len(frames)
+        )
+        return pd.DataFrame(
+            {
+                id_col: [pdf[id_col].iloc[0]],
+                "payload": [payload],
+                "n_frames": [len(frames)],
+            }
+        )
+
+    return frames_df.groupBy(id_col).applyInPandas(
+        _encode, schema=f"{id_col} bigint, payload binary, n_frames int"
     )
 
 

@@ -75,9 +75,12 @@ def build_file_bloom_index(
     sdir = _idx_dir(table_dir, key_col)
     os.makedirs(sdir, exist_ok=True)
     vname = f"v_{uuid.uuid4().hex[:8]}"
-    index.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(sdir, vname)
-    )
+    # multi-file write: the index is n_files rows of ~n_bits/8 bytes each
+    # (~4 GB at 1M files / 32 Kbit) — funnelling that through one task
+    # (the old coalesce(1)) serializes the build at exactly the scale the
+    # index targets. The groupBy's natural output partitioning flows
+    # through; AQE coalesces the small-index case to few files anyway.
+    index.write.mode("overwrite").parquet(os.path.join(sdir, vname))
     ptr_tmp = os.path.join(sdir, f"_CURRENT.tmp{vname}")
     with open(ptr_tmp, "w") as f:
         f.write(vname)
@@ -106,16 +109,19 @@ def bloom_pruned_lookup(
     than the index — appended data is never silently missed).
 
     Returns (rows DataFrame, stats dict with files_total / files_read /
-    files_unindexed)."""
-    idx_rows = read_file_bloom_index(spark, table_dir, key_col).collect()
-    if not idx_rows:
+    files_unindexed).
+
+    The probe evaluates DISTRIBUTED on the index DataFrame — only FILE
+    PATHS ever reach the driver (the true control-plane output). The
+    bitsets themselves (~n_bits/8 bytes × n_files ≈ 4 GB at 1M files)
+    stay executor-side; n_bits/n_hashes come from one ``first()`` row
+    (every row carries the same literals by construction)."""
+    idx = read_file_bloom_index(spark, table_dir, key_col)
+    shape = idx.select("n_bits", "n_hashes").first()
+    if shape is None:
         raise ValueError("empty bloom index")
-    n_bits = int(idx_rows[0]["n_bits"])
-    n_hashes = int(idx_rows[0]["n_hashes"])
-    idx = spark.createDataFrame(
-        [(r["file"], list(r["words"])) for r in idx_rows],
-        "file string, words array<bigint>",
-    )
+    n_bits = int(shape["n_bits"])
+    n_hashes = int(shape["n_hashes"])
     probe = F.lit(False)
     for v in values:
         probe = probe | F.coalesce(
@@ -125,7 +131,7 @@ def bloom_pruned_lookup(
             F.lit(False),
         )
     candidates = [r["file"] for r in idx.where(probe).select("file").collect()]
-    indexed = {r["file"] for r in idx_rows}
+    indexed = {r["file"] for r in idx.select("file").collect()}
     # inputFiles() is a FileIndex listing — metadata only, no data scan
     # (an input_file_name() distinct would read the whole table and
     # defeat the index)

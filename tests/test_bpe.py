@@ -137,3 +137,67 @@ def test_tokenizer_artifact_roundtrip_and_pointer_commit(tmp_path):
     assert v2 != v1
     assert load_tokenizer(d) == merges2
     assert load_tokenizer(d, version=v1) == merges
+
+
+def test_heavy_tail_vocab_collect_is_bounded(spark):
+    """Driver-safety on a heavy-tailed corpus: a few frequent words plus
+    an unbounded junk tail (URL/hash-like uniques). The capped word
+    table must be exactly max_vocab rows — the Zipf head, chosen
+    deterministically — and training on it must match training on the
+    true top-V table computed independently."""
+    import pyspark.sql.functions as F
+
+    from etl_sentinel_imagery_spark.operators.bpe import capped_word_freqs
+
+    head = "alpha beta gamma delta epsilon".split()
+    rows = []
+    for i in range(400):
+        junk = f"x{i:04d}hash{i * 7919 % 9973:04d}"  # unique per row
+        rows.append((i, " ".join(head[: 1 + i % 5] * 3) + " " + junk))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    capped = capped_word_freqs(docs, max_vocab=10)
+    got = capped.collect()
+    assert len(got) == 10  # bounded, though the corpus has 400+ words
+    # independent top-V: full table sorted (freq desc, word asc)
+    full = sorted(
+        [(r["word"], r["freq"]) for r in word_freqs(docs).collect()],
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert sorted(
+        [(r["word"], r["freq"]) for r in got], key=lambda t: (-t[1], t[0])
+    ) == full[:10]
+
+    # end-to-end: capped distributed training == driver training on the
+    # independent top-V table
+    merges = train_bpe_distributed(docs, n_merges=12, max_vocab=10)
+    assert merges == train_bpe(full[:10], 12)
+
+    # min_freq floor drops the junk tail entirely
+    floored = capped_word_freqs(docs, min_freq=5, max_vocab=None)
+    words = {r["word"] for r in floored.collect()}
+    assert words <= set(head)
+    assert "alpha" in words
+
+    # a non-binding cap changes nothing (the exactness property holds)
+    assert train_bpe_distributed(
+        docs, n_merges=12, max_vocab=1_000_000
+    ) == train_bpe_distributed(docs, n_merges=12, max_vocab=None)
+
+
+def test_capped_topv_is_distributed_topk(spark):
+    """The cap must plan as TakeOrderedAndProject (per-partition top-V +
+    driver merge), never a single-partition global Sort."""
+    import io
+    from contextlib import redirect_stdout
+
+    from etl_sentinel_imagery_spark.operators.bpe import capped_word_freqs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b a")], "doc_id bigint, text string"
+    )
+    plan_buf = io.StringIO()
+    with redirect_stdout(plan_buf):
+        capped_word_freqs(docs, max_vocab=5).explain("formatted")
+    plan = plan_buf.getvalue()
+    assert "TakeOrderedAndProject" in plan, plan

@@ -125,15 +125,107 @@ def test_interlaced_image_deinterlaces():
     assert np.array_equal(rgb[0], PALETTE[frame])
 
 
-def test_disposal_3_raises_and_non_gif_rejected():
+def test_non_gif_and_truncated_rejected_with_parse_error():
     with pytest.raises(GifParseError):
         decode_gif(b"definitely not a gif at all")
-    f = np.zeros((2, 2), dtype=np.uint8)
+    with pytest.raises(GifParseError):
+        decode_gif(b"GIF89a\x04\x00")  # header cut short
+    f = np.zeros((4, 4), dtype=np.uint8)
+    buf = encode_gif(f[None], PALETTE)
+    for cut in (14, len(buf) // 2, len(buf) - 2):
+        with pytest.raises(GifParseError):
+            decode_gif(buf[:cut])
+
+
+def test_descriptor_outside_screen_raises_typed_error():
+    """An image descriptor extending past the logical screen must raise
+    GifParseError, not a numpy broadcast ValueError from the clipped
+    canvas slice."""
+    f = np.zeros((4, 4), dtype=np.uint8)
     buf = bytearray(encode_gif(f[None], PALETTE))
-    i = buf.find(b"\x21\xf9\x04")
-    buf[i + 3] |= 3 << 2  # disposal method 3
-    with pytest.raises(GifParseError, match="disposal"):
+    i = buf.find(b"\x2c")
+    il, it, iw, ih, iflags = struct.unpack("<HHHHB", buf[i + 1 : i + 10])
+    buf[i + 1 : i + 10] = struct.pack("<HHHHB", il, it, iw + 3, ih, iflags)
+    with pytest.raises(GifParseError, match="logical screen"):
         decode_gif(bytes(buf))
+
+
+def test_disposal_3_restores_previous_region():
+    """Frame 2 draws with disposal 3 (restore previous): its pixels must
+    NOT leak into frame 3's composite."""
+    f1 = np.full((4, 4), 1, dtype=np.uint8)  # all red
+    f2 = np.zeros((4, 4), dtype=np.uint8)  # transparent except (1,1)
+    f2[1, 1] = 2  # green
+    f3 = np.zeros((4, 4), dtype=np.uint8)  # transparent except (0,0)
+    f3[0, 0] = 3  # blue
+    buf = encode_gif(
+        np.stack([f1, f2, f3]),
+        PALETTE,
+        disposals=[1, 3, 0],
+        transparent=0,
+    )
+    rgb, _ = decode_gif(buf)
+    assert np.array_equal(rgb[1][1, 1], PALETTE[2])  # f2 shows its draw
+    assert np.array_equal(rgb[2][0, 0], PALETTE[3])
+    # the restore-previous: without it this pixel would still be green
+    assert np.array_equal(rgb[2][1, 1], PALETTE[1])
+    assert np.array_equal(rgb[2][3, 3], PALETTE[1])
+
+
+def test_gce_state_does_not_leak_across_frames():
+    """Per GIF89a a GCE governs only the next rendering block: strip
+    frame 2's GCE and its pixels must render opaquely (no inherited
+    transparency) with delay 0 (no inherited delay)."""
+    f1 = np.full((4, 4), 1, dtype=np.uint8)
+    f2 = np.zeros((4, 4), dtype=np.uint8)
+    f2[2, 2] = 2
+    buf = bytearray(
+        encode_gif(np.stack([f1, f2]), PALETTE, delays=[7, 7], transparent=0)
+    )
+    second = buf.find(b"\x21\xf9\x04", buf.find(b"\x21\xf9\x04") + 3)
+    assert second > 0
+    del buf[second : second + 8]  # GCE: intro(2) + size + flags + delay(2) + idx + term
+    rgb, delays = decode_gif(bytes(buf))
+    assert delays == [7, 0]
+    # index 0 draws as palette[0] (opaque black), NOT frame 1's red
+    assert np.array_equal(rgb[1][0, 0], PALETTE[0])
+    assert np.array_equal(rgb[1][2, 2], PALETTE[2])
+
+
+def test_gif_sink_roundtrip(spark):
+    """Raster-shaped frame table → gif_sink → decode_gif recovers the
+    grayscale frames exactly; the payload also flows back through
+    gif_frame_table."""
+    from etl_sentinel_imagery_spark.operators.multimodal import gif_sink
+
+    rng = np.random.default_rng(17)
+    rows = []
+    frames_by_doc = {}
+    for doc in (1, 2):
+        frames = rng.integers(0, 256, size=(3, 5, 6), dtype=np.uint8)
+        frames_by_doc[doc] = frames
+        for fi in range(3):
+            rows.append((doc, fi, [[int(v) for v in row] for row in frames[fi]]))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, frame_idx int, pixels array<array<int>>"
+    )
+    out = {r["doc_id"]: r for r in gif_sink(df, delay_cs=4).collect()}
+    for doc in (1, 2):
+        assert out[doc]["n_frames"] == 3
+        rgb, delays = decode_gif(bytes(out[doc]["payload"]))
+        assert delays == [4, 4, 4]
+        expect = frames_by_doc[doc]
+        for fi in range(3):
+            # grayscale palette: every channel equals the input value
+            for c in range(3):
+                assert np.array_equal(rgb[fi][..., c], expect[fi])
+    media = spark.createDataFrame(
+        [(d, bytearray(out[d]["payload"])) for d in (1, 2)],
+        "doc_id bigint, payload binary",
+    )
+    ft = gif_frame_table(media).collect()
+    assert all(r["parse_error"] is None for r in ft)
+    assert len(ft) == 6
 
 
 def test_spark_frame_table(spark):
@@ -165,9 +257,14 @@ def test_real_world_gifs_decode_if_present():
     import glob
     import os
 
-    pattern = (
-        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
-        "python3.11/idlelib/Icons/*.gif"
+    # locate portably: any CPython that ships idlelib carries its icon
+    # GIFs — no machine-specific install prefix in the path
+    try:
+        import idlelib
+    except ImportError:
+        pytest.skip("idlelib not on this host")
+    pattern = os.path.join(
+        os.path.dirname(idlelib.__file__), "Icons", "*.gif"
     )
     files = sorted(glob.glob(pattern))
     if not files:

@@ -120,3 +120,61 @@ def test_partitioned_table_keeps_partition_columns(spark, tmp_path):
     # single-value isin folds to EqualTo; either way the key predicate
     # must reach the scan
     assert pushed and "doc_id" in pushed[0], pushed
+
+
+def test_lookup_never_collects_bitsets(spark, tmp_path, monkeypatch):
+    """100 TB rule: only FILE PATHS reach the driver — the probe must
+    evaluate distributed, never by materializing the per-file Bloom
+    words arrays (4 KB/file x 1M files is a driver OOM)."""
+    path = str(tmp_path / "t5")
+    _write_table(spark, path, n=2000, files=6)
+    build_file_bloom_index(spark, path, "doc_id")
+
+    # patch the CONCRETE DataFrame class (pyspark 4 routes collect
+    # through pyspark.sql.classic, not the abstract base)
+    cls = type(spark.range(1))
+    collected_schemas = []
+    orig_collect = cls.collect
+
+    def spy_collect(self):
+        collected_schemas.append([f.name for f in self.schema.fields])
+        return orig_collect(self)
+
+    monkeypatch.setattr(cls, "collect", spy_collect)
+    rows, stats = bloom_pruned_lookup(spark, path, "doc_id", [42, 1999])
+    monkeypatch.undo()
+    assert {r["doc_id"] for r in rows.collect()} == {42, 1999}
+    assert collected_schemas, "lookup must collect candidate file paths"
+    # every driver materialization is control-plane-sized: the shape row
+    # (n_bits/n_hashes via first→limit(1).collect) and file-path lists —
+    # never a schema carrying the words bitsets
+    for cols in collected_schemas:
+        assert "words" not in cols, (
+            f"driver materialized Bloom bitsets: {cols}"
+        )
+        assert cols in (["file"], ["n_bits", "n_hashes"]), cols
+
+
+def test_index_write_is_not_single_task(spark, tmp_path):
+    """The sidecar write must not funnel through one task (the old
+    coalesce(1)): with AQE's small-partition coalescing disabled, a
+    multi-partition index lands as multiple part files."""
+    import glob
+    import os
+
+    path = str(tmp_path / "t6")
+    _write_table(spark, path, n=4000, files=8)
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        build_file_bloom_index(spark, path, "doc_id")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    sdir = os.path.join(path, "_bloom_idx_doc_id")
+    with open(os.path.join(sdir, "_CURRENT")) as f:
+        vdir = os.path.join(sdir, f.read().strip())
+    parts = glob.glob(os.path.join(vdir, "part-*.parquet"))
+    assert len(parts) > 1, parts
+    # and the multi-file index still answers lookups exactly
+    rows, _ = bloom_pruned_lookup(spark, path, "doc_id", [123])
+    assert [r["doc_id"] for r in rows.collect()] == [123]
