@@ -11,6 +11,7 @@ from etl_sentinel_imagery_spark.queries import (
     relational,
     scalars,
     sentinel,
+    spatial_q,
     sql_api,
     temporal_q,
     text_q,
@@ -28,6 +29,7 @@ _MODULES = (
     sql_api,
     relational,
     scalars,
+    spatial_q,
     events_q,
     text_q,
     vectors_q,

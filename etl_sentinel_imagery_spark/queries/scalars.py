@@ -298,6 +298,8 @@ QUERIES: dict[str, Q] = {
         _part_collections_battery, _PART_COLLECTIONS_SQL,
         "P8 exists-over-arrays + F12 map build/merge/filter",
     ),
-    "fuzzy_name_pairs": Q(_fuzzy_name_pairs, _FUZZY_NAME_PAIRS_SQL, "Levenshtein block-join"),
+    # fuzzy_name_pairs moved into spatial_q.spatial_fuzzy_join_battery
+    # (the registry is capped at 50 rows; the battery freed a slot for
+    # the spatial-join oracle). _fuzzy_name_pairs itself lives on here.
     "array_transform_battery": Q(_array_transform_battery, _ARRAY_TRANSFORM_SQL, "zip_with/sequence/aggregate arrays"),
 }
