@@ -31,13 +31,18 @@ contain a fully-flagged k-gram span; substrings shorter than k are
 invisible. So k trades resolution against gram-table size exactly like
 the suffix-array length threshold (Lee et al. use 50 BPE tokens).
 
-Removal semantics, stated honestly: ALL occurrences of a duplicated
-span are flagged (including the "first" copy), because a canonical-copy
-election (keep exactly one) needs a global per-gram argmin — one more
-shuffle — and which copy survives is a policy choice. `keep_one=False`
-matches the common "remove boilerplate everywhere" deployment;
-span-level canonical election composes from `flagged_occurrences` if a
-pipeline wants it.
+Removal semantics: with ``keep_one=False`` (default) ALL occurrences
+of a duplicated span are flagged, including the "first" copy — the
+common "remove boilerplate everywhere" deployment. ``keep_one=True``
+is the Lee-et-al keep-one-copy deployment: each gram elects its
+canonical occurrence by global ``min(struct(id, start))`` — a field
+folded into the SAME combinable frequency groupBy, so the election
+costs no extra shuffle — and the canonical occurrence is left
+unflagged, so the lexicographically-first copy of a duplicated passage
+survives in ``clean_text``. The election is per-gram: if a gram also
+appears in an unrelated lower-id context, a span's flags can split at
+gram resolution (the fixed-resolution analog of Lee et al.'s
+suffix-interval choice; deterministic either way).
 
 Every step is restatable in ANSI SQL (window/group-by + list ops), so
 the operator carries a full DuckDB oracle via the docs battery.
@@ -90,20 +95,39 @@ def flagged_occurrences(
     text_col: str,
     k: int = 8,
     min_count: int = 2,
+    keep_one: bool = False,
 ) -> DataFrame:
     """(id, start, gram, gram_count) for every k-gram occurrence whose
     gram appears >= min_count times CORPUS-WIDE (within-doc repeats
-    count: a doc that repeats its own paragraph is boilerplate too)."""
+    count: a doc that repeats its own paragraph is boilerplate too).
+
+    ``keep_one=True`` drops each gram's canonical occurrence — the
+    global min over (id, start) — from the flagged set (see module
+    docstring); min(struct) rides in the same combinable groupBy as the
+    count, so the election adds no shuffle."""
     occ = positional_ngrams(docs, id_col, text_col, k)
-    freq = (
-        occ.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("gram_count"))
-        .where(F.col("gram_count") >= min_count)
+    aggs = [F.count(F.lit(1)).alias("gram_count")]
+    if keep_one:
+        aggs.append(
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("start").alias("s"))
+            ).alias("_canon")
+        )
+    freq = occ.groupBy("gram").agg(*aggs).where(
+        F.col("gram_count") >= min_count
     )
     # sort-merge on the gram string: occurrence side is corpus-sized
     # (see module docstring); dup-gram side is output-sized but has no
     # a-priori bound — the spilling strategy is the only safe default
-    return occ.hint("merge").join(freq.hint("merge"), "gram")
+    joined = occ.hint("merge").join(freq.hint("merge"), "gram")
+    if keep_one:
+        joined = joined.where(
+            ~(
+                (F.col(id_col) == F.col("_canon.i"))
+                & (F.col("start") == F.col("_canon.s"))
+            )
+        ).drop("_canon")
+    return joined
 
 
 def _spans_from_covered(covered):
@@ -134,6 +158,7 @@ def duplicated_span_table(
     text_col: str,
     k: int = 8,
     min_count: int = 2,
+    keep_one: bool = False,
 ) -> DataFrame:
     """Per-document duplicated-substring summary:
 
@@ -143,8 +168,14 @@ def duplicated_span_table(
     - ``clean_text``: the document with every covered token removed
       (single spaces; '' when fully duplicated).
 
+    ``keep_one=True`` leaves each duplicated passage's canonical copy
+    (lexicographically-first (id, start) per gram) unflagged, so it
+    survives in that document's ``clean_text``.
+
     Every input document appears exactly once (left join back)."""
-    flagged = flagged_occurrences(docs, id_col, text_col, k, min_count)
+    flagged = flagged_occurrences(
+        docs, id_col, text_col, k, min_count, keep_one
+    )
     per_doc = flagged.groupBy(id_col).agg(
         F.sort_array(F.collect_set("start")).alias("starts")
     )

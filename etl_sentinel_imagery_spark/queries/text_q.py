@@ -297,10 +297,26 @@ def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolution (operators.substring_dedup — the Lee et al. 2022 exact
     substring pass re-expressed as distributed k-gram matching), with
     the span list, covered-token count, and the span-stripped
-    clean_text all oracle-checked."""
+    clean_text all oracle-checked — PLUS the keep-one deployment's
+    columns (k1_*): each gram's canonical (min (id, start)) occurrence
+    is left unflagged, so the surviving copy of every duplicated
+    passage is pinned by the oracle too."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     groups = exact_dedup_groups(docs, "doc_id", "text")
     spans = duplicated_span_table(docs, "doc_id", "text", k=SUBSTR_K)
+    k1 = duplicated_span_table(
+        docs, "doc_id", "text", k=SUBSTR_K, keep_one=True
+    ).select(
+        "doc_id",
+        F.col("n_dup_spans").cast("long").alias("k1_n_dup_spans"),
+        F.col("dup_token_count").cast("long").alias("k1_dup_token_count"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "dup_spans", lambda s: F.concat_ws(":", s["lo"], s["hi"])
+            ),
+        ).alias("k1_spans_str"),
+    )
     spans_str = F.concat_ws(
         ",",
         F.transform(
@@ -311,6 +327,7 @@ def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spans.withColumn("content_hash", F.md5("text"))
         .join(groups, "content_hash")
+        .join(k1, "doc_id")
         .select(
             "doc_id",
             "content_hash",
@@ -320,6 +337,9 @@ def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_token_count").cast("long").alias("dup_token_count"),
             spans_str.alias("dup_spans_str"),
             "clean_text",
+            "k1_n_dup_spans",
+            "k1_dup_token_count",
+            "k1_spans_str",
         )
     )
 
@@ -359,6 +379,36 @@ span_agg AS (
          STRING_AGG(lo || ':' || hi, ',' ORDER BY lo) AS dup_spans_str
   FROM spans GROUP BY doc_id
 ),
+-- keep-one deployment: rank each duplicated gram's occurrences by
+-- (doc_id, start); rank 1 is the canonical copy and stays unflagged
+flagged1 AS (
+  SELECT g.doc_id, g.start,
+         ROW_NUMBER() OVER (
+           PARTITION BY g.gram ORDER BY g.doc_id, g.start
+         ) AS rn
+  FROM grams g JOIN freq f USING (gram)
+),
+covered1 AS (
+  SELECT DISTINCT doc_id, start + j AS idx
+  FROM flagged1, UNNEST(generate_series(0, {SUBSTR_K - 1})) v(j)
+  WHERE rn > 1
+),
+islands1 AS (
+  SELECT doc_id, idx,
+         idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx) AS isl
+  FROM covered1
+),
+spans1 AS (
+  SELECT doc_id, MIN(idx) AS lo, MAX(idx) AS hi
+  FROM islands1 GROUP BY doc_id, isl
+),
+span_agg1 AS (
+  SELECT doc_id,
+         COUNT(*) AS n_dup_spans,
+         SUM(hi - lo + 1) AS dup_token_count,
+         STRING_AGG(lo || ':' || hi, ',' ORDER BY lo) AS dup_spans_str
+  FROM spans1 GROUP BY doc_id
+),
 cov_lists AS (SELECT doc_id, list(idx) AS cov FROM covered GROUP BY doc_id),
 groups AS (
   SELECT md5(text) AS content_hash,
@@ -384,11 +434,15 @@ SELECT t.doc_id,
            p -> t.tk[p]
          ),
          ' '
-       ), '') AS clean_text
+       ), '') AS clean_text,
+       CAST(COALESCE(s1.n_dup_spans, 0) AS BIGINT) AS k1_n_dup_spans,
+       CAST(COALESCE(s1.dup_token_count, 0) AS BIGINT) AS k1_dup_token_count,
+       COALESCE(s1.dup_spans_str, '') AS k1_spans_str
 FROM toks t
 JOIN groups g ON md5(t.text) = g.content_hash
 LEFT JOIN span_agg s USING (doc_id)
 LEFT JOIN cov_lists c USING (doc_id)
+LEFT JOIN span_agg1 s1 USING (doc_id)
 """
 
 

@@ -140,3 +140,81 @@ def test_underscore_tokens_do_not_collide(spark):
         for r in duplicated_span_table(d, "doc_id", "text", k=4).collect()
     }
     assert out == {1: 0, 2: 0}
+
+
+def test_keep_one_lowest_copy_survives(spark):
+    """keep_one=True (the Lee et al. keep-one-copy deployment): the
+    lexicographically-first (doc_id, start) copy of a shared passage
+    stays unflagged — its clean_text keeps the passage — while every
+    other copy is stripped exactly as before."""
+    d = _docs(
+        spark,
+        [
+            (1, f"alpha beta {BOILER} gamma delta"),
+            (2, f"unrelated opening words here {BOILER}"),
+            (3, f"{BOILER} trailing tail tokens"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_span_table(
+            d, "doc_id", "text", k=4, keep_one=True
+        ).collect()
+    }
+    # doc 1 holds the min (doc_id, start) occurrence of every gram of
+    # the passage -> fully unflagged, survives verbatim
+    assert out[1]["dup_spans"] == []
+    assert out[1]["clean_text"] == out[1]["text"]
+    # the other copies are stripped
+    assert [(s["lo"], s["hi"]) for s in out[2]["dup_spans"]] == [(5, 14)]
+    assert out[2]["clean_text"] == "unrelated opening words here"
+    assert [(s["lo"], s["hi"]) for s in out[3]["dup_spans"]] == [(1, 10)]
+    assert out[3]["clean_text"] == "trailing tail tokens"
+
+
+def test_keep_one_within_doc_keeps_first_occurrence(spark):
+    """Within-document repetition under keep_one: the FIRST occurrence
+    (min start) survives, the later copy is stripped."""
+    d = _docs(
+        spark,
+        [
+            (1, "x1 x2 x3 x4 middle words go here x1 x2 x3 x4"),
+            (2, "completely different other document body text"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_span_table(
+            d, "doc_id", "text", k=4, keep_one=True
+        ).collect()
+    }
+    assert [(s["lo"], s["hi"]) for s in out[1]["dup_spans"]] == [(9, 12)]
+    assert out[1]["clean_text"] == "x1 x2 x3 x4 middle words go here"
+    assert out[2]["dup_spans"] == []
+
+
+def test_keep_one_flag_set_is_all_minus_canonical(spark):
+    """flagged_occurrences(keep_one=True) equals the default flagged set
+    minus exactly one (the min (id, start)) occurrence per gram."""
+    d = _docs(
+        spark,
+        [
+            (1, f"alpha beta {BOILER}"),
+            (2, f"{BOILER} something else entirely"),
+            (3, f"prefix words {BOILER} suffix"),
+        ],
+    )
+    all_f = flagged_occurrences(d, "doc_id", "text", k=4).collect()
+    k1_f = flagged_occurrences(
+        d, "doc_id", "text", k=4, keep_one=True
+    ).collect()
+    by_gram_all: dict = {}
+    for r in all_f:
+        by_gram_all.setdefault(r["gram"], set()).add(
+            (r["doc_id"], r["start"])
+        )
+    by_gram_k1: dict = {}
+    for r in k1_f:
+        by_gram_k1.setdefault(r["gram"], set()).add((r["doc_id"], r["start"]))
+    for gram, occs in by_gram_all.items():
+        assert by_gram_k1.get(gram, set()) == occs - {min(occs)}
