@@ -396,6 +396,68 @@ def gif_frame_table(
     )
 
 
+VIDEO_META_SCHEMA = (
+    "container string, brand string, duration_sec double, n_tracks int, "
+    "video_codec string, width int, height int, audio_codec string, "
+    "sample_rate double, channels int, parse_error string"
+)
+
+
+def video_metadata(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Typed mp4/webm container columns from opaque payload bytes
+    (functions.video: ISO-BMFF box walk + Matroska EBML) — the
+    schema/partition-planning pass a video ingest runs before paying
+    decode cost: duration → shard sizing, codec/dims → output schema,
+    zero-video-track files gated early. First video and first audio
+    track surface flat; unparseable payloads land with ``parse_error``
+    (the jp2_metadata quarantine policy — the full exception family,
+    not just VideoParseError, so no corrupt payload fails the task)."""
+    from etl_sentinel_imagery_spark.functions.video import parse_video
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    i = parse_video(bytes(payload))
+                    vid = next(
+                        (t for t in i.tracks if t.kind == "video"), None
+                    )
+                    aud = next(
+                        (t for t in i.tracks if t.kind == "audio"), None
+                    )
+                    rows.append(
+                        (
+                            key, i.container, i.brand,
+                            float(i.duration) if i.duration is not None else None,
+                            len(i.tracks),
+                            vid.codec if vid else None,
+                            vid.width if vid else None,
+                            vid.height if vid else None,
+                            aud.codec if aud else None,
+                            float(aud.sample_rate)
+                            if aud and aud.sample_rate is not None
+                            else None,
+                            aud.channels if aud else None,
+                            None,
+                        )
+                    )
+                except (ValueError, struct.error, IndexError, KeyError) as e:
+                    rows.append((key,) + (None,) * 10 + (str(e),))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col] + [
+                    c.split(" ")[0] for c in VIDEO_META_SCHEMA.split(", ")
+                ],
+            )
+
+    return media.mapInPandas(
+        _parse, schema=f"{id_col} bigint, {VIDEO_META_SCHEMA}"
+    )
+
+
 def gif_sink(
     frames_df: DataFrame,
     id_col: str = "doc_id",
