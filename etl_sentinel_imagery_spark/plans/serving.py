@@ -1,0 +1,190 @@
+"""ANN serving facade — the documented front door over the engine's
+similarity tiers.
+
+The pieces have existed since rounds 4-7 (persisted partition-pruned
+IVF with adaptive-probe exactness certificates, per-shard HNSW graphs,
+exact-cosine rerank), but composing them required reading operator
+docstrings. This plan wires them behind two calls:
+
+- :func:`build_serving_index` — one-time (or periodic) index build:
+  spherical k-means centroids (k-means|| init at scale), the
+  bucket-partitioned IVF layout (probes become partition-PRUNED parquet
+  scans), the centroid artifact (atomic JSON commit beside the index),
+  and optionally the per-shard HNSW graph for the no-centroid recall
+  path. Steady ingest appends via ``append_to_ivf_index`` /
+  ``hnsw_append`` — rebuilding per batch is not a 100 TB plan.
+- :func:`topk` — serve a query set: recall tier (``"ivf"`` adaptive
+  multi-probe with threshold pruning, or ``"hnsw"`` beam search) emits
+  a shortlist of ``shortlist`` candidates, then the standard two-stage
+  rerank (exact cosine on full-precision vectors, shortlist-sized work)
+  trims to the final k. Queries may be corpus members or external
+  (id, vector) rows; results carry the IVF tier's per-query ``exact``
+  certificate when available (true = provably the exact top-k).
+
+Scale shape: queries are control-plane-sized by contract (they
+broadcast into every tier); the corpus is only ever touched through
+the partition-pruned IVF scan or the per-shard graphs. Storage tiers
+(int8/PQ/OPQ) compose upstream of the same rerank — see
+operators.similarity.
+
+Reference parity note: the reference has no ANN tier (570 lines of
+exact geo/metadata processing); this is part of the training-data
+extension mandate (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.operators.hnsw import (
+    hnsw_build,
+    hnsw_persist,
+    hnsw_topk,
+)
+from etl_sentinel_imagery_spark.operators.kmeans import fit as kmeans_fit
+from etl_sentinel_imagery_spark.operators.similarity import (
+    ivf_topk_indexed_adaptive,
+    rerank_exact,
+    write_ivf_index,
+)
+
+
+def _ivf_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "ivf")
+
+
+def _hnsw_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "hnsw")
+
+
+def _centroids_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "centroids.json")
+
+
+def build_serving_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    kmeans_iters: int = 5,
+    kmeans_init: str = "scalable",
+    hnsw: bool = True,
+    hnsw_shards: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train + persist the serving index under ``index_dir``:
+    ``ivf/`` (bucket-partitioned corpus + _bucket_stats sidecar),
+    ``centroids.json`` (atomic tmp+rename — readers never see a
+    partial artifact), and optionally ``hnsw/`` (per-shard graphs).
+    Returns the trained centroid matrix."""
+    centroids, _inertia = kmeans_fit(
+        embeddings,
+        k=n_centroids,
+        n_iter=kmeans_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        init=kmeans_init,
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    write_ivf_index(
+        embeddings, centroids, _ivf_dir(index_dir), id_col, vec_col
+    )
+    tmp = _centroids_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(centroids.tolist(), f)
+    os.replace(tmp, _centroids_path(index_dir))
+    if hnsw:
+        hnsw_persist(
+            hnsw_build(
+                embeddings, n_shards=hnsw_shards, id_col=id_col, vec_col=vec_col
+            ),
+            _hnsw_dir(index_dir),
+        )
+    return centroids
+
+
+def load_centroids(index_dir: str) -> np.ndarray:
+    with open(_centroids_path(index_dir)) as f:
+        return np.array(json.load(f), dtype="float64")
+
+
+def topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_dir: str,
+    k: int = 10,
+    tier: str = "ivf",
+    shortlist: int | None = None,
+    n_probe: int = 2,
+    ef_search: int = 48,
+    min_sim: float = -1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve top-k neighbors for ``queries`` (id + vector rows; corpus
+    membership not required) from a :func:`build_serving_index` layout.
+
+    Output: (query_id, cand_id, cos_sim, rnk[, exact]) — ``exact``
+    rides along from the IVF tier's certificate (per query: True means
+    the result is PROVABLY the exact top-k, see
+    ``ivf_topk_indexed_adaptive``). ``shortlist`` (default 4k) sizes the
+    recall pass; the rerank stage re-scores only shortlist rows against
+    the full-precision vectors stored in the IVF layout."""
+    if tier not in ("ivf", "hnsw"):
+        raise ValueError(f"unknown serving tier {tier!r}")
+    shortlist = shortlist or 4 * k
+    corpus = spark.read.parquet(_ivf_dir(index_dir)).select(id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    )
+    certificate = None
+    if tier == "ivf":
+        centroids = load_centroids(index_dir)
+        raw = ivf_topk_indexed_adaptive(
+            spark,
+            _ivf_dir(index_dir),
+            q,
+            centroids,
+            k=shortlist,
+            n_probe=n_probe,
+            min_sim=min_sim,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        # per-query certificate for the SHORTLIST; after an exact rerank
+        # that only narrows within the shortlist, a certified-exact
+        # shortlist implies a certified-exact top-k (k <= shortlist)
+        certificate = raw.groupBy("query_id").agg(
+            F.min(F.col("exact").cast("int")).cast("boolean").alias("exact")
+        )
+        short = raw.select("query_id", "cand_id")
+    else:
+        graph = spark.read.parquet(_hnsw_dir(index_dir))
+        q_ids = [int(r[id_col]) for r in q.select(id_col).collect()]
+        # hnsw_topk fetches query vectors by id from its embeddings
+        # argument — union external queries in (dropDuplicates keeps the
+        # corpus row when a query IS a member, vectors identical either
+        # way); graph nodes are unaffected (the search joins on node_id)
+        vecs = corpus.unionByName(q).dropDuplicates([id_col])
+        short = hnsw_topk(
+            vecs,
+            graph,
+            q_ids,
+            k=shortlist,
+            ef_search=ef_search,
+            id_col=id_col,
+            vec_col=vec_col,
+        ).select("query_id", "cand_id")
+    # two-stage serving: exact cosine on full-precision vectors, but the
+    # query side must resolve external query ids too
+    emb_for_rerank = corpus.unionByName(q).dropDuplicates([id_col])
+    out = rerank_exact(short, emb_for_rerank, k=k, id_col=id_col, vec_col=vec_col)
+    if certificate is not None:
+        out = out.join(F.broadcast(certificate), "query_id", "left")
+    return out

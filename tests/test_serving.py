@@ -1,0 +1,116 @@
+"""ANN serving facade e2e: build_serving_index + topk over both recall
+tiers, checked against a numpy brute-force oracle, with external
+queries and the propagated exactness certificate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_sentinel_imagery_spark.plans.serving import (
+    build_serving_index,
+    load_centroids,
+    topk,
+)
+
+DIM = 8
+N = 160
+
+
+def _corpus() -> np.ndarray:
+    rng = np.random.default_rng(41)
+    centers = rng.normal(size=(4, DIM))
+    vecs = np.stack(
+        [centers[i % 4] + 0.15 * rng.normal(size=DIM) for i in range(N)]
+    )
+    return vecs
+
+
+def _brute_topk(vecs: np.ndarray, ids, qvec: np.ndarray, k: int, self_id=None):
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = qvec / np.linalg.norm(qvec)
+    sims = normed @ qn
+    order = sorted(
+        range(len(ids)), key=lambda i: (-sims[i], ids[i])
+    )
+    out = [(ids[i], sims[i]) for i in order if ids[i] != self_id]
+    return out[:k]
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("serve") / "idx")
+    vecs = _corpus()
+    emb = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(N)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = build_serving_index(
+        emb,
+        d,
+        n_centroids=4,
+        kmeans_iters=3,
+        kmeans_init="first_k",
+        hnsw=True,
+        hnsw_shards=2,
+    )
+    assert cents.shape == (4, DIM)
+    assert np.allclose(load_centroids(d), cents)
+    return d, vecs
+
+
+def test_ivf_full_probe_is_exact_and_certified(spark, index):
+    d, vecs = index
+    rng = np.random.default_rng(7)
+    ext_vec = vecs[30] + 0.05 * rng.normal(size=DIM)  # external query
+    queries = spark.createDataFrame(
+        [(3, vecs[3].tolist()), (57, vecs[57].tolist()), (10_001, ext_vec.tolist())],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = topk(spark, queries, d, k=5, tier="ivf", n_probe=4).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    ids = list(range(N))
+    for qid, qvec in ((3, vecs[3]), (57, vecs[57]), (10_001, ext_vec)):
+        got = sorted(by_q[qid], key=lambda r: r["rnk"])
+        want = _brute_topk(vecs, ids, qvec, 5, self_id=qid)
+        assert [r["cand_id"] for r in got] == [w[0] for w in want]
+        for r, w in zip(got, want):
+            assert r["cos_sim"] == pytest.approx(w[1], abs=1e-9)
+        # full probing -> the certificate must hold for every row
+        assert all(r["exact"] for r in got)
+
+
+def test_hnsw_tier_recall_and_rerank(spark, index):
+    d, vecs = index
+    queries = spark.createDataFrame(
+        [(3, vecs[3].tolist()), (98, vecs[98].tolist())],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = topk(spark, queries, d, k=5, tier="hnsw", ef_search=64).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    ids = list(range(N))
+    hits = total = 0
+    for qid, qvec in ((3, vecs[3]), (98, vecs[98])):
+        got = {r["cand_id"] for r in by_q[qid]}
+        want = {w[0] for w in _brute_topk(vecs, ids, qvec, 5, self_id=qid)}
+        hits += len(got & want)
+        total += len(want)
+        # rerank scores are exact cosine regardless of recall path
+        normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        qn = qvec / np.linalg.norm(qvec)
+        for r in by_q[qid]:
+            assert r["cos_sim"] == pytest.approx(
+                float(normed[r["cand_id"]] @ qn), abs=1e-9
+            )
+    assert hits / total >= 0.8, f"hnsw recall {hits}/{total}"
+
+
+def test_unknown_tier_rejected(spark, index):
+    d, _ = index
+    q = spark.createDataFrame([(1, [0.0] * DIM)], "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="tier"):
+        topk(spark, q, d, tier="flat")
