@@ -255,6 +255,88 @@ def train_bpe_distributed(
     return train_bpe([(r["word"], r["freq"]) for r in rows], n_merges)
 
 
+def chunk_documents_bpe(
+    docs: DataFrame,
+    merges: list,
+    chunk_tokens: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Chunk documents by REAL BPE token budget — the upgrade over
+    functions.text.chunk_documents, whose windows count whitespace
+    tokens and therefore only approximate what a model context window
+    holds.
+
+    Chunks split at WORD boundaries: the ``</w>`` end-of-word marker
+    means merges never cross words, so a word-aligned split is
+    token-exact — sum of chunk token counts == the document's count,
+    and re-encoding any chunk yields exactly its ``n_bpe_tokens``.
+    Greedy fill: words pack into the current chunk until the budget
+    would overflow. A single word whose encoding alone exceeds the
+    budget becomes its own over-budget chunk (splitting it mid-word
+    would change its tokenization — documented, not silent).
+
+    Arrow-batched mapInPandas with the per-batch word→length memo
+    (the Zipf head encodes once per batch); the merge table rides in
+    the closure (vocab-sized). Output: (id, chunk_idx, chunk_text,
+    n_bpe_tokens); empty/whitespace-only docs yield zero chunks.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    def _chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+
+        def n_tok(word: str) -> int:
+            got = memo.get(word)
+            if got is None:
+                got = memo[word] = len(encode_word(word, ranks))
+            return got
+
+        for pdf in batches:
+            ids, idxs, texts, counts = [], [], [], []
+            for key, text in zip(pdf[id_col], pdf[text_col]):
+                t = text or ""
+                if lowercase:
+                    t = t.lower()
+                words = [w for w in t.split(" ") if w]
+                cur: list[str] = []
+                cur_n = 0
+                out_chunks: list[tuple[list[str], int]] = []
+                for w in words:
+                    n = n_tok(w)
+                    if cur and cur_n + n > chunk_tokens:
+                        out_chunks.append((cur, cur_n))
+                        cur, cur_n = [], 0
+                    cur.append(w)
+                    cur_n += n
+                if cur:
+                    out_chunks.append((cur, cur_n))
+                for chunk_idx, (cw, cn) in enumerate(out_chunks):
+                    ids.append(key)
+                    idxs.append(chunk_idx)
+                    texts.append(" ".join(cw))
+                    counts.append(cn)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int32"),
+                    "chunk_text": pd.Series(texts, dtype="object"),
+                    "n_bpe_tokens": pd.Series(counts, dtype="int32"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        _chunk,
+        schema=(
+            f"{id_col} bigint, chunk_idx int, chunk_text string, "
+            "n_bpe_tokens int"
+        ),
+    )
+
+
 # --- tokenizer artifact persistence --------------------------------------
 #: Artifact layout: <dir>/v_<hash>.json holding {"version", "n_merges",
 #: "merges": [[l, r], ...]}, plus a _CURRENT pointer file naming the

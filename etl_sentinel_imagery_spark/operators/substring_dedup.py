@@ -152,6 +152,112 @@ def _spans_from_covered(covered):
     )
 
 
+def duplicated_span_table_dual(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+    k1_clean_text: bool = False,
+) -> DataFrame:
+    """BOTH removal deployments from ONE gram pass: the all-copies
+    profile (``dup_spans`` / ``dup_token_count`` / ``clean_text``) and
+    the keep-one profile (``k1_dup_spans`` / ``k1_dup_token_count`` /
+    optional ``k1_clean_text`` — a second per-token rebuild pass, so
+    off by default) in the same row.
+
+    Calling :func:`duplicated_span_table` twice would tokenize, explode,
+    shuffle, and join the corpus twice; here the positional-gram table,
+    the frequency+canon groupBy, and the sort-merge occurrence join run
+    once, and the two profiles diverge only in cheap per-doc array
+    expressions (the canonical occurrence is excluded from the k1
+    covered set). Guaranteed identical to the two separate tables
+    (pinned in tests)."""
+    occ = positional_ngrams(docs, id_col, text_col, k)
+    freq = (
+        occ.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("gram_count"),
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("start").alias("s"))
+            ).alias("_canon"),
+        )
+        .where(F.col("gram_count") >= min_count)
+    )
+    flagged = occ.hint("merge").join(freq.hint("merge"), "gram")
+    not_canon = ~(
+        (F.col(id_col) == F.col("_canon.i"))
+        & (F.col("start") == F.col("_canon.s"))
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("start")).alias("starts"),
+        # when() is NULL on canonical rows; collect_set drops NULLs
+        F.sort_array(
+            F.collect_set(F.when(not_canon, F.col("start")))
+        ).alias("starts_k1"),
+    )
+
+    def cov(starts):
+        return F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(starts, lambda p: F.sequence(p, p + (k - 1)))
+                )
+            )
+        )
+
+    def spans_of(covered):
+        # starts_k1 can be empty (every flagged start canonical) — guard
+        # before _spans_from_covered's slice arithmetic
+        return F.when(
+            F.size(covered) > 0, _spans_from_covered(covered)
+        ).otherwise(F.array().cast("array<struct<lo:int,hi:int>>"))
+
+    c_all, c_k1 = cov(F.col("starts")), cov(F.col("starts_k1"))
+    spans = per_doc.select(
+        id_col,
+        c_all.alias("covered"),
+        spans_of(c_all).alias("dup_spans"),
+        c_k1.alias("covered_k1"),
+        spans_of(c_k1).alias("k1_dup_spans"),
+    )
+    tok_docs = docs.select(
+        *docs.columns, tokens(F.col(text_col)).alias("_toks")
+    ).repartition(F.col(id_col))
+
+    def keep(covered):
+        pos = F.array_except(
+            F.sequence(F.lit(1), F.size("_toks")),
+            F.coalesce(covered, F.array()),
+        )
+        guarded = F.when(F.size("_toks") > 0, pos).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.concat_ws(
+            " ",
+            F.transform(guarded, lambda p: F.element_at(F.col("_toks"), p)),
+        )
+
+    empty_spans = F.array().cast("array<struct<lo:int,hi:int>>")
+    cols = [
+        *docs.columns,
+        F.coalesce("dup_spans", empty_spans).alias("dup_spans"),
+        F.coalesce(F.size(F.col("dup_spans")), F.lit(0)).alias("n_dup_spans"),
+        F.coalesce(F.size("covered"), F.lit(0)).alias("dup_token_count"),
+        keep(F.col("covered")).alias("clean_text"),
+        F.coalesce("k1_dup_spans", empty_spans).alias("k1_dup_spans"),
+        F.coalesce(F.size(F.col("k1_dup_spans")), F.lit(0)).alias(
+            "k1_n_dup_spans"
+        ),
+        F.coalesce(F.size("covered_k1"), F.lit(0)).alias(
+            "k1_dup_token_count"
+        ),
+    ]
+    if k1_clean_text:
+        cols.append(keep(F.col("covered_k1")).alias("k1_clean_text"))
+    return tok_docs.join(spans, id_col, "left").select(*cols)
+
+
 def duplicated_span_table(
     docs: DataFrame,
     id_col: str,

@@ -38,7 +38,7 @@ from etl_sentinel_imagery_spark.operators.dedup import (
     simhash,
 )
 from etl_sentinel_imagery_spark.operators.substring_dedup import (
-    duplicated_span_table,
+    duplicated_span_table_dual,
 )
 from etl_sentinel_imagery_spark.queries.base import Q
 from etl_sentinel_imagery_spark.sources.tables import load_table
@@ -303,31 +303,19 @@ def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     passage is pinned by the oracle too."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     groups = exact_dedup_groups(docs, "doc_id", "text")
-    spans = duplicated_span_table(docs, "doc_id", "text", k=SUBSTR_K)
-    k1 = duplicated_span_table(
-        docs, "doc_id", "text", k=SUBSTR_K, keep_one=True
-    ).select(
-        "doc_id",
-        F.col("n_dup_spans").cast("long").alias("k1_n_dup_spans"),
-        F.col("dup_token_count").cast("long").alias("k1_dup_token_count"),
-        F.concat_ws(
+    # both deployments from ONE gram pass (duplicated_span_table_dual) —
+    # two separate tables would tokenize/shuffle/join the corpus twice
+    spans = duplicated_span_table_dual(docs, "doc_id", "text", k=SUBSTR_K)
+
+    def spans_str(col: str):
+        return F.concat_ws(
             ",",
-            F.transform(
-                "dup_spans", lambda s: F.concat_ws(":", s["lo"], s["hi"])
-            ),
-        ).alias("k1_spans_str"),
-    )
-    spans_str = F.concat_ws(
-        ",",
-        F.transform(
-            "dup_spans",
-            lambda s: F.concat_ws(":", s["lo"], s["hi"]),
-        ),
-    )
+            F.transform(col, lambda s: F.concat_ws(":", s["lo"], s["hi"])),
+        )
+
     return (
         spans.withColumn("content_hash", F.md5("text"))
         .join(groups, "content_hash")
-        .join(k1, "doc_id")
         .select(
             "doc_id",
             "content_hash",
@@ -335,11 +323,13 @@ def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_copies",
             F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
             F.col("dup_token_count").cast("long").alias("dup_token_count"),
-            spans_str.alias("dup_spans_str"),
+            spans_str("dup_spans").alias("dup_spans_str"),
             "clean_text",
-            "k1_n_dup_spans",
-            "k1_dup_token_count",
-            "k1_spans_str",
+            F.col("k1_n_dup_spans").cast("long").alias("k1_n_dup_spans"),
+            F.col("k1_dup_token_count").cast("long").alias(
+                "k1_dup_token_count"
+            ),
+            spans_str("k1_dup_spans").alias("k1_spans_str"),
         )
     )
 

@@ -201,3 +201,51 @@ def test_capped_topv_is_distributed_topk(spark):
         capped_word_freqs(docs, max_vocab=5).explain("formatted")
     plan = plan_buf.getvalue()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bpe_chunker_budget_exact_and_lossless(spark):
+    """chunk_documents_bpe: every chunk's n_bpe_tokens is its TRUE BPE
+    encoding length, chunks respect the budget except the documented
+    single-oversized-word case, word boundaries are never split, and
+    concatenating chunks restores the whitespace-collapsed text."""
+    from etl_sentinel_imagery_spark.operators.bpe import chunk_documents_bpe
+
+    docs_rows = [
+        (1, "the cat sat on the mat " * 12),
+        (2, "low lower lowest slow slower slowest " * 8),
+        (3, "supercalifragilisticexpialidocious"),  # one giant word
+        (4, ""),
+        (5, "   "),
+        (6, "single"),
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id bigint, text string")
+    merges = train_bpe_distributed(docs, n_merges=30)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    budget = 20
+    out = chunk_documents_bpe(docs, merges, chunk_tokens=budget).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 4 not in by_doc and 5 not in by_doc  # empty docs: no chunks
+    for doc_id, text in docs_rows:
+        if doc_id in (4, 5):
+            continue
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in chunks] == list(range(len(chunks)))
+        # lossless word-aligned reassembly
+        rebuilt = " ".join(r["chunk_text"] for r in chunks)
+        assert rebuilt == " ".join(text.lower().split())
+        for r in chunks:
+            # n_bpe_tokens is the TRUE encoding length of the chunk text
+            true_n = sum(
+                len(encode_word(w, ranks)) for w in r["chunk_text"].split(" ")
+            )
+            assert r["n_bpe_tokens"] == true_n
+            if len(r["chunk_text"].split(" ")) > 1:
+                assert r["n_bpe_tokens"] <= budget
+        # greedy maximality: merging any adjacent pair would overflow
+        for a, b in zip(chunks, chunks[1:]):
+            first_next = b["chunk_text"].split(" ")[0]
+            assert a["n_bpe_tokens"] + len(
+                encode_word(first_next, ranks)
+            ) > budget

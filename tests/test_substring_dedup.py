@@ -218,3 +218,50 @@ def test_keep_one_flag_set_is_all_minus_canonical(spark):
         by_gram_k1.setdefault(r["gram"], set()).add((r["doc_id"], r["start"]))
     for gram, occs in by_gram_all.items():
         assert by_gram_k1.get(gram, set()) == occs - {min(occs)}
+
+
+def test_dual_table_equals_two_separate_tables(spark):
+    """duplicated_span_table_dual must be row-identical to running the
+    all-copies and keep-one tables separately — on a corpus exercising
+    cross-doc shares, within-doc repeats, clean docs, and empty text."""
+    from etl_sentinel_imagery_spark.operators.substring_dedup import (
+        duplicated_span_table_dual,
+    )
+
+    d = _docs(
+        spark,
+        [
+            (1, f"alpha beta {BOILER} gamma delta"),
+            (2, f"unrelated opening words here {BOILER}"),
+            (3, f"{BOILER} trailing tail tokens"),
+            (4, "x1 x2 x3 x4 middle words go here x1 x2 x3 x4"),
+            (5, "entirely unique text with no repeats at all ok"),
+            (6, ""),
+        ],
+    )
+    dual = {
+        r["doc_id"]: r
+        for r in duplicated_span_table_dual(
+            d, "doc_id", "text", k=4, k1_clean_text=True
+        ).collect()
+    }
+    sep_all = {
+        r["doc_id"]: r
+        for r in duplicated_span_table(d, "doc_id", "text", k=4).collect()
+    }
+    sep_k1 = {
+        r["doc_id"]: r
+        for r in duplicated_span_table(
+            d, "doc_id", "text", k=4, keep_one=True
+        ).collect()
+    }
+    assert set(dual) == set(sep_all) == set(sep_k1)
+    for i in dual:
+        assert dual[i]["dup_spans"] == sep_all[i]["dup_spans"], i
+        assert dual[i]["n_dup_spans"] == sep_all[i]["n_dup_spans"], i
+        assert dual[i]["dup_token_count"] == sep_all[i]["dup_token_count"], i
+        assert dual[i]["clean_text"] == sep_all[i]["clean_text"], i
+        assert dual[i]["k1_dup_spans"] == sep_k1[i]["dup_spans"], i
+        assert dual[i]["k1_n_dup_spans"] == sep_k1[i]["n_dup_spans"], i
+        assert dual[i]["k1_dup_token_count"] == sep_k1[i]["dup_token_count"], i
+        assert dual[i]["k1_clean_text"] == sep_k1[i]["clean_text"], i

@@ -95,6 +95,14 @@ CHECKS = {
         "BroadcastNestedLoop": False,
         "Window": True,
     },
+    # spatial battery (round 4): both the grid point-in-polygon join and
+    # the radius join must plan as equi-joins on the exploded cell keys
+    # — never the O(n·m) BroadcastNestedLoop theta-join Spark would pick
+    # for a raw geometric predicate; cell explosion is a Generate
+    "spatial_fuzzy_join_battery": {
+        "BroadcastNestedLoop": False,
+        "Generate": True,
+    },
 }
 
 
