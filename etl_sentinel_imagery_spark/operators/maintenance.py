@@ -145,3 +145,110 @@ def compact_partitioned_table(
     totals["partitions"] = len(detail)
     totals["detail"] = detail
     return totals
+
+
+def delete_by_key(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    values: list,
+    use_bloom_index: bool = True,
+) -> dict:
+    """Targeted row deletion (the GDPR / right-to-be-forgotten shape):
+    rewrite ONLY the files that can contain the keys, never the table.
+
+    At 100 TB the naive form — read everything, anti-join, write
+    everything — rewrites a petabyte to delete a user. This op finds
+    the candidate files first: with ``use_bloom_index`` it probes the
+    per-file Bloom sidecar (operators.skipping; no false negatives, so
+    a file the filter rejects PROVABLY holds none of the keys) and
+    unions any post-index unindexed files; without it, every file is a
+    candidate (correct, just unpruned). Candidates are then rewritten
+    per DIRECTORY (hive-partition layout preserved — a file's
+    replacement lands beside it), with the compaction swap ordering:
+    new files commit under the live directory BEFORE originals retire,
+    so a crash leaves old, or old+new (transient duplicates a re-run
+    cleans — the single-writer maintenance caveat compaction documents),
+    never a hole. Files whose every row matches a key are simply
+    retired.
+
+    The Bloom sidecar is left stale on purpose: retired files in the
+    index are skipped by ``bloom_pruned_lookup`` (it intersects with
+    live files) and the replacement files are unindexed ⇒ always
+    scanned, so lookups stay EXACT; rebuild the index when the
+    unindexed fraction hurts pruning. Returns
+    {files_total, files_candidates, files_rewritten, rows_deleted}.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_sentinel_imagery_spark.operators.skipping import (
+        bloom_contains,
+        read_file_bloom_index,
+    )
+
+    all_files = set(spark.read.parquet(table_dir).inputFiles())
+    if use_bloom_index:
+        idx = read_file_bloom_index(spark, table_dir, key_col)
+        shape = idx.select("n_bits", "n_hashes").first()
+        probe = F.lit(False)
+        for v in values:
+            probe = probe | F.coalesce(
+                bloom_contains(
+                    F.col("words"),
+                    F.lit(str(v)),
+                    int(shape["n_bits"]),
+                    int(shape["n_hashes"]),
+                ),
+                F.lit(False),
+            )
+        admitted = {
+            r["file"] for r in idx.where(probe).select("file").collect()
+        }
+        indexed = {r["file"] for r in idx.select("file").collect()}
+        candidates = sorted(
+            (admitted & all_files) | (all_files - indexed)
+        )
+    else:
+        candidates = sorted(all_files)
+
+    fs, _, jvm = _fs(spark, table_dir)
+    rows_deleted = 0
+    rewritten = 0
+    by_dir: dict[str, list[str]] = {}
+    for f in candidates:
+        by_dir.setdefault(os.path.dirname(f), []).append(f)
+    for d, files in sorted(by_dir.items()):
+        # plain per-file read (no basePath): partition columns stay
+        # encoded in the directory, the data columns round-trip as-is
+        df = spark.read.parquet(*files)
+        hit = df.filter(F.col(key_col).isin(values))
+        n_hit = hit.count()
+        if n_hit == 0:
+            continue  # bloom false positive — nothing to rewrite here
+        rows_deleted += n_hit
+        kept = df.filter(
+            ~F.coalesce(F.col(key_col).isin(values), F.lit(False))
+        )
+        tmp = f"{d}/_delete_{uuid.uuid4().hex}"
+        kept.write.parquet(tmp)
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(tmp)):
+            name = st.getPath().getName()
+            if st.isFile() and name.endswith(".parquet"):
+                fs.rename(
+                    st.getPath(),
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{d}/deleted-{uuid.uuid4().hex}.parquet"
+                    ),
+                )
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        for f in files:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+        rewritten += len(files)
+    return {
+        "files_total": len(all_files),
+        "files_candidates": len(candidates),
+        "files_rewritten": rewritten,
+        "rows_deleted": rows_deleted,
+    }

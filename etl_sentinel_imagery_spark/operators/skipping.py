@@ -136,6 +136,11 @@ def bloom_pruned_lookup(
     # (an input_file_name() distinct would read the whole table and
     # defeat the index)
     all_files = set(spark.read.parquet(table_dir).inputFiles())
+    # a stale index (compaction/targeted delete retired files since the
+    # build) may admit files that no longer exist — reading them would
+    # fail the whole lookup; dropping them is safe because their LIVE
+    # replacement files are unindexed and unioned in below
+    candidates = [c for c in candidates if c in all_files]
     unindexed = sorted(all_files - indexed)
     stats = {
         "files_total": len(all_files),

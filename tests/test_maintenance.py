@@ -90,3 +90,71 @@ def test_partitioned_table_compaction_walk(spark, tmp_path):
     # fewer files overall, per-partition detail consistent
     assert report["files_after"] < report["files_before"]
     assert sum(d["compacted"] for d in report["detail"].values()) == report["compacted"]
+
+
+def test_delete_by_key_rewrites_only_admitting_files(spark, tmp_path):
+    """Bloom-accelerated targeted delete: keys vanish, untouched files
+    keep their exact paths (provably no rewrite), lookups stay exact on
+    the stale index, and a NULL-key row survives."""
+    from pyspark.sql import functions as F
+
+    from etl_sentinel_imagery_spark.operators.maintenance import delete_by_key
+    from etl_sentinel_imagery_spark.operators.skipping import (
+        bloom_pruned_lookup,
+        build_file_bloom_index,
+    )
+
+    path = str(tmp_path / "gdpr")
+    spark.range(4000).select(
+        F.when(F.col("id") == 3999, None).otherwise(F.col("id")).alias("doc_id"),
+        F.concat(F.lit("body-"), F.col("id")).alias("body"),
+        (F.col("id") % 2).alias("side"),
+    ).repartition(8, "id").write.mode("overwrite").partitionBy("side").parquet(path)
+    build_file_bloom_index(spark, path, "doc_id")
+    before_files = set(spark.read.parquet(path).inputFiles())
+
+    targets = [17, 2344]
+    stats = delete_by_key(spark, path, "doc_id", targets)
+    assert stats["rows_deleted"] == 2
+    assert 1 <= stats["files_candidates"] < stats["files_total"]
+    assert 1 <= stats["files_rewritten"] <= stats["files_candidates"]
+
+    after = spark.read.parquet(path)
+    after_files = set(after.inputFiles())
+    # non-candidate files are bit-untouched (same paths survive)
+    untouched = before_files & after_files
+    assert len(untouched) >= stats["files_total"] - stats["files_rewritten"] - 1
+    # the data contract: targets gone, everything else (incl. NULL) intact
+    assert after.filter(F.col("doc_id").isin(targets)).count() == 0
+    assert after.count() == 4000 - 2
+    assert after.filter(F.col("doc_id").isNull()).count() == 1
+    # partition layout preserved
+    assert set(r["side"] for r in after.select("side").distinct().collect()) == {0, 1}
+
+    # the STALE index still serves exact lookups (retired files skipped,
+    # replacement files unindexed-but-scanned)
+    rows, s2 = bloom_pruned_lookup(spark, path, "doc_id", [17, 100])
+    assert [r["doc_id"] for r in rows.collect()] == [100]
+    assert s2["files_unindexed"] >= 1
+
+
+def test_delete_by_key_without_index_and_full_file_retire(spark, tmp_path):
+    """use_bloom_index=False scans every file; a file whose every row
+    matches is retired without replacement."""
+    from pyspark.sql import functions as F
+
+    from etl_sentinel_imagery_spark.operators.maintenance import delete_by_key
+
+    path = str(tmp_path / "plain")
+    # file A: ids 0..9, file B: ids 100..109 — delete all of file A
+    spark.range(10).select(F.col("id").alias("doc_id")).coalesce(1).write.parquet(path)
+    spark.range(100, 110).select(F.col("id").alias("doc_id")).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    stats = delete_by_key(
+        spark, path, "doc_id", list(range(10)), use_bloom_index=False
+    )
+    assert stats["rows_deleted"] == 10
+    assert stats["files_candidates"] == stats["files_total"] == 2
+    left = spark.read.parquet(path)
+    assert sorted(r["doc_id"] for r in left.collect()) == list(range(100, 110))
