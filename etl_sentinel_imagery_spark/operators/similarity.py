@@ -1012,3 +1012,99 @@ def brute_force_topk_gemm(
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "cos_sim", "rnk")
     )
+
+
+# --- binary (sign) quantization + Hamming — the 32x storage tier ----------
+#: Packed sign-bit words carry 32 payload bits each — the same
+#: HOF-lambda-safe pow(2, bit) mask arithmetic as operators.bloom (long
+#: shiftleft is literal-only inside higher-order functions).
+SIGN_WORD_BITS = 32
+
+
+def sign_pack(vec: Column) -> Column:
+    """array<float/double> → array<long> of packed sign bits
+    (bit j of word w = 1 iff vec[32w + j] > 0) — pure JVM expressions.
+
+    Sign quantization is SimHash with axis-aligned hyperplanes: for
+    unit vectors, E[hamming/dim] = angle/π (Goemans–Williamson), so
+    Hamming distance over the packed words ranks candidates by angular
+    proximity at 1 bit/dimension — 32× smaller than float32, and the
+    distance kernel is XOR + popcount (bit_count), no floats at all."""
+    n_words = (F.ceil(F.size(vec) / SIGN_WORD_BITS)).cast("int")
+
+    def word(w: Column) -> Column:
+        def add_bit(acc: Column, j: Column) -> Column:
+            pos = (w * SIGN_WORD_BITS + j + 1).cast("int")
+            mask = F.pow(F.lit(2.0), j.cast("double")).cast("long")
+            return acc + F.when(
+                (pos <= F.size(vec)) & (F.element_at(vec, pos) > 0), mask
+            ).otherwise(F.lit(0).cast("long"))
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(SIGN_WORD_BITS - 1)),
+            F.lit(0).cast("long"),
+            add_bit,
+        )
+
+    return F.transform(F.sequence(F.lit(0), n_words - 1), word)
+
+
+def hamming(a: Column, b: Column) -> Column:
+    """Popcount of XOR over packed sign words (arrays must share the
+    packing) — integer arithmetic end to end."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, c: acc + c,
+    )
+
+
+def hamming_topk(
+    embeddings: DataFrame,
+    query_predicate: Column,
+    k: int = 5,
+    shortlist: int | None = None,
+    rerank: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage serving over the binary tier: Hamming shortlist on
+    packed sign bits (the corpus-wide scan touches 1 bit/dim), then the
+    standard exact-cosine rerank on the shortlist only. With
+    ``rerank=False`` returns the raw Hamming ranking (hamming_dist
+    ascending, id tiebreak)."""
+    shortlist = shortlist or 4 * k
+    packed = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        sign_pack(as_double_array(vec_col)).alias("_bits"),
+    )
+    qry = packed.filter(query_predicate).select(
+        F.col(id_col).alias("query_id"), F.col("_bits").alias("_qbits")
+    )
+    scored = (
+        packed.select(F.col(id_col).alias("cand_id"), "_bits")
+        .crossJoin(F.broadcast(qry))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            hamming(F.col("_bits"), F.col("_qbits")).alias("hamming_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming_dist"), F.asc("cand_id")
+    )
+    short = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= (shortlist if rerank else k))
+    )
+    if not rerank:
+        return short.select("query_id", "cand_id", "hamming_dist", "rnk")
+    return rerank_exact(
+        short.select("query_id", "cand_id"),
+        embeddings,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

@@ -65,7 +65,9 @@ def _quant_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     only doubles are the norm (exact fold) and the corpus scale (one
     max-fold → division, identical in both engines)."""
     from etl_sentinel_imagery_spark.operators.similarity import (
+        hamming,
         quantize_embeddings_int8,
+        sign_pack,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -83,11 +85,23 @@ def _quant_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(scale).alias("scale"),
     )
     vec = as_double_array("embedding")
-    norms = emb.select(
+    # binary tier: packed sign bits + Hamming distance to vec 0 — the
+    # 32x storage lever, checked through the REAL packed-word XOR +
+    # popcount kernel (the oracle restates it unpacked over positions)
+    v0 = emb.filter(F.col("vec_id") == 0).select(
+        sign_pack(as_double_array("embedding")).alias("_bits0")
+    )
+    norms = emb.crossJoin(F.broadcast(v0)).select(
         "vec_id",
         "label",
         F.size("embedding").alias("dim"),
         F.sqrt(l2_norm_sq(vec)).alias("l2_norm"),
+        F.aggregate(
+            sign_pack(vec),
+            F.lit(0),
+            lambda a, x: a + F.bit_count(x),
+        ).alias("n_pos_bits"),
+        hamming(sign_pack(vec), F.col("_bits0")).alias("hamming_to_v0"),
     )
     return norms.join(qstats, "vec_id")
 
@@ -100,14 +114,22 @@ _ABS_MAX_FOLD = (
 
 _QUANT_BATTERY_SQL = f"""
 WITH amax AS (SELECT max({_ABS_MAX_FOLD}) AS a FROM embeddings),
+v0 AS (SELECT embedding AS e0 FROM embeddings WHERE vec_id = 0),
 q AS (
     SELECT vec_id, label,
            len(embedding) AS dim,
            sqrt({_NORM_SQ.format(a="CAST(embedding AS DOUBLE[])")}) AS l2_norm,
            a / 127.0 AS scale,
            list_transform(CAST(embedding AS DOUBLE[]),
-                          x -> CAST(round(x / (a / 127.0)) AS BIGINT)) AS qv
-    FROM embeddings, amax
+                          x -> CAST(round(x / (a / 127.0)) AS BIGINT)) AS qv,
+           -- sign-bit tier restated UNPACKED: the Spark side packs into
+           -- 32-bit words and XOR/popcounts; semantically both count
+           -- positions whose sign bit (x > 0) is set / differs
+           len(list_filter(embedding, x -> x > 0)) AS n_pos_bits,
+           len(list_filter(range(1, len(embedding) + 1),
+                           i -> (embedding[i] > 0) <> (e0[i] > 0)))
+               AS hamming_to_v0
+    FROM embeddings, amax, v0
 )
 SELECT vec_id, label, dim, l2_norm,
        CAST(list_sum(qv) AS BIGINT) AS q_sum,
@@ -115,7 +137,9 @@ SELECT vec_id, label, dim, l2_norm,
        CAST(list_max(qv) AS INTEGER) AS q_max,
        len(list_filter(qv, x -> abs(x) = 127)) AS n_sat,
        len(list_filter(qv, x -> x = 0)) AS n_zero,
-       scale
+       scale,
+       CAST(n_pos_bits AS INTEGER) AS n_pos_bits,
+       CAST(hamming_to_v0 AS INTEGER) AS hamming_to_v0
 FROM q
 """
 

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_sentinel_imagery_spark.queries.vectors_q import (
@@ -402,3 +403,99 @@ def test_gemm_topk_matches_fold_topk(spark):
         for r in rows
     }
     assert key(a) == key(b)
+
+
+def test_sign_pack_matches_numpy_and_hamming_kernel(spark):
+    """Packed sign words equal numpy's bit packing; the XOR+popcount
+    Hamming kernel equals the unpacked position count — including a
+    non-multiple-of-32 dimension (tail word)."""
+    import numpy as np
+
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        SIGN_WORD_BITS,
+        as_double_array,
+        hamming,
+        sign_pack,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(13)
+    dim = 70  # forces a partial tail word
+    vecs = rng.normal(size=(6, dim))
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(6)],
+        "vec_id bigint, embedding array<double>",
+    )
+    packed = {
+        r["vec_id"]: r["bits"]
+        for r in df.select(
+            "vec_id", sign_pack(as_double_array("embedding")).alias("bits")
+        ).collect()
+    }
+    for i in range(6):
+        want = []
+        for w in range((dim + SIGN_WORD_BITS - 1) // SIGN_WORD_BITS):
+            word = 0
+            for j in range(SIGN_WORD_BITS):
+                p = w * SIGN_WORD_BITS + j
+                if p < dim and vecs[i][p] > 0:
+                    word |= 1 << j
+            want.append(word)
+        assert list(packed[i]) == want, i
+    # hamming kernel vs unpacked count
+    a, b = df.alias("a"), df.alias("b")
+    got = (
+        a.crossJoin(b)
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            hamming(
+                sign_pack(as_double_array(F.col("a.embedding"))),
+                sign_pack(as_double_array(F.col("b.embedding"))),
+            ).alias("h"),
+        )
+        .collect()
+    )
+    for r in got:
+        want = int(np.sum((vecs[r["ia"]] > 0) != (vecs[r["ib"]] > 0)))
+        assert r["h"] == want
+
+
+def test_hamming_topk_recall_and_rerank(spark):
+    """The binary tier's two-stage serving: recall@5 of the
+    Hamming-shortlist + exact-rerank path is decent on clustered data,
+    and returned scores are exact cosine."""
+    import numpy as np
+
+    from etl_sentinel_imagery_spark.operators.similarity import hamming_topk
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(29)
+    centers = rng.normal(size=(4, 32))
+    vecs = np.stack(
+        [centers[i % 4] + 0.2 * rng.normal(size=32) for i in range(120)]
+    )
+    emb = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(120)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = hamming_topk(
+        emb, F.col("vec_id") < 6, k=5, shortlist=25
+    ).collect()
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    hits = total = 0
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid in range(6):
+        sims = normed @ normed[qid]
+        order = sorted(range(120), key=lambda i: (-sims[i], i))
+        want = [i for i in order if i != qid][:5]
+        got = {r["cand_id"] for r in by_q[qid]}
+        hits += len(got & set(want))
+        total += 5
+        for r in by_q[qid]:
+            assert r["cos_sim"] == pytest.approx(
+                float(sims[r["cand_id"]]), abs=1e-9
+            )
+    assert hits / total >= 0.7, f"binary-tier recall {hits}/{total}"
