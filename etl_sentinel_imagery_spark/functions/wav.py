@@ -136,3 +136,64 @@ def frame_features(
     sgn[sgn == 0] = 1.0
     zcr = (np.abs(np.diff(sgn, axis=1)) > 0).mean(axis=1)
     return np.stack([rms, zcr], axis=1)
+
+
+def _to_mono_float(samples: np.ndarray) -> np.ndarray:
+    """Channel-averaged float64 in [-1, 1] (the frame_features
+    normalization, factored for the spectral kernels)."""
+    x = samples.astype(np.float64)
+    if samples.dtype == np.uint8:
+        x = (x - 128.0) / 128.0
+    elif np.issubdtype(samples.dtype, np.integer):
+        x = x / float(np.iinfo(samples.dtype).max)
+    return x.mean(axis=1) if x.ndim == 2 else x
+
+
+def mel_filterbank(
+    n_mels: int, n_fft: int, sample_rate: int
+) -> np.ndarray:
+    """Standard triangular mel filterbank (n_mels, n_fft//2 + 1):
+    mel(f) = 2595·log10(1 + f/700), triangle centers equally spaced on
+    the mel axis from 0 to Nyquist — the textbook construction every
+    speech front end (HTK/librosa lineage) uses."""
+    def mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+    def inv_mel(m):
+        return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+    nyquist = sample_rate / 2.0
+    pts_hz = inv_mel(np.linspace(0.0, float(mel(nyquist)), n_mels + 2))
+    bin_hz = np.linspace(0.0, nyquist, n_fft // 2 + 1)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(n_mels):
+        lo, ctr, hi = pts_hz[m], pts_hz[m + 1], pts_hz[m + 2]
+        up = (bin_hz - lo) / max(ctr - lo, 1e-12)
+        down = (hi - bin_hz) / max(hi - ctr, 1e-12)
+        fb[m] = np.clip(np.minimum(up, down), 0.0, None)
+    return fb
+
+
+def log_mel_spectrogram(
+    samples: np.ndarray,
+    sample_rate: int,
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+    n_mels: int = 16,
+) -> np.ndarray:
+    """Log-mel spectrogram — THE standard learned-audio input feature:
+    Hann-windowed frames → |rfft|² power → mel filterbank → log10 with
+    a -100 dB floor (silence stays finite). Returns (n_frames, n_mels)
+    float64; trailing samples that don't fill a frame are dropped.
+    Pure numpy (np.fft.rfft) — no DSP library required."""
+    mono = _to_mono_float(samples)
+    flen = max(int(sample_rate * frame_ms / 1000), 2)
+    hop = max(int(sample_rate * hop_ms / 1000), 1)
+    if len(mono) < flen:
+        return np.empty((0, n_mels))
+    n_frames = 1 + (len(mono) - flen) // hop
+    idx = np.arange(flen)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = mono[idx] * np.hanning(flen)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    fb = mel_filterbank(n_mels, flen, sample_rate)
+    return np.log10(power @ fb.T + 1e-10)

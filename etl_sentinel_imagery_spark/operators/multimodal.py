@@ -615,3 +615,50 @@ def embed_text(
     return docs.mapInPandas(
         _embed, schema=f"{id_col} bigint, embedding array<float>"
     )
+
+
+def audio_spectrogram(
+    media: DataFrame,
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+    n_mels: int = 16,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: Callable[[bytes, dict], tuple] = default_audio_decoder,
+) -> DataFrame:
+    """Decode → log-mel spectrogram rows — the learned-audio input
+    feature (functions.wav.log_mel_spectrogram: Hann window → |rfft|²
+    → mel filterbank → log floor), fully real end-to-end for WAV
+    payloads. One row per frame with the (n_mels,) band vector — the
+    explode shape a downstream embedding/packing stage consumes."""
+    from etl_sentinel_imagery_spark.functions.wav import log_mel_spectrogram
+
+    def _spec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                samples, rate = decoder(bytes(r[payload_col]), r.get("meta"))
+                spec = log_mel_spectrogram(
+                    samples, rate, frame_ms, hop_ms, n_mels
+                )
+                for fi in range(spec.shape[0]):
+                    rows.append(
+                        {
+                            id_col: r[id_col],
+                            "frame_idx": fi,
+                            "log_mel": [float(v) for v in spec[fi]],
+                            "sample_rate": int(rate),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_idx", "log_mel", "sample_rate"],
+            )
+
+    return media.mapInPandas(
+        _spec,
+        schema=(
+            f"{id_col} bigint, frame_idx int, log_mel array<double>, "
+            "sample_rate int"
+        ),
+    )

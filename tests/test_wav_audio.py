@@ -117,3 +117,80 @@ def test_spark_operator_end_to_end(spark):
         assert np.allclose(zcrs, 2 * f / RATE, atol=0.02)
     # higher-pitch doc has strictly higher zcr
     assert max(r["zcr"] for r in by_doc[1]) < min(r["zcr"] for r in by_doc[2])
+
+
+def test_mel_filterbank_shape_and_coverage():
+    """Triangles cover the spectrum: every FFT bin above the first
+    triangle's start has positive total weight, each filter peaks at 1
+    near its center, shapes are (n_mels, n_fft//2+1)."""
+    from etl_sentinel_imagery_spark.functions.wav import mel_filterbank
+
+    fb = mel_filterbank(16, 400, 16000)
+    assert fb.shape == (16, 201)
+    assert np.all(fb >= 0)
+    assert np.allclose(fb.max(axis=1), 1.0, atol=0.35)  # discrete peaks
+    # interior bins are covered by at least one triangle
+    covered = fb.sum(axis=0)
+    assert np.all(covered[5:-1] > 0)
+
+
+def test_log_mel_tone_concentrates_in_right_band():
+    """A pure 1 kHz tone at 16 kHz: the hottest mel band must be the one
+    whose center is nearest 1 kHz, in every frame."""
+    from etl_sentinel_imagery_spark.functions.wav import (
+        log_mel_spectrogram,
+        mel_filterbank,
+    )
+
+    rate, f0 = 16000, 1000.0
+    t = np.arange(rate) / rate  # 1 second
+    tone = (0.8 * np.sin(2 * np.pi * f0 * t)).astype(np.float64)
+    spec = log_mel_spectrogram(tone, rate, frame_ms=25, hop_ms=10, n_mels=16)
+    flen = int(rate * 0.025)
+    assert spec.shape == (1 + (rate - flen) // int(rate * 0.010), 16)
+    # expected band: argmax of filter response at the tone's FFT bin
+    fb = mel_filterbank(16, flen, rate)
+    bin_hz = np.linspace(0, rate / 2, flen // 2 + 1)
+    tone_bin = int(np.argmin(np.abs(bin_hz - f0)))
+    want_band = int(np.argmax(fb[:, tone_bin]))
+    assert np.all(spec.argmax(axis=1) == want_band)
+
+
+def test_log_mel_silence_floor_and_short_input():
+    from etl_sentinel_imagery_spark.functions.wav import log_mel_spectrogram
+
+    spec = log_mel_spectrogram(np.zeros(16000), 16000, n_mels=8)
+    assert np.all(spec == -10.0)  # log10(1e-10) floor, finite
+    assert log_mel_spectrogram(np.zeros(10), 16000).shape == (0, 16)
+
+
+def test_spark_audio_spectrogram_operator(spark):
+    """WAV payloads through the Spark operator: per-frame log_mel rows,
+    tone payload peaks in the same band as the driver-side kernel."""
+    from etl_sentinel_imagery_spark.functions.wav import (
+        encode_wav,
+        log_mel_spectrogram,
+    )
+    from etl_sentinel_imagery_spark.operators.multimodal import (
+        audio_spectrogram,
+    )
+
+    rate = 8000
+    t = np.arange(rate // 2) / rate
+    tone = (0.5 * np.sin(2 * np.pi * 500.0 * t) * 32767).astype(np.int16)
+    payload = encode_wav(tone[:, None], rate)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id bigint, payload binary"
+    )
+    rows = sorted(
+        audio_spectrogram(media, n_mels=12).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    want = log_mel_spectrogram(tone[:, None], rate, n_mels=12)
+    assert len(rows) == want.shape[0]
+    for r in rows:
+        assert r["sample_rate"] == rate
+        assert len(r["log_mel"]) == 12
+        np.testing.assert_allclose(
+            r["log_mel"], want[r["frame_idx"]], atol=1e-12
+        )
