@@ -64,6 +64,19 @@ class CurationConfig:
     #: or on the quality-passed corpus itself (typicality ranking) when
     #: no reference is given.
     lm_max_nll: float | None = None
+    #: SemDeDup semantic-duplicate gate (operators.semdedup): drop docs
+    #: whose embedding has a kept lower-id near-twin at this cosine;
+    #: None disables. Requires curate_corpus(embeddings=…) keyed by
+    #: doc_id; docs WITHOUT an embedding row pass through (anti-join on
+    #: the dropped set — the gate can only remove what it can see).
+    semantic_threshold: float | None = None
+    semantic_n_clusters: int = 16
+    #: Chunk the train split by REAL BPE token budget
+    #: (operators.bpe.chunk_documents_bpe) instead of whitespace-token
+    #: windows; requires bpe_merges > 0 (the tokenizer trained above).
+    #: Chunk/packing token counts then measure actual context-window
+    #: occupancy.
+    chunk_by_bpe: bool = False
 
 
 def _quality_filter(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
@@ -91,6 +104,7 @@ def curate_corpus(
     cfg: CurationConfig | None = None,
     collect_stats: bool = True,
     lm_ref: DataFrame | None = None,
+    embeddings: DataFrame | None = None,
 ) -> dict:
     """Run the full curation pipeline; write ``documents/`` (partitioned
     by split) and ``chunks/`` under ``out_dir``; return the stage-count
@@ -148,6 +162,33 @@ def curate_corpus(
         ),
     )
 
+    if cfg.semantic_threshold is not None:
+        if embeddings is None:
+            raise ValueError(
+                "semantic_threshold set but no embeddings DataFrame given"
+            )
+        from etl_sentinel_imagery_spark.operators.semdedup import (
+            semantic_dedup,
+        )
+
+        dropped = (
+            semantic_dedup(
+                embeddings.join(
+                    canon.select("doc_id"),
+                    embeddings["vec_id"] == canon["doc_id"],
+                    "left_semi",
+                ),
+                threshold=cfg.semantic_threshold,
+                n_clusters=cfg.semantic_n_clusters,
+            )
+            .filter(~F.col("keep"))
+            .select(F.col("id").alias("doc_id"))
+        )
+        canon = stage(
+            "after_semantic_dedup",
+            canon.join(dropped, "doc_id", "left_anti"),
+        )
+
     if eval_df is not None:
         bad = contaminated_train_ids(
             canon, eval_df, n=cfg.contamination_ngram
@@ -160,6 +201,7 @@ def curate_corpus(
     final = canon.withColumn(
         "split", assign_split("doc_id", cfg.split_weights, seed=cfg.split_seed)
     )
+    merges = None
     if cfg.bpe_merges > 0:
         # train the BPE tokenizer on the CURATED corpus (operators.bpe:
         # word counting at corpus scale, merges on the vocab table) and
@@ -179,13 +221,29 @@ def curate_corpus(
         f"{out_dir}/documents"
     )
 
-    chunks = chunk_documents(
-        final.filter(F.col("split") == "train"),
-        "doc_id",
-        "text",
-        chunk_tokens=cfg.chunk_tokens,
-        overlap=cfg.chunk_overlap,
-    )
+    if cfg.chunk_by_bpe:
+        if merges is None:
+            raise ValueError("chunk_by_bpe requires bpe_merges > 0")
+        from etl_sentinel_imagery_spark.operators.bpe import (
+            chunk_documents_bpe,
+        )
+
+        # word-aligned chunks by TRUE tokenizer budget — n_chunk_tokens
+        # downstream (z-order, packing) then measures real context-
+        # window occupancy, not whitespace-token approximations
+        chunks = chunk_documents_bpe(
+            final.filter(F.col("split") == "train"),
+            merges,
+            chunk_tokens=cfg.chunk_tokens,
+        ).withColumnRenamed("n_bpe_tokens", "n_chunk_tokens")
+    else:
+        chunks = chunk_documents(
+            final.filter(F.col("split") == "train"),
+            "doc_id",
+            "text",
+            chunk_tokens=cfg.chunk_tokens,
+            overlap=cfg.chunk_overlap,
+        )
     if cfg.zorder_chunks:
         # ingest-path Z-order (operators.layout): cluster the chunk files
         # along (doc_id, n_chunk_tokens) so both "all chunks of doc X"

@@ -161,3 +161,96 @@ def test_curation_lm_perplexity_gate(spark, tmp_path):
     assert report["after_lm_filter"] == 2
     written = spark.read.parquet(f"{out}/documents")
     assert {r["doc_id"] for r in written.collect()} == {1, 2}
+
+
+def test_semantic_gate_drops_embedding_twin(spark, tmp_path):
+    """semantic_threshold: the doc whose embedding is a near-twin of a
+    lower-id doc is dropped; docs without embeddings pass through."""
+    import numpy as np
+
+    docs = _mk_docs(spark)
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=16)
+    other = rng.normal(size=16)
+    emb_rows = [
+        (6, base.tolist()),
+        (8, (base + 0.01 * rng.normal(size=16)).tolist()),  # twin of 6
+        (1, other.tolist()),
+        # docs 2,3,7… have no embedding rows on purpose
+    ]
+    emb = spark.createDataFrame(
+        emb_rows, "vec_id bigint, embedding array<double>"
+    )
+    out = str(tmp_path / "sem")
+    report = curate_corpus(
+        spark,
+        docs,
+        out,
+        cfg=CurationConfig(semantic_threshold=0.95, semantic_n_clusters=1),
+        embeddings=emb,
+    )
+    ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{out}/documents").collect()
+    }
+    assert 8 not in ids  # the higher-id twin dropped
+    assert 6 in ids  # representative kept
+    assert report["after_semantic_dedup"] == report["after_dedup"] - 1
+
+    # misconfiguration is loud
+    import pytest
+
+    with pytest.raises(ValueError, match="embeddings"):
+        curate_corpus(
+            spark, docs, out, cfg=CurationConfig(semantic_threshold=0.9)
+        )
+
+
+def test_chunk_by_bpe_counts_real_tokens(spark, tmp_path):
+    """chunk_by_bpe: chunk token counts are TRUE BPE encoding lengths
+    (recomputable from the trained merges), within budget, and packing
+    accounts for exactly those tokens."""
+    from etl_sentinel_imagery_spark.operators.bpe import (
+        encode_word,
+        train_bpe_distributed,
+    )
+
+    docs = _mk_docs(spark)
+    out = str(tmp_path / "bpe_chunks")
+    cfg = CurationConfig(
+        bpe_merges=25, chunk_by_bpe=True, chunk_tokens=12, pack_seq_len=16
+    )
+    report = curate_corpus(spark, docs, out, cfg=cfg)
+    chunks = spark.read.parquet(f"{out}/chunks").collect()
+    assert chunks
+    # re-derive the merges the pipeline trained (same corpus, same cap)
+    docs_out = spark.read.parquet(f"{out}/documents")
+    canon_ids = [r["doc_id"] for r in docs_out.collect()]
+    canon = docs.filter(F.col("doc_id").isin(canon_ids))
+    # the pipeline scrubs PII before training — replicate
+    from etl_sentinel_imagery_spark.functions.text import scrub_pii
+
+    merges = train_bpe_distributed(
+        canon.withColumn("text", scrub_pii(F.col("text"))), 25
+    )
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    for r in chunks:
+        true_n = sum(
+            len(encode_word(w, ranks))
+            for w in r["chunk_text"].split(" ")
+            if w
+        )
+        assert r["n_chunk_tokens"] == true_n
+        if len(r["chunk_text"].split(" ")) > 1:
+            assert r["n_chunk_tokens"] <= 12
+    seqs = spark.read.parquet(f"{out}/sequences")
+    total = sum(r["n_chunk_tokens"] for r in chunks)
+    assert seqs.agg(F.sum("slice_len")).collect()[0][0] == total
+    assert report["train_chunks"] == len(chunks)
+
+    # chunk_by_bpe without a tokenizer is loud
+    import pytest
+
+    with pytest.raises(ValueError, match="bpe_merges"):
+        curate_corpus(
+            spark, docs, out, cfg=CurationConfig(chunk_by_bpe=True)
+        )
