@@ -111,6 +111,22 @@ def main() -> None:
         out["ivf_probe_s"] = round(time.time() - t0, 2)
         out["ivf_recall_at_10"] = round(recall_at_k(approx, exact), 4)
 
+        # binary tier: 1-bit/dim Hamming shortlist + exact rerank — the
+        # cheapest corpus-wide scan (XOR+popcount on 2 longs per vector)
+        t0 = time.time()
+        from etl_sentinel_imagery_spark.operators.similarity import (
+            hamming_topk,
+        )
+
+        ham = hamming_topk(
+            corpus,
+            F.col("vec_id") < N_QUERIES,
+            k=TOP_K,
+            shortlist=8 * TOP_K,
+        ).collect()
+        out["hamming_scan_s"] = round(time.time() - t0, 2)
+        out["hamming_recall_at_10"] = round(recall_at_k(ham, exact), 4)
+
         if do_hnsw:
             hnsw_path = os.path.join(tmp, "hnsw")
             t0 = time.time()
