@@ -37,6 +37,8 @@ HEADLINE = [
     "cosine_topk_bruteforce",
     "embedding_near_dup_pairs",
     "ann_ivf_battery",
+    # round-4 addition: the oracled spatial joins (grid pip + radius)
+    "spatial_fuzzy_join_battery",
 ]
 
 

@@ -426,3 +426,136 @@ def histogram_quantile_est(
         in_bin > 0, (target - below.cast("double")) / in_bin.cast("double")
     ).otherwise(F.lit(0.0))
     return lo + (hi - lo) * F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+
+
+# --- Count-Min sketch (Cormode & Muthukrishnan 2005) ----------------------
+#: Depth: error probability e^-d ≈ 1.8% at 4; width w gives additive
+#: error ε·N with ε = e/w (N = total weight).
+CM_D = 4
+
+
+def _cm_hash(key: Column, j: int, w: int) -> Column:
+    """Row-j cell index: salted md5 → 60-bit int → mod w. A distinct
+    salt per row gives the d independent hash functions the CM
+    guarantee needs; md5 keeps it engine-portable like _hash60."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"cm{j}:"), key.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(w)).cast("int")
+
+
+def cm_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    weight_col: str | None = None,
+    w: int = 1024,
+    d: int = CM_D,
+) -> DataFrame:
+    """One Count-Min sketch per group: ``cm array<array<long>>`` (d rows
+    × w counters). Point-queries any key's frequency (``cm_estimate``)
+    with a one-sided guarantee: estimate ≥ true count, and
+    ≤ true + (e/w)·N with probability 1 − e^(−d) — the classic
+    turnstile frequency sketch, complementing HLL (distinct), top-k
+    (heavy hitters with identities) and KLL (quantiles) in the rollup
+    family.
+
+    Build shape mirrors the bloom/HLL builders: each input row explodes
+    to d (row, cell) increments, the per-(group,row,cell) sum is
+    MAP-SIDE COMBINABLE (the shuffle carries ≤ d·w rows per group
+    however large the input), then two cheap assemblies densify. Merge
+    = element-wise add (associative, commutative — build per day, add
+    to any slice)."""
+    weight = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("r"),
+                _cm_hash(F.col(key_col), j, w).alias("i"),
+            )
+            for j in range(d)
+        ]
+    )
+    per_cell = (
+        df.select(*group_cols, weight.alias("_w"), F.explode(cells).alias("_c"))
+        .select(
+            *group_cols,
+            "_w",
+            F.col("_c.r").alias("_r"),
+            F.col("_c.i").alias("_i"),
+        )
+        .groupBy(*group_cols, "_r", "_i")
+        .agg(F.sum("_w").alias("_s"))
+    )
+    dense_row = F.transform(
+        F.sequence(F.lit(0), F.lit(w - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("int")), F.lit(0).cast("long")
+        ),
+    )
+    rows = (
+        per_cell.groupBy(*group_cols, "_r")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_i"), F.col("_s")))
+            ).alias("_m")
+        )
+        .select(*group_cols, "_r", dense_row.alias("_row"))
+    )
+    zero_row = F.array_repeat(F.lit(0).cast("long"), w)
+    return (
+        rows.groupBy(*group_cols)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_r"), F.col("_row")))
+            ).alias("_rm")
+        )
+        .select(
+            *group_cols,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(d - 1)),
+                lambda r: F.coalesce(
+                    F.element_at(F.col("_rm"), r.cast("int")), zero_row
+                ),
+            ).alias("cm"),
+        )
+    )
+
+
+def cm_merge_cols(a: Column, b: Column) -> Column:
+    """Element-wise sum of two sketches (must share w and d)."""
+    return F.zip_with(
+        a, b, lambda ra, rb: F.zip_with(ra, rb, lambda x, y: x + y)
+    )
+
+
+def cm_merge_agg(col: Column | str, w: int, d: int = CM_D) -> Column:
+    """Aggregate-merge a sketch column (groupBy().agg(...) shape)."""
+    c = F.col(col) if isinstance(col, str) else col
+    zero = F.array_repeat(F.array_repeat(F.lit(0).cast("long"), w), d)
+    return F.aggregate(F.collect_list(c), zero, cm_merge_cols)
+
+
+def cm_estimate(
+    cm: Column, key: Column, w: int, d: int = CM_D
+) -> Column:
+    """Point frequency estimate: min over the d rows' counters at the
+    key's cells — pure JVM expression, usable inside any projection."""
+    return F.array_min(
+        F.array(
+            *[
+                F.element_at(
+                    F.element_at(cm, j + 1), _cm_hash(key, j, w) + 1
+                )
+                for j in range(d)
+            ]
+        )
+    )

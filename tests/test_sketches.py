@@ -267,3 +267,115 @@ def test_histogram_exact_counts_and_merge(spark):
     lo = max([e for e in edges if e <= true_median], default=edges[0])
     hi = min([e for e in edges if e > true_median], default=edges[-1])
     assert lo <= est_median <= hi
+
+
+# --- Count-Min sketch -----------------------------------------------------
+def test_cm_exact_when_wide_and_one_sided(spark):
+    """A sketch wider than the key space with no collisions is exact;
+    estimates are NEVER below the true count (one-sided guarantee);
+    absent keys estimate >= 0."""
+    from collections import Counter
+
+    from etl_sentinel_imagery_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    vals = [f"k{i % 17}" for i in range(500)]
+    true = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    sk = cm_sketch(df, [], "k", w=2048)
+    probes = sorted(true) + ["absent_a", "absent_b"]
+    est_cols = [
+        cm_estimate(F.col("cm"), F.lit(p), 2048).alias(f"e{i}")
+        for i, p in enumerate(probes)
+    ]
+    row = sk.select(*est_cols).collect()[0]
+    for i, p in enumerate(probes):
+        assert row[f"e{i}"] >= true.get(p, 0), p
+        # at this width on 17 keys, collisions are absent -> exact
+        assert row[f"e{i}"] == true.get(p, 0), p
+
+
+def test_cm_merge_equals_union_and_weights(spark):
+    """Merging per-part sketches equals sketching the union (exact,
+    element-wise), and weighted counts flow through."""
+    from etl_sentinel_imagery_spark.operators.sketches import (
+        cm_estimate,
+        cm_merge_agg,
+        cm_sketch,
+    )
+
+    W = 256
+    a = spark.createDataFrame(
+        [("x", 2), ("y", 3), ("x", 5)], "k string, wgt int"
+    )
+    b = spark.createDataFrame([("x", 1), ("z", 7)], "k string, wgt int")
+    both = a.unionByName(b)
+    merged = (
+        cm_sketch(a, [], "k", weight_col="wgt", w=W)
+        .unionByName(cm_sketch(b, [], "k", weight_col="wgt", w=W))
+        .agg(cm_merge_agg("cm", W).alias("cm"))
+    )
+    direct = cm_sketch(both, [], "k", weight_col="wgt", w=W)
+    m = merged.collect()[0]["cm"]
+    dr = direct.collect()[0]["cm"]
+    assert [list(r) for r in m] == [list(r) for r in dr]
+    est = merged.select(
+        cm_estimate(F.col("cm"), F.lit("x"), W).alias("x"),
+        cm_estimate(F.col("cm"), F.lit("z"), W).alias("z"),
+    ).collect()[0]
+    assert est["x"] == 8 and est["z"] == 7
+
+
+def test_cm_error_bound_on_heavy_tail(spark):
+    """Zipf-ish stream through a narrow sketch: every estimate is within
+    the eps*N additive bound (eps = e/w) with comfortable margin, and
+    the heavy hitter's estimate is tight relative to its mass."""
+    import math
+
+    from etl_sentinel_imagery_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    rows = []
+    for i in range(2000):
+        rows.append((f"k{i % (1 + i % 97)}",))  # skewed toward k0
+    df = spark.createDataFrame(rows, "k string")
+    W = 128
+    n = len(rows)
+    from collections import Counter
+
+    true = Counter(r[0] for r in rows)
+    sk = cm_sketch(df, [], "k", w=W)
+    probes = ["k0", "k1", "k50"]
+    row = sk.select(
+        *[
+            cm_estimate(F.col("cm"), F.lit(p), W).alias(p)
+            for p in probes
+        ]
+    ).collect()[0]
+    eps_n = math.e / W * n
+    for p in probes:
+        assert true[p] <= row[p] <= true[p] + eps_n, (p, row[p], true[p])
+
+
+def test_cm_per_group_sketches(spark):
+    from etl_sentinel_imagery_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "x")],
+        "g string, k string",
+    )
+    sk = cm_sketch(df, ["g"], "k", w=64)
+    rows = {
+        r["g"]: r
+        for r in sk.select(
+            "g", cm_estimate(F.col("cm"), F.lit("x"), 64).alias("x")
+        ).collect()
+    }
+    assert rows["a"]["x"] == 2 and rows["b"]["x"] == 1
