@@ -101,10 +101,60 @@ def _windows_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("roll_z").alias("total_value"),
         F.lit(-1).cast("bigint").alias("n_users"),
     )
+    # EWMA smoothing over the same gap-filled axis (alpha = 1/4, an
+    # exact binary fraction): per position t the value is the SEQUENTIAL
+    # left fold acc*(3/4) + (1/4)*x over the bucket prefix, restated in
+    # DuckDB as the op-for-op identical list_reduce — bit-identical
+    # doubles (the cosine-fold pattern). The per-position prefix re-fold
+    # is O(axis²) per event_type, on the TIME AXIS only — bounded and
+    # control-plane-sized at any corpus SF (the axis grows with days,
+    # not rows).
+    per_type = base.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("bucket"), F.col("n_events")))
+        ).alias("_seq")
+    )
+    vals = F.transform(
+        F.col("_seq"), lambda s: s["n_events"].cast("double")
+    )
+    ew_arr = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_seq"))),
+        lambda i: F.aggregate(
+            F.slice(vals, F.lit(1), i),
+            F.lit(0.0),
+            lambda a, x: a * F.lit(0.75) + F.lit(0.25) * x,
+        ),
+    )
+    ewma = (
+        per_type.select("event_type", "_seq", ew_arr.alias("_ew"))
+        .select(
+            "event_type",
+            F.posexplode(
+                F.zip_with(
+                    F.col("_seq"),
+                    F.col("_ew"),
+                    lambda s, e: F.struct(
+                        s["bucket"].alias("b"),
+                        s["n_events"].alias("n"),
+                        e.alias("e"),
+                    ),
+                )
+            ).alias("_pos", "_z"),
+        )
+        .select(
+            F.lit("ewma_6h").alias("kind"),
+            F.col("_z.b").alias("window_start"),
+            "event_type",
+            F.col("_z.n").alias("n_events"),
+            F.col("_z.e").alias("total_value"),
+            F.lit(-1).cast("bigint").alias("n_users"),
+        )
+    )
     return (
         tumbling.unionByName(sliding)
         .unionByName(resampled)
         .unionByName(zscored)
+        .unionByName(ewma)
     )
 
 
@@ -180,6 +230,23 @@ FROM (
     WINDOW fr AS (PARTITION BY event_type ORDER BY bucket
                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 )
+UNION ALL
+SELECT 'ewma_6h' AS kind, bks[i] AS window_start, event_type,
+       ns[i] AS n_events,
+       -- op-for-op the Spark fold: left fold over the bucket prefix,
+       -- seed 0.0, acc*0.75 + 0.25*x — bit-identical doubles
+       list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_slice(ns, 1, i),
+                              x -> CAST(x AS DOUBLE))),
+           (a, x) -> a * 0.75 + 0.25 * x) AS total_value,
+       CAST(-1 AS BIGINT) AS n_users
+FROM (
+    SELECT event_type,
+           list(bucket ORDER BY bucket) AS bks,
+           list(n_events ORDER BY bucket) AS ns
+    FROM resampled GROUP BY 1
+), UNNEST(generate_series(1, len(ns))) u(i)
 """
 
 
