@@ -143,3 +143,22 @@ def weighted_mix(
     if out is None:
         raise ValueError("no sources given")
     return out
+
+
+def sample_exact_n(
+    df: DataFrame, n: int, key_col: str = "doc_id", seed: str = ""
+) -> DataFrame:
+    """EXACTLY-n deterministic sample: the n rows with the smallest
+    hash_bucket(key, seed) — the hash-rank analog of reservoir sampling
+    with none of its RNG. Plans as TakeOrderedAndProject (per-partition
+    top-n + driver merge, never a global sort), is reproducible across
+    engines/cluster sizes like every sampler here, and is CONSISTENT
+    under growth: a row leaves the sample only when a smaller-hash row
+    arrives, so samples of n and n+m share n rows (nested samples —
+    the property bootstrap/monitoring pipelines want). Ties are broken
+    by the key itself (total order)."""
+    key = F.col(key_col)
+    return (
+        df.orderBy(hash_bucket(key, seed).asc(), key.asc())
+        .limit(n)
+    )

@@ -1067,17 +1067,27 @@ def hamming_topk(
     rerank: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bits_col: str | None = None,
 ) -> DataFrame:
     """Two-stage serving over the binary tier: Hamming shortlist on
     packed sign bits (the corpus-wide scan touches 1 bit/dim), then the
     standard exact-cosine rerank on the shortlist only. With
     ``rerank=False`` returns the raw Hamming ranking (hamming_dist
-    ascending, id tiebreak)."""
+    ascending, id tiebreak).
+
+    ``bits_col`` names a PERSISTED packed column (written once with
+    ``sign_pack`` — the 32× storage tier); without it the bits pack on
+    the fly, which re-pays the packing expression per query run (the
+    1M stress measured that cost — persist for serving)."""
     shortlist = shortlist or 4 * k
     packed = embeddings.select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),
-        sign_pack(as_double_array(vec_col)).alias("_bits"),
+        (
+            F.col(bits_col)
+            if bits_col is not None
+            else sign_pack(as_double_array(vec_col))
+        ).alias("_bits"),
     )
     qry = packed.filter(query_predicate).select(
         F.col(id_col).alias("query_id"), F.col("_bits").alias("_qbits")

@@ -190,3 +190,34 @@ def test_contamination_on_fixture_corpus_self_overlap(spark):
         .collect()
     }
     assert have_grams <= bad
+
+
+def test_sample_exact_n_deterministic_and_nested(spark):
+    from etl_sentinel_imagery_spark.operators.sampling import sample_exact_n
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    s1 = {r["doc_id"] for r in sample_exact_n(df, 50, seed="s").collect()}
+    s2 = {r["doc_id"] for r in sample_exact_n(df, 50, seed="s").collect()}
+    assert s1 == s2 and len(s1) == 50
+    # repartitioning cannot change the sample
+    s3 = {
+        r["doc_id"]
+        for r in sample_exact_n(df.repartition(13), 50, seed="s").collect()
+    }
+    assert s3 == s1
+    # nested: the 80-sample contains the 50-sample
+    s80 = {r["doc_id"] for r in sample_exact_n(df, 80, seed="s").collect()}
+    assert s1 <= s80
+    # a different seed draws a different sample
+    s_other = {
+        r["doc_id"] for r in sample_exact_n(df, 50, seed="t").collect()
+    }
+    assert s_other != s1
+    # plan: distributed top-n, never a global sort
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        sample_exact_n(df, 50, seed="s").explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
