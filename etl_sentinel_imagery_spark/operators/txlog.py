@@ -1,0 +1,258 @@
+"""Minimal table-format transaction log — snapshot-isolated appends,
+deletes, and compaction over plain parquet.
+
+The engine's maintenance ops (compaction, targeted delete) use a
+crash-ordered swap that is safe but exposes a TRANSIENT WINDOW where a
+directory-listing reader sees old+new files together (documented in
+operators.maintenance). The lake-format answer (Delta/Iceberg) is a
+manifest log: the set of live files is a VERSIONED JSON manifest, the
+current version is an atomic pointer, and readers resolve the file
+list from a manifest — so every reader sees exactly one committed
+snapshot, writers commit old+new swaps in ONE pointer flip, and any
+historical version stays readable (time travel). This module is that
+pattern at its irreducible core:
+
+- ``_txlog/v_<n>.json``: full live-file list + op + parent version
+  (full lists, not deltas — manifests are file-count-sized metadata,
+  and at 1M files ≈ tens of MB of driver-side JSON, which is the same
+  control-plane budget as the Bloom index's path list);
+- ``_txlog/_CURRENT``: the committed version, flipped with
+  ``os.replace`` (atomic on POSIX);
+- optimistic concurrency: a committer CLAIMS version n+1 by
+  ``os.link``-ing its fully-written temp manifest to ``v_<n+1>.json``
+  — link fails with EEXIST if another writer won, which surfaces as
+  :class:`TxConflict` (retry with a fresh snapshot). POSIX-semantics
+  note, stated honestly: atomic link/replace hold on real filesystems;
+  object stores need a CAS service for exactly this step — the same
+  caveat Delta's LogStore abstraction exists for.
+
+Readers MUST resolve through :func:`snapshot` — a raw directory scan
+of a txlog table sees uncommitted and removed files (exactly like a
+Delta directory without a Delta reader). Crash safety: data files are
+written BEFORE their manifest commits (an orphaned data file is
+garbage, never corruption); a crash between manifest link and pointer
+flip leaves a claimed-but-unreferenced version whose successor commit
+simply claims the next number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class TxConflict(RuntimeError):
+    """Another writer committed the version this commit was based on."""
+
+
+def _log_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_txlog")
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(_log_dir(table_dir), f"v_{version:08d}.json")
+
+
+def current_version(table_dir: str) -> int:
+    with open(os.path.join(_log_dir(table_dir), "_CURRENT")) as f:
+        return int(f.read().strip())
+
+
+def read_manifest(table_dir: str, version: int | None = None) -> dict:
+    if version is None:
+        version = current_version(table_dir)
+    with open(_manifest_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def _write_pointer(table_dir: str, version: int) -> None:
+    ptr = os.path.join(_log_dir(table_dir), "_CURRENT")
+    tmp = ptr + f".tmp{version}"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, ptr)
+
+
+def _commit(
+    table_dir: str,
+    parent: int,
+    files: list[str],
+    op: str,
+) -> int:
+    """Claim parent+1 via atomic link of a fully-written temp manifest;
+    flip the pointer. Raises TxConflict when the claim loses."""
+    version = parent + 1
+    ldir = _log_dir(table_dir)
+    payload = json.dumps(
+        {"version": version, "parent": parent, "op": op, "files": sorted(files)},
+        indent=0,
+    )
+    tmp = os.path.join(ldir, f"_tmp_{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _manifest_path(table_dir, version))
+    except FileExistsError as e:
+        os.unlink(tmp)
+        raise TxConflict(
+            f"version {version} already committed by another writer; "
+            "re-read the snapshot and retry"
+        ) from e
+    os.unlink(tmp)
+    _write_pointer(table_dir, version)
+    return version
+
+
+def _move_in_data_files(
+    spark: SparkSession, table_dir: str, df: DataFrame
+) -> list[str]:
+    """Write df's parquet files under unique names in the table dir;
+    return their table-relative names. Data lands BEFORE any commit
+    references it."""
+    staging = os.path.join(table_dir, f"_stage_{uuid.uuid4().hex}")
+    df.write.parquet(staging)
+    names: list[str] = []
+    for entry in os.listdir(staging):
+        if entry.endswith(".parquet") and not entry.startswith("_"):
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            os.replace(
+                os.path.join(staging, entry), os.path.join(table_dir, name)
+            )
+            names.append(name)
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return names
+
+
+def init_table(
+    spark: SparkSession, table_dir: str, df: DataFrame | None = None
+) -> int:
+    """Create an empty (or seeded) txlog table: version 0 manifest."""
+    os.makedirs(_log_dir(table_dir), exist_ok=True)
+    files = _move_in_data_files(spark, table_dir, df) if df is not None else []
+    payload = json.dumps(
+        {"version": 0, "parent": None, "op": "init", "files": sorted(files)},
+        indent=0,
+    )
+    path = _manifest_path(table_dir, 0)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    try:
+        os.link(tmp, path)
+    except FileExistsError as e:
+        os.unlink(tmp)
+        raise TxConflict("table already initialized") from e
+    os.unlink(tmp)
+    _write_pointer(table_dir, 0)
+    return 0
+
+
+def snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The committed table at ``version`` (default: current) — time
+    travel is just naming an older manifest."""
+    m = read_manifest(table_dir, version)
+    if not m["files"]:
+        raise ValueError(
+            f"version {m['version']} of {table_dir} is empty; no schema "
+            "to serve (seed init_table with a DataFrame)"
+        )
+    return spark.read.parquet(
+        *[os.path.join(table_dir, f) for f in m["files"]]
+    )
+
+
+def history(table_dir: str) -> list[dict]:
+    """Every committed manifest, oldest first (op + file counts)."""
+    out = []
+    for v in range(current_version(table_dir) + 1):
+        p = _manifest_path(table_dir, v)
+        if os.path.exists(p):
+            with open(p) as f:
+                m = json.load(f)
+            out.append(
+                {"version": m["version"], "op": m["op"], "n_files": len(m["files"])}
+            )
+    return out
+
+
+def append(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
+    """Transactional append: new files land, then one commit adds them."""
+    parent = current_version(table_dir)
+    names = _move_in_data_files(spark, table_dir, df)
+    files = read_manifest(table_dir, parent)["files"] + names
+    return _commit(table_dir, parent, files, "append")
+
+
+def delete_rows(
+    spark: SparkSession, table_dir: str, key_col: str, values: list
+) -> int:
+    """Transactional targeted delete: candidate files (those actually
+    holding matches) rewrite to new files; ONE commit swaps old for new
+    — a snapshot reader never sees duplicates or partial deletes."""
+    parent = current_version(table_dir)
+    old_files = read_manifest(table_dir, parent)["files"]
+    keep_files: list[str] = []
+    new_names: list[str] = []
+    for name in old_files:
+        path = os.path.join(table_dir, name)
+        df = spark.read.parquet(path)
+        n_hit = df.filter(F.col(key_col).isin(values)).count()
+        if n_hit == 0:
+            keep_files.append(name)
+            continue
+        kept = df.filter(
+            ~F.coalesce(F.col(key_col).isin(values), F.lit(False))
+        )
+        if kept.limit(1).count() > 0:
+            new_names += _move_in_data_files(spark, table_dir, kept)
+        # fully-matched files simply drop out of the manifest
+    return _commit(
+        table_dir, parent, keep_files + new_names, "delete"
+    )
+
+
+def compact(
+    spark: SparkSession, table_dir: str, target_files: int = 1
+) -> int:
+    """Transactional compaction: rewrite the snapshot into
+    ``target_files`` files; one commit swaps the whole list — no
+    old+new transient, unlike the directory-swap compactor."""
+    parent = current_version(table_dir)
+    df = snapshot(spark, table_dir, parent)
+    names = _move_in_data_files(
+        spark, table_dir, df.coalesce(target_files)
+    )
+    return _commit(table_dir, parent, names, "compact")
+
+
+def vacuum(table_dir: str) -> list[str]:
+    """Delete data files referenced by NO manifest (orphans from
+    crashed writers). Files referenced by historical manifests are
+    kept — time travel stays valid; truncate history first if space
+    matters."""
+    referenced: set[str] = set()
+    for v in range(current_version(table_dir) + 1):
+        p = _manifest_path(table_dir, v)
+        if os.path.exists(p):
+            with open(p) as f:
+                referenced.update(json.load(f)["files"])
+    removed = []
+    for entry in os.listdir(table_dir):
+        if (
+            entry.endswith(".parquet")
+            and not entry.startswith("_")
+            and entry not in referenced
+        ):
+            os.unlink(os.path.join(table_dir, entry))
+            removed.append(entry)
+    return removed

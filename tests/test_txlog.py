@@ -1,0 +1,120 @@
+"""Transaction log: snapshot isolation, atomic swaps (no transient
+duplicates), optimistic-concurrency conflicts, time travel, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.operators.txlog import (
+    TxConflict,
+    _commit,
+    append,
+    compact,
+    current_version,
+    delete_rows,
+    history,
+    init_table,
+    read_manifest,
+    snapshot,
+    vacuum,
+)
+
+
+def _seed(spark, n=100, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("v-"), F.col("id")).alias("body"),
+    )
+
+
+def test_append_snapshot_history_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    init_table(spark, t, _seed(spark, 100))
+    assert current_version(t) == 0
+    assert snapshot(spark, t).count() == 100
+    v1 = append(spark, t, _seed(spark, 50, offset=1000))
+    assert v1 == 1 and snapshot(spark, t).count() == 150
+    # time travel: version 0 still answers exactly the old rows
+    assert snapshot(spark, t, version=0).count() == 100
+    ops = [h["op"] for h in history(t)]
+    assert ops == ["init", "append"]
+
+
+def test_delete_is_atomic_for_pinned_readers(spark, tmp_path):
+    """A reader pinned to the pre-delete version sees every original
+    row AFTER the delete commits — and the new version sees no trace of
+    the deleted keys. No intermediate state is observable: the file
+    list changes in one manifest flip."""
+    t = str(tmp_path / "d")
+    init_table(
+        spark, t, _seed(spark, 300).repartition(6)
+    )
+    pinned = current_version(t)
+    files_before = set(read_manifest(t, pinned)["files"])
+    targets = [5, 123, 222]
+    v = delete_rows(spark, t, "doc_id", targets)
+    # new snapshot: keys gone, everything else intact
+    after = snapshot(spark, t)
+    assert after.count() == 297
+    assert after.filter(F.col("doc_id").isin(targets)).count() == 0
+    # pinned snapshot: still the FULL original (old files still on disk)
+    old = snapshot(spark, t, version=pinned)
+    assert old.count() == 300
+    assert old.filter(F.col("doc_id").isin(targets)).count() == 3
+    # untouched files carried over verbatim in the manifest
+    files_after = set(read_manifest(t, v)["files"])
+    assert files_before & files_after, "untouched files must carry over"
+    # a file whose every row matched drops out entirely
+    t2 = str(tmp_path / "d2")
+    init_table(spark, t2, _seed(spark, 10).coalesce(1))
+    append(spark, t2, _seed(spark, 10, offset=500).coalesce(1))
+    delete_rows(spark, t2, "doc_id", list(range(10)))
+    m = read_manifest(t2)
+    assert len(m["files"]) == 1  # the fully-matched file vanished
+    assert snapshot(spark, t2).count() == 10
+
+
+def test_conflict_detection(spark, tmp_path):
+    t = str(tmp_path / "c")
+    init_table(spark, t, _seed(spark, 20))
+    parent = current_version(t)
+    append(spark, t, _seed(spark, 5, offset=100))  # someone else commits
+    with pytest.raises(TxConflict):
+        _commit(t, parent, read_manifest(t, parent)["files"], "stale")
+    # double-init is also a conflict
+    with pytest.raises(TxConflict):
+        init_table(spark, t, _seed(spark, 1))
+
+
+def test_compact_swaps_in_one_commit_and_vacuum(spark, tmp_path):
+    t = str(tmp_path / "k")
+    init_table(spark, t, _seed(spark, 200).repartition(8))
+    v0_files = read_manifest(t)["files"]
+    assert len(v0_files) == 8
+    v = compact(spark, t, target_files=1)
+    m = read_manifest(t, v)
+    assert len(m["files"]) == 1 and m["op"] == "compact"
+    assert snapshot(spark, t).count() == 200
+    # history intact: the pre-compaction version still reads
+    assert snapshot(spark, t, version=v - 1).count() == 200
+    # orphan simulation: a crashed writer's data file gets vacuumed,
+    # referenced files (incl. historical) survive
+    orphan = os.path.join(t, "part-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    removed = vacuum(t)
+    assert removed == ["part-orphan.parquet"]
+    assert snapshot(spark, t, version=v - 1).count() == 200
+    assert snapshot(spark, t).count() == 200
+
+
+def test_empty_table_refuses_schemaless_snapshot(spark, tmp_path):
+    t = str(tmp_path / "e")
+    init_table(spark, t)
+    with pytest.raises(ValueError, match="empty"):
+        snapshot(spark, t)
+    append(spark, t, _seed(spark, 3))
+    assert snapshot(spark, t).count() == 3
