@@ -303,3 +303,64 @@ def run_to_memory_with_metrics(
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}"), metrics
+
+
+def run_foreach_batch_to_txlog(
+    stream_df: DataFrame, table_dir: str, checkpoint_dir: str
+) -> None:
+    """Exactly-once streaming appends into a TRANSACTIONAL table
+    (operators.txlog): each micro-batch commits one manifest version
+    tagged ``stream_epoch_<id>``, so readers get snapshot isolation
+    across batch boundaries (a snapshot never straddles half a batch)
+    AND replay idempotence comes from the LOG, not partition layout —
+    a replayed epoch finds its tag already in history and skips, the
+    manifest-claim race (TxConflict) retries on the fresh parent. This
+    is the epoch-partition sink's upgrade: dynamic-overwrite idempotence
+    constrains the table to epoch partitioning; the txlog form leaves
+    the file layout free."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        TxConflict,
+        _commit,
+        _move_in_data_files,
+        current_version,
+        history,
+        init_table,
+        read_manifest,
+    )
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        if not os.path.exists(os.path.join(table_dir, "_txlog")):
+            try:
+                init_table(spark, table_dir)
+            except TxConflict:
+                pass  # another task initialized first
+        tag = f"stream_epoch_{epoch_id}"
+        if any(h["op"] == tag for h in history(table_dir)):
+            return  # replayed epoch: already committed
+        names = _move_in_data_files(spark, table_dir, batch_df)
+        while True:
+            parent = current_version(table_dir)
+            files = read_manifest(table_dir, parent)["files"] + names
+            try:
+                _commit(table_dir, parent, files, tag)
+                return
+            except TxConflict:
+                # another writer advanced the log; re-read and retry —
+                # our data files are already in place, only the
+                # manifest claim races
+                if any(h["op"] == tag for h in history(table_dir)):
+                    return
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -571,3 +571,38 @@ def test_stream_stream_left_outer_join_emits_matchless(spark, tmp_path):
     assert by_purchase[2]["click_id"] == 1
     assert by_purchase[3]["click_id"] is None  # matchless, NULL-padded
     assert by_purchase[3]["value"] == 4.5
+
+
+def test_streaming_txlog_sink_exactly_once(spark, events_stream_dir, tmp_path):
+    """Streaming appends into a transactional table: row set equals the
+    batch input, each epoch is one committed version, and RE-RUNNING the
+    whole stream (fresh checkpoint, same epochs) leaves the table
+    unchanged — the epoch tag in the log does the exactly-once work."""
+    from etl_sentinel_imagery_spark.operators.txlog import history, snapshot
+    from etl_sentinel_imagery_spark.streaming.events import (
+        read_events_stream,
+        run_foreach_batch_to_txlog,
+    )
+
+    table = str(tmp_path / "txtable")
+    run_foreach_batch_to_txlog(
+        read_events_stream(spark, events_stream_dir),
+        table,
+        str(tmp_path / "ckpt1"),
+    )
+    batch_n = load_table(spark, SF_DIR, "events").count()
+    assert snapshot(spark, table).count() == batch_n
+    ops = [h["op"] for h in history(table)]
+    assert ops[0] == "init"
+    assert all(op.startswith("stream_epoch_") for op in ops[1:])
+    v_before = len(ops)
+
+    # full replay with a FRESH checkpoint re-delivers every epoch: the
+    # log's epoch tags must swallow the duplicates
+    run_foreach_batch_to_txlog(
+        read_events_stream(spark, events_stream_dir),
+        table,
+        str(tmp_path / "ckpt2"),
+    )
+    assert snapshot(spark, table).count() == batch_n
+    assert len(history(table)) == v_before
