@@ -49,6 +49,12 @@ class TxConflict(RuntimeError):
     """Another writer committed the version this commit was based on."""
 
 
+def _entry_name(e) -> str:
+    """Manifest file entries are plain names, or {name, stats} dicts
+    when the table tracks column stats."""
+    return e if isinstance(e, str) else e["name"]
+
+
 def _log_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "_txlog")
 
@@ -80,15 +86,22 @@ def _write_pointer(table_dir: str, version: int) -> None:
 def _commit(
     table_dir: str,
     parent: int,
-    files: list[str],
+    files: list,
     op: str,
+    stat_cols: list | None = None,
 ) -> int:
     """Claim parent+1 via atomic link of a fully-written temp manifest;
     flip the pointer. Raises TxConflict when the claim loses."""
     version = parent + 1
     ldir = _log_dir(table_dir)
     payload = json.dumps(
-        {"version": version, "parent": parent, "op": op, "files": sorted(files)},
+        {
+            "version": version,
+            "parent": parent,
+            "op": op,
+            "stat_cols": stat_cols or [],
+            "files": sorted(files, key=_entry_name),
+        },
         indent=0,
     )
     tmp = os.path.join(ldir, f"_tmp_{uuid.uuid4().hex}.json")
@@ -109,22 +122,61 @@ def _commit(
     return version
 
 
+def _file_stats(path: str, stat_cols: list[str]) -> dict:
+    """Per-column [min, max] from the parquet FOOTER (pyarrow metadata
+    — no data scan): the Iceberg-manifest trick that lets the PLANNER
+    skip files from metadata alone."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict = {}
+    for col in stat_cols:
+        ci = idx.get(col)
+        if ci is None:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            # JSON-portable (timestamps etc. stringify; comparisons on
+            # read use the same python ordering as here)
+            out[col] = [
+                lo if isinstance(lo, (int, float, str)) else str(lo),
+                hi if isinstance(hi, (int, float, str)) else str(hi),
+            ]
+    return out
+
+
 def _move_in_data_files(
-    spark: SparkSession, table_dir: str, df: DataFrame
-) -> list[str]:
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    stat_cols: list[str] | None = None,
+) -> list:
     """Write df's parquet files under unique names in the table dir;
-    return their table-relative names. Data lands BEFORE any commit
-    references it."""
+    return their table-relative names (or (name, stats) entries when
+    ``stat_cols`` is set). Data lands BEFORE any commit references
+    it."""
     staging = os.path.join(table_dir, f"_stage_{uuid.uuid4().hex}")
     df.write.parquet(staging)
-    names: list[str] = []
+    names: list = []
     for entry in os.listdir(staging):
         if entry.endswith(".parquet") and not entry.startswith("_"):
             name = f"part-{uuid.uuid4().hex}.parquet"
-            os.replace(
-                os.path.join(staging, entry), os.path.join(table_dir, name)
-            )
-            names.append(name)
+            dest = os.path.join(table_dir, name)
+            os.replace(os.path.join(staging, entry), dest)
+            if stat_cols:
+                names.append(
+                    {"name": name, "stats": _file_stats(dest, stat_cols)}
+                )
+            else:
+                names.append(name)
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
@@ -132,13 +184,29 @@ def _move_in_data_files(
 
 
 def init_table(
-    spark: SparkSession, table_dir: str, df: DataFrame | None = None
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame | None = None,
+    stat_cols: list | None = None,
 ) -> int:
-    """Create an empty (or seeded) txlog table: version 0 manifest."""
+    """Create an empty (or seeded) txlog table: version 0 manifest.
+    ``stat_cols`` turns on Iceberg-style per-file min/max stats (read
+    from parquet footers at commit time) for every subsequent write —
+    :func:`snapshot_pruned` then skips files from METADATA alone."""
     os.makedirs(_log_dir(table_dir), exist_ok=True)
-    files = _move_in_data_files(spark, table_dir, df) if df is not None else []
+    files = (
+        _move_in_data_files(spark, table_dir, df, stat_cols)
+        if df is not None
+        else []
+    )
     payload = json.dumps(
-        {"version": 0, "parent": None, "op": "init", "files": sorted(files)},
+        {
+            "version": 0,
+            "parent": None,
+            "op": "init",
+            "stat_cols": stat_cols or [],
+            "files": sorted(files, key=_entry_name),
+        },
         indent=0,
     )
     path = _manifest_path(table_dir, 0)
@@ -167,7 +235,7 @@ def snapshot(
             "to serve (seed init_table with a DataFrame)"
         )
     return spark.read.parquet(
-        *[os.path.join(table_dir, f) for f in m["files"]]
+        *[os.path.join(table_dir, _entry_name(f)) for f in m["files"]]
     )
 
 
@@ -186,11 +254,15 @@ def history(table_dir: str) -> list[dict]:
 
 
 def append(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
-    """Transactional append: new files land, then one commit adds them."""
+    """Transactional append: new files land, then one commit adds them.
+    Stats tracking (stat_cols) is inherited from the parent manifest."""
     parent = current_version(table_dir)
-    names = _move_in_data_files(spark, table_dir, df)
-    files = read_manifest(table_dir, parent)["files"] + names
-    return _commit(table_dir, parent, files, "append")
+    m = read_manifest(table_dir, parent)
+    stat_cols = m.get("stat_cols") or None
+    names = _move_in_data_files(spark, table_dir, df, stat_cols)
+    return _commit(
+        table_dir, parent, m["files"] + names, "append", stat_cols
+    )
 
 
 def delete_rows(
@@ -200,24 +272,29 @@ def delete_rows(
     holding matches) rewrite to new files; ONE commit swaps old for new
     — a snapshot reader never sees duplicates or partial deletes."""
     parent = current_version(table_dir)
-    old_files = read_manifest(table_dir, parent)["files"]
-    keep_files: list[str] = []
-    new_names: list[str] = []
-    for name in old_files:
+    m = read_manifest(table_dir, parent)
+    stat_cols = m.get("stat_cols") or None
+    old_files = m["files"]
+    keep_files: list = []
+    new_names: list = []
+    for entry in old_files:
+        name = _entry_name(entry)
         path = os.path.join(table_dir, name)
         df = spark.read.parquet(path)
         n_hit = df.filter(F.col(key_col).isin(values)).count()
         if n_hit == 0:
-            keep_files.append(name)
+            keep_files.append(entry)
             continue
         kept = df.filter(
             ~F.coalesce(F.col(key_col).isin(values), F.lit(False))
         )
         if kept.limit(1).count() > 0:
-            new_names += _move_in_data_files(spark, table_dir, kept)
+            new_names += _move_in_data_files(
+                spark, table_dir, kept, stat_cols
+            )
         # fully-matched files simply drop out of the manifest
     return _commit(
-        table_dir, parent, keep_files + new_names, "delete"
+        table_dir, parent, keep_files + new_names, "delete", stat_cols
     )
 
 
@@ -228,11 +305,12 @@ def compact(
     ``target_files`` files; one commit swaps the whole list — no
     old+new transient, unlike the directory-swap compactor."""
     parent = current_version(table_dir)
+    stat_cols = read_manifest(table_dir, parent).get("stat_cols") or None
     df = snapshot(spark, table_dir, parent)
     names = _move_in_data_files(
-        spark, table_dir, df.coalesce(target_files)
+        spark, table_dir, df.coalesce(target_files), stat_cols
     )
-    return _commit(table_dir, parent, names, "compact")
+    return _commit(table_dir, parent, names, "compact", stat_cols)
 
 
 def vacuum(table_dir: str) -> list[str]:
@@ -245,7 +323,9 @@ def vacuum(table_dir: str) -> list[str]:
         p = _manifest_path(table_dir, v)
         if os.path.exists(p):
             with open(p) as f:
-                referenced.update(json.load(f)["files"])
+                referenced.update(
+                    _entry_name(e) for e in json.load(f)["files"]
+                )
     removed = []
     for entry in os.listdir(table_dir):
         if (
@@ -256,3 +336,53 @@ def vacuum(table_dir: str) -> list[str]:
             os.unlink(os.path.join(table_dir, entry))
             removed.append(entry)
     return removed
+
+
+def snapshot_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Snapshot reading ONLY files whose manifest [min, max] for
+    ``col`` intersects [lo, hi] — file skipping decided from manifest
+    METADATA, before any parquet footer opens (the Iceberg planning
+    path; the engine's Bloom index answers point lookups, this answers
+    RANGES). Files without recorded stats are always read (safety, no
+    false pruning). The range predicate is ALSO applied to the rows
+    (pruning is an optimization, never a filter). Returns
+    (DataFrame, {files_total, files_read, files_skipped})."""
+    m = read_manifest(table_dir, version)
+    if col not in (m.get("stat_cols") or []):
+        raise ValueError(
+            f"column {col!r} has no manifest stats; init the table with "
+            f"stat_cols=[{col!r}, ...]"
+        )
+    keep, skipped = [], 0
+    for e in m["files"]:
+        st = (e.get("stats") or {}).get(col) if isinstance(e, dict) else None
+        if st is None:
+            keep.append(_entry_name(e))
+            continue
+        fmin, fmax = st
+        if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
+            skipped += 1
+            continue
+        keep.append(_entry_name(e))
+    stats = {
+        "files_total": len(m["files"]),
+        "files_read": len(keep),
+        "files_skipped": skipped,
+    }
+    if not keep:
+        schema = snapshot(spark, table_dir, version).schema
+        return spark.createDataFrame([], schema), stats
+    df = spark.read.parquet(*[os.path.join(table_dir, f) for f in keep])
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(col) >= lo)
+    if hi is not None:
+        pred = pred & (F.col(col) <= hi)
+    return df.where(pred), stats

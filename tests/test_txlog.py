@@ -118,3 +118,51 @@ def test_empty_table_refuses_schemaless_snapshot(spark, tmp_path):
         snapshot(spark, t)
     append(spark, t, _seed(spark, 3))
     assert snapshot(spark, t).count() == 3
+
+
+def test_manifest_stats_prune_files_exactly(spark, tmp_path):
+    """Iceberg-style manifest min/max: a range query reads only the
+    files whose stats intersect, and the pruned result equals the
+    full-scan filter exactly — across init, append, and delete."""
+    from etl_sentinel_imagery_spark.operators.txlog import snapshot_pruned
+
+    t = str(tmp_path / "stats")
+    ranged = _seed(spark, 1000).repartitionByRange(5, F.col("doc_id"))
+    init_table(spark, t, ranged, stat_cols=["doc_id"])
+    m = read_manifest(t)
+    assert m["stat_cols"] == ["doc_id"]
+    assert all(isinstance(e, dict) and "stats" in e for e in m["files"])
+
+    df, st = snapshot_pruned(spark, t, "doc_id", lo=100, hi=150)
+    assert st["files_skipped"] >= 3  # disjoint ranges -> most files skip
+    want = sorted(
+        r["doc_id"]
+        for r in snapshot(spark, t)
+        .filter("doc_id between 100 and 150")
+        .collect()
+    )
+    assert sorted(r["doc_id"] for r in df.collect()) == want
+
+    # append inherits stats tracking; new file joins the pruning set
+    append(spark, t, _seed(spark, 10, offset=5000).coalesce(1))
+    df2, st2 = snapshot_pruned(spark, t, "doc_id", lo=5000, hi=5004)
+    assert st2["files_skipped"] >= 5
+    assert df2.count() == 5
+
+    # delete keeps untouched entries' stats and re-stats rewrites
+    delete_rows(spark, t, "doc_id", [120])
+    df3, _ = snapshot_pruned(spark, t, "doc_id", lo=100, hi=150)
+    assert sorted(r["doc_id"] for r in df3.collect()) == [
+        v for v in want if v != 120
+    ]
+    m3 = read_manifest(t)
+    assert all(isinstance(e, dict) for e in m3["files"])
+
+    # out-of-range query: everything skips, empty frame with schema
+    df4, st4 = snapshot_pruned(spark, t, "doc_id", lo=10**9)
+    assert df4.count() == 0 and st4["files_read"] == 0
+    assert set(df4.columns) == {"doc_id", "body"}
+
+    # un-stat'd column refuses to pretend it can prune
+    with pytest.raises(ValueError, match="stats"):
+        snapshot_pruned(spark, t, "body", lo="a")
