@@ -1,0 +1,204 @@
+"""IVF-PQ — the production ANN storage layout (FAISS's IVFPQ shape):
+coarse IVF buckets for partition pruning × product-quantized codes for
+in-bucket scanning.
+
+The two levers compose multiplicatively at 100 TB: the IVF partition
+prunes the SCAN to n_probe/n_centroids of the files (planner-enforced,
+operators.similarity.write_ivf_index's argument), and inside the
+probed buckets each vector is m bytes of PQ codes instead of d×4 of
+floats (16–64× less IO), scored by asymmetric distance — per query a
+(m × k) lookup table computed ONCE, then m table adds per candidate,
+no float vector math in the scan. Exactness comes back at the end the
+usual way: the shortlist reranks against full-precision vectors
+(operators.similarity.rerank_exact), so compression errors inside the
+shortlist cost nothing.
+
+Index layout: ``<path>/bucket=<b>/`` parquet of (id, pq_codes
+array<tinyint>) + ``_model/`` sidecar (centroids, codebooks, optional
+OPQ rotation as .npz) committed with the engine's versioned-pointer
+protocol — a crash never leaves a reader a half-written model.
+
+Composes the engine's existing pieces (ivf_assign, train_pq_codebooks
+/ train_opq, pq_encode, rerank_exact); this module only adds the
+bucketed layout and the per-query probed-bucket ADC join.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.operators.similarity import (
+    ivf_assign,
+    pq_encode,
+    rerank_exact,
+)
+
+
+def _model_dir(path: str) -> str:
+    return os.path.join(path, "_model")
+
+
+def _save_model(
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    rotation: np.ndarray | None,
+) -> None:
+    mdir = _model_dir(path)
+    os.makedirs(mdir, exist_ok=True)
+    vname = f"v_{uuid.uuid4().hex[:8]}"
+    vdir = os.path.join(mdir, vname)
+    os.makedirs(vdir)
+    np.savez(
+        os.path.join(vdir, "model.npz"),
+        centroids=centroids,
+        codebooks=codebooks,
+        rotation=(
+            rotation if rotation is not None else np.zeros((0, 0))
+        ),
+    )
+    tmp = os.path.join(mdir, f"_CURRENT.tmp{vname}")
+    with open(tmp, "w") as f:
+        f.write(vname)
+    os.replace(tmp, os.path.join(mdir, "_CURRENT"))
+    for entry in os.listdir(mdir):
+        if entry.startswith("v_") and entry != vname:
+            shutil.rmtree(os.path.join(mdir, entry), ignore_errors=True)
+
+
+def load_model(path: str):
+    with open(os.path.join(_model_dir(path), "_CURRENT")) as f:
+        vname = f.read().strip()
+    z = np.load(os.path.join(_model_dir(path), vname, "model.npz"))
+    rot = z["rotation"]
+    return (
+        z["centroids"],
+        z["codebooks"],
+        rot if rot.size else None,
+    )
+
+
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    path: str,
+    rotation: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Encode + bucket + persist (codes: array<tinyint>, values
+    0..k-1 — pq_encode's layout)."""
+    enc = pq_encode(embeddings, codebooks, id_col, vec_col, rotation)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col).select(
+        id_col, "bucket"
+    )
+    enc.join(assigned, id_col).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+    _save_model(path, centroids, codebooks, rotation)
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    index_path: str,
+    queries_df: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    shortlist: int | None = None,
+    embeddings: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query probed-bucket ADC search; with ``embeddings`` the
+    shortlist reranks to exact cosine (the two-stage deployment),
+    otherwise returns the raw ADC ranking (adc_dist ascending).
+
+    Queries collect driver-side (the small side by construction); each
+    query's (m × k) distance LUT broadcasts into the pruned scan; the
+    scan touches ONLY probed bucket partitions (IN-filter on the
+    partition column) and ONLY the m-byte codes."""
+    centroids, codebooks, rotation = load_model(index_path)
+    m, kk, sub = codebooks.shape
+    cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    shortlist = shortlist or 4 * k
+
+    q_rows = queries_df.select(id_col, vec_col).collect()
+    q_ids = [int(r[id_col]) for r in q_rows]
+    q_mat = np.stack(
+        [np.asarray(r[vec_col], dtype="float64") for r in q_rows]
+    )
+    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    probe_set = sorted({int(b) for row in probes for b in row})
+
+    # per-query subspace LUTs over the (rotated) normalized query
+    q_enc = qn @ rotation if rotation is not None else qn  # pq_encode applies mat @ rotation
+    luts = np.empty((len(q_ids), m, kk))
+    for j in range(m):
+        seg = q_enc[:, j * sub : (j + 1) * sub]
+        diff = seg[:, None, :] - codebooks[j][None, :, :]
+        luts[:, j, :] = np.einsum("qkd,qkd->qk", diff, diff)
+
+    pairs = [
+        (int(qid), int(b)) for i, qid in enumerate(q_ids) for b in probes[i]
+    ]
+    qry = spark.createDataFrame(pairs, "query_id bigint, bucket int")
+    lut_by_qid = {int(qid): luts[i] for i, qid in enumerate(q_ids)}
+
+    codes = spark.read.parquet(index_path).filter(
+        F.col("bucket").isin(probe_set)
+    )
+    cand = codes.join(F.broadcast(qry), "bucket").select(
+        "query_id", F.col(id_col).alias("cand_id"), F.col("pq_codes").alias("codes")
+    )
+
+    def _adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {"query_id": [], "cand_id": [], "adc_dist": []}
+                )
+                continue
+            code_mat = np.stack(pdf["codes"].map(np.asarray)).astype("int64")
+            dists = np.empty(len(pdf))
+            qids = pdf["query_id"].to_numpy()
+            cols = np.arange(m)
+            for qid in np.unique(qids):
+                sel = qids == qid
+                lut = lut_by_qid[int(qid)]
+                dists[sel] = lut[cols, code_mat[sel]].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "cand_id": pdf["cand_id"],
+                    "adc_dist": dists,
+                }
+            )
+
+    scored = cand.mapInPandas(
+        _adc, schema="query_id bigint, cand_id bigint, adc_dist double"
+    ).filter(F.col("cand_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("cand_id")
+    )
+    short = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= (shortlist if embeddings is not None else k)
+    )
+    if embeddings is None:
+        return short.select("query_id", "cand_id", "adc_dist", "rnk")
+    return rerank_exact(
+        short.select("query_id", "cand_id"),
+        embeddings,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
