@@ -46,6 +46,10 @@ from etl_sentinel_imagery_spark.operators.hnsw import (
     hnsw_persist,
     hnsw_topk,
 )
+from etl_sentinel_imagery_spark.operators.ivfpq import (
+    ivfpq_topk,
+    write_ivfpq_index,
+)
 from etl_sentinel_imagery_spark.operators.kmeans import fit as kmeans_fit
 from etl_sentinel_imagery_spark.operators.similarity import (
     ivf_topk_indexed_adaptive,
@@ -62,6 +66,10 @@ def _hnsw_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "hnsw")
 
 
+def _ivfpq_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "ivfpq")
+
+
 def _centroids_path(index_dir: str) -> str:
     return os.path.join(index_dir, "centroids.json")
 
@@ -74,6 +82,10 @@ def build_serving_index(
     kmeans_init: str = "scalable",
     hnsw: bool = True,
     hnsw_shards: int = 4,
+    pq: bool = False,
+    pq_m: int = 8,
+    pq_k: int = 16,
+    opq: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
@@ -105,6 +117,30 @@ def build_serving_index(
             ),
             _hnsw_dir(index_dir),
         )
+    if pq:
+        # the compressed serving tier: same centroids, PQ/OPQ codes
+        from etl_sentinel_imagery_spark.operators.similarity import (
+            train_opq,
+            train_pq_codebooks,
+        )
+
+        if opq:
+            rotation, codebooks = train_opq(
+                embeddings, m=pq_m, k=pq_k, vec_col=vec_col
+            )
+        else:
+            rotation, codebooks = None, train_pq_codebooks(
+                embeddings, m=pq_m, k=pq_k, vec_col=vec_col
+            )
+        write_ivfpq_index(
+            embeddings,
+            centroids,
+            codebooks,
+            _ivfpq_dir(index_dir),
+            rotation=rotation,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     return centroids
 
 
@@ -135,7 +171,7 @@ def topk(
     ``ivf_topk_indexed_adaptive``). ``shortlist`` (default 4k) sizes the
     recall pass; the rerank stage re-scores only shortlist rows against
     the full-precision vectors stored in the IVF layout."""
-    if tier not in ("ivf", "hnsw"):
+    if tier not in ("ivf", "hnsw", "ivfpq"):
         raise ValueError(f"unknown serving tier {tier!r}")
     shortlist = shortlist or 4 * k
     corpus = spark.read.parquet(_ivf_dir(index_dir)).select(id_col, vec_col)
@@ -164,6 +200,21 @@ def topk(
             F.min(F.col("exact").cast("int")).cast("boolean").alias("exact")
         )
         short = raw.select("query_id", "cand_id")
+    elif tier == "ivfpq":
+        # the compressed tier reranks internally against the full-
+        # precision IVF layout (external queries resolve the same way)
+        emb_all = corpus.unionByName(q).dropDuplicates([id_col])
+        return ivfpq_topk(
+            spark,
+            _ivfpq_dir(index_dir),
+            q,
+            k=k,
+            n_probe=n_probe,
+            shortlist=shortlist,
+            embeddings=emb_all,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     else:
         graph = spark.read.parquet(_hnsw_dir(index_dir))
         q_ids = [int(r[id_col]) for r in q.select(id_col).collect()]

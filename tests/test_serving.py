@@ -114,3 +114,39 @@ def test_unknown_tier_rejected(spark, index):
     q = spark.createDataFrame([(1, [0.0] * DIM)], "vec_id bigint, embedding array<double>")
     with pytest.raises(ValueError, match="tier"):
         topk(spark, q, d, tier="flat")
+
+
+def test_ivfpq_tier(spark, tmp_path):
+    """The compressed tier through the facade: build with pq=True,
+    serve tier='ivfpq', recall vs brute force stays high after the
+    internal rerank."""
+    from etl_sentinel_imagery_spark.plans.serving import (
+        build_serving_index,
+        topk,
+    )
+
+    d = str(tmp_path / "pqidx")
+    vecs = _corpus()
+    emb = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(N)],
+        "vec_id bigint, embedding array<double>",
+    )
+    build_serving_index(
+        emb, d, n_centroids=4, kmeans_iters=3, kmeans_init="first_k",
+        hnsw=False, pq=True, pq_m=4, pq_k=16,
+    )
+    queries = spark.createDataFrame(
+        [(3, vecs[3].tolist()), (57, vecs[57].tolist())],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = topk(spark, queries, d, k=5, tier="ivfpq", n_probe=4, shortlist=40)
+    by_q: dict = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["cand_id"])
+    ids = list(range(N))
+    hits = total = 0
+    for qid, qvec in ((3, vecs[3]), (57, vecs[57])):
+        want = {w[0] for w in _brute_topk(vecs, ids, qvec, 5, self_id=qid)}
+        hits += len(by_q[qid] & want)
+        total += 5
+    assert hits / total >= 0.8, f"ivfpq tier recall {hits}/{total}"
