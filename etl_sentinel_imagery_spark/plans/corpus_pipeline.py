@@ -4,10 +4,12 @@ The composition a data-curation team actually runs, as one declarative
 pipeline over the engine's operators:
 
     ingest (JSONL/parquet) → quality filter (token counts + repetition
-    signals) → [language gate] → [LM perplexity gate] → PII scrub →
-    exact+near dedup (keep canonicals) → benchmark decontamination →
-    train/val/test split → chunk → sequence packing (operators.packing)
-    → partitioned parquet + corpus statistics
+    signals) → [language gate] → [LM perplexity gate] → [supervised
+    quality-model gate] → PII scrub → exact+near dedup (keep
+    canonicals) → [SemDeDup semantic gate] → benchmark decontamination
+    → train/val/test split → chunk (whitespace or real-BPE budget) →
+    sequence packing (operators.packing) → partitioned parquet +
+    corpus statistics
 
 Every stage is a DataFrame transformation; the only actions are the
 per-stage row counts in the returned report (each a cheap count job —
@@ -71,6 +73,12 @@ class CurationConfig:
     #: the dropped set — the gate can only remove what it can see).
     semantic_threshold: float | None = None
     semantic_n_clusters: int = 16
+    #: Supervised quality gate (operators.classifier): drop docs whose
+    #: hashed-n-gram logreg score falls below this; None disables.
+    #: Requires curate_corpus(quality_weights=...) — a weight vector
+    #: from train_logreg — and quality_dim matching its feature space.
+    quality_min_score: float | None = None
+    quality_dim: int = 1 << 16
     #: Chunk the train split by REAL BPE token budget
     #: (operators.bpe.chunk_documents_bpe) instead of whitespace-token
     #: windows; requires bpe_merges > 0 (the tokenizer trained above).
@@ -105,6 +113,7 @@ def curate_corpus(
     collect_stats: bool = True,
     lm_ref: DataFrame | None = None,
     embeddings: DataFrame | None = None,
+    quality_weights=None,
 ) -> dict:
     """Run the full curation pipeline; write ``documents/`` (partitioned
     by split) and ``chunks/`` under ``out_dir``; return the stage-count
@@ -145,6 +154,28 @@ def curate_corpus(
         quality = stage(
             "after_lm_filter",
             perplexity_filter(quality, lm, cfg.lm_max_nll),
+        )
+    if cfg.quality_min_score is not None:
+        if quality_weights is None:
+            raise ValueError(
+                "quality_min_score set but no quality_weights given"
+            )
+        from etl_sentinel_imagery_spark.operators.classifier import (
+            hash_features,
+            score_logreg,
+        )
+
+        keep_ids = (
+            score_logreg(
+                hash_features(quality, dim=cfg.quality_dim, text_col="text"),
+                quality_weights,
+            )
+            .filter(F.col("quality_score") >= cfg.quality_min_score)
+            .select("doc_id")
+        )
+        quality = stage(
+            "after_quality_model",
+            quality.join(keep_ids, "doc_id", "left_semi"),
         )
     scrubbed = quality.withColumn("text", scrub_pii(F.col("text")))
 

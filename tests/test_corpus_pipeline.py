@@ -254,3 +254,52 @@ def test_chunk_by_bpe_counts_real_tokens(spark, tmp_path):
         curate_corpus(
             spark, docs, out, cfg=CurationConfig(chunk_by_bpe=True)
         )
+
+
+def test_supervised_quality_gate(spark, tmp_path):
+    """quality_min_score: a classifier trained on good-vs-junk vocab
+    drops exactly the planted junk doc; missing weights raise."""
+    import numpy as np
+
+    from etl_sentinel_imagery_spark.operators.classifier import (
+        hash_features,
+        train_logreg,
+    )
+
+    dim = 1 << 12
+    junk = (
+        "lottery winner click now free pills winner scam lottery claim "
+        "your prize now free winner pills scam click here now again"
+    )
+    docs = _mk_docs(spark).union(
+        spark.createDataFrame([(9, "en", junk)], "doc_id long, lang string, text string")
+    )
+    # labels: planted junk doc = 0, the clean long docs = 1
+    train_rows = [(9, 0)] + [(i, 1) for i in (1, 2, 6, 8)]
+    labels = spark.createDataFrame(train_rows, "doc_id long, label int")
+    feats = hash_features(
+        docs.join(labels.select("doc_id"), "doc_id", "left_semi"),
+        dim=dim,
+    )
+    w = train_logreg(feats, labels, dim=dim, n_iter=30, lr=2.0)
+    out = str(tmp_path / "qm")
+    report = curate_corpus(
+        spark,
+        docs,
+        out,
+        cfg=CurationConfig(quality_min_score=0.5, quality_dim=dim),
+        quality_weights=w,
+    )
+    ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{out}/documents").collect()
+    }
+    assert 9 not in ids  # the junk doc fell at the model gate
+    assert 8 in ids
+    assert report["after_quality_model"] < report["after_quality"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="quality_weights"):
+        curate_corpus(
+            spark, docs, out, cfg=CurationConfig(quality_min_score=0.5)
+        )
