@@ -166,3 +166,65 @@ def test_manifest_stats_prune_files_exactly(spark, tmp_path):
     # un-stat'd column refuses to pretend it can prune
     with pytest.raises(ValueError, match="stats"):
         snapshot_pruned(spark, t, "body", lo="a")
+
+
+def test_incremental_agg_delta_equals_full_recompute(spark, tmp_path):
+    """Materialized-view maintenance: old MV + signed delta over ONLY
+    the changed files == aggregating the new snapshot from scratch,
+    across an append and a targeted delete."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        incremental_agg_delta,
+    )
+
+    t = str(tmp_path / "mv")
+
+    def seed(n, offset=0):
+        return spark.range(offset, offset + n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 3).alias("grp"),
+            (F.col("id") * 2).alias("val"),
+        )
+
+    init_table(spark, t, seed(300).repartition(5))
+    v0 = current_version(t)
+    mv0 = {
+        r["grp"]: (r["n"], r["sum_val"])
+        for r in snapshot(spark, t)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("sum_val"))
+        .collect()
+    }
+    append(spark, t, seed(60, offset=1000).coalesce(1))
+    delete_rows(spark, t, "doc_id", [7, 8, 9, 100])
+    v2 = current_version(t)
+
+    delta = {
+        r["grp"]: (r["n"], r["sum_val"])
+        for r in incremental_agg_delta(
+            spark, t, v0, v2, ["grp"], sum_cols=["val"]
+        ).collect()
+    }
+    merged = {}
+    for g in set(mv0) | set(delta):
+        n = mv0.get(g, (0, 0))[0] + delta.get(g, (0, 0))[0]
+        s = mv0.get(g, (0, 0))[1] + delta.get(g, (0, 0))[1]
+        merged[g] = (n, s)
+    want = {
+        r["grp"]: (r["n"], r["sum_val"])
+        for r in snapshot(spark, t)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("sum_val"))
+        .collect()
+    }
+    assert merged == want
+    # the delta read strictly fewer files than the table holds
+    from etl_sentinel_imagery_spark.operators.txlog import file_diff
+
+    added, removed = file_diff(t, v0, v2)
+    n_all = len(read_manifest(t, v2)["files"])
+    assert len(added) + len(removed) < n_all + len(removed)
+    # no-change delta is empty
+    assert (
+        incremental_agg_delta(spark, t, v2, v2, ["grp"], sum_cols=["val"]).count()
+        == 0
+    )
