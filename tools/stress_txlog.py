@@ -1,0 +1,85 @@
+"""Metadata-scaling stress for the transaction log: commit/read labels
+at large manifest sizes WITHOUT creating real data files (the log
+never opens data files for a commit — only the manifest JSON moves).
+
+Measures, at n synthetic file entries (with per-file stats — the fat
+case): manifest commit wall, pointer-resolved read wall, file_diff
+wall, and manifest bytes. Evidence for the docstring's claim that 1M
+files is control-plane-sized driver work.
+
+Usage: python tools/stress_txlog.py [n_files]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_sentinel_imagery_spark.operators.txlog import (
+    _commit,
+    _log_dir,
+    _manifest_path,
+    file_diff,
+    read_manifest,
+)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    tmp = tempfile.mkdtemp(prefix="stress_txlog_")
+    os.makedirs(_log_dir(tmp), exist_ok=True)
+    entries = [
+        {
+            "name": f"part-{i:08d}.parquet",
+            "stats": {"doc_id": [i * 1000, (i + 1) * 1000 - 1]},
+        }
+        for i in range(n)
+    ]
+    # seed v0 by hand (init_table wants a SparkSession for data moves)
+    with open(_manifest_path(tmp, 0), "w") as f:
+        json.dump(
+            {"version": 0, "parent": None, "op": "init",
+             "stat_cols": ["doc_id"], "files": entries},
+            f,
+        )
+    with open(os.path.join(_log_dir(tmp), "_CURRENT"), "w") as f:
+        f.write("0")
+
+    t0 = time.time()
+    v1 = _commit(
+        tmp, 0, entries + [{"name": "part-new.parquet", "stats": {}}],
+        "append", ["doc_id"],
+    )
+    commit_s = time.time() - t0
+    t0 = time.time()
+    m = read_manifest(tmp, v1)
+    read_s = time.time() - t0
+    t0 = time.time()
+    added, removed = file_diff(tmp, 0, v1)
+    diff_s = time.time() - t0
+    size_mb = os.path.getsize(_manifest_path(tmp, v1)) / 1e6
+    print(
+        json.dumps(
+            {
+                "n_files": n,
+                "manifest_mb": round(size_mb, 1),
+                "commit_s": round(commit_s, 2),
+                "read_s": round(read_s, 2),
+                "diff_s": round(diff_s, 2),
+                "added": len(added),
+                "removed": len(removed),
+            }
+        )
+    )
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
