@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_sentinel_imagery_spark.operators.similarity import (
+    _train_subspace_books,
     ivf_assign,
     pq_encode,
     rerank_exact,
@@ -51,6 +52,7 @@ def _save_model(
     centroids: np.ndarray,
     codebooks: np.ndarray,
     rotation: np.ndarray | None,
+    residual: bool = False,
 ) -> None:
     mdir = _model_dir(path)
     os.makedirs(mdir, exist_ok=True)
@@ -64,6 +66,7 @@ def _save_model(
         rotation=(
             rotation if rotation is not None else np.zeros((0, 0))
         ),
+        residual=np.array(residual),
     )
     tmp = os.path.join(mdir, f"_CURRENT.tmp{vname}")
     with open(tmp, "w") as f:
@@ -79,10 +82,78 @@ def load_model(path: str):
         vname = f.read().strip()
     z = np.load(os.path.join(_model_dir(path), vname, "model.npz"))
     rot = z["rotation"]
+    residual = bool(z["residual"]) if "residual" in z else False
     return (
         z["centroids"],
         z["codebooks"],
         rot if rot.size else None,
+        residual,
+    )
+
+
+def train_residual_codebooks(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 10,
+    vec_col: str = "embedding",
+    sample_limit: int = 4096,
+) -> np.ndarray:
+    """Codebooks over IVF RESIDUALS (x̂ − ĉ_bucket(x)) — the full FAISS
+    IVFPQ construction: residuals concentrate around the origin once
+    the coarse quantizer has explained the cluster structure, so the
+    same m×k code budget spends its resolution on the part of the
+    vector the bucket does NOT explain. Trained on the standard
+    bounded deterministic sample."""
+    cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    rows = (
+        embeddings.orderBy("vec_id").limit(sample_limit).select(vec_col).collect()
+    )
+    mat = np.array([r[vec_col] for r in rows], dtype="float64")
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    assign = np.argmax(mat @ cent.T, axis=1)
+    res = mat - cent[assign]
+    return _train_subspace_books(res, m, k, n_iter)
+
+
+def _encode_residual(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One Arrow pass: normalize → assign bucket → subtract its
+    centroid → per-subspace argmin codes. Emits (id, pq_codes, bucket)
+    directly (no assignment join — residual encoding needs the bucket
+    anyway)."""
+    cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    m, kk, sub = codebooks.shape
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].map(np.asarray)).astype("float64")
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            buckets = np.argmax(mat @ cent.T, axis=1)
+            res = mat - cent[buckets]
+            codes = np.zeros((len(mat), m), dtype="int8")
+            for j in range(m):
+                x = res[:, j * sub : (j + 1) * sub]
+                d2 = ((x[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, j] = np.argmin(d2, axis=1).astype("int8")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "pq_codes": list(codes),
+                    "bucket": buckets.astype("int32"),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        _enc, schema=f"{id_col} bigint, pq_codes array<tinyint>, bucket int"
     )
 
 
@@ -92,19 +163,31 @@ def write_ivfpq_index(
     codebooks: np.ndarray,
     path: str,
     rotation: np.ndarray | None = None,
+    residual: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
     """Encode + bucket + persist (codes: array<tinyint>, values
-    0..k-1 — pq_encode's layout)."""
-    enc = pq_encode(embeddings, codebooks, id_col, vec_col, rotation)
-    assigned = ivf_assign(embeddings, centroids, id_col, vec_col).select(
-        id_col, "bucket"
-    )
-    enc.join(assigned, id_col).write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(path)
-    _save_model(path, centroids, codebooks, rotation)
+    0..k-1 — pq_encode's layout). ``residual=True`` encodes x̂ − ĉ_b
+    with codebooks from :func:`train_residual_codebooks` (mutually
+    exclusive with ``rotation`` — apply OPQ to residuals is a future
+    upgrade, refused rather than silently mis-encoded)."""
+    if residual and rotation is not None:
+        raise ValueError("residual encoding with OPQ rotation not supported")
+    if residual:
+        enc = _encode_residual(
+            embeddings, centroids, codebooks, id_col, vec_col
+        )
+        enc.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    else:
+        enc = pq_encode(embeddings, codebooks, id_col, vec_col, rotation)
+        assigned = ivf_assign(embeddings, centroids, id_col, vec_col).select(
+            id_col, "bucket"
+        )
+        enc.join(assigned, id_col).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(path)
+    _save_model(path, centroids, codebooks, rotation, residual)
 
 
 def ivfpq_topk(
@@ -126,7 +209,7 @@ def ivfpq_topk(
     query's (m × k) distance LUT broadcasts into the pruned scan; the
     scan touches ONLY probed bucket partitions (IN-filter on the
     partition column) and ONLY the m-byte codes."""
-    centroids, codebooks, rotation = load_model(index_path)
+    centroids, codebooks, rotation, residual = load_model(index_path)
     m, kk, sub = codebooks.shape
     cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     shortlist = shortlist or 4 * k
@@ -140,25 +223,41 @@ def ivfpq_topk(
     probes = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
     probe_set = sorted({int(b) for row in probes for b in row})
 
-    # per-query subspace LUTs over the (rotated) normalized query
-    q_enc = qn @ rotation if rotation is not None else qn  # pq_encode applies mat @ rotation
-    luts = np.empty((len(q_ids), m, kk))
-    for j in range(m):
-        seg = q_enc[:, j * sub : (j + 1) * sub]
-        diff = seg[:, None, :] - codebooks[j][None, :, :]
-        luts[:, j, :] = np.einsum("qkd,qkd->qk", diff, diff)
-
     pairs = [
         (int(qid), int(b)) for i, qid in enumerate(q_ids) for b in probes[i]
     ]
     qry = spark.createDataFrame(pairs, "query_id bigint, bucket int")
-    lut_by_qid = {int(qid): luts[i] for i, qid in enumerate(q_ids)}
+    if residual:
+        # per-(query, probed-bucket) LUTs over the residual target
+        # q̂ − ĉ_b: ||q̂ − (ĉ_b + r)||² = Σ_j LUT_qb[j][code_j].
+        # n_queries × n_probe LUTs of (m × k) doubles — control-plane.
+        lut_by_qb = {}
+        for i, qid in enumerate(q_ids):
+            for b in probes[i]:
+                tgt = qn[i] - cent[int(b)]
+                lut = np.empty((m, kk))
+                for j in range(m):
+                    seg = tgt[j * sub : (j + 1) * sub]
+                    lut[j] = ((codebooks[j] - seg[None, :]) ** 2).sum(axis=1)
+                lut_by_qb[(int(qid), int(b))] = lut
+    else:
+        # per-query LUTs over the (rotated) normalized query
+        q_enc = qn @ rotation if rotation is not None else qn  # pq_encode applies mat @ rotation
+        luts = np.empty((len(q_ids), m, kk))
+        for j in range(m):
+            seg = q_enc[:, j * sub : (j + 1) * sub]
+            diff = seg[:, None, :] - codebooks[j][None, :, :]
+            luts[:, j, :] = np.einsum("qkd,qkd->qk", diff, diff)
+        lut_by_qid = {int(qid): luts[i] for i, qid in enumerate(q_ids)}
 
     codes = spark.read.parquet(index_path).filter(
         F.col("bucket").isin(probe_set)
     )
     cand = codes.join(F.broadcast(qry), "bucket").select(
-        "query_id", F.col(id_col).alias("cand_id"), F.col("pq_codes").alias("codes")
+        "query_id",
+        F.col(id_col).alias("cand_id"),
+        F.col("pq_codes").alias("codes"),
+        "bucket",
     )
 
     def _adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -172,10 +271,18 @@ def ivfpq_topk(
             dists = np.empty(len(pdf))
             qids = pdf["query_id"].to_numpy()
             cols = np.arange(m)
-            for qid in np.unique(qids):
-                sel = qids == qid
-                lut = lut_by_qid[int(qid)]
-                dists[sel] = lut[cols, code_mat[sel]].sum(axis=1)
+            if residual:
+                bks = pdf["bucket"].to_numpy()
+                keys = qids.astype("int64") * 1_000_000 + bks
+                for key in np.unique(keys):
+                    sel = keys == key
+                    lut = lut_by_qb[(int(key // 1_000_000), int(key % 1_000_000))]
+                    dists[sel] = lut[cols, code_mat[sel]].sum(axis=1)
+            else:
+                for qid in np.unique(qids):
+                    sel = qids == qid
+                    lut = lut_by_qid[int(qid)]
+                    dists[sel] = lut[cols, code_mat[sel]].sum(axis=1)
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"],

@@ -50,8 +50,9 @@ def test_ivfpq_end_to_end(spark, corpus, tmp_path):
     path = str(tmp_path / "ivfpq")
     write_ivfpq_index(emb, cents, books, path)
     # model sidecar round-trips
-    c2, b2, r2 = load_model(path)
+    c2, b2, r2, res2 = load_model(path)
     assert np.allclose(c2, cents) and np.allclose(b2, books) and r2 is None
+    assert res2 is False
 
     queries = emb.filter(F.col("vec_id") < 6)
     # full probing + rerank: recall vs brute force is high on clustered data
@@ -103,7 +104,7 @@ def test_ivfpq_with_opq_rotation(spark, corpus, tmp_path):
     rot, books = train_opq(emb, m=8, k=16, n_outer=3)
     path = str(tmp_path / "opq")
     write_ivfpq_index(emb, cents, books, path, rotation=rot)
-    c2, b2, r2 = load_model(path)
+    c2, b2, r2, _res = load_model(path)
     assert r2 is not None and np.allclose(r2, rot)
     queries = emb.filter(F.col("vec_id") < 4)
     out = ivfpq_topk(
@@ -116,3 +117,53 @@ def test_ivfpq_with_opq_rotation(spark, corpus, tmp_path):
         len(by_q[q] & set(_brute(vecs, q, 5))) for q in range(4)
     )
     assert hits / 20 >= 0.9
+
+
+def test_residual_ivfpq_beats_or_matches_plain_on_raw_adc(spark, corpus, tmp_path):
+    """Residual encoding (the full FAISS IVFPQ construction): raw-ADC
+    recall at equal code budget is >= plain encoding's on clustered
+    data (residuals concentrate once the coarse quantizer explains the
+    clusters), and the end-to-end reranked path stays >= 0.9."""
+    from etl_sentinel_imagery_spark.operators.ivfpq import (
+        train_residual_codebooks,
+    )
+
+    emb, vecs = corpus
+    cents, _ = kmeans_fit(emb, k=4, n_iter=4, init="first_k")
+    queries = emb.filter(F.col("vec_id") < 6)
+
+    def raw_recall(path):
+        out = ivfpq_topk(spark, path, queries, k=5, n_probe=4).collect()
+        by_q: dict = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], set()).add(r["cand_id"])
+        return sum(
+            len(by_q[q] & set(_brute(vecs, q, 5))) for q in range(6)
+        )
+
+    plain_path = str(tmp_path / "plain")
+    books = train_pq_codebooks(emb, m=8, k=16)
+    write_ivfpq_index(emb, cents, books, plain_path)
+
+    res_path = str(tmp_path / "res")
+    rbooks = train_residual_codebooks(emb, cents, m=8, k=16)
+    write_ivfpq_index(emb, cents, rbooks, res_path, residual=True)
+    _c, _b, _r, res_flag = load_model(res_path)
+    assert res_flag is True
+
+    assert raw_recall(res_path) >= raw_recall(plain_path)
+
+    out = ivfpq_topk(
+        spark, res_path, queries, k=5, n_probe=4, shortlist=40, embeddings=emb
+    ).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["cand_id"])
+    hits = sum(len(by_q[q] & set(_brute(vecs, q, 5))) for q in range(6))
+    assert hits / 30 >= 0.9
+
+    with pytest.raises(ValueError, match="rotation"):
+        write_ivfpq_index(
+            emb, cents, rbooks, str(tmp_path / "x"),
+            rotation=np.eye(DIM), residual=True,
+        )
