@@ -246,3 +246,45 @@ def run_kll_rollup(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def run_cm_rollup(
+    stream_df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    w: int = 256,
+    d: int = 4,
+) -> None:
+    """Streaming Count-Min rollup — the additive epoch-keyed recipe
+    (run_additive_sketch_rollup's exactly-once argument verbatim):
+    each micro-batch writes its own CM grid into an ``epoch_id=``
+    partition with dynamic overwrite, replays rewrite exactly their
+    partition, and readers merge epochs with ``cm_merge_agg`` — the
+    sketch's element-wise additivity does the exactly-once work at
+    read time. Point-query the merged grid with ``cm_estimate``."""
+    from etl_sentinel_imagery_spark.operators.sketches import cm_sketch
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        (
+            cm_sketch(batch_df, group_cols, key_col, w=w, d=d)
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(table_dir)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

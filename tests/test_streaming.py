@@ -606,3 +606,59 @@ def test_streaming_txlog_sink_exactly_once(spark, events_stream_dir, tmp_path):
     )
     assert snapshot(spark, table).count() == batch_n
     assert len(history(table)) == v_before
+
+
+def test_streaming_cm_rollup_matches_batch(spark, events_stream_dir, tmp_path):
+    """Epoch-merged streaming CM grids equal the batch sketch over the
+    same input element-wise, and a full replay leaves the merged
+    answer unchanged."""
+    from etl_sentinel_imagery_spark.operators.sketches import (
+        cm_merge_agg,
+        cm_sketch,
+    )
+    from etl_sentinel_imagery_spark.streaming.events import read_events_stream
+    from etl_sentinel_imagery_spark.streaming.sketch_stream import (
+        run_cm_rollup,
+    )
+
+    W = 128
+    table = str(tmp_path / "cm_rollup")
+    run_cm_rollup(
+        read_events_stream(spark, events_stream_dir),
+        ["event_type"],
+        "user_id",
+        table,
+        str(tmp_path / "ck1"),
+        w=W,
+    )
+    merged = (
+        spark.read.parquet(table)
+        .groupBy("event_type")
+        .agg(cm_merge_agg("cm", W).alias("cm"))
+    )
+    batch = cm_sketch(
+        load_table(spark, SF_DIR, "events"), ["event_type"], "user_id", w=W
+    )
+    got = {r["event_type"]: r["cm"] for r in merged.collect()}
+    want = {r["event_type"]: r["cm"] for r in batch.collect()}
+    assert set(got) == set(want)
+    for et in want:
+        assert [list(r) for r in got[et]] == [list(r) for r in want[et]], et
+    # replay with a fresh checkpoint: same epochs overwrite themselves
+    run_cm_rollup(
+        read_events_stream(spark, events_stream_dir),
+        ["event_type"],
+        "user_id",
+        table,
+        str(tmp_path / "ck2"),
+        w=W,
+    )
+    again = {
+        r["event_type"]: r["cm"]
+        for r in spark.read.parquet(table)
+        .groupBy("event_type")
+        .agg(cm_merge_agg("cm", W).alias("cm"))
+        .collect()
+    }
+    for et in want:
+        assert [list(r) for r in again[et]] == [list(r) for r in want[et]]
