@@ -12,10 +12,13 @@ snapshot, writers commit old+new swaps in ONE pointer flip, and any
 historical version stays readable (time travel). This module is that
 pattern at its irreducible core:
 
-- ``_txlog/v_<n>.json``: full live-file list + op + parent version
-  (full lists, not deltas — manifests are file-count-sized metadata,
-  and at 1M files ≈ tens of MB of driver-side JSON, which is the same
-  control-plane budget as the Bloom index's path list);
+- ``_txlog/v_<n>.json``: a DELTA manifest (adds + removes against the
+  parent) — commits cost what CHANGED, not the table size; every
+  ``CHECKPOINT_EVERY``-th version also embeds the full resolved file
+  list, so :func:`resolve_files` replays at most that many deltas from
+  the nearest checkpoint (the Delta-log + checkpoint design; the
+  full-list-only form measured 6.6 s/commit at 1M files —
+  tools/stress_txlog.py — which this removes);
 - ``_txlog/_CURRENT``: the committed version, flipped with
   ``os.replace`` (atomic on POSIX);
 - optimistic concurrency: a committer CLAIMS version n+1 by
@@ -83,27 +86,15 @@ def _write_pointer(table_dir: str, version: int) -> None:
     os.replace(tmp, ptr)
 
 
-def _commit(
-    table_dir: str,
-    parent: int,
-    files: list,
-    op: str,
-    stat_cols: list | None = None,
-) -> int:
-    """Claim parent+1 via atomic link of a fully-written temp manifest;
-    flip the pointer. Raises TxConflict when the claim loses."""
-    version = parent + 1
+#: A full resolved file list is embedded every this-many versions so
+#: resolution replays a bounded delta chain.
+CHECKPOINT_EVERY = 20
+
+
+def _claim(table_dir: str, version: int, payload: str) -> None:
+    """Atomically claim ``version`` with a fully-written temp manifest
+    (os.link fails EEXIST on a lost race) and flip the pointer."""
     ldir = _log_dir(table_dir)
-    payload = json.dumps(
-        {
-            "version": version,
-            "parent": parent,
-            "op": op,
-            "stat_cols": stat_cols or [],
-            "files": sorted(files, key=_entry_name),
-        },
-        indent=0,
-    )
     tmp = os.path.join(ldir, f"_tmp_{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
         f.write(payload)
@@ -119,7 +110,86 @@ def _commit(
         ) from e
     os.unlink(tmp)
     _write_pointer(table_dir, version)
+
+
+def _commit(
+    table_dir: str,
+    parent: int,
+    files: list,
+    op: str,
+    stat_cols: list | None = None,
+) -> int:
+    """Full-list (checkpoint-style) commit of parent+1."""
+    version = parent + 1
+    payload = json.dumps(
+        {
+            "version": version,
+            "parent": parent,
+            "op": op,
+            "stat_cols": stat_cols or [],
+            "files": sorted(files, key=_entry_name),
+        },
+        indent=0,
+    )
+    _claim(table_dir, version, payload)
     return version
+
+
+def _commit_delta(
+    table_dir: str,
+    parent: int,
+    adds: list,
+    removes: list[str],
+    op: str,
+    stat_cols: list | None = None,
+) -> int:
+    """Delta commit of parent+1: the manifest records only what changed.
+    Every CHECKPOINT_EVERY-th version also embeds the resolved full
+    list, bounding the replay chain."""
+    version = parent + 1
+    body = {
+        "version": version,
+        "parent": parent,
+        "op": op,
+        "stat_cols": stat_cols or [],
+        "adds": sorted(adds, key=_entry_name),
+        "removes": sorted(removes),
+    }
+    if CHECKPOINT_EVERY and version % CHECKPOINT_EVERY == 0:
+        base = {
+            _entry_name(e): e for e in resolve_files(table_dir, parent)
+        }
+        for name in body["removes"]:
+            base.pop(name, None)
+        for e in body["adds"]:
+            base[_entry_name(e)] = e
+        body["files"] = sorted(base.values(), key=_entry_name)
+    _claim(table_dir, version, json.dumps(body, indent=0))
+    return version
+
+
+def resolve_files(table_dir: str, version: int | None = None) -> list:
+    """The live file-entry list at ``version``: walk back to the
+    nearest manifest embedding a full list (init or a checkpoint),
+    then replay the delta chain forward — at most CHECKPOINT_EVERY
+    manifests however long the history."""
+    if version is None:
+        version = current_version(table_dir)
+    chain = []
+    v = version
+    while True:
+        m = read_manifest(table_dir, v)
+        if "files" in m:
+            entries = {_entry_name(e): e for e in m["files"]}
+            break
+        chain.append(m)
+        v = m["parent"]
+    for m in reversed(chain):
+        for name in m.get("removes", []):
+            entries.pop(name, None)
+        for e in m.get("adds", []):
+            entries[_entry_name(e)] = e
+    return sorted(entries.values(), key=_entry_name)
 
 
 def _file_stats(path: str, stat_cols: list[str]) -> dict:
@@ -228,14 +298,15 @@ def snapshot(
 ) -> DataFrame:
     """The committed table at ``version`` (default: current) — time
     travel is just naming an older manifest."""
-    m = read_manifest(table_dir, version)
-    if not m["files"]:
+    files = resolve_files(table_dir, version)
+    if not files:
         raise ValueError(
-            f"version {m['version']} of {table_dir} is empty; no schema "
-            "to serve (seed init_table with a DataFrame)"
+            f"version {version if version is not None else current_version(table_dir)} "
+            f"of {table_dir} is empty; no schema to serve (seed "
+            "init_table with a DataFrame)"
         )
     return spark.read.parquet(
-        *[os.path.join(table_dir, _entry_name(f)) for f in m["files"]]
+        *[os.path.join(table_dir, _entry_name(f)) for f in files]
     )
 
 
@@ -247,9 +318,13 @@ def history(table_dir: str) -> list[dict]:
         if os.path.exists(p):
             with open(p) as f:
                 m = json.load(f)
-            out.append(
-                {"version": m["version"], "op": m["op"], "n_files": len(m["files"])}
-            )
+            row = {"version": m["version"], "op": m["op"]}
+            if "files" in m:
+                row["n_files"] = len(m["files"])
+            if "adds" in m:
+                row["n_adds"] = len(m["adds"])
+                row["n_removes"] = len(m["removes"])
+            out.append(row)
     return out
 
 
@@ -257,12 +332,9 @@ def append(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
     """Transactional append: new files land, then one commit adds them.
     Stats tracking (stat_cols) is inherited from the parent manifest."""
     parent = current_version(table_dir)
-    m = read_manifest(table_dir, parent)
-    stat_cols = m.get("stat_cols") or None
+    stat_cols = read_manifest(table_dir, parent).get("stat_cols") or None
     names = _move_in_data_files(spark, table_dir, df, stat_cols)
-    return _commit(
-        table_dir, parent, m["files"] + names, "append", stat_cols
-    )
+    return _commit_delta(table_dir, parent, names, [], "append", stat_cols)
 
 
 def delete_rows(
@@ -272,19 +344,17 @@ def delete_rows(
     holding matches) rewrite to new files; ONE commit swaps old for new
     — a snapshot reader never sees duplicates or partial deletes."""
     parent = current_version(table_dir)
-    m = read_manifest(table_dir, parent)
-    stat_cols = m.get("stat_cols") or None
-    old_files = m["files"]
-    keep_files: list = []
+    stat_cols = read_manifest(table_dir, parent).get("stat_cols") or None
+    removes: list[str] = []
     new_names: list = []
-    for entry in old_files:
+    for entry in resolve_files(table_dir, parent):
         name = _entry_name(entry)
         path = os.path.join(table_dir, name)
         df = spark.read.parquet(path)
         n_hit = df.filter(F.col(key_col).isin(values)).count()
         if n_hit == 0:
-            keep_files.append(entry)
-            continue
+            continue  # untouched — not even mentioned in the delta
+        removes.append(name)
         kept = df.filter(
             ~F.coalesce(F.col(key_col).isin(values), F.lit(False))
         )
@@ -292,9 +362,9 @@ def delete_rows(
             new_names += _move_in_data_files(
                 spark, table_dir, kept, stat_cols
             )
-        # fully-matched files simply drop out of the manifest
-    return _commit(
-        table_dir, parent, keep_files + new_names, "delete", stat_cols
+        # fully-matched files are a pure remove
+    return _commit_delta(
+        table_dir, parent, new_names, removes, "delete", stat_cols
     )
 
 
@@ -306,11 +376,14 @@ def compact(
     old+new transient, unlike the directory-swap compactor."""
     parent = current_version(table_dir)
     stat_cols = read_manifest(table_dir, parent).get("stat_cols") or None
+    old_names = [_entry_name(e) for e in resolve_files(table_dir, parent)]
     df = snapshot(spark, table_dir, parent)
     names = _move_in_data_files(
         spark, table_dir, df.coalesce(target_files), stat_cols
     )
-    return _commit(table_dir, parent, names, "compact", stat_cols)
+    return _commit_delta(
+        table_dir, parent, names, old_names, "compact", stat_cols
+    )
 
 
 def vacuum(table_dir: str) -> list[str]:
@@ -323,9 +396,9 @@ def vacuum(table_dir: str) -> list[str]:
         p = _manifest_path(table_dir, v)
         if os.path.exists(p):
             with open(p) as f:
-                referenced.update(
-                    _entry_name(e) for e in json.load(f)["files"]
-                )
+                m = json.load(f)
+            referenced.update(_entry_name(e) for e in m.get("files", []))
+            referenced.update(_entry_name(e) for e in m.get("adds", []))
     removed = []
     for entry in os.listdir(table_dir):
         if (
@@ -360,8 +433,9 @@ def snapshot_pruned(
             f"column {col!r} has no manifest stats; init the table with "
             f"stat_cols=[{col!r}, ...]"
         )
+    files = resolve_files(table_dir, version)
     keep, skipped = [], 0
-    for e in m["files"]:
+    for e in files:
         st = (e.get("stats") or {}).get(col) if isinstance(e, dict) else None
         if st is None:
             keep.append(_entry_name(e))
@@ -372,7 +446,7 @@ def snapshot_pruned(
             continue
         keep.append(_entry_name(e))
     stats = {
-        "files_total": len(m["files"]),
+        "files_total": len(files),
         "files_read": len(keep),
         "files_skipped": skipped,
     }
@@ -393,8 +467,8 @@ def file_diff(
 ) -> tuple[list[str], list[str]]:
     """(added, removed) file names between two committed versions —
     manifest set difference, no data touched."""
-    a = {_entry_name(e) for e in read_manifest(table_dir, v_from)["files"]}
-    b = {_entry_name(e) for e in read_manifest(table_dir, v_to)["files"]}
+    a = {_entry_name(e) for e in resolve_files(table_dir, v_from)}
+    b = {_entry_name(e) for e in resolve_files(table_dir, v_to)}
     return sorted(b - a), sorted(a - b)
 
 

@@ -320,7 +320,7 @@ def run_foreach_batch_to_txlog(
     the file layout free."""
     from etl_sentinel_imagery_spark.operators.txlog import (
         TxConflict,
-        _commit,
+        _commit_delta,
         _move_in_data_files,
         current_version,
         history,
@@ -340,12 +340,14 @@ def run_foreach_batch_to_txlog(
         tag = f"stream_epoch_{epoch_id}"
         if any(h["op"] == tag for h in history(table_dir)):
             return  # replayed epoch: already committed
-        names = _move_in_data_files(spark, table_dir, batch_df)
+        stat_cols = (
+            read_manifest(table_dir).get("stat_cols") or None
+        )
+        names = _move_in_data_files(spark, table_dir, batch_df, stat_cols)
         while True:
             parent = current_version(table_dir)
-            files = read_manifest(table_dir, parent)["files"] + names
             try:
-                _commit(table_dir, parent, files, tag)
+                _commit_delta(table_dir, parent, names, [], tag, stat_cols)
                 return
             except TxConflict:
                 # another writer advanced the log; re-read and retry —

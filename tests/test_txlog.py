@@ -12,6 +12,7 @@ from etl_sentinel_imagery_spark.operators.txlog import (
     TxConflict,
     _commit,
     append,
+    resolve_files,
     compact,
     current_version,
     delete_rows,
@@ -53,7 +54,7 @@ def test_delete_is_atomic_for_pinned_readers(spark, tmp_path):
         spark, t, _seed(spark, 300).repartition(6)
     )
     pinned = current_version(t)
-    files_before = set(read_manifest(t, pinned)["files"])
+    files_before = {e for e in resolve_files(t, pinned)}
     targets = [5, 123, 222]
     v = delete_rows(spark, t, "doc_id", targets)
     # new snapshot: keys gone, everything else intact
@@ -64,16 +65,18 @@ def test_delete_is_atomic_for_pinned_readers(spark, tmp_path):
     old = snapshot(spark, t, version=pinned)
     assert old.count() == 300
     assert old.filter(F.col("doc_id").isin(targets)).count() == 3
-    # untouched files carried over verbatim in the manifest
-    files_after = set(read_manifest(t, v)["files"])
+    # untouched files carry over (and aren't even named in the delta)
+    files_after = {e for e in resolve_files(t, v)}
     assert files_before & files_after, "untouched files must carry over"
+    delta = read_manifest(t, v)
+    assert "files" not in delta  # a true delta manifest
+    assert len(delta["removes"]) + len(delta["adds"]) < len(files_before)
     # a file whose every row matched drops out entirely
     t2 = str(tmp_path / "d2")
     init_table(spark, t2, _seed(spark, 10).coalesce(1))
     append(spark, t2, _seed(spark, 10, offset=500).coalesce(1))
     delete_rows(spark, t2, "doc_id", list(range(10)))
-    m = read_manifest(t2)
-    assert len(m["files"]) == 1  # the fully-matched file vanished
+    assert len(resolve_files(t2)) == 1  # the fully-matched file vanished
     assert snapshot(spark, t2).count() == 10
 
 
@@ -83,7 +86,7 @@ def test_conflict_detection(spark, tmp_path):
     parent = current_version(t)
     append(spark, t, _seed(spark, 5, offset=100))  # someone else commits
     with pytest.raises(TxConflict):
-        _commit(t, parent, read_manifest(t, parent)["files"], "stale")
+        _commit(t, parent, resolve_files(t, parent), "stale")
     # double-init is also a conflict
     with pytest.raises(TxConflict):
         init_table(spark, t, _seed(spark, 1))
@@ -92,11 +95,10 @@ def test_conflict_detection(spark, tmp_path):
 def test_compact_swaps_in_one_commit_and_vacuum(spark, tmp_path):
     t = str(tmp_path / "k")
     init_table(spark, t, _seed(spark, 200).repartition(8))
-    v0_files = read_manifest(t)["files"]
-    assert len(v0_files) == 8
+    assert len(resolve_files(t)) == 8
     v = compact(spark, t, target_files=1)
-    m = read_manifest(t, v)
-    assert len(m["files"]) == 1 and m["op"] == "compact"
+    assert len(resolve_files(t, v)) == 1
+    assert read_manifest(t, v)["op"] == "compact"
     assert snapshot(spark, t).count() == 200
     # history intact: the pre-compaction version still reads
     assert snapshot(spark, t, version=v - 1).count() == 200
@@ -155,8 +157,7 @@ def test_manifest_stats_prune_files_exactly(spark, tmp_path):
     assert sorted(r["doc_id"] for r in df3.collect()) == [
         v for v in want if v != 120
     ]
-    m3 = read_manifest(t)
-    assert all(isinstance(e, dict) for e in m3["files"])
+    assert all(isinstance(e, dict) for e in resolve_files(t))
 
     # out-of-range query: everything skips, empty frame with schema
     df4, st4 = snapshot_pruned(spark, t, "doc_id", lo=10**9)
@@ -221,10 +222,38 @@ def test_incremental_agg_delta_equals_full_recompute(spark, tmp_path):
     from etl_sentinel_imagery_spark.operators.txlog import file_diff
 
     added, removed = file_diff(t, v0, v2)
-    n_all = len(read_manifest(t, v2)["files"])
+    n_all = len(resolve_files(t, v2))
     assert len(added) + len(removed) < n_all + len(removed)
     # no-change delta is empty
     assert (
         incremental_agg_delta(spark, t, v2, v2, ["grp"], sum_cols=["val"]).count()
         == 0
     )
+
+
+def test_delta_chain_crosses_checkpoint(spark, tmp_path):
+    """A history longer than CHECKPOINT_EVERY: the checkpoint version
+    embeds a full list, later versions resolve by replaying at most
+    the post-checkpoint deltas, and every historical version still
+    time-travels correctly."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        CHECKPOINT_EVERY,
+        read_manifest,
+    )
+
+    t = str(tmp_path / "chain")
+    init_table(spark, t, _seed(spark, 5).coalesce(1))
+    n_commits = CHECKPOINT_EVERY + 3
+    for i in range(1, n_commits + 1):
+        append(spark, t, _seed(spark, 1, offset=1000 + i).coalesce(1))
+    assert current_version(t) == n_commits
+    # the checkpoint version embeds a full list AND its delta
+    ck = read_manifest(t, CHECKPOINT_EVERY)
+    assert "files" in ck and "adds" in ck
+    assert len(ck["files"]) == 1 + CHECKPOINT_EVERY  # init file + one per append
+    # a later version resolves correctly (replay from the checkpoint)
+    assert snapshot(spark, t).count() == 5 + n_commits
+    # arbitrary time travel across the chain
+    assert snapshot(spark, t, version=7).count() == 5 + 7
+    assert snapshot(spark, t, version=CHECKPOINT_EVERY).count() == 5 + CHECKPOINT_EVERY
+    assert len(resolve_files(t, 0)) == 1

@@ -22,10 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from etl_sentinel_imagery_spark.operators.txlog import (
     _commit,
+    _commit_delta,
     _log_dir,
     _manifest_path,
     file_diff,
     read_manifest,
+    resolve_files,
 )
 
 
@@ -56,6 +58,16 @@ def main() -> None:
         "append", ["doc_id"],
     )
     commit_s = time.time() - t0
+    # the delta path: commit cost is proportional to the CHANGE
+    t0 = time.time()
+    v2 = _commit_delta(
+        tmp, v1, [{"name": "part-new2.parquet", "stats": {}}], [],
+        "append", ["doc_id"],
+    )
+    delta_commit_s = time.time() - t0
+    t0 = time.time()
+    n_resolved = len(resolve_files(tmp, v2))
+    resolve_s = time.time() - t0
     t0 = time.time()
     m = read_manifest(tmp, v1)
     read_s = time.time() - t0
@@ -68,7 +80,10 @@ def main() -> None:
             {
                 "n_files": n,
                 "manifest_mb": round(size_mb, 1),
-                "commit_s": round(commit_s, 2),
+                "full_commit_s": round(commit_s, 2),
+                "delta_commit_s": round(delta_commit_s, 4),
+                "resolve_s": round(resolve_s, 2),
+                "n_resolved": n_resolved,
                 "read_s": round(read_s, 2),
                 "diff_s": round(diff_s, 2),
                 "added": len(added),
