@@ -139,3 +139,126 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     for _, row in expected.iterrows():
         exp = None if pd.isna(row["rid"]) else int(row["rid"])
         assert got[row["lid"]] == exp, (row["lid"], got[row["lid"]], exp)
+
+
+# --- round-4 kernels: driver-side properties (no Spark per example) -------
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=7),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=5, max_value=60),
+)
+def test_unigram_lossless_for_any_corpus(words, vocab_size):
+    """The unigram tokenizer must encode ANY word (seen or not)
+    losslessly under ANY vocabulary budget — the char floor guarantees
+    it; hypothesis hunts corner corpora (repeats, single chars,
+    all-identical words)."""
+    from collections import Counter
+
+    from etl_sentinel_imagery_spark.operators.unigram_lm import (
+        train_unigram,
+        unigram_encode_word,
+    )
+
+    model = train_unigram(
+        list(Counter(words).items()), vocab_size=vocab_size,
+        n_em=2, prune_rounds=2,
+    )
+    for w in words + ["zzz", "abcdefабв"[:6]]:
+        assert "".join(unigram_encode_word(w, model)) == w
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=200)
+)
+def test_bpe_chunker_invariants_driver(keys):
+    """Greedy word-aligned BPE chunking invariants on arbitrary
+    streams: chunk counts are true encoding lengths and concatenation
+    is lossless (driver-side replica of the operator's inner loop,
+    properties mirrored from test_bpe's Spark e2e)."""
+    from etl_sentinel_imagery_spark.operators.bpe import (
+        encode_word,
+        train_bpe,
+    )
+
+    words = [f"w{k}" for k in keys]
+    from collections import Counter
+
+    merges = train_bpe(list(Counter(words).items()), n_merges=15)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    budget = 8
+    cur, cur_n, chunks = [], 0, []
+    for w in words:
+        n = len(encode_word(w, ranks))
+        if cur and cur_n + n > budget:
+            chunks.append((cur, cur_n))
+            cur, cur_n = [], 0
+        cur.append(w)
+        cur_n += n
+    if cur:
+        chunks.append((cur, cur_n))
+    rebuilt = [w for c, _ in chunks for w in c]
+    assert rebuilt == words
+    for c, n in chunks:
+        assert n == sum(len(encode_word(w, ranks)) for w in c)
+        if len(c) > 1:
+            assert n <= budget
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=300),
+    st.integers(min_value=4, max_value=8),
+)
+def test_cm_sketch_math_never_underestimates(keys, log_w):
+    """The Count-Min estimate's one-sided guarantee, checked against
+    the kernel's own hash math driver-side: min over rows of the
+    summed cells >= the true count for EVERY key."""
+    import hashlib
+    from collections import Counter
+
+    w = 1 << log_w
+    d = 4
+
+    def cell(key: str, j: int) -> int:
+        # mirror operators.sketches._cm_hash: md5("cm{j}:"+key) 15 hex
+        # chars -> int -> mod w
+        h = int(hashlib.md5(f"cm{j}:{key}".encode()).hexdigest()[:15], 16)
+        return h % w
+
+    grid = [[0] * w for _ in range(d)]
+    for k in keys:
+        for j in range(d):
+            grid[j][cell(str(k), j)] += 1
+    true = Counter(str(k) for k in keys)
+    for k in set(str(x) for x in keys) | {"absent"}:
+        est = min(grid[j][cell(k, j)] for j in range(d))
+        assert est >= true.get(k, 0)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=100),
+    st.integers(min_value=0, max_value=2**40),
+    st.integers(min_value=0, max_value=2**40),
+)
+def test_dhash_band_pigeonhole(dim_seed, h1, h2):
+    """Any two 64-bit hashes within Hamming distance 3 share at least
+    one exact 16-bit band — the exactness guarantee dhash_near_pairs
+    relies on (checked constructively: flip <=3 random bits)."""
+    import random
+
+    rng = random.Random(dim_seed)
+    base = (h1 << 24) ^ h2
+    flipped = base
+    for _ in range(rng.randint(0, 3)):
+        flipped ^= 1 << rng.randrange(64)
+    bands_a = [(base >> (16 * j)) & 0xFFFF for j in range(4)]
+    bands_b = [(flipped >> (16 * j)) & 0xFFFF for j in range(4)]
+    dist = bin((base ^ flipped) & ((1 << 64) - 1)).count("1")
+    if dist <= 3:
+        assert any(a == b for a, b in zip(bands_a, bands_b))
