@@ -52,6 +52,34 @@ class TxConflict(RuntimeError):
     """Another writer committed the version this commit was based on."""
 
 
+class PosixLogStore:
+    """Default commit substrate: POSIX atomic link (claim) + replace
+    (pointer). On an object store neither is atomic — subclass with a
+    CAS service (DynamoDB/etcd/ZooKeeper) exactly as Delta's LogStore
+    abstraction does; everything above this seam is store-agnostic."""
+
+    def claim(self, tmp_path: str, final_path: str) -> bool:
+        """Atomically publish tmp as final; False if final exists."""
+        try:
+            os.link(tmp_path, final_path)
+            return True
+        except FileExistsError:
+            return False
+
+    def replace(self, tmp_path: str, final_path: str) -> None:
+        os.replace(tmp_path, final_path)
+
+
+#: Module-level store — swap with set_log_store() for object-store
+#: deployments or deterministic conflict-injection in tests.
+_LOG_STORE = PosixLogStore()
+
+
+def set_log_store(store) -> None:
+    global _LOG_STORE
+    _LOG_STORE = store
+
+
 def _entry_name(e) -> str:
     """Manifest file entries are plain names, or {name, stats} dicts
     when the table tracks column stats."""
@@ -83,7 +111,7 @@ def _write_pointer(table_dir: str, version: int) -> None:
     tmp = ptr + f".tmp{version}"
     with open(tmp, "w") as f:
         f.write(str(version))
-    os.replace(tmp, ptr)
+    _LOG_STORE.replace(tmp, ptr)
 
 
 #: A full resolved file list is embedded every this-many versions so
@@ -100,14 +128,12 @@ def _claim(table_dir: str, version: int, payload: str) -> None:
         f.write(payload)
         f.flush()
         os.fsync(f.fileno())
-    try:
-        os.link(tmp, _manifest_path(table_dir, version))
-    except FileExistsError as e:
+    if not _LOG_STORE.claim(tmp, _manifest_path(table_dir, version)):
         os.unlink(tmp)
         raise TxConflict(
             f"version {version} already committed by another writer; "
             "re-read the snapshot and retry"
-        ) from e
+        )
     os.unlink(tmp)
     _write_pointer(table_dir, version)
 
@@ -283,11 +309,9 @@ def init_table(
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         f.write(payload)
-    try:
-        os.link(tmp, path)
-    except FileExistsError as e:
+    if not _LOG_STORE.claim(tmp, path):
         os.unlink(tmp)
-        raise TxConflict("table already initialized") from e
+        raise TxConflict("table already initialized")
     os.unlink(tmp)
     _write_pointer(table_dir, 0)
     return 0

@@ -257,3 +257,38 @@ def test_delta_chain_crosses_checkpoint(spark, tmp_path):
     assert snapshot(spark, t, version=7).count() == 5 + 7
     assert snapshot(spark, t, version=CHECKPOINT_EVERY).count() == 5 + CHECKPOINT_EVERY
     assert len(resolve_files(t, 0)) == 1
+
+
+def test_log_store_seam_conflict_injection(spark, tmp_path):
+    """The commit substrate is injectable (object-store CAS seam): a
+    store that loses its first N claims surfaces TxConflict exactly
+    like a real race, and the streaming sink's retry loop rides over
+    it (its data files commit once despite the injected losses)."""
+    from etl_sentinel_imagery_spark.operators import txlog as tx
+
+    class FlakyStore(tx.PosixLogStore):
+        def __init__(self, lose_first: int):
+            self.lose = lose_first
+
+        def claim(self, tmp_path, final_path):
+            if self.lose > 0:
+                self.lose -= 1
+                return False
+            return super().claim(tmp_path, final_path)
+
+    t = str(tmp_path / "seam")
+    init_table(spark, t, _seed(spark, 10))
+    tx.set_log_store(FlakyStore(lose_first=1))
+    try:
+        with pytest.raises(TxConflict):
+            append(spark, t, _seed(spark, 5, offset=100))
+        # the lost claim left an orphan data file but NO manifest —
+        # the table is untouched and a retry lands cleanly
+        assert snapshot(spark, t).count() == 10
+        append(spark, t, _seed(spark, 5, offset=100))
+        assert snapshot(spark, t).count() == 15
+    finally:
+        tx.set_log_store(tx.PosixLogStore())
+    # orphans from the lost claim vacuum away; live data survives
+    vacuum(t)
+    assert snapshot(spark, t).count() == 15
