@@ -144,6 +144,7 @@ def _commit(
     files: list,
     op: str,
     stat_cols: list | None = None,
+    partition_cols: list | None = None,
 ) -> int:
     """Full-list (checkpoint-style) commit of parent+1."""
     version = parent + 1
@@ -153,6 +154,7 @@ def _commit(
             "parent": parent,
             "op": op,
             "stat_cols": stat_cols or [],
+            "partition_cols": partition_cols or [],
             "files": sorted(files, key=_entry_name),
         },
         indent=0,
@@ -168,6 +170,7 @@ def _commit_delta(
     removes: list[str],
     op: str,
     stat_cols: list | None = None,
+    partition_cols: list | None = None,
 ) -> int:
     """Delta commit of parent+1: the manifest records only what changed.
     Every CHECKPOINT_EVERY-th version also embeds the resolved full
@@ -178,6 +181,7 @@ def _commit_delta(
         "parent": parent,
         "op": op,
         "stat_cols": stat_cols or [],
+        "partition_cols": partition_cols or [],
         "adds": sorted(adds, key=_entry_name),
         "removes": sorted(removes),
     }
@@ -254,19 +258,35 @@ def _move_in_data_files(
     table_dir: str,
     df: DataFrame,
     stat_cols: list[str] | None = None,
+    partition_cols: list[str] | None = None,
+    dest_subdir: str = "",
 ) -> list:
     """Write df's parquet files under unique names in the table dir;
     return their table-relative names (or (name, stats) entries when
-    ``stat_cols`` is set). Data lands BEFORE any commit references
-    it."""
+    ``stat_cols`` is set). With ``partition_cols`` the files land in
+    hive-style ``col=val/`` subdirectories and the returned names keep
+    the relative subpath, so a basePath read re-derives the partition
+    columns. ``dest_subdir`` pins ALL files into one existing leaf
+    (targeted-delete rewrites must stay in their partition). Data
+    lands BEFORE any commit references it."""
     staging = os.path.join(table_dir, f"_stage_{uuid.uuid4().hex}")
-    df.write.parquet(staging)
+    if partition_cols:
+        df.write.partitionBy(*partition_cols).parquet(staging)
+    else:
+        df.write.parquet(staging)
     names: list = []
-    for entry in os.listdir(staging):
-        if entry.endswith(".parquet") and not entry.startswith("_"):
-            name = f"part-{uuid.uuid4().hex}.parquet"
+    for root, _dirs, fnames in os.walk(staging):
+        for entry in fnames:
+            if not entry.endswith(".parquet") or entry.startswith("_"):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            rel_dir = "" if rel_dir == "." else rel_dir
+            if dest_subdir:
+                rel_dir = dest_subdir
+            name = os.path.join(rel_dir, f"part-{uuid.uuid4().hex}.parquet")
             dest = os.path.join(table_dir, name)
-            os.replace(os.path.join(staging, entry), dest)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(os.path.join(root, entry), dest)
             if stat_cols:
                 names.append(
                     {"name": name, "stats": _file_stats(dest, stat_cols)}
@@ -284,14 +304,22 @@ def init_table(
     table_dir: str,
     df: DataFrame | None = None,
     stat_cols: list | None = None,
+    partition_cols: list | None = None,
 ) -> int:
     """Create an empty (or seeded) txlog table: version 0 manifest.
     ``stat_cols`` turns on Iceberg-style per-file min/max stats (read
     from parquet footers at commit time) for every subsequent write —
-    :func:`snapshot_pruned` then skips files from METADATA alone."""
+    :func:`snapshot_pruned` then skips files from METADATA alone.
+    ``partition_cols`` lays files out hive-style (``col=val/`` paths,
+    preserved in manifest entries) — snapshots read with basePath so
+    the partition columns come back, and :func:`snapshot_partition`
+    prunes partitions from manifest PATHS alone (no directory
+    listing)."""
     os.makedirs(_log_dir(table_dir), exist_ok=True)
     files = (
-        _move_in_data_files(spark, table_dir, df, stat_cols)
+        _move_in_data_files(
+            spark, table_dir, df, stat_cols, partition_cols
+        )
         if df is not None
         else []
     )
@@ -301,6 +329,7 @@ def init_table(
             "parent": None,
             "op": "init",
             "stat_cols": stat_cols or [],
+            "partition_cols": partition_cols or [],
             "files": sorted(files, key=_entry_name),
         },
         indent=0,
@@ -329,7 +358,12 @@ def snapshot(
             f"of {table_dir} is empty; no schema to serve (seed "
             "init_table with a DataFrame)"
         )
-    return spark.read.parquet(
+    reader = spark.read
+    if read_manifest(table_dir, version).get("partition_cols"):
+        # basePath re-derives hive partition columns from the entries'
+        # relative paths — same schema as a whole-table read
+        reader = reader.option("basePath", table_dir)
+    return reader.parquet(
         *[os.path.join(table_dir, _entry_name(f)) for f in files]
     )
 
@@ -356,9 +390,15 @@ def append(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
     """Transactional append: new files land, then one commit adds them.
     Stats tracking (stat_cols) is inherited from the parent manifest."""
     parent = current_version(table_dir)
-    stat_cols = read_manifest(table_dir, parent).get("stat_cols") or None
-    names = _move_in_data_files(spark, table_dir, df, stat_cols)
-    return _commit_delta(table_dir, parent, names, [], "append", stat_cols)
+    m = read_manifest(table_dir, parent)
+    stat_cols = m.get("stat_cols") or None
+    partition_cols = m.get("partition_cols") or None
+    names = _move_in_data_files(
+        spark, table_dir, df, stat_cols, partition_cols
+    )
+    return _commit_delta(
+        table_dir, parent, names, [], "append", stat_cols, partition_cols
+    )
 
 
 def delete_rows(
@@ -368,7 +408,9 @@ def delete_rows(
     holding matches) rewrite to new files; ONE commit swaps old for new
     — a snapshot reader never sees duplicates or partial deletes."""
     parent = current_version(table_dir)
-    stat_cols = read_manifest(table_dir, parent).get("stat_cols") or None
+    m = read_manifest(table_dir, parent)
+    stat_cols = m.get("stat_cols") or None
+    partition_cols = m.get("partition_cols") or None
     removes: list[str] = []
     new_names: list = []
     for entry in resolve_files(table_dir, parent):
@@ -383,12 +425,18 @@ def delete_rows(
             ~F.coalesce(F.col(key_col).isin(values), F.lit(False))
         )
         if kept.limit(1).count() > 0:
+            # rewrites stay in their partition leaf (the file's own dir)
             new_names += _move_in_data_files(
-                spark, table_dir, kept, stat_cols
+                spark,
+                table_dir,
+                kept,
+                stat_cols,
+                dest_subdir=os.path.dirname(name),
             )
         # fully-matched files are a pure remove
     return _commit_delta(
-        table_dir, parent, new_names, removes, "delete", stat_cols
+        table_dir, parent, new_names, removes, "delete", stat_cols,
+        partition_cols,
     )
 
 
@@ -399,14 +447,18 @@ def compact(
     ``target_files`` files; one commit swaps the whole list — no
     old+new transient, unlike the directory-swap compactor."""
     parent = current_version(table_dir)
-    stat_cols = read_manifest(table_dir, parent).get("stat_cols") or None
+    m = read_manifest(table_dir, parent)
+    stat_cols = m.get("stat_cols") or None
+    partition_cols = m.get("partition_cols") or None
     old_names = [_entry_name(e) for e in resolve_files(table_dir, parent)]
     df = snapshot(spark, table_dir, parent)
     names = _move_in_data_files(
-        spark, table_dir, df.coalesce(target_files), stat_cols
+        spark, table_dir, df.coalesce(target_files), stat_cols,
+        partition_cols,
     )
     return _commit_delta(
-        table_dir, parent, names, old_names, "compact", stat_cols
+        table_dir, parent, names, old_names, "compact", stat_cols,
+        partition_cols,
     )
 
 
@@ -548,3 +600,41 @@ def incremental_agg_delta(
         F.sum(count_alias).alias(count_alias),
         *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
     )
+
+
+def snapshot_partition(
+    spark: SparkSession,
+    table_dir: str,
+    partition: dict,
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Snapshot restricted to the partitions matching ``partition``
+    ({col: value}) — pruned from MANIFEST PATHS alone (the hive
+    ``col=val/`` segments in each entry's relative name), no directory
+    listing, no footer opens for skipped partitions. Returns
+    (DataFrame, {files_total, files_read})."""
+    m = read_manifest(table_dir, version)
+    pcols = m.get("partition_cols") or []
+    for col in partition:
+        if col not in pcols:
+            raise ValueError(
+                f"{col!r} is not a partition column of this table "
+                f"(partition_cols={pcols})"
+            )
+    segs = {f"{c}={v}" for c, v in partition.items()}
+    files = resolve_files(table_dir, version)
+    keep = [
+        _entry_name(e)
+        for e in files
+        if segs <= set(_entry_name(e).split(os.sep)[:-1])
+    ]
+    stats = {"files_total": len(files), "files_read": len(keep)}
+    if not keep:
+        return (
+            snapshot(spark, table_dir, version).limit(0),
+            stats,
+        )
+    df = spark.read.option("basePath", table_dir).parquet(
+        *[os.path.join(table_dir, f) for f in keep]
+    )
+    return df, stats

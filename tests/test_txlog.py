@@ -292,3 +292,68 @@ def test_log_store_seam_conflict_injection(spark, tmp_path):
     # orphans from the lost claim vacuum away; live data survives
     vacuum(t)
     assert snapshot(spark, t).count() == 15
+
+
+def test_partitioned_layout_end_to_end(spark, tmp_path):
+    """Hive-partitioned txlog table: entries carry col=val paths, the
+    snapshot re-derives partition columns via basePath, appends and
+    targeted deletes stay inside their leaves, snapshot_partition
+    prunes from manifest paths alone, and compaction preserves the
+    layout."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        snapshot_partition,
+    )
+
+    t = str(tmp_path / "ptab")
+
+    def seed(n, offset=0):
+        return spark.range(offset, offset + n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 3).cast("int").alias("bucket3"),
+            F.concat(F.lit("p-"), F.col("id")).alias("body"),
+        )
+
+    init_table(spark, t, seed(300), partition_cols=["bucket3"])
+    snap = snapshot(spark, t)
+    assert set(snap.columns) == {"doc_id", "bucket3", "body"}
+    assert snap.count() == 300
+    assert {r["bucket3"] for r in snap.select("bucket3").distinct().collect()} == {0, 1, 2}
+    # manifest paths are hive-style
+    for e in resolve_files(t):
+        name = e if isinstance(e, str) else e["name"]
+        assert "bucket3=" in name
+
+    # partition-pruned read: only bucket3=1 files touched
+    df1, st = snapshot_partition(spark, t, {"bucket3": 1})
+    assert st["files_read"] < st["files_total"]
+    want = sorted(
+        r["doc_id"] for r in snap.filter("bucket3 = 1").collect()
+    )
+    assert sorted(r["doc_id"] for r in df1.collect()) == want
+
+    # append inherits the layout
+    append(spark, t, seed(30, offset=1000))
+    assert snapshot(spark, t).count() == 330
+    df1b, _ = snapshot_partition(spark, t, {"bucket3": 1})
+    assert df1b.count() == snapshot(spark, t).filter("bucket3 = 1").count()
+
+    # targeted delete rewrites stay inside their leaf
+    delete_rows(spark, t, "doc_id", [4, 1001])
+    after = snapshot(spark, t)
+    assert after.count() == 328
+    assert after.filter(F.col("doc_id").isin([4, 1001])).count() == 0
+    for e in resolve_files(t):
+        name = e if isinstance(e, str) else e["name"]
+        assert "bucket3=" in name
+    # partition columns survive the rewrite
+    assert set(after.columns) == {"doc_id", "bucket3", "body"}
+
+    # compaction keeps the hive layout
+    compact(spark, t, target_files=2)
+    snap2 = snapshot(spark, t)
+    assert snap2.count() == 328
+    assert set(snap2.columns) == {"doc_id", "bucket3", "body"}
+
+    # unknown partition column refuses
+    with pytest.raises(ValueError, match="partition column"):
+        snapshot_partition(spark, t, {"nope": 1})
