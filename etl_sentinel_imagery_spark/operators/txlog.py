@@ -102,8 +102,14 @@ def current_version(table_dir: str) -> int:
 def read_manifest(table_dir: str, version: int | None = None) -> dict:
     if version is None:
         version = current_version(table_dir)
-    with open(_manifest_path(table_dir, version)) as f:
-        return json.load(f)
+    try:
+        with open(_manifest_path(table_dir, version)) as f:
+            return json.load(f)
+    except FileNotFoundError as e:
+        raise ValueError(
+            f"version {version} of {table_dir} does not exist (never "
+            "committed, or retired by truncate_history)"
+        ) from e
 
 
 def _write_pointer(table_dir: str, version: int) -> None:
@@ -638,3 +644,37 @@ def snapshot_partition(
         *[os.path.join(table_dir, f) for f in keep]
     )
     return df, stats
+
+
+def truncate_history(table_dir: str, keep_versions: int) -> dict:
+    """Retire history older than ``current - keep_versions`` — the
+    time-travel/storage trade: the horizon manifest is first made
+    SELF-CONTAINED (its resolved full list embedded, atomically
+    replaced — readers see the old delta or the new checkpoint, which
+    resolve identically while ancestors still exist), then ancestor
+    manifests delete. After truncation :func:`vacuum` can reclaim data
+    files only pre-horizon versions referenced. Single-writer
+    maintenance op (like compaction). Returns {horizon,
+    removed_manifests}."""
+    cur = current_version(table_dir)
+    horizon = max(0, cur - keep_versions)
+    if horizon == 0:
+        return {"horizon": 0, "removed_manifests": 0}
+    m = read_manifest(table_dir, horizon)
+    if "files" not in m:
+        m["files"] = resolve_files(table_dir, horizon)
+        m["parent"] = None  # self-contained: no ancestor walk
+        path = _manifest_path(table_dir, horizon)
+        tmp = path + ".trunc_tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(m, indent=0))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    removed = 0
+    for v in range(horizon):
+        p = _manifest_path(table_dir, v)
+        if os.path.exists(p):
+            os.unlink(p)
+            removed += 1
+    return {"horizon": horizon, "removed_manifests": removed}

@@ -357,3 +357,44 @@ def test_partitioned_layout_end_to_end(spark, tmp_path):
     # unknown partition column refuses
     with pytest.raises(ValueError, match="partition column"):
         snapshot_partition(spark, t, {"nope": 1})
+
+
+def test_truncate_history_and_space_reclaim(spark, tmp_path):
+    """Retention: versions past the horizon become unreadable with a
+    clear error, retained versions (incl. the now-self-contained
+    horizon) still time-travel, and vacuum reclaims files only dead
+    history referenced."""
+    import os as _os
+
+    from etl_sentinel_imagery_spark.operators.txlog import truncate_history
+
+    t = str(tmp_path / "ret")
+    init_table(spark, t, _seed(spark, 50).coalesce(1))
+    for i in range(1, 6):
+        append(spark, t, _seed(spark, 10, offset=1000 * i).coalesce(1))
+    compact(spark, t, target_files=1)  # v6: retires all prior files
+    append(spark, t, _seed(spark, 5, offset=9000).coalesce(1))  # v7
+    cur = current_version(t)
+    n_parquet_before = sum(
+        1 for e in _os.listdir(t) if e.endswith(".parquet")
+    )
+
+    stats = truncate_history(t, keep_versions=1)  # keep v6, v7
+    assert stats["horizon"] == cur - 1
+    assert stats["removed_manifests"] == cur - 1
+    # retained versions resolve; horizon is self-contained
+    assert snapshot(spark, t).count() == 105
+    assert snapshot(spark, t, version=cur - 1).count() == 100
+    assert "files" in read_manifest(t, cur - 1)
+    # truncated versions are a clear error
+    with pytest.raises(ValueError, match="retired|does not exist"):
+        snapshot(spark, t, version=0)
+    # vacuum now reclaims the pre-compaction files
+    removed = vacuum(t)
+    assert removed  # the 6 pre-compaction data files
+    n_parquet_after = sum(
+        1 for e in _os.listdir(t) if e.endswith(".parquet")
+    )
+    assert n_parquet_after < n_parquet_before
+    assert snapshot(spark, t).count() == 105
+    assert snapshot(spark, t, version=cur - 1).count() == 100
