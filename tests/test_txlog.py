@@ -398,3 +398,61 @@ def test_truncate_history_and_space_reclaim(spark, tmp_path):
     assert n_parquet_after < n_parquet_before
     assert snapshot(spark, t).count() == 105
     assert snapshot(spark, t, version=cur - 1).count() == 100
+
+
+def _race_writer(args) -> int:
+    """Module-level so multiprocessing can pickle it."""
+    t, wid = args
+    from etl_sentinel_imagery_spark.operators import txlog as tx2
+
+    conflicts = 0
+    for i in range(10):
+        while True:
+            parent = tx2.current_version(t)
+            try:
+                tx2._commit_delta(
+                    t, parent, [f"w{wid}-c{i}.parquet"], [],
+                    f"op-w{wid}-c{i}",
+                )
+                break
+            except tx2.TxConflict:
+                conflicts += 1
+    return conflicts
+
+
+def test_concurrent_writers_race_the_claim(tmp_path):
+    """Real multi-PROCESS concurrency on the claim protocol: 4 writers
+    race 10 delta commits each with retry-on-conflict; every commit
+    must land exactly once, versions are a gapless linear history, and
+    the final resolution contains every writer's files."""
+    import json as _json
+    import multiprocessing as mp
+    import os as _os
+
+    from etl_sentinel_imagery_spark.operators import txlog as tx
+
+    t = str(tmp_path / "race")
+    _os.makedirs(tx._log_dir(t), exist_ok=True)
+    with open(tx._manifest_path(t, 0), "w") as f:
+        _json.dump(
+            {"version": 0, "parent": None, "op": "init",
+             "stat_cols": [], "partition_cols": [], "files": []},
+            f,
+        )
+    with open(_os.path.join(tx._log_dir(t), "_CURRENT"), "w") as f:
+        f.write("0")
+
+    with mp.Pool(4) as pool:
+        conflict_counts = pool.map(
+            _race_writer, [(t, wid) for wid in range(4)]
+        )
+
+    assert tx.current_version(t) == 40  # every commit landed exactly once
+    ops = [h["op"] for h in tx.history(t)]
+    assert len(ops) == 41 and len(set(ops)) == 41  # gapless, no dupes
+    names = {tx._entry_name(e) for e in tx.resolve_files(t)}
+    assert names == {
+        f"w{w}-c{i}.parquet" for w in range(4) for i in range(10)
+    }
+    # the race was real: at least one writer actually lost a claim
+    assert sum(conflict_counts) > 0
