@@ -169,3 +169,59 @@ def test_append_into_empty_and_degree_bound(spark):
         (F.col("level") == 0) & (F.size("neighbors") > 2 * DEFAULT_M)
     ).count()
     assert over == 0
+
+
+def test_int8_quantized_search_recall(spark):
+    """The quantized serving tier: searching the SAME graph with an
+    int8 vector table (tinyint arrays stay tinyint through the
+    graph-join shuffle; cosine is scale-invariant so the kernel's float
+    cast IS the dequantization) loses almost nothing — recall@5 within
+    one hit of the float search on clustered data, scores match the
+    quantized vectors' true cosines."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_sentinel_imagery_spark.operators.hnsw import (
+        hnsw_build,
+        hnsw_topk,
+    )
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    rng = np.random.default_rng(71)
+    centers = rng.normal(size=(4, 24))
+    vecs = np.stack(
+        [centers[i % 4] + 0.25 * rng.normal(size=24) for i in range(150)]
+    )
+    emb = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(150)],
+        "vec_id bigint, embedding array<double>",
+    )
+    graph = hnsw_build(emb, n_shards=2)
+    q8, _scale = quantize_embeddings_int8(emb)
+    q8 = q8.withColumnRenamed("q_embedding", "embedding")
+    assert (
+        q8.schema["embedding"].dataType.elementType.simpleString()
+        == "tinyint"
+    )
+
+    queries = list(range(5))
+    float_hits = {
+        (r["query_id"], r["cand_id"])
+        for r in hnsw_topk(emb, graph, queries, k=5, ef_search=48).collect()
+    }
+    int8_rows = hnsw_topk(q8, graph, queries, k=5, ef_search=48).collect()
+    int8_hits = {(r["query_id"], r["cand_id"]) for r in int8_rows}
+    # per query, the quantized search agrees with the float search on
+    # at least 4 of 5 neighbors
+    for q in queries:
+        f = {c for (qq, c) in float_hits if qq == q}
+        i8 = {c for (qq, c) in int8_hits if qq == q}
+        assert len(f & i8) >= 4, (q, f, i8)
+    # scores are the quantized vectors' true cosines
+    qv = np.stack([np.round(vecs[i] * 127 / np.abs(vecs).max()) for i in range(150)])
+    normed = qv / np.linalg.norm(qv, axis=1, keepdims=True)
+    for r in int8_rows[:10]:
+        want = float(normed[r["query_id"]] @ normed[r["cand_id"]])
+        assert abs(r["cos_sim"] - want) < 1e-9
