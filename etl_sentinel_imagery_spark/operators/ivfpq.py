@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_sentinel_imagery_spark.operators.similarity import (
+    _pq_reconstruct,
     _train_subspace_books,
     ivf_assign,
     pq_encode,
@@ -99,13 +100,21 @@ def train_residual_codebooks(
     n_iter: int = 10,
     vec_col: str = "embedding",
     sample_limit: int = 4096,
-) -> np.ndarray:
+    opq: bool = False,
+    n_outer: int = 6,
+):
     """Codebooks over IVF RESIDUALS (x̂ − ĉ_bucket(x)) — the full FAISS
     IVFPQ construction: residuals concentrate around the origin once
     the coarse quantizer has explained the cluster structure, so the
     same m×k code budget spends its resolution on the part of the
     vector the bucket does NOT explain. Trained on the standard
-    bounded deterministic sample."""
+    bounded deterministic sample.
+
+    With ``opq=True`` the Ge-et-al alternation additionally learns an
+    orthogonal rotation OF THE RESIDUAL SPACE (codebooks ↔ Procrustes
+    solve) and the return value becomes ``(rotation, codebooks)`` —
+    the final FAISS IVFPQ refinement; plain mode returns codebooks
+    alone (back-compat)."""
     cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     rows = (
         embeddings.orderBy("vec_id").limit(sample_limit).select(vec_col).collect()
@@ -114,7 +123,18 @@ def train_residual_codebooks(
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     assign = np.argmax(mat @ cent.T, axis=1)
     res = mat - cent[assign]
-    return _train_subspace_books(res, m, k, n_iter)
+    if not opq:
+        return _train_subspace_books(res, m, k, n_iter)
+    d = res.shape[1]
+    rot = np.eye(d)
+    for _ in range(n_outer):
+        y = res @ rot
+        books = _train_subspace_books(y, m, k, n_iter)
+        q = _pq_reconstruct(y, books)
+        u, _sv, vt = np.linalg.svd(res.T @ q)
+        rot = u @ vt
+    books = _train_subspace_books(res @ rot, m, k, n_iter)
+    return rot, books
 
 
 def _encode_residual(
@@ -123,6 +143,7 @@ def _encode_residual(
     codebooks: np.ndarray,
     id_col: str,
     vec_col: str,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """One Arrow pass: normalize → assign bucket → subtract its
     centroid → per-subspace argmin codes. Emits (id, pq_codes, bucket)
@@ -137,6 +158,8 @@ def _encode_residual(
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             buckets = np.argmax(mat @ cent.T, axis=1)
             res = mat - cent[buckets]
+            if rotation is not None:
+                res = res @ rotation
             codes = np.zeros((len(mat), m), dtype="int8")
             for j in range(m):
                 x = res[:, j * sub : (j + 1) * sub]
@@ -169,14 +192,13 @@ def write_ivfpq_index(
 ) -> None:
     """Encode + bucket + persist (codes: array<tinyint>, values
     0..k-1 — pq_encode's layout). ``residual=True`` encodes x̂ − ĉ_b
-    with codebooks from :func:`train_residual_codebooks` (mutually
-    exclusive with ``rotation`` — apply OPQ to residuals is a future
-    upgrade, refused rather than silently mis-encoded)."""
-    if residual and rotation is not None:
-        raise ValueError("residual encoding with OPQ rotation not supported")
+    with codebooks from :func:`train_residual_codebooks`; a
+    ``rotation`` alongside it must come from that trainer's
+    ``opq=True`` mode (it rotates the RESIDUAL space before the
+    subspace split)."""
     if residual:
         enc = _encode_residual(
-            embeddings, centroids, codebooks, id_col, vec_col
+            embeddings, centroids, codebooks, id_col, vec_col, rotation
         )
         enc.write.mode("overwrite").partitionBy("bucket").parquet(path)
     else:
@@ -235,6 +257,8 @@ def ivfpq_topk(
         for i, qid in enumerate(q_ids):
             for b in probes[i]:
                 tgt = qn[i] - cent[int(b)]
+                if rotation is not None:
+                    tgt = tgt @ rotation
                 lut = np.empty((m, kk))
                 for j in range(m):
                     seg = tgt[j * sub : (j + 1) * sub]

@@ -162,8 +162,46 @@ def test_residual_ivfpq_beats_or_matches_plain_on_raw_adc(spark, corpus, tmp_pat
     hits = sum(len(by_q[q] & set(_brute(vecs, q, 5))) for q in range(6))
     assert hits / 30 >= 0.9
 
-    with pytest.raises(ValueError, match="rotation"):
-        write_ivfpq_index(
-            emb, cents, rbooks, str(tmp_path / "x"),
-            rotation=np.eye(DIM), residual=True,
-        )
+
+
+
+def test_opq_residual_reduces_reconstruction_error(spark, corpus, tmp_path):
+    """OPQ-on-residuals: the learned rotation is orthogonal, its
+    reconstruction error on the training residuals is strictly below
+    the unrotated codebooks', and the end-to-end reranked path holds."""
+    from etl_sentinel_imagery_spark.operators.ivfpq import (
+        train_residual_codebooks,
+    )
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        _pq_reconstruct,
+    )
+
+    emb, vecs = corpus
+    cents, _ = kmeans_fit(emb, k=4, n_iter=4, init="first_k")
+    plain_books = train_residual_codebooks(emb, cents, m=8, k=16)
+    rot, opq_books = train_residual_codebooks(
+        emb, cents, m=8, k=16, opq=True
+    )
+    assert np.allclose(rot @ rot.T, np.eye(DIM), atol=1e-9)
+
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    mat = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    res = mat - cn[np.argmax(mat @ cn.T, axis=1)]
+    err_plain = ((res - _pq_reconstruct(res, plain_books)) ** 2).sum()
+    y = res @ rot
+    err_opq = ((y - _pq_reconstruct(y, opq_books)) ** 2).sum()
+    assert err_opq < err_plain
+
+    path = str(tmp_path / "opqres")
+    write_ivfpq_index(
+        emb, cents, opq_books, path, rotation=rot, residual=True
+    )
+    queries = emb.filter(F.col("vec_id") < 6)
+    out = ivfpq_topk(
+        spark, path, queries, k=5, n_probe=4, shortlist=40, embeddings=emb
+    ).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["cand_id"])
+    hits = sum(len(by_q[q] & set(_brute(vecs, q, 5))) for q in range(6))
+    assert hits / 30 >= 0.9
