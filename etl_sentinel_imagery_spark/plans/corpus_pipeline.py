@@ -3,13 +3,13 @@
 The composition a data-curation team actually runs, as one declarative
 pipeline over the engine's operators:
 
-    ingest (JSONL/parquet) → quality filter (token counts + repetition
-    signals) → [language gate] → [LM perplexity gate] → [supervised
-    quality-model gate] → PII scrub → exact+near dedup (keep
-    canonicals) → [SemDeDup semantic gate] → benchmark decontamination
-    → train/val/test split → chunk (whitespace or real-BPE budget) →
-    sequence packing (operators.packing) → partitioned parquet +
-    corpus statistics
+    ingest (JSONL/parquet) → [source-mix keep fractions] → quality
+    filter (token counts + repetition signals) → [language gate] →
+    [LM perplexity gate] → [supervised quality-model gate] → PII scrub
+    → exact+near dedup (keep canonicals) → [SemDeDup semantic gate] →
+    benchmark decontamination → train/val/test split → chunk
+    (whitespace or real-BPE budget) → sequence packing
+    (operators.packing) → partitioned parquet + corpus statistics
 
 Every stage is a DataFrame transformation; the only actions are the
 per-stage row counts in the returned report (each a cheap count job —
@@ -79,6 +79,12 @@ class CurationConfig:
     #: from train_logreg — and quality_dim matching its feature space.
     quality_min_score: float | None = None
     quality_dim: int = 1 << 16
+    #: Per-source keep fractions (operators.sampling.stratified_sample
+    #: over the ``source`` column): the corpus-mixing stage web-scale
+    #: recipes start with ("keep 100% of wiki, 15% of crawl"); None
+    #: disables. Sources absent from the dict keep mix_default.
+    source_mix: dict | None = None
+    mix_default: float = 1.0
     #: Chunk the train split by REAL BPE token budget
     #: (operators.bpe.chunk_documents_bpe) instead of whitespace-token
     #: windows; requires bpe_merges > 0 (the tokenizer trained above).
@@ -128,6 +134,31 @@ def curate_corpus(
         return df
 
     stage("ingested", docs)
+    if cfg.source_mix is not None:
+        if "source" not in docs.columns:
+            raise ValueError(
+                "source_mix set but docs has no 'source' column"
+            )
+        from etl_sentinel_imagery_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        docs = stage(
+            "after_source_mix",
+            stratified_sample(
+                docs,
+                "doc_id",
+                "source",
+                cfg.source_mix,
+                default_fraction=cfg.mix_default,
+                seed=cfg.split_seed,
+            ),
+        )
+        if collect_stats:
+            report["mix_by_source"] = {
+                r["source"]: r["count"]
+                for r in docs.groupBy("source").count().collect()
+            }
     quality = stage("after_quality", _quality_filter(docs, cfg))
     if cfg.keep_langs is not None:
         # trigram language gate (operators.langid): keep docs whose

@@ -303,3 +303,45 @@ def test_supervised_quality_gate(spark, tmp_path):
         curate_corpus(
             spark, docs, out, cfg=CurationConfig(quality_min_score=0.5)
         )
+
+
+def test_source_mix_stage(spark, tmp_path):
+    """source_mix: per-source keep fractions apply deterministically
+    before everything else, the report carries per-source counts, and
+    a missing source column raises."""
+    import pytest
+
+    base = _mk_docs(spark)
+    docs = base.withColumn(
+        "source",
+        F.when(F.col("doc_id") <= 4, F.lit("wiki")).otherwise(F.lit("crawl")),
+    )
+    out = str(tmp_path / "mix")
+    report = curate_corpus(
+        spark,
+        docs,
+        out,
+        cfg=CurationConfig(source_mix={"wiki": 1.0, "crawl": 0.0}),
+    )
+    assert report["after_source_mix"] == 4  # every wiki doc, no crawl
+    assert report["mix_by_source"] == {"wiki": 4}
+    ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{out}/documents").collect()
+    }
+    assert ids <= {1, 2, 3, 4}
+
+    with pytest.raises(ValueError, match="source"):
+        curate_corpus(
+            spark, base, out, cfg=CurationConfig(source_mix={"wiki": 1.0})
+        )
+
+    # determinism: same seed, same kept set at a fractional weight
+    r1 = curate_corpus(
+        spark, docs, str(tmp_path / "m1"),
+        cfg=CurationConfig(source_mix={"wiki": 0.5, "crawl": 0.5}),
+    )
+    r2 = curate_corpus(
+        spark, docs, str(tmp_path / "m2"),
+        cfg=CurationConfig(source_mix={"wiki": 0.5, "crawl": 0.5}),
+    )
+    assert r1["after_source_mix"] == r2["after_source_mix"]
