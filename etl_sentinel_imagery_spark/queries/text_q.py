@@ -288,6 +288,11 @@ def _finish_text_profile_sql() -> str:
 
 # --- per-doc dedup profile: exact groups + duplicated-substring spans -----
 SUBSTR_K = 8
+#: the documents fixture has no newlines, so the line-dedup columns run
+#: on a DETERMINISTIC derived multi-line view: the literal ``' the '``
+#: becomes a line break (replace() is bit-identical in both engines)
+LINE_SPLIT_WORD = " the "
+LINE_MIN_CHARS = 20
 
 
 def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,6 +311,28 @@ def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both deployments from ONE gram pass (duplicated_span_table_dual) —
     # two separate tables would tokenize/shuffle/join the corpus twice
     spans = duplicated_span_table_dual(docs, "doc_id", "text", k=SUBSTR_K)
+    # line-resolution dedup (operators.line_dedup — the CCNet pass) on
+    # the derived multi-line view; both deployments from one line pass
+    from etl_sentinel_imagery_spark.operators.line_dedup import (
+        duplicated_line_stats,
+    )
+
+    line_view = docs.select(
+        "doc_id",
+        F.replace(
+            F.col("text"), F.lit(LINE_SPLIT_WORD), F.lit("\n")
+        ).alias("text"),
+    )
+    lstats = duplicated_line_stats(
+        line_view, min_chars=LINE_MIN_CHARS
+    ).select(
+        "doc_id",
+        "n_lines",
+        "n_dup_lines",
+        "k1_n_dup_lines",
+        F.md5("line_clean_text").alias("line_clean_hash"),
+        F.md5("k1_line_clean_text").alias("k1_line_clean_hash"),
+    )
 
     def spans_str(col: str):
         return F.concat_ws(
@@ -316,6 +343,7 @@ def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spans.withColumn("content_hash", F.md5("text"))
         .join(groups, "content_hash")
+        .join(lstats, "doc_id")
         .select(
             "doc_id",
             "content_hash",
@@ -330,6 +358,11 @@ def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "k1_dup_token_count"
             ),
             spans_str("k1_dup_spans").alias("k1_spans_str"),
+            "n_lines",
+            "n_dup_lines",
+            "k1_n_dup_lines",
+            "line_clean_hash",
+            "k1_line_clean_hash",
         )
     )
 
@@ -405,6 +438,46 @@ groups AS (
          MIN(doc_id) AS canonical_id,
          COUNT(*) AS n_copies
   FROM documents GROUP BY 1
+),
+-- line-resolution dedup (operators.line_dedup) over the derived
+-- multi-line view: ' the ' -> newline, min_chars 20, min_count 2
+ldocs AS (
+  SELECT doc_id, replace(text, '{LINE_SPLIT_WORD}', chr(10)) AS t
+  FROM documents
+),
+llines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(t, chr(10)), 1) AS line_no,
+         unnest(string_split(t, chr(10))) AS line
+  FROM ldocs
+),
+lfreq AS (
+  SELECT md5(line) AS lk
+  FROM llines WHERE len(line) >= {LINE_MIN_CHARS}
+  GROUP BY 1 HAVING COUNT(*) >= 2
+),
+lmark AS (
+  SELECT l.doc_id, l.line_no, l.line,
+         f.lk IS NOT NULL AS is_dup,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(l.line) ORDER BY l.doc_id, l.line_no
+         ) AS rn
+  FROM llines l LEFT JOIN lfreq f ON md5(l.line) = f.lk
+),
+lagg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_lines,
+         CAST(SUM(CASE WHEN is_dup AND rn > 1 THEN 1 ELSE 0 END)
+           AS BIGINT) AS k1_n_dup_lines,
+         md5(COALESCE(STRING_AGG(
+           CASE WHEN NOT is_dup THEN line END,
+           chr(10) ORDER BY line_no), '')) AS line_clean_hash,
+         md5(COALESCE(STRING_AGG(
+           CASE WHEN NOT is_dup OR rn = 1 THEN line END,
+           chr(10) ORDER BY line_no), '')) AS k1_line_clean_hash
+  FROM lmark GROUP BY doc_id
 )
 SELECT t.doc_id,
        md5(t.text) AS content_hash,
@@ -427,12 +500,18 @@ SELECT t.doc_id,
        ), '') AS clean_text,
        CAST(COALESCE(s1.n_dup_spans, 0) AS BIGINT) AS k1_n_dup_spans,
        CAST(COALESCE(s1.dup_token_count, 0) AS BIGINT) AS k1_dup_token_count,
-       COALESCE(s1.dup_spans_str, '') AS k1_spans_str
+       COALESCE(s1.dup_spans_str, '') AS k1_spans_str,
+       la.n_lines,
+       la.n_dup_lines,
+       la.k1_n_dup_lines,
+       la.line_clean_hash,
+       la.k1_line_clean_hash
 FROM toks t
 JOIN groups g ON md5(t.text) = g.content_hash
 LEFT JOIN span_agg s USING (doc_id)
 LEFT JOIN cov_lists c USING (doc_id)
 LEFT JOIN span_agg1 s1 USING (doc_id)
+JOIN lagg la USING (doc_id)
 """
 
 
