@@ -91,6 +91,93 @@ class CurationConfig:
     #: Chunk/packing token counts then measure actual context-window
     #: occupancy.
     chunk_by_bpe: bool = False
+    #: Corpus-wide duplicated-line removal (operators.line_dedup — the
+    #: CCNet boilerplate pass) BEFORE quality filtering, so repeated
+    #: navigation/banner lines don't distort the quality signals; the
+    #: value is the min corpus-wide occurrence count that makes a line
+    #: boilerplate. None disables.
+    line_dedup_min_count: int | None = None
+    line_min_chars: int = 20
+    line_keep_first: bool = False
+    #: Sketch-based corpus monitoring (operators.sketches): for each
+    #: named column build a MERGEABLE monitor row (HLL registers +
+    #: top-k heavy hitters + Count-Min grid) at ingest and at final.
+    #: Rows append to ``out_dir/monitor`` so successive runs merge into
+    #: longitudinal rollups (hll_merge_agg / cm_merge_agg at read
+    #: time); the report carries the sketch-sized summaries. None
+    #: disables.
+    monitor_cols: list | None = None
+    monitor_topk: int = 8
+    monitor_cm_w: int = 256
+
+
+def _monitor_sketches(
+    df: DataFrame, stage_name: str, cfg: CurationConfig
+) -> DataFrame:
+    """One mergeable sketch row per monitored column: (stage, col, hll,
+    items, off, cm). Each family is its rollup-table shape — element-
+    wise max / truncated-sum / element-wise add merges — so rows from
+    successive pipeline runs fold into any time slice without touching
+    raw data. Cost: three combinable aggregations per column, each with
+    sketch-sized (not corpus-sized) shuffle output."""
+    from etl_sentinel_imagery_spark.operators.sketches import (
+        cm_sketch,
+        hll_sketch,
+    )
+
+    k = cfg.monitor_topk
+    out = None
+    for c in cfg.monitor_cols:
+        keyed = df.select(F.col(c).cast("string").alias("val"))
+        # global top-k: combinable count + orderBy().limit() — Spark
+        # plans TakeOrderedAndProject, so this stays distributed at ANY
+        # column cardinality (topk_sketch's grouped window would funnel
+        # every distinct value through one task in the global case)
+        def _by_count_desc(l, r):
+            return (
+                F.when(l["_cnt"] > r["_cnt"], -1)
+                .when(l["_cnt"] < r["_cnt"], 1)
+                .when(l["val"] < r["val"], -1)
+                .when(l["val"] > r["val"], 1)
+                .otherwise(0)
+            )
+
+        ranked = F.array_sort(
+            F.collect_list(F.struct("_cnt", "val")), _by_count_desc
+        )
+        top = (
+            keyed.groupBy("val")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .orderBy(F.desc("_cnt"), F.asc("val"))
+            .limit(k + 1)
+            .agg(
+                F.map_from_entries(
+                    F.transform(
+                        F.slice(ranked, 1, k),
+                        lambda s: F.struct(s["val"], s["_cnt"]),
+                    )
+                ).alias("items"),
+                F.coalesce(
+                    F.try_element_at(ranked, F.lit(k + 1))["_cnt"],
+                    F.lit(0).cast("long"),
+                ).alias("off"),
+            )
+        )
+        row = (
+            hll_sketch(keyed, [], "val")
+            .crossJoin(top)
+            .crossJoin(cm_sketch(keyed, [], "val", w=cfg.monitor_cm_w))
+            .select(
+                F.lit(stage_name).alias("stage"),
+                F.lit(c).alias("col"),
+                "hll",
+                "items",
+                "off",
+                "cm",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 def _quality_filter(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
@@ -134,6 +221,7 @@ def curate_corpus(
         return df
 
     stage("ingested", docs)
+    ingested = docs
     if cfg.source_mix is not None:
         if "source" not in docs.columns:
             raise ValueError(
@@ -159,6 +247,20 @@ def curate_corpus(
                 r["source"]: r["count"]
                 for r in docs.groupBy("source").count().collect()
             }
+    if cfg.line_dedup_min_count is not None:
+        from etl_sentinel_imagery_spark.operators.line_dedup import (
+            remove_duplicated_lines,
+        )
+
+        docs = stage(
+            "after_line_dedup",
+            remove_duplicated_lines(
+                docs,
+                min_count=cfg.line_dedup_min_count,
+                min_chars=cfg.line_min_chars,
+                keep_first=cfg.line_keep_first,
+            ).drop("n_dup_lines_removed"),
+        )
     quality = stage("after_quality", _quality_filter(docs, cfg))
     if cfg.keep_langs is not None:
         # trigram language gate (operators.langid): keep docs whose
@@ -279,6 +381,36 @@ def curate_corpus(
             "doc_id", F.col("n_bpe_tokens").alias("n_bpe_real")
         )
         final = final.join(counts, "doc_id")
+    if cfg.monitor_cols:
+        from etl_sentinel_imagery_spark.operators.sketches import (
+            hll_estimate,
+        )
+
+        monitor = _monitor_sketches(ingested, "ingested", cfg).unionByName(
+            _monitor_sketches(final, "final", cfg)
+        )
+        # append-mode: successive runs pile up mergeable rows; readers
+        # merge any stage/time slice with hll_merge_agg / cm_merge_agg
+        monitor.write.mode("append").parquet(f"{out_dir}/monitor")
+        if collect_stats:
+            summary = (
+                monitor.select(
+                    "stage",
+                    "col",
+                    hll_estimate("hll").alias("distinct_est"),
+                    "items",
+                    "off",
+                )
+                .collect()
+            )
+            report["monitor"] = {
+                (r["stage"], r["col"]): {
+                    "distinct_est": r["distinct_est"],
+                    "top": dict(r["items"]),
+                    "off": r["off"],
+                }
+                for r in summary
+            }
     final.write.mode("overwrite").partitionBy("split").parquet(
         f"{out_dir}/documents"
     )

@@ -345,3 +345,80 @@ def test_source_mix_stage(spark, tmp_path):
         cfg=CurationConfig(source_mix={"wiki": 0.5, "crawl": 0.5}),
     )
     assert r1["after_source_mix"] == r2["after_source_mix"]
+
+
+def test_line_dedup_stage_strips_boilerplate(spark, tmp_path):
+    """The CCNet line pass removes the repeated banner line before
+    quality filtering, so the surviving docs carry only their unique
+    prose (and a doc that was ONLY boilerplate then falls at quality)."""
+    banner = "subscribe to our newsletter today for exclusive updates"
+    rows = [
+        (1, "en", f"{banner}\n{GOOD}"),
+        (2, "en", f"{banner}\ncompletely distinct body about alpine "
+                  "meadows and the seasonal behaviour of marmots"),
+        (3, "en", banner),  # nothing but boilerplate → dies at quality
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = str(tmp_path / "curated_lines")
+    report = curate_corpus(
+        spark,
+        docs,
+        out,
+        cfg=CurationConfig(line_dedup_min_count=2),
+    )
+    assert report["after_line_dedup"] == 3  # rows survive, text shrinks
+    assert report["after_quality"] == 2  # doc 3 now empty → dropped
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{out}/documents").collect()
+    }
+    assert banner not in texts[1] and texts[1].startswith("the quick")
+    assert banner not in texts[2]
+
+
+def test_monitor_sketches_report_and_mergeability(spark, tmp_path):
+    """monitor_cols: the report carries distinct estimates + heavy
+    hitters per stage, the persisted rows are mergeable across runs
+    (element-wise HLL max / CM add reproduce the two-run union)."""
+    from etl_sentinel_imagery_spark.operators.sketches import (
+        cm_estimate,
+        cm_merge_agg,
+        hll_estimate,
+        hll_merge_agg,
+    )
+
+    docs = _mk_docs(spark).withColumn(
+        "source",
+        F.when(F.col("doc_id") <= 6, "crawl").otherwise("wiki"),
+    )
+    out = str(tmp_path / "curated_mon")
+    cfg = CurationConfig(monitor_cols=["source"], monitor_cm_w=64)
+    report = curate_corpus(spark, docs, out, cfg=cfg)
+
+    mon = report["monitor"]
+    ing = mon[("ingested", "source")]
+    fin = mon[("final", "source")]
+    # 2 distinct sources, exactly — HLL is exact at this cardinality
+    assert round(ing["distinct_est"]) == 2
+    assert ing["top"]["crawl"] == 6 and ing["top"]["wiki"] == 2
+    assert ing["off"] == 0
+    assert fin["top"].get("crawl", 0) < 6  # curation removed crawl docs
+
+    # second run appends; read-time merge must equal the union
+    curate_corpus(spark, docs, out, cfg=cfg, collect_stats=False)
+    rows = spark.read.parquet(f"{out}/monitor").filter(
+        "stage = 'ingested'"
+    )
+    assert rows.count() == 2
+    merged = rows.groupBy("col").agg(
+        hll_merge_agg("hll").alias("hll"),
+        cm_merge_agg("cm", w=cfg.monitor_cm_w).alias("cm"),
+    )
+    got = merged.select(
+        hll_estimate("hll").alias("d"),
+        cm_estimate(
+            F.col("cm"), F.lit("crawl"), w=cfg.monitor_cm_w
+        ).alias("crawl_est"),
+    ).collect()[0]
+    assert round(got["d"]) == 2  # distinct merges by max, not add
+    assert got["crawl_est"] >= 12  # counts merge additively (6 + 6)
