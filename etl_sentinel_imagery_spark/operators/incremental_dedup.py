@@ -1,0 +1,251 @@
+"""Incremental near-dup dedup of new batches against a PERSISTED index.
+
+The daily-ingest deployment of MinHash-LSH: a 100 TB corpus is deduped
+once (``operators.dedup``), its band table and signatures persist, and
+every subsequent batch — hours of crawl, not the whole corpus — dedups
+against that index WITHOUT recomputing a single signature of the
+existing corpus. The streaming sibling (``streaming.dedup_stream``)
+keeps LSH state in a stateful operator; this module is the batch twin
+whose state is a plain parquet layout, so any engine (and the
+transaction log) can own it.
+
+Index layout under ``index_dir``::
+
+    bands/   (doc, band_idx, band_key)   partitioned by band_idx
+    sigs/    (doc, sig array<long>)
+    meta.json  {n_perm, band_size}
+
+Probe shape at 100 TB: the new batch's band keys are BROADCAST into a
+semi-join that filters the index scan down to matching buckets only —
+the index is never shuffled, never self-joined, and bucket sizes are
+counted on that filtered subset (bounded by the batch's collision
+fan-out, not the corpus). Candidate verification uses SIGNATURE
+AGREEMENT (matching minhash positions / n_perm — the unbiased Jaccard
+estimator), so the existing corpus's TEXT is never re-read; the
+whole probe touches index bytes proportional to the batch, not the
+corpus. Appends are plain parquet appends of the surviving batch's
+rows — ``build == build + append`` bit-for-bit (tested).
+
+Within-batch duplicates are resolved first by ``dedup_clusters`` (the
+batch is batch-sized — the full machinery is affordable); only batch
+canonicals probe the index.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.operators.dedup import (
+    BAND_SIZE,
+    MAX_BUCKET,
+    N_PERM,
+    dedup_clusters,
+    minhash_signature,
+)
+
+
+def _sig_table(
+    docs: DataFrame, id_col: str, text_col: str, n_perm: int
+) -> DataFrame:
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    # same two-exchange shape as minhash_lsh_pairs: spread the CPU-bound
+    # hashing, then a materialization barrier so banding doesn't inline
+    # the signature expression once per band
+    return (
+        docs.repartition(par)
+        .select(
+            F.col(id_col).alias("doc"),
+            minhash_signature(text_col, n_perm).alias("sig"),
+        )
+        .repartition(par, "doc")
+    )
+
+
+def _band_table(sigs: DataFrame, n_perm: int, band_size: int) -> DataFrame:
+    n_bands = n_perm // band_size
+    return sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.element_at("sig", b * band_size + i + 1)
+                                for i in range(band_size)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc", "band.band_idx", "band.band_key")
+
+
+def build_signature_index(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = N_PERM,
+    band_size: int = BAND_SIZE,
+) -> None:
+    """Persist the corpus's LSH index (one signature pass, no joins)."""
+    sigs = _sig_table(docs, id_col, text_col, n_perm)
+    sigs.write.mode("overwrite").parquet(f"{index_dir}/sigs")
+    spark = docs.sparkSession
+    written = spark.read.parquet(f"{index_dir}/sigs")
+    _band_table(written, n_perm, band_size).write.mode(
+        "overwrite"
+    ).partitionBy("band_idx").parquet(f"{index_dir}/bands")
+    with open(os.path.join(index_dir, "meta.json"), "w") as fh:
+        json.dump({"n_perm": n_perm, "band_size": band_size}, fh)
+
+
+def _load_meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        return json.load(fh)
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket: int | None = MAX_BUCKET,
+    append: bool = True,
+) -> DataFrame:
+    """Classify a new batch against the persisted index.
+
+    Returns ``(id_col, status, dup_of)`` for every new doc:
+
+    - ``'exists'`` — signature agreement ≥ ``threshold`` with an
+      indexed doc (``dup_of`` = smallest matching existing id);
+    - ``'batch_dup'`` — a within-batch non-canonical (``dup_of`` = the
+      batch canonical's id);
+    - ``'new'`` — survives (and, with ``append=True``, its signature
+      and band rows are appended to the index before returning).
+
+    The returned DataFrame is computed EAGERLY (localCheckpoint) so the
+    append can't race the classification that decided it.
+    """
+    spark: SparkSession = new_docs.sparkSession
+    meta = _load_meta(index_dir)
+    n_perm, band_size = meta["n_perm"], meta["band_size"]
+
+    # 1. within-batch dedup — batch-sized, full machinery
+    clusters = dedup_clusters(
+        new_docs, id_col, text_col, threshold=threshold
+    ).select(
+        F.col("id").alias("doc"),
+        "is_canonical",
+        F.col("canonical_id").alias("batch_canonical"),
+    )
+    sigs = _sig_table(new_docs, id_col, text_col, n_perm)
+    bands = _band_table(sigs, n_perm, band_size)
+    canon_bands = bands.join(
+        clusters.filter("is_canonical").select("doc"), "doc", "left_semi"
+    )
+
+    # 2. probe: broadcast the batch's band keys into a semi-join so the
+    # index scan keeps only matching buckets — the index is never
+    # shuffled wholesale and bucket counting runs on the filtered
+    # subset (the mega-bucket guard still applies: a boilerplate bucket
+    # bigger than max_bucket is the exact-dedup tier's job)
+    index_bands = spark.read.parquet(f"{index_dir}/bands")
+    probe_keys = canon_bands.select("band_idx", "band_key").distinct()
+    hit = index_bands.join(
+        F.broadcast(probe_keys), ["band_idx", "band_key"], "left_semi"
+    )
+    if max_bucket is not None:
+        sizes = hit.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("bucket_n")
+        )
+        hit = hit.join(
+            F.broadcast(sizes.filter(F.col("bucket_n") <= max_bucket)),
+            ["band_idx", "band_key"],
+            "left_semi",
+        )
+    cand = (
+        canon_bands.join(
+            hit.select(
+                "band_idx", "band_key", F.col("doc").alias("old_doc")
+            ),
+            ["band_idx", "band_key"],
+        )
+        .select(F.col("doc").alias("new_doc"), "old_doc")
+        .distinct()
+    )
+
+    # 3. verify by signature agreement — old TEXT is never read
+    old_sigs = (
+        spark.read.parquet(f"{index_dir}/sigs")
+        .join(
+            F.broadcast(
+                cand.select(F.col("old_doc").alias("doc")).distinct()
+            ),
+            "doc",
+            "left_semi",
+        )
+        .select(F.col("doc").alias("old_doc"), F.col("sig").alias("old_sig"))
+    )
+    matches = (
+        cand.join(
+            sigs.select(F.col("doc").alias("new_doc"), "sig"), "new_doc"
+        )
+        .join(old_sigs, "old_doc")
+        .withColumn(
+            "agreement",
+            F.aggregate(
+                F.zip_with(
+                    F.col("sig"),
+                    F.col("old_sig"),
+                    lambda a, b: (a == b).cast("int"),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.lit(float(n_perm)),
+        )
+        .filter(F.col("agreement") >= threshold)
+        .groupBy("new_doc")
+        .agg(F.min("old_doc").alias("dup_of_existing"))
+    )
+
+    status = (
+        clusters.join(
+            matches.withColumnRenamed("new_doc", "doc"), "doc", "left"
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            F.when(~F.col("is_canonical"), F.lit("batch_dup"))
+            .when(
+                F.col("dup_of_existing").isNotNull(), F.lit("exists")
+            )
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.when(~F.col("is_canonical"), F.col("batch_canonical"))
+            .otherwise(F.col("dup_of_existing"))
+            .alias("dup_of"),
+        )
+        .localCheckpoint()
+    )
+
+    if append:
+        survivors = status.filter("status = 'new'").select(
+            F.col(id_col).alias("doc")
+        )
+        new_sigs = sigs.join(survivors, "doc", "left_semi")
+        new_sigs.write.mode("append").parquet(f"{index_dir}/sigs")
+        _band_table(new_sigs, n_perm, band_size).write.mode(
+            "append"
+        ).partitionBy("band_idx").parquet(f"{index_dir}/bands")
+    return status

@@ -1,0 +1,115 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.operators.incremental_dedup import (
+    build_signature_index,
+    incremental_dedup,
+)
+
+BASE = (
+    "the quick brown fox jumps over a lazy dog while the calm river "
+    "flows past ancient stone bridges toward distant mountain valleys "
+    "under a pale morning sky full of wheeling swallows and soft light"
+)
+OTHER = (
+    "completely different prose describing glacier fed lakes and the "
+    "migration patterns of arctic terns across polar archipelagos in "
+    "late summer when the midnight sun refuses to set over the water"
+)
+THIRD = (
+    "an unrelated technical report on the thermal properties of "
+    "sintered ceramics measured across repeated kiln firings with "
+    "varying feldspar ratios and controlled cooling gradient schedules"
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, OTHER)], ["doc_id", "text"]
+    )
+
+
+def test_incremental_classification_and_append(spark, corpus, tmp_path):
+    idx = str(tmp_path / "lsh_index")
+    build_signature_index(corpus, idx)
+
+    batch = spark.createDataFrame(
+        [
+            (10, BASE),  # exact copy of indexed doc 1 → exists
+            # near-dup of 1 AND of batch-mate 10: the batch cluster
+            # resolves first, so it dies as 10's batch_dup
+            (11, BASE.replace("dog", "cat")),
+            (12, THIRD),  # genuinely new → appended
+            (13, THIRD),  # within-batch copy of 12 → batch_dup
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in incremental_dedup(batch, idx, threshold=0.5).collect()
+    }
+    assert out[10] == ("exists", 1)
+    assert out[11] == ("batch_dup", 10)
+    assert out[12] == ("new", None)
+    assert out[13] == ("batch_dup", 12)
+
+    # only the survivor was appended
+    docs_in_index = {
+        r["doc"] for r in spark.read.parquet(f"{idx}/sigs").collect()
+    }
+    assert docs_in_index == {1, 2, 12}
+
+    # a SECOND batch now dedups against the appended doc too
+    batch2 = spark.createDataFrame(
+        [(20, THIRD), (21, "tiny unique fragment")], ["doc_id", "text"]
+    )
+    out2 = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in incremental_dedup(batch2, idx, threshold=0.5).collect()
+    }
+    assert out2[20] == ("exists", 12)
+    assert out2[21][0] == "new"
+
+
+def test_append_equals_rebuild(spark, corpus, tmp_path):
+    """build(corpus) + incremental(batch) == build(corpus ∪ survivors):
+    identical sigs and bands row sets, bit for bit."""
+    idx_a = str(tmp_path / "a")
+    idx_b = str(tmp_path / "b")
+    build_signature_index(corpus, idx_a)
+    batch = spark.createDataFrame([(12, THIRD)], ["doc_id", "text"])
+    incremental_dedup(batch, idx_a, threshold=0.5)
+
+    build_signature_index(corpus.union(batch), idx_b)
+    for sub in ["sigs", "bands"]:
+        a = sorted(
+            map(tuple, spark.read.parquet(f"{idx_a}/{sub}").collect())
+        )
+        b = sorted(
+            map(tuple, spark.read.parquet(f"{idx_b}/{sub}").collect())
+        )
+        assert a == b, sub
+
+
+def test_mega_bucket_guard_skips_boilerplate(spark, tmp_path):
+    """An index bucket above max_bucket is skipped (the exact-dedup
+    tier's job): the probe classifies the colliding doc as new."""
+    boiler = [(i, BASE) for i in range(1, 8)]
+    build_signature_index(
+        spark.createDataFrame(boiler, ["doc_id", "text"]),
+        str(tmp_path / "idx"),
+    )
+    batch = spark.createDataFrame([(100, BASE)], ["doc_id", "text"])
+    out = incremental_dedup(
+        batch, str(tmp_path / "idx"), threshold=0.5, max_bucket=3
+    ).collect()
+    assert out[0]["status"] == "new"
+    # and with the guard off it is found
+    out2 = incremental_dedup(
+        batch, str(tmp_path / "idx"), threshold=0.5, max_bucket=None,
+        append=False,
+    ).collect()
+    assert out2[0]["status"] == "exists" and out2[0]["dup_of"] == 1
