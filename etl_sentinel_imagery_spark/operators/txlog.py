@@ -468,6 +468,57 @@ def compact(
     )
 
 
+def optimize(
+    spark: SparkSession,
+    table_dir: str,
+    zorder_by: list[str] | None = None,
+    target_files: int = 8,
+    bits: int | None = None,
+) -> int:
+    """Delta-style ``OPTIMIZE [ZORDER BY]``: rewrite the current
+    snapshot into ``target_files`` files clustered along the Z-curve
+    of ``zorder_by`` (plain compaction when ``None``); ONE commit
+    swaps the file list, so readers never see old+new together and
+    time travel to the pre-optimize version stays exact.
+
+    The payoff is the metadata loop closing: ``zorder_layout`` makes
+    every output file cover a NARROW range of every clustered column,
+    ``_move_in_data_files`` re-reads those files' footers into
+    manifest min/max stats, and :func:`snapshot_pruned` then skips
+    files for range queries on ANY clustered dimension without opening
+    a single footer. Layout work is one repartitionByRange(zval) +
+    in-partition sort — the same shuffle a plain compaction of equal
+    fan-out pays. With hive ``partition_cols`` the write splits each
+    curve segment per partition leaf; clustering then applies within
+    partitions (document order), which is where partition-scoped scans
+    look. Concurrent commits race on the claim like every other op —
+    losers raise TxConflict and retry against the new parent."""
+    parent = current_version(table_dir)
+    m = read_manifest(table_dir, parent)
+    stat_cols = m.get("stat_cols") or None
+    partition_cols = m.get("partition_cols") or None
+    old_names = [_entry_name(e) for e in resolve_files(table_dir, parent)]
+    df = snapshot(spark, table_dir, parent)
+    if zorder_by:
+        from etl_sentinel_imagery_spark.operators.layout import (
+            DEFAULT_BITS,
+            zorder_layout,
+        )
+
+        out = zorder_layout(
+            df, zorder_by, target_files, bits or DEFAULT_BITS
+        ).drop("zval")
+    else:
+        out = df.coalesce(target_files)
+    names = _move_in_data_files(
+        spark, table_dir, out, stat_cols, partition_cols
+    )
+    return _commit_delta(
+        table_dir, parent, names, old_names, "optimize", stat_cols,
+        partition_cols,
+    )
+
+
 def vacuum(table_dir: str) -> list[str]:
     """Delete data files referenced by NO manifest (orphans from
     crashed writers). Files referenced by historical manifests are

@@ -456,3 +456,58 @@ def test_concurrent_writers_race_the_claim(tmp_path):
     }
     # the race was real: at least one writer actually lost a claim
     assert sum(conflict_counts) > 0
+
+
+def test_optimize_zorder_closes_the_metadata_loop(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: same rows, fewer files, and range queries
+    on BOTH clustered dims prune from manifest stats alone; time
+    travel to the pre-optimize layout stays exact."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        optimize,
+        snapshot_pruned,
+    )
+
+    t = str(tmp_path / "t_opt")
+    # interleaved x/y ranges across 8 appended files → nothing prunes
+    rows = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 7) % 64).alias("y"),
+    )
+    init_table(spark, t, rows.repartition(8), stat_cols=["x", "y"])
+    before = snapshot(spark, t).orderBy("doc_id").collect()
+    _, pre = snapshot_pruned(spark, t, "x", lo=0, hi=7)
+    assert pre["files_skipped"] == 0  # interleaved: no file skips
+
+    v_pre = current_version(t)
+    v = optimize(spark, t, zorder_by=["x", "y"], target_files=8)
+    assert history(t)[-1]["op"] == "optimize"
+
+    after = snapshot(spark, t).orderBy("doc_id").collect()
+    assert after == before
+    dfx, sx = snapshot_pruned(spark, t, "x", lo=0, hi=7)
+    dfy, sy = snapshot_pruned(spark, t, "y", lo=0, hi=7)
+    assert sx["files_skipped"] >= 4 and sy["files_skipped"] >= 4
+    want_x = sum(1 for r in before if 0 <= r["x"] <= 7)
+    want_y = sum(1 for r in before if 0 <= r["y"] <= 7)
+    assert dfx.count() == want_x and dfy.count() == want_y
+    # time travel: the pre-optimize version still reads its old files
+    assert (
+        snapshot(spark, t, v_pre).orderBy("doc_id").collect() == before
+    )
+    assert v == v_pre + 1
+
+
+def test_optimize_plain_compaction_and_conflict(spark, tmp_path):
+    from etl_sentinel_imagery_spark.operators.txlog import optimize
+
+    t = str(tmp_path / "t_opt2")
+    init_table(spark, t, _seed(spark, 100).repartition(6))
+    n_before = len(
+        [e for e in os.listdir(t) if e.endswith(".parquet")]
+    )
+    optimize(spark, t, target_files=1)
+    files = resolve_files(t)
+    assert len(files) == 1
+    assert snapshot(spark, t).count() == 100
+    assert n_before > 1
