@@ -135,3 +135,129 @@ def pack_sequence_slices(
             (slice_to - slice_from).alias("slice_len"),
         )
     )
+
+
+def pack_ffd(
+    items: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    seq_len: int,
+    num_partitions: int | None = None,
+    allow_oversize: bool = False,
+) -> DataFrame:
+    """NO-SPLIT sequence packing: assign each item (document/chunk) to
+    exactly one bin of capacity ``seq_len`` — the SFT deployment, where
+    examples must not be cut (pack_sequence_slices is the pretraining
+    concat-and-chunk twin that slices freely).
+
+    Distributed best-fit-decreasing: a range-repartition on token count
+    DESC gives each task a contiguous length band, the task packs its
+    band with best-fit-decreasing (bisect on remaining capacities —
+    O(n log n), same 11/9·OPT+1 guarantee class as FFD), and bin ids
+    globalize as ``partition_id << 40 | local_bin``. Cross-partition
+    waste is bounded by one under-full bin per partition — at most
+    ``num_partitions × seq_len`` tokens, noise at corpus scale. One
+    shuffle total; the packer is an Arrow-batched mapInPandas that
+    carries bins across batches WITHIN its partition only.
+
+    Items longer than ``seq_len`` raise (default) or land in singleton
+    ``oversize=True`` bins with ``allow_oversize=True``. Output: one
+    row per item — (id, n_tokens, bin_id, oversize).
+
+    Returns bin assignments; ``packing_stats`` summarizes utilization.
+    """
+    import bisect
+
+    import pandas as pd
+    from pyspark import TaskContext
+
+    n = num_partitions or items.sparkSession.sparkContext.defaultParallelism
+    src = items.select(
+        F.col(id_col).alias("_id"),
+        F.col(n_tokens_col).cast("long").alias("_len"),
+    )
+    if not allow_oversize:
+        # fail loudly BEFORE the shuffle: a silent truncation or a
+        # mid-job error after partial work are both worse
+        over = src.filter(F.col("_len") > seq_len).limit(1).collect()
+        if over:
+            raise ValueError(
+                f"item {over[0]['_id']} has {over[0]['_len']} tokens "
+                f"> seq_len={seq_len}; split it first or pass "
+                f"allow_oversize=True"
+            )
+    # length-desc band per partition; id tiebreak keeps the order (and
+    # therefore the packing) deterministic across runs
+    parted = src.repartitionByRange(
+        n, F.desc("_len"), F.asc("_id")
+    ).sortWithinPartitions(F.desc("_len"), F.asc("_id"))
+
+    def _pack(batches):
+        pid = TaskContext.get().partitionId()
+        bins: list[int] = []  # remaining capacity, kept ASC for bisect
+        bin_of: list[int] = []  # parallel: local bin id at that slot
+        next_bin = 0
+        for pdf in batches:
+            out_bin, out_over = [], []
+            for length in pdf["_len"]:
+                ln = int(length)
+                if ln > seq_len:
+                    out_bin.append((pid << 40) | next_bin)
+                    out_over.append(True)
+                    next_bin += 1
+                    continue
+                # best fit: smallest remaining capacity that still fits
+                i = bisect.bisect_left(bins, ln)
+                if i < len(bins):
+                    rem = bins.pop(i)
+                    local = bin_of.pop(i)
+                else:
+                    rem, local = seq_len, next_bin
+                    next_bin += 1
+                rem -= ln
+                j = bisect.bisect_left(bins, rem)
+                bins.insert(j, rem)
+                bin_of.insert(j, local)
+                out_bin.append((pid << 40) | local)
+                out_over.append(False)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"],
+                    "_len": pdf["_len"],
+                    "bin_id": out_bin,
+                    "oversize": out_over,
+                }
+            )
+
+    packed = parted.mapInPandas(
+        _pack, "_id long, _len long, bin_id long, oversize boolean"
+    )
+    return packed.select(
+        F.col("_id").alias(id_col),
+        F.col("_len").alias("n_tokens"),
+        "bin_id",
+        "oversize",
+    )
+
+
+def packing_stats(
+    packed: DataFrame, seq_len: int
+) -> dict:
+    """(n_items, n_bins, total_tokens, utilization) for a pack_ffd
+    result — one combinable aggregation."""
+    row = packed.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("oversize").cast("long")).alias("n_oversize"),
+    ).collect()[0]
+    n_bins = row["n_bins"]
+    return {
+        "n_items": row["n_items"],
+        "n_bins": n_bins,
+        "total_tokens": row["total_tokens"],
+        "n_oversize": row["n_oversize"],
+        "utilization": (
+            row["total_tokens"] / (n_bins * seq_len) if n_bins else 0.0
+        ),
+    }

@@ -87,3 +87,85 @@ def test_pack_slices_tile_exactly(spark):
             pos += r["slice_len"]
         if seq != last_seq:
             assert pos == SEQ_LEN  # every interior sequence is full
+
+
+def test_pack_ffd_constraints_and_quality(spark):
+    """No bin overflows, every item lands exactly once, and the packing
+    is within the FFD guarantee band of the lower bound."""
+    from etl_sentinel_imagery_spark.operators.packing import (
+        pack_ffd,
+        packing_stats,
+    )
+
+    lengths = ([900] * 10) + ([600] * 10) + ([300] * 10) + ([100] * 30)
+    items = spark.createDataFrame(
+        [(i, l) for i, l in enumerate(lengths)], ["doc_id", "n_tokens"]
+    )
+    out = pack_ffd(items, "doc_id", "n_tokens", seq_len=1000).collect()
+    assert len(out) == len(lengths)
+    assert {r["doc_id"] for r in out} == set(range(len(lengths)))
+    fills = {}
+    for r in out:
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tokens"]
+        assert not r["oversize"]
+    assert max(fills.values()) <= 1000
+    total = sum(lengths)
+    lower = -(-total // 1000)  # ceil: information-theoretic bound
+    # 11/9·OPT+1 plus one under-full bin per partition of slack
+    n_part = spark.sparkContext.defaultParallelism
+    assert len(fills) <= (11 * lower) // 9 + 1 + n_part
+
+    st = packing_stats(
+        pack_ffd(items, "doc_id", "n_tokens", seq_len=1000), 1000
+    )
+    assert st["n_items"] == len(lengths)
+    assert st["n_bins"] == len(fills)
+    assert st["total_tokens"] == total
+    assert st["utilization"] > 0.5
+
+
+def test_pack_ffd_deterministic_and_oversize(spark):
+    import pytest as _pytest
+
+    from etl_sentinel_imagery_spark.operators.packing import pack_ffd
+
+    items = spark.createDataFrame(
+        [(1, 700), (2, 700), (3, 300), (4, 1500)],
+        ["doc_id", "n_tokens"],
+    )
+    with _pytest.raises(ValueError, match="1500"):
+        pack_ffd(items, "doc_id", "n_tokens", seq_len=1000)
+
+    out = {
+        r["doc_id"]: r
+        for r in pack_ffd(
+            items, "doc_id", "n_tokens", seq_len=1000,
+            num_partitions=1, allow_oversize=True
+        ).collect()
+    }
+    assert out[4]["oversize"]
+    # the oversize bin holds ONLY the oversize item
+    assert [r["doc_id"] for r in out.values() if r["bin_id"] == out[4]["bin_id"]] == [4]
+    # two 700s cannot share; the 300 joins one of them
+    assert out[1]["bin_id"] != out[2]["bin_id"]
+    assert out[3]["bin_id"] in (out[1]["bin_id"], out[2]["bin_id"])
+
+    a = sorted(
+        map(
+            tuple,
+            pack_ffd(
+                items, "doc_id", "n_tokens", 1000,
+                num_partitions=1, allow_oversize=True
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            pack_ffd(
+                items, "doc_id", "n_tokens", 1000,
+                num_partitions=1, allow_oversize=True
+            ).collect(),
+        )
+    )
+    assert a == b
