@@ -16,6 +16,17 @@ fusion is a union + one map-side-combinable groupBy on
 (query, candidate) + a per-query window over ≤ Σk_i candidate rows
 (bounded by construction, the engine's documented bounded-window
 pattern). Nothing corpus-sized moves.
+
+Batched deployment: feed :func:`rrf_fuse` directly from the
+multi-query retrievers — ``operators.textrank.bm25_topk_multi`` (one
+corpus scan for a whole query table, ``rnk`` included) and
+``plans.serving.topk`` (IVF/HNSW/IVF-PQ tiers, ``rnk`` included)::
+
+    lex = bm25_topk_multi(docs, q_terms).select(
+        "query_id", F.col("doc").alias("cand_id"), "rnk")
+    sem = topk(spark, q_vecs, index_dir, k=40).select(
+        "query_id", "cand_id", "rnk")
+    fused = rrf_fuse({"bm25": lex, "ann": sem}, top_k=10)
 """
 
 from __future__ import annotations

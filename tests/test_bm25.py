@@ -90,3 +90,53 @@ def test_real_documents_table(spark):
     ]
     for r, (d, (s, h)) in zip(got, want_top):
         assert abs(r["score"] - s) < 1e-9
+
+
+def test_bm25_multi_matches_single_query_loop(spark):
+    """bm25_topk_multi must reproduce bm25_topk per query (same docs,
+    same k) — identical doc sets, scores to 1e-9, identical rank
+    order — while scanning the corpus once."""
+    from etl_sentinel_imagery_spark.operators.textrank import (
+        bm25_topk,
+        bm25_topk_multi,
+    )
+    from etl_sentinel_imagery_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    qsets = {
+        0: ["table", "row"],
+        1: ["spark", "fast", "merge"],
+        2: ["zzz_absent_token"],
+    }
+    queries = spark.createDataFrame(
+        [(qid, terms) for qid, terms in qsets.items()],
+        "query_id long, terms array<string>",
+    )
+    multi = bm25_topk_multi(docs, queries, top_k=7)
+    got = {}
+    for r in multi.collect():
+        got.setdefault(r["query_id"], []).append(r)
+    for qid, terms in qsets.items():
+        want = bm25_topk(docs, terms, top_k=7).collect()
+        have = sorted(got.get(qid, []), key=lambda r: r["rnk"])
+        assert [r["doc"] for r in have] == [r["doc"] for r in want], qid
+        for h, w in zip(have, want):
+            assert abs(h["score"] - w["score"]) < 1e-9
+            assert h["n_hits"] == w["n_hits"]
+    assert got.get(2, []) == []  # absent term: no rows, no crash
+
+
+def test_bm25_multi_tie_determinism(spark):
+    from etl_sentinel_imagery_spark.operators.textrank import (
+        bm25_topk_multi,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(10)], ["doc_id", "text"]
+    )
+    queries = spark.createDataFrame(
+        [(0, ["alpha"])], "query_id long, terms array<string>"
+    )
+    out = bm25_topk_multi(docs, queries, top_k=4).collect()
+    # identical docs → identical scores → doc-asc tiebreak
+    assert [r["doc"] for r in sorted(out, key=lambda r: r["rnk"])] == [0, 1, 2, 3]
