@@ -140,3 +140,91 @@ def profile_table(
             tops.get(c),
         ))
     return df.sparkSession.createDataFrame(out, PROFILE_SCHEMA)
+
+
+DRIFT_SCHEMA = T.StructType([
+    T.StructField("column", T.StringType()),
+    T.StructField("status", T.StringType()),  # ok|added|removed|drift
+    T.StructField("null_frac_delta", T.DoubleType()),
+    T.StructField("distinct_ratio", T.DoubleType()),
+    T.StructField("mean_shift_sigmas", T.DoubleType()),
+    T.StructField("p50_shift_sigmas", T.DoubleType()),
+    T.StructField("range_widened", T.BooleanType()),
+    T.StructField("dtype_changed", T.BooleanType()),
+])
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    null_frac_tol: float = 0.05,
+    distinct_ratio_tol: float = 2.0,
+    mean_sigma_tol: float = 3.0,
+) -> DataFrame:
+    """Compare two :func:`profile_table` snapshots → one drift row per
+    column — the scheduled-ingest monitoring complement (run the
+    profiler per batch, diff against yesterday, alert on ``status !=
+    'ok'``).
+
+    Shift metrics are scale-free: mean/p50 movement in units of the
+    OLD stddev, distinct cardinality as a ratio, null fraction as an
+    absolute delta. Thresholds mark ``drift``; schema changes surface
+    as ``added``/``removed``/``dtype_changed``. Both inputs are
+    already column-count-sized — everything here is control-plane."""
+    o = {r["column"]: r for r in old.collect()}
+    nw = {r["column"]: r for r in new.collect()}
+    rows = []
+    for c in sorted(set(o) | set(nw)):
+        if c not in nw:
+            rows.append((c, "removed", None, None, None, None, None, None))
+            continue
+        if c not in o:
+            rows.append((c, "added", None, None, None, None, None, None))
+            continue
+        a, b = o[c], nw[c]
+        nf_delta = b["null_frac"] - a["null_frac"]
+        dr = (
+            b["n_distinct_est"] / a["n_distinct_est"]
+            if a["n_distinct_est"]
+            else None
+        )
+        sigma = a["stddev"] if a["stddev"] else None
+        mean_shift = (
+            abs(b["mean"] - a["mean"]) / sigma
+            if sigma and a["mean"] is not None and b["mean"] is not None
+            else None
+        )
+        p50_shift = (
+            abs(b["p50"] - a["p50"]) / sigma
+            if sigma and a["p50"] is not None and b["p50"] is not None
+            else None
+        )
+        widened = None
+        if a["min"] is not None and b["min"] is not None:
+            try:  # numeric ranges compare numerically, others lexically
+                widened = float(b["min"]) < float(a["min"]) or float(
+                    b["max"]
+                ) > float(a["max"])
+            except ValueError:
+                widened = b["min"] < a["min"] or b["max"] > a["max"]
+        dtype_changed = a["dtype"] != b["dtype"]
+        drift = (
+            dtype_changed
+            or abs(nf_delta) > null_frac_tol
+            or (
+                dr is not None
+                and (dr > distinct_ratio_tol or dr < 1 / distinct_ratio_tol)
+            )
+            or (mean_shift is not None and mean_shift > mean_sigma_tol)
+        )
+        rows.append((
+            c,
+            "drift" if drift else "ok",
+            nf_delta,
+            dr,
+            mean_shift,
+            p50_shift,
+            widened,
+            dtype_changed,
+        ))
+    return old.sparkSession.createDataFrame(rows, DRIFT_SCHEMA)

@@ -74,3 +74,55 @@ def test_profile_single_pass_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") == 1  # partial → final, nothing else
+
+
+def test_profile_drift_flags_the_right_columns(spark):
+    from pyspark.sql import functions as F
+
+    from etl_sentinel_imagery_spark.operators.profiler import (
+        profile_drift,
+        profile_table,
+    )
+
+    base = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 100).cast("double").alias("x"),
+        (F.col("id") % 5).cast("string").alias("cat"),
+    )
+    # drifted batch: x shifted by 10 sigmas, cat gains nulls + a column
+    # disappears and another appears
+    drifted = spark.range(0, 1000).select(
+        F.col("id"),
+        ((F.col("id") % 100) + 300).cast("double").alias("x"),
+        F.when(F.col("id") % 2 == 0, (F.col("id") % 5).cast("string"))
+        .alias("cat"),
+        F.lit(1.0).alias("brand_new"),
+    ).drop()
+    po = profile_table(base)
+    pn = profile_table(drifted)
+    out = {r["column"]: r for r in profile_drift(po, pn).collect()}
+
+    assert out["id"]["status"] == "ok"
+    assert out["x"]["status"] == "drift"
+    assert out["x"]["mean_shift_sigmas"] > 3
+    assert out["x"]["range_widened"] is True
+    assert out["cat"]["status"] == "drift"  # null_frac 0 → 0.5
+    assert abs(out["cat"]["null_frac_delta"] - 0.5) < 0.01
+    assert out["brand_new"]["status"] == "added"
+
+    removed = profile_drift(pn, po).collect()
+    assert {r["column"]: r["status"] for r in removed}["brand_new"] == "removed"
+
+
+def test_profile_drift_dtype_change(spark):
+    from pyspark.sql import functions as F
+
+    from etl_sentinel_imagery_spark.operators.profiler import (
+        profile_drift,
+        profile_table,
+    )
+
+    a = spark.range(5).select(F.col("id").alias("v"))
+    b = spark.range(5).select(F.col("id").cast("double").alias("v"))
+    out = profile_drift(profile_table(a), profile_table(b)).collect()[0]
+    assert out["dtype_changed"] and out["status"] == "drift"
