@@ -181,6 +181,12 @@ def incremental_dedup(
             ),
             ["band_idx", "band_key"],
         )
+        # self-matches excluded: a REPLAYED batch (crash between append
+        # and downstream commit) finds its own docs in the index and
+        # must still classify them exactly as the first run did —
+        # replay-idempotence is what lets the streaming runner use this
+        # index as its only state
+        .filter(F.col("doc") != F.col("old_doc"))
         .select(F.col("doc").alias("new_doc"), "old_doc")
         .distinct()
     )
@@ -243,7 +249,14 @@ def incremental_dedup(
         survivors = status.filter("status = 'new'").select(
             F.col(id_col).alias("doc")
         )
-        new_sigs = sigs.join(survivors, "doc", "left_semi")
+        # idempotent append: anti-join against ids already indexed, so
+        # a replayed batch re-appends nothing (the doc-only projection
+        # column-prunes the index scan)
+        new_sigs = sigs.join(survivors, "doc", "left_semi").join(
+            spark.read.parquet(f"{index_dir}/sigs").select("doc"),
+            "doc",
+            "left_anti",
+        )
         new_sigs.write.mode("append").parquet(f"{index_dir}/sigs")
         _band_table(new_sigs, n_perm, band_size).write.mode(
             "append"

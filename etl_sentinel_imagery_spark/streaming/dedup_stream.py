@@ -133,3 +133,75 @@ def lsh_candidate_pairs_stream(
             timeoutConf=timeout,
         )
     )
+
+
+def run_incremental_dedup_stream(
+    stream_docs: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket: int | None = MAX_BUCKET,
+):
+    """Continuous ingest dedup whose ONLY state is the persisted
+    parquet LSH index (operators.incremental_dedup) — the unification
+    of the streaming and batch dedup paths.
+
+    :func:`lsh_candidate_pairs_stream` keeps bucket membership in the
+    state store: fast, but the state dies with the checkpoint and
+    never sees the at-rest corpus. This runner instead processes each
+    micro-batch with the batch classifier against the shared index —
+    arrivals dedup against the original corpus AND every earlier
+    micro-batch, restart recovery is free (the index IS the state, any
+    engine can read it), and the batch/stream paths cannot drift
+    (same code object).
+
+    Exactly-once: `incremental_dedup` is replay-idempotent (self-
+    matches excluded, appends anti-joined against indexed ids), and
+    status rows land in an ``epoch_id=`` partition with dynamic
+    overwrite — a replayed batch rewrites exactly its own partition
+    (the engine's additive-sketch recipe).
+
+    Returns the StreamingQuery; classifications accumulate under
+    ``out_dir`` as (id, status, dup_of, epoch_id).
+    """
+    from etl_sentinel_imagery_spark.operators.incremental_dedup import (
+        incremental_dedup,
+    )
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        status = incremental_dedup(
+            batch_df,
+            index_dir,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            max_bucket=max_bucket,
+            append=True,
+        )
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                status.withColumn("epoch_id", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .partitionBy("epoch_id")
+                .parquet(out_dir)
+            )
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+
+    return (
+        stream_docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
