@@ -559,3 +559,29 @@ def cm_estimate(
             ]
         )
     )
+
+
+def cm_inner_product(a: Column, b: Column) -> Column:
+    """Equi-join SIZE estimate from two Count-Min sketches built over
+    the two sides' join keys (same w, d): min over the d rows of the
+    row dot-product — the CM inner-product estimator (Cormode &
+    Muthukrishnan 2005, §4.2). Always ≥ the true output cardinality
+    |A ⋈ B| = Σ_k fA(k)·fB(k); overshoot bounded by (e/w)·N_A·N_B per
+    row with probability 1 − e^(−d).
+
+    This is the planning primitive: persist a per-partition/day CM
+    sketch of every fact table's join keys (they merge additively),
+    and any candidate join's output size is ONE pure-JVM expression
+    over two counter grids — no scan of either side. Use it to decide
+    broadcast vs sort-merge, to order multi-way joins, or to veto a
+    runaway fan-out before submitting it."""
+    dot = F.zip_with(
+        a,
+        b,
+        lambda ra, rb: F.aggregate(
+            F.zip_with(ra, rb, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return F.array_min(dot)

@@ -204,6 +204,31 @@ def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (max_run_length(toks).cast("double") / n_tokens).alias(
             "top_token_ratio"
         ),
+        # Gopher rule battery (Rae et al. 2021 §A1.1): the composite
+        # keep/drop gate web curation applies, plus the short-token
+        # fraction it thresholds — all integer counts + one IEEE
+        # division each, so the oracle hashes bit-identically
+        (
+            F.size(F.filter(toks, lambda t: F.length(t) <= 2)).cast(
+                "double"
+            )
+            / n_tokens
+        ).alias("frac_short_tokens"),
+        (
+            (n_tokens >= 20)
+            & (n_tokens <= 100000)
+            & ((total_len.cast("double") / n_tokens).between(3.0, 10.0))
+            & (
+                F.when(
+                    n_tokens >= 3,
+                    F.lit(1.0)
+                    - F.size(word_ngrams(F.col("text"), 3)).cast("double")
+                    / (n_tokens - F.lit(2)),
+                ).otherwise(F.lit(0.0))
+                <= 0.3
+            )
+            & (max_run_length(toks).cast("double") / n_tokens <= 0.2)
+        ).alias("gopher_pass"),
     ).join(packing, "doc_id")
 
 
@@ -246,6 +271,18 @@ SELECT doc_id, lang,
        CAST(list_max(list_transform(list_distinct({_TOKS}),
                 t -> len(list_filter({_TOKS}, x -> x = t)))) AS DOUBLE)
            / len({_TOKS}) AS top_token_ratio,
+       CAST(len(list_filter({_TOKS}, t -> length(t) <= 2)) AS DOUBLE)
+           / len({_TOKS}) AS frac_short_tokens,
+       (len({_TOKS}) >= 20 AND len({_TOKS}) <= 100000
+        AND (CAST(list_sum(list_transform({_TOKS}, t -> length(t)))
+                 AS DOUBLE) / len({_TOKS})) BETWEEN 3.0 AND 10.0
+        AND (CASE WHEN len({_TOKS}) >= 3
+                  THEN 1.0 - CAST(len({_ngrams_sql(3)}) AS DOUBLE)
+                             / (len({_TOKS}) - 2)
+                  ELSE 0.0 END) <= 0.3
+        AND (CAST(list_max(list_transform(list_distinct({_TOKS}),
+                 t -> len(list_filter({_TOKS}, x -> x = t)))) AS DOUBLE)
+             / len({_TOKS})) <= 0.2) AS gopher_pass,
        CAST(COALESCE(SUM(len({_TOKS})) OVER (
                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
                 AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset,

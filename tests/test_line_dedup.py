@@ -128,3 +128,16 @@ def test_custom_delimiter(spark):
     }
     assert out[1] == "another sentence entirely here"
     assert out[2] == "different trailing sentence text"
+
+
+def test_line_dedup_plan_shape(spark, docs):
+    """The scale claims, asserted on the physical plan: the frequency
+    aggregation partial-aggregates map-side, the mark join is
+    sort-merge (never a broadcast/hash build of the corpus-sized dup
+    table), and line explosion is a Generate."""
+    plan = duplicated_line_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "partial_count" in plan
+    assert "Generate" in plan

@@ -379,3 +379,39 @@ def test_cm_per_group_sketches(spark):
         ).collect()
     }
     assert rows["a"]["x"] == 2 and rows["b"]["x"] == 1
+
+
+def test_cm_inner_product_estimates_join_size(spark):
+    """The CM inner product upper-bounds the true equi-join output
+    cardinality and lands within the (e/w)·Na·Nb slack."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_sentinel_imagery_spark.operators.sketches import (
+        cm_inner_product,
+        cm_sketch,
+    )
+
+    w = 1024
+    # skewed key distributions: key k appears ~1000/k times in A,
+    # uniform singletons in B plus hot key 1
+    a = spark.range(0, 3000).select(
+        (F.col("id") % 30 + 1).alias("k")
+    )
+    b = spark.range(0, 500).select(
+        F.when(F.col("id") % 5 == 0, 1).otherwise(F.col("id")).alias("k")
+    )
+    true_size = a.join(b, "k").count()
+    sa = cm_sketch(a, [], "k", w=w).select(F.col("cm").alias("cma"))
+    sb = cm_sketch(b, [], "k", w=w).select(F.col("cm").alias("cmb"))
+    est = (
+        sa.crossJoin(sb)
+        .select(
+            cm_inner_product(F.col("cma"), F.col("cmb")).alias("est")
+        )
+        .collect()[0]["est"]
+    )
+    assert est >= true_size  # one-sided: never underestimates
+    slack = math.e / w * a.count() * b.count()
+    assert est <= true_size + slack
