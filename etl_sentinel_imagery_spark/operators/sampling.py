@@ -162,3 +162,37 @@ def sample_exact_n(
         df.orderBy(hash_bucket(key, seed).asc(), key.asc())
         .limit(n)
     )
+
+
+def weighted_sample_exact_n(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """EXACTLY-n weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row draws u ∈ (0,1] from its deterministic
+    md5 bucket and competes with the exponential key −ln(u)/w; the n
+    SMALLEST keys are the sample, with inclusion probability
+    proportional to weight at every prefix. The quality-weighted
+    curation subsample (\"keep 1M docs, prefer high quality\") in one
+    ``orderBy().limit()`` — TakeOrderedAndProject, never a global
+    sort, no RNG state anywhere.
+
+    Deterministic for a given ``seed`` across runs/partitionings (keys
+    are pure functions of the row), and NESTED like
+    :func:`sample_exact_n`: samples of n and n+m share n rows, because
+    the keys don't change with n. Rows with weight ≤ 0 or NULL never
+    enter the sample."""
+    w = F.col(weight_col).cast("double")
+    # (bucket + 1) / (HASH_SPACE + 1) ∈ (0, 1] — never 0, so ln is safe
+    u = (hash_bucket(F.col(key_col), seed) + F.lit(1.0)) / F.lit(
+        float(HASH_SPACE + 1)
+    )
+    es_key = -F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .orderBy(es_key.asc(), F.col(key_col).asc())
+        .limit(n)
+    )

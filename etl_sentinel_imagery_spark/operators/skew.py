@@ -65,3 +65,46 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast(salted_big.schema["_salt"].dataType))
     return salted_big.join(replicated, [key, "_salt"], how).drop("_salt")
+
+
+def diagnose_skew(df: DataFrame, key_col: str, top: int = 10) -> dict:
+    """Key-skew report to run BEFORE committing a shuffle on
+    ``key_col``: per-key counts (map-side combinable), the top-``top``
+    hottest keys via ``orderBy().limit()`` (TakeOrderedAndProject),
+    and one small aggregate for totals. Returns::
+
+        {n_rows, n_keys, top1_share, gini_top,
+         suggested_salt, top: [(key, count, share), ...]}
+
+    ``suggested_salt`` sizes :func:`salted_sum_count`'s shard count so
+    the hottest key's work spreads to roughly one average reducer's
+    share (ceil(top1 / (n_rows / shuffle.partitions)), min 1) — the
+    number you pass as ``n_salts``. ``gini_top`` is the share of all
+    rows held by the top keys — a quick boilerplate/hot-tenant smell
+    test. Cost: one combinable groupBy + one tiny agg; nothing
+    corpus-sized reaches the driver."""
+    counts = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    totals = counts.agg(
+        F.sum("_c").alias("rows"), F.count(F.lit(1)).alias("keys")
+    ).collect()[0]
+    n_rows, n_keys = totals["rows"] or 0, totals["keys"]
+    hot = (
+        counts.orderBy(F.desc("_c"), F.asc("_k")).limit(top).collect()
+    )
+    shuffle_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    top1 = hot[0]["_c"] if hot else 0
+    per_reducer = max(n_rows / max(shuffle_parts, 1), 1.0)
+    return {
+        "n_rows": n_rows,
+        "n_keys": n_keys,
+        "top1_share": (top1 / n_rows) if n_rows else 0.0,
+        "gini_top": (sum(r["_c"] for r in hot) / n_rows) if n_rows else 0.0,
+        "suggested_salt": max(1, -(-top1 // int(per_reducer))),
+        "top": [
+            (r["_k"], r["_c"], r["_c"] / n_rows) for r in hot
+        ],
+    }

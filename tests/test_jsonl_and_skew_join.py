@@ -91,3 +91,30 @@ def test_salted_join_rejects_outer(spark):
     big = spark.range(5).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(big, dim, "k", how="outer")
+
+
+def test_diagnose_skew_report(spark):
+    from pyspark.sql import functions as F
+
+    from etl_sentinel_imagery_spark.operators.skew import diagnose_skew
+
+    # 10k rows: key 0 holds half, the rest uniform over 100 keys
+    df = spark.range(0, 10_000).select(
+        F.when(F.col("id") < 5_000, 0)
+        .otherwise(F.col("id") % 100 + 1)
+        .alias("k")
+    )
+    rep = diagnose_skew(df, "k", top=5)
+    assert rep["n_rows"] == 10_000
+    assert rep["n_keys"] == 101
+    assert abs(rep["top1_share"] - 0.5) < 1e-12
+    assert rep["top"][0][0] == 0 and rep["top"][0][1] == 5_000
+    # hottest key ~5000 rows vs ~10000/shuffle.partitions per reducer:
+    # salting suggestion must spread it across >1 shard
+    assert rep["suggested_salt"] > 1
+    assert rep["gini_top"] > 0.5
+
+    # uniform table: no salting needed
+    uni = spark.range(0, 1_000).select((F.col("id") % 500).alias("k"))
+    rep2 = diagnose_skew(uni, "k")
+    assert rep2["suggested_salt"] == 1

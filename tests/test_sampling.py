@@ -221,3 +221,53 @@ def test_sample_exact_n_deterministic_and_nested(spark):
     with redirect_stdout(buf):
         sample_exact_n(df, 50, seed="s").explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_weighted_sample_exact_n_properties(spark):
+    from pyspark.sql import functions as F
+
+    from etl_sentinel_imagery_spark.operators.sampling import (
+        weighted_sample_exact_n,
+    )
+
+    # 200 light rows (w=1) + 20 heavy rows (w=50)
+    df = spark.range(0, 220).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 20, 50.0).otherwise(1.0).alias("w"),
+    )
+    s = weighted_sample_exact_n(df, 40, "w", seed="s1")
+    rows = s.collect()
+    assert len(rows) == 40
+    heavy = sum(1 for r in rows if r["doc_id"] < 20)
+    # heavy rows hold 1000/1200 of the total weight: expect most of the
+    # 20 heavies in a 40-row sample (binomial tail makes <10 absurd)
+    assert heavy >= 10
+
+    # deterministic + partitioning-invariant
+    a = sorted(r["doc_id"] for r in rows)
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample_exact_n(
+            df.repartition(7), 40, "w", seed="s1"
+        ).collect()
+    )
+    assert a == b
+    # nested: the 20-sample is a subset of the 40-sample
+    s20 = {
+        r["doc_id"]
+        for r in weighted_sample_exact_n(df, 20, "w", seed="s1").collect()
+    }
+    assert s20 <= set(a)
+    # different seed → different sample (overwhelmingly)
+    c = sorted(
+        r["doc_id"]
+        for r in weighted_sample_exact_n(df, 40, "w", seed="s2").collect()
+    )
+    assert a != c
+    # non-positive weights never sampled
+    df2 = df.withColumn(
+        "w", F.when(F.col("doc_id") % 2 == 0, F.lit(-1.0)).otherwise(F.col("w"))
+    )
+    s2 = weighted_sample_exact_n(df2, 500, "w", seed="s1").collect()
+    assert all(r["doc_id"] % 2 == 1 for r in s2)
+    assert len(s2) == 110  # only the positive-weight rows exist
