@@ -99,6 +99,15 @@ class CurationConfig:
     line_dedup_min_count: int | None = None
     line_min_chars: int = 20
     line_keep_first: bool = False
+    #: Hard corpus-size cap applied AFTER dedup/decontamination (the
+    #: budget stage: "train on at most N documents"): exactly max_docs
+    #: survive via deterministic hash-rank sampling
+    #: (operators.sampling.sample_exact_n — nested/reproducible), or
+    #: Efraimidis-Spirakis WEIGHTED sampling when max_docs_weight_col
+    #: names a positive numeric column (quality-weighted budgets).
+    #: None disables.
+    max_docs: int | None = None
+    max_docs_weight_col: str | None = None
     #: Sketch-based corpus monitoring (operators.sketches): for each
     #: named column build a MERGEABLE monitor row (HLL registers +
     #: top-k heavy hitters + Count-Min grid) at ingest and at final.
@@ -361,6 +370,26 @@ def curate_corpus(
             "after_decontamination",
             canon.join(F.broadcast(bad), "doc_id", "left_anti"),
         )
+
+    if cfg.max_docs is not None:
+        from etl_sentinel_imagery_spark.operators.sampling import (
+            sample_exact_n,
+            weighted_sample_exact_n,
+        )
+
+        if cfg.max_docs_weight_col is not None:
+            capped = weighted_sample_exact_n(
+                canon,
+                cfg.max_docs,
+                cfg.max_docs_weight_col,
+                key_col="doc_id",
+                seed=cfg.split_seed,
+            )
+        else:
+            capped = sample_exact_n(
+                canon, cfg.max_docs, key_col="doc_id", seed=cfg.split_seed
+            )
+        canon = stage("after_cap", capped)
 
     final = canon.withColumn(
         "split", assign_split("doc_id", cfg.split_weights, seed=cfg.split_seed)

@@ -422,3 +422,54 @@ def test_monitor_sketches_report_and_mergeability(spark, tmp_path):
     ).collect()[0]
     assert round(got["d"]) == 2  # distinct merges by max, not add
     assert got["crawl_est"] >= 12  # counts merge additively (6 + 6)
+
+
+def test_max_docs_cap_uniform_and_weighted(spark, tmp_path):
+    from etl_sentinel_imagery_spark.operators.sampling import (
+        sample_exact_n,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, "en",
+             f"wholly unique document number {i} about topic {i} with "
+             f"plenty of ordinary prose words to pass every quality gate",
+             float(50 if i < 5 else 1))
+            for i in range(40)
+        ],
+        "doc_id long, lang string, text string, q double",
+    )
+    out = str(tmp_path / "capped")
+    report = curate_corpus(
+        spark, docs, out, cfg=CurationConfig(max_docs=10)
+    )
+    assert report["after_cap"] == 10
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/documents").collect()
+    }
+    assert len(kept) == 10
+    # the cap is the documented deterministic hash-rank sample
+    want = {
+        r["doc_id"]
+        for r in sample_exact_n(
+            docs, 10, key_col="doc_id", seed="curate"
+        ).collect()
+    }
+    assert kept == want
+
+    out2 = str(tmp_path / "capped_w")
+    curate_corpus(
+        spark,
+        docs,
+        out2,
+        cfg=CurationConfig(max_docs=10, max_docs_weight_col="q"),
+        collect_stats=False,
+    )
+    kept_w = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out2}/documents").collect()
+    }
+    # the 5 heavy docs carry 250/285 of the weight: all should make a
+    # 10-slot budget (overwhelmingly)
+    assert {0, 1, 2, 3, 4} <= kept_w

@@ -110,3 +110,53 @@ def test_with_rank_is_bounded_window(spark):
     ).collect()
     got = {(r["query_id"], r["cand_id"]): r["rnk"] for r in out}
     assert got[(0, 5)] == 1 and got[(0, 6)] == 2 and got[(1, 5)] == 1
+
+
+def test_batched_hybrid_composition_e2e(spark, tmp_path):
+    """The documented batched deployment: bm25_topk_multi + serving
+    topk → rrf_fuse. A query whose vector IS a corpus member must get
+    that member as semantic rank 1; a query with lexical anchors gets
+    its term-bearing docs; docs surfaced by both retrievers carry
+    n_lists=2."""
+    from pyspark.sql import functions as F
+
+    from etl_sentinel_imagery_spark.operators.retrieval import rrf_fuse
+    from etl_sentinel_imagery_spark.operators.textrank import (
+        bm25_topk_multi,
+    )
+    from etl_sentinel_imagery_spark.plans.serving import (
+        build_serving_index,
+        topk,
+    )
+    from etl_sentinel_imagery_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    idx = str(tmp_path / "ann")
+    build_serving_index(emb, idx, n_centroids=8, hnsw=False)
+
+    # two queries: vectors of corpus members 3 and 7
+    qvecs = emb.filter(F.col("vec_id").isin(3, 7)).select(
+        "vec_id", "embedding"
+    )
+    sem = topk(
+        spark, qvecs, idx, k=20, tier="ivf", n_probe=8
+    ).select("query_id", "cand_id", "rnk")
+
+    qterms = spark.createDataFrame(
+        [(3, ["table", "row"]), (7, ["spark", "merge"])],
+        "query_id long, terms array<string>",
+    )
+    lex = bm25_topk_multi(docs, qterms, top_k=20).select(
+        "query_id", F.col("doc").alias("cand_id"), "rnk"
+    )
+    fused = rrf_fuse({"bm25": lex, "ann": sem}, top_k=10).collect()
+    by_q = {}
+    for r in fused:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {3, 7}
+    for qid, rows in by_q.items():
+        assert 1 <= len(rows) <= 10
+        srcs = {s for r in rows for s in r["sources"]}
+        assert srcs == {"ann", "bm25"}  # both modalities contribute
