@@ -74,6 +74,51 @@ def _centroids_path(index_dir: str) -> str:
     return os.path.join(index_dir, "centroids.json")
 
 
+def _pca_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "pca.json")
+
+
+def _save_pca(index_dir: str, model: dict, whiten: bool) -> None:
+    tmp = _pca_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "mean": model["mean"].tolist(),
+                "components": model["components"].tolist(),
+                "explained_var": model["explained_var"].tolist(),
+                "total_var": model["total_var"],
+                "whiten": whiten,
+            },
+            f,
+        )
+    os.replace(tmp, _pca_path(index_dir))
+
+
+def load_pca(index_dir: str) -> dict | None:
+    """The index's PCA pre-rotation, or None for a full-dim index."""
+    p = _pca_path(index_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        raw = json.load(f)
+    return {
+        "mean": np.asarray(raw["mean"]),
+        "components": np.asarray(raw["components"]),
+        "explained_var": np.asarray(raw["explained_var"]),
+        "total_var": raw["total_var"],
+        "whiten": bool(raw["whiten"]),
+    }
+
+
+def _apply_index_pca(df: DataFrame, model: dict, vec_col: str) -> DataFrame:
+    from etl_sentinel_imagery_spark.operators.pca import transform_pca
+
+    return transform_pca(
+        df, model, vec_col=vec_col, out_col=vec_col,
+        whiten=model["whiten"],
+    )
+
+
 def build_serving_index(
     embeddings: DataFrame,
     index_dir: str,
@@ -86,6 +131,8 @@ def build_serving_index(
     pq_m: int = 8,
     pq_k: int = 16,
     opq: bool = False,
+    pca_dims: int | None = None,
+    pca_whiten: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
@@ -93,7 +140,25 @@ def build_serving_index(
     ``ivf/`` (bucket-partitioned corpus + _bucket_stats sidecar),
     ``centroids.json`` (atomic tmp+rename — readers never see a
     partial artifact), and optionally ``hnsw/`` (per-shard graphs).
-    Returns the trained centroid matrix."""
+    Returns the trained centroid matrix.
+
+    ``pca_dims`` trains a PCA pre-rotation (operators.pca — combinable
+    Gram partials, driver eigh) and builds EVERY tier in the reduced
+    space: a 256→64 cut shrinks the index, the probe shuffles, and the
+    PQ/OPQ inputs 4× while typically costing a few recall points
+    (measured in tests). The model persists as ``pca.json`` (atomic)
+    and :func:`topk` transforms queries with it automatically — the
+    caller's vectors stay full-dimensional at both ends."""
+    if pca_dims is not None:
+        from etl_sentinel_imagery_spark.operators.pca import (
+            fit_pca,
+        )
+
+        os.makedirs(index_dir, exist_ok=True)
+        pca_model = fit_pca(embeddings, pca_dims, vec_col=vec_col)
+        _save_pca(index_dir, pca_model, pca_whiten)
+        pca_model["whiten"] = pca_whiten
+        embeddings = _apply_index_pca(embeddings, pca_model, vec_col)
     centroids, _inertia = kmeans_fit(
         embeddings,
         k=n_centroids,
@@ -179,6 +244,10 @@ def topk(
         F.col(id_col).cast("bigint").alias(id_col),
         F.col(vec_col).cast("array<double>").alias(vec_col),
     )
+    pca_model = load_pca(index_dir)
+    if pca_model is not None:
+        # the index lives in the reduced space — queries follow it
+        q = _apply_index_pca(q, pca_model, vec_col)
     certificate = None
     if tier == "ivf":
         centroids = load_centroids(index_dir)
