@@ -169,6 +169,48 @@ def _commit(
     return version
 
 
+def resolve_schema(table_dir: str, version: int | None = None) -> str | None:
+    """The table's recorded schema JSON at ``version``: walk the
+    manifest chain back to the nearest commit that recorded one
+    (back-compat: pre-evolution tables return None and read with
+    footer-inferred schemas)."""
+    v = current_version(table_dir) if version is None else version
+    while v >= 0:
+        m = read_manifest(table_dir, v)
+        if m.get("schema"):
+            return m["schema"]
+        parent = m.get("parent")
+        if parent is None:
+            return None
+        v = parent
+    return None
+
+
+def _merge_schema_json(parent_json: str | None, df_schema) -> str:
+    """Union of the table's recorded schema and an incoming write's:
+    existing fields keep their type (a TYPE conflict raises — this log
+    does add-column evolution, not type mutation), new fields append
+    as nullable."""
+    from pyspark.sql.types import StructField, StructType
+
+    if not parent_json:
+        return df_schema.json()
+    parent = StructType.fromJson(json.loads(parent_json))
+    have = {f.name: f for f in parent.fields}
+    out = list(parent.fields)
+    for f in df_schema.fields:
+        if f.name in have:
+            if have[f.name].dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution type conflict on {f.name!r}: "
+                    f"table has {have[f.name].dataType.simpleString()}, "
+                    f"write has {f.dataType.simpleString()}"
+                )
+        else:
+            out.append(StructField(f.name, f.dataType, True))
+    return StructType(out).json()
+
+
 def _commit_delta(
     table_dir: str,
     parent: int,
@@ -177,10 +219,13 @@ def _commit_delta(
     op: str,
     stat_cols: list | None = None,
     partition_cols: list | None = None,
+    schema_json: str | None = None,
 ) -> int:
     """Delta commit of parent+1: the manifest records only what changed.
     Every CHECKPOINT_EVERY-th version also embeds the resolved full
-    list, bounding the replay chain."""
+    list, bounding the replay chain. Each commit carries the table
+    schema explicitly (supplied, else inherited from the chain) so
+    readers never open footers to learn it."""
     version = parent + 1
     body = {
         "version": version,
@@ -190,6 +235,7 @@ def _commit_delta(
         "partition_cols": partition_cols or [],
         "adds": sorted(adds, key=_entry_name),
         "removes": sorted(removes),
+        "schema": schema_json or resolve_schema(table_dir, parent),
     }
     if CHECKPOINT_EVERY and version % CHECKPOINT_EVERY == 0:
         base = {
@@ -337,6 +383,7 @@ def init_table(
             "stat_cols": stat_cols or [],
             "partition_cols": partition_cols or [],
             "files": sorted(files, key=_entry_name),
+            "schema": df.schema.json() if df is not None else None,
         },
         indent=0,
     )
@@ -365,10 +412,22 @@ def snapshot(
             "init_table with a DataFrame)"
         )
     reader = spark.read
-    if read_manifest(table_dir, version).get("partition_cols"):
+    partitioned = bool(read_manifest(table_dir, version).get("partition_cols"))
+    if partitioned:
         # basePath re-derives hive partition columns from the entries'
         # relative paths — same schema as a whole-table read
         reader = reader.option("basePath", table_dir)
+    else:
+        # metadata-driven schema (the Iceberg/Delta read path): files
+        # written before an add-column evolution fill the new columns
+        # with NULL, and NO footer is opened to learn the schema. For
+        # partitioned tables the partition columns live in paths, so
+        # those stay on footer-inferred reads (documented limitation).
+        sj = resolve_schema(table_dir, version)
+        if sj:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(sj)))
     return reader.parquet(
         *[os.path.join(table_dir, _entry_name(f)) for f in files]
     )
@@ -394,16 +453,23 @@ def history(table_dir: str) -> list[dict]:
 
 def append(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
     """Transactional append: new files land, then one commit adds them.
-    Stats tracking (stat_cols) is inherited from the parent manifest."""
+    Stats tracking (stat_cols) is inherited from the parent manifest.
+    ADD-COLUMN schema evolution is free: an append with new columns
+    widens the recorded schema (union, new fields nullable — type
+    conflicts raise), and snapshots of earlier versions keep their
+    narrower schema. Appends MISSING recorded columns are also fine —
+    readers fill them with NULL from the metadata schema."""
     parent = current_version(table_dir)
     m = read_manifest(table_dir, parent)
     stat_cols = m.get("stat_cols") or None
     partition_cols = m.get("partition_cols") or None
+    merged = _merge_schema_json(resolve_schema(table_dir, parent), df.schema)
     names = _move_in_data_files(
         spark, table_dir, df, stat_cols, partition_cols
     )
     return _commit_delta(
-        table_dir, parent, names, [], "append", stat_cols, partition_cols
+        table_dir, parent, names, [], "append", stat_cols, partition_cols,
+        schema_json=merged,
     )
 
 

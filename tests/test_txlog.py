@@ -511,3 +511,65 @@ def test_optimize_plain_compaction_and_conflict(spark, tmp_path):
     assert len(files) == 1
     assert snapshot(spark, t).count() == 100
     assert n_before > 1
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Append with a new column widens the recorded schema: old rows
+    read NULL for it, snapshots of earlier versions keep the narrow
+    schema, a later narrow append back-fills NULL, and a type conflict
+    raises."""
+    from etl_sentinel_imagery_spark.operators.txlog import append
+
+    t = str(tmp_path / "t_evo")
+    init_table(spark, t, _seed(spark, 10).coalesce(1))
+    v0 = current_version(t)
+
+    wide = _seed(spark, 5, offset=100).withColumn(
+        "tag", F.concat(F.lit("t-"), F.col("doc_id"))
+    )
+    append(spark, t, wide.coalesce(1))
+
+    snap = snapshot(spark, t)
+    assert set(snap.columns) == {"doc_id", "body", "tag"}
+    assert snap.count() == 15
+    assert snap.filter(F.col("tag").isNull()).count() == 10  # old rows
+    assert snap.filter(F.col("tag") == "t-100").count() == 1
+    # filters on the evolved column work over the whole table
+    assert snap.filter(F.col("tag").isNotNull()).count() == 5
+    # time travel: the pre-evolution version keeps the narrow schema
+    assert set(snapshot(spark, t, v0).columns) == {"doc_id", "body"}
+
+    # a narrow append AFTER evolution back-fills NULL
+    append(spark, t, _seed(spark, 3, offset=200).coalesce(1))
+    snap2 = snapshot(spark, t)
+    assert snap2.count() == 18
+    assert snap2.filter(F.col("tag").isNull()).count() == 13
+
+    # type conflict refuses
+    bad = _seed(spark, 1, offset=300).withColumn("tag", F.lit(7))
+    with pytest.raises(ValueError, match="type conflict"):
+        append(spark, t, bad)
+
+
+def test_schema_survives_compact_and_optimize(spark, tmp_path):
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        append,
+        compact,
+        optimize,
+    )
+
+    t = str(tmp_path / "t_evo2")
+    init_table(spark, t, _seed(spark, 10).coalesce(1))
+    append(
+        spark,
+        t,
+        _seed(spark, 5, offset=50)
+        .withColumn("extra", F.lit(1.5))
+        .coalesce(1),
+    )
+    compact(spark, t, target_files=1)
+    assert set(snapshot(spark, t).columns) == {"doc_id", "body", "extra"}
+    optimize(spark, t, target_files=1)
+    snap = snapshot(spark, t)
+    assert set(snap.columns) == {"doc_id", "body", "extra"}
+    assert snap.count() == 15
