@@ -132,6 +132,76 @@ def cosine_topk_single(
     )
 
 
+def hybrid_topk_multi(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: DataFrame,
+    query_vecs: DataFrame,
+    top_k: int = 10,
+    fetch_k: int | None = None,
+    k_rrf: int = RRF_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batched hybrid retrieval with a SERVING-FREE exact semantic
+    tier: BM25 over ``docs`` for a whole query-terms table (ONE corpus
+    scan, ``bm25_topk_multi``) + exact cosine over ``embeddings`` for
+    the matching query-vector table (ONE blocked-GEMM corpus pass,
+    ``brute_force_topk_gemm`` — no index build), RRF-fused per query.
+
+    This is the ad-hoc / ground-truth twin of the persisted deployment
+    (``plans.serving.topk`` + ``bm25_topk_multi`` → ``rrf_fuse``): same
+    fusion, same output shape, but the semantic list is exact — use it
+    when no index exists yet, or to audit an index-backed hybrid's
+    recall.
+
+    ``query_terms`` carries (query_id, terms array<string>);
+    ``query_vecs`` carries (query_id, vector) — ids must line up.
+    Queries whose id equals a corpus ``vec_id_col`` value skip that
+    self-match in the semantic list (the GEMM kernel's contract), which
+    is what corpus-member "more-like-this" queries want.
+
+    Scale shape: both retrievers are single-corpus-scan with
+    control-plane-sized query broadcast; fusion moves only
+    queries × fetch_k candidate rows.
+    """
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        brute_force_topk_gemm,
+    )
+    from etl_sentinel_imagery_spark.operators.textrank import (
+        bm25_topk_multi,
+    )
+
+    fetch_k = fetch_k or 4 * top_k
+    lex = bm25_topk_multi(
+        docs,
+        query_terms,
+        top_k=fetch_k,
+        id_col=id_col,
+        text_col=text_col,
+        query_id_col=query_id_col,
+    ).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col("doc").alias("cand_id"),
+        "rnk",
+    )
+    sem = brute_force_topk_gemm(
+        embeddings,
+        query_vecs.select(
+            F.col(query_id_col).alias(vec_id_col), vec_col
+        ),
+        k=fetch_k,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+    ).select("query_id", "cand_id", "rnk")
+    return rrf_fuse(
+        {"bm25": lex, "cosine": sem}, top_k=top_k, k_rrf=k_rrf
+    )
+
+
 def hybrid_topk(
     docs: DataFrame,
     embeddings: DataFrame,

@@ -112,6 +112,60 @@ def test_with_rank_is_bounded_window(spark):
     assert got[(0, 5)] == 1 and got[(0, 6)] == 2 and got[(1, 5)] == 1
 
 
+def test_hybrid_topk_multi_exact_tier(spark):
+    """Serving-free batched hybrid: the semantic tier is the exact
+    GEMM pass, so a query whose vector is corpus member m must carry
+    m's nearest NON-SELF neighbors exactly as cosine ranks; lexical
+    anchors still surface; fusion shape matches the indexed variant."""
+    from pyspark.sql import functions as F
+
+    from etl_sentinel_imagery_spark.operators.retrieval import (
+        hybrid_topk_multi,
+    )
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from etl_sentinel_imagery_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+
+    qvecs = emb.filter(F.col("vec_id").isin(3, 7)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qterms = spark.createDataFrame(
+        [(3, ["table", "row"]), (7, ["spark", "merge"])],
+        "query_id long, terms array<string>",
+    )
+    fused = hybrid_topk_multi(
+        docs, emb, qterms, qvecs, top_k=10, fetch_k=20
+    ).collect()
+    by_q = {}
+    for r in fused:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {3, 7}
+    for rows in by_q.values():
+        assert 1 <= len(rows) <= 10
+        srcs = {s for r in rows for s in r["sources"]}
+        assert srcs == {"bm25", "cosine"}
+
+    # the semantic contribution is EXACT: candidates fused from the
+    # cosine list for query 3 must be a prefix-set of the fold-anchor
+    # exact top-k (self excluded by the kernel contract)
+    anchor = {
+        r["cand_id"]
+        for r in brute_force_topk(emb, F.col("vec_id") == 3, k=20).collect()
+    }
+    got_sem = {
+        r["cand_id"]
+        for r in fused
+        if r["query_id"] == 3 and "cosine" in r["sources"]
+    }
+    assert got_sem <= anchor
+    assert 3 not in got_sem  # no self-match
+
+
 def test_batched_hybrid_composition_e2e(spark, tmp_path):
     """The documented batched deployment: bm25_topk_multi + serving
     topk → rrf_fuse. A query whose vector IS a corpus member must get
