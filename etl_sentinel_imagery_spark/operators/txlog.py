@@ -763,6 +763,106 @@ def snapshot_partition(
     return df, stats
 
 
+def _read_entry_names(
+    spark: SparkSession, table_dir: str, names: list[str], version: int
+) -> DataFrame | None:
+    """Read specific table files under ``version``'s read contract —
+    the same basePath / metadata-schema rules as :func:`snapshot`, so
+    narrow pre-evolution files NULL-fill and partitioned entries
+    re-derive their path columns."""
+    if not names:
+        return None
+    reader = spark.read
+    if read_manifest(table_dir, version).get("partition_cols"):
+        reader = reader.option("basePath", table_dir)
+    else:
+        sj = resolve_schema(table_dir, version)
+        if sj:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(sj)))
+    return reader.parquet(*[os.path.join(table_dir, n) for n in names])
+
+
+def table_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+    include_rewrites: bool = False,
+) -> DataFrame:
+    """Row-level CHANGE DATA FEED between committed versions — the
+    Delta/Iceberg CDF read: every row inserted or deleted by commits
+    ``from_version+1 .. to_version`` (``from_version=-1`` includes the
+    init commit's rows), tagged ``_change_type`` (insert | delete),
+    ``_commit_version`` and ``_commit_op``. Feeds downstream
+    incremental consumers that need ROWS, where
+    :func:`incremental_agg_delta` serves additive aggregates.
+
+    Change rows are derived from the manifests alone — no CDC files
+    are written at commit time. Per commit, inserts are
+    ``rows(adds) ∖ rows(removes)`` and deletes the reverse (MULTISET
+    difference, ``exceptAll``): a delete commit that rewrote file A to
+    A' yields exactly the dropped rows, and a pure append skips the
+    diff entirely (no removes). Only the commit's TOUCHED files are
+    read, so the cost tracks the delta, not the table. Compaction /
+    optimize commits rewrite every row without changing any
+    (content-identical multisets) — they are skipped by default
+    rather than paying a table-sized diff to prove emptiness; pass
+    ``include_rewrites=True`` to verify one (its feed rows are then
+    exactly the empty set iff the rewrite was clean).
+
+    Schema evolution: each commit's rows are read under its OWN
+    recorded schema; versions are unioned by name with missing columns
+    NULL — a consumer spanning an add-column commit sees the widened
+    schema throughout. Requires the manifests in range (feed from
+    before :func:`truncate_history`'s horizon raises on the missing
+    manifest) and the data files still on disk (vacuum after
+    consuming, as with any CDF retention window).
+    """
+    to_version = (
+        current_version(table_dir) if to_version is None else to_version
+    )
+    chunks = []
+    for v in range(max(from_version + 1, 0), to_version + 1):
+        m = read_manifest(table_dir, v)
+        op = m.get("op", "")
+        if op in ("compact", "optimize") and not include_rewrites:
+            continue
+        if "adds" in m or "removes" in m:
+            adds = [_entry_name(e) for e in m.get("adds", [])]
+            removes = list(m.get("removes", []))
+        else:  # init manifest: the full list IS the insert set
+            adds = [_entry_name(e) for e in m.get("files", [])]
+            removes = []
+        a = _read_entry_names(spark, table_dir, adds, v)
+        r = _read_entry_names(spark, table_dir, removes, v)
+        if a is None and r is None:
+            continue
+        ins = a if r is None else (None if a is None else a.exceptAll(r))
+        dels = r if a is None else (None if r is None else r.exceptAll(a))
+        for df, kind in ((ins, "insert"), (dels, "delete")):
+            if df is None:
+                continue
+            chunks.append(
+                df.withColumn("_change_type", F.lit(kind))
+                .withColumn("_commit_version", F.lit(v))
+                .withColumn("_commit_op", F.lit(op))
+            )
+    if not chunks:
+        base = snapshot(spark, table_dir, to_version)
+        return (
+            base.withColumn("_change_type", F.lit(""))
+            .withColumn("_commit_version", F.lit(0))
+            .withColumn("_commit_op", F.lit(""))
+            .limit(0)
+        )
+    out = chunks[0]
+    for c in chunks[1:]:
+        out = out.unionByName(c, allowMissingColumns=True)
+    return out
+
+
 def truncate_history(table_dir: str, keep_versions: int) -> dict:
     """Retire history older than ``current - keep_versions`` — the
     time-travel/storage trade: the horizon manifest is first made

@@ -573,3 +573,88 @@ def test_schema_survives_compact_and_optimize(spark, tmp_path):
     snap = snapshot(spark, t)
     assert set(snap.columns) == {"doc_id", "body", "extra"}
     assert snap.count() == 15
+
+
+def test_table_changes_cdf(spark, tmp_path):
+    """Row-level change feed from the manifests: inserts per append,
+    exact dropped rows per delete (the rewrite's surviving rows cancel
+    in the multiset diff), rewrite commits skipped by default and
+    provably empty when included, windowing by from_version, and
+    replaying the feed reconstructs the snapshot."""
+    from collections import Counter
+
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        append,
+        compact,
+        delete_rows,
+        table_changes,
+    )
+
+    t = str(tmp_path / "t_cdf")
+    init_table(spark, t, _seed(spark, 10).coalesce(1))          # v0
+    append(spark, t, _seed(spark, 5, offset=100).coalesce(1))   # v1
+    delete_rows(spark, t, "doc_id", [0, 1, 102])                # v2
+    compact(spark, t, target_files=1)                           # v3
+
+    feed = table_changes(spark, t, -1).collect()
+    by_v = {}
+    for r in feed:
+        by_v.setdefault((r["_commit_version"], r["_change_type"]), []).append(r)
+    assert {k[0] for k in by_v} == {0, 1, 2}  # compaction silent
+    assert sorted(r["doc_id"] for r in by_v[(0, "insert")]) == list(range(10))
+    assert sorted(r["doc_id"] for r in by_v[(1, "insert")]) == [
+        100, 101, 102, 103, 104,
+    ]
+    assert sorted(r["doc_id"] for r in by_v[(2, "delete")]) == [0, 1, 102]
+    assert (2, "insert") not in by_v  # rewrite survivors cancel
+    assert all(r["_commit_op"] == "delete" for r in by_v[(2, "delete")])
+
+    # a verified rewrite: including it must add nothing (clean compaction)
+    full = table_changes(spark, t, -1, include_rewrites=True)
+    assert full.filter(F.col("_commit_version") == 3).count() == 0
+
+    # windowing: from_version=0 excludes the init rows
+    assert {
+        r["_commit_version"]
+        for r in table_changes(spark, t, 0).collect()
+    } == {1, 2}
+
+    # replay: inserts ⊖ deletes == current snapshot (multiset)
+    ins = Counter(
+        r["doc_id"] for r in feed if r["_change_type"] == "insert"
+    )
+    ins.subtract(
+        r["doc_id"] for r in feed if r["_change_type"] == "delete"
+    )
+    snap = Counter(r["doc_id"] for r in snapshot(spark, t).collect())
+    assert +ins == snap
+
+    # empty window returns an empty, correctly-shaped feed
+    v = current_version(t)
+    empty = table_changes(spark, t, v, v)
+    assert empty.count() == 0
+    assert {"_change_type", "_commit_version", "_commit_op"} <= set(
+        empty.columns
+    )
+
+
+def test_table_changes_spans_schema_evolution(spark, tmp_path):
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        append,
+        table_changes,
+    )
+
+    t = str(tmp_path / "t_cdf_evo")
+    init_table(spark, t, _seed(spark, 4).coalesce(1))           # v0
+    append(                                                     # v1 wide
+        spark,
+        t,
+        _seed(spark, 2, offset=50)
+        .withColumn("tag", F.concat(F.lit("t-"), F.col("doc_id")))
+        .coalesce(1),
+    )
+    feed = table_changes(spark, t, -1)
+    assert "tag" in feed.columns  # widened throughout
+    rows = {r["doc_id"]: r for r in feed.collect()}
+    assert rows[0]["tag"] is None          # pre-evolution insert NULL-fills
+    assert rows[50]["tag"] == "t-50"
