@@ -412,22 +412,21 @@ def snapshot(
             "init_table with a DataFrame)"
         )
     reader = spark.read
-    partitioned = bool(read_manifest(table_dir, version).get("partition_cols"))
-    if partitioned:
+    if read_manifest(table_dir, version).get("partition_cols"):
         # basePath re-derives hive partition columns from the entries'
         # relative paths — same schema as a whole-table read
         reader = reader.option("basePath", table_dir)
-    else:
-        # metadata-driven schema (the Iceberg/Delta read path): files
-        # written before an add-column evolution fill the new columns
-        # with NULL, and NO footer is opened to learn the schema. For
-        # partitioned tables the partition columns live in paths, so
-        # those stay on footer-inferred reads (documented limitation).
-        sj = resolve_schema(table_dir, version)
-        if sj:
-            from pyspark.sql.types import StructType
+    # metadata-driven schema (the Iceberg/Delta read path): files
+    # written before an add-column evolution fill the new columns with
+    # NULL, and NO footer is opened to learn the schema. The recorded
+    # schema includes partition columns (it is the writer DataFrame's
+    # schema) — Spark fills those from the hive paths when the
+    # user-supplied schema names them alongside basePath.
+    sj = resolve_schema(table_dir, version)
+    if sj:
+        from pyspark.sql.types import StructType
 
-            reader = reader.schema(StructType.fromJson(json.loads(sj)))
+        reader = reader.schema(StructType.fromJson(json.loads(sj)))
     return reader.parquet(
         *[os.path.join(table_dir, _entry_name(f)) for f in files]
     )
@@ -775,12 +774,11 @@ def _read_entry_names(
     reader = spark.read
     if read_manifest(table_dir, version).get("partition_cols"):
         reader = reader.option("basePath", table_dir)
-    else:
-        sj = resolve_schema(table_dir, version)
-        if sj:
-            from pyspark.sql.types import StructType
+    sj = resolve_schema(table_dir, version)
+    if sj:
+        from pyspark.sql.types import StructType
 
-            reader = reader.schema(StructType.fromJson(json.loads(sj)))
+        reader = reader.schema(StructType.fromJson(json.loads(sj)))
     return reader.parquet(*[os.path.join(table_dir, n) for n in names])
 
 

@@ -658,3 +658,49 @@ def test_table_changes_spans_schema_evolution(spark, tmp_path):
     rows = {r["doc_id"]: r for r in feed.collect()}
     assert rows[0]["tag"] is None          # pre-evolution insert NULL-fills
     assert rows[50]["tag"] == "t-50"
+
+
+def test_schema_evolution_partitioned_table(spark, tmp_path):
+    """Metadata schema + basePath together: a partitioned table widens
+    on append like the unpartitioned path — partition columns fill
+    from hive paths, pre-evolution files NULL-fill the new column, and
+    the CDF spans the evolution."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        append,
+        table_changes,
+    )
+
+    t = str(tmp_path / "pt_evo")
+
+    def seed(n, offset=0):
+        return spark.range(offset, offset + n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 2).cast("int").alias("par"),
+            F.concat(F.lit("p-"), F.col("id")).alias("body"),
+        )
+
+    init_table(spark, t, seed(20), partition_cols=["par"])
+    append(
+        spark,
+        t,
+        seed(4, offset=100).withColumn(
+            "lang", F.lit("en")
+        ),
+    )
+    snap = snapshot(spark, t)
+    assert set(snap.columns) == {"doc_id", "par", "body", "lang"}
+    assert snap.count() == 24
+    assert snap.filter(F.col("lang").isNull()).count() == 20
+    assert {
+        r["par"] for r in snap.select("par").distinct().collect()
+    } == {0, 1}
+    # pushable filter on the evolved column + partition column together
+    assert (
+        snap.filter((F.col("lang") == "en") & (F.col("par") == 0)).count()
+        == 2
+    )
+    feed = table_changes(spark, t, -1)
+    assert "lang" in feed.columns
+    assert feed.filter(
+        (F.col("_commit_version") == 0) & F.col("lang").isNotNull()
+    ).count() == 0
