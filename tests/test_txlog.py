@@ -704,3 +704,54 @@ def test_schema_evolution_partitioned_table(spark, tmp_path):
     assert feed.filter(
         (F.col("_commit_version") == 0) & F.col("lang").isNotNull()
     ).count() == 0
+
+
+def test_cdf_and_mv_delta_agree(spark, tmp_path):
+    """The two incremental paths cross-check: aggregating the change
+    feed (inserts positive, deletes negative) over a version range
+    must equal incremental_agg_delta's signed file-diff aggregate —
+    independent computations of the same delta."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        append,
+        delete_rows,
+        incremental_agg_delta,
+        table_changes,
+    )
+
+    t = str(tmp_path / "t_xchk")
+    seed = _seed(spark, 40).withColumn(
+        "g", (F.col("doc_id") % 4).cast("int")
+    ).withColumn("val", F.col("doc_id") * 2)
+    init_table(spark, t, seed.coalesce(2))                      # v0
+    append(                                                     # v1
+        spark,
+        t,
+        _seed(spark, 10, offset=200)
+        .withColumn("g", (F.col("doc_id") % 4).cast("int"))
+        .withColumn("val", F.col("doc_id") * 2)
+        .coalesce(1),
+    )
+    delete_rows(spark, t, "doc_id", [0, 4, 201])                # v2
+
+    v_from, v_to = 0, current_version(t)
+    mv = {
+        r["g"]: (r["n"], r["sum_val"])
+        for r in incremental_agg_delta(
+            spark, t, v_from, v_to, ["g"], sum_cols=["val"]
+        ).collect()
+    }
+    feed = table_changes(spark, t, v_from)
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    cdf = {
+        r["g"]: (r["n"], r["sum_val"])
+        for r in feed.groupBy("g")
+        .agg(
+            F.sum(sign).alias("n"),
+            F.sum(sign * F.col("val")).alias("sum_val"),
+        )
+        .collect()
+    }
+    # drop net-zero groups from both (incremental_agg_delta keeps them)
+    mv = {k: v for k, v in mv.items() if v != (0, 0)}
+    cdf = {k: v for k, v in cdf.items() if v != (0, 0)}
+    assert mv == cdf and len(cdf) >= 3
