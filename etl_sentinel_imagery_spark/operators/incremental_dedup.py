@@ -166,8 +166,11 @@ def incremental_dedup(
         F.broadcast(probe_keys), ["band_idx", "band_key"], "left_semi"
     )
     if max_bucket is not None:
+        # DISTINCT docs, not rows: a crash-replayed append may leave
+        # duplicate band rows (see the append ordering below), and the
+        # guard must not spuriously trip on them
         sizes = hit.groupBy("band_idx", "band_key").agg(
-            F.count(F.lit(1)).alias("bucket_n")
+            F.countDistinct("doc").alias("bucket_n")
         )
         hit = hit.join(
             F.broadcast(sizes.filter(F.col("bucket_n") <= max_bucket)),
@@ -251,14 +254,29 @@ def incremental_dedup(
         )
         # idempotent append: anti-join against ids already indexed, so
         # a replayed batch re-appends nothing (the doc-only projection
-        # column-prunes the index scan)
-        new_sigs = sigs.join(survivors, "doc", "left_semi").join(
-            spark.read.parquet(f"{index_dir}/sigs").select("doc"),
-            "doc",
-            "left_anti",
+        # column-prunes the index scan). The anti-join KEYS ON sigs/,
+        # so sigs/ must be written LAST (ADVICE r4): bands/ first, then
+        # sigs/ — a crash between the two leaves docs in bands/ but not
+        # sigs/, and the replay (sigs-keyed check says "missing")
+        # repairs BOTH tables. The repair re-appends band rows a
+        # bands-then-crash run already wrote; duplicates there are
+        # harmless by construction (candidates are .distinct()-ed and
+        # the bucket guard counts DISTINCT docs). The reverse order —
+        # the pre-fix bug — left docs probe-invisible forever: sigs/
+        # present made the replay compute an empty delta, so bands/
+        # was never repaired. localCheckpoint pins ONE survivor set
+        # across both writes (recomputation can't diverge mid-pair).
+        new_sigs = (
+            sigs.join(survivors, "doc", "left_semi")
+            .join(
+                spark.read.parquet(f"{index_dir}/sigs").select("doc"),
+                "doc",
+                "left_anti",
+            )
+            .localCheckpoint()
         )
-        new_sigs.write.mode("append").parquet(f"{index_dir}/sigs")
         _band_table(new_sigs, n_perm, band_size).write.mode(
             "append"
         ).partitionBy("band_idx").parquet(f"{index_dir}/bands")
+        new_sigs.write.mode("append").parquet(f"{index_dir}/sigs")
     return status

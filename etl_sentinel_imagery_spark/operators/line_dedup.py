@@ -85,7 +85,9 @@ def duplicated_line_stats(
     keep-first deployment (surviving first occurrences stay).
     ``*_clean_text`` is the document re-assembled from the kept lines
     with ``delim`` — empty string when every line is removed (the row
-    itself never disappears).
+    itself never disappears). Exception: docs whose text is NULL have
+    no line rows at all and thus NO stats row — consumers must left-
+    join (as :func:`remove_duplicated_lines` does).
     """
     lines = line_table(docs, id_col, text_col, delim).withColumn(
         "line_key", F.md5("line")
@@ -157,7 +159,12 @@ def remove_duplicated_lines(
 ) -> DataFrame:
     """``docs`` with ``text_col`` rewritten to the line-deduplicated
     text (plus ``n_dup_lines_removed``); all other columns pass
-    through. The curation-pipeline entry point."""
+    through — ONE row per input row, always. Docs with NULL text have
+    no line rows (``posexplode`` of NULL emits nothing) and hence no
+    stats row; the LEFT join + coalesce keeps them untouched with
+    ``n_dup_lines_removed = 0`` instead of silently dropping them
+    (ADVICE r4 — the inner-join form vanished NULL-text docs from
+    ``curate_corpus`` whenever ``line_dedup_min_count`` was set)."""
     stats = duplicated_line_stats(
         docs, id_col, text_col, delim, min_count, min_chars
     )
@@ -166,13 +173,18 @@ def remove_duplicated_lines(
         F.col("k1_n_dup_lines") if keep_first else F.col("n_dup_lines")
     )
     return (
-        docs.drop(text_col)
-        .join(
+        docs.join(
             stats.select(
                 id_col,
-                F.col(kept).alias(text_col),
-                removed.alias("n_dup_lines_removed"),
+                F.col(kept).alias("_line_clean"),
+                removed.alias("_n_removed"),
             ),
             id_col,
+            "left",
         )
+        .withColumn(text_col, F.coalesce("_line_clean", text_col))
+        .withColumn(
+            "n_dup_lines_removed", F.coalesce("_n_removed", F.lit(0))
+        )
+        .drop("_line_clean", "_n_removed")
     )

@@ -33,9 +33,11 @@ Readers MUST resolve through :func:`snapshot` — a raw directory scan
 of a txlog table sees uncommitted and removed files (exactly like a
 Delta directory without a Delta reader). Crash safety: data files are
 written BEFORE their manifest commits (an orphaned data file is
-garbage, never corruption); a crash between manifest link and pointer
-flip leaves a claimed-but-unreferenced version whose successor commit
-simply claims the next number.
+garbage, never corruption); the manifest CLAIM is the commit point,
+so a crash between claim and pointer flip is recovered by
+:func:`current_version` scanning forward from the pointer — the
+claimed manifest (fully written + fsynced before the link) IS a valid
+commit, and the successor simply claims the next number.
 """
 
 from __future__ import annotations
@@ -95,8 +97,20 @@ def _manifest_path(table_dir: str, version: int) -> str:
 
 
 def current_version(table_dir: str) -> int:
+    """Latest committed version. The manifest CLAIM is the commit point
+    (the linked file is fully written and fsynced before the link);
+    ``_CURRENT`` is a bounded-scan CACHE of it, not the source of
+    truth. A crash between claim and pointer flip therefore must not
+    wedge the table: scan forward from the pointer for claimed
+    manifests the flip never recorded — one extra ``stat()`` in the
+    steady state, Delta-style max-on-disk in the crash case. The next
+    successful commit's own pointer flip heals the cache; a racing
+    stale flip can only lag the pointer, which this scan re-covers."""
     with open(os.path.join(_log_dir(table_dir), "_CURRENT")) as f:
-        return int(f.read().strip())
+        v = int(f.read().strip())
+    while os.path.exists(_manifest_path(table_dir, v + 1)):
+        v += 1
+    return v
 
 
 def read_manifest(table_dir: str, version: int | None = None) -> dict:
@@ -584,11 +598,21 @@ def optimize(
     )
 
 
-def vacuum(table_dir: str) -> list[str]:
+def vacuum(table_dir: str, min_age_seconds: float = 0.0) -> list[str]:
     """Delete data files referenced by NO manifest (orphans from
     crashed writers). Files referenced by historical manifests are
     kept — time travel stays valid; truncate history first if space
-    matters."""
+    matters. Walks hive ``col=val/`` subdirectories (candidates are
+    compared by table-relative name, matching manifest entries);
+    ``_``-prefixed directories (``_txlog``, in-flight ``_stage_*``)
+    are never entered. SINGLE-WRITER maintenance op, like
+    ``truncate_history``: a concurrent writer's files move from
+    staging into the table tree shortly before their manifest claims,
+    and vacuuming inside that window would delete just-committed data;
+    ``min_age_seconds > 0`` additionally age-gates candidates as a
+    belt-and-braces guard when scheduling can't fully serialize."""
+    import time
+
     referenced: set[str] = set()
     for v in range(current_version(table_dir) + 1):
         p = _manifest_path(table_dir, v)
@@ -598,14 +622,20 @@ def vacuum(table_dir: str) -> list[str]:
             referenced.update(_entry_name(e) for e in m.get("files", []))
             referenced.update(_entry_name(e) for e in m.get("adds", []))
     removed = []
-    for entry in os.listdir(table_dir):
-        if (
-            entry.endswith(".parquet")
-            and not entry.startswith("_")
-            and entry not in referenced
-        ):
-            os.unlink(os.path.join(table_dir, entry))
-            removed.append(entry)
+    now = time.time()
+    for root, dirs, fnames in os.walk(table_dir):
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
+        for entry in fnames:
+            if not entry.endswith(".parquet") or entry.startswith("_"):
+                continue
+            rel = os.path.relpath(os.path.join(root, entry), table_dir)
+            if rel in referenced:
+                continue
+            path = os.path.join(root, entry)
+            if min_age_seconds and now - os.path.getmtime(path) < min_age_seconds:
+                continue
+            os.unlink(path)
+            removed.append(rel)
     return removed
 
 
@@ -651,7 +681,12 @@ def snapshot_pruned(
     if not keep:
         schema = snapshot(spark, table_dir, version).schema
         return spark.createDataFrame([], schema), stats
-    df = spark.read.parquet(*[os.path.join(table_dir, f) for f in keep])
+    # same read contract as snapshot(): basePath re-derives hive
+    # partition columns and the recorded schema NULL-fills
+    # pre-evolution files (a bare spark.read.parquet would silently
+    # drop partition columns / footer-infer a narrower schema)
+    ver = current_version(table_dir) if version is None else version
+    df = _read_entry_names(spark, table_dir, keep, ver)
     pred = F.lit(True)
     if lo is not None:
         pred = pred & (F.col(col) >= lo)

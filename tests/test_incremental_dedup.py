@@ -183,3 +183,59 @@ def test_replayed_batch_is_idempotent(spark, corpus, tmp_path):
     assert first == replay
     sigs = spark.read.parquet(f"{idx}/sigs")
     assert sigs.count() == sigs.select("doc").distinct().count() == 3
+
+
+def test_crash_between_band_and_sig_append_repairs(spark, corpus, tmp_path):
+    """Crash-ordering contract (ADVICE r4): bands/ writes FIRST, the
+    idempotence anti-join keys on last-written sigs/. A crash between
+    the two leaves docs in bands/ but not sigs/; the REPLAY must
+    repair both tables (pre-fix, the sigs-first order made the replay
+    compute an empty delta and the crashed doc silently stopped being
+    discoverable). Duplicate band rows from the repair are harmless:
+    candidates are distinct-ed and the bucket guard counts docs."""
+    from etl_sentinel_imagery_spark.operators.incremental_dedup import (
+        _band_table,
+        _load_meta,
+        _sig_table,
+    )
+
+    idx = str(tmp_path / "crash_idx")
+    build_signature_index(corpus, idx)
+    meta = _load_meta(idx)
+    batch = spark.createDataFrame([(40, THIRD)], ["doc_id", "text"])
+
+    # simulate the crash state a bands-then-crash run leaves: the
+    # batch's band rows landed, its sig rows did not
+    sigs40 = _sig_table(batch, "doc_id", "text", meta["n_perm"])
+    _band_table(sigs40, meta["n_perm"], meta["band_size"]).write.mode(
+        "append"
+    ).partitionBy("band_idx").parquet(f"{idx}/bands")
+    assert (
+        spark.read.parquet(f"{idx}/sigs").filter("doc = 40").count() == 0
+    )
+
+    # replay: classification unchanged, BOTH tables repaired
+    out = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in incremental_dedup(batch, idx, threshold=0.5).collect()
+    }
+    assert out[40] == ("new", None)
+    assert (
+        spark.read.parquet(f"{idx}/sigs").filter("doc = 40").count() == 1
+    )
+    # doc 40 is discoverable through the bands probe path despite the
+    # duplicated band rows: a near-dup of it classifies as exists
+    probe = spark.createDataFrame(
+        [(41, THIRD.replace("kiln", "oven"))], ["doc_id", "text"]
+    )
+    out2 = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in incremental_dedup(
+            probe, idx, threshold=0.5, append=False
+        ).collect()
+    }
+    assert out2[41] == ("exists", 40)
+    # a fully-successful second replay appends nothing more
+    incremental_dedup(batch, idx, threshold=0.5)
+    sigs = spark.read.parquet(f"{idx}/sigs")
+    assert sigs.filter("doc = 40").count() == 1

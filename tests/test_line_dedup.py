@@ -141,3 +141,36 @@ def test_line_dedup_plan_shape(spark, docs):
     assert "ShuffledHashJoin" not in plan
     assert "partial_count" in plan
     assert "Generate" in plan
+
+
+def test_null_text_docs_survive(spark):
+    """Docs with NULL text have no line rows (posexplode of NULL) and
+    hence no stats row — remove_duplicated_lines must keep them (left
+    join + coalesce, ADVICE r4), not silently drop them."""
+    from etl_sentinel_imagery_spark.operators.line_dedup import (
+        remove_duplicated_lines,
+    )
+
+    boiler = "this exact boilerplate sentence repeats across documents"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + "\nunique first body line of doc one"),
+            (2, boiler + "\nunique second body line of doc two"),
+            (3, None),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    for keep_first in (False, True):
+        out = remove_duplicated_lines(
+            docs, min_count=2, min_chars=10, keep_first=keep_first
+        )
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert set(rows) == {1, 2, 3, 4}, "one row per input row, always"
+        assert rows[3]["text"] is None
+        assert rows[3]["n_dup_lines_removed"] == 0
+        assert rows[4]["n_dup_lines_removed"] == 0
+        # the dedup itself still works on the non-NULL docs
+        expect_in_1 = 1 if keep_first else 0
+        assert rows[1]["text"].count(boiler) == expect_in_1
+        assert rows[2]["text"].count(boiler) == 0

@@ -755,3 +755,108 @@ def test_cdf_and_mv_delta_agree(spark, tmp_path):
     mv = {k: v for k, v in mv.items() if v != (0, 0)}
     cdf = {k: v for k, v in cdf.items() if v != (0, 0)}
     assert mv == cdf and len(cdf) >= 3
+
+
+def test_orphaned_claim_recovers_without_wedging(spark, tmp_path):
+    """Crash between manifest claim and pointer flip (ADVICE r4): the
+    claimed manifest IS a valid commit, so the table must neither lose
+    it nor wedge — current_version scans forward past the stale
+    pointer, readers see the committed rows, and the next commit
+    claims the following number (which also heals the pointer)."""
+    from etl_sentinel_imagery_spark.operators import txlog as tx
+
+    class CrashBeforeFlip(tx.PosixLogStore):
+        def replace(self, tmp_path, final_path):
+            raise RuntimeError("simulated crash before pointer flip")
+
+    t = str(tmp_path / "orphan")
+    init_table(spark, t, _seed(spark, 10))
+    tx.set_log_store(CrashBeforeFlip())
+    try:
+        with pytest.raises(RuntimeError, match="pointer flip"):
+            append(spark, t, _seed(spark, 5, offset=100))
+    finally:
+        tx.set_log_store(tx.PosixLogStore())
+    # the raw pointer file still says 0, but the claim committed v1
+    with open(os.path.join(t, "_txlog", "_CURRENT")) as f:
+        assert int(f.read().strip()) == 0
+    assert current_version(t) == 1
+    assert snapshot(spark, t).count() == 15
+    # the table is NOT wedged: the successor claims v2 and the
+    # pointer cache heals
+    v = append(spark, t, _seed(spark, 7, offset=200))
+    assert v == 2
+    with open(os.path.join(t, "_txlog", "_CURRENT")) as f:
+        assert int(f.read().strip()) == 2
+    assert snapshot(spark, t).count() == 22
+    assert [h["op"] for h in history(t)] == ["init", "append", "append"]
+
+
+def test_vacuum_walks_partition_subdirs_and_age_gate(spark, tmp_path):
+    """Orphans inside hive col=val/ leaves are reclaimed (pre-fix they
+    were invisible to the top-level listdir); referenced partitioned
+    files survive; min_age_seconds protects just-written files."""
+    t = str(tmp_path / "vsub")
+    df = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("int").alias("par"),
+        F.concat(F.lit("x-"), F.col("id")).alias("body"),
+    )
+    init_table(spark, t, df, partition_cols=["par"])
+    leaf = os.path.join(t, "par=0")
+    orphan = os.path.join(leaf, "part-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    # age gate: a fresh orphan survives a guarded vacuum
+    assert vacuum(t, min_age_seconds=3600) == []
+    assert os.path.exists(orphan)
+    # unguarded: reclaimed by its table-relative name
+    assert vacuum(t) == [os.path.join("par=0", "part-orphan.parquet")]
+    assert not os.path.exists(orphan)
+    assert snapshot(spark, t).count() == 60
+
+
+def test_snapshot_pruned_honors_partition_and_schema_contract(
+    spark, tmp_path
+):
+    """snapshot_pruned reads under the same contract as snapshot():
+    hive partition columns come back via basePath and the recorded
+    schema NULL-fills files written before an add-column evolution
+    (pre-fix it footer-inferred and silently dropped partition cols)."""
+    from etl_sentinel_imagery_spark.operators.txlog import snapshot_pruned
+
+    t = str(tmp_path / "sp")
+
+    def seed(n, offset=0, extra=False):
+        df = spark.range(offset, offset + n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 2).cast("int").alias("par"),
+            F.concat(F.lit("s-"), F.col("id")).alias("body"),
+        )
+        if extra:
+            df = df.withColumn("score", (F.col("doc_id") * 2).cast("long"))
+        return df
+
+    init_table(
+        spark, t, seed(100), stat_cols=["doc_id"], partition_cols=["par"]
+    )
+    append(spark, t, seed(40, offset=1000, extra=True))  # add-column
+    pruned, st = snapshot_pruned(spark, t, "doc_id", lo=1000)
+    assert st["files_skipped"] > 0
+    # partition column AND evolved column both present
+    assert set(pruned.columns) == {"doc_id", "par", "body", "score"}
+    got = {
+        (r["doc_id"], r["par"], r["score"])
+        for r in pruned.collect()
+    }
+    want = {
+        (r["doc_id"], r["par"], r["score"])
+        for r in snapshot(spark, t).filter("doc_id >= 1000").collect()
+    }
+    assert got == want
+    # range touching only OLD files: evolved column comes back NULL,
+    # not missing
+    pruned_old, _ = snapshot_pruned(spark, t, "doc_id", hi=50)
+    assert "score" in pruned_old.columns
+    assert pruned_old.filter(F.col("score").isNotNull()).count() == 0
+    assert pruned_old.count() == 51
