@@ -1,5 +1,6 @@
 """Minimal table-format transaction log — snapshot-isolated appends,
-deletes, and compaction over plain parquet.
+deletes (copy-on-write AND merge-on-read deletion vectors), and
+compaction over plain parquet.
 
 The engine's maintenance ops (compaction, targeted delete) use a
 crash-ordered swap that is safe but exposes a TRANSIENT WINDOW where a
@@ -83,9 +84,17 @@ def set_log_store(store) -> None:
 
 
 def _entry_name(e) -> str:
-    """Manifest file entries are plain names, or {name, stats} dicts
-    when the table tracks column stats."""
+    """Manifest file entries are plain names, or {name, stats?, dv?,
+    dv_n?} dicts when the table tracks column stats or the file
+    carries deletion vectors."""
     return e if isinstance(e, str) else e["name"]
+
+
+def _entry_dvs(e) -> list:
+    """Deletion-vector sidecar paths attached to a file entry (each a
+    table-relative parquet dir of (file_name, pos) rows); empty for
+    plain entries."""
+    return (e.get("dv") or []) if isinstance(e, dict) else []
 
 
 def _log_dir(table_dir: str) -> str:
@@ -417,7 +426,11 @@ def snapshot(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
     """The committed table at ``version`` (default: current) — time
-    travel is just naming an older manifest."""
+    travel is just naming an older manifest. Reads are metadata-driven
+    (the Iceberg/Delta path): basePath re-derives hive partition
+    columns, the recorded schema NULL-fills pre-evolution files with
+    NO footer opened, and deletion vectors (:func:`delete_rows_dv`)
+    anti-join out by row position."""
     files = resolve_files(table_dir, version)
     if not files:
         raise ValueError(
@@ -425,25 +438,8 @@ def snapshot(
             f"of {table_dir} is empty; no schema to serve (seed "
             "init_table with a DataFrame)"
         )
-    reader = spark.read
-    if read_manifest(table_dir, version).get("partition_cols"):
-        # basePath re-derives hive partition columns from the entries'
-        # relative paths — same schema as a whole-table read
-        reader = reader.option("basePath", table_dir)
-    # metadata-driven schema (the Iceberg/Delta read path): files
-    # written before an add-column evolution fill the new columns with
-    # NULL, and NO footer is opened to learn the schema. The recorded
-    # schema includes partition columns (it is the writer DataFrame's
-    # schema) — Spark fills those from the hive paths when the
-    # user-supplied schema names them alongside basePath.
-    sj = resolve_schema(table_dir, version)
-    if sj:
-        from pyspark.sql.types import StructType
-
-        reader = reader.schema(StructType.fromJson(json.loads(sj)))
-    return reader.parquet(
-        *[os.path.join(table_dir, _entry_name(f)) for f in files]
-    )
+    ver = current_version(table_dir) if version is None else version
+    return _read_entries(spark, table_dir, files, ver)
 
 
 def history(table_dir: str) -> list[dict]:
@@ -491,7 +487,11 @@ def delete_rows(
 ) -> int:
     """Transactional targeted delete: candidate files (those actually
     holding matches) rewrite to new files; ONE commit swaps old for new
-    — a snapshot reader never sees duplicates or partial deletes."""
+    — a snapshot reader never sees duplicates or partial deletes. This
+    is the COPY-ON-WRITE form (full write-amplification on touched
+    files); :func:`delete_rows_dv` is the merge-on-read sibling.
+    Rewrites read DV-aware, so composing the two is safe: a rewrite of
+    a DV-carrying file materializes its DV (deleted rows stay dead)."""
     parent = current_version(table_dir)
     m = read_manifest(table_dir, parent)
     stat_cols = m.get("stat_cols") or None
@@ -500,8 +500,11 @@ def delete_rows(
     new_names: list = []
     for entry in resolve_files(table_dir, parent):
         name = _entry_name(entry)
-        path = os.path.join(table_dir, name)
-        df = spark.read.parquet(path)
+        df = _read_entries(spark, table_dir, [entry], parent)
+        if partition_cols:
+            # partition values stay encoded in the leaf path the
+            # rewrite lands in — they are not data columns on disk
+            df = df.drop(*partition_cols)
         n_hit = df.filter(F.col(key_col).isin(values)).count()
         if n_hit == 0:
             continue  # untouched — not even mentioned in the delta
@@ -523,6 +526,164 @@ def delete_rows(
         table_dir, parent, new_names, removes, "delete", stat_cols,
         partition_cols,
     )
+
+
+def delete_rows_dv(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    values: list,
+    candidate_names: list[str] | None = None,
+) -> int:
+    """MERGE-ON-READ targeted delete — Delta deletion vectors /
+    Iceberg positional delete files, at their irreducible core. ONE
+    distributed probe scan (predicate pushed to parquet) finds the
+    matching ROW POSITIONS via the ``_metadata.row_index`` hidden
+    column, a parquet sidecar under ``_dv/`` records ``(file_name,
+    pos)``, and the commit re-points each touched file's entry at its
+    widened DV chain — NO data file is rewritten. At 100 TB this is
+    the difference between a 1-row GDPR delete costing one sidecar
+    row and it rewriting a multi-GB file (:func:`delete_rows`, the
+    copy-on-write sibling, pays the latter).
+
+    Readers (:func:`snapshot` and every pruned variant) anti-join the
+    DV positions back out; repeated DV deletes accumulate sidecars on
+    the entry's ``dv`` chain (the probe reads DV-aware, so positions
+    never double-record); a file whose every remaining row matches
+    becomes a pure remove; :func:`compact` / :func:`optimize` read
+    through the snapshot and therefore MATERIALIZE the vectors away
+    (their rewritten entries carry no ``dv``). Time travel to the
+    pre-delete version reads the old entry without the new sidecar,
+    and :func:`table_changes` diffs entry states to stream exactly
+    the newly-deleted rows.
+
+    ``candidate_names`` restricts the probe to the named live files —
+    compose with the per-file Bloom sidecar via
+    :func:`dv_delete_candidates` (no false negatives, so skipped
+    files provably hold no matches). Correctness never depends on the
+    candidate set; rows outside it simply aren't probed.
+
+    Crash safety mirrors appends: the sidecar lands BEFORE the commit
+    that references it (an orphaned sidecar is garbage for
+    :func:`vacuum`, never corruption); a :class:`TxConflict` loser
+    retries with a fresh probe and its abandoned sidecar vacuums
+    away. Returns the committed version — ``parent`` unchanged when
+    nothing matched (no empty commits).
+    """
+    parent = current_version(table_dir)
+    m = read_manifest(table_dir, parent)
+    stat_cols = m.get("stat_cols") or None
+    partition_cols = m.get("partition_cols") or None
+    entries = resolve_files(table_dir, parent)
+    by_name = {_entry_name(e): e for e in entries}
+    probe = (
+        [by_name[n] for n in candidate_names]
+        if candidate_names is not None
+        else entries
+    )
+    if not probe:
+        return parent
+    live = _read_entries(spark, table_dir, probe, parent, keep_pos=True)
+    hits = live.filter(F.col(key_col).isin(values)).select(
+        F.col("_file_name").alias("file_name"),
+        F.col("_row_pos").alias("pos"),
+    )
+    sidecar = os.path.join("_dv", f"dv-{uuid.uuid4().hex}")
+    hits.write.parquet(os.path.join(table_dir, sidecar))
+    # control-plane collect: one (file, count) row per TOUCHED file
+    per_file = {
+        r["file_name"]: r["n"]
+        for r in spark.read.parquet(os.path.join(table_dir, sidecar))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not per_file:
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(table_dir, sidecar), ignore_errors=True
+        )
+        return parent
+    import pyarrow.parquet as pq
+
+    removes, adds = [], []
+    for name, n_del in sorted(per_file.items()):
+        e = by_name[name]
+        old = dict(e) if isinstance(e, dict) else {"name": e}
+        prev = int(old.get("dv_n", 0))
+        total = pq.ParquetFile(
+            os.path.join(table_dir, name)
+        ).metadata.num_rows
+        removes.append(name)
+        if prev + n_del >= total:
+            continue  # every live row deleted: pure remove, no DV
+        old["name"] = name
+        old["dv"] = list(_entry_dvs(e)) + [sidecar]
+        old["dv_n"] = prev + n_del
+        adds.append(old)
+    return _commit_delta(
+        table_dir, parent, adds, removes, "delete_dv", stat_cols,
+        partition_cols,
+    )
+
+
+def _uri_to_path(p: str) -> str:
+    """'file:/x', 'file:///x', or '/x' → '/x'."""
+    if p.startswith("file:"):
+        p = p[5:]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+def dv_delete_candidates(
+    spark: SparkSession, table_dir: str, key_col: str, values: list
+) -> list[str]:
+    """Live-file names that CAN hold any of ``values`` per the
+    per-file Bloom sidecar (``operators.skipping``) — the candidate
+    set for :func:`delete_rows_dv`. Bloom filters have no false
+    negatives, so a skipped file provably holds none of the keys;
+    live files the index doesn't cover are always candidates (an
+    index built before recent appends never silently misses them).
+    The raw index keys by absolute path over everything under the
+    directory — including retired files — so intersecting with the
+    MANIFEST's live resolution is what makes this txlog-correct. The
+    probe evaluates distributed; only file paths reach the driver."""
+    from etl_sentinel_imagery_spark.operators.skipping import (
+        bloom_contains,
+        read_file_bloom_index,
+    )
+
+    idx = read_file_bloom_index(spark, table_dir, key_col)
+    shape = idx.select("n_bits", "n_hashes").first()
+    if shape is None:
+        raise ValueError("empty bloom index")
+    probe = F.lit(False)
+    for v in values:
+        probe = probe | F.coalesce(
+            bloom_contains(
+                F.col("words"),
+                F.lit(str(v)),
+                int(shape["n_bits"]),
+                int(shape["n_hashes"]),
+            ),
+            F.lit(False),
+        )
+    admitted = {
+        _uri_to_path(r["file"])
+        for r in idx.where(probe).select("file").collect()
+    }
+    indexed = {
+        _uri_to_path(r["file"]) for r in idx.select("file").collect()
+    }
+    out = []
+    for e in resolve_files(table_dir):
+        name = _entry_name(e)
+        path = os.path.abspath(os.path.join(table_dir, name))
+        if path in admitted or path not in indexed:
+            out.append(name)
+    return out
 
 
 def compact(
@@ -611,16 +772,20 @@ def vacuum(table_dir: str, min_age_seconds: float = 0.0) -> list[str]:
     and vacuuming inside that window would delete just-committed data;
     ``min_age_seconds > 0`` additionally age-gates candidates as a
     belt-and-braces guard when scheduling can't fully serialize."""
+    import shutil
     import time
 
     referenced: set[str] = set()
+    referenced_dv: set[str] = set()
     for v in range(current_version(table_dir) + 1):
         p = _manifest_path(table_dir, v)
         if os.path.exists(p):
             with open(p) as f:
                 m = json.load(f)
-            referenced.update(_entry_name(e) for e in m.get("files", []))
-            referenced.update(_entry_name(e) for e in m.get("adds", []))
+            for key in ("files", "adds"):
+                for e in m.get(key, []):
+                    referenced.add(_entry_name(e))
+                    referenced_dv.update(_entry_dvs(e))
     removed = []
     now = time.time()
     for root, dirs, fnames in os.walk(table_dir):
@@ -635,6 +800,20 @@ def vacuum(table_dir: str, min_age_seconds: float = 0.0) -> list[str]:
             if min_age_seconds and now - os.path.getmtime(path) < min_age_seconds:
                 continue
             os.unlink(path)
+            removed.append(rel)
+    # deletion-vector sidecars (directories under _dv/, skipped by the
+    # underscore rule above) sweep separately: orphans come from
+    # crashed/conflicted delete_rows_dv writers
+    dv_root = os.path.join(table_dir, "_dv")
+    if os.path.isdir(dv_root):
+        for d in sorted(os.listdir(dv_root)):
+            rel = os.path.join("_dv", d)
+            if rel in referenced_dv:
+                continue
+            full = os.path.join(dv_root, d)
+            if min_age_seconds and now - os.path.getmtime(full) < min_age_seconds:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
             removed.append(rel)
     return removed
 
@@ -666,13 +845,13 @@ def snapshot_pruned(
     for e in files:
         st = (e.get("stats") or {}).get(col) if isinstance(e, dict) else None
         if st is None:
-            keep.append(_entry_name(e))
+            keep.append(e)
             continue
         fmin, fmax = st
         if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
             skipped += 1
             continue
-        keep.append(_entry_name(e))
+        keep.append(e)
     stats = {
         "files_total": len(files),
         "files_read": len(keep),
@@ -682,11 +861,12 @@ def snapshot_pruned(
         schema = snapshot(spark, table_dir, version).schema
         return spark.createDataFrame([], schema), stats
     # same read contract as snapshot(): basePath re-derives hive
-    # partition columns and the recorded schema NULL-fills
-    # pre-evolution files (a bare spark.read.parquet would silently
-    # drop partition columns / footer-infer a narrower schema)
+    # partition columns, the recorded schema NULL-fills pre-evolution
+    # files, and deletion vectors anti-join out (a bare
+    # spark.read.parquet would silently drop partition columns /
+    # resurrect DV-deleted rows)
     ver = current_version(table_dir) if version is None else version
-    df = _read_entry_names(spark, table_dir, keep, ver)
+    df = _read_entries(spark, table_dir, keep, ver)
     pred = F.lit(True)
     if lo is not None:
         pred = pred & (F.col(col) >= lo)
@@ -698,8 +878,11 @@ def snapshot_pruned(
 def file_diff(
     table_dir: str, v_from: int, v_to: int
 ) -> tuple[list[str], list[str]]:
-    """(added, removed) file names between two committed versions —
-    manifest set difference, no data touched."""
+    """(added, removed) file NAMES between two committed versions —
+    manifest set difference, no data touched. Note: a deletion-vector
+    commit changes a file's content without changing its name, so it
+    is invisible here; :func:`incremental_agg_delta` and
+    :func:`table_changes` diff on (name, dv) entries instead."""
     a = {_entry_name(e) for e in resolve_files(table_dir, v_from)}
     b = {_entry_name(e) for e in resolve_files(table_dir, v_to)}
     return sorted(b - a), sorted(a - b)
@@ -725,16 +908,26 @@ def incremental_agg_delta(
     rows if the MV should stay minimal). Note: a compaction rewrites
     every file, so a range that crosses one degenerates to a full
     re-read of both sides — refresh BEFORE compacting, or anchor
-    ``v_from`` after it."""
-    added, removed = file_diff(table_dir, v_from, v_to)
+    ``v_from`` after it.
+
+    The diff keys on (name, dv-chain), not name alone: a deletion-
+    vector commit changes a file's CONTENT without changing its name,
+    so the touched file contributes (file ∖ old_dv) negatively and
+    (file ∖ new_dv) positively — netting to exactly the deleted rows.
+    Reads go through the snapshot contract (schema/basePath/DV)."""
+    sig = lambda e: (_entry_name(e), tuple(_entry_dvs(e)))  # noqa: E731
+    from_map = {sig(e): e for e in resolve_files(table_dir, v_from)}
+    to_map = {sig(e): e for e in resolve_files(table_dir, v_to)}
+    added = [to_map[s] for s in sorted(to_map.keys() - from_map.keys())]
+    removed = [from_map[s] for s in sorted(from_map.keys() - to_map.keys())]
     sum_cols = sum_cols or []
 
-    def agg_of(files: list[str], sign: int) -> DataFrame | None:
-        if not files:
+    def agg_of(entries: list, sign: int) -> DataFrame | None:
+        if not entries:
             return None
-        df = spark.read.parquet(
-            *[os.path.join(table_dir, f) for f in files]
-        )
+        # both sides read under v_to's (widest) schema so the unionByName
+        # below lines up across an add-column evolution
+        df = _read_entries(spark, table_dir, entries, v_to)
         aggs = [
             (F.count(F.lit(1)) * sign).alias(count_alias)
         ] + [
@@ -781,7 +974,7 @@ def snapshot_partition(
     segs = {f"{c}={v}" for c, v in partition.items()}
     files = resolve_files(table_dir, version)
     keep = [
-        _entry_name(e)
+        e
         for e in files
         if segs <= set(_entry_name(e).split(os.sep)[:-1])
     ]
@@ -791,20 +984,38 @@ def snapshot_partition(
             snapshot(spark, table_dir, version).limit(0),
             stats,
         )
-    df = spark.read.option("basePath", table_dir).parquet(
-        *[os.path.join(table_dir, f) for f in keep]
-    )
-    return df, stats
+    ver = current_version(table_dir) if version is None else version
+    return _read_entries(spark, table_dir, keep, ver), stats
 
 
-def _read_entry_names(
-    spark: SparkSession, table_dir: str, names: list[str], version: int
+def _rel_name_col(table_dir: str):
+    """Table-relative file name derived from the ``_metadata.file_path``
+    hidden column (which is a ``file:``-prefixed URI)."""
+    import re as _re
+
+    base = _re.escape(os.path.abspath(table_dir) + os.sep)
+    return F.element_at(F.split(F.col("_metadata.file_path"), base), -1)
+
+
+def _read_entries(
+    spark: SparkSession,
+    table_dir: str,
+    entries: list,
+    version: int,
+    keep_pos: bool = False,
 ) -> DataFrame | None:
-    """Read specific table files under ``version``'s read contract —
-    the same basePath / metadata-schema rules as :func:`snapshot`, so
+    """Read specific file entries under ``version``'s read contract —
+    the same basePath / metadata-schema rules as :func:`snapshot` (so
     narrow pre-evolution files NULL-fill and partitioned entries
-    re-derive their path columns."""
-    if not names:
+    re-derive their path columns), PLUS deletion vectors: entries
+    carrying ``dv`` sidecars get their recorded (file, row-position)
+    pairs anti-joined out via the parquet ``_metadata.row_index``
+    hidden column — the merge-on-read path; no rewrite ever happened.
+    ``keep_pos=True`` keeps ``_file_name`` / ``_row_pos`` columns (the
+    DV writer's probe needs them); otherwise the output schema is
+    exactly the table schema. DV-free reads take the fast path with
+    zero added plan nodes."""
+    if not entries:
         return None
     reader = spark.read
     if read_manifest(table_dir, version).get("partition_cols"):
@@ -814,7 +1025,27 @@ def _read_entry_names(
         from pyspark.sql.types import StructType
 
         reader = reader.schema(StructType.fromJson(json.loads(sj)))
-    return reader.parquet(*[os.path.join(table_dir, n) for n in names])
+    df = reader.parquet(
+        *[os.path.join(table_dir, _entry_name(e)) for e in entries]
+    )
+    dv_paths = sorted({p for e in entries for p in _entry_dvs(e)})
+    if not (dv_paths or keep_pos):
+        return df
+    cols = df.columns
+    keyed = df.select(
+        *cols,
+        _rel_name_col(table_dir).alias("_file_name"),
+        F.col("_metadata.row_index").alias("_row_pos"),
+    )
+    if dv_paths:
+        dv = spark.read.parquet(
+            *[os.path.join(table_dir, p) for p in dv_paths]
+        ).select(
+            F.col("file_name").alias("_file_name"),
+            F.col("pos").alias("_row_pos"),
+        )
+        keyed = keyed.join(dv, ["_file_name", "_row_pos"], "left_anti")
+    return keyed if keep_pos else keyed.select(*cols)
 
 
 def table_changes(
@@ -838,9 +1069,12 @@ def table_changes(
     difference, ``exceptAll``): a delete commit that rewrote file A to
     A' yields exactly the dropped rows, and a pure append skips the
     diff entirely (no removes). Only the commit's TOUCHED files are
-    read, so the cost tracks the delta, not the table. Compaction /
-    optimize commits rewrite every row without changing any
-    (content-identical multisets) — they are skipped by default
+    read, so the cost tracks the delta, not the table. Removed names
+    resolve to their PARENT-version entries, so deletion-vector
+    commits (:func:`delete_rows_dv`) diff ``file ∖ new_dv`` against
+    ``file ∖ old_dv`` and yield exactly the newly-deleted rows.
+    Compaction / optimize commits rewrite every row without changing
+    any (content-identical multisets) — they are skipped by default
     rather than paying a table-sized diff to prove emptiness; pass
     ``include_rewrites=True`` to verify one (its feed rows are then
     exactly the empty set iff the rewrite was clean).
@@ -863,13 +1097,24 @@ def table_changes(
         if op in ("compact", "optimize") and not include_rewrites:
             continue
         if "adds" in m or "removes" in m:
-            adds = [_entry_name(e) for e in m.get("adds", [])]
-            removes = list(m.get("removes", []))
+            adds = list(m.get("adds", []))
+            remove_names = list(m.get("removes", []))
+            if remove_names:
+                # the removed files' pre-state (incl. their deletion
+                # vectors at the PARENT version) is what the diff is
+                # against
+                parent_by_name = {
+                    _entry_name(e): e
+                    for e in resolve_files(table_dir, m["parent"])
+                }
+                removes = [parent_by_name[n] for n in remove_names]
+            else:
+                removes = []
         else:  # init manifest: the full list IS the insert set
-            adds = [_entry_name(e) for e in m.get("files", [])]
+            adds = list(m.get("files", []))
             removes = []
-        a = _read_entry_names(spark, table_dir, adds, v)
-        r = _read_entry_names(spark, table_dir, removes, v)
+        a = _read_entries(spark, table_dir, adds, v)
+        r = _read_entries(spark, table_dir, removes, v)
         if a is None and r is None:
             continue
         ins = a if r is None else (None if a is None else a.exceptAll(r))
