@@ -1,0 +1,229 @@
+"""Streaming CDF source: tail table_changes with a checkpointed
+cursor; exactly-once end-to-end into a downstream txlog table.
+
+Acceptance contract (round-4 verdict #2): a downstream aggregate fed
+by the stream equals the batch CDF fold across restarts (the cursor
+survives), and a delete-rewrite commit streams exactly its dropped
+rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.operators.txlog import (
+    append,
+    compact,
+    current_version,
+    delete_rows,
+    delete_rows_dv,
+    init_table,
+    snapshot,
+    table_changes,
+)
+from etl_sentinel_imagery_spark.streaming.cdf_source import (
+    CdfCursor,
+    cdf_append_sink,
+    cdf_step,
+    drain_table_changes,
+    start_cdf_stream,
+)
+
+
+def _seed(spark, n=60, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("int").alias("grp"),
+        (F.col("id") * 3).cast("long").alias("val"),
+    )
+
+
+def _signed_agg(spark, dst):
+    """Fold the accumulated raw feed into a per-group aggregate:
+    insert rows count +1, delete rows count -1."""
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    return {
+        r["grp"]: (r["n"], r["s"])
+        for r in snapshot(spark, dst)
+        .groupBy("grp")
+        .agg(
+            F.sum(sign).alias("n"),
+            F.sum(sign * F.col("val")).alias("s"),
+        )
+        .collect()
+        if r["n"] != 0
+    }
+
+
+def test_stream_fold_equals_batch_cdf_across_restarts(spark, tmp_path):
+    """Commits land between drains; the consumer 'restarts' each time
+    (fresh function calls — cursor state lives only on disk). The
+    downstream fold must equal BOTH the one-shot batch CDF fold and
+    the live snapshot aggregate."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    sink = cdf_append_sink(dst)
+
+    init_table(spark, src, _seed(spark, 60).repartition(3))
+    r1 = drain_table_changes(spark, src, ckpt, sink)
+    assert r1 == [(-1, 0)]
+
+    append(spark, src, _seed(spark, 20, offset=100))
+    append(spark, src, _seed(spark, 10, offset=200))
+    delete_rows_dv(spark, src, "doc_id", [3, 103, 203])
+    # restart: nothing in memory carries over
+    r2 = drain_table_changes(spark, src, str(tmp_path / "ckpt"), sink)
+    assert r2 == [(0, 3)]
+
+    delete_rows(spark, src, "doc_id", [7, 107])  # rewrite form
+    compact(spark, src, target_files=2)  # content-neutral: skipped
+    r3 = drain_table_changes(spark, src, str(tmp_path / "ckpt"), sink)
+    assert r3 == [(3, 5)]
+
+    # already caught up → no-op
+    assert cdf_step(spark, src, ckpt, sink) is None
+
+    got = _signed_agg(spark, dst)
+    # one-shot batch CDF fold over the same range
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    want_batch = {
+        r["grp"]: (r["n"], r["s"])
+        for r in table_changes(spark, src, -1)
+        .groupBy("grp")
+        .agg(F.sum(sign).alias("n"), F.sum(sign * F.col("val")).alias("s"))
+        .collect()
+        if r["n"] != 0
+    }
+    # and the live table itself
+    want_live = {
+        r["grp"]: (r["n"], r["s"])
+        for r in snapshot(spark, src)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+    assert got == want_batch == want_live
+
+
+def test_rewrite_delete_streams_exactly_its_dropped_rows(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    ckpt = str(tmp_path / "ck2")
+    init_table(spark, src, _seed(spark, 50).repartition(4))
+    seen = []
+    drain_table_changes(
+        spark, src, ckpt, lambda df, rng: seen.append((rng, df.collect()))
+    )
+    seen.clear()
+    delete_rows(spark, src, "doc_id", [11, 22, 33])
+    drain_table_changes(
+        spark, src, ckpt, lambda df, rng: seen.append((rng, df.collect()))
+    )
+    (rng, rows), = seen
+    assert rng == (0, 1)
+    got = sorted(
+        (r["doc_id"], r["_change_type"], r["_commit_op"]) for r in rows
+    )
+    assert got == [
+        (11, "delete", "delete"),
+        (22, "delete", "delete"),
+        (33, "delete", "delete"),
+    ]
+
+
+def test_crash_between_process_and_advance_is_exactly_once(
+    spark, tmp_path
+):
+    """Process succeeds, crash before the cursor write: the restart
+    replays the identical range and the range-tagged sink commits
+    nothing twice."""
+    src = str(tmp_path / "src3")
+    dst = str(tmp_path / "dst3")
+    ckpt = str(tmp_path / "ck3")
+    init_table(spark, src, _seed(spark, 30))
+    sink = cdf_append_sink(dst)
+    drain_table_changes(spark, src, ckpt, sink)
+    append(spark, src, _seed(spark, 10, offset=500))
+
+    def crashy(df, rng):
+        sink(df, rng)
+        raise RuntimeError("crash after delivery, before cursor advance")
+
+    with pytest.raises(RuntimeError, match="before cursor"):
+        cdf_step(spark, src, ckpt, crashy)
+    assert CdfCursor(ckpt).read() == 0  # cursor did NOT move
+    # restart with the normal sink: same range replays, tag dedupes
+    assert cdf_step(spark, src, ckpt, sink) == (0, 1)
+    assert CdfCursor(ckpt).read() == 1
+    assert snapshot(spark, dst).count() == 40  # 30 init + 10, ONCE
+    got = _signed_agg(spark, dst)
+    want = {
+        r["grp"]: (r["n"], r["s"])
+        for r in snapshot(spark, src)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_max_versions_chunks_the_feed(spark, tmp_path):
+    src = str(tmp_path / "src4")
+    ckpt = str(tmp_path / "ck4")
+    init_table(spark, src, _seed(spark, 10))
+    for i in range(4):
+        append(spark, src, _seed(spark, 5, offset=1000 + i * 10))
+    ranges = drain_table_changes(
+        spark, src, ckpt, lambda df, rng: None, max_versions=2
+    )
+    assert ranges == [(-1, 1), (1, 3), (3, 4)]
+
+
+def test_live_streaming_query_tails_the_table(spark, tmp_path):
+    """The rate-tick wrapper: a real Structured Streaming query
+    drains pending commits; the cursor (not rate offsets) carries
+    consumption, so a restart with a fresh tick checkpoint replays
+    nothing."""
+    src = str(tmp_path / "src5")
+    dst = str(tmp_path / "dst5")
+    ckpt = str(tmp_path / "ck5")
+    init_table(spark, src, _seed(spark, 20))
+    append(spark, src, _seed(spark, 5, offset=300))
+    sink = cdf_append_sink(dst)
+
+    q = start_cdf_stream(spark, src, ckpt, sink, rows_per_second=50)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert CdfCursor(ckpt).read() == 1
+    assert snapshot(spark, dst).count() == 25
+
+    # more commits; restart the stream with a FRESH tick checkpoint —
+    # the cursor alone prevents replay
+    delete_rows_dv(spark, src, "doc_id", [2])
+    import shutil
+
+    shutil.rmtree(os.path.join(ckpt, "_ticks"))
+    q2 = start_cdf_stream(spark, src, ckpt, sink, rows_per_second=50)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert CdfCursor(ckpt).read() == 2
+    got = _signed_agg(spark, dst)
+    want = {
+        r["grp"]: (r["n"], r["s"])
+        for r in snapshot(spark, src)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+    assert got == want
