@@ -209,29 +209,63 @@ def resolve_schema(table_dir: str, version: int | None = None) -> str | None:
     return None
 
 
+#: Lossless type widenings the parquet reader can serve from NARROW
+#: footers (verified on Spark 4.x's widening-promotion read path;
+#: Delta's type-widening matrix minus the lossy/exotic rows —
+#: long→double would lose precision past 2^53 and stays a conflict).
+_WIDENINGS = {
+    ("byte", "short"),
+    ("byte", "integer"),
+    ("byte", "long"),
+    ("short", "integer"),
+    ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+    ("byte", "double"),
+    ("short", "double"),
+    ("integer", "double"),
+}
+
+
 def _merge_schema_json(parent_json: str | None, df_schema) -> str:
     """Union of the table's recorded schema and an incoming write's:
-    existing fields keep their type (a TYPE conflict raises — this log
-    does add-column evolution, not type mutation), new fields append
-    as nullable."""
+    new fields append as nullable (add-column evolution); matching
+    fields keep their type unless the incoming type is a WIDENING of
+    the recorded one (int→long, float→double, … — see
+    ``_WIDENINGS``), in which case the recorded schema widens — old
+    narrow files keep serving through the reader's widening promotion
+    and narrow TIME TRAVEL stays narrow (each version records its own
+    schema). A write NARROWER than the recorded type also passes
+    (its files upcast on read). Anything else — string→int, lossy
+    long→double — still raises."""
     from pyspark.sql.types import StructField, StructType
 
     if not parent_json:
         return df_schema.json()
     parent = StructType.fromJson(json.loads(parent_json))
     have = {f.name: f for f in parent.fields}
-    out = list(parent.fields)
+    out = {f.name: f for f in parent.fields}
     for f in df_schema.fields:
         if f.name in have:
-            if have[f.name].dataType != f.dataType:
+            old_t = have[f.name].dataType
+            if old_t == f.dataType:
+                continue
+            pair = (old_t.typeName(), f.dataType.typeName())
+            if pair in _WIDENINGS:
+                out[f.name] = StructField(
+                    f.name, f.dataType, have[f.name].nullable
+                )
+            elif (pair[1], pair[0]) in _WIDENINGS:
+                pass  # narrower write: files upcast under the wide schema
+            else:
                 raise ValueError(
                     f"schema evolution type conflict on {f.name!r}: "
-                    f"table has {have[f.name].dataType.simpleString()}, "
+                    f"table has {old_t.simpleString()}, "
                     f"write has {f.dataType.simpleString()}"
                 )
         else:
-            out.append(StructField(f.name, f.dataType, True))
-    return StructType(out).json()
+            out[f.name] = StructField(f.name, f.dataType, True)
+    return StructType(list(out.values())).json()
 
 
 def _commit_delta(

@@ -860,3 +860,74 @@ def test_snapshot_pruned_honors_partition_and_schema_contract(
     assert "score" in pruned_old.columns
     assert pruned_old.filter(F.col("score").isNotNull()).count() == 0
     assert pruned_old.count() == 51
+
+
+def test_schema_evolution_type_widening(spark, tmp_path):
+    """int→long / float→double widening (round-4 verdict #3): a
+    widened append reads back wide over the OLD narrow files (the
+    parquet reader's widening promotion — no rewrite), narrow time
+    travel keeps the narrow schema, genuinely lossy or incompatible
+    changes still raise, and a narrower write after the widening
+    upcasts under the wide recorded schema."""
+    t = str(tmp_path / "wide")
+
+    def seed(n, offset, int_t, float_t):
+        return spark.range(offset, offset + n).select(
+            F.col("id").alias("doc_id"),
+            F.col("id").cast(int_t).alias("qty"),
+            (F.col("id") / 2).cast(float_t).alias("score"),
+        )
+
+    init_table(spark, t, seed(10, 0, "int", "float"))
+    v1 = append(spark, t, seed(10, 100, "long", "double"))  # widen both
+    snap = snapshot(spark, t)
+    assert dict(snap.dtypes) == {
+        "doc_id": "bigint", "qty": "bigint", "score": "double",
+    }
+    assert snap.count() == 20
+    # old rows served wide, values intact
+    assert snap.filter("doc_id = 5").first()["qty"] == 5
+    # narrow time travel: version 0 still reads its own narrow schema
+    old = snapshot(spark, t, version=0)
+    assert dict(old.dtypes)["qty"] == "int"
+    assert dict(old.dtypes)["score"] == "float"
+    # a NARROW write after the widening upcasts under the wide schema
+    append(spark, t, seed(5, 200, "int", "float"))
+    snap2 = snapshot(spark, t)
+    assert dict(snap2.dtypes)["qty"] == "bigint"
+    assert snap2.count() == 25
+    assert snap2.filter("doc_id = 201").first()["qty"] == 201
+    # the byte→short→int chain widens too
+    t2 = str(tmp_path / "chain")
+    init_table(spark, t2, seed(4, 0, "byte", "float"))
+    append(spark, t2, seed(4, 50, "short", "float"))
+    assert dict(snapshot(spark, t2).dtypes)["qty"] == "smallint"
+    # incompatible: string→int raises
+    bad = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("string").alias("qty"),
+        F.lit(1.0).cast("double").alias("score"),
+    )
+    with pytest.raises(ValueError, match="type conflict"):
+        append(spark, t, bad)
+    # lossy: long→double raises (2^53 cliff)
+    lossy = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("long").alias("qty"),
+        F.col("id").cast("double").alias("score"),
+    ).withColumn("qty", F.col("qty").cast("long"))
+    t3 = str(tmp_path / "lossy")
+    init_table(spark, t3, seed(4, 0, "long", "double"))
+    bad2 = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("double").alias("qty"),
+        F.lit(1.0).cast("double").alias("score"),
+    )
+    with pytest.raises(ValueError, match="type conflict"):
+        append(spark, t3, bad2)
+    # the CHANGE FEED spans the widening: one unioned wide schema
+    from etl_sentinel_imagery_spark.operators.txlog import table_changes
+
+    feed = table_changes(spark, t, -1, v1)
+    assert dict(feed.dtypes)["qty"] == "bigint"
+    assert feed.count() == 20
