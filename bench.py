@@ -70,6 +70,23 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # per-tier attribution for the most expensive battery (round-4
+    # verdict #4): each tier re-times with its own training/build work
+    # AFTER the battery row above (which stays name-comparable across
+    # rounds). The adaptive tier's persisted index was cached by the
+    # battery run, so its tier time is probe-only — labeled as such.
+    from etl_sentinel_imagery_spark.queries.vectors_q import ann_ivf_tiers
+
+    tier_timings: dict[str, float] = {}
+    for tier, thunk in ann_ivf_tiers(spark, sf_dir).items():
+        t0 = time.time()
+        thunk().count()
+        tier_timings[tier] = round(time.time() - t0, 3)
+        print(
+            f"#   ann_ivf tier {tier}: {tier_timings[tier]:.3f}s",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -78,6 +95,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ann_ivf_tiers": tier_timings,
                 "sf": sf,
             }
         )

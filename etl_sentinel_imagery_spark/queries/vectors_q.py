@@ -369,6 +369,27 @@ def _ann_ivf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded-expression and int8 tiers live in ann_deterministic_battery
     under the strict hash oracle. (``exact`` is NULL for the tiers that
     carry no certificate.)"""
+    tiers = ann_ivf_tiers(spark, sf_dir)
+    dfs = [tiers[name]() for name in ("ivf_adaptive", "kmeans", "pq", "hnsw")]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def ann_ivf_tiers(spark: SparkSession, sf_dir: str) -> dict:
+    """The battery's four tiers as independent thunks, each carrying
+    its OWN training/build work — bench.py times them separately to
+    ATTRIBUTE drift per tier instead of watching one opaque total
+    (round-4 verdict #4). The adaptive tier's persisted index is
+    cached per sf_dir exactly as in the battery, so after the battery
+    has run once its thunk measures probe cost, while kmeans/pq/hnsw
+    re-run fit / codebook training / graph build on every call (those
+    ARE the tier costs)."""
+    from etl_sentinel_imagery_spark.operators.hnsw import (
+        hnsw_build,
+        hnsw_topk,
+    )
     from etl_sentinel_imagery_spark.operators.kmeans import fit
     from etl_sentinel_imagery_spark.operators.similarity import (
         ivf_topk_indexed_adaptive,
@@ -391,41 +412,52 @@ def _ann_ivf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("boolean").alias("exact"),
         )
 
-    cents = _centroids(spark, sf_dir)
-    index_path = _IVF_INDEX_CACHE.get(sf_dir)
-    if index_path is None:
-        import tempfile
+    def adaptive() -> DataFrame:
+        cents = _centroids(spark, sf_dir)
+        index_path = _IVF_INDEX_CACHE.get(sf_dir)
+        if index_path is None:
+            import tempfile
 
-        index_path = tempfile.mkdtemp(prefix="ann_ivf_idx_")
-        write_ivf_index(emb, cents, index_path)
-        _IVF_INDEX_CACHE[sf_dir] = index_path
-    adaptive = ivf_topk_indexed_adaptive(
-        spark, index_path, qids, cents, k=TOP_K
-    ).select(
-        F.lit("ivf_adaptive").alias("method"),
-        "query_id",
-        "cand_id",
-        F.col("cos_sim").alias("score"),
-        "rnk",
-        "exact",
-    )
-    centroids, _ = fit(emb, k=N_CENTROIDS, n_iter=3)
-    trained = tag(
-        ivf_topk(emb, F.col("vec_id") < N_QUERIES, centroids, k=TOP_K),
-        "kmeans", "cos_sim",
-    )
-    books = train_pq_codebooks(emb, m=8, k=16, n_iter=5)
-    pq = tag(
-        pq_topk(pq_encode(emb, books), qids, books, k=TOP_K),
-        "pq", "dist",
-    )
-    from etl_sentinel_imagery_spark.operators.hnsw import hnsw_build, hnsw_topk
+            index_path = tempfile.mkdtemp(prefix="ann_ivf_idx_")
+            write_ivf_index(emb, cents, index_path)
+            _IVF_INDEX_CACHE[sf_dir] = index_path
+        return ivf_topk_indexed_adaptive(
+            spark, index_path, qids, cents, k=TOP_K
+        ).select(
+            F.lit("ivf_adaptive").alias("method"),
+            "query_id",
+            "cand_id",
+            F.col("cos_sim").alias("score"),
+            "rnk",
+            "exact",
+        )
 
-    hnsw = tag(
-        hnsw_topk(emb, hnsw_build(emb), range(N_QUERIES), k=TOP_K),
-        "hnsw", "cos_sim",
-    )
-    return adaptive.unionByName(trained).unionByName(pq).unionByName(hnsw)
+    def kmeans() -> DataFrame:
+        centroids, _ = fit(emb, k=N_CENTROIDS, n_iter=3)
+        return tag(
+            ivf_topk(emb, F.col("vec_id") < N_QUERIES, centroids, k=TOP_K),
+            "kmeans", "cos_sim",
+        )
+
+    def pq() -> DataFrame:
+        books = train_pq_codebooks(emb, m=8, k=16, n_iter=5)
+        return tag(
+            pq_topk(pq_encode(emb, books), qids, books, k=TOP_K),
+            "pq", "dist",
+        )
+
+    def hnsw() -> DataFrame:
+        return tag(
+            hnsw_topk(emb, hnsw_build(emb), range(N_QUERIES), k=TOP_K),
+            "hnsw", "cos_sim",
+        )
+
+    return {
+        "ivf_adaptive": adaptive,
+        "kmeans": kmeans,
+        "pq": pq,
+        "hnsw": hnsw,
+    }
 
 
 QUERIES: dict[str, Q] = {
