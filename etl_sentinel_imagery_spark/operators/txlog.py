@@ -73,6 +73,108 @@ class PosixLogStore:
         os.replace(tmp_path, final_path)
 
 
+class MemoryLogStore:
+    """Reference LogStore for NON-POSIX (object-store) semantics — the
+    S3 + DynamoDB construction of Delta's ``S3DynamoDBLogStore``, in
+    miniature. Neither atomic ``link`` nor atomic ``replace`` is
+    assumed anywhere:
+
+    - a CLAIM is arbitrated by an external CAS table (here an
+      in-process dict under a lock — the seam where DynamoDB / etcd /
+      ZooKeeper plugs in), and the CAS RECORD CARRIES THE PAYLOAD:
+      a writer that crashes between winning the CAS and materializing
+      the manifest object leaves a RECOVERABLE state — any later
+      participant finishes the copy from the record (``recover()``
+      runs at every claim);
+    - the POINTER flip is a plain last-writer-wins PUT; a lost PUT is
+      harmless by design because :func:`current_version` scan-forward
+      treats the pointer as a cache.
+
+    Injectable failure points (each a countdown, fired then cleared):
+
+    - ``crash_after_cas``: the claim wins the CAS but 'crashes'
+      (raises) before the manifest object lands — claim-then-crash;
+    - ``drop_replaces``: the pointer PUT silently vanishes — lost
+      replace;
+    - ``spurious_claim_failures``: the claim fully lands but the
+      caller sees a failure (the object-store timeout shape) —
+      surfaces as TxConflict; per-commit IDEMPOTENCE TAGS (the
+      streaming sink's op-tag check) are the documented recovery,
+      because the store cannot know whether "my" claim won.
+    """
+
+    def __init__(
+        self,
+        crash_after_cas: int = 0,
+        drop_replaces: int = 0,
+        spurious_claim_failures: int = 0,
+    ):
+        import threading
+
+        self._lock = threading.Lock()
+        self._cas: dict[str, bytes] = {}
+        self.crash_after_cas = crash_after_cas
+        self.drop_replaces = drop_replaces
+        self.spurious_claim_failures = spurious_claim_failures
+
+    def recover(self) -> list[str]:
+        """Materialize CAS-claimed manifests whose object never landed
+        (crashed claimants). Safe from any participant — the payload
+        lives in the CAS record, so the copy is idempotent."""
+        fixed = []
+        with self._lock:
+            pending = [
+                (final, payload)
+                for final, payload in self._cas.items()
+                if not os.path.exists(final)
+            ]
+        for final, payload in pending:
+            tmp = final + f".recover{uuid.uuid4().hex}"
+            with open(tmp, "wb") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, final)
+            fixed.append(final)
+        return fixed
+
+    def claim(self, tmp_path: str, final_path: str) -> bool:
+        self.recover()
+        with open(tmp_path, "rb") as f:
+            payload = f.read()
+        with self._lock:
+            if final_path in self._cas:
+                return False
+            self._cas[final_path] = payload
+            crash = self.crash_after_cas > 0
+            if crash:
+                self.crash_after_cas -= 1
+            spurious = self.spurious_claim_failures > 0
+            if spurious and not crash:
+                self.spurious_claim_failures -= 1
+        if crash:
+            raise RuntimeError(
+                "injected crash between CAS win and manifest put"
+            )
+        put = final_path + f".put{uuid.uuid4().hex}"
+        with open(put, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(put, final_path)
+        if spurious:
+            return False  # it landed; the caller just never hears so
+        return True
+
+    def replace(self, tmp_path: str, final_path: str) -> None:
+        with self._lock:
+            if self.drop_replaces > 0:
+                self.drop_replaces -= 1
+                os.unlink(tmp_path)  # the PUT vanished in flight
+                return
+        os.replace(tmp_path, final_path)
+
+
 #: Module-level store — swap with set_log_store() for object-store
 #: deployments or deterministic conflict-injection in tests.
 _LOG_STORE = PosixLogStore()
@@ -114,9 +216,18 @@ def current_version(table_dir: str) -> int:
     manifests the flip never recorded — one extra ``stat()`` in the
     steady state, Delta-style max-on-disk in the crash case. The next
     successful commit's own pointer flip heals the cache; a racing
-    stale flip can only lag the pointer, which this scan re-covers."""
-    with open(os.path.join(_log_dir(table_dir), "_CURRENT")) as f:
-        v = int(f.read().strip())
+    stale flip can only lag the pointer, which this scan re-covers.
+    A MISSING pointer (the init commit's PUT itself lost on an object
+    store) falls back to scanning from version 0 — the claimed init
+    manifest is the commit; only a table with no manifest at all
+    raises."""
+    try:
+        with open(os.path.join(_log_dir(table_dir), "_CURRENT")) as f:
+            v = int(f.read().strip())
+    except FileNotFoundError:
+        if not os.path.exists(_manifest_path(table_dir, 0)):
+            raise
+        v = 0
     while os.path.exists(_manifest_path(table_dir, v + 1)):
         v += 1
     return v
