@@ -773,6 +773,124 @@ def delete_rows_dv(
     )
 
 
+def merge_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key_col: str,
+    candidate_names: list[str] | None = None,
+) -> int:
+    """``MERGE INTO`` (upsert) in ONE commit — the composition the
+    merge-on-read halves exist for: rows whose ``key_col`` matches an
+    existing row UPDATE it (the old row's position lands in a deletion
+    vector — no file rewrite), rows with unseen keys INSERT, and table
+    rows absent from ``source`` are untouched. Readers pinned to the
+    parent version see none of it; the new version sees all of it —
+    there is no window where the delete landed but the insert didn't
+    (the failure mode of calling delete_rows_dv + append separately).
+
+    Matching is by DISTRIBUTED semi-join on the key (never a
+    collected/broadcast-to-driver value list), so corpus-sized sources
+    work. ``source`` must be key-unique (one row per key — multiple
+    matches per target row is ambiguous; Delta raises here too).
+    Add-column / type-widening schema evolution applies exactly as in
+    :func:`append`. ``candidate_names`` narrows the match probe (Bloom
+    composition via :func:`dv_delete_candidates`'s pattern); rows in
+    files outside the candidates are treated as unmatched-by-omission,
+    so only pass a provably complete candidate set.
+
+    The CHANGE FEED of a merge commit is exactly: one delete row per
+    pre-image of an updated key + one insert row per source row —
+    downstream CDF consumers see the upsert as the standard
+    delete+insert pair, in one ``_commit_version``.
+
+    Crash safety: DV sidecar and source data files all land BEFORE the
+    single manifest claim (orphans vacuum away); a TxConflict loser
+    retries wholesale against the fresh parent.
+    """
+    n_src = source.count()
+    n_keys = source.select(key_col).distinct().count()
+    if n_keys != n_src:
+        raise ValueError(
+            f"merge source is not key-unique on {key_col!r}: "
+            f"{n_src} rows, {n_keys} distinct keys"
+        )
+    parent = current_version(table_dir)
+    m = read_manifest(table_dir, parent)
+    stat_cols = m.get("stat_cols") or None
+    partition_cols = m.get("partition_cols") or None
+    merged_schema = _merge_schema_json(
+        resolve_schema(table_dir, parent), source.schema
+    )
+    entries = resolve_files(table_dir, parent)
+    by_name = {_entry_name(e): e for e in entries}
+    probe = (
+        [by_name[n] for n in candidate_names]
+        if candidate_names is not None
+        else entries
+    )
+
+    removes: list[str] = []
+    dv_adds: list = []
+    per_file: dict[str, int] = {}
+    sidecar = None
+    if probe:
+        live = _read_entries(
+            spark, table_dir, probe, parent, keep_pos=True
+        )
+        keys = source.select(key_col).distinct()
+        hits = live.join(keys, key_col, "left_semi").select(
+            F.col("_file_name").alias("file_name"),
+            F.col("_row_pos").alias("pos"),
+        )
+        sidecar = os.path.join("_dv", f"dv-{uuid.uuid4().hex}")
+        hits.write.parquet(os.path.join(table_dir, sidecar))
+        per_file = {
+            r["file_name"]: r["n"]
+            for r in spark.read.parquet(os.path.join(table_dir, sidecar))
+            .groupBy("file_name")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    if not per_file and sidecar is not None:
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(table_dir, sidecar), ignore_errors=True
+        )
+    if per_file:
+        import pyarrow.parquet as pq
+
+        for name, n_del in sorted(per_file.items()):
+            e = by_name[name]
+            old = dict(e) if isinstance(e, dict) else {"name": e}
+            prev = int(old.get("dv_n", 0))
+            total = pq.ParquetFile(
+                os.path.join(table_dir, name)
+            ).metadata.num_rows
+            removes.append(name)
+            if prev + n_del >= total:
+                continue
+            old["name"] = name
+            old["dv"] = list(_entry_dvs(e)) + [sidecar]
+            old["dv_n"] = prev + n_del
+            dv_adds.append(old)
+
+    new_names = _move_in_data_files(
+        spark, table_dir, source, stat_cols, partition_cols
+    )
+    return _commit_delta(
+        table_dir,
+        parent,
+        dv_adds + new_names,
+        removes,
+        "merge",
+        stat_cols,
+        partition_cols,
+        schema_json=merged_schema,
+    )
+
+
 def _uri_to_path(p: str) -> str:
     """'file:/x', 'file:///x', or '/x' → '/x'."""
     if p.startswith("file:"):

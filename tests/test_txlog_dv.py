@@ -300,3 +300,105 @@ def test_dv_conflict_loser_retries_cleanly(spark, tmp_path):
     vacuum(t)
     assert len(os.listdir(os.path.join(t, "_dv"))) == 1
     assert snapshot(spark, t).count() == 59
+
+
+def test_merge_upsert_one_commit(spark, tmp_path):
+    """MERGE INTO: matched keys update via DV, unmatched insert, the
+    rest untouched — all in ONE commit (no delete-landed/insert-missing
+    window), with the change feed showing the delete+insert pair."""
+    t = str(tmp_path / "merge")
+    init_table(spark, t, _seed(spark, 50).repartition(3))
+    v0 = current_version(t)
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        history,
+        merge_upsert,
+    )
+
+    n_hist = len(history(t))
+    src = spark.createDataFrame(
+        [(7, 99, "updated-7"), (23, 99, "updated-23"), (500, 99, "new-500")],
+        ["doc_id", "grp", "body"],
+    )
+    v = merge_upsert(spark, t, src, "doc_id")
+    assert v == v0 + 1  # exactly one commit
+    assert len(history(t)) == n_hist + 1
+    assert history(t)[-1]["op"] == "merge"
+
+    snap = snapshot(spark, t)
+    assert snap.count() == 51  # 50 + 1 inserted
+    rows = {r["doc_id"]: (r["grp"], r["body"]) for r in snap.collect()}
+    assert rows[7] == (99, "updated-7")
+    assert rows[23] == (99, "updated-23")
+    assert rows[500] == (99, "new-500")
+    assert rows[8] == (1, "dv-8")  # untouched row intact
+    # no data file was rewritten for the updates: old names still live
+    assert any(_entry_dvs(e) for e in resolve_files(t))
+    # time travel: the parent still shows the pre-images
+    old = {r["doc_id"]: r["body"] for r in snapshot(spark, t, v0).collect()}
+    assert old[7] == "dv-7" and 500 not in old
+    # change feed: delete of the 2 pre-images + insert of the 3 source rows
+    feed = table_changes(spark, t, v0, v).select(
+        "doc_id", "_change_type"
+    )
+    got = sorted(map(tuple, feed.collect()))
+    assert got == [
+        (7, "delete"), (7, "insert"),
+        (23, "delete"), (23, "insert"),
+        (500, "insert"),
+    ]
+
+
+def test_merge_upsert_schema_evolution_and_partitions(spark, tmp_path):
+    t = str(tmp_path / "mep")
+    df = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("int").alias("par"),
+        F.concat(F.lit("b-"), F.col("id")).alias("body"),
+    )
+    init_table(spark, t, df, partition_cols=["par"])
+    from etl_sentinel_imagery_spark.operators.txlog import merge_upsert
+
+    src = spark.createDataFrame(
+        [(4, 0, "upd-4", "crawl"), (900, 1, "new-900", "synth")],
+        ["doc_id", "par", "body", "source"],  # add-column evolution
+    )
+    merge_upsert(spark, t, src, "doc_id")
+    snap = snapshot(spark, t)
+    assert snap.count() == 41
+    assert set(snap.columns) == {"doc_id", "par", "body", "source"}
+    rows = {r["doc_id"]: (r["body"], r["source"]) for r in snap.collect()}
+    assert rows[4] == ("upd-4", "crawl")
+    assert rows[900] == ("new-900", "synth")
+    assert rows[5] == ("b-5", None)  # untouched, NULL-filled
+
+    # key-duplicate source refuses
+    import pytest as _pytest
+
+    dup = spark.createDataFrame(
+        [(1, 0, "a", "x"), (1, 0, "b", "y")],
+        ["doc_id", "par", "body", "source"],
+    )
+    with _pytest.raises(ValueError, match="key-unique"):
+        merge_upsert(spark, t, dup, "doc_id")
+
+    # insert-only and update-only degenerate cases
+    merge_upsert(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(901, 1, "n", "s")], ["doc_id", "par", "body", "source"]
+        ),
+        "doc_id",
+    )
+    assert snapshot(spark, t).count() == 42
+    merge_upsert(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(901, 1, "n2", "s2")], ["doc_id", "par", "body", "source"]
+        ),
+        "doc_id",
+    )
+    snap2 = snapshot(spark, t)
+    assert snap2.count() == 42
+    assert snap2.filter("doc_id = 901").first()["body"] == "n2"
