@@ -149,3 +149,61 @@ def rolling_zscore(
     return counts.select(
         "*", mean.alias("roll_mean"), z.alias("roll_z")
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per group, the O(axis)
+    PRODUCTION form of the oracle anchor in
+    ``queries/events_q.py::events_windows_battery`` (whose per-position
+    prefix re-fold is O(axis²) — bought bit-identical cross-engine
+    doubles for the correctness gate, but a 10-year hourly axis would
+    pay ~4·10⁹ fold steps per group; this operator pays one step per
+    bucket).
+
+    One ``applyInPandas`` per group: the recurrence
+    ``acc = acc·(1−α) + α·x`` runs as a ufunc ACCUMULATE over the
+    time-sorted values — a single C-driven sequential scan, O(axis)
+    time and memory. The arithmetic is the IDENTICAL IEEE op sequence
+    as the oracle's fold (same multiply-then-add shape, same order),
+    so the two forms agree BIT-FOR-BIT, which the test pins — the
+    production path is not an approximation of the anchor.
+
+    100 TB shape: the shuffle is one hash exchange on the group key;
+    each group's axis is time-bounded (buckets, not rows), so a group
+    fits an Arrow batch by construction. NULL values are a contract
+    violation: run on gap-filled input (``resample_counts``), the same
+    precondition as the rolling z-score."""
+    import numpy as np
+    import pandas as pd
+
+    one_minus = 1.0 - alpha
+
+    def _ew(pdf: pd.DataFrame) -> pd.DataFrame:
+        # built per-task: a frompyfunc ufunc doesn't pickle
+        step = np.frompyfunc(
+            lambda a, x: a * one_minus + alpha * x, 2, 1
+        )
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        if len(vals):
+            # seed with α·x₀ == fold from acc=0.0, matching the oracle
+            acc = step.accumulate(
+                np.concatenate(([0.0], vals)), dtype=object
+            )[1:]
+            pdf = pdf.assign(**{out_col: acc.astype("float64")})
+        else:
+            pdf = pdf.assign(**{out_col: np.zeros(0)})
+        return pdf
+
+    out_fields = df.schema.fields
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
+    ) + f", `{out_col}` double"
+    return df.groupBy(*key_cols).applyInPandas(_ew, schema=schema)

@@ -108,7 +108,10 @@ def _windows_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doubles (the cosine-fold pattern). The per-position prefix re-fold
     # is O(axis²) per event_type, on the TIME AXIS only — bounded and
     # control-plane-sized at any corpus SF (the axis grows with days,
-    # not rows).
+    # not rows). The PRODUCTION form is operators.timeseries.ewma — an
+    # O(axis) ufunc-accumulate scan proven bit-identical to this fold
+    # (tests/test_timeseries.py); this battery keeps the fold because
+    # the DuckDB oracle restates it op-for-op.
     per_type = base.groupBy("event_type").agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("bucket"), F.col("n_events")))

@@ -106,3 +106,59 @@ def test_rolling_zscore_flags_planted_spike(spark):
     assert abs(got[3]["roll_mean"] - 10.0) < 1e-12
     # frame is trailing: bucket 9's frame [6..9] still carries the spike
     assert got[9]["roll_z"] < 0.0  # 10 is below the spike-inflated mean
+
+
+def test_ewma_production_form_bit_identical_to_fold(spark):
+    """operators.timeseries.ewma (O(axis) ufunc accumulate) must equal
+    the oracle anchor's O(axis²) prefix re-fold BIT-FOR-BIT — same
+    IEEE op sequence, so == on doubles, no tolerance."""
+    import time
+
+    from etl_sentinel_imagery_spark.operators.timeseries import ewma
+
+    rows = [
+        ("a", t, float((t * 7919) % 101) / 3.0) for t in range(200)
+    ] + [("b", t, float((t * 104729) % 97) / 7.0) for t in range(137)]
+    df = spark.createDataFrame(rows, ["grp", "t", "v"]).repartition(8)
+
+    got = {
+        (r["grp"], r["t"]): r["ewma"]
+        for r in ewma(df, ["grp"], "t", "v", alpha=0.25).collect()
+    }
+
+    # the oracle's formulation: per position, re-fold the full prefix
+    per_grp = df.groupBy("grp").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("t"), F.col("v")))
+        ).alias("_seq")
+    )
+    vals = F.transform(F.col("_seq"), lambda s: s["v"])
+    folds = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_seq"))),
+        lambda i: F.aggregate(
+            F.slice(vals, F.lit(1), i),
+            F.lit(0.0),
+            lambda a, x: a * F.lit(0.75) + F.lit(0.25) * x,
+        ),
+    )
+    want = {}
+    for r in per_grp.select(
+        "grp",
+        F.posexplode(F.zip_with(F.col("_seq"), folds, lambda s, e: F.struct(
+            s["t"].alias("t"), e.alias("e")
+        ))).alias("_p", "_z"),
+    ).collect():
+        want[(r["grp"], r["_z"]["t"])] = r["_z"]["e"]
+
+    assert got == want  # exact float equality, every position
+
+    # O(axis): a 20k-bucket axis completes in seconds, where the
+    # prefix re-fold form would pay 2·10⁸ fold steps
+    big = spark.createDataFrame(
+        [("x", t, float(t % 17)) for t in range(20_000)],
+        ["grp", "t", "v"],
+    )
+    t0 = time.time()
+    n = ewma(big, ["grp"], "t", "v").count()
+    assert n == 20_000
+    assert time.time() - t0 < 30
