@@ -402,3 +402,29 @@ def test_merge_upsert_schema_evolution_and_partitions(spark, tmp_path):
     snap2 = snapshot(spark, t)
     assert snap2.count() == 42
     assert snap2.filter("doc_id = 901").first()["body"] == "n2"
+
+
+def test_dv_read_plan_shape(spark, tmp_path):
+    """Physical-plan contract of the DV read path: a DV-free snapshot
+    plans IDENTICALLY to a plain parquet read (zero added nodes — the
+    fast path really is free), and a DV-carrying snapshot anti-joins
+    with a real join strategy (broadcast/shuffled hash/sort-merge),
+    never a BroadcastNestedLoopJoin, with the filter still pushed to
+    the scan."""
+    t = str(tmp_path / "plan")
+    init_table(spark, t, _seed(spark, 200).repartition(4))
+
+    clean = snapshot(spark, t).filter(F.col("doc_id") > 50)
+    plan_clean = clean._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan_clean
+    assert "PushedFilters" in plan_clean
+    assert "GreaterThan(doc_id,50" in plan_clean
+
+    delete_rows_dv(spark, t, "doc_id", [60, 70])
+    dvd = snapshot(spark, t).filter(F.col("doc_id") > 50)
+    plan_dv = dvd._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan_dv
+    assert "LeftAnti" in plan_dv
+    # the user predicate still reaches the parquet scan under the DV join
+    assert "PushedFilters" in plan_dv and "GreaterThan(doc_id,50" in plan_dv
+    assert dvd.count() == 147  # 149 in range minus the 2 deleted
