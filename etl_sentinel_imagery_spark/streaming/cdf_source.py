@@ -184,15 +184,20 @@ def cdf_append_sink(dst_table_dir: str):
         tag = f"cdf_{from_v}_{to_v}"
         if any(h["op"] == tag for h in history(dst_table_dir)):
             return  # replayed range: already delivered
-        stat_cols = read_manifest(dst_table_dir).get("stat_cols") or None
+        m = read_manifest(dst_table_dir)
+        stat_cols = m.get("stat_cols") or None
+        # inherit a pre-created destination's hive layout (same rule
+        # as append() and the epoch sink)
+        partition_cols = m.get("partition_cols") or None
         names = _move_in_data_files(
-            spark, dst_table_dir, changes, stat_cols
+            spark, dst_table_dir, changes, stat_cols, partition_cols
         )
         while True:
             parent = dst_version(dst_table_dir)
             try:
                 _commit_delta(
                     dst_table_dir, parent, names, [], tag, stat_cols,
+                    partition_cols,
                     schema_json=changes.schema.json(),
                 )
                 return

@@ -340,14 +340,23 @@ def run_foreach_batch_to_txlog(
         tag = f"stream_epoch_{epoch_id}"
         if any(h["op"] == tag for h in history(table_dir)):
             return  # replayed epoch: already committed
-        stat_cols = (
-            read_manifest(table_dir).get("stat_cols") or None
+        m = read_manifest(table_dir)
+        stat_cols = m.get("stat_cols") or None
+        # inherit the hive layout exactly as append() does — without
+        # this, a stream into a partitioned table would land
+        # unpartitioned files under a manifest that declares
+        # partition_cols, and basePath reads would NULL those columns
+        partition_cols = m.get("partition_cols") or None
+        names = _move_in_data_files(
+            spark, table_dir, batch_df, stat_cols, partition_cols
         )
-        names = _move_in_data_files(spark, table_dir, batch_df, stat_cols)
         while True:
             parent = current_version(table_dir)
             try:
-                _commit_delta(table_dir, parent, names, [], tag, stat_cols)
+                _commit_delta(
+                    table_dir, parent, names, [], tag, stat_cols,
+                    partition_cols,
+                )
                 return
             except TxConflict:
                 # another writer advanced the log; re-read and retry —

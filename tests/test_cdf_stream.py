@@ -227,3 +227,51 @@ def test_live_streaming_query_tails_the_table(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_sinks_inherit_partitioned_layout(spark, tmp_path):
+    """A stream/CDF delivery into a hive-partitioned txlog table must
+    write col=val leaves like append() does — pre-fix, files landed
+    unpartitioned in the root and basePath reads NULLed the partition
+    columns."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        _entry_name,
+        resolve_files,
+    )
+
+    # cdf_append_sink into a PRE-CREATED partitioned destination
+    src = str(tmp_path / "psrc")
+    dst = str(tmp_path / "pdst")
+    init_table(spark, src, _seed(spark, 40))
+    # destination partitioned by grp and seeded with the feed's schema
+    seed_feed = table_changes(spark, src, -1, 0).limit(0)
+    init_table(spark, dst, seed_feed, partition_cols=["grp"])
+    drain_table_changes(
+        spark, src, str(tmp_path / "pck"), cdf_append_sink(dst)
+    )
+    snap = snapshot(spark, dst)
+    assert snap.count() == 40
+    assert snap.filter(F.col("grp").isNull()).count() == 0
+    for e in resolve_files(dst):
+        if _entry_name(e).startswith("part-") and "/" not in _entry_name(e):
+            raise AssertionError(f"unpartitioned file: {_entry_name(e)}")
+    # the epoch sink: same rule, via a bounded file-based stream
+    from etl_sentinel_imagery_spark.streaming.events import (
+        run_foreach_batch_to_txlog,
+    )
+
+    feed_dir = str(tmp_path / "feed")
+    _seed(spark, 35).write.parquet(feed_dir)
+    stream = spark.readStream.schema(
+        "doc_id bigint, grp int, val bigint"
+    ).parquet(feed_dir)
+    t2 = str(tmp_path / "esink")
+    init_table(
+        spark, t2, _seed(spark, 1).limit(0), partition_cols=["grp"]
+    )
+    run_foreach_batch_to_txlog(stream, t2, str(tmp_path / "eck"))
+    snap2 = snapshot(spark, t2)
+    assert snap2.count() == 35
+    assert snap2.filter(F.col("grp").isNull()).count() == 0
+    for e in resolve_files(t2):
+        assert "grp=" in _entry_name(e)
