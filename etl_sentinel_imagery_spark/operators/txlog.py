@@ -388,12 +388,17 @@ def _commit_delta(
     stat_cols: list | None = None,
     partition_cols: list | None = None,
     schema_json: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Delta commit of parent+1: the manifest records only what changed.
     Every CHECKPOINT_EVERY-th version also embeds the resolved full
-    list, bounding the replay chain. Each commit carries the table
-    schema explicitly (supplied, else inherited from the chain) so
-    readers never open footers to learn it."""
+    list (and the accumulated txn map), bounding the replay chain.
+    Each commit carries the table schema explicitly (supplied, else
+    inherited from the chain) so readers never open footers to learn
+    it. ``txn=(app_id, version)`` records an idempotence watermark
+    (Delta's SetTransaction): :func:`resolve_txns` serves it back in
+    O(CHECKPOINT_EVERY), so streaming sinks check replay in constant
+    work instead of scanning the whole history."""
     version = parent + 1
     body = {
         "version": version,
@@ -405,6 +410,8 @@ def _commit_delta(
         "removes": sorted(removes),
         "schema": schema_json or resolve_schema(table_dir, parent),
     }
+    if txn is not None:
+        body["txn"] = {"app": txn[0], "version": int(txn[1])}
     if CHECKPOINT_EVERY and version % CHECKPOINT_EVERY == 0:
         base = {
             _entry_name(e): e for e in resolve_files(table_dir, parent)
@@ -414,8 +421,47 @@ def _commit_delta(
         for e in body["adds"]:
             base[_entry_name(e)] = e
         body["files"] = sorted(base.values(), key=_entry_name)
+        txns = dict(resolve_txns(table_dir, parent))
+        if txn is not None:
+            prev = txns.get(txn[0])
+            txns[txn[0]] = (
+                int(txn[1]) if prev is None else max(prev, int(txn[1]))
+            )
+        body["txns"] = txns
     _claim(table_dir, version, json.dumps(body, indent=0))
     return version
+
+
+def resolve_txns(table_dir: str, version: int | None = None) -> dict:
+    """{app_id: latest committed txn version} at ``version`` — the
+    Delta SetTransaction read: walk back to the nearest manifest
+    embedding an accumulated ``txns`` map (a checkpoint, or init),
+    then fold the delta chain's per-commit ``txn`` records forward.
+    Bounded by CHECKPOINT_EVERY manifests however long the history —
+    this is what makes a streaming sink's replay check O(1)-ish
+    instead of an O(history) scan per micro-batch."""
+    if version is None:
+        version = current_version(table_dir)
+    chain = []
+    v = version
+    while True:
+        m = read_manifest(table_dir, v)
+        if "txns" in m or m.get("parent") is None:
+            out = dict(m.get("txns") or {})
+            # the anchor manifest may itself carry a txn record
+            if m.get("txn"):
+                t = m["txn"]
+                out[t["app"]] = max(
+                    out.get(t["app"], t["version"]), t["version"]
+                )
+            break
+        chain.append(m)
+        v = m["parent"]
+    for m in reversed(chain):
+        t = m.get("txn")
+        if t:
+            out[t["app"]] = max(out.get(t["app"], t["version"]), t["version"])
+    return out
 
 
 def resolve_files(table_dir: str, version: int | None = None) -> list:
@@ -1419,8 +1465,11 @@ def truncate_history(table_dir: str, keep_versions: int) -> dict:
     if horizon == 0:
         return {"horizon": 0, "removed_manifests": 0}
     m = read_manifest(table_dir, horizon)
-    if "files" not in m:
+    if "files" not in m or "txns" not in m:
         m["files"] = resolve_files(table_dir, horizon)
+        # idempotence watermarks survive retention (a stream replaying
+        # pre-horizon epochs must still be recognized as delivered)
+        m["txns"] = resolve_txns(table_dir, horizon)
         m["parent"] = None  # self-contained: no ancestor walk
         path = _manifest_path(table_dir, horizon)
         tmp = path + ".trunc_tmp"

@@ -154,23 +154,28 @@ def drain_table_changes(
         out.append(r)
 
 
-def cdf_append_sink(dst_table_dir: str):
+def cdf_append_sink(dst_table_dir: str, app_id: str = "cdf"):
     """An idempotent batch processor appending change rows into a
     DESTINATION txlog table — the exactly-once leg. Each range commits
-    under op tag ``cdf_<from>_<to>``; a replayed range finds its tag
-    in the destination's history and skips, and a lost manifest-claim
-    race retries on the fresh parent (data files are already staged —
-    only the claim races). The destination accumulates the raw feed
+    under op tag ``cdf_<from>_<to>`` and a ``txn=(app_id, to_v)``
+    watermark (the Delta SetTransaction design): ranges from one
+    cursor are contiguous, so ``to_v <= watermark`` detects a replayed
+    range in O(CHECKPOINT_EVERY) via :func:`resolve_txns` — not an
+    O(history) tag scan per micro-batch. A lost manifest-claim race
+    retries on the fresh parent (data files are already staged — only
+    the claim races). The destination accumulates the raw feed
     (``_change_type`` / ``_commit_version`` columns included), so any
-    additive aggregate over it folds the stream exactly."""
+    additive aggregate over it folds the stream exactly. ``app_id``
+    must uniquely name the (source, cursor) pair when several feeds
+    land in one destination table."""
     from etl_sentinel_imagery_spark.operators.txlog import (
         TxConflict,
         _commit_delta,
         _move_in_data_files,
         current_version as dst_version,
-        history,
         init_table,
         read_manifest,
+        resolve_txns,
     )
 
     def _process(changes: DataFrame, version_range) -> None:
@@ -182,7 +187,7 @@ def cdf_append_sink(dst_table_dir: str):
             except TxConflict:
                 pass
         tag = f"cdf_{from_v}_{to_v}"
-        if any(h["op"] == tag for h in history(dst_table_dir)):
+        if to_v <= resolve_txns(dst_table_dir).get(app_id, -(10**9)):
             return  # replayed range: already delivered
         m = read_manifest(dst_table_dir)
         stat_cols = m.get("stat_cols") or None
@@ -199,10 +204,13 @@ def cdf_append_sink(dst_table_dir: str):
                     dst_table_dir, parent, names, [], tag, stat_cols,
                     partition_cols,
                     schema_json=changes.schema.json(),
+                    txn=(app_id, to_v),
                 )
                 return
             except TxConflict:
-                if any(h["op"] == tag for h in history(dst_table_dir)):
+                if to_v <= resolve_txns(dst_table_dir).get(
+                    app_id, -(10**9)
+                ):
                     return
 
     return _process

@@ -306,7 +306,10 @@ def run_to_memory_with_metrics(
 
 
 def run_foreach_batch_to_txlog(
-    stream_df: DataFrame, table_dir: str, checkpoint_dir: str
+    stream_df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    app_id: str = "epoch-sink",
 ) -> None:
     """Exactly-once streaming appends into a TRANSACTIONAL table
     (operators.txlog): each micro-batch commits one manifest version
@@ -317,15 +320,27 @@ def run_foreach_batch_to_txlog(
     manifest-claim race (TxConflict) retries on the fresh parent. This
     is the epoch-partition sink's upgrade: dynamic-overwrite idempotence
     constrains the table to epoch partitioning; the txlog form leaves
-    the file layout free."""
+    the file layout free.
+
+    Replay detection is the Delta SetTransaction design: each commit
+    records ``txn=(app_id, epoch)`` and the check reads the
+    checkpoint-bounded :func:`resolve_txns` watermark — O(1)-ish per
+    micro-batch, where the previous op-tag scan walked the ENTIRE
+    history every epoch (quadratic over a long-lived stream's life).
+    Epoch ids are monotonic per run AND across full replays from a
+    fresh checkpoint (they restart at 0 ≤ the watermark), so the skip
+    rule is ``epoch <= watermark``. ``app_id`` must uniquely name the
+    logical stream writing to this table — two different streams
+    sharing an app_id would suppress each other (Delta's txnAppId
+    rule)."""
     from etl_sentinel_imagery_spark.operators.txlog import (
         TxConflict,
         _commit_delta,
         _move_in_data_files,
         current_version,
-        history,
         init_table,
         read_manifest,
+        resolve_txns,
     )
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
@@ -338,7 +353,7 @@ def run_foreach_batch_to_txlog(
             except TxConflict:
                 pass  # another task initialized first
         tag = f"stream_epoch_{epoch_id}"
-        if any(h["op"] == tag for h in history(table_dir)):
+        if epoch_id <= resolve_txns(table_dir).get(app_id, -1):
             return  # replayed epoch: already committed
         m = read_manifest(table_dir)
         stat_cols = m.get("stat_cols") or None
@@ -355,14 +370,14 @@ def run_foreach_batch_to_txlog(
             try:
                 _commit_delta(
                     table_dir, parent, names, [], tag, stat_cols,
-                    partition_cols,
+                    partition_cols, txn=(app_id, epoch_id),
                 )
                 return
             except TxConflict:
                 # another writer advanced the log; re-read and retry —
                 # our data files are already in place, only the
                 # manifest claim races
-                if any(h["op"] == tag for h in history(table_dir)):
+                if epoch_id <= resolve_txns(table_dir).get(app_id, -1):
                     return
 
     q = (

@@ -275,3 +275,41 @@ def test_sinks_inherit_partitioned_layout(spark, tmp_path):
     assert snap2.filter(F.col("grp").isNull()).count() == 0
     for e in resolve_files(t2):
         assert "grp=" in _entry_name(e)
+
+
+def test_replay_check_is_checkpoint_bounded(spark, tmp_path, monkeypatch):
+    """The sinks' idempotence watermark must resolve through at most
+    ~CHECKPOINT_EVERY manifests however long the history — the Delta
+    SetTransaction design (pre-fix, every micro-batch scanned the
+    ENTIRE history for its op tag: quadratic over a stream's life).
+    Watermarks also survive retention."""
+    from etl_sentinel_imagery_spark.operators import txlog as tx
+
+    t = str(tmp_path / "wm")
+    init_table(spark, t, _seed(spark, 5).coalesce(1))
+    for i in range(50):
+        tx._commit_delta(
+            t,
+            tx.current_version(t),
+            [],
+            [],
+            f"stream_epoch_{i}",
+            txn=("epoch-sink", i),
+        )
+    calls = {"n": 0}
+    orig = tx.read_manifest
+
+    def counting(table_dir, version=None):
+        calls["n"] += 1
+        return orig(table_dir, version)
+
+    monkeypatch.setattr(tx, "read_manifest", counting)
+    wm = tx.resolve_txns(t)
+    assert wm == {"epoch-sink": 49}
+    assert calls["n"] <= tx.CHECKPOINT_EVERY + 2, (
+        f"watermark resolution read {calls['n']} manifests"
+    )
+    # watermarks survive truncate_history's self-contained horizon
+    monkeypatch.setattr(tx, "read_manifest", orig)
+    tx.truncate_history(t, keep_versions=5)
+    assert tx.resolve_txns(t) == {"epoch-sink": 49}
