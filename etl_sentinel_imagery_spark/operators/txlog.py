@@ -704,13 +704,18 @@ def delete_rows(
             ~F.coalesce(F.col(key_col).isin(values), F.lit(False))
         )
         if kept.limit(1).count() > 0:
-            # rewrites stay in their partition leaf (the file's own dir)
+            # rewrites stay in their partition leaf (the file's own
+            # dir) — except clone entries, whose absolute names point
+            # into the SOURCE table: their rewrites land in this
+            # table's own root (the clone materializes as it diverges)
             new_names += _move_in_data_files(
                 spark,
                 table_dir,
                 kept,
                 stat_cols,
-                dest_subdir=os.path.dirname(name),
+                dest_subdir=(
+                    "" if os.path.isabs(name) else os.path.dirname(name)
+                ),
             )
         # fully-matched files are a pure remove
     return _commit_delta(
@@ -935,6 +940,112 @@ def merge_upsert(
         partition_cols,
         schema_json=merged_schema,
     )
+
+
+def restore(spark: SparkSession, table_dir: str, version: int) -> int:
+    """Delta-style ``RESTORE TABLE ... TO VERSION``: make an older
+    snapshot current again by COMMITTING it — time travel made
+    writable. The restore is itself a delta commit (re-add what the
+    target version had, remove what it didn't), so it claims/races
+    like any other writer, history keeps every intermediate version
+    (a restore is undone by another restore), and NO data is copied —
+    the old files are still on disk because manifests reference them
+    (the reason vacuum only reclaims the unreferenced). The restored
+    commit pins the target version's schema, so a restore across an
+    add-column evolution narrows back exactly."""
+    parent = current_version(table_dir)
+    if version == parent:
+        return parent
+    target = {
+        _entry_name(e): e for e in resolve_files(table_dir, version)
+    }
+    cur = {_entry_name(e): e for e in resolve_files(table_dir, parent)}
+    sig = lambda e: (_entry_name(e), tuple(_entry_dvs(e)))  # noqa: E731
+    adds = [
+        target[n]
+        for n in sorted(target)
+        if n not in cur or sig(cur[n]) != sig(target[n])
+    ]
+    removes = sorted(
+        set(cur) - {n for n in target if sig(cur.get(n, "")) == sig(target[n])}
+    )
+    m = read_manifest(table_dir, version)
+    return _commit_delta(
+        table_dir,
+        parent,
+        adds,
+        removes,
+        f"restore_to_{version}",
+        m.get("stat_cols") or None,
+        m.get("partition_cols") or None,
+        schema_json=resolve_schema(table_dir, version),
+    )
+
+
+def clone_table(table_dir: str, dest_dir: str) -> int:
+    """SHALLOW CLONE: a new independent txlog table whose version-0
+    manifest references the SOURCE's live data files by ABSOLUTE path
+    — zero bytes of data copied, metadata only (the Delta shallow
+    clone; dev/test branches over a production table). Writes to the
+    clone land in the clone's own directory and never touch the
+    source; the clone's manifest chain, schema evolution, deletes and
+    deletion vectors are all its own (a DV delete in the clone leaves
+    a clone-local sidecar over the shared file — file identity rides
+    on manifest entry names, not directory layout). Caveats, exactly
+    as in Delta: VACUUM or file-rewriting ops on the SOURCE can retire
+    files the clone still references (clones are working copies with
+    a lifetime tied to the source's retention, not archives), and
+    hive-PARTITIONED sources are refused — their column values live in
+    paths relative to the source root, which no single basePath can
+    serve once clone-local files mix in (deep-copy via compact for
+    that case)."""
+    src = os.path.abspath(table_dir)
+    dest = os.path.abspath(dest_dir)
+    m = read_manifest(src)
+    if m.get("partition_cols"):
+        raise ValueError(
+            "shallow clone of a hive-partitioned table is not "
+            "supported (partition values live in source-relative "
+            "paths); materialize a copy instead"
+        )
+    entries = resolve_files(src)
+
+    def reroot(e):
+        if isinstance(e, dict):
+            out = dict(e)
+            out["name"] = os.path.join(src, e["name"])
+            if _entry_dvs(e):
+                out["dv"] = [
+                    os.path.join(src, p) for p in _entry_dvs(e)
+                ]
+            return out
+        return os.path.join(src, e)
+
+    os.makedirs(_log_dir(dest), exist_ok=True)
+    payload = json.dumps(
+        {
+            "version": 0,
+            "parent": None,
+            "op": f"clone_of:{src}@{current_version(src)}",
+            "stat_cols": m.get("stat_cols") or [],
+            "partition_cols": [],
+            "files": sorted(
+                (reroot(e) for e in entries), key=_entry_name
+            ),
+            "schema": resolve_schema(src),
+        },
+        indent=0,
+    )
+    path = _manifest_path(dest, 0)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    if not _LOG_STORE.claim(tmp, path):
+        os.unlink(tmp)
+        raise TxConflict("destination table already initialized")
+    os.unlink(tmp)
+    _write_pointer(dest, 0)
+    return 0
 
 
 def _uri_to_path(p: str) -> str:
@@ -1297,13 +1408,12 @@ def snapshot_partition(
     return _read_entries(spark, table_dir, keep, ver), stats
 
 
-def _rel_name_col(table_dir: str):
-    """Table-relative file name derived from the ``_metadata.file_path``
-    hidden column (which is a ``file:``-prefixed URI)."""
-    import re as _re
-
-    base = _re.escape(os.path.abspath(table_dir) + os.sep)
-    return F.element_at(F.split(F.col("_metadata.file_path"), base), -1)
+def _plain_path_col():
+    """``_metadata.file_path`` normalized from URI form (``file:/x`` or
+    ``file:///x``) to a plain absolute path."""
+    return F.regexp_replace(
+        F.col("_metadata.file_path"), r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"
+    )
 
 
 def _read_entries(
@@ -1341,19 +1451,43 @@ def _read_entries(
     if not (dv_paths or keep_pos):
         return df
     cols = df.columns
+    # file identity = the MANIFEST ENTRY NAME, attached by joining the
+    # normalized _metadata.file_path against a control-plane (path,
+    # name) map — manifest-sized and broadcast, and robust where
+    # string-stripping table_dir is not (absolute entries from
+    # clone_table, symlinked table dirs, prefix collisions)
+    path_map = spark.createDataFrame(
+        [
+            (
+                os.path.abspath(
+                    os.path.join(table_dir, _entry_name(e))
+                ),
+                _entry_name(e),
+            )
+            for e in entries
+        ],
+        ["_abs_path", "_file_name"],
+    )
     keyed = df.select(
         *cols,
-        _rel_name_col(table_dir).alias("_file_name"),
+        _plain_path_col().alias("_abs_path"),
         F.col("_metadata.row_index").alias("_row_pos"),
-    )
+    ).join(F.broadcast(path_map), "_abs_path").drop("_abs_path")
     if dv_paths:
+        # join on the BASENAME: data files are part-<uuid>.parquet, so
+        # basenames are globally unique, and this keeps a sidecar valid
+        # across re-rooted references (a clone's absolute entry names
+        # vs the source sidecar's source-relative file_name)
+        base = lambda c: F.element_at(F.split(c, "/"), -1)  # noqa: E731
         dv = spark.read.parquet(
             *[os.path.join(table_dir, p) for p in dv_paths]
         ).select(
-            F.col("file_name").alias("_file_name"),
+            base(F.col("file_name")).alias("_dv_base"),
             F.col("pos").alias("_row_pos"),
         )
-        keyed = keyed.join(dv, ["_file_name", "_row_pos"], "left_anti")
+        keyed = keyed.withColumn(
+            "_dv_base", base(F.col("_file_name"))
+        ).join(dv, ["_dv_base", "_row_pos"], "left_anti").drop("_dv_base")
     return keyed if keep_pos else keyed.select(*cols)
 
 

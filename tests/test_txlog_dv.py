@@ -428,3 +428,110 @@ def test_dv_read_plan_shape(spark, tmp_path):
     # the user predicate still reaches the parquet scan under the DV join
     assert "PushedFilters" in plan_dv and "GreaterThan(doc_id,50" in plan_dv
     assert dvd.count() == 147  # 149 in range minus the 2 deleted
+
+
+def test_restore_rolls_back_as_a_commit(spark, tmp_path):
+    """RESTORE: an older snapshot becomes current via a new commit —
+    history is preserved (a restore undoes by another restore), no
+    data copies, and the restored schema narrows back across an
+    evolution."""
+    from etl_sentinel_imagery_spark.operators.txlog import history, restore
+
+    t = str(tmp_path / "rst")
+    init_table(spark, t, _seed(spark, 30))
+    v0 = current_version(t)
+    append(
+        spark,
+        t,
+        _seed(spark, 10, offset=100).withColumn("extra", F.lit("x")),
+    )
+    delete_rows_dv(spark, t, "doc_id", [5])
+    v2 = current_version(t)
+    want_v0 = sorted(map(tuple, snapshot(spark, t, v0).collect()))
+
+    v3 = restore(spark, t, v0)
+    assert v3 == v2 + 1
+    assert history(t)[-1]["op"] == f"restore_to_{v0}"
+    snap = snapshot(spark, t)
+    assert sorted(map(tuple, snap.collect())) == want_v0
+    assert "extra" not in snap.columns  # schema narrowed back
+    # the rolled-back versions still time-travel
+    assert snapshot(spark, t, v2).count() == 39
+    # restore of the restore: forward again
+    restore(spark, t, v2)
+    assert snapshot(spark, t).count() == 39
+    assert "extra" in snapshot(spark, t).columns
+    # no-op restore returns current
+    assert restore(spark, t, current_version(t)) == current_version(t)
+    # the change feed of the restore-to-v0 commit: it dropped the 10
+    # appended rows and RESURRECTED doc 5 (the v0 entry without its DV)
+    feed = table_changes(spark, t, v3 - 1, v3)
+    del_ids = {
+        r["doc_id"]
+        for r in feed.filter("_change_type = 'delete'")
+        .select("doc_id")
+        .collect()
+    }
+    ins_ids = {
+        r["doc_id"]
+        for r in feed.filter("_change_type = 'insert'")
+        .select("doc_id")
+        .collect()
+    }
+    assert del_ids == set(range(100, 110))
+    assert ins_ids == {5}
+
+
+def test_shallow_clone_zero_copy_branch(spark, tmp_path):
+    """CLONE: metadata-only branch over the source's files; clone
+    writes/deletes diverge without touching the source; partitioned
+    sources refuse."""
+    import glob
+
+    from etl_sentinel_imagery_spark.operators.txlog import clone_table
+
+    src = str(tmp_path / "src")
+    cl = str(tmp_path / "clone")
+    init_table(spark, src, _seed(spark, 60).repartition(3))
+    delete_rows_dv(spark, src, "doc_id", [10])  # source DV rides along
+    clone_table(src, cl)
+    # zero data files under the clone dir
+    assert glob.glob(os.path.join(cl, "**", "*.parquet"), recursive=True) == []
+    got = sorted(map(tuple, snapshot(spark, cl).collect()))
+    assert got == sorted(map(tuple, snapshot(spark, src).collect()))
+    assert len(got) == 59  # the source DV applies in the clone
+
+    # clone-local delete + append: the source must not move
+    src_v = current_version(src)
+    delete_rows_dv(spark, cl, "doc_id", [3, 4])
+    append(spark, cl, _seed(spark, 5, offset=900))
+    assert current_version(src) == src_v
+    assert snapshot(spark, src).count() == 59
+    assert snapshot(spark, cl).count() == 62
+    # the clone's DV sidecar lives under the CLONE; the source's _dv
+    # still holds exactly its own one sidecar
+    assert len(os.listdir(os.path.join(cl, "_dv"))) == 1
+    assert len(os.listdir(os.path.join(src, "_dv"))) == 1
+    # source keeps evolving independently; the clone is pinned
+    append(spark, src, _seed(spark, 10, offset=500))
+    assert snapshot(spark, cl).count() == 62
+
+    # compaction materializes the clone fully into its own dir
+    compact(spark, cl, target_files=2)
+    assert snapshot(spark, cl).count() == 62
+    assert (
+        len(glob.glob(os.path.join(cl, "*.parquet"))) >= 1
+    )
+
+    # partitioned source refuses
+    p = str(tmp_path / "p")
+    init_table(
+        spark,
+        p,
+        _seed(spark, 10).withColumn(
+            "par", (F.col("doc_id") % 2).cast("int")
+        ),
+        partition_cols=["par"],
+    )
+    with pytest.raises(ValueError, match="partitioned"):
+        clone_table(p, str(tmp_path / "pc"))
