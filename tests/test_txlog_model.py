@@ -1,0 +1,134 @@
+"""Model-based test of the transaction log: hypothesis drives random
+op sequences (append / DV-delete / merge-upsert / compact / restore)
+against an in-memory reference model — the composition coverage no
+hand-written scenario list reaches. After every op the snapshot must
+equal the model multiset; at the end, every historical version must
+still time-travel to its recorded state and the change-feed fold must
+net to the final state."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.operators.txlog import (
+    append,
+    compact,
+    current_version,
+    delete_rows_dv,
+    init_table,
+    merge_upsert,
+    restore,
+    snapshot,
+    table_changes,
+    vacuum,
+)
+
+# an op is a (kind, seed) pair; seeds make every generated batch
+# deterministic and distinct
+OP = st.one_of(
+    st.tuples(st.just("append"), st.integers(0, 10**6)),
+    st.tuples(st.just("delete"), st.integers(0, 10**6)),
+    st.tuples(st.just("merge"), st.integers(0, 10**6)),
+    st.tuples(st.just("compact"), st.just(0)),
+    st.tuples(st.just("restore"), st.integers(0, 10**6)),
+)
+
+
+def _rows_for(seed: int, n: int, tag: str):
+    base = (seed * 2654435761) % (2**31)
+    return [
+        ((base + i) % 37, f"{tag}-{seed}-{i}") for i in range(n)
+    ]
+
+
+def _snapshot_counter(spark, t) -> Counter:
+    return Counter(
+        (r["doc_id"], r["val"]) for r in snapshot(spark, t).collect()
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(OP, min_size=1, max_size=7))
+def test_random_op_sequences_match_reference_model(
+    spark, tmp_path_factory, ops
+):
+    t = str(tmp_path_factory.mktemp("txmodel") / "t")
+    df0 = spark.createDataFrame(
+        _rows_for(0, 8, "init"), ["doc_id", "val"]
+    )
+    init_table(spark, t, df0)
+    model: Counter = Counter(_rows_for(0, 8, "init"))
+    states = {0: model.copy()}
+
+    for kind, seed in ops:
+        if kind == "append":
+            rows = _rows_for(seed, 4, "a")
+            append(
+                spark,
+                t,
+                spark.createDataFrame(rows, ["doc_id", "val"]),
+            )
+            model.update(rows)
+        elif kind == "delete":
+            keys = [seed % 37, (seed // 7) % 37]
+            delete_rows_dv(spark, t, "doc_id", keys)
+            model = Counter(
+                {
+                    rv: c
+                    for rv, c in model.items()
+                    if rv[0] not in keys
+                }
+            )
+        elif kind == "merge":
+            # key-unique source: 3 distinct keys, replace-or-insert
+            ks = sorted({seed % 37, (seed // 5) % 37, (seed // 11) % 37})
+            rows = [(k, f"m-{seed}-{k}") for k in ks]
+            merge_upsert(
+                spark,
+                t,
+                spark.createDataFrame(rows, ["doc_id", "val"]),
+                "doc_id",
+            )
+            model = Counter(
+                {rv: c for rv, c in model.items() if rv[0] not in ks}
+            )
+            model.update(rows)
+        elif kind == "compact":
+            compact(spark, t, target_files=2)
+        elif kind == "restore":
+            target = sorted(states)[seed % len(states)]
+            restore(spark, t, target)
+            model = states[target].copy()
+        v = current_version(t)
+        states[v] = model.copy()
+        assert _snapshot_counter(spark, t) == model, (
+            f"divergence after {kind}(seed={seed}) at v{v}"
+        )
+
+    # every recorded version still time-travels to its state
+    for v, state in states.items():
+        got = Counter(
+            (r["doc_id"], r["val"])
+            for r in snapshot(spark, t, version=v).collect()
+        )
+        assert got == state, f"time travel to v{v} diverged"
+
+    # the change feed nets to the final state (compactions skipped as
+    # content-neutral; restores and DV commits diff entry state)
+    feed = table_changes(spark, t, -1)
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    net = Counter()
+    for r in (
+        feed.groupBy("doc_id", "val").agg(F.sum(sign).alias("n")).collect()
+    ):
+        if r["n"]:
+            net[(r["doc_id"], r["val"])] = r["n"]
+    assert net == model, "CDF fold diverged from the final state"
+
+    # vacuum never breaks the current snapshot
+    vacuum(t)
+    assert _snapshot_counter(spark, t) == model
