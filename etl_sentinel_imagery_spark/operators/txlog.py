@@ -724,6 +724,25 @@ def delete_rows(
     )
 
 
+def _stats_probe_subset(entries: list, col: str, lo, hi) -> list:
+    """Entries whose manifest [min, max] for ``col`` intersects
+    [lo, hi]; entries without recorded stats are ALWAYS kept (no
+    false pruning — the same safety rule as snapshot_pruned). This is
+    what makes a key-ranged delete/merge on a ZORDERed table touch
+    only the intersecting files instead of scanning the table."""
+    keep = []
+    for e in entries:
+        st = (e.get("stats") or {}).get(col) if isinstance(e, dict) else None
+        if st is None:
+            keep.append(e)
+            continue
+        fmin, fmax = st
+        if fmax < lo or fmin > hi:
+            continue
+        keep.append(e)
+    return keep
+
+
 def delete_rows_dv(
     spark: SparkSession,
     table_dir: str,
@@ -757,7 +776,12 @@ def delete_rows_dv(
     compose with the per-file Bloom sidecar via
     :func:`dv_delete_candidates` (no false negatives, so skipped
     files provably hold no matches). Correctness never depends on the
-    candidate set; rows outside it simply aren't probed.
+    candidate set; rows outside it simply aren't probed. When the
+    table tracks manifest stats on ``key_col`` and no candidate list
+    is given, the probe AUTO-PRUNES to files whose [min, max]
+    intersects the value range — on a ZORDERed table a ranged delete
+    touches only the intersecting files (files without stats are
+    always probed; exact, never a heuristic).
 
     Crash safety mirrors appends: the sidecar lands BEFORE the commit
     that references it (an orphaned sidecar is garbage for
@@ -772,11 +796,14 @@ def delete_rows_dv(
     partition_cols = m.get("partition_cols") or None
     entries = resolve_files(table_dir, parent)
     by_name = {_entry_name(e): e for e in entries}
-    probe = (
-        [by_name[n] for n in candidate_names]
-        if candidate_names is not None
-        else entries
-    )
+    if candidate_names is not None:
+        probe = [by_name[n] for n in candidate_names]
+    elif key_col in (m.get("stat_cols") or []) and values:
+        probe = _stats_probe_subset(
+            entries, key_col, min(values), max(values)
+        )
+    else:
+        probe = entries
     if not probe:
         return parent
     live = _read_entries(spark, table_dir, probe, parent, keep_pos=True)
@@ -859,12 +886,16 @@ def merge_upsert(
     single manifest claim (orphans vacuum away); a TxConflict loser
     retries wholesale against the fresh parent.
     """
-    n_src = source.count()
-    n_keys = source.select(key_col).distinct().count()
-    if n_keys != n_src:
+    src_stats = source.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(key_col).alias("nk"),
+        F.min(key_col).alias("lo"),
+        F.max(key_col).alias("hi"),
+    ).collect()[0]
+    if src_stats["nk"] != src_stats["n"]:
         raise ValueError(
             f"merge source is not key-unique on {key_col!r}: "
-            f"{n_src} rows, {n_keys} distinct keys"
+            f"{src_stats['n']} rows, {src_stats['nk']} distinct keys"
         )
     parent = current_version(table_dir)
     m = read_manifest(table_dir, parent)
@@ -875,11 +906,21 @@ def merge_upsert(
     )
     entries = resolve_files(table_dir, parent)
     by_name = {_entry_name(e): e for e in entries}
-    probe = (
-        [by_name[n] for n in candidate_names]
-        if candidate_names is not None
-        else entries
-    )
+    if candidate_names is not None:
+        probe = [by_name[n] for n in candidate_names]
+    elif (
+        key_col in (m.get("stat_cols") or [])
+        and src_stats["lo"] is not None
+    ):
+        # manifest-stats auto-prune: the match probe touches only
+        # files whose key range intersects the source's (exact — the
+        # same rule as delete_rows_dv; ZORDER BY the merge key to make
+        # this bite)
+        probe = _stats_probe_subset(
+            entries, key_col, src_stats["lo"], src_stats["hi"]
+        )
+    else:
+        probe = entries
 
     removes: list[str] = []
     dv_adds: list = []

@@ -535,3 +535,47 @@ def test_shallow_clone_zero_copy_branch(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="partitioned"):
         clone_table(p, str(tmp_path / "pc"))
+
+
+def test_stats_auto_prune_the_dv_and_merge_probes(spark, tmp_path):
+    """With manifest stats on the key column, DV deletes and merges
+    probe only the files whose [min, max] intersects the key range —
+    exact (files without stats always probed), and the results equal
+    the unpruned form."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        _stats_probe_subset,
+        merge_upsert,
+        optimize,
+    )
+
+    t = str(tmp_path / "sp")
+    init_table(
+        spark,
+        t,
+        _seed(spark, 400).repartition(8),
+        stat_cols=["doc_id"],
+    )
+    optimize(spark, t, zorder_by=["doc_id"], target_files=8)
+    entries = resolve_files(t)
+    # the probe subset for a narrow range really is a subset
+    probe = _stats_probe_subset(entries, "doc_id", 10, 20)
+    assert 0 < len(probe) < len(entries)
+    # entries without stats are always kept
+    bare = [{"name": "x.parquet"}]
+    assert _stats_probe_subset(bare, "doc_id", 0, 1) == bare
+
+    delete_rows_dv(spark, t, "doc_id", [12, 15])
+    snap = snapshot(spark, t)
+    assert snap.count() == 398
+    assert snap.filter(F.col("doc_id").isin([12, 15])).count() == 0
+
+    src = spark.createDataFrame(
+        [(17, 0, "upd"), (1000, 0, "new")], ["doc_id", "grp", "body"]
+    )
+    merge_upsert(spark, t, src, "doc_id")
+    snap2 = snapshot(spark, t)
+    assert snap2.count() == 399
+    assert snap2.filter("doc_id = 17").first()["body"] == "upd"
+    assert snap2.filter("doc_id = 1000").count() == 1
+    # untouched rows outside the pruned range are intact
+    assert snap2.filter("doc_id = 399").first()["body"] == "dv-399"
