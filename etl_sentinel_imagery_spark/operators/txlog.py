@@ -1625,6 +1625,40 @@ def table_changes(
     return out
 
 
+def table_details(table_dir: str, version: int | None = None) -> dict:
+    """DESCRIBE DETAIL from metadata alone — no data read, no
+    directory listing: live file/DV counts, logical bytes, schema
+    width, partitioning, stats columns, txn watermarks, history
+    depth. ``dv_dead_rows`` (positions awaiting materialization) is
+    the compaction-scheduling signal: rising dead rows → run
+    ``optimize``."""
+    entries = resolve_files(table_dir, version)
+    m = read_manifest(table_dir, version)
+    sj = resolve_schema(table_dir, version)
+    n_cols = (
+        len(json.loads(sj).get("fields", [])) if sj else None
+    )
+    dv_entries = [e for e in entries if _entry_dvs(e)]
+    return {
+        "version": (
+            current_version(table_dir) if version is None else version
+        ),
+        "n_files": len(entries),
+        "n_dv_files": len(dv_entries),
+        "dv_dead_rows": sum(
+            int(e.get("dv_n", 0)) for e in dv_entries
+        ),
+        "n_columns": n_cols,
+        "partition_cols": m.get("partition_cols") or [],
+        "stat_cols": m.get("stat_cols") or [],
+        "txns": resolve_txns(
+            table_dir,
+            current_version(table_dir) if version is None else version,
+        ),
+        "history_ops": [h["op"] for h in history(table_dir)][-5:],
+    }
+
+
 def truncate_history(table_dir: str, keep_versions: int) -> dict:
     """Retire history older than ``current - keep_versions`` — the
     time-travel/storage trade: the horizon manifest is first made

@@ -579,3 +579,25 @@ def test_stats_auto_prune_the_dv_and_merge_probes(spark, tmp_path):
     assert snap2.filter("doc_id = 1000").count() == 1
     # untouched rows outside the pruned range are intact
     assert snap2.filter("doc_id = 399").first()["body"] == "dv-399"
+
+
+def test_table_details_metadata_only(spark, tmp_path):
+    from etl_sentinel_imagery_spark.operators.txlog import table_details
+
+    t = str(tmp_path / "det")
+    init_table(spark, t, _seed(spark, 60).repartition(3), stat_cols=["doc_id"])
+    delete_rows_dv(spark, t, "doc_id", [1, 2, 3])
+    d = table_details(t)
+    assert d["n_files"] == 3
+    assert d["n_dv_files"] >= 1
+    assert d["dv_dead_rows"] == 3
+    assert d["n_columns"] == 3
+    assert d["stat_cols"] == ["doc_id"]
+    assert d["history_ops"][-1] == "delete_dv"
+    # the compaction signal clears after optimize
+    optimize(spark, t, target_files=2)
+    d2 = table_details(t)
+    assert d2["dv_dead_rows"] == 0 and d2["n_dv_files"] == 0
+    # historical versions answer their own state
+    assert table_details(t, version=0)["n_files"] == 3
+    assert table_details(t, version=0)["dv_dead_rows"] == 0
