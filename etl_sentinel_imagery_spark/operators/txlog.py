@@ -1089,6 +1089,150 @@ def clone_table(table_dir: str, dest_dir: str) -> int:
     return 0
 
 
+def apply_changes(
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    key_col: str,
+    txn: tuple[str, int] | None = None,
+    op: str = "apply_changes",
+) -> int:
+    """``APPLY CHANGES INTO`` — materialize a change-feed slice
+    (:func:`table_changes` rows tagged ``_change_type`` /
+    ``_commit_version``) into this table as ONE commit: the
+    incremental replication verb that keeps a downstream table
+    row-identical to an upstream one by consuming its CDF, without
+    ever copying the upstream wholesale.
+
+    NET semantics per key over the slice: the change with the highest
+    ``_commit_version`` wins; at equal version an insert outranks a
+    delete (a delete+insert pair in one commit IS an update). Keys
+    whose final state is a row get upserted (pre-image DV-deleted,
+    new row inserted); keys whose final state is a delete get
+    DV-deleted. Everything lands in one manifest claim — a reader
+    never sees the delete without its insert, which is exactly the
+    window the medallion pattern's separate delete+append hops leave
+    open. Assumes the upstream is key-unique per version (the upsert
+    invariant); pass ``txn=(app_id, range_end)`` to make replayed
+    slices no-ops via the SetTransaction watermark (check it BEFORE
+    calling — this function always commits when the slice is
+    non-empty).
+
+    Stats-based probe pruning applies as in :func:`merge_upsert` when
+    the table tracks the key column.
+    """
+    from pyspark.sql import Window
+
+    pri = F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("_commit_version").desc(), pri.desc()
+    )
+    final = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    payload_cols = [
+        c
+        for c in changes.columns
+        if c not in ("_change_type", "_commit_version", "_commit_op")
+    ]
+    upserts = final.where(F.col("_change_type") == "insert").select(
+        *payload_cols
+    )
+    dead = final.where(F.col("_change_type") == "delete").select(key_col)
+    # single eager materialization so the probe and the data write see
+    # one consistent slice
+    upserts = upserts.localCheckpoint()
+    dead_keys = [r[key_col] for r in dead.collect()]
+
+    parent = current_version(table_dir)
+    m = read_manifest(table_dir, parent)
+    stat_cols = m.get("stat_cols") or None
+    partition_cols = m.get("partition_cols") or None
+    merged_schema = _merge_schema_json(
+        resolve_schema(table_dir, parent), upserts.schema
+    )
+    entries = resolve_files(table_dir, parent)
+    by_name = {_entry_name(e): e for e in entries}
+    affected = upserts.select(key_col).union(
+        spark.createDataFrame(
+            [(k,) for k in dead_keys], upserts.select(key_col).schema
+        )
+        if dead_keys
+        else upserts.select(key_col).limit(0)
+    )
+    kb = affected.agg(
+        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+    ).collect()[0]
+    if key_col in (m.get("stat_cols") or []) and kb["lo"] is not None:
+        probe = _stats_probe_subset(entries, key_col, kb["lo"], kb["hi"])
+    else:
+        probe = entries
+
+    removes: list[str] = []
+    dv_adds: list = []
+    per_file: dict[str, int] = {}
+    sidecar = None
+    if probe and kb["lo"] is not None:
+        live = _read_entries(
+            spark, table_dir, probe, parent, keep_pos=True
+        )
+        hits = live.join(
+            affected.distinct(), key_col, "left_semi"
+        ).select(
+            F.col("_file_name").alias("file_name"),
+            F.col("_row_pos").alias("pos"),
+        )
+        sidecar = os.path.join("_dv", f"dv-{uuid.uuid4().hex}")
+        hits.write.parquet(os.path.join(table_dir, sidecar))
+        per_file = {
+            r["file_name"]: r["n"]
+            for r in spark.read.parquet(os.path.join(table_dir, sidecar))
+            .groupBy("file_name")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    if not per_file and sidecar is not None:
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(table_dir, sidecar), ignore_errors=True
+        )
+    if per_file:
+        import pyarrow.parquet as pq
+
+        for name, n_del in sorted(per_file.items()):
+            e = by_name[name]
+            old = dict(e) if isinstance(e, dict) else {"name": e}
+            prev = int(old.get("dv_n", 0))
+            total = pq.ParquetFile(
+                os.path.join(table_dir, name)
+            ).metadata.num_rows
+            removes.append(name)
+            if prev + n_del >= total:
+                continue
+            old["name"] = name
+            old["dv"] = list(_entry_dvs(e)) + [sidecar]
+            old["dv_n"] = prev + n_del
+            dv_adds.append(old)
+
+    new_names = _move_in_data_files(
+        spark, table_dir, upserts, stat_cols, partition_cols
+    )
+    return _commit_delta(
+        table_dir,
+        parent,
+        dv_adds + new_names,
+        removes,
+        op,
+        stat_cols,
+        partition_cols,
+        schema_json=merged_schema,
+        txn=txn,
+    )
+
+
 def _uri_to_path(p: str) -> str:
     """'file:/x', 'file:///x', or '/x' → '/x'."""
     if p.startswith("file:"):

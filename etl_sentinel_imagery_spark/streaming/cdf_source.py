@@ -216,6 +216,56 @@ def cdf_append_sink(dst_table_dir: str, app_id: str = "cdf"):
     return _process
 
 
+def cdf_replicate_sink(
+    dst_table_dir: str, key_col: str, app_id: str = "cdf-replicate"
+):
+    """ROW-IDENTICAL incremental replication: each consumed CDF range
+    applies to the destination as ONE ``apply_changes`` commit
+    (net-state per key: pre-images and dead keys DV-delete, final
+    rows insert), exactly-once via the SetTransaction watermark — the
+    downstream table mirrors the upstream through appends, deletes,
+    merges and restores while reading only each range's touched
+    files. Unlike :func:`cdf_append_sink` (which accumulates the RAW
+    feed for additive folds), the destination here IS the upstream
+    table, row for row. Requires a key-unique upstream (the upsert
+    invariant)."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        TxConflict,
+        apply_changes,
+        init_table,
+        resolve_txns,
+    )
+
+    def _process(changes: DataFrame, version_range) -> None:
+        from_v, to_v = version_range
+        spark = changes.sparkSession
+        if not os.path.exists(os.path.join(dst_table_dir, "_txlog")):
+            try:
+                init_table(spark, dst_table_dir)
+            except TxConflict:
+                pass
+        if to_v <= resolve_txns(dst_table_dir).get(app_id, -(10**9)):
+            return  # replayed range: already applied
+        while True:
+            try:
+                apply_changes(
+                    spark,
+                    dst_table_dir,
+                    changes,
+                    key_col,
+                    txn=(app_id, to_v),
+                    op=f"cdf_apply_{from_v}_{to_v}",
+                )
+                return
+            except TxConflict:
+                if to_v <= resolve_txns(dst_table_dir).get(
+                    app_id, -(10**9)
+                ):
+                    return
+
+    return _process
+
+
 def start_cdf_stream(
     spark: SparkSession,
     table_dir: str,

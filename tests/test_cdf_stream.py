@@ -313,3 +313,67 @@ def test_replay_check_is_checkpoint_bounded(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(tx, "read_manifest", orig)
     tx.truncate_history(t, keep_versions=5)
     assert tx.resolve_txns(t) == {"epoch-sink": 49}
+
+
+def test_cdf_replication_mirrors_upstream(spark, tmp_path):
+    """apply_changes / cdf_replicate_sink: the downstream table stays
+    ROW-IDENTICAL to the upstream through appends, DV deletes, rewrite
+    deletes and merges (updates = delete+insert at one version, the
+    insert-outranks-delete rule), each range one destination commit,
+    replays no-ops via the watermark."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        history,
+        merge_upsert,
+    )
+    from etl_sentinel_imagery_spark.streaming.cdf_source import (
+        cdf_replicate_sink,
+    )
+
+    src = str(tmp_path / "rsrc")
+    dst = str(tmp_path / "rdst")
+    ckpt = str(tmp_path / "rck")
+    sink = cdf_replicate_sink(dst, "doc_id")
+
+    def mirror_ok():
+        a = sorted(map(tuple, snapshot(spark, src).collect()))
+        b = sorted(map(tuple, snapshot(spark, dst).collect()))
+        assert a == b
+
+    init_table(spark, src, _seed(spark, 50).repartition(3))
+    drain_table_changes(spark, src, ckpt, sink)
+    mirror_ok()
+
+    append(spark, src, _seed(spark, 20, offset=100))
+    delete_rows_dv(spark, src, "doc_id", [3, 104])
+    merge_upsert(
+        spark,
+        src,
+        spark.createDataFrame(
+            [(7, 99, 700), (500, 99, 5000)], ["doc_id", "grp", "val"]
+        ).withColumn("val", F.col("val").cast("long")),
+        "doc_id",
+    )
+    delete_rows(spark, src, "doc_id", [11])  # rewrite form
+    n_dst_commits = len(history(dst))
+    drain_table_changes(spark, src, ckpt, sink)
+    mirror_ok()
+    # the whole multi-commit range applied as ONE destination commit
+    assert len(history(dst)) == n_dst_commits + 1
+    assert history(dst)[-1]["op"].startswith("cdf_apply_")
+    # the update really updated (no stale pre-image, no duplicate key)
+    row = snapshot(spark, dst).filter("doc_id = 7").collect()
+    assert len(row) == 1 and row[0]["grp"] == 99
+
+    # replayed range is a no-op (fresh sink object, same checkpoint
+    # range re-fed by hand)
+    feed = table_changes(spark, src, 0)
+    before = len(history(dst))
+    cdf_replicate_sink(dst, "doc_id")(feed, (0, current_version(src)))
+    assert len(history(dst)) == before
+    mirror_ok()
+
+    # keep mirroring through another wave incl. compaction (skipped)
+    compact(spark, src, target_files=2)
+    append(spark, src, _seed(spark, 5, offset=900))
+    drain_table_changes(spark, src, ckpt, sink)
+    mirror_ok()
