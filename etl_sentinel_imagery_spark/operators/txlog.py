@@ -983,6 +983,76 @@ def merge_upsert(
     )
 
 
+def compact_dvs(
+    spark: SparkSession, table_dir: str, max_chain: int = 4
+) -> int:
+    """Fold long deletion-vector CHAINS without touching data files:
+    entries carrying more than ``max_chain`` sidecars get their
+    accumulated positions rewritten into ONE new sidecar and re-point
+    at it in a single commit. Repeated deletes on a hot key range
+    otherwise grow per-entry chains unboundedly, and every read pays a
+    sidecar-union scan per chain link; this is the metadata-sized
+    sibling of :func:`optimize` (which materializes DVs away entirely
+    but rewrites the data). Returns the committed version — parent
+    unchanged when no chain exceeds the bound. Old sidecars stay for
+    time travel; vacuum reclaims them after truncate_history."""
+    parent = current_version(table_dir)
+    m = read_manifest(table_dir, parent)
+    entries = resolve_files(table_dir, parent)
+    long_chains = [
+        e for e in entries if len(_entry_dvs(e)) > max_chain
+    ]
+    if not long_chains:
+        return parent
+    names = {_entry_name(e) for e in long_chains}
+    dv_paths = sorted({p for e in long_chains for p in _entry_dvs(e)})
+    base = lambda s: s.rsplit("/", 1)[-1]  # noqa: E731
+    basenames = {base(n) for n in names}
+    folded = (
+        spark.read.parquet(
+            *[os.path.join(table_dir, p) for p in dv_paths]
+        )
+        # a sidecar may also hold positions for entries NOT being
+        # folded — keep only the long-chain entries' rows (matching
+        # on the globally-unique basename, as the read path does)
+        .where(
+            F.element_at(F.split(F.col("file_name"), "/"), -1).isin(
+                [b for b in basenames]
+            )
+        )
+        .distinct()
+    )
+    sidecar = os.path.join("_dv", f"dv-{uuid.uuid4().hex}")
+    folded.write.parquet(os.path.join(table_dir, sidecar))
+    per_file = {
+        r["fb"]: r["n"]
+        for r in spark.read.parquet(os.path.join(table_dir, sidecar))
+        .groupBy(
+            F.element_at(F.split(F.col("file_name"), "/"), -1).alias("fb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    removes, adds = [], []
+    for e in long_chains:
+        name = _entry_name(e)
+        new_e = dict(e) if isinstance(e, dict) else {"name": e}
+        new_e["name"] = name
+        new_e["dv"] = [sidecar]
+        new_e["dv_n"] = int(per_file.get(base(name), 0))
+        removes.append(name)
+        adds.append(new_e)
+    return _commit_delta(
+        table_dir,
+        parent,
+        adds,
+        removes,
+        "compact_dv",
+        m.get("stat_cols") or None,
+        m.get("partition_cols") or None,
+    )
+
+
 def restore(spark: SparkSession, table_dir: str, version: int) -> int:
     """Delta-style ``RESTORE TABLE ... TO VERSION``: make an older
     snapshot current again by COMMITTING it — time travel made
@@ -1722,7 +1792,10 @@ def table_changes(
     for v in range(max(from_version + 1, 0), to_version + 1):
         m = read_manifest(table_dir, v)
         op = m.get("op", "")
-        if op in ("compact", "optimize") and not include_rewrites:
+        if (
+            op in ("compact", "optimize", "compact_dv")
+            and not include_rewrites
+        ):
             continue
         if "adds" in m or "removes" in m:
             adds = list(m.get("adds", []))

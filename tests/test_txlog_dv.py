@@ -601,3 +601,42 @@ def test_table_details_metadata_only(spark, tmp_path):
     # historical versions answer their own state
     assert table_details(t, version=0)["n_files"] == 3
     assert table_details(t, version=0)["dv_dead_rows"] == 0
+
+
+def test_compact_dvs_folds_chains(spark, tmp_path):
+    """Five deletes on one file build a 5-sidecar chain; compact_dvs
+    folds it to ONE without touching data files, snapshots and time
+    travel are unchanged, the change feed skips the fold as
+    content-neutral, and short chains are left alone."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        compact_dvs,
+        history,
+    )
+
+    t = str(tmp_path / "fold")
+    init_table(spark, t, _seed(spark, 40).coalesce(1))
+    for k in range(5):
+        delete_rows_dv(spark, t, "doc_id", [k])
+    (entry,) = resolve_files(t)
+    assert len(_entry_dvs(entry)) == 5
+    files_before = [_entry_name(e) for e in resolve_files(t)]
+    want = sorted(map(tuple, snapshot(spark, t).collect()))
+    v_pre = current_version(t)
+
+    v = compact_dvs(spark, t, max_chain=4)
+    assert v == v_pre + 1 and history(t)[-1]["op"] == "compact_dv"
+    (entry2,) = resolve_files(t)
+    assert len(_entry_dvs(entry2)) == 1
+    assert entry2["dv_n"] == 5
+    assert [_entry_name(e) for e in resolve_files(t)] == files_before
+    assert sorted(map(tuple, snapshot(spark, t).collect())) == want
+    assert snapshot(spark, t).count() == 35
+    # time travel to the pre-fold version still reads the old chain
+    assert sorted(map(tuple, snapshot(spark, t, v_pre).collect())) == want
+    # content-neutral: the feed skips it
+    assert table_changes(spark, t, v_pre, v).count() == 0
+    # further deletes chain onto the folded sidecar
+    delete_rows_dv(spark, t, "doc_id", [30])
+    assert snapshot(spark, t).count() == 34
+    # below the bound → no-op
+    assert compact_dvs(spark, t, max_chain=4) == current_version(t)
