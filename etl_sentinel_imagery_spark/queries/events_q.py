@@ -161,8 +161,9 @@ def _windows_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WINDOWS_BATTERY_SQL = f"""
-WITH resampled AS (
+#: Gap-filled 6-hour resample per event_type — shared by the windows
+#: battery and the production-EWMA oracle (identical axis by text).
+_RESAMPLED_CTE = f"""resampled AS (
     SELECT axis.event_type, axis.bucket, COALESCE(obs.n, 0) AS n_events
     FROM (
         SELECT event_type,
@@ -184,7 +185,10 @@ WITH resampled AS (
         FROM events
         GROUP BY 1, 2
     ) obs USING (event_type, bucket)
-)
+)"""
+
+_WINDOWS_BATTERY_SQL = f"""
+WITH {_RESAMPLED_CTE}
 SELECT 'tumbling' AS kind,
        make_timestamp((epoch_us(ts) // {TUMBLE_S * US}) * {TUMBLE_S * US}) AS window_start,
        event_type,
@@ -244,6 +248,50 @@ SELECT 'ewma_6h' AS kind, bks[i] AS window_start, event_type,
                               x -> CAST(x AS DOUBLE))),
            (a, x) -> a * 0.75 + 0.25 * x) AS total_value,
        CAST(-1 AS BIGINT) AS n_users
+FROM (
+    SELECT event_type,
+           list(bucket ORDER BY bucket) AS bks,
+           list(n_events ORDER BY bucket) AS ns
+    FROM resampled GROUP BY 1
+), UNNEST(generate_series(1, len(ns))) u(i)
+"""
+
+
+def _ewma_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(axis) PRODUCTION EWMA (operators.timeseries.ewma — one
+    ufunc-accumulate scan per group via applyInPandas) under the
+    strict hash oracle: the DuckDB side restates the recurrence as the
+    per-position prefix re-fold (the battery's ewma_6h form), and the
+    two agree bit-for-bit because the operator executes the IDENTICAL
+    IEEE op sequence in one pass. This is the row that pins the
+    pandas-UDF scale path — not just its quadratic oracle twin — to
+    cross-engine exactness on driver data."""
+    from etl_sentinel_imagery_spark.operators.timeseries import (
+        ewma,
+        resample_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = resample_counts(events, "ts", "6 hours", ["event_type"])
+    return ewma(
+        base, ["event_type"], "bucket", "n_events", alpha=0.25,
+        out_col="ewma_val",
+    ).select(
+        "event_type",
+        F.col("bucket").alias("window_start"),
+        "n_events",
+        "ewma_val",
+    )
+
+
+_EWMA_PRODUCTION_SQL = f"""
+WITH {_RESAMPLED_CTE}
+SELECT event_type, bks[i] AS window_start, ns[i] AS n_events,
+       list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_slice(ns, 1, i),
+                              x -> CAST(x AS DOUBLE))),
+           (a, x) -> a * 0.75 + 0.25 * x) AS ewma_val
 FROM (
     SELECT event_type,
            list(bucket ORDER BY bucket) AS bks,
@@ -505,5 +553,9 @@ QUERIES: dict[str, Q] = {
     "events_scalar_battery": Q(
         _scalar_battery, _SCALAR_BATTERY_SQL,
         "lag/lead gaps + F11 clip-scale-cast + F14 JSON decode",
+    ),
+    "events_ewma_production": Q(
+        _ewma_production, _EWMA_PRODUCTION_SQL,
+        "O(axis) applyInPandas EWMA scan, bit-identical to the quadratic oracle fold",
     ),
 }
