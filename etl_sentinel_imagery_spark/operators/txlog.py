@@ -781,7 +781,11 @@ def delete_rows_dv(
     is given, the probe AUTO-PRUNES to files whose [min, max]
     intersects the value range — on a ZORDERed table a ranged delete
     touches only the intersecting files (files without stats are
-    always probed; exact, never a heuristic).
+    always probed; exact, never a heuristic). Without stats, a
+    per-file Bloom sidecar for ``key_col`` (operators.skipping) is
+    used automatically when present — the point-key complement of the
+    range rule, equally exact; with neither, the probe scans all
+    files (still one distributed pushed-down scan).
 
     Crash safety mirrors appends: the sidecar lands BEFORE the commit
     that references it (an orphaned sidecar is garbage for
@@ -803,7 +807,16 @@ def delete_rows_dv(
             entries, key_col, min(values), max(values)
         )
     else:
-        probe = entries
+        # no range stats for this key — fall back to the per-file
+        # Bloom sidecar when one exists (point keys are exactly what
+        # it answers; no false negatives, so the restriction is exact)
+        try:
+            cand = dv_delete_candidates(
+                spark, table_dir, key_col, values
+            )
+            probe = [by_name[n] for n in cand if n in by_name]
+        except (FileNotFoundError, ValueError):
+            probe = entries  # no index either: full probe (correct)
     if not probe:
         return parent
     live = _read_entries(spark, table_dir, probe, parent, keep_pos=True)

@@ -640,3 +640,31 @@ def test_compact_dvs_folds_chains(spark, tmp_path):
     assert snapshot(spark, t).count() == 34
     # below the bound → no-op
     assert compact_dvs(spark, t, max_chain=4) == current_version(t)
+
+
+def test_bloom_fallback_is_automatic_without_stats(spark, tmp_path):
+    """A table with NO manifest stats but a Bloom sidecar: the DV
+    delete uses the index automatically (point keys are its case);
+    with neither index nor stats it still deletes correctly."""
+    from etl_sentinel_imagery_spark.operators.skipping import (
+        build_file_bloom_index,
+    )
+
+    t = str(tmp_path / "auto")
+    init_table(spark, t, _seed(spark, 200).repartition(8))  # no stat_cols
+    build_file_bloom_index(spark, t, "doc_id")
+    delete_rows_dv(spark, t, "doc_id", [9, 111])
+    snap = snapshot(spark, t)
+    assert snap.count() == 198
+    assert snap.filter(F.col("doc_id").isin([9, 111])).count() == 0
+    # appended-after-index rows are never missed (unindexed files are
+    # always candidates)
+    append(spark, t, _seed(spark, 10, offset=800).coalesce(1))
+    delete_rows_dv(spark, t, "doc_id", [803])
+    assert snapshot(spark, t).filter("doc_id = 803").count() == 0
+    assert snapshot(spark, t).count() == 207
+    # no index, no stats: plain full probe still correct
+    t2 = str(tmp_path / "plain")
+    init_table(spark, t2, _seed(spark, 30))
+    delete_rows_dv(spark, t2, "doc_id", [1])
+    assert snapshot(spark, t2).count() == 29
