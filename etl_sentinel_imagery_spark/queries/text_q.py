@@ -791,6 +791,56 @@ GROUP BY 1
 """
 
 
+def _intra_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-line removal — the crawl-artifact pass
+    (a page whose template repeats its own nav/footer paragraphs) that
+    needs NO corpus state: per doc, every line keeps only its FIRST
+    occurrence. Pure higher-order expressions over the deterministic
+    multi-line view (``' the '`` → newline, exactly as the corpus
+    line-dedup battery derives it): split → keep x at 0-based index i
+    iff ``array_position`` (first 1-based hit) == i+1 → rejoin. ZERO
+    shuffle, zero UDF — one narrow projection, the cheapest possible
+    curation stage; the corpus-wide sibling (operators.line_dedup)
+    handles cross-document boilerplate. The O(lines²) array_position
+    is bounded by each document's own line count, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mlv = F.replace(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(LINE_SPLIT_WORD),
+        F.lit("\n"),
+    )
+    lines = F.split(mlv, "\n", -1)
+    kept = F.filter(
+        lines,
+        lambda x, i: F.array_position(lines, x)
+        == (i + F.lit(1)).cast("long"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        (F.size(lines) - F.size(kept)).alias("n_intra_dup"),
+        F.md5(F.array_join(kept, "\n")).alias("intra_clean_md5"),
+    )
+
+
+_INTRA_LINE_DEDUP_SQL = """
+WITH mlv AS (
+    SELECT doc_id,
+           string_split(replace(COALESCE(text, ''), ' the ', chr(10)),
+                        chr(10)) AS ls
+    FROM documents
+)
+SELECT doc_id,
+       len(ls) AS n_lines,
+       len(ls) - len(list_filter(ls, (x, i) -> list_position(ls, x) = i))
+           AS n_intra_dup,
+       md5(array_to_string(
+           list_filter(ls, (x, i) -> list_position(ls, x) = i), chr(10)))
+           AS intra_clean_md5
+FROM mlv
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_profile": Q(
         _text_profile, _finish_text_profile_sql(),
@@ -814,5 +864,9 @@ QUERIES: dict[str, Q] = {
     "dedup_clusters": Q(
         _dedup_clusters, _DEDUP_CLUSTERS_SQL,
         "exact ∪ LSH-verified edges → connected components → canonical ids",
+    ),
+    "docs_intra_line_dedup": Q(
+        _intra_line_dedup, _INTRA_LINE_DEDUP_SQL,
+        "within-doc repeated-line removal: zero-shuffle HOF, no corpus state",
     ),
 }
