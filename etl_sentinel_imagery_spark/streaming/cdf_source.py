@@ -217,7 +217,10 @@ def cdf_append_sink(dst_table_dir: str, app_id: str = "cdf"):
 
 
 def cdf_replicate_sink(
-    dst_table_dir: str, key_col: str, app_id: str = "cdf-replicate"
+    dst_table_dir: str,
+    key_col: str,
+    app_id: str = "cdf-replicate",
+    transform=None,
 ):
     """ROW-IDENTICAL incremental replication: each consumed CDF range
     applies to the destination as ONE ``apply_changes`` commit
@@ -228,7 +231,17 @@ def cdf_replicate_sink(
     files. Unlike :func:`cdf_append_sink` (which accumulates the RAW
     feed for additive folds), the destination here IS the upstream
     table, row for row. Requires a key-unique upstream (the upsert
-    invariant)."""
+    invariant).
+
+    ``transform`` turns the mirror into a DERIVED table (the
+    medallion silver hop as one commit per range): it maps the
+    changes DataFrame before application and must (a) keep
+    ``key_col`` and the ``_change_type`` / ``_commit_version``
+    columns, and (b) be DETERMINISTIC per row (replays re-apply it).
+    Filtering INSERT rows derives a row-subset table — keep the
+    delete rows flowing so upstream deletes still propagate (a
+    delete for a key the filter never admitted nets to a no-op
+    DV-probe miss, which is fine)."""
     from etl_sentinel_imagery_spark.operators.txlog import (
         TxConflict,
         apply_changes,
@@ -246,6 +259,8 @@ def cdf_replicate_sink(
                 pass
         if to_v <= resolve_txns(dst_table_dir).get(app_id, -(10**9)):
             return  # replayed range: already applied
+        if transform is not None:
+            changes = transform(changes)
         while True:
             try:
                 apply_changes(

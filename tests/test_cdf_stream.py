@@ -377,3 +377,58 @@ def test_cdf_replication_mirrors_upstream(spark, tmp_path):
     append(spark, src, _seed(spark, 5, offset=900))
     drain_table_changes(spark, src, ckpt, sink)
     mirror_ok()
+
+
+def test_filtered_replication_derived_silver(spark, tmp_path):
+    """cdf_replicate_sink with a transform: a quality-filtered silver
+    table derived in ONE commit per range — upstream deletes and
+    updates propagate, rows the filter rejects never appear, and a
+    row whose update crosses the filter boundary appears/disappears
+    accordingly."""
+    from etl_sentinel_imagery_spark.operators.txlog import merge_upsert
+    from etl_sentinel_imagery_spark.streaming.cdf_source import (
+        cdf_replicate_sink,
+    )
+
+    src = str(tmp_path / "fsrc")
+    dst = str(tmp_path / "fdst")
+    ckpt = str(tmp_path / "fck")
+
+    def only_good_inserts(changes):
+        return changes.where(
+            (F.col("_change_type") == "delete") | (F.col("grp") >= 3)
+        )
+
+    sink = cdf_replicate_sink(
+        dst, "doc_id", transform=only_good_inserts
+    )
+
+    init_table(spark, src, _seed(spark, 50))  # grp = doc_id % 5
+    drain_table_changes(spark, src, ckpt, sink)
+
+    def want():
+        return sorted(
+            map(
+                tuple,
+                snapshot(spark, src).filter("grp >= 3").collect(),
+            )
+        )
+
+    assert sorted(map(tuple, snapshot(spark, dst).collect())) == want()
+
+    # update doc 3 (grp 3 → 1): it must DISAPPEAR from silver;
+    # update doc 6 (grp 1 → 4): it must APPEAR
+    merge_upsert(
+        spark,
+        src,
+        spark.createDataFrame(
+            [(3, 1, 999), (6, 4, 999)], ["doc_id", "grp", "val"]
+        ).withColumn("val", F.col("val").cast("long")),
+        "doc_id",
+    )
+    delete_rows_dv(spark, src, "doc_id", [4, 9])  # one in, one out
+    drain_table_changes(spark, src, ckpt, sink)
+    got = sorted(map(tuple, snapshot(spark, dst).collect()))
+    assert got == want()
+    ids = {r[0] for r in got}
+    assert 6 in ids and 3 not in ids and 4 not in ids and 9 not in ids
