@@ -103,6 +103,22 @@ CHECKS = {
         "BroadcastNestedLoop": False,
         "Generate": True,
     },
+    # intra-doc line dedup (round 5): the zero-shuffle claim — one
+    # narrow projection, no Exchange, no join, no aggregate anywhere
+    "docs_intra_line_dedup": {
+        "Exchange": False,
+        "Join": False,
+        "HashAggregate": False,
+        "Project": True,
+    },
+    # production EWMA (round 5): the applyInPandas scan groups once on
+    # event_type — exactly the resample axis's own exchanges plus the
+    # group-for-Arrow hash exchange; no window, no sort-merge join
+    "events_ewma_production": {
+        "ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas": True,
+        "Window": False,
+        "SortMergeJoin": False,
+    },
 }
 
 
