@@ -668,3 +668,66 @@ def test_bloom_fallback_is_automatic_without_stats(spark, tmp_path):
     init_table(spark, t2, _seed(spark, 30))
     delete_rows_dv(spark, t2, "doc_id", [1])
     assert snapshot(spark, t2).count() == 29
+
+
+def test_concurrent_dv_deletes_and_merge_with_retry(spark, tmp_path):
+    """Op-level concurrency for the new verbs: threads race
+    delete_rows_dv and merge_upsert on one table with
+    caller-side retry-on-TxConflict (the documented contract); every
+    op must land exactly once and the final state equals the
+    sequential result. Loser sidecars become vacuumable orphans."""
+    import threading
+
+    from etl_sentinel_imagery_spark.operators import txlog as tx
+    from etl_sentinel_imagery_spark.operators.txlog import merge_upsert
+
+    t = str(tmp_path / "race_ops")
+    init_table(spark, t, _seed(spark, 120).repartition(4))
+
+    errors = []
+    barrier = threading.Barrier(3)
+
+    def with_retry(fn):
+        barrier.wait()
+        for _ in range(10):
+            try:
+                fn()
+                return
+            except tx.TxConflict:
+                continue
+        errors.append("retries exhausted")
+
+    ops = [
+        lambda: delete_rows_dv(spark, t, "doc_id", [5, 15]),
+        lambda: delete_rows_dv(spark, t, "doc_id", [25, 35]),
+        lambda: merge_upsert(
+            spark,
+            t,
+            spark.createDataFrame(
+                [(45, 99, "m"), (500, 99, "m")], ["doc_id", "grp", "body"]
+            ),
+            "doc_id",
+        ),
+    ]
+    threads = [
+        threading.Thread(target=with_retry, args=(op,)) for op in ops
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=180)
+    assert not errors
+    snap = snapshot(spark, t)
+    assert snap.count() == 120 - 4 + 1
+    assert snap.filter(
+        F.col("doc_id").isin([5, 15, 25, 35])
+    ).count() == 0
+    assert snap.filter("doc_id = 45").first()["grp"] == 99
+    assert snap.filter("doc_id = 500").count() == 1
+    # gapless history: init + exactly three op commits
+    from etl_sentinel_imagery_spark.operators.txlog import history
+
+    assert len(history(t)) == 4
+    # any abandoned loser sidecars vacuum away; live state unaffected
+    vacuum(t)
+    assert snapshot(spark, t).count() == 117

@@ -1,10 +1,12 @@
 """Model-based test of the transaction log: hypothesis drives random
-op sequences (append / DV-delete / merge-upsert / compact / restore)
-against an in-memory reference model — the composition coverage no
-hand-written scenario list reaches. After every op the snapshot must
-equal the model multiset; at the end, every historical version must
-still time-travel to its recorded state and the change-feed fold must
-net to the final state."""
+op sequences (append / add-column-evolving append / DV-delete /
+merge-upsert / compact / restore) against an in-memory reference
+model — the composition coverage no hand-written scenario list
+reaches, including restores ACROSS an evolution (schema narrows
+back) and merges under the widened schema. After every op the
+snapshot must equal the model multiset; at the end, every historical
+version must still time-travel to its recorded state and the
+change-feed fold must net to the final state."""
 
 from __future__ import annotations
 
@@ -31,6 +33,7 @@ from etl_sentinel_imagery_spark.operators.txlog import (
 # deterministic and distinct
 OP = st.one_of(
     st.tuples(st.just("append"), st.integers(0, 10**6)),
+    st.tuples(st.just("append_wide"), st.integers(0, 10**6)),
     st.tuples(st.just("delete"), st.integers(0, 10**6)),
     st.tuples(st.just("merge"), st.integers(0, 10**6)),
     st.tuples(st.just("compact"), st.just(0)),
@@ -45,10 +48,14 @@ def _rows_for(seed: int, n: int, tag: str):
     ]
 
 
-def _snapshot_counter(spark, t) -> Counter:
-    return Counter(
-        (r["doc_id"], r["val"]) for r in snapshot(spark, t).collect()
-    )
+def _snapshot_counter(spark, t, version=None) -> Counter:
+    """Rows as 3-tuples (doc_id, val, w) — w padded None while the
+    table is still narrow, so evolution and restore compare uniformly."""
+    df = snapshot(spark, t, version=version)
+    rows = df.collect()
+    if "w" in df.columns:
+        return Counter((r["doc_id"], r["val"], r["w"]) for r in rows)
+    return Counter((r["doc_id"], r["val"], None) for r in rows)
 
 
 @settings(max_examples=8, deadline=None)
@@ -61,7 +68,9 @@ def test_random_op_sequences_match_reference_model(
         _rows_for(0, 8, "init"), ["doc_id", "val"]
     )
     init_table(spark, t, df0)
-    model: Counter = Counter(_rows_for(0, 8, "init"))
+    model: Counter = Counter(
+        (k, v, None) for k, v in _rows_for(0, 8, "init")
+    )
     states = {0: model.copy()}
 
     for kind, seed in ops:
@@ -71,6 +80,17 @@ def test_random_op_sequences_match_reference_model(
                 spark,
                 t,
                 spark.createDataFrame(rows, ["doc_id", "val"]),
+            )
+            model.update((k, v, None) for k, v in rows)
+        elif kind == "append_wide":
+            # add-column evolution mid-sequence: earlier rows NULL-fill
+            rows = [
+                (k, v, f"w{seed}") for k, v in _rows_for(seed, 3, "aw")
+            ]
+            append(
+                spark,
+                t,
+                spark.createDataFrame(rows, ["doc_id", "val", "w"]),
             )
             model.update(rows)
         elif kind == "delete":
@@ -85,6 +105,8 @@ def test_random_op_sequences_match_reference_model(
             )
         elif kind == "merge":
             # key-unique source: 3 distinct keys, replace-or-insert
+            # (narrow source — after an evolution this is a narrow
+            # write under the wide schema, w NULL-fills)
             ks = sorted({seed % 37, (seed // 5) % 37, (seed // 11) % 37})
             rows = [(k, f"m-{seed}-{k}") for k in ks]
             merge_upsert(
@@ -96,7 +118,7 @@ def test_random_op_sequences_match_reference_model(
             model = Counter(
                 {rv: c for rv, c in model.items() if rv[0] not in ks}
             )
-            model.update(rows)
+            model.update((k, v, None) for k, v in rows)
         elif kind == "compact":
             compact(spark, t, target_files=2)
         elif kind == "restore":
@@ -111,22 +133,20 @@ def test_random_op_sequences_match_reference_model(
 
     # every recorded version still time-travels to its state
     for v, state in states.items():
-        got = Counter(
-            (r["doc_id"], r["val"])
-            for r in snapshot(spark, t, version=v).collect()
-        )
+        got = _snapshot_counter(spark, t, version=v)
         assert got == state, f"time travel to v{v} diverged"
 
     # the change feed nets to the final state (compactions skipped as
     # content-neutral; restores and DV commits diff entry state)
     feed = table_changes(spark, t, -1)
     sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    gcols = ["doc_id", "val"] + (["w"] if "w" in feed.columns else [])
     net = Counter()
     for r in (
-        feed.groupBy("doc_id", "val").agg(F.sum(sign).alias("n")).collect()
+        feed.groupBy(*gcols).agg(F.sum(sign).alias("n")).collect()
     ):
         if r["n"]:
-            net[(r["doc_id"], r["val"])] = r["n"]
+            net[(r["doc_id"], r["val"], r["w"] if "w" in gcols else None)] = r["n"]
     assert net == model, "CDF fold diverged from the final state"
 
     # vacuum never breaks the current snapshot
