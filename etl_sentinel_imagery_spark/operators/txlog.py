@@ -664,6 +664,7 @@ def append(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
     stat_cols = m.get("stat_cols") or None
     partition_cols = m.get("partition_cols") or None
     merged = _merge_schema_json(resolve_schema(table_dir, parent), df.schema)
+    _enforce_constraints(df, resolve_constraints(table_dir, parent))
     names = _move_in_data_files(
         spark, table_dir, df, stat_cols, partition_cols
     )
@@ -917,6 +918,7 @@ def merge_upsert(
     merged_schema = _merge_schema_json(
         resolve_schema(table_dir, parent), source.schema
     )
+    _enforce_constraints(source, resolve_constraints(table_dir, parent))
     entries = resolve_files(table_dir, parent)
     by_name = {_entry_name(e): e for e in entries}
     if candidate_names is not None:
@@ -1235,6 +1237,9 @@ def apply_changes(
     partition_cols = m.get("partition_cols") or None
     merged_schema = _merge_schema_json(
         resolve_schema(table_dir, parent), upserts.schema
+    )
+    _enforce_constraints(
+        upserts, resolve_constraints(table_dir, parent)
     )
     entries = resolve_files(table_dir, parent)
     by_name = {_entry_name(e): e for e in entries}
@@ -1853,6 +1858,114 @@ def table_changes(
     for c in chunks[1:]:
         out = out.unionByName(c, allowMissingColumns=True)
     return out
+
+
+class ConstraintViolation(ValueError):
+    """An incoming write contains rows failing a table CHECK
+    constraint; nothing was committed."""
+
+
+def resolve_constraints(
+    table_dir: str, version: int | None = None
+) -> dict:
+    """{name: sql_predicate} in force at ``version`` — same chain walk
+    as :func:`resolve_schema` (each commit inherits its parent's
+    constraint set unless it changed it; checkpoint-bounded via the
+    schema-carrying commits is unnecessary because the set rides
+    whole on every commit that touches it)."""
+    v = current_version(table_dir) if version is None else version
+    while v >= 0:
+        m = read_manifest(table_dir, v)
+        if "constraints" in m:
+            return dict(m["constraints"])
+        parent = m.get("parent")
+        if parent is None:
+            return {}
+        v = parent
+    return {}
+
+
+def add_constraint(
+    spark: SparkSession, table_dir: str, name: str, predicate: str
+) -> int:
+    """``ALTER TABLE ADD CONSTRAINT name CHECK (predicate)`` — the
+    Delta invariant: recorded in the manifest chain, enforced on
+    every subsequent write path (append / merge / apply_changes /
+    streaming sinks route through :func:`_enforce_constraints`).
+    EXISTING rows must already satisfy it (checked here with one
+    pushed-down scan — adding a constraint the data violates raises
+    without committing). The constraint commit itself is a pure
+    metadata delta."""
+    parent = current_version(table_dir)
+    cons = resolve_constraints(table_dir, parent)
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists")
+    if resolve_files(table_dir, parent):
+        _enforce_constraints(
+            snapshot(spark, table_dir, parent), {name: predicate}
+        )
+    cons[name] = predicate
+    return _commit_constraints(table_dir, parent, cons, f"add_constraint_{name}")
+
+
+def drop_constraint(table_dir: str, name: str) -> int:
+    parent = current_version(table_dir)
+    cons = resolve_constraints(table_dir, parent)
+    if name not in cons:
+        raise ValueError(f"no constraint {name!r}")
+    del cons[name]
+    return _commit_constraints(
+        table_dir, parent, cons, f"drop_constraint_{name}"
+    )
+
+
+def _commit_constraints(
+    table_dir: str, parent: int, cons: dict, op: str
+) -> int:
+    m = read_manifest(table_dir, parent)
+    version = parent + 1
+    body = {
+        "version": version,
+        "parent": parent,
+        "op": op,
+        "stat_cols": m.get("stat_cols") or [],
+        "partition_cols": m.get("partition_cols") or [],
+        "adds": [],
+        "removes": [],
+        "schema": resolve_schema(table_dir, parent),
+        "constraints": cons,
+    }
+    if CHECKPOINT_EVERY and version % CHECKPOINT_EVERY == 0:
+        body["files"] = resolve_files(table_dir, parent)
+        body["txns"] = resolve_txns(table_dir, parent)
+    _claim(table_dir, version, json.dumps(body, indent=0))
+    return version
+
+
+def _enforce_constraints(df: DataFrame, cons: dict) -> None:
+    """Raise :class:`ConstraintViolation` if any row of ``df`` fails
+    any predicate — ONE scan for all constraints (a conjunction of
+    negated predicates, pushed down where the source allows), with the
+    first offending constraint named via per-predicate flags on the
+    sample row. Cost is a scan of the WRITE (delta-sized), never the
+    table."""
+    if not cons:
+        return
+    bad = F.lit(False)
+    flags = []
+    for name, pred in cons.items():
+        fail = ~F.coalesce(F.expr(pred), F.lit(False))
+        bad = bad | fail
+        flags.append(fail.alias(f"_viol_{name}"))
+    sample = df.where(bad).select(*df.columns, *flags).limit(1).collect()
+    if sample:
+        row = sample[0].asDict()
+        which = [
+            n for n in cons if row.pop(f"_viol_{n}", False)
+        ]
+        raise ConstraintViolation(
+            f"constraint(s) {which} violated; example row: {row}"
+        )
 
 
 def table_details(table_dir: str, version: int | None = None) -> dict:

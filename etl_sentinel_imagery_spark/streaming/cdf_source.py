@@ -171,10 +171,12 @@ def cdf_append_sink(dst_table_dir: str, app_id: str = "cdf"):
     from etl_sentinel_imagery_spark.operators.txlog import (
         TxConflict,
         _commit_delta,
+        _enforce_constraints,
         _move_in_data_files,
         current_version as dst_version,
         init_table,
         read_manifest,
+        resolve_constraints,
         resolve_txns,
     )
 
@@ -194,6 +196,9 @@ def cdf_append_sink(dst_table_dir: str, app_id: str = "cdf"):
         # inherit a pre-created destination's hive layout (same rule
         # as append() and the epoch sink)
         partition_cols = m.get("partition_cols") or None
+        _enforce_constraints(
+            changes, resolve_constraints(dst_table_dir)
+        )
         names = _move_in_data_files(
             spark, dst_table_dir, changes, stat_cols, partition_cols
         )

@@ -336,10 +336,12 @@ def run_foreach_batch_to_txlog(
     from etl_sentinel_imagery_spark.operators.txlog import (
         TxConflict,
         _commit_delta,
+        _enforce_constraints,
         _move_in_data_files,
         current_version,
         init_table,
         read_manifest,
+        resolve_constraints,
         resolve_txns,
     )
 
@@ -362,6 +364,9 @@ def run_foreach_batch_to_txlog(
         # unpartitioned files under a manifest that declares
         # partition_cols, and basePath reads would NULL those columns
         partition_cols = m.get("partition_cols") or None
+        _enforce_constraints(
+            batch_df, resolve_constraints(table_dir)
+        )
         names = _move_in_data_files(
             spark, table_dir, batch_df, stat_cols, partition_cols
         )

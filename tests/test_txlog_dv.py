@@ -731,3 +731,67 @@ def test_concurrent_dv_deletes_and_merge_with_retry(spark, tmp_path):
     # any abandoned loser sidecars vacuum away; live state unaffected
     vacuum(t)
     assert snapshot(spark, t).count() == 117
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    """ADD CONSTRAINT: recorded in the manifest chain, enforced on
+    append / merge / apply_changes with the offending constraint
+    named; adding a constraint existing data violates refuses;
+    dropping re-admits; the metadata commit is pure delta."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        ConstraintViolation,
+        add_constraint,
+        apply_changes,
+        drop_constraint,
+        history,
+        merge_upsert,
+        resolve_constraints,
+    )
+
+    t = str(tmp_path / "cons")
+    init_table(spark, t, _seed(spark, 30))
+    add_constraint(spark, t, "grp_bounded", "grp BETWEEN 0 AND 6")
+    add_constraint(spark, t, "body_present", "body IS NOT NULL")
+    assert set(resolve_constraints(t)) == {"grp_bounded", "body_present"}
+    assert history(t)[-1]["op"] == "add_constraint_body_present"
+
+    ok = spark.createDataFrame(
+        [(100, 3, "fine")], ["doc_id", "grp", "body"]
+    )
+    append(spark, t, ok)
+    bad = spark.createDataFrame(
+        [(101, 99, "oob")], ["doc_id", "grp", "body"]
+    )
+    with pytest.raises(ConstraintViolation, match="grp_bounded"):
+        append(spark, t, bad)
+    with pytest.raises(ConstraintViolation, match="grp_bounded"):
+        merge_upsert(spark, t, bad, "doc_id")
+    # NULL predicate result counts as a violation (ANSI CHECK says
+    # NULL passes; we are stricter and the error names the constraint)
+    nullish = spark.createDataFrame(
+        [(102, None, "x")], "doc_id bigint, grp int, body string"
+    )
+    with pytest.raises(ConstraintViolation, match="grp_bounded"):
+        append(spark, t, nullish)
+    # apply_changes enforces on the upsert leg
+    feed = bad.select(
+        "*",
+        F.lit("insert").alias("_change_type"),
+        F.lit(1).alias("_commit_version"),
+        F.lit("append").alias("_commit_op"),
+    )
+    with pytest.raises(ConstraintViolation, match="grp_bounded"):
+        apply_changes(spark, t, feed, "doc_id")
+    # nothing committed by any failed write
+    assert snapshot(spark, t).count() == 31
+
+    # pre-existing violations refuse the constraint itself
+    with pytest.raises(ConstraintViolation, match="never"):
+        add_constraint(spark, t, "never", "doc_id < 0")
+    # drop re-admits
+    drop_constraint(t, "grp_bounded")
+    append(spark, t, bad)
+    assert snapshot(spark, t).count() == 32
+    # constraints survive unrelated commits via the chain walk
+    delete_rows_dv(spark, t, "doc_id", [100])
+    assert set(resolve_constraints(t)) == {"body_present"}
