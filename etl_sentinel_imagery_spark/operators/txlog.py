@@ -1078,7 +1078,11 @@ def restore(spark: SparkSession, table_dir: str, version: int) -> int:
     the old files are still on disk because manifests reference them
     (the reason vacuum only reclaims the unreferenced). The restored
     commit pins the target version's schema, so a restore across an
-    add-column evolution narrows back exactly."""
+    add-column evolution narrows back exactly. Like Delta's RESTORE,
+    resurrected rows are NOT re-validated against CHECK constraints
+    added after the target version — a restore asserts the old state
+    IS the truth; drop or re-add constraints around it if they must
+    hold over the restored rows."""
     parent = current_version(table_dir)
     if version == parent:
         return parent
@@ -1764,6 +1768,43 @@ def _read_entries(
     return keyed if keep_pos else keyed.select(*cols)
 
 
+def _align_for_diff(a: DataFrame | None, r: DataFrame | None):
+    """Make two frames exceptAll-compatible across a schema change:
+    union of columns (missing → typed NULL), and where a column's type
+    differs between the sides (a restore across a type widening), both
+    cast to the WIDER type — widening casts are lossless by the
+    ``_WIDENINGS`` contract, so multiset diffs stay exact."""
+    if a is None or r is None:
+        return a, r
+    if [
+        (f.name, f.dataType) for f in a.schema.fields
+    ] == [(f.name, f.dataType) for f in r.schema.fields]:
+        return a, r
+    types: dict = {}
+    for df_ in (a, r):
+        for f_ in df_.schema.fields:
+            cur = types.get(f_.name)
+            if cur is None or (
+                cur.typeName(),
+                f_.dataType.typeName(),
+            ) in _WIDENINGS:
+                types[f_.name] = f_.dataType
+    allc = list(
+        dict.fromkeys(list(a.columns) + list(r.columns))
+    )
+
+    def pad(df: DataFrame) -> DataFrame:
+        cols = []
+        for c in allc:
+            if c in df.columns:
+                cols.append(F.col(c).cast(types[c]).alias(c))
+            else:
+                cols.append(F.lit(None).cast(types[c]).alias(c))
+        return df.select(*cols)
+
+    return pad(a), pad(r)
+
+
 def table_changes(
     spark: SparkSession,
     table_dir: str,
@@ -1833,7 +1874,18 @@ def table_changes(
             adds = list(m.get("files", []))
             removes = []
         a = _read_entries(spark, table_dir, adds, v)
-        r = _read_entries(spark, table_dir, removes, v)
+        # removed rows are read under the PARENT's schema — the schema
+        # they were LIVE under. Reading them under v's schema is lossy
+        # when v NARROWED it (a restore across an add-column
+        # evolution): the delete rows would silently drop the evolved
+        # column and the feed's insert/delete pairs stop cancelling
+        # (found by the hypothesis model test, round 5).
+        r = (
+            _read_entries(spark, table_dir, removes, m["parent"])
+            if removes
+            else None
+        )
+        a, r = _align_for_diff(a, r)
         if a is None and r is None:
             continue
         ins = a if r is None else (None if a is None else a.exceptAll(r))

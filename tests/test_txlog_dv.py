@@ -795,3 +795,49 @@ def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
     # constraints survive unrelated commits via the chain walk
     delete_rows_dv(spark, t, "doc_id", [100])
     assert set(resolve_constraints(t)) == {"body_present"}
+
+
+def test_cdf_of_restore_across_evolution_keeps_evolved_values(
+    spark, tmp_path
+):
+    """Regression for the hypothesis-found counterexample
+    [append_wide, restore]: the restore commit removes a file written
+    under the WIDE schema while pinning the narrow target schema —
+    its delete rows must still carry the evolved column's values
+    (read under the PARENT's schema), or the feed's insert/delete
+    pairs stop cancelling and any CDF fold diverges."""
+    from etl_sentinel_imagery_spark.operators.txlog import restore
+
+    t = str(tmp_path / "rx")
+    init_table(
+        spark,
+        t,
+        spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "val"]),
+    )
+    append(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(10, "c", "w0")], ["doc_id", "val", "w"]
+        ),
+    )  # add-column evolution
+    v_rst = restore(spark, t, 0)  # narrows back
+
+    feed = table_changes(spark, t, -1)
+    rows = {
+        (r["doc_id"], r["_change_type"]): r["w"] for r in feed.collect()
+    }
+    # the wide row's delete carries w='w0', exactly like its insert
+    assert rows[(10, "insert")] == "w0"
+    assert rows[(10, "delete")] == "w0"
+    # and the fold nets to the narrow final state
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    net = {
+        (r["doc_id"], r["val"], r["w"]): r["n"]
+        for r in feed.groupBy("doc_id", "val", "w")
+        .agg(F.sum(sign).alias("n"))
+        .collect()
+        if r["n"] != 0
+    }
+    assert net == {(1, "a", None): 1, (2, "b", None): 1}
+    assert snapshot(spark, t, v_rst).count() == 2
