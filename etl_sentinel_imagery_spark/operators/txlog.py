@@ -199,6 +199,20 @@ def _entry_dvs(e) -> list:
     return (e.get("dv") or []) if isinstance(e, dict) else []
 
 
+def _entry_rows(table_dir: str, e) -> int:
+    """Total row count of an entry's data file. Entries written since
+    row counts landed in manifests answer from METADATA; pre-existing
+    tables (plain-string or rows-less dict entries) fall back to one
+    driver footer read — back-compat only, never the steady state."""
+    if isinstance(e, dict) and "rows" in e:
+        return int(e["rows"])
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        os.path.join(table_dir, _entry_name(e))
+    ).metadata.num_rows
+
+
 def _log_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "_txlog")
 
@@ -428,6 +442,11 @@ def _commit_delta(
                 int(txn[1]) if prev is None else max(prev, int(txn[1]))
             )
         body["txns"] = txns
+        # checkpoints embed the resolved constraint set so the
+        # resolve_constraints walk is bounded by CHECKPOINT_EVERY, like
+        # files and txns (and truncate_history's self-contained horizon
+        # finds it locally)
+        body["constraints"] = resolve_constraints(table_dir, parent)
     _claim(table_dir, version, json.dumps(body, indent=0))
     return version
 
@@ -488,13 +507,10 @@ def resolve_files(table_dir: str, version: int | None = None) -> list:
     return sorted(entries.values(), key=_entry_name)
 
 
-def _file_stats(path: str, stat_cols: list[str]) -> dict:
+def _file_stats(md, stat_cols: list[str]) -> dict:
     """Per-column [min, max] from the parquet FOOTER (pyarrow metadata
     — no data scan): the Iceberg-manifest trick that lets the PLANNER
     skip files from metadata alone."""
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(path).metadata
     idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
     out: dict = {}
     for col in stat_cols:
@@ -528,13 +544,19 @@ def _move_in_data_files(
     dest_subdir: str = "",
 ) -> list:
     """Write df's parquet files under unique names in the table dir;
-    return their table-relative names (or (name, stats) entries when
-    ``stat_cols`` is set). With ``partition_cols`` the files land in
-    hive-style ``col=val/`` subdirectories and the returned names keep
-    the relative subpath, so a basePath read re-derives the partition
-    columns. ``dest_subdir`` pins ALL files into one existing leaf
-    (targeted-delete rewrites must stay in their partition). Data
-    lands BEFORE any commit references it."""
+    return their manifest entries ``{name, rows, stats?}`` — every
+    entry records the file's ROW COUNT from the footer it is already
+    next to at write time, so delete/merge commit paths never re-open
+    footers from the driver (O(touched files) IO killed at the
+    source); ``stats`` ([min, max] per ``stat_cols`` column) rides
+    along when stats tracking is on. With ``partition_cols`` the files
+    land in hive-style ``col=val/`` subdirectories and the returned
+    names keep the relative subpath, so a basePath read re-derives the
+    partition columns. ``dest_subdir`` pins ALL files into one
+    existing leaf (targeted-delete rewrites must stay in their
+    partition). Data lands BEFORE any commit references it."""
+    import pyarrow.parquet as pq
+
     staging = os.path.join(table_dir, f"_stage_{uuid.uuid4().hex}")
     if partition_cols:
         df.write.partitionBy(*partition_cols).parquet(staging)
@@ -553,12 +575,11 @@ def _move_in_data_files(
             dest = os.path.join(table_dir, name)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             os.replace(os.path.join(root, entry), dest)
+            md = pq.ParquetFile(dest).metadata
+            e: dict = {"name": name, "rows": md.num_rows}
             if stat_cols:
-                names.append(
-                    {"name": name, "stats": _file_stats(dest, stat_cols)}
-                )
-            else:
-                names.append(name)
+                e["stats"] = _file_stats(md, stat_cols)
+            names.append(e)
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
@@ -744,6 +765,32 @@ def _stats_probe_subset(entries: list, col: str, lo, hi) -> list:
     return keep
 
 
+def _dv_repoint(
+    table_dir: str, by_name: dict, per_file: dict, sidecar: str
+) -> tuple[list, list]:
+    """(removes, adds) re-pointing each touched file's entry at its
+    widened DV chain: every touched name removes; entries with live
+    rows left re-add carrying the new sidecar and the updated dead
+    count; a file whose every remaining row matched is a pure remove.
+    Row totals come from manifest metadata (:func:`_entry_rows`) — the
+    DV commit path opens no parquet footers from the driver."""
+    removes: list[str] = []
+    adds: list = []
+    for name, n_del in sorted(per_file.items()):
+        e = by_name[name]
+        old = dict(e) if isinstance(e, dict) else {"name": e}
+        prev = int(old.get("dv_n", 0))
+        total = _entry_rows(table_dir, e)
+        removes.append(name)
+        if prev + n_del >= total:
+            continue  # every live row deleted: pure remove, no DV
+        old["name"] = name
+        old["dv"] = list(_entry_dvs(e)) + [sidecar]
+        old["dv_n"] = prev + n_del
+        adds.append(old)
+    return removes, adds
+
+
 def delete_rows_dv(
     spark: SparkSession,
     table_dir: str,
@@ -842,23 +889,7 @@ def delete_rows_dv(
             os.path.join(table_dir, sidecar), ignore_errors=True
         )
         return parent
-    import pyarrow.parquet as pq
-
-    removes, adds = [], []
-    for name, n_del in sorted(per_file.items()):
-        e = by_name[name]
-        old = dict(e) if isinstance(e, dict) else {"name": e}
-        prev = int(old.get("dv_n", 0))
-        total = pq.ParquetFile(
-            os.path.join(table_dir, name)
-        ).metadata.num_rows
-        removes.append(name)
-        if prev + n_del >= total:
-            continue  # every live row deleted: pure remove, no DV
-        old["name"] = name
-        old["dv"] = list(_entry_dvs(e)) + [sidecar]
-        old["dv_n"] = prev + n_del
-        adds.append(old)
+    removes, adds = _dv_repoint(table_dir, by_name, per_file, sidecar)
     return _commit_delta(
         table_dir, parent, adds, removes, "delete_dv", stat_cols,
         partition_cols,
@@ -900,6 +931,12 @@ def merge_upsert(
     single manifest claim (orphans vacuum away); a TxConflict loser
     retries wholesale against the fresh parent.
     """
+    # one eager materialization: the source is evaluated three times
+    # (uniqueness agg, semi-join DV probe, data-file write) — a
+    # non-deterministic source would otherwise diverge between the
+    # probe and the write, inserting rows whose pre-images were never
+    # DV-deleted (duplicate keys); same pin as apply_changes
+    source = source.localCheckpoint()
     src_stats = source.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct(key_col).alias("nk"),
@@ -966,22 +1003,9 @@ def merge_upsert(
             os.path.join(table_dir, sidecar), ignore_errors=True
         )
     if per_file:
-        import pyarrow.parquet as pq
-
-        for name, n_del in sorted(per_file.items()):
-            e = by_name[name]
-            old = dict(e) if isinstance(e, dict) else {"name": e}
-            prev = int(old.get("dv_n", 0))
-            total = pq.ParquetFile(
-                os.path.join(table_dir, name)
-            ).metadata.num_rows
-            removes.append(name)
-            if prev + n_del >= total:
-                continue
-            old["name"] = name
-            old["dv"] = list(_entry_dvs(e)) + [sidecar]
-            old["dv_n"] = prev + n_del
-            dv_adds.append(old)
+        removes, dv_adds = _dv_repoint(
+            table_dir, by_name, per_file, sidecar
+        )
 
     new_names = _move_in_data_files(
         spark, table_dir, source, stat_cols, partition_cols
@@ -1231,9 +1255,12 @@ def apply_changes(
     )
     dead = final.where(F.col("_change_type") == "delete").select(key_col)
     # single eager materialization so the probe and the data write see
-    # one consistent slice
+    # one consistent slice — and BOTH halves stay distributed: a
+    # replicated bulk delete (millions of dead keys in one CDF range)
+    # must never round-trip through the driver, the same never-collect
+    # contract merge_upsert documents
     upserts = upserts.localCheckpoint()
-    dead_keys = [r[key_col] for r in dead.collect()]
+    dead = dead.localCheckpoint()
 
     parent = current_version(table_dir)
     m = read_manifest(table_dir, parent)
@@ -1247,13 +1274,7 @@ def apply_changes(
     )
     entries = resolve_files(table_dir, parent)
     by_name = {_entry_name(e): e for e in entries}
-    affected = upserts.select(key_col).union(
-        spark.createDataFrame(
-            [(k,) for k in dead_keys], upserts.select(key_col).schema
-        )
-        if dead_keys
-        else upserts.select(key_col).limit(0)
-    )
+    affected = upserts.select(key_col).unionByName(dead)
     kb = affected.agg(
         F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
     ).collect()[0]
@@ -1292,22 +1313,9 @@ def apply_changes(
             os.path.join(table_dir, sidecar), ignore_errors=True
         )
     if per_file:
-        import pyarrow.parquet as pq
-
-        for name, n_del in sorted(per_file.items()):
-            e = by_name[name]
-            old = dict(e) if isinstance(e, dict) else {"name": e}
-            prev = int(old.get("dv_n", 0))
-            total = pq.ParquetFile(
-                os.path.join(table_dir, name)
-            ).metadata.num_rows
-            removes.append(name)
-            if prev + n_del >= total:
-                continue
-            old["name"] = name
-            old["dv"] = list(_entry_dvs(e)) + [sidecar]
-            old["dv_n"] = prev + n_del
-            dv_adds.append(old)
+        removes, dv_adds = _dv_repoint(
+            table_dir, by_name, per_file, sidecar
+        )
 
     new_names = _move_in_data_files(
         spark, table_dir, upserts, stat_cols, partition_cols
@@ -1456,19 +1464,29 @@ def optimize(
     )
 
 
-def vacuum(table_dir: str, min_age_seconds: float = 0.0) -> list[str]:
+#: Default vacuum retention — Delta's 7-day guard. A concurrent
+#: writer's files sit unreferenced between _move_in_data_files and its
+#: manifest claim; age-gating makes that window safe by default.
+VACUUM_MIN_AGE_SECONDS = 7 * 24 * 3600.0
+
+
+def vacuum(
+    table_dir: str, min_age_seconds: float = VACUUM_MIN_AGE_SECONDS
+) -> list[str]:
     """Delete data files referenced by NO manifest (orphans from
     crashed writers). Files referenced by historical manifests are
     kept — time travel stays valid; truncate history first if space
     matters. Walks hive ``col=val/`` subdirectories (candidates are
     compared by table-relative name, matching manifest entries);
     ``_``-prefixed directories (``_txlog``, in-flight ``_stage_*``)
-    are never entered. SINGLE-WRITER maintenance op, like
-    ``truncate_history``: a concurrent writer's files move from
-    staging into the table tree shortly before their manifest claims,
-    and vacuuming inside that window would delete just-committed data;
-    ``min_age_seconds > 0`` additionally age-gates candidates as a
-    belt-and-braces guard when scheduling can't fully serialize."""
+    are never entered. A concurrent writer's files move from staging
+    into the table tree shortly before their manifest claims, and
+    vacuuming inside that window would delete just-committed data —
+    so candidates are AGE-GATED by ``min_age_seconds``, defaulting to
+    Delta's 7-day retention; reclaiming younger orphans requires an
+    explicit ``min_age_seconds=0`` opt-in, which is only safe when the
+    caller can guarantee no writer is in flight (single-writer
+    maintenance windows, tests)."""
     import shutil
     import time
 
@@ -1921,10 +1939,11 @@ def resolve_constraints(
     table_dir: str, version: int | None = None
 ) -> dict:
     """{name: sql_predicate} in force at ``version`` — same chain walk
-    as :func:`resolve_schema` (each commit inherits its parent's
-    constraint set unless it changed it; checkpoint-bounded via the
-    schema-carrying commits is unnecessary because the set rides
-    whole on every commit that touches it)."""
+    as :func:`resolve_schema`: each commit inherits its parent's
+    constraint set unless it changed it, and every
+    ``CHECKPOINT_EVERY``-th commit embeds the resolved set, so the
+    walk is checkpoint-bounded (and :func:`truncate_history`'s
+    self-contained horizon carries it across retention)."""
     v = current_version(table_dir) if version is None else version
     while v >= 0:
         m = read_manifest(table_dir, v)
@@ -2069,11 +2088,16 @@ def truncate_history(table_dir: str, keep_versions: int) -> dict:
     if horizon == 0:
         return {"horizon": 0, "removed_manifests": 0}
     m = read_manifest(table_dir, horizon)
-    if "files" not in m or "txns" not in m:
+    if "files" not in m or "txns" not in m or "constraints" not in m:
         m["files"] = resolve_files(table_dir, horizon)
         # idempotence watermarks survive retention (a stream replaying
         # pre-horizon epochs must still be recognized as delivered)
         m["txns"] = resolve_txns(table_dir, horizon)
+        # CHECK constraints survive retention too: resolve_constraints
+        # walks parent links, so a self-contained horizon without the
+        # map would silently drop every pre-horizon constraint and
+        # later writes would go unenforced
+        m["constraints"] = resolve_constraints(table_dir, horizon)
         m["parent"] = None  # self-contained: no ancestor walk
         path = _manifest_path(table_dir, horizon)
         tmp = path + ".trunc_tmp"

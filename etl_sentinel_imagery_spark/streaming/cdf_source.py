@@ -50,6 +50,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_sentinel_imagery_spark.operators.txlog import (
     current_version,
@@ -161,7 +162,10 @@ def cdf_append_sink(dst_table_dir: str, app_id: str = "cdf"):
     watermark (the Delta SetTransaction design): ranges from one
     cursor are contiguous, so ``to_v <= watermark`` detects a replayed
     range in O(CHECKPOINT_EVERY) via :func:`resolve_txns` — not an
-    O(history) tag scan per micro-batch. A lost manifest-claim race
+    O(history) tag scan per micro-batch — and a PARTIALLY overlapping
+    range (a crash between delivery and the cursor advance, retried
+    after the source head moved) delivers only the rows with
+    ``_commit_version`` past the watermark. A lost manifest-claim race
     retries on the fresh parent (data files are already staged — only
     the claim races). The destination accumulates the raw feed
     (``_change_type`` / ``_commit_version`` columns included), so any
@@ -189,8 +193,21 @@ def cdf_append_sink(dst_table_dir: str, app_id: str = "cdf"):
             except TxConflict:
                 pass
         tag = f"cdf_{from_v}_{to_v}"
-        if to_v <= resolve_txns(dst_table_dir).get(app_id, -(10**9)):
+        wm = resolve_txns(dst_table_dir).get(app_id, -(10**9))
+        if to_v <= wm:
             return  # replayed range: already delivered
+        if from_v < wm:
+            # PARTIAL overlap: a crash between process() and the
+            # cursor advance leaves the cursor at from_v while this
+            # sink's watermark sits at the crashed run's to_v; the
+            # retried step recomputes its range end from the (possibly
+            # advanced) source head, so (from_v, new_to_v] covers
+            # versions the crashed run already committed. Delivering
+            # the whole range would duplicate them — filter to the
+            # versions strictly past the watermark (the feed carries
+            # _commit_version), keeping exactly-once for additive
+            # folds across the crash.
+            changes = changes.where(F.col("_commit_version") > wm)
         m = read_manifest(dst_table_dir)
         stat_cols = m.get("stat_cols") or None
         # inherit a pre-created destination's hive layout (same rule
@@ -236,7 +253,12 @@ def cdf_replicate_sink(
     files. Unlike :func:`cdf_append_sink` (which accumulates the RAW
     feed for additive folds), the destination here IS the upstream
     table, row for row. Requires a key-unique upstream (the upsert
-    invariant).
+    invariant). Partially overlapping ranges (the crash-retry shape
+    :func:`cdf_append_sink` filters by watermark) need no filter here:
+    the net state per key over a superset range IS the state at its
+    end, and re-applying an already-applied final state is
+    row-identical (the upsert re-lands the same row; the delete probe
+    misses) — idempotence comes from the semantics, not the tag.
 
     ``transform`` turns the mirror into a DERIVED table (the
     medallion silver hop as one commit per range): it maps the

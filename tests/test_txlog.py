@@ -8,6 +8,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from etl_sentinel_imagery_spark.operators import txlog as tx
 from etl_sentinel_imagery_spark.operators.txlog import (
     TxConflict,
     _commit,
@@ -54,7 +55,7 @@ def test_delete_is_atomic_for_pinned_readers(spark, tmp_path):
         spark, t, _seed(spark, 300).repartition(6)
     )
     pinned = current_version(t)
-    files_before = {e for e in resolve_files(t, pinned)}
+    files_before = {tx._entry_name(e) for e in resolve_files(t, pinned)}
     targets = [5, 123, 222]
     v = delete_rows(spark, t, "doc_id", targets)
     # new snapshot: keys gone, everything else intact
@@ -66,7 +67,7 @@ def test_delete_is_atomic_for_pinned_readers(spark, tmp_path):
     assert old.count() == 300
     assert old.filter(F.col("doc_id").isin(targets)).count() == 3
     # untouched files carry over (and aren't even named in the delta)
-    files_after = {e for e in resolve_files(t, v)}
+    files_after = {tx._entry_name(e) for e in resolve_files(t, v)}
     assert files_before & files_after, "untouched files must carry over"
     delta = read_manifest(t, v)
     assert "files" not in delta  # a true delta manifest
@@ -107,7 +108,7 @@ def test_compact_swaps_in_one_commit_and_vacuum(spark, tmp_path):
     orphan = os.path.join(t, "part-orphan.parquet")
     with open(orphan, "wb") as f:
         f.write(b"junk")
-    removed = vacuum(t)
+    removed = vacuum(t, min_age_seconds=0)
     assert removed == ["part-orphan.parquet"]
     assert snapshot(spark, t, version=v - 1).count() == 200
     assert snapshot(spark, t).count() == 200
@@ -290,7 +291,7 @@ def test_log_store_seam_conflict_injection(spark, tmp_path):
     finally:
         tx.set_log_store(tx.PosixLogStore())
     # orphans from the lost claim vacuum away; live data survives
-    vacuum(t)
+    vacuum(t, min_age_seconds=0)
     assert snapshot(spark, t).count() == 15
 
 
@@ -390,7 +391,7 @@ def test_truncate_history_and_space_reclaim(spark, tmp_path):
     with pytest.raises(ValueError, match="retired|does not exist"):
         snapshot(spark, t, version=0)
     # vacuum now reclaims the pre-compaction files
-    removed = vacuum(t)
+    removed = vacuum(t, min_age_seconds=0)
     assert removed  # the 6 pre-compaction data files
     n_parquet_after = sum(
         1 for e in _os.listdir(t) if e.endswith(".parquet")
@@ -811,7 +812,7 @@ def test_vacuum_walks_partition_subdirs_and_age_gate(spark, tmp_path):
     assert vacuum(t, min_age_seconds=3600) == []
     assert os.path.exists(orphan)
     # unguarded: reclaimed by its table-relative name
-    assert vacuum(t) == [os.path.join("par=0", "part-orphan.parquet")]
+    assert vacuum(t, min_age_seconds=0) == [os.path.join("par=0", "part-orphan.parquet")]
     assert not os.path.exists(orphan)
     assert snapshot(spark, t).count() == 60
 

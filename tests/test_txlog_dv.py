@@ -256,7 +256,7 @@ def test_vacuum_reclaims_orphan_dv_sidecars(spark, tmp_path):
     os.makedirs(orphan)
     with open(os.path.join(orphan, "junk.parquet"), "wb") as f:
         f.write(b"junk")
-    removed = vacuum(t)
+    removed = vacuum(t, min_age_seconds=0)
     assert removed == [os.path.join("_dv", "dv-orphan")]
     assert not os.path.exists(orphan)
     # the referenced sidecar survives and the table still reads
@@ -265,7 +265,7 @@ def test_vacuum_reclaims_orphan_dv_sidecars(spark, tmp_path):
     orphan2 = os.path.join(t, "_dv", "dv-orphan2")
     os.makedirs(orphan2)
     assert vacuum(t, min_age_seconds=3600) == []
-    assert vacuum(t) == [os.path.join("_dv", "dv-orphan2")]
+    assert vacuum(t, min_age_seconds=0) == [os.path.join("_dv", "dv-orphan2")]
 
 
 def test_dv_conflict_loser_retries_cleanly(spark, tmp_path):
@@ -297,7 +297,7 @@ def test_dv_conflict_loser_retries_cleanly(spark, tmp_path):
         tx.set_log_store(tx.PosixLogStore())
     # exactly one sidecar is referenced; the loser's vacuums away
     assert len(os.listdir(os.path.join(t, "_dv"))) == 2
-    vacuum(t)
+    vacuum(t, min_age_seconds=0)
     assert len(os.listdir(os.path.join(t, "_dv"))) == 1
     assert snapshot(spark, t).count() == 59
 
@@ -729,7 +729,7 @@ def test_concurrent_dv_deletes_and_merge_with_retry(spark, tmp_path):
 
     assert len(history(t)) == 4
     # any abandoned loser sidecars vacuum away; live state unaffected
-    vacuum(t)
+    vacuum(t, min_age_seconds=0)
     assert snapshot(spark, t).count() == 117
 
 

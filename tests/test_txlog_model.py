@@ -150,5 +150,5 @@ def test_random_op_sequences_match_reference_model(
     assert net == model, "CDF fold diverged from the final state"
 
     # vacuum never breaks the current snapshot
-    vacuum(t)
+    vacuum(t, min_age_seconds=0)
     assert _snapshot_counter(spark, t) == model

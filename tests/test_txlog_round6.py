@@ -1,0 +1,295 @@
+"""Round-6 hardening regressions for the transaction log + CDF stream.
+
+Each test pins one ADVICE/verdict finding:
+
+- CHECK constraints survive truncate_history's self-contained horizon
+  (and ride checkpoints, bounding the resolve walk);
+- cdf_append_sink stays exactly-once across a crash BETWEEN delivery
+  and the cursor advance when the source head moved (partial-overlap
+  ranges filter by the SetTransaction watermark);
+- merge_upsert pins a non-deterministic source (localCheckpoint) so
+  the DV probe and the data write see one slice;
+- apply_changes keeps the CDF dead-key set distributed — no
+  row-sized collect ever reaches the driver;
+- vacuum's default age-gates candidates (Delta's 7-day retention);
+  immediate reclaim is an explicit opt-in;
+- DV/merge commit paths read row totals from MANIFEST metadata, not
+  per-touched-file parquet footers (with a footer fallback for
+  pre-rows manifests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.operators import txlog as tx
+from etl_sentinel_imagery_spark.operators.txlog import (
+    ConstraintViolation,
+    add_constraint,
+    append,
+    apply_changes,
+    current_version,
+    delete_rows_dv,
+    init_table,
+    merge_upsert,
+    read_manifest,
+    resolve_constraints,
+    resolve_files,
+    snapshot,
+    table_changes,
+    truncate_history,
+    vacuum,
+)
+from etl_sentinel_imagery_spark.streaming.cdf_source import (
+    CdfCursor,
+    cdf_append_sink,
+    cdf_step,
+    drain_table_changes,
+)
+
+
+def _seed(spark, n=60, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("int").alias("grp"),
+        F.concat(F.lit("r6-"), F.col("id")).alias("body"),
+    )
+
+
+def test_constraints_survive_truncate_history(spark, tmp_path):
+    """A constraint added BEFORE the retention horizon must still be
+    enforced after truncation: the self-contained horizon manifest
+    embeds the resolved constraint map (files and txns already were),
+    or every later write silently goes unchecked."""
+    t = str(tmp_path / "ct")
+    init_table(spark, t, _seed(spark, 20))
+    add_constraint(spark, t, "grp_bounded", "grp BETWEEN 0 AND 6")
+    for i in range(6):
+        append(spark, t, _seed(spark, 5, offset=100 + 10 * i))
+    stats = truncate_history(t, keep_versions=2)
+    assert stats["horizon"] > 1  # the constraint commit was retired
+    horizon = read_manifest(t, stats["horizon"])
+    assert horizon["parent"] is None  # self-contained
+    assert horizon["constraints"] == {"grp_bounded": "grp BETWEEN 0 AND 6"}
+    assert resolve_constraints(t) == {
+        "grp_bounded": "grp BETWEEN 0 AND 6"
+    }
+    bad = spark.createDataFrame(
+        [(999, 99, "oob")], ["doc_id", "grp", "body"]
+    )
+    with pytest.raises(ConstraintViolation, match="grp_bounded"):
+        append(spark, t, bad)
+
+
+def test_constraints_embedded_at_checkpoints(spark, tmp_path):
+    """Every CHECKPOINT_EVERY-th commit embeds the resolved constraint
+    set, so resolve_constraints' chain walk is bounded like files and
+    txns — a million-commit history with one day-one constraint must
+    not walk a million manifests per write."""
+    t = str(tmp_path / "cc")
+    init_table(spark, t, _seed(spark, 10))
+    add_constraint(spark, t, "grp_bounded", "grp BETWEEN 0 AND 6")
+    while current_version(t) % tx.CHECKPOINT_EVERY != 0:
+        append(spark, t, _seed(spark, 2, offset=1000 + current_version(t)))
+    ck = read_manifest(t, current_version(t))
+    assert "files" in ck and "txns" in ck  # it IS a checkpoint
+    assert ck["constraints"] == {"grp_bounded": "grp BETWEEN 0 AND 6"}
+    # the walk stops at the checkpoint: resolution agrees even if every
+    # pre-checkpoint manifest were gone (truncate proves that above)
+    assert resolve_constraints(t) == {
+        "grp_bounded": "grp BETWEEN 0 AND 6"
+    }
+
+
+def test_cdf_append_sink_crash_overlap_no_duplicates(spark, tmp_path):
+    """Crash between process() and cursor.advance(), THEN the source
+    head moves: the retried range (from_v, new_to_v] partially
+    overlaps the crashed run's delivered (from_v, old_to_v]. The sink
+    must deliver only the versions past its watermark — without the
+    filter, versions from_v+1..old_to_v append twice and every
+    additive fold over the feed is wrong."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    init_table(spark, src, _seed(spark, 40))
+    append(spark, src, _seed(spark, 10, offset=100))  # v1
+    sink = cdf_append_sink(dst, app_id="overlap-test")
+    r = cdf_step(spark, src, ckpt, sink)
+    assert r == (-1, 1)
+    # crash simulation: delivery happened (watermark=1) but the cursor
+    # write never did — rewind it to the pre-batch value
+    cursor = CdfCursor(ckpt)
+    with open(cursor._path, "w") as f:
+        json.dump({"version": -1}, f)
+    # the source head moves before the retry
+    append(spark, src, _seed(spark, 5, offset=200))  # v2
+    ranges = drain_table_changes(spark, src, ckpt, sink)
+    assert ranges == [(-1, 2)]
+    # destination feed == one copy of every version's changes
+    expect = table_changes(spark, src, -1, 2).count()
+    got = snapshot(spark, dst)
+    assert got.count() == expect
+    # and specifically v1's rows (the crashed range's tail) are single
+    assert (
+        got.where(
+            (F.col("_commit_version") == 1)
+            & (F.col("_change_type") == "insert")
+        ).count()
+        == 10
+    )
+
+
+def test_merge_upsert_pins_nondeterministic_source(spark, tmp_path):
+    """A source whose rows differ per evaluation (rand-gated) must not
+    diverge between the DV probe and the data write — the pin
+    (localCheckpoint) makes the probe delete exactly the pre-images of
+    the rows that then insert. Without it, keys inserted but never
+    probed appear twice in the snapshot."""
+    t = str(tmp_path / "nd")
+    init_table(spark, t, _seed(spark, 100))
+    for salt in range(3):
+        src = (
+            spark.range(0, 100)
+            .where(F.rand(seed=None) < 0.4)  # different rows per eval
+            .select(
+                F.col("id").alias("doc_id"),
+                F.lit(salt).cast("int").alias("grp"),
+                F.concat(F.lit(f"m{salt}-"), F.col("id")).alias("body"),
+            )
+        )
+        merge_upsert(spark, t, src, "doc_id")
+        snap = snapshot(spark, t)
+        agg = snap.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("nk"),
+        ).collect()[0]
+        assert agg["n"] == agg["nk"] == 100, (
+            f"duplicate keys after merge #{salt}: "
+            f"{agg['n']} rows, {agg['nk']} keys"
+        )
+
+
+def test_apply_changes_never_collects_row_sized_sets(
+    spark, tmp_path, monkeypatch
+):
+    """100 TB rule (round-5 verdict #1): the CDF dead-key set must stay
+    distributed. Every driver materialization inside apply_changes is
+    control-plane-sized — the probe bounds row (lo/hi) and the
+    per-touched-file DV counts — never a DataFrame of keys."""
+    t = str(tmp_path / "nc")
+    init_table(spark, t, _seed(spark, 200).repartition(4))
+    ups = (
+        _seed(spark, 30, offset=50)
+        .withColumn("body", F.concat(F.lit("up-"), F.col("doc_id")))
+        .select(
+            "*",
+            F.lit("insert").alias("_change_type"),
+            F.lit(7).alias("_commit_version"),
+            F.lit("append").alias("_commit_op"),
+        )
+    )
+    dels = _seed(spark, 40, offset=120).select(
+        "*",
+        F.lit("delete").alias("_change_type"),
+        F.lit(7).alias("_commit_version"),
+        F.lit("delete").alias("_commit_op"),
+    )
+    feed = ups.unionByName(dels)
+
+    cls = type(spark.range(1))
+    collected = []
+    orig = cls.collect
+
+    def spy(self):
+        collected.append([f.name for f in self.schema.fields])
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", spy)
+    apply_changes(spark, t, feed, "doc_id")
+    monkeypatch.undo()
+    assert collected, "the probe bounds row is a legitimate collect"
+    for cols in collected:
+        assert cols in (["lo", "hi"], ["file_name", "n"]), (
+            f"row-sized driver materialization: {cols}"
+        )
+    snap = snapshot(spark, t)
+    assert snap.count() == 200 - 40  # 40 dead; 30 in-place updates
+    assert snap.where(F.col("doc_id").between(120, 159)).count() == 0
+    assert snap.where(F.col("body").startswith("up-")).count() == 30
+
+
+def test_vacuum_default_age_gates_orphans(spark, tmp_path):
+    """The default must NOT reclaim young unreferenced files: a
+    concurrent writer's data sits unreferenced between its staging
+    move and its manifest claim, and a zero default would delete
+    just-committed data in that window. Immediate reclaim is an
+    explicit min_age_seconds=0 opt-in."""
+    t = str(tmp_path / "vac")
+    init_table(spark, t, _seed(spark, 10).coalesce(1))
+    orphan = os.path.join(t, "part-orphan.parquet")
+    _seed(spark, 3).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "tmp_o")
+    )
+    src = next(
+        p
+        for p in os.listdir(str(tmp_path / "tmp_o"))
+        if p.endswith(".parquet")
+    )
+    os.replace(os.path.join(str(tmp_path / "tmp_o"), src), orphan)
+    assert vacuum(t) == []  # default: 7-day retention, orphan too young
+    assert os.path.exists(orphan)
+    assert vacuum(t, min_age_seconds=0) == ["part-orphan.parquet"]
+    assert not os.path.exists(orphan)
+
+
+def test_dv_commit_reads_no_footers(spark, tmp_path, monkeypatch):
+    """DV delete / merge commits take row totals from manifest entries
+    (recorded at append time) — zero driver-side parquet footer opens
+    at commit time (round-5 verdict #6: O(touched files) driver IO)."""
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "nf")
+    init_table(spark, t, _seed(spark, 120).repartition(3))
+    for e in resolve_files(t):
+        assert isinstance(e, dict) and e["rows"] > 0
+    assert sum(e["rows"] for e in resolve_files(t)) == 120
+
+    opens = []
+    orig = pq.ParquetFile
+
+    def spy(path, *a, **kw):
+        opens.append(str(path))
+        return orig(path, *a, **kw)
+
+    monkeypatch.setattr(pq, "ParquetFile", spy)
+    delete_rows_dv(spark, t, "doc_id", [3, 50, 99])
+    assert opens == [], f"driver footer reads at DV commit: {opens}"
+    monkeypatch.undo()
+    assert snapshot(spark, t).count() == 117
+
+
+def test_dv_commit_footer_fallback_for_old_manifests(spark, tmp_path):
+    """Back-compat: entries written before row counts landed (no
+    'rows' key) fall back to one footer read — results identical."""
+    t = str(tmp_path / "bc")
+    init_table(spark, t, _seed(spark, 50).coalesce(1))
+    # surgically age the manifest: strip the rows key
+    p = tx._manifest_path(t, 0)
+    with open(p) as f:
+        m = json.load(f)
+    for e in m["files"]:
+        e.pop("rows", None)
+    os.chmod(p, 0o644)
+    with open(p, "w") as f:
+        json.dump(m, f)
+    assert all("rows" not in e for e in resolve_files(t))
+    v = delete_rows_dv(spark, t, "doc_id", list(range(10)))
+    assert v == 1
+    assert snapshot(spark, t).count() == 40
+    # a fully-matched old-entry file still turns into a pure remove
+    delete_rows_dv(spark, t, "doc_id", list(range(10, 50)))
+    assert resolve_files(t) == []
