@@ -695,51 +695,127 @@ def append(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
     )
 
 
+def _probe_candidates(
+    spark: SparkSession,
+    table_dir: str,
+    m: dict,
+    entries: list,
+    by_name: dict,
+    key_col: str,
+    lo,
+    hi,
+    values: list | None = None,
+    keys: DataFrame | None = None,
+) -> list:
+    """The shared probe-pruning ladder for every key-targeted write
+    (COW delete, DV delete, merge, apply_changes). Exact in all
+    branches — a skipped file provably holds no matching key:
+
+    1. manifest [min, max] stats when the table tracks ``key_col``
+       (``_stats_probe_subset`` — files without stats always probed);
+    2. else the per-file Bloom sidecar when one exists — list-keyed
+       (:func:`dv_delete_candidates`) or DataFrame-keyed
+       (:func:`dv_delete_candidates_df`), no false negatives;
+    3. else every live entry (one full — but still single and
+       pushed-down — distributed probe scan).
+    """
+    if key_col in (m.get("stat_cols") or []) and lo is not None:
+        return _stats_probe_subset(entries, key_col, lo, hi)
+    try:
+        if keys is not None:
+            cand = dv_delete_candidates_df(
+                spark, table_dir, key_col, keys
+            )
+        elif values:
+            cand = dv_delete_candidates(
+                spark, table_dir, key_col, values
+            )
+        else:
+            return entries
+        return [by_name[n] for n in cand if n in by_name]
+    except (FileNotFoundError, ValueError):
+        return entries  # no index either: full probe (correct)
+
+
 def delete_rows(
     spark: SparkSession, table_dir: str, key_col: str, values: list
 ) -> int:
-    """Transactional targeted delete: candidate files (those actually
-    holding matches) rewrite to new files; ONE commit swaps old for new
-    — a snapshot reader never sees duplicates or partial deletes. This
-    is the COPY-ON-WRITE form (full write-amplification on touched
-    files); :func:`delete_rows_dv` is the merge-on-read sibling.
-    Rewrites read DV-aware, so composing the two is safe: a rewrite of
-    a DV-carrying file materializes its DV (deleted rows stay dead)."""
+    """Transactional targeted delete: files actually holding matches
+    rewrite to new files; ONE commit swaps old for new — a snapshot
+    reader never sees duplicates or partial deletes. This is the
+    COPY-ON-WRITE form (full write-amplification on touched files);
+    :func:`delete_rows_dv` is the merge-on-read sibling. Rewrites read
+    DV-aware, so composing the two is safe: a rewrite of a DV-carrying
+    file materializes its DV (deleted rows stay dead).
+
+    Shares the DV path's probe shape (round-5 verdict #3 — the old
+    form ran one read→filter→count JOB PER LIVE FILE, 1M sequential
+    driver round-trips at 1M files): candidates prune by manifest
+    stats / Bloom sidecar exactly as in :func:`delete_rows_dv`, ONE
+    distributed probe yields per-file hit counts (control-plane: one
+    row per TOUCHED file), full-match files become pure removes from
+    manifest row totals alone, and partially-matched files rewrite in
+    ONE job per partition leaf — job count tracks touched LEAVES, not
+    table files. Returns ``parent`` unchanged when nothing matched
+    (no empty commits, matching the DV sibling)."""
     parent = current_version(table_dir)
     m = read_manifest(table_dir, parent)
     stat_cols = m.get("stat_cols") or None
     partition_cols = m.get("partition_cols") or None
-    removes: list[str] = []
+    entries = resolve_files(table_dir, parent)
+    by_name = {_entry_name(e): e for e in entries}
+    probe = _probe_candidates(
+        spark, table_dir, m, entries, by_name, key_col,
+        min(values) if values else None,
+        max(values) if values else None,
+        values=values,
+    )
+    if not probe:
+        return parent
+    live = _read_entries(spark, table_dir, probe, parent, keep_pos=True)
+    hit_counts = {
+        r["_file_name"]: r["n"]
+        for r in live.filter(F.col(key_col).isin(values))
+        .groupBy("_file_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not hit_counts:
+        return parent
+    removes = sorted(hit_counts)
+    # full-match detection from metadata: live rows = recorded total
+    # minus DV dead count — no read needed to drop a fully-matched file
+    def _live_rows(e) -> int:
+        dv_n = int(e.get("dv_n", 0)) if isinstance(e, dict) else 0
+        return _entry_rows(table_dir, e) - dv_n
+
+    partial = [
+        by_name[n]
+        for n in removes
+        if hit_counts[n] < _live_rows(by_name[n])
+    ]
+    # rewrites stay in their partition leaf (the file's own dir) —
+    # except clone entries, whose absolute names point into the SOURCE
+    # table: their rewrites land in this table's own root (the clone
+    # materializes as it diverges). One rewrite job per LEAF, with all
+    # of the leaf's touched files read together.
+    leaves: dict[str, list] = {}
+    for e in partial:
+        name = _entry_name(e)
+        leaf = "" if os.path.isabs(name) else os.path.dirname(name)
+        leaves.setdefault(leaf, []).append(e)
     new_names: list = []
-    for entry in resolve_files(table_dir, parent):
-        name = _entry_name(entry)
-        df = _read_entries(spark, table_dir, [entry], parent)
+    for leaf in sorted(leaves):
+        kept = _read_entries(
+            spark, table_dir, leaves[leaf], parent
+        ).filter(~F.coalesce(F.col(key_col).isin(values), F.lit(False)))
         if partition_cols:
             # partition values stay encoded in the leaf path the
             # rewrite lands in — they are not data columns on disk
-            df = df.drop(*partition_cols)
-        n_hit = df.filter(F.col(key_col).isin(values)).count()
-        if n_hit == 0:
-            continue  # untouched — not even mentioned in the delta
-        removes.append(name)
-        kept = df.filter(
-            ~F.coalesce(F.col(key_col).isin(values), F.lit(False))
+            kept = kept.drop(*partition_cols)
+        new_names += _move_in_data_files(
+            spark, table_dir, kept, stat_cols, dest_subdir=leaf
         )
-        if kept.limit(1).count() > 0:
-            # rewrites stay in their partition leaf (the file's own
-            # dir) — except clone entries, whose absolute names point
-            # into the SOURCE table: their rewrites land in this
-            # table's own root (the clone materializes as it diverges)
-            new_names += _move_in_data_files(
-                spark,
-                table_dir,
-                kept,
-                stat_cols,
-                dest_subdir=(
-                    "" if os.path.isabs(name) else os.path.dirname(name)
-                ),
-            )
-        # fully-matched files are a pure remove
     return _commit_delta(
         table_dir, parent, new_names, removes, "delete", stat_cols,
         partition_cols,
@@ -795,7 +871,7 @@ def delete_rows_dv(
     spark: SparkSession,
     table_dir: str,
     key_col: str,
-    values: list,
+    values: list | DataFrame,
     candidate_names: list[str] | None = None,
 ) -> int:
     """MERGE-ON-READ targeted delete — Delta deletion vectors /
@@ -835,6 +911,14 @@ def delete_rows_dv(
     range rule, equally exact; with neither, the probe scans all
     files (still one distributed pushed-down scan).
 
+    ``values`` may be a Python list OR a DataFrame carrying
+    ``key_col`` (extra columns ignored) — the form for corpus-sized
+    key sets (a GDPR purge stream): the keys never reach the driver;
+    stats pruning uses a 2-value bounds agg, the Bloom composition
+    switches to the DataFrame-keyed probe
+    (:func:`dv_delete_candidates_df`), and the position probe is a
+    distributed semi-join instead of ``isin``.
+
     Crash safety mirrors appends: the sidecar lands BEFORE the commit
     that references it (an orphaned sidecar is garbage for
     :func:`vacuum`, never corruption); a :class:`TxConflict` loser
@@ -842,6 +926,21 @@ def delete_rows_dv(
     away. Returns the committed version — ``parent`` unchanged when
     nothing matched (no empty commits).
     """
+    if isinstance(values, DataFrame):
+        # DataFrame-sized key sets stay distributed end-to-end: one
+        # eager pin (the probe must see a consistent slice), a
+        # 2-value bounds agg for stats pruning, and a semi-join probe
+        # — never an isin over a collected list
+        keys = values.select(key_col).distinct().localCheckpoint()
+        kb = keys.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).collect()[0]
+        lo, hi, vlist = kb["lo"], kb["hi"], None
+    else:
+        keys = None
+        lo = min(values) if values else None
+        hi = max(values) if values else None
+        vlist = values
     parent = current_version(table_dir)
     m = read_manifest(table_dir, parent)
     stat_cols = m.get("stat_cols") or None
@@ -850,25 +949,20 @@ def delete_rows_dv(
     by_name = {_entry_name(e): e for e in entries}
     if candidate_names is not None:
         probe = [by_name[n] for n in candidate_names]
-    elif key_col in (m.get("stat_cols") or []) and values:
-        probe = _stats_probe_subset(
-            entries, key_col, min(values), max(values)
-        )
     else:
-        # no range stats for this key — fall back to the per-file
-        # Bloom sidecar when one exists (point keys are exactly what
-        # it answers; no false negatives, so the restriction is exact)
-        try:
-            cand = dv_delete_candidates(
-                spark, table_dir, key_col, values
-            )
-            probe = [by_name[n] for n in cand if n in by_name]
-        except (FileNotFoundError, ValueError):
-            probe = entries  # no index either: full probe (correct)
+        probe = _probe_candidates(
+            spark, table_dir, m, entries, by_name, key_col, lo, hi,
+            values=vlist, keys=keys,
+        )
     if not probe:
         return parent
     live = _read_entries(spark, table_dir, probe, parent, keep_pos=True)
-    hits = live.filter(F.col(key_col).isin(values)).select(
+    matched = (
+        live.join(keys, key_col, "left_semi")
+        if keys is not None
+        else live.filter(F.col(key_col).isin(values))
+    )
+    hits = matched.select(
         F.col("_file_name").alias("file_name"),
         F.col("_row_pos").alias("pos"),
     )
@@ -960,19 +1054,17 @@ def merge_upsert(
     by_name = {_entry_name(e): e for e in entries}
     if candidate_names is not None:
         probe = [by_name[n] for n in candidate_names]
-    elif (
-        key_col in (m.get("stat_cols") or [])
-        and src_stats["lo"] is not None
-    ):
-        # manifest-stats auto-prune: the match probe touches only
-        # files whose key range intersects the source's (exact — the
-        # same rule as delete_rows_dv; ZORDER BY the merge key to make
-        # this bite)
-        probe = _stats_probe_subset(
-            entries, key_col, src_stats["lo"], src_stats["hi"]
-        )
     else:
-        probe = entries
+        # the shared pruning ladder: manifest-stats range auto-prune
+        # (ZORDER BY the merge key to make it bite), else the per-file
+        # Bloom sidecar probed with the SOURCE's keys (DataFrame-keyed
+        # — a merge on a non-stats key no longer scans the table),
+        # else the full — still single, pushed-down — probe
+        probe = _probe_candidates(
+            spark, table_dir, m, entries, by_name, key_col,
+            src_stats["lo"], src_stats["hi"],
+            keys=source.select(key_col),
+        )
 
     removes: list[str] = []
     dv_adds: list = []
@@ -1278,10 +1370,12 @@ def apply_changes(
     kb = affected.agg(
         F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
     ).collect()[0]
-    if key_col in (m.get("stat_cols") or []) and kb["lo"] is not None:
-        probe = _stats_probe_subset(entries, key_col, kb["lo"], kb["hi"])
-    else:
-        probe = entries
+    # same pruning ladder as merge_upsert/delete_rows_dv: stats range,
+    # else Bloom sidecar keyed by the affected-key frame, else all
+    probe = _probe_candidates(
+        spark, table_dir, m, entries, by_name, key_col,
+        kb["lo"], kb["hi"], keys=affected,
+    )
 
     removes: list[str] = []
     dv_adds: list = []
@@ -1378,6 +1472,69 @@ def dv_delete_candidates(
     admitted = {
         _uri_to_path(r["file"])
         for r in idx.where(probe).select("file").collect()
+    }
+    indexed = {
+        _uri_to_path(r["file"]) for r in idx.select("file").collect()
+    }
+    out = []
+    for e in resolve_files(table_dir):
+        name = _entry_name(e)
+        path = os.path.abspath(os.path.join(table_dir, name))
+        if path in admitted or path not in indexed:
+            out.append(name)
+    return out
+
+
+def dv_delete_candidates_df(
+    spark: SparkSession, table_dir: str, key_col: str, keys: DataFrame
+) -> list[str]:
+    """DataFrame-keyed sibling of :func:`dv_delete_candidates` — the
+    candidate probe for corpus-sized key sets (a GDPR delete stream, a
+    merge source) where a Python value list would be a driver
+    round-trip. Each distinct key's hash is computed ONCE (polyhash
+    before the join), then tested against every file's Bloom words via
+    a broadcast nested-loop join over the manifest-sized index; files
+    any key admits are candidates, plus live files the index doesn't
+    cover (no false negatives — skipped files provably hold none of
+    the keys). Cost is O(|keys| x n_files) word lookups STREAMED
+    inside one stage (nothing materializes; only file names reach the
+    driver) — worth it exactly when the data bytes skipped dwarf that;
+    at extreme file counts manifest stats + ZORDER is the right tool
+    and the fallback full probe stays correct."""
+    from etl_sentinel_imagery_spark.functions.text import polyhash
+    from etl_sentinel_imagery_spark.operators.bloom import (
+        bloom_contains_hash,
+    )
+    from etl_sentinel_imagery_spark.operators.skipping import (
+        read_file_bloom_index,
+    )
+
+    idx = read_file_bloom_index(spark, table_dir, key_col)
+    shape = idx.select("n_bits", "n_hashes").first()
+    if shape is None:
+        raise ValueError("empty bloom index")
+    hashes = (
+        keys.select(F.col(key_col).cast("string").alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .distinct()
+        .select(polyhash(F.col("_k")).alias("_h"))
+    )
+    hit = hashes.crossJoin(
+        F.broadcast(idx.select("file", "words"))
+    ).where(
+        F.coalesce(
+            bloom_contains_hash(
+                F.col("words"),
+                F.col("_h"),
+                int(shape["n_bits"]),
+                int(shape["n_hashes"]),
+            ),
+            F.lit(False),
+        )
+    )
+    admitted = {
+        _uri_to_path(r["file"])
+        for r in hit.select("file").distinct().collect()
     }
     indexed = {
         _uri_to_path(r["file"]) for r in idx.select("file").collect()

@@ -293,3 +293,184 @@ def test_dv_commit_footer_fallback_for_old_manifests(spark, tmp_path):
     # a fully-matched old-entry file still turns into a pure remove
     delete_rows_dv(spark, t, "doc_id", list(range(10, 50)))
     assert resolve_files(t) == []
+
+
+def _spy_read_entries(monkeypatch):
+    """Record the entry-list size of every _read_entries call — the
+    job-count proxy: the old COW delete called it once per live file."""
+    calls = []
+    orig = tx._read_entries
+
+    def spy(spark, table_dir, entries, version, keep_pos=False):
+        calls.append(len(entries))
+        return orig(spark, table_dir, entries, version, keep_pos)
+
+    monkeypatch.setattr(tx, "_read_entries", spy)
+    return calls
+
+
+def test_cow_delete_is_one_probe_plus_one_rewrite_per_leaf(
+    spark, tmp_path, monkeypatch
+):
+    """Round-5 verdict #3: copy-on-write delete_rows must not run one
+    read→filter→count job per live file (1M sequential jobs at 1M
+    files). Shape now: ONE distributed probe over the candidate set +
+    ONE rewrite job per touched partition leaf."""
+    t = str(tmp_path / "cow")
+    init_table(spark, t, _seed(spark, 640).repartition(64))
+    assert len(resolve_files(t)) == 64
+    calls = _spy_read_entries(monkeypatch)
+    v = tx.delete_rows(spark, t, "doc_id", [3, 77, 500])
+    monkeypatch.undo()
+    # 1 probe (all 64 entries: no stats/Bloom on this table) + 1 leaf
+    # rewrite covering every partially-matched file together
+    assert len(calls) == 2, f"per-file probe loop is back: {calls}"
+    assert calls[0] == 64
+    assert snapshot(spark, t, v).count() == 637
+    assert (
+        snapshot(spark, t).where(
+            F.col("doc_id").isin([3, 77, 500])
+        ).count()
+        == 0
+    )
+    # no-match deletes commit nothing (parity with the DV sibling)
+    assert tx.delete_rows(spark, t, "doc_id", [99999]) == v
+
+
+def test_cow_delete_full_match_files_drop_without_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """A file whose every live row matches is a pure remove decided
+    from MANIFEST row totals — no rewrite job touches it."""
+    t = str(tmp_path / "cowf")
+    init_table(spark, t, _seed(spark, 10).coalesce(1))
+    append(spark, t, _seed(spark, 10, offset=500).coalesce(1))
+    calls = _spy_read_entries(monkeypatch)
+    tx.delete_rows(spark, t, "doc_id", list(range(10)))
+    monkeypatch.undo()
+    assert calls == [2], f"full-match file must skip the rewrite: {calls}"
+    assert len(resolve_files(t)) == 1
+    assert snapshot(spark, t).count() == 10
+
+
+def test_cow_delete_partitioned_rewrites_group_by_leaf(
+    spark, tmp_path, monkeypatch
+):
+    """Hive-partitioned deletes rewrite per LEAF, not per file, and
+    rewritten rows stay in their partition."""
+    t = str(tmp_path / "cowp")
+    df = _seed(spark, 200).repartition(8)
+    tx.init_table(spark, t, df, partition_cols=["grp"])
+    n_files = len(resolve_files(t))
+    assert n_files > 7  # at least one file per grp leaf
+    calls = _spy_read_entries(monkeypatch)
+    # doc_ids 3 and 10 live in grp=3 (3%7) and grp=3 (10%7)... use two
+    # keys in DIFFERENT groups: 3 -> grp 3, 4 -> grp 4
+    tx.delete_rows(spark, t, "doc_id", [3, 4])
+    monkeypatch.undo()
+    # 1 probe + exactly one rewrite per touched leaf (2 leaves)
+    assert len(calls) == 3, calls
+    snap = snapshot(spark, t)
+    assert snap.count() == 198
+    assert snap.where(F.col("doc_id").isin([3, 4])).count() == 0
+    # partition column still derives from paths for rewritten rows
+    assert snap.where(F.col("grp") == 3).count() == _seed(
+        spark, 200
+    ).where((F.col("grp") == 3) & (F.col("doc_id") != 3)).count()
+
+
+def test_dv_delete_accepts_dataframe_keys(spark, tmp_path, monkeypatch):
+    """delete_rows_dv with a DataFrame key set equals the list form
+    row-for-row, and nothing row-sized is collected to the driver."""
+    t1, t2 = str(tmp_path / "dfk1"), str(tmp_path / "dfk2")
+    for t in (t1, t2):
+        init_table(spark, t, _seed(spark, 300).repartition(6))
+    kill = [7, 13, 140, 299]
+    delete_rows_dv(spark, t1, "doc_id", kill)
+    keys = spark.createDataFrame(
+        [(k, "extra") for k in kill], ["doc_id", "junk"]
+    )
+    cls = type(spark.range(1))
+    collected = []
+    orig = cls.collect
+
+    def spy(self):
+        collected.append([f.name for f in self.schema.fields])
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", spy)
+    delete_rows_dv(spark, t2, "doc_id", keys)
+    monkeypatch.undo()
+    for cols in collected:
+        assert cols in (["lo", "hi"], ["file_name", "n"]), (
+            f"row-sized driver materialization: {cols}"
+        )
+    a = sorted(map(tuple, snapshot(spark, t1).collect()))
+    b = sorted(map(tuple, snapshot(spark, t2).collect()))
+    assert a == b and len(a) == 296
+
+
+def test_merge_bloom_prunes_probe_on_statless_table(
+    spark, tmp_path, monkeypatch
+):
+    """Round-5 verdict #2: merge_upsert on a NON-stats key composes
+    the per-file Bloom sidecar — the match probe shrinks to the files
+    that can hold source keys, with identical results."""
+    from etl_sentinel_imagery_spark.operators.skipping import (
+        build_file_bloom_index,
+    )
+
+    t_idx, t_ref = str(tmp_path / "mb1"), str(tmp_path / "mb2")
+    for t in (t_idx, t_ref):
+        # 8 files of 50 ids each, disjoint ranges, NO stat_cols
+        for i in range(8):
+            df = _seed(spark, 50, offset=i * 50).coalesce(1)
+            if i == 0:
+                init_table(spark, t, df)
+            else:
+                append(spark, t, df)
+        assert len(resolve_files(t)) == 8
+    build_file_bloom_index(spark, t_idx, "doc_id")
+    src = (
+        _seed(spark, 5, offset=100)  # keys 100..104: ONE file holds them
+        .withColumn("body", F.concat(F.lit("new-"), F.col("doc_id")))
+    )
+    calls = _spy_read_entries(monkeypatch)
+    merge_upsert(spark, t_idx, src, "doc_id")
+    monkeypatch.undo()
+    probe_sizes = [c for c in calls]
+    assert probe_sizes and probe_sizes[0] < 8, (
+        f"Bloom did not prune the merge probe: {probe_sizes}"
+    )
+    merge_upsert(spark, t_ref, src, "doc_id")  # unindexed twin
+    a = sorted(map(tuple, snapshot(spark, t_idx).collect()))
+    b = sorted(map(tuple, snapshot(spark, t_ref).collect()))
+    assert a == b and len(a) == 400
+    assert sum(1 for r in a if str(r[2]).startswith("new-")) == 5
+
+
+def test_dv_delete_df_keys_bloom_pruned(spark, tmp_path, monkeypatch):
+    """The DataFrame-keyed delete composes the Bloom sidecar too: the
+    probe set shrinks on a stat-less indexed table, results exact."""
+    from etl_sentinel_imagery_spark.operators.skipping import (
+        build_file_bloom_index,
+    )
+
+    t = str(tmp_path / "dvb")
+    for i in range(6):
+        df = _seed(spark, 40, offset=i * 40).coalesce(1)
+        if i == 0:
+            init_table(spark, t, df)
+        else:
+            append(spark, t, df)
+    build_file_bloom_index(spark, t, "doc_id")
+    keys = spark.range(45, 50).select(F.col("id").alias("doc_id"))
+    calls = _spy_read_entries(monkeypatch)
+    delete_rows_dv(spark, t, "doc_id", keys)
+    monkeypatch.undo()
+    assert calls and calls[0] < 6, (
+        f"Bloom did not prune the DV probe: {calls}"
+    )
+    snap = snapshot(spark, t)
+    assert snap.count() == 235
+    assert snap.where(F.col("doc_id").between(45, 49)).count() == 0
