@@ -2,7 +2,10 @@
 
 Prints ONE JSON line:
 {"metric": "...", "value": <total sec>, "unit": "sec",
- "queries": {name: sec, ...}, "sf": <scale factor>}
+ "queries": {name: sec, ...}, "sf": <scale factor>,
+ "load_avg_start": <1-min load average at start — quiescence marker;
+  readings far above the core count mean a contended box and the run
+  is not comparable across rounds>}
 """
 
 from __future__ import annotations
@@ -34,8 +37,10 @@ HEADLINE = [
     "dedup_clusters",
     "docs_chunking",
     "text_profile",
-    "cosine_topk_bruteforce",
-    "embedding_near_dup_pairs",
+    # round-6 fold: the brute/near-dup exact anchors live inside
+    # ann_deterministic_battery now (one strict-oracle row; their
+    # timings merge into it — compare the SUM of the three r5 names)
+    "ann_deterministic_battery",
     "ann_ivf_battery",
     # round-4 addition: the oracled spatial joins (grid pip + radius)
     "spatial_fuzzy_join_battery",
@@ -47,6 +52,12 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # machine-quiescence provenance: a contended box inflates every
+    # query uniformly (round-5's driver run measured 1.8-2.2x across
+    # plan-unchanged queries); recording the 1-min load average at
+    # start makes such runs self-identifying instead of adjudicated
+    # after the fact. Quiet baseline on this 32-cpu box is < ~2.
+    load_avg = round(os.getloadavg()[0], 2)
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
     qs = _queries()
@@ -97,6 +108,7 @@ def main() -> None:
                 "queries": timings,
                 "ann_ivf_tiers": tier_timings,
                 "sf": sf,
+                "load_avg_start": load_avg,
             }
         )
     )

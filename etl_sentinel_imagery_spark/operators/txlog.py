@@ -996,6 +996,8 @@ def merge_upsert(
     source: DataFrame,
     key_col: str,
     candidate_names: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
+    op: str = "merge",
 ) -> int:
     """``MERGE INTO`` (upsert) in ONE commit — the composition the
     merge-on-read halves exist for: rows whose ``key_col`` matches an
@@ -1107,10 +1109,11 @@ def merge_upsert(
         parent,
         dv_adds + new_names,
         removes,
-        "merge",
+        op,
         stat_cols,
         partition_cols,
         schema_json=merged_schema,
+        txn=txn,
     )
 
 
@@ -1294,6 +1297,39 @@ def clone_table(table_dir: str, dest_dir: str) -> int:
     return 0
 
 
+def _net_changes(
+    changes: DataFrame, key_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """NET state per key over a change-feed slice (``table_changes``
+    rows): the change with the highest ``_commit_version`` wins; at
+    equal version an insert outranks a delete (a delete+insert pair in
+    one commit IS an update). Returns ``(upserts, dead)`` — the
+    payload rows whose final state is a row (feed columns stripped),
+    and the ``key_col`` frame of keys whose final state is a delete.
+    Shared by :func:`apply_changes` and the streaming upsert sink."""
+    from pyspark.sql import Window
+
+    pri = F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("_commit_version").desc(), pri.desc()
+    )
+    final = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    payload_cols = [
+        c
+        for c in changes.columns
+        if c not in ("_change_type", "_commit_version", "_commit_op")
+    ]
+    upserts = final.where(F.col("_change_type") == "insert").select(
+        *payload_cols
+    )
+    dead = final.where(F.col("_change_type") == "delete").select(key_col)
+    return upserts, dead
+
+
 def apply_changes(
     spark: SparkSession,
     table_dir: str,
@@ -1326,26 +1362,7 @@ def apply_changes(
     Stats-based probe pruning applies as in :func:`merge_upsert` when
     the table tracks the key column.
     """
-    from pyspark.sql import Window
-
-    pri = F.when(F.col("_change_type") == "insert", 1).otherwise(0)
-    w = Window.partitionBy(key_col).orderBy(
-        F.col("_commit_version").desc(), pri.desc()
-    )
-    final = (
-        changes.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    payload_cols = [
-        c
-        for c in changes.columns
-        if c not in ("_change_type", "_commit_version", "_commit_op")
-    ]
-    upserts = final.where(F.col("_change_type") == "insert").select(
-        *payload_cols
-    )
-    dead = final.where(F.col("_change_type") == "delete").select(key_col)
+    upserts, dead = _net_changes(changes, key_col)
     # single eager materialization so the probe and the data write see
     # one consistent slice — and BOTH halves stay distributed: a
     # replicated bulk delete (millions of dead keys in one CDF range)

@@ -149,25 +149,6 @@ def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, F.col("vec_id") < N_QUERIES, k=TOP_K)
 
 
-_COSINE_TOPK_SQL = f"""
-WITH {_NORMED_CTE},
-scored AS (
-    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-           {_DOT.format(a="q.vn", b="c.vn")} AS cos_sim
-    FROM normed q
-    JOIN normed c ON c.vec_id != q.vec_id
-    WHERE q.vec_id < {N_QUERIES}
-)
-SELECT query_id, cand_id, cos_sim, rnk
-FROM (
-    SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rnk
-    FROM scored
-)
-WHERE rnk <= {TOP_K}
-"""
-
-
 #: Per-sf_dir temp path of the persisted seeded-IVF index the battery's
 #: ivf_adaptive serving tier probes — built once per process.
 _IVF_INDEX_CACHE: dict[str, str] = {}
@@ -216,32 +197,34 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NEAR_DUP_SQL = f"""
-WITH {_NORMED_CTE}
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {_DOT.format(a="a.vn", b="b.vn")} AS cos_sim
-FROM normed a
-JOIN normed b ON a.vec_id < b.vec_id
-WHERE {_DOT.format(a="a.vn", b="b.vn")} >= {NEAR_DUP_THRESHOLD}
-"""
-
-
 def _ann_deterministic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The two fully deterministic ANN tiers under a strict value oracle
-    (VERDICT r2 item 1 — these were rows-only inside ann_ivf_battery):
+    """Every fully deterministic similarity ground truth under ONE
+    strict value oracle — four tiers tagged by ``method``:
 
+    - ``brute``: exact cosine top-k (the O(n²) sf-capped anchor every
+      approximate tier's recall is measured against);
+    - ``near_dup``: exact threshold pairs (cos ≥ NEAR_DUP_THRESHOLD),
+      ranked within each left id — the near-duplicate ground truth the
+      LSH/IVF blocking paths approximate;
     - ``seeded_expr``: seeded IVF (first-8 centroids, argmax assignment,
       2-probe) computed with expression-only sequential-fold math
       (operators.similarity.ivf_topk_expr) so DuckDB restates the whole
-      plan — assignment windows, probe ranks, scores — bit-for-bit.
+      plan — assignment windows, probe ranks, scores — bit-for-bit;
     - ``int8``: brute-force cosine over the per-corpus int8 code — the
       4× compression tier, whose quantize→dequantize→normalize→dot
       chain is integer-exact up to the shared sequential folds.
 
-    The approximate/trained tiers (k-means IVF, PQ ADC) stay in
-    ann_ivf_battery under the rows-only check with recall pinned in
-    pytest — approximation, not determinism, is what blocks their
-    oracle, and splitting them out keeps this row strict-hash-green."""
+    ``brute``/``near_dup`` were standalone registry rows
+    (cosine_topk_bruteforce / embedding_near_dup_pairs) through round
+    5; they folded in here — identical plans, identical oracles, same
+    (method, query_id, cand_id, score, rnk) shape — so every oracle
+    row fits the driver's 50-row gate (round-5 verdict #5) with zero
+    strict coverage lost. The approximate/trained tiers (k-means IVF,
+    PQ ADC, HNSW) stay in ann_ivf_battery under the rows-only check
+    with recall pinned in pytest — approximation, not determinism, is
+    what blocks their oracle."""
+    from pyspark.sql import Window
+
     from etl_sentinel_imagery_spark.operators.similarity import (
         dequantize_topk,
         ivf_topk_expr,
@@ -259,6 +242,17 @@ def _ann_deterministic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
 
+    brute = tag(_cosine_topk(spark, sf_dir), "brute")
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cos_sim").desc(), F.col("id_b")
+    )
+    near = _near_dup_pairs(spark, sf_dir).select(
+        F.lit("near_dup").alias("method"),
+        F.col("id_a").alias("query_id"),
+        F.col("id_b").alias("cand_id"),
+        F.col("cos_sim").alias("score"),
+        F.row_number().over(w).alias("rnk"),
+    )
     seeded = tag(
         ivf_topk_expr(
             emb,
@@ -274,13 +268,43 @@ def _ann_deterministic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         dequantize_topk(quantized, qids.select("vec_id"), scale, k=TOP_K),
         "int8",
     )
-    return seeded.unionByName(int8)
+    return (
+        brute.unionByName(near).unionByName(seeded).unionByName(int8)
+    )
 
 
 _N_PROBE = 2
 
 _ANN_DETERMINISTIC_SQL = f"""
 WITH {_NORMED_CTE},
+brute_scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           {_DOT.format(a="q.vn", b="c.vn")} AS score
+    FROM normed q
+    JOIN normed c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+),
+brute_topk AS (
+    SELECT 'brute' AS method, query_id, cand_id, score, rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS rnk
+          FROM brute_scored)
+    WHERE rnk <= {TOP_K}
+),
+near_pairs AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+           {_DOT.format(a="a.vn", b="b.vn")} AS score
+    FROM normed a
+    JOIN normed b ON a.vec_id < b.vec_id
+    WHERE {_DOT.format(a="a.vn", b="b.vn")} >= {NEAR_DUP_THRESHOLD}
+),
+near_topk AS (
+    SELECT 'near_dup' AS method, query_id, cand_id, score,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, cand_id ASC
+           ) AS rnk
+    FROM near_pairs
+),
 cent AS (
     SELECT CAST(vec_id AS INTEGER) AS cidx, vn AS cv
     FROM normed WHERE vec_id < {N_CENTROIDS}
@@ -342,7 +366,10 @@ int8_topk AS (
           FROM int8_scored)
     WHERE rnk <= {TOP_K}
 )
-SELECT * FROM ivf_topk UNION ALL SELECT * FROM int8_topk
+SELECT * FROM brute_topk
+UNION ALL SELECT * FROM near_topk
+UNION ALL SELECT * FROM ivf_topk
+UNION ALL SELECT * FROM int8_topk
 """
 
 
@@ -465,17 +492,13 @@ QUERIES: dict[str, Q] = {
         _quant_battery, _QUANT_BATTERY_SQL,
         "l2 norms + int8 quantization integer stats (exact)",
     ),
-    "cosine_topk_bruteforce": Q(
-        _cosine_topk, _COSINE_TOPK_SQL,
-        "exact cosine top-k (sf-capped O(n²) ground-truth anchor; scale path = ann_ivf_battery)",
-    ),
-    "embedding_near_dup_pairs": Q(
-        _near_dup_pairs, _NEAR_DUP_SQL,
-        "cosine ≥0.95 near-dup pairs (sf-capped exact anchor; scale path = LSH/IVF blocking)",
-    ),
     "ann_deterministic_battery": Q(
         _ann_deterministic_battery, _ANN_DETERMINISTIC_SQL,
-        "deterministic ANN tiers: expression-seeded IVF + int8 brute force (strict oracle)",
+        "deterministic similarity ground truths in one strict oracle: "
+        "exact cosine top-k + threshold near-dup pairs (the sf-capped "
+        "O(n²) anchors, folded from their round-5 standalone rows; "
+        "scale paths = ann_ivf_battery / LSH blocking) + "
+        "expression-seeded IVF + int8 brute force",
     ),
     "ann_ivf_battery": Q(
         _ann_ivf_battery, None,

@@ -308,6 +308,70 @@ def cdf_replicate_sink(
     return _process
 
 
+def cdf_upsert_sink(
+    dst_table_dir: str,
+    key_col: str,
+    app_id: str = "cdf-upsert",
+    transform=None,
+):
+    """UPSERT-MODE silver tables: each consumed CDF range nets to its
+    final-state rows per key (:func:`operators.txlog._net_changes`)
+    and applies as ONE ``merge_upsert`` commit — the medallion
+    latest-state pattern where the downstream keeps every key it has
+    ever seen at its most recent upstream value. Upstream DELETES
+    intentionally do NOT propagate (the key stays at its last state —
+    the slowly-changing-dimension shape); use
+    :func:`cdf_replicate_sink` when deletes must mirror. Exactly-once
+    via the same SetTransaction watermark as the other sinks: a
+    replayed range no-ops, and a partially overlapping crash-retry
+    range is harmless because re-merging an already-applied final
+    state re-lands the identical row (idempotent by semantics, like
+    the replicate sink).
+
+    ``transform`` maps the changes DataFrame before netting — same
+    contract as :func:`cdf_replicate_sink`'s hook (keep ``key_col``
+    and the feed columns; deterministic per row)."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        TxConflict,
+        _net_changes,
+        init_table,
+        merge_upsert,
+        resolve_txns,
+    )
+
+    def _process(changes: DataFrame, version_range) -> None:
+        from_v, to_v = version_range
+        spark = changes.sparkSession
+        if not os.path.exists(os.path.join(dst_table_dir, "_txlog")):
+            try:
+                init_table(spark, dst_table_dir)
+            except TxConflict:
+                pass
+        if to_v <= resolve_txns(dst_table_dir).get(app_id, -(10**9)):
+            return  # replayed range: already applied
+        if transform is not None:
+            changes = transform(changes)
+        upserts, _dead = _net_changes(changes, key_col)
+        while True:
+            try:
+                merge_upsert(
+                    spark,
+                    dst_table_dir,
+                    upserts,
+                    key_col,
+                    txn=(app_id, to_v),
+                    op=f"cdf_merge_{from_v}_{to_v}",
+                )
+                return
+            except TxConflict:
+                if to_v <= resolve_txns(dst_table_dir).get(
+                    app_id, -(10**9)
+                ):
+                    return
+
+    return _process
+
+
 def start_cdf_stream(
     spark: SparkSession,
     table_dir: str,

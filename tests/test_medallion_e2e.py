@@ -49,16 +49,13 @@ def _silver_hop(spark, bronze, silver, ckpt):
         ins = changes.filter(
             (F.col("_change_type") == "insert") & (F.col("quality") >= 5)
         ).select("doc_id", "grp", "quality", "qty")
-        dels = [
-            r["doc_id"]
-            for r in changes.filter("_change_type = 'delete'")
-            .select("doc_id")
-            .collect()
-        ]
+        # the delete leg stays DISTRIBUTED: delete_rows_dv takes the
+        # key frame directly — a bulk upstream purge never round-trips
+        # through the driver
+        dels = changes.filter("_change_type = 'delete'").select("doc_id")
         sink = cdf_append_sink(silver)
         sink(ins, rng)
-        if dels:
-            delete_rows_dv(spark, silver, "doc_id", dels)
+        delete_rows_dv(spark, silver, "doc_id", dels)
 
     return drain_table_changes(spark, bronze, ckpt, process)
 
@@ -152,3 +149,68 @@ def test_bronze_silver_gold_with_restart_and_gdpr_delete(
         .count()
     )
     assert sign_fold == snapshot(spark, silver).count()
+
+
+def test_upsert_silver_hop_one_merge_per_range(spark, tmp_path):
+    """Round-5 verdict #4: the upsert-mode silver hop — each consumed
+    bronze CDF range applies as ONE merge_upsert commit
+    (cdf_upsert_sink), exactly-once via the SetTransaction watermark.
+    The silver table tracks the LATEST state per key: upstream updates
+    land, upstream deletes keep the key at its last state (the
+    slowly-changing-dimension shape; cdf_replicate_sink is the
+    row-identical mirror)."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        history,
+        merge_upsert,
+        resolve_txns,
+    )
+    from etl_sentinel_imagery_spark.streaming.cdf_source import (
+        CdfCursor,
+        cdf_upsert_sink,
+        drain_table_changes,
+    )
+    import json as _json
+
+    bronze = str(tmp_path / "ubronze")
+    silver = str(tmp_path / "usilver")
+    ckpt = str(tmp_path / "uckpt")
+    init_table(spark, bronze, _batch(spark, 50))
+    sink = cdf_upsert_sink(silver, "doc_id", app_id="silver-up")
+    assert drain_table_changes(spark, bronze, ckpt, sink) == [(-1, 0)]
+    assert snapshot(spark, silver).count() == 50
+
+    # upstream UPDATE via merge: silver follows, one commit per range
+    upd = _batch(spark, 10, offset=10).withColumn(
+        "qty", F.col("qty") + 10000
+    )
+    merge_upsert(spark, bronze, upd, "doc_id")
+    append(spark, bronze, _batch(spark, 5, offset=700))
+    n_before = len(history(silver))
+    assert drain_table_changes(spark, bronze, ckpt, sink) == [(0, 2)]
+    assert len(history(silver)) == n_before + 1  # ONE merge commit
+    assert history(silver)[-1]["op"] == "cdf_merge_0_2"
+    snap = snapshot(spark, silver)
+    assert snap.count() == 55
+    assert (
+        snap.where(F.col("doc_id").between(10, 19))
+        .agg(F.min("qty"))
+        .collect()[0][0]
+        >= 10000
+    )
+
+    # upstream DELETE does not remove the silver key (latest-state)
+    delete_rows_dv(spark, bronze, "doc_id", [3])
+    drain_table_changes(spark, bronze, ckpt, sink)
+    assert snapshot(spark, silver).where("doc_id = 3").count() == 1
+
+    # crash-replay invariance: rewind the cursor and re-drain — the
+    # watermark makes every replayed range a no-op
+    cur = CdfCursor(ckpt)
+    with open(cur._path, "w") as f:
+        _json.dump({"version": -1}, f)
+    before = sorted(map(tuple, snapshot(spark, silver).collect()))
+    hist_before = len(history(silver))
+    drain_table_changes(spark, bronze, ckpt, sink)
+    assert sorted(map(tuple, snapshot(spark, silver).collect())) == before
+    assert len(history(silver)) == hist_before
+    assert resolve_txns(silver)["silver-up"] == current_version(bronze)

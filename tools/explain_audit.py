@@ -37,7 +37,6 @@ CHECKS = {
     "pricing_summary": {"HashAggregate": True, "partial_sum": True},
     "latest_order_per_customer": {"RunningWindowFunction|Window": True},
     "docs_minhash_lsh_pairs": {"Exchange": True},
-    "cosine_topk_bruteforce": {"BroadcastNestedLoopJoin|BroadcastHashJoin|Broadcast": True},
     "events_windows_battery": {"HashAggregate": True},
     "purchase_asof_click": {"Window": True},
     # grouping sets plan through an Expand node feeding the aggregate
@@ -71,6 +70,10 @@ CHECKS = {
     "ann_deterministic_battery": {
         "BroadcastHashJoin|BroadcastExchange": True,
         "Window": True,
+        # the folded brute/near_dup anchors' theta joins must stay
+        # broadcast (nested-loop parallelized across the left), never
+        # a single-task plan
+        "BroadcastNestedLoopJoin|BroadcastHashJoin|Broadcast": True,
     },
     # dedup joins are pinned sort-merge since the 1M stress (the only
     # spilling strategy): the band self-join must NOT plan as a
