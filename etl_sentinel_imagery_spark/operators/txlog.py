@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -213,6 +214,15 @@ def _entry_rows(table_dir: str, e) -> int:
     ).metadata.num_rows
 
 
+def _entry_bytes(table_dir: str, e) -> int:
+    """Byte size of an entry's data file — manifest metadata with a
+    stat() fallback for pre-bytes entries (same contract as
+    :func:`_entry_rows`)."""
+    if isinstance(e, dict) and "bytes" in e:
+        return int(e["bytes"])
+    return os.path.getsize(os.path.join(table_dir, _entry_name(e)))
+
+
 def _log_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "_txlog")
 
@@ -307,6 +317,7 @@ def _commit(
             "version": version,
             "parent": parent,
             "op": op,
+            "ts": time.time(),
             "stat_cols": stat_cols or [],
             "partition_cols": partition_cols or [],
             "files": sorted(files, key=_entry_name),
@@ -418,6 +429,7 @@ def _commit_delta(
         "version": version,
         "parent": parent,
         "op": op,
+        "ts": time.time(),
         "stat_cols": stat_cols or [],
         "partition_cols": partition_cols or [],
         "adds": sorted(adds, key=_entry_name),
@@ -544,12 +556,13 @@ def _move_in_data_files(
     dest_subdir: str = "",
 ) -> list:
     """Write df's parquet files under unique names in the table dir;
-    return their manifest entries ``{name, rows, stats?}`` — every
-    entry records the file's ROW COUNT from the footer it is already
-    next to at write time, so delete/merge commit paths never re-open
-    footers from the driver (O(touched files) IO killed at the
-    source); ``stats`` ([min, max] per ``stat_cols`` column) rides
-    along when stats tracking is on. With ``partition_cols`` the files
+    return their manifest entries ``{name, rows, bytes, stats?}`` —
+    every entry records the file's ROW COUNT (from the footer it is
+    already next to at write time, so delete/merge commit paths never
+    re-open footers from the driver — O(touched files) IO killed at
+    the source) and BYTE SIZE (so small-file OPTIMIZE plans from
+    metadata alone); ``stats`` ([min, max] per ``stat_cols`` column)
+    rides along when stats tracking is on. With ``partition_cols`` the files
     land in hive-style ``col=val/`` subdirectories and the returned
     names keep the relative subpath, so a basePath read re-derives the
     partition columns. ``dest_subdir`` pins ALL files into one
@@ -576,7 +589,11 @@ def _move_in_data_files(
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             os.replace(os.path.join(root, entry), dest)
             md = pq.ParquetFile(dest).metadata
-            e: dict = {"name": name, "rows": md.num_rows}
+            e: dict = {
+                "name": name,
+                "rows": md.num_rows,
+                "bytes": os.path.getsize(dest),
+            }
             if stat_cols:
                 e["stats"] = _file_stats(md, stat_cols)
             names.append(e)
@@ -615,6 +632,7 @@ def init_table(
             "version": 0,
             "parent": None,
             "op": "init",
+            "ts": time.time(),
             "stat_cols": stat_cols or [],
             "partition_cols": partition_cols or [],
             "files": sorted(files, key=_entry_name),
@@ -635,14 +653,23 @@ def init_table(
 
 
 def snapshot(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
     """The committed table at ``version`` (default: current) — time
-    travel is just naming an older manifest. Reads are metadata-driven
+    travel is just naming an older manifest; ``timestamp`` (epoch
+    seconds) resolves to a version via :func:`version_at_timestamp`
+    (``TIMESTAMP AS OF``). Reads are metadata-driven
     (the Iceberg/Delta path): basePath re-derives hive partition
     columns, the recorded schema NULL-fills pre-evolution files with
     NO footer opened, and deletion vectors (:func:`delete_rows_dv`)
     anti-join out by row position."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(table_dir, timestamp)
     files = resolve_files(table_dir, version)
     if not files:
         raise ValueError(
@@ -654,8 +681,41 @@ def snapshot(
     return _read_entries(spark, table_dir, files, ver)
 
 
+def version_at_timestamp(table_dir: str, ts: float) -> int:
+    """``TIMESTAMP AS OF`` resolution: the latest committed version
+    whose commit time is <= ``ts`` (epoch seconds). Wall clocks can
+    jitter backward between commits, so each commit's EFFECTIVE time
+    is the running max over its predecessors (Delta's exact
+    monotonicity adjustment — version order and time order never
+    disagree). Manifests from before commit times landed fall back to
+    their file mtime. Raises when ``ts`` predates the oldest retained
+    commit (truncate_history may have retired the era). One manifest
+    read per retained version — a resolution verb, not a hot path."""
+    best = None
+    eff = None
+    for v in range(current_version(table_dir) + 1):
+        p = _manifest_path(table_dir, v)
+        if not os.path.exists(p):
+            continue  # retired by truncate_history
+        with open(p) as f:
+            t = json.load(f).get("ts")
+        if t is None:
+            t = os.path.getmtime(p)
+        eff = t if eff is None else max(eff, t)
+        if eff <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no committed version of {table_dir} at or before "
+            f"timestamp {ts} (pre-history, or retired by "
+            "truncate_history)"
+        )
+    return best
+
+
 def history(table_dir: str) -> list[dict]:
-    """Every committed manifest, oldest first (op + file counts)."""
+    """Every committed manifest, oldest first (op + commit time +
+    file counts)."""
     out = []
     for v in range(current_version(table_dir) + 1):
         p = _manifest_path(table_dir, v)
@@ -663,6 +723,8 @@ def history(table_dir: str) -> list[dict]:
             with open(p) as f:
                 m = json.load(f)
             row = {"version": m["version"], "op": m["op"]}
+            if m.get("ts") is not None:
+                row["ts"] = m["ts"]
             if "files" in m:
                 row["n_files"] = len(m["files"])
             if "adds" in m:
@@ -867,6 +929,33 @@ def _dv_repoint(
     return removes, adds
 
 
+def _write_dv_sidecar(
+    spark: SparkSession, table_dir: str, hits: DataFrame
+) -> tuple[str | None, dict]:
+    """Persist ``(file_name, pos)`` hits as a ``_dv/`` parquet sidecar;
+    return (sidecar, per-file hit counts) — the counts are
+    control-plane-sized (one row per TOUCHED file). An empty probe
+    removes its just-written sidecar and returns ``(None, {})`` so
+    callers can no-op without committing."""
+    sidecar = os.path.join("_dv", f"dv-{uuid.uuid4().hex}")
+    hits.write.parquet(os.path.join(table_dir, sidecar))
+    per_file = {
+        r["file_name"]: r["n"]
+        for r in spark.read.parquet(os.path.join(table_dir, sidecar))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not per_file:
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(table_dir, sidecar), ignore_errors=True
+        )
+        return None, {}
+    return sidecar, per_file
+
+
 def delete_rows_dv(
     spark: SparkSession,
     table_dir: str,
@@ -966,27 +1055,123 @@ def delete_rows_dv(
         F.col("_file_name").alias("file_name"),
         F.col("_row_pos").alias("pos"),
     )
-    sidecar = os.path.join("_dv", f"dv-{uuid.uuid4().hex}")
-    hits.write.parquet(os.path.join(table_dir, sidecar))
-    # control-plane collect: one (file, count) row per TOUCHED file
-    per_file = {
-        r["file_name"]: r["n"]
-        for r in spark.read.parquet(os.path.join(table_dir, sidecar))
-        .groupBy("file_name")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    if not per_file:
-        import shutil
-
-        shutil.rmtree(
-            os.path.join(table_dir, sidecar), ignore_errors=True
-        )
+    sidecar, per_file = _write_dv_sidecar(spark, table_dir, hits)
+    if sidecar is None:
         return parent
     removes, adds = _dv_repoint(table_dir, by_name, per_file, sidecar)
     return _commit_delta(
         table_dir, parent, adds, removes, "delete_dv", stat_cols,
         partition_cols,
+    )
+
+
+def delete_where(
+    spark: SparkSession, table_dir: str, condition
+) -> int:
+    """``DELETE FROM t WHERE <condition>`` — PREDICATE-targeted
+    merge-on-read delete, the curation-pipeline verb (drop every row
+    with ``quality < 0.3``; no key column, no key list). One
+    distributed probe evaluates the predicate over the live snapshot
+    (pushed to parquet where the expression allows), a DV sidecar
+    records matching positions, one commit re-points touched entries
+    — exactly :func:`delete_rows_dv`'s shape minus the key-based
+    candidate pruning (an arbitrary predicate has no stats/Bloom
+    ladder to climb; the scan is still a single pushed-down pass, and
+    a predicate over a ZORDERed/stats column can pre-narrow via
+    ``snapshot_pruned`` + an explicit key delete when that matters).
+    ``condition`` is a SQL string or a Column; NULL results don't
+    match (SQL WHERE semantics). Fully-matched files become pure
+    removes from manifest row totals. Returns the parent version
+    unchanged when nothing matched."""
+    parent = current_version(table_dir)
+    m = read_manifest(table_dir, parent)
+    entries = resolve_files(table_dir, parent)
+    if not entries:
+        return parent
+    by_name = {_entry_name(e): e for e in entries}
+    pred = F.expr(condition) if isinstance(condition, str) else condition
+    live = _read_entries(spark, table_dir, entries, parent, keep_pos=True)
+    hits = live.filter(F.coalesce(pred, F.lit(False))).select(
+        F.col("_file_name").alias("file_name"),
+        F.col("_row_pos").alias("pos"),
+    )
+    sidecar, per_file = _write_dv_sidecar(spark, table_dir, hits)
+    if sidecar is None:
+        return parent
+    removes, adds = _dv_repoint(table_dir, by_name, per_file, sidecar)
+    return _commit_delta(
+        table_dir, parent, adds, removes, "delete_where",
+        m.get("stat_cols") or None, m.get("partition_cols") or None,
+    )
+
+
+def update_rows(
+    spark: SparkSession, table_dir: str, condition, set_exprs: dict
+) -> int:
+    """``UPDATE t SET col = expr, ... WHERE <condition>`` in ONE
+    commit: matching rows' positions DV-delete (no file rewrite) and
+    their updated images insert — a reader sees the old rows or the
+    new rows, never both and never neither (the window a separate
+    delete+append would leave). ``set_exprs`` maps EXISTING column
+    names to SQL strings or Columns (evaluated against the matched
+    rows; UPDATE cannot add columns — that is append-time schema
+    evolution's job). CHECK constraints are enforced on the updated
+    images; partition-column updates are allowed and land the new
+    rows in their new hive leaves. The change feed shows the commit
+    as the standard delete+insert pair under one version. The
+    predicate must be deterministic (it is evaluated in the position
+    probe and the image build — two passes over the same immutable
+    snapshot files, so any determinism makes them consistent).
+    Returns the parent version unchanged when nothing matched."""
+    parent = current_version(table_dir)
+    m = read_manifest(table_dir, parent)
+    stat_cols = m.get("stat_cols") or None
+    partition_cols = m.get("partition_cols") or None
+    entries = resolve_files(table_dir, parent)
+    if not entries:
+        return parent
+    by_name = {_entry_name(e): e for e in entries}
+    pred = F.expr(condition) if isinstance(condition, str) else condition
+    live = _read_entries(spark, table_dir, entries, parent, keep_pos=True)
+    sj = resolve_schema(table_dir, parent)
+    if sj:
+        schema_cols = [f["name"] for f in json.loads(sj)["fields"]]
+    else:  # pre-schema-evolution table: the read's columns ARE the schema
+        schema_cols = [
+            c for c in live.columns if c not in ("_file_name", "_row_pos")
+        ]
+    unknown = set(set_exprs) - set(schema_cols)
+    if unknown:
+        raise ValueError(
+            f"UPDATE cannot add columns: {sorted(unknown)} not in the "
+            f"table schema (append with new columns to evolve it)"
+        )
+    matched = live.filter(F.coalesce(pred, F.lit(False)))
+    hits = matched.select(
+        F.col("_file_name").alias("file_name"),
+        F.col("_row_pos").alias("pos"),
+    )
+    sidecar, per_file = _write_dv_sidecar(spark, table_dir, hits)
+    if sidecar is None:
+        return parent
+
+    def _set(c: str):
+        e = set_exprs.get(c)
+        if e is None:
+            return F.col(c)
+        return (F.expr(e) if isinstance(e, str) else e).alias(c)
+
+    updated = matched.select(*[_set(c) for c in schema_cols])
+    _enforce_constraints(
+        updated, resolve_constraints(table_dir, parent)
+    )
+    removes, dv_adds = _dv_repoint(table_dir, by_name, per_file, sidecar)
+    new_names = _move_in_data_files(
+        spark, table_dir, updated, stat_cols, partition_cols
+    )
+    return _commit_delta(
+        table_dir, parent, dv_adds + new_names, removes, "update",
+        stat_cols, partition_cols,
     )
 
 
@@ -1070,8 +1255,6 @@ def merge_upsert(
 
     removes: list[str] = []
     dv_adds: list = []
-    per_file: dict[str, int] = {}
-    sidecar = None
     if probe:
         live = _read_entries(
             spark, table_dir, probe, parent, keep_pos=True
@@ -1081,25 +1264,11 @@ def merge_upsert(
             F.col("_file_name").alias("file_name"),
             F.col("_row_pos").alias("pos"),
         )
-        sidecar = os.path.join("_dv", f"dv-{uuid.uuid4().hex}")
-        hits.write.parquet(os.path.join(table_dir, sidecar))
-        per_file = {
-            r["file_name"]: r["n"]
-            for r in spark.read.parquet(os.path.join(table_dir, sidecar))
-            .groupBy("file_name")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-    if not per_file and sidecar is not None:
-        import shutil
-
-        shutil.rmtree(
-            os.path.join(table_dir, sidecar), ignore_errors=True
-        )
-    if per_file:
-        removes, dv_adds = _dv_repoint(
-            table_dir, by_name, per_file, sidecar
-        )
+        sidecar, per_file = _write_dv_sidecar(spark, table_dir, hits)
+        if sidecar is not None:
+            removes, dv_adds = _dv_repoint(
+                table_dir, by_name, per_file, sidecar
+            )
 
     new_names = _move_in_data_files(
         spark, table_dir, source, stat_cols, partition_cols
@@ -1276,6 +1445,7 @@ def clone_table(table_dir: str, dest_dir: str) -> int:
             "version": 0,
             "parent": None,
             "op": f"clone_of:{src}@{current_version(src)}",
+            "ts": time.time(),
             "stat_cols": m.get("stat_cols") or [],
             "partition_cols": [],
             "files": sorted(
@@ -1396,8 +1566,6 @@ def apply_changes(
 
     removes: list[str] = []
     dv_adds: list = []
-    per_file: dict[str, int] = {}
-    sidecar = None
     if probe and kb["lo"] is not None:
         live = _read_entries(
             spark, table_dir, probe, parent, keep_pos=True
@@ -1408,25 +1576,11 @@ def apply_changes(
             F.col("_file_name").alias("file_name"),
             F.col("_row_pos").alias("pos"),
         )
-        sidecar = os.path.join("_dv", f"dv-{uuid.uuid4().hex}")
-        hits.write.parquet(os.path.join(table_dir, sidecar))
-        per_file = {
-            r["file_name"]: r["n"]
-            for r in spark.read.parquet(os.path.join(table_dir, sidecar))
-            .groupBy("file_name")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-    if not per_file and sidecar is not None:
-        import shutil
-
-        shutil.rmtree(
-            os.path.join(table_dir, sidecar), ignore_errors=True
-        )
-    if per_file:
-        removes, dv_adds = _dv_repoint(
-            table_dir, by_name, per_file, sidecar
-        )
+        sidecar, per_file = _write_dv_sidecar(spark, table_dir, hits)
+        if sidecar is not None:
+            removes, dv_adds = _dv_repoint(
+                table_dir, by_name, per_file, sidecar
+            )
 
     new_names = _move_in_data_files(
         spark, table_dir, upserts, stat_cols, partition_cols
@@ -1636,6 +1790,125 @@ def optimize(
         table_dir, parent, names, old_names, "optimize", stat_cols,
         partition_cols,
     )
+
+
+def optimize_small_files(
+    spark: SparkSession,
+    table_dir: str,
+    small_bytes: int = 32 * 1024 * 1024,
+    target_bytes: int = 128 * 1024 * 1024,
+    partition: dict | None = None,
+    include_dv: bool = True,
+) -> tuple[int, dict]:
+    """Delta's REAL ``OPTIMIZE``: bin-pack only the files that need it
+    — :func:`optimize` rewrites the whole snapshot, which is the right
+    verb after a ZORDER relayout but a non-starter as routine
+    maintenance at 100 TB (a petabyte table with 0.1% small-file churn
+    must pay 0.1%, not a full rewrite). Candidates are the live files
+    under ``small_bytes`` (plus, with ``include_dv``, any file
+    carrying deletion vectors — the rewrite MATERIALIZES them away,
+    Delta's ``OPTIMIZE`` DV behavior), selected from MANIFEST
+    metadata alone (per-entry ``bytes``/``dv`` — no directory listing,
+    no stat storm; pre-``bytes`` entries fall back to one stat each).
+    ``partition`` ({col: value}) scopes the pass to one hive leaf —
+    the ``OPTIMIZE WHERE`` form.
+
+    Rewrites group per partition leaf (they must stay in it), each
+    leaf coalescing to ``ceil(candidate_bytes / target_bytes)``
+    outputs; a leaf with one DV-free candidate has nothing to gain and
+    is skipped. ONE commit swaps all touched files — readers never see
+    old+new, time travel stays exact, and the commit is
+    content-neutral so :func:`table_changes` skips it like any other
+    rewrite. Returns ``(version, {files_considered, files_rewritten,
+    files_written})`` — version is the unchanged parent when nothing
+    qualified."""
+    parent = current_version(table_dir)
+    m = read_manifest(table_dir, parent)
+    stat_cols = m.get("stat_cols") or None
+    partition_cols = m.get("partition_cols") or None
+    if partition:
+        for col in partition:
+            if col not in (partition_cols or []):
+                raise ValueError(
+                    f"{col!r} is not a partition column "
+                    f"(partition_cols={partition_cols})"
+                )
+    segs = {f"{c}={v}" for c, v in (partition or {}).items()}
+    entries = resolve_files(table_dir, parent)
+    leaves: dict[str, list] = {}
+    considered = 0
+    for e in entries:
+        name = _entry_name(e)
+        if segs and not segs <= set(name.split(os.sep)[:-1]):
+            continue
+        considered += 1
+        small = _entry_bytes(table_dir, e) < small_bytes
+        has_dv = include_dv and bool(_entry_dvs(e))
+        if not (small or has_dv):
+            continue
+        leaf = "" if os.path.isabs(name) else os.path.dirname(name)
+        leaves.setdefault(leaf, []).append(e)
+    removes: list[str] = []
+    new_names: list = []
+    for leaf in sorted(leaves):
+        es = leaves[leaf]
+        if len(es) < 2 and not any(_entry_dvs(e) for e in es):
+            continue  # a lone small DV-free file: nothing to gain
+        n_out = max(
+            1,
+            -(-sum(_entry_bytes(table_dir, e) for e in es) // target_bytes),
+        )
+        packed = _read_entries(spark, table_dir, es, parent)
+        if partition_cols:
+            packed = packed.drop(*partition_cols)
+        new_names += _move_in_data_files(
+            spark,
+            table_dir,
+            packed.coalesce(n_out),
+            stat_cols,
+            dest_subdir=leaf,
+        )
+        removes += [_entry_name(e) for e in es]
+    stats = {
+        "files_considered": considered,
+        "files_rewritten": len(removes),
+        "files_written": len(new_names),
+    }
+    if not removes:
+        return parent, stats
+    return (
+        _commit_delta(
+            table_dir, parent, new_names, removes, "optimize_small",
+            stat_cols, partition_cols,
+        ),
+        stats,
+    )
+
+
+def validate_table(spark: SparkSession, table_dir: str) -> dict:
+    """On-demand re-check of every CHECK constraint over the CURRENT
+    snapshot — the maintenance verb :func:`restore`'s docstring points
+    at: a restore does not re-validate resurrected rows against
+    constraints added after its target version (Delta-compatible), so
+    run this after a restore (or any out-of-band doubt) to prove the
+    table clean. One pushed-down scan for all constraints; raises
+    :class:`ConstraintViolation` naming the first offender, returns
+    ``{version, n_constraints, rows_checked}`` when clean."""
+    version = current_version(table_dir)
+    cons = resolve_constraints(table_dir, version)
+    if not cons or not resolve_files(table_dir, version):
+        return {
+            "version": version,
+            "n_constraints": len(cons),
+            "rows_checked": 0,
+        }
+    df = snapshot(spark, table_dir, version)
+    _enforce_constraints(df, cons)
+    return {
+        "version": version,
+        "n_constraints": len(cons),
+        "rows_checked": df.count(),
+    }
 
 
 #: Default vacuum retention — Delta's 7-day guard. A concurrent
@@ -2044,7 +2317,7 @@ def table_changes(
         m = read_manifest(table_dir, v)
         op = m.get("op", "")
         if (
-            op in ("compact", "optimize", "compact_dv")
+            op in ("compact", "optimize", "optimize_small", "compact_dv")
             and not include_rewrites
         ):
             continue
@@ -2173,6 +2446,7 @@ def _commit_constraints(
         "version": version,
         "parent": parent,
         "op": op,
+        "ts": time.time(),
         "stat_cols": m.get("stat_cols") or [],
         "partition_cols": m.get("partition_cols") or [],
         "adds": [],
@@ -2232,7 +2506,10 @@ def table_details(table_dir: str, version: int | None = None) -> dict:
             current_version(table_dir) if version is None else version
         ),
         "n_files": len(entries),
+        "logical_bytes": sum(_entry_bytes(table_dir, e) for e in entries),
         "n_dv_files": len(dv_entries),
+        # optimize_small_files scheduling signal alongside dv_dead_rows
+        "n_dv_sidecars": sum(len(_entry_dvs(e)) for e in dv_entries),
         "dv_dead_rows": sum(
             int(e.get("dv_n", 0)) for e in dv_entries
         ),

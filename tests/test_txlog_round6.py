@@ -474,3 +474,299 @@ def test_dv_delete_df_keys_bloom_pruned(spark, tmp_path, monkeypatch):
     snap = snapshot(spark, t)
     assert snap.count() == 235
     assert snap.where(F.col("doc_id").between(45, 49)).count() == 0
+
+
+def test_optimize_small_files_bin_packs_only_what_needs_it(
+    spark, tmp_path
+):
+    """Delta's real OPTIMIZE shape: only files under the size
+    threshold rewrite (bin-packed per leaf from MANIFEST bytes — no
+    stat storm); big files are untouched; the commit is one atomic
+    swap, content-neutral to the change feed; a second pass no-ops."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        optimize_small_files,
+    )
+
+    t = str(tmp_path / "osf")
+    init_table(
+        spark, t, _seed(spark, 50_000).coalesce(1), stat_cols=["doc_id"]
+    )
+    for i in range(5):
+        append(spark, t, _seed(spark, 10, offset=10**6 + i * 10).coalesce(1))
+    entries = resolve_files(t)
+    assert len(entries) == 6
+    big = max(entries, key=lambda e: e["bytes"])
+    assert big["bytes"] > 20_000
+    assert sum(1 for e in entries if e["bytes"] < 20_000) == 5
+    want = sorted(map(tuple, snapshot(spark, t).collect()))
+    v0 = current_version(t)
+
+    v, stats = optimize_small_files(spark, t, small_bytes=20_000)
+    assert v == v0 + 1
+    assert stats == {
+        "files_considered": 6,
+        "files_rewritten": 5,
+        "files_written": 1,
+    }
+    after = resolve_files(t)
+    assert len(after) == 2  # the big file + one packed file
+    assert big["name"] in {tx._entry_name(e) for e in after}
+    assert all("stats" in e for e in after)  # stats tracking preserved
+    assert sorted(map(tuple, snapshot(spark, t).collect())) == want
+    assert sorted(map(tuple, snapshot(spark, t, v0).collect())) == want
+    # content-neutral: the feed skips it like compact/optimize, and
+    # the verification mode proves the rewrite clean (empty diff)
+    assert table_changes(spark, t, v0).count() == 0
+    assert (
+        table_changes(spark, t, v0, include_rewrites=True).count() == 0
+    )
+    # idempotent: one lone (possibly still-small) packed file + one
+    # big file → nothing to gain, version unchanged
+    v2, stats2 = optimize_small_files(spark, t, small_bytes=20_000)
+    assert v2 == v and stats2["files_rewritten"] == 0
+
+
+def test_optimize_small_files_materializes_dvs(spark, tmp_path):
+    """A DV-carrying file qualifies regardless of size: the rewrite
+    materializes the vectors away (entry loses its dv chain), rows
+    unchanged."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        optimize_small_files,
+        table_details,
+    )
+
+    t = str(tmp_path / "osfdv")
+    init_table(spark, t, _seed(spark, 50_000).coalesce(1))
+    delete_rows_dv(spark, t, "doc_id", [5, 6, 7])
+    assert table_details(t)["dv_dead_rows"] == 3
+    want = sorted(map(tuple, snapshot(spark, t).collect()))
+    v, stats = optimize_small_files(spark, t, small_bytes=1)
+    assert stats["files_rewritten"] == 1
+    assert table_details(t)["dv_dead_rows"] == 0
+    assert all(tx._entry_dvs(e) == [] for e in resolve_files(t))
+    assert sorted(map(tuple, snapshot(spark, t).collect())) == want
+
+
+def test_optimize_small_files_partition_scoped(spark, tmp_path):
+    """OPTIMIZE WHERE: the pass scopes to one hive leaf; other leaves
+    keep their file lists byte-for-byte; rewritten rows keep their
+    partition values (derived from the leaf path)."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        optimize_small_files,
+    )
+
+    t = str(tmp_path / "osfp")
+    tx.init_table(
+        spark,
+        t,
+        _seed(spark, 70).repartition(4),
+        partition_cols=["grp"],
+    )
+    for i in range(3):
+        tx.append(
+            spark, t, _seed(spark, 7, offset=700 + i * 7).coalesce(1)
+        )
+    before = {
+        tx._entry_name(e)
+        for e in resolve_files(t)
+        if not tx._entry_name(e).startswith("grp=3")
+    }
+    want = sorted(map(tuple, snapshot(spark, t).collect()))
+    n_g3 = sum(
+        1 for e in resolve_files(t) if tx._entry_name(e).startswith("grp=3")
+    )
+    assert n_g3 >= 2
+    v, stats = optimize_small_files(
+        spark, t, small_bytes=10**9, partition={"grp": 3}
+    )
+    assert stats["files_considered"] == n_g3
+    assert stats["files_rewritten"] == n_g3
+    after_other = {
+        tx._entry_name(e)
+        for e in resolve_files(t)
+        if not tx._entry_name(e).startswith("grp=3")
+    }
+    assert after_other == before  # out-of-scope leaves untouched
+    assert sorted(map(tuple, snapshot(spark, t).collect())) == want
+    with pytest.raises(ValueError, match="not a partition column"):
+        optimize_small_files(spark, t, partition={"doc_id": 1})
+
+
+def test_validate_table_recheck_after_restore(spark, tmp_path):
+    """restore does not re-validate resurrected rows against
+    constraints added after the target version (Delta-compatible);
+    validate_table is the on-demand proof — it names the violation
+    after the restore and passes clean once repaired."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        delete_rows,
+        restore,
+        validate_table,
+    )
+
+    t = str(tmp_path / "vt")
+    bad = spark.createDataFrame(
+        [(1, 2, "ok"), (2, 99, "oob")], ["doc_id", "grp", "body"]
+    )
+    init_table(spark, t, bad)  # v0 holds a future violation
+    delete_rows(spark, t, "doc_id", [2])  # v1: clean
+    add_constraint(spark, t, "grp_bounded", "grp BETWEEN 0 AND 6")  # v2
+    assert validate_table(spark, t) == {
+        "version": 2,
+        "n_constraints": 1,
+        "rows_checked": 1,
+    }
+    restore(spark, t, 0)  # v3: the oob row is back, unvalidated
+    with pytest.raises(ConstraintViolation, match="grp_bounded"):
+        validate_table(spark, t)
+    delete_rows(spark, t, "doc_id", [2])
+    out = validate_table(spark, t)
+    assert out["n_constraints"] == 1 and out["rows_checked"] == 1
+
+
+def test_delete_where_predicate_targeted(spark, tmp_path):
+    """DELETE WHERE: predicate-targeted merge-on-read delete — no key
+    column, no key list; equals the snapshot-filter ground truth, DV
+    entries (no rewrite), CDF shows exactly the dropped rows, NULL
+    predicate results don't match, no-match commits nothing."""
+    from etl_sentinel_imagery_spark.operators.txlog import delete_where
+
+    t = str(tmp_path / "dw")
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("int").alias("grp"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise((F.col("id") % 100) / 100.0)
+        .alias("quality"),
+    )
+    init_table(spark, t, df.repartition(4))
+    want = sorted(
+        map(
+            tuple,
+            df.filter(
+                ~F.coalesce(F.col("quality") < 0.3, F.lit(False))
+            ).collect(),
+        )
+    )
+    v = delete_where(spark, t, "quality < 0.3")
+    assert v == 1
+    assert sorted(map(tuple, snapshot(spark, t).collect())) == want
+    # merge-on-read: data files unchanged, entries carry DVs
+    assert any(tx._entry_dvs(e) for e in resolve_files(t))
+    # the feed shows exactly the dropped rows as deletes
+    feed = table_changes(spark, t, 0, 1)
+    assert feed.where("_change_type = 'insert'").count() == 0
+    assert (
+        feed.where("_change_type = 'delete'").count()
+        == 100 - len(want)
+    )
+    # NULL quality survived (WHERE semantics)
+    assert snapshot(spark, t).where("quality IS NULL").count() == 10
+    # no-match predicate: no commit
+    assert delete_where(spark, t, "quality > 2.0") == v
+    # Column form works too
+    v2 = delete_where(spark, t, F.col("grp") == 6)
+    assert snapshot(spark, t, v2).where("grp = 6").count() == 0
+
+
+def test_update_rows_one_commit(spark, tmp_path):
+    """UPDATE ... SET ... WHERE: matched rows DV-delete and re-insert
+    updated in ONE commit; constraints enforce on the images;
+    unknown SET columns refuse; time travel sees the pre-update rows;
+    the feed shows the delete+insert pair under one version."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        ConstraintViolation,
+        add_constraint,
+        update_rows,
+    )
+
+    t = str(tmp_path / "up")
+    init_table(spark, t, _seed(spark, 100).repartition(3))
+    add_constraint(spark, t, "grp_bounded", "grp BETWEEN 0 AND 20")
+    v0 = current_version(t)
+    v = update_rows(
+        spark,
+        t,
+        "doc_id BETWEEN 10 AND 19",
+        {"grp": "grp + 10", "body": F.concat(F.lit("upd-"), F.col("doc_id"))},
+    )
+    assert v == v0 + 1  # ONE commit
+    snap = snapshot(spark, t)
+    assert snap.count() == 100
+    hit = snap.where("doc_id BETWEEN 10 AND 19")
+    assert hit.where("body LIKE 'upd-%'").count() == 10
+    assert hit.agg(F.min("grp")).collect()[0][0] >= 10
+    # untouched rows identical; pre-update time travel exact
+    assert snap.where("body LIKE 'r6-%'").count() == 90
+    assert (
+        snapshot(spark, t, v0).where("body LIKE 'upd-%'").count() == 0
+    )
+    # feed: 10 deletes + 10 inserts in one version
+    feed = table_changes(spark, t, v0, v)
+    assert feed.groupBy("_change_type").count().count() == 2
+    assert feed.count() == 20
+    assert feed.select("_commit_version").distinct().count() == 1
+    # constraint enforcement on the images
+    with pytest.raises(ConstraintViolation, match="grp_bounded"):
+        update_rows(spark, t, "doc_id = 5", {"grp": "999"})
+    # UPDATE cannot add columns
+    with pytest.raises(ValueError, match="cannot add columns"):
+        update_rows(spark, t, "doc_id = 5", {"nope": "1"})
+    # no-match: no commit
+    assert update_rows(spark, t, "doc_id < 0", {"grp": "0"}) == v
+
+
+def test_update_rows_moves_partitions(spark, tmp_path):
+    """Updating a partition column lands the new images in their new
+    hive leaves (and the old positions DV-delete in place)."""
+    from etl_sentinel_imagery_spark.operators.txlog import update_rows
+
+    t = str(tmp_path / "upp")
+    tx.init_table(
+        spark, t, _seed(spark, 70).repartition(2), partition_cols=["grp"]
+    )
+    update_rows(spark, t, "grp = 3", {"grp": "6"})
+    snap = snapshot(spark, t)
+    assert snap.where("grp = 3").count() == 0
+    assert snap.count() == 70
+    want_moved = _seed(spark, 70).where("grp = 3").count()
+    assert (
+        snap.where("grp = 6").count()
+        == want_moved + _seed(spark, 70).where("grp = 6").count()
+    )
+    # the new files live under grp=6/
+    moved = [
+        tx._entry_name(e)
+        for e in resolve_files(t)
+        if tx._entry_name(e).startswith("grp=6")
+    ]
+    assert len(moved) >= 2
+
+
+def test_timestamp_as_of(spark, tmp_path):
+    """TIMESTAMP AS OF: commits record wall-clock ts; resolution picks
+    the latest version at-or-before the asked time with Delta's
+    monotonicity adjustment; snapshot(timestamp=...) time-travels."""
+    import time as _time
+
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        version_at_timestamp,
+    )
+
+    t = str(tmp_path / "ts")
+    init_table(spark, t, _seed(spark, 10))
+    t_after_init = _time.time()
+    _time.sleep(0.05)
+    append(spark, t, _seed(spark, 5, offset=100))
+    t_after_append = _time.time()
+    assert version_at_timestamp(t, t_after_init) == 0
+    assert version_at_timestamp(t, t_after_append) == 1
+    assert version_at_timestamp(t, _time.time() + 100) == 1
+    assert snapshot(spark, t, timestamp=t_after_init).count() == 10
+    assert snapshot(spark, t, timestamp=t_after_append).count() == 15
+    with pytest.raises(ValueError, match="no committed version"):
+        version_at_timestamp(t, t_after_init - 10_000)
+    with pytest.raises(ValueError, match="not both"):
+        snapshot(spark, t, version=0, timestamp=t_after_init)
+    # history surfaces commit times, monotone after adjustment
+    hs = tx.history(t)
+    assert all("ts" in h for h in hs)

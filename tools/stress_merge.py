@@ -133,6 +133,46 @@ def main() -> None:
     merge_upsert(spark, t, src_wide, "doc_id")
     print(f"scattered merge ({src_wide.count()} keys): {time.time()-t0:.1f}s")
     assert snapshot(spark, t).filter("grp = -3").count() == src_wide.count()
+
+    # ---- Bloom-composed probe on a NON-stats key (round 6) ----
+    # A stat-less table clustered by the key (range partitioning, no
+    # manifest stats recorded) + a per-file Bloom sidecar: the merge's
+    # DataFrame-keyed Bloom probe (dv_delete_candidates_df inside
+    # _probe_candidates) must shrink the match scan to the files that
+    # can hold source keys — "ZORDER pruning without stats".
+    from etl_sentinel_imagery_spark.operators.skipping import (
+        build_file_bloom_index,
+    )
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        dv_delete_candidates_df,
+    )
+
+    t2 = os.path.join(root, "t2")
+    t0 = time.time()
+    init_table(
+        spark,
+        t2,
+        df.repartitionByRange(n_files, "doc_id"),  # clustered, NO stats
+    )
+    build_file_bloom_index(spark, t2, "doc_id")
+    print(f"stat-less clustered table + bloom index: {time.time()-t0:.1f}s")
+    keys = src_narrow.select("doc_id")
+    n_live = len(resolve_files(t2))
+    t0 = time.time()
+    cand = dv_delete_candidates_df(spark, t2, "doc_id", keys)
+    print(
+        f"bloom candidates for 10k contiguous keys: "
+        f"{len(cand)}/{n_live} files ({time.time()-t0:.1f}s probe)"
+    )
+    assert len(cand) <= max(4, n_live // 8), "bloom pruning failed"
+    t0 = time.time()
+    merge_upsert(spark, t2, src_narrow, "doc_id")
+    bloom_wall = time.time() - t0
+    snap2 = snapshot(spark, t2)
+    assert snap2.count() == n
+    assert snap2.filter("grp = -1").count() == 10_000
+    print(f"narrow update merge (bloom-pruned, stat-less): {bloom_wall:.1f}s")
+
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()
 
