@@ -89,18 +89,39 @@ def bloom_words_per_group(
         .groupBy(*group_cols, "_w")
         .agg(F.bit_or("_m").alias("_bits"))
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(n_words - 1)),
-        lambda i: F.coalesce(
-            F.element_at(F.col("_wordmap"), i.cast("int")), F.lit(0).cast("long")
+    # Dense assembly is ONE linear pass over the sorted sparse
+    # entries: each (word, bits) contributes its zero-gap run + its
+    # word, and a trailing run pads to n_words. The previous form
+    # looked every one of the n_words indices up in a MAP — Spark's
+    # map element_at is a LINEAR key scan, so assembly was
+    # O(n_words²) per group: building 64 one-Mbit filters took 738 s
+    # (tools/stress_merge.py found it); this form is seconds.
+    def _run(e, j):
+        prev_w = F.when(j == F.lit(0), F.lit(-1)).otherwise(
+            F.element_at(F.col("_entries"), j)["_w"]  # 1-based: E[j-1]
+        )
+        return F.concat(
+            F.array_repeat(
+                F.lit(0).cast("long"),
+                (e["_w"] - prev_w - 1).cast("int"),
+            ),
+            F.array(e["_bits"]),
+        )
+
+    last_w = F.element_at(F.col("_entries"), F.size("_entries"))["_w"]
+    dense = F.concat(
+        F.flatten(F.transform(F.col("_entries"), _run)),
+        F.array_repeat(
+            F.lit(0).cast("long"),
+            (F.lit(n_words - 1) - last_w).cast("int"),
         ),
     )
     return (
         per_word.groupBy(*group_cols)
         .agg(
-            F.map_from_entries(
+            F.sort_array(
                 F.collect_list(F.struct(F.col("_w"), F.col("_bits")))
-            ).alias("_wordmap")
+            ).alias("_entries")
         )
         .select(
             *group_cols,

@@ -1671,7 +1671,17 @@ def dv_delete_candidates_df(
     inside one stage (nothing materializes; only file names reach the
     driver) — worth it exactly when the data bytes skipped dwarf that;
     at extreme file counts manifest stats + ZORDER is the right tool
-    and the fallback full probe stays correct."""
+    and the fallback full probe stays correct.
+
+    Sizing rule (no false negatives ever, but pruning POWER depends
+    on it): a file is falsely admitted with probability
+    ``1-(1-p)^|keys|`` for per-key FP rate ``p``, so the filter must
+    be sized for ``p << 1/|keys|`` — the default 32 Kbit/file
+    saturates near ~5k keys/file (p→0.5, everything admitted); size
+    ``build_file_bloom_index(n_bits=...)`` to ≳20 bits per stored key
+    for point-scale probe batches. Range-shaped bulk key sets are
+    manifest stats + ZORDER's job, not Bloom's (measured in
+    tools/stress_merge.py)."""
     from etl_sentinel_imagery_spark.functions.text import polyhash
     from etl_sentinel_imagery_spark.operators.bloom import (
         bloom_contains_hash,

@@ -1,12 +1,13 @@
 """Model-based test of the transaction log: hypothesis drives random
 op sequences (append / add-column-evolving append / DV-delete /
-merge-upsert / compact / restore) against an in-memory reference
-model — the composition coverage no hand-written scenario list
-reaches, including restores ACROSS an evolution (schema narrows
-back) and merges under the widened schema. After every op the
-snapshot must equal the model multiset; at the end, every historical
-version must still time-travel to its recorded state and the
-change-feed fold must net to the final state."""
+predicate delete / UPDATE / merge-upsert / compact / small-file
+optimize / restore) against an in-memory reference model — the
+composition coverage no hand-written scenario list reaches, including
+restores ACROSS an evolution (schema narrows back) and merges under
+the widened schema. After every op the snapshot must equal the model
+multiset; at the end, every historical version must still time-travel
+to its recorded state and the change-feed fold must net to the final
+state."""
 
 from __future__ import annotations
 
@@ -21,11 +22,14 @@ from etl_sentinel_imagery_spark.operators.txlog import (
     compact,
     current_version,
     delete_rows_dv,
+    delete_where,
     init_table,
     merge_upsert,
+    optimize_small_files,
     restore,
     snapshot,
     table_changes,
+    update_rows,
     vacuum,
 )
 
@@ -35,8 +39,11 @@ OP = st.one_of(
     st.tuples(st.just("append"), st.integers(0, 10**6)),
     st.tuples(st.just("append_wide"), st.integers(0, 10**6)),
     st.tuples(st.just("delete"), st.integers(0, 10**6)),
+    st.tuples(st.just("delete_where"), st.integers(0, 10**6)),
+    st.tuples(st.just("update"), st.integers(0, 10**6)),
     st.tuples(st.just("merge"), st.integers(0, 10**6)),
     st.tuples(st.just("compact"), st.just(0)),
+    st.tuples(st.just("optimize_small"), st.just(0)),
     st.tuples(st.just("restore"), st.integers(0, 10**6)),
 )
 
@@ -119,8 +126,32 @@ def test_random_op_sequences_match_reference_model(
                 {rv: c for rv, c in model.items() if rv[0] not in ks}
             )
             model.update((k, v, None) for k, v in rows)
+        elif kind == "delete_where":
+            m = 3 + seed % 4
+            r = seed % m
+            delete_where(spark, t, f"doc_id % {m} = {r}")
+            model = Counter(
+                {
+                    rv: c
+                    for rv, c in model.items()
+                    if rv[0] % m != r
+                }
+            )
+        elif kind == "update":
+            k = seed % 37
+            update_rows(
+                spark, t, f"doc_id = {k}", {"val": F.lit(f"u-{seed}")}
+            )
+            # updates preserve every other column (incl. an evolved w)
+            updated = Counter()
+            for (d, v_, w), c in model.items():
+                key = (d, f"u-{seed}", w) if d == k else (d, v_, w)
+                updated[key] += c
+            model = updated
         elif kind == "compact":
             compact(spark, t, target_files=2)
+        elif kind == "optimize_small":
+            optimize_small_files(spark, t, small_bytes=10**9)
         elif kind == "restore":
             target = sorted(states)[seed % len(states)]
             restore(spark, t, target)

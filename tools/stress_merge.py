@@ -138,8 +138,19 @@ def main() -> None:
     # A stat-less table clustered by the key (range partitioning, no
     # manifest stats recorded) + a per-file Bloom sidecar: the merge's
     # DataFrame-keyed Bloom probe (dv_delete_candidates_df inside
-    # _probe_candidates) must shrink the match scan to the files that
-    # can hold source keys — "ZORDER pruning without stats".
+    # _probe_candidates) shrinks the match scan to the files that can
+    # hold source keys — "ZORDER pruning without stats".
+    #
+    # SIZING MATH (learned here the hard way — the first cut probed
+    # 10k keys against default 32 Kbit filters and admitted 64/64
+    # files): a file is falsely admitted with prob 1-(1-p)^|keys|
+    # where p is the per-key FP rate, so candidate pruning needs
+    # p << 1/|keys|. At 1M rows / 64 files each filter holds ~15.6k
+    # keys: the 32 Kbit default is SATURATED (p≈0.53 — useless even
+    # for one key); 1 Mbit/file (128 KB, ~67 bits/key, p≈2e-7) keeps
+    # a 1000-key GDPR batch's false-admit odds per file at ~2e-4.
+    # Bloom probes are for point-scale key sets; range-shaped bulk
+    # sources are what manifest stats + ZORDER answer.
     from etl_sentinel_imagery_spark.operators.skipping import (
         build_file_bloom_index,
     )
@@ -154,24 +165,30 @@ def main() -> None:
         t2,
         df.repartitionByRange(n_files, "doc_id"),  # clustered, NO stats
     )
-    build_file_bloom_index(spark, t2, "doc_id")
+    build_file_bloom_index(spark, t2, "doc_id", n_bits=1 << 20)
     print(f"stat-less clustered table + bloom index: {time.time()-t0:.1f}s")
-    keys = src_narrow.select("doc_id")
+    src_gdpr = spark.range(lo, lo + 1_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(-4).cast("int").alias("grp"),
+        F.concat(F.lit("gdpr-"), F.col("id")).alias("body"),
+    )
     n_live = len(resolve_files(t2))
     t0 = time.time()
-    cand = dv_delete_candidates_df(spark, t2, "doc_id", keys)
+    cand = dv_delete_candidates_df(
+        spark, t2, "doc_id", src_gdpr.select("doc_id")
+    )
     print(
-        f"bloom candidates for 10k contiguous keys: "
+        f"bloom candidates for 1k contiguous keys: "
         f"{len(cand)}/{n_live} files ({time.time()-t0:.1f}s probe)"
     )
     assert len(cand) <= max(4, n_live // 8), "bloom pruning failed"
     t0 = time.time()
-    merge_upsert(spark, t2, src_narrow, "doc_id")
+    merge_upsert(spark, t2, src_gdpr, "doc_id")
     bloom_wall = time.time() - t0
     snap2 = snapshot(spark, t2)
     assert snap2.count() == n
-    assert snap2.filter("grp = -1").count() == 10_000
-    print(f"narrow update merge (bloom-pruned, stat-less): {bloom_wall:.1f}s")
+    assert snap2.filter("grp = -4").count() == 1_000
+    print(f"1k-key update merge (bloom-pruned, stat-less): {bloom_wall:.1f}s")
 
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()
