@@ -800,7 +800,10 @@ def _probe_candidates(
 
 
 def delete_rows(
-    spark: SparkSession, table_dir: str, key_col: str, values: list
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    values: list | DataFrame,
 ) -> int:
     """Transactional targeted delete: files actually holding matches
     rewrite to new files; ONE commit swaps old for new — a snapshot
@@ -819,7 +822,20 @@ def delete_rows(
     manifest row totals alone, and partially-matched files rewrite in
     ONE job per partition leaf — job count tracks touched LEAVES, not
     table files. Returns ``parent`` unchanged when nothing matched
-    (no empty commits, matching the DV sibling)."""
+    (no empty commits, matching the DV sibling). ``values`` may be a
+    Python list or a DataFrame carrying ``key_col`` (same contract as
+    :func:`delete_rows_dv` — corpus-sized key sets stay distributed)."""
+    if isinstance(values, DataFrame):
+        keys = values.select(key_col).distinct().localCheckpoint()
+        kb = keys.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).collect()[0]
+        lo, hi, vlist = kb["lo"], kb["hi"], None
+    else:
+        keys = None
+        lo = min(values) if values else None
+        hi = max(values) if values else None
+        vlist = values
     parent = current_version(table_dir)
     m = read_manifest(table_dir, parent)
     stat_cols = m.get("stat_cols") or None
@@ -827,18 +843,20 @@ def delete_rows(
     entries = resolve_files(table_dir, parent)
     by_name = {_entry_name(e): e for e in entries}
     probe = _probe_candidates(
-        spark, table_dir, m, entries, by_name, key_col,
-        min(values) if values else None,
-        max(values) if values else None,
-        values=values,
+        spark, table_dir, m, entries, by_name, key_col, lo, hi,
+        values=vlist, keys=keys,
     )
     if not probe:
         return parent
     live = _read_entries(spark, table_dir, probe, parent, keep_pos=True)
+    matched = (
+        live.join(keys, key_col, "left_semi")
+        if keys is not None
+        else live.filter(F.col(key_col).isin(values))
+    )
     hit_counts = {
         r["_file_name"]: r["n"]
-        for r in live.filter(F.col(key_col).isin(values))
-        .groupBy("_file_name")
+        for r in matched.groupBy("_file_name")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
@@ -868,9 +886,16 @@ def delete_rows(
         leaves.setdefault(leaf, []).append(e)
     new_names: list = []
     for leaf in sorted(leaves):
-        kept = _read_entries(
-            spark, table_dir, leaves[leaf], parent
-        ).filter(~F.coalesce(F.col(key_col).isin(values), F.lit(False)))
+        leaf_df = _read_entries(spark, table_dir, leaves[leaf], parent)
+        # NULL keys always survive (matching ~coalesce(isin) and
+        # anti-join semantics alike)
+        kept = (
+            leaf_df.join(keys, key_col, "left_anti")
+            if keys is not None
+            else leaf_df.filter(
+                ~F.coalesce(F.col(key_col).isin(values), F.lit(False))
+            )
+        )
         if partition_cols:
             # partition values stay encoded in the leaf path the
             # rewrite lands in — they are not data columns on disk
@@ -1757,6 +1782,7 @@ def optimize(
     zorder_by: list[str] | None = None,
     target_files: int = 8,
     bits: int | None = None,
+    partition: dict | None = None,
 ) -> int:
     """Delta-style ``OPTIMIZE [ZORDER BY]``: rewrite the current
     snapshot into ``target_files`` files clustered along the Z-curve
@@ -1775,13 +1801,37 @@ def optimize(
     curve segment per partition leaf; clustering then applies within
     partitions (document order), which is where partition-scoped scans
     look. Concurrent commits race on the claim like every other op —
-    losers raise TxConflict and retry against the new parent."""
+    losers raise TxConflict and retry against the new parent.
+
+    ``partition`` ({col: value}) scopes the rewrite to the matching
+    hive leaves — ``OPTIMIZE ... WHERE`` — so the daily relayout of a
+    petabyte table pays one partition, not the table (out-of-scope
+    entries are untouched and unnamed in the delta; the whole-table
+    form remains for global relayouts). For ROUTINE small-file
+    maintenance use :func:`optimize_small_files` instead — this verb
+    rewrites everything in scope."""
     parent = current_version(table_dir)
     m = read_manifest(table_dir, parent)
     stat_cols = m.get("stat_cols") or None
     partition_cols = m.get("partition_cols") or None
-    old_names = [_entry_name(e) for e in resolve_files(table_dir, parent)]
-    df = snapshot(spark, table_dir, parent)
+    entries = resolve_files(table_dir, parent)
+    if partition:
+        for col in partition:
+            if col not in (partition_cols or []):
+                raise ValueError(
+                    f"{col!r} is not a partition column "
+                    f"(partition_cols={partition_cols})"
+                )
+        segs = {f"{c}={v}" for c, v in partition.items()}
+        entries = [
+            e
+            for e in entries
+            if segs <= set(_entry_name(e).split(os.sep)[:-1])
+        ]
+    if not entries:
+        return parent
+    old_names = [_entry_name(e) for e in entries]
+    df = _read_entries(spark, table_dir, entries, parent)
     if zorder_by:
         from etl_sentinel_imagery_spark.operators.layout import (
             DEFAULT_BITS,

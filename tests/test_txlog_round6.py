@@ -770,3 +770,138 @@ def test_timestamp_as_of(spark, tmp_path):
     # history surfaces commit times, monotone after adjustment
     hs = tx.history(t)
     assert all("ts" in h for h in hs)
+
+
+def test_new_verbs_conflict_losers_leave_no_partial_state(
+    spark, tmp_path
+):
+    """update_rows / delete_where / optimize_small_files that lose the
+    claim race raise TxConflict with the table untouched; their
+    orphaned sidecars/data files are vacuumable garbage; the retry
+    lands cleanly."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        delete_where,
+        optimize_small_files,
+        update_rows,
+    )
+
+    t = str(tmp_path / "race6")
+    init_table(spark, t, _seed(spark, 60).repartition(3))
+
+    class LoseOnce(tx.PosixLogStore):
+        def __init__(self):
+            self.lose = 1
+
+        def claim(self, tmp_path, final_path):
+            if self.lose > 0:
+                self.lose -= 1
+                return False
+            return super().claim(tmp_path, final_path)
+
+    for attempt, retry in (
+        (
+            lambda: update_rows(
+                spark, t, "doc_id < 5", {"body": F.lit("race-upd")}
+            ),
+            None,
+        ),
+        (lambda: delete_where(spark, t, "doc_id = 58"), None),
+        (
+            lambda: optimize_small_files(spark, t, small_bytes=10**9),
+            None,
+        ),
+    ):
+        before = sorted(map(tuple, snapshot(spark, t).collect()))
+        v_before = current_version(t)
+        tx.set_log_store(LoseOnce())
+        try:
+            with pytest.raises(tx.TxConflict):
+                attempt()
+            # loser left nothing: same version, same rows
+            assert current_version(t) == v_before
+            assert (
+                sorted(map(tuple, snapshot(spark, t).collect())) == before
+            )
+            attempt()  # retry wins
+            assert current_version(t) == v_before + 1
+        finally:
+            tx.set_log_store(tx.PosixLogStore())
+
+    snap = snapshot(spark, t)
+    assert snap.where("body = 'race-upd'").count() == 5
+    assert snap.where("doc_id = 58").count() == 0
+    assert snap.count() == 59
+    # every orphan from the three losers vacuums away; live data intact
+    removed = vacuum(t, min_age_seconds=0)
+    assert removed, "loser sidecars/files should be reclaimable"
+    assert sorted(map(tuple, snapshot(spark, t).collect())) == sorted(
+        map(tuple, snap.collect())
+    )
+
+
+def test_optimize_partition_scoped_zorder(spark, tmp_path):
+    """OPTIMIZE ... WHERE: the ZORDER relayout scopes to one hive leaf
+    — out-of-scope leaves keep their exact file lists (unnamed in the
+    delta), rows identical, and the rewritten leaf's files carry fresh
+    manifest stats for pruning."""
+    from etl_sentinel_imagery_spark.operators.txlog import optimize
+
+    t = str(tmp_path / "ozp")
+    tx.init_table(
+        spark,
+        t,
+        _seed(spark, 210).repartition(6),
+        stat_cols=["doc_id"],
+        partition_cols=["grp"],
+    )
+    before_other = {
+        tx._entry_name(e)
+        for e in resolve_files(t)
+        if not tx._entry_name(e).startswith("grp=2")
+    }
+    want = sorted(map(tuple, snapshot(spark, t).collect()))
+    v = optimize(
+        spark, t, zorder_by=["doc_id"], target_files=2,
+        partition={"grp": 2},
+    )
+    delta = read_manifest(t, v)
+    assert all(n.startswith("grp=2") for n in delta["removes"])
+    after_other = {
+        tx._entry_name(e)
+        for e in resolve_files(t)
+        if not tx._entry_name(e).startswith("grp=2")
+    }
+    assert after_other == before_other
+    assert sorted(map(tuple, snapshot(spark, t).collect())) == want
+    # rewritten leaf entries carry stats (pruning keeps working)
+    g2 = [
+        e
+        for e in resolve_files(t)
+        if tx._entry_name(e).startswith("grp=2")
+    ]
+    assert g2 and all("stats" in e for e in g2)
+    # scoping to a missing leaf value is a no-op
+    assert optimize(spark, t, partition={"grp": 99}) == v
+    with pytest.raises(ValueError, match="not a partition column"):
+        optimize(spark, t, partition={"doc_id": 0})
+
+
+def test_cow_delete_accepts_dataframe_keys(spark, tmp_path):
+    """The copy-on-write delete takes a DataFrame key set too — same
+    contract as the DV sibling; equals the list form row-for-row."""
+    from etl_sentinel_imagery_spark.operators.txlog import delete_rows
+
+    t1, t2 = str(tmp_path / "cdf1"), str(tmp_path / "cdf2")
+    for t in (t1, t2):
+        init_table(spark, t, _seed(spark, 200).repartition(4))
+    kill = [3, 77, 150]
+    delete_rows(spark, t1, "doc_id", kill)
+    delete_rows(
+        spark,
+        t2,
+        "doc_id",
+        spark.createDataFrame([(k,) for k in kill], ["doc_id"]),
+    )
+    a = sorted(map(tuple, snapshot(spark, t1).collect()))
+    b = sorted(map(tuple, snapshot(spark, t2).collect()))
+    assert a == b and len(a) == 197
