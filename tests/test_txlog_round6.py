@@ -905,3 +905,98 @@ def test_cow_delete_accepts_dataframe_keys(spark, tmp_path):
     a = sorted(map(tuple, snapshot(spark, t1).collect()))
     b = sorted(map(tuple, snapshot(spark, t2).collect()))
     assert a == b and len(a) == 197
+
+
+def test_mv_delta_tracks_update_and_delete_where_commits(
+    spark, tmp_path
+):
+    """The incremental MV refresh (incremental_agg_delta, keyed on
+    (name, dv) entry state) stays exact across the NEW verbs: an
+    UPDATE commit nets to (new images − pre-images) and a predicate
+    delete nets to −(dropped rows) — old_mv ⊎ delta == full recompute
+    without reading untouched files."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        delete_where,
+        incremental_agg_delta,
+        update_rows,
+    )
+
+    t = str(tmp_path / "mvd")
+    df = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("int").alias("grp"),
+        (F.col("id") * 2).alias("qty"),
+    )
+    init_table(spark, t, df.repartition(3))
+    v0 = current_version(t)
+
+    def mv_of(version):
+        return {
+            r["grp"]: (r["n"], r["sum_qty"])
+            for r in snapshot(spark, t, version)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("qty").alias("sum_qty"),
+            )
+            .collect()
+        }
+
+    update_rows(spark, t, "doc_id < 10", {"qty": "qty + 1000"})
+    v1 = delete_where(spark, t, "grp = 4")
+    delta = {
+        r["grp"]: (r["n"], r["sum_qty"])
+        for r in incremental_agg_delta(
+            spark, t, v0, v1, ["grp"], sum_cols=["qty"]
+        ).collect()
+    }
+    base, final = mv_of(v0), mv_of(v1)
+    applied = {}
+    for g in set(base) | set(delta):
+        n = base.get(g, (0, 0))[0] + delta.get(g, (0, 0))[0]
+        s = (base.get(g, (0, 0))[1] or 0) + (delta.get(g, (0, 0))[1] or 0)
+        if n:
+            applied[g] = (n, s)
+    assert applied == final
+
+
+def test_live_stream_drives_upsert_sink(spark, tmp_path):
+    """The rate-tick streaming wrapper composes with the round-6
+    upsert sink: a real Structured Streaming query keeps a
+    latest-state silver current through upstream merges and deletes."""
+    import shutil as _shutil
+
+    from etl_sentinel_imagery_spark.streaming.cdf_source import (
+        cdf_upsert_sink,
+        start_cdf_stream,
+    )
+
+    src = str(tmp_path / "lsrc")
+    dst = str(tmp_path / "ldst")
+    ckpt = str(tmp_path / "lck")
+    init_table(spark, src, _seed(spark, 30))
+    sink = cdf_upsert_sink(dst, "doc_id", app_id="live-up")
+    q = start_cdf_stream(spark, src, ckpt, sink, rows_per_second=50)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert snapshot(spark, dst).count() == 30
+
+    merge_upsert(
+        spark,
+        src,
+        _seed(spark, 5).withColumn("body", F.lit("live-upd")),
+        "doc_id",
+    )
+    delete_rows_dv(spark, src, "doc_id", [9])
+    _shutil.rmtree(os.path.join(ckpt, "_ticks"))
+    q2 = start_cdf_stream(spark, src, ckpt, sink, rows_per_second=50)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    snap = snapshot(spark, dst)
+    assert snap.count() == 30  # deletes keep the key's last state
+    assert snap.where("body = 'live-upd'").count() == 5
+    assert snap.where("doc_id = 9").count() == 1
