@@ -414,6 +414,7 @@ def _commit_delta(
     partition_cols: list | None = None,
     schema_json: str | None = None,
     txn: tuple[str, int] | None = None,
+    column_mapping: dict | None = None,
 ) -> int:
     """Delta commit of parent+1: the manifest records only what changed.
     Every CHECKPOINT_EVERY-th version also embeds the resolved full
@@ -436,6 +437,8 @@ def _commit_delta(
         "removes": sorted(removes),
         "schema": schema_json or resolve_schema(table_dir, parent),
     }
+    if column_mapping is not None:
+        body["column_mapping"] = column_mapping
     if txn is not None:
         body["txn"] = {"app": txn[0], "version": int(txn[1])}
     if CHECKPOINT_EVERY and version % CHECKPOINT_EVERY == 0:
@@ -454,11 +457,13 @@ def _commit_delta(
                 int(txn[1]) if prev is None else max(prev, int(txn[1]))
             )
         body["txns"] = txns
-        # checkpoints embed the resolved constraint set so the
-        # resolve_constraints walk is bounded by CHECKPOINT_EVERY, like
-        # files and txns (and truncate_history's self-contained horizon
-        # finds it locally)
+        # checkpoints embed the resolved constraint set and column
+        # mapping so their chain walks are bounded by CHECKPOINT_EVERY,
+        # like files and txns (and truncate_history's self-contained
+        # horizon finds them locally)
         body["constraints"] = resolve_constraints(table_dir, parent)
+        if "column_mapping" not in body:
+            body["column_mapping"] = resolve_mapping(table_dir, parent)
     _claim(table_dir, version, json.dumps(body, indent=0))
     return version
 
@@ -554,6 +559,7 @@ def _move_in_data_files(
     stat_cols: list[str] | None = None,
     partition_cols: list[str] | None = None,
     dest_subdir: str = "",
+    mapping: dict | None = None,
 ) -> list:
     """Write df's parquet files under unique names in the table dir;
     return their manifest entries ``{name, rows, bytes, stats?}`` —
@@ -567,9 +573,30 @@ def _move_in_data_files(
     names keep the relative subpath, so a basePath read re-derives the
     partition columns. ``dest_subdir`` pins ALL files into one
     existing leaf (targeted-delete rewrites must stay in their
-    partition). Data lands BEFORE any commit references it."""
+    partition). Data lands BEFORE any commit references it.
+
+    Column mapping: incoming frames speak LOGICAL names; files store
+    PHYSICAL names (the RENAME/DROP indirection), translated here from
+    the table's resolved mapping — and ``stats`` are keyed by PHYSICAL
+    name, so manifest pruning keeps working across renames (lookups
+    translate). Identity (every table until a rename/drop) is a
+    no-op. A rename racing this write loses nothing: the claim
+    conflict forces the writer to retry under the new mapping."""
     import pyarrow.parquet as pq
 
+    if mapping is not None:
+        mp = mapping["map"]  # evolving writers pass the UPDATED map
+    else:
+        try:
+            mp = resolve_mapping(table_dir)["map"]
+        except FileNotFoundError:
+            mp = {}  # init commit: no manifest yet, identity
+    if mp:
+        df = df.select(
+            *[F.col(c).alias(mp.get(c, c)) for c in df.columns]
+        )
+        stat_cols = [mp.get(c, c) for c in stat_cols or []] or None
+        # partition columns refuse renames, so their names are identity
     staging = os.path.join(table_dir, f"_stage_{uuid.uuid4().hex}")
     if partition_cols:
         df.write.partitionBy(*partition_cols).parquet(staging)
@@ -748,12 +775,21 @@ def append(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
     partition_cols = m.get("partition_cols") or None
     merged = _merge_schema_json(resolve_schema(table_dir, parent), df.schema)
     _enforce_constraints(df, resolve_constraints(table_dir, parent))
+    # a NEW column whose name collides with a retired physical name
+    # gets a fresh physical assignment — dropped values never
+    # resurrect under a re-added column
+    mapping = resolve_mapping(table_dir, parent)
+    upd = _assign_physical(
+        mapping, [f["name"] for f in json.loads(merged)["fields"]]
+    )
     names = _move_in_data_files(
-        spark, table_dir, df, stat_cols, partition_cols
+        spark, table_dir, df, stat_cols, partition_cols,
+        mapping=upd or mapping,
     )
     return _commit_delta(
         table_dir, parent, names, [], "append", stat_cols, partition_cols,
         schema_json=merged,
+        column_mapping=upd,
     )
 
 
@@ -768,13 +804,17 @@ def _probe_candidates(
     hi,
     values: list | None = None,
     keys: DataFrame | None = None,
+    phys_key: str | None = None,
 ) -> list:
     """The shared probe-pruning ladder for every key-targeted write
     (COW delete, DV delete, merge, apply_changes). Exact in all
     branches — a skipped file provably holds no matching key:
 
     1. manifest [min, max] stats when the table tracks ``key_col``
-       (``_stats_probe_subset`` — files without stats always probed);
+       (``_stats_probe_subset`` — files without stats always probed;
+       stats are keyed by PHYSICAL column name, so pass ``phys_key``
+       on a renamed column to keep pruning — a missing key only ever
+       widens the probe, never skips wrongly);
     2. else the per-file Bloom sidecar when one exists — list-keyed
        (:func:`dv_delete_candidates`) or DataFrame-keyed
        (:func:`dv_delete_candidates_df`), no false negatives;
@@ -782,7 +822,9 @@ def _probe_candidates(
        pushed-down — distributed probe scan).
     """
     if key_col in (m.get("stat_cols") or []) and lo is not None:
-        return _stats_probe_subset(entries, key_col, lo, hi)
+        return _stats_probe_subset(
+            entries, phys_key or key_col, lo, hi
+        )
     try:
         if keys is not None:
             cand = dv_delete_candidates_df(
@@ -845,6 +887,7 @@ def delete_rows(
     probe = _probe_candidates(
         spark, table_dir, m, entries, by_name, key_col, lo, hi,
         values=vlist, keys=keys,
+        phys_key=resolve_mapping(table_dir, parent)["map"].get(key_col),
     )
     if not probe:
         return parent
@@ -1067,6 +1110,9 @@ def delete_rows_dv(
         probe = _probe_candidates(
             spark, table_dir, m, entries, by_name, key_col, lo, hi,
             values=vlist, keys=keys,
+            phys_key=resolve_mapping(table_dir, parent)["map"].get(
+                key_col
+            ),
         )
     if not probe:
         return parent
@@ -1276,6 +1322,9 @@ def merge_upsert(
             spark, table_dir, m, entries, by_name, key_col,
             src_stats["lo"], src_stats["hi"],
             keys=source.select(key_col),
+            phys_key=resolve_mapping(table_dir, parent)["map"].get(
+                key_col
+            ),
         )
 
     removes: list[str] = []
@@ -1295,8 +1344,14 @@ def merge_upsert(
                 table_dir, by_name, per_file, sidecar
             )
 
+    mapping = resolve_mapping(table_dir, parent)
+    upd = _assign_physical(
+        mapping,
+        [f["name"] for f in json.loads(merged_schema)["fields"]],
+    )
     new_names = _move_in_data_files(
-        spark, table_dir, source, stat_cols, partition_cols
+        spark, table_dir, source, stat_cols, partition_cols,
+        mapping=upd or mapping,
     )
     return _commit_delta(
         table_dir,
@@ -1308,6 +1363,7 @@ def merge_upsert(
         partition_cols,
         schema_json=merged_schema,
         txn=txn,
+        column_mapping=upd,
     )
 
 
@@ -1422,6 +1478,12 @@ def restore(spark: SparkSession, table_dir: str, version: int) -> int:
         m.get("stat_cols") or None,
         m.get("partition_cols") or None,
         schema_json=resolve_schema(table_dir, version),
+        # the restored schema speaks the TARGET version's logical
+        # names — pin its column mapping too, or a later-era rename's
+        # map/retired set would leak into the restored state (and a
+        # post-restore append could wrongly re-assign a resurrected
+        # column's physical name)
+        column_mapping=resolve_mapping(table_dir, version),
     )
 
 
@@ -1477,6 +1539,9 @@ def clone_table(table_dir: str, dest_dir: str) -> int:
                 (reroot(e) for e in entries), key=_entry_name
             ),
             "schema": resolve_schema(src),
+            # the clone reads the SOURCE's physical files under the
+            # source's logical schema — its mapping must ride along
+            "column_mapping": resolve_mapping(src),
         },
         indent=0,
     )
@@ -1587,6 +1652,7 @@ def apply_changes(
     probe = _probe_candidates(
         spark, table_dir, m, entries, by_name, key_col,
         kb["lo"], kb["hi"], keys=affected,
+        phys_key=resolve_mapping(table_dir, parent)["map"].get(key_col),
     )
 
     removes: list[str] = []
@@ -1607,8 +1673,14 @@ def apply_changes(
                 table_dir, by_name, per_file, sidecar
             )
 
+    mapping = resolve_mapping(table_dir, parent)
+    upd = _assign_physical(
+        mapping,
+        [f["name"] for f in json.loads(merged_schema)["fields"]],
+    )
     new_names = _move_in_data_files(
-        spark, table_dir, upserts, stat_cols, partition_cols
+        spark, table_dir, upserts, stat_cols, partition_cols,
+        mapping=upd or mapping,
     )
     return _commit_delta(
         table_dir,
@@ -1620,6 +1692,7 @@ def apply_changes(
         partition_cols,
         schema_json=merged_schema,
         txn=txn,
+        column_mapping=upd,
     )
 
 
@@ -2062,10 +2135,12 @@ def snapshot_pruned(
             f"column {col!r} has no manifest stats; init the table with "
             f"stat_cols=[{col!r}, ...]"
         )
+    # stats are keyed by PHYSICAL column name (stable across renames)
+    skey = resolve_mapping(table_dir, version)["map"].get(col, col)
     files = resolve_files(table_dir, version)
     keep, skipped = [], 0
     for e in files:
-        st = (e.get("stats") or {}).get(col) if isinstance(e, dict) else None
+        st = (e.get("stats") or {}).get(skey) if isinstance(e, dict) else None
         if st is None:
             keep.append(e)
             continue
@@ -2242,17 +2317,41 @@ def _read_entries(
     if read_manifest(table_dir, version).get("partition_cols"):
         reader = reader.option("basePath", table_dir)
     sj = resolve_schema(table_dir, version)
+    # column mapping (RENAME/DROP): files carry PHYSICAL names; the
+    # reader requests the physical schema and the result aliases back
+    # to the version's LOGICAL names. Identity mapping (every table
+    # until a rename/drop) skips all of it.
+    mp = resolve_mapping(table_dir, version)["map"] if sj else {}
     if sj:
         from pyspark.sql.types import StructType
 
-        reader = reader.schema(StructType.fromJson(json.loads(sj)))
+        fields = json.loads(sj)
+        if mp:
+            phys = json.loads(sj)
+            for f in phys["fields"]:
+                f["name"] = mp.get(f["name"], f["name"])
+            reader = reader.schema(StructType.fromJson(phys))
+        else:
+            reader = reader.schema(StructType.fromJson(fields))
     df = reader.parquet(
         *[os.path.join(table_dir, _entry_name(e)) for e in entries]
     )
+    logical = (
+        [f["name"] for f in json.loads(sj)["fields"]] if mp else None
+    )
     dv_paths = sorted({p for e in entries for p in _entry_dvs(e)})
     if not (dv_paths or keep_pos):
+        if mp:
+            return df.select(
+                *[F.col(mp.get(c, c)).alias(c) for c in logical]
+            )
         return df
-    cols = df.columns
+    cols = logical if mp else df.columns
+    sel_cols = (
+        [F.col(mp.get(c, c)).alias(c) for c in logical]
+        if mp
+        else cols
+    )
     # file identity = the MANIFEST ENTRY NAME, attached by joining the
     # normalized _metadata.file_path against a control-plane (path,
     # name) map — manifest-sized and broadcast, and robust where
@@ -2271,7 +2370,7 @@ def _read_entries(
         ["_abs_path", "_file_name"],
     )
     keyed = df.select(
-        *cols,
+        *sel_cols,
         _plain_path_col().alias("_abs_path"),
         F.col("_metadata.row_index").alias("_row_pos"),
     ).join(F.broadcast(path_map), "_abs_path").drop("_abs_path")
@@ -2437,6 +2536,173 @@ def table_changes(
     return out
 
 
+def resolve_mapping(
+    table_dir: str, version: int | None = None
+) -> dict:
+    """Column-mapping state at ``version`` — ``{"map": {logical:
+    physical}, "retired": [physical, ...]}``. The indirection behind
+    RENAME/DROP COLUMN (Delta's column mapping): data files keep their
+    PHYSICAL column names forever; the manifest schema speaks LOGICAL
+    names; readers translate. Identity (empty map) until a rename or
+    drop happens, so unmapped tables take the zero-cost fast path
+    everywhere. Same chain walk as :func:`resolve_constraints`
+    (checkpoint-embedded, truncate-safe)."""
+    v = current_version(table_dir) if version is None else version
+    while v >= 0:
+        m = read_manifest(table_dir, v)
+        if "column_mapping" in m:
+            return {
+                "map": dict(m["column_mapping"].get("map", {})),
+                "retired": list(m["column_mapping"].get("retired", [])),
+            }
+        parent = m.get("parent")
+        if parent is None:
+            return {"map": {}, "retired": []}
+        v = parent
+    return {"map": {}, "retired": []}
+
+
+def _physical_name(mapping: dict, col: str) -> str:
+    return mapping.get("map", {}).get(col, col)
+
+
+def rename_column(table_dir: str, old: str, new: str) -> int:
+    """``ALTER TABLE RENAME COLUMN old TO new`` — a pure METADATA
+    commit: no file is touched; the schema renames the field and the
+    column mapping points the new LOGICAL name at the column's
+    existing PHYSICAL name, so every historical file keeps serving
+    (and time travel to pre-rename versions answers under the old
+    name, each version reading with its own schema+mapping). Manifest
+    stats keep pruning across a rename because they are keyed by
+    PHYSICAL name. Refused for partition columns (their values live
+    in directory paths) and for columns referenced by a CHECK
+    constraint (drop the constraint first — predicates are SQL text
+    and would silently stop binding). The change feed skips the
+    commit itself (no rows changed); consumers spanning it see the
+    old name NULL on new rows and vice versa — the rename is a
+    schema-level identity, not a row rewrite."""
+    parent = current_version(table_dir)
+    m = read_manifest(table_dir, parent)
+    sj = resolve_schema(table_dir, parent)
+    if not sj:
+        raise ValueError("table has no recorded schema to rename in")
+    schema = json.loads(sj)
+    names = [f["name"] for f in schema["fields"]]
+    if old not in names:
+        raise ValueError(f"no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    if old in (m.get("partition_cols") or []):
+        raise ValueError(
+            f"{old!r} is a partition column; its values live in "
+            "directory paths and cannot be renamed in metadata"
+        )
+    for cname, pred in resolve_constraints(table_dir, parent).items():
+        import re as _re
+
+        if _re.search(rf"\b{_re.escape(old)}\b", pred):
+            raise ValueError(
+                f"constraint {cname!r} references {old!r}; drop it "
+                "before renaming"
+            )
+    mapping = resolve_mapping(table_dir, parent)
+    phys = _physical_name(mapping, old)
+    mapping["map"].pop(old, None)
+    mapping["map"][new] = phys
+    for f in schema["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    stat_cols = [
+        new if c == old else c for c in (m.get("stat_cols") or [])
+    ]
+    return _commit_delta(
+        table_dir,
+        parent,
+        [],
+        [],
+        f"rename_{old}_to_{new}",
+        stat_cols or None,
+        m.get("partition_cols") or None,
+        schema_json=json.dumps(schema),
+        column_mapping=mapping,
+    )
+
+
+def drop_column(table_dir: str, col: str) -> int:
+    """``ALTER TABLE DROP COLUMN`` — a pure METADATA commit: the field
+    leaves the schema and its PHYSICAL name retires; data files are
+    untouched (readers simply stop requesting the column), and time
+    travel to pre-drop versions still serves it. A LATER append
+    re-adding the same logical name gets a FRESH physical column
+    (``name#2``), so the dropped values can never silently resurrect
+    under the new column. Refused for partition columns and columns a
+    CHECK constraint references."""
+    parent = current_version(table_dir)
+    m = read_manifest(table_dir, parent)
+    sj = resolve_schema(table_dir, parent)
+    if not sj:
+        raise ValueError("table has no recorded schema to drop from")
+    schema = json.loads(sj)
+    names = [f["name"] for f in schema["fields"]]
+    if col not in names:
+        raise ValueError(f"no column {col!r} (have {names})")
+    if len(names) == 1:
+        raise ValueError("cannot drop the only column")
+    if col in (m.get("partition_cols") or []):
+        raise ValueError(f"{col!r} is a partition column")
+    for cname, pred in resolve_constraints(table_dir, parent).items():
+        import re as _re
+
+        if _re.search(rf"\b{_re.escape(col)}\b", pred):
+            raise ValueError(
+                f"constraint {cname!r} references {col!r}; drop it "
+                "before dropping the column"
+            )
+    mapping = resolve_mapping(table_dir, parent)
+    phys = _physical_name(mapping, col)
+    mapping["map"].pop(col, None)
+    if phys not in mapping["retired"]:
+        mapping["retired"].append(phys)
+    schema["fields"] = [
+        f for f in schema["fields"] if f["name"] != col
+    ]
+    stat_cols = [c for c in (m.get("stat_cols") or []) if c != col]
+    return _commit_delta(
+        table_dir,
+        parent,
+        [],
+        [],
+        f"drop_column_{col}",
+        stat_cols or None,
+        m.get("partition_cols") or None,
+        schema_json=json.dumps(schema),
+        column_mapping=mapping,
+    )
+
+
+def _assign_physical(mapping: dict, cols: list[str]) -> dict | None:
+    """Fresh physical names for NEW logical columns that collide with
+    a retired (or in-use) physical name — ``name#2``, ``name#3``, …
+    Returns the updated mapping when an assignment happened, else
+    None (commit inherits the chain's mapping untouched)."""
+    taken = set(mapping.get("retired", [])) | set(
+        mapping.get("map", {}).values()
+    )
+    changed = False
+    for c in cols:
+        if c in mapping.get("map", {}):
+            continue
+        if c not in taken:
+            continue
+        n = 2
+        while f"{c}#{n}" in taken:
+            n += 1
+        mapping["map"][c] = f"{c}#{n}"
+        taken.add(f"{c}#{n}")
+        changed = True
+    return mapping if changed else None
+
+
 class ConstraintViolation(ValueError):
     """An incoming write contains rows failing a table CHECK
     constraint; nothing was committed."""
@@ -2517,6 +2783,7 @@ def _commit_constraints(
     if CHECKPOINT_EVERY and version % CHECKPOINT_EVERY == 0:
         body["files"] = resolve_files(table_dir, parent)
         body["txns"] = resolve_txns(table_dir, parent)
+        body["column_mapping"] = resolve_mapping(table_dir, parent)
     _claim(table_dir, version, json.dumps(body, indent=0))
     return version
 
@@ -2599,7 +2866,12 @@ def truncate_history(table_dir: str, keep_versions: int) -> dict:
     if horizon == 0:
         return {"horizon": 0, "removed_manifests": 0}
     m = read_manifest(table_dir, horizon)
-    if "files" not in m or "txns" not in m or "constraints" not in m:
+    if (
+        "files" not in m
+        or "txns" not in m
+        or "constraints" not in m
+        or "column_mapping" not in m
+    ):
         m["files"] = resolve_files(table_dir, horizon)
         # idempotence watermarks survive retention (a stream replaying
         # pre-horizon epochs must still be recognized as delivered)
@@ -2609,6 +2881,9 @@ def truncate_history(table_dir: str, keep_versions: int) -> dict:
         # map would silently drop every pre-horizon constraint and
         # later writes would go unenforced
         m["constraints"] = resolve_constraints(table_dir, horizon)
+        # ... and so does the column mapping (renamed/dropped columns
+        # would silently rebind to raw physical names)
+        m["column_mapping"] = resolve_mapping(table_dir, horizon)
         m["parent"] = None  # self-contained: no ancestor walk
         path = _manifest_path(table_dir, horizon)
         tmp = path + ".trunc_tmp"

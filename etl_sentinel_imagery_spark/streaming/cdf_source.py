@@ -321,7 +321,12 @@ def cdf_upsert_sink(
     ever seen at its most recent upstream value. Upstream DELETES
     intentionally do NOT propagate (the key stays at its last state —
     the slowly-changing-dimension shape); use
-    :func:`cdf_replicate_sink` when deletes must mirror. Exactly-once
+    :func:`cdf_replicate_sink` when deletes must mirror. Note the
+    netting is RANGE-granular (as in any batched net-state applier): a
+    key inserted and deleted within ONE consumed range nets to a
+    delete and never lands here — keys LIVE upstream always land
+    exactly; it is only delete-then-reinsert-free churn inside a batch
+    that is invisible (the model test pins this contract). Exactly-once
     via the same SetTransaction watermark as the other sinks: a
     replayed range no-ops, and a partially overlapping crash-retry
     range is harmless because re-merging an already-applied final
