@@ -415,6 +415,7 @@ def _commit_delta(
     schema_json: str | None = None,
     txn: tuple[str, int] | None = None,
     column_mapping: dict | None = None,
+    identity: dict | None = None,
 ) -> int:
     """Delta commit of parent+1: the manifest records only what changed.
     Every CHECKPOINT_EVERY-th version also embeds the resolved full
@@ -439,6 +440,8 @@ def _commit_delta(
     }
     if column_mapping is not None:
         body["column_mapping"] = column_mapping
+    if identity is not None:
+        body["identity"] = identity
     if txn is not None:
         body["txn"] = {"app": txn[0], "version": int(txn[1])}
     if CHECKPOINT_EVERY and version % CHECKPOINT_EVERY == 0:
@@ -464,6 +467,8 @@ def _commit_delta(
         body["constraints"] = resolve_constraints(table_dir, parent)
         if "column_mapping" not in body:
             body["column_mapping"] = resolve_mapping(table_dir, parent)
+        if "identity" not in body:
+            body["identity"] = resolve_identity(table_dir, parent)
     _claim(table_dir, version, json.dumps(body, indent=0))
     return version
 
@@ -2536,6 +2541,137 @@ def table_changes(
     return out
 
 
+def resolve_identity(
+    table_dir: str, version: int | None = None
+) -> dict:
+    """IDENTITY watermarks at ``version`` — ``{col: next_id}``. The
+    most recent record wins (same chain walk as the other metadata
+    maps, checkpoint-embedded); since every identity-advancing commit
+    records the new watermark and ids only grow, the walk's first hit
+    IS the max — which also makes RESTORE safe by construction: the
+    watermark never rewinds, so ids are never reused even after a
+    rollback across identity appends."""
+    v = current_version(table_dir) if version is None else version
+    while v >= 0:
+        m = read_manifest(table_dir, v)
+        if "identity" in m:
+            return dict(m["identity"])
+        parent = m.get("parent")
+        if parent is None:
+            return {}
+        v = parent
+    return {}
+
+
+def enable_identity(
+    table_dir: str, col: str, start: int = 0
+) -> int:
+    """Declare ``col`` a GENERATED IDENTITY column (Delta's
+    ``GENERATED ALWAYS AS IDENTITY``): a metadata commit records the
+    next-id watermark; :func:`append_identity` assigns dense,
+    collision-free, monotonically increasing values from it. The
+    column must not already exist (identity values are engine-owned);
+    it enters the schema at the first identity append."""
+    parent = current_version(table_dir)
+    m = read_manifest(table_dir, parent)
+    sj = resolve_schema(table_dir, parent)
+    if sj and col in [f["name"] for f in json.loads(sj)["fields"]]:
+        raise ValueError(
+            f"column {col!r} already exists; identity columns are "
+            "engine-assigned from birth"
+        )
+    ident = resolve_identity(table_dir, parent)
+    if col in ident:
+        raise ValueError(f"{col!r} is already an identity column")
+    ident[col] = int(start)
+    return _commit_delta(
+        table_dir,
+        parent,
+        [],
+        [],
+        f"enable_identity_{col}",
+        m.get("stat_cols") or None,
+        m.get("partition_cols") or None,
+        identity=ident,
+    )
+
+
+def append_identity(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
+    """Transactional append that ASSIGNS the table's identity
+    column(s): each new row gets ``watermark + its dense rank`` (the
+    two-phase distributed prefix sum — no single-task window, no
+    driver round-trip of rows), and the commit advances the watermark
+    by the batch size in the SAME manifest claim. Ids are therefore
+    dense per batch, collision-free across writers (a concurrent
+    commit forces TxConflict — the retry re-reads the watermark and
+    reassigns; the loser's files are vacuumable orphans), and
+    monotone across history (restore never rewinds the watermark —
+    see :func:`resolve_identity`). The incoming frame must NOT carry
+    the identity column (``GENERATED ALWAYS``). MERGE/UPDATE paths
+    intentionally do not assign — identity birth happens on the
+    append path, as in Delta."""
+    from etl_sentinel_imagery_spark.operators.packing import (
+        with_global_offset,
+    )
+
+    parent = current_version(table_dir)
+    ident = resolve_identity(table_dir, parent)
+    if not ident:
+        raise ValueError(
+            "no identity column declared (enable_identity first)"
+        )
+    clash = set(ident) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"identity column(s) {sorted(clash)} are GENERATED ALWAYS "
+            "— the write must not supply them"
+        )
+    m = read_manifest(table_dir, parent)
+    stat_cols = m.get("stat_cols") or None
+    partition_cols = m.get("partition_cols") or None
+    # one dense 0..n-1 offset per row (order pinned by the checkpoint
+    # inside with_global_offset; _mid is unique per evaluation)
+    assigned = df.withColumn("_mid", F.monotonically_increasing_id())
+    assigned = with_global_offset(
+        assigned, "_mid", F.lit(1), out_col="_dense"
+    )
+    new_ident = dict(ident)
+    for col in ident:
+        assigned = assigned.withColumn(
+            col, (F.lit(int(ident[col])) + F.col("_dense")).cast("long")
+        )
+    assigned = assigned.drop("_mid", "_dense")
+    n = assigned.count()
+    for col in ident:
+        new_ident[col] = int(ident[col]) + n
+    merged = _merge_schema_json(
+        resolve_schema(table_dir, parent), assigned.schema
+    )
+    _enforce_constraints(
+        assigned, resolve_constraints(table_dir, parent)
+    )
+    mapping = resolve_mapping(table_dir, parent)
+    upd = _assign_physical(
+        mapping, [f["name"] for f in json.loads(merged)["fields"]]
+    )
+    names = _move_in_data_files(
+        spark, table_dir, assigned, stat_cols, partition_cols,
+        mapping=upd or mapping,
+    )
+    return _commit_delta(
+        table_dir,
+        parent,
+        names,
+        [],
+        "append_identity",
+        stat_cols,
+        partition_cols,
+        schema_json=merged,
+        column_mapping=upd,
+        identity=new_ident,
+    )
+
+
 def resolve_mapping(
     table_dir: str, version: int | None = None
 ) -> dict:
@@ -2605,6 +2741,8 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
                 f"constraint {cname!r} references {old!r}; drop it "
                 "before renaming"
             )
+    if old in resolve_identity(table_dir, parent):
+        raise ValueError(f"{old!r} is an identity column")
     mapping = resolve_mapping(table_dir, parent)
     phys = _physical_name(mapping, old)
     mapping["map"].pop(old, None)
@@ -2658,6 +2796,8 @@ def drop_column(table_dir: str, col: str) -> int:
                 f"constraint {cname!r} references {col!r}; drop it "
                 "before dropping the column"
             )
+    if col in resolve_identity(table_dir, parent):
+        raise ValueError(f"{col!r} is an identity column")
     mapping = resolve_mapping(table_dir, parent)
     phys = _physical_name(mapping, col)
     mapping["map"].pop(col, None)
@@ -2871,6 +3011,7 @@ def truncate_history(table_dir: str, keep_versions: int) -> dict:
         or "txns" not in m
         or "constraints" not in m
         or "column_mapping" not in m
+        or "identity" not in m
     ):
         m["files"] = resolve_files(table_dir, horizon)
         # idempotence watermarks survive retention (a stream replaying
@@ -2882,8 +3023,10 @@ def truncate_history(table_dir: str, keep_versions: int) -> dict:
         # later writes would go unenforced
         m["constraints"] = resolve_constraints(table_dir, horizon)
         # ... and so does the column mapping (renamed/dropped columns
-        # would silently rebind to raw physical names)
+        # would silently rebind to raw physical names) and the
+        # identity watermark (ids must never restart after retention)
         m["column_mapping"] = resolve_mapping(table_dir, horizon)
+        m["identity"] = resolve_identity(table_dir, horizon)
         m["parent"] = None  # self-contained: no ancestor walk
         path = _manifest_path(table_dir, horizon)
         tmp = path + ".trunc_tmp"

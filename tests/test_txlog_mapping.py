@@ -266,3 +266,116 @@ def test_clone_carries_the_mapping(spark, tmp_path):
     )
     assert snapshot(spark, c).count() == 16
     assert snapshot(spark, t).count() == 15  # source untouched
+
+
+# ---------------- IDENTITY columns ----------------
+
+
+def test_identity_dense_monotone_and_generated_always(spark, tmp_path):
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        append_identity,
+        enable_identity,
+        resolve_identity,
+    )
+
+    t = str(tmp_path / "idt")
+    init_table(spark, t, _seed(spark, 10).coalesce(1))
+    enable_identity(t, "rid", start=100)
+    append_identity(spark, t, _seed(spark, 5, offset=200).repartition(3))
+    append_identity(spark, t, _seed(spark, 7, offset=300).repartition(2))
+    assert resolve_identity(t) == {"rid": 112}
+    snap = snapshot(spark, t)
+    ids = sorted(
+        r["rid"] for r in snap.where("rid IS NOT NULL").collect()
+    )
+    assert ids == list(range(100, 112))  # dense, collision-free
+    # pre-identity rows NULL-fill (schema evolved at first assign)
+    assert snap.where("rid IS NULL").count() == 10
+    # GENERATED ALWAYS: writes must not supply the column
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        append_identity(
+            spark,
+            t,
+            _seed(spark, 2).withColumn("rid", F.lit(1).cast("long")),
+        )
+    with pytest.raises(ValueError, match="already exists"):
+        enable_identity(t, "doc_id")
+    with pytest.raises(ValueError, match="identity column"):
+        rename_column(t, "rid", "rid2")
+    with pytest.raises(ValueError, match="identity column"):
+        drop_column(t, "rid")
+
+
+def test_identity_never_reuses_across_restore_and_truncate(
+    spark, tmp_path
+):
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        append_identity,
+        enable_identity,
+        resolve_identity,
+    )
+
+    t = str(tmp_path / "idr")
+    init_table(spark, t, _seed(spark, 4).coalesce(1))
+    enable_identity(t, "rid")
+    v_pre = current_version(t)
+    append_identity(spark, t, _seed(spark, 6, offset=50).coalesce(1))
+    restore(spark, t, v_pre)  # rolls the ROWS back...
+    assert snapshot(spark, t).count() == 4
+    append_identity(spark, t, _seed(spark, 3, offset=80).coalesce(1))
+    # ...but never the WATERMARK: the post-restore batch continues
+    ids = sorted(
+        r["rid"]
+        for r in snapshot(spark, t).where("rid IS NOT NULL").collect()
+    )
+    assert ids == [6, 7, 8], f"ids reused after restore: {ids}"
+    for i in range(5):
+        append(spark, t, _seed(spark, 2, offset=900 + i * 10))
+    truncate_history(t, keep_versions=2)
+    assert resolve_identity(t) == {"rid": 9}
+    append_identity(spark, t, _seed(spark, 2, offset=990).coalesce(1))
+    ids2 = sorted(
+        r["rid"]
+        for r in snapshot(spark, t).where("rid IS NOT NULL").collect()
+    )
+    assert ids2 == [6, 7, 8, 9, 10]
+
+
+def test_identity_conflict_loser_reassigns(spark, tmp_path):
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        append_identity,
+        enable_identity,
+        vacuum,
+    )
+
+    t = str(tmp_path / "idc")
+    init_table(spark, t, _seed(spark, 4).coalesce(1))
+    enable_identity(t, "rid")
+
+    class LoseOnce(tx.PosixLogStore):
+        def __init__(self):
+            self.lose = 1
+
+        def claim(self, tmp_path, final_path):
+            if self.lose > 0:
+                self.lose -= 1
+                return False
+            return super().claim(tmp_path, final_path)
+
+    tx.set_log_store(LoseOnce())
+    try:
+        with pytest.raises(tx.TxConflict):
+            append_identity(
+                spark, t, _seed(spark, 3, offset=40).coalesce(1)
+            )
+        # retry reassigns from the (unchanged) watermark and lands
+        append_identity(spark, t, _seed(spark, 3, offset=40).coalesce(1))
+    finally:
+        tx.set_log_store(tx.PosixLogStore())
+    ids = sorted(
+        r["rid"]
+        for r in snapshot(spark, t).where("rid IS NOT NULL").collect()
+    )
+    assert ids == [0, 1, 2]
+    assert vacuum(t, min_age_seconds=0)  # the loser's files reclaim
+    assert snapshot(spark, t).count() == 7
