@@ -766,20 +766,38 @@ def history(table_dir: str) -> list[dict]:
     return out
 
 
-def append(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
+def append(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    max_rebase: int = 20,
+) -> int:
     """Transactional append: new files land, then one commit adds them.
     Stats tracking (stat_cols) is inherited from the parent manifest.
     ADD-COLUMN schema evolution is free: an append with new columns
     widens the recorded schema (union, new fields nullable — type
     conflicts raise), and snapshots of earlier versions keep their
     narrower schema. Appends MISSING recorded columns are also fine —
-    readers fill them with NULL from the metadata schema."""
+    readers fill them with NULL from the metadata schema.
+
+    LOCK-FREE under concurrency: a lost claim race auto-REBASES
+    instead of surfacing TxConflict — an append commutes with any
+    concurrent commit's DATA (its files are already on disk and stay
+    valid), so the retry re-derives only the metadata legs against
+    the fresh head: the schema re-merges (a genuinely conflicting
+    concurrent type change still raises), a CHANGED constraint set
+    re-enforces (so an append racing ``add_constraint`` cannot
+    slip a violating batch in), and a concurrent RENAME/DROP
+    (column-mapping change) falls back to :class:`TxConflict`
+    because the staged files carry the old physical names. This is
+    Delta's conflict-resolution logic specialized to blind appends."""
     parent = current_version(table_dir)
     m = read_manifest(table_dir, parent)
     stat_cols = m.get("stat_cols") or None
     partition_cols = m.get("partition_cols") or None
     merged = _merge_schema_json(resolve_schema(table_dir, parent), df.schema)
-    _enforce_constraints(df, resolve_constraints(table_dir, parent))
+    cons = resolve_constraints(table_dir, parent)
+    _enforce_constraints(df, cons)
     # a NEW column whose name collides with a retired physical name
     # gets a fresh physical assignment — dropped values never
     # resurrect under a re-added column
@@ -791,10 +809,45 @@ def append(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
         spark, table_dir, df, stat_cols, partition_cols,
         mapping=upd or mapping,
     )
-    return _commit_delta(
-        table_dir, parent, names, [], "append", stat_cols, partition_cols,
-        schema_json=merged,
-        column_mapping=upd,
+    for _ in range(max_rebase):
+        try:
+            return _commit_delta(
+                table_dir, parent, names, [], "append", stat_cols,
+                partition_cols,
+                schema_json=merged,
+                column_mapping=upd,
+            )
+        except TxConflict:
+            new_parent = current_version(table_dir)
+            nm = read_manifest(table_dir, new_parent)
+            # SPURIOUS loss (object-store timeout shape: the claim
+            # landed but reported failure): the head IS our commit —
+            # uuid file names make the match exact. Return it rather
+            # than re-adding the same entries (which would be
+            # row-idempotent via the name-keyed entry map, but would
+            # double-report the range in the change feed).
+            if nm.get("op") == "append" and sorted(
+                _entry_name(e) for e in nm.get("adds", [])
+            ) == sorted(_entry_name(e) for e in names):
+                return new_parent
+            if (
+                (nm.get("stat_cols") or None) != stat_cols
+                or (nm.get("partition_cols") or None) != partition_cols
+            ):
+                raise
+            if resolve_mapping(table_dir, new_parent) != (upd or mapping):
+                raise  # physical layout moved under the staged files
+            merged = _merge_schema_json(
+                resolve_schema(table_dir, new_parent), df.schema
+            )
+            new_cons = resolve_constraints(table_dir, new_parent)
+            if new_cons != cons:
+                _enforce_constraints(df, new_cons)
+                cons = new_cons
+            parent = new_parent
+    raise TxConflict(
+        f"append lost {max_rebase} consecutive claim races on "
+        f"{table_dir}"
     )
 
 

@@ -262,9 +262,10 @@ def test_delta_chain_crosses_checkpoint(spark, tmp_path):
 
 def test_log_store_seam_conflict_injection(spark, tmp_path):
     """The commit substrate is injectable (object-store CAS seam): a
-    store that loses its first N claims surfaces TxConflict exactly
-    like a real race, and the streaming sink's retry loop rides over
-    it (its data files commit once despite the injected losses)."""
+    store that loses its first N claims surfaces lost races exactly
+    like real ones. Appends auto-rebase over them (round 6 — the
+    caller never sees TxConflict and the SAME staged files commit
+    once, no orphans); a raw _commit still raises."""
     from etl_sentinel_imagery_spark.operators import txlog as tx
 
     class FlakyStore(tx.PosixLogStore):
@@ -281,17 +282,17 @@ def test_log_store_seam_conflict_injection(spark, tmp_path):
     init_table(spark, t, _seed(spark, 10))
     tx.set_log_store(FlakyStore(lose_first=1))
     try:
-        with pytest.raises(TxConflict):
-            append(spark, t, _seed(spark, 5, offset=100))
-        # the lost claim left an orphan data file but NO manifest —
-        # the table is untouched and a retry lands cleanly
-        assert snapshot(spark, t).count() == 10
-        append(spark, t, _seed(spark, 5, offset=100))
+        v = append(spark, t, _seed(spark, 5, offset=100))
+        assert v == 1  # rode over the injected loss, one commit
         assert snapshot(spark, t).count() == 15
+        # the raw claim path still surfaces conflicts
+        tx.set_log_store(FlakyStore(lose_first=1))
+        with pytest.raises(TxConflict):
+            _commit(t, current_version(t), resolve_files(t), "raw")
     finally:
         tx.set_log_store(tx.PosixLogStore())
-    # orphans from the lost claim vacuum away; live data survives
-    vacuum(t, min_age_seconds=0)
+    # no orphans: the rebase committed the SAME staged files
+    assert vacuum(t, min_age_seconds=0) == []
     assert snapshot(spark, t).count() == 15
 
 

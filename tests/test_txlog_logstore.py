@@ -100,14 +100,13 @@ def test_claim_then_crash_is_recoverable(spark, tmp_path):
             )
         # the claimed manifest is not yet on disk — readers see v0
         assert tx.current_version(t) == 0
-        # next commit: claim recovers v1 from the CAS record, then
-        # conflicts (v1 is taken); the retry lands at v2
+        # next commit: claim recovers v1 from the CAS record, loses
+        # that slot, and REBASES over it (lock-free appends, round 6)
+        # — the crashed commit surfaces and the fresh one lands at v2
+        # in one call, no conflict reaching the caller
         fresh = spark.range(200, 203).select(
             F.col("id").alias("doc_id"), F.lit("z").alias("body")
         )
-        with pytest.raises(tx.TxConflict):
-            tx.append(spark, t, fresh)
-        assert tx.current_version(t) == 1  # the crashed commit surfaced
         v = tx.append(spark, t, fresh)
         assert v == 2
         snap = tx.snapshot(spark, t)

@@ -379,3 +379,101 @@ def test_identity_conflict_loser_reassigns(spark, tmp_path):
     assert ids == [0, 1, 2]
     assert vacuum(t, min_age_seconds=0)  # the loser's files reclaim
     assert snapshot(spark, t).count() == 7
+
+
+# ---------------- lock-free appends (auto-rebase) ----------------
+
+
+class _InterleaveOnce(tx.PosixLogStore):
+    """On the FIRST claim, run an interleaved commit (which takes the
+    claimed version slot for real) and report the original claim as
+    lost — a deterministic single-thread reproduction of a race."""
+
+    def __init__(self, interleave):
+        self.fired = False
+        self.interleave = interleave
+
+    def claim(self, tmp_path, final_path):
+        if not self.fired:
+            self.fired = True
+            self.interleave()  # recursion lands via the fired branch
+            return False
+        return super().claim(tmp_path, final_path)
+
+
+def test_append_rebases_over_concurrent_commits(spark, tmp_path):
+    """A lost claim race auto-rebases: the caller never sees
+    TxConflict, both commits land, no files rewrite."""
+    t = str(tmp_path / "lf")
+    init_table(spark, t, _seed(spark, 10).coalesce(1))
+
+    tx.set_log_store(
+        _InterleaveOnce(
+            lambda: append(
+                spark, t, _seed(spark, 5, offset=100).coalesce(1)
+            )
+        )
+    )
+    try:
+        v = append(spark, t, _seed(spark, 3, offset=200).coalesce(1))
+    finally:
+        tx.set_log_store(tx.PosixLogStore())
+    assert v == 2  # rebased onto the interleaved commit
+    assert snapshot(spark, t).count() == 18
+    ops = [h["op"] for h in tx.history(t)]
+    assert ops == ["init", "append", "append"]
+
+
+def test_append_rebase_reenforces_new_constraints(spark, tmp_path):
+    """An append racing add_constraint must re-check the batch against
+    the NEW constraint set — a violating batch raises instead of
+    slipping in behind the constraint commit."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        ConstraintViolation,
+    )
+
+    t = str(tmp_path / "lfc")
+    init_table(spark, t, _seed(spark, 10).coalesce(1))
+
+    tx.set_log_store(
+        _InterleaveOnce(
+            lambda: add_constraint(
+                spark, t, "grp_small", "grp BETWEEN 0 AND 6"
+            )
+        )
+    )
+    bad = spark.createDataFrame(
+        [(999, 99, "oob")], ["doc_id", "grp", "body"]
+    )
+    try:
+        with pytest.raises(ConstraintViolation, match="grp_small"):
+            append(spark, t, bad)
+    finally:
+        tx.set_log_store(tx.PosixLogStore())
+    assert snapshot(spark, t).count() == 10  # nothing slipped in
+
+
+def test_append_rebase_refuses_concurrent_rename(spark, tmp_path):
+    """A concurrent RENAME changes the physical layout the staged
+    files were written under — the rebase must surface TxConflict, not
+    commit files whose physical names no longer match the mapping."""
+    t = str(tmp_path / "lfr")
+    init_table(spark, t, _seed(spark, 10).coalesce(1))
+
+    tx.set_log_store(
+        _InterleaveOnce(lambda: rename_column(t, "body", "text"))
+    )
+    try:
+        with pytest.raises(tx.TxConflict):
+            append(spark, t, _seed(spark, 3, offset=50).coalesce(1))
+    finally:
+        tx.set_log_store(tx.PosixLogStore())
+    # retry under the new schema lands
+    append(
+        spark,
+        t,
+        _seed(spark, 3, offset=50)
+        .withColumnRenamed("body", "text")
+        .coalesce(1),
+    )
+    assert snapshot(spark, t).count() == 13
