@@ -1425,6 +1425,248 @@ def merge_upsert(
     )
 
 
+def merge(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key_col: str,
+    when_matched: list | None = None,
+    when_not_matched: list | None = None,
+    candidate_names: list[str] | None = None,
+) -> int:
+    """Full ``MERGE INTO`` with Delta's clause grammar, one commit:
+
+    - ``when_matched`` — ordered clause list, FIRST hit wins per
+      matched row; matched rows hitting no clause stay untouched:
+
+      - ``("update_all", cond)`` — replace the row with the source row
+        (the upsert form);
+      - ``("update", cond, {col: expr})`` — the TARGET row with the
+        listed columns overwritten; expressions (SQL strings or
+        Columns) may reference both sides as ``t.<col>`` / ``s.<col>``;
+      - ``("delete", cond)`` — drop the matched row.
+
+      ``cond`` is a SQL string over ``t.*`` / ``s.*`` (None = always).
+    - ``when_not_matched`` — ``[("insert", cond)]`` with ``cond`` over
+      ``s.*`` (None = always; pass ``[]`` for a match-only merge).
+
+    Defaults reproduce :func:`merge_upsert` (update_all + insert) —
+    keep using that fast path when you don't need clauses: it skips
+    this form's target⋈source inner join. Mechanics are shared:
+    merge-on-read (matched pre-images DV-delete; images and inserts
+    write as new files), ONE manifest claim, key-unique source
+    enforced, probe pruning via the stats/Bloom ladder — whose
+    EXACTNESS is what makes not-matched detection sound (a skipped
+    file provably holds no source key, so anti-joining the probed
+    rows equals anti-joining the table). CHECK constraints enforce on
+    every written image; the change feed shows the standard
+    delete+insert pairs in one version."""
+    from pyspark.sql.types import StructType
+
+    source = source.localCheckpoint()
+    src_stats = source.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(key_col).alias("nk"),
+        F.min(key_col).alias("lo"),
+        F.max(key_col).alias("hi"),
+    ).collect()[0]
+    if src_stats["nk"] != src_stats["n"]:
+        raise ValueError(
+            f"merge source is not key-unique on {key_col!r}"
+        )
+    when_matched = (
+        [("update_all", None)] if when_matched is None else when_matched
+    )
+    when_not_matched = (
+        [("insert", None)]
+        if when_not_matched is None
+        else when_not_matched
+    )
+    for cl in when_matched:
+        if cl[0] not in ("update_all", "update", "delete"):
+            raise ValueError(f"unknown matched clause {cl[0]!r}")
+    if len(when_not_matched) > 1 or any(
+        cl[0] != "insert" for cl in when_not_matched
+    ):
+        raise ValueError("when_not_matched supports [('insert', cond)]")
+
+    parent = current_version(table_dir)
+    m = read_manifest(table_dir, parent)
+    stat_cols = m.get("stat_cols") or None
+    partition_cols = m.get("partition_cols") or None
+    target_sj = resolve_schema(table_dir, parent)
+    evolves = when_not_matched or any(
+        cl[0] == "update_all" for cl in when_matched
+    )
+    merged_sj = (
+        _merge_schema_json(target_sj, source.schema)
+        if evolves
+        else target_sj
+    ) or source.schema.json()
+    out_fields = StructType.fromJson(json.loads(merged_sj)).fields
+    target_cols = (
+        [f["name"] for f in json.loads(target_sj)["fields"]]
+        if target_sj
+        else []
+    )
+    entries = resolve_files(table_dir, parent)
+    by_name = {_entry_name(e): e for e in entries}
+    if candidate_names is not None:
+        probe = [by_name[n] for n in candidate_names]
+    else:
+        probe = _probe_candidates(
+            spark, table_dir, m, entries, by_name, key_col,
+            src_stats["lo"], src_stats["hi"],
+            keys=source.select(key_col),
+            phys_key=resolve_mapping(table_dir, parent)["map"].get(
+                key_col
+            ),
+        )
+
+    def img_col(f, build):
+        """One merged-schema output column from a builder that may
+        return None (→ typed NULL)."""
+        c = build(f.name)
+        return (
+            c.alias(f.name)
+            if c is not None
+            else F.lit(None).cast(f.dataType).alias(f.name)
+        )
+
+    images = []
+    removes: list[str] = []
+    dv_adds: list = []
+    matched_keys = None
+    if probe:
+        live = _read_entries(
+            spark, table_dir, probe, parent, keep_pos=True
+        )
+        joined = live.alias("t").join(
+            source.alias("s"),
+            F.col(f"t.{key_col}") == F.col(f"s.{key_col}"),
+            "inner",
+        )
+        clause = F.lit(0)
+        for i, cl in reversed(list(enumerate(when_matched, start=1))):
+            cond = (
+                F.expr(cl[1]) if isinstance(cl[1], str) else cl[1]
+            ) if cl[1] is not None else F.lit(True)
+            clause = F.when(
+                F.coalesce(cond, F.lit(False)), F.lit(i)
+            ).otherwise(clause)
+        tagged = joined.withColumn("_clause", clause).localCheckpoint()
+        matched_keys = tagged.select(
+            F.col(f"t.{key_col}").alias(key_col)
+        ).distinct()
+        hits = tagged.filter(F.col("_clause") > 0).select(
+            F.col("t._file_name").alias("file_name"),
+            F.col("t._row_pos").alias("pos"),
+        )
+        sidecar, per_file = _write_dv_sidecar(spark, table_dir, hits)
+        if sidecar is not None:
+            removes, dv_adds = _dv_repoint(
+                table_dir, by_name, per_file, sidecar
+            )
+        for i, cl in enumerate(when_matched, start=1):
+            if cl[0] == "delete":
+                continue
+            rows_i = tagged.filter(F.col("_clause") == i)
+            if cl[0] == "update_all":
+                images.append(
+                    rows_i.select(
+                        *[
+                            img_col(
+                                f,
+                                lambda n: F.col(f"s.{n}")
+                                if n in source.columns
+                                else None,
+                            )
+                            for f in out_fields
+                        ]
+                    )
+                )
+            else:
+                sets = cl[2]
+                unknown = set(sets) - {f.name for f in out_fields}
+                if unknown:
+                    raise ValueError(
+                        f"UPDATE SET of unknown columns {sorted(unknown)}"
+                    )
+
+                def build(n, sets=sets):
+                    if n in sets:
+                        e = sets[n]
+                        return F.expr(e) if isinstance(e, str) else e
+                    if n in target_cols:
+                        return F.col(f"t.{n}")
+                    return None
+
+                images.append(
+                    rows_i.select(
+                        *[img_col(f, build) for f in out_fields]
+                    )
+                )
+    if when_not_matched:
+        new_rows = source.alias("s")
+        if matched_keys is not None:
+            new_rows = new_rows.join(
+                matched_keys, key_col, "left_anti"
+            ).alias("s")
+        cond = when_not_matched[0][1]
+        if cond is not None:
+            c = F.expr(cond) if isinstance(cond, str) else cond
+            new_rows = new_rows.filter(F.coalesce(c, F.lit(False)))
+        images.append(
+            new_rows.select(
+                *[
+                    img_col(
+                        f,
+                        lambda n: F.col(f"s.{n}")
+                        if n in source.columns
+                        else None,
+                    )
+                    for f in out_fields
+                ]
+            )
+        )
+    if not images and not removes:
+        return parent
+    mapping = resolve_mapping(table_dir, parent)
+    upd = _assign_physical(mapping, [f.name for f in out_fields])
+    new_names: list = []
+    if images:
+        out = images[0]
+        for d in images[1:]:
+            out = out.unionByName(d)
+        _enforce_constraints(
+            out, resolve_constraints(table_dir, parent)
+        )
+        new_names = _move_in_data_files(
+            spark, table_dir, out, stat_cols, partition_cols,
+            mapping=upd or mapping,
+        )
+        # conditioned clauses can legitimately produce zero rows;
+        # don't let the writer's schema-only empty part file into the
+        # manifest (and don't commit at all if NOTHING changed)
+        empty = [e for e in new_names if not e["rows"]]
+        new_names = [e for e in new_names if e["rows"]]
+        for e in empty:
+            os.remove(os.path.join(table_dir, e["name"]))
+    if not new_names and not removes and not dv_adds:
+        return parent  # every clause filtered to nothing: no-op
+    return _commit_delta(
+        table_dir,
+        parent,
+        dv_adds + new_names,
+        removes,
+        "merge",
+        stat_cols,
+        partition_cols,
+        schema_json=merged_sj,
+        column_mapping=upd,
+    )
+
+
 def compact_dvs(
     spark: SparkSession, table_dir: str, max_chain: int = 4
 ) -> int:
