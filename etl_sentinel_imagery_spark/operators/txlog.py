@@ -416,6 +416,7 @@ def _commit_delta(
     txn: tuple[str, int] | None = None,
     column_mapping: dict | None = None,
     identity: dict | None = None,
+    row_tracking: dict | None = None,
 ) -> int:
     """Delta commit of parent+1: the manifest records only what changed.
     Every CHECKPOINT_EVERY-th version also embeds the resolved full
@@ -442,6 +443,36 @@ def _commit_delta(
         body["column_mapping"] = column_mapping
     if identity is not None:
         body["identity"] = identity
+    # ROW TRACKING: stamp each new data-file entry's base_rid from the
+    # watermark INSIDE the claim body (atomic with the commit — a lost
+    # claim race discards these copies, and the retry/rebase re-reads
+    # the winner's advanced watermark, so ids never collide). Entries
+    # already carrying base_rid (DV repoints, restores) or a
+    # materialized `rid` column keep theirs.
+    rt = (
+        row_tracking
+        if row_tracking is not None
+        else resolve_row_tracking(table_dir, parent)
+    )
+    if rt:
+        wm = int(rt["watermark"])
+        stamped = []
+        for e in body["adds"]:
+            if (
+                isinstance(e, dict)
+                and "base_rid" not in e
+                and not e.get("rid")
+            ):
+                e = dict(e)
+                e["base_rid"] = wm
+                wm += int(
+                    e["rows"]
+                    if "rows" in e
+                    else _entry_rows(table_dir, e)
+                )
+            stamped.append(e)
+        body["adds"] = stamped
+        body["row_tracking"] = {**rt, "watermark": wm}
     if txn is not None:
         body["txn"] = {"app": txn[0], "version": int(txn[1])}
     if CHECKPOINT_EVERY and version % CHECKPOINT_EVERY == 0:
@@ -795,6 +826,15 @@ def append(
     m = read_manifest(table_dir, parent)
     stat_cols = m.get("stat_cols") or None
     partition_cols = m.get("partition_cols") or None
+    if "_row_id" in df.columns and resolve_row_tracking(
+        table_dir, parent
+    ):
+        # a physical _row_id column in an appended file would shadow
+        # the engine's materialized-id read path with user values
+        raise ValueError(
+            "_row_id is engine-owned under row tracking; appends "
+            "must not supply it"
+        )
     merged = _merge_schema_json(resolve_schema(table_dir, parent), df.schema)
     cons = resolve_constraints(table_dir, parent)
     _enforce_constraints(df, cons)
@@ -985,9 +1025,12 @@ def delete_rows(
         name = _entry_name(e)
         leaf = "" if os.path.isabs(name) else os.path.dirname(name)
         leaves.setdefault(leaf, []).append(e)
+    rt = resolve_row_tracking(table_dir, parent)
     new_names: list = []
     for leaf in sorted(leaves):
-        leaf_df = _read_entries(spark, table_dir, leaves[leaf], parent)
+        leaf_df = _read_entries(
+            spark, table_dir, leaves[leaf], parent, keep_rid=bool(rt)
+        )
         # NULL keys always survive (matching ~coalesce(isin) and
         # anti-join semantics alike)
         kept = (
@@ -1001,9 +1044,13 @@ def delete_rows(
             # partition values stay encoded in the leaf path the
             # rewrite lands in — they are not data columns on disk
             kept = kept.drop(*partition_cols)
-        new_names += _move_in_data_files(
+        written = _move_in_data_files(
             spark, table_dir, kept, stat_cols, dest_subdir=leaf
         )
+        if rt:
+            for e in written:
+                e["rid"] = True
+        new_names += written
     return _commit_delta(
         table_dir, parent, new_names, removes, "delete", stat_cols,
         partition_cols,
@@ -1260,8 +1307,12 @@ def update_rows(
     if not entries:
         return parent
     by_name = {_entry_name(e): e for e in entries}
+    rt = resolve_row_tracking(table_dir, parent)
     pred = F.expr(condition) if isinstance(condition, str) else condition
-    live = _read_entries(spark, table_dir, entries, parent, keep_pos=True)
+    live = _read_entries(
+        spark, table_dir, entries, parent, keep_pos=True,
+        keep_rid=bool(rt),
+    )
     sj = resolve_schema(table_dir, parent)
     if sj:
         schema_cols = [f["name"] for f in json.loads(sj)["fields"]]
@@ -1290,7 +1341,12 @@ def update_rows(
             return F.col(c)
         return (F.expr(e) if isinstance(e, str) else e).alias(c)
 
-    updated = matched.select(*[_set(c) for c in schema_cols])
+    updated = matched.select(
+        *[_set(c) for c in schema_cols],
+        # row tracking: an UPDATE is the same logical row — its id
+        # materializes into the image file
+        *([F.col("_row_id")] if rt else []),
+    )
     _enforce_constraints(
         updated, resolve_constraints(table_dir, parent)
     )
@@ -1298,6 +1354,9 @@ def update_rows(
     new_names = _move_in_data_files(
         spark, table_dir, updated, stat_cols, partition_cols
     )
+    if rt:
+        for e in new_names:
+            e["rid"] = True
     return _commit_delta(
         table_dir, parent, dv_adds + new_names, removes, "update",
         stat_cols, partition_cols,
@@ -1359,6 +1418,13 @@ def merge_upsert(
             f"{src_stats['n']} rows, {src_stats['nk']} distinct keys"
         )
     parent = current_version(table_dir)
+    if "_row_id" in source.columns and resolve_row_tracking(
+        table_dir, parent
+    ):
+        raise ValueError(
+            "_row_id is engine-owned under row tracking; the merge "
+            "source must not supply it"
+        )
     m = read_manifest(table_dir, parent)
     stat_cols = m.get("stat_cols") or None
     partition_cols = m.get("partition_cols") or None
@@ -1494,6 +1560,13 @@ def merge(
     m = read_manifest(table_dir, parent)
     stat_cols = m.get("stat_cols") or None
     partition_cols = m.get("partition_cols") or None
+    rt = resolve_row_tracking(table_dir, parent)
+    if rt and "_row_id" in source.columns:
+        raise ValueError(
+            "_row_id is engine-owned under row tracking; the merge "
+            "source must not supply it"
+        )
+    rid_wm = int(rt["watermark"]) if rt else 0
     target_sj = resolve_schema(table_dir, parent)
     evolves = when_not_matched or any(
         cl[0] == "update_all" for cl in when_matched
@@ -1537,9 +1610,15 @@ def merge(
     removes: list[str] = []
     dv_adds: list = []
     matched_keys = None
+    # row tracking: updated images carry the TARGET row's id (an
+    # update is the same logical row); inserts draw fresh ids below
+    rid_keep = (
+        [F.col("t._row_id").alias("_row_id")] if rt else []
+    )
     if probe:
         live = _read_entries(
-            spark, table_dir, probe, parent, keep_pos=True
+            spark, table_dir, probe, parent, keep_pos=True,
+            keep_rid=bool(rt),
         )
         joined = live.alias("t").join(
             source.alias("s"),
@@ -1582,7 +1661,8 @@ def merge(
                                 else None,
                             )
                             for f in out_fields
-                        ]
+                        ],
+                        *rid_keep,
                     )
                 )
             else:
@@ -1603,7 +1683,8 @@ def merge(
 
                 images.append(
                     rows_i.select(
-                        *[img_col(f, build) for f in out_fields]
+                        *[img_col(f, build) for f in out_fields],
+                        *rid_keep,
                     )
                 )
     if when_not_matched:
@@ -1616,6 +1697,24 @@ def merge(
         if cond is not None:
             c = F.expr(cond) if isinstance(cond, str) else cond
             new_rows = new_rows.filter(F.coalesce(c, F.lit(False)))
+        rid_fresh = []
+        if rt:
+            from etl_sentinel_imagery_spark.operators.packing import (
+                with_global_offset,
+            )
+
+            new_rows = new_rows.withColumn(
+                "_mid", F.monotonically_increasing_id()
+            )
+            new_rows = with_global_offset(
+                new_rows, "_mid", F.lit(1), out_col="_dense"
+            ).alias("s")
+            rid_fresh = [
+                (F.lit(rid_wm) + F.col("_dense"))
+                .cast("long")
+                .alias("_row_id")
+            ]
+            rid_wm += new_rows.count()
         images.append(
             new_rows.select(
                 *[
@@ -1626,7 +1725,8 @@ def merge(
                         else None,
                     )
                     for f in out_fields
-                ]
+                ],
+                *rid_fresh,
             )
         )
     if not images and not removes:
@@ -1652,6 +1752,9 @@ def merge(
         new_names = [e for e in new_names if e["rows"]]
         for e in empty:
             os.remove(os.path.join(table_dir, e["name"]))
+        if rt:
+            for e in new_names:
+                e["rid"] = True
     if not new_names and not removes and not dv_adds:
         return parent  # every clause filtered to nothing: no-op
     return _commit_delta(
@@ -1664,6 +1767,7 @@ def merge(
         partition_cols,
         schema_json=merged_sj,
         column_mapping=upd,
+        row_tracking={"watermark": rid_wm} if rt else None,
     )
 
 
@@ -1842,6 +1946,9 @@ def clone_table(table_dir: str, dest_dir: str) -> int:
             # the clone reads the SOURCE's physical files under the
             # source's logical schema — its mapping must ride along
             "column_mapping": resolve_mapping(src),
+            # and the row-id watermark (cloned entries keep their
+            # base_rids; a clone-local append must not reuse them)
+            "row_tracking": resolve_row_tracking(src),
         },
         indent=0,
     )
@@ -2137,12 +2244,22 @@ def compact(
     m = read_manifest(table_dir, parent)
     stat_cols = m.get("stat_cols") or None
     partition_cols = m.get("partition_cols") or None
-    old_names = [_entry_name(e) for e in resolve_files(table_dir, parent)]
-    df = snapshot(spark, table_dir, parent)
+    rt = resolve_row_tracking(table_dir, parent)
+    entries = resolve_files(table_dir, parent)
+    old_names = [_entry_name(e) for e in entries]
+    if rt and entries:
+        # row tracking: the rewrite reorders rows, so ids MATERIALIZE
+        # into the new files (the only time they cost bytes)
+        df = _read_entries(spark, table_dir, entries, parent, keep_rid=True)
+    else:
+        df = snapshot(spark, table_dir, parent)
     names = _move_in_data_files(
         spark, table_dir, df.coalesce(target_files), stat_cols,
         partition_cols,
     )
+    if rt:
+        for e in names:
+            e["rid"] = True
     return _commit_delta(
         table_dir, parent, names, old_names, "compact", stat_cols,
         partition_cols,
@@ -2203,8 +2320,11 @@ def optimize(
         ]
     if not entries:
         return parent
+    rt = resolve_row_tracking(table_dir, parent)
     old_names = [_entry_name(e) for e in entries]
-    df = _read_entries(spark, table_dir, entries, parent)
+    df = _read_entries(
+        spark, table_dir, entries, parent, keep_rid=bool(rt)
+    )
     if zorder_by:
         from etl_sentinel_imagery_spark.operators.layout import (
             DEFAULT_BITS,
@@ -2219,6 +2339,9 @@ def optimize(
     names = _move_in_data_files(
         spark, table_dir, out, stat_cols, partition_cols
     )
+    if rt:
+        for e in names:
+            e["rid"] = True
     return _commit_delta(
         table_dir, parent, names, old_names, "optimize", stat_cols,
         partition_cols,
@@ -2267,6 +2390,7 @@ def optimize_small_files(
                     f"(partition_cols={partition_cols})"
                 )
     segs = {f"{c}={v}" for c, v in (partition or {}).items()}
+    rt = resolve_row_tracking(table_dir, parent)
     entries = resolve_files(table_dir, parent)
     leaves: dict[str, list] = {}
     considered = 0
@@ -2291,16 +2415,22 @@ def optimize_small_files(
             1,
             -(-sum(_entry_bytes(table_dir, e) for e in es) // target_bytes),
         )
-        packed = _read_entries(spark, table_dir, es, parent)
+        packed = _read_entries(
+            spark, table_dir, es, parent, keep_rid=bool(rt)
+        )
         if partition_cols:
             packed = packed.drop(*partition_cols)
-        new_names += _move_in_data_files(
+        written = _move_in_data_files(
             spark,
             table_dir,
             packed.coalesce(n_out),
             stat_cols,
             dest_subdir=leaf,
         )
+        if rt:
+            for e in written:
+                e["rid"] = True
+        new_names += written
         removes += [_entry_name(e) for e in es]
     stats = {
         "files_considered": considered,
@@ -2599,6 +2729,7 @@ def _read_entries(
     entries: list,
     version: int,
     keep_pos: bool = False,
+    keep_rid: bool = False,
 ) -> DataFrame | None:
     """Read specific file entries under ``version``'s read contract —
     the same basePath / metadata-schema rules as :func:`snapshot` (so
@@ -2610,13 +2741,22 @@ def _read_entries(
     ``keep_pos=True`` keeps ``_file_name`` / ``_row_pos`` columns (the
     DV writer's probe needs them); otherwise the output schema is
     exactly the table schema. DV-free reads take the fast path with
-    zero added plan nodes."""
+    zero added plan nodes.
+
+    ``keep_rid=True`` adds the stable ``_row_id`` (row tracking):
+    the explicit read schema gains a physical ``_row_id`` long —
+    files materialized by rewrites supply it, every other file
+    NULL-fills — and the final id is
+    ``coalesce(materialized, entry base_rid + _metadata.row_index)``
+    with the per-entry base map broadcast-joined on file identity."""
     if not entries:
         return None
     reader = spark.read
     if read_manifest(table_dir, version).get("partition_cols"):
         reader = reader.option("basePath", table_dir)
     sj = resolve_schema(table_dir, version)
+    if keep_rid and not sj:
+        raise ValueError("row-id reads require a recorded table schema")
     # column mapping (RENAME/DROP): files carry PHYSICAL names; the
     # reader requests the physical schema and the result aliases back
     # to the version's LOGICAL names. Identity mapping (every table
@@ -2625,13 +2765,23 @@ def _read_entries(
     if sj:
         from pyspark.sql.types import StructType
 
+        rid_field = {
+            "name": "_row_id",
+            "type": "long",
+            "nullable": True,
+            "metadata": {},
+        }
         fields = json.loads(sj)
         if mp:
             phys = json.loads(sj)
             for f in phys["fields"]:
                 f["name"] = mp.get(f["name"], f["name"])
+            if keep_rid:
+                phys["fields"].append(rid_field)
             reader = reader.schema(StructType.fromJson(phys))
         else:
+            if keep_rid:
+                fields["fields"].append(rid_field)
             reader = reader.schema(StructType.fromJson(fields))
     df = reader.parquet(
         *[os.path.join(table_dir, _entry_name(e)) for e in entries]
@@ -2640,7 +2790,7 @@ def _read_entries(
         [f["name"] for f in json.loads(sj)["fields"]] if mp else None
     )
     dv_paths = sorted({p for e in entries for p in _entry_dvs(e)})
-    if not (dv_paths or keep_pos):
+    if not (dv_paths or keep_pos or keep_rid):
         if mp:
             return df.select(
                 *[F.col(mp.get(c, c)).alias(c) for c in logical]
@@ -2652,23 +2802,42 @@ def _read_entries(
         if mp
         else cols
     )
+    if keep_rid and mp:
+        # physical _row_id rides beside the logical selection
+        sel_cols = sel_cols + [F.col("_row_id")]
+        cols = cols + ["_row_id"]
     # file identity = the MANIFEST ENTRY NAME, attached by joining the
     # normalized _metadata.file_path against a control-plane (path,
     # name) map — manifest-sized and broadcast, and robust where
     # string-stripping table_dir is not (absolute entries from
     # clone_table, symlinked table dirs, prefix collisions)
-    path_map = spark.createDataFrame(
-        [
-            (
-                os.path.abspath(
-                    os.path.join(table_dir, _entry_name(e))
-                ),
-                _entry_name(e),
-            )
-            for e in entries
-        ],
-        ["_abs_path", "_file_name"],
-    )
+    if keep_rid:
+        path_map = spark.createDataFrame(
+            [
+                (
+                    os.path.abspath(
+                        os.path.join(table_dir, _entry_name(e))
+                    ),
+                    _entry_name(e),
+                    e.get("base_rid") if isinstance(e, dict) else None,
+                )
+                for e in entries
+            ],
+            "_abs_path string, _file_name string, _base_rid long",
+        )
+    else:
+        path_map = spark.createDataFrame(
+            [
+                (
+                    os.path.abspath(
+                        os.path.join(table_dir, _entry_name(e))
+                    ),
+                    _entry_name(e),
+                )
+                for e in entries
+            ],
+            ["_abs_path", "_file_name"],
+        )
     keyed = df.select(
         *sel_cols,
         _plain_path_col().alias("_abs_path"),
@@ -2689,6 +2858,14 @@ def _read_entries(
         keyed = keyed.withColumn(
             "_dv_base", base(F.col("_file_name"))
         ).join(dv, ["_dv_base", "_row_pos"], "left_anti").drop("_dv_base")
+    if keep_rid:
+        keyed = keyed.withColumn(
+            "_row_id",
+            F.coalesce(
+                F.col("_row_id"),
+                F.col("_base_rid") + F.col("_row_pos"),
+            ),
+        ).drop("_base_rid")
     return keyed if keep_pos else keyed.select(*cols)
 
 
@@ -2776,7 +2953,14 @@ def table_changes(
         m = read_manifest(table_dir, v)
         op = m.get("op", "")
         if (
-            op in ("compact", "optimize", "optimize_small", "compact_dv")
+            op
+            in (
+                "compact",
+                "optimize",
+                "optimize_small",
+                "compact_dv",
+                "rowtrack_enable",
+            )
             and not include_rewrites
         ):
             continue
@@ -2834,6 +3018,203 @@ def table_changes(
     for c in chunks[1:]:
         out = out.unionByName(c, allowMissingColumns=True)
     return out
+
+
+def row_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """NET row-level changes between two versions keyed by stable row
+    id — the full Delta CDF vocabulary that plain :func:`table_changes`
+    (delete+insert pairs) cannot express without row identity:
+    ``_change_type`` ∈ insert | delete | update_preimage |
+    update_postimage. A row whose id survives the range with identical
+    content does not appear AT ALL — so unlike the per-commit feed,
+    rewrites (compaction/OPTIMIZE) inside the range cost only the diff
+    of the files they touched and contribute nothing, and an
+    update-then-update-back nets away. This is the CDF-free
+    incremental-merge read: feed the postimages+inserts to a
+    downstream :func:`merge` and the deletes to a DV delete, and the
+    replica converges without replaying intermediate states.
+
+    Mechanics: entries are diffed on (name, dv-chain) between the two
+    versions (a DV commit changes content without renaming); each side
+    reads ONLY its changed entries with ids
+    (:func:`_read_entries` ``keep_rid``), the sides full-outer-join on
+    ``_row_id``, and null-safe struct equality drops the unchanged.
+    Cost tracks the touched files, never the table."""
+    to_version = (
+        current_version(table_dir) if to_version is None else to_version
+    )
+    if not resolve_row_tracking(table_dir, to_version):
+        raise ValueError(
+            "row tracking is not enabled (enable_row_tracking first)"
+        )
+    sig = lambda e: (_entry_name(e), tuple(_entry_dvs(e)))  # noqa: E731
+    from_map = {
+        sig(e): e for e in resolve_files(table_dir, from_version)
+    }
+    to_map = {sig(e): e for e in resolve_files(table_dir, to_version)}
+    added = [to_map[s] for s in sorted(to_map.keys() - from_map.keys())]
+    removed = [
+        from_map[s] for s in sorted(from_map.keys() - to_map.keys())
+    ]
+    a = (
+        _read_entries(spark, table_dir, added, to_version, keep_rid=True)
+        if added
+        else None
+    )
+    r = (
+        _read_entries(
+            spark, table_dir, removed, from_version, keep_rid=True
+        )
+        if removed
+        else None
+    )
+    a, r = _align_for_diff(a, r)
+    if a is None and r is None:
+        base = snapshot_rowids(spark, table_dir, to_version)
+        return base.withColumn("_change_type", F.lit("")).limit(0)
+    ref = a if a is not None else r
+    cols = [c for c in ref.columns if c != "_row_id"]
+    av = (
+        a.select("_row_id", F.struct(*cols).alias("_new"))
+        if a is not None
+        else None
+    )
+    rv = (
+        r.select("_row_id", F.struct(*cols).alias("_old"))
+        if r is not None
+        else None
+    )
+    if av is None:
+        return rv.select(
+            *[F.col(f"_old.{c}").alias(c) for c in cols], "_row_id"
+        ).withColumn("_change_type", F.lit("delete"))
+    if rv is None:
+        return av.select(
+            *[F.col(f"_new.{c}").alias(c) for c in cols], "_row_id"
+        ).withColumn("_change_type", F.lit("insert"))
+    j = av.join(rv, "_row_id", "full_outer")
+    ins = j.filter(F.col("_old").isNull()).select(
+        *[F.col(f"_new.{c}").alias(c) for c in cols], "_row_id"
+    ).withColumn("_change_type", F.lit("insert"))
+    dels = j.filter(F.col("_new").isNull()).select(
+        *[F.col(f"_old.{c}").alias(c) for c in cols], "_row_id"
+    ).withColumn("_change_type", F.lit("delete"))
+    upd = j.filter(
+        F.col("_old").isNotNull()
+        & F.col("_new").isNotNull()
+        & ~F.col("_old").eqNullSafe(F.col("_new"))
+    )
+    pre = upd.select(
+        *[F.col(f"_old.{c}").alias(c) for c in cols], "_row_id"
+    ).withColumn("_change_type", F.lit("update_preimage"))
+    post = upd.select(
+        *[F.col(f"_new.{c}").alias(c) for c in cols], "_row_id"
+    ).withColumn("_change_type", F.lit("update_postimage"))
+    return ins.unionByName(dels).unionByName(pre).unionByName(post)
+
+
+def resolve_row_tracking(
+    table_dir: str, version: int | None = None
+) -> dict:
+    """ROW TRACKING state at ``version`` — ``{"watermark": next_id}``
+    when enabled, ``{}`` otherwise. Same bounded chain walk as the
+    other metadata maps: the nearest manifest carrying the record wins
+    (checkpoints embed it), and a full-list manifest without it means
+    tracking was never enabled below that point. The watermark is
+    monotone — every id-assigning commit records the advanced value in
+    the SAME claim, and restore/truncate never rewind it — so row ids
+    are unique for the table's lifetime."""
+    v = current_version(table_dir) if version is None else version
+    while v >= 0:
+        m = read_manifest(table_dir, v)
+        if "row_tracking" in m:
+            return dict(m["row_tracking"])
+        if "files" in m or m.get("parent") is None:
+            return {}
+        v = m["parent"]
+    return {}
+
+
+def enable_row_tracking(table_dir: str) -> int:
+    """Turn on Delta-style ROW TRACKING: every row gets a stable
+    ``_row_id`` that survives compaction, OPTIMIZE, updates and
+    merges. The enabling commit is METADATA-ONLY — each existing live
+    file entry is stamped with a ``base_rid`` (its rows' ids are then
+    ``base_rid + parquet row position``, computed at read time from
+    ``_metadata.row_index`` — zero storage, zero rewrite), and the
+    next-id watermark starts past them. From then on:
+
+    - plain appends keep the zero-cost form — :func:`_commit_delta`
+      assigns each new file's ``base_rid`` from the watermark inside
+      the manifest claim (ids are still never stored);
+    - REWRITES (compact / optimize / optimize_small_files / COW
+      delete / UPDATE / clause-form :func:`merge`) MATERIALIZE
+      ``_row_id`` as a physical column in the files they write
+      (entries marked ``rid``), because a rewrite reorders rows —
+      that is the only time ids cost bytes, and the rewrite was
+      paying for those bytes anyway;
+    - DV deletes need nothing: positions of surviving rows don't
+      shift, so derived ids are already stable.
+
+    Read ids back with :func:`snapshot_rowids`; diff row-level history
+    with :func:`row_changes` (insert/delete/update_pre/postimage —
+    the CDF classification row ids exist for). The enabling commit
+    re-states every entry, so :func:`table_changes` skips its op like
+    other content-neutral rewrites (``include_rewrites=True`` proves
+    it empty). Like Delta: :func:`merge_upsert` (the fast upsert path)
+    and :func:`apply_changes` re-assign ids for the rows they touch —
+    use clause-form :func:`merge` when updates must preserve ids."""
+    parent = current_version(table_dir)
+    if resolve_row_tracking(table_dir, parent):
+        raise ValueError("row tracking is already enabled")
+    m = read_manifest(table_dir, parent)
+    entries = resolve_files(table_dir, parent)
+    wm = 0
+    adds = []
+    for e in entries:
+        out = dict(e) if isinstance(e, dict) else {"name": e}
+        out["rows"] = _entry_rows(table_dir, e)
+        out["base_rid"] = wm
+        wm += int(out["rows"])
+        adds.append(out)
+    return _commit_delta(
+        table_dir,
+        parent,
+        adds,
+        [_entry_name(e) for e in entries],
+        "rowtrack_enable",
+        m.get("stat_cols") or None,
+        m.get("partition_cols") or None,
+        row_tracking={"watermark": wm},
+    )
+
+
+def snapshot_rowids(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The snapshot at ``version`` with its stable ``_row_id`` column
+    — table schema plus one long. Ids come from
+    ``coalesce(materialized _row_id, base_rid + row position)``: files
+    written by rewrites carry the physical column, everything else
+    derives from manifest metadata, and the reader requests both in
+    ONE scan (absent physical columns NULL-fill under the explicit
+    schema, exactly the add-column evolution mechanism)."""
+    v = current_version(table_dir) if version is None else version
+    if not resolve_row_tracking(table_dir, v):
+        raise ValueError(
+            "row tracking is not enabled (enable_row_tracking first)"
+        )
+    entries = resolve_files(table_dir, v)
+    if not entries:
+        return snapshot(spark, table_dir, v).withColumn(
+            "_row_id", F.lit(None).cast("long")
+        )
+    return _read_entries(spark, table_dir, entries, v, keep_rid=True)
 
 
 def resolve_identity(
@@ -3307,6 +3688,7 @@ def truncate_history(table_dir: str, keep_versions: int) -> dict:
         or "constraints" not in m
         or "column_mapping" not in m
         or "identity" not in m
+        or "row_tracking" not in m
     ):
         m["files"] = resolve_files(table_dir, horizon)
         # idempotence watermarks survive retention (a stream replaying
@@ -3322,6 +3704,9 @@ def truncate_history(table_dir: str, keep_versions: int) -> dict:
         # identity watermark (ids must never restart after retention)
         m["column_mapping"] = resolve_mapping(table_dir, horizon)
         m["identity"] = resolve_identity(table_dir, horizon)
+        # the row-id watermark too (a restart at zero would hand out
+        # ids pre-horizon rows still carry)
+        m["row_tracking"] = resolve_row_tracking(table_dir, horizon)
         m["parent"] = None  # self-contained: no ancestor walk
         path = _manifest_path(table_dir, horizon)
         tmp = path + ".trunc_tmp"

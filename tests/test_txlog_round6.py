@@ -301,9 +301,9 @@ def _spy_read_entries(monkeypatch):
     calls = []
     orig = tx._read_entries
 
-    def spy(spark, table_dir, entries, version, keep_pos=False):
+    def spy(spark, table_dir, entries, version, **kw):
         calls.append(len(entries))
-        return orig(spark, table_dir, entries, version, keep_pos)
+        return orig(spark, table_dir, entries, version, **kw)
 
     monkeypatch.setattr(tx, "_read_entries", spy)
     return calls
