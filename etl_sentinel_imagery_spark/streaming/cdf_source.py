@@ -171,16 +171,33 @@ def cdf_append_sink(dst_table_dir: str, app_id: str = "cdf"):
     (``_change_type`` / ``_commit_version`` columns included), so any
     additive aggregate over it folds the stream exactly. ``app_id``
     must uniquely name the (source, cursor) pair when several feeds
-    land in one destination table."""
+    land in one destination table.
+
+    COLUMN-MAPPED destinations work live: batches write under the
+    destination's current logical→physical mapping (new feed columns
+    get fresh physical assignments, and the destination schema WIDENS
+    by union rather than being replaced — a rename on the destination
+    between batches means the feed's old name re-enters as a NEW
+    column with its own physical identity, never resurrecting the
+    renamed one; Delta's behavior). A rename that lands BETWEEN this
+    sink's staging and its claim is detected in the retry loop and
+    surfaces as :class:`TxConflict` — the staged files carry
+    pre-rename physical names, so committing them would bind values
+    to the wrong columns; the range was never committed, so the
+    stream's restart replays it cleanly under the new mapping."""
     from etl_sentinel_imagery_spark.operators.txlog import (
         TxConflict,
+        _assign_physical,
         _commit_delta,
         _enforce_constraints,
+        _merge_schema_json,
         _move_in_data_files,
         current_version as dst_version,
         init_table,
         read_manifest,
         resolve_constraints,
+        resolve_mapping,
+        resolve_schema,
         resolve_txns,
     )
 
@@ -216,8 +233,27 @@ def cdf_append_sink(dst_table_dir: str, app_id: str = "cdf"):
         _enforce_constraints(
             changes, resolve_constraints(dst_table_dir)
         )
+        # column-mapped destination: widen the recorded schema by
+        # union (never replace — a pre-created or renamed destination
+        # keeps its columns) and write under the current mapping with
+        # fresh physical names for new feed columns, exactly as
+        # append() does
+        merged = _merge_schema_json(
+            resolve_schema(dst_table_dir), changes.schema
+        )
+        mapping = resolve_mapping(dst_table_dir)
+        # pre-assignment state: _assign_physical mutates in place, and
+        # the conflict check below must compare the DESTINATION's
+        # mapping against what we staged FROM, not our own additions
+        pre_map = dict(mapping["map"])
+        pre_retired = list(mapping.get("retired", []))
+        upd = _assign_physical(
+            mapping,
+            [f["name"] for f in json.loads(merged)["fields"]],
+        )
         names = _move_in_data_files(
-            spark, dst_table_dir, changes, stat_cols, partition_cols
+            spark, dst_table_dir, changes, stat_cols, partition_cols,
+            mapping=upd or mapping,
         )
         while True:
             parent = dst_version(dst_table_dir)
@@ -225,8 +261,9 @@ def cdf_append_sink(dst_table_dir: str, app_id: str = "cdf"):
                 _commit_delta(
                     dst_table_dir, parent, names, [], tag, stat_cols,
                     partition_cols,
-                    schema_json=changes.schema.json(),
+                    schema_json=merged,
                     txn=(app_id, to_v),
+                    column_mapping=upd,
                 )
                 return
             except TxConflict:
@@ -234,6 +271,16 @@ def cdf_append_sink(dst_table_dir: str, app_id: str = "cdf"):
                     app_id, -(10**9)
                 ):
                     return
+                # a concurrent RENAME/DROP invalidates the staged
+                # files' physical names — surface the conflict; the
+                # uncommitted range replays under the new mapping on
+                # restart
+                now = resolve_mapping(dst_table_dir)
+                if (
+                    now["map"] != pre_map
+                    or list(now.get("retired", [])) != pre_retired
+                ):
+                    raise
 
     return _process
 
