@@ -3053,9 +3053,13 @@ def row_changes(
             "row tracking is not enabled (enable_row_tracking first)"
         )
     sig = lambda e: (_entry_name(e), tuple(_entry_dvs(e)))  # noqa: E731
-    from_map = {
-        sig(e): e for e in resolve_files(table_dir, from_version)
-    }
+    # from_version=-1 mirrors table_changes: diff against nothing, so
+    # the init commit's rows arrive as inserts
+    from_map = (
+        {}
+        if from_version < 0
+        else {sig(e): e for e in resolve_files(table_dir, from_version)}
+    )
     to_map = {sig(e): e for e in resolve_files(table_dir, to_version)}
     added = [to_map[s] for s in sorted(to_map.keys() - from_map.keys())]
     removed = [
@@ -3116,6 +3120,66 @@ def row_changes(
         *[F.col(f"_new.{c}").alias(c) for c in cols], "_row_id"
     ).withColumn("_change_type", F.lit("update_postimage"))
     return ins.unionByName(dels).unionByName(pre).unionByName(post)
+
+
+def apply_row_changes(
+    spark: SparkSession,
+    src_table_dir: str,
+    dst_table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """KEY-FREE incremental replication: mirror a row-tracked source
+    into ``dst_table_dir`` by applying :func:`row_changes` keyed on
+    the stable row id — the replication verb for tables with NO
+    natural key (or with duplicate rows), where
+    :func:`apply_changes` / :func:`cdf_replicate_sink` cannot run at
+    all (their key-unique upsert invariant has nothing to bind to).
+    Row ids are unique by construction, so the invariant holds for
+    ANY source content.
+
+    The mirror's schema is the source's columns plus ``_src_row_id``
+    (provenance — also the probe key: init the destination with
+    ``stat_cols=["_src_row_id"]`` and the DV probes prune by manifest
+    stats, since ids are assigned monotonically with commits). Net
+    semantics ride on :func:`row_changes`: update pre/postimages
+    become the delete+insert pair of one upsert, rewrites inside the
+    range contribute nothing, and the whole range lands as ONE commit
+    via :func:`apply_changes`' machinery (DV-delete + insert under a
+    single claim, ``txn`` watermark for exactly-once sinks)."""
+    to_version = (
+        current_version(src_table_dir)
+        if to_version is None
+        else to_version
+    )
+    ch = row_changes(spark, src_table_dir, from_version, to_version)
+    cols = [
+        c for c in ch.columns if c not in ("_row_id", "_change_type")
+    ]
+    dead = F.col("_change_type").isin("delete", "update_preimage")
+    feed = ch.select(
+        *cols,
+        F.col("_row_id").alias("_src_row_id"),
+        F.when(dead, F.lit("delete"))
+        .otherwise(F.lit("insert"))
+        .alias("_change_type"),
+        # row_changes is already net: synthesize a two-level version
+        # so _net_changes resolves each update's pre/post pair to the
+        # postimage
+        F.when(dead, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("_commit_version"),
+    )
+    return apply_changes(
+        spark,
+        dst_table_dir,
+        feed,
+        "_src_row_id",
+        txn=txn,
+        op=f"apply_rowid_{from_version}_{to_version}",
+    )
 
 
 def resolve_row_tracking(

@@ -424,6 +424,67 @@ def cdf_upsert_sink(
     return _process
 
 
+def rowid_replicate_sink(
+    src_table_dir: str,
+    dst_table_dir: str,
+    app_id: str = "rowid-replicate",
+):
+    """KEY-FREE streaming replication: each consumed range applies as
+    one ``apply_row_changes`` commit keyed on the source's stable row
+    ids — the mirror for tables with no natural key or with duplicate
+    rows, where :func:`cdf_replicate_sink`'s key-unique invariant has
+    nothing to bind to (row ids are unique by construction). Requires
+    row tracking enabled on the source BEFORE the replicated range
+    starts. The batch's change rows are ignored; the range bounds
+    drive a net row-id diff of the source's manifests directly
+    (rewrites inside a range contribute nothing — no op-name trust
+    needed). Exactly-once via the same SetTransaction watermark
+    discipline as the other sinks; a crash-retry range that partially
+    overlaps clamps to the watermark, sound because the row-id diff
+    of (wm, to] is exactly the not-yet-applied net."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        TxConflict,
+        apply_row_changes,
+        init_table,
+        resolve_txns,
+    )
+
+    def _process(changes: DataFrame, version_range) -> None:
+        from_v, to_v = version_range
+        spark = changes.sparkSession
+        if not os.path.exists(os.path.join(dst_table_dir, "_txlog")):
+            try:
+                # probe key stats: ids are commit-monotone, so the
+                # mirror's DV probes prune by manifest ranges
+                init_table(
+                    spark, dst_table_dir, stat_cols=["_src_row_id"]
+                )
+            except TxConflict:
+                pass
+        wm = resolve_txns(dst_table_dir).get(app_id, -(10**9))
+        if to_v <= wm:
+            return  # replayed range: already applied
+        lo = max(from_v, wm)
+        while True:
+            try:
+                apply_row_changes(
+                    spark,
+                    src_table_dir,
+                    dst_table_dir,
+                    lo,
+                    to_v,
+                    txn=(app_id, to_v),
+                )
+                return
+            except TxConflict:
+                if to_v <= resolve_txns(dst_table_dir).get(
+                    app_id, -(10**9)
+                ):
+                    return
+
+    return _process
+
+
 def start_cdf_stream(
     spark: SparkSession,
     table_dir: str,
