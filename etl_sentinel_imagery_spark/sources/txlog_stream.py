@@ -1,0 +1,656 @@
+"""The transaction log as a REAL Structured Streaming source.
+
+``spark.readStream.format("txlog_changes").option("path", d).load()``
+returns a live change-data-feed DataFrame — usable with watermarks,
+windowed/stateful aggregation, stream-stream joins and every built-in
+sink — implemented as a Spark 4 Python ``DataSourceStreamReader``:
+
+- **Offsets are table versions, checkpointed by Spark.** The driver
+  plans each micro-batch from MANIFESTS ALONE (no data IO); restart
+  resumes from the engine's own offset log. This replaces the
+  driver-side pull loop of :func:`streaming.cdf_source.start_cdf_stream`
+  for consumers that want a first-class source rather than a
+  foreachBatch sink — the rate-tick wrapper remains for the
+  exactly-once txlog→txlog sinks, which carry their own transactional
+  cursor by design.
+- **Reads run on EXECUTORS, Arrow-batched.** Each planned
+  ``InputPartition`` names one data file (plus its deletion-vector
+  sidecars) or one delta-sized commit diff; the worker reconstructs
+  rows with pyarrow under the same read contract as
+  :func:`operators.txlog.snapshot` — column mapping (RENAME/DROP)
+  physical→logical translation, hive partition values re-derived from
+  entry paths, NULL-fill + lossless type widening to the stream's
+  declared schema, DV positions masked out.
+- **Feed semantics match** :func:`operators.txlog.table_changes`:
+  commits ``from+1..to`` yield rows tagged ``_change_type``
+  (insert | delete), ``_commit_version``, ``_commit_op``; rewrite
+  commits (compact / optimize / DV compaction / row-tracking
+  enablement) contribute nothing; a feed starting at a
+  :func:`truncate_history` horizon serves the horizon's full file
+  list as the initial-snapshot insert set — Delta's
+  snapshot-then-tail stream shape, for free, from the self-contained
+  horizon manifest. One deliberate divergence: a stream has ONE
+  declared schema, so rows from before a rename serve under the
+  CURRENT column name (the rename is a schema-level identity —
+  Delta's column-mapping read), where the version-faithful batch
+  ``table_changes`` keeps each commit's own names.
+
+Partition granularity is the scale argument: append commits and pure
+DV-delete commits — the high-volume paths — plan ONE PARTITION PER
+FILE (parallel across the cluster); only general rewrite-diff commits
+(COW delete / UPDATE / merge, whose touched sets are delta-sized by
+design) plan one partition per commit, because their multiset
+``exceptAll`` semantics are not partition-local. The decomposition of
+a pure DV-delete commit into per-file position deltas is exact: its
+add multiset is a sub-multiset of its remove multiset, so the global
+``exceptAll`` difference is precisely the per-file ``new_dv − old_dv``
+position rows.
+
+Schema evolution mid-stream raises (restart to pick up the widened
+schema — Delta's behavior); evolution BEFORE the consumed range
+NULL-fills, and lossless type widenings cast up to the declared
+schema.
+
+The same planner also backs a batch reader:
+``spark.read.format("txlog_changes").option("path", d)
+.option("fromVersion", v).load()``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+from urllib.parse import unquote
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_SOURCE_NAME = "txlog_changes"
+
+#: ops whose commits rewrite rows without changing any — skipped by
+#: the feed (same set as operators.txlog.table_changes)
+_REWRITE_OPS = (
+    "compact",
+    "optimize",
+    "optimize_small",
+    "compact_dv",
+    "rowtrack_enable",
+)
+
+_CDF_FIELDS = [
+    ("_change_type", "string"),
+    ("_commit_version", "long"),
+    ("_commit_op", "string"),
+]
+
+
+# ---------------------------------------------------------------------------
+# planning (driver): manifests → partition payloads. No data IO.
+# ---------------------------------------------------------------------------
+
+
+def _declared_fields(table_dir: str, version: int) -> list[dict]:
+    from etl_sentinel_imagery_spark.operators.txlog import resolve_schema
+
+    sj = resolve_schema(table_dir, version)
+    if not sj:
+        raise ValueError(
+            f"{table_dir} has no recorded schema at version {version}; "
+            "the txlog_changes source requires schema-recorded tables "
+            "(any init_table/append since schema recording landed)"
+        )
+    return json.loads(sj)["fields"]
+
+
+def _entry_pair(e) -> tuple[str, list[str]]:
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        _entry_dvs,
+        _entry_name,
+    )
+
+    return _entry_name(e), list(_entry_dvs(e))
+
+
+def _bindings(table_dir: str, version: int) -> dict[str, str]:
+    """logical name → PHYSICAL column binding at ``version``."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        resolve_mapping,
+    )
+
+    mp = resolve_mapping(table_dir, version)["map"]
+    return {
+        f["name"]: mp.get(f["name"], f["name"])
+        for f in _declared_fields(table_dir, version)
+    }
+
+
+def plan_change_partitions(
+    table_dir: str,
+    from_version: int,
+    to_version: int,
+    declared: dict[str, str],
+    include_rewrites: bool = False,
+    pinned_version: int | None = None,
+) -> list[dict]:
+    """Classify commits ``from_version+1..to_version`` into partition
+    payloads (pure dicts — picklable, no Spark objects):
+
+    - ``insert``: one per added file of an append-style commit (no
+      removes; includes init / truncate-horizon full-list manifests).
+    - ``dv_delta``: one per touched file of a pure DV-delete commit
+      (every removed name re-added with an extended sidecar chain,
+      nothing else added) — deletes are the file's rows at positions
+      ``new_dv − old_dv``. The decomposition is exact because such a
+      commit's add multiset is a sub-multiset of its remove multiset.
+    - ``diff``: one per remaining commit (COW delete / UPDATE /
+      merge): the commit's full add/remove entry lists for an
+      executor-side multiset diff. Delta-sized by design.
+
+    Every entry is read under the DECLARED (stream-start / batch
+    ``toVersion``) logical→physical bindings — a rename is a
+    schema-level identity, so historical values serve under the
+    current name (Delta's column-mapping read). History at or before
+    ``pinned_version`` (the version the declared schema came from) is
+    consistent by the mapping discipline: renamed columns serve under
+    their current name, dropped-then-re-added lineages NULL-fill old
+    files because the fresh physical identity is never present there.
+    A commit AFTER the pin that breaks a binding — a new column, a
+    rename, or a re-add minting a fresh physical — raises: restart
+    the stream to adopt the new schema (Delta's behavior). A plain
+    DROP is benign (the declared column NULL-fills on later files)."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        read_manifest,
+        resolve_files,
+    )
+
+    pin = to_version if pinned_version is None else pinned_version
+    parts: list[dict] = []
+    for v in range(max(from_version + 1, 0), to_version + 1):
+        m = read_manifest(table_dir, v)
+        op = m.get("op", "")
+        if op in _REWRITE_OPS and not include_rewrites:
+            continue
+        if v > pin:
+            for name, phys in _bindings(table_dir, v).items():
+                if declared.get(name) != phys:
+                    raise ValueError(
+                        f"commit {v} binds column {name!r} to physical "
+                        f"{phys!r}, outside the stream's declared "
+                        "schema (new/renamed/re-added column); restart "
+                        "the stream to adopt the new schema"
+                    )
+        # the range's FIRST commit being self-contained (init commit,
+        # or a truncate_history horizon — parent=None with the full
+        # resolved list embedded) serves as the initial-snapshot
+        # insert set; every later commit contributes its delta
+        snapshot_start = (
+            v == max(from_version + 1, 0)
+            and m.get("parent") is None
+            and "files" in m
+        )
+        if ("adds" in m or "removes" in m) and not snapshot_start:
+            adds = [_entry_pair(e) for e in m.get("adds", [])]
+            remove_names = list(m.get("removes", []))
+        else:
+            adds = [_entry_pair(e) for e in m.get("files", [])]
+            remove_names = []
+        if not remove_names:
+            parts += [
+                {"kind": "insert", "name": n, "dvs": d, "v": v, "op": op}
+                for n, d in adds
+            ]
+            continue
+        parent = m["parent"]
+        parent_by_name = {
+            _entry_pair(e)[0]: _entry_pair(e)[1]
+            for e in resolve_files(table_dir, parent)
+        }
+        removes = [(n, parent_by_name[n]) for n in remove_names]
+        add_names = {n for n, _ in adds}
+        pure_dv = set(remove_names) == add_names and all(
+            d[: len(parent_by_name[n])] == parent_by_name[n]
+            and len(d) > len(parent_by_name[n])
+            for n, d in adds
+        )
+        if pure_dv:
+            parts += [
+                {
+                    "kind": "dv_delta",
+                    "name": n,
+                    "old_dvs": parent_by_name[n],
+                    "new_dvs": d,
+                    "v": v,
+                    "op": op,
+                }
+                for n, d in adds
+            ]
+        else:
+            parts.append(
+                {
+                    "kind": "diff",
+                    "adds": adds,
+                    "removes": removes,
+                    "v": v,
+                    "op": op,
+                }
+            )
+    return parts
+
+
+# ---------------------------------------------------------------------------
+# reading (executor): payload + pyarrow → RecordBatches. No Spark session.
+# ---------------------------------------------------------------------------
+
+
+def _arrow_type(spark_json_type):
+    """Spark schema-JSON type → arrow type, via pyspark's own
+    converter (so the batches match what the DataSource Arrow path
+    expects for the declared schema)."""
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "c",
+                    "type": spark_json_type,
+                    "nullable": True,
+                    "metadata": {},
+                }
+            ],
+        }
+    )
+    return to_arrow_type(st.fields[0].dataType)
+
+
+def _partition_values(name: str) -> dict[str, str | None]:
+    """Hive ``col=value`` segments of an entry's relative path."""
+    out: dict[str, str | None] = {}
+    for seg in name.split(os.sep)[:-1]:
+        if "=" in seg:
+            c, _, val = seg.partition("=")
+            out[c] = (
+                None
+                if val == "__HIVE_DEFAULT_PARTITION__"
+                else unquote(val)
+            )
+    return out
+
+
+def _dv_positions(table_dir: str, name: str, dv_paths: list[str]) -> set:
+    """Row positions deleted from ``name`` across a sidecar chain.
+    Joined on basename: data files are part-<uuid>.parquet, globally
+    unique (the same contract as the DataFrame read path)."""
+    import pyarrow.parquet as pq
+
+    base = os.path.basename(name)
+    drop: set[int] = set()
+    for p in dv_paths:
+        t = pq.read_table(
+            os.path.join(table_dir, p), columns=["file_name", "pos"]
+        )
+        for fn, pos in zip(
+            t.column("file_name").to_pylist(),
+            t.column("pos").to_pylist(),
+        ):
+            if os.path.basename(fn) == base:
+                drop.add(pos)
+    return drop
+
+
+def _read_entry_arrow(
+    table_dir: str,
+    name: str,
+    fields: list[dict],
+    mp: dict[str, str],
+    positions: set | None = None,
+    anti_positions: set | None = None,
+):
+    """One data file → a pyarrow Table in the DECLARED logical schema
+    (physical→logical rename via the declared bindings, hive partition
+    values from the path, NULL-fill for pre-evolution files, lossless
+    widening casts). ``anti_positions`` masks DV-deleted rows out
+    (snapshot semantics); ``positions`` selects exactly those row
+    positions instead (the DV-delta delete read)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(table_dir, name))
+    if positions is not None:
+        idx = sorted(p for p in positions if p < t.num_rows)
+        t = t.take(pa.array(idx, pa.int64()))
+    elif anti_positions:
+        keep = [i for i in range(t.num_rows) if i not in anti_positions]
+        if len(keep) != t.num_rows:
+            t = t.take(pa.array(keep, pa.int64()))
+    pvals = _partition_values(name)
+    cols, arrow_fields = [], []
+    for f in fields:
+        at = _arrow_type(f["type"])
+        phys = mp.get(f["name"], f["name"])
+        if phys in t.column_names:
+            col = t.column(phys)
+            if col.type != at:
+                col = pc.cast(col, at)  # lossless widening contract
+        elif f["name"] in pvals:
+            v = pvals[f["name"]]
+            col = pc.cast(
+                pa.array([v] * t.num_rows, pa.string()), at
+            )
+        else:
+            col = pa.nulls(t.num_rows, type=at)
+        cols.append(col)
+        arrow_fields.append(pa.field(f["name"], at))
+    return pa.table(dict(zip([f.name for f in arrow_fields], cols)))
+
+
+def _tag(table, change_type: str, payload: dict):
+    """Append the CDF columns — the read already produced the declared
+    logical schema, so tagging completes the fixed output shape."""
+    import pyarrow as pa
+
+    n = table.num_rows
+    return table.append_column(
+        "_change_type", pa.array([change_type] * n, pa.string())
+    ).append_column(
+        "_commit_version",
+        pa.array([payload["v"]] * n, pa.int64()),
+    ).append_column(
+        "_commit_op", pa.array([payload["op"]] * n, pa.string())
+    )
+
+
+def _hashable(v):
+    if isinstance(v, list):
+        return tuple(_hashable(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _hashable(x)) for k, x in v.items()))
+    return v
+
+
+def _multiset_diff(adds_tbl, removes_tbl):
+    """Exact multiset ``exceptAll`` both ways over two SAME-SCHEMA
+    arrow tables (the general rewrite-diff commit). Cost is the
+    commit's touched-row count — delta-sized by the write paths'
+    design."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    def rows(t):
+        return [
+            tuple(_hashable(v) for v in r)
+            for r in zip(*[c.to_pylist() for c in t.columns])
+        ] if t.num_columns else []
+
+    a_rows, r_rows = rows(adds_tbl), rows(removes_tbl)
+    counts = Counter(a_rows)
+    counts.subtract(r_rows)
+    ins_idx, del_idx = [], []
+    seen: Counter = Counter()
+    for i, r in enumerate(a_rows):
+        if counts[r] > 0 and seen[r] < counts[r]:
+            seen[r] += 1
+            ins_idx.append(i)
+    seen = Counter()
+    for i, r in enumerate(r_rows):
+        if counts[r] < 0 and seen[r] < -counts[r]:
+            seen[r] += 1
+            del_idx.append(i)
+    take = lambda t, idx: t.take(pa.array(idx, pa.int64()))  # noqa: E731
+    return take(adds_tbl, ins_idx), take(removes_tbl, del_idx)
+
+
+def read_change_partition(
+    table_dir: str,
+    payload: dict,
+    declared_fields: list[dict],
+    mapping: dict[str, str],
+) -> Iterator:
+    """Executor entry point: one partition payload → RecordBatches in
+    the declared output schema."""
+    kind = payload["kind"]
+    if kind == "insert":
+        t = _read_entry_arrow(
+            table_dir,
+            payload["name"],
+            declared_fields,
+            mapping,
+            anti_positions=_dv_positions(
+                table_dir, payload["name"], payload["dvs"]
+            )
+            if payload["dvs"]
+            else None,
+        )
+        out = _tag(t, "insert", payload)
+    elif kind == "dv_delta":
+        new = _dv_positions(
+            table_dir, payload["name"], payload["new_dvs"]
+        )
+        old = _dv_positions(
+            table_dir, payload["name"], payload["old_dvs"]
+        )
+        t = _read_entry_arrow(
+            table_dir,
+            payload["name"],
+            declared_fields,
+            mapping,
+            positions=new - old,
+        )
+        out = _tag(t, "delete", payload)
+    elif kind == "diff":
+        import pyarrow as pa
+
+        def side(entries):
+            tabs = [
+                _read_entry_arrow(
+                    table_dir,
+                    n,
+                    declared_fields,
+                    mapping,
+                    anti_positions=_dv_positions(table_dir, n, dvs)
+                    if dvs
+                    else None,
+                )
+                for n, dvs in entries
+            ]
+            return pa.concat_tables(tabs) if tabs else None
+
+        a = side(payload["adds"])
+        r = side(payload["removes"])
+        if a is None and r is None:
+            return
+        if r is None:
+            ins, dels = a, None
+        elif a is None:
+            ins, dels = None, r
+        else:  # both sides share the declared schema: diff directly
+            ins, dels = _multiset_diff(a, r)
+        parts = []
+        if ins is not None and ins.num_rows:
+            parts.append(_tag(ins, "insert", payload))
+        if dels is not None and dels.num_rows:
+            parts.append(_tag(dels, "delete", payload))
+        if not parts:
+            return
+        out = pa.concat_tables(parts)
+    else:  # pragma: no cover
+        raise AssertionError(f"unknown partition kind {kind!r}")
+    if out.num_rows:
+        yield from out.to_batches(max_chunksize=65536)
+
+
+# ---------------------------------------------------------------------------
+# the DataSource
+# ---------------------------------------------------------------------------
+
+
+def _full_schema_json(table_dir: str, version: int) -> list[dict]:
+    return _declared_fields(table_dir, version)
+
+
+class TxlogChangesStreamReader(DataSourceStreamReader):
+    """Micro-batch planner over committed versions. An offset
+    ``{"version": v}`` means every commit ≤ v has been delivered."""
+
+    def __init__(self, schema, options):
+        self.table_dir = options.get("path") or options.get("table_dir")
+        if not self.table_dir:
+            raise ValueError("txlog_changes requires .option('path', ...)")
+        from etl_sentinel_imagery_spark.operators.txlog import (
+            current_version,
+        )
+
+        self.include_rewrites = (
+            str(options.get("includerewrites", "false")).lower() == "true"
+        )
+        self.max_versions = options.get("maxversionspertrigger")
+        head = current_version(self.table_dir)
+        sv = str(options.get("startingversion", "0"))
+        # "latest": only commits AFTER stream start (offset = head)
+        self.start_version = head + 1 if sv == "latest" else int(sv)
+        # the stream's declared schema + column bindings are pinned at
+        # start; a commit that rebinds raises at planning time
+        # (restart to adopt)
+        self.fields = _full_schema_json(self.table_dir, head)
+        self.bindings = _bindings(self.table_dir, head)
+        self.pinned = head
+        # maxVersionsPerTrigger admission control lives in
+        # latestOffset (clamping in partitions() would DROP rows —
+        # the checkpoint still advances to `end`). The cursor learns
+        # the true consumed offset from partitions(); the first
+        # trigger after a restart is unclamped (cursor unknown).
+        self._cursor: int | None = None
+
+    def initialOffset(self):
+        return {"version": self.start_version - 1}
+
+    def latestOffset(self):
+        from etl_sentinel_imagery_spark.operators.txlog import (
+            current_version,
+        )
+
+        head = current_version(self.table_dir)
+        if self.max_versions is not None and self._cursor is not None:
+            head = min(head, self._cursor + int(self.max_versions))
+        return {"version": head}
+
+    def partitions(self, start, end):
+        lo, hi = start["version"], end["version"]
+        self._cursor = hi
+        payloads = plan_change_partitions(
+            self.table_dir,
+            lo,
+            hi,
+            self.bindings,
+            self.include_rewrites,
+            pinned_version=self.pinned,
+        )
+        if not payloads:
+            # Spark requires ≥1 partition per planned batch
+            return [InputPartition({"kind": "empty"})]
+        return [InputPartition(p) for p in payloads]
+
+    def read(self, partition) -> Iterator:
+        p = partition.value
+        if p.get("kind") == "empty":
+            return iter(())
+        return read_change_partition(
+            self.table_dir, p, self.fields, self.bindings
+        )
+
+    def commit(self, end):
+        pass
+
+
+class TxlogChangesBatchReader(DataSourceReader):
+    """Batch twin over an explicit version range (``fromVersion`` /
+    ``toVersion`` options) — same planner, same executor reads."""
+
+    def __init__(self, schema, options):
+        self.table_dir = options.get("path") or options.get("table_dir")
+        if not self.table_dir:
+            raise ValueError("txlog_changes requires .option('path', ...)")
+        from etl_sentinel_imagery_spark.operators.txlog import (
+            current_version,
+        )
+
+        self.from_version = int(options.get("fromversion", "-1"))
+        tv = options.get("toversion")
+        self.to_version = (
+            current_version(self.table_dir) if tv is None else int(tv)
+        )
+        self.include_rewrites = (
+            str(options.get("includerewrites", "false")).lower() == "true"
+        )
+        self.fields = _full_schema_json(self.table_dir, self.to_version)
+        self.bindings = _bindings(self.table_dir, self.to_version)
+
+    def partitions(self):
+        payloads = plan_change_partitions(
+            self.table_dir,
+            self.from_version,
+            self.to_version,
+            self.bindings,
+            self.include_rewrites,
+        )
+        return [InputPartition(p) for p in payloads] or [
+            InputPartition({"kind": "empty"})
+        ]
+
+    def read(self, partition) -> Iterator:
+        p = partition.value
+        if p.get("kind") == "empty":
+            return iter(())
+        return read_change_partition(
+            self.table_dir, p, self.fields, self.bindings
+        )
+
+
+class TxlogChangesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return _SOURCE_NAME
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+
+        table_dir = self.options.get("path") or self.options.get(
+            "table_dir"
+        )
+        if not table_dir:
+            raise ValueError("txlog_changes requires .option('path', ...)")
+        from etl_sentinel_imagery_spark.operators.txlog import (
+            current_version,
+        )
+
+        tv = self.options.get("toversion")
+        v = current_version(table_dir) if tv is None else int(tv)
+        fields = _full_schema_json(table_dir, v) + [
+            {
+                "name": n,
+                "type": t,
+                "nullable": True,
+                "metadata": {},
+            }
+            for n, t in _CDF_FIELDS
+        ]
+        return StructType.fromJson({"type": "struct", "fields": fields})
+
+    def streamReader(self, schema):
+        return TxlogChangesStreamReader(schema, self.options)
+
+    def reader(self, schema):
+        return TxlogChangesBatchReader(schema, self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(TxlogChangesDataSource)
