@@ -3713,6 +3713,7 @@ def table_details(table_dir: str, version: int | None = None) -> dict:
             current_version(table_dir) if version is None else version
         ),
         "n_files": len(entries),
+        "live_rows": metadata_count(table_dir, version),
         "logical_bytes": sum(_entry_bytes(table_dir, e) for e in entries),
         "n_dv_files": len(dv_entries),
         # optimize_small_files scheduling signal alongside dv_dead_rows
@@ -3729,6 +3730,109 @@ def table_details(table_dir: str, version: int | None = None) -> dict:
         ),
         "history_ops": [h["op"] for h in history(table_dir)][-5:],
     }
+
+
+def metadata_count(table_dir: str, version: int | None = None) -> int:
+    """``SELECT COUNT(*)`` answered from MANIFEST METADATA alone —
+    zero data IO, zero Spark jobs (note the signature takes no
+    SparkSession: at 100 TB this is a few-KB manifest read where a
+    scan is a cluster-wide pass). Exact by construction: entries
+    record ``rows`` at write time, deletion vectors maintain
+    ``dv_n`` dead-position counts per commit, and fully-dead files
+    leave the manifest. Back-compat entries without ``rows`` fall
+    back to one local footer read each (never the steady state)."""
+    total = 0
+    for e in resolve_files(table_dir, version):
+        dv_n = int(e.get("dv_n", 0)) if isinstance(e, dict) else 0
+        total += _entry_rows(table_dir, e) - dv_n
+    return total
+
+
+def _cast_partition_value(v: str | None, type_name):
+    if v is None:
+        return None
+    if type_name in ("byte", "short", "integer", "long"):
+        return int(v)
+    if type_name in ("float", "double"):
+        return float(v)
+    return v
+
+
+def metadata_minmax(
+    table_dir: str, col: str, version: int | None = None
+) -> dict:
+    """``SELECT min(col), max(col)`` from metadata: manifest per-file
+    stats for stat-tracked columns, hive path values for partition
+    columns. Returns ``{"min", "max", "exact"}`` — the bounds are
+    ALWAYS valid (stats never under-cover); ``exact`` states whether
+    they are attained:
+
+    - partition columns: exact even under deletion vectors, because a
+      value contributes only while its file has live rows
+      (``rows − dv_n > 0``);
+    - stat columns: exact iff every live entry records stats for the
+      column and none carries a DV (a deletion could have removed the
+      extreme row; the file's recorded min/max then only bounds).
+      Inexact bounds still serve planning (pruning, range estimates);
+      serving them as ANSWERS requires the exact flag. A third field
+      ``covered`` goes False when some live entry recorded NO stats
+      for the column (back-compat files) — then the bounds may
+      UNDER-cover and must not be used even for pruning decisions
+      beyond what :func:`snapshot_pruned` already guards.
+
+    NULL-only/empty tables return ``{"min": None, "max": None,
+    "exact": True}``."""
+    entries = resolve_files(table_dir, version)
+    m = read_manifest(table_dir, version)
+    if col in (m.get("partition_cols") or []):
+        sj = resolve_schema(table_dir, version)
+        tname = None
+        if sj:
+            for f in json.loads(sj)["fields"]:
+                if f["name"] == col:
+                    tname = f["type"] if isinstance(f["type"], str) else None
+        vals = set()
+        for e in entries:
+            dv_n = int(e.get("dv_n", 0)) if isinstance(e, dict) else 0
+            if _entry_rows(table_dir, e) - dv_n <= 0:
+                continue
+            for seg in _entry_name(e).split(os.sep)[:-1]:
+                c, sep, raw = seg.partition("=")
+                if sep and c == col:
+                    from urllib.parse import unquote
+
+                    v = (
+                        None
+                        if raw == "__HIVE_DEFAULT_PARTITION__"
+                        else unquote(raw)
+                    )
+                    vals.add(_cast_partition_value(v, tname))
+        vals.discard(None)  # SQL min/max ignore NULLs
+        return {
+            "min": min(vals) if vals else None,
+            "max": max(vals) if vals else None,
+            "exact": True,
+            "covered": True,
+        }
+    if col not in (m.get("stat_cols") or []):
+        raise ValueError(
+            f"column {col!r} is neither a partition column nor a stats "
+            f"column; init the table with stat_cols=[{col!r}, ...]"
+        )
+    skey = resolve_mapping(table_dir, version)["map"].get(col, col)
+    lo = hi = None
+    exact = covered = True
+    for e in entries:
+        st = (e.get("stats") or {}).get(skey) if isinstance(e, dict) else None
+        if st is None:
+            exact = covered = False
+            continue
+        if isinstance(e, dict) and e.get("dv"):
+            exact = False
+        fmin, fmax = st
+        lo = fmin if lo is None or fmin < lo else lo
+        hi = fmax if hi is None or fmax > hi else hi
+    return {"min": lo, "max": hi, "exact": exact, "covered": covered}
 
 
 def truncate_history(table_dir: str, keep_versions: int) -> dict:
