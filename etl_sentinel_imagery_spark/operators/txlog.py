@@ -1129,12 +1129,115 @@ def _write_dv_sidecar(
     return sidecar, per_file
 
 
+_RETRY = object()
+
+
+def _try_commit_dv(
+    table_dir: str,
+    parent: int,
+    adds: list,
+    removes: list[str],
+    op: str,
+    stat_cols,
+    partition_cols,
+    by_name: dict,
+    sidecar: str | None,
+    budget: dict,
+    require_same_constraints: dict | None = None,
+    require_same_mapping: dict | None = None,
+):
+    """Commit a DV-repoint delta LOCK-FREE: a lost claim race REBASES
+    over any concurrent commit that is DISJOINT from the touched
+    files instead of surfacing :class:`TxConflict` — Delta's conflict
+    rules at WriteSerializable. A recorded (file, pos) set stays
+    valid as long as the touched entries are byte-identical at the
+    new head (data files are immutable; only a re-point or remove of
+    a touched entry can invalidate positions), so two deletes on
+    different files, or a delete racing a blind append, both land
+    with no coordination. The isolation consequence is deliberate
+    and documented: the delete/update serializes BEFORE a concurrent
+    blind append, so rows in the appended files are not affected —
+    exactly Delta's default. A concurrent commit that re-pointed or
+    removed a touched file (another delete/update/OPTIMIZE on the
+    same file) invalidates the positions; this returns ``_RETRY`` and
+    the caller re-probes against the fresh head (the abandoned
+    sidecar is an orphan for :func:`vacuum`, never corruption).
+
+    ``require_same_constraints`` / ``require_same_mapping`` harden
+    UPDATE: its already-staged image files were constraint-checked
+    and physically named against the parent, so a concurrent
+    ``add_constraint`` or RENAME/DROP forces a full re-run rather
+    than slipping unvalidated or mis-mapped files in.
+
+    Spurious self-wins (the claim landed but reported failure — the
+    object-store timeout shape) are detected exactly: re-pointed
+    adds carry this commit's uuid sidecar path. ``budget`` bounds
+    total claim attempts across the caller's whole operation."""
+    touched = sorted(removes)
+    while True:
+        if budget["n"] <= 0:
+            raise TxConflict(
+                f"{op} exhausted its claim-race budget on {table_dir}"
+            )
+        budget["n"] -= 1
+        try:
+            return _commit_delta(
+                table_dir, parent, adds, removes, op, stat_cols,
+                partition_cols,
+            )
+        except TxConflict:
+            head = current_version(table_dir)
+            hm = read_manifest(table_dir, head)
+            if (
+                hm.get("op") == op
+                and sorted(hm.get("removes", [])) == touched
+                and sorted(_entry_name(e) for e in hm.get("adds", []))
+                == sorted(_entry_name(e) for e in adds)
+                and (
+                    sidecar is None
+                    or all(
+                        sidecar in _entry_dvs(e)
+                        for e in hm.get("adds", [])
+                        if _entry_dvs(e)
+                    )
+                )
+                and (hm.get("adds") or sidecar is None)
+            ):
+                return head  # spurious self-win: the head IS our commit
+            if (
+                (hm.get("stat_cols") or None) != (stat_cols or None)
+                or (hm.get("partition_cols") or None)
+                != (partition_cols or None)
+            ):
+                return _RETRY
+            if (
+                require_same_constraints is not None
+                and resolve_constraints(table_dir, head)
+                != require_same_constraints
+            ):
+                return _RETRY
+            if (
+                require_same_mapping is not None
+                and resolve_mapping(table_dir, head)
+                != require_same_mapping
+            ):
+                return _RETRY
+            live = {
+                _entry_name(e): e
+                for e in resolve_files(table_dir, head)
+            }
+            if any(live.get(n) != by_name.get(n) for n in touched):
+                return _RETRY  # touched entry moved: positions stale
+            parent = head
+
+
 def delete_rows_dv(
     spark: SparkSession,
     table_dir: str,
     key_col: str,
     values: list | DataFrame,
     candidate_names: list[str] | None = None,
+    max_rebase: int = 20,
 ) -> int:
     """MERGE-ON-READ targeted delete — Delta deletion vectors /
     Iceberg positional delete files, at their irreducible core. ONE
@@ -1183,10 +1286,16 @@ def delete_rows_dv(
 
     Crash safety mirrors appends: the sidecar lands BEFORE the commit
     that references it (an orphaned sidecar is garbage for
-    :func:`vacuum`, never corruption); a :class:`TxConflict` loser
-    retries with a fresh probe and its abandoned sidecar vacuums
-    away. Returns the committed version — ``parent`` unchanged when
-    nothing matched (no empty commits).
+    :func:`vacuum`, never corruption). LOCK-FREE under concurrency: a
+    lost claim race rebases over any DISJOINT concurrent commit (the
+    touched entries are byte-identical at the new head, so the
+    recorded positions stay valid — two deletes on different files
+    need no coordination, and a delete racing a blind append
+    serializes BEFORE it, Delta's WriteSerializable rule); an
+    OVERLAPPING concurrent commit (same file re-pointed or removed)
+    triggers a transparent RE-PROBE against the fresh head, whose
+    abandoned sidecar vacuums away. Returns the committed version —
+    ``parent`` unchanged when nothing matched (no empty commits).
     """
     if isinstance(values, DataFrame):
         # DataFrame-sized key sets stay distributed end-to-end: one
@@ -1203,46 +1312,61 @@ def delete_rows_dv(
         lo = min(values) if values else None
         hi = max(values) if values else None
         vlist = values
-    parent = current_version(table_dir)
-    m = read_manifest(table_dir, parent)
-    stat_cols = m.get("stat_cols") or None
-    partition_cols = m.get("partition_cols") or None
-    entries = resolve_files(table_dir, parent)
-    by_name = {_entry_name(e): e for e in entries}
-    if candidate_names is not None:
-        probe = [by_name[n] for n in candidate_names]
-    else:
-        probe = _probe_candidates(
-            spark, table_dir, m, entries, by_name, key_col, lo, hi,
-            values=vlist, keys=keys,
-            phys_key=resolve_mapping(table_dir, parent)["map"].get(
-                key_col
-            ),
+    budget = {"n": max_rebase}
+    while budget["n"] > 0:
+        parent = current_version(table_dir)
+        m = read_manifest(table_dir, parent)
+        stat_cols = m.get("stat_cols") or None
+        partition_cols = m.get("partition_cols") or None
+        entries = resolve_files(table_dir, parent)
+        by_name = {_entry_name(e): e for e in entries}
+        if candidate_names is not None:
+            # a re-probe after an overlapping concurrent commit may
+            # find a caller-supplied candidate gone (pure remove) —
+            # correctness never depended on the candidate set
+            probe = [
+                by_name[n] for n in candidate_names if n in by_name
+            ]
+        else:
+            probe = _probe_candidates(
+                spark, table_dir, m, entries, by_name, key_col, lo, hi,
+                values=vlist, keys=keys,
+                phys_key=resolve_mapping(table_dir, parent)["map"].get(
+                    key_col
+                ),
+            )
+        if not probe:
+            return parent
+        live = _read_entries(
+            spark, table_dir, probe, parent, keep_pos=True
         )
-    if not probe:
-        return parent
-    live = _read_entries(spark, table_dir, probe, parent, keep_pos=True)
-    matched = (
-        live.join(keys, key_col, "left_semi")
-        if keys is not None
-        else live.filter(F.col(key_col).isin(values))
-    )
-    hits = matched.select(
-        F.col("_file_name").alias("file_name"),
-        F.col("_row_pos").alias("pos"),
-    )
-    sidecar, per_file = _write_dv_sidecar(spark, table_dir, hits)
-    if sidecar is None:
-        return parent
-    removes, adds = _dv_repoint(table_dir, by_name, per_file, sidecar)
-    return _commit_delta(
-        table_dir, parent, adds, removes, "delete_dv", stat_cols,
-        partition_cols,
+        matched = (
+            live.join(keys, key_col, "left_semi")
+            if keys is not None
+            else live.filter(F.col(key_col).isin(values))
+        )
+        hits = matched.select(
+            F.col("_file_name").alias("file_name"),
+            F.col("_row_pos").alias("pos"),
+        )
+        sidecar, per_file = _write_dv_sidecar(spark, table_dir, hits)
+        if sidecar is None:
+            return parent
+        removes, adds = _dv_repoint(table_dir, by_name, per_file, sidecar)
+        out = _try_commit_dv(
+            table_dir, parent, adds, removes, "delete_dv", stat_cols,
+            partition_cols, by_name, sidecar, budget,
+        )
+        if out is not _RETRY:
+            return out
+    raise TxConflict(
+        f"delete_rows_dv lost {max_rebase} consecutive races on "
+        f"{table_dir}"
     )
 
 
 def delete_where(
-    spark: SparkSession, table_dir: str, condition
+    spark: SparkSession, table_dir: str, condition, max_rebase: int = 20
 ) -> int:
     """``DELETE FROM t WHERE <condition>`` — PREDICATE-targeted
     merge-on-read delete, the curation-pipeline verb (drop every row
@@ -1257,32 +1381,51 @@ def delete_where(
     ``snapshot_pruned`` + an explicit key delete when that matters).
     ``condition`` is a SQL string or a Column; NULL results don't
     match (SQL WHERE semantics). Fully-matched files become pure
-    removes from manifest row totals. Returns the parent version
-    unchanged when nothing matched."""
-    parent = current_version(table_dir)
-    m = read_manifest(table_dir, parent)
-    entries = resolve_files(table_dir, parent)
-    if not entries:
-        return parent
-    by_name = {_entry_name(e): e for e in entries}
+    removes from manifest row totals. LOCK-FREE under concurrency
+    with :func:`delete_rows_dv`'s exact rebase/re-probe rules (the
+    predicate must be deterministic for the re-probe to be a
+    consistent retry). Returns the parent version unchanged when
+    nothing matched."""
     pred = F.expr(condition) if isinstance(condition, str) else condition
-    live = _read_entries(spark, table_dir, entries, parent, keep_pos=True)
-    hits = live.filter(F.coalesce(pred, F.lit(False))).select(
-        F.col("_file_name").alias("file_name"),
-        F.col("_row_pos").alias("pos"),
-    )
-    sidecar, per_file = _write_dv_sidecar(spark, table_dir, hits)
-    if sidecar is None:
-        return parent
-    removes, adds = _dv_repoint(table_dir, by_name, per_file, sidecar)
-    return _commit_delta(
-        table_dir, parent, adds, removes, "delete_where",
-        m.get("stat_cols") or None, m.get("partition_cols") or None,
+    budget = {"n": max_rebase}
+    while budget["n"] > 0:
+        parent = current_version(table_dir)
+        m = read_manifest(table_dir, parent)
+        entries = resolve_files(table_dir, parent)
+        if not entries:
+            return parent
+        by_name = {_entry_name(e): e for e in entries}
+        live = _read_entries(
+            spark, table_dir, entries, parent, keep_pos=True
+        )
+        hits = live.filter(F.coalesce(pred, F.lit(False))).select(
+            F.col("_file_name").alias("file_name"),
+            F.col("_row_pos").alias("pos"),
+        )
+        sidecar, per_file = _write_dv_sidecar(spark, table_dir, hits)
+        if sidecar is None:
+            return parent
+        removes, adds = _dv_repoint(table_dir, by_name, per_file, sidecar)
+        out = _try_commit_dv(
+            table_dir, parent, adds, removes, "delete_where",
+            m.get("stat_cols") or None,
+            m.get("partition_cols") or None,
+            by_name, sidecar, budget,
+        )
+        if out is not _RETRY:
+            return out
+    raise TxConflict(
+        f"delete_where lost {max_rebase} consecutive races on "
+        f"{table_dir}"
     )
 
 
 def update_rows(
-    spark: SparkSession, table_dir: str, condition, set_exprs: dict
+    spark: SparkSession,
+    table_dir: str,
+    condition,
+    set_exprs: dict,
+    max_rebase: int = 20,
 ) -> int:
     """``UPDATE t SET col = expr, ... WHERE <condition>`` in ONE
     commit: matching rows' positions DV-delete (no file rewrite) and
@@ -1298,68 +1441,88 @@ def update_rows(
     predicate must be deterministic (it is evaluated in the position
     probe and the image build — two passes over the same immutable
     snapshot files, so any determinism makes them consistent).
-    Returns the parent version unchanged when nothing matched."""
-    parent = current_version(table_dir)
-    m = read_manifest(table_dir, parent)
-    stat_cols = m.get("stat_cols") or None
-    partition_cols = m.get("partition_cols") or None
-    entries = resolve_files(table_dir, parent)
-    if not entries:
-        return parent
-    by_name = {_entry_name(e): e for e in entries}
-    rt = resolve_row_tracking(table_dir, parent)
+    LOCK-FREE under concurrency via :func:`delete_rows_dv`'s rebase
+    rules, hardened for staged images: a concurrent ``add_constraint``
+    or RENAME/DROP forces a full re-run (the already-written image
+    files were validated and physically named against the old head),
+    never a silent commit of unchecked files. Returns the parent
+    version unchanged when nothing matched."""
     pred = F.expr(condition) if isinstance(condition, str) else condition
-    live = _read_entries(
-        spark, table_dir, entries, parent, keep_pos=True,
-        keep_rid=bool(rt),
-    )
-    sj = resolve_schema(table_dir, parent)
-    if sj:
-        schema_cols = [f["name"] for f in json.loads(sj)["fields"]]
-    else:  # pre-schema-evolution table: the read's columns ARE the schema
-        schema_cols = [
-            c for c in live.columns if c not in ("_file_name", "_row_pos")
-        ]
-    unknown = set(set_exprs) - set(schema_cols)
-    if unknown:
-        raise ValueError(
-            f"UPDATE cannot add columns: {sorted(unknown)} not in the "
-            f"table schema (append with new columns to evolve it)"
+    budget = {"n": max_rebase}
+    while budget["n"] > 0:
+        parent = current_version(table_dir)
+        m = read_manifest(table_dir, parent)
+        stat_cols = m.get("stat_cols") or None
+        partition_cols = m.get("partition_cols") or None
+        entries = resolve_files(table_dir, parent)
+        if not entries:
+            return parent
+        by_name = {_entry_name(e): e for e in entries}
+        rt = resolve_row_tracking(table_dir, parent)
+        live = _read_entries(
+            spark, table_dir, entries, parent, keep_pos=True,
+            keep_rid=bool(rt),
         )
-    matched = live.filter(F.coalesce(pred, F.lit(False)))
-    hits = matched.select(
-        F.col("_file_name").alias("file_name"),
-        F.col("_row_pos").alias("pos"),
-    )
-    sidecar, per_file = _write_dv_sidecar(spark, table_dir, hits)
-    if sidecar is None:
-        return parent
+        sj = resolve_schema(table_dir, parent)
+        if sj:
+            schema_cols = [f["name"] for f in json.loads(sj)["fields"]]
+        else:  # pre-schema-evolution table: the read's columns ARE the schema
+            schema_cols = [
+                c
+                for c in live.columns
+                if c not in ("_file_name", "_row_pos")
+            ]
+        unknown = set(set_exprs) - set(schema_cols)
+        if unknown:
+            raise ValueError(
+                f"UPDATE cannot add columns: {sorted(unknown)} not in "
+                f"the table schema (append with new columns to evolve "
+                f"it)"
+            )
+        matched = live.filter(F.coalesce(pred, F.lit(False)))
+        hits = matched.select(
+            F.col("_file_name").alias("file_name"),
+            F.col("_row_pos").alias("pos"),
+        )
+        sidecar, per_file = _write_dv_sidecar(spark, table_dir, hits)
+        if sidecar is None:
+            return parent
 
-    def _set(c: str):
-        e = set_exprs.get(c)
-        if e is None:
-            return F.col(c)
-        return (F.expr(e) if isinstance(e, str) else e).alias(c)
+        def _set(c: str):
+            e = set_exprs.get(c)
+            if e is None:
+                return F.col(c)
+            return (F.expr(e) if isinstance(e, str) else e).alias(c)
 
-    updated = matched.select(
-        *[_set(c) for c in schema_cols],
-        # row tracking: an UPDATE is the same logical row — its id
-        # materializes into the image file
-        *([F.col("_row_id")] if rt else []),
-    )
-    _enforce_constraints(
-        updated, resolve_constraints(table_dir, parent)
-    )
-    removes, dv_adds = _dv_repoint(table_dir, by_name, per_file, sidecar)
-    new_names = _move_in_data_files(
-        spark, table_dir, updated, stat_cols, partition_cols
-    )
-    if rt:
-        for e in new_names:
-            e["rid"] = True
-    return _commit_delta(
-        table_dir, parent, dv_adds + new_names, removes, "update",
-        stat_cols, partition_cols,
+        updated = matched.select(
+            *[_set(c) for c in schema_cols],
+            # row tracking: an UPDATE is the same logical row — its id
+            # materializes into the image file
+            *([F.col("_row_id")] if rt else []),
+        )
+        cons = resolve_constraints(table_dir, parent)
+        _enforce_constraints(updated, cons)
+        mapping = resolve_mapping(table_dir, parent)
+        removes, dv_adds = _dv_repoint(
+            table_dir, by_name, per_file, sidecar
+        )
+        new_names = _move_in_data_files(
+            spark, table_dir, updated, stat_cols, partition_cols
+        )
+        if rt:
+            for e in new_names:
+                e["rid"] = True
+        out = _try_commit_dv(
+            table_dir, parent, dv_adds + new_names, removes, "update",
+            stat_cols, partition_cols, by_name, sidecar, budget,
+            require_same_constraints=cons,
+            require_same_mapping=mapping,
+        )
+        if out is not _RETRY:
+            return out
+    raise TxConflict(
+        f"update_rows lost {max_rebase} consecutive races on "
+        f"{table_dir}"
     )
 
 

@@ -269,12 +269,14 @@ def test_vacuum_reclaims_orphan_dv_sidecars(spark, tmp_path):
 
 
 def test_dv_conflict_loser_retries_cleanly(spark, tmp_path):
-    """A DV delete that loses the claim race raises TxConflict and its
-    sidecar is vacuumable garbage; the retry lands."""
+    """A DV delete that loses the claim race now absorbs it LOCK-FREE
+    (the rebase loop retries inside the call — append's contract since
+    round 6); the staged sidecar is reused, nothing orphans."""
     from etl_sentinel_imagery_spark.operators import txlog as tx
 
     t = str(tmp_path / "race")
     init_table(spark, t, _seed(spark, 60).coalesce(1))
+    v0 = tx.current_version(t)
 
     class LoseOnce(tx.PosixLogStore):
         def __init__(self):
@@ -288,17 +290,13 @@ def test_dv_conflict_loser_retries_cleanly(spark, tmp_path):
 
     tx.set_log_store(LoseOnce())
     try:
-        with pytest.raises(tx.TxConflict):
-            delete_rows_dv(spark, t, "doc_id", [9])
-        assert snapshot(spark, t).count() == 60  # untouched
-        delete_rows_dv(spark, t, "doc_id", [9])  # retry wins
+        assert delete_rows_dv(spark, t, "doc_id", [9]) == v0 + 1
         assert snapshot(spark, t).count() == 59
     finally:
         tx.set_log_store(tx.PosixLogStore())
-    # exactly one sidecar is referenced; the loser's vacuums away
-    assert len(os.listdir(os.path.join(t, "_dv"))) == 2
-    vacuum(t, min_age_seconds=0)
+    # the rebase reused its staged sidecar: exactly one, referenced
     assert len(os.listdir(os.path.join(t, "_dv"))) == 1
+    assert vacuum(t, min_age_seconds=0) == []
     assert snapshot(spark, t).count() == 59
 
 

@@ -775,10 +775,11 @@ def test_timestamp_as_of(spark, tmp_path):
 def test_new_verbs_conflict_losers_leave_no_partial_state(
     spark, tmp_path
 ):
-    """update_rows / delete_where / optimize_small_files that lose the
-    claim race raise TxConflict with the table untouched; their
-    orphaned sidecars/data files are vacuumable garbage; the retry
-    lands cleanly."""
+    """update_rows / delete_where absorb a lost claim race LOCK-FREE
+    (the rebase loop retries transparently — exactly append's
+    contract); optimize_small_files still surfaces TxConflict with
+    the table untouched. All losers' orphaned sidecars/data files
+    are vacuumable garbage."""
     from etl_sentinel_imagery_spark.operators.txlog import (
         delete_where,
         optimize_small_files,
@@ -798,34 +799,37 @@ def test_new_verbs_conflict_losers_leave_no_partial_state(
                 return False
             return super().claim(tmp_path, final_path)
 
-    for attempt, retry in (
-        (
-            lambda: update_rows(
-                spark, t, "doc_id < 5", {"body": F.lit("race-upd")}
-            ),
-            None,
+    # the DV verbs ride the rebase loop: one spurious loss is retried
+    # inside the call, the table ends one version ahead, rows correct
+    for attempt in (
+        lambda: update_rows(
+            spark, t, "doc_id < 5", {"body": F.lit("race-upd")}
         ),
-        (lambda: delete_where(spark, t, "doc_id = 58"), None),
-        (
-            lambda: optimize_small_files(spark, t, small_bytes=10**9),
-            None,
-        ),
+        lambda: delete_where(spark, t, "doc_id = 58"),
     ):
-        before = sorted(map(tuple, snapshot(spark, t).collect()))
         v_before = current_version(t)
         tx.set_log_store(LoseOnce())
         try:
-            with pytest.raises(tx.TxConflict):
-                attempt()
-            # loser left nothing: same version, same rows
-            assert current_version(t) == v_before
-            assert (
-                sorted(map(tuple, snapshot(spark, t).collect())) == before
-            )
-            attempt()  # retry wins
+            attempt()
             assert current_version(t) == v_before + 1
         finally:
             tx.set_log_store(tx.PosixLogStore())
+
+    # optimize keeps the raise-on-conflict contract
+    before = sorted(map(tuple, snapshot(spark, t).collect()))
+    v_before = current_version(t)
+    tx.set_log_store(LoseOnce())
+    try:
+        with pytest.raises(tx.TxConflict):
+            optimize_small_files(spark, t, small_bytes=10**9)
+        assert current_version(t) == v_before
+        assert (
+            sorted(map(tuple, snapshot(spark, t).collect())) == before
+        )
+        optimize_small_files(spark, t, small_bytes=10**9)  # retry wins
+        assert current_version(t) == v_before + 1
+    finally:
+        tx.set_log_store(tx.PosixLogStore())
 
     snap = snapshot(spark, t)
     assert snap.where("body = 'race-upd'").count() == 5
