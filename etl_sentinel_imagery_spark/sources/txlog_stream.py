@@ -164,6 +164,8 @@ def plan_change_partitions(
     the stream to adopt the new schema (Delta's behavior). A plain
     DROP is benign (the declared column NULL-fills on later files)."""
     from etl_sentinel_imagery_spark.operators.txlog import (
+        _entries_from_parts,
+        _has_full_list,
         read_manifest,
         resolve_files,
     )
@@ -191,13 +193,22 @@ def plan_change_partitions(
         snapshot_start = (
             v == max(from_version + 1, 0)
             and m.get("parent") is None
-            and "files" in m
+            and _has_full_list(m)
         )
         if ("adds" in m or "removes" in m) and not snapshot_start:
             adds = [_entry_pair(e) for e in m.get("adds", [])]
             remove_names = list(m.get("removes", []))
         else:
-            adds = [_entry_pair(e) for e in m.get("files", [])]
+            full = (
+                list(
+                    _entries_from_parts(
+                        table_dir, m["files_parts"]
+                    ).values()
+                )
+                if "files_parts" in m
+                else m.get("files", [])
+            )
+            adds = [_entry_pair(e) for e in full]
             remove_names = []
         if not remove_names:
             parts += [
