@@ -1508,6 +1508,93 @@ def _try_commit_dv(
             parent = head
 
 
+def _is_repoint_only(m: dict) -> bool:
+    """True when a commit introduces NO new data files — every add
+    re-points a file it also removes (DV delete / DV compaction), or
+    it is a pure-metadata commit. Such commits cannot carry keys that
+    would invalidate a concurrent merge's NOT-MATCHED decisions."""
+    add_names = {_entry_name(e) for e in m.get("adds", [])}
+    return add_names <= set(m.get("removes", []))
+
+
+def _try_commit_merge(
+    table_dir: str,
+    parent: int,
+    adds: list,
+    removes: list[str],
+    op: str,
+    stat_cols,
+    partition_cols,
+    by_name: dict,
+    budget: dict,
+    schema_json: str | None,
+    txn,
+    column_mapping,
+    row_tracking,
+    expect_mapping: dict,
+    expect_constraints: dict,
+):
+    """Lock-free commit for MERGE-shaped writes. A merge READS the
+    table (its NOT-MATCHED → insert decisions), so the rebase window
+    is narrower than the delete verbs': only a concurrent REPOINT-ONLY
+    commit (DV delete/compaction — no new data, hence no keys that
+    could stale an insert decision) that is DISJOINT from our touched
+    files and changed neither constraints nor the column mapping
+    commutes. Anything else returns ``_RETRY`` — the caller re-runs
+    the whole merge against the fresh head (the Serializable answer;
+    the caller's localCheckpoint-pinned source makes the re-run a
+    consistent retry, and the abandoned sidecar/data files vacuum
+    away). Spurious self-wins are exact: merge data files carry uuid
+    names."""
+    touched = sorted(removes)
+    add_names = sorted(_entry_name(e) for e in adds)
+    while True:
+        if budget["n"] <= 0:
+            raise TxConflict(
+                f"{op} exhausted its claim-race budget on {table_dir}"
+            )
+        budget["n"] -= 1
+        try:
+            return _commit_delta(
+                table_dir, parent, adds, removes, op, stat_cols,
+                partition_cols, schema_json=schema_json, txn=txn,
+                column_mapping=column_mapping,
+                row_tracking=row_tracking,
+            )
+        except TxConflict:
+            head = current_version(table_dir)
+            hm = read_manifest(table_dir, head)
+            if (
+                hm.get("op") == op
+                and sorted(hm.get("removes", [])) == touched
+                and sorted(_entry_name(e) for e in hm.get("adds", []))
+                == add_names
+            ):
+                return head  # spurious self-win (uuid-name match)
+            if not _is_repoint_only(hm):
+                return _RETRY
+            if (
+                (hm.get("stat_cols") or None) != (stat_cols or None)
+                or (hm.get("partition_cols") or None)
+                != (partition_cols or None)
+            ):
+                return _RETRY
+            if resolve_mapping(table_dir, head) != expect_mapping:
+                return _RETRY
+            if (
+                resolve_constraints(table_dir, head)
+                != expect_constraints
+            ):
+                return _RETRY
+            live = {
+                _entry_name(e): e
+                for e in resolve_files(table_dir, head)
+            }
+            if any(live.get(n) != by_name.get(n) for n in touched):
+                return _RETRY
+            parent = head
+
+
 def delete_rows_dv(
     spark: SparkSession,
     table_dir: str,
@@ -1857,77 +1944,85 @@ def merge_upsert(
             f"merge source is not key-unique on {key_col!r}: "
             f"{src_stats['n']} rows, {src_stats['nk']} distinct keys"
         )
-    parent = current_version(table_dir)
-    if "_row_id" in source.columns and resolve_row_tracking(
-        table_dir, parent
-    ):
-        raise ValueError(
-            "_row_id is engine-owned under row tracking; the merge "
-            "source must not supply it"
+    budget = {"n": 20}
+    while budget["n"] > 0:
+        parent = current_version(table_dir)
+        if "_row_id" in source.columns and resolve_row_tracking(
+            table_dir, parent
+        ):
+            raise ValueError(
+                "_row_id is engine-owned under row tracking; the merge "
+                "source must not supply it"
+            )
+        m = read_manifest(table_dir, parent)
+        stat_cols = m.get("stat_cols") or None
+        partition_cols = m.get("partition_cols") or None
+        merged_schema = _merge_schema_json(
+            resolve_schema(table_dir, parent), source.schema
         )
-    m = read_manifest(table_dir, parent)
-    stat_cols = m.get("stat_cols") or None
-    partition_cols = m.get("partition_cols") or None
-    merged_schema = _merge_schema_json(
-        resolve_schema(table_dir, parent), source.schema
-    )
-    _enforce_constraints(source, resolve_constraints(table_dir, parent))
-    entries = resolve_files(table_dir, parent)
-    by_name = {_entry_name(e): e for e in entries}
-    if candidate_names is not None:
-        probe = [by_name[n] for n in candidate_names]
-    else:
-        # the shared pruning ladder: manifest-stats range auto-prune
-        # (ZORDER BY the merge key to make it bite), else the per-file
-        # Bloom sidecar probed with the SOURCE's keys (DataFrame-keyed
-        # — a merge on a non-stats key no longer scans the table),
-        # else the full — still single, pushed-down — probe
-        probe = _probe_candidates(
-            spark, table_dir, m, entries, by_name, key_col,
-            src_stats["lo"], src_stats["hi"],
-            keys=source.select(key_col),
-            phys_key=resolve_mapping(table_dir, parent)["map"].get(
-                key_col
-            ),
-        )
-
-    removes: list[str] = []
-    dv_adds: list = []
-    if probe:
-        live = _read_entries(
-            spark, table_dir, probe, parent, keep_pos=True
-        )
-        keys = source.select(key_col).distinct()
-        hits = live.join(keys, key_col, "left_semi").select(
-            F.col("_file_name").alias("file_name"),
-            F.col("_row_pos").alias("pos"),
-        )
-        sidecar, per_file = _write_dv_sidecar(spark, table_dir, hits)
-        if sidecar is not None:
-            removes, dv_adds = _dv_repoint(
-                table_dir, by_name, per_file, sidecar
+        cons = resolve_constraints(table_dir, parent)
+        _enforce_constraints(source, cons)
+        entries = resolve_files(table_dir, parent)
+        by_name = {_entry_name(e): e for e in entries}
+        if candidate_names is not None:
+            probe = [
+                by_name[n] for n in candidate_names if n in by_name
+            ]
+        else:
+            # the shared pruning ladder: manifest-stats range auto-prune
+            # (ZORDER BY the merge key to make it bite), else the per-file
+            # Bloom sidecar probed with the SOURCE's keys (DataFrame-keyed
+            # — a merge on a non-stats key no longer scans the table),
+            # else the full — still single, pushed-down — probe
+            probe = _probe_candidates(
+                spark, table_dir, m, entries, by_name, key_col,
+                src_stats["lo"], src_stats["hi"],
+                keys=source.select(key_col),
+                phys_key=resolve_mapping(table_dir, parent)["map"].get(
+                    key_col
+                ),
             )
 
-    mapping = resolve_mapping(table_dir, parent)
-    upd = _assign_physical(
-        mapping,
-        [f["name"] for f in json.loads(merged_schema)["fields"]],
-    )
-    new_names = _move_in_data_files(
-        spark, table_dir, source, stat_cols, partition_cols,
-        mapping=upd or mapping,
-    )
-    return _commit_delta(
-        table_dir,
-        parent,
-        dv_adds + new_names,
-        removes,
-        op,
-        stat_cols,
-        partition_cols,
-        schema_json=merged_schema,
-        txn=txn,
-        column_mapping=upd,
+        removes: list[str] = []
+        dv_adds: list = []
+        if probe:
+            live = _read_entries(
+                spark, table_dir, probe, parent, keep_pos=True
+            )
+            keys = source.select(key_col).distinct()
+            hits = live.join(keys, key_col, "left_semi").select(
+                F.col("_file_name").alias("file_name"),
+                F.col("_row_pos").alias("pos"),
+            )
+            sidecar, per_file = _write_dv_sidecar(
+                spark, table_dir, hits
+            )
+            if sidecar is not None:
+                removes, dv_adds = _dv_repoint(
+                    table_dir, by_name, per_file, sidecar
+                )
+
+        mapping = resolve_mapping(table_dir, parent)
+        upd = _assign_physical(
+            mapping,
+            [f["name"] for f in json.loads(merged_schema)["fields"]],
+        )
+        new_names = _move_in_data_files(
+            spark, table_dir, source, stat_cols, partition_cols,
+            mapping=upd or mapping,
+        )
+        out = _try_commit_merge(
+            table_dir, parent, dv_adds + new_names, removes, op,
+            stat_cols, partition_cols, by_name, budget,
+            schema_json=merged_schema, txn=txn, column_mapping=upd,
+            row_tracking=None,
+            expect_mapping=upd or mapping,
+            expect_constraints=cons,
+        )
+        if out is not _RETRY:
+            return out
+    raise TxConflict(
+        f"merge lost its claim-race budget on {table_dir}"
     )
 
 
@@ -1996,6 +2091,38 @@ def merge(
     ):
         raise ValueError("when_not_matched supports [('insert', cond)]")
 
+    # LOCK-FREE like merge_upsert: a lost claim race rebases over a
+    # disjoint repoint-only concurrent commit inside _try_commit_merge,
+    # and anything else re-runs the whole attempt against the fresh
+    # head (the pinned source makes the re-run a consistent retry)
+    budget = {"n": 20}
+    while budget["n"] > 0:
+        out = _merge_once(
+            spark, table_dir, source, key_col, when_matched,
+            when_not_matched, candidate_names, src_stats, budget,
+        )
+        if out is not _RETRY:
+            return out
+    raise TxConflict(
+        f"merge lost its claim-race budget on {table_dir}"
+    )
+
+
+def _merge_once(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key_col: str,
+    when_matched: list,
+    when_not_matched: list,
+    candidate_names: list[str] | None,
+    src_stats,
+    budget: dict,
+):
+    """One clause-merge attempt against the current head; returns the
+    committed version or ``_RETRY`` (see :func:`_try_commit_merge`)."""
+    from pyspark.sql.types import StructType
+
     parent = current_version(table_dir)
     m = read_manifest(table_dir, parent)
     stat_cols = m.get("stat_cols") or None
@@ -2025,7 +2152,7 @@ def merge(
     entries = resolve_files(table_dir, parent)
     by_name = {_entry_name(e): e for e in entries}
     if candidate_names is not None:
-        probe = [by_name[n] for n in candidate_names]
+        probe = [by_name[n] for n in candidate_names if n in by_name]
     else:
         probe = _probe_candidates(
             spark, table_dir, m, entries, by_name, key_col,
@@ -2173,14 +2300,13 @@ def merge(
         return parent
     mapping = resolve_mapping(table_dir, parent)
     upd = _assign_physical(mapping, [f.name for f in out_fields])
+    cons = resolve_constraints(table_dir, parent)
     new_names: list = []
     if images:
         out = images[0]
         for d in images[1:]:
             out = out.unionByName(d)
-        _enforce_constraints(
-            out, resolve_constraints(table_dir, parent)
-        )
+        _enforce_constraints(out, cons)
         new_names = _move_in_data_files(
             spark, table_dir, out, stat_cols, partition_cols,
             mapping=upd or mapping,
@@ -2197,7 +2323,7 @@ def merge(
                 e["rid"] = True
     if not new_names and not removes and not dv_adds:
         return parent  # every clause filtered to nothing: no-op
-    return _commit_delta(
+    return _try_commit_merge(
         table_dir,
         parent,
         dv_adds + new_names,
@@ -2205,9 +2331,14 @@ def merge(
         "merge",
         stat_cols,
         partition_cols,
+        by_name,
+        budget,
         schema_json=merged_sj,
+        txn=None,
         column_mapping=upd,
         row_tracking={"watermark": rid_wm} if rt else None,
+        expect_mapping=upd or mapping,
+        expect_constraints=cons,
     )
 
 

@@ -206,6 +206,75 @@ def test_update_racing_new_constraint_revalidates(
     assert snap.where("doc_id = 5").collect()[0]["body"] == "lf-5"
 
 
+def test_merge_rebases_over_disjoint_dv_delete(
+    spark, tmp_path, monkeypatch
+):
+    """MERGE's narrower rebase window: a concurrent REPOINT-ONLY
+    commit (a DV delete on a different file) commutes — the merge
+    lands on the first claim retry with its staged files intact."""
+    from etl_sentinel_imagery_spark.operators.txlog import merge_upsert
+
+    t = _two_file_table(spark, tmp_path, "mg-disjoint")
+    _race_once(
+        monkeypatch, lambda: delete_rows_dv(spark, t, "doc_id", [40])
+    )
+    src = spark.createDataFrame(
+        [(5, 0, "merged-5"), (100, 2, "inserted-100")],
+        "doc_id long, grp int, body string",
+    )
+    merge_upsert(spark, t, src, "doc_id")
+    snap = snapshot(spark, t)
+    assert snap.where("doc_id = 5").collect()[0]["body"] == "merged-5"
+    assert snap.where("doc_id = 100").count() == 1
+    assert snap.where("doc_id = 40").count() == 0
+    assert snap.count() == 60  # 60 - 1 deleted + 1 inserted
+    # exactly one sidecar per writer — the merge did NOT re-run
+    assert _n_sidecars(t) == 2
+
+
+def test_merge_reruns_when_concurrent_append_adds_its_insert_key(
+    spark, tmp_path, monkeypatch
+):
+    """A concurrent APPEND may carry a key the merge decided to
+    INSERT — the stale attempt is discarded and the re-run converts
+    the insert into an update (Serializable, no duplicate keys)."""
+    from etl_sentinel_imagery_spark.operators.txlog import merge_upsert
+
+    t = _two_file_table(spark, tmp_path, "mg-append")
+    racer = spark.createDataFrame(
+        [(100, 2, "appended-first")], "doc_id long, grp int, body string"
+    )
+    _race_once(monkeypatch, lambda: append(spark, t, racer))
+    src = spark.createDataFrame(
+        [(100, 2, "merged-100")], "doc_id long, grp int, body string"
+    )
+    merge_upsert(spark, t, src, "doc_id")
+    rows = snapshot(spark, t).where("doc_id = 100").collect()
+    assert [r["body"] for r in rows] == ["merged-100"]  # ONE row
+
+
+def test_clause_merge_rebases_over_disjoint_delete(
+    spark, tmp_path, monkeypatch
+):
+    from etl_sentinel_imagery_spark.operators.txlog import merge
+
+    t = _two_file_table(spark, tmp_path, "mgc")
+    _race_once(
+        monkeypatch, lambda: delete_rows_dv(spark, t, "doc_id", [40])
+    )
+    src = spark.createDataFrame(
+        [(5, 0, "tomb")], "doc_id long, grp int, body string"
+    )
+    merge(
+        spark, t, src, "doc_id",
+        when_matched=[("delete", None)],
+        when_not_matched=[],
+    )
+    snap = snapshot(spark, t)
+    assert snap.where("doc_id in (5, 40)").count() == 0
+    assert snap.count() == 58
+
+
 def test_parallel_delete_storm_all_land_lock_free(spark, tmp_path):
     """Four real threads deleting disjoint keys with no coordination:
     every delete lands (rebase absorbs the races), no TxConflict
