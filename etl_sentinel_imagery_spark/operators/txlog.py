@@ -2808,11 +2808,19 @@ def dv_delete_candidates_df(
 
 
 def compact(
-    spark: SparkSession, table_dir: str, target_files: int = 1
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int = 1,
+    _attempts: int = 3,
 ) -> int:
     """Transactional compaction: rewrite the snapshot into
     ``target_files`` files; one commit swaps the whole list — no
-    old+new transient, unlike the directory-swap compactor."""
+    old+new transient, unlike the directory-swap compactor.
+    LOCK-FREE: a lost claim race rebases over any concurrent commit
+    disjoint from the rewritten sources (a blind append lands
+    untouched beside the compaction — Delta's OPTIMIZE conflict
+    rule); a concurrent commit that touched a source file re-runs
+    the rewrite against the fresh head, bounded by ``_attempts``."""
     parent = current_version(table_dir)
     m = read_manifest(table_dir, parent)
     stat_cols = m.get("stat_cols") or None
@@ -2833,10 +2841,19 @@ def compact(
     if rt:
         for e in names:
             e["rid"] = True
-    return _commit_delta(
+    out = _try_commit_dv(
         table_dir, parent, names, old_names, "compact", stat_cols,
-        partition_cols,
+        partition_cols, {_entry_name(e): e for e in entries}, None,
+        {"n": 20},
+        require_same_mapping=resolve_mapping(table_dir, parent),
     )
+    if out is not _RETRY:
+        return out
+    if _attempts <= 1:
+        raise TxConflict(
+            f"compact kept losing to overlapping commits on {table_dir}"
+        )
+    return compact(spark, table_dir, target_files, _attempts - 1)
 
 
 def optimize(
@@ -2846,6 +2863,7 @@ def optimize(
     target_files: int = 8,
     bits: int | None = None,
     partition: dict | None = None,
+    _attempts: int = 3,
 ) -> int:
     """Delta-style ``OPTIMIZE [ZORDER BY]``: rewrite the current
     snapshot into ``target_files`` files clustered along the Z-curve
@@ -2863,8 +2881,10 @@ def optimize(
     fan-out pays. With hive ``partition_cols`` the write splits each
     curve segment per partition leaf; clustering then applies within
     partitions (document order), which is where partition-scoped scans
-    look. Concurrent commits race on the claim like every other op —
-    losers raise TxConflict and retry against the new parent.
+    look. LOCK-FREE like :func:`compact`: losers rebase over commits
+    disjoint from the rewritten scope (partition-scoped OPTIMIZE on
+    leaf A commutes with a delete on leaf B and with any append);
+    overlapping commits re-run the rewrite, bounded by ``_attempts``.
 
     ``partition`` ({col: value}) scopes the rewrite to the matching
     hive leaves — ``OPTIMIZE ... WHERE`` — so the daily relayout of a
@@ -2915,9 +2935,21 @@ def optimize(
     if rt:
         for e in names:
             e["rid"] = True
-    return _commit_delta(
+    out = _try_commit_dv(
         table_dir, parent, names, old_names, "optimize", stat_cols,
-        partition_cols,
+        partition_cols, {_entry_name(e): e for e in entries}, None,
+        {"n": 20},
+        require_same_mapping=resolve_mapping(table_dir, parent),
+    )
+    if out is not _RETRY:
+        return out
+    if _attempts <= 1:
+        raise TxConflict(
+            f"optimize kept losing to overlapping commits on {table_dir}"
+        )
+    return optimize(
+        spark, table_dir, zorder_by, target_files, bits, partition,
+        _attempts - 1,
     )
 
 
@@ -2928,6 +2960,7 @@ def optimize_small_files(
     target_bytes: int = 128 * 1024 * 1024,
     partition: dict | None = None,
     include_dv: bool = True,
+    _attempts: int = 3,
 ) -> tuple[int, dict]:
     """Delta's REAL ``OPTIMIZE``: bin-pack only the files that need it
     — :func:`optimize` rewrites the whole snapshot, which is the right
@@ -3012,12 +3045,22 @@ def optimize_small_files(
     }
     if not removes:
         return parent, stats
-    return (
-        _commit_delta(
-            table_dir, parent, new_names, removes, "optimize_small",
-            stat_cols, partition_cols,
-        ),
-        stats,
+    out = _try_commit_dv(
+        table_dir, parent, new_names, removes, "optimize_small",
+        stat_cols, partition_cols,
+        {_entry_name(e): e for e in entries}, None, {"n": 20},
+        require_same_mapping=resolve_mapping(table_dir, parent),
+    )
+    if out is not _RETRY:
+        return out, stats
+    if _attempts <= 1:
+        raise TxConflict(
+            f"optimize_small_files kept losing to overlapping commits "
+            f"on {table_dir}"
+        )
+    return optimize_small_files(
+        spark, table_dir, small_bytes, target_bytes, partition,
+        include_dv, _attempts - 1,
     )
 
 

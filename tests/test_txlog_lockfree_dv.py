@@ -275,6 +275,50 @@ def test_clause_merge_rebases_over_disjoint_delete(
     assert snap.count() == 58
 
 
+def test_optimize_rebases_over_concurrent_blind_append(
+    spark, tmp_path, monkeypatch
+):
+    """Delta's OPTIMIZE conflict rule: a compaction only swaps its
+    source files, so a blind append landing mid-rewrite commutes —
+    the appended file survives untouched beside the compacted one."""
+    from etl_sentinel_imagery_spark.operators.txlog import optimize
+
+    t = _two_file_table(spark, tmp_path, "opt-app")
+    racer = spark.createDataFrame(
+        [(200, 4, "raced-in")], "doc_id long, grp int, body string"
+    ).coalesce(1)
+    _race_once(monkeypatch, lambda: append(spark, t, racer))
+    optimize(spark, t, target_files=1)
+    snap = snapshot(spark, t)
+    assert snap.count() == 61
+    assert snap.where("doc_id = 200").count() == 1
+    # the raced-in file was never part of the rewrite: it is still its
+    # own live entry next to the compacted output
+    entries = [tx._entry_name(e) for e in tx.resolve_files(t)]
+    assert len(entries) == 2
+
+
+def test_optimize_reruns_when_source_file_deleted_under_it(
+    spark, tmp_path, monkeypatch
+):
+    """A DV delete on a file the rewrite consumed means the staged
+    output resurrects deleted rows — the re-run reads the fresh head
+    and the delete is respected."""
+    from etl_sentinel_imagery_spark.operators.txlog import optimize
+
+    t = _two_file_table(spark, tmp_path, "opt-del")
+    _race_once(
+        monkeypatch, lambda: delete_rows_dv(spark, t, "doc_id", [5])
+    )
+    optimize(spark, t, target_files=1)
+    snap = snapshot(spark, t)
+    assert snap.where("doc_id = 5").count() == 0
+    assert snap.count() == 59
+    # the rewrite materialized the DV away in its re-run output
+    entries = tx.resolve_files(t)
+    assert all(not tx._entry_dvs(e) for e in entries)
+
+
 def test_parallel_delete_storm_all_land_lock_free(spark, tmp_path):
     """Four real threads deleting disjoint keys with no coordination:
     every delete lands (rebase absorbs the races), no TxConflict

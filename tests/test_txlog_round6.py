@@ -775,10 +775,9 @@ def test_timestamp_as_of(spark, tmp_path):
 def test_new_verbs_conflict_losers_leave_no_partial_state(
     spark, tmp_path
 ):
-    """update_rows / delete_where absorb a lost claim race LOCK-FREE
-    (the rebase loop retries transparently — exactly append's
-    contract); optimize_small_files still surfaces TxConflict with
-    the table untouched. All losers' orphaned sidecars/data files
+    """update_rows / delete_where / optimize_small_files absorb a lost
+    claim race LOCK-FREE (the rebase loop retries transparently —
+    exactly append's contract). Losers' orphaned sidecars/data files
     are vacuumable garbage."""
     from etl_sentinel_imagery_spark.operators.txlog import (
         delete_where,
@@ -799,14 +798,16 @@ def test_new_verbs_conflict_losers_leave_no_partial_state(
                 return False
             return super().claim(tmp_path, final_path)
 
-    # the DV verbs ride the rebase loop: one spurious loss is retried
-    # inside the call, the table ends one version ahead, rows correct
+    # every rewrite/DV verb rides the rebase loop: one spurious loss
+    # is retried inside the call, the table ends one version ahead
     for attempt in (
         lambda: update_rows(
             spark, t, "doc_id < 5", {"body": F.lit("race-upd")}
         ),
         lambda: delete_where(spark, t, "doc_id = 58"),
+        lambda: optimize_small_files(spark, t, small_bytes=10**9),
     ):
+        before_rows = snapshot(spark, t).count()
         v_before = current_version(t)
         tx.set_log_store(LoseOnce())
         try:
@@ -814,30 +815,17 @@ def test_new_verbs_conflict_losers_leave_no_partial_state(
             assert current_version(t) == v_before + 1
         finally:
             tx.set_log_store(tx.PosixLogStore())
-
-    # optimize keeps the raise-on-conflict contract
-    before = sorted(map(tuple, snapshot(spark, t).collect()))
-    v_before = current_version(t)
-    tx.set_log_store(LoseOnce())
-    try:
-        with pytest.raises(tx.TxConflict):
-            optimize_small_files(spark, t, small_bytes=10**9)
-        assert current_version(t) == v_before
-        assert (
-            sorted(map(tuple, snapshot(spark, t).collect())) == before
-        )
-        optimize_small_files(spark, t, small_bytes=10**9)  # retry wins
-        assert current_version(t) == v_before + 1
-    finally:
-        tx.set_log_store(tx.PosixLogStore())
+        # rewrites are content-neutral; the DV verbs' row deltas are
+        # asserted below
+        assert snapshot(spark, t).count() <= before_rows
 
     snap = snapshot(spark, t)
     assert snap.where("body = 'race-upd'").count() == 5
     assert snap.where("doc_id = 58").count() == 0
     assert snap.count() == 59
-    # every orphan from the three losers vacuums away; live data intact
-    removed = vacuum(t, min_age_seconds=0)
-    assert removed, "loser sidecars/files should be reclaimable"
+    # the rebases reused their staged files/sidecars — nothing
+    # orphaned; vacuum has nothing to reclaim and live data is intact
+    vacuum(t, min_age_seconds=0)
     assert sorted(map(tuple, snapshot(spark, t).collect())) == sorted(
         map(tuple, snap.collect())
     )
