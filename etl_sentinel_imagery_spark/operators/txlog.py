@@ -3064,6 +3064,102 @@ def optimize_small_files(
     )
 
 
+def analyze_table(
+    spark: SparkSession,
+    table_dir: str,
+    cols: list[str],
+    _attempts: int = 3,
+) -> int:
+    """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` — backfill
+    per-file [min, max] manifest stats for ``cols`` and add them to
+    the table's tracked ``stat_cols``, so :func:`snapshot_pruned` and
+    the delete/merge probe ladder prune a table that was NOT
+    initialized with stats (or gained the column after init). The
+    after-the-fact sibling of write-time stats collection: at 100 TB
+    the difference between "re-ingest the table to get pruning" and
+    one metadata pass.
+
+    Cost shape: parquet FOOTERS only, read on EXECUTORS via one
+    ``mapInPandas`` pass over the live file list (no data-column IO,
+    no driver footer loop — the collected result is one tiny row per
+    file, the same size as the manifest itself). The commit is a pure
+    metadata repoint: every live entry re-adds with its stats merged
+    in, keeping its DV chain, row counts and ``base_rid`` intact, so
+    time travel, row tracking and merge-on-read reads are untouched.
+    Stats are keyed by PHYSICAL column name exactly like write-time
+    stats, so pruning survives later RENAMEs; a file that predates the
+    column (or lacks footer min/max) simply records no bound and is
+    always probed — exactness preserved. Values stringify beyond
+    int/float/str, matching :func:`_file_stats`' ordering contract.
+
+    Lock-free like the rewrite verbs: the repoint touches every live
+    entry, so any concurrent commit re-runs the (cheap) pass against
+    the fresh head, bounded by ``_attempts``."""
+    import pandas as pd  # noqa: F401 (executor-side import check)
+
+    parent = current_version(table_dir)
+    m = read_manifest(table_dir, parent)
+    entries = resolve_files(table_dir, parent)
+    if not entries:
+        return parent
+    mapping = resolve_mapping(table_dir, parent)
+    phys = [mapping["map"].get(c, c) for c in cols]
+    names = [_entry_name(e) for e in entries]
+    ndf = spark.createDataFrame([(n,) for n in names], "name string")
+    td = table_dir
+
+    def scan(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            stats = [
+                json.dumps(
+                    _file_stats(
+                        pq.ParquetFile(os.path.join(td, n)).metadata,
+                        phys,
+                    )
+                )
+                for n in pdf["name"]
+            ]
+            yield pd.DataFrame({"name": pdf["name"], "stats": stats})
+
+    got = {
+        r["name"]: json.loads(r["stats"])
+        for r in ndf.repartition(
+            max(1, min(len(names) // 64 + 1, 256))
+        )
+        .mapInPandas(scan, "name string, stats string")
+        .collect()
+    }
+    removes: list[str] = []
+    adds: list = []
+    for e in entries:
+        n = _entry_name(e)
+        new_e = dict(e) if isinstance(e, dict) else {"name": n}
+        merged = {**(new_e.get("stats") or {}), **(got.get(n) or {})}
+        if merged:
+            new_e["stats"] = merged
+        removes.append(n)
+        adds.append(new_e)
+    stat_cols = list(m.get("stat_cols") or [])
+    stat_cols += [c for c in cols if c not in stat_cols]
+    out = _try_commit_dv(
+        table_dir, parent, adds, removes, "analyze", stat_cols,
+        m.get("partition_cols") or None,
+        {_entry_name(e): e for e in entries}, None, {"n": 20},
+        require_same_mapping=mapping,
+    )
+    if out is not _RETRY:
+        return out
+    if _attempts <= 1:
+        raise TxConflict(
+            f"analyze_table kept losing to concurrent commits on "
+            f"{table_dir}"
+        )
+    return analyze_table(spark, table_dir, cols, _attempts - 1)
+
+
 def validate_table(spark: SparkSession, table_dir: str) -> dict:
     """On-demand re-check of every CHECK constraint over the CURRENT
     snapshot — the maintenance verb :func:`restore`'s docstring points
