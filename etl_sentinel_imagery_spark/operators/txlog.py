@@ -766,6 +766,7 @@ def _commit_delta(
         # like files and txns (and truncate_history's self-contained
         # horizon finds them locally)
         body["constraints"] = resolve_constraints(table_dir, parent)
+        body["properties"] = resolve_properties(table_dir, parent)
         if "column_mapping" not in body:
             body["column_mapping"] = resolve_mapping(table_dir, parent)
         if "identity" not in body:
@@ -925,6 +926,13 @@ def _move_in_data_files(
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             os.replace(os.path.join(root, entry), dest)
             md = pq.ParquetFile(dest).metadata
+            if md.num_rows == 0:
+                # a sparse frame's empty partitions write schema-only
+                # part files; manifest entries for them are pure noise
+                # (phantom files in every probe/plan, and an append of
+                # an empty frame would commit a content-free version)
+                os.remove(dest)
+                continue
             e: dict = {
                 "name": name,
                 "rows": md.num_rows,
@@ -2343,7 +2351,7 @@ def _merge_once(
 
 
 def compact_dvs(
-    spark: SparkSession, table_dir: str, max_chain: int = 4
+    spark: SparkSession, table_dir: str, max_chain: int | None = None
 ) -> int:
     """Fold long deletion-vector CHAINS without touching data files:
     entries carrying more than ``max_chain`` sidecars get their
@@ -2354,7 +2362,11 @@ def compact_dvs(
     sibling of :func:`optimize` (which materializes DVs away entirely
     but rewrites the data). Returns the committed version — parent
     unchanged when no chain exceeds the bound. Old sidecars stay for
-    time travel; vacuum reclaims them after truncate_history."""
+    time travel; vacuum reclaims them after truncate_history. An
+    unset ``max_chain`` comes from the table's ``dv.max_chain``
+    property, else 4."""
+    if max_chain is None:
+        max_chain = _prop(table_dir, "dv.max_chain", 4, int)
     parent = current_version(table_dir)
     m = read_manifest(table_dir, parent)
     entries = resolve_files(table_dir, parent)
@@ -2522,6 +2534,8 @@ def clone_table(table_dir: str, dest_dir: str) -> int:
             # and the row-id watermark (cloned entries keep their
             # base_rids; a clone-local append must not reuse them)
             "row_tracking": resolve_row_tracking(src),
+            # operational config clones with the table
+            "properties": resolve_properties(src),
         },
         indent=0,
     )
@@ -2956,8 +2970,8 @@ def optimize(
 def optimize_small_files(
     spark: SparkSession,
     table_dir: str,
-    small_bytes: int = 32 * 1024 * 1024,
-    target_bytes: int = 128 * 1024 * 1024,
+    small_bytes: int | None = None,
+    target_bytes: int | None = None,
     partition: dict | None = None,
     include_dv: bool = True,
     _attempts: int = 3,
@@ -2983,7 +2997,17 @@ def optimize_small_files(
     content-neutral so :func:`table_changes` skips it like any other
     rewrite. Returns ``(version, {files_considered, files_rewritten,
     files_written})`` — version is the unchanged parent when nothing
-    qualified."""
+    qualified. Unset thresholds come from the table's
+    ``optimize.small_bytes`` / ``optimize.target_bytes`` properties,
+    else 32 MiB / 128 MiB."""
+    if small_bytes is None:
+        small_bytes = _prop(
+            table_dir, "optimize.small_bytes", 32 * 1024 * 1024, int
+        )
+    if target_bytes is None:
+        target_bytes = _prop(
+            table_dir, "optimize.target_bytes", 128 * 1024 * 1024, int
+        )
     parent = current_version(table_dir)
     m = read_manifest(table_dir, parent)
     stat_cols = m.get("stat_cols") or None
@@ -3160,6 +3184,43 @@ def analyze_table(
     return analyze_table(spark, table_dir, cols, _attempts - 1)
 
 
+def maintain_table(
+    spark: SparkSession,
+    table_dir: str,
+    vacuum_min_age_seconds: float | None = None,
+) -> dict:
+    """One-call table maintenance — the policy runner a scheduled job
+    invokes nightly per table, with every threshold read from TABLE
+    PROPERTIES (:func:`set_properties`) so the policy lives WITH the
+    table, not in the scheduler: fold over-long DV chains
+    (:func:`compact_dvs`, ``dv.max_chain``), bin-pack small files and
+    materialize DV debt (:func:`optimize_small_files`,
+    ``optimize.small_bytes``/``optimize.target_bytes``), then reclaim
+    aged orphans (:func:`vacuum`, ``retention.min_age_seconds``).
+    Every step is individually transactional and lock-free, plans
+    from manifest metadata alone, and no-ops cheaply when the table
+    is already healthy — running this too often costs almost nothing,
+    which is the property a fleet-wide cron needs. Returns a report:
+    ``{dv_chains_folded, files_rewritten, files_written,
+    orphans_reclaimed, versions}``."""
+    report: dict = {"versions": []}
+    v0 = current_version(table_dir)
+    v = compact_dvs(spark, table_dir)
+    report["dv_chains_folded"] = v != v0
+    if v != v0:
+        report["versions"].append(v)
+    v_prev = v
+    v, stats = optimize_small_files(spark, table_dir)
+    report["files_rewritten"] = stats["files_rewritten"]
+    report["files_written"] = stats["files_written"]
+    if v != v_prev:
+        report["versions"].append(v)
+    report["orphans_reclaimed"] = len(
+        vacuum(table_dir, min_age_seconds=vacuum_min_age_seconds)
+    )
+    return report
+
+
 def validate_table(spark: SparkSession, table_dir: str) -> dict:
     """On-demand re-check of every CHECK constraint over the CURRENT
     snapshot — the maintenance verb :func:`restore`'s docstring points
@@ -3193,7 +3254,7 @@ VACUUM_MIN_AGE_SECONDS = 7 * 24 * 3600.0
 
 
 def vacuum(
-    table_dir: str, min_age_seconds: float = VACUUM_MIN_AGE_SECONDS
+    table_dir: str, min_age_seconds: float | None = None
 ) -> list[str]:
     """Delete data files referenced by NO manifest (orphans from
     crashed writers). Files referenced by historical manifests are
@@ -3208,9 +3269,17 @@ def vacuum(
     Delta's 7-day retention; reclaiming younger orphans requires an
     explicit ``min_age_seconds=0`` opt-in, which is only safe when the
     caller can guarantee no writer is in flight (single-writer
-    maintenance windows, tests)."""
+    maintenance windows, tests). When not passed, the window comes
+    from the table's ``retention.min_age_seconds`` property, else
+    Delta's 7-day default."""
     import shutil
     import time
+
+    if min_age_seconds is None:
+        min_age_seconds = _prop(
+            table_dir, "retention.min_age_seconds",
+            VACUUM_MIN_AGE_SECONDS,
+        )
 
     referenced: set[str] = set()
     referenced_dv: set[str] = set()
@@ -4420,6 +4489,92 @@ def _commit_constraints(
     return version
 
 
+def resolve_properties(
+    table_dir: str, version: int | None = None
+) -> dict:
+    """TABLE PROPERTIES in force at ``version`` — the Delta
+    ``TBLPROPERTIES`` map, the operational-config side of the
+    manifest chain (retention windows, maintenance thresholds). Same
+    bounded walk as :func:`resolve_constraints`: the nearest record
+    wins, checkpoints embed the resolved map, and
+    :func:`truncate_history`'s horizon carries it across retention.
+    A RESTORE deliberately does NOT rewind properties — retention and
+    maintenance policy are orthogonal to data state (a data rollback
+    silently shortening the vacuum window would be a trap)."""
+    v = current_version(table_dir) if version is None else version
+    while v >= 0:
+        m = read_manifest(table_dir, v)
+        if "properties" in m:
+            return dict(m["properties"])
+        parent = m.get("parent")
+        if parent is None:
+            return {}
+        v = parent
+    return {}
+
+
+#: properties the engine itself reads (free-form keys are allowed and
+#: simply carried): retention window for vacuum, small-file/target
+#: sizes for OPTIMIZE bin-packing, DV chain bound for compact_dvs
+ENGINE_PROPERTIES = (
+    "retention.min_age_seconds",
+    "optimize.small_bytes",
+    "optimize.target_bytes",
+    "dv.max_chain",
+)
+
+
+def set_properties(table_dir: str, props: dict) -> int:
+    """``ALTER TABLE SET TBLPROPERTIES`` — merge ``props`` into the
+    table's property map in one metadata commit; a ``None`` value
+    UNSETS its key. Values must be JSON scalars (str/int/float/bool).
+    Keys the engine reads are listed in :data:`ENGINE_PROPERTIES`;
+    anything else rides along untouched (pipeline ownership tags,
+    team conventions)."""
+    for k, v in props.items():
+        if v is not None and not isinstance(v, (str, int, float, bool)):
+            raise ValueError(
+                f"property {k!r} must be a JSON scalar, got "
+                f"{type(v).__name__}"
+            )
+    parent = current_version(table_dir)
+    merged = resolve_properties(table_dir, parent)
+    for k, v in props.items():
+        if v is None:
+            merged.pop(k, None)
+        else:
+            merged[k] = v
+    m = read_manifest(table_dir, parent)
+    version = parent + 1
+    body = {
+        "version": version,
+        "parent": parent,
+        "op": "set_properties",
+        "ts": time.time(),
+        "stat_cols": m.get("stat_cols") or [],
+        "partition_cols": m.get("partition_cols") or [],
+        "adds": [],
+        "removes": [],
+        "schema": resolve_schema(table_dir, parent),
+        "properties": merged,
+    }
+    if CHECKPOINT_EVERY and version % CHECKPOINT_EVERY == 0:
+        body.update(
+            _checkpoint_files_payload(table_dir, parent, [], [])
+        )
+        body["txns"] = resolve_txns(table_dir, parent)
+        body["column_mapping"] = resolve_mapping(table_dir, parent)
+        body["constraints"] = resolve_constraints(table_dir, parent)
+    _claim(table_dir, version, json.dumps(body, indent=0))
+    return version
+
+
+def _prop(table_dir: str, key: str, default, cast=float):
+    """One engine-read property with a typed default."""
+    v = resolve_properties(table_dir).get(key)
+    return default if v is None else cast(v)
+
+
 def _enforce_constraints(df: DataFrame, cons: dict) -> None:
     """Raise :class:`ConstraintViolation` if any row of ``df`` fails
     any predicate — ONE scan for all constraints (a conjunction of
@@ -4609,6 +4764,7 @@ def truncate_history(table_dir: str, keep_versions: int) -> dict:
         or "column_mapping" not in m
         or "identity" not in m
         or "row_tracking" not in m
+        or "properties" not in m
     ):
         if not _has_full_list(m):
             # parts-scale horizons self-contain by REUSING the nearest
@@ -4633,6 +4789,9 @@ def truncate_history(table_dir: str, keep_versions: int) -> dict:
         # the row-id watermark too (a restart at zero would hand out
         # ids pre-horizon rows still carry)
         m["row_tracking"] = resolve_row_tracking(table_dir, horizon)
+        # table properties survive retention (a truncate silently
+        # dropping the vacuum window back to the default is a trap)
+        m["properties"] = resolve_properties(table_dir, horizon)
         m["parent"] = None  # self-contained: no ancestor walk
         path = _manifest_path(table_dir, horizon)
         tmp = path + ".trunc_tmp"

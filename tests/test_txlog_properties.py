@@ -1,0 +1,151 @@
+"""TABLE PROPERTIES + policy-driven maintenance.
+
+Operational config (retention windows, maintenance thresholds) lives
+WITH the table in the manifest chain — Delta's TBLPROPERTIES — so a
+fleet-wide maintenance cron needs zero per-table configuration:
+``maintain_table`` reads every threshold from the table itself.
+Properties ride checkpoints, truncate horizons and shallow clones like
+constraints/mapping; a RESTORE deliberately does NOT rewind them (a
+data rollback silently shortening the vacuum window would be a trap).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.operators import txlog as tx
+from etl_sentinel_imagery_spark.operators.txlog import (
+    append,
+    compact_dvs,
+    current_version,
+    delete_rows_dv,
+    init_table,
+    maintain_table,
+    resolve_properties,
+    restore,
+    set_properties,
+    snapshot,
+    truncate_history,
+    vacuum,
+)
+
+
+def _seed(spark, n=40, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("int").alias("grp"),
+        F.concat(F.lit("pr-"), F.col("id")).alias("body"),
+    )
+
+
+def test_set_unset_and_free_form_keys(spark, tmp_path):
+    t = str(tmp_path / "p")
+    init_table(spark, t, _seed(spark, 10).coalesce(1))
+    v = set_properties(t, {"team.owner": "data-eng", "dv.max_chain": 2})
+    assert v == current_version(t)
+    assert resolve_properties(t) == {
+        "team.owner": "data-eng",
+        "dv.max_chain": 2,
+    }
+    set_properties(t, {"team.owner": None, "retention.min_age_seconds": 0})
+    assert resolve_properties(t) == {
+        "dv.max_chain": 2,
+        "retention.min_age_seconds": 0,
+    }
+    # pre-properties versions answer empty
+    assert resolve_properties(t, 0) == {}
+    with pytest.raises(ValueError):
+        set_properties(t, {"bad": {"nested": 1}})
+
+
+def test_properties_drive_engine_defaults(spark, tmp_path):
+    t = str(tmp_path / "pd")
+    init_table(spark, t, _seed(spark, 40).coalesce(1))
+    set_properties(
+        t, {"dv.max_chain": 2, "retention.min_age_seconds": 0}
+    )
+    # grow a 3-link DV chain: beyond the table's OWN bound of 2
+    for k in (1, 2, 3):
+        delete_rows_dv(spark, t, "doc_id", [k])
+    v0 = current_version(t)
+    compact_dvs(spark, t)  # no explicit max_chain
+    assert current_version(t) == v0 + 1
+    entry = next(e for e in tx.resolve_files(t) if tx._entry_dvs(e))
+    assert len(entry["dv"]) == 1 and entry["dv_n"] == 3
+    # retention property: an orphan sweeps with NO explicit opt-in
+    orphan = os.path.join(t, "orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    assert "orphan.parquet" in vacuum(t)
+    assert snapshot(spark, t).count() == 37
+
+
+def test_properties_survive_truncate_and_clone_not_restore(
+    spark, tmp_path
+):
+    t = str(tmp_path / "pt")
+    init_table(spark, t, _seed(spark, 20).coalesce(1))
+    v_before_props = current_version(t)
+    set_properties(t, {"retention.min_age_seconds": 123})
+    for i in range(3):
+        append(spark, t, _seed(spark, 2, offset=100 + i * 10).coalesce(1))
+    # restore across the set_properties commit: data rolls back,
+    # properties do NOT rewind
+    restore(spark, t, v_before_props)
+    assert snapshot(spark, t).count() == 20
+    assert resolve_properties(t) == {"retention.min_age_seconds": 123}
+    # truncate: the self-contained horizon carries the map
+    truncate_history(t, keep_versions=1)
+    assert resolve_properties(t) == {"retention.min_age_seconds": 123}
+    # clone: operational config travels with the table
+    dest = str(tmp_path / "pt-clone")
+    tx.clone_table(t, dest)
+    assert resolve_properties(dest) == {
+        "retention.min_age_seconds": 123
+    }
+
+
+def test_maintain_table_one_call_policy(spark, tmp_path):
+    t = str(tmp_path / "mt")
+    # many small files + DV chains + an orphan: the nightly-cron shape
+    init_table(spark, t, _seed(spark, 60).repartition(6))
+    set_properties(
+        t,
+        {
+            "dv.max_chain": 1,
+            "optimize.small_bytes": 10**9,
+            "optimize.target_bytes": 10**9,
+            "retention.min_age_seconds": 0,
+        },
+    )
+    # two sequential deletes on keys KNOWN to share a file -> a 2-link
+    # chain on that entry, over the table's own dv.max_chain=1
+    by_file: dict = {}
+    for r in (
+        spark.read.parquet(t)
+        .select("doc_id", F.col("_metadata.file_path").alias("fp"))
+        .collect()
+    ):
+        by_file.setdefault(r["fp"], []).append(r["doc_id"])
+    k1, k2 = next(v for v in by_file.values() if len(v) >= 2)[:2]
+    delete_rows_dv(spark, t, "doc_id", [k1])
+    delete_rows_dv(spark, t, "doc_id", [k2])
+    with open(os.path.join(t, "orphan.parquet"), "wb") as f:
+        f.write(b"junk")
+    before = sorted(map(tuple, snapshot(spark, t).collect()))
+    report = maintain_table(spark, t)
+    assert report["dv_chains_folded"] is True
+    assert report["files_rewritten"] > 0
+    assert report["files_written"] < report["files_rewritten"]
+    assert report["orphans_reclaimed"] >= 1
+    assert sorted(map(tuple, snapshot(spark, t).collect())) == before
+    # DVs are materialized away and chains gone
+    assert all(not tx._entry_dvs(e) for e in tx.resolve_files(t))
+    # a healthy table no-ops: no new versions, nothing reclaimed
+    v = current_version(t)
+    report2 = maintain_table(spark, t)
+    assert report2["versions"] == []
+    assert current_version(t) == v
