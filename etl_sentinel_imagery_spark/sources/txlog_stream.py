@@ -663,5 +663,111 @@ class TxlogChangesDataSource(DataSource):
         return TxlogChangesBatchReader(schema, self.options)
 
 
+# ---------------------------------------------------------------------------
+# the SNAPSHOT batch source: the table itself as a DataFrame/SQL
+# relation — `spark.read.format("txlog_table").option("path", d)` and
+# `CREATE TEMPORARY VIEW t USING txlog_table OPTIONS (path '...')`,
+# with time travel via `versionAsOf` / `timestampAsOf`. Same executor
+# read contract as the change source (column mapping, hive values from
+# paths, NULL-fill + widening to the pinned schema, DV anti-masking)
+# and the same scale shape: one partition per live data file.
+# ---------------------------------------------------------------------------
+
+_TABLE_SOURCE_NAME = "txlog_table"
+
+
+def _pin_version(table_dir: str, options) -> int:
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        current_version,
+        version_at_timestamp,
+    )
+
+    v = options.get("versionasof")
+    if v is not None:
+        return int(v)
+    ts = options.get("timestampasof")
+    if ts is not None:
+        return version_at_timestamp(table_dir, float(ts))
+    return current_version(table_dir)
+
+
+class TxlogTableBatchReader(DataSourceReader):
+    """Plans ONE partition per live file at the pinned version (plus
+    its DV sidecars) — append-heavy tables parallelize across the
+    cluster exactly like the parquet source, with the txlog read
+    contract applied per partition on the executor."""
+
+    def __init__(self, schema, options):
+        self.table_dir = options.get("path") or options.get("table_dir")
+        if not self.table_dir:
+            raise ValueError(
+                "txlog_table requires .option('path', ...)"
+            )
+        from etl_sentinel_imagery_spark.operators.txlog import (
+            resolve_files,
+        )
+
+        self.version = _pin_version(self.table_dir, options)
+        self.fields = _full_schema_json(self.table_dir, self.version)
+        self.bindings = _bindings(self.table_dir, self.version)
+        self.entries = [
+            _entry_pair(e)
+            for e in resolve_files(self.table_dir, self.version)
+        ]
+
+    def partitions(self):
+        return [
+            InputPartition({"name": n, "dvs": d})
+            for n, d in self.entries
+        ] or [InputPartition({"kind": "empty"})]
+
+    def read(self, partition) -> Iterator:
+        p = partition.value
+        if p.get("kind") == "empty":
+            return iter(())
+        t = _read_entry_arrow(
+            self.table_dir,
+            p["name"],
+            self.fields,
+            self.bindings,
+            anti_positions=_dv_positions(
+                self.table_dir, p["name"], p["dvs"]
+            )
+            if p["dvs"]
+            else None,
+        )
+        if not t.num_rows:
+            return iter(())
+        return iter(t.to_batches(max_chunksize=65536))
+
+
+class TxlogTableDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return _TABLE_SOURCE_NAME
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+
+        table_dir = self.options.get("path") or self.options.get(
+            "table_dir"
+        )
+        if not table_dir:
+            raise ValueError(
+                "txlog_table requires .option('path', ...)"
+            )
+        v = _pin_version(table_dir, self.options)
+        return StructType.fromJson(
+            {
+                "type": "struct",
+                "fields": _full_schema_json(table_dir, v),
+            }
+        )
+
+    def reader(self, schema):
+        return TxlogTableBatchReader(schema, self.options)
+
+
 def register(spark) -> None:
     spark.dataSource.register(TxlogChangesDataSource)
+    spark.dataSource.register(TxlogTableDataSource)

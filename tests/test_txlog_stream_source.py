@@ -272,3 +272,110 @@ def test_starting_version_latest_sees_only_new_commits(
     append(spark, d, _seed(spark, 20, 25).coalesce(1))
     g = _drain(spark, d, ckpt, startingVersion="latest")
     assert sorted(r[0] for r in g) == [20, 21, 22, 23, 24]
+
+
+def test_table_source_snapshot_parity_and_time_travel(
+    spark, tmp_path
+):
+    """`spark.read.format("txlog_table")` answers exactly what
+    snapshot() answers — across DV deletes, updates and merges — and
+    versionAsOf/timestampAsOf pin any historical version."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        append,
+        current_version,
+        delete_rows_dv,
+        init_table,
+        merge_upsert,
+        read_manifest,
+        snapshot,
+        update_rows,
+    )
+
+    d = str(tmp_path / "tbl")
+    init_table(spark, d, _seed(spark, 0, 40).repartition(3))
+    append(spark, d, _seed(spark, 40, 60).coalesce(1))
+    delete_rows_dv(spark, d, "k", [3, 41])
+    update_rows(spark, d, "k = 7", {"v": F.lit(700)})
+    merge_upsert(
+        spark,
+        d,
+        spark.createDataFrame(
+            [(100, 1000, 1)], "k long, v long, grp int"
+        ),
+        "k",
+    )
+    register(spark)
+    got = spark.read.format("txlog_table").option("path", d).load()
+    assert _rows(got) == _rows(snapshot(spark, d))
+    # names+types match; the source keeps the RECORDED nullability
+    # (tighter), where a parquet read relaxes everything to nullable
+    assert [(f.name, f.dataType) for f in got.schema] == [
+        (f.name, f.dataType) for f in snapshot(spark, d).schema
+    ]
+    # time travel: every committed version answers bit-identically
+    for v in range(current_version(d) + 1):
+        tv = (
+            spark.read.format("txlog_table")
+            .option("path", d)
+            .option("versionAsOf", v)
+            .load()
+        )
+        assert _rows(tv) == _rows(snapshot(spark, d, version=v)), v
+    # timestampAsOf resolves through commit timestamps
+    ts = read_manifest(d, 1)["ts"]
+    t1 = (
+        spark.read.format("txlog_table")
+        .option("path", d)
+        .option("timestampAsOf", ts)
+        .load()
+    )
+    assert _rows(t1) == _rows(snapshot(spark, d, version=1))
+
+
+def test_table_source_sql_view_and_partitions(spark, tmp_path):
+    """The table is a first-class SQL relation: CREATE TEMPORARY VIEW
+    ... USING txlog_table, with hive partition values and column
+    renames served under the read contract, one partition per file."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        init_table,
+        rename_column,
+        snapshot,
+    )
+
+    d = str(tmp_path / "sqltbl")
+    init_table(
+        spark,
+        d,
+        _seed(spark, 0, 30).repartition(2),
+        partition_cols=["grp"],
+    )
+    rename_column(d, "v", "value")
+    register(spark)
+    spark.sql("DROP VIEW IF EXISTS t6")
+    spark.sql(
+        f"CREATE TEMPORARY VIEW t6 USING txlog_table "
+        f"OPTIONS (path '{d}')"
+    )
+    try:
+        got = spark.sql(
+            "SELECT grp, sum(value) AS s FROM t6 GROUP BY grp ORDER BY grp"
+        ).collect()
+        exp = (
+            snapshot(spark, d)
+            .groupBy("grp")
+            .agg(F.sum("value").alias("s"))
+            .orderBy("grp")
+            .collect()
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+        # scale shape: one input partition per live data file
+        df = spark.read.format("txlog_table").option("path", d).load()
+        n_files = len(
+            __import__(
+                "etl_sentinel_imagery_spark.operators.txlog",
+                fromlist=["resolve_files"],
+            ).resolve_files(d)
+        )
+        assert df.rdd.getNumPartitions() == n_files
+    finally:
+        spark.sql("DROP VIEW IF EXISTS t6")
