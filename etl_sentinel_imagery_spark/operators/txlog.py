@@ -3770,6 +3770,9 @@ def table_changes(
                 "optimize_small",
                 "compact_dv",
                 "rowtrack_enable",
+                # stats backfill re-points every entry without touching
+                # a row — content-neutral like the rewrites
+                "analyze",
             )
             and not include_rewrites
         ):

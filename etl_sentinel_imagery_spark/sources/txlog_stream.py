@@ -79,6 +79,7 @@ _REWRITE_OPS = (
     "optimize",
     "optimize_small",
     "compact_dv",
+    "analyze",
     "rowtrack_enable",
 )
 

@@ -45,6 +45,11 @@ OP = st.one_of(
     st.tuples(st.just("compact"), st.just(0)),
     st.tuples(st.just("optimize_small"), st.just(0)),
     st.tuples(st.just("restore"), st.integers(0, 10**6)),
+    # metadata-only ops composed into every sequence position: a
+    # stats backfill (content-neutral entry repoint) and a property
+    # write must never perturb rows, time travel, or the CDF fold
+    st.tuples(st.just("analyze"), st.just(0)),
+    st.tuples(st.just("set_props"), st.integers(0, 10**6)),
 )
 
 
@@ -152,6 +157,18 @@ def test_random_op_sequences_match_reference_model(
             compact(spark, t, target_files=2)
         elif kind == "optimize_small":
             optimize_small_files(spark, t, small_bytes=10**9)
+        elif kind == "analyze":
+            from etl_sentinel_imagery_spark.operators.txlog import (
+                analyze_table,
+            )
+
+            analyze_table(spark, t, ["doc_id"])
+        elif kind == "set_props":
+            from etl_sentinel_imagery_spark.operators.txlog import (
+                set_properties,
+            )
+
+            set_properties(t, {f"k{seed % 3}": seed})
         elif kind == "restore":
             target = sorted(states)[seed % len(states)]
             restore(spark, t, target)
