@@ -1015,13 +1015,23 @@ def snapshot(
             raise ValueError("pass version OR timestamp, not both")
         version = version_at_timestamp(table_dir, timestamp)
     files = resolve_files(table_dir, version)
-    if not files:
-        raise ValueError(
-            f"version {version if version is not None else current_version(table_dir)} "
-            f"of {table_dir} is empty; no schema to serve (seed "
-            "init_table with a DataFrame)"
-        )
     ver = current_version(table_dir) if version is None else version
+    if not files:
+        # a table whose every row died still HAS a schema — the
+        # manifest chain records it, so an empty DataFrame serves
+        # (a GDPR purge of the whole table must not break readers);
+        # only a never-seeded schemaless init has nothing to serve
+        sj = resolve_schema(table_dir, ver)
+        if sj:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(sj))
+            )
+        raise ValueError(
+            f"version {ver} of {table_dir} is empty; no schema to "
+            "serve (seed init_table with a DataFrame)"
+        )
     return _read_entries(spark, table_dir, files, ver)
 
 

@@ -308,3 +308,238 @@ def topk(
     if certificate is not None:
         out = out.join(F.broadcast(certificate), "query_id", "left")
     return out
+
+
+# ---------------------------------------------------------------------------
+# The index as a DERIVED TABLE of a txlog embeddings table: built from
+# a snapshot, then maintained incrementally and EXACTLY-ONCE from the
+# table's change feed — inserts append to their buckets, deletes and
+# updates rewrite ONLY the buckets holding the affected ids, and a
+# GDPR purge on the source table reaches the vector index through the
+# same verb that mirrors every other derived table.
+# ---------------------------------------------------------------------------
+
+
+def _sync_cursor_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_table_sync.json")
+
+
+def build_index_from_table(
+    spark: SparkSession,
+    table_dir: str,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **build_kwargs,
+) -> np.ndarray:
+    """Build the serving index from a txlog table's CURRENT snapshot
+    and record the synced version, so :func:`sync_index_from_table`
+    can take over incrementally. HNSW/PQ tiers are refused here —
+    they are rebuild-time artifacts with no delete story, and the
+    sync verb would silently serve stale graphs beside a fresh IVF."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        current_version,
+        snapshot,
+    )
+
+    if build_kwargs.get("hnsw", False) or build_kwargs.get("pq", False):
+        raise ValueError(
+            "build_index_from_table maintains the IVF tier only; "
+            "build HNSW/PQ tiers with build_serving_index on a "
+            "snapshot and rebuild them on your own cadence"
+        )
+    build_kwargs["hnsw"] = False
+    v = current_version(table_dir)
+    cents = build_serving_index(
+        snapshot(spark, table_dir, version=v).select(id_col, vec_col),
+        index_dir,
+        id_col=id_col,
+        vec_col=vec_col,
+        **build_kwargs,
+    )
+    tmp = _sync_cursor_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"table_dir": os.path.abspath(table_dir), "version": v}, f)
+    os.replace(tmp, _sync_cursor_path(index_dir))
+    return cents
+
+
+def sync_index_from_table(
+    spark: SparkSession,
+    table_dir: str,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Drain the table's change feed since the last synced version and
+    apply the NET effect to the IVF index, exactly-once:
+
+    - the feed nets per id (an UPDATE's delete+insert pair in one
+      commit nets to the post-image; across commits the latest change
+      wins);
+    - every changed id's existing rows leave the index by REWRITING
+      only the buckets that hold them (located via a column-pruned
+      id scan + semi-join — never a full-width scan; dynamic
+      partition overwrite touches nothing else, and a bucket left
+      empty has its partition directory removed);
+    - net-inserted/updated vectors append via
+      :func:`operators.similarity.append_to_ivf_index` (stats widen
+      BEFORE data lands — the adaptive-probe certificate stays sound
+      through every crash window);
+    - the cursor advances LAST (atomic rename). A crash anywhere
+      re-runs the same deterministic redo: the cleanup step finds any
+      partial append's rows (their ids are changed ids by
+      construction) and sweeps them before re-appending, so replays
+      converge to exactly-once state. ``n_members`` in the stats
+      sidecar may drift on such replays — diagnostic only, never a
+      bound (the append contract's documented caveat).
+
+    Content-neutral source commits (compaction, OPTIMIZE, stats
+    backfill) contribute nothing to the feed and therefore cost the
+    index nothing. Returns {from_version, to_version, upserts,
+    deletes, buckets_rewritten}."""
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        append_to_ivf_index,
+    )
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        current_version,
+        table_changes,
+    )
+
+    cur_path = _sync_cursor_path(index_dir)
+    if not os.path.exists(cur_path):
+        raise ValueError(
+            "no sync cursor — create the index with "
+            "build_index_from_table first"
+        )
+    with open(cur_path) as f:
+        cursor = json.load(f)
+    from_v = int(cursor["version"])
+    to_v = current_version(table_dir)
+    if os.path.isdir(_hnsw_dir(index_dir)) or os.path.isdir(
+        _ivfpq_dir(index_dir)
+    ):
+        raise ValueError(
+            "index has HNSW/PQ tiers; sync maintains the IVF tier "
+            "only — rebuild the derived tiers on your own cadence"
+        )
+    if to_v <= from_v:
+        return {
+            "from_version": from_v,
+            "to_version": to_v,
+            "upserts": 0,
+            "deletes": 0,
+            "buckets_rewritten": 0,
+        }
+    feed = table_changes(spark, table_dir, from_v, to_v)
+    # net per id: latest commit wins; within a commit the insert (an
+    # update's post-image) beats the delete (its pre-image)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_commit_version"),
+        F.desc(F.col("_change_type") == "insert"),
+    )
+    net = (
+        feed.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            id_col, vec_col, "_change_type"
+        )
+        .localCheckpoint(eager=True)  # one consistent slice for all legs
+    )
+    upserts = net.filter(F.col("_change_type") == "insert").select(
+        id_col, vec_col
+    )
+    n_up = upserts.count()
+    changed = net.select(id_col)
+    ivf = _ivf_dir(index_dir)
+    # column-pruned locate: only (id, bucket-partition) columns read
+    touched = (
+        spark.read.parquet(ivf)
+        .select(id_col, "bucket")
+        .join(F.broadcast(changed), id_col, "left_semi")
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    buckets = sorted(int(r["bucket"]) for r in touched)
+    if buckets:
+        keep = (
+            spark.read.parquet(ivf)
+            .filter(F.col("bucket").isin(buckets))
+            .join(F.broadcast(changed), id_col, "left_anti")
+            .localCheckpoint(eager=True)  # pin BEFORE overwriting source files
+        )
+        survivors = {
+            int(r["bucket"])
+            for r in keep.select("bucket").distinct().collect()
+        }
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            if survivors:
+                keep.write.mode("overwrite").partitionBy(
+                    "bucket"
+                ).parquet(ivf)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+        # dynamic overwrite only touches partitions present in the
+        # written data — a bucket whose every row died clears by
+        # removing its partition directory (single-writer maintenance
+        # semantics, like compaction)
+        import shutil
+
+        for b in set(buckets) - survivors:
+            shutil.rmtree(
+                os.path.join(ivf, f"bucket={b}"), ignore_errors=True
+            )
+        if not survivors and not n_up:
+            # every row died and nothing replaces them: leave one
+            # schema-preserving empty bucket file so the index stays
+            # readable (zero candidates, not an inference error)
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            sch = to_arrow_schema(keep.drop("bucket").schema)
+            b0 = os.path.join(ivf, f"bucket={buckets[0]}")
+            os.makedirs(b0, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        f.name: pa.array([], type=f.type)
+                        for f in sch
+                    }
+                ),
+                os.path.join(b0, "empty.parquet"),
+            )
+    if n_up:
+        append_to_ivf_index(
+            upserts,
+            load_centroids(index_dir),
+            ivf,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    tmp = cur_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"table_dir": os.path.abspath(table_dir), "version": to_v},
+            f,
+        )
+    os.replace(tmp, cur_path)
+    n_changed = changed.count()
+    return {
+        "from_version": from_v,
+        "to_version": to_v,
+        "upserts": n_up,
+        "deletes": n_changed - n_up,
+        "buckets_rewritten": len(buckets),
+    }
