@@ -431,6 +431,10 @@ def sync_index_from_table(
             "deletes": 0,
             "buckets_rewritten": 0,
         }
+    import time as _time
+
+    walls: dict = {}
+    t0 = _time.time()
     feed = table_changes(spark, table_dir, from_v, to_v)
     # net per id: latest commit wins; within a commit the insert (an
     # update's post-image) beats the delete (its pre-image)
@@ -448,6 +452,7 @@ def sync_index_from_table(
         )
         .localCheckpoint(eager=True)  # one consistent slice for all legs
     )
+    walls["net_feed_s"] = round(_time.time() - t0, 2)
     upserts = net.filter(F.col("_change_type") == "insert").select(
         id_col, vec_col
     )
@@ -455,6 +460,7 @@ def sync_index_from_table(
     changed = net.select(id_col)
     ivf = _ivf_dir(index_dir)
     # column-pruned locate: only (id, bucket-partition) columns read
+    t0 = _time.time()
     touched = (
         spark.read.parquet(ivf)
         .select(id_col, "bucket")
@@ -463,7 +469,9 @@ def sync_index_from_table(
         .distinct()
         .collect()
     )
+    walls["locate_s"] = round(_time.time() - t0, 2)
     buckets = sorted(int(r["bucket"]) for r in touched)
+    t0 = _time.time()
     if buckets:
         keep = (
             spark.read.parquet(ivf)
@@ -520,6 +528,8 @@ def sync_index_from_table(
                 ),
                 os.path.join(b0, "empty.parquet"),
             )
+    walls["rewrite_s"] = round(_time.time() - t0, 2)
+    t0 = _time.time()
     if n_up:
         append_to_ivf_index(
             upserts,
@@ -528,6 +538,7 @@ def sync_index_from_table(
             id_col=id_col,
             vec_col=vec_col,
         )
+    walls["append_s"] = round(_time.time() - t0, 2)
     tmp = cur_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(
@@ -542,4 +553,5 @@ def sync_index_from_table(
         "upserts": n_up,
         "deletes": n_changed - n_up,
         "buckets_rewritten": len(buckets),
+        "walls": walls,
     }
