@@ -3264,7 +3264,9 @@ VACUUM_MIN_AGE_SECONDS = 7 * 24 * 3600.0
 
 
 def vacuum(
-    table_dir: str, min_age_seconds: float | None = None
+    table_dir: str,
+    min_age_seconds: float | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """Delete data files referenced by NO manifest (orphans from
     crashed writers). Files referenced by historical manifests are
@@ -3281,7 +3283,9 @@ def vacuum(
     caller can guarantee no writer is in flight (single-writer
     maintenance windows, tests). When not passed, the window comes
     from the table's ``retention.min_age_seconds`` property, else
-    Delta's 7-day default."""
+    Delta's 7-day default. ``dry_run=True`` returns the would-delete
+    list without touching anything — the audit an operator runs
+    before an aggressive window."""
     import shutil
     import time
 
@@ -3330,7 +3334,8 @@ def vacuum(
             path = os.path.join(root, entry)
             if min_age_seconds and now - os.path.getmtime(path) < min_age_seconds:
                 continue
-            os.unlink(path)
+            if not dry_run:
+                os.unlink(path)
             removed.append(rel)
     # deletion-vector sidecars (directories under _dv/, skipped by the
     # underscore rule above) sweep separately: orphans come from
@@ -3344,7 +3349,8 @@ def vacuum(
             full = os.path.join(dv_root, d)
             if min_age_seconds and now - os.path.getmtime(full) < min_age_seconds:
                 continue
-            shutil.rmtree(full, ignore_errors=True)
+            if not dry_run:
+                shutil.rmtree(full, ignore_errors=True)
             removed.append(rel)
     # checkpoint part files (under _txlog/, skipped by the underscore
     # rule): orphans come from lost claim races and from compaction
@@ -3358,7 +3364,8 @@ def vacuum(
             full = os.path.join(parts_root, fname)
             if min_age_seconds and now - os.path.getmtime(full) < min_age_seconds:
                 continue
-            os.unlink(full)
+            if not dry_run:
+                os.unlink(full)
             removed.append(rel)
     return removed
 
@@ -3496,6 +3503,49 @@ def incremental_agg_delta(
     return both.groupBy(*group_cols).agg(
         F.sum(count_alias).alias(count_alias),
         *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+    )
+
+
+def drop_partition(table_dir: str, partition: dict) -> int:
+    """``ALTER TABLE DROP PARTITION`` — retention's workhorse at
+    100 TB: dropping a day of a date-partitioned table is ONE
+    metadata commit whose removes are selected from MANIFEST PATHS
+    alone (the hive ``col=val/`` segments) — no probe scan, no DV
+    sidecar, no file IO at all. Data files stay on disk for time
+    travel until :func:`truncate_history` + :func:`vacuum` retire
+    them; :func:`table_changes` emits the dropped rows as deletes
+    (reading the removed files — the feed pays the partition's bytes,
+    the commit never does). Matching every live file (an
+    unpartitioned table, or a filter spanning everything) is refused:
+    that intent is a truncate, not a partition drop. Returns the
+    parent version unchanged when no entry matches."""
+    parent = current_version(table_dir)
+    m = read_manifest(table_dir, parent)
+    pcols = m.get("partition_cols") or []
+    for col in partition:
+        if col not in pcols:
+            raise ValueError(
+                f"{col!r} is not a partition column "
+                f"(partition_cols={pcols})"
+            )
+    segs = {f"{c}={v}" for c, v in partition.items()}
+    entries = resolve_files(table_dir, parent)
+    removes = [
+        _entry_name(e)
+        for e in entries
+        if segs <= set(_entry_name(e).split(os.sep)[:-1])
+    ]
+    if not removes:
+        return parent
+    if len(removes) == len(entries):
+        raise ValueError(
+            "partition filter matches every live file — refusing a "
+            "whole-table drop disguised as a partition drop (use "
+            "delete_where / a fresh init for that intent)"
+        )
+    return _commit_delta(
+        table_dir, parent, [], removes, "drop_partition",
+        m.get("stat_cols") or None, pcols,
     )
 
 

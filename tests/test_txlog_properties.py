@@ -149,3 +149,80 @@ def test_maintain_table_one_call_policy(spark, tmp_path):
     report2 = maintain_table(spark, t)
     assert report2["versions"] == []
     assert current_version(t) == v
+
+
+def test_drop_partition_is_metadata_only(spark, tmp_path):
+    """Dropping a hive partition is one commit selected from manifest
+    paths — no probe, no DV, no file IO; time travel and the change
+    feed stay exact; vacuum after truncation reclaims the leaf."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        drop_partition,
+        table_changes,
+        truncate_history,
+    )
+
+    t = str(tmp_path / "dp")
+    init_table(
+        spark,
+        t,
+        _seed(spark, 50).repartition(4),
+        partition_cols=["grp"],
+    )
+    v0 = current_version(t)
+    n_grp2 = snapshot(spark, t).where("grp = 2").count()
+    assert n_grp2 > 0
+    v = drop_partition(t, {"grp": 2})
+    assert v == v0 + 1
+    snap = snapshot(spark, t)
+    assert snap.where("grp = 2").count() == 0
+    assert snap.count() == 50 - n_grp2
+    # time travel still serves the dropped partition
+    assert (
+        snapshot(spark, t, version=v0).where("grp = 2").count()
+        == n_grp2
+    )
+    # the feed emits exactly the dropped rows as deletes
+    feed = table_changes(spark, t, v0, v)
+    assert feed.count() == n_grp2
+    assert set(
+        r["_change_type"] for r in feed.select("_change_type").collect()
+    ) == {"delete"}
+    # refusals: non-partition column; whole-table disguise
+    with pytest.raises(ValueError, match="not a partition column"):
+        drop_partition(t, {"doc_id": 1})
+    # no-op on an absent value
+    assert drop_partition(t, {"grp": 99}) == v
+    # retention composes: truncate + vacuum reclaims the leaf's files
+    truncate_history(t, keep_versions=0)
+    removed = vacuum(t, min_age_seconds=0)
+    assert any("grp=2" in r for r in removed)
+    assert snapshot(spark, t).count() == 50 - n_grp2
+
+
+def test_drop_partition_refuses_whole_table(spark, tmp_path):
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        drop_partition,
+    )
+
+    t = str(tmp_path / "dpw")
+    init_table(
+        spark,
+        t,
+        _seed(spark, 10).where("grp = 1").repartition(1),
+        partition_cols=["grp"],
+    )
+    with pytest.raises(ValueError, match="whole-table"):
+        drop_partition(t, {"grp": 1})
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    t = str(tmp_path / "vdr")
+    init_table(spark, t, _seed(spark, 10).coalesce(1))
+    orphan = os.path.join(t, "orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    would = vacuum(t, min_age_seconds=0, dry_run=True)
+    assert would == ["orphan.parquet"]
+    assert os.path.exists(orphan)  # nothing touched
+    assert vacuum(t, min_age_seconds=0) == ["orphan.parquet"]
+    assert not os.path.exists(orphan)
