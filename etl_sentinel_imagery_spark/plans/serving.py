@@ -396,8 +396,12 @@ def sync_index_from_table(
 
     Content-neutral source commits (compaction, OPTIMIZE, stats
     backfill) contribute nothing to the feed and therefore cost the
-    index nothing. Returns {from_version, to_version, upserts,
-    deletes, buckets_rewritten}."""
+    index nothing. SINGLE-WRITER maintenance semantics, like
+    compaction: the ivf layout is plain parquet, so a concurrent
+    reader during the bucket rewrite can see a torn view of the
+    rewritten buckets (schedule syncs off the serving path, or serve
+    from a snapshot copy). Returns {from_version, to_version,
+    upserts, deletes, buckets_rewritten, walls}."""
     from etl_sentinel_imagery_spark.operators.similarity import (
         append_to_ivf_index,
     )
