@@ -3210,11 +3210,29 @@ def maintain_table(
     Every step is individually transactional and lock-free, plans
     from manifest metadata alone, and no-ops cheaply when the table
     is already healthy — running this too often costs almost nothing,
-    which is the property a fleet-wide cron needs. Returns a report:
-    ``{dv_chains_folded, files_rewritten, files_written,
-    orphans_reclaimed, versions}``."""
+    which is the property a fleet-wide cron needs. When the table
+    carries an ``analyze.cols`` property (comma-separated column
+    names), stats backfill joins the ladder FIRST: columns not yet in
+    ``stat_cols`` get their per-file bounds computed
+    (:func:`analyze_table`), so the night a table opts in, every
+    later step — and every later query — prunes. Returns a report:
+    ``{analyzed_cols, dv_chains_folded, files_rewritten,
+    files_written, orphans_reclaimed, versions}``."""
     report: dict = {"versions": []}
     v0 = current_version(table_dir)
+    want = [
+        c.strip()
+        for c in str(
+            _prop(table_dir, "analyze.cols", "", str)
+        ).split(",")
+        if c.strip()
+    ]
+    have = read_manifest(table_dir, v0).get("stat_cols") or []
+    missing = [c for c in want if c not in have]
+    report["analyzed_cols"] = missing
+    if missing:
+        v0 = analyze_table(spark, table_dir, missing)
+        report["versions"].append(v0)
     v = compact_dvs(spark, table_dir)
     report["dv_chains_folded"] = v != v0
     if v != v0:
@@ -4584,6 +4602,7 @@ ENGINE_PROPERTIES = (
     "optimize.small_bytes",
     "optimize.target_bytes",
     "dv.max_chain",
+    "analyze.cols",  # comma-separated; maintain_table backfills stats
 )
 
 

@@ -226,3 +226,34 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     assert os.path.exists(orphan)  # nothing touched
     assert vacuum(t, min_age_seconds=0) == ["orphan.parquet"]
     assert not os.path.exists(orphan)
+
+
+def test_maintain_table_backfills_stats_from_property(
+    spark, tmp_path
+):
+    """A table opting into analyze.cols gains pruning on its next
+    maintenance pass — and the pass is idempotent (already-tracked
+    columns are skipped)."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        snapshot_pruned,
+    )
+
+    t = str(tmp_path / "anp")
+    init_table(spark, t, _seed(spark, 20).coalesce(1))
+    append(spark, t, _seed(spark, 20, offset=100).coalesce(1))
+    set_properties(
+        t,
+        {
+            "analyze.cols": "doc_id",
+            "retention.min_age_seconds": 0,
+            # keep the two files distinct: the point under test is
+            # pruning via backfilled stats, not the bin-packer
+            "optimize.small_bytes": 1,
+        },
+    )
+    rep = maintain_table(spark, t)
+    assert rep["analyzed_cols"] == ["doc_id"]
+    _, stats = snapshot_pruned(spark, t, "doc_id", lo=100, hi=105)
+    assert stats["files_skipped"] == 1
+    rep2 = maintain_table(spark, t)
+    assert rep2["analyzed_cols"] == []
