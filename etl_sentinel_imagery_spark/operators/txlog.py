@@ -2635,68 +2635,79 @@ def apply_changes(
     upserts = upserts.localCheckpoint()
     dead = dead.localCheckpoint()
 
-    parent = current_version(table_dir)
-    m = read_manifest(table_dir, parent)
-    stat_cols = m.get("stat_cols") or None
-    partition_cols = m.get("partition_cols") or None
-    merged_schema = _merge_schema_json(
-        resolve_schema(table_dir, parent), upserts.schema
-    )
-    _enforce_constraints(
-        upserts, resolve_constraints(table_dir, parent)
-    )
-    entries = resolve_files(table_dir, parent)
-    by_name = {_entry_name(e): e for e in entries}
-    affected = upserts.select(key_col).unionByName(dead)
-    kb = affected.agg(
-        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
-    ).collect()[0]
-    # same pruning ladder as merge_upsert/delete_rows_dv: stats range,
-    # else Bloom sidecar keyed by the affected-key frame, else all
-    probe = _probe_candidates(
-        spark, table_dir, m, entries, by_name, key_col,
-        kb["lo"], kb["hi"], keys=affected,
-        phys_key=resolve_mapping(table_dir, parent)["map"].get(key_col),
-    )
+    # LOCK-FREE like merge_upsert (apply_changes reads the table the
+    # same way — its upsert decisions are key-probe-based), via the
+    # same narrow rebase window: disjoint repoint-only commits
+    # commute, anything else re-runs against the pinned slice
+    budget = {"n": 20}
+    while budget["n"] > 0:
+        parent = current_version(table_dir)
+        m = read_manifest(table_dir, parent)
+        stat_cols = m.get("stat_cols") or None
+        partition_cols = m.get("partition_cols") or None
+        merged_schema = _merge_schema_json(
+            resolve_schema(table_dir, parent), upserts.schema
+        )
+        cons = resolve_constraints(table_dir, parent)
+        _enforce_constraints(upserts, cons)
+        entries = resolve_files(table_dir, parent)
+        by_name = {_entry_name(e): e for e in entries}
+        affected = upserts.select(key_col).unionByName(dead)
+        kb = affected.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).collect()[0]
+        # same pruning ladder as merge_upsert/delete_rows_dv: stats
+        # range, else Bloom sidecar keyed by the affected-key frame,
+        # else all
+        probe = _probe_candidates(
+            spark, table_dir, m, entries, by_name, key_col,
+            kb["lo"], kb["hi"], keys=affected,
+            phys_key=resolve_mapping(table_dir, parent)["map"].get(
+                key_col
+            ),
+        )
 
-    removes: list[str] = []
-    dv_adds: list = []
-    if probe and kb["lo"] is not None:
-        live = _read_entries(
-            spark, table_dir, probe, parent, keep_pos=True
-        )
-        hits = live.join(
-            affected.distinct(), key_col, "left_semi"
-        ).select(
-            F.col("_file_name").alias("file_name"),
-            F.col("_row_pos").alias("pos"),
-        )
-        sidecar, per_file = _write_dv_sidecar(spark, table_dir, hits)
-        if sidecar is not None:
-            removes, dv_adds = _dv_repoint(
-                table_dir, by_name, per_file, sidecar
+        removes: list[str] = []
+        dv_adds: list = []
+        if probe and kb["lo"] is not None:
+            live = _read_entries(
+                spark, table_dir, probe, parent, keep_pos=True
             )
+            hits = live.join(
+                affected.distinct(), key_col, "left_semi"
+            ).select(
+                F.col("_file_name").alias("file_name"),
+                F.col("_row_pos").alias("pos"),
+            )
+            sidecar, per_file = _write_dv_sidecar(
+                spark, table_dir, hits
+            )
+            if sidecar is not None:
+                removes, dv_adds = _dv_repoint(
+                    table_dir, by_name, per_file, sidecar
+                )
 
-    mapping = resolve_mapping(table_dir, parent)
-    upd = _assign_physical(
-        mapping,
-        [f["name"] for f in json.loads(merged_schema)["fields"]],
-    )
-    new_names = _move_in_data_files(
-        spark, table_dir, upserts, stat_cols, partition_cols,
-        mapping=upd or mapping,
-    )
-    return _commit_delta(
-        table_dir,
-        parent,
-        dv_adds + new_names,
-        removes,
-        op,
-        stat_cols,
-        partition_cols,
-        schema_json=merged_schema,
-        txn=txn,
-        column_mapping=upd,
+        mapping = resolve_mapping(table_dir, parent)
+        upd = _assign_physical(
+            mapping,
+            [f["name"] for f in json.loads(merged_schema)["fields"]],
+        )
+        new_names = _move_in_data_files(
+            spark, table_dir, upserts, stat_cols, partition_cols,
+            mapping=upd or mapping,
+        )
+        out = _try_commit_merge(
+            table_dir, parent, dv_adds + new_names, removes, op,
+            stat_cols, partition_cols, by_name, budget,
+            schema_json=merged_schema, txn=txn, column_mapping=upd,
+            row_tracking=None,
+            expect_mapping=upd or mapping,
+            expect_constraints=cons,
+        )
+        if out is not _RETRY:
+            return out
+    raise TxConflict(
+        f"apply_changes lost its claim-race budget on {table_dir}"
     )
 
 

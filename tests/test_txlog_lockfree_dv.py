@@ -420,3 +420,31 @@ def test_parallel_delete_storm_all_land_lock_free(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_apply_changes_rebases_over_disjoint_dv_delete(
+    spark, tmp_path, monkeypatch
+):
+    """The replication verb completes the matrix: a concurrent DV
+    delete on an untouched file commutes with an apply_changes range."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        apply_changes,
+    )
+
+    t = _two_file_table(spark, tmp_path, "ac")
+    _race_once(
+        monkeypatch, lambda: delete_rows_dv(spark, t, "doc_id", [40])
+    )
+    changes = spark.createDataFrame(
+        [
+            (5, 0, "replicated-5", "insert", 9),
+            (6, 0, None, "delete", 9),
+        ],
+        "doc_id long, grp int, body string, _change_type string, "
+        "_commit_version long",
+    )
+    apply_changes(spark, t, changes, "doc_id")
+    snap = snapshot(spark, t)
+    assert snap.where("doc_id = 5").collect()[0]["body"] == "replicated-5"
+    assert snap.where("doc_id in (6, 40)").count() == 0
+    assert snap.count() == 58
