@@ -1198,6 +1198,7 @@ def _probe_candidates(
     values: list | None = None,
     keys: DataFrame | None = None,
     phys_key: str | None = None,
+    version: int | None = None,
 ) -> list:
     """The shared probe-pruning ladder for every key-targeted write
     (COW delete, DV delete, merge, apply_changes). Exact in all
@@ -1213,6 +1214,18 @@ def _probe_candidates(
        (:func:`dv_delete_candidates_df`), no false negatives;
     3. else every live entry (one full — but still single and
        pushed-down — distributed probe scan).
+
+    ``version`` is the caller's PINNED parent and the Bloom branch
+    resolves its live files at exactly that version — resolving at
+    the current head instead would let a concurrent rewrite landing
+    after the caller's pin rename a file out of ``by_name``, the
+    intersection would silently drop it, and the caller's rebase
+    would succeed on disjointness while matching rows in the
+    rewritten file escaped the write (round-6 advice, medium). As a
+    belt-and-braces guard the Bloom result is additionally checked
+    for membership agreement: any candidate name missing from
+    ``by_name`` falls back to the full-entries probe instead of
+    silently narrowing.
     """
     if key_col in (m.get("stat_cols") or []) and lo is not None:
         return _stats_probe_subset(
@@ -1221,15 +1234,17 @@ def _probe_candidates(
     try:
         if keys is not None:
             cand = dv_delete_candidates_df(
-                spark, table_dir, key_col, keys
+                spark, table_dir, key_col, keys, version=version
             )
         elif values:
             cand = dv_delete_candidates(
-                spark, table_dir, key_col, values
+                spark, table_dir, key_col, values, version=version
             )
         else:
             return entries
-        return [by_name[n] for n in cand if n in by_name]
+        if any(n not in by_name for n in cand):
+            return entries  # resolution skew: never narrow wrongly
+        return [by_name[n] for n in cand]
     except (FileNotFoundError, ValueError):
         return entries  # no index either: full probe (correct)
 
@@ -1268,8 +1283,12 @@ def delete_rows(
         lo, hi, vlist = kb["lo"], kb["hi"], None
     else:
         keys = None
-        lo = min(values) if values else None
-        hi = max(values) if values else None
+        # bounds over NON-NULL values only: a None in the key list
+        # would raise on min/max, yet downstream isin semantics are
+        # well-defined (None never matches) — keep them reachable
+        vs = [v for v in values if v is not None]
+        lo = min(vs) if vs else None
+        hi = max(vs) if vs else None
         vlist = values
     parent = current_version(table_dir)
     m = read_manifest(table_dir, parent)
@@ -1281,6 +1300,7 @@ def delete_rows(
         spark, table_dir, m, entries, by_name, key_col, lo, hi,
         values=vlist, keys=keys,
         phys_key=resolve_mapping(table_dir, parent)["map"].get(key_col),
+        version=parent,
     )
     if not probe:
         return parent
@@ -1691,8 +1711,12 @@ def delete_rows_dv(
         lo, hi, vlist = kb["lo"], kb["hi"], None
     else:
         keys = None
-        lo = min(values) if values else None
-        hi = max(values) if values else None
+        # bounds over NON-NULL values only: a None in the key list
+        # would raise on min/max, yet downstream isin semantics are
+        # well-defined (None never matches) — keep them reachable
+        vs = [v for v in values if v is not None]
+        lo = min(vs) if vs else None
+        hi = max(vs) if vs else None
         vlist = values
     budget = {"n": max_rebase}
     while budget["n"] > 0:
@@ -1716,6 +1740,7 @@ def delete_rows_dv(
                 phys_key=resolve_mapping(table_dir, parent)["map"].get(
                     key_col
                 ),
+                version=parent,
             )
         if not probe:
             return parent
@@ -1999,6 +2024,7 @@ def merge_upsert(
                 phys_key=resolve_mapping(table_dir, parent)["map"].get(
                     key_col
                 ),
+                version=parent,
             )
 
         removes: list[str] = []
@@ -2179,6 +2205,7 @@ def _merge_once(
             phys_key=resolve_mapping(table_dir, parent)["map"].get(
                 key_col
             ),
+            version=parent,
         )
 
     def img_col(f, build):
@@ -2665,6 +2692,7 @@ def apply_changes(
             phys_key=resolve_mapping(table_dir, parent)["map"].get(
                 key_col
             ),
+            version=parent,
         )
 
         removes: list[str] = []
@@ -2721,7 +2749,11 @@ def _uri_to_path(p: str) -> str:
 
 
 def dv_delete_candidates(
-    spark: SparkSession, table_dir: str, key_col: str, values: list
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    values: list,
+    version: int | None = None,
 ) -> list[str]:
     """Live-file names that CAN hold any of ``values`` per the
     per-file Bloom sidecar (``operators.skipping``) — the candidate
@@ -2732,7 +2764,17 @@ def dv_delete_candidates(
     The raw index keys by absolute path over everything under the
     directory — including retired files — so intersecting with the
     MANIFEST's live resolution is what makes this txlog-correct. The
-    probe evaluates distributed; only file paths reach the driver."""
+    probe evaluates distributed; only file paths reach the driver.
+
+    ``version`` pins the live resolution to the caller's snapshot —
+    a lock-free writer that resolved its parent MUST pass it, or a
+    concurrent rewrite landing between the caller's pin and this
+    resolution makes the candidate list name files the caller's
+    ``by_name`` doesn't know, and the intersection silently drops
+    them (matching rows in the rewritten file would escape the
+    delete, and the rebase would not catch it because the touched
+    sets are disjoint). ``None`` keeps the read-current behavior for
+    standalone probes."""
     from etl_sentinel_imagery_spark.operators.skipping import (
         bloom_contains,
         read_file_bloom_index,
@@ -2761,7 +2803,7 @@ def dv_delete_candidates(
         _uri_to_path(r["file"]) for r in idx.select("file").collect()
     }
     out = []
-    for e in resolve_files(table_dir):
+    for e in resolve_files(table_dir, version):
         name = _entry_name(e)
         path = os.path.abspath(os.path.join(table_dir, name))
         if path in admitted or path not in indexed:
@@ -2770,7 +2812,11 @@ def dv_delete_candidates(
 
 
 def dv_delete_candidates_df(
-    spark: SparkSession, table_dir: str, key_col: str, keys: DataFrame
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    keys: DataFrame,
+    version: int | None = None,
 ) -> list[str]:
     """DataFrame-keyed sibling of :func:`dv_delete_candidates` — the
     candidate probe for corpus-sized key sets (a GDPR delete stream, a
@@ -2784,7 +2830,10 @@ def dv_delete_candidates_df(
     inside one stage (nothing materializes; only file names reach the
     driver) — worth it exactly when the data bytes skipped dwarf that;
     at extreme file counts manifest stats + ZORDER is the right tool
-    and the fallback full probe stays correct.
+    and the fallback full probe stays correct. ``version`` pins the
+    live resolution to the caller's snapshot (same contract and same
+    concurrency hole as :func:`dv_delete_candidates` — lock-free
+    writers must pass their pinned parent).
 
     Sizing rule (no false negatives ever, but pruning POWER depends
     on it): a file is falsely admitted with probability
@@ -2834,7 +2883,7 @@ def dv_delete_candidates_df(
         _uri_to_path(r["file"]) for r in idx.select("file").collect()
     }
     out = []
-    for e in resolve_files(table_dir):
+    for e in resolve_files(table_dir, version):
         name = _entry_name(e)
         path = os.path.abspath(os.path.join(table_dir, name))
         if path in admitted or path not in indexed:

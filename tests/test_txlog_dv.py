@@ -839,3 +839,71 @@ def test_cdf_of_restore_across_evolution_keeps_evolved_values(
     }
     assert net == {(1, "a", None): 1, (2, "b", None): 1}
     assert snapshot(spark, t, v_rst).count() == 2
+
+
+def test_bloom_candidates_resolve_at_pinned_version(spark, tmp_path):
+    """Round-6 advice (medium): the Bloom candidate probe must
+    resolve live files at the WRITER'S PINNED parent, not the current
+    head — a concurrent rewrite landing between the pin and the probe
+    would otherwise rename matching files out of the writer's
+    by_name map, the intersection silently drops them, and the
+    disjoint-touched-set rebase lets the delete skip those rows."""
+    from etl_sentinel_imagery_spark.operators.skipping import (
+        build_file_bloom_index,
+    )
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        _probe_candidates,
+    )
+
+    t = str(tmp_path / "pin")
+    init_table(spark, t, _seed(spark, 200).repartition(4))
+    build_file_bloom_index(spark, t, "doc_id")
+    v1 = current_version(t)
+    old_names = {_entry_name(e) for e in resolve_files(t, v1)}
+    compact(spark, t)  # the concurrent rewrite: all names change
+    new_names = {_entry_name(e) for e in resolve_files(t)}
+    assert old_names.isdisjoint(new_names)
+    # version-pinned resolution returns names of THAT version
+    cands_pinned = dv_delete_candidates(
+        spark, t, "doc_id", [17], version=v1
+    )
+    assert set(cands_pinned) <= old_names and cands_pinned
+    cands_head = dv_delete_candidates(spark, t, "doc_id", [17])
+    assert set(cands_head) <= new_names
+    # the ladder's belt-and-braces guard: if resolution skew DOES
+    # surface (candidates name files outside the caller's by_name),
+    # fall back to the full probe instead of silently narrowing
+    m = read_manifest(t, v1)
+    entries_v1 = resolve_files(t, v1)
+    by_name_v1 = {_entry_name(e): e for e in entries_v1}
+    probe = _probe_candidates(
+        spark, t, m, entries_v1, by_name_v1, "doc_id",
+        None, None, values=[17],  # no version: resolves at head
+    )
+    assert probe == entries_v1  # full fallback, never a wrong subset
+    # end-to-end: a delete pinned pre-compaction still kills the rows
+    delete_rows_dv(spark, t, "doc_id", [17])
+    assert snapshot(spark, t).filter("doc_id = 17").count() == 0
+
+
+def test_delete_bounds_tolerate_null_keys(spark, tmp_path):
+    """Round-6 advice (low): a None in a list-valued key set must not
+    raise on the stats-bounds min/max — isin semantics are defined
+    (None never matches) and both delete forms keep them."""
+    t = str(tmp_path / "nulls")
+    init_table(
+        spark,
+        t,
+        _seed(spark, 60).coalesce(1),
+        stat_cols=["doc_id"],
+    )
+    v = delete_rows_dv(spark, t, "doc_id", [None, 5, 7])
+    assert v > 0
+    snap = snapshot(spark, t)
+    assert snap.count() == 58
+    assert snap.filter(F.col("doc_id").isin([5, 7])).count() == 0
+    v2 = delete_rows(spark, t, "doc_id", [None, 11])
+    assert v2 > v
+    assert snapshot(spark, t).count() == 57
+    # all-None degenerates to a no-op, not a crash
+    assert delete_rows_dv(spark, t, "doc_id", [None]) == v2
