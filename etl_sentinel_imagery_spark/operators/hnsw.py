@@ -436,3 +436,130 @@ def hnsw_append(
         .groupBy("shard")
         .applyInPandas(extend, _GRAPH_SCHEMA)
     )
+
+
+def hnsw_remove(
+    graph: DataFrame,
+    dead_ids: DataFrame,
+    embeddings_remaining: DataFrame,
+    m: int = DEFAULT_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DELETE nodes from persisted per-shard graphs with NEIGHBOR
+    REPAIR — the GDPR verb the graph tier was missing (round-6 verdict
+    #3). Dead nodes' rows drop at every level; each surviving node
+    whose adjacency referenced a dead node repairs by SHORTCUTTING:
+    its candidate set becomes its surviving neighbors plus the dead
+    neighbors' own surviving same-level neighbors (the FreshDiskANN
+    / hnswlib-repair local rule), pruned to the level's degree cap by
+    similarity-to-self with id tiebreaks — deterministic, no RNG.
+    Untouched adjacency lists pass through byte-identical, so a
+    delete's write cost tracks the dead nodes' in-neighborhoods, not
+    the graph.
+
+    Crucially the repair needs NO deleted vectors — candidates are
+    scored against SURVIVING vectors only — so a purge leaves nothing
+    of the deleted embedding behind (tombstone masks would have kept
+    the vector routable and therefore resident). ``dead_ids`` is any
+    one-column id frame; ids absent from the graph are no-ops (the
+    idempotent-replay contract). ``embeddings_remaining`` must cover
+    every surviving node (the post-delete corpus). Returns the full
+    repaired adjacency row set — persist like a build/append. Search
+    recall after deletes is pinned in tests; heavy cumulative churn
+    degrades the small-world structure, which is what the serving
+    layer's rebuild-debt threshold exists for."""
+    dead_df = (
+        dead_ids.select(
+            F.col(dead_ids.columns[0]).cast("bigint").alias("node_id")
+        )
+        .distinct()
+        .withColumn("_dead", F.lit(True))
+    )
+    vecs_df = embeddings_remaining.select(
+        F.col(id_col).alias("node_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+
+    def repair(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        dead = {
+            int(n)
+            for n, d in zip(pdf["node_id"], pdf["_dead"])
+            if d
+        }
+        live = pdf[~pdf["_dead"].astype(bool)]
+        if live.empty:
+            return pd.DataFrame(
+                columns=["shard", "node_id", "level", "neighbors"]
+            )
+        if not dead:
+            return live[["shard", "node_id", "level", "neighbors"]]
+        lvl0 = live[live["level"] == 0]
+        ids = lvl0["node_id"].to_numpy().astype("int64")
+        missing = [
+            int(i)
+            for i, v in zip(ids, lvl0["_v"])
+            if v is None
+        ]
+        if missing:
+            raise ValueError(
+                f"surviving graph nodes lack vectors: {missing[:5]} — "
+                "embeddings_remaining must cover the post-delete corpus"
+            )
+        vecs = _normalize(
+            np.stack(lvl0["_v"].to_numpy()).astype("float64")
+        )
+        pos_of = {int(i): p for p, i in enumerate(ids)}
+        dead_adj: dict[tuple[int, int], list[int]] = {}
+        for lev, nid, nbrs, d in zip(
+            pdf["level"], pdf["node_id"], pdf["neighbors"], pdf["_dead"]
+        ):
+            if d:
+                dead_adj[(int(lev), int(nid))] = [int(o) for o in nbrs]
+        rows = []
+        for lev, nid, nbrs in zip(
+            live["level"], live["node_id"], live["neighbors"]
+        ):
+            lev, nid = int(lev), int(nid)
+            nbrs = [int(o) for o in nbrs]
+            if not any(o in dead for o in nbrs):
+                rows.append((shard, nid, lev, nbrs))
+                continue
+            cap = m if lev > 0 else 2 * m
+            cand = dict.fromkeys(o for o in nbrs if o not in dead)
+            for o in nbrs:
+                if o in dead:
+                    for x in dead_adj.get((lev, o), ()):
+                        if x not in dead and x != nid:
+                            cand.setdefault(x)
+            cand_list = list(cand)
+            if len(cand_list) > cap:
+                s = (
+                    vecs[[pos_of[x] for x in cand_list]]
+                    @ vecs[pos_of[nid]]
+                )
+                order = sorted(
+                    range(len(cand_list)),
+                    key=lambda i: (-float(s[i]), cand_list[i]),
+                )
+                cand_list = [cand_list[i] for i in order[:cap]]
+            rows.append((shard, nid, lev, cand_list))
+        return pd.DataFrame(
+            rows, columns=["shard", "node_id", "level", "neighbors"]
+        )
+
+    return (
+        graph.join(dead_df, "node_id", "left")
+        .join(vecs_df, "node_id", "left")
+        .select(
+            "shard",
+            "node_id",
+            "level",
+            "neighbors",
+            F.coalesce("_dead", F.lit(False)).alias("_dead"),
+            "_v",
+        )
+        .groupBy("shard")
+        .applyInPandas(repair, _GRAPH_SCHEMA)
+    )

@@ -19,7 +19,9 @@ oracle's list_reduce reproduces scores bit-for-bit.
 
 from __future__ import annotations
 
+import json
 import math
+import os
 from typing import Iterator
 
 import numpy as np
@@ -324,6 +326,127 @@ def _commit_bucket_stats(stats: DataFrame, path: str) -> None:
             shutil.rmtree(os.path.join(sdir, entry), ignore_errors=True)
 
 
+def _layout_live_dir(path: str) -> str:
+    return os.path.join(path, "_live")
+
+
+def list_layout_data_files(path: str) -> list[str]:
+    """Every parquet data file under a layout dir, table-relative,
+    skipping ``_``-prefixed control dirs/files (the Hadoop hidden-file
+    convention the layout already relies on)."""
+    out = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
+        for f in files:
+            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                continue
+            out.append(
+                os.path.relpath(os.path.join(root, f), path)
+            )
+    return sorted(out)
+
+
+def live_layout_files(path: str) -> list[str] | None:
+    """The committed file list of a versioned layout, or ``None`` for
+    a layout without a manifest (legacy plain directory — every file
+    is live)."""
+    ptr = os.path.join(_layout_live_dir(path), "_CURRENT")
+    if not os.path.isfile(ptr):
+        return None
+    with open(ptr) as f:
+        name = f.read().strip()
+    with open(os.path.join(_layout_live_dir(path), name)) as f:
+        return json.load(f)["files"]
+
+
+def publish_layout_manifest(path: str, files: list[str]) -> None:
+    """Commit a new live file set: write ``_live/manifest-<uuid>.json``
+    then atomically repoint ``_live/_CURRENT`` — the txlog's own
+    write-new + pointer-flip discipline applied to index bucket data
+    (round-6 verdict #4). A reader that resolved the pointer before
+    the flip keeps reading the OLD generation's files (maintenance
+    never deletes data files — that is :func:`vacuum_layout`'s job,
+    age-gated); a reader after the flip sees the new generation. No
+    interleaving exists in which a reader sees a mixed or partial
+    file set. Manifest size is O(live files) — index layouts hold
+    buckets/shards (thousands), not table-scale file counts."""
+    import uuid
+
+    ldir = _layout_live_dir(path)
+    os.makedirs(ldir, exist_ok=True)
+    name = f"manifest-{uuid.uuid4().hex[:12]}.json"
+    with open(os.path.join(ldir, name), "w") as f:
+        json.dump({"files": sorted(files)}, f)
+    tmp = os.path.join(ldir, f"_CURRENT.tmp.{name}")
+    with open(tmp, "w") as f:
+        f.write(name)
+    os.replace(tmp, os.path.join(ldir, "_CURRENT"))
+
+
+def read_indexed_layout(spark, path: str) -> DataFrame:
+    """The committed view of an index layout: exactly the live
+    manifest's files (``basePath`` keeps the hive partition column, so
+    bucket/shard partition PRUNING works unchanged); a manifest-less
+    legacy layout reads the plain directory."""
+    files = live_layout_files(path)
+    if files is None:
+        return spark.read.parquet(path)
+    return spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, f) for f in files]
+    )
+
+
+def vacuum_layout(path: str, min_age_seconds: float = 3600.0) -> list[str]:
+    """Remove data files no manifest generation references anymore:
+    anything on disk outside the LIVE manifest, age-gated so an
+    in-flight reader holding a just-retired generation finishes its
+    scan (the same reasoning as txlog vacuum's gate). Also sweeps
+    retired manifest jsons. Returns removed relative paths."""
+    import time
+
+    live = live_layout_files(path)
+    if live is None:
+        return []
+    keep = set(live)
+    now = time.time()
+    removed = []
+    for rel in list_layout_data_files(path):
+        if rel in keep:
+            continue
+        p = os.path.join(path, rel)
+        try:
+            if now - os.path.getmtime(p) < min_age_seconds:
+                continue
+            os.remove(p)
+            removed.append(rel)
+        except OSError:
+            pass
+    ldir = _layout_live_dir(path)
+    with open(os.path.join(ldir, "_CURRENT")) as f:
+        current = f.read().strip()
+    for name in os.listdir(ldir):
+        if (
+            name.startswith("manifest-")
+            and name != current
+            and now - os.path.getmtime(os.path.join(ldir, name))
+            >= min_age_seconds
+        ):
+            try:
+                os.remove(os.path.join(ldir, name))
+            except OSError:
+                pass
+    # prune now-empty bucket dirs so directory listings stay honest
+    for root, dirs, files in os.walk(path, topdown=False):
+        if not dirs and not files and root != path:
+            base = os.path.basename(root)
+            if not base.startswith("_"):
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
+    return removed
+
+
 def write_ivf_index(
     embeddings: DataFrame,
     centroids: np.ndarray,
@@ -343,6 +466,7 @@ def write_ivf_index(
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
     _commit_bucket_stats(ivf_bucket_stats(assigned, centroids, vec_col), path)
+    publish_layout_manifest(path, list_layout_data_files(path))
 
 
 def ivf_topk_indexed(
@@ -378,7 +502,9 @@ def ivf_topk_indexed(
         ],
         "query_id bigint, query_vec array<double>, bucket int",
     )
-    index = spark.read.parquet(index_path).filter(F.col("bucket").isin(probe_set))
+    index = read_indexed_layout(spark, index_path).filter(
+        F.col("bucket").isin(probe_set)
+    )
     cand = index.select(
         F.col(id_col).alias("cand_id"),
         as_double_array(vec_col).alias("cand_vec"),
@@ -462,8 +588,18 @@ def append_to_ivf_index(
     _commit_bucket_stats(
         spark.createDataFrame(rows, merged.schema), path
     )
-    # stats committed (wider) — now the data append
+    # stats committed (wider) — now the data append: new files land,
+    # then ONE pointer flip makes them live (a reader mid-append sees
+    # the previous complete generation, never a partial batch)
+    before = set(list_layout_data_files(path))
+    live = live_layout_files(path)
     assigned.write.mode("append").partitionBy("bucket").parquet(path)
+    new_files = [
+        f for f in list_layout_data_files(path) if f not in before
+    ]
+    publish_layout_manifest(
+        path, (live if live is not None else sorted(before)) + new_files
+    )
 
 
 def ivf_topk_indexed_adaptive(
@@ -537,7 +673,9 @@ def ivf_topk_indexed_adaptive(
         [(int(qid), float(unprobed_bound[i])) for i, qid in enumerate(q_ids)],
         "query_id bigint, unprobed_bound double",
     )
-    index = spark.read.parquet(index_path).filter(F.col("bucket").isin(probe_set))
+    index = read_indexed_layout(spark, index_path).filter(
+        F.col("bucket").isin(probe_set)
+    )
     cand = index.select(
         F.col(id_col).alias("cand_id"),
         as_double_array(vec_col).alias("cand_vec"),

@@ -53,6 +53,10 @@ from etl_sentinel_imagery_spark.operators.ivfpq import (
 from etl_sentinel_imagery_spark.operators.kmeans import fit as kmeans_fit
 from etl_sentinel_imagery_spark.operators.similarity import (
     ivf_topk_indexed_adaptive,
+    list_layout_data_files,
+    live_layout_files,
+    publish_layout_manifest,
+    read_indexed_layout,
     rerank_exact,
     write_ivf_index,
 )
@@ -239,7 +243,9 @@ def topk(
     if tier not in ("ivf", "hnsw", "ivfpq"):
         raise ValueError(f"unknown serving tier {tier!r}")
     shortlist = shortlist or 4 * k
-    corpus = spark.read.parquet(_ivf_dir(index_dir)).select(id_col, vec_col)
+    corpus = read_indexed_layout(spark, _ivf_dir(index_dir)).select(
+        id_col, vec_col
+    )
     q = queries.select(
         F.col(id_col).cast("bigint").alias(id_col),
         F.col(vec_col).cast("array<double>").alias(vec_col),
@@ -285,7 +291,7 @@ def topk(
             vec_col=vec_col,
         )
     else:
-        graph = spark.read.parquet(_hnsw_dir(index_dir))
+        graph = read_indexed_layout(spark, _hnsw_dir(index_dir))
         q_ids = [int(r[id_col]) for r in q.select(id_col).collect()]
         # hnsw_topk fetches query vectors by id from its embeddings
         # argument — union external queries in (dropDuplicates keeps the
@@ -324,6 +330,39 @@ def _sync_cursor_path(index_dir: str) -> str:
     return os.path.join(index_dir, "_table_sync.json")
 
 
+def _hnsw_meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "hnsw_meta.json")
+
+
+def _read_hnsw_meta(index_dir: str) -> dict | None:
+    p = _hnsw_meta_path(index_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_hnsw_meta(index_dir: str, meta: dict) -> None:
+    tmp = _hnsw_meta_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _hnsw_meta_path(index_dir))
+
+
+def _persist_graph_versioned(graph, path: str) -> None:
+    """Write a graph generation as NEW files, then one atomic manifest
+    flip (the txlog repoint discipline): a concurrent reader sees the
+    previous complete graph or the new one, never a mix. Old
+    generations stay on disk for in-flight readers until
+    :func:`operators.similarity.vacuum_layout`."""
+    before = set(list_layout_data_files(path))
+    graph.write.mode("append").partitionBy("shard").parquet(path)
+    new_files = [
+        f for f in list_layout_data_files(path) if f not in before
+    ]
+    publish_layout_manifest(path, new_files)
+
+
 def build_index_from_table(
     spark: SparkSession,
     table_dir: str,
@@ -334,29 +373,54 @@ def build_index_from_table(
 ) -> np.ndarray:
     """Build the serving index from a txlog table's CURRENT snapshot
     and record the synced version, so :func:`sync_index_from_table`
-    can take over incrementally. HNSW/PQ tiers are refused here —
-    they are rebuild-time artifacts with no delete story, and the
-    sync verb would silently serve stale graphs beside a fresh IVF."""
+    can take over incrementally. The IVF tier and (when ``hnsw=True``,
+    the build default) the graph tier are both maintained by the sync
+    verb — graph deletes repair via :func:`operators.hnsw.hnsw_remove`
+    and cumulative churn is tracked against a rebuild-debt threshold.
+    The PQ tier stays refused: it is a rebuild-cadence artifact, and
+    the sync verb must not silently serve stale codes beside fresh
+    tiers."""
     from etl_sentinel_imagery_spark.operators.txlog import (
         current_version,
         snapshot,
     )
 
-    if build_kwargs.get("hnsw", False) or build_kwargs.get("pq", False):
+    if build_kwargs.get("pq", False):
         raise ValueError(
-            "build_index_from_table maintains the IVF tier only; "
-            "build HNSW/PQ tiers with build_serving_index on a "
-            "snapshot and rebuild them on your own cadence"
+            "build_index_from_table maintains the IVF and HNSW tiers; "
+            "build the PQ tier with build_serving_index on a snapshot "
+            "and rebuild it on your own cadence"
         )
-    build_kwargs["hnsw"] = False
     v = current_version(table_dir)
+    snap = snapshot(spark, table_dir, version=v).select(id_col, vec_col)
     cents = build_serving_index(
-        snapshot(spark, table_dir, version=v).select(id_col, vec_col),
+        snap,
         index_dir,
         id_col=id_col,
         vec_col=vec_col,
         **build_kwargs,
     )
+    if build_kwargs.get("hnsw", True):
+        from etl_sentinel_imagery_spark.operators.hnsw import (
+            DEFAULT_SHARDS,
+        )
+
+        # versioned repoint for the freshly-built graph too, so the
+        # first sync's readers already resolve through the manifest
+        publish_layout_manifest(
+            _hnsw_dir(index_dir),
+            list_layout_data_files(_hnsw_dir(index_dir)),
+        )
+        _write_hnsw_meta(
+            index_dir,
+            {
+                "n_shards": int(
+                    build_kwargs.get("hnsw_shards", DEFAULT_SHARDS)
+                ),
+                "built_nodes": snap.count(),
+                "churn": 0,
+            },
+        )
     tmp = _sync_cursor_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"table_dir": os.path.abspath(table_dir), "version": v}, f)
@@ -370,9 +434,10 @@ def sync_index_from_table(
     index_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hnsw_rebuild_debt: float = 0.2,
 ) -> dict:
     """Drain the table's change feed since the last synced version and
-    apply the NET effect to the IVF index, exactly-once:
+    apply the NET effect to the serving index, exactly-once:
 
     - the feed nets per id (an UPDATE's delete+insert pair in one
       commit nets to the post-image; across commits the latest change
@@ -394,14 +459,28 @@ def sync_index_from_table(
       sidecar may drift on such replays — diagnostic only, never a
       bound (the append contract's documented caveat).
 
+    The HNSW tier (when present) maintains in the same pass: changed
+    ids leave the graph via :func:`operators.hnsw.hnsw_remove`
+    (neighbor repair — no deleted vector survives, the GDPR
+    property), net upserts re-insert via ``hnsw_append``, and
+    cumulative churn accrues against ``hnsw_rebuild_debt`` (fraction
+    of the nodes the graph was last built over): past the threshold
+    the sync REBUILDS the graph from the post-maintenance corpus and
+    resets the debt — repairs keep the graph valid, but enough of
+    them erode the small-world structure recall rides on. The PQ
+    tier stays refused (rebuild-cadence artifact).
+
     Content-neutral source commits (compaction, OPTIMIZE, stats
     backfill) contribute nothing to the feed and therefore cost the
-    index nothing. SINGLE-WRITER maintenance semantics, like
-    compaction: the ivf layout is plain parquet, so a concurrent
-    reader during the bucket rewrite can see a torn view of the
-    rewritten buckets (schedule syncs off the serving path, or serve
-    from a snapshot copy). Returns {from_version, to_version,
-    upserts, deletes, buckets_rewritten, walls}."""
+    index nothing. WRITER concurrency is single-writer (one sync at a
+    time — it is a maintenance verb), but READERS are safe
+    throughout: every bucket/graph rewrite lands as NEW files behind
+    one atomic manifest flip (:func:`operators.similarity.
+    publish_layout_manifest` — the txlog's own repoint discipline),
+    so a server reading mid-sync sees the previous complete
+    generation or the new one, never a torn mix; retired files
+    age-gate away via ``vacuum_layout``. Returns {from_version,
+    to_version, upserts, deletes, buckets_rewritten, hnsw, walls}."""
     from etl_sentinel_imagery_spark.operators.similarity import (
         append_to_ivf_index,
     )
@@ -420,12 +499,10 @@ def sync_index_from_table(
         cursor = json.load(f)
     from_v = int(cursor["version"])
     to_v = current_version(table_dir)
-    if os.path.isdir(_hnsw_dir(index_dir)) or os.path.isdir(
-        _ivfpq_dir(index_dir)
-    ):
+    if os.path.isdir(_ivfpq_dir(index_dir)):
         raise ValueError(
-            "index has HNSW/PQ tiers; sync maintains the IVF tier "
-            "only — rebuild the derived tiers on your own cadence"
+            "index has a PQ tier; sync maintains IVF and HNSW — "
+            "rebuild the PQ tier on your own cadence"
         )
     if to_v <= from_v:
         return {
@@ -466,7 +543,7 @@ def sync_index_from_table(
     # column-pruned locate: only (id, bucket-partition) columns read
     t0 = _time.time()
     touched = (
-        spark.read.parquet(ivf)
+        read_indexed_layout(spark, ivf)
         .select(id_col, "bucket")
         .join(F.broadcast(changed), id_col, "left_semi")
         .select("bucket")
@@ -478,42 +555,33 @@ def sync_index_from_table(
     t0 = _time.time()
     if buckets:
         keep = (
-            spark.read.parquet(ivf)
+            read_indexed_layout(spark, ivf)
             .filter(F.col("bucket").isin(buckets))
             .join(F.broadcast(changed), id_col, "left_anti")
-            .localCheckpoint(eager=True)  # pin BEFORE overwriting source files
+            .localCheckpoint(eager=True)  # pin one consistent input
         )
-        survivors = {
-            int(r["bucket"])
-            for r in keep.select("bucket").distinct().collect()
-        }
-        prev_mode = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        try:
-            if survivors:
-                keep.write.mode("overwrite").partitionBy(
-                    "bucket"
-                ).parquet(ivf)
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev_mode
-            )
-        # dynamic overwrite only touches partitions present in the
-        # written data — a bucket whose every row died clears by
-        # removing its partition directory (single-writer maintenance
-        # semantics, like compaction)
-        import shutil
-
-        for b in set(buckets) - survivors:
-            shutil.rmtree(
-                os.path.join(ivf, f"bucket={b}"), ignore_errors=True
-            )
-        if not survivors and not n_up:
-            # every row died and nothing replaces them: leave one
+        # VERSIONED REPOINT (round-6 verdict #4): survivors write as
+        # NEW files beside the old ones, the manifest carries over
+        # every untouched bucket's files, and ONE atomic pointer flip
+        # publishes the generation — a reader that resolved the old
+        # manifest keeps a complete old view (old files are not
+        # deleted here; vacuum_layout age-gates them out), a reader
+        # after the flip sees the complete new one. No torn state.
+        before = set(list_layout_data_files(ivf))
+        live = live_layout_files(ivf)
+        live = sorted(before) if live is None else live
+        keep.write.mode("append").partitionBy("bucket").parquet(ivf)
+        new_files = [
+            f for f in list_layout_data_files(ivf) if f not in before
+        ]
+        touched_pfx = tuple(f"bucket={b}/" for b in buckets)
+        carried = [f for f in live if not f.startswith(touched_pfx)]
+        manifest = carried + new_files
+        if not manifest:
+            # every row died (and any replacements land only in the
+            # append step below): never publish an EMPTY manifest —
+            # a reader in the window would have zero files to even
+            # infer a schema from. Publish one
             # schema-preserving empty bucket file so the index stays
             # readable (zero candidates, not an inference error)
             import pyarrow as pa
@@ -532,6 +600,8 @@ def sync_index_from_table(
                 ),
                 os.path.join(b0, "empty.parquet"),
             )
+            manifest = [f"bucket={buckets[0]}/empty.parquet"]
+        publish_layout_manifest(ivf, manifest)
     walls["rewrite_s"] = round(_time.time() - t0, 2)
     t0 = _time.time()
     if n_up:
@@ -543,6 +613,21 @@ def sync_index_from_table(
             vec_col=vec_col,
         )
     walls["append_s"] = round(_time.time() - t0, 2)
+    n_changed = changed.count()
+    hnsw_info = None
+    if os.path.isdir(_hnsw_dir(index_dir)):
+        t0 = _time.time()
+        hnsw_info = _sync_hnsw_tier(
+            spark,
+            index_dir,
+            changed,
+            upserts,
+            n_changed,
+            hnsw_rebuild_debt,
+            id_col,
+            vec_col,
+        )
+        walls["hnsw_s"] = round(_time.time() - t0, 2)
     tmp = cur_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(
@@ -550,12 +635,93 @@ def sync_index_from_table(
             f,
         )
     os.replace(tmp, cur_path)
-    n_changed = changed.count()
     return {
         "from_version": from_v,
         "to_version": to_v,
         "upserts": n_up,
         "deletes": n_changed - n_up,
         "buckets_rewritten": len(buckets),
+        "hnsw": hnsw_info,
         "walls": walls,
     }
+
+
+def _sync_hnsw_tier(
+    spark: SparkSession,
+    index_dir: str,
+    changed,
+    upserts,
+    n_changed: int,
+    rebuild_debt: float,
+    id_col: str,
+    vec_col: str,
+) -> dict:
+    """The graph tier's leg of the sync: remove every changed id with
+    neighbor repair (deletes AND update pre-images — the repair needs
+    no dead vectors, so a purge leaves nothing behind), re-insert the
+    net upserts, and track cumulative churn against the rebuild-debt
+    threshold — past it, rebuild from the post-maintenance corpus
+    (repairs keep the graph valid, but enough of them erode the
+    small-world structure). IDEMPOTENT on replay after a crash:
+    removal of already-removed ids is a no-op, and re-appending the
+    same upserts after removing them converges to the same graph.
+    Every write is a new-files + manifest-flip generation
+    (:func:`_persist_graph_versioned`) — concurrent readers see old
+    or new, never a mix."""
+    from etl_sentinel_imagery_spark.operators.hnsw import (
+        DEFAULT_SHARDS,
+        hnsw_append,
+        hnsw_remove,
+    )
+
+    hdir = _hnsw_dir(index_dir)
+    corpus = read_indexed_layout(spark, _ivf_dir(index_dir)).select(
+        id_col, vec_col
+    )
+    graph = read_indexed_layout(spark, hdir)
+    meta = _read_hnsw_meta(index_dir)
+    if meta is None:  # legacy graph built before maintenance existed
+        meta = {
+            "n_shards": graph.select("shard").distinct().count()
+            or DEFAULT_SHARDS,
+            "built_nodes": graph.filter(F.col("level") == 0).count(),
+            "churn": 0,
+        }
+    churn = int(meta["churn"]) + n_changed
+    built = max(int(meta["built_nodes"]), 1)
+    if rebuild_debt is not None and churn / built > rebuild_debt:
+        from etl_sentinel_imagery_spark.operators.hnsw import hnsw_build
+
+        rebuilt = hnsw_build(
+            corpus,
+            n_shards=int(meta["n_shards"]),
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        _persist_graph_versioned(rebuilt, hdir)
+        _write_hnsw_meta(
+            index_dir,
+            {
+                "n_shards": int(meta["n_shards"]),
+                "built_nodes": corpus.count(),
+                "churn": 0,
+            },
+        )
+        return {"action": "rebuild", "churn": churn, "debt": churn / built}
+    pruned = hnsw_remove(
+        graph, changed.select(id_col), corpus,
+        id_col=id_col, vec_col=vec_col,
+    )
+    up_ids = [int(r[id_col]) for r in upserts.select(id_col).collect()]
+    if up_ids:
+        pruned = hnsw_append(
+            corpus,
+            pruned,
+            F.col(id_col).isin(up_ids),
+            n_shards=int(meta["n_shards"]),
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    _persist_graph_versioned(pruned, hdir)
+    _write_hnsw_meta(index_dir, {**meta, "churn": churn})
+    return {"action": "repair", "churn": churn, "debt": churn / built}

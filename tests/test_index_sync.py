@@ -48,10 +48,17 @@ def _vecs(spark, ids, shift=0.0):
 
 
 def _corpus(spark, index_dir):
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        read_indexed_layout,
+    )
+
+    # the COMMITTED view: retired generations stay on disk for
+    # in-flight readers (vacuum_layout removes them), so the corpus
+    # check must resolve the live manifest like every real reader
     return sorted(
         (r["vec_id"], tuple(round(x, 9) for x in r["embedding"]))
-        for r in spark.read.parquet(
-            os.path.join(index_dir, "ivf")
+        for r in read_indexed_layout(
+            spark, os.path.join(index_dir, "ivf")
         ).select("vec_id", "embedding").collect()
     )
 
@@ -140,19 +147,100 @@ def test_sync_clears_fully_emptied_buckets(spark, tmp_path):
     assert _corpus(spark, idx) == [] == _table(spark, t)
 
 
-def test_sync_refuses_derived_tiers(spark, tmp_path):
+def test_sync_refuses_pq_tier_only(spark, tmp_path):
+    """HNSW is now maintained (round-6 verdict #3); the PQ tier —
+    still a rebuild-cadence artifact — keeps its honest refusal."""
     t = str(tmp_path / "emb4")
     init_table(spark, t, _vecs(spark, range(10)).coalesce(1))
     idx = str(tmp_path / "idx4")
-    with pytest.raises(ValueError, match="IVF tier only"):
-        build_index_from_table(spark, t, idx, hnsw=True)
-    build_index_from_table(spark, t, idx, n_centroids=2)
-    os.makedirs(os.path.join(idx, "hnsw"))
+    with pytest.raises(ValueError, match="PQ tier"):
+        build_index_from_table(spark, t, idx, pq=True)
+    build_index_from_table(spark, t, idx, n_centroids=2, hnsw=False)
+    os.makedirs(os.path.join(idx, "ivfpq"))
     append(spark, t, _vecs(spark, [99]).coalesce(1))
-    with pytest.raises(ValueError, match="rebuild the derived tiers"):
+    with pytest.raises(ValueError, match="PQ tier"):
         sync_index_from_table(spark, t, idx)
     # and a missing cursor directs to the build verb
     idx2 = str(tmp_path / "idx5")
     os.makedirs(idx2)
     with pytest.raises(ValueError, match="build_index_from_table"):
         sync_index_from_table(spark, t, idx2)
+
+
+def test_sync_maintains_hnsw_tier_end_to_end(spark, tmp_path):
+    """The tier matrix extends to HNSW (round-6 verdict #3): a GDPR
+    purge reaches the GRAPH-SERVED top-k, updates serve their new
+    vectors, crash replay converges, and accumulated churn past the
+    rebuild-debt threshold triggers a full rebuild."""
+    t = str(tmp_path / "embh")
+    init_table(spark, t, _vecs(spark, range(60)).coalesce(2))
+    idx = str(tmp_path / "idxh")
+    build_index_from_table(
+        spark, t, idx, n_centroids=4, hnsw=True, hnsw_shards=2
+    )
+
+    append(spark, t, _vecs(spark, range(200, 210)).coalesce(1))
+    delete_rows_dv(spark, t, "vec_id", [3, 5, 203])
+    update_rows(
+        spark,
+        t,
+        "vec_id = 7",
+        {"embedding": F.expr("transform(embedding, x -> x + 0.5)")},
+    )
+    rep = sync_index_from_table(spark, t, idx, hnsw_rebuild_debt=0.5)
+    assert rep["hnsw"]["action"] == "repair"
+    assert _corpus(spark, idx) == _table(spark, t)
+    # graph nodes == table ids exactly (no stale nodes, no misses)
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        read_indexed_layout,
+    )
+
+    nodes = {
+        r["node_id"]
+        for r in read_indexed_layout(spark, os.path.join(idx, "hnsw"))
+        .filter(F.col("level") == 0)
+        .collect()
+    }
+    assert nodes == {i for i, _ in _table(spark, t)}
+    # purge reaches the GRAPH-served top-k
+    q = _vecs(spark, [7]).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> x + 0.5)").alias("embedding"),
+    )
+    hits = topk(spark, q, idx, k=8, tier="hnsw", ef_search=64).collect()
+    assert hits, "graph tier serves"
+    assert all(h["cand_id"] not in (3, 5, 203) for h in hits)
+
+    # crash replay converges (cursor rollback)
+    cur = os.path.join(idx, "_table_sync.json")
+    pre = open(cur).read()
+    merge_upsert(spark, t, _vecs(spark, [9, 300], shift=0.2), "vec_id")
+    sync_index_from_table(spark, t, idx, hnsw_rebuild_debt=0.5)
+    with open(cur, "w") as f:
+        f.write(pre)
+    sync_index_from_table(spark, t, idx, hnsw_rebuild_debt=0.5)
+    assert _corpus(spark, idx) == _table(spark, t)
+    nodes2 = {
+        r["node_id"]
+        for r in read_indexed_layout(spark, os.path.join(idx, "hnsw"))
+        .filter(F.col("level") == 0)
+        .collect()
+    }
+    assert nodes2 == {i for i, _ in _table(spark, t)}
+
+    # rebuild debt: a churn burst past the threshold rebuilds
+    delete_rows_dv(spark, t, "vec_id", list(range(20, 50)))
+    rep3 = sync_index_from_table(spark, t, idx, hnsw_rebuild_debt=0.2)
+    assert rep3["hnsw"]["action"] == "rebuild"
+    import json as _json
+
+    meta = _json.load(open(os.path.join(idx, "hnsw_meta.json")))
+    assert meta["churn"] == 0
+    assert _corpus(spark, idx) == _table(spark, t)
+    hits3 = topk(
+        spark, _vecs(spark, [1]), idx, k=5, tier="hnsw", ef_search=64
+    ).collect()
+    assert hits3 and all(
+        20 > h["cand_id"] or h["cand_id"] >= 50 or h["cand_id"] > 199
+        for h in hits3
+    )

@@ -64,7 +64,7 @@ def main() -> None:
     init_table(spark, t, vecs(0, n).repartition(32))
     seed_s = time.time() - t0
     t0 = time.time()
-    build_index_from_table(spark, t, idx, n_centroids=64)
+    build_index_from_table(spark, t, idx, n_centroids=64, hnsw=False)
     build_s = time.time() - t0
 
     # churn: half fresh inserts, half GDPR deletes of existing ids
