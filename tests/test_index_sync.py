@@ -244,3 +244,133 @@ def test_sync_maintains_hnsw_tier_end_to_end(spark, tmp_path):
         20 > h["cand_id"] or h["cand_id"] >= 50 or h["cand_id"] > 199
         for h in hits3
     )
+
+
+_RACE_READER = r'''
+import json, os, sys
+import pyarrow.parquet as pq
+
+path, out_path, stop_path = sys.argv[1], sys.argv[2], sys.argv[3]
+ldir = os.path.join(path, "_live")
+snapshots, errors = [], []
+while not os.path.exists(stop_path):
+    try:
+        with open(os.path.join(ldir, "_CURRENT")) as f:
+            name = f.read().strip()
+        with open(os.path.join(ldir, name)) as f:
+            files = json.load(f)["files"]
+        ids = []
+        for rel in files:
+            t = pq.read_table(
+                os.path.join(path, rel), columns=["vec_id"]
+            )
+            ids.extend(t.column("vec_id").to_pylist())
+        snapshots.append(sorted(int(i) for i in ids))
+    except Exception as e:  # a torn read is a recorded failure
+        errors.append(repr(e))
+        break
+with open(out_path, "w") as f:
+    json.dump({"snapshots": snapshots, "errors": errors}, f)
+'''
+
+
+def test_concurrent_reader_during_sync_sees_old_or_new(spark, tmp_path):
+    """Round-6 verdict #4 done-criterion: a SECOND PROCESS reads the
+    index continuously while syncs rewrite buckets; every snapshot it
+    resolves must equal a COMMITTED generation's exact id multiset —
+    old or new, never a mixed/partial view. The reader is plain
+    pyarrow over the manifest protocol (the race is at the filesystem
+    level; a server-side reader resolves the same _CURRENT pointer),
+    which also keeps a second Spark JVM off this box. Any read error
+    (a manifest naming a vanished file) is a recorded failure too —
+    maintenance never deletes data files, only vacuum_layout does."""
+    import json
+    import subprocess
+    import sys
+
+    t = str(tmp_path / "embr")
+    n = 240
+    init_table(spark, t, _vecs(spark, range(n)).coalesce(2))
+    idx = str(tmp_path / "idxr")
+    build_index_from_table(
+        spark, t, idx, n_centroids=6, hnsw=False
+    )
+
+    out_path = str(tmp_path / "reader_out.json")
+    stop_path = str(tmp_path / "reader_stop")
+    reader = subprocess.Popen(
+        [sys.executable, "-c", _RACE_READER,
+         os.path.join(idx, "ivf"), out_path, stop_path]
+    )
+    try:
+        # every committed generation's id multiset, in commit order.
+        # Each sync publishes up to TWO generations: the bucket
+        # rewrite (deletes applied) and the append (inserts live).
+        live = set(range(n))
+        expected = [tuple(sorted(live))]
+        nxt = n
+        for rnd in range(3):
+            dead = set(range(rnd * 30, rnd * 30 + 25))
+            fresh = set(range(nxt, nxt + 20))
+            nxt += 20
+            delete_rows_dv(spark, t, "vec_id", sorted(dead))
+            append(spark, t, _vecs(spark, sorted(fresh)).coalesce(1))
+            live -= dead
+            expected.append(tuple(sorted(live)))  # post-rewrite gen
+            live |= fresh
+            expected.append(tuple(sorted(live)))  # post-append gen
+            sync_index_from_table(spark, t, idx)
+            assert _corpus(spark, idx) == _table(spark, t)
+    finally:
+        open(stop_path, "w").close()
+        reader.wait(timeout=120)
+    assert reader.returncode == 0
+    with open(out_path) as f:
+        got = json.load(f)
+    assert got["errors"] == []
+    assert len(got["snapshots"]) >= 3, "reader raced at least a few reads"
+    allowed = set(expected)
+    for snap in got["snapshots"]:
+        assert tuple(snap) in allowed, (
+            f"torn read: {len(snap)} ids not matching any committed "
+            f"generation (sizes {sorted({len(e) for e in allowed})})"
+        )
+
+
+def test_vacuum_layout_retires_only_dead_generations(spark, tmp_path):
+    """vacuum_layout removes exactly the files no live manifest
+    references (age-gated), sweeps retired manifests, and leaves the
+    committed view bit-identical."""
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        list_layout_data_files,
+        live_layout_files,
+        vacuum_layout,
+    )
+
+    t = str(tmp_path / "embv")
+    init_table(spark, t, _vecs(spark, range(40)).coalesce(1))
+    idx = str(tmp_path / "idxv")
+    build_index_from_table(spark, t, idx, n_centroids=3, hnsw=False)
+    ivf = os.path.join(idx, "ivf")
+
+    delete_rows_dv(spark, t, "vec_id", list(range(0, 12)))
+    append(spark, t, _vecs(spark, range(100, 110)).coalesce(1))
+    sync_index_from_table(spark, t, idx)
+    before_live = live_layout_files(ivf)
+    on_disk = list_layout_data_files(ivf)
+    assert set(before_live) < set(on_disk), "retired gen still on disk"
+
+    # age gate: nothing young enough is touched
+    assert vacuum_layout(ivf, min_age_seconds=3600) == []
+    corpus_before = _corpus(spark, idx)
+    removed = vacuum_layout(ivf, min_age_seconds=0)
+    assert sorted(removed) == sorted(set(on_disk) - set(before_live))
+    assert list_layout_data_files(ivf) == sorted(before_live)
+    assert _corpus(spark, idx) == corpus_before == _table(spark, t)
+    # retired manifests swept, current survives
+    ldir = os.path.join(ivf, "_live")
+    manifests = [
+        m for m in os.listdir(ldir) if m.startswith("manifest-")
+    ]
+    with open(os.path.join(ldir, "_CURRENT")) as f:
+        assert manifests == [f.read().strip()]
