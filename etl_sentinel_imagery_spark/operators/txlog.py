@@ -1009,7 +1009,15 @@ def snapshot(
     (the Iceberg/Delta path): basePath re-derives hive partition
     columns, the recorded schema NULL-fills pre-evolution files with
     NO footer opened, and deletion vectors (:func:`delete_rows_dv`)
-    anti-join out by row position."""
+    anti-join out by row position.
+
+    This is the HOT read path — a JVM-native parquet relation with
+    full Catalyst column pruning / predicate pushdown / codegen. The
+    ``txlog_table`` DataSource serves the same committed view as a
+    SQL relation but crosses the Arrow boundary per batch with no
+    column pruning (~3× on narrow aggregates; measured in
+    `tools/bench_read_paths.py`) — use it for SQL views and interop,
+    not bulk scans."""
     if timestamp is not None:
         if version is not None:
             raise ValueError("pass version OR timestamp, not both")

@@ -1024,7 +1024,18 @@ class TxlogTableBatchReader(DataSourceReader):
     """Plans ONE partition per live file at the pinned version (plus
     its DV sidecars) — append-heavy tables parallelize across the
     cluster exactly like the parquet source, with the txlog read
-    contract applied per partition on the executor."""
+    contract applied per partition on the executor.
+
+    This is the INTEROP/SQL surface, not the hot read path: every
+    batch crosses the Arrow boundary through a Python worker, and the
+    Python DataSource API gives Catalyst no column pruning, so a
+    narrow projection still reads every column. Bulk consumers should
+    use :func:`operators.txlog.snapshot` (JVM-native parquet relation
+    — pruning, pushdown, codegen): measured at 2M rows × 16 files, a
+    one-column aggregate runs 0.19 s native vs 0.61 s here (~3×),
+    while full-width scans are comparable (`tools/bench_read_paths.py`).
+    Pay the boundary only for what it buys — SQL views with time
+    travel, and tools that only speak relations."""
 
     def __init__(self, schema, options, pinned_head: int | None = None):
         self.table_dir = options.get("path") or options.get("table_dir")
