@@ -270,12 +270,13 @@ def _has_full_list(m: dict) -> bool:
     return "files" in m or "files_parts" in m
 
 
-def _write_part(table_dir: str, entries: list) -> dict:
-    """Persist entries as one immutable parquet part file; return its
-    segment record {part, n}. Column-typed (no per-entry json parse on
-    read) with exact dict round-trip: absent keys stay absent."""
+def _part_arrow_table(entries: list):
+    """Entries → the checkpoint part's Arrow table (column-typed, no
+    per-entry json parse on read, exact dict round-trip: absent keys
+    stay absent). Pure — shared by the driver's :func:`_write_part`
+    and the executor-side part writers (:func:`analyze_table`'s
+    distributed pass), so every part on disk has one schema."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     cols: dict[str, list] = {
         k: []
@@ -321,7 +322,15 @@ def _write_part(table_dir: str, entries: list) -> dict:
             ("extra", pa.string()),
         ]
     )
-    tbl = pa.table(cols, schema=schema)
+    return pa.table(cols, schema=schema)
+
+
+def _write_part(table_dir: str, entries: list) -> dict:
+    """Persist entries as one immutable parquet part file; return its
+    segment record {part, n}."""
+    import pyarrow.parquet as pq
+
+    tbl = _part_arrow_table(entries)
     os.makedirs(os.path.join(table_dir, "_txlog", "parts"), exist_ok=True)
     rel = os.path.join(
         "_txlog", "parts", f"part-{uuid.uuid4().hex}.parquet"
@@ -3183,10 +3192,18 @@ def analyze_table(
 
     Cost shape: parquet FOOTERS only, read on EXECUTORS via one
     ``mapInPandas`` pass over the live file list (no data-column IO,
-    no driver footer loop — the collected result is one tiny row per
-    file, the same size as the manifest itself). The commit is a pure
-    metadata repoint: every live entry re-adds with its stats merged
-    in, keeping its DV chain, row counts and ``base_rid`` intact, so
+    no driver footer loop). Below ``PARQUET_CHECKPOINT_MIN`` entries
+    the merged list commits as an ordinary inline repoint (the
+    collected result is one tiny row per file — the same size as the
+    manifest itself at that scale). At parts-checkpoint scale the
+    stats NEVER visit the driver: each executor partition writes its
+    merged entries directly as an immutable checkpoint PART file
+    (:func:`_part_arrow_table` — byte-compatible with every other
+    part), the driver collects only the O(parts) segment records, and
+    the commit is a full-list parts CHECKPOINT referencing them
+    (round-6 verdict #6). Either way the commit is a pure metadata
+    repoint: every live entry re-adds with its stats merged in,
+    keeping its DV chain, row counts and ``base_rid`` intact, so
     time travel, row tracking and merge-on-read reads are untouched.
     Stats are keyed by PHYSICAL column name exactly like write-time
     stats, so pruning survives later RENAMEs; a file that predates the
@@ -3206,6 +3223,34 @@ def analyze_table(
         return parent
     mapping = resolve_mapping(table_dir, parent)
     phys = [mapping["map"].get(c, c) for c in cols]
+    stat_cols = list(m.get("stat_cols") or [])
+    stat_cols += [c for c in cols if c not in stat_cols]
+    if len(entries) >= PARQUET_CHECKPOINT_MIN:
+        out = _analyze_commit_parts(
+            spark, table_dir, parent, m, entries, mapping, phys,
+            stat_cols,
+        )
+    else:
+        out = _analyze_commit_inline(
+            spark, table_dir, parent, m, entries, mapping, phys,
+            stat_cols,
+        )
+    if out is not _RETRY:
+        return out
+    if _attempts <= 1:
+        raise TxConflict(
+            f"analyze_table kept losing to concurrent commits on "
+            f"{table_dir}"
+        )
+    return analyze_table(spark, table_dir, cols, _attempts - 1)
+
+
+def _analyze_commit_inline(
+    spark, table_dir, parent, m, entries, mapping, phys, stat_cols
+):
+    """Small-table analyze: collect one tiny stats row per file (the
+    same size as the inline manifest the commit writes) and repoint
+    through the ordinary delta path."""
     names = [_entry_name(e) for e in entries]
     ndf = spark.createDataFrame([(n,) for n in names], "name string")
     td = table_dir
@@ -3244,22 +3289,146 @@ def analyze_table(
             new_e["stats"] = merged
         removes.append(n)
         adds.append(new_e)
-    stat_cols = list(m.get("stat_cols") or [])
-    stat_cols += [c for c in cols if c not in stat_cols]
-    out = _try_commit_dv(
+    return _try_commit_dv(
         table_dir, parent, adds, removes, "analyze", stat_cols,
         m.get("partition_cols") or None,
         {_entry_name(e): e for e in entries}, None, {"n": 20},
         require_same_mapping=mapping,
     )
-    if out is not _RETRY:
-        return out
-    if _attempts <= 1:
-        raise TxConflict(
-            f"analyze_table kept losing to concurrent commits on "
-            f"{table_dir}"
+
+
+def _analyze_commit_parts(
+    spark, table_dir, parent, m, entries, mapping, phys, stat_cols
+):
+    """Parts-scale analyze: the stats list never exists on the driver.
+    Each executor partition (~``_PART_TARGET`` entries) opens its
+    files' footers, merges stats into its entry dicts, and writes ONE
+    immutable checkpoint part; the driver collects only the O(parts)
+    ``{part, n}`` segment records and claims a full-list parts
+    CHECKPOINT referencing them — self-contained exactly like
+    :func:`_commit_delta`'s checkpoint branch and
+    :func:`truncate_history`'s horizon (txns, constraints,
+    properties, mapping, identity, row tracking all embedded), so
+    every bounded chain walk and retention horizon works unchanged.
+
+    Lock-free like the delta path: a lost claim rebases over BLIND
+    APPENDS by carrying the new head's extra entries into one more
+    (driver-written, footer-free — concurrent-append-sized) part
+    segment with no backfilled stats (they stay always-probed,
+    exactly the delta path's rebase semantics); any commit that
+    repointed or removed an analyzed entry forces the caller's
+    re-run. Spurious self-wins are detected by the manifest's uuid
+    marker. Parts of a lost race are orphans for :func:`vacuum` —
+    the established part-file discipline, never corruption."""
+    td = table_dir
+    n_parts = max(1, -(-len(entries) // _PART_TARGET))
+    edf = spark.createDataFrame(
+        [(json.dumps(e),) for e in entries], "e string"
+    )
+
+    def write_parts(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from etl_sentinel_imagery_spark.operators.txlog import (
+            _file_stats,
+            _part_arrow_table,
         )
-    return analyze_table(spark, table_dir, cols, _attempts - 1)
+
+        ents = []
+        for pdf in batches:
+            for ej in pdf["e"]:
+                e = json.loads(ej)
+                n = e if isinstance(e, str) else e["name"]
+                st = _file_stats(
+                    pq.ParquetFile(os.path.join(td, n)).metadata,
+                    phys,
+                )
+                new_e = dict(e) if isinstance(e, dict) else {"name": n}
+                merged = {**(new_e.get("stats") or {}), **st}
+                if merged:
+                    new_e["stats"] = merged
+                ents.append(new_e)
+        if not ents:
+            return
+        os.makedirs(
+            os.path.join(td, "_txlog", "parts"), exist_ok=True
+        )
+        rel = os.path.join(
+            "_txlog", "parts", f"part-{uuid.uuid4().hex}.parquet"
+        )
+        pq.write_table(
+            _part_arrow_table(ents), os.path.join(td, rel)
+        )
+        yield pd.DataFrame({"part": [rel], "n": [len(ents)]})
+
+    segments = [
+        {"part": r["part"], "n": int(r["n"])}
+        for r in edf.repartition(n_parts)
+        .mapInPandas(write_parts, "part string, n long")
+        .collect()
+    ]
+    by_name = {_entry_name(e): e for e in entries}
+    uid = uuid.uuid4().hex
+    budget = 20
+    while True:
+        if budget <= 0:
+            raise TxConflict(
+                f"analyze exhausted its claim-race budget on {td}"
+            )
+        budget -= 1
+        pm = read_manifest(table_dir, parent)
+        sc = list(pm.get("stat_cols") or [])
+        sc += [c for c in stat_cols if c not in sc]
+        body = {
+            "version": parent + 1,
+            "parent": parent,
+            "op": "analyze",
+            "uuid": uid,
+            "ts": time.time(),
+            "stat_cols": sc,
+            "partition_cols": pm.get("partition_cols") or [],
+            "adds": [],
+            "removes": [],
+            "schema": resolve_schema(table_dir, parent),
+            "files_parts": {"segments": segments},
+            "txns": resolve_txns(table_dir, parent),
+            "constraints": resolve_constraints(table_dir, parent),
+            "properties": resolve_properties(table_dir, parent),
+            "column_mapping": resolve_mapping(table_dir, parent),
+            "identity": resolve_identity(table_dir, parent),
+            "row_tracking": resolve_row_tracking(table_dir, parent),
+        }
+        try:
+            _claim(table_dir, parent + 1, json.dumps(body, indent=0))
+            return parent + 1
+        except TxConflict:
+            head = current_version(table_dir)
+            hm = read_manifest(table_dir, head)
+            if hm.get("op") == "analyze" and hm.get("uuid") == uid:
+                return head  # spurious self-win: the head IS ours
+            if resolve_mapping(table_dir, head) != mapping:
+                return _RETRY  # phys stat keys staled: full re-run
+            head_live = {
+                _entry_name(e): e
+                for e in resolve_files(table_dir, head)
+            }
+            if any(
+                head_live.get(n) != by_name.get(n) for n in by_name
+            ):
+                return _RETRY  # an analyzed entry moved or died
+            extra = [
+                e for n, e in head_live.items() if n not in by_name
+            ]
+            if extra:
+                # blind appends rebase in as one unanalyzed segment
+                # (no footers opened — their stats stay unbackfilled
+                # and the files always-probed, like the delta rebase)
+                segments = segments + [_write_part(td, extra)]
+                by_name.update(
+                    {_entry_name(e): e for e in extra}
+                )
+            parent = head
 
 
 def maintain_table(
