@@ -338,7 +338,7 @@ def hnsw_topk(
 def hnsw_append(
     embeddings_all: DataFrame,
     graph: DataFrame,
-    new_ids_filter: Column,
+    new_ids_filter: Column | DataFrame,
     n_shards: int = DEFAULT_SHARDS,
     m: int = DEFAULT_M,
     ef_build: int = DEFAULT_EF_BUILD,
@@ -350,8 +350,12 @@ def hnsw_append(
     a 100 TB index is never rebuilt per batch).
 
     ``embeddings_all`` must cover old AND new vectors (inserts compute
-    distances to existing nodes); ``new_ids_filter`` selects the rows to
-    add. Each shard reassembles its graph, then runs the SAME insert
+    distances to existing nodes); ``new_ids_filter`` selects the rows
+    to add — a boolean Column, or a DataFrame of ids to LEFT-SEMI join
+    against (the scale path: a million-row upsert batch must not
+    round-trip through the driver as an ``isin`` literal list, which
+    blows up both driver memory and the expression tree — round-7
+    ADVICE). Each shard reassembles its graph, then runs the SAME insert
     procedure as hnsw_build over the new ids in ascending order. Because
     build also inserts in ascending id order, appending ids ABOVE the
     existing range replays a from-scratch build's exact steps — the
@@ -421,8 +425,16 @@ def hnsw_append(
     old = graph.join(vecs_df, "node_id").select(
         "shard", "node_id", "level", "neighbors", "_v"
     )
+    if isinstance(new_ids_filter, DataFrame):
+        new_src = embeddings_all.join(
+            new_ids_filter.select(F.col(id_col)).distinct(),
+            id_col,
+            "semi",
+        )
+    else:
+        new_src = embeddings_all.filter(new_ids_filter)
     new = (
-        embeddings_all.filter(new_ids_filter)
+        new_src
         .select(
             F.col(id_col).alias("node_id"),
             shard_of(id_col, n_shards).alias("shard"),

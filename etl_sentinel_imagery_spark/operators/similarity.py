@@ -377,10 +377,24 @@ def publish_layout_manifest(path: str, files: list[str]) -> None:
     name = f"manifest-{uuid.uuid4().hex[:12]}.json"
     with open(os.path.join(ldir, name), "w") as f:
         json.dump({"files": sorted(files)}, f)
+    # stamp the OUTGOING manifest's mtime with the flip instant: its
+    # mtime becomes the generation's RETIREMENT time, which is what
+    # vacuum_layout's reader-safety gate must age against (a
+    # generation written hours ago but retired seconds ago may still
+    # be mid-scan by a reader that resolved _CURRENT just pre-flip)
+    ptr = os.path.join(ldir, "_CURRENT")
+    if os.path.isfile(ptr):
+        try:
+            with open(ptr) as f:
+                prev = f.read().strip()
+            if prev and prev != name:
+                os.utime(os.path.join(ldir, prev))
+        except OSError:
+            pass
     tmp = os.path.join(ldir, f"_CURRENT.tmp.{name}")
     with open(tmp, "w") as f:
         f.write(name)
-    os.replace(tmp, os.path.join(ldir, "_CURRENT"))
+    os.replace(tmp, ptr)
 
 
 def read_indexed_layout(spark, path: str) -> DataFrame:
@@ -397,11 +411,18 @@ def read_indexed_layout(spark, path: str) -> DataFrame:
 
 
 def vacuum_layout(path: str, min_age_seconds: float = 3600.0) -> list[str]:
-    """Remove data files no manifest generation references anymore:
-    anything on disk outside the LIVE manifest, age-gated so an
-    in-flight reader holding a just-retired generation finishes its
-    scan (the same reasoning as txlog vacuum's gate). Also sweeps
-    retired manifest jsons. Returns removed relative paths."""
+    """Remove data files no manifest generation references anymore,
+    gated on RETIREMENT time, not write time (round-7 ADVICE): a
+    generation's files may be hours old yet repointed away seconds
+    ago, with a reader that resolved ``_CURRENT`` just before the
+    flip still mid-scan. :func:`publish_layout_manifest` stamps the
+    outgoing manifest's mtime at the flip, so "retired manifests
+    younger than ``min_age_seconds``" are exactly the generations a
+    live reader may still hold — their file sets stay. A file-mtime
+    gate additionally protects an IN-FLIGHT publisher's data files
+    (written before its manifest lands, so no manifest references
+    them yet). Also sweeps manifest jsons retired longer ago than the
+    gate. Returns removed relative paths."""
     import time
 
     live = live_layout_files(path)
@@ -409,6 +430,24 @@ def vacuum_layout(path: str, min_age_seconds: float = 3600.0) -> list[str]:
         return []
     keep = set(live)
     now = time.time()
+    ldir = _layout_live_dir(path)
+    with open(os.path.join(ldir, "_CURRENT")) as f:
+        current = f.read().strip()
+    stale_manifests = []
+    for name in os.listdir(ldir):
+        if not name.startswith("manifest-") or name == current:
+            continue
+        mp = os.path.join(ldir, name)
+        try:
+            if now - os.path.getmtime(mp) < min_age_seconds:
+                # retired recently: an in-flight reader may still be
+                # scanning this generation — its whole file set stays
+                with open(mp) as f:
+                    keep.update(json.load(f)["files"])
+            else:
+                stale_manifests.append(mp)
+        except (OSError, ValueError, KeyError):
+            pass
     removed = []
     for rel in list_layout_data_files(path):
         if rel in keep:
@@ -416,25 +455,16 @@ def vacuum_layout(path: str, min_age_seconds: float = 3600.0) -> list[str]:
         p = os.path.join(path, rel)
         try:
             if now - os.path.getmtime(p) < min_age_seconds:
-                continue
+                continue  # possibly an in-flight publisher's file
             os.remove(p)
             removed.append(rel)
         except OSError:
             pass
-    ldir = _layout_live_dir(path)
-    with open(os.path.join(ldir, "_CURRENT")) as f:
-        current = f.read().strip()
-    for name in os.listdir(ldir):
-        if (
-            name.startswith("manifest-")
-            and name != current
-            and now - os.path.getmtime(os.path.join(ldir, name))
-            >= min_age_seconds
-        ):
-            try:
-                os.remove(os.path.join(ldir, name))
-            except OSError:
-                pass
+    for mp in stale_manifests:
+        try:
+            os.remove(mp)
+        except OSError:
+            pass
     # prune now-empty bucket dirs so directory listings stay honest
     for root, dirs, files in os.walk(path, topdown=False):
         if not dirs and not files and root != path:

@@ -2095,6 +2095,7 @@ def merge(
     when_matched: list | None = None,
     when_not_matched: list | None = None,
     candidate_names: list[str] | None = None,
+    when_not_matched_by_source: list | None = None,
 ) -> int:
     """Full ``MERGE INTO`` with Delta's clause grammar, one commit:
 
@@ -2109,8 +2110,23 @@ def merge(
       - ``("delete", cond)`` — drop the matched row.
 
       ``cond`` is a SQL string over ``t.*`` / ``s.*`` (None = always).
-    - ``when_not_matched`` — ``[("insert", cond)]`` with ``cond`` over
-      ``s.*`` (None = always; pass ``[]`` for a match-only merge).
+    - ``when_not_matched`` — ordered insert clauses, FIRST hit wins
+      per unmatched source row (rows hitting none are skipped):
+
+      - ``("insert", cond)`` — insert the whole source row;
+      - ``("insert", cond, {col: expr})`` — insert only the listed
+        columns (SQL's ``INSERT (cols) VALUES (...)``); expressions
+        reference the source as ``s.<col>``, unlisted columns NULL.
+
+      ``cond`` is over ``s.*`` (None = always; ``[]`` = match-only).
+    - ``when_not_matched_by_source`` — ordered clauses over TARGET
+      rows whose key has no source match (Delta's ``WHEN NOT MATCHED
+      BY SOURCE``): ``("delete", cond)`` / ``("update", cond, {col:
+      expr})`` with ``cond``/exprs over ``t.*`` only. SCALE NOTE:
+      these clauses are a FULL-TABLE operation by definition — every
+      file may hold unmatched rows, so probe pruning cannot apply to
+      this leg (matched clauses still prune); same cost shape as
+      Delta's.
 
     Defaults reproduce :func:`merge_upsert` (update_all + insert) —
     keep using that fast path when you don't need clauses: it skips
@@ -2144,13 +2160,22 @@ def merge(
         if when_not_matched is None
         else when_not_matched
     )
+    when_not_matched_by_source = when_not_matched_by_source or []
     for cl in when_matched:
         if cl[0] not in ("update_all", "update", "delete"):
             raise ValueError(f"unknown matched clause {cl[0]!r}")
-    if len(when_not_matched) > 1 or any(
-        cl[0] != "insert" for cl in when_not_matched
-    ):
-        raise ValueError("when_not_matched supports [('insert', cond)]")
+    for cl in when_not_matched:
+        if cl[0] != "insert":
+            raise ValueError(
+                "when_not_matched supports ('insert', cond[, {col: "
+                f"expr}}]) clauses, got {cl[0]!r}"
+            )
+    for cl in when_not_matched_by_source:
+        if cl[0] not in ("update", "delete"):
+            raise ValueError(
+                "when_not_matched_by_source supports ('delete', cond) "
+                f"/ ('update', cond, sets), got {cl[0]!r}"
+            )
 
     # LOCK-FREE like merge_upsert: a lost claim race rebases over a
     # disjoint repoint-only concurrent commit inside _try_commit_merge,
@@ -2160,7 +2185,8 @@ def merge(
     while budget["n"] > 0:
         out = _merge_once(
             spark, table_dir, source, key_col, when_matched,
-            when_not_matched, candidate_names, src_stats, budget,
+            when_not_matched, when_not_matched_by_source,
+            candidate_names, src_stats, budget,
         )
         if out is not _RETRY:
             return out
@@ -2176,6 +2202,7 @@ def _merge_once(
     key_col: str,
     when_matched: list,
     when_not_matched: list,
+    when_not_matched_by_source: list,
     candidate_names: list[str] | None,
     src_stats,
     budget: dict,
@@ -2196,9 +2223,12 @@ def _merge_once(
         )
     rid_wm = int(rt["watermark"]) if rt else 0
     target_sj = resolve_schema(table_dir, parent)
-    evolves = when_not_matched or any(
+    # schema evolution only when a whole source row lands in the
+    # table (update_all / whole-row insert); column-list inserts and
+    # by-source clauses bind existing columns, they don't evolve
+    evolves = any(
         cl[0] == "update_all" for cl in when_matched
-    )
+    ) or any(len(cl) < 3 or cl[2] is None for cl in when_not_matched)
     merged_sj = (
         _merge_schema_json(target_sj, source.schema)
         if evolves
@@ -2239,11 +2269,27 @@ def _merge_once(
     removes: list[str] = []
     dv_adds: list = []
     matched_keys = None
+    hit_parts: list = []  # (file_name, pos) frames to DV-delete
     # row tracking: updated images carry the TARGET row's id (an
     # update is the same logical row); inserts draw fresh ids below
     rid_keep = (
         [F.col("t._row_id").alias("_row_id")] if rt else []
     )
+
+    def tag_first_wins(df, clauses, col="_clause"):
+        """Ordered-clause tagging: row gets the 1-based index of the
+        FIRST clause whose condition holds, 0 if none (Delta's
+        first-match-wins semantics)."""
+        clause = F.lit(0)
+        for i, cl in reversed(list(enumerate(clauses, start=1))):
+            cond = (
+                F.expr(cl[1]) if isinstance(cl[1], str) else cl[1]
+            ) if cl[1] is not None else F.lit(True)
+            clause = F.when(
+                F.coalesce(cond, F.lit(False)), F.lit(i)
+            ).otherwise(clause)
+        return df.withColumn(col, clause)
+
     if probe:
         live = _read_entries(
             spark, table_dir, probe, parent, keep_pos=True,
@@ -2254,27 +2300,16 @@ def _merge_once(
             F.col(f"t.{key_col}") == F.col(f"s.{key_col}"),
             "inner",
         )
-        clause = F.lit(0)
-        for i, cl in reversed(list(enumerate(when_matched, start=1))):
-            cond = (
-                F.expr(cl[1]) if isinstance(cl[1], str) else cl[1]
-            ) if cl[1] is not None else F.lit(True)
-            clause = F.when(
-                F.coalesce(cond, F.lit(False)), F.lit(i)
-            ).otherwise(clause)
-        tagged = joined.withColumn("_clause", clause).localCheckpoint()
+        tagged = tag_first_wins(joined, when_matched).localCheckpoint()
         matched_keys = tagged.select(
             F.col(f"t.{key_col}").alias(key_col)
         ).distinct()
-        hits = tagged.filter(F.col("_clause") > 0).select(
-            F.col("t._file_name").alias("file_name"),
-            F.col("t._row_pos").alias("pos"),
-        )
-        sidecar, per_file = _write_dv_sidecar(spark, table_dir, hits)
-        if sidecar is not None:
-            removes, dv_adds = _dv_repoint(
-                table_dir, by_name, per_file, sidecar
+        hit_parts.append(
+            tagged.filter(F.col("_clause") > 0).select(
+                F.col("t._file_name").alias("file_name"),
+                F.col("t._row_pos").alias("pos"),
             )
+        )
         for i, cl in enumerate(when_matched, start=1):
             if cl[0] == "delete":
                 continue
@@ -2316,16 +2351,78 @@ def _merge_once(
                         *rid_keep,
                     )
                 )
+    if when_not_matched_by_source and entries:
+        # full-table leg BY DEFINITION: any file may hold rows whose
+        # key is absent from the source, so no probe pruning here
+        live_all = _read_entries(
+            spark, table_dir, entries, parent, keep_pos=True,
+            keep_rid=bool(rt),
+        )
+        unmatched = live_all.alias("t").join(
+            source.select(key_col).alias("s"),
+            F.col(f"t.{key_col}") == F.col(f"s.{key_col}"),
+            "left_anti",
+        ).alias("t")
+        bs_tagged = tag_first_wins(
+            unmatched, when_not_matched_by_source
+        ).localCheckpoint()
+        hit_parts.append(
+            bs_tagged.filter(F.col("_clause") > 0).select(
+                F.col("t._file_name").alias("file_name"),
+                F.col("t._row_pos").alias("pos"),
+            )
+        )
+        for i, cl in enumerate(when_not_matched_by_source, start=1):
+            if cl[0] == "delete":
+                continue
+            rows_i = bs_tagged.filter(F.col("_clause") == i)
+            sets = cl[2]
+            unknown = set(sets) - {f.name for f in out_fields}
+            if unknown:
+                raise ValueError(
+                    f"UPDATE SET of unknown columns {sorted(unknown)}"
+                )
+
+            def build_bs(n, sets=sets):
+                if n in sets:
+                    e = sets[n]
+                    return F.expr(e) if isinstance(e, str) else e
+                if n in target_cols:
+                    return F.col(f"t.{n}")
+                return None
+
+            images.append(
+                rows_i.select(
+                    *[img_col(f, build_bs) for f in out_fields],
+                    *rid_keep,
+                )
+            )
+    if hit_parts:
+        hits = hit_parts[0]
+        for h in hit_parts[1:]:
+            # matched rows (key IN source) and by-source rows (key
+            # NOT IN source) are disjoint, so this union never
+            # double-deletes a position
+            hits = hits.unionByName(h)
+        sidecar, per_file = _write_dv_sidecar(spark, table_dir, hits)
+        if sidecar is not None:
+            removes, dv_adds = _dv_repoint(
+                table_dir, by_name, per_file, sidecar
+            )
     if when_not_matched:
         new_rows = source.alias("s")
         if matched_keys is not None:
             new_rows = new_rows.join(
                 matched_keys, key_col, "left_anti"
             ).alias("s")
-        cond = when_not_matched[0][1]
-        if cond is not None:
-            c = F.expr(cond) if isinstance(cond, str) else cond
-            new_rows = new_rows.filter(F.coalesce(c, F.lit(False)))
+        new_rows = tag_first_wins(
+            new_rows, when_not_matched, col="_nm_clause"
+        ).filter(F.col("_nm_clause") > 0)
+        if len(when_not_matched) > 1 or rt:
+            # per-clause images re-scan this frame; pin it so clause
+            # routing and fresh row-ids stay consistent across passes
+            new_rows = new_rows.localCheckpoint()
+        new_rows = new_rows.alias("s")
         rid_fresh = []
         if rt:
             from etl_sentinel_imagery_spark.operators.packing import (
@@ -2344,20 +2441,32 @@ def _merge_once(
                 .alias("_row_id")
             ]
             rid_wm += new_rows.count()
-        images.append(
-            new_rows.select(
-                *[
-                    img_col(
-                        f,
-                        lambda n: F.col(f"s.{n}")
-                        if n in source.columns
-                        else None,
+        for i, cl in enumerate(when_not_matched, start=1):
+            rows_i = new_rows.filter(F.col("_nm_clause") == i)
+            sets = cl[2] if len(cl) > 2 else None
+            if sets is not None:
+                unknown = set(sets) - {f.name for f in out_fields}
+                if unknown:
+                    raise ValueError(
+                        f"INSERT of unknown columns {sorted(unknown)}"
                     )
-                    for f in out_fields
-                ],
-                *rid_fresh,
+
+            def build_ins(n, sets=sets):
+                if sets is not None:
+                    if n in sets:
+                        e = sets[n]
+                        return F.expr(e) if isinstance(e, str) else e
+                    return None  # unlisted columns insert NULL
+                return (
+                    F.col(f"s.{n}") if n in source.columns else None
+                )
+
+            images.append(
+                rows_i.select(
+                    *[img_col(f, build_ins) for f in out_fields],
+                    *rid_fresh,
+                )
             )
-        )
     if not images and not removes:
         return parent
     mapping = resolve_mapping(table_dir, parent)

@@ -31,18 +31,31 @@ Supported grammar (case-insensitive keywords)::
         WHEN MATCHED [AND cond] THEN UPDATE SET *
       | WHEN MATCHED [AND cond] THEN UPDATE SET c = expr[, ...]
       | WHEN MATCHED [AND cond] THEN DELETE
-      | WHEN NOT MATCHED [AND cond] THEN INSERT *
+      | WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT *
+      | WHEN NOT MATCHED [BY TARGET] [AND cond]
+            THEN INSERT (c1, ...) VALUES (e1, ...)
+      | WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE
+      | WHEN NOT MATCHED BY SOURCE [AND cond]
+            THEN UPDATE SET c = expr[, ...]
     UPDATE t SET c = expr[, ...] [WHERE cond]
     DELETE FROM t [WHERE cond]
-    INSERT INTO t <select ...>
+    INSERT INTO t [(c1, ...)] <select ...>
+    INSERT INTO t [(c1, ...)] VALUES (...)[, ...] [[AS] v(c1, ...)]
     OPTIMIZE t [WHERE col = val [AND ...]]
     VACUUM t [RETAIN n HOURS] [DRY RUN]
 
 MERGE's ON clause must be a single equi-key (``a.k = b.k`` with the
 same column name on both sides) — the engine's merge key contract;
-clause conditions and SET expressions may reference both sides and
-are rewritten from the statement's aliases to the engine's ``t.`` /
-``s.`` namespaces.
+composite keys are rejected with guidance (pre-concatenate a
+surrogate key column on both sides). Clause conditions and SET /
+INSERT expressions may reference both sides and are rewritten from
+the statement's aliases to the engine's ``t.`` / ``s.`` namespaces
+(simultaneously — a target aliased ``s`` or source aliased ``t``
+binds correctly; ``WHEN NOT MATCHED BY SOURCE`` conditions may
+reference the target only). ``INSERT INTO ... VALUES`` without a
+column source maps positionally onto the table's schema when the
+arity matches, and is rejected otherwise — Spark's default
+``col1/col2`` names would silently schema-evolve a by-name append.
 """
 
 from __future__ import annotations
@@ -149,6 +162,50 @@ def _rewrite_alias(expr: str, alias: str, to: str) -> str:
     return "".join(out)
 
 
+def _rewrite_aliases(expr: str, pairs: list[tuple[str, str]]) -> str:
+    """SIMULTANEOUS alias rewrites: each alias routes through a unique
+    placeholder first, so ``[(talias, "t"), (salias, "s")]`` with a
+    target aliased ``s`` (or source aliased ``t``) cannot have pass 1's
+    output re-captured by pass 2 — the sequential-rewrite collision
+    that silently turned ``s.v < t.v`` into ``s.v < s.v``."""
+    tmp = []
+    for i, (alias, to) in enumerate(pairs):
+        ph = f"__txsql_ph{i}__"
+        expr = _rewrite_alias(expr, alias, ph)
+        tmp.append((ph, to))
+    for ph, to in tmp:
+        expr = _rewrite_alias(expr, ph, to)
+    return expr
+
+
+def _paren_span(s: str) -> int:
+    """Index of the ``)`` closing ``s[0] == '('``, skipping parens
+    inside single-quoted / backtick literals (a source like
+    ``(SELECT ... WHERE c = ')')`` must not split at the quoted
+    paren). Raises on unbalanced input."""
+    if not s.startswith("("):
+        raise TxSqlError(f"expected '(' at: {s[:40]!r}")
+    depth, i, n = 0, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            i += 1
+            while i < n and s[i] != "'":
+                i += 2 if s[i] == "\\" else 1
+        elif c == "`":
+            i += 1
+            while i < n and s[i] != "`":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise TxSqlError(f"unbalanced parentheses at: {s[:40]!r}")
+
+
 # ---------------------------------------------------------------------------
 # reference resolution
 # ---------------------------------------------------------------------------
@@ -203,12 +260,7 @@ def _resolve_source(
 
     spec = spec.strip()
     if spec.startswith("("):
-        depth, i = 0, 0
-        for i, c in enumerate(spec):
-            depth += c == "("
-            depth -= c == ")"
-            if depth == 0:
-                break
+        i = _paren_span(spec)
         inner, rest = spec[1:i], spec[i + 1:].strip()
         am = re.match(
             r"(?:AS\s+)?(" + _IDENT + r")\b", rest, re.IGNORECASE
@@ -238,11 +290,120 @@ def _parse_assignments(s: str, rewrites) -> dict[str, str]:
         col = m.group(1)
         # target-qualified LHS (t.col = ...) binds the bare column
         col = col.split(".")[-1]
-        expr = m.group(2).strip()
-        for a, to in rewrites:
-            expr = _rewrite_alias(expr, a, to)
-        out[col] = expr
+        out[col] = _rewrite_aliases(m.group(2).strip(), rewrites)
     return out
+
+
+def _clause_starts(s: str) -> list[int]:
+    """Top-level offsets where a merge clause begins — only ``WHEN``
+    immediately followed by ``[NOT] MATCHED`` counts, and never inside
+    an unparenthesized top-level ``CASE ... END``, so a ``CASE WHEN``
+    in a clause condition or action never splits."""
+    tops = set(_top_level_spans(s))
+    out, case_depth = [], 0
+    pat = re.compile(
+        r"\b(?:CASE|END)\b|\bWHEN\s+(?:NOT\s+)?MATCHED\b",
+        re.IGNORECASE,
+    )
+    for m in pat.finditer(s):
+        if m.start() not in tops:
+            continue
+        w = m.group(0).upper()
+        if w == "CASE":
+            case_depth += 1
+        elif w == "END":
+            case_depth = max(0, case_depth - 1)
+        elif case_depth == 0:
+            out.append(m.start())
+    return out
+
+
+def _split_cond_then(s: str) -> tuple[str | None, str]:
+    """``[AND cond] THEN action`` → (cond, action), splitting at the
+    CLAUSE-level THEN: a THEN belonging to a top-level ``CASE ...
+    END`` inside the condition is skipped (parenthesized CASEs are
+    excluded by the top-level scan already)."""
+    tops = set(_top_level_spans(s))
+    case_depth = 0
+    for m in re.finditer(r"\b(CASE|END|THEN)\b", s, re.IGNORECASE):
+        if m.start() not in tops:
+            continue
+        w = m.group(1).upper()
+        if w == "CASE":
+            case_depth += 1
+        elif w == "END":
+            case_depth = max(0, case_depth - 1)
+        elif case_depth == 0:
+            head = s[: m.start()].strip()
+            action = s[m.end():].strip()
+            if not head:
+                return None, action
+            am = re.match(r"AND\s+(.*)$", head, re.IGNORECASE | re.DOTALL)
+            if not am:
+                raise TxSqlError(
+                    f"bad WHEN clause condition (expected AND): "
+                    f"{head[:60]!r}"
+                )
+            return am.group(1).strip(), action
+    raise TxSqlError(f"WHEN clause missing THEN: {s[:60]!r}")
+
+
+def _refs_alias(expr: str, alias: str) -> bool:
+    """Does ``expr`` reference ``alias.<col>`` at top level (outside
+    literals, not as a struct-path segment)?"""
+    tops = set(_top_level_spans(expr))
+    pat = re.compile(r"\b" + re.escape(alias) + r"\s*\.", re.IGNORECASE)
+    for m in pat.finditer(expr):
+        if m.start() in tops:
+            j = m.start() - 1
+            while j >= 0 and expr[j].isspace():
+                j -= 1
+            if j >= 0 and expr[j] == ".":
+                continue
+            return True
+    return False
+
+
+def _parse_insert_action(action: str, rewrites) -> tuple:
+    """``INSERT *`` → whole-row; ``INSERT (c1, ...) VALUES (e1, ...)``
+    → a column→expr mapping (exprs rewritten to the ``s.``
+    namespace)."""
+    if re.fullmatch(r"INSERT\s*\*", action, re.IGNORECASE):
+        return ("insert",)
+    m = re.match(r"INSERT\s*(?=\()", action, re.IGNORECASE)
+    if not m:
+        raise TxSqlError(
+            "WHEN NOT MATCHED supports 'INSERT *' or "
+            f"'INSERT (cols) VALUES (exprs)', got {action!r}"
+        )
+    rest = action[m.end():].strip()
+    i = _paren_span(rest)
+    cols = _split_commas(rest[1:i])
+    rest = rest[i + 1:].strip()
+    vm = re.match(r"VALUES\s*(?=\()", rest, re.IGNORECASE)
+    if not vm:
+        raise TxSqlError(
+            f"INSERT (cols) must be followed by VALUES (exprs): "
+            f"{action!r}"
+        )
+    rest = rest[vm.end():].strip()
+    j = _paren_span(rest)
+    vals = _split_commas(rest[1:j])
+    if rest[j + 1:].strip():
+        raise TxSqlError(
+            f"unexpected tokens after VALUES list: {rest[j + 1:]!r}"
+        )
+    if len(cols) != len(vals):
+        raise TxSqlError(
+            f"INSERT column/value arity mismatch: {len(cols)} columns "
+            f"vs {len(vals)} values"
+        )
+    sets = {}
+    for c, v in zip(cols, vals):
+        if not re.fullmatch(_IDENT, c):
+            raise TxSqlError(f"bad INSERT column name: {c!r}")
+        sets[c.split(".")[-1]] = _rewrite_aliases(v, rewrites)
+    return ("insert", sets)
 
 
 def _do_merge(spark, stmt, tables):
@@ -263,10 +424,19 @@ def _do_merge(spark, stmt, tables):
     source, salias, extra = _resolve_source(spark, src_spec, tables)
     if extra:
         raise TxSqlError(f"unexpected tokens after source: {extra!r}")
-    # the ON condition: a single same-name equi-key (engine contract)
-    i = _find_kw(rest, "WHEN")
+    # ON / clause boundary: the first top-level WHEN [NOT] MATCHED
+    # (a plain-WHEN scan would split inside a CASE WHEN condition)
+    starts = _clause_starts(rest)
+    i = starts[0] if starts else -1
     on = rest if i < 0 else rest[:i]
     clauses = "" if i < 0 else rest[i:]
+    if _find_kw(on, "AND") >= 0:
+        raise TxSqlError(
+            "MERGE ON must be a single equi-key — the engine merges on "
+            "one key column; for composite keys pre-concatenate a "
+            "surrogate key on both sides (e.g. concat_ws('\\u0000', "
+            "k1, k2)) and merge on that"
+        )
     om = re.match(
         r"\s*(" + _IDENT + r")\s*\.\s*(" + _IDENT + r")\s*=\s*"
         r"(" + _IDENT + r")\s*\.\s*(" + _IDENT + r")\s*$",
@@ -287,39 +457,63 @@ def _do_merge(spark, stmt, tables):
 
     when_matched: list = []
     when_not_matched: list = []
-    # split the clause tail on top-level WHEN
-    spans = []
-    j = 0
-    while True:
-        j = _find_kw(clauses, "WHEN", j)
-        if j < 0:
-            break
-        spans.append(j)
-        j += 4
-    spans.append(len(clauses))
+    when_not_matched_by_source: list = []
+    spans = _clause_starts(clauses) + [len(clauses)]
+    if clauses.strip() and (not spans or spans[0] != 0):
+        raise TxSqlError(f"bad WHEN clause tail: {clauses[:60]!r}")
     for a, b in zip(spans, spans[1:]):
         cl = clauses[a:b].strip()
         m = re.match(
-            r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.*?))?\s*THEN\s+(.*)$",
+            r"WHEN\s+(?:(NOT)\s+)?MATCHED"
+            r"(?:\s+BY\s+(SOURCE|TARGET)\b)?\s*",
             cl,
-            re.IGNORECASE | re.DOTALL,
+            re.IGNORECASE,
         )
         if not m:
             raise TxSqlError(f"bad WHEN clause: {cl!r}")
-        negated, cond, action = m.groups()
+        negated, by = m.groups()
+        by = (by or "").upper()
+        if by and not negated:  # 'MATCHED BY ...' is not a clause
+            raise TxSqlError(f"bad WHEN clause: {cl!r}")
+        cond, action = _split_cond_then(cl[m.end():])
         if cond:
-            for al, to in rewrites:
-                cond = _rewrite_alias(cond, al, to)
+            cond = _rewrite_aliases(cond, rewrites)
         action = action.strip()
-        if negated:
-            if not re.fullmatch(
-                r"INSERT\s*\*", action, re.IGNORECASE
-            ):
+        if negated and by == "SOURCE":
+            # target-side clauses: conditions/SETs see the target only
+            if cond and _refs_alias(cond, "s"):
                 raise TxSqlError(
-                    "WHEN NOT MATCHED supports 'INSERT *' (the engine "
-                    "inserts the whole source row)"
+                    "WHEN NOT MATCHED BY SOURCE conditions may "
+                    "reference the target only (there is no source "
+                    f"row): {cl!r}"
                 )
-            when_not_matched.append(("insert", cond))
+            if re.fullmatch(r"DELETE", action, re.IGNORECASE):
+                when_not_matched_by_source.append(("delete", cond))
+                continue
+            um = re.match(
+                r"UPDATE\s+SET\s+(.*)$", action,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not um:
+                raise TxSqlError(
+                    "WHEN NOT MATCHED BY SOURCE supports DELETE or "
+                    f"UPDATE SET, got {action!r}"
+                )
+            sets = _parse_assignments(um.group(1).strip(), rewrites)
+            bad = [c for c, e in sets.items() if _refs_alias(e, "s")]
+            if bad:
+                raise TxSqlError(
+                    "WHEN NOT MATCHED BY SOURCE SET expressions may "
+                    f"reference the target only; {bad} reference the "
+                    "source"
+                )
+            when_not_matched_by_source.append(("update", cond, sets))
+        elif negated:
+            ins = _parse_insert_action(action, rewrites)
+            if len(ins) == 1:
+                when_not_matched.append(("insert", cond))
+            else:
+                when_not_matched.append(("insert", cond, ins[1]))
         elif re.fullmatch(r"DELETE", action, re.IGNORECASE):
             when_matched.append(("delete", cond))
         else:
@@ -342,6 +536,7 @@ def _do_merge(spark, stmt, tables):
         key_col,
         when_matched=when_matched,
         when_not_matched=when_not_matched,
+        when_not_matched_by_source=when_not_matched_by_source,
     )
 
 
@@ -373,21 +568,73 @@ def _do_delete(spark, stmt, tables):
     return delete_where(spark, _table_dir(tref, tables), cond)
 
 
+def _table_schema_names(table_dir: str) -> list[str] | None:
+    """The table's recorded column names (positional-insert target),
+    or None when the table has no recorded schema yet."""
+    import json as _json
+
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        current_version,
+        resolve_schema,
+    )
+
+    sj = resolve_schema(table_dir, current_version(table_dir))
+    if not sj:
+        return None
+    return [f["name"] for f in _json.loads(sj)["fields"]]
+
+
 def _do_insert(spark, stmt, tables):
     from etl_sentinel_imagery_spark.operators.txlog import append
 
     body = _split_kw(stmt, "INSERT INTO")[1]
     tref, _alias, rest = _parse_table_ref(body)
+    cols: list[str] | None = None
+    if rest.startswith("("):
+        # INSERT INTO t (c1, c2, ...) <select|values>
+        i = _paren_span(rest)
+        cols = [c.split(".")[-1] for c in _split_commas(rest[1:i])]
+        bad = [c for c in cols if not re.fullmatch(_IDENT, c)]
+        if bad:
+            raise TxSqlError(f"bad INSERT column names: {bad}")
+        rest = rest[i + 1:].strip()
     if not rest:
         raise TxSqlError("INSERT INTO requires a SELECT or VALUES body")
+    table_dir = _table_dir(tref, tables)
     if re.match(r"VALUES\b", rest, re.IGNORECASE):
-        # VALUES must carry a column alias (`VALUES (1) v(k)`) —
-        # append() merges schemas BY NAME, so unnamed col1/col2 would
-        # silently evolve the table instead of inserting
         df = spark.sql(f"SELECT * FROM {rest}")
+        # append() merges schemas BY NAME, so Spark's default
+        # col1/col2 names for an unaliased VALUES would silently
+        # schema-evolve the table (new columns, NULL-filled rows)
+        # instead of inserting. Bind names positionally: an explicit
+        # column list wins, else the row alias (`VALUES ... v(k, v)`
+        # — spark.sql already named the columns), else the table's
+        # own schema when the arity matches; otherwise refuse loudly.
+        unaliased = all(
+            re.fullmatch(r"col\d+", c) for c in df.columns
+        )
+        if cols is None and unaliased:
+            names = _table_schema_names(table_dir)
+            if names is None or len(names) != len(df.columns):
+                raise TxSqlError(
+                    "INSERT INTO ... VALUES needs column names: write "
+                    "'VALUES (...) AS v(col, ...)', give an INSERT "
+                    "column list, or match the table's column count "
+                    f"({'unknown' if names is None else len(names)}) "
+                    f"for positional binding — got {len(df.columns)} "
+                    "unnamed values"
+                )
+            cols = names
     else:
         df = spark.sql(rest)
-    return append(spark, _table_dir(tref, tables), df)
+    if cols is not None:
+        if len(cols) != len(df.columns):
+            raise TxSqlError(
+                f"INSERT column list arity mismatch: {len(cols)} "
+                f"columns vs {len(df.columns)} query columns"
+            )
+        df = df.toDF(*cols)
+    return append(spark, table_dir, df)
 
 
 def _partition_pred(s: str) -> dict:

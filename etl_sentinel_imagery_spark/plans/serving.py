@@ -712,12 +712,14 @@ def _sync_hnsw_tier(
         graph, changed.select(id_col), corpus,
         id_col=id_col, vec_col=vec_col,
     )
-    up_ids = [int(r[id_col]) for r in upserts.select(id_col).collect()]
-    if up_ids:
+    # upsert ids flow as a DataFrame into a semi-join inside
+    # hnsw_append — never through the driver as an isin literal (a
+    # million-row sync batch would blow up the expression tree)
+    if upserts.select(id_col).limit(1).count():
         pruned = hnsw_append(
             corpus,
             pruned,
-            F.col(id_col).isin(up_ids),
+            upserts.select(id_col),
             n_shards=int(meta["n_shards"]),
             id_col=id_col,
             vec_col=vec_col,

@@ -591,12 +591,41 @@ def _tag(table, change_type: str, payload: dict):
     )
 
 
+# Spark's set operations compare NaN EQUAL to NaN (SQL distinct
+# semantics); Python's NaN is never == itself and (3.10+) hashes by
+# object identity, so raw NaNs would make equal rows look distinct in
+# both local diff paths. Normalize to a sentinel for hashing and use
+# NaN-aware equality for netting (round-7 ADVICE).
+_NAN_KEY = ("__txlog_nan__",)
+
+
 def _hashable(v):
+    if isinstance(v, float) and v != v:
+        return _NAN_KEY
     if isinstance(v, list):
         return tuple(_hashable(x) for x in v)
     if isinstance(v, dict):
         return tuple(sorted((k, _hashable(x)) for k, x in v.items()))
     return v
+
+
+def _values_differ(a, b) -> bool:
+    """NaN-aware deep inequality (NaN == NaN, recursing into
+    lists/structs) — matches ``exceptAll``'s comparison, so the rid
+    path nets exactly the rows the untracked diff path would."""
+    if a is b:
+        return False
+    if isinstance(a, float) and isinstance(b, float):
+        return not (a == b or (a != a and b != b))
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) != len(b) or any(
+            _values_differ(x, y) for x, y in zip(a, b)
+        )
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() != b.keys() or any(
+            _values_differ(v, b[k]) for k, v in a.items()
+        )
+    return a != b
 
 
 def _multiset_diff(adds_tbl, removes_tbl):
@@ -662,7 +691,10 @@ def _rid_net_indexes(t, rids, others) -> list[int]:
             oc = cols_other[ti] = [
                 c.to_pylist() for c in others[ti][0].columns
             ]
-        if any(cs[i] != co[oi] for cs, co in zip(cols_self, oc)):
+        if any(
+            _values_differ(cs[i], co[oi])
+            for cs, co in zip(cols_self, oc)
+        ):
             emit.append(i)
     return emit
 

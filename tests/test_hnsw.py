@@ -137,6 +137,12 @@ def test_append_monotone_ids_bit_identical_to_rebuild(spark):
 
     assert rows(appended) == rows(full)
 
+    # the DataFrame-of-ids form (the scale path: upsert ids semi-join
+    # executor-side instead of a driver-collected isin literal) must
+    # produce the identical graph
+    id_df = emb.filter(F.col("vec_id") >= cut).select("vec_id")
+    assert rows(hnsw_append(emb, half, id_df)) == rows(full)
+
     # and the appended graph searches identically to the full build
     a = sorted(map(tuple, hnsw_topk(emb, appended, range(10), k=K).collect()))
     b = sorted(map(tuple, hnsw_topk(emb, full, range(10), k=K).collect()))

@@ -374,3 +374,61 @@ def test_vacuum_layout_retires_only_dead_generations(spark, tmp_path):
     ]
     with open(os.path.join(ldir, "_CURRENT")) as f:
         assert manifests == [f.read().strip()]
+
+
+def test_vacuum_layout_gates_on_retirement_not_write_time(tmp_path):
+    """Round-7 ADVICE (medium): a generation whose FILES are hours old
+    but was repointed away seconds ago must survive vacuum — an
+    in-flight reader that resolved _CURRENT just before the flip may
+    still be scanning it. The gate ages the retirement (the retired
+    manifest's flip-stamped mtime), not the data files' write time.
+    Fresh unmanifested files (an in-flight publisher's) also survive."""
+    import os
+    import time
+
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        list_layout_data_files,
+        publish_layout_manifest,
+        vacuum_layout,
+    )
+
+    lay = str(tmp_path / "lay")
+    os.makedirs(os.path.join(lay, "bucket=0"))
+    old = time.time() - 7200  # files "written hours ago"
+    gen1 = ["bucket=0/g1.parquet"]
+    gen2 = ["bucket=0/g2.parquet"]
+    for rel in gen1 + gen2:
+        p = os.path.join(lay, rel)
+        with open(p, "wb") as f:
+            f.write(b"x")
+        os.utime(p, (old, old))
+    publish_layout_manifest(lay, gen1)
+    time.sleep(0.05)
+    publish_layout_manifest(lay, gen2)  # g1 retired JUST NOW
+
+    # old write time + fresh retirement → g1 must survive
+    assert vacuum_layout(lay, min_age_seconds=3600) == []
+    assert set(list_layout_data_files(lay)) == set(gen1 + gen2)
+
+    # backdate the RETIREMENT (the retired manifest's mtime): now g1
+    # is provably unreadable by any live reader and goes away
+    ldir = os.path.join(lay, "_live")
+    with open(os.path.join(ldir, "_CURRENT")) as f:
+        current = f.read().strip()
+    for name in os.listdir(ldir):
+        if name.startswith("manifest-") and name != current:
+            os.utime(os.path.join(ldir, name), (old, old))
+    assert vacuum_layout(lay, min_age_seconds=3600) == gen1
+    assert list_layout_data_files(lay) == gen2
+
+    # an in-flight publisher's fresh file (no manifest references it
+    # yet) survives the same vacuum; once old AND unreferenced it goes
+    orphan = os.path.join(lay, "bucket=0", "inflight.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"y")
+    assert vacuum_layout(lay, min_age_seconds=3600) == []
+    assert os.path.exists(orphan)
+    os.utime(orphan, (old, old))
+    assert vacuum_layout(lay, min_age_seconds=3600) == [
+        "bucket=0/inflight.parquet"
+    ]

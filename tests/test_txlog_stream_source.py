@@ -503,6 +503,51 @@ def test_rid_diff_with_rename_and_dv_history(spark, tmp_path):
     assert rows == exp
 
 
+def test_rid_netting_treats_nan_as_equal(spark, tmp_path):
+    """Round-7 ADVICE (low): a carried-over UNCHANGED row holding NaN
+    must net away on the rid path exactly as exceptAll semantics
+    would (NaN == NaN) — Python's `!=` would emit a phantom
+    delete+insert pair for every NaN row the rewrite carried over."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        enable_row_tracking,
+    )
+
+    d = str(tmp_path / "t")
+    df = spark.range(0, 12).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, float("nan"))
+        .otherwise(F.col("id").cast("double"))
+        .alias("x"),
+        F.when(
+            F.col("id") % 3 == 0, F.array(F.lit(float("nan")))
+        )
+        .otherwise(F.array(F.col("id").cast("double")))
+        .alias("xs"),
+    )
+    init_table(spark, d, df.coalesce(1))
+    enable_row_tracking(d)
+    v0 = current_version(d)
+    # rewrite commit touching the one file: only k=3 actually changes;
+    # the NaN rows (even k, and array-NaN rows) carry over unchanged
+    update_rows(spark, d, "k = 3", {"x": "100.0"})
+    binds = {"k": "k", "x": "x", "xs": "xs"}
+    parts = plan_change_partitions(d, v0, current_version(d), binds)
+    assert all(p["kind"].startswith("rid_") for p in parts)
+    register(spark)
+    got = (
+        spark.read.format("txlog_changes")
+        .option("path", d)
+        .option("fromVersion", v0)
+        .load()
+    )
+    rows = {
+        (r["k"], r["x"], r["_change_type"]) for r in got.collect()
+    }
+    assert rows == {(3, 3.0, "delete"), (3, 100.0, "insert")}, (
+        "phantom NaN pairs in the rid-netted change feed"
+    )
+
+
 def test_schema_and_reader_share_one_head_pin(spark, tmp_path):
     """Round-6 advice (low): schema() and the reader must pin the SAME
     head — a schema-evolving commit landing between two independent
