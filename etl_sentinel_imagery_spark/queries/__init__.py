@@ -7,6 +7,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_sentinel_imagery_spark.queries import (
+    dml_q,
     events_q,
     relational,
     scalars,
@@ -27,6 +28,7 @@ _MODULES = (
     sentinel,
     temporal_q,
     sql_api,
+    dml_q,
     relational,
     scalars,
     spatial_q,
