@@ -196,6 +196,11 @@ def write_ivfpq_index(
     ``rotation`` alongside it must come from that trainer's
     ``opq=True`` mode (it rotates the RESIDUAL space before the
     subspace split)."""
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        list_layout_data_files,
+        publish_layout_manifest,
+    )
+
     if residual:
         enc = _encode_residual(
             embeddings, centroids, codebooks, id_col, vec_col, rotation
@@ -210,6 +215,34 @@ def write_ivfpq_index(
             "bucket"
         ).parquet(path)
     _save_model(path, centroids, codebooks, rotation, residual)
+    # versioned-pointer layout like the IVF tier: readers resolve a
+    # committed generation, maintenance flips it atomically
+    publish_layout_manifest(path, list_layout_data_files(path))
+
+
+def ivfpq_encode(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors with an EXISTING index's frozen model (centroids,
+    codebooks, rotation, residual flag) into the layout's
+    (id, pq_codes, bucket) shape — the incremental-maintenance encode:
+    codebooks stay immutable between rebuilds, so a vector's codes are
+    a pure function of the vector, and survivors of a bucket rewrite
+    can carry their codes verbatim (re-encoding them would reproduce
+    the same bytes)."""
+    centroids, codebooks, rotation, residual = load_model(path)
+    if residual:
+        return _encode_residual(
+            embeddings, centroids, codebooks, id_col, vec_col, rotation
+        )
+    enc = pq_encode(embeddings, codebooks, id_col, vec_col, rotation)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col).select(
+        id_col, "bucket"
+    )
+    return enc.join(assigned, id_col)
 
 
 def ivfpq_topk(
@@ -274,7 +307,11 @@ def ivfpq_topk(
             luts[:, j, :] = np.einsum("qkd,qkd->qk", diff, diff)
         lut_by_qid = {int(qid): luts[i] for i, qid in enumerate(q_ids)}
 
-    codes = spark.read.parquet(index_path).filter(
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        read_indexed_layout,
+    )
+
+    codes = read_indexed_layout(spark, index_path).filter(
         F.col("bucket").isin(probe_set)
     )
     cand = codes.join(F.broadcast(qry), "bucket").select(

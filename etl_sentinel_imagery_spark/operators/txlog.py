@@ -3561,9 +3561,20 @@ def maintain_table(
     names), stats backfill joins the ladder FIRST: columns not yet in
     ``stat_cols`` get their per-file bounds computed
     (:func:`analyze_table`), so the night a table opts in, every
-    later step — and every later query — prunes. Returns a report:
-    ``{analyzed_cols, dv_chains_folded, files_rewritten,
-    files_written, orphans_reclaimed, versions}``."""
+    later step — and every later query — prunes. When the table
+    carries an ``index.dirs`` property (comma-separated serving-index
+    directories), the ladder CLOSES THE DERIVED-TABLE LOOP (round-7
+    verdict #8): each declared index drains its change-feed sync
+    (:func:`plans.serving.sync_index_from_table` — exactly-once, all
+    tiers) and retired index generations age-gate away
+    (:func:`operators.similarity.vacuum_layout`, same retention
+    window as the table's vacuum) — one nightly call keeps the table
+    AND everything derived from it converged, no scheduler-side
+    bookkeeping. A declared index whose sync cursor names a different
+    source table refuses loudly rather than draining the wrong feed.
+    Returns a report: ``{analyzed_cols, dv_chains_folded,
+    files_rewritten, files_written, orphans_reclaimed, index_syncs,
+    versions}``."""
     report: dict = {"versions": []}
     v0 = current_version(table_dir)
     want = [
@@ -3592,6 +3603,60 @@ def maintain_table(
     report["orphans_reclaimed"] = len(
         vacuum(table_dir, min_age_seconds=vacuum_min_age_seconds)
     )
+    idx_dirs = [
+        p.strip()
+        for p in str(_prop(table_dir, "index.dirs", "", str)).split(",")
+        if p.strip()
+    ]
+    report["index_syncs"] = []
+    if idx_dirs:
+        # lazy import: plans.serving imports this module
+        from etl_sentinel_imagery_spark.operators.similarity import (
+            vacuum_layout,
+        )
+        from etl_sentinel_imagery_spark.plans.serving import (
+            sync_index_from_table,
+        )
+
+        age = (
+            vacuum_min_age_seconds
+            if vacuum_min_age_seconds is not None
+            else _prop(table_dir, "retention.min_age_seconds", 3600.0)
+        )
+        for idx in idx_dirs:
+            cur_path = os.path.join(idx, "_table_sync.json")
+            if not os.path.exists(cur_path):
+                raise ValueError(
+                    f"declared index {idx!r} has no sync cursor — "
+                    "create it with build_index_from_table"
+                )
+            with open(cur_path) as f:
+                cursor_tbl = json.load(f).get("table_dir")
+            if os.path.abspath(cursor_tbl) != os.path.abspath(
+                table_dir
+            ):
+                raise ValueError(
+                    f"declared index {idx!r} syncs from "
+                    f"{cursor_tbl!r}, not this table — refusing to "
+                    "drain the wrong change feed"
+                )
+            rep = sync_index_from_table(spark, table_dir, idx)
+            swept = 0
+            for tier in ("ivf", "hnsw", "ivfpq"):
+                tdir = os.path.join(idx, tier)
+                if os.path.isdir(tdir):
+                    swept += len(
+                        vacuum_layout(tdir, min_age_seconds=age)
+                    )
+            report["index_syncs"].append(
+                {
+                    "index_dir": idx,
+                    "upserts": rep["upserts"],
+                    "deletes": rep["deletes"],
+                    "to_version": rep["to_version"],
+                    "layout_files_reclaimed": swept,
+                }
+            )
     return report
 
 
@@ -4949,6 +5014,9 @@ ENGINE_PROPERTIES = (
     "optimize.target_bytes",
     "dv.max_chain",
     "analyze.cols",  # comma-separated; maintain_table backfills stats
+    "index.dirs",  # comma-separated serving-index dirs derived from
+    # this table; maintain_table drains their change-feed sync and
+    # age-gates retired index generations away
 )
 
 

@@ -330,8 +330,47 @@ def _sync_cursor_path(index_dir: str) -> str:
     return os.path.join(index_dir, "_table_sync.json")
 
 
+def _schema_preserving_empty(layout_dir: str, bucket: int, df) -> str:
+    """Write one schema-preserving empty parquet into ``bucket=<b>/``
+    and return its relative path — the never-publish-an-empty-manifest
+    guard shared by the IVF and PQ sync legs (a reader in the window
+    must get zero candidates, not a schema-inference error).
+    ``df`` supplies the row schema (minus the partition column)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    sch = to_arrow_schema(df.drop("bucket").schema)
+    b0 = os.path.join(layout_dir, f"bucket={bucket}")
+    os.makedirs(b0, exist_ok=True)
+    pq.write_table(
+        pa.table({f.name: pa.array([], type=f.type) for f in sch}),
+        os.path.join(b0, "empty.parquet"),
+    )
+    return f"bucket={bucket}/empty.parquet"
+
+
 def _hnsw_meta_path(index_dir: str) -> str:
     return os.path.join(index_dir, "hnsw_meta.json")
+
+
+def _pq_meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "ivfpq_meta.json")
+
+
+def _read_pq_meta(index_dir: str) -> dict | None:
+    p = _pq_meta_path(index_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_pq_meta(index_dir: str, meta: dict) -> None:
+    tmp = _pq_meta_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _pq_meta_path(index_dir))
 
 
 def _read_hnsw_meta(index_dir: str) -> dict | None:
@@ -373,24 +412,19 @@ def build_index_from_table(
 ) -> np.ndarray:
     """Build the serving index from a txlog table's CURRENT snapshot
     and record the synced version, so :func:`sync_index_from_table`
-    can take over incrementally. The IVF tier and (when ``hnsw=True``,
-    the build default) the graph tier are both maintained by the sync
-    verb — graph deletes repair via :func:`operators.hnsw.hnsw_remove`
-    and cumulative churn is tracked against a rebuild-debt threshold.
-    The PQ tier stays refused: it is a rebuild-cadence artifact, and
-    the sync verb must not silently serve stale codes beside fresh
-    tiers."""
+    can take over incrementally. ALL THREE tiers are maintained by the
+    sync verb: the IVF tier (bucket rewrites + appends), the graph
+    tier when ``hnsw=True`` (deletes repair via
+    :func:`operators.hnsw.hnsw_remove`, churn tracked against a
+    rebuild-debt threshold), and the compressed tier when ``pq=True``
+    (bucket rewrites under immutable codebooks, churn-gated codebook
+    retrain — see :func:`_sync_ivfpq_tier`; the round-7 "PQ stays
+    refused" closure is removed)."""
     from etl_sentinel_imagery_spark.operators.txlog import (
         current_version,
         snapshot,
     )
 
-    if build_kwargs.get("pq", False):
-        raise ValueError(
-            "build_index_from_table maintains the IVF and HNSW tiers; "
-            "build the PQ tier with build_serving_index on a snapshot "
-            "and rebuild it on your own cadence"
-        )
     v = current_version(table_dir)
     snap = snapshot(spark, table_dir, version=v).select(id_col, vec_col)
     cents = build_serving_index(
@@ -421,6 +455,10 @@ def build_index_from_table(
                 "churn": 0,
             },
         )
+    if build_kwargs.get("pq", False):
+        _write_pq_meta(
+            index_dir, {"built_nodes": snap.count(), "churn": 0}
+        )
     tmp = _sync_cursor_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"table_dir": os.path.abspath(table_dir), "version": v}, f)
@@ -435,6 +473,7 @@ def sync_index_from_table(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     hnsw_rebuild_debt: float = 0.2,
+    pq_rebuild_debt: float = 0.2,
 ) -> dict:
     """Drain the table's change feed since the last synced version and
     apply the NET effect to the serving index, exactly-once:
@@ -467,8 +506,12 @@ def sync_index_from_table(
     of the nodes the graph was last built over): past the threshold
     the sync REBUILDS the graph from the post-maintenance corpus and
     resets the debt — repairs keep the graph valid, but enough of
-    them erode the small-world structure recall rides on. The PQ
-    tier stays refused (rebuild-cadence artifact).
+    them erode the small-world structure recall rides on. The PQ tier
+    (when present) maintains in the same pass under IMMUTABLE
+    codebooks — churned buckets rewrite code rows, upserts encode
+    under the frozen model, churn accrues against ``pq_rebuild_debt``
+    and past it the codebooks retrain from the post-maintenance
+    corpus (:func:`_sync_ivfpq_tier`).
 
     Content-neutral source commits (compaction, OPTIMIZE, stats
     backfill) contribute nothing to the feed and therefore cost the
@@ -499,11 +542,6 @@ def sync_index_from_table(
         cursor = json.load(f)
     from_v = int(cursor["version"])
     to_v = current_version(table_dir)
-    if os.path.isdir(_ivfpq_dir(index_dir)):
-        raise ValueError(
-            "index has a PQ tier; sync maintains IVF and HNSW — "
-            "rebuild the PQ tier on your own cadence"
-        )
     if to_v <= from_v:
         return {
             "from_version": from_v,
@@ -581,26 +619,10 @@ def sync_index_from_table(
             # every row died (and any replacements land only in the
             # append step below): never publish an EMPTY manifest —
             # a reader in the window would have zero files to even
-            # infer a schema from. Publish one
-            # schema-preserving empty bucket file so the index stays
-            # readable (zero candidates, not an inference error)
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-            from pyspark.sql.pandas.types import to_arrow_schema
-
-            sch = to_arrow_schema(keep.drop("bucket").schema)
-            b0 = os.path.join(ivf, f"bucket={buckets[0]}")
-            os.makedirs(b0, exist_ok=True)
-            pq.write_table(
-                pa.table(
-                    {
-                        f.name: pa.array([], type=f.type)
-                        for f in sch
-                    }
-                ),
-                os.path.join(b0, "empty.parquet"),
-            )
-            manifest = [f"bucket={buckets[0]}/empty.parquet"]
+            # infer a schema from
+            manifest = [
+                _schema_preserving_empty(ivf, buckets[0], keep)
+            ]
         publish_layout_manifest(ivf, manifest)
     walls["rewrite_s"] = round(_time.time() - t0, 2)
     t0 = _time.time()
@@ -628,6 +650,21 @@ def sync_index_from_table(
             vec_col,
         )
         walls["hnsw_s"] = round(_time.time() - t0, 2)
+    pq_info = None
+    if os.path.isdir(_ivfpq_dir(index_dir)):
+        t0 = _time.time()
+        pq_info = _sync_ivfpq_tier(
+            spark,
+            index_dir,
+            changed,
+            upserts,
+            n_up,
+            n_changed,
+            pq_rebuild_debt,
+            id_col,
+            vec_col,
+        )
+        walls["ivfpq_s"] = round(_time.time() - t0, 2)
     tmp = cur_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(
@@ -642,6 +679,7 @@ def sync_index_from_table(
         "deletes": n_changed - n_up,
         "buckets_rewritten": len(buckets),
         "hnsw": hnsw_info,
+        "ivfpq": pq_info,
         "walls": walls,
     }
 
@@ -727,3 +765,136 @@ def _sync_hnsw_tier(
     _persist_graph_versioned(pruned, hdir)
     _write_hnsw_meta(index_dir, {**meta, "churn": churn})
     return {"action": "repair", "churn": churn, "debt": churn / built}
+
+
+def _sync_ivfpq_tier(
+    spark: SparkSession,
+    index_dir: str,
+    changed,
+    upserts,
+    n_up: int,
+    n_changed: int,
+    rebuild_debt: float,
+    id_col: str,
+    vec_col: str,
+) -> dict:
+    """The compressed tier's leg of the sync — the LAST tier refusal
+    removed (round-7 verdict #4). Codebooks stay IMMUTABLE between
+    rebuilds, which is what makes incremental maintenance sound: a
+    vector's codes are a pure function of (vector, frozen model), so
+
+    - every changed id's codes leave by rewriting ONLY the buckets
+      holding them (survivors carry their code bytes verbatim —
+      re-encoding them under the same frozen model would reproduce the
+      same bytes, so the carry IS the bucket-local re-encode),
+    - net upserts encode under the frozen model and land in their
+      buckets,
+
+    all as NEW files behind ONE manifest flip — tombstone-free like
+    the HNSW leg: nothing of a purged vector's codes survives in any
+    published generation (GDPR on the compressed tier), and a reader
+    mid-sync sees the old complete generation or the new one.
+
+    Frozen codebooks quantize DRIFTED distributions progressively
+    worse, so cumulative churn accrues against ``rebuild_debt``
+    (fraction of the corpus the codebooks were trained over): past it,
+    the codebooks RETRAIN from the post-maintenance corpus (same
+    m/k/opq/residual configuration read off the stored model) and the
+    whole tier rewrites — the same erosion argument as the graph
+    tier's repair debt. IDEMPOTENT on crash replay: re-running finds
+    the previously appended rows' ids in ``changed`` (upserted ids are
+    changed ids by construction), sweeps them in the rewrite, and
+    re-appends — converging to the same generation."""
+    from etl_sentinel_imagery_spark.operators.ivfpq import (
+        ivfpq_encode,
+        load_model,
+        train_residual_codebooks,
+        write_ivfpq_index,
+    )
+
+    pqdir = _ivfpq_dir(index_dir)
+    meta = _read_pq_meta(index_dir)
+    if meta is None:  # tier built before maintenance metadata existed
+        meta = {
+            "built_nodes": read_indexed_layout(spark, pqdir).count(),
+            "churn": 0,
+        }
+    churn = int(meta["churn"]) + n_changed
+    built = max(int(meta["built_nodes"]), 1)
+    centroids, codebooks, rotation, residual = load_model(pqdir)
+    if rebuild_debt is not None and churn / built > rebuild_debt:
+        corpus = read_indexed_layout(
+            spark, _ivf_dir(index_dir)
+        ).select(id_col, vec_col)
+        m, kk = int(codebooks.shape[0]), int(codebooks.shape[1])
+        if residual:
+            rot2, books2 = train_residual_codebooks(
+                corpus, centroids, m=m, k=kk, vec_col=vec_col,
+                opq=rotation is not None,
+            )
+        else:
+            from etl_sentinel_imagery_spark.operators.similarity import (
+                train_opq,
+                train_pq_codebooks,
+            )
+
+            if rotation is not None:
+                rot2, books2 = train_opq(
+                    corpus, m=m, k=kk, vec_col=vec_col
+                )
+            else:
+                rot2, books2 = None, train_pq_codebooks(
+                    corpus, m=m, k=kk, vec_col=vec_col
+                )
+        write_ivfpq_index(
+            corpus, centroids, books2, pqdir, rotation=rot2,
+            residual=residual, id_col=id_col, vec_col=vec_col,
+        )
+        _write_pq_meta(
+            index_dir, {"built_nodes": corpus.count(), "churn": 0}
+        )
+        return {"action": "rebuild", "churn": churn, "debt": churn / built}
+    codes = read_indexed_layout(spark, pqdir)
+    touched = (
+        codes.select(id_col, "bucket")
+        .join(F.broadcast(changed), id_col, "left_semi")
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    buckets = sorted(int(r["bucket"]) for r in touched)
+    before = set(list_layout_data_files(pqdir))
+    live = live_layout_files(pqdir)
+    live = sorted(before) if live is None else live
+    if buckets:
+        keep = (
+            codes.filter(F.col("bucket").isin(buckets))
+            .join(F.broadcast(changed), id_col, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        keep.write.mode("append").partitionBy("bucket").parquet(pqdir)
+    if n_up:
+        ivfpq_encode(upserts, pqdir, id_col, vec_col).write.mode(
+            "append"
+        ).partitionBy("bucket").parquet(pqdir)
+    if buckets or n_up:
+        new_files = [
+            f for f in list_layout_data_files(pqdir) if f not in before
+        ]
+        touched_pfx = tuple(f"bucket={b}/" for b in buckets)
+        carried = [
+            f for f in live if not f.startswith(touched_pfx)
+        ] if touched_pfx else list(live)
+        manifest = carried + new_files
+        if not manifest:
+            manifest = [
+                _schema_preserving_empty(pqdir, buckets[0], codes)
+            ]
+        publish_layout_manifest(pqdir, manifest)
+    _write_pq_meta(index_dir, {**meta, "churn": churn})
+    return {
+        "action": "repair",
+        "churn": churn,
+        "debt": churn / built,
+        "buckets_rewritten": len(buckets),
+    }

@@ -147,24 +147,110 @@ def test_sync_clears_fully_emptied_buckets(spark, tmp_path):
     assert _corpus(spark, idx) == [] == _table(spark, t)
 
 
-def test_sync_refuses_pq_tier_only(spark, tmp_path):
-    """HNSW is now maintained (round-6 verdict #3); the PQ tier —
-    still a rebuild-cadence artifact — keeps its honest refusal."""
+def test_missing_cursor_directs_to_build_verb(spark, tmp_path):
     t = str(tmp_path / "emb4")
     init_table(spark, t, _vecs(spark, range(10)).coalesce(1))
-    idx = str(tmp_path / "idx4")
-    with pytest.raises(ValueError, match="PQ tier"):
-        build_index_from_table(spark, t, idx, pq=True)
-    build_index_from_table(spark, t, idx, n_centroids=2, hnsw=False)
-    os.makedirs(os.path.join(idx, "ivfpq"))
-    append(spark, t, _vecs(spark, [99]).coalesce(1))
-    with pytest.raises(ValueError, match="PQ tier"):
-        sync_index_from_table(spark, t, idx)
-    # and a missing cursor directs to the build verb
     idx2 = str(tmp_path / "idx5")
     os.makedirs(idx2)
     with pytest.raises(ValueError, match="build_index_from_table"):
         sync_index_from_table(spark, t, idx2)
+
+
+def _pq_rows(spark, index_dir):
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        read_indexed_layout,
+    )
+
+    return sorted(
+        (r["vec_id"], tuple(r["pq_codes"]), r["bucket"])
+        for r in read_indexed_layout(
+            spark, os.path.join(index_dir, "ivfpq")
+        ).collect()
+    )
+
+
+def test_sync_maintains_pq_tier_end_to_end(spark, tmp_path):
+    """Round-7 verdict #4: the LAST tier refusal removed. A GDPR purge
+    reaches the compressed tier tombstone-free (no published
+    generation holds the purged codes), upserts encode under the
+    frozen codebooks, the maintained layout is BIT-IDENTICAL to a
+    from-scratch encode of the final corpus under the same model
+    (codes are a pure function of vector + frozen model), crash
+    replay converges, and churn past pq_rebuild_debt retrains the
+    codebooks."""
+    t = str(tmp_path / "embp")
+    init_table(spark, t, _vecs(spark, range(60)).coalesce(2))
+    idx = str(tmp_path / "idxp")
+    build_index_from_table(
+        spark, t, idx, n_centroids=4, hnsw=False,
+        pq=True, pq_m=2, pq_k=8,
+    )
+    pqdir = os.path.join(idx, "ivfpq")
+
+    append(spark, t, _vecs(spark, range(200, 210)).coalesce(1))
+    delete_rows_dv(spark, t, "vec_id", [3, 5, 203])  # GDPR purge
+    update_rows(
+        spark,
+        t,
+        "vec_id = 7",
+        {"embedding": F.expr("transform(embedding, x -> x + 0.5)")},
+    )
+    rep = sync_index_from_table(spark, t, idx, pq_rebuild_debt=0.5)
+    assert rep["ivfpq"]["action"] == "repair"
+    assert rep["ivfpq"]["buckets_rewritten"] >= 1
+    assert _corpus(spark, idx) == _table(spark, t)
+
+    # the maintained codes == a from-scratch encode of the final
+    # corpus under the SAME frozen model (append==rebuild, PQ edition)
+    from etl_sentinel_imagery_spark.operators.ivfpq import ivfpq_encode
+
+    expected = sorted(
+        (r["vec_id"], tuple(r["pq_codes"]), r["bucket"])
+        for r in ivfpq_encode(
+            snapshot(spark, t).select("vec_id", "embedding"), pqdir
+        ).collect()
+    )
+    assert _pq_rows(spark, idx) == expected
+    live_ids = {i for i, _, _ in _pq_rows(spark, idx)}
+    assert live_ids == {i for i, _ in _table(spark, t)}
+    assert not live_ids & {3, 5, 203}, "purged codes survived"
+
+    # serving through the compressed tier excludes purged ids
+    hits = topk(
+        spark, _vecs(spark, [7]), idx, k=8, tier="ivfpq", n_probe=4
+    ).collect()
+    assert hits, "pq tier serves"
+    assert all(h["cand_id"] not in (3, 5, 203) for h in hits)
+
+    # crash replay converges (cursor rollback re-drains the range)
+    cur = os.path.join(idx, "_table_sync.json")
+    pre = open(cur).read()
+    merge_upsert(spark, t, _vecs(spark, [9, 300], shift=0.2), "vec_id")
+    sync_index_from_table(spark, t, idx, pq_rebuild_debt=0.5)
+    with open(cur, "w") as f:
+        f.write(pre)
+    sync_index_from_table(spark, t, idx, pq_rebuild_debt=0.5)
+    assert _corpus(spark, idx) == _table(spark, t)
+    assert {i for i, _, _ in _pq_rows(spark, idx)} == {
+        i for i, _ in _table(spark, t)
+    }
+
+    # rebuild debt: a churn burst retrains the codebooks and resets
+    from etl_sentinel_imagery_spark.operators.ivfpq import load_model
+
+    books_before = load_model(pqdir)[1].copy()
+    delete_rows_dv(spark, t, "vec_id", list(range(20, 50)))
+    rep3 = sync_index_from_table(spark, t, idx, pq_rebuild_debt=0.2)
+    assert rep3["ivfpq"]["action"] == "rebuild"
+    import json as _json
+
+    meta = _json.load(open(os.path.join(idx, "ivfpq_meta.json")))
+    assert meta["churn"] == 0
+    assert {i for i, _, _ in _pq_rows(spark, idx)} == {
+        i for i, _ in _table(spark, t)
+    }
+    books_after = load_model(pqdir)[1]
+    assert books_before.shape == books_after.shape  # same m/k config
 
 
 def test_sync_maintains_hnsw_tier_end_to_end(spark, tmp_path):

@@ -257,3 +257,81 @@ def test_maintain_table_backfills_stats_from_property(
     assert stats["files_skipped"] == 1
     rep2 = maintain_table(spark, t)
     assert rep2["analyzed_cols"] == []
+
+
+def test_maintain_table_syncs_declared_indexes(spark, tmp_path):
+    """Round-7 verdict #8: a table property (`index.dirs`) declares the
+    serving indexes derived from this table, and the ONE-CALL ladder
+    converges them — analyze → fold → bin-pack → vacuum → index sync +
+    layout vacuum — with no explicit sync call and no scheduler-side
+    bookkeeping. A declared index whose cursor names a different
+    source table refuses loudly."""
+    from etl_sentinel_imagery_spark.plans.serving import (
+        build_index_from_table,
+    )
+
+    def vecs(ids, shift=0.0):
+        rows = [
+            (
+                int(i),
+                [
+                    float((i * 7 + d * 3) % 11) / 11.0 + shift
+                    for d in range(4)
+                ],
+            )
+            for i in ids
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def corpus(idx):
+        from etl_sentinel_imagery_spark.operators.similarity import (
+            read_indexed_layout,
+        )
+
+        return sorted(
+            (r["vec_id"], tuple(round(x, 9) for x in r["embedding"]))
+            for r in read_indexed_layout(spark, os.path.join(idx, "ivf"))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+
+    t = str(tmp_path / "embm")
+    init_table(spark, t, vecs(range(40)).coalesce(2))
+    idx = str(tmp_path / "idxm")
+    build_index_from_table(spark, t, idx, n_centroids=3, hnsw=False)
+    set_properties(
+        t, {"index.dirs": idx, "retention.min_age_seconds": 0}
+    )
+
+    append(spark, t, vecs(range(100, 110)).coalesce(1))
+    delete_rows_dv(spark, t, "vec_id", [2, 4, 105])
+    rep = maintain_table(spark, t)
+    assert len(rep["index_syncs"]) == 1
+    sync = rep["index_syncs"][0]
+    # 9 surviving appends; deletes count the netted changes (2, 4, and
+    # the appended-then-deleted 105, which nets to a harmless delete)
+    assert sync["upserts"] == 9 and sync["deletes"] == 3
+    # the declared index converged WITHOUT an explicit sync call
+    want = sorted(
+        (r["vec_id"], tuple(round(x, 9) for x in r["embedding"]))
+        for r in snapshot(spark, t).collect()
+    )
+    assert corpus(idx) == want
+    # retention 0: the rewrite's retired generation swept in the same
+    # ladder pass
+    assert sync["layout_files_reclaimed"] >= 1
+
+    # idempotent: a second ladder run syncs nothing
+    rep2 = maintain_table(spark, t)
+    assert rep2["index_syncs"][0]["upserts"] == 0
+
+    # wrong-table declaration refuses instead of draining a foreign feed
+    t2 = str(tmp_path / "other")
+    init_table(spark, t2, vecs(range(10)).coalesce(1))
+    idx2 = str(tmp_path / "idxother")
+    build_index_from_table(spark, t2, idx2, n_centroids=2, hnsw=False)
+    set_properties(t, {"index.dirs": f"{idx},{idx2}"})
+    with pytest.raises(ValueError, match="wrong change feed"):
+        maintain_table(spark, t)
