@@ -4817,6 +4817,50 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
     )
 
 
+def add_column(table_dir: str, col: str, sql_type: str) -> int:
+    """``ALTER TABLE ADD COLUMN`` — a pure METADATA commit: the field
+    joins the schema and every existing file serves it NULL-filled
+    (the same read-path machinery append-time schema evolution uses);
+    no data is touched. Re-adding a previously DROPPED name draws a
+    fresh physical column through the mapping (``name#2``), so the
+    dropped values never resurrect. ``sql_type`` is a Spark SQL type
+    string (``bigint``, ``array<double>``, ...). Refused when the
+    name already exists."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    parent = current_version(table_dir)
+    m = read_manifest(table_dir, parent)
+    sj = resolve_schema(table_dir, parent)
+    if not sj:
+        raise ValueError("table has no recorded schema to add to")
+    schema = json.loads(sj)
+    names = [f["name"] for f in schema["fields"]]
+    if col in names:
+        raise ValueError(f"column {col!r} already exists")
+    dt = _parse_datatype_string(sql_type)
+    schema["fields"].append(
+        {
+            "name": col,
+            "type": json.loads(dt.json()),
+            "nullable": True,
+            "metadata": {},
+        }
+    )
+    mapping = resolve_mapping(table_dir, parent)
+    upd = _assign_physical(mapping, [col])
+    return _commit_delta(
+        table_dir,
+        parent,
+        [],
+        [],
+        f"add_column_{col}",
+        m.get("stat_cols") or None,
+        m.get("partition_cols") or None,
+        schema_json=json.dumps(schema),
+        column_mapping=upd or mapping,
+    )
+
+
 def drop_column(table_dir: str, col: str) -> int:
     """``ALTER TABLE DROP COLUMN`` — a pure METADATA commit: the field
     leaves the schema and its PHYSICAL name retires; data files are

@@ -43,6 +43,17 @@ Supported grammar (case-insensitive keywords)::
     INSERT INTO t [(c1, ...)] VALUES (...)[, ...] [[AS] v(c1, ...)]
     OPTIMIZE t [WHERE col = val [AND ...]]
     VACUUM t [RETAIN n HOURS] [DRY RUN]
+    CREATE TABLE t [PARTITIONED BY (c1, ...)] AS <select ...>
+    TRUNCATE TABLE t
+    RESTORE TABLE t TO VERSION AS OF n
+    ALTER TABLE t SET TBLPROPERTIES ('k' = v, ...)
+    ALTER TABLE t UNSET TBLPROPERTIES ('k', ...)
+    ALTER TABLE t ADD CONSTRAINT name CHECK (pred)
+    ALTER TABLE t DROP CONSTRAINT name
+    ALTER TABLE t RENAME COLUMN a TO b
+    ALTER TABLE t DROP COLUMN c
+    DESCRIBE HISTORY t
+    DESCRIBE DETAIL t
 
 MERGE's ON clause must be a single equi-key (``a.k = b.k`` with the
 same column name on both sides) — the engine's merge key contract;
@@ -232,7 +243,8 @@ def _parse_table_ref(s: str) -> tuple[str, str, str]:
     )
     reserved = {
         "using", "on", "when", "set", "where", "values", "select",
-        "retain", "dry", "then",
+        "retain", "dry", "then", "partitioned", "as", "to", "add",
+        "drop", "rename", "unset", "zorder",
     }
     if am and am.group(1).lower() not in reserved:
         return ref, am.group(1), rest[am.end():].strip()
@@ -665,13 +677,34 @@ def _partition_pred(s: str) -> dict:
 
 def _do_optimize(spark, stmt, tables):
     from etl_sentinel_imagery_spark.operators.txlog import (
+        optimize,
         optimize_small_files,
     )
 
     body = _split_kw(stmt, "OPTIMIZE")[1]
     tref, _alias, rest = _parse_table_ref(body)
+    zcols = None
+    zm = re.search(
+        r"\bZORDER\s+BY\s*(?=\()", rest, re.IGNORECASE
+    )
+    if zm:
+        tail = rest[zm.end():]
+        i = _paren_span(tail)
+        zcols = [c.split(".")[-1] for c in _split_commas(tail[1:i])]
+        if tail[i + 1:].strip():
+            raise TxSqlError(
+                f"unexpected tokens after ZORDER BY: {tail[i + 1:]!r}"
+            )
+        rest = rest[: zm.start()].strip()
     wh = _split_kw(rest, "WHERE")
     part = None if wh is None else _partition_pred(wh[1])
+    if zcols:
+        # the full-relayout form: rewrite the (scoped) snapshot
+        # clustered along the Z-curve — one commit
+        return optimize(
+            spark, _table_dir(tref, tables), zorder_by=zcols,
+            partition=part,
+        )
     return optimize_small_files(
         spark, _table_dir(tref, tables), partition=part
     )
@@ -694,6 +727,194 @@ def _do_vacuum(spark, stmt, tables):
     )
 
 
+def _scalar_literal(s: str):
+    """A TBLPROPERTIES value / literal token → Python scalar."""
+    s = s.strip()
+    if s.startswith("'") and s.endswith("'") and len(s) >= 2:
+        return s[1:-1]
+    low = s.lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    try:
+        return int(s)
+    except ValueError:
+        try:
+            return float(s)
+        except ValueError:
+            return s
+
+
+def _unquote_ident(s: str) -> str:
+    s = s.strip()
+    if s.startswith("'") and s.endswith("'"):
+        return s[1:-1]
+    if s.startswith("`") and s.endswith("`"):
+        return s[1:-1]
+    return s
+
+
+def _do_create(spark, stmt, tables):
+    from etl_sentinel_imagery_spark.operators.txlog import init_table
+
+    body = _split_kw(stmt, "CREATE TABLE")[1]
+    tref, _alias, rest = _parse_table_ref(body)
+    part_cols = None
+    pm = re.match(r"PARTITIONED\s+BY\s*(?=\()", rest, re.IGNORECASE)
+    if pm:
+        rest2 = rest[pm.end():]
+        i = _paren_span(rest2)
+        part_cols = [
+            c.split(".")[-1] for c in _split_commas(rest2[1:i])
+        ]
+        rest = rest2[i + 1:].strip()
+    am = re.match(r"AS\s+(.*)$", rest, re.IGNORECASE | re.DOTALL)
+    if not am:
+        raise TxSqlError(
+            "CREATE TABLE supports the AS <select> form (the engine "
+            "needs a schema; for an empty table use init_table)"
+        )
+    df = spark.sql(am.group(1).strip())
+    return init_table(
+        spark, _table_dir(tref, tables), df, partition_cols=part_cols
+    )
+
+
+def _do_truncate(spark, stmt, tables):
+    from etl_sentinel_imagery_spark.operators.txlog import delete_where
+
+    body = _split_kw(stmt, "TRUNCATE TABLE")[1]
+    tref, _alias, rest = _parse_table_ref(body)
+    if rest:
+        raise TxSqlError(f"unexpected tokens after table: {rest!r}")
+    return delete_where(spark, _table_dir(tref, tables), "true")
+
+
+def _do_restore(spark, stmt, tables):
+    from etl_sentinel_imagery_spark.operators.txlog import restore
+
+    body = _split_kw(stmt, "RESTORE TABLE")[1]
+    tref, _alias, rest = _parse_table_ref(body)
+    m = re.match(
+        r"TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$", rest, re.IGNORECASE
+    )
+    if not m:
+        raise TxSqlError(
+            f"RESTORE TABLE t TO VERSION AS OF <n>, got {rest!r}"
+        )
+    return restore(spark, _table_dir(tref, tables), int(m.group(1)))
+
+
+def _do_alter(spark, stmt, tables):
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        add_constraint,
+        drop_column,
+        drop_constraint,
+        rename_column,
+        set_properties,
+    )
+
+    body = _split_kw(stmt, "ALTER TABLE")[1]
+    tref, _alias, rest = _parse_table_ref(body)
+    d = _table_dir(tref, tables)
+    m = re.match(
+        r"(SET|UNSET)\s+TBLPROPERTIES\s*(?=\()", rest, re.IGNORECASE
+    )
+    if m:
+        inner = rest[m.end():]
+        i = _paren_span(inner)
+        if inner[i + 1:].strip():
+            raise TxSqlError(
+                f"unexpected tokens after TBLPROPERTIES: "
+                f"{inner[i + 1:]!r}"
+            )
+        parts = _split_commas(inner[1:i])
+        if m.group(1).upper() == "UNSET":
+            return set_properties(
+                d, {_unquote_ident(p): None for p in parts}
+            )
+        props = {}
+        for p in parts:
+            pm = re.match(r"(.+?)\s*=\s*(.+)$", p, re.DOTALL)
+            if not pm:
+                raise TxSqlError(f"bad TBLPROPERTIES entry: {p!r}")
+            props[_unquote_ident(pm.group(1))] = _scalar_literal(
+                pm.group(2)
+            )
+        return set_properties(d, props)
+    m = re.match(
+        r"ADD\s+CONSTRAINT\s+(" + _IDENT + r")\s+CHECK\s*(?=\()",
+        rest,
+        re.IGNORECASE,
+    )
+    if m:
+        inner = rest[m.end():]
+        i = _paren_span(inner)
+        if inner[i + 1:].strip():
+            raise TxSqlError(
+                f"unexpected tokens after CHECK: {inner[i + 1:]!r}"
+            )
+        return add_constraint(spark, d, m.group(1), inner[1:i].strip())
+    m = re.match(
+        r"DROP\s+CONSTRAINT\s+(" + _IDENT + r")\s*$",
+        rest,
+        re.IGNORECASE,
+    )
+    if m:
+        return drop_constraint(d, m.group(1))
+    m = re.match(
+        r"RENAME\s+COLUMN\s+(" + _IDENT + r")\s+TO\s+("
+        + _IDENT + r")\s*$",
+        rest,
+        re.IGNORECASE,
+    )
+    if m:
+        return rename_column(d, m.group(1), m.group(2))
+    m = re.match(
+        r"DROP\s+COLUMN\s+(" + _IDENT + r")\s*$", rest, re.IGNORECASE
+    )
+    if m:
+        return drop_column(d, m.group(1))
+    m = re.match(
+        r"ADD\s+COLUMN\s+(" + _IDENT + r")\s+(.+?)\s*$",
+        rest,
+        re.IGNORECASE,
+    )
+    if m:
+        from etl_sentinel_imagery_spark.operators.txlog import (
+            add_column,
+        )
+
+        return add_column(d, m.group(1), m.group(2))
+    raise TxSqlError(
+        "ALTER TABLE supports SET/UNSET TBLPROPERTIES, ADD/DROP "
+        "CONSTRAINT, ADD COLUMN, RENAME COLUMN, DROP COLUMN; got "
+        f"{rest[:60]!r}"
+    )
+
+
+def _do_describe(spark, stmt, tables):
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        history,
+        table_details,
+    )
+
+    body = _split_kw(stmt, "DESCRIBE")[1]
+    m = re.match(r"(HISTORY|DETAIL)\s+(.*)$", body, re.IGNORECASE)
+    if not m:
+        raise TxSqlError(
+            f"DESCRIBE supports HISTORY / DETAIL, got {body[:40]!r}"
+        )
+    tref, _alias, rest = _parse_table_ref(m.group(2))
+    if rest:
+        raise TxSqlError(f"unexpected tokens after table: {rest!r}")
+    d = _table_dir(tref, tables)
+    if m.group(1).upper() == "HISTORY":
+        return history(d)
+    return table_details(d)
+
+
 _HANDLERS = [
     ("MERGE INTO", _do_merge),
     ("UPDATE", _do_update),
@@ -701,6 +922,11 @@ _HANDLERS = [
     ("INSERT INTO", _do_insert),
     ("OPTIMIZE", _do_optimize),
     ("VACUUM", _do_vacuum),
+    ("CREATE TABLE", _do_create),
+    ("TRUNCATE TABLE", _do_truncate),
+    ("RESTORE TABLE", _do_restore),
+    ("ALTER TABLE", _do_alter),
+    ("DESCRIBE", _do_describe),
 ]
 
 
@@ -728,5 +954,7 @@ def tx_sql(
             return fn(spark, stmt, tables)
     raise TxSqlError(
         "unsupported statement (MERGE INTO / UPDATE / DELETE FROM / "
-        f"INSERT INTO / OPTIMIZE / VACUUM): {stmt[:60]!r}"
+        "INSERT INTO / OPTIMIZE / VACUUM / CREATE TABLE / TRUNCATE "
+        "TABLE / RESTORE TABLE / ALTER TABLE / DESCRIBE): "
+        f"{stmt[:60]!r}"
     )

@@ -538,6 +538,53 @@ def sync_index_from_table(
             "no sync cursor — create the index with "
             "build_index_from_table first"
         )
+    # the sync is single-writer BY CONTRACT (readers are safe
+    # throughout via manifest flips); enforce it instead of trusting
+    # the scheduler: an advisory flock held for the whole pass makes a
+    # concurrent sync (maintain_table racing a manual call, two crons)
+    # fail fast instead of interleaving bucket generations. Released
+    # automatically on process death — no stale-lock recovery needed.
+    # (flock is per-filesystem; an object-store deployment brings its
+    # own mutex, as with the txlog's LogStore.)
+    import fcntl
+
+    lock_f = open(os.path.join(index_dir, "_sync.lock"), "w")
+    try:
+        fcntl.flock(lock_f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except BlockingIOError:
+        lock_f.close()
+        raise RuntimeError(
+            f"another sync holds {index_dir}/_sync.lock — the sync "
+            "verb is single-writer; retry after it finishes"
+        )
+    try:
+        return _sync_index_locked(
+            spark, table_dir, index_dir, id_col, vec_col,
+            hnsw_rebuild_debt, pq_rebuild_debt, cur_path,
+        )
+    finally:
+        fcntl.flock(lock_f, fcntl.LOCK_UN)
+        lock_f.close()
+
+
+def _sync_index_locked(
+    spark: SparkSession,
+    table_dir: str,
+    index_dir: str,
+    id_col: str,
+    vec_col: str,
+    hnsw_rebuild_debt: float,
+    pq_rebuild_debt: float,
+    cur_path: str,
+) -> dict:
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        append_to_ivf_index,
+    )
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        current_version,
+        table_changes,
+    )
+
     with open(cur_path) as f:
         cursor = json.load(f)
     from_v = int(cursor["version"])

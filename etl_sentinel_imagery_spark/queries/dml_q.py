@@ -118,9 +118,14 @@ d1 AS (
     SELECT * FROM u1 WHERE bal >= 0
 ),
 src AS (
+    -- CAST the sum: DuckDB's SUM(BIGINT) is HUGEINT, which would
+    -- propagate through bal into float64 min/max under pandas —
+    -- a dtype mismatch against Spark's int64 under the driver's
+    -- dtype-sensitive hash
     SELECT o_custkey AS c_custkey,
            COUNT(*) AS cnt,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS spent
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS spent
     FROM orders
     GROUP BY o_custkey
     UNION ALL
@@ -159,8 +164,8 @@ final AS (
 SELECT c_nationkey,
        COUNT(*) AS n,
        CAST(SUM(bal) AS BIGINT) AS total_bal,
-       MIN(bal) AS min_bal,
-       MAX(bal) AS max_bal
+       CAST(MIN(bal) AS BIGINT) AS min_bal,
+       CAST(MAX(bal) AS BIGINT) AS max_bal
 FROM final
 GROUP BY c_nationkey
 """

@@ -147,6 +147,51 @@ def test_sync_clears_fully_emptied_buckets(spark, tmp_path):
     assert _corpus(spark, idx) == [] == _table(spark, t)
 
 
+def test_sync_is_single_writer_via_flock(spark, tmp_path):
+    """The sync verb's single-writer contract is ENFORCED, not
+    documentation: while a second process holds the index's advisory
+    lock, a concurrent sync fails fast instead of interleaving bucket
+    generations; after release it proceeds."""
+    import subprocess
+    import sys
+    import textwrap
+
+    t = str(tmp_path / "embl")
+    init_table(spark, t, _vecs(spark, range(20)).coalesce(1))
+    idx = str(tmp_path / "idxl")
+    build_index_from_table(spark, t, idx, n_centroids=2, hnsw=False)
+    append(spark, t, _vecs(spark, [100]).coalesce(1))
+
+    holder = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            textwrap.dedent(
+                f"""
+                import fcntl, sys, time
+                f = open({os.path.join(idx, '_sync.lock')!r}, "w")
+                fcntl.flock(f, fcntl.LOCK_EX)
+                print("held", flush=True)
+                time.sleep(30)
+                """
+            ),
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert holder.stdout.readline().strip() == "held"
+        with pytest.raises(RuntimeError, match="single-writer"):
+            sync_index_from_table(spark, t, idx)
+    finally:
+        holder.kill()
+        holder.wait()
+    # lock released with the holder's death: the sync proceeds
+    rep = sync_index_from_table(spark, t, idx)
+    assert rep["upserts"] == 1
+    assert _corpus(spark, idx) == _table(spark, t)
+
+
 def test_missing_cursor_directs_to_build_verb(spark, tmp_path):
     t = str(tmp_path / "emb4")
     init_table(spark, t, _vecs(spark, range(10)).coalesce(1))

@@ -204,7 +204,7 @@ def test_unparseable_statements_raise(spark, tmp_path):
     init_table(spark, d, _seed(spark, 0, 5).coalesce(1))
     t = {"tbl": d}
     with pytest.raises(TxSqlError, match="unsupported"):
-        tx_sql(spark, "TRUNCATE TABLE tbl", t)
+        tx_sql(spark, "DROP TABLE tbl", t)
     with pytest.raises(TxSqlError, match="unknown table"):
         tx_sql(spark, "DELETE FROM ghost WHERE k = 1", {})
     with pytest.raises(TxSqlError, match="ON must"):
@@ -439,3 +439,107 @@ def test_parser_quoted_parens_and_case_when(spark, tmp_path):
         when_not_matched=[("insert", None)],
     )
     assert _rows(spark, a) == _rows(spark, b)
+
+
+def test_ddl_and_lifecycle_statements(spark, tmp_path):
+    """Round-8 extension: the remaining daily-driver statements route
+    onto their verbs — CREATE TABLE AS (partitioned), TRUNCATE,
+    RESTORE TO VERSION AS OF, ALTER TABLE (TBLPROPERTIES, CONSTRAINT,
+    RENAME/DROP COLUMN), DESCRIBE HISTORY/DETAIL — each checked
+    against the Python-verb behavior."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        resolve_constraints,
+        resolve_properties,
+    )
+
+    d = str(tmp_path / "ddl")
+    t = {"tbl": d}
+    _seed(spark, 0, 30).createOrReplaceTempView("ddl_pool")
+    v0 = tx_sql(
+        spark,
+        "CREATE TABLE tbl PARTITIONED BY (grp) AS "
+        "SELECT * FROM ddl_pool",
+        t,
+    )
+    assert v0 == 0
+    assert sorted(snapshot(spark, d).columns) == ["grp", "k", "v"]
+    assert snapshot(spark, d).count() == 30
+    # hive layout: partition dirs exist
+    assert os.path.isdir(os.path.join(d, "grp=0"))
+
+    tx_sql(
+        spark,
+        "ALTER TABLE tbl SET TBLPROPERTIES "
+        "('retention.min_age_seconds' = 0, 'team' = 'curation')",
+        t,
+    )
+    props = resolve_properties(d, current_version(d))
+    assert props["retention.min_age_seconds"] == 0
+    assert props["team"] == "curation"
+    tx_sql(spark, "ALTER TABLE tbl UNSET TBLPROPERTIES ('team')", t)
+    assert "team" not in resolve_properties(d, current_version(d))
+
+    tx_sql(
+        spark, "ALTER TABLE tbl ADD CONSTRAINT k_pos CHECK (k >= 0)", t
+    )
+    assert resolve_constraints(d, current_version(d)) == {
+        "k_pos": "k >= 0"
+    }
+    # enforced: an insert violating it refuses
+    with pytest.raises(Exception, match="k_pos"):
+        tx_sql(
+            spark,
+            "INSERT INTO tbl VALUES (-1, 0, CAST(0 AS INT)) "
+            "AS r(k, v, grp)",
+            t,
+        )
+    tx_sql(spark, "ALTER TABLE tbl DROP CONSTRAINT k_pos", t)
+    assert resolve_constraints(d, current_version(d)) == {}
+
+    tx_sql(spark, "ALTER TABLE tbl RENAME COLUMN v TO val", t)
+    assert "val" in snapshot(spark, d).columns
+    tx_sql(spark, "ALTER TABLE tbl DROP COLUMN val", t)
+    assert sorted(snapshot(spark, d).columns) == ["grp", "k"]
+
+    v_before = current_version(d)
+    tx_sql(spark, "TRUNCATE TABLE tbl", t)
+    assert snapshot(spark, d).count() == 0
+    tx_sql(
+        spark, f"RESTORE TABLE tbl TO VERSION AS OF {v_before}", t
+    )
+    assert snapshot(spark, d).count() == 30
+
+    hist = tx_sql(spark, "DESCRIBE HISTORY tbl", t)
+    assert hist[0]["version"] == 0
+    assert any("restore" in h["op"] for h in hist)
+    det = tx_sql(spark, "DESCRIBE DETAIL tbl", t)
+    assert det["n_files"] >= 1 and det["live_rows"] == 30
+
+    tx_sql(spark, "ALTER TABLE tbl ADD COLUMN score DOUBLE", t)
+    snap = snapshot(spark, d)
+    assert dict(snap.dtypes)["score"] == "double"
+    # existing files serve the new column NULL-filled, no data touched
+    assert snap.filter("score IS NULL").count() == 30
+    tx_sql(
+        spark,
+        "INSERT INTO tbl VALUES (500, CAST(0 AS INT), "
+        "CAST(1.5 AS DOUBLE)) AS r(k, grp, score)",
+        t,
+    )
+    got = snapshot(spark, d).filter("k = 500").collect()
+    assert [r["score"] for r in got] == [1.5]
+
+    # OPTIMIZE ZORDER BY routes to the full-relayout verb and is
+    # content-neutral
+    before = sorted(
+        tuple(r) for r in snapshot(spark, d).fillna(-1).collect()
+    )
+    tx_sql(spark, "OPTIMIZE tbl ZORDER BY (k)", t)
+    assert sorted(
+        tuple(r) for r in snapshot(spark, d).fillna(-1).collect()
+    ) == before
+
+    with pytest.raises(TxSqlError, match="AS <select>"):
+        tx_sql(spark, "CREATE TABLE t2 (k BIGINT)", {"t2": str(tmp_path / "t2")})
+    with pytest.raises(TxSqlError, match="ALTER TABLE supports"):
+        tx_sql(spark, "ALTER TABLE tbl CHANGE COLUMN z z INT", t)
