@@ -3163,6 +3163,135 @@ def optimize(
     )
 
 
+def overwrite_table(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    partition: dict | None = None,
+    _attempts: int = 3,
+) -> int:
+    """Delta's ``INSERT OVERWRITE``: replace the table's — or one hive
+    leaf's — contents with ``df`` in ONE commit. Readers see the old
+    complete snapshot or the new one, never a mix; time travel to the
+    pre-overwrite version stays exact (old files remain until
+    vacuum). With ``partition`` ({col: value}) only that leaf's files
+    retire, and ``df`` must contain ONLY rows belonging to the leaf
+    (validated with one pushed-down count — the ``replaceWhere``
+    contract; NULLs count as violations). The incoming rows enforce
+    CHECK constraints; under row tracking they draw FRESH ids from
+    the watermark inside the claim (an overwrite is a new generation
+    of rows, not an update of the old ones). Schema must match the
+    table's by name/type — overwrite deliberately does NOT evolve
+    (evolution belongs to append/merge, where the old rows survive to
+    need NULL-fill). Lock-free with the engine's rewrite rules: a
+    lost claim race rebases over commits disjoint from the retired
+    files — so, as with every rewrite at WriteSerializable, a
+    concurrent blind append serializes AFTER the overwrite and its
+    rows survive it; overlapping commits re-run, bounded by
+    ``_attempts``."""
+    parent = current_version(table_dir)
+    m = read_manifest(table_dir, parent)
+    stat_cols = m.get("stat_cols") or None
+    partition_cols = m.get("partition_cols") or None
+    if "_row_id" in df.columns and resolve_row_tracking(
+        table_dir, parent
+    ):
+        raise ValueError(
+            "_row_id is engine-owned under row tracking; overwrites "
+            "must not supply it"
+        )
+    target_sj = resolve_schema(table_dir, parent)
+    if target_sj:
+        from pyspark.sql.types import StructType
+
+        want = {
+            f.name: f.dataType
+            for f in StructType.fromJson(
+                json.loads(target_sj)
+            ).fields
+        }
+        got = {f.name: f.dataType for f in df.schema.fields}
+        if set(want) != set(got):
+            raise ValueError(
+                "overwrite requires the table's exact column set "
+                f"(table {sorted(want)}, incoming {sorted(got)}); "
+                "overwrite does not evolve schema"
+            )
+        # narrower incoming columns upcast to the table's type (the
+        # engine's one-way widening policy — int literals into a
+        # bigint column); anything else is a type conflict
+        casts = []
+        for name, have in got.items():
+            tgt = want[name]
+            if have == tgt:
+                casts.append(F.col(name))
+            elif (have.typeName(), tgt.typeName()) in _WIDENINGS:
+                casts.append(F.col(name).cast(tgt).alias(name))
+            else:
+                raise ValueError(
+                    f"overwrite type conflict on {name!r}: table has "
+                    f"{tgt.simpleString()}, incoming "
+                    f"{have.simpleString()} (only widening casts are "
+                    "implicit)"
+                )
+        df = df.select(*casts)
+    entries = resolve_files(table_dir, parent)
+    if partition:
+        for col in partition:
+            if col not in (partition_cols or []):
+                raise ValueError(
+                    f"{col!r} is not a partition column "
+                    f"(partition_cols={partition_cols})"
+                )
+        segs = {f"{c}={v}" for c, v in partition.items()}
+        entries = [
+            e
+            for e in entries
+            if segs <= set(_entry_name(e).split(os.sep)[:-1])
+        ]
+        in_leaf = None
+        for c, v in partition.items():
+            cond = F.col(c) == F.lit(v)
+            in_leaf = cond if in_leaf is None else (in_leaf & cond)
+        strays = df.filter(
+            ~F.coalesce(in_leaf, F.lit(False))
+        ).count()
+        if strays:
+            raise ValueError(
+                f"{strays} incoming rows fall outside the overwritten "
+                f"partition {partition} — the replaceWhere contract "
+                "rejects them rather than silently widening the scope"
+            )
+    cons = resolve_constraints(table_dir, parent)
+    _enforce_constraints(df, cons)
+    mapping = resolve_mapping(table_dir, parent)
+    names = _move_in_data_files(
+        spark, table_dir, df, stat_cols, partition_cols,
+        mapping=mapping,
+    )
+    old_names = [_entry_name(e) for e in entries]
+    out = _try_commit_dv(
+        table_dir, parent, names, old_names, "overwrite", stat_cols,
+        partition_cols, {_entry_name(e): e for e in entries}, None,
+        {"n": 20},
+        require_same_constraints=cons,
+        require_same_mapping=mapping,
+    )
+    if out is not _RETRY:
+        return out
+    if _attempts <= 1:
+        raise TxConflict(
+            f"overwrite kept losing to overlapping commits on "
+            f"{table_dir}"
+        )
+    for e in names:  # staged files from the lost attempt are orphans
+        try:
+            os.remove(os.path.join(table_dir, _entry_name(e)))
+        except OSError:
+            pass
+    return overwrite_table(spark, table_dir, df, partition, _attempts - 1)
+
+
 def optimize_small_files(
     spark: SparkSession,
     table_dir: str,

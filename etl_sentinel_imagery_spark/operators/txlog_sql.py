@@ -41,6 +41,10 @@ Supported grammar (case-insensitive keywords)::
     DELETE FROM t [WHERE cond]
     INSERT INTO t [(c1, ...)] <select ...>
     INSERT INTO t [(c1, ...)] VALUES (...)[, ...] [[AS] v(c1, ...)]
+    INSERT OVERWRITE [TABLE] t [PARTITION (col = val[, ...])]
+        [(c1, ...)] <select ... | VALUES ...>
+    ALTER TABLE t ADD COLUMN c <type>
+    OPTIMIZE t [WHERE ...] [ZORDER BY (c1, ...)]
     OPTIMIZE t [WHERE col = val [AND ...]]
     VACUUM t [RETAIN n HOURS] [DRY RUN]
     CREATE TABLE t [PARTITIONED BY (c1, ...)] AS <select ...>
@@ -244,7 +248,7 @@ def _parse_table_ref(s: str) -> tuple[str, str, str]:
     reserved = {
         "using", "on", "when", "set", "where", "values", "select",
         "retain", "dry", "then", "partitioned", "as", "to", "add",
-        "drop", "rename", "unset", "zorder",
+        "drop", "rename", "unset", "zorder", "partition",
     }
     if am and am.group(1).lower() not in reserved:
         return ref, am.group(1), rest[am.end():].strip()
@@ -596,14 +600,12 @@ def _table_schema_names(table_dir: str) -> list[str] | None:
     return [f["name"] for f in _json.loads(sj)["fields"]]
 
 
-def _do_insert(spark, stmt, tables):
-    from etl_sentinel_imagery_spark.operators.txlog import append
-
-    body = _split_kw(stmt, "INSERT INTO")[1]
-    tref, _alias, rest = _parse_table_ref(body)
+def _parse_insert_body(spark, rest: str, table_dir: str):
+    """The shared INSERT tail: optional ``(cols)`` list, then a
+    SELECT or VALUES body (with the unaliased-VALUES positional
+    binding / refusal) → the DataFrame to write."""
     cols: list[str] | None = None
     if rest.startswith("("):
-        # INSERT INTO t (c1, c2, ...) <select|values>
         i = _paren_span(rest)
         cols = [c.split(".")[-1] for c in _split_commas(rest[1:i])]
         bad = [c for c in cols if not re.fullmatch(_IDENT, c)]
@@ -611,8 +613,7 @@ def _do_insert(spark, stmt, tables):
             raise TxSqlError(f"bad INSERT column names: {bad}")
         rest = rest[i + 1:].strip()
     if not rest:
-        raise TxSqlError("INSERT INTO requires a SELECT or VALUES body")
-    table_dir = _table_dir(tref, tables)
+        raise TxSqlError("INSERT requires a SELECT or VALUES body")
     if re.match(r"VALUES\b", rest, re.IGNORECASE):
         df = spark.sql(f"SELECT * FROM {rest}")
         # append() merges schemas BY NAME, so Spark's default
@@ -646,7 +647,44 @@ def _do_insert(spark, stmt, tables):
                 f"columns vs {len(df.columns)} query columns"
             )
         df = df.toDF(*cols)
-    return append(spark, table_dir, df)
+    return df
+
+
+def _do_insert(spark, stmt, tables):
+    from etl_sentinel_imagery_spark.operators.txlog import append
+
+    body = _split_kw(stmt, "INSERT INTO")[1]
+    tref, _alias, rest = _parse_table_ref(body)
+    table_dir = _table_dir(tref, tables)
+    return append(
+        spark, table_dir, _parse_insert_body(spark, rest, table_dir)
+    )
+
+
+def _do_insert_overwrite(spark, stmt, tables):
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        overwrite_table,
+    )
+
+    body = _split_kw(stmt, "INSERT OVERWRITE")[1]
+    tm = re.match(r"TABLE\s+", body, re.IGNORECASE)
+    if tm:
+        body = body[tm.end():]
+    tref, _alias, rest = _parse_table_ref(body)
+    part = None
+    pm = re.match(r"PARTITION\s*(?=\()", rest, re.IGNORECASE)
+    if pm:
+        tail = rest[pm.end():]
+        i = _paren_span(tail)
+        part = _partition_pred(tail[1:i])
+        rest = tail[i + 1:].strip()
+    table_dir = _table_dir(tref, tables)
+    return overwrite_table(
+        spark,
+        table_dir,
+        _parse_insert_body(spark, rest, table_dir),
+        partition=part,
+    )
 
 
 def _partition_pred(s: str) -> dict:
@@ -920,6 +958,7 @@ _HANDLERS = [
     ("UPDATE", _do_update),
     ("DELETE FROM", _do_delete),
     ("INSERT INTO", _do_insert),
+    ("INSERT OVERWRITE", _do_insert_overwrite),
     ("OPTIMIZE", _do_optimize),
     ("VACUUM", _do_vacuum),
     ("CREATE TABLE", _do_create),

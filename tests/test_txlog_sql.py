@@ -543,3 +543,76 @@ def test_ddl_and_lifecycle_statements(spark, tmp_path):
         tx_sql(spark, "CREATE TABLE t2 (k BIGINT)", {"t2": str(tmp_path / "t2")})
     with pytest.raises(TxSqlError, match="ALTER TABLE supports"):
         tx_sql(spark, "ALTER TABLE tbl CHANGE COLUMN z z INT", t)
+
+
+def test_insert_overwrite_full_and_partition(spark, tmp_path):
+    """INSERT OVERWRITE: one atomic commit replaces the table (or one
+    hive leaf under the replaceWhere contract); time travel to the
+    pre-overwrite version stays exact; stray rows outside the named
+    partition refuse; schema never evolves."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        overwrite_table,
+    )
+
+    d = str(tmp_path / "ovw")
+    init_table(
+        spark,
+        d,
+        _seed(spark, 0, 30).repartition(3),
+        partition_cols=["grp"],
+    )
+    t = {"tbl": d}
+    v_before = current_version(d)
+
+    # partition-scoped: only grp=1 rows replaced, others untouched
+    tx_sql(
+        spark,
+        "INSERT OVERWRITE tbl PARTITION (grp = 1) "
+        "SELECT id AS k, -id AS v, CAST(1 AS INT) AS grp "
+        "FROM range(1000, 1005)",
+        t,
+    )
+    rows = _rows(spark, d)
+    g1 = [r for r in rows if r[2] == 1]
+    assert sorted(r[0] for r in g1) == list(range(1000, 1005))
+    assert len([r for r in rows if r[2] != 1]) == 20  # untouched
+    # time travel to the pre-overwrite version is exact
+    old = sorted(
+        tuple(r)
+        for r in snapshot(spark, d, version=v_before).collect()
+    )
+    assert len(old) == 30 and max(r[0] for r in old) == 29
+
+    # full overwrite through the verb twin
+    new = _seed(spark, 100, 110)
+    overwrite_table(spark, d, new)
+    assert _rows(spark, d) == sorted(
+        tuple(r) for r in new.collect()
+    )
+    hist = tx_sql(spark, "DESCRIBE HISTORY tbl", t)
+    assert [h["op"] for h in hist].count("overwrite") == 2
+
+    # replaceWhere contract: strays outside the named leaf refuse
+    with pytest.raises(ValueError, match="outside the overwritten"):
+        tx_sql(
+            spark,
+            "INSERT OVERWRITE tbl PARTITION (grp = 2) "
+            "SELECT id AS k, id AS v, CAST(id % 3 AS INT) AS grp "
+            "FROM range(5)",
+            t,
+        )
+    # no schema evolution through overwrite
+    with pytest.raises(ValueError, match="does not evolve"):
+        tx_sql(
+            spark,
+            "INSERT OVERWRITE tbl SELECT id AS k, id AS v, "
+            "CAST(0 AS INT) AS grp, id AS extra FROM range(5)",
+            t,
+        )
+    # VALUES positional binding works through OVERWRITE too
+    tx_sql(
+        spark,
+        "INSERT OVERWRITE TABLE tbl VALUES (7, 70, CAST(1 AS INT))",
+        t,
+    )
+    assert _rows(spark, d) == [(7, 70, 1)]
