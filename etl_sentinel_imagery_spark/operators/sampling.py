@@ -145,6 +145,46 @@ def weighted_mix(
     return out
 
 
+def upsample_epochs(
+    df: DataFrame,
+    epochs: float,
+    key_col: str = "doc_id",
+    seed: str = "",
+    copy_col: str = "epoch_idx",
+) -> DataFrame:
+    """Deterministic OVERSAMPLING — the downstream half
+    :func:`weighted_mix`'s docstring points at (rare high-quality
+    domains repeat epochs; mixing itself only downsamples):
+    ``floor(epochs)`` full copies of every row tagged ``copy_col``
+    0..k-1, plus the fractional remainder as a hash-SELECTED partial
+    epoch (the same md5 bucket as every sampler here — reproducible
+    across runs, partitionings and engines; no RNG state). Rows
+    missing the partial epoch simply stop at k-1 copies; with
+    ``epochs < 1`` this degrades to :func:`hash_sample` plus the tag.
+
+    A map-side ``explode`` over a per-row sequence — NO shuffle, so a
+    100 TB corpus upsamples at scan speed. Downstream packing and
+    shuffling should treat ``(key, copy_col)`` as the example id so
+    repeated copies land in different batches."""
+    if epochs <= 0:
+        raise ValueError(f"epochs must be > 0, got {epochs}")
+    k = int(epochs)
+    frac = epochs - k
+    extra = (
+        F.when(
+            hash_bucket(key_col, seed) < F.lit(_threshold(frac)),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        if frac > 0
+        else F.lit(0)
+    )
+    n_copies = F.lit(k) + extra
+    seq = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - F.lit(1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return df.withColumn(copy_col, F.explode(seq))
+
+
 def sample_exact_n(
     df: DataFrame, n: int, key_col: str = "doc_id", seed: str = ""
 ) -> DataFrame:

@@ -271,3 +271,53 @@ def test_weighted_sample_exact_n_properties(spark):
     s2 = weighted_sample_exact_n(df2, 500, "w", seed="s1").collect()
     assert all(r["doc_id"] % 2 == 1 for r in s2)
     assert len(s2) == 110  # only the positive-weight rows exist
+
+
+def test_upsample_epochs_deterministic_replication(spark):
+    """upsample_epochs: floor(epochs) exact copies per row with a
+    0..k-1 tag, fractional remainder hash-selected; deterministic and
+    partitioning-invariant; epochs < 1 degrades to a tagged
+    hash_sample; no row ever exceeds ceil(epochs) copies."""
+    from etl_sentinel_imagery_spark.operators.sampling import (
+        upsample_epochs,
+    )
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+
+    out = upsample_epochs(df, 2.25, seed="e1")
+    per = {
+        r["doc_id"]: r["n"]
+        for r in out.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(per) == set(range(2000))  # integer part: nobody drops
+    assert set(per.values()) <= {2, 3}
+    n3 = sum(1 for v in per.values() if v == 3)
+    assert 0.20 <= n3 / 2000 <= 0.30  # ~25% get the partial epoch
+    # copy indexes are dense 0..n-1 per key
+    tags = {
+        (r["doc_id"], r["epoch_idx"]) for r in out.collect()
+    }
+    assert all(
+        (d, i) in tags for d, n in per.items() for i in range(n)
+    )
+
+    # deterministic + partitioning-invariant
+    again = {
+        r["doc_id"]: r["n"]
+        for r in upsample_epochs(df.repartition(13), 2.25, seed="e1")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert again == per
+
+    # epochs < 1: tagged downsample, all tags 0
+    sub = upsample_epochs(df, 0.5, seed="e2")
+    n_sub = sub.count()
+    assert 800 <= n_sub <= 1200
+    assert sub.filter(F.col("epoch_idx") != 0).count() == 0
+
+    with pytest.raises(ValueError, match="epochs"):
+        upsample_epochs(df, 0.0)

@@ -3,7 +3,11 @@ an incremental sync of a small churn range must cost a small fraction
 of the full rebuild it replaces — and the synced corpus must equal the
 table snapshot exactly.
 
-Usage: python tools/stress_index_sync.py [n_vectors] [churn]
+Usage: python tools/stress_index_sync.py [n_vectors] [churn] [--pq]
+
+``--pq`` builds the compressed tier too (round-8: the last tier
+refusal removed) and reports its per-sync wall beside the IVF leg's,
+plus the PQ-corpus == table-ids invariant.
 """
 
 from __future__ import annotations
@@ -20,8 +24,10 @@ sys.path.insert(
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    churn = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+    args = [a for a in sys.argv[1:] if a != "--pq"]
+    with_pq = "--pq" in sys.argv[1:]
+    n = int(args[0]) if len(args) > 0 else 1_000_000
+    churn = int(args[1]) if len(args) > 1 else 10_000
     from pyspark.sql import SparkSession, functions as F
 
     spark = (
@@ -64,7 +70,10 @@ def main() -> None:
     init_table(spark, t, vecs(0, n).repartition(32))
     seed_s = time.time() - t0
     t0 = time.time()
-    build_index_from_table(spark, t, idx, n_centroids=64, hnsw=False)
+    build_index_from_table(
+        spark, t, idx, n_centroids=64, hnsw=False,
+        pq=with_pq, pq_m=8, pq_k=16,
+    )
     build_s = time.time() - t0
 
     # churn: half fresh inserts, half GDPR deletes of existing ids
@@ -101,12 +110,30 @@ def main() -> None:
     local_sync_s = time.time() - t0
 
     t0 = time.time()
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        read_indexed_layout,
+    )
+
+    # the COMMITTED view: since the round-7 versioned layouts, retired
+    # generations stay on disk for in-flight readers (vacuum_layout's
+    # job) — a raw directory read would double-count them
     n_index = (
-        spark.read.parquet(os.path.join(idx, "ivf"))
+        read_indexed_layout(spark, os.path.join(idx, "ivf"))
         .select("vec_id")
         .count()
     )
     n_table = snapshot(spark, t).count()
+    pq_matches = None
+    if with_pq:
+        pq_ids = (
+            read_indexed_layout(spark, os.path.join(idx, "ivfpq"))
+            .select("vec_id")
+        )
+        tbl_ids = snapshot(spark, t).select("vec_id")
+        pq_matches = (
+            pq_ids.exceptAll(tbl_ids).count() == 0
+            and tbl_ids.exceptAll(pq_ids).count() == 0
+        )
     verify_s = time.time() - t0
     print(
         json.dumps(
@@ -129,6 +156,7 @@ def main() -> None:
                 "n_index": n_index,
                 "n_table": n_table,
                 "corpus_matches": n_index == n_table,
+                "pq_corpus_matches": pq_matches,
                 "verify_s": round(verify_s, 1),
             }
         )
