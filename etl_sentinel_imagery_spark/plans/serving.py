@@ -875,10 +875,15 @@ def _sync_ivfpq_tier(
         ).select(id_col, vec_col)
         m, kk = int(codebooks.shape[0]), int(codebooks.shape[1])
         if residual:
-            rot2, books2 = train_residual_codebooks(
-                corpus, centroids, m=m, k=kk, vec_col=vec_col,
-                opq=rotation is not None,
-            )
+            if rotation is not None:
+                rot2, books2 = train_residual_codebooks(
+                    corpus, centroids, m=m, k=kk, vec_col=vec_col,
+                    opq=True,
+                )
+            else:
+                rot2, books2 = None, train_residual_codebooks(
+                    corpus, centroids, m=m, k=kk, vec_col=vec_col,
+                )
         else:
             from etl_sentinel_imagery_spark.operators.similarity import (
                 train_opq,

@@ -563,3 +563,40 @@ def test_vacuum_layout_gates_on_retirement_not_write_time(tmp_path):
     assert vacuum_layout(lay, min_age_seconds=3600) == [
         "bucket=0/inflight.parquet"
     ]
+
+
+def test_pq_rebuild_preserves_residual_opq_config(spark, tmp_path):
+    """The debt-triggered codebook retrain must reproduce the stored
+    model's configuration — a hand-built RESIDUAL tier (no rotation)
+    rebuilds as residual-without-rotation, not as the plain-PQ shape
+    the serving build defaults to (this branch held an unpack bug:
+    plain-mode train_residual_codebooks returns codebooks alone)."""
+    from etl_sentinel_imagery_spark.operators.ivfpq import (
+        load_model,
+        train_residual_codebooks,
+        write_ivfpq_index,
+    )
+    from etl_sentinel_imagery_spark.plans.serving import load_centroids
+
+    t = str(tmp_path / "embr")
+    init_table(spark, t, _vecs(spark, range(60)).coalesce(2))
+    idx = str(tmp_path / "idxr")
+    build_index_from_table(spark, t, idx, n_centroids=3, hnsw=False)
+    # hand-build the RESIDUAL compressed tier beside the IVF tier
+    cents = load_centroids(idx)
+    snap = snapshot(spark, t).select("vec_id", "embedding")
+    books = train_residual_codebooks(snap, cents, m=2, k=8)
+    pqdir = os.path.join(idx, "ivfpq")
+    write_ivfpq_index(
+        snap, cents, books, pqdir, residual=True,
+    )
+
+    delete_rows_dv(spark, t, "vec_id", [1, 4])
+    rep = sync_index_from_table(spark, t, idx, pq_rebuild_debt=0.0)
+    assert rep["ivfpq"]["action"] == "rebuild"
+    c2, b2, rot2, res2 = load_model(pqdir)
+    assert res2 is True and rot2 is None
+    assert b2.shape == books.shape  # same m/k configuration
+    assert {i for i, _, _ in _pq_rows(spark, idx)} == {
+        i for i, _ in _table(spark, t)
+    }
