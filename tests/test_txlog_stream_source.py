@@ -591,3 +591,47 @@ def test_schema_and_reader_share_one_head_pin(spark, tmp_path):
     )
     tr = ts.reader(None)
     assert {f["name"] for f in tr.fields} == cols
+
+
+def test_overwrite_flows_through_change_feed(spark, tmp_path):
+    """INSERT OVERWRITE is a CONTENT commit, never skipped like
+    compactions. On a row-tracked table the replacement rows are new
+    logical rows (fresh ids), so the feed emits every old row as a
+    delete and every new row as an insert — even value-identical
+    carryovers (a new generation, not an update). On an untracked
+    table the multiset diff keeps its documented net-change
+    semantics: value-identical carryovers cancel."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        enable_row_tracking,
+        overwrite_table,
+    )
+
+    register(spark)
+    for tracked in (True, False):
+        d = str(tmp_path / f"ovw_{tracked}")
+        init_table(spark, d, _seed(spark, 0, 10).coalesce(1))
+        if tracked:
+            enable_row_tracking(d)
+        v0 = current_version(d)
+        # rows 0..4 carry over value-identical; 5..9 replaced by 20..24
+        new = _seed(spark, 0, 5).unionByName(_seed(spark, 20, 25))
+        overwrite_table(spark, d, new)
+        got = (
+            spark.read.format("txlog_changes")
+            .option("path", d)
+            .option("fromVersion", v0)
+            .load()
+        )
+        rows = {
+            (r["k"], r["_change_type"]) for r in got.collect()
+        }
+        replaced = {(k, "delete") for k in range(5, 10)} | {
+            (k, "insert") for k in range(20, 25)
+        }
+        if tracked:
+            carry = {(k, "delete") for k in range(5)} | {
+                (k, "insert") for k in range(5)
+            }
+            assert rows == replaced | carry
+        else:
+            assert rows == replaced
