@@ -48,6 +48,8 @@ Supported grammar (case-insensitive keywords)::
     OPTIMIZE t [WHERE col = val [AND ...]]
     VACUUM t [RETAIN n HOURS] [DRY RUN]
     CREATE TABLE t [PARTITIONED BY (c1, ...)] AS <select ...>
+    CREATE TABLE t SHALLOW CLONE src
+    SHOW TBLPROPERTIES t
     TRUNCATE TABLE t
     RESTORE TABLE t TO VERSION AS OF n
     ALTER TABLE t SET TBLPROPERTIES ('k' = v, ...)
@@ -248,7 +250,7 @@ def _parse_table_ref(s: str) -> tuple[str, str, str]:
     reserved = {
         "using", "on", "when", "set", "where", "values", "select",
         "retain", "dry", "then", "partitioned", "as", "to", "add",
-        "drop", "rename", "unset", "zorder", "partition",
+        "drop", "rename", "unset", "zorder", "partition", "shallow",
     }
     if am and am.group(1).lower() not in reserved:
         return ref, am.group(1), rest[am.end():].strip()
@@ -794,10 +796,24 @@ def _unquote_ident(s: str) -> str:
 
 
 def _do_create(spark, stmt, tables):
-    from etl_sentinel_imagery_spark.operators.txlog import init_table
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        clone_table,
+        init_table,
+    )
 
     body = _split_kw(stmt, "CREATE TABLE")[1]
     tref, _alias, rest = _parse_table_ref(body)
+    cm = re.match(r"SHALLOW\s+CLONE\s+(.*)$", rest, re.IGNORECASE)
+    if cm:
+        # CREATE TABLE dest SHALLOW CLONE src — the zero-copy branch
+        sref, _alias2, extra = _parse_table_ref(cm.group(1))
+        if extra:
+            raise TxSqlError(
+                f"unexpected tokens after clone source: {extra!r}"
+            )
+        return clone_table(
+            _table_dir(sref, tables), _table_dir(tref, tables)
+        )
     part_cols = None
     pm = re.match(r"PARTITIONED\s+BY\s*(?=\()", rest, re.IGNORECASE)
     if pm:
@@ -932,6 +948,20 @@ def _do_alter(spark, stmt, tables):
     )
 
 
+def _do_show(spark, stmt, tables):
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        current_version,
+        resolve_properties,
+    )
+
+    body = _split_kw(stmt, "SHOW TBLPROPERTIES")[1]
+    tref, _alias, rest = _parse_table_ref(body)
+    if rest:
+        raise TxSqlError(f"unexpected tokens after table: {rest!r}")
+    d = _table_dir(tref, tables)
+    return resolve_properties(d, current_version(d))
+
+
 def _do_describe(spark, stmt, tables):
     from etl_sentinel_imagery_spark.operators.txlog import (
         history,
@@ -966,7 +996,31 @@ _HANDLERS = [
     ("RESTORE TABLE", _do_restore),
     ("ALTER TABLE", _do_alter),
     ("DESCRIBE", _do_describe),
+    ("SHOW TBLPROPERTIES", _do_show),
 ]
+
+
+def tx_sql_script(
+    spark: SparkSession,
+    script: str,
+    tables: dict[str, str] | None = None,
+) -> list:
+    """Run a ``;``-separated statement script through :func:`tx_sql`
+    in order (quote/paren-aware splitting — a ``';'`` literal or a
+    subquery never splits). Statements run SEQUENTIALLY, each its own
+    transactional commit — this is a convenience runner, NOT a
+    multi-statement transaction (the engine's unit of atomicity is
+    one commit, like Delta's). Returns the per-statement results."""
+    tops = set(_top_level_spans(script))
+    stmts, last = [], 0
+    for i, c in enumerate(script):
+        if c == ";" and i in tops:
+            stmts.append(script[last:i])
+            last = i + 1
+    stmts.append(script[last:])
+    return [
+        tx_sql(spark, s, tables) for s in stmts if s.strip()
+    ]
 
 
 def tx_sql(

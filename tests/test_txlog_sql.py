@@ -616,3 +616,35 @@ def test_insert_overwrite_full_and_partition(spark, tmp_path):
         t,
     )
     assert _rows(spark, d) == [(7, 70, 1)]
+
+
+def test_clone_show_and_script_runner(spark, tmp_path):
+    """CREATE TABLE ... SHALLOW CLONE, SHOW TBLPROPERTIES, and the
+    quote-aware multi-statement script runner (each statement its own
+    commit — a convenience, not a transaction)."""
+    from etl_sentinel_imagery_spark.operators.txlog_sql import (
+        tx_sql_script,
+    )
+
+    d = str(tmp_path / "src")
+    d2 = str(tmp_path / "branch")
+    t = {"tbl": d, "branch": d2}
+    _seed(spark, 0, 20).createOrReplaceTempView("clone_pool")
+    results = tx_sql_script(
+        spark,
+        """
+        CREATE TABLE tbl AS SELECT * FROM clone_pool;
+        ALTER TABLE tbl SET TBLPROPERTIES ('team' = 'a;b');
+        DELETE FROM tbl WHERE k >= 15;
+        CREATE TABLE branch SHALLOW CLONE tbl
+        """,
+        t,
+    )
+    assert len(results) == 4
+    # the quoted ';' did not split, and the property landed intact
+    props = tx_sql(spark, "SHOW TBLPROPERTIES tbl", t)
+    assert props["team"] == "a;b"
+    # the branch is the post-DELETE state, independent thereafter
+    assert _rows(spark, d2) == _rows(spark, d)
+    tx_sql(spark, "DELETE FROM branch WHERE k < 5", t)
+    assert len(_rows(spark, d2)) == 10 and len(_rows(spark, d)) == 15
