@@ -1,13 +1,15 @@
 """Model-based test of the transaction log: hypothesis drives random
 op sequences (append / add-column-evolving append / DV-delete /
-predicate delete / UPDATE / merge-upsert / compact / small-file
-optimize / restore) against an in-memory reference model — the
-composition coverage no hand-written scenario list reaches, including
-restores ACROSS an evolution (schema narrows back) and merges under
-the widened schema. After every op the snapshot must equal the model
-multiset; at the end, every historical version must still time-travel
-to its recorded state and the change-feed fold must net to the final
-state."""
+predicate delete / UPDATE / merge-upsert / overwrite / metadata
+ADD COLUMN / compact / small-file optimize / restore) against an
+in-memory reference model — the composition coverage no hand-written
+scenario list reaches, including restores ACROSS an evolution (schema
+narrows back), merges under the widened schema, overwrites replacing
+an evolved table, and a dropped-by-restore metadata column re-added
+later (fresh physical name). After every op the snapshot must equal
+the model multiset; at the end, every historical version must still
+time-travel to its recorded state and the change-feed fold must net
+to the final state."""
 
 from __future__ import annotations
 
@@ -50,6 +52,11 @@ OP = st.one_of(
     # write must never perturb rows, time travel, or the CDF fold
     st.tuples(st.just("analyze"), st.just(0)),
     st.tuples(st.just("set_props"), st.integers(0, 10**6)),
+    # round-8 verbs: INSERT OVERWRITE (one-commit replace under the
+    # exact current schema) and pure-metadata ADD COLUMN (NULL-filled
+    # reads; restore may drop it, a later add re-mints it)
+    st.tuples(st.just("overwrite"), st.integers(0, 10**6)),
+    st.tuples(st.just("add_column"), st.just(0)),
 )
 
 
@@ -169,6 +176,38 @@ def test_random_op_sequences_match_reference_model(
             )
 
             set_properties(t, {f"k{seed % 3}": seed})
+        elif kind == "overwrite":
+            from etl_sentinel_imagery_spark.operators.txlog import (
+                overwrite_table,
+            )
+
+            cols = snapshot(spark, t).columns
+            rows = _rows_for(seed, 5, "o")
+            data = []
+            for k, v_ in rows:
+                row = {"doc_id": k, "val": v_}
+                if "w" in cols:
+                    row["w"] = f"ow{seed}"
+                if "z" in cols:
+                    row["z"] = seed
+                data.append(tuple(row[c] for c in cols))
+            overwrite_table(
+                spark, t, spark.createDataFrame(data, list(cols))
+            )
+            model = Counter(
+                (k, v_, f"ow{seed}" if "w" in cols else None)
+                for k, v_ in rows
+            )
+        elif kind == "add_column":
+            from etl_sentinel_imagery_spark.operators.txlog import (
+                add_column,
+            )
+
+            # metadata-only: NULL-filled, invisible to the model's
+            # (doc_id, val, w) view; a restore may drop it and a later
+            # add re-mints it under a fresh physical name
+            if "z" not in snapshot(spark, t).columns:
+                add_column(t, "z", "bigint")
         elif kind == "restore":
             target = sorted(states)[seed % len(states)]
             restore(spark, t, target)
