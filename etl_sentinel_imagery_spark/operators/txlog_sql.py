@@ -1033,10 +1033,15 @@ def tx_sql(
     ``tables`` maps statement table names to table directories;
     backtick-quoted directories work without it. Returns exactly what
     the underlying verb returns: the committed version for MERGE /
-    UPDATE / DELETE / INSERT, ``(version, stats)`` for OPTIMIZE, and
-    the removed/would-remove path list for VACUUM. Every statement is
-    ONE transactional commit with the Python verbs' lock-free
-    concurrency semantics — this is routing, not a second engine."""
+    UPDATE / DELETE / INSERT [OVERWRITE] / CREATE / TRUNCATE /
+    RESTORE / ALTER, ``(version, stats)`` for the bin-packing
+    OPTIMIZE (plain version for ZORDER), the removed/would-remove
+    path list for VACUUM, the history row list / detail dict for
+    DESCRIBE, and the property map for SHOW TBLPROPERTIES. Every
+    write statement is ONE transactional commit with the Python
+    verbs' lock-free concurrency semantics — this is routing, not a
+    second engine (see :func:`tx_sql_script` for running a
+    ``;``-separated sequence)."""
     stmt = statement.strip().rstrip(";").strip()
     for kw, fn in _HANDLERS:
         if re.match(
