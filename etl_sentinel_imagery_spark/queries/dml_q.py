@@ -3,11 +3,13 @@
 Round-7 verdict #3: everything rounds 6–7 built (SQL DML front door,
 merge clause grammar, OPTIMIZE) was pytest-only — no CORRECTNESS row
 exercised a post-DML table state. This battery creates a THROWAWAY
-txlog table from `customer`, drives the engine through `tx_sql`
-statements (UPDATE, DELETE, a MERGE exercising the round-8 grammar:
-swapped ``t``/``s`` aliases, a column-list INSERT, WHEN NOT MATCHED BY
-SOURCE clauses, plus a content-neutral OPTIMIZE), then SELECTs the
-post-state; the DuckDB oracle derives the same post-state relationally
+txlog table from `customer` via ``CREATE TABLE AS``, drives the
+engine through `tx_sql` statements (a positional-binding INSERT
+VALUES, UPDATE, DELETE, a MERGE exercising the round-8 grammar:
+swapped ``t``/``s`` aliases, a column-list INSERT, WHEN NOT MATCHED
+BY SOURCE clauses, plus content-neutral OPTIMIZE and OPTIMIZE ZORDER
+passes), then SELECTs the post-state; the DuckDB oracle derives the
+same post-state relationally
 (pure CTEs — DuckDB 1.0 has no MERGE statement, so the oracle states
 the *semantics*, which is exactly what `base.Q` wants oracles to do).
 
@@ -67,25 +69,35 @@ WHERE o_custkey % 97 = 0
 
 
 def _txlog_dml_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_sentinel_imagery_spark.operators.txlog import (
-        init_table,
-        snapshot,
-    )
+    from etl_sentinel_imagery_spark.operators.txlog import snapshot
     from etl_sentinel_imagery_spark.operators.txlog_sql import tx_sql
 
     register_views(spark, sf_dir)
-    base = spark.sql(
-        "SELECT c_custkey, c_nationkey, "
-        "CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal FROM customer"
-    )
     d = os.path.join(tempfile.mkdtemp(prefix="txdml_"), "cust")
-    init_table(spark, d, base.repartition(4))
     tables = {"cust": d}
+    # CTAS opens the battery, so table creation itself sits under the
+    # gate; the synthetic VALUES row exercises the round-8 positional
+    # binding (arity matches → binds c_custkey/c_nationkey/bal, with
+    # int→bigint widening on append)
+    tx_sql(
+        spark,
+        "CREATE TABLE cust AS SELECT c_custkey, c_nationkey, "
+        "CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal FROM customer",
+        tables,
+    )
+    tx_sql(
+        spark,
+        "INSERT INTO cust VALUES (9000001, CAST(5 AS INT), 123456)",
+        tables,
+    )
     tx_sql(spark, _UPDATE, tables)
     tx_sql(spark, _DELETE, tables)
     spark.sql(_SRC_SQL).createOrReplaceTempView("dml_src")
     tx_sql(spark, _MERGE, tables)
-    tx_sql(spark, "OPTIMIZE cust", tables)  # content-neutral by contract
+    # both maintenance forms are content-neutral by contract — the
+    # hash gate is what proves it on this battery's post-state
+    tx_sql(spark, "OPTIMIZE cust", tables)
+    tx_sql(spark, "OPTIMIZE cust ZORDER BY (c_custkey)", tables)
     return (
         snapshot(spark, d)
         .groupBy("c_nationkey")
@@ -108,6 +120,11 @@ WITH base AS (
     SELECT c_custkey, c_nationkey,
            CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
     FROM customer
+    UNION ALL
+    -- the battery's positional-VALUES insert (key far above any real
+    -- custkey and any synthetic merge-source key)
+    SELECT CAST(9000001 AS BIGINT), CAST(5 AS INTEGER),
+           CAST(123456 AS BIGINT)
 ),
 u1 AS (
     SELECT c_custkey, c_nationkey,
