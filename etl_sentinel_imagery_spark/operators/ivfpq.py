@@ -26,7 +26,6 @@ bucketed layout and the per-query probed-bucket ADC join.
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 from typing import Iterator
 
@@ -54,7 +53,15 @@ def _save_model(
     codebooks: np.ndarray,
     rotation: np.ndarray | None,
     residual: bool = False,
-) -> None:
+    flip: bool = True,
+) -> str:
+    """Write a NEW model version dir and return its name. Old versions
+    stay on disk — a reader that resolved a pre-flip manifest may
+    still need them; :func:`operators.similarity.vacuum_layout`
+    reclaims them age-gated with the data generation they encode.
+    ``flip=False`` defers the ``_CURRENT`` repoint to the caller
+    (the rebuild leg flips the layout manifest FIRST so the fallback
+    pointer never runs ahead of the published generation)."""
     mdir = _model_dir(path)
     os.makedirs(mdir, exist_ok=True)
     vname = f"v_{uuid.uuid4().hex[:8]}"
@@ -69,18 +76,33 @@ def _save_model(
         ),
         residual=np.array(residual),
     )
+    if flip:
+        _flip_model_current(path, vname)
+    return vname
+
+
+def _flip_model_current(path: str, vname: str) -> None:
+    mdir = _model_dir(path)
     tmp = os.path.join(mdir, f"_CURRENT.tmp{vname}")
     with open(tmp, "w") as f:
         f.write(vname)
     os.replace(tmp, os.path.join(mdir, "_CURRENT"))
-    for entry in os.listdir(mdir):
-        if entry.startswith("v_") and entry != vname:
-            shutil.rmtree(os.path.join(mdir, entry), ignore_errors=True)
 
 
 def load_model(path: str):
-    with open(os.path.join(_model_dir(path), "_CURRENT")) as f:
-        vname = f.read().strip()
+    """Resolve the model CONSISTENT with the live codes generation:
+    the layout manifest names the version its codes were encoded with
+    (one pointer flip covers both — codes decoded against another
+    generation's codebooks are garbage); ``_model/_CURRENT`` is the
+    fallback for manifests predating the field."""
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        live_layout_model,
+    )
+
+    vname = live_layout_model(path)
+    if vname is None:
+        with open(os.path.join(_model_dir(path), "_CURRENT")) as f:
+            vname = f.read().strip()
     z = np.load(os.path.join(_model_dir(path), vname, "model.npz"))
     rot = z["rotation"]
     residual = bool(z["residual"]) if "residual" in z else False
@@ -201,23 +223,87 @@ def write_ivfpq_index(
         publish_layout_manifest,
     )
 
+    enc = _encode_full(
+        embeddings, centroids, codebooks, rotation, residual,
+        id_col, vec_col,
+    )
+    enc.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    vname = _save_model(path, centroids, codebooks, rotation, residual)
+    # versioned-pointer layout like the IVF tier: readers resolve a
+    # committed generation, maintenance flips it atomically; the
+    # manifest names the model version so codes + codebooks are one
+    # generation under one pointer
+    publish_layout_manifest(
+        path, list_layout_data_files(path), model=vname
+    )
+
+
+def _encode_full(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    rotation: np.ndarray | None,
+    residual: bool,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The (id, pq_codes, bucket) encode plan for EXPLICIT model
+    params — shared by the initial build (overwrite into a fresh dir)
+    and the retrain rebuild (append as a new generation)."""
     if residual:
-        enc = _encode_residual(
+        return _encode_residual(
             embeddings, centroids, codebooks, id_col, vec_col, rotation
         )
-        enc.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    else:
-        enc = pq_encode(embeddings, codebooks, id_col, vec_col, rotation)
-        assigned = ivf_assign(embeddings, centroids, id_col, vec_col).select(
-            id_col, "bucket"
-        )
-        enc.join(assigned, id_col).write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(path)
-    _save_model(path, centroids, codebooks, rotation, residual)
-    # versioned-pointer layout like the IVF tier: readers resolve a
-    # committed generation, maintenance flips it atomically
-    publish_layout_manifest(path, list_layout_data_files(path))
+    enc = pq_encode(embeddings, codebooks, id_col, vec_col, rotation)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col).select(
+        id_col, "bucket"
+    )
+    return enc.join(assigned, id_col)
+
+
+def rebuild_ivfpq_index(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    path: str,
+    rotation: np.ndarray | None = None,
+    residual: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Retrain-rebuild an EXISTING layout without ever deleting the
+    live generation in place (round-8 ADVICE: the old path's
+    ``mode("overwrite")`` tore ``_layout``/``_model`` out from under
+    concurrent readers). Mirrors the graph tier's
+    ``_persist_graph_versioned``: (1) the new model version lands as a
+    new ``_model/v_*`` dir with NO pointer change, (2) re-encoded
+    codes land as NEW files via ``mode("append")``, (3) ONE
+    :func:`publish_layout_manifest` flip — carrying the model version
+    — makes codes + codebooks visible together, (4) ``_model/_CURRENT``
+    repoints last (fallback for pre-field manifests only, so it must
+    never run ahead of the flip). A reader mid-scan holds the old
+    complete generation — data files AND model dir — until
+    :func:`operators.similarity.vacuum_layout`'s retirement age gate
+    reclaims both."""
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        list_layout_data_files,
+        publish_layout_manifest,
+    )
+
+    vname = _save_model(
+        path, centroids, codebooks, rotation, residual, flip=False
+    )
+    before = set(list_layout_data_files(path))
+    enc = _encode_full(
+        embeddings, centroids, codebooks, rotation, residual,
+        id_col, vec_col,
+    )
+    enc.write.mode("append").partitionBy("bucket").parquet(path)
+    new_files = [
+        f for f in list_layout_data_files(path) if f not in before
+    ]
+    publish_layout_manifest(path, new_files, model=vname)
+    _flip_model_current(path, vname)
 
 
 def ivfpq_encode(

@@ -350,16 +350,34 @@ def live_layout_files(path: str) -> list[str] | None:
     """The committed file list of a versioned layout, or ``None`` for
     a layout without a manifest (legacy plain directory — every file
     is live)."""
+    meta = _live_layout_meta(path)
+    return None if meta is None else meta["files"]
+
+
+def _live_layout_meta(path: str) -> dict | None:
     ptr = os.path.join(_layout_live_dir(path), "_CURRENT")
     if not os.path.isfile(ptr):
         return None
     with open(ptr) as f:
         name = f.read().strip()
     with open(os.path.join(_layout_live_dir(path), name)) as f:
-        return json.load(f)["files"]
+        return json.load(f)
 
 
-def publish_layout_manifest(path: str, files: list[str]) -> None:
+def live_layout_model(path: str) -> str | None:
+    """The model version the live generation's data was encoded with,
+    when the manifest records one (PQ layouts: codes are a pure
+    function of the model, so the pair must flip TOGETHER — a reader
+    resolving codes from one generation and codebooks from another
+    would decode garbage). ``None`` for manifests predating the field
+    and for model-free layouts (IVF buckets, HNSW shards)."""
+    meta = _live_layout_meta(path)
+    return None if meta is None else meta.get("model")
+
+
+def publish_layout_manifest(
+    path: str, files: list[str], model: str | None = None
+) -> None:
     """Commit a new live file set: write ``_live/manifest-<uuid>.json``
     then atomically repoint ``_live/_CURRENT`` — the txlog's own
     write-new + pointer-flip discipline applied to index bucket data
@@ -375,8 +393,13 @@ def publish_layout_manifest(path: str, files: list[str]) -> None:
     ldir = _layout_live_dir(path)
     os.makedirs(ldir, exist_ok=True)
     name = f"manifest-{uuid.uuid4().hex[:12]}.json"
+    body: dict = {"files": sorted(files)}
+    if model is not None:
+        # codes + codebooks are one logical generation: naming the
+        # model version HERE makes the single pointer flip cover both
+        body["model"] = model
     with open(os.path.join(ldir, name), "w") as f:
-        json.dump({"files": sorted(files)}, f)
+        json.dump(body, f)
     # stamp the OUTGOING manifest's mtime with the flip instant: its
     # mtime becomes the generation's RETIREMENT time, which is what
     # vacuum_layout's reader-safety gate must age against (a
@@ -425,10 +448,11 @@ def vacuum_layout(path: str, min_age_seconds: float = 3600.0) -> list[str]:
     gate. Returns removed relative paths."""
     import time
 
-    live = live_layout_files(path)
-    if live is None:
+    meta = _live_layout_meta(path)
+    if meta is None:
         return []
-    keep = set(live)
+    keep = set(meta["files"])
+    keep_models = {meta.get("model")} - {None}
     now = time.time()
     ldir = _layout_live_dir(path)
     with open(os.path.join(ldir, "_CURRENT")) as f:
@@ -443,7 +467,10 @@ def vacuum_layout(path: str, min_age_seconds: float = 3600.0) -> list[str]:
                 # retired recently: an in-flight reader may still be
                 # scanning this generation — its whole file set stays
                 with open(mp) as f:
-                    keep.update(json.load(f)["files"])
+                    body = json.load(f)
+                keep.update(body["files"])
+                if body.get("model"):
+                    keep_models.add(body["model"])
             else:
                 stale_manifests.append(mp)
         except (OSError, ValueError, KeyError):
@@ -465,6 +492,33 @@ def vacuum_layout(path: str, min_age_seconds: float = 3600.0) -> list[str]:
             os.remove(mp)
         except OSError:
             pass
+    # model generations retire with the manifests that reference them
+    # (PQ rebuild writes the new model version BEFORE the flip and
+    # leaves the old one on disk — this is the age-gated reclaim the
+    # rebuild leg defers to). _CURRENT and every kept manifest's model
+    # stay; unreferenced versions older than the gate go, the same
+    # in-flight-publisher mtime protection as data files.
+    mdir = os.path.join(path, "_model")
+    if os.path.isdir(mdir):
+        import shutil
+
+        cur_ptr = os.path.join(mdir, "_CURRENT")
+        try:
+            with open(cur_ptr) as f:
+                keep_models.add(f.read().strip())
+        except OSError:
+            pass
+        for entry in os.listdir(mdir):
+            if not entry.startswith("v_") or entry in keep_models:
+                continue
+            vdir = os.path.join(mdir, entry)
+            try:
+                if now - os.path.getmtime(vdir) < min_age_seconds:
+                    continue
+                shutil.rmtree(vdir)
+                removed.append(os.path.join("_model", entry))
+            except OSError:
+                pass
     # prune now-empty bucket dirs so directory listings stay honest
     for root, dirs, files in os.walk(path, topdown=False):
         if not dirs and not files and root != path:

@@ -3249,19 +3249,6 @@ def overwrite_table(
             for e in entries
             if segs <= set(_entry_name(e).split(os.sep)[:-1])
         ]
-        in_leaf = None
-        for c, v in partition.items():
-            cond = F.col(c) == F.lit(v)
-            in_leaf = cond if in_leaf is None else (in_leaf & cond)
-        strays = df.filter(
-            ~F.coalesce(in_leaf, F.lit(False))
-        ).count()
-        if strays:
-            raise ValueError(
-                f"{strays} incoming rows fall outside the overwritten "
-                f"partition {partition} — the replaceWhere contract "
-                "rejects them rather than silently widening the scope"
-            )
     cons = resolve_constraints(table_dir, parent)
     _enforce_constraints(df, cons)
     mapping = resolve_mapping(table_dir, parent)
@@ -3269,6 +3256,35 @@ def overwrite_table(
         spark, table_dir, df, stat_cols, partition_cols,
         mapping=mapping,
     )
+    if partition:
+        # replaceWhere contract, validated from the STAGED WRITE
+        # itself (round-8 ADVICE low): a pre-write count re-evaluates
+        # df, so a nondeterministic source could pass the check yet
+        # write out-of-partition rows — the staged files' hive paths
+        # are the rows that would actually commit, so checking THEM is
+        # exact (and deterministic sources stop paying a second full
+        # evaluation). Partition columns refuse renames, so logical
+        # segs match the staged dirs; NULL partition values land in
+        # __HIVE_DEFAULT_PARTITION__ and register as strays, matching
+        # the old predicate's null handling.
+        stray_entries = [
+            e
+            for e in names
+            if not segs <= set(_entry_name(e).split(os.sep)[:-1])
+        ]
+        if stray_entries:
+            n_stray = sum(int(e["rows"]) for e in stray_entries)
+            for e in names:  # nothing committed: unstage everything
+                try:
+                    os.remove(os.path.join(table_dir, _entry_name(e)))
+                except OSError:
+                    pass
+            raise ValueError(
+                f"{n_stray} incoming rows fall outside the "
+                f"overwritten partition {partition} — the "
+                "replaceWhere contract rejects them rather than "
+                "silently widening the scope"
+            )
     old_names = [_entry_name(e) for e in entries]
     out = _try_commit_dv(
         table_dir, parent, names, old_names, "overwrite", stat_cols,

@@ -613,6 +613,19 @@ def _parse_insert_body(spark, rest: str, table_dir: str):
         bad = [c for c in cols if not re.fullmatch(_IDENT, c)]
         if bad:
             raise TxSqlError(f"bad INSERT column names: {bad}")
+        # an explicit list must name REAL table columns (round-8
+        # ADVICE low): toDF renames positionally, so a typo'd name
+        # would silently schema-evolve the table through append's
+        # by-name merge — the same hazard the unaliased-VALUES guard
+        # below refuses.
+        names = _table_schema_names(table_dir)
+        if names is not None:
+            unknown = [c for c in cols if c not in names]
+            if unknown:
+                raise TxSqlError(
+                    f"INSERT column list names unknown columns "
+                    f"{unknown}; table has {names}"
+                )
         rest = rest[i + 1:].strip()
     if not rest:
         raise TxSqlError("INSERT requires a SELECT or VALUES body")

@@ -461,7 +461,20 @@ def build_index_from_table(
         )
     tmp = _sync_cursor_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"table_dir": os.path.abspath(table_dir), "version": v}, f)
+        # the cursor records the COLUMNS the index was built over, not
+        # just the source table (round-8 ADVICE medium): maintain_table
+        # and bare sync calls resolve them from here instead of
+        # assuming the vec_id/embedding defaults — an index over
+        # differently-named columns would otherwise throw mid-ladder.
+        json.dump(
+            {
+                "table_dir": os.path.abspath(table_dir),
+                "version": v,
+                "id_col": id_col,
+                "vec_col": vec_col,
+            },
+            f,
+        )
     os.replace(tmp, _sync_cursor_path(index_dir))
     return cents
 
@@ -470,8 +483,8 @@ def sync_index_from_table(
     spark: SparkSession,
     table_dir: str,
     index_dir: str,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    id_col: str | None = None,
+    vec_col: str | None = None,
     hnsw_rebuild_debt: float = 0.2,
     pq_rebuild_debt: float = 0.2,
 ) -> dict:
@@ -538,6 +551,24 @@ def sync_index_from_table(
             "no sync cursor — create the index with "
             "build_index_from_table first"
         )
+    # column names resolve from the build-time cursor (round-8 ADVICE
+    # medium): None means "whatever the index was built over"; an
+    # explicit mismatch refuses loudly — draining the feed with the
+    # wrong columns would corrupt every tier, not error politely.
+    with open(cur_path) as f:
+        _cur = json.load(f)
+    for arg, key, default in (
+        (id_col, "id_col", "vec_id"),
+        (vec_col, "vec_col", "embedding"),
+    ):
+        recorded = _cur.get(key, default)
+        if arg is not None and arg != recorded:
+            raise ValueError(
+                f"index {index_dir!r} was built with {key}="
+                f"{recorded!r}; refusing to sync with {arg!r}"
+            )
+    id_col = _cur.get("id_col", "vec_id")
+    vec_col = _cur.get("vec_col", "embedding")
     # the sync is single-writer BY CONTRACT (readers are safe
     # throughout via manifest flips); enforce it instead of trusting
     # the scheduler: an advisory flock held for the whole pass makes a
@@ -714,8 +745,14 @@ def _sync_index_locked(
         walls["ivfpq_s"] = round(_time.time() - t0, 2)
     tmp = cur_path + ".tmp"
     with open(tmp, "w") as f:
+        # advance ONLY the version: the cursor also carries build-time
+        # metadata (id_col/vec_col) that every later sync resolves from
         json.dump(
-            {"table_dir": os.path.abspath(table_dir), "version": to_v},
+            {
+                **cursor,
+                "table_dir": os.path.abspath(table_dir),
+                "version": to_v,
+            },
             f,
         )
     os.replace(tmp, cur_path)
@@ -855,8 +892,8 @@ def _sync_ivfpq_tier(
     from etl_sentinel_imagery_spark.operators.ivfpq import (
         ivfpq_encode,
         load_model,
+        rebuild_ivfpq_index,
         train_residual_codebooks,
-        write_ivfpq_index,
     )
 
     pqdir = _ivfpq_dir(index_dir)
@@ -898,7 +935,12 @@ def _sync_ivfpq_tier(
                 rot2, books2 = None, train_pq_codebooks(
                     corpus, m=m, k=kk, vec_col=vec_col
                 )
-        write_ivfpq_index(
+        # round-8 ADVICE (high): the old write_ivfpq_index overwrite
+        # deleted the live generation in place; the rebuild now lands
+        # as NEW files + a versioned model dir behind ONE manifest
+        # flip, old generation left for vacuum_layout's age gate —
+        # mirroring _persist_graph_versioned and the repair leg below.
+        rebuild_ivfpq_index(
             corpus, centroids, books2, pqdir, rotation=rot2,
             residual=residual, id_col=id_col, vec_col=vec_col,
         )
@@ -942,7 +984,17 @@ def _sync_ivfpq_tier(
             manifest = [
                 _schema_preserving_empty(pqdir, buckets[0], codes)
             ]
-        publish_layout_manifest(pqdir, manifest)
+        # carry the model binding forward: the repair leg encodes with
+        # the live generation's frozen model, so the new manifest must
+        # keep naming it (a repair after a retrain-rebuild would
+        # otherwise drop the field and fall back to _model/_CURRENT)
+        from etl_sentinel_imagery_spark.operators.similarity import (
+            live_layout_model,
+        )
+
+        publish_layout_manifest(
+            pqdir, manifest, model=live_layout_model(pqdir)
+        )
     _write_pq_meta(index_dir, {**meta, "churn": churn})
     return {
         "action": "repair",

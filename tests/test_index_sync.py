@@ -600,3 +600,87 @@ def test_pq_rebuild_preserves_residual_opq_config(spark, tmp_path):
     assert {i for i, _, _ in _pq_rows(spark, idx)} == {
         i for i, _ in _table(spark, t)
     }
+
+
+def test_pq_rebuild_never_deletes_live_generation(spark, tmp_path):
+    """Round-8 ADVICE (high): the debt-triggered codebook retrain must
+    land as NEW code files + a NEW ``_model`` version behind ONE
+    manifest flip — never a ``mode("overwrite")`` that tears the live
+    generation (data files, ``_live`` pointer, ``_model`` dir) out
+    from under a concurrent reader. The manifest names the model
+    version its codes were encoded with, so one pointer flip covers
+    the pair; vacuum_layout reclaims the retired pair age-gated."""
+    import time
+
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        list_layout_data_files,
+        live_layout_files,
+        live_layout_model,
+        vacuum_layout,
+    )
+
+    t = str(tmp_path / "embnd")
+    init_table(spark, t, _vecs(spark, range(60)).coalesce(2))
+    idx = str(tmp_path / "idxnd")
+    build_index_from_table(
+        spark, t, idx, n_centroids=4, hnsw=False,
+        pq=True, pq_m=2, pq_k=8,
+    )
+    pqdir = os.path.join(idx, "ivfpq")
+    old_files = live_layout_files(pqdir)
+    old_model = live_layout_model(pqdir)
+    assert old_model is not None, "build manifest binds its model"
+    mdir = os.path.join(pqdir, "_model")
+    with open(os.path.join(mdir, "_CURRENT")) as f:
+        assert f.read().strip() == old_model
+
+    delete_rows_dv(spark, t, "vec_id", [2, 9])
+    rep = sync_index_from_table(spark, t, idx, pq_rebuild_debt=0.0)
+    assert rep["ivfpq"]["action"] == "rebuild"
+
+    # the OLD generation survives intact for in-flight readers: every
+    # pre-rebuild data file AND its model version dir stay on disk,
+    # and a reader that resolved the old manifest can still scan it
+    assert set(old_files) <= set(list_layout_data_files(pqdir))
+    assert os.path.isdir(os.path.join(mdir, old_model))
+    n_old = (
+        spark.read.option("basePath", pqdir)
+        .parquet(*[os.path.join(pqdir, f) for f in old_files])
+        .count()
+    )
+    assert n_old == 60
+
+    # the NEW generation: all-new files, manifest model == _CURRENT
+    new_files = live_layout_files(pqdir)
+    new_model = live_layout_model(pqdir)
+    assert not set(new_files) & set(old_files)
+    assert new_model != old_model
+    with open(os.path.join(mdir, "_CURRENT")) as f:
+        assert f.read().strip() == new_model
+    assert {i for i, _, _ in _pq_rows(spark, idx)} == {
+        i for i, _ in _table(spark, t)
+    }
+
+    # vacuum: a YOUNG retirement keeps the whole pair; once the
+    # retirement ages past the gate, BOTH the retired files and the
+    # retired model version are reclaimed
+    assert vacuum_layout(pqdir, min_age_seconds=3600) == []
+    assert os.path.isdir(os.path.join(mdir, old_model))
+    old_ts = time.time() - 7200
+    ldir = os.path.join(pqdir, "_live")
+    with open(os.path.join(ldir, "_CURRENT")) as f:
+        current = f.read().strip()
+    for name in os.listdir(ldir):
+        if name.startswith("manifest-") and name != current:
+            os.utime(os.path.join(ldir, name), (old_ts, old_ts))
+    for rel in set(old_files) - set(new_files):
+        os.utime(os.path.join(pqdir, rel), (old_ts, old_ts))
+    os.utime(os.path.join(mdir, old_model), (old_ts, old_ts))
+    removed = vacuum_layout(pqdir, min_age_seconds=3600)
+    assert os.path.join("_model", old_model) in removed
+    assert set(removed) >= set(old_files) - set(new_files)
+    assert not os.path.isdir(os.path.join(mdir, old_model))
+    assert live_layout_files(pqdir) == new_files
+    assert {i for i, _, _ in _pq_rows(spark, idx)} == {
+        i for i, _ in _table(spark, t)
+    }

@@ -335,3 +335,71 @@ def test_maintain_table_syncs_declared_indexes(spark, tmp_path):
     set_properties(t, {"index.dirs": f"{idx},{idx2}"})
     with pytest.raises(ValueError, match="wrong change feed"):
         maintain_table(spark, t)
+
+
+def test_maintain_table_syncs_index_with_custom_columns(spark, tmp_path):
+    """Round-8 ADVICE (medium): the sync cursor records the id/vector
+    COLUMN NAMES the index was built over, so the nightly ladder (and
+    any bare sync call) resolves them from the cursor instead of
+    assuming vec_id/embedding — an index over differently-named
+    columns used to throw mid-ladder, after compaction/vacuum had
+    already run, losing the report. An explicit mismatching override
+    refuses loudly."""
+    from etl_sentinel_imagery_spark.plans.serving import (
+        build_index_from_table,
+        sync_index_from_table,
+    )
+
+    def vecs(ids, shift=0.0):
+        rows = [
+            (
+                int(i),
+                [
+                    float((i * 7 + d * 3) % 11) / 11.0 + shift
+                    for d in range(4)
+                ],
+            )
+            for i in ids
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, vec array<double>"
+        )
+
+    t = str(tmp_path / "embc")
+    init_table(spark, t, vecs(range(40)).coalesce(2))
+    idx = str(tmp_path / "idxc")
+    build_index_from_table(
+        spark, t, idx, n_centroids=3, hnsw=False,
+        id_col="doc_id", vec_col="vec",
+    )
+    set_properties(t, {"index.dirs": idx})
+
+    append(spark, t, vecs(range(100, 108)).coalesce(1))
+    delete_rows_dv(spark, t, "doc_id", [1, 3])
+    rep = maintain_table(spark, t)
+    assert len(rep["index_syncs"]) == 1
+    assert rep["index_syncs"][0]["upserts"] == 8
+    assert rep["index_syncs"][0]["deletes"] == 2
+
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        read_indexed_layout,
+    )
+
+    got = sorted(
+        r["doc_id"]
+        for r in read_indexed_layout(spark, os.path.join(idx, "ivf"))
+        .select("doc_id")
+        .collect()
+    )
+    want = sorted(r["doc_id"] for r in snapshot(spark, t).collect())
+    assert got == want
+
+    # an explicit override that contradicts the build refuses loudly
+    # BEFORE touching any tier
+    with pytest.raises(ValueError, match="built with id_col"):
+        sync_index_from_table(spark, t, idx, id_col="vec_id")
+    # matching explicit columns still accepted (back-compat callers)
+    rep2 = sync_index_from_table(
+        spark, t, idx, id_col="doc_id", vec_col="vec"
+    )
+    assert rep2["upserts"] == 0

@@ -406,6 +406,22 @@ def test_insert_values_positional_binding_and_guard(spark, tmp_path):
     with pytest.raises(TxSqlError, match="arity"):
         tx_sql(spark, "INSERT INTO tbl (k, v, grp) VALUES (1, 2)", t)
 
+    # ADVICE round 8: a typo'd column name in the explicit list must
+    # refuse, not silently schema-evolve through the positional toDF
+    # rename + append's by-name merge (same hazard, other entrance)
+    with pytest.raises(TxSqlError, match="unknown columns"):
+        tx_sql(spark, "INSERT INTO tbl (k, vv) VALUES (150, 250)", t)
+    with pytest.raises(TxSqlError, match="unknown columns"):
+        tx_sql(
+            spark,
+            "INSERT INTO tbl (k, vlaue) "
+            "SELECT id, id FROM range(150, 153)",
+            t,
+        )
+    snap = snapshot(spark, d)
+    assert snap.columns == cols_before  # still NOT evolved
+    assert snap.filter("k >= 150").count() == 0  # nothing landed
+
 
 def test_parser_quoted_parens_and_case_when(spark, tmp_path):
     """ADVICE round 7 (low): a quoted ')' inside a subquery source
@@ -648,3 +664,70 @@ def test_clone_show_and_script_runner(spark, tmp_path):
     assert _rows(spark, d2) == _rows(spark, d)
     tx_sql(spark, "DELETE FROM branch WHERE k < 5", t)
     assert len(_rows(spark, d2)) == 10 and len(_rows(spark, d)) == 15
+
+
+def test_overwrite_partition_validates_staged_write(spark, tmp_path):
+    """Round-8 ADVICE (low): the replaceWhere contract is enforced on
+    the STAGED WRITE itself, not on a separate pre-count evaluation of
+    the source — (a) a clean deterministic source is evaluated exactly
+    once (the old path paid a second full pass for the count), (b) a
+    nondeterministic source can never slip strays past a lucky
+    pre-count: whatever rows actually staged are what is checked, and
+    a refusal leaves zero staged orphans and the table bit-identical."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        overwrite_table,
+    )
+
+    d = str(tmp_path / "ovwstg")
+    init_table(
+        spark,
+        d,
+        _seed(spark, 0, 30).repartition(3),
+        partition_cols=["grp"],
+    )
+
+    # (a) exactly-one-evaluation: a per-row side-effect UDF counts how
+    # many times the source rows materialize during a clean overwrite
+    calls = str(tmp_path / "calls.log")
+    tally = F.udf(
+        lambda k: (
+            open(calls, "a").write(f"{k}\n") and None
+        ) or int(k),
+        "long",
+    )
+    src = spark.range(2000, 2010).select(
+        tally(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+        F.lit(1).cast("int").alias("grp"),
+    ).coalesce(1)
+    overwrite_table(spark, d, src, partition={"grp": 1})
+    n_evals = sum(1 for _ in open(calls))
+    assert n_evals == 10, f"source evaluated {n_evals} row-times, not 10"
+    rows = _rows(spark, d)
+    assert sorted(r[0] for r in rows if r[2] == 1) == list(
+        range(2000, 2010)
+    )
+
+    # (b) strays refuse FROM the staged files, nothing is left behind
+    def _disk(path):
+        out = []
+        for root, dirs, fnames in os.walk(path):
+            dirs[:] = [x for x in dirs if not x.startswith("_")]
+            out.extend(
+                os.path.relpath(os.path.join(root, f), path)
+                for f in fnames
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+        return sorted(out)
+
+    files_before = _disk(d)
+    rows_before = _rows(spark, d)
+    v_before = current_version(d)
+    with pytest.raises(ValueError, match="outside the overwritten"):
+        overwrite_table(
+            spark, d, _seed(spark, 3000, 3006), partition={"grp": 2}
+        )
+    assert current_version(d) == v_before
+    assert _rows(spark, d) == rows_before
+    # no staged orphan parquet anywhere in the table dir
+    assert _disk(d) == files_before
