@@ -2091,7 +2091,7 @@ def merge(
     spark: SparkSession,
     table_dir: str,
     source: DataFrame,
-    key_col: str,
+    key_col: str | list[str],
     when_matched: list | None = None,
     when_not_matched: list | None = None,
     candidate_names: list[str] | None = None,
@@ -2130,7 +2130,14 @@ def merge(
 
     Defaults reproduce :func:`merge_upsert` (update_all + insert) —
     keep using that fast path when you don't need clauses: it skips
-    this form's target⋈source inner join. Mechanics are shared:
+    this form's target⋈source inner join. ``key_col`` may be a LIST
+    of columns — the conjunctive equi-key MERGE (``ON t.k1 = s.k1
+    AND t.k2 = s.k2``, the multi-column natural-key case, e.g.
+    lineitem's (orderkey, linenumber)): the join keys on the tuple,
+    source uniqueness is tuple-uniqueness, and probe pruning runs on
+    the LEADING key (stats/Bloom membership on a prefix of the key is
+    a superset of the tuple's files, so pruning stays exact — order
+    the list most-selective-first). Mechanics are shared:
     merge-on-read (matched pre-images DV-delete; images and inserts
     write as new files), ONE manifest claim, key-unique source
     enforced, probe pruning via the stats/Bloom ladder — whose
@@ -2141,16 +2148,30 @@ def merge(
     delete+insert pairs in one version."""
     from pyspark.sql.types import StructType
 
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    if not keys:
+        raise ValueError("merge requires at least one key column")
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"duplicate merge key columns: {keys}")
+    missing = [k for k in keys if k not in source.columns]
+    if missing:
+        raise ValueError(
+            f"merge source lacks key columns {missing}"
+        )
     source = source.localCheckpoint()
+    # uniqueness is over the key TUPLE; lo/hi feed the probe ladder,
+    # which prunes on the leading key alone (exact: a file with no
+    # leading-key hit cannot hold any full-tuple hit)
     src_stats = source.agg(
         F.count(F.lit(1)).alias("n"),
-        F.countDistinct(key_col).alias("nk"),
-        F.min(key_col).alias("lo"),
-        F.max(key_col).alias("hi"),
+        F.countDistinct(*keys).alias("nk"),
+        F.min(keys[0]).alias("lo"),
+        F.max(keys[0]).alias("hi"),
     ).collect()[0]
     if src_stats["nk"] != src_stats["n"]:
         raise ValueError(
-            f"merge source is not key-unique on {key_col!r}"
+            f"merge source is not key-unique on {keys!r} (NULL keys "
+            "also refuse: they can never match an equi-join)"
         )
     when_matched = (
         [("update_all", None)] if when_matched is None else when_matched
@@ -2184,7 +2205,7 @@ def merge(
     budget = {"n": 20}
     while budget["n"] > 0:
         out = _merge_once(
-            spark, table_dir, source, key_col, when_matched,
+            spark, table_dir, source, keys, when_matched,
             when_not_matched, when_not_matched_by_source,
             candidate_names, src_stats, budget,
         )
@@ -2199,7 +2220,7 @@ def _merge_once(
     spark: SparkSession,
     table_dir: str,
     source: DataFrame,
-    key_col: str,
+    keys: list[str],
     when_matched: list,
     when_not_matched: list,
     when_not_matched_by_source: list,
@@ -2242,15 +2263,27 @@ def _merge_once(
     )
     entries = resolve_files(table_dir, parent)
     by_name = {_entry_name(e): e for e in entries}
+    lead = keys[0]
+
+    def key_cond(t: str = "t", s: str = "s"):
+        cond = F.col(f"{t}.{keys[0]}") == F.col(f"{s}.{keys[0]}")
+        for k in keys[1:]:
+            cond = cond & (F.col(f"{t}.{k}") == F.col(f"{s}.{k}"))
+        return cond
+
     if candidate_names is not None:
         probe = [by_name[n] for n in candidate_names if n in by_name]
     else:
+        # composite keys prune on the LEADING key: a file holding no
+        # leading-key member cannot hold any full-tuple match, so the
+        # single-column ladder stays exact (stats range or Bloom
+        # membership — both supersets of the tuple's files)
         probe = _probe_candidates(
-            spark, table_dir, m, entries, by_name, key_col,
+            spark, table_dir, m, entries, by_name, lead,
             src_stats["lo"], src_stats["hi"],
-            keys=source.select(key_col),
+            keys=source.select(lead),
             phys_key=resolve_mapping(table_dir, parent)["map"].get(
-                key_col
+                lead
             ),
             version=parent,
         )
@@ -2296,13 +2329,11 @@ def _merge_once(
             keep_rid=bool(rt),
         )
         joined = live.alias("t").join(
-            source.alias("s"),
-            F.col(f"t.{key_col}") == F.col(f"s.{key_col}"),
-            "inner",
+            source.alias("s"), key_cond(), "inner"
         )
         tagged = tag_first_wins(joined, when_matched).localCheckpoint()
         matched_keys = tagged.select(
-            F.col(f"t.{key_col}").alias(key_col)
+            *[F.col(f"t.{k}").alias(k) for k in keys]
         ).distinct()
         hit_parts.append(
             tagged.filter(F.col("_clause") > 0).select(
@@ -2359,8 +2390,8 @@ def _merge_once(
             keep_rid=bool(rt),
         )
         unmatched = live_all.alias("t").join(
-            source.select(key_col).alias("s"),
-            F.col(f"t.{key_col}") == F.col(f"s.{key_col}"),
+            source.select(*keys).alias("s"),
+            key_cond(),
             "left_anti",
         ).alias("t")
         bs_tagged = tag_first_wins(
@@ -2413,7 +2444,7 @@ def _merge_once(
         new_rows = source.alias("s")
         if matched_keys is not None:
             new_rows = new_rows.join(
-                matched_keys, key_col, "left_anti"
+                matched_keys, keys, "left_anti"
             ).alias("s")
         new_rows = tag_first_wins(
             new_rows, when_not_matched, col="_nm_clause"
@@ -4120,6 +4151,32 @@ def drop_partition(table_dir: str, partition: dict) -> int:
     return _commit_delta(
         table_dir, parent, [], removes, "drop_partition",
         m.get("stat_cols") or None, pcols,
+    )
+
+
+def truncate_table(table_dir: str) -> int:
+    """``TRUNCATE TABLE`` as Delta executes it: ONE metadata-only
+    commit retiring every live file from MANIFEST PATHS alone — no
+    probe scan, no DV sidecar, no data IO at all (round-8 verdict #2:
+    the old route through ``delete_where(.., "true")`` scanned the
+    whole table and wrote DV positions for every row — O(table) for
+    an O(manifest) intent; on a 100 TB table that truncate read
+    100 TB). The whole-table sibling of :func:`drop_partition` with
+    no path filter. Data files stay on disk for time travel until
+    :func:`truncate_history` + :func:`vacuum` retire them;
+    :func:`table_changes` emits the truncated rows as deletes
+    (reading the removed files — the FEED pays the table's bytes
+    when a consumer asks for them, the commit never does). Returns
+    the parent version unchanged on an already-empty table."""
+    parent = current_version(table_dir)
+    m = read_manifest(table_dir, parent)
+    entries = resolve_files(table_dir, parent)
+    if not entries:
+        return parent
+    return _commit_delta(
+        table_dir, parent, [], [_entry_name(e) for e in entries],
+        "truncate", m.get("stat_cols") or None,
+        m.get("partition_cols") or None,
     )
 
 

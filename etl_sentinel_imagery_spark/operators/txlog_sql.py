@@ -61,10 +61,11 @@ Supported grammar (case-insensitive keywords)::
     DESCRIBE HISTORY t
     DESCRIBE DETAIL t
 
-MERGE's ON clause must be a single equi-key (``a.k = b.k`` with the
-same column name on both sides) — the engine's merge key contract;
-composite keys are rejected with guidance (pre-concatenate a
-surrogate key column on both sides). Clause conditions and SET /
+MERGE's ON clause takes conjunctive equi-keys (``a.k = b.k [AND
+a.k2 = b.k2 ...]`` with the same column name on both sides of each
+conjunct) — the engine merges on the key tuple, probe-pruning on the
+leading key; non-equi conjuncts (ranges, expressions) are rejected:
+they would make the merge an unkeyed join. Clause conditions and SET /
 INSERT expressions may reference both sides and are rewritten from
 the statement's aliases to the engine's ``t.`` / ``s.`` namespaces
 (simultaneously — a target aliased ``s`` or source aliased ``t``
@@ -448,29 +449,44 @@ def _do_merge(spark, stmt, tables):
     i = starts[0] if starts else -1
     on = rest if i < 0 else rest[:i]
     clauses = "" if i < 0 else rest[i:]
-    if _find_kw(on, "AND") >= 0:
-        raise TxSqlError(
-            "MERGE ON must be a single equi-key — the engine merges on "
-            "one key column; for composite keys pre-concatenate a "
-            "surrogate key on both sides (e.g. concat_ws('\\u0000', "
-            "k1, k2)) and merge on that"
+    # conjunctive equi-keys: ON t.k = s.k [AND t.k2 = s.k2 ...] — the
+    # multi-column natural-key form (round-8 verdict #1). Each
+    # conjunct must equate the SAME column name across the two
+    # aliases; anything else (ranges, ORs, expressions) is not a
+    # keyed merge and refuses.
+    conjuncts, scan = [], on
+    while True:
+        i = _find_kw(scan, "AND")
+        if i < 0:
+            conjuncts.append(scan)
+            break
+        conjuncts.append(scan[:i])
+        scan = scan[i + 3:]
+    key_cols: list[str] = []
+    for part in conjuncts:
+        om = re.match(
+            r"\s*(" + _IDENT + r")\s*\.\s*(" + _IDENT + r")\s*=\s*"
+            r"(" + _IDENT + r")\s*\.\s*(" + _IDENT + r")\s*$",
+            part,
         )
-    om = re.match(
-        r"\s*(" + _IDENT + r")\s*\.\s*(" + _IDENT + r")\s*=\s*"
-        r"(" + _IDENT + r")\s*\.\s*(" + _IDENT + r")\s*$",
-        on,
-    )
-    if not om:
-        raise TxSqlError(
-            f"MERGE ON must be '<t>.<key> = <s>.<key>', got {on!r}"
-        )
-    a1, k1, a2, k2 = om.groups()
-    if {a1, a2} != {talias, salias} or k1 != k2:
-        raise TxSqlError(
-            "MERGE ON must equate the SAME key column across the two "
-            f"aliases ({talias!r}, {salias!r}); got {on.strip()!r}"
-        )
-    key_col = k1
+        if not om:
+            raise TxSqlError(
+                "MERGE ON must be conjunctive equi-keys "
+                f"'<t>.<key> = <s>.<key> [AND ...]', got {part!r}"
+            )
+        a1, k1, a2, k2 = om.groups()
+        if {a1, a2} != {talias, salias} or k1 != k2:
+            raise TxSqlError(
+                "MERGE ON must equate the SAME key column across the "
+                f"two aliases ({talias!r}, {salias!r}); got "
+                f"{part.strip()!r}"
+            )
+        if k1 in key_cols:
+            raise TxSqlError(
+                f"duplicate MERGE ON key column {k1!r}"
+            )
+        key_cols.append(k1)
+    key_col = key_cols[0] if len(key_cols) == 1 else key_cols
     rewrites = [(talias, "t"), (salias, "s")]
 
     when_matched: list = []
@@ -849,13 +865,19 @@ def _do_create(spark, stmt, tables):
 
 
 def _do_truncate(spark, stmt, tables):
-    from etl_sentinel_imagery_spark.operators.txlog import delete_where
+    # metadata-only (round-8 verdict #2): retires every live file from
+    # manifest paths alone — the old delete_where(.., "true") route
+    # scanned the table to write DVs for every row, O(table) for an
+    # O(manifest) intent
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        truncate_table,
+    )
 
     body = _split_kw(stmt, "TRUNCATE TABLE")[1]
     tref, _alias, rest = _parse_table_ref(body)
     if rest:
         raise TxSqlError(f"unexpected tokens after table: {rest!r}")
-    return delete_where(spark, _table_dir(tref, tables), "true")
+    return truncate_table(_table_dir(tref, tables))
 
 
 def _do_restore(spark, stmt, tables):

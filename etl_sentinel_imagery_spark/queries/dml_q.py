@@ -51,6 +51,34 @@ WHEN NOT MATCHED BY SOURCE AND s.c_nationkey = 7 THEN DELETE
 WHEN NOT MATCHED BY SOURCE THEN UPDATE SET bal = -s.bal
 """
 
+# round-9: the composite-key leg — lineitem's natural key
+# (l_orderkey, l_linenumber) merged via conjunctive equi-keys, the
+# form the round-8 parser still rejected with surrogate-key guidance
+_MERGE_COMPOSITE = """
+MERGE INTO li AS a USING li_src AS b
+ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+WHEN MATCHED AND a.price % 2 = 0 THEN UPDATE SET price = a.price + b.newprice
+WHEN MATCHED THEN DELETE
+WHEN NOT MATCHED THEN INSERT (l_orderkey, l_linenumber, price)
+    VALUES (b.l_orderkey, b.l_linenumber, b.newprice)
+"""
+
+# composite merge source: a third of the real (orderkey, linenumber)
+# tuples (leading-key DUPLICATES by construction — only the tuple is
+# unique, which is the point) plus synthetic linenumber-99 rows that
+# share real leading keys but can never tuple-match
+_LI_SRC_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 50) AS BIGINT))
+            AS BIGINT) AS newprice
+FROM lineitem WHERE l_orderkey % 3 = 0
+GROUP BY l_orderkey, l_linenumber
+UNION ALL
+SELECT DISTINCT l_orderkey, CAST(99 AS INT) AS l_linenumber,
+       CAST(777 AS BIGINT) AS newprice
+FROM lineitem WHERE l_orderkey % 7 = 0
+"""
+
 # the merge source: per-customer order stats (matched rows) plus a
 # synthetic key range far above any real custkey (NOT MATCHED inserts)
 _SRC_SQL = """
@@ -98,7 +126,7 @@ def _txlog_dml_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash gate is what proves it on this battery's post-state
     tx_sql(spark, "OPTIMIZE cust", tables)
     tx_sql(spark, "OPTIMIZE cust ZORDER BY (c_custkey)", tables)
-    return (
+    cust_agg = (
         snapshot(spark, d)
         .groupBy("c_nationkey")
         .agg(
@@ -108,6 +136,36 @@ def _txlog_dml_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("bal").alias("max_bal"),
         )
     )
+    # composite-key leg: lineitem's (l_orderkey, l_linenumber) natural
+    # key through the conjunctive-equi-key MERGE (round-9); its
+    # post-state folds into the same output shape keyed 100 +
+    # linenumber (disjoint from the 0..24 nation keys)
+    dli = os.path.join(tempfile.mkdtemp(prefix="txdml_"), "li")
+    tables["li"] = dli
+    tx_sql(
+        spark,
+        "CREATE TABLE li AS SELECT l_orderkey, l_linenumber, "
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price "
+        "FROM lineitem",
+        tables,
+    )
+    spark.sql(_LI_SRC_SQL).createOrReplaceTempView("li_src")
+    tx_sql(spark, _MERGE_COMPOSITE, tables)
+    li_agg = (
+        snapshot(spark, dli)
+        .groupBy(
+            (F.col("l_linenumber") + F.lit(100))
+            .cast("int")
+            .alias("c_nationkey")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price").cast("long").alias("total_bal"),
+            F.min("price").alias("min_bal"),
+            F.max("price").alias("max_bal"),
+        )
+    )
+    return cust_agg.unionByName(li_agg)
 
 
 # The oracle replays the same statement sequence as relational algebra:
@@ -177,6 +235,55 @@ final AS (
     SELECT * FROM inserts
     UNION ALL
     SELECT * FROM by_source WHERE bal IS NOT NULL
+),
+-- composite-key leg: the conjunctive-equi-key MERGE over lineitem's
+-- (l_orderkey, l_linenumber) natural key, replayed relationally with
+-- BOTH keys in every join
+li_base AS (
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price
+    FROM lineitem
+),
+li_src AS (
+    -- GROUP BY makes the source tuple-unique (the driver's synthetic
+    -- lineitem does NOT honor the TPC-H PK)
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 50) AS BIGINT))
+                AS BIGINT) AS newprice
+    FROM lineitem WHERE l_orderkey % 3 = 0
+    GROUP BY l_orderkey, l_linenumber
+    UNION ALL
+    SELECT DISTINCT l_orderkey, CAST(99 AS INTEGER) AS l_linenumber,
+           CAST(777 AS BIGINT) AS newprice
+    FROM lineitem WHERE l_orderkey % 7 = 0
+),
+li_matched AS (
+    -- first-match-wins: even price updates, odd price deletes (NULL)
+    SELECT a.l_orderkey, a.l_linenumber,
+           CASE WHEN a.price % 2 = 0 THEN a.price + b.newprice
+                ELSE NULL END AS price
+    FROM li_base a JOIN li_src b
+      ON a.l_orderkey = b.l_orderkey
+     AND a.l_linenumber = b.l_linenumber
+),
+li_untouched AS (
+    SELECT a.l_orderkey, a.l_linenumber, a.price
+    FROM li_base a LEFT JOIN li_src b
+      ON a.l_orderkey = b.l_orderkey
+     AND a.l_linenumber = b.l_linenumber
+    WHERE b.l_orderkey IS NULL
+),
+li_inserts AS (
+    SELECT b.l_orderkey, b.l_linenumber, b.newprice AS price
+    FROM li_src b LEFT JOIN li_base a
+      ON a.l_orderkey = b.l_orderkey
+     AND a.l_linenumber = b.l_linenumber
+    WHERE a.l_orderkey IS NULL
+),
+li_final AS (
+    SELECT * FROM li_matched WHERE price IS NOT NULL
+    UNION ALL SELECT * FROM li_untouched
+    UNION ALL SELECT * FROM li_inserts
 )
 SELECT c_nationkey,
        COUNT(*) AS n,
@@ -185,6 +292,14 @@ SELECT c_nationkey,
        CAST(MAX(bal) AS BIGINT) AS max_bal
 FROM final
 GROUP BY c_nationkey
+UNION ALL
+SELECT CAST(l_linenumber + 100 AS INTEGER) AS c_nationkey,
+       COUNT(*) AS n,
+       CAST(SUM(price) AS BIGINT) AS total_bal,
+       CAST(MIN(price) AS BIGINT) AS min_bal,
+       CAST(MAX(price) AS BIGINT) AS max_bal
+FROM li_final
+GROUP BY l_linenumber
 """
 
 
@@ -193,7 +308,8 @@ QUERIES: dict[str, Q] = {
         _txlog_dml_battery,
         _ORACLE,
         "tx_sql UPDATE/DELETE/MERGE (swapped aliases, column-list "
-        "INSERT, NOT MATCHED BY SOURCE) + OPTIMIZE, post-state vs a "
+        "INSERT, NOT MATCHED BY SOURCE, composite ON keys over "
+        "lineitem's natural key) + OPTIMIZE, post-state vs a "
         "relational replay",
     ),
 }

@@ -214,11 +214,21 @@ def test_unparseable_statements_raise(spark, tmp_path):
             "WHEN MATCHED THEN DELETE",
             t,
         )
-    with pytest.raises(TxSqlError, match="single equi-key"):
+    # composite equi-keys are legal since round 9; a non-equi
+    # conjunct (range, expression) is still not a keyed merge
+    with pytest.raises(TxSqlError, match="conjunctive equi-keys"):
         tx_sql(
             spark,
             "MERGE INTO tbl a USING tbl b "
-            "ON a.k = b.k AND a.grp = b.grp "
+            "ON a.k = b.k AND a.grp < b.grp "
+            "WHEN MATCHED THEN DELETE",
+            t,
+        )
+    with pytest.raises(TxSqlError, match="duplicate MERGE ON key"):
+        tx_sql(
+            spark,
+            "MERGE INTO tbl a USING tbl b "
+            "ON a.k = b.k AND a.k = b.k "
             "WHEN MATCHED THEN DELETE",
             t,
         )
@@ -731,3 +741,115 @@ def test_overwrite_partition_validates_staged_write(spark, tmp_path):
     assert _rows(spark, d) == rows_before
     # no staged orphan parquet anywhere in the table dir
     assert _disk(d) == files_before
+
+
+def test_merge_composite_on_keys_matches_python_twin(spark, tmp_path):
+    """Round-8 verdict #1 (parser leg): ON t.k1 = s.k1 AND t.k2 = s.k2
+    parses into the engine's key-list contract and equals the Python
+    twin; rows sharing only one key column do not match."""
+    a, b = str(tmp_path / "ck_sql"), str(tmp_path / "ck_py")
+    seed = spark.createDataFrame(
+        [(i // 4, i % 4, i * 10) for i in range(16)],
+        ["k1", "k2", "v"],
+    )
+    for d in (a, b):
+        init_table(spark, d, seed.coalesce(2))
+    src = spark.createDataFrame(
+        [(i // 4, i % 4, i * 100) for i in range(8, 24)],
+        ["k1", "k2", "v"],
+    )
+    src.createOrReplaceTempView("ck_src")
+    tx_sql(
+        spark,
+        "MERGE INTO tbl t2 USING ck_src s2 "
+        "ON t2.k1 = s2.k1 AND t2.k2 = s2.k2 "
+        "WHEN MATCHED AND s2.v >= 1200 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = s2.v "
+        "WHEN NOT MATCHED AND s2.v < 2000 THEN INSERT *",
+        {"tbl": a},
+    )
+    merge(
+        spark,
+        b,
+        src,
+        ["k1", "k2"],
+        when_matched=[
+            ("delete", "s.v >= 1200"),
+            ("update", None, {"v": "s.v"}),
+        ],
+        when_not_matched=[("insert", "s.v < 2000")],
+    )
+    assert _rows(spark, a) == _rows(spark, b)
+    # tuple semantics: (0, 0) existed only in the target and survives
+    assert (0, 0, 0) in _rows(spark, a)
+
+
+def test_truncate_is_metadata_only(spark, tmp_path, monkeypatch):
+    """Round-8 verdict #2: TRUNCATE must be an O(manifest) commit —
+    the old route through delete_where(.., "true") scanned every live
+    row to write DV positions (a 100 TB truncate read 100 TB). The
+    verb takes no SparkSession at all; the spies prove no data file
+    is opened and no Spark job runs during the statement. Post-state
+    empty, time travel exact, the change feed emits every truncated
+    row as a delete, files stay on disk for the retention window."""
+    import pyarrow.parquet as pq_mod
+    from pyspark.sql import DataFrame
+
+    from etl_sentinel_imagery_spark.operators import txlog as tx
+
+    d = str(tmp_path / "trunc")
+    init_table(spark, d, _seed(spark, 0, 30).repartition(3))
+    # a DV delete first, so the truncated manifest carries DV-bearing
+    # entries (the removes must resolve through them unchanged)
+    tx.delete_rows_dv(spark, d, "k", [1, 2])
+    v_before = current_version(d)
+    t = {"tbl": d}
+
+    footers, jobs = [], []
+    orig_pf = pq_mod.ParquetFile
+    monkeypatch.setattr(
+        pq_mod, "ParquetFile",
+        lambda *a, **k: footers.append(a) or orig_pf(*a, **k),
+    )
+    for meth in ("collect", "count", "toPandas"):
+        orig = getattr(DataFrame, meth)
+
+        def spy(self, _orig=orig, _m=meth):
+            jobs.append(_m)
+            return _orig(self)
+
+        monkeypatch.setattr(DataFrame, meth, spy)
+    v = tx_sql(spark, "TRUNCATE TABLE tbl", t)
+    monkeypatch.undo()
+
+    assert footers == [], "truncate opened a parquet footer"
+    assert jobs == [], f"truncate ran Spark jobs: {jobs}"
+    assert v == v_before + 1
+    assert snapshot(spark, d).count() == 0
+    # time travel to the pre-truncate version is exact (28 live rows)
+    assert snapshot(spark, d, version=v_before).count() == 28
+    # the feed emits the truncated rows as deletes (IT pays the bytes)
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        table_changes,
+    )
+
+    feed = table_changes(spark, d, v_before, v)
+    assert feed.count() == 28
+    assert (
+        feed.select("_change_type").distinct().collect()[0][0]
+        == "delete"
+    )
+    assert feed.select("_commit_op").distinct().collect()[0][0] == (
+        "truncate"
+    )
+    # truncating an empty table is a no-op commit-wise
+    assert tx_sql(spark, "TRUNCATE TABLE tbl", t) == v
+    # data files are still on disk for the retention window
+    n_parquet = sum(
+        1
+        for root, dirs, fs in os.walk(d)
+        if not os.path.basename(root).startswith("_")
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert n_parquet >= 3
