@@ -98,6 +98,23 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # write-path row (round-8 verdict #4): the DML battery's full
+    # statement sequence (2×CTAS, INSERT, UPDATE, DELETE, two MERGEs
+    # incl. the composite-key leg, OPTIMIZE+ZORDER, change-feed read)
+    # gets the same round-over-round tracking reads have. Reported
+    # BESIDE the total, not inside it — `value` stays name-comparable
+    # with every earlier round's read-only headline set (the
+    # ann_ivf_tiers precedent).
+    write_timings: dict[str, float] = {}
+    t0 = time.time()
+    qs["txlog_dml_battery"](spark, sf_dir).count()
+    write_timings["txlog_dml_battery"] = round(time.time() - t0, 3)
+    print(
+        f"# write_path txlog_dml_battery: "
+        f"{write_timings['txlog_dml_battery']:.3f}s",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -107,6 +124,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "ann_ivf_tiers": tier_timings,
+                "write_path": write_timings,
                 "sf": sf,
                 "load_avg_start": load_avg,
             }

@@ -8,8 +8,12 @@ engine through `tx_sql` statements (a positional-binding INSERT
 VALUES, UPDATE, DELETE, a MERGE exercising the round-8 grammar:
 swapped ``t``/``s`` aliases, a column-list INSERT, WHEN NOT MATCHED
 BY SOURCE clauses, plus content-neutral OPTIMIZE and OPTIMIZE ZORDER
-passes), then SELECTs the post-state; the DuckDB oracle derives the
-same post-state relationally
+passes), then SELECTs the post-state — and (round-9) aggregates the
+``table_changes`` CHANGE FEED those statements emitted per
+``_change_type`` (keys 900/901) and merges a COMPOSITE-KEY MERGE leg
+over lineitem's (l_orderkey, l_linenumber) natural key (keys
+100+linenumber); the DuckDB oracle derives the same post-states and
+the same feed deltas relationally
 (pure CTEs — DuckDB 1.0 has no MERGE statement, so the oracle states
 the *semantics*, which is exactly what `base.Q` wants oracles to do).
 
@@ -97,7 +101,10 @@ WHERE o_custkey % 97 = 0
 
 
 def _txlog_dml_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_sentinel_imagery_spark.operators.txlog import snapshot
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        snapshot,
+        table_changes,
+    )
     from etl_sentinel_imagery_spark.operators.txlog_sql import tx_sql
 
     register_views(spark, sf_dir)
@@ -136,6 +143,27 @@ def _txlog_dml_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("bal").alias("max_bal"),
         )
     )
+    # round-9 verdict #3: the CHANGE FEED itself under the hash gate —
+    # table_changes(v0→head) is what every derived table (including
+    # the ANN index sync) consumes, and until now only the post-STATE
+    # was oracle-checked. Aggregate the feed per _change_type (keys
+    # 900=insert / 901=delete, disjoint from every other leg); the
+    # oracle derives identical deltas from its relational replay's
+    # intermediate states, including the exceptAll netting (a row
+    # updated to an identical image cancels out of both sides).
+    # OPTIMIZE/ZORDER are content-neutral and must contribute nothing.
+    feed = table_changes(spark, d, 0)
+    feed_agg = feed.groupBy(
+        F.when(F.col("_change_type") == "insert", F.lit(900))
+        .otherwise(F.lit(901))
+        .cast("int")
+        .alias("c_nationkey")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bal").cast("long").alias("total_bal"),
+        F.min("bal").alias("min_bal"),
+        F.max("bal").alias("max_bal"),
+    )
     # composite-key leg: lineitem's (l_orderkey, l_linenumber) natural
     # key through the conjunctive-equi-key MERGE (round-9); its
     # post-state folds into the same output shape keyed 100 +
@@ -165,7 +193,7 @@ def _txlog_dml_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("price").alias("max_bal"),
         )
     )
-    return cust_agg.unionByName(li_agg)
+    return cust_agg.unionByName(feed_agg).unionByName(li_agg)
 
 
 # The oracle replays the same statement sequence as relational algebra:
@@ -236,6 +264,36 @@ final AS (
     UNION ALL
     SELECT * FROM by_source WHERE bal IS NOT NULL
 ),
+-- the CHANGE FEED's per-commit deltas, derived from the replay's own
+-- intermediate states (round-9 verdict #3): v1 append, v2 UPDATE
+-- pairs, v3 DELETE, v4 MERGE as the keyed set-difference of post vs
+-- pre — identical images cancel on BOTH sides, exactly the feed's
+-- exceptAll netting (c_custkey is unique in every state, so set
+-- difference equals multiset difference); OPTIMIZE/ZORDER are
+-- content-neutral and contribute nothing
+feed AS (
+    SELECT 'insert' AS ct, CAST(123456 AS BIGINT) AS bal
+    UNION ALL
+    SELECT 'delete', bal FROM base WHERE c_nationkey < 5
+    UNION ALL
+    SELECT 'insert', bal + 10000 FROM base WHERE c_nationkey < 5
+    UNION ALL
+    SELECT 'delete', bal FROM u1 WHERE bal < 0
+    UNION ALL
+    SELECT 'delete', p.bal
+    FROM d1 p LEFT JOIN final q
+      ON p.c_custkey = q.c_custkey
+     AND COALESCE(p.c_nationkey, -1) = COALESCE(q.c_nationkey, -1)
+     AND p.bal = q.bal
+    WHERE q.c_custkey IS NULL
+    UNION ALL
+    SELECT 'insert', q.bal
+    FROM final q LEFT JOIN d1 p
+      ON p.c_custkey = q.c_custkey
+     AND COALESCE(p.c_nationkey, -1) = COALESCE(q.c_nationkey, -1)
+     AND p.bal = q.bal
+    WHERE p.c_custkey IS NULL
+),
 -- composite-key leg: the conjunctive-equi-key MERGE over lineitem's
 -- (l_orderkey, l_linenumber) natural key, replayed relationally with
 -- BOTH keys in every join
@@ -293,6 +351,15 @@ SELECT c_nationkey,
 FROM final
 GROUP BY c_nationkey
 UNION ALL
+SELECT CAST(CASE WHEN ct = 'insert' THEN 900 ELSE 901 END
+            AS INTEGER) AS c_nationkey,
+       COUNT(*) AS n,
+       CAST(SUM(bal) AS BIGINT) AS total_bal,
+       CAST(MIN(bal) AS BIGINT) AS min_bal,
+       CAST(MAX(bal) AS BIGINT) AS max_bal
+FROM feed
+GROUP BY ct
+UNION ALL
 SELECT CAST(l_linenumber + 100 AS INTEGER) AS c_nationkey,
        COUNT(*) AS n,
        CAST(SUM(price) AS BIGINT) AS total_bal,
@@ -309,7 +376,8 @@ QUERIES: dict[str, Q] = {
         _ORACLE,
         "tx_sql UPDATE/DELETE/MERGE (swapped aliases, column-list "
         "INSERT, NOT MATCHED BY SOURCE, composite ON keys over "
-        "lineitem's natural key) + OPTIMIZE, post-state vs a "
-        "relational replay",
+        "lineitem's natural key) + OPTIMIZE; post-state AND the "
+        "table_changes feed (per-_change_type deltas incl. exceptAll "
+        "netting) vs a relational replay",
     ),
 }
