@@ -167,6 +167,24 @@ def _centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
     return np.array([r["embedding"] for r in rows], dtype="float64")
 
 
+def _seeded_index_path(spark: SparkSession, sf_dir: str, emb) -> str:
+    """Build-once per (process, sf_dir) persisted seeded-IVF index —
+    shared by ann_ivf_battery's serving tier and the deterministic
+    battery's certified leg (same centroids, same layout)."""
+    index_path = _IVF_INDEX_CACHE.get(sf_dir)
+    if index_path is None:
+        import tempfile
+
+        from etl_sentinel_imagery_spark.operators.similarity import (
+            write_ivf_index,
+        )
+
+        index_path = tempfile.mkdtemp(prefix="ann_ivf_idx_")
+        write_ivf_index(emb, _centroids(spark, sf_dir), index_path)
+        _IVF_INDEX_CACHE[sf_dir] = index_path
+    return index_path
+
+
 def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded-IVF top-k alone (no battery tagging) — the recall-vs-brute-
     force pytest fixture path (tests/test_vectors.py)."""
@@ -197,6 +215,98 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Pull factor for the certified leg's clustered twin corpus: each
+#: (unit-normalized) vector plus CLUSTER_PULL × its anchor (anchor =
+#: fold-normalized embedding vec_id % N_CENTROIDS). The raw corpus is
+#: near-isotropic (max pairwise cos ~0.51), so triangle-inequality
+#: certificates can NEVER fire on it at serving probe depths — bucket
+#: radii approach 90° and every unprobed bound saturates near 1. The
+#: pull creates genuinely tight, well-separated buckets (intra-cluster
+#: cos ≈ 0.94, cross-anchor ≈ ±0.2, radius ≈ 20°) where the serving
+#: default n_probe=2 certifies with WIDE margins — the certificate
+#: machinery is exercised for real, not vacuously.
+CLUSTER_PULL = 4.0
+
+#: Per-sf_dir temp path of the certified leg's clustered index.
+_CERT_INDEX_CACHE: dict[str, str] = {}
+
+
+def _certified_leg(spark, sf_dir, emb, tag):
+    """Round-9 verdict #5: the exactness-certified part of the serving
+    tier under the STRICT hash. Build the clustered twin corpus with
+    fold-only arithmetic (DuckDB restates it bit-for-bit), run the
+    REAL machinery — write_ivf_index (numpy assignment + _bucket_stats
+    sidecar) and ivf_topk_indexed_adaptive at the n_probe=2 serving
+    default — and keep the queries whose certificate proves the probed
+    top-k is the GLOBAL top-k. A certified answer equals brute force
+    BY PROOF, so the leg emits the fold-exact brute rows over the twin
+    corpus for exactly that query set; the oracle re-derives the set
+    from pure bound arithmetic (radius = acos(min member↔centroid
+    cos); cap = cos(max(acos(sim) − radius, 0)); certify iff the full
+    probed top-k strictly beats every unprobed cap + 1e-12). The
+    engine's numpy-side probe math differs from the oracle's folds
+    only in final ulps, and the clustered margins (kth ≈ 0.93 vs
+    bounds ≈ 0.55) are ~12 orders of magnitude wider."""
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        ivf_topk_indexed_adaptive,
+        with_normalized,
+        write_ivf_index,
+    )
+
+    normed = with_normalized(emb, "vec_id", "embedding", "vid", "vn")
+    anch = normed.filter(F.col("vid") < N_CENTROIDS).select(
+        F.col("vid").cast("int").alias("cidx"),
+        F.col("vn").alias("av"),
+    )
+    corpus2 = (
+        normed.join(
+            F.broadcast(anch),
+            (F.col("vid") % N_CENTROIDS).cast("int") == F.col("cidx"),
+        )
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.zip_with(
+                "vn",
+                "av",
+                lambda x, y: x + F.lit(CLUSTER_PULL) * y,
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    anchors = np.array(
+        [
+            r["av"]
+            for r in anch.orderBy("cidx").select("av").collect()
+        ],
+        dtype="float64",
+    )
+    index_path = _CERT_INDEX_CACHE.get(sf_dir)
+    if index_path is None:
+        import tempfile
+
+        index_path = tempfile.mkdtemp(prefix="ann_cert_idx_")
+        write_ivf_index(corpus2, anchors, index_path)
+        _CERT_INDEX_CACHE[sf_dir] = index_path
+    cert_ids = (
+        ivf_topk_indexed_adaptive(
+            spark,
+            index_path,
+            corpus2.filter(F.col("vec_id") < N_QUERIES),
+            anchors,
+            k=TOP_K,
+        )
+        .filter(F.col("exact"))
+        .select("query_id")
+        .distinct()
+    )
+    return tag(
+        brute_force_topk(
+            corpus2, F.col("vec_id") < N_QUERIES, k=TOP_K
+        ).join(F.broadcast(cert_ids), "query_id"),
+        "ivf_certified",
+    )
+
+
 def _ann_deterministic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every fully deterministic similarity ground truth under ONE
     strict value oracle — four tiers tagged by ``method``:
@@ -214,6 +324,22 @@ def _ann_deterministic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
       4× compression tier, whose quantize→dequantize→normalize→dot
       chain is integer-exact up to the shared sequential folds.
 
+    - ``ivf_certified`` (round-9 verdict #5): the queries whose
+      ADAPTIVE-probe serving answer carries a true exactness
+      certificate (operators.similarity.ivf_topk_indexed_adaptive —
+      triangle-inequality bucket bounds prove the probed top-k IS the
+      global top-k), run over a deterministic CLUSTERED twin corpus
+      (see :data:`CLUSTER_PULL` — the raw corpus is near-isotropic,
+      where certificates can never fire). A certified answer equals
+      brute force BY PROOF, so the leg emits the twin corpus's
+      fold-exact brute rows for exactly the certified query set and
+      the oracle re-derives that set from pure bound arithmetic
+      (bucket radii → per-query unprobed caps → kth-score test).
+      This graduates the certified part of the serving tier from the
+      rows-only check to the strict hash; only the UNcertified
+      remainder — approximate in principle, not just in harness —
+      stays rows-only in ann_ivf_battery.
+
     ``brute``/``near_dup`` were standalone registry rows
     (cosine_topk_bruteforce / embedding_near_dup_pairs) through round
     5; they folded in here — identical plans, identical oracles, same
@@ -228,6 +354,7 @@ def _ann_deterministic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_sentinel_imagery_spark.operators.similarity import (
         dequantize_topk,
         ivf_topk_expr,
+        ivf_topk_indexed_adaptive,
         quantize_embeddings_int8,
     )
 
@@ -242,7 +369,9 @@ def _ann_deterministic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
 
-    brute = tag(_cosine_topk(spark, sf_dir), "brute")
+    brute_df = _cosine_topk(spark, sf_dir)
+    brute = tag(brute_df, "brute")
+    certified = _certified_leg(spark, sf_dir, emb, tag)
     w = Window.partitionBy("id_a").orderBy(
         F.col("cos_sim").desc(), F.col("id_b")
     )
@@ -269,7 +398,10 @@ def _ann_deterministic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "int8",
     )
     return (
-        brute.unionByName(near).unionByName(seeded).unionByName(int8)
+        brute.unionByName(near)
+        .unionByName(seeded)
+        .unionByName(int8)
+        .unionByName(certified)
     )
 
 
@@ -365,11 +497,109 @@ int8_topk AS (
               PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS rnk
           FROM int8_scored)
     WHERE rnk <= {TOP_K}
+),
+-- the exactness certificate (round-9 verdict #5), restated as pure
+-- arithmetic over the clustered TWIN corpus (each unit vector +
+-- CLUSTER_PULL × its anchor — the raw corpus is near-isotropic, so
+-- certificates can never fire on it): bucket angular radius r_b =
+-- acos(min member↔centroid cosine); per (query, bucket) the triangle
+-- inequality caps any member similarity at cos(max(acos(sim) − r_b,
+-- 0)); a query certifies iff its FULL probed top-k strictly beats
+-- every unprobed bucket's cap (+1e-12, the engine's own float pad).
+-- A certified probe result provably equals the GLOBAL top-k, so the
+-- certified rows are the twin corpus's brute rows for those queries.
+cert_corpus AS (
+    SELECT n.vec_id,
+           list_transform(range(1, len(n.vn)+1),
+                          i -> n.vn[i] + {CLUSTER_PULL} * c.cv[i]) AS v2
+    FROM normed n JOIN cent c
+      ON c.cidx = CAST(n.vec_id % {N_CENTROIDS} AS INTEGER)
+),
+cert_normed AS (
+    SELECT vec_id, list_transform(v2, x -> x / nrm) AS vn
+    FROM (SELECT vec_id, v2, sqrt({_NORM_SQ.format(a="v2")}) AS nrm
+          FROM cert_corpus)
+),
+cert_sims AS (
+    SELECT n.vec_id AS vid, n.vn, c.cidx,
+           {_DOT.format(a="n.vn", b="c.cv")} AS sim
+    FROM cert_normed n CROSS JOIN cent c
+),
+cert_ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vid ORDER BY sim DESC, cidx ASC) AS r
+    FROM cert_sims
+),
+cert_buckets AS (
+    SELECT vid AS cand_id, cidx AS bucket, vn AS cv
+    FROM cert_ranked WHERE r = 1
+),
+cert_bstats AS (
+    SELECT bk.bucket,
+           min({_DOT.format(a="bk.cv", b="c.cv")}) AS min_cos
+    FROM cert_buckets bk JOIN cent c ON c.cidx = bk.bucket
+    GROUP BY bk.bucket
+),
+cert_qb AS (
+    SELECT r.vid AS query_id, r.r AS pos,
+           cos(greatest(
+               acos(least(greatest(r.sim, -1.0), 1.0))
+               - acos(least(greatest(COALESCE(s.min_cos, 1.0), -1.0),
+                            1.0)),
+               0.0)) AS bound
+    FROM cert_ranked r LEFT JOIN cert_bstats s ON s.bucket = r.cidx
+    WHERE r.vid < {N_QUERIES}
+),
+cert_ub AS (
+    -- n_centroids > n_probe, so every query has unprobed buckets
+    SELECT query_id, max(bound) AS unprobed_bound
+    FROM cert_qb WHERE pos > {_N_PROBE}
+    GROUP BY query_id
+),
+cert_probes AS (
+    SELECT vid AS query_id, cidx AS bucket, vn AS qv
+    FROM cert_ranked WHERE r <= {_N_PROBE} AND vid < {N_QUERIES}
+),
+cert_scored AS (
+    SELECT p.query_id, b.cand_id,
+           {_DOT.format(a="p.qv", b="b.cv")} AS score
+    FROM cert_probes p JOIN cert_buckets b USING (bucket)
+    WHERE b.cand_id != p.query_id
+),
+cert_probed_topk AS (
+    SELECT query_id, cand_id, score, rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY score DESC, cand_id ASC) AS rnk
+          FROM cert_scored)
+    WHERE rnk <= {TOP_K}
+),
+cert_ids AS (
+    SELECT t.query_id
+    FROM cert_probed_topk t JOIN cert_ub u ON u.query_id = t.query_id
+    GROUP BY t.query_id, u.unprobed_bound
+    HAVING count(*) >= {TOP_K}
+       AND min(t.score) > u.unprobed_bound + 1e-12
+),
+cert_brute AS (
+    SELECT q.vec_id AS query_id, c2.vec_id AS cand_id,
+           {_DOT.format(a="q.vn", b="c2.vn")} AS score
+    FROM cert_normed q JOIN cert_normed c2 ON c2.vec_id != q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+),
+cert_topk AS (
+    SELECT 'ivf_certified' AS method, query_id, cand_id, score, rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY score DESC, cand_id ASC) AS rnk
+          FROM cert_brute) JOIN cert_ids USING (query_id)
+    WHERE rnk <= {TOP_K}
 )
 SELECT * FROM brute_topk
 UNION ALL SELECT * FROM near_topk
 UNION ALL SELECT * FROM ivf_topk
 UNION ALL SELECT * FROM int8_topk
+UNION ALL SELECT * FROM cert_topk
 """
 
 
@@ -423,7 +653,6 @@ def ann_ivf_tiers(spark: SparkSession, sf_dir: str) -> dict:
         pq_encode,
         pq_topk,
         train_pq_codebooks,
-        write_ivf_index,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -441,13 +670,7 @@ def ann_ivf_tiers(spark: SparkSession, sf_dir: str) -> dict:
 
     def adaptive() -> DataFrame:
         cents = _centroids(spark, sf_dir)
-        index_path = _IVF_INDEX_CACHE.get(sf_dir)
-        if index_path is None:
-            import tempfile
-
-            index_path = tempfile.mkdtemp(prefix="ann_ivf_idx_")
-            write_ivf_index(emb, cents, index_path)
-            _IVF_INDEX_CACHE[sf_dir] = index_path
+        index_path = _seeded_index_path(spark, sf_dir, emb)
         return ivf_topk_indexed_adaptive(
             spark, index_path, qids, cents, k=TOP_K
         ).select(
@@ -498,10 +721,15 @@ QUERIES: dict[str, Q] = {
         "exact cosine top-k + threshold near-dup pairs (the sf-capped "
         "O(n²) anchors, folded from their round-5 standalone rows; "
         "scale paths = ann_ivf_battery / LSH blocking) + "
-        "expression-seeded IVF + int8 brute force",
+        "expression-seeded IVF + int8 brute force + the "
+        "exactness-CERTIFIED adaptive-probe serving answers over a "
+        "clustered twin corpus (certificate set re-derived by the "
+        "oracle from pure bound arithmetic)",
     ),
     "ann_ivf_battery": Q(
         _ann_ivf_battery, None,
-        "approximate ANN tiers: adaptive-probe IVF serving default (exactness certificate) + k-means + PQ + HNSW",
+        "approximate ANN tiers: adaptive-probe IVF serving default "
+        "(exactness certificate; its CERTIFIED subset is strict-hash "
+        "gated in ann_deterministic_battery) + k-means + PQ + HNSW",
     ),
 }
