@@ -2128,6 +2128,17 @@ def merge(
       this leg (matched clauses still prune); same cost shape as
       Delta's.
 
+    SCHEMA-EVOLUTION STANCE (pinned, round-9): whole-row forms —
+    ``update_all`` and whole-row ``insert`` — evolve the target
+    schema BY NAME exactly like :func:`append` (source-only columns
+    join the table; pre-existing rows serve them NULL). Column-LIST
+    inserts and by-source clauses bind EXISTING columns only and
+    refuse unknown names — the explicit-list forms are where typos
+    live, so they never evolve silently (the same split as the SQL
+    front door's unaliased-VALUES guard). Delta gates whole-row
+    evolution behind ``autoMerge``; this engine's append already
+    evolves by name unconditionally, and merge follows append.
+
     Defaults reproduce :func:`merge_upsert` (update_all + insert) —
     keep using that fast path when you don't need clauses: it skips
     this form's target⋈source inner join. ``key_col`` may be a LIST

@@ -70,7 +70,10 @@ INSERT expressions may reference both sides and are rewritten from
 the statement's aliases to the engine's ``t.`` / ``s.`` namespaces
 (simultaneously — a target aliased ``s`` or source aliased ``t``
 binds correctly; ``WHEN NOT MATCHED BY SOURCE`` conditions may
-reference the target only). ``INSERT INTO ... VALUES`` without a
+reference the target only). Schema evolution through MERGE follows
+the engine stance (txlog.merge docstring): ``INSERT *`` /
+``UPDATE SET *`` evolve by name like append; ``INSERT (cols)``
+binds existing columns only and refuses unknown names. ``INSERT INTO ... VALUES`` without a
 column source maps positionally onto the table's schema when the
 arity matches, and is rejected otherwise — Spark's default
 ``col1/col2`` names would silently schema-evolve a by-name append.

@@ -166,3 +166,45 @@ def test_merge_images_respect_constraints_and_validation(
             when_matched=[("update", None, {"nope": F.lit(1)})],
             when_not_matched=[],
         )
+
+
+def test_merge_insert_schema_evolution_stance(spark, tmp_path):
+    """Round-8 verdict #6, pinned: a NOT-MATCHED whole-row INSERT (and
+    update_all) whose source carries columns the target lacks EVOLVES
+    the schema by name, exactly like append — pre-existing rows serve
+    the new column NULL; a COLUMN-LIST insert naming a column the
+    target lacks refuses loudly (it binds existing columns only, never
+    evolves). One test per path; the stance is documented in
+    txlog.merge's docstring."""
+    t1 = str(tmp_path / "evo")
+    init_table(spark, t1, _target(spark).coalesce(1))
+    wide_src = spark.createDataFrame(
+        [(6, 600, "s", "eu"), (20, 2000, "s", "us")],
+        ["doc_id", "qty", "status", "region"],
+    )
+    merge(spark, t1, wide_src, "doc_id")  # update_all + insert *
+    snap = snapshot(spark, t1)
+    assert "region" in snap.columns
+    got = {
+        r["doc_id"]: (r["qty"], r["region"]) for r in snap.collect()
+    }
+    assert got[20] == (2000, "us")   # whole-row insert carried it
+    assert got[6] == (600, "eu")     # update_all carried it
+    assert got[0] == (0, None)       # untouched rows: NULL-filled
+
+    # column-list insert: unknown target column refuses, no evolution
+    t2 = str(tmp_path / "noevo")
+    init_table(spark, t2, _target(spark).coalesce(1))
+    with pytest.raises(ValueError, match="unknown columns"):
+        merge(
+            spark,
+            t2,
+            wide_src,
+            "doc_id",
+            when_matched=[("delete", "false")],
+            when_not_matched=[
+                ("insert", None, {"doc_id": "s.doc_id",
+                                  "region": "s.region"})
+            ],
+        )
+    assert "region" not in snapshot(spark, t2).columns
