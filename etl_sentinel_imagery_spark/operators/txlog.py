@@ -1954,7 +1954,7 @@ def merge_upsert(
     spark: SparkSession,
     table_dir: str,
     source: DataFrame,
-    key_col: str,
+    key_col: str | list[str],
     candidate_names: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     op: str = "merge",
@@ -1970,7 +1970,11 @@ def merge_upsert(
 
     Matching is by DISTRIBUTED semi-join on the key (never a
     collected/broadcast-to-driver value list), so corpus-sized sources
-    work. ``source`` must be key-unique (one row per key — multiple
+    work. ``key_col`` may be a LIST of columns — the composite
+    natural-key upsert, same contract as :func:`merge`: matching and
+    uniqueness are on the key TUPLE, probe pruning runs on the
+    leading key (exact — no leading-key hit, no tuple hit). ``source``
+    must be key-unique (one row per key — multiple
     matches per target row is ambiguous; Delta raises here too).
     Add-column / type-widening schema evolution applies exactly as in
     :func:`append`. ``candidate_names`` narrows the match probe (Bloom
@@ -1992,17 +1996,33 @@ def merge_upsert(
     # non-deterministic source would otherwise diverge between the
     # probe and the write, inserting rows whose pre-images were never
     # DV-deleted (duplicate keys); same pin as apply_changes
+    kcols = [key_col] if isinstance(key_col, str) else list(key_col)
+    if not kcols or len(set(kcols)) != len(kcols):
+        raise ValueError(f"bad merge key columns: {kcols}")
+    missing = [k for k in kcols if k not in source.columns]
+    if missing:
+        raise ValueError(f"merge source lacks key columns {missing}")
+    lead = kcols[0]
     source = source.localCheckpoint()
     src_stats = source.agg(
         F.count(F.lit(1)).alias("n"),
-        F.countDistinct(key_col).alias("nk"),
-        F.min(key_col).alias("lo"),
-        F.max(key_col).alias("hi"),
+        F.countDistinct(*kcols).alias("nk"),
+        F.min(lead).alias("lo"),
+        F.max(lead).alias("hi"),
+        *[
+            f
+            for k in kcols[1:]
+            for f in (
+                F.min(k).alias(f"lo_{k}"),
+                F.max(k).alias(f"hi_{k}"),
+            )
+        ],
     ).collect()[0]
     if src_stats["nk"] != src_stats["n"]:
         raise ValueError(
-            f"merge source is not key-unique on {key_col!r}: "
-            f"{src_stats['n']} rows, {src_stats['nk']} distinct keys"
+            f"merge source is not key-unique on {kcols!r}: "
+            f"{src_stats['n']} rows, {src_stats['nk']} distinct keys "
+            "(NULL keys also refuse: they can never match an equi-join)"
         )
     budget = {"n": 20}
     while budget["n"] > 0:
@@ -2034,15 +2054,24 @@ def merge_upsert(
             # Bloom sidecar probed with the SOURCE's keys (DataFrame-keyed
             # — a merge on a non-stats key no longer scans the table),
             # else the full — still single, pushed-down — probe
+            mp = resolve_mapping(table_dir, parent)["map"]
             probe = _probe_candidates(
-                spark, table_dir, m, entries, by_name, key_col,
+                spark, table_dir, m, entries, by_name, lead,
                 src_stats["lo"], src_stats["hi"],
-                keys=source.select(key_col),
-                phys_key=resolve_mapping(table_dir, parent)["map"].get(
-                    key_col
-                ),
+                keys=source.select(lead),
+                phys_key=mp.get(lead),
                 version=parent,
             )
+            # trailing composite keys intersect their stats ranges
+            # (exact — see the clause-merge twin of this block)
+            for k in kcols[1:]:
+                if k in (m.get("stat_cols") or []) and (
+                    src_stats[f"lo_{k}"] is not None
+                ):
+                    probe = _stats_probe_subset(
+                        probe, mp.get(k) or k,
+                        src_stats[f"lo_{k}"], src_stats[f"hi_{k}"],
+                    )
 
         removes: list[str] = []
         dv_adds: list = []
@@ -2050,8 +2079,8 @@ def merge_upsert(
             live = _read_entries(
                 spark, table_dir, probe, parent, keep_pos=True
             )
-            keys = source.select(key_col).distinct()
-            hits = live.join(keys, key_col, "left_semi").select(
+            keys = source.select(*kcols).distinct()
+            hits = live.join(keys, kcols, "left_semi").select(
                 F.col("_file_name").alias("file_name"),
                 F.col("_row_pos").alias("pos"),
             )
@@ -2178,6 +2207,17 @@ def merge(
         F.countDistinct(*keys).alias("nk"),
         F.min(keys[0]).alias("lo"),
         F.max(keys[0]).alias("hi"),
+        # trailing-key ranges: when those columns are stats-tracked,
+        # the probe intersects their [min, max] too (a tuple hit needs
+        # EVERY key in range, so each per-key prune is exact)
+        *[
+            f
+            for k in keys[1:]
+            for f in (
+                F.min(k).alias(f"lo_{k}"),
+                F.max(k).alias(f"hi_{k}"),
+            )
+        ],
     ).collect()[0]
     if src_stats["nk"] != src_stats["n"]:
         raise ValueError(
@@ -2289,15 +2329,25 @@ def _merge_once(
         # leading-key member cannot hold any full-tuple match, so the
         # single-column ladder stays exact (stats range or Bloom
         # membership — both supersets of the tuple's files)
+        mp = resolve_mapping(table_dir, parent)["map"]
         probe = _probe_candidates(
             spark, table_dir, m, entries, by_name, lead,
             src_stats["lo"], src_stats["hi"],
             keys=source.select(lead),
-            phys_key=resolve_mapping(table_dir, parent)["map"].get(
-                lead
-            ),
+            phys_key=mp.get(lead),
             version=parent,
         )
+        # composite keys: intersect the trailing keys' stats ranges —
+        # strictly tighter, still exact (files without stats for a
+        # key are always kept by _stats_probe_subset)
+        for k in keys[1:]:
+            if k in (m.get("stat_cols") or []) and (
+                src_stats[f"lo_{k}"] is not None
+            ):
+                probe = _stats_probe_subset(
+                    probe, mp.get(k) or k,
+                    src_stats[f"lo_{k}"], src_stats[f"hi_{k}"],
+                )
 
     def img_col(f, build):
         """One merged-schema output column from a builder that may
@@ -4157,7 +4207,8 @@ def drop_partition(table_dir: str, partition: dict) -> int:
         raise ValueError(
             "partition filter matches every live file — refusing a "
             "whole-table drop disguised as a partition drop (use "
-            "delete_where / a fresh init for that intent)"
+            "truncate_table for that intent: same metadata-only "
+            "commit, stated honestly)"
         )
     return _commit_delta(
         table_dir, parent, [], removes, "drop_partition",

@@ -146,3 +146,95 @@ def test_composite_key_merge_equals_surrogate_twin(spark, tmp_path):
         )
     )
     assert got_a == got_b and got_a
+
+
+def test_merge_upsert_composite_keys(spark, tmp_path):
+    """The FAST upsert path takes the same composite-key contract as
+    the clause merge: tuple matching, tuple uniqueness, and the two
+    forms agree row for row."""
+    from etl_sentinel_imagery_spark.operators.txlog import merge_upsert
+
+    rows = [(i // 3, i % 3, i * 10) for i in range(12)]
+    src_rows = [(i // 3, i % 3, i * 100) for i in range(6, 18)]
+    a, b = str(tmp_path / "fu"), str(tmp_path / "fc")
+    for d in (a, b):
+        init_table(
+            spark,
+            d,
+            spark.createDataFrame(rows, ["k1", "k2", "v"]).coalesce(2),
+        )
+    src = spark.createDataFrame(src_rows, ["k1", "k2", "v"])
+    merge_upsert(spark, a, src, ["k1", "k2"])
+    merge(spark, b, src, ["k1", "k2"])  # default clauses == upsert
+    rows_a = sorted(map(tuple, snapshot(spark, a).collect()))
+    rows_b = sorted(map(tuple, snapshot(spark, b).collect()))
+    assert rows_a == rows_b
+    # tuple semantics: (0,0) only in target, survives; (5,2) updated
+    assert (0, 0, 0) in rows_a and (5, 2, 1700) in rows_a
+    assert len(rows_a) == 18
+
+    with pytest.raises(ValueError, match="not key-unique"):
+        merge_upsert(
+            spark,
+            a,
+            spark.createDataFrame(
+                [(1, 1, 5), (1, 1, 6)], ["k1", "k2", "v"]
+            ),
+            ["k1", "k2"],
+        )
+    with pytest.raises(ValueError, match="lacks key columns"):
+        merge_upsert(spark, a, src.drop("k2"), ["k1", "k2"])
+
+
+def test_composite_merge_prunes_on_trailing_key_stats(
+    spark, tmp_path, monkeypatch
+):
+    """Round-9 extension: when trailing composite-key columns are
+    stats-tracked, the probe intersects their [min, max] ranges too —
+    a source touching only one file's k2 range probes ONE file even
+    though every file overlaps on the leading key."""
+    from etl_sentinel_imagery_spark.operators import txlog as tx
+
+    d = str(tmp_path / "pr")
+    init_table(
+        spark,
+        d,
+        spark.createDataFrame(
+            [(i, j, i * j) for i in range(10) for j in range(5)],
+            ["k1", "k2", "v"],
+        ).coalesce(1),
+        stat_cols=["k1", "k2"],
+    )
+    # second file: same k1 range, disjoint k2 range
+    tx.append(
+        spark,
+        d,
+        spark.createDataFrame(
+            [(i, j, -1) for i in range(10) for j in range(100, 105)],
+            ["k1", "k2", "v"],
+        ).coalesce(1),
+    )
+    probed = []
+    orig = tx._read_entries
+
+    def spy(spark_, table_dir, entries, version, **kw):
+        if kw.get("keep_pos"):
+            probed.append(len(entries))
+        return orig(spark_, table_dir, entries, version, **kw)
+
+    monkeypatch.setattr(tx, "_read_entries", spy)
+    src = spark.createDataFrame(
+        [(3, 100, 777), (3, 101, 888)], ["k1", "k2", "v"]
+    )
+    merge(spark, d, src, ["k1", "k2"])
+    monkeypatch.undo()
+    # leading-key stats [0,9] overlap BOTH files; the trailing-key
+    # intersect keeps only the k2-in-[100,104] file
+    assert probed and max(probed) == 1, probed
+    got = sorted(
+        tuple(r)
+        for r in snapshot(spark, d)
+        .filter("k1 = 3 AND k2 IN (100, 101)")
+        .collect()
+    )
+    assert got == [(3, 100, 777), (3, 101, 888)]
