@@ -595,13 +595,20 @@ def _do_update(spark, stmt, tables):
 
 
 def _do_delete(spark, stmt, tables):
-    from etl_sentinel_imagery_spark.operators.txlog import delete_where
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        delete_where,
+        truncate_table,
+    )
 
     body = _split_kw(stmt, "DELETE FROM")[1]
     tref, alias, rest = _parse_table_ref(body)
     wh = _split_kw(rest, "WHERE")
-    cond = "true" if wh is None else wh[1]
-    cond = _rewrite_alias(cond, alias, "")
+    if wh is None:
+        # no predicate = delete everything: same metadata-only commit
+        # as TRUNCATE (Delta's DELETE-without-WHERE shape) instead of
+        # scanning the table to DV every row
+        return truncate_table(_table_dir(tref, tables))
+    cond = _rewrite_alias(wh[1], alias, "")
     return delete_where(spark, _table_dir(tref, tables), cond)
 
 

@@ -553,22 +553,27 @@ def sync_index_from_table(
         )
     # column names resolve from the build-time cursor (round-8 ADVICE
     # medium): None means "whatever the index was built over"; an
-    # explicit mismatch refuses loudly — draining the feed with the
-    # wrong columns would corrupt every tier, not error politely.
+    # explicit arg that CONTRADICTS a recorded value refuses loudly —
+    # draining the feed with the wrong columns would corrupt every
+    # tier, not error politely. A pre-round-9 cursor records no
+    # columns: there the explicit arg is the only signal and is
+    # honored (back-compat for indexes built before the field
+    # existed), with the old defaults as the final fallback.
     with open(cur_path) as f:
         _cur = json.load(f)
+    resolved = []
     for arg, key, default in (
         (id_col, "id_col", "vec_id"),
         (vec_col, "vec_col", "embedding"),
     ):
-        recorded = _cur.get(key, default)
-        if arg is not None and arg != recorded:
+        recorded = _cur.get(key)
+        if recorded is not None and arg is not None and arg != recorded:
             raise ValueError(
                 f"index {index_dir!r} was built with {key}="
                 f"{recorded!r}; refusing to sync with {arg!r}"
             )
-    id_col = _cur.get("id_col", "vec_id")
-    vec_col = _cur.get("vec_col", "embedding")
+        resolved.append(recorded or arg or default)
+    id_col, vec_col = resolved
     # the sync is single-writer BY CONTRACT (readers are safe
     # throughout via manifest flips); enforce it instead of trusting
     # the scheduler: an advisory flock held for the whole pass makes a

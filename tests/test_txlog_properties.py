@@ -403,3 +403,51 @@ def test_maintain_table_syncs_index_with_custom_columns(spark, tmp_path):
         spark, t, idx, id_col="doc_id", vec_col="vec"
     )
     assert rep2["upserts"] == 0
+
+
+def test_sync_honors_explicit_columns_on_legacy_cursor(spark, tmp_path):
+    """Back-compat: an index built BEFORE the cursor recorded its
+    columns (round-9) has only the caller's explicit id_col/vec_col to
+    go on — they must be honored, not rejected against the defaults."""
+    import json
+
+    from etl_sentinel_imagery_spark.plans.serving import (
+        build_index_from_table,
+        sync_index_from_table,
+    )
+
+    def vecs(ids, shift=0.0):
+        rows = [
+            (
+                int(i),
+                [
+                    float((i * 7 + d * 3) % 11) / 11.0 + shift
+                    for d in range(4)
+                ],
+            )
+            for i in ids
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, vec array<double>"
+        )
+
+    t = str(tmp_path / "leg")
+    init_table(spark, t, vecs(range(30)).coalesce(1))
+    idx = str(tmp_path / "idxleg")
+    build_index_from_table(
+        spark, t, idx, n_centroids=2, hnsw=False,
+        id_col="doc_id", vec_col="vec",
+    )
+    # simulate a pre-round-9 cursor: strip the recorded columns
+    cur = os.path.join(idx, "_table_sync.json")
+    with open(cur) as f:
+        c = json.load(f)
+    c.pop("id_col"), c.pop("vec_col")
+    with open(cur, "w") as f:
+        json.dump(c, f)
+
+    append(spark, t, vecs(range(50, 55)).coalesce(1))
+    rep = sync_index_from_table(
+        spark, t, idx, id_col="doc_id", vec_col="vec"
+    )
+    assert rep["upserts"] == 5

@@ -844,6 +844,26 @@ def test_truncate_is_metadata_only(spark, tmp_path, monkeypatch):
     )
     # truncating an empty table is a no-op commit-wise
     assert tx_sql(spark, "TRUNCATE TABLE tbl", t) == v
+    # DELETE FROM without WHERE takes the same metadata-only route
+    tx_sql(spark, f"RESTORE TABLE tbl TO VERSION AS OF {v_before}", t)
+    jobs2, footers2 = [], []
+    import pyarrow.parquet as pq_mod2
+    from pyspark.sql import DataFrame as DF2
+
+    orig_pf2 = pq_mod2.ParquetFile
+    monkeypatch.setattr(
+        pq_mod2, "ParquetFile",
+        lambda *a, **k: footers2.append(a) or orig_pf2(*a, **k),
+    )
+    orig_count = DF2.count
+    monkeypatch.setattr(
+        DF2, "count",
+        lambda self: jobs2.append("count") or orig_count(self),
+    )
+    tx_sql(spark, "DELETE FROM tbl", t)
+    monkeypatch.undo()
+    assert footers2 == [] and jobs2 == []
+    assert snapshot(spark, d).count() == 0
     # data files are still on disk for the retention window
     n_parquet = sum(
         1
