@@ -57,6 +57,12 @@ OP = st.one_of(
     # reads; restore may drop it, a later add re-mints it)
     st.tuples(st.just("overwrite"), st.integers(0, 10**6)),
     st.tuples(st.just("add_column"), st.just(0)),
+    # round-9 verbs: metadata-only TRUNCATE (all files retire from
+    # manifest paths — time travel and the CDF fold must survive an
+    # empty state mid-sequence) and composite-key merge (tuple
+    # matching over (doc_id, val) — val doubles as the second key)
+    st.tuples(st.just("truncate"), st.just(0)),
+    st.tuples(st.just("merge_composite"), st.integers(0, 10**6)),
 )
 
 
@@ -208,6 +214,39 @@ def test_random_op_sequences_match_reference_model(
             # add re-mints it under a fresh physical name
             if "z" not in snapshot(spark, t).columns:
                 add_column(t, "z", "bigint")
+        elif kind == "truncate":
+            from etl_sentinel_imagery_spark.operators.txlog import (
+                truncate_table,
+            )
+
+            truncate_table(t)
+            model = Counter()
+        elif kind == "merge_composite":
+            # composite key (doc_id, val): rows matching BOTH replace
+            # (w refreshed), unseen tuples insert — doc_id-only
+            # overlaps must NOT match
+            pool = sorted(model)[: 2] if model else []
+            rows = [
+                (d, v_, f"mc{seed}") for (d, v_, _w) in pool
+            ] + [(100 + seed % 7, f"mc-{seed}", f"mc{seed}")]
+            src = {(d, v_) for d, v_, _ in rows}
+            if len(src) != len(rows):
+                rows = rows[-1:]
+                src = {(rows[0][0], rows[0][1])}
+            merge_upsert(
+                spark,
+                t,
+                spark.createDataFrame(rows, ["doc_id", "val", "w"]),
+                ["doc_id", "val"],
+            )
+            model = Counter(
+                {
+                    rv: c
+                    for rv, c in model.items()
+                    if (rv[0], rv[1]) not in src
+                }
+            )
+            model.update(rows)
         elif kind == "restore":
             target = sorted(states)[seed % len(states)]
             restore(spark, t, target)
