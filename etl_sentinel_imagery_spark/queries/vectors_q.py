@@ -249,6 +249,36 @@ def _certified_leg(spark, sf_dir, emb, tag):
     bounds ≈ 0.55) are ~12 orders of magnitude wider."""
     from etl_sentinel_imagery_spark.operators.similarity import (
         ivf_topk_indexed_adaptive,
+    )
+
+    corpus2, anchors, index_path = _cert_twin_setup(spark, sf_dir, emb)
+    cert_ids = (
+        ivf_topk_indexed_adaptive(
+            spark,
+            index_path,
+            corpus2.filter(F.col("vec_id") < N_QUERIES),
+            anchors,
+            k=TOP_K,
+        )
+        .filter(F.col("exact"))
+        .select("query_id")
+        .distinct()
+    )
+    return tag(
+        brute_force_topk(
+            corpus2, F.col("vec_id") < N_QUERIES, k=TOP_K
+        ).join(F.broadcast(cert_ids), "query_id"),
+        "ivf_certified",
+    )
+
+
+def _cert_twin_setup(spark, sf_dir, emb):
+    """(clustered twin corpus, anchors, persisted index path) — shared
+    by the certified leg and its engine-side soundness pytest (the
+    battery emits brute rows BY PROOF, so the proof itself — certified
+    probe answers equal brute force — is pinned where certificates
+    actually fire, tests/test_vectors.py)."""
+    from etl_sentinel_imagery_spark.operators.similarity import (
         with_normalized,
         write_ivf_index,
     )
@@ -299,24 +329,7 @@ def _certified_leg(spark, sf_dir, emb, tag):
             corpus2.localCheckpoint(eager=True), anchors, index_path
         )
         _CERT_INDEX_CACHE[sf_dir] = index_path
-    cert_ids = (
-        ivf_topk_indexed_adaptive(
-            spark,
-            index_path,
-            corpus2.filter(F.col("vec_id") < N_QUERIES),
-            anchors,
-            k=TOP_K,
-        )
-        .filter(F.col("exact"))
-        .select("query_id")
-        .distinct()
-    )
-    return tag(
-        brute_force_topk(
-            corpus2, F.col("vec_id") < N_QUERIES, k=TOP_K
-        ).join(F.broadcast(cert_ids), "query_id"),
-        "ivf_certified",
-    )
+    return corpus2, anchors, index_path
 
 
 def _ann_deterministic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:

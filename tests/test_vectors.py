@@ -499,3 +499,56 @@ def test_hamming_topk_recall_and_rerank(spark):
                 float(sims[r["cand_id"]]), abs=1e-9
             )
     assert hits / total >= 0.7, f"binary-tier recall {hits}/{total}"
+
+
+def test_certified_twin_corpus_soundness(spark, tmp_path):
+    """Round-9 `ivf_certified` leg — the proof behind the hash gate:
+    the battery emits BRUTE rows for the certified set (so the gate
+    checks the set derivation, not the answers), which makes this the
+    load-bearing check that certified probe ANSWERS equal brute force
+    where certificates actually fire (the raw corpus never certifies
+    at serving budgets — bounds saturate on isotropic data — so the
+    raw-corpus soundness test is vacuous at n_probe=2)."""
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_indexed_adaptive,
+    )
+    from etl_sentinel_imagery_spark.queries.vectors_q import (
+        N_QUERIES,
+        TOP_K,
+        _cert_twin_setup,
+    )
+    from etl_sentinel_imagery_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus2, anchors, index_path = _cert_twin_setup(spark, SF_DIR, emb)
+    adaptive = ivf_topk_indexed_adaptive(
+        spark,
+        index_path,
+        corpus2.filter(F.col("vec_id") < N_QUERIES),
+        anchors,
+        k=TOP_K,
+    ).collect()
+    certified = {r["query_id"] for r in adaptive if r["exact"]}
+    assert certified, (
+        "twin corpus produced no certificates — the leg went vacuous"
+    )
+    brute = brute_force_topk(
+        corpus2, F.col("vec_id") < N_QUERIES, k=TOP_K
+    ).collect()
+    brute_by_q: dict = {}
+    for r in brute:
+        brute_by_q.setdefault(r["query_id"], set()).add(
+            (r["cand_id"], r["rnk"])
+        )
+    got_by_q: dict = {}
+    for r in adaptive:
+        if r["query_id"] in certified:
+            got_by_q.setdefault(r["query_id"], set()).add(
+                (r["cand_id"], r["rnk"])
+            )
+    for qid in certified:
+        assert got_by_q[qid] == brute_by_q[qid], (
+            f"certificate lied for query {qid}: probe answer differs "
+            "from brute force"
+        )
