@@ -604,10 +604,19 @@ def _do_delete(spark, stmt, tables):
     tref, alias, rest = _parse_table_ref(body)
     wh = _split_kw(rest, "WHERE")
     if wh is None:
+        if rest.strip():
+            # unparsed junk must never silently become a full delete
+            raise TxSqlError(
+                f"unexpected tokens after table: {rest!r}"
+            )
         # no predicate = delete everything: same metadata-only commit
         # as TRUNCATE (Delta's DELETE-without-WHERE shape) instead of
         # scanning the table to DV every row
         return truncate_table(_table_dir(tref, tables))
+    if wh[0].strip():
+        raise TxSqlError(
+            f"unexpected tokens before WHERE: {wh[0]!r}"
+        )
     cond = _rewrite_alias(wh[1], alias, "")
     return delete_where(spark, _table_dir(tref, tables), cond)
 

@@ -915,6 +915,28 @@ def _sync_ivfpq_tier(
         corpus = read_indexed_layout(
             spark, _ivf_dir(index_dir)
         ).select(id_col, vec_col)
+        if corpus.limit(1).count() == 0:
+            # debt crossed on a FULLY-PURGED corpus: there is nothing
+            # to retrain on — publish an empty generation under the
+            # frozen model (same write-new + flip discipline) so
+            # readers get zero candidates instead of the trainers
+            # crashing the maintenance ladder mid-run
+            from etl_sentinel_imagery_spark.operators.similarity import (
+                live_layout_model,
+            )
+
+            codes = read_indexed_layout(spark, pqdir)
+            publish_layout_manifest(
+                pqdir,
+                [_schema_preserving_empty(pqdir, 0, codes)],
+                model=live_layout_model(pqdir),
+            )
+            _write_pq_meta(index_dir, {"built_nodes": 0, "churn": 0})
+            return {
+                "action": "rebuild_empty",
+                "churn": churn,
+                "debt": churn / built,
+            }
         m, kk = int(codebooks.shape[0]), int(codebooks.shape[1])
         if residual:
             if rotation is not None:

@@ -684,3 +684,39 @@ def test_pq_rebuild_never_deletes_live_generation(spark, tmp_path):
     assert {i for i, _, _ in _pq_rows(spark, idx)} == {
         i for i, _ in _table(spark, t)
     }
+
+
+def test_pq_rebuild_on_fully_purged_corpus_publishes_empty(
+    spark, tmp_path
+):
+    """Debt-triggered retrain crossing on a FULLY-PURGED corpus has
+    nothing to train on — the sync must publish a readable empty
+    generation under the frozen model, not crash the maintenance
+    ladder inside the codebook trainer."""
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        read_indexed_layout,
+    )
+
+    t = str(tmp_path / "embpg")
+    init_table(spark, t, _vecs(spark, range(40)).coalesce(1))
+    idx = str(tmp_path / "idxpg")
+    build_index_from_table(
+        spark, t, idx, n_centroids=3, hnsw=False,
+        pq=True, pq_m=2, pq_k=8,
+    )
+    delete_rows_dv(spark, t, "vec_id", list(range(40)))  # purge ALL
+    rep = sync_index_from_table(spark, t, idx, pq_rebuild_debt=0.0)
+    assert rep["ivfpq"]["action"] == "rebuild_empty"
+    pqdir = os.path.join(idx, "ivfpq")
+    assert read_indexed_layout(spark, pqdir).count() == 0
+    # the frozen model still loads (manifest keeps naming it)
+    from etl_sentinel_imagery_spark.operators.ivfpq import load_model
+
+    c, b, _rot, _res = load_model(pqdir)
+    assert c.shape[0] == 3 and b.shape[0] == 2
+    # a later re-ingest resumes normal maintenance on the empty tier
+    append(spark, t, _vecs(spark, range(100, 105)).coalesce(1))
+    rep2 = sync_index_from_table(spark, t, idx, pq_rebuild_debt=None)
+    assert {i for i, _, _ in _pq_rows(spark, idx)} == set(
+        range(100, 105)
+    )

@@ -207,6 +207,10 @@ def test_unparseable_statements_raise(spark, tmp_path):
         tx_sql(spark, "DROP TABLE tbl", t)
     with pytest.raises(TxSqlError, match="unknown table"):
         tx_sql(spark, "DELETE FROM ghost WHERE k = 1", {})
+    # unparsed junk must never silently become a full delete
+    with pytest.raises(TxSqlError, match="unexpected tokens"):
+        tx_sql(spark, "DELETE FROM tbl x USING other", t)
+    assert snapshot(spark, d).count() == 5  # untouched
     with pytest.raises(TxSqlError, match="ON must"):
         tx_sql(
             spark,
