@@ -2807,19 +2807,22 @@ def clone_table(table_dir: str, dest_dir: str) -> int:
 
 
 def _net_changes(
-    changes: DataFrame, key_col: str
+    changes: DataFrame, key_col: str | list[str]
 ) -> tuple[DataFrame, DataFrame]:
     """NET state per key over a change-feed slice (``table_changes``
     rows): the change with the highest ``_commit_version`` wins; at
     equal version an insert outranks a delete (a delete+insert pair in
-    one commit IS an update). Returns ``(upserts, dead)`` — the
-    payload rows whose final state is a row (feed columns stripped),
-    and the ``key_col`` frame of keys whose final state is a delete.
+    one commit IS an update). ``key_col`` may be a list — netting is
+    then per key TUPLE (the composite natural-key replication case).
+    Returns ``(upserts, dead)`` — the payload rows whose final state
+    is a row (feed columns stripped), and the key frame of keys whose
+    final state is a delete.
     Shared by :func:`apply_changes` and the streaming upsert sink."""
     from pyspark.sql import Window
 
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
     pri = F.when(F.col("_change_type") == "insert", 1).otherwise(0)
-    w = Window.partitionBy(key_col).orderBy(
+    w = Window.partitionBy(*keys).orderBy(
         F.col("_commit_version").desc(), pri.desc()
     )
     final = (
@@ -2835,7 +2838,7 @@ def _net_changes(
     upserts = final.where(F.col("_change_type") == "insert").select(
         *payload_cols
     )
-    dead = final.where(F.col("_change_type") == "delete").select(key_col)
+    dead = final.where(F.col("_change_type") == "delete").select(*keys)
     return upserts, dead
 
 
@@ -2843,7 +2846,7 @@ def apply_changes(
     spark: SparkSession,
     table_dir: str,
     changes: DataFrame,
-    key_col: str,
+    key_col: str | list[str],
     txn: tuple[str, int] | None = None,
     op: str = "apply_changes",
 ) -> int:
@@ -2869,9 +2872,15 @@ def apply_changes(
     non-empty).
 
     Stats-based probe pruning applies as in :func:`merge_upsert` when
-    the table tracks the key column.
+    the table tracks the key column. ``key_col`` may be a LIST —
+    composite natural-key replication, the same tuple contract as
+    :func:`merge`/:func:`merge_upsert`: netting, probing, and the DV
+    semi-join all key on the tuple, with leading-key stats pruning
+    plus trailing-key stats intersects.
     """
-    upserts, dead = _net_changes(changes, key_col)
+    kcols = [key_col] if isinstance(key_col, str) else list(key_col)
+    lead = kcols[0]
+    upserts, dead = _net_changes(changes, kcols)
     # single eager materialization so the probe and the data write see
     # one consistent slice — and BOTH halves stay distributed: a
     # replicated bulk delete (millions of dead keys in one CDF range)
@@ -2897,21 +2906,37 @@ def apply_changes(
         _enforce_constraints(upserts, cons)
         entries = resolve_files(table_dir, parent)
         by_name = {_entry_name(e): e for e in entries}
-        affected = upserts.select(key_col).unionByName(dead)
+        affected = upserts.select(*kcols).unionByName(dead)
         kb = affected.agg(
-            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+            F.min(lead).alias("lo"), F.max(lead).alias("hi"),
+            *[
+                f
+                for k in kcols[1:]
+                for f in (
+                    F.min(k).alias(f"lo_{k}"),
+                    F.max(k).alias(f"hi_{k}"),
+                )
+            ],
         ).collect()[0]
         # same pruning ladder as merge_upsert/delete_rows_dv: stats
         # range, else Bloom sidecar keyed by the affected-key frame,
-        # else all
+        # else all; composite keys additionally intersect trailing
+        # keys' stats ranges (exact — see merge's twin of this block)
+        mp = resolve_mapping(table_dir, parent)["map"]
         probe = _probe_candidates(
-            spark, table_dir, m, entries, by_name, key_col,
-            kb["lo"], kb["hi"], keys=affected,
-            phys_key=resolve_mapping(table_dir, parent)["map"].get(
-                key_col
-            ),
+            spark, table_dir, m, entries, by_name, lead,
+            kb["lo"], kb["hi"], keys=affected.select(lead),
+            phys_key=mp.get(lead),
             version=parent,
         )
+        for k in kcols[1:]:
+            if k in (m.get("stat_cols") or []) and (
+                kb[f"lo_{k}"] is not None
+            ):
+                probe = _stats_probe_subset(
+                    probe, mp.get(k) or k,
+                    kb[f"lo_{k}"], kb[f"hi_{k}"],
+                )
 
         removes: list[str] = []
         dv_adds: list = []
@@ -2920,7 +2945,7 @@ def apply_changes(
                 spark, table_dir, probe, parent, keep_pos=True
             )
             hits = live.join(
-                affected.distinct(), key_col, "left_semi"
+                affected.distinct(), kcols, "left_semi"
             ).select(
                 F.col("_file_name").alias("file_name"),
                 F.col("_row_pos").alias("pos"),

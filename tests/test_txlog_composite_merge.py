@@ -238,3 +238,49 @@ def test_composite_merge_prunes_on_trailing_key_stats(
         .collect()
     )
     assert got == [(3, 100, 777), (3, 101, 888)]
+
+
+def test_apply_changes_composite_key_replication(spark, tmp_path):
+    """APPLY CHANGES with a composite key: a downstream replica keyed
+    on (k1, k2) consumes the upstream's CDF slice and lands
+    row-identical — netting, probing, and the DV semi-join all key on
+    the tuple (rows sharing only k1 must not collide)."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        apply_changes,
+        current_version,
+        delete_where,
+        merge_upsert,
+    )
+
+    rows = [(i // 3, i % 3, i * 10) for i in range(12)]
+    up, down = str(tmp_path / "up"), str(tmp_path / "down")
+    for d in (up, down):
+        init_table(
+            spark,
+            d,
+            spark.createDataFrame(rows, ["k1", "k2", "v"]).coalesce(2),
+        )
+    v0 = current_version(up)
+    merge_upsert(
+        spark,
+        up,
+        spark.createDataFrame(
+            [(1, 1, 999), (7, 0, 700)], ["k1", "k2", "v"]
+        ),
+        ["k1", "k2"],
+    )
+    delete_where(spark, up, "k1 = 2 AND k2 = 2")
+    v1 = current_version(up)
+
+    apply_changes(
+        spark,
+        down,
+        table_changes(spark, up, v0, v1),
+        ["k1", "k2"],
+    )
+    a = sorted(map(tuple, snapshot(spark, up).collect()))
+    b = sorted(map(tuple, snapshot(spark, down).collect()))
+    assert a == b
+    assert (1, 1, 999) in b and (7, 0, 700) in b
+    assert (1, 0, 30) in b  # k1=1 sibling untouched by the (1,1) update
+    assert not any(r[:2] == (2, 2) for r in b)
