@@ -287,7 +287,7 @@ def cdf_append_sink(dst_table_dir: str, app_id: str = "cdf"):
 
 def cdf_replicate_sink(
     dst_table_dir: str,
-    key_col: str,
+    key_col: str | list[str],
     app_id: str = "cdf-replicate",
     transform=None,
 ):
@@ -297,7 +297,9 @@ def cdf_replicate_sink(
     rows insert), exactly-once via the SetTransaction watermark — the
     downstream table mirrors the upstream through appends, deletes,
     merges and restores while reading only each range's touched
-    files. Unlike :func:`cdf_append_sink` (which accumulates the RAW
+    files. ``key_col`` may be a list (composite natural keys — the
+    round-9 tuple contract flows straight through to
+    ``apply_changes``). Unlike :func:`cdf_append_sink` (which accumulates the RAW
     feed for additive folds), the destination here IS the upstream
     table, row for row. Requires a key-unique upstream (the upsert
     invariant). Partially overlapping ranges (the crash-retry shape
@@ -357,7 +359,7 @@ def cdf_replicate_sink(
 
 def cdf_upsert_sink(
     dst_table_dir: str,
-    key_col: str,
+    key_col: str | list[str],
     app_id: str = "cdf-upsert",
     transform=None,
 ):
