@@ -89,17 +89,26 @@ def _flip_model_current(path: str, vname: str) -> None:
     os.replace(tmp, os.path.join(mdir, "_CURRENT"))
 
 
-def load_model(path: str):
+def load_model(path: str, meta=None):
     """Resolve the model CONSISTENT with the live codes generation:
     the layout manifest names the version its codes were encoded with
     (one pointer flip covers both — codes decoded against another
     generation's codebooks are garbage); ``_model/_CURRENT`` is the
-    fallback for manifests predating the field."""
+    fallback for manifests predating the field.
+
+    ``meta`` pins a pre-resolved ``_live_layout_meta`` snapshot — a
+    caller that also reads the code files must resolve the manifest
+    ONCE and hand the same snapshot to both (round-9 ADVICE: two
+    independent resolutions let a concurrent rebuild flip pair codes
+    with the wrong codebooks mid-call)."""
     from etl_sentinel_imagery_spark.operators.similarity import (
         live_layout_model,
     )
 
-    vname = live_layout_model(path)
+    # a pinned None (legacy manifest-less layout) and a fresh resolve
+    # on the same layout both land on the _CURRENT fallback, so None
+    # doubles as "resolve now" without ambiguity
+    vname = live_layout_model(path) if meta is None else meta.get("model")
     if vname is None:
         with open(os.path.join(_model_dir(path), "_CURRENT")) as f:
             vname = f.read().strip()
@@ -302,6 +311,20 @@ def rebuild_ivfpq_index(
     new_files = [
         f for f in list_layout_data_files(path) if f not in before
     ]
+    # re-stamp the model dir NOW (round-9 ADVICE): its mtime was set
+    # when _save_model wrote it, BEFORE the encode — a large-corpus
+    # encode outlasting vacuum_layout's min_age gate would let a
+    # concurrent vacuum see an "old" unreferenced v_* dir and rmtree
+    # the model this very publish is about to name. Touching just
+    # before the flip shrinks that window to the flip itself (and
+    # vacuum's gate also keys off the newest file INSIDE the dir).
+    try:
+        vdir = os.path.join(_model_dir(path), vname)
+        os.utime(vdir)
+        for fn in os.listdir(vdir):
+            os.utime(os.path.join(vdir, fn))
+    except OSError:
+        pass
     publish_layout_manifest(path, new_files, model=vname)
     _flip_model_current(path, vname)
 
@@ -349,8 +372,21 @@ def ivfpq_topk(
     Queries collect driver-side (the small side by construction); each
     query's (m × k) distance LUT broadcasts into the pruned scan; the
     scan touches ONLY probed bucket partitions (IN-filter on the
-    partition column) and ONLY the m-byte codes."""
-    centroids, codebooks, rotation, residual = load_model(index_path)
+    partition column) and ONLY the m-byte codes.
+
+    The live manifest is resolved ONCE and pinned for both the model
+    and the code-file list (round-9 ADVICE: a rebuild flip landing
+    between two independent resolutions paired one generation's codes
+    with another's codebooks — silently-garbage ADC distances for the
+    whole batch)."""
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        _live_layout_meta,
+    )
+
+    pinned_meta = _live_layout_meta(index_path)
+    centroids, codebooks, rotation, residual = load_model(
+        index_path, meta=pinned_meta
+    )
     m, kk, sub = codebooks.shape
     cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     shortlist = shortlist or 4 * k
@@ -397,9 +433,9 @@ def ivfpq_topk(
         read_indexed_layout,
     )
 
-    codes = read_indexed_layout(spark, index_path).filter(
-        F.col("bucket").isin(probe_set)
-    )
+    codes = read_indexed_layout(
+        spark, index_path, meta=pinned_meta
+    ).filter(F.col("bucket").isin(probe_set))
     cand = codes.join(F.broadcast(qry), "bucket").select(
         "query_id",
         F.col(id_col).alias("cand_id"),

@@ -420,12 +420,27 @@ def publish_layout_manifest(
     os.replace(tmp, ptr)
 
 
-def read_indexed_layout(spark, path: str) -> DataFrame:
+# sentinel distinguishing "resolve the live manifest now" from a
+# caller-pinned snapshot (which may legitimately be None for a
+# manifest-less legacy layout)
+_UNRESOLVED = object()
+
+
+def read_indexed_layout(spark, path: str, meta=_UNRESOLVED) -> DataFrame:
     """The committed view of an index layout: exactly the live
     manifest's files (``basePath`` keeps the hive partition column, so
     bucket/shard partition PRUNING works unchanged); a manifest-less
-    legacy layout reads the plain directory."""
-    files = live_layout_files(path)
+    legacy layout reads the plain directory.
+
+    ``meta`` pins a pre-resolved :func:`_live_layout_meta` snapshot.
+    A caller that needs BOTH the model version and the file list must
+    resolve the manifest ONCE and pass it here and to ``load_model``
+    (round-9 ADVICE: ``ivfpq_topk`` resolved twice, so a rebuild flip
+    landing between the two paired one generation's codes with another
+    generation's codebooks — garbage ADC distances)."""
+    if meta is _UNRESOLVED:
+        meta = _live_layout_meta(path)
+    files = None if meta is None else meta["files"]
     if files is None:
         return spark.read.parquet(path)
     return spark.read.option("basePath", path).parquet(
@@ -508,12 +523,37 @@ def vacuum_layout(path: str, min_age_seconds: float = 3600.0) -> list[str]:
                 keep_models.add(f.read().strip())
         except OSError:
             pass
+        # round-9 ADVICE: an in-flight rebuild writes its model BEFORE
+        # a possibly-hours-long encode; an mtime age gate alone would
+        # reclaim it mid-encode and the subsequent publish would name
+        # a deleted model. The lock-free discriminator: a rebuild
+        # always starts AFTER the previous generation's flip, so an
+        # unreferenced v_* dir stamped NEWER than the live pointer's
+        # last flip is an in-flight publisher — skip it regardless of
+        # age. Once any later publish lands (flip mtime advances past
+        # the stamp), an unreferenced dir is a retired generation or a
+        # crashed orphan, and the retirement age gate applies.
+        try:
+            cur_flip = os.path.getmtime(os.path.join(ldir, "_CURRENT"))
+        except OSError:
+            cur_flip = now
         for entry in os.listdir(mdir):
             if not entry.startswith("v_") or entry in keep_models:
                 continue
             vdir = os.path.join(mdir, entry)
             try:
-                if now - os.path.getmtime(vdir) < min_age_seconds:
+                stamps = [os.path.getmtime(vdir)]
+                for fn in os.listdir(vdir):
+                    try:
+                        stamps.append(
+                            os.path.getmtime(os.path.join(vdir, fn))
+                        )
+                    except OSError:
+                        pass
+                newest = max(stamps)
+                if newest >= cur_flip:
+                    continue  # in-flight publisher's model
+                if now - newest < min_age_seconds:
                     continue
                 shutil.rmtree(vdir)
                 removed.append(os.path.join("_model", entry))

@@ -193,6 +193,45 @@ def _entry_name(e) -> str:
     return e if isinstance(e, str) else e["name"]
 
 
+# Spark escapes these characters in hive partition directory names
+# (ExternalCatalogUtils.escapePathName, itself copied from Hive's
+# FileUtils): ASCII control chars, and the reserved set below, each
+# as '%' + two UPPERCASE hex digits; NULL partition values become
+# __HIVE_DEFAULT_PARTITION__. Matching it exactly is load-bearing:
+# every segs-vs-staged-dir comparison below must see the SAME bytes
+# Spark wrote to disk (round-9 ADVICE: raw f"{col}={value}" segments
+# misclassified every staged file of a ':'-valued partition as a
+# stray). The escape-parity pytest writes values through Spark itself
+# and asserts _part_seg reproduces the directory names.
+_HIVE_ESCAPED = set(
+    [chr(c) for c in range(0x01, 0x20)]
+    + ['"', "#", "%", "'", "*", "/", ":", "=", "?", "\\", chr(0x7F),
+       "{", "[", "]", "^"]
+)
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_escape(value: str) -> str:
+    return "".join(
+        f"%{ord(c):02X}" if c in _HIVE_ESCAPED else c for c in value
+    )
+
+
+def _part_seg(col: str, value) -> str:
+    """The hive directory segment Spark's partitioned write produces
+    for one (column, value) pair."""
+    if value is None:
+        return f"{col}={_HIVE_DEFAULT_PARTITION}"
+    return f"{col}={_hive_escape(str(value))}"
+
+
+def _part_segs(partition: dict) -> set:
+    """Hive-escaped ``col=value`` segments for a partition spec — the
+    ONLY correct way to compare a logical partition filter against
+    manifest entry paths or staged file paths."""
+    return {_part_seg(c, v) for c, v in partition.items()}
+
+
 def _entry_dvs(e) -> list:
     """Deletion-vector sidecar paths attached to a file entry (each a
     table-relative parquet dir of (file_name, pos) rows); empty for
@@ -3232,7 +3271,7 @@ def optimize(
                     f"{col!r} is not a partition column "
                     f"(partition_cols={partition_cols})"
                 )
-        segs = {f"{c}={v}" for c, v in partition.items()}
+        segs = _part_segs(partition)
         entries = [
             e
             for e in entries
@@ -3360,7 +3399,7 @@ def overwrite_table(
                     f"{col!r} is not a partition column "
                     f"(partition_cols={partition_cols})"
                 )
-        segs = {f"{c}={v}" for c, v in partition.items()}
+        segs = _part_segs(partition)
         entries = [
             e
             for e in entries
@@ -3477,7 +3516,7 @@ def optimize_small_files(
                     f"{col!r} is not a partition column "
                     f"(partition_cols={partition_cols})"
                 )
-    segs = {f"{c}={v}" for c, v in (partition or {}).items()}
+    segs = _part_segs(partition or {})
     rt = resolve_row_tracking(table_dir, parent)
     entries = resolve_files(table_dir, parent)
     leaves: dict[str, list] = {}
@@ -4219,7 +4258,7 @@ def drop_partition(table_dir: str, partition: dict) -> int:
                 f"{col!r} is not a partition column "
                 f"(partition_cols={pcols})"
             )
-    segs = {f"{c}={v}" for c, v in partition.items()}
+    segs = _part_segs(partition)
     entries = resolve_files(table_dir, parent)
     removes = [
         _entry_name(e)
@@ -4286,7 +4325,7 @@ def snapshot_partition(
                 f"{col!r} is not a partition column of this table "
                 f"(partition_cols={pcols})"
             )
-    segs = {f"{c}={v}" for c, v in partition.items()}
+    segs = _part_segs(partition)
     files = resolve_files(table_dir, version)
     keep = [
         e

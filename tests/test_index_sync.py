@@ -676,6 +676,11 @@ def test_pq_rebuild_never_deletes_live_generation(spark, tmp_path):
     for rel in set(old_files) - set(new_files):
         os.utime(os.path.join(pqdir, rel), (old_ts, old_ts))
     os.utime(os.path.join(mdir, old_model), (old_ts, old_ts))
+    for fn in os.listdir(os.path.join(mdir, old_model)):
+        # round-9 ADVICE: vacuum ages a model on the NEWEST stamp in
+        # the dir (in-flight-publisher protection), so faithful aging
+        # backdates the contents too
+        os.utime(os.path.join(mdir, old_model, fn), (old_ts, old_ts))
     removed = vacuum_layout(pqdir, min_age_seconds=3600)
     assert os.path.join("_model", old_model) in removed
     assert set(removed) >= set(old_files) - set(new_files)
