@@ -239,6 +239,49 @@ def _entry_dvs(e) -> list:
     return (e.get("dv") or []) if isinstance(e, dict) else []
 
 
+def _dv_row_candidates(
+    table_dir: str, name: str, dv_paths: list[str]
+) -> set:
+    """The recorded ``file_name`` strings that denote entry ``name``
+    inside its DV sidecars — resolved DRIVER-side from paths alone.
+    A sidecar row records the entry name AS OF ITS WRITE; the current
+    name differs only after a re-rooting (SHALLOW CLONE rewrites entry
+    names to absolute source paths while the source's sidecars keep
+    source-relative names), so the candidates are the current name
+    plus the entry's path relative to each sidecar's own table root
+    (the directory above ``_dv/``). Keying DVs on the full recorded
+    name — never the basename — is what keeps positions file-exact on
+    CONVERTED directories, where Spark's own partitioned writes
+    legally reuse one basename across partition leaves (round-10: the
+    old basename join deleted a twin file's rows)."""
+    cands = {name}
+    ab = os.path.abspath(os.path.join(table_dir, name))
+    marker = os.sep + "_dv" + os.sep
+    for p in dv_paths:
+        full = os.path.abspath(os.path.join(table_dir, p))
+        root = full.split(marker)[0]
+        if ab.startswith(root + os.sep):
+            cands.add(os.path.relpath(ab, root))
+    return cands
+
+
+def _dv_translation(table_dir: str, entries: list) -> list:
+    """Sorted (recorded_name, current_entry_name) pairs for every
+    DV-carrying entry — the broadcast map that normalizes a sidecar
+    scan's recorded names to CURRENT entry names before the exact
+    (file, pos) anti-join. Manifest-sized."""
+    return sorted(
+        {
+            (cand, _entry_name(e))
+            for e in entries
+            if _entry_dvs(e)
+            for cand in _dv_row_candidates(
+                table_dir, _entry_name(e), _entry_dvs(e)
+            )
+        }
+    )
+
+
 def _entry_rows(table_dir: str, e) -> int:
     """Total row count of an entry's data file. Entries written since
     row counts landed in manifests answer from METADATA; pre-existing
@@ -1029,6 +1072,131 @@ def init_table(
             "partition_cols": partition_cols or [],
             **_files_payload_from_full(table_dir, files),
             "schema": df.schema.json() if df is not None else None,
+        },
+        indent=0,
+    )
+    path = _manifest_path(table_dir, 0)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    if not _LOG_STORE.claim(tmp, path):
+        os.unlink(tmp)
+        raise TxConflict("table already initialized")
+    os.unlink(tmp)
+    _write_pointer(table_dir, 0)
+    return 0
+
+
+def convert_to_txlog(
+    spark: SparkSession,
+    table_dir: str,
+    stat_cols: list | None = None,
+    partition_cols: list | None = None,
+) -> int:
+    """Adopt an EXISTING parquet directory as a txlog table IN PLACE
+    (Delta's ``CONVERT TO DELTA``): no data rewrite, no file moves —
+    the v0 manifest simply NAMES the files already there, with rows /
+    bytes / optional min-max ``stats`` read from their footers. The
+    footer pass is a SPARK JOB over the file list (one pyarrow
+    metadata read per file on the executors), so a 100 TB directory
+    converts at cluster parallelism with O(files) driver memory and
+    zero data IO; after conversion every verb — append, MERGE, DV
+    deletes, OPTIMIZE, time travel from v0 — works unchanged.
+
+    Hive ``col=val/`` layouts are auto-detected: the partition
+    columns are derived from the directory segments (and must be
+    consistent across every file); ``partition_cols`` is validation
+    only — pass it to assert the layout you expect. Files with zero
+    rows are left on disk but not adopted (same stance as the write
+    path: phantom entries poison every probe). Refuses a directory
+    that is already a txlog table."""
+    import pyarrow.parquet as _pq  # noqa: F401 (executor import check)
+
+    if os.path.exists(_manifest_path(table_dir, 0)):
+        raise TxConflict(
+            f"{table_dir} is already a txlog table (manifest v0 "
+            "exists) — convert adopts PLAIN parquet directories only"
+        )
+    rel_names: list[str] = []
+    for root, dirs, fnames in os.walk(table_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in fnames:
+            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                continue
+            rel_names.append(
+                os.path.relpath(os.path.join(root, f), table_dir)
+            )
+    if not rel_names:
+        raise ValueError(
+            f"no parquet data files under {table_dir} — nothing to "
+            "convert (use init_table to create an empty table)"
+        )
+    # hive layout: every file must agree on the partition column
+    # sequence (a mix of bare and partitioned files has no single
+    # schema story — refuse rather than guess)
+    derived: list[str] | None = None
+    for name in rel_names:
+        cols = [
+            seg.partition("=")[0]
+            for seg in name.split(os.sep)[:-1]
+            if "=" in seg
+        ]
+        if derived is None:
+            derived = cols
+        elif cols != derived:
+            raise ValueError(
+                f"inconsistent hive layout: {name!r} has partition "
+                f"segments {cols}, earlier files had {derived}"
+            )
+    derived = derived or []
+    if partition_cols is not None and list(partition_cols) != derived:
+        raise ValueError(
+            f"directory layout is partitioned by {derived}, caller "
+            f"asserted {list(partition_cols)}"
+        )
+    # Spark's own reader infers the full schema INCLUDING typed
+    # partition columns — the same types snapshot()'s path-value
+    # casting will reproduce
+    schema_json = spark.read.parquet(table_dir).schema.json()
+
+    base = table_dir
+    cols = list(stat_cols or [])
+
+    def _footers(it):
+        import pyarrow.parquet as pq
+
+        for rel in it:
+            p = os.path.join(base, rel)
+            md = pq.ParquetFile(p).metadata
+            if md.num_rows == 0:
+                continue
+            e = {
+                "name": rel,
+                "rows": md.num_rows,
+                "bytes": os.path.getsize(p),
+            }
+            if cols:
+                e["stats"] = _file_stats(md, cols)
+            yield e
+
+    n_slices = max(1, min(len(rel_names), 256))
+    entries = sorted(
+        spark.sparkContext.parallelize(rel_names, n_slices)
+        .mapPartitions(_footers)
+        .collect(),
+        key=lambda e: e["name"],
+    )
+    os.makedirs(_log_dir(table_dir), exist_ok=True)
+    payload = json.dumps(
+        {
+            "version": 0,
+            "parent": None,
+            "op": "convert",
+            "ts": time.time(),
+            "stat_cols": cols,
+            "partition_cols": derived,
+            **_files_payload_from_full(table_dir, entries),
+            "schema": schema_json,
         },
         indent=0,
     )
@@ -2669,32 +2837,30 @@ def compact_dvs(
     ]
     if not long_chains:
         return parent
-    names = {_entry_name(e) for e in long_chains}
     dv_paths = sorted({p for e in long_chains for p in _entry_dvs(e)})
-    base = lambda s: s.rsplit("/", 1)[-1]  # noqa: E731
-    basenames = {base(n) for n in names}
+    trans = spark.createDataFrame(
+        _dv_translation(table_dir, long_chains),
+        "file_name string, _cur string",
+    )
     folded = (
         spark.read.parquet(
             *[os.path.join(table_dir, p) for p in dv_paths]
         )
         # a sidecar may also hold positions for entries NOT being
-        # folded — keep only the long-chain entries' rows (matching
-        # on the globally-unique basename, as the read path does)
-        .where(
-            F.element_at(F.split(F.col("file_name"), "/"), -1).isin(
-                [b for b in basenames]
-            )
-        )
+        # folded — keep only the long-chain entries' rows, normalizing
+        # recorded names to CURRENT entry names exactly as the read
+        # path does (the fold's output then speaks current names, so
+        # future reads translate by identity)
+        .join(F.broadcast(trans), "file_name")
+        .select(F.col("_cur").alias("file_name"), "pos")
         .distinct()
     )
     sidecar = os.path.join("_dv", f"dv-{uuid.uuid4().hex}")
     folded.write.parquet(os.path.join(table_dir, sidecar))
     per_file = {
-        r["fb"]: r["n"]
+        r["file_name"]: r["n"]
         for r in spark.read.parquet(os.path.join(table_dir, sidecar))
-        .groupBy(
-            F.element_at(F.split(F.col("file_name"), "/"), -1).alias("fb")
-        )
+        .groupBy("file_name")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
@@ -2704,7 +2870,7 @@ def compact_dvs(
         new_e = dict(e) if isinstance(e, dict) else {"name": e}
         new_e["name"] = name
         new_e["dv"] = [sidecar]
-        new_e["dv_n"] = int(per_file.get(base(name), 0))
+        new_e["dv_n"] = int(per_file.get(name, 0))
         removes.append(name)
         adds.append(new_e)
     return _commit_delta(
@@ -4344,10 +4510,19 @@ def snapshot_partition(
 
 def _plain_path_col():
     """``_metadata.file_path`` normalized from URI form (``file:/x`` or
-    ``file:///x``) to a plain absolute path."""
-    return F.regexp_replace(
+    ``file:///x``) to the plain ON-DISK path: scheme stripped AND
+    percent-decoded — the URI encodes any space/':'/'%' that is
+    literal in the on-disk name (hive-escaped dirs like ``grp=a%3Ab``
+    contain a literal '%', reported as ``%253A``), so without the
+    decode the control-plane path join silently DROPPED every row of
+    such files (round-10, surfaced by CONVERT's escaped-partition
+    fixtures). A literal '+' is protected first: ``url_decode`` is
+    form-decoding and would turn it into a space; the URI itself never
+    encodes '+', so the substitution is unambiguous."""
+    uri = F.regexp_replace(
         F.col("_metadata.file_path"), r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"
     )
+    return F.url_decode(F.regexp_replace(uri, r"\+", "%2B"))
 
 
 def _read_entries(
@@ -4471,20 +4646,29 @@ def _read_entries(
         F.col("_metadata.row_index").alias("_row_pos"),
     ).join(F.broadcast(path_map), "_abs_path").drop("_abs_path")
     if dv_paths:
-        # join on the BASENAME: data files are part-<uuid>.parquet, so
-        # basenames are globally unique, and this keeps a sidecar valid
-        # across re-rooted references (a clone's absolute entry names
-        # vs the source sidecar's source-relative file_name)
-        base = lambda c: F.element_at(F.split(c, "/"), -1)  # noqa: E731
-        dv = spark.read.parquet(
-            *[os.path.join(table_dir, p) for p in dv_paths]
-        ).select(
-            base(F.col("file_name")).alias("_dv_base"),
-            F.col("pos").alias("_row_pos"),
+        # EXACT file keying: recorded names normalize to CURRENT entry
+        # names through the manifest-derived candidate map (identity
+        # everywhere except across a clone's re-rooting — see
+        # _dv_row_candidates). The map is manifest-sized and broadcast;
+        # the old basename reduction mis-keyed CONVERTED directories,
+        # where one basename legally recurs across partition leaves.
+        trans = spark.createDataFrame(
+            _dv_translation(table_dir, entries),
+            "file_name string, _dv_name string",
         )
-        keyed = keyed.withColumn(
-            "_dv_base", base(F.col("_file_name"))
-        ).join(dv, ["_dv_base", "_row_pos"], "left_anti").drop("_dv_base")
+        dv = (
+            spark.read.parquet(
+                *[os.path.join(table_dir, p) for p in dv_paths]
+            )
+            .join(F.broadcast(trans), "file_name")
+            .select(
+                F.col("_dv_name").alias("_file_name"),
+                F.col("pos").alias("_row_pos"),
+            )
+        )
+        keyed = keyed.join(
+            dv, ["_file_name", "_row_pos"], "left_anti"
+        )
     if keep_rid:
         keyed = keyed.withColumn(
             "_row_id",

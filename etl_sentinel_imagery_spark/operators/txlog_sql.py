@@ -49,6 +49,8 @@ Supported grammar (case-insensitive keywords)::
     VACUUM t [RETAIN n HOURS] [DRY RUN]
     CREATE TABLE t [PARTITIONED BY (c1, ...)] AS <select ...>
     CREATE TABLE t SHALLOW CLONE src
+    CONVERT TO TXLOG `dir` [PARTITIONED BY (c1[, ...])]
+    REORG TABLE t [WHERE col = val [AND ...]] APPLY (PURGE)
     SHOW TBLPROPERTIES t
     TRUNCATE TABLE t
     RESTORE TABLE t TO VERSION AS OF n
@@ -255,6 +257,7 @@ def _parse_table_ref(s: str) -> tuple[str, str, str]:
         "using", "on", "when", "set", "where", "values", "select",
         "retain", "dry", "then", "partitioned", "as", "to", "add",
         "drop", "rename", "unset", "zorder", "partition", "shallow",
+        "apply",
     }
     if am and am.group(1).lower() not in reserved:
         return ref, am.group(1), rest[am.end():].strip()
@@ -899,6 +902,68 @@ def _do_truncate(spark, stmt, tables):
     return truncate_table(_table_dir(tref, tables))
 
 
+def _do_convert(spark, stmt, tables):
+    # Delta's CONVERT TO DELTA: adopt an existing parquet directory
+    # in place — zero data IO, the v0 manifest names the files that
+    # are already there (footer pass distributed as a Spark job).
+    # PARTITIONED BY is validation only: the hive layout is derived
+    # from the paths; naming it asserts what you expect to find.
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        convert_to_txlog,
+    )
+
+    body = _split_kw(stmt, "CONVERT TO TXLOG")[1]
+    tref, _alias, rest = _parse_table_ref(body)
+    pcols = None
+    pm = re.match(
+        r"PARTITIONED\s+BY\s*(?=\()", rest, re.IGNORECASE
+    )
+    if pm:
+        tail = rest[pm.end():]
+        i = _paren_span(tail)
+        pcols = [
+            c.split()[0].split(".")[-1]  # tolerate Delta's "col type"
+            for c in _split_commas(tail[1:i])
+        ]
+        rest = tail[i + 1:].strip()
+    if rest:
+        raise TxSqlError(
+            f"unexpected tokens after CONVERT TO TXLOG: {rest!r}"
+        )
+    return convert_to_txlog(
+        spark, _table_dir(tref, tables), partition_cols=pcols
+    )
+
+
+def _do_reorg(spark, stmt, tables):
+    # Delta's REORG TABLE ... APPLY (PURGE): rewrite ONLY the files
+    # carrying deletion vectors, materializing the soft deletes into
+    # physical absence (the GDPR hard-delete pass). Routing target:
+    # optimize_small_files with small_bytes=0 selects exactly the
+    # DV-carrying files — content-neutral one-commit rewrite the
+    # change feed skips like any other maintenance op.
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        optimize_small_files,
+    )
+
+    body = _split_kw(stmt, "REORG TABLE")[1]
+    tref, _alias, rest = _parse_table_ref(body)
+    ap = _split_kw(rest, "APPLY")
+    if ap is None or not re.match(
+        r"\(\s*PURGE\s*\)\s*$", ap[1].strip(), re.IGNORECASE
+    ):
+        raise TxSqlError(
+            "REORG TABLE t [WHERE col = val] APPLY (PURGE), got "
+            f"{rest!r}"
+        )
+    wh = _split_kw(ap[0], "WHERE")
+    part = None if wh is None else _partition_pred(wh[1])
+    return optimize_small_files(
+        spark, _table_dir(tref, tables), small_bytes=0,
+        partition=part, include_dv=True,
+    )
+
+
 def _do_restore(spark, stmt, tables):
     from etl_sentinel_imagery_spark.operators.txlog import restore
 
@@ -1046,6 +1111,8 @@ _HANDLERS = [
     ("OPTIMIZE", _do_optimize),
     ("VACUUM", _do_vacuum),
     ("CREATE TABLE", _do_create),
+    ("CONVERT TO TXLOG", _do_convert),
+    ("REORG TABLE", _do_reorg),
     ("TRUNCATE TABLE", _do_truncate),
     ("RESTORE TABLE", _do_restore),
     ("ALTER TABLE", _do_alter),
@@ -1106,7 +1173,8 @@ def tx_sql(
             return fn(spark, stmt, tables)
     raise TxSqlError(
         "unsupported statement (MERGE INTO / UPDATE / DELETE FROM / "
-        "INSERT INTO / OPTIMIZE / VACUUM / CREATE TABLE / TRUNCATE "
-        "TABLE / RESTORE TABLE / ALTER TABLE / DESCRIBE): "
+        "INSERT INTO / OPTIMIZE / VACUUM / CREATE TABLE / CONVERT TO "
+        "TXLOG / REORG TABLE / TRUNCATE TABLE / RESTORE TABLE / "
+        "ALTER TABLE / DESCRIBE): "
         f"{stmt[:60]!r}"
     )

@@ -485,11 +485,18 @@ def _partition_values(name: str) -> dict[str, str | None]:
 
 def _dv_positions(table_dir: str, name: str, dv_paths: list[str]) -> set:
     """Row positions deleted from ``name`` across a sidecar chain.
-    Joined on basename: data files are part-<uuid>.parquet, globally
-    unique (the same contract as the DataFrame read path)."""
+    Matched on the FULL recorded name via the same candidate set the
+    DataFrame read path uses (``txlog._dv_row_candidates``): exact on
+    converted directories where basenames legally recur across
+    partition leaves, and still valid across a clone's re-rooted
+    entry names."""
     import pyarrow.parquet as pq
 
-    base = os.path.basename(name)
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        _dv_row_candidates,
+    )
+
+    cands = _dv_row_candidates(table_dir, name, dv_paths)
     drop: set[int] = set()
     for p in dv_paths:
         t = pq.read_table(
@@ -499,7 +506,7 @@ def _dv_positions(table_dir: str, name: str, dv_paths: list[str]) -> set:
             t.column("file_name").to_pylist(),
             t.column("pos").to_pylist(),
         ):
-            if os.path.basename(fn) == base:
+            if fn in cands:
                 drop.add(pos)
     return drop
 
