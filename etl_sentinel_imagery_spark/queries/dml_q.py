@@ -193,7 +193,44 @@ def _txlog_dml_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("price").alias("max_bal"),
         )
     )
-    return cust_agg.unionByName(feed_agg).unionByName(li_agg)
+    # round-10: CONVERT TO TXLOG + REORG APPLY (PURGE) under the
+    # gate — nation written as a PLAIN hive-partitioned parquet dir
+    # (duplicate basenames across leaves by construction: one write
+    # job's tasks reuse their part-N name in every leaf), adopted in
+    # place with zero data IO, DV-deleted through SQL, then purged;
+    # REORG is content-neutral by contract, so one aggregate proves
+    # the adoption, the exact full-name DV keying, AND the rewrite.
+    dn = os.path.join(tempfile.mkdtemp(prefix="txdml_"), "nat")
+    spark.sql(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    ).repartition(2).write.partitionBy("n_regionkey").parquet(dn)
+    tables["nat"] = dn
+    tx_sql(
+        spark,
+        f"CONVERT TO TXLOG `{dn}` PARTITIONED BY (n_regionkey)",
+        tables,
+    )
+    tx_sql(spark, "DELETE FROM nat WHERE n_nationkey % 3 = 0", tables)
+    tx_sql(spark, "REORG TABLE nat APPLY (PURGE)", tables)
+    nat_agg = (
+        snapshot(spark, dn)
+        .groupBy(
+            (F.col("n_regionkey") + F.lit(200))
+            .cast("int")
+            .alias("c_nationkey")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_nationkey").cast("long").alias("total_bal"),
+            F.min("n_nationkey").cast("long").alias("min_bal"),
+            F.max("n_nationkey").cast("long").alias("max_bal"),
+        )
+    )
+    return (
+        cust_agg.unionByName(feed_agg)
+        .unionByName(li_agg)
+        .unionByName(nat_agg)
+    )
 
 
 # The oracle replays the same statement sequence as relational algebra:
@@ -367,6 +404,17 @@ SELECT CAST(l_linenumber + 100 AS INTEGER) AS c_nationkey,
        CAST(MAX(price) AS BIGINT) AS max_bal
 FROM li_final
 GROUP BY l_linenumber
+UNION ALL
+-- round-10 CONVERT/REORG leg: adoption + DV delete + purge replay
+-- to a plain filter (the purge is content-neutral by contract, so
+-- the oracle needs only the post-DELETE state)
+SELECT CAST(n_regionkey + 200 AS INTEGER) AS c_nationkey,
+       COUNT(*) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS total_bal,
+       CAST(MIN(n_nationkey) AS BIGINT) AS min_bal,
+       CAST(MAX(n_nationkey) AS BIGINT) AS max_bal
+FROM nation WHERE n_nationkey % 3 <> 0
+GROUP BY n_regionkey
 """
 
 
@@ -378,6 +426,7 @@ QUERIES: dict[str, Q] = {
         "INSERT, NOT MATCHED BY SOURCE, composite ON keys over "
         "lineitem's natural key) + OPTIMIZE; post-state AND the "
         "table_changes feed (per-_change_type deltas incl. exceptAll "
-        "netting) vs a relational replay",
+        "netting) vs a relational replay; round-10: CONVERT TO TXLOG "
+        "of a hive parquet dir + DV DELETE + REORG APPLY (PURGE)",
     ),
 }
