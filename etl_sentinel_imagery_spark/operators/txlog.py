@@ -5627,6 +5627,95 @@ def _prop(table_dir: str, key: str, default, cast=float):
     return default if v is None else cast(v)
 
 
+_DEFAULT_PROP = "default."
+
+
+def _field_type(table_dir: str, col: str, version: int | None = None):
+    """A column's Spark DataType from the recorded schema, or raise."""
+    from pyspark.sql.types import StructType
+
+    sj = resolve_schema(table_dir, version)
+    if not sj:
+        raise ValueError(
+            f"{table_dir} has no recorded schema (seed it first)"
+        )
+    body = json.loads(sj)
+    fields = {f["name"]: f for f in body["fields"]}
+    if col not in fields:
+        raise ValueError(
+            f"{col!r} is not a column of this table "
+            f"(columns: {sorted(fields)})"
+        )
+    return StructType.fromJson(
+        {"type": "struct", "fields": [fields[col]]}
+    )[col].dataType
+
+
+def set_column_default(
+    spark: SparkSession, table_dir: str, col: str, expr: str
+) -> int:
+    """``ALTER TABLE t ALTER COLUMN col SET DEFAULT expr`` — stored as
+    the table property ``default.<col>`` so it inherits the property
+    map's whole lifecycle for free (versioned resolution, checkpoint
+    embedding, truncate_history horizon; Delta keeps the same fact in
+    column metadata — the property map is this engine's equivalent
+    metadata channel). Applied by the SQL INSERT paths when the column
+    is OMITTED from the statement; the Python ``append`` verb keeps
+    its documented NULL-fill schema-merge semantics, matching Delta's
+    own DataFrame-write behavior.
+
+    The expression must be self-contained (no column references) and
+    parse/cast to the column's recorded type — validated here by
+    ANALYZING it over a zero-column frame (no job runs), so a typo
+    fails at SET time, not at the first insert."""
+    dt = _field_type(table_dir, col)
+    probe = spark.range(1).drop("id")
+    try:
+        probe.select(F.expr(expr).cast(dt)).schema
+    except Exception as e:  # noqa: BLE001 — analysis error surface
+        raise ValueError(
+            f"DEFAULT for {col!r} must be a self-contained expression "
+            f"castable to {dt.simpleString()}: {e}"
+        ) from None
+    return set_properties(table_dir, {f"{_DEFAULT_PROP}{col}": expr})
+
+
+def drop_column_default(table_dir: str, col: str) -> int:
+    """``ALTER TABLE t ALTER COLUMN col DROP DEFAULT`` — omitted
+    columns go back to NULL-filling."""
+    return set_properties(table_dir, {f"{_DEFAULT_PROP}{col}": None})
+
+
+def resolve_column_defaults(
+    table_dir: str, version: int | None = None
+) -> dict:
+    """{column: default expression} in force at ``version``."""
+    return {
+        k[len(_DEFAULT_PROP):]: v
+        for k, v in resolve_properties(table_dir, version).items()
+        if k.startswith(_DEFAULT_PROP)
+    }
+
+
+def apply_column_defaults(
+    spark: SparkSession, table_dir: str, df: DataFrame
+) -> DataFrame:
+    """Fill columns the incoming frame OMITS with their declared
+    defaults (cast to the recorded column type). Columns present in
+    the frame — even as NULL — are untouched: a default is a fallback
+    for absence, not a NULL-coalesce (Delta's INSERT semantics)."""
+    defaults = resolve_column_defaults(table_dir)
+    for col, expr in defaults.items():
+        if col in df.columns:
+            continue
+        try:
+            dt = _field_type(table_dir, col)
+        except ValueError:
+            continue  # default for a since-dropped column: inert
+        df = df.withColumn(col, F.expr(expr).cast(dt))
+    return df
+
+
 def _enforce_constraints(df: DataFrame, cons: dict) -> None:
     """Raise :class:`ConstraintViolation` if any row of ``df`` fails
     any predicate — ONE scan for all constraints (a conjunction of

@@ -60,6 +60,8 @@ Supported grammar (case-insensitive keywords)::
     ALTER TABLE t DROP CONSTRAINT name
     ALTER TABLE t RENAME COLUMN a TO b
     ALTER TABLE t DROP COLUMN c
+    ALTER TABLE t ALTER COLUMN c SET DEFAULT <expr>
+    ALTER TABLE t ALTER COLUMN c DROP DEFAULT
     DESCRIBE HISTORY t
     DESCRIBE DETAIL t
 
@@ -257,7 +259,7 @@ def _parse_table_ref(s: str) -> tuple[str, str, str]:
         "using", "on", "when", "set", "where", "values", "select",
         "retain", "dry", "then", "partitioned", "as", "to", "add",
         "drop", "rename", "unset", "zorder", "partition", "shallow",
-        "apply",
+        "apply", "alter",
     }
     if am and am.group(1).lower() not in reserved:
         return ref, am.group(1), rest[am.end():].strip()
@@ -704,13 +706,23 @@ def _parse_insert_body(spark, rest: str, table_dir: str):
 
 
 def _do_insert(spark, stmt, tables):
-    from etl_sentinel_imagery_spark.operators.txlog import append
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        append,
+        apply_column_defaults,
+    )
 
     body = _split_kw(stmt, "INSERT INTO")[1]
     tref, _alias, rest = _parse_table_ref(body)
     table_dir = _table_dir(tref, tables)
+    # declared column defaults fill OMITTED columns (SQL INSERT
+    # semantics; the Python append verb keeps NULL-fill, like Delta's
+    # own DataFrame writes)
     return append(
-        spark, table_dir, _parse_insert_body(spark, rest, table_dir)
+        spark,
+        table_dir,
+        apply_column_defaults(
+            spark, table_dir, _parse_insert_body(spark, rest, table_dir)
+        ),
     )
 
 
@@ -732,10 +744,16 @@ def _do_insert_overwrite(spark, stmt, tables):
         part = _partition_pred(tail[1:i])
         rest = tail[i + 1:].strip()
     table_dir = _table_dir(tref, tables)
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        apply_column_defaults,
+    )
+
     return overwrite_table(
         spark,
         table_dir,
-        _parse_insert_body(spark, rest, table_dir),
+        apply_column_defaults(
+            spark, table_dir, _parse_insert_body(spark, rest, table_dir)
+        ),
         partition=part,
     )
 
@@ -1060,9 +1078,34 @@ def _do_alter(spark, stmt, tables):
         )
 
         return add_column(d, m.group(1), m.group(2))
+    m = re.match(
+        r"ALTER\s+COLUMN\s+(" + _IDENT + r")\s+SET\s+DEFAULT\s+(.+)$",
+        rest,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        from etl_sentinel_imagery_spark.operators.txlog import (
+            set_column_default,
+        )
+
+        return set_column_default(
+            spark, d, m.group(1), m.group(2).strip()
+        )
+    m = re.match(
+        r"ALTER\s+COLUMN\s+(" + _IDENT + r")\s+DROP\s+DEFAULT\s*$",
+        rest,
+        re.IGNORECASE,
+    )
+    if m:
+        from etl_sentinel_imagery_spark.operators.txlog import (
+            drop_column_default,
+        )
+
+        return drop_column_default(d, m.group(1))
     raise TxSqlError(
         "ALTER TABLE supports SET/UNSET TBLPROPERTIES, ADD/DROP "
-        "CONSTRAINT, ADD COLUMN, RENAME COLUMN, DROP COLUMN; got "
+        "CONSTRAINT, ADD COLUMN, RENAME COLUMN, DROP COLUMN, "
+        "ALTER COLUMN c SET/DROP DEFAULT; got "
         f"{rest[:60]!r}"
     )
 

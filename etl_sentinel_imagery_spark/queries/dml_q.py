@@ -125,6 +125,21 @@ def _txlog_dml_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "INSERT INTO cust VALUES (9000001, CAST(5 AS INT), 123456)",
         tables,
     )
+    # round-10: column DEFAULTs under the gate — declared as metadata,
+    # applied by an INSERT that OMITS the column; the defaulted row
+    # then rides every later statement (the by-source MERGE leg
+    # negates it), so the hash proves the fill value end to end
+    tx_sql(
+        spark,
+        "ALTER TABLE cust ALTER COLUMN bal SET DEFAULT 31337",
+        tables,
+    )
+    tx_sql(
+        spark,
+        "INSERT INTO cust (c_custkey, c_nationkey) "
+        "VALUES (9000002, CAST(6 AS INT))",
+        tables,
+    )
     tx_sql(spark, _UPDATE, tables)
     tx_sql(spark, _DELETE, tables)
     spark.sql(_SRC_SQL).createOrReplaceTempView("dml_src")
@@ -248,6 +263,10 @@ WITH base AS (
     -- custkey and any synthetic merge-source key)
     SELECT CAST(9000001 AS BIGINT), CAST(5 AS INTEGER),
            CAST(123456 AS BIGINT)
+    UNION ALL
+    -- the column-DEFAULT insert: bal omitted, filled with 31337
+    SELECT CAST(9000002 AS BIGINT), CAST(6 AS INTEGER),
+           CAST(31337 AS BIGINT)
 ),
 u1 AS (
     SELECT c_custkey, c_nationkey,
@@ -310,6 +329,8 @@ final AS (
 -- content-neutral and contribute nothing
 feed AS (
     SELECT 'insert' AS ct, CAST(123456 AS BIGINT) AS bal
+    UNION ALL
+    SELECT 'insert', CAST(31337 AS BIGINT)
     UNION ALL
     SELECT 'delete', bal FROM base WHERE c_nationkey < 5
     UNION ALL
