@@ -5669,6 +5669,12 @@ def set_column_default(
     ANALYZING it over a zero-column frame (no job runs), so a typo
     fails at SET time, not at the first insert."""
     dt = _field_type(table_dir, col)
+    if f"{_GENERATED_PROP}{col}" in resolve_properties(table_dir):
+        raise ValueError(
+            f"{col!r} is GENERATED ALWAYS AS — it computes its own "
+            "value; a DEFAULT cannot apply (drop the generation "
+            "expression first)"
+        )
     probe = spark.range(1).drop("id")
     try:
         probe.select(F.expr(expr).cast(dt)).schema
@@ -5713,6 +5719,114 @@ def apply_column_defaults(
         except ValueError:
             continue  # default for a since-dropped column: inert
         df = df.withColumn(col, F.expr(expr).cast(dt))
+    return df
+
+
+_GENERATED_PROP = "generated."
+
+
+class GeneratedColumnViolation(ValueError):
+    """A write supplied a generated column value that contradicts its
+    generation expression."""
+
+
+def set_generated_column(
+    spark: SparkSession, table_dir: str, col: str, expr: str
+) -> int:
+    """Declare ``col`` GENERATED ALWAYS AS (``expr``) — Delta's
+    expression-generated columns, completing the column-facilities
+    triple beside GENERATED IDENTITY (``enable_identity``) and
+    DEFAULT (``set_column_default``). Stored as the table property
+    ``generated.<col>`` (versioned / checkpointed / horizon-carried by
+    the property machinery). Writes through the SQL INSERT paths
+    COMPUTE the column when omitted and ENFORCE it when supplied
+    (null-safe equality against the expression — Delta's contract);
+    the Python verbs compose via :func:`apply_generated_columns`.
+
+    The expression may reference the table's OTHER columns; it is
+    validated here by analysis over an empty frame in the recorded
+    schema minus ``col`` (self-reference fails, a typo fails at SET
+    time). Partition-filter derivation from generation expressions is
+    NOT implemented — queries should filter on the generated column
+    directly (it carries stats like any other column)."""
+    from pyspark.sql.types import StructType
+
+    dt = _field_type(table_dir, col)
+    if f"{_DEFAULT_PROP}{col}" in resolve_properties(table_dir):
+        raise ValueError(
+            f"{col!r} already has a DEFAULT — a generated column "
+            "computes its own value; drop the default first"
+        )
+    sj = resolve_schema(table_dir)
+    body = json.loads(sj)
+    others = StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [f for f in body["fields"] if f["name"] != col],
+        }
+    )
+    probe = spark.createDataFrame([], others)
+    try:
+        probe.select(F.expr(expr).cast(dt)).schema
+    except Exception as e:  # noqa: BLE001 — analysis error surface
+        raise ValueError(
+            f"GENERATED expression for {col!r} must reference only "
+            f"the table's other columns and cast to "
+            f"{dt.simpleString()}: {e}"
+        ) from None
+    return set_properties(table_dir, {f"{_GENERATED_PROP}{col}": expr})
+
+
+def drop_generated_column(table_dir: str, col: str) -> int:
+    """Remove ``col``'s generation expression — it becomes a plain
+    column (existing values keep; writes stop computing/enforcing)."""
+    return set_properties(table_dir, {f"{_GENERATED_PROP}{col}": None})
+
+
+def resolve_generated_columns(
+    table_dir: str, version: int | None = None
+) -> dict:
+    """{column: generation expression} in force at ``version``."""
+    return {
+        k[len(_GENERATED_PROP):]: v
+        for k, v in resolve_properties(table_dir, version).items()
+        if k.startswith(_GENERATED_PROP)
+    }
+
+
+def apply_generated_columns(
+    spark: SparkSession, table_dir: str, df: DataFrame
+) -> DataFrame:
+    """COMPUTE omitted generated columns and ENFORCE supplied ones
+    (one combined delta-sized scan, the constraint-check cost stance):
+    a supplied value that differs from its expression under null-safe
+    equality raises :class:`GeneratedColumnViolation` — silently
+    keeping it would fork the column from its declared derivation."""
+    gens = resolve_generated_columns(table_dir)
+    if not gens:
+        return df
+    checks = []
+    for col, expr in gens.items():
+        try:
+            dt = _field_type(table_dir, col)
+        except ValueError:
+            continue  # since-dropped column: inert
+        want = F.expr(expr).cast(dt)
+        if col in df.columns:
+            checks.append((col, ~F.col(col).eqNullSafe(want)))
+        else:
+            df = df.withColumn(col, want)
+    if checks:
+        cond = checks[0][1]
+        for _c, f in checks[1:]:
+            cond = cond | f
+        row = df.filter(cond).limit(1).collect()
+        if row:
+            raise GeneratedColumnViolation(
+                f"supplied value contradicts GENERATED ALWAYS AS for "
+                f"column(s) {[c for c, _ in checks]}; offending row: "
+                f"{row[0].asDict()}"
+            )
     return df
 
 

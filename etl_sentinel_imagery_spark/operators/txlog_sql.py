@@ -62,6 +62,8 @@ Supported grammar (case-insensitive keywords)::
     ALTER TABLE t DROP COLUMN c
     ALTER TABLE t ALTER COLUMN c SET DEFAULT <expr>
     ALTER TABLE t ALTER COLUMN c DROP DEFAULT
+    ALTER TABLE t ALTER COLUMN c SET GENERATED ALWAYS AS (<expr>)
+    ALTER TABLE t ALTER COLUMN c DROP GENERATED
     DESCRIBE HISTORY t
     DESCRIBE DETAIL t
 
@@ -717,11 +719,20 @@ def _do_insert(spark, stmt, tables):
     # declared column defaults fill OMITTED columns (SQL INSERT
     # semantics; the Python append verb keeps NULL-fill, like Delta's
     # own DataFrame writes)
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        apply_generated_columns,
+    )
+
     return append(
         spark,
         table_dir,
-        apply_column_defaults(
-            spark, table_dir, _parse_insert_body(spark, rest, table_dir)
+        apply_generated_columns(
+            spark,
+            table_dir,
+            apply_column_defaults(
+                spark, table_dir,
+                _parse_insert_body(spark, rest, table_dir),
+            ),
         ),
     )
 
@@ -748,11 +759,20 @@ def _do_insert_overwrite(spark, stmt, tables):
         apply_column_defaults,
     )
 
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        apply_generated_columns,
+    )
+
     return overwrite_table(
         spark,
         table_dir,
-        apply_column_defaults(
-            spark, table_dir, _parse_insert_body(spark, rest, table_dir)
+        apply_generated_columns(
+            spark,
+            table_dir,
+            apply_column_defaults(
+                spark, table_dir,
+                _parse_insert_body(spark, rest, table_dir),
+            ),
         ),
         partition=part,
     )
@@ -1102,10 +1122,43 @@ def _do_alter(spark, stmt, tables):
         )
 
         return drop_column_default(d, m.group(1))
+    m = re.match(
+        r"ALTER\s+COLUMN\s+(" + _IDENT
+        + r")\s+SET\s+GENERATED\s+ALWAYS\s+AS\s*(?=\()",
+        rest,
+        re.IGNORECASE,
+    )
+    if m:
+        from etl_sentinel_imagery_spark.operators.txlog import (
+            set_generated_column,
+        )
+
+        inner = rest[m.end():]
+        i = _paren_span(inner)
+        if inner[i + 1:].strip():
+            raise TxSqlError(
+                f"unexpected tokens after GENERATED ALWAYS AS: "
+                f"{inner[i + 1:]!r}"
+            )
+        return set_generated_column(
+            spark, d, m.group(1), inner[1:i].strip()
+        )
+    m = re.match(
+        r"ALTER\s+COLUMN\s+(" + _IDENT + r")\s+DROP\s+GENERATED\s*$",
+        rest,
+        re.IGNORECASE,
+    )
+    if m:
+        from etl_sentinel_imagery_spark.operators.txlog import (
+            drop_generated_column,
+        )
+
+        return drop_generated_column(d, m.group(1))
     raise TxSqlError(
         "ALTER TABLE supports SET/UNSET TBLPROPERTIES, ADD/DROP "
         "CONSTRAINT, ADD COLUMN, RENAME COLUMN, DROP COLUMN, "
-        "ALTER COLUMN c SET/DROP DEFAULT; got "
+        "ALTER COLUMN c SET/DROP DEFAULT, ALTER COLUMN c SET "
+        "GENERATED ALWAYS AS (expr) / DROP GENERATED; got "
         f"{rest[:60]!r}"
     )
 
