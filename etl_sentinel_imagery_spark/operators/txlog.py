@@ -3700,6 +3700,7 @@ def optimize_small_files(
         leaves.setdefault(leaf, []).append(e)
     removes: list[str] = []
     new_names: list = []
+    rewrite: dict[str, tuple[list, int]] = {}
     for leaf in sorted(leaves):
         es = leaves[leaf]
         if len(es) < 2 and not any(_entry_dvs(e) for e in es):
@@ -3708,6 +3709,9 @@ def optimize_small_files(
             1,
             -(-sum(_entry_bytes(table_dir, e) for e in es) // target_bytes),
         )
+        rewrite[leaf] = (es, n_out)
+    if len(rewrite) == 1:
+        ((leaf, (es, n_out)),) = rewrite.items()
         packed = _read_entries(
             spark, table_dir, es, parent, keep_rid=bool(rt)
         )
@@ -3725,6 +3729,63 @@ def optimize_small_files(
                 e["rid"] = True
         new_names += written
         removes += [_entry_name(e) for e in es]
+    elif rewrite:
+        # ONE read + ONE partitioned write for EVERY touched leaf
+        # (round-10): the old per-leaf loop ran O(leaves) sequential
+        # Spark-job pairs from the driver — 2 jobs per leaf is fine
+        # for a handful, a serial wall at a thousand-leaf REORG. Rows
+        # route to their leaf by the hive partition columns the read
+        # re-derives; per-leaf output counts come from a hash bin
+        # (deterministic on file identity + row position) joined from
+        # a leaf→n_out broadcast map. Bin counts are size-TARGETED,
+        # not exact: two bins hashing into one task merge into one
+        # larger file — same contract as AQE coalescing, and exact in
+        # the n_out=1 purge case that dominates.
+        all_es = [e for es, _ in rewrite.values() for e in es]
+        packed = _read_entries(
+            spark, table_dir, all_es, parent,
+            keep_pos=True, keep_rid=bool(rt),
+        )
+        bins = spark.createDataFrame(
+            [(lf, n) for lf, (_es, n) in rewrite.items()],
+            "_leaf string, _n_out int",
+        )
+        data_cols = [
+            c for c in packed.columns
+            if c not in ("_file_name", "_row_pos")
+        ]
+        total = sum(n for _es, n in rewrite.values())
+        packed = (
+            packed.withColumn(
+                "_leaf",
+                F.expr(
+                    "slice(split(_file_name, '/'), 1, "
+                    "size(split(_file_name, '/')) - 1)"
+                ),
+            )
+            .withColumn("_leaf", F.array_join(F.col("_leaf"), "/"))
+            .join(F.broadcast(bins), "_leaf")
+            .withColumn(
+                "_bin",
+                F.pmod(
+                    F.hash(F.col("_file_name"), F.col("_row_pos")),
+                    F.col("_n_out"),
+                ),
+            )
+            .repartition(total, F.col("_leaf"), F.col("_bin"))
+            .select(*data_cols)
+        )
+        written = _move_in_data_files(
+            spark, table_dir, packed, stat_cols,
+            partition_cols=partition_cols,
+        )
+        if rt:
+            for e in written:
+                e["rid"] = True
+        new_names += written
+        removes += [
+            _entry_name(e) for es, _n in rewrite.values() for e in es
+        ]
     stats = {
         "files_considered": considered,
         "files_rewritten": len(removes),
