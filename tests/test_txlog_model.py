@@ -63,6 +63,10 @@ OP = st.one_of(
     # matching over (doc_id, val) — val doubles as the second key)
     st.tuples(st.just("truncate"), st.just(0)),
     st.tuples(st.just("merge_composite"), st.integers(0, 10**6)),
+    # round-10 verb: REORG APPLY (PURGE) — DV materialization is
+    # content-neutral; rows, time travel, and the CDF fold must
+    # survive it at any sequence position
+    st.tuples(st.just("reorg"), st.just(0)),
 )
 
 
@@ -247,6 +251,8 @@ def test_random_op_sequences_match_reference_model(
                 }
             )
             model.update(rows)
+        elif kind == "reorg":
+            optimize_small_files(spark, t, small_bytes=0)
         elif kind == "restore":
             target = sorted(states)[seed % len(states)]
             restore(spark, t, target)
