@@ -5981,6 +5981,51 @@ def _cast_partition_value(v: str | None, type_name):
     return v
 
 
+def show_partitions(
+    table_dir: str, version: int | None = None
+) -> list[dict]:
+    """``SHOW PARTITIONS`` from METADATA alone: the distinct hive
+    partition-value combinations among live entries with live rows
+    (a fully-DV-deleted file's values do not resurface), typed via
+    the recorded schema — no directory listing, no data IO. Sorted
+    for determinism."""
+    m = read_manifest(table_dir, version)
+    pcols = m.get("partition_cols") or []
+    if not pcols:
+        raise ValueError(
+            f"{table_dir} is not a partitioned table"
+        )
+    types = {}
+    sj = resolve_schema(table_dir, version)
+    if sj:
+        for f in json.loads(sj)["fields"]:
+            if f["name"] in pcols and isinstance(f["type"], str):
+                types[f["name"]] = f["type"]
+    from urllib.parse import unquote
+
+    seen = set()
+    for e in resolve_files(table_dir, version):
+        dv_n = int(e.get("dv_n", 0)) if isinstance(e, dict) else 0
+        if _entry_rows(table_dir, e) - dv_n <= 0:
+            continue
+        vals = {}
+        for seg in _entry_name(e).split(os.sep)[:-1]:
+            c, sep, raw = seg.partition("=")
+            if sep and c in pcols:
+                v = (
+                    None
+                    if raw == _HIVE_DEFAULT_PARTITION
+                    else unquote(raw)
+                )
+                vals[c] = _cast_partition_value(v, types.get(c))
+        if len(vals) == len(pcols):
+            seen.add(tuple(vals[c] for c in pcols))
+    return [
+        dict(zip(pcols, t))
+        for t in sorted(seen, key=lambda t: tuple(map(str, t)))
+    ]
+
+
 def metadata_minmax(
     table_dir: str, col: str, version: int | None = None
 ) -> dict:

@@ -48,10 +48,13 @@ Supported grammar (case-insensitive keywords)::
     OPTIMIZE t [WHERE col = val [AND ...]]
     VACUUM t [RETAIN n HOURS] [DRY RUN]
     CREATE TABLE t [PARTITIONED BY (c1, ...)] AS <select ...>
+    CREATE TABLE t (col type[, ...]) [PARTITIONED BY (c1, ...)]
     CREATE TABLE t SHALLOW CLONE src
     CONVERT TO TXLOG `dir` [PARTITIONED BY (c1[, ...])]
     REORG TABLE t [WHERE col = val [AND ...]] APPLY (PURGE)
     SHOW TBLPROPERTIES t
+    SHOW PARTITIONS t
+    ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS c1[, ...]
     TRUNCATE TABLE t
     RESTORE TABLE t TO VERSION AS OF n
     ALTER TABLE t SET TBLPROPERTIES ('k' = v, ...)
@@ -64,6 +67,8 @@ Supported grammar (case-insensitive keywords)::
     ALTER TABLE t ALTER COLUMN c DROP DEFAULT
     ALTER TABLE t ALTER COLUMN c SET GENERATED ALWAYS AS (<expr>)
     ALTER TABLE t ALTER COLUMN c DROP GENERATED
+    ALTER TABLE t ALTER COLUMN c SET GENERATED ALWAYS AS IDENTITY
+        [START WITH n]
     DESCRIBE HISTORY t
     DESCRIBE DETAIL t
 
@@ -261,7 +266,7 @@ def _parse_table_ref(s: str) -> tuple[str, str, str]:
         "using", "on", "when", "set", "where", "values", "select",
         "retain", "dry", "then", "partitioned", "as", "to", "add",
         "drop", "rename", "unset", "zorder", "partition", "shallow",
-        "apply", "alter",
+        "apply", "alter", "compute",
     }
     if am and am.group(1).lower() not in reserved:
         return ref, am.group(1), rest[am.end():].strip()
@@ -716,25 +721,34 @@ def _do_insert(spark, stmt, tables):
     body = _split_kw(stmt, "INSERT INTO")[1]
     tref, _alias, rest = _parse_table_ref(body)
     table_dir = _table_dir(tref, tables)
-    # declared column defaults fill OMITTED columns (SQL INSERT
-    # semantics; the Python append verb keeps NULL-fill, like Delta's
-    # own DataFrame writes)
     from etl_sentinel_imagery_spark.operators.txlog import (
+        append_identity,
         apply_generated_columns,
+        resolve_identity,
     )
 
-    return append(
+    # declared column defaults fill OMITTED columns (SQL INSERT
+    # semantics; the Python append verb keeps NULL-fill, like Delta's
+    # own DataFrame writes); generated columns compute-or-enforce on
+    # top; identity tables route to the assigning append
+    df = apply_generated_columns(
         spark,
         table_dir,
-        apply_generated_columns(
-            spark,
-            table_dir,
-            apply_column_defaults(
-                spark, table_dir,
-                _parse_insert_body(spark, rest, table_dir),
-            ),
+        apply_column_defaults(
+            spark, table_dir,
+            _parse_insert_body(spark, rest, table_dir),
         ),
     )
+    ident = resolve_identity(table_dir)
+    supplied = [c for c in ident if c in df.columns]
+    if supplied:
+        raise TxSqlError(
+            f"identity column(s) {supplied} are GENERATED ALWAYS — "
+            "engine-assigned; omit them from the INSERT"
+        )
+    if ident:
+        return append_identity(spark, table_dir, df)
+    return append(spark, table_dir, df)
 
 
 def _do_insert_overwrite(spark, stmt, tables):
@@ -903,6 +917,13 @@ def _do_create(spark, stmt, tables):
         return clone_table(
             _table_dir(sref, tables), _table_dir(tref, tables)
         )
+    schema_ddl = None
+    if rest.startswith("("):
+        # CREATE TABLE t (col type[, ...]) — the empty-table DDL
+        # form; the paren content is a Spark DDL schema string
+        i = _paren_span(rest)
+        schema_ddl = rest[1:i].strip()
+        rest = rest[i + 1:].strip()
     part_cols = None
     pm = re.match(r"PARTITIONED\s+BY\s*(?=\()", rest, re.IGNORECASE)
     if pm:
@@ -912,11 +933,34 @@ def _do_create(spark, stmt, tables):
             c.split(".")[-1] for c in _split_commas(rest2[1:i])
         ]
         rest = rest2[i + 1:].strip()
+    if schema_ddl is not None:
+        if rest:
+            raise TxSqlError(
+                f"unexpected tokens after CREATE TABLE (schema): "
+                f"{rest!r}"
+            )
+        try:
+            empty = spark.createDataFrame([], schema_ddl)
+        except Exception as e:  # noqa: BLE001 — DDL parse surface
+            raise TxSqlError(
+                f"bad column definition list {schema_ddl!r}: {e}"
+            ) from None
+        bad = [
+            c for c in (part_cols or []) if c not in empty.columns
+        ]
+        if bad:
+            raise TxSqlError(
+                f"PARTITIONED BY names unknown columns {bad}"
+            )
+        return init_table(
+            spark, _table_dir(tref, tables), empty,
+            partition_cols=part_cols,
+        )
     am = re.match(r"AS\s+(.*)$", rest, re.IGNORECASE | re.DOTALL)
     if not am:
         raise TxSqlError(
-            "CREATE TABLE supports the AS <select> form (the engine "
-            "needs a schema; for an empty table use init_table)"
+            "CREATE TABLE takes AS <select>, a (col type, ...) "
+            "schema list, or SHALLOW CLONE src"
         )
     df = spark.sql(am.group(1).strip())
     return init_table(
@@ -1154,6 +1198,19 @@ def _do_alter(spark, stmt, tables):
         )
 
         return drop_generated_column(d, m.group(1))
+    m = re.match(
+        r"ALTER\s+COLUMN\s+(" + _IDENT
+        + r")\s+SET\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+        + r"(?:\s+START\s+WITH\s+(-?\d+))?\s*$",
+        rest,
+        re.IGNORECASE,
+    )
+    if m:
+        from etl_sentinel_imagery_spark.operators.txlog import (
+            enable_identity,
+        )
+
+        return enable_identity(d, m.group(1), int(m.group(2) or 0))
     raise TxSqlError(
         "ALTER TABLE supports SET/UNSET TBLPROPERTIES, ADD/DROP "
         "CONSTRAINT, ADD COLUMN, RENAME COLUMN, DROP COLUMN, "
@@ -1161,6 +1218,39 @@ def _do_alter(spark, stmt, tables):
         "GENERATED ALWAYS AS (expr) / DROP GENERATED; got "
         f"{rest[:60]!r}"
     )
+
+
+def _do_show_partitions(spark, stmt, tables):
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        show_partitions,
+    )
+
+    body = _split_kw(stmt, "SHOW PARTITIONS")[1]
+    tref, _alias, rest = _parse_table_ref(body)
+    if rest:
+        raise TxSqlError(f"unexpected tokens after table: {rest!r}")
+    return show_partitions(_table_dir(tref, tables))
+
+
+def _do_analyze(spark, stmt, tables):
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        analyze_table,
+    )
+
+    body = _split_kw(stmt, "ANALYZE TABLE")[1]
+    tref, _alias, rest = _parse_table_ref(body)
+    m = re.match(
+        r"COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+(.+)$",
+        rest,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise TxSqlError(
+            "ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS c1[, "
+            f"...], got {rest!r}"
+        )
+    cols = [c.split(".")[-1] for c in _split_commas(m.group(1))]
+    return analyze_table(spark, _table_dir(tref, tables), cols)
 
 
 def _do_show(spark, stmt, tables):
@@ -1210,6 +1300,8 @@ _HANDLERS = [
     ("CONVERT TO TXLOG", _do_convert),
     ("REORG TABLE", _do_reorg),
     ("TRUNCATE TABLE", _do_truncate),
+    ("SHOW PARTITIONS", _do_show_partitions),
+    ("ANALYZE TABLE", _do_analyze),
     ("RESTORE TABLE", _do_restore),
     ("ALTER TABLE", _do_alter),
     ("DESCRIBE", _do_describe),

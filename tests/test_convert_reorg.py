@@ -266,3 +266,63 @@ def test_clone_dv_keying_still_exact(spark, tmp_path):
     delete_where(spark, dst, "id >= 28")
     assert _ids(spark, dst) == list(range(6, 28))
     assert _ids(spark, src) == list(range(6, 30))  # source untouched
+
+
+# ------------------------------------------- round-10 SQL completions
+
+
+def test_create_table_schema_form(spark, tmp_path):
+    """CREATE TABLE (col type, ...) without AS: an empty table with a
+    recorded schema, immediately writable, partitionable."""
+    d = str(tmp_path / "empty")
+    tx_sql(
+        spark,
+        f"CREATE TABLE `{d}` (k INT, v STRING, grp INT) "
+        "PARTITIONED BY (grp)",
+        None,
+    )
+    assert snapshot(spark, d).count() == 0
+    assert [f.name for f in snapshot(spark, d).schema.fields] == [
+        "k", "v", "grp",
+    ]
+    tx_sql(
+        spark,
+        f"INSERT INTO `{d}` VALUES (1, 'a', 0), (2, 'b', 1)",
+        None,
+    )
+    assert snapshot(spark, d).count() == 2
+    with pytest.raises(TxSqlError, match="unknown columns"):
+        tx_sql(
+            spark,
+            f"CREATE TABLE `{d}2` (k INT) PARTITIONED BY (nope)",
+            None,
+        )
+
+
+def test_show_partitions_and_analyze_sql(spark, tmp_path):
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        snapshot_pruned,
+    )
+
+    d = str(tmp_path / "showp")
+    spark.createDataFrame(
+        [(i, ["a:b", "plain"][i % 2]) for i in range(20)],
+        "id int, grp string",
+    ).coalesce(1).write.partitionBy("grp").parquet(d)
+    convert_to_txlog(spark, d)
+    parts = tx_sql(spark, "SHOW PARTITIONS t", {"t": d})
+    assert parts == [{"grp": "a:b"}, {"grp": "plain"}]
+    # a fully-deleted partition's value disappears
+    delete_where(spark, d, "grp = 'a:b'")
+    assert tx_sql(spark, "SHOW PARTITIONS t", {"t": d}) == [
+        {"grp": "plain"}
+    ]
+
+    # ANALYZE backfills manifest stats on the adopted files
+    tx_sql(
+        spark,
+        "ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS id",
+        {"t": d},
+    )
+    _df, st = snapshot_pruned(spark, d, "id", lo=0, hi=1)
+    assert st["files_total"] >= 1 and "files_skipped" in st

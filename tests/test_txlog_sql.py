@@ -569,8 +569,15 @@ def test_ddl_and_lifecycle_statements(spark, tmp_path):
         tuple(r) for r in snapshot(spark, d).fillna(-1).collect()
     ) == before
 
+    # round-10: the (col type) schema form is SUPPORTED — an empty
+    # table with a recorded schema, writable from v0
+    tx_sql(
+        spark, "CREATE TABLE t2 (k BIGINT)",
+        {"t2": str(tmp_path / "t2")},
+    )
+    assert snapshot(spark, str(tmp_path / "t2")).count() == 0
     with pytest.raises(TxSqlError, match="AS <select>"):
-        tx_sql(spark, "CREATE TABLE t2 (k BIGINT)", {"t2": str(tmp_path / "t2")})
+        tx_sql(spark, "CREATE TABLE t3", {"t3": str(tmp_path / "t3")})
     with pytest.raises(TxSqlError, match="ALTER TABLE supports"):
         tx_sql(spark, "ALTER TABLE tbl CHANGE COLUMN z z INT", t)
 
