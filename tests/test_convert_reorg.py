@@ -108,6 +108,13 @@ def test_convert_hive_dir_duplicate_basenames_dv_exact(spark, tmp_path):
     merge(spark, d, src, "id")
     assert _ids(spark, d) == list(range(12, 60)) + [999]
 
+    # the adopted v0 behaves like an init in the feed: from_version=-1
+    # emits every adopted row as an insert
+    full = table_changes(spark, d, -1)
+    assert (
+        full.filter(F.col("_change_type") == "insert").count() >= 60
+    )
+
     # the change feed's DV position reader takes the same exact path
     feed = table_changes(spark, d, 0)
     dels = feed.filter(F.col("_change_type") == "delete")
