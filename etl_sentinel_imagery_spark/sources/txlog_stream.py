@@ -1077,6 +1077,7 @@ class TxlogTableBatchReader(DataSourceReader):
     travel, and tools that only speak relations."""
 
     def __init__(self, schema, options, pinned_head: int | None = None):
+        self.options = options or {}
         self.table_dir = options.get("path") or options.get("table_dir")
         if not self.table_dir:
             raise ValueError(
@@ -1093,15 +1094,160 @@ class TxlogTableBatchReader(DataSourceReader):
         )
         self.fields = _full_schema_json(self.table_dir, self.version)
         self.bindings = _bindings(self.table_dir, self.version)
-        self.entries = [
-            _entry_pair(e)
-            for e in resolve_files(self.table_dir, self.version)
-        ]
+        self._raw_entries = resolve_files(self.table_dir, self.version)
+        from etl_sentinel_imagery_spark.operators.txlog import (
+            read_manifest,
+        )
+
+        self._partition_cols = (
+            read_manifest(self.table_dir, self.version).get(
+                "partition_cols"
+            )
+            or []
+        )
+
+    def pushFilters(self, filters):
+        """Manifest-side FILE pruning for the interop surface
+        (round-10): equality/range/In filters on PARTITION columns
+        (typed hive path values) and STAT-tracked columns (per-file
+        [min, max]) shrink the planned partition list before any
+        Arrow batch crosses the Python boundary — the same skipping
+        ``snapshot_pruned`` does natively, now reachable from a SQL
+        view's WHERE clause. Every filter is returned UNCONSUMED so
+        Spark re-applies it row-level: pruning here is an
+        optimization, never a correctness dependency (a file without
+        stats for the column is never pruned)."""
+        from pyspark.sql.datasource import (
+            EqualNullSafe,
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        preds = []  # (col, kind, value)
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue
+            col = attr[0]
+            if isinstance(f, (EqualTo, EqualNullSafe)):
+                if f.value is not None:
+                    preds.append((col, "eq", f.value))
+            elif isinstance(f, In):
+                preds.append((col, "in", set(f.value)))
+            elif isinstance(f, GreaterThan):
+                preds.append((col, "gt", f.value))
+            elif isinstance(f, GreaterThanOrEqual):
+                preds.append((col, "ge", f.value))
+            elif isinstance(f, LessThan):
+                preds.append((col, "lt", f.value))
+            elif isinstance(f, LessThanOrEqual):
+                preds.append((col, "le", f.value))
+        n_before = len(self._raw_entries)
+        if preds:
+            self._raw_entries = [
+                e
+                for e in self._raw_entries
+                if self._may_match(e, preds)
+            ]
+        log = self.options.get("prunelog") if self.options else None
+        if log:
+            # planning runs in a Python worker process, so the prune
+            # decision is otherwise invisible to the driver — the
+            # opt-in log line is the observability hook (and the test
+            # seam proving Spark actually called this)
+            try:
+                with open(log, "a") as fh:
+                    fh.write(
+                        json.dumps(
+                            {
+                                "files_total": n_before,
+                                "files_planned": len(
+                                    self._raw_entries
+                                ),
+                                "n_filters": len(list(filters)),
+                            }
+                        )
+                        + chr(10)
+                    )
+            except OSError:
+                pass
+        return filters
+
+    def _may_match(self, e, preds) -> bool:
+        """False only when a filter PROVABLY excludes every row of the
+        entry — partition value mismatch or a disjoint stats range;
+        any doubt (missing stats, incomparable types) keeps the file."""
+        from urllib.parse import unquote
+
+        from etl_sentinel_imagery_spark.operators.txlog import (
+            _cast_partition_value,
+            _entry_name,
+        )
+
+        pvals = None
+        for col, kind, value in preds:
+            lo = hi = None
+            if col in self._partition_cols:
+                if pvals is None:
+                    pvals = {}
+                    types = {
+                        f["name"]: f["type"]
+                        for f in self.fields
+                        if isinstance(f["type"], str)
+                    }
+                    for seg in _entry_name(e).split(os.sep)[:-1]:
+                        c, sep, raw = seg.partition("=")
+                        if sep:
+                            v = (
+                                None
+                                if raw == "__HIVE_DEFAULT_PARTITION__"
+                                else unquote(raw)
+                            )
+                            pvals[c] = _cast_partition_value(
+                                v, types.get(c)
+                            )
+                if col not in pvals:
+                    continue
+                lo = hi = pvals[col]
+                if lo is None:
+                    return False  # NULL partition: no eq/range match
+            else:
+                stats = (
+                    e.get("stats") if isinstance(e, dict) else None
+                ) or {}
+                st = stats.get(self.bindings.get(col, col))
+                if st is None:
+                    continue
+                lo, hi = st
+            try:
+                if kind == "eq" and not (lo <= value <= hi):
+                    return False
+                if kind == "in" and not any(
+                    lo <= v <= hi for v in value if v is not None
+                ):
+                    return False
+                if kind == "gt" and hi <= value:
+                    return False
+                if kind == "ge" and hi < value:
+                    return False
+                if kind == "lt" and lo >= value:
+                    return False
+                if kind == "le" and lo > value:
+                    return False
+            except TypeError:
+                continue  # incomparable (e.g. stringified timestamp)
+        return True
 
     def partitions(self):
         return [
             InputPartition({"name": n, "dvs": d})
-            for n, d in self.entries
+            for n, d in (
+                _entry_pair(e) for e in self._raw_entries
+            )
         ] or [InputPartition({"kind": "empty"})]
 
     def read(self, partition) -> Iterator:
