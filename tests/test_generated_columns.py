@@ -103,3 +103,38 @@ def test_generated_python_helper_composes(spark, tmp_path):
     )
     append(spark, d, apply_generated_columns(spark, d, src2))
     assert (8, None, None) in _rows(spark, d)
+
+
+def test_identity_sql_route(spark, tmp_path):
+    """The triple's third leg through SQL: SET GENERATED ALWAYS AS
+    IDENTITY [START WITH n] enables the watermark, INSERT routes to
+    the assigning append, and supplying the column refuses."""
+    from etl_sentinel_imagery_spark.operators.txlog_sql import (
+        TxSqlError,
+    )
+
+    d = str(tmp_path / "ident")
+    init_table(
+        spark, d,
+        spark.createDataFrame([(10,), (20,)], "v int").coalesce(1),
+    )
+    tables = {"t": d}
+    tx_sql(
+        spark,
+        "ALTER TABLE t ALTER COLUMN rid SET GENERATED ALWAYS AS "
+        "IDENTITY START WITH 100",
+        tables,
+    )
+    tx_sql(spark, "INSERT INTO t (v) VALUES (30), (40)", tables)
+    rows = {
+        (r["v"], r["rid"]) for r in snapshot(spark, d).collect()
+    }
+    assert {(30, 100), (40, 101)} <= rows or {
+        (30, 101), (40, 100)
+    } <= rows
+    with pytest.raises(TxSqlError, match="GENERATED ALWAYS"):
+        tx_sql(
+            spark,
+            "INSERT INTO t (v, rid) VALUES (50, 999)",
+            tables,
+        )
