@@ -5952,6 +5952,16 @@ def table_details(table_dir: str, version: int | None = None) -> dict:
             current_version(table_dir) if version is None else version,
         ),
         "history_ops": [h["op"] for h in history(table_dir)][-5:],
+        # column facilities in one place (round-10): declarations
+        # otherwise scattered across default.*/generated.* properties
+        # and the identity watermark map
+        "column_defaults": resolve_column_defaults(table_dir, version),
+        "generated_columns": resolve_generated_columns(
+            table_dir, version
+        ),
+        "identity_columns": sorted(
+            resolve_identity(table_dir, version)
+        ),
     }
 
 

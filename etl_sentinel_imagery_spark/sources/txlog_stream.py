@@ -956,6 +956,81 @@ class TxlogChangesBatchReader(DataSourceReader):
         self.max_diff_rows = int(options.get("maxdiffrows", "5000000"))
         self.fields = _full_schema_json(self.table_dir, self.to_version)
         self.bindings = _bindings(self.table_dir, self.to_version)
+        self.options = options or {}
+        self._preds: list = []
+
+    #: the change types each partition kind can EMIT — a filter on
+    #: _change_type prunes whole partitions whose kind cannot
+    #: contribute (a dv_delta partition never yields an insert)
+    _KIND_EMITS = {
+        "insert": {"insert"},
+        "rid_add": {"insert"},
+        "dv_delta": {"delete"},
+        "rid_remove": {"delete"},
+        "diff": {"insert", "delete"},
+    }
+
+    def pushFilters(self, filters):
+        """Feed-side partition pruning (round-10): ``_change_type``
+        equality/In keeps only partitions whose kind can emit a
+        matching row (the common consume-inserts-only pattern skips
+        every delete partition), and ``_commit_version``
+        equality/ranges prune by each partition's commit. Filters
+        return UNCONSUMED — Spark re-applies them row-level, so
+        pruning is never a correctness dependency."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue
+            col = attr[0]
+            if col not in ("_change_type", "_commit_version"):
+                continue
+            if isinstance(f, EqualTo):
+                self._preds.append((col, "in", {f.value}))
+            elif isinstance(f, In):
+                self._preds.append((col, "in", set(f.value)))
+            elif col == "_commit_version":
+                if isinstance(f, GreaterThan):
+                    self._preds.append((col, "gt", f.value))
+                elif isinstance(f, GreaterThanOrEqual):
+                    self._preds.append((col, "ge", f.value))
+                elif isinstance(f, LessThan):
+                    self._preds.append((col, "lt", f.value))
+                elif isinstance(f, LessThanOrEqual):
+                    self._preds.append((col, "le", f.value))
+        return filters
+
+    def _keep(self, p: dict) -> bool:
+        emits = self._KIND_EMITS.get(p.get("kind"))
+        v = p.get("v")
+        for col, kind, value in self._preds:
+            try:
+                if col == "_change_type":
+                    if emits is not None and not (emits & value):
+                        return False
+                elif v is not None:
+                    if kind == "in" and v not in value:
+                        return False
+                    if kind == "gt" and v <= value:
+                        return False
+                    if kind == "ge" and v < value:
+                        return False
+                    if kind == "lt" and v >= value:
+                        return False
+                    if kind == "le" and v > value:
+                        return False
+            except TypeError:
+                continue
+        return True
 
     def partitions(self):
         payloads = plan_change_partitions(
@@ -966,6 +1041,24 @@ class TxlogChangesBatchReader(DataSourceReader):
             self.include_rewrites,
             max_diff_rows=self.max_diff_rows,
         )
+        n_before = len(payloads)
+        if self._preds:
+            payloads = [p for p in payloads if self._keep(p)]
+        log = self.options.get("prunelog")
+        if log and self._preds:
+            try:
+                with open(log, "a") as fh:
+                    fh.write(
+                        json.dumps(
+                            {
+                                "parts_total": n_before,
+                                "parts_planned": len(payloads),
+                            }
+                        )
+                        + chr(10)
+                    )
+            except OSError:
+                pass
         return [InputPartition(p) for p in payloads] or [
             InputPartition({"kind": "empty"})
         ]

@@ -141,3 +141,28 @@ def test_alter_grammar_errors(spark, tmp_path):
     init_table(spark, d, _seed(spark).coalesce(1))
     with pytest.raises(TxSqlError, match="ALTER TABLE supports"):
         tx_sql(spark, "ALTER TABLE t ALTER COLUMN v", {"t": d})
+
+
+def test_describe_detail_surfaces_column_facilities(spark, tmp_path):
+    """DESCRIBE DETAIL lists defaults / generated / identity
+    declarations in one place (round-10)."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        enable_identity,
+        set_generated_column,
+        table_details,
+    )
+
+    d = str(tmp_path / "detail")
+    init_table(
+        spark, d,
+        spark.createDataFrame(
+            [(1, 10, 100)], "k int, v int, v10 int"
+        ).coalesce(1),
+    )
+    set_column_default(spark, d, "v", "7")
+    set_generated_column(spark, d, "v10", "v * 10")
+    enable_identity(d, "rid")
+    det = table_details(d)
+    assert det["column_defaults"] == {"v": "7"}
+    assert det["generated_columns"] == {"v10": "v * 10"}
+    assert det["identity_columns"] == ["rid"]

@@ -722,3 +722,57 @@ def test_txlog_table_pushfilters_prunes_files(spark, tmp_path):
         recs = [_json.loads(ln) for ln in fh if ln.strip()]
     assert recs, "Spark never pushed filters into the source"
     assert recs[-1]["files_planned"] < recs[-1]["files_total"], recs
+
+
+def test_txlog_changes_pushfilters_prunes_partitions(spark, tmp_path):
+    """Round-10: the feed batch reader prunes partitions by
+    _change_type emit-kind and _commit_version ranges; results stay
+    exact (filters re-applied row-level)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        delete_where,
+        init_table,
+        append,
+    )
+    from etl_sentinel_imagery_spark.sources.txlog_stream import (
+        TxlogChangesBatchReader,
+    )
+
+    d = str(tmp_path / "feedpf")
+    init_table(
+        spark,
+        d,
+        spark.range(0, 40).select(
+            F.col("id"), (F.col("id") % 5).alias("v")
+        ).repartition(2),
+    )
+    append(spark, d, spark.range(40, 60).select(
+        F.col("id"), (F.col("id") % 5).alias("v")
+    ).repartition(2))
+    delete_where(spark, d, "id < 10")
+
+    opts = {"path": d, "fromversion": "-1"}
+    n_all = len(TxlogChangesBatchReader(None, dict(opts)).partitions())
+
+    r = TxlogChangesBatchReader(None, dict(opts))
+    r.pushFilters([EqualTo(("_change_type",), "insert")])
+    n_ins = len(r.partitions())
+    assert n_ins < n_all  # delete partitions pruned
+
+    r2 = TxlogChangesBatchReader(None, dict(opts))
+    r2.pushFilters([GreaterThanOrEqual(("_commit_version",), 2)])
+    assert len(r2.partitions()) < n_all
+
+    # end-to-end exactness under pruning
+    register(spark)
+    feed = (
+        spark.read.format("txlog_changes")
+        .option("path", d)
+        .option("fromVersion", -1)
+        .load()
+    )
+    only_ins = feed.filter("_change_type = 'insert'")
+    assert only_ins.count() == 60
+    only_del = feed.filter("_change_type = 'delete'")
+    assert sorted(r["id"] for r in only_del.collect()) == list(range(10))
