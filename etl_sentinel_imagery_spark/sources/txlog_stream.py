@@ -75,6 +75,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Iterator
 from urllib.parse import unquote
 
@@ -1152,6 +1153,87 @@ def _pin_version(table_dir: str, options) -> int:
     return current_version(table_dir)
 
 
+#: generation-expression shapes whose partition values are MONOTONE
+#: functions of the base column — the set Delta derives partition
+#: filters from (minus the non-monotone month/day/hour truncations,
+#: which a base RANGE cannot bound on their own)
+_GEN_SHAPES = [
+    (
+        re.compile(
+            r"(?i)^\s*(?:to_date|date)\s*\(\s*"
+            r"([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$"
+        ),
+        "date",
+    ),
+    (
+        re.compile(
+            r"(?i)^\s*cast\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)"
+            r"\s+as\s+date\s*\)\s*$"
+        ),
+        "date",
+    ),
+    (
+        re.compile(
+            r"(?i)^\s*year\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$"
+        ),
+        "year",
+    ),
+    (
+        re.compile(
+            r"(?i)^\s*substring\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)"
+            r"\s*,\s*1\s*,\s*(\d+)\s*\)\s*$"
+        ),
+        "prefix",
+    ),
+]
+
+
+def _parse_monotone_generation(expr: str):
+    """(converter, base_column) for a recognized monotone generation
+    expression, else (None, None). The converter maps a BASE filter
+    value to the partition value's on-path representation (ISO date
+    string / int year / string prefix) and returns None for value
+    types it cannot soundly map."""
+    import datetime as _dt
+
+    for pat, kind in _GEN_SHAPES:
+        m = pat.match(expr)
+        if not m:
+            continue
+        base = m.group(1)
+        if kind == "date":
+
+            def conv(v):
+                if isinstance(v, _dt.datetime):
+                    return v.date().isoformat()
+                if isinstance(v, _dt.date):
+                    return v.isoformat()
+                if isinstance(v, str) and len(v) >= 10:
+                    return v[:10]
+                return None
+
+        elif kind == "year":
+
+            def conv(v):
+                if isinstance(v, (_dt.datetime, _dt.date)):
+                    return v.year
+                if isinstance(v, str) and len(v) >= 4:
+                    try:
+                        return int(v[:4])
+                    except ValueError:
+                        return None
+                return None
+
+        else:  # prefix
+            n = int(m.group(2))
+
+            def conv(v, n=n):
+                return v[:n] if isinstance(v, str) else None
+
+        return conv, base
+    return None, None
+
+
 class TxlogTableBatchReader(DataSourceReader):
     """Plans ONE partition per live file at the pinned version (plus
     its DV sidecars) — append-heavy tables parallelize across the
@@ -1239,6 +1321,50 @@ class TxlogTableBatchReader(DataSourceReader):
                 preds.append((col, "lt", f.value))
             elif isinstance(f, LessThanOrEqual):
                 preds.append((col, "le", f.value))
+        # derive partition predicates from GENERATED partition
+        # columns (Delta's generated-column partition pruning): a
+        # filter on the BASE of a monotone generation expression
+        # (date truncation, year, string prefix) bounds the partition
+        # value too — strict base bounds weaken to inclusive derived
+        # bounds (monotone, not strictly), which is sound for pruning
+        if preds:
+            from etl_sentinel_imagery_spark.operators.txlog import (
+                resolve_generated_columns,
+            )
+
+            derived = []
+            for gcol, expr in resolve_generated_columns(
+                self.table_dir, self.version
+            ).items():
+                if gcol not in self._partition_cols:
+                    continue
+                conv, base = _parse_monotone_generation(expr)
+                if conv is None:
+                    continue
+                for col, kind, value in preds:
+                    if col != base:
+                        continue
+                    if kind == "in":
+                        vs = {conv(v) for v in value}
+                        if None not in vs:
+                            derived.append((gcol, "in", vs))
+                    else:
+                        dv = conv(value)
+                        if dv is not None:
+                            derived.append(
+                                (
+                                    gcol,
+                                    {
+                                        "eq": "eq",
+                                        "gt": "ge",
+                                        "ge": "ge",
+                                        "lt": "le",
+                                        "le": "le",
+                                    }[kind],
+                                    dv,
+                                )
+                            )
+            preds += derived
         n_before = len(self._raw_entries)
         if preds:
             self._raw_entries = [

@@ -776,3 +776,84 @@ def test_txlog_changes_pushfilters_prunes_partitions(spark, tmp_path):
     assert only_ins.count() == 60
     only_del = feed.filter("_change_type = 'delete'")
     assert sorted(r["id"] for r in only_del.collect()) == list(range(10))
+
+
+def test_generated_partition_filter_derivation(spark, tmp_path):
+    """Round-10: a filter on the BASE column of a monotone generation
+    expression (date truncation here) derives a partition filter on
+    the generated partition column — files outside the derived range
+    never plan, answers stay exact."""
+    import datetime as dt
+
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        append,
+        apply_generated_columns,
+        init_table,
+        set_generated_column,
+        snapshot,
+    )
+    from etl_sentinel_imagery_spark.sources.txlog_stream import (
+        TxlogTableBatchReader,
+        _parse_monotone_generation,
+    )
+
+    # converter parsing matrix
+    conv, base = _parse_monotone_generation("to_date(ts)")
+    assert base == "ts"
+    assert conv(dt.datetime(2023, 5, 1, 12, 30)) == "2023-05-01"
+    conv2, _ = _parse_monotone_generation("CAST(ts AS DATE)")
+    assert conv2(dt.date(2023, 5, 2)) == "2023-05-02"
+    cy, _ = _parse_monotone_generation("year(ts)")
+    assert cy(dt.datetime(2023, 5, 1)) == 2023
+    cp, _ = _parse_monotone_generation("substring(name, 1, 3)")
+    assert cp("abcdef") == "abc"
+    assert _parse_monotone_generation("month(ts)") == (None, None)
+
+    d = str(tmp_path / "genpart")
+    days = [dt.datetime(2023, 5, day, 10, 0) for day in (1, 2, 3, 4)]
+    rows = [
+        (i, days[i % 4]) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "id int, ts timestamp")
+    init_table(
+        spark, d,
+        df.limit(0).withColumn(
+            "day", F.to_date("ts")
+        ),
+        partition_cols=["day"],
+    )
+    set_generated_column(spark, d, "day", "to_date(ts)")
+    append(spark, d, apply_generated_columns(spark, d, df))
+
+    n_all = len(
+        TxlogTableBatchReader(None, {"path": d}).partitions()
+    )
+    r = TxlogTableBatchReader(None, {"path": d})
+    r.pushFilters(
+        [EqualTo(("ts",), dt.datetime(2023, 5, 2, 10, 0))]
+    )
+    assert len(r.partitions()) < n_all
+
+    r2 = TxlogTableBatchReader(None, {"path": d})
+    r2.pushFilters(
+        [GreaterThanOrEqual(("ts",), dt.datetime(2023, 5, 3, 0, 0))]
+    )
+    n_ge = len(r2.partitions())
+    assert n_ge < n_all
+
+    # end-to-end exactness through the SQL surface
+    register(spark)
+    got = (
+        spark.read.format("txlog_table")
+        .option("path", d)
+        .load()
+        .filter("ts >= timestamp'2023-05-03 00:00:00'")
+    )
+    want = snapshot(spark, d).filter(
+        "ts >= timestamp'2023-05-03 00:00:00'"
+    )
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in want.collect()
+    )
