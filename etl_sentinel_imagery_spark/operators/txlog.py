@@ -3630,6 +3630,46 @@ def overwrite_table(
     return overwrite_table(spark, table_dir, df, partition, _attempts - 1)
 
 
+def _mmh3_int(value: int, seed: int = 42) -> int:
+    """Spark's ``F.hash`` on one IntegerType column: Murmur3_x86_32 of
+    the 4-byte int, seed 42, as a SIGNED int32. Pure-Python twin so the
+    driver can pre-compute which repartition slot an int lands in
+    (``pmod(hash(x), n)`` is HashPartitioning's routing function);
+    parity with the JVM is pinned in ``tests/test_maintenance.py``."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k = (value & 0xFFFFFFFF) * c1 & 0xFFFFFFFF
+    k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+    k = k * c2 & 0xFFFFFFFF
+    h = (seed ^ k) & 0xFFFFFFFF
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # total bytes hashed
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & 0xFFFFFFFF
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+def _exact_salts(total: int) -> list[int]:
+    """``total`` ints whose hashes land in DISTINCT repartition slots:
+    ``pmod(hash(salts[i]), total) == i`` for every i. Lets a
+    ``repartition(total, _salt)`` place each logical bin in its OWN
+    task — exact output-file counts instead of hash-collision-merged
+    ones. Sequential search; coupon-collector ≈ total·ln(total) hash
+    evaluations, microseconds at any realistic bin count."""
+    salts: list[int | None] = [None] * total
+    found, s = 0, 0
+    while found < total:
+        slot = _mmh3_int(s) % total
+        if salts[slot] is None:
+            salts[slot] = s
+            found += 1
+        s += 1
+    return salts  # type: ignore[return-value]
+
+
 def optimize_small_files(
     spark: SparkSession,
     table_dir: str,
@@ -3737,24 +3777,31 @@ def optimize_small_files(
         # route to their leaf by the hive partition columns the read
         # re-derives; per-leaf output counts come from a hash bin
         # (deterministic on file identity + row position) joined from
-        # a leaf→n_out broadcast map. Bin counts are size-TARGETED,
-        # not exact: two bins hashing into one task merge into one
-        # larger file — same contract as AQE coalescing, and exact in
-        # the n_out=1 purge case that dominates.
+        # a leaf→n_out broadcast map. Bin counts are EXACT: each
+        # (leaf, bin) carries a pre-searched salt whose hash lands in
+        # its own repartition slot (``_exact_salts``), so no two bins
+        # ever merge into one task/file — ceil(bytes/target) per leaf
+        # is the committed file count, not a target.
         all_es = [e for es, _ in rewrite.values() for e in es]
         packed = _read_entries(
             spark, table_dir, all_es, parent,
             keep_pos=True, keep_rid=bool(rt),
         )
+        total = sum(n for _es, n in rewrite.values())
+        salts = _exact_salts(total)
+        rows, off = [], 0
+        for lf in sorted(rewrite):
+            n = rewrite[lf][1]
+            for b in range(n):
+                rows.append((lf, n, b, salts[off + b]))
+            off += n
         bins = spark.createDataFrame(
-            [(lf, n) for lf, (_es, n) in rewrite.items()],
-            "_leaf string, _n_out int",
+            rows, "_leaf string, _n_out int, _bin int, _salt int"
         )
         data_cols = [
             c for c in packed.columns
             if c not in ("_file_name", "_row_pos")
         ]
-        total = sum(n for _es, n in rewrite.values())
         packed = (
             packed.withColumn(
                 "_leaf",
@@ -3764,7 +3811,8 @@ def optimize_small_files(
                 ),
             )
             .withColumn("_leaf", F.array_join(F.col("_leaf"), "/"))
-            .join(F.broadcast(bins), "_leaf")
+            .join(F.broadcast(bins.select("_leaf", "_n_out").distinct()),
+                  "_leaf")
             .withColumn(
                 "_bin",
                 F.pmod(
@@ -3772,7 +3820,8 @@ def optimize_small_files(
                     F.col("_n_out"),
                 ),
             )
-            .repartition(total, F.col("_leaf"), F.col("_bin"))
+            .join(F.broadcast(bins), ["_leaf", "_n_out", "_bin"])
+            .repartition(total, F.col("_salt"))
             .select(*data_cols)
         )
         written = _move_in_data_files(

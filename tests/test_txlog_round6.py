@@ -992,3 +992,74 @@ def test_live_stream_drives_upsert_sink(spark, tmp_path):
     assert snap.count() == 30  # deletes keep the key's last state
     assert snap.where("body = 'live-upd'").count() == 5
     assert snap.where("doc_id = 9").count() == 1
+
+
+def test_mmh3_parity_with_spark_hash(spark):
+    """The driver-side Murmur3 twin (`_mmh3_int`) must agree with the
+    JVM's `F.hash` on IntegerType for every salt the exact-bin router
+    could emit — one disagreement and a bin lands in the wrong
+    repartition slot (merged files, never wrong rows; still pinned)."""
+    vals = list(range(-1000, 1001)) + [2**31 - 1, -(2**31), 123456789]
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "v int"
+    ).select("v", F.hash("v").alias("h"))
+    got = {r["v"]: r["h"] for r in df.collect()}
+    for v in vals:
+        assert tx._mmh3_int(v) == got[v], v
+
+
+def test_multi_leaf_optimize_exact_bin_counts(spark, tmp_path):
+    """Round-10 ROADMAP #5: the batched multi-leaf rewrite's per-leaf
+    output counts are EXACT — each (leaf, bin) is routed by a
+    pre-searched salt into its own shuffle slot, so no two bins merge
+    into one task. ceil(candidate_bytes/target) IS the committed file
+    count per leaf (under the old pmod(hash) routing, ~20 bins into
+    ~20 slots collided with near-certainty and merged)."""
+    import math
+
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        optimize_small_files,
+    )
+
+    t = str(tmp_path / "exact_bins")
+    tx.init_table(
+        spark,
+        t,
+        _seed(spark, 140).repartition(4),
+        partition_cols=["grp"],
+        stat_cols=["doc_id"],
+    )
+    for i in range(4):
+        tx.append(
+            spark, t, _seed(spark, 140, offset=1000 + 140 * i).repartition(3)
+        )
+    entries = resolve_files(t)
+    by_leaf: dict[str, list] = {}
+    for e in entries:
+        by_leaf.setdefault(
+            os.path.dirname(tx._entry_name(e)), []
+        ).append(e)
+    target = 4000
+    expected = {}
+    for leaf, es in by_leaf.items():
+        if len(es) < 2:
+            continue  # lone DV-free small file: skipped by design
+        expected[leaf] = max(
+            1, math.ceil(sum(e["bytes"] for e in es) / target)
+        )
+    assert len(expected) >= 5  # a genuinely multi-leaf rewrite
+    assert sum(expected.values()) >= 10
+    want = sorted(map(tuple, snapshot(spark, t).collect()))
+
+    v, stats = optimize_small_files(
+        spark, t, small_bytes=10**9, target_bytes=target
+    )
+    after: dict[str, int] = {}
+    for e in resolve_files(t):
+        leaf = os.path.dirname(tx._entry_name(e))
+        after[leaf] = after.get(leaf, 0) + 1
+    for leaf, n in expected.items():
+        assert after[leaf] == n, (leaf, n, after)
+    assert stats["files_written"] == sum(expected.values())
+    assert sorted(map(tuple, snapshot(spark, t).collect())) == want
+    assert table_changes(spark, t, v - 1).count() == 0
