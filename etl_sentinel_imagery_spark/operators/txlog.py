@@ -781,6 +781,7 @@ def _commit_delta(
     column_mapping: dict | None = None,
     identity: dict | None = None,
     row_tracking: dict | None = None,
+    copy_files: dict | None = None,
 ) -> int:
     """Delta commit of parent+1: the manifest records only what changed.
     Every CHECKPOINT_EVERY-th version also embeds the resolved full
@@ -839,6 +840,8 @@ def _commit_delta(
         body["row_tracking"] = {**rt, "watermark": wm}
     if txn is not None:
         body["txn"] = {"app": txn[0], "version": int(txn[1])}
+    if copy_files is not None:
+        body["copy_files"] = copy_files
     if CHECKPOINT_EVERY and version % CHECKPOINT_EVERY == 0:
         body.update(
             _checkpoint_files_payload(
@@ -858,12 +861,62 @@ def _commit_delta(
         # horizon finds them locally)
         body["constraints"] = resolve_constraints(table_dir, parent)
         body["properties"] = resolve_properties(table_dir, parent)
+        body["copy_ledger"] = _merged_copy_ledger(
+            table_dir, parent, copy_files
+        )
         if "column_mapping" not in body:
             body["column_mapping"] = resolve_mapping(table_dir, parent)
         if "identity" not in body:
             body["identity"] = resolve_identity(table_dir, parent)
     _claim(table_dir, version, json.dumps(body, indent=0))
     return version
+
+
+def resolve_copy_ledger(
+    table_dir: str, version: int | None = None
+) -> dict:
+    """{ingested_file_path: load_epoch_seconds} at ``version`` — the
+    ``COPY INTO`` idempotence ledger (Databricks' loaded-file
+    tracking): every copy commit records ITS files in the manifest
+    (atomic with the data — a crash can never split them), checkpoints
+    embed the accumulated map, and :func:`truncate_history`'s horizon
+    carries it across retention. Same bounded chain walk as
+    :func:`resolve_txns`. ``copy.retention_seconds`` (property, default
+    keep-forever) prunes entries at embed time — after the window a
+    re-uploaded same-name file loads again, Delta's documented COPY
+    INTO retention trade."""
+    if version is None:
+        version = current_version(table_dir)
+    chain = []
+    v = version
+    while True:
+        m = read_manifest(table_dir, v)
+        if "copy_ledger" in m:
+            out = dict(m["copy_ledger"])
+            break
+        if m.get("parent") is None:
+            out = dict((m.get("copy_files") or {}).get("files") or {})
+            break
+        chain.append(m)
+        v = m["parent"]
+    for m in reversed(chain):
+        cf = m.get("copy_files")
+        if cf:
+            out.update(cf["files"])
+    return out
+
+
+def _merged_copy_ledger(
+    table_dir: str, parent: int, copy_files: dict | None
+) -> dict:
+    led = resolve_copy_ledger(table_dir, parent)
+    if copy_files:
+        led.update(copy_files["files"])
+    keep = _prop(table_dir, "copy.retention_seconds", 0.0)
+    if keep:
+        cut = time.time() - keep
+        led = {p: t for p, t in led.items() if t >= cut}
+    return led
 
 
 def resolve_txns(table_dir: str, version: int | None = None) -> dict:
@@ -1321,6 +1374,8 @@ def append(
     table_dir: str,
     df: DataFrame,
     max_rebase: int = 20,
+    _op: str = "append",
+    _copy_files: dict | None = None,
 ) -> int:
     """Transactional append: new files land, then one commit adds them.
     Stats tracking (stat_cols) is inherited from the parent manifest.
@@ -1371,10 +1426,11 @@ def append(
     for _ in range(max_rebase):
         try:
             return _commit_delta(
-                table_dir, parent, names, [], "append", stat_cols,
+                table_dir, parent, names, [], _op, stat_cols,
                 partition_cols,
                 schema_json=merged,
                 column_mapping=upd,
+                copy_files=_copy_files,
             )
         except TxConflict:
             new_parent = current_version(table_dir)
@@ -1385,7 +1441,7 @@ def append(
             # than re-adding the same entries (which would be
             # row-idempotent via the name-keyed entry map, but would
             # double-report the range in the change feed).
-            if nm.get("op") == "append" and sorted(
+            if nm.get("op") == _op and sorted(
                 _entry_name(e) for e in nm.get("adds", [])
             ) == sorted(_entry_name(e) for e in names):
                 return new_parent
@@ -1408,6 +1464,73 @@ def append(
         f"append lost {max_rebase} consecutive claim races on "
         f"{table_dir}"
     )
+
+
+def copy_into(
+    spark: SparkSession,
+    table_dir: str,
+    source: str,
+    pattern: str = "*.parquet",
+    fmt: str = "parquet",
+    force: bool = False,
+    options: dict | None = None,
+) -> tuple[int, dict]:
+    """``COPY INTO`` — IDEMPOTENT file ingestion (Databricks' verb):
+    load the files under ``source`` matching ``pattern`` that have NOT
+    already been loaded into this table, in ONE append-style commit
+    that also records their paths in the table's copy ledger
+    (:func:`resolve_copy_ledger`). Re-running after a partial upload,
+    a scheduler retry, or a new file drop loads exactly the new files;
+    a run with nothing new is a version-less no-op. ``force=True``
+    reloads everything matched (duplicate rows, ledger timestamps
+    refresh) — Delta's ``COPY_OPTIONS ('force'='true')``.
+
+    Exactly-once by construction: the ledger entry and the data files
+    land in the SAME manifest claim, so a crash can never record files
+    as loaded without their rows (or vice versa). Dedup is by absolute
+    PATH — a same-name file re-uploaded with new content is skipped,
+    like Delta; load under a new name, use ``force``, or set a
+    ``copy.retention_seconds`` window after which ledger entries age
+    out at checkpoint embedding.
+
+    Scale shape: the driver does one directory LIST plus an O(ledger)
+    dict subtraction (the manifest chain serves the ledger in
+    O(CHECKPOINT_EVERY) reads); the data read is an ordinary
+    distributed scan of ONLY the new files; schema evolution, CHECK
+    constraints, partitioned layouts and lock-free rebase ride the
+    :func:`append` path unchanged. ``fmt`` ∈ parquet/json/csv with
+    reader ``options`` passed through (csv needs header/schema
+    options, exactly as ``spark.read``)."""
+    import glob as _glob
+
+    src = os.path.abspath(source)
+    if any(ch in src for ch in "*?["):
+        paths = _glob.glob(src)
+    else:
+        paths = _glob.glob(os.path.join(src, pattern))
+    paths = sorted(
+        os.path.abspath(p) for p in paths if os.path.isfile(p)
+    )
+    paths = [p for p in paths if not os.path.basename(p).startswith(("_", "."))]
+    ledger = {} if force else resolve_copy_ledger(table_dir)
+    new = [p for p in paths if p not in ledger]
+    stats = {
+        "files_matched": len(paths),
+        "files_loaded": len(new),
+        "files_skipped": len(paths) - len(new),
+    }
+    if not new:
+        return current_version(table_dir), stats
+    reader = spark.read.format(fmt)
+    if fmt == "parquet":
+        reader = reader.option("mergeSchema", "true")
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load(new)
+    now = time.time()
+    cf = {"source": src, "files": {p: now for p in new}}
+    v = append(spark, table_dir, df, _op="copy_into", _copy_files=cf)
+    return v, stats
 
 
 def _probe_candidates(
@@ -4079,6 +4202,7 @@ def _analyze_commit_parts(
             "schema": resolve_schema(table_dir, parent),
             "files_parts": {"segments": segments},
             "txns": resolve_txns(table_dir, parent),
+            "copy_ledger": _merged_copy_ledger(table_dir, parent, None),
             "constraints": resolve_constraints(table_dir, parent),
             "properties": resolve_properties(table_dir, parent),
             "column_mapping": resolve_mapping(table_dir, parent),
@@ -5642,6 +5766,7 @@ def _commit_constraints(
             _checkpoint_files_payload(table_dir, parent, [], [])
         )
         body["txns"] = resolve_txns(table_dir, parent)
+        body["copy_ledger"] = _merged_copy_ledger(table_dir, parent, None)
         body["column_mapping"] = resolve_mapping(table_dir, parent)
     _claim(table_dir, version, json.dumps(body, indent=0))
     return version
@@ -5725,6 +5850,7 @@ def set_properties(table_dir: str, props: dict) -> int:
             _checkpoint_files_payload(table_dir, parent, [], [])
         )
         body["txns"] = resolve_txns(table_dir, parent)
+        body["copy_ledger"] = _merged_copy_ledger(table_dir, parent, None)
         body["column_mapping"] = resolve_mapping(table_dir, parent)
         body["constraints"] = resolve_constraints(table_dir, parent)
     _claim(table_dir, version, json.dumps(body, indent=0))
@@ -6180,6 +6306,7 @@ def truncate_history(table_dir: str, keep_versions: int) -> dict:
     if (
         not _has_full_list(m)
         or "txns" not in m
+        or "copy_ledger" not in m
         or "constraints" not in m
         or "column_mapping" not in m
         or "identity" not in m
@@ -6196,6 +6323,9 @@ def truncate_history(table_dir: str, keep_versions: int) -> dict:
         # idempotence watermarks survive retention (a stream replaying
         # pre-horizon epochs must still be recognized as delivered)
         m["txns"] = resolve_txns(table_dir, horizon)
+        # the COPY INTO ledger survives retention (or every pre-horizon
+        # ingested file would silently re-load as duplicates)
+        m["copy_ledger"] = _merged_copy_ledger(table_dir, horizon, None)
         # CHECK constraints survive retention too: resolve_constraints
         # walks parent links, so a self-contained horizon without the
         # map would silently drop every pre-horizon constraint and

@@ -1017,6 +1017,62 @@ def _do_convert(spark, stmt, tables):
     )
 
 
+def _do_copy(spark, stmt, tables):
+    # Databricks' COPY INTO: idempotent file ingestion — load only
+    # files the table's copy ledger has not seen; the ledger entry
+    # and the rows commit atomically in one manifest claim.
+    # COPY INTO t FROM '<dir-or-glob>' [FILEFORMAT = PARQUET|JSON|CSV]
+    #   [PATTERN = '<glob>'] [FORCE = TRUE]
+    from etl_sentinel_imagery_spark.operators.txlog import copy_into
+
+    body = _split_kw(stmt, "COPY INTO")[1]
+    fr = _split_kw(body, "FROM")
+    if fr is None:
+        raise TxSqlError("COPY INTO t FROM '<path>' — FROM missing")
+    tref, _alias, extra = _parse_table_ref(fr[0])
+    if extra:
+        raise TxSqlError(
+            f"unexpected tokens before FROM in COPY INTO: {extra!r}"
+        )
+    rest = fr[1].strip()
+    m = re.match(r"'([^']+)'|\"([^\"]+)\"", rest)
+    if not m:
+        raise TxSqlError(
+            f"COPY INTO source must be a quoted path, got {rest[:40]!r}"
+        )
+    source = m.group(1) or m.group(2)
+    rest = rest[m.end():].strip()
+    kw = {}
+    pat = re.compile(
+        r"(FILEFORMAT|PATTERN|FORCE)\s*=\s*"
+        r"('([^']*)'|\"([^\"]*)\"|\w+)\s*",
+        re.IGNORECASE,
+    )
+    while rest:
+        m = pat.match(rest)
+        if not m:
+            raise TxSqlError(
+                f"unexpected tokens in COPY INTO: {rest[:40]!r}"
+            )
+        val = m.group(3) if m.group(3) is not None else (
+            m.group(4) if m.group(4) is not None else m.group(2)
+        )
+        kw[m.group(1).upper()] = val
+        rest = rest[m.end():]
+    args = {}
+    if "FILEFORMAT" in kw:
+        fmt = kw["FILEFORMAT"].lower()
+        if fmt not in ("parquet", "json", "csv"):
+            raise TxSqlError(f"unsupported FILEFORMAT {fmt!r}")
+        args["fmt"] = fmt
+        args.setdefault("pattern", f"*.{fmt}")
+    if "PATTERN" in kw:
+        args["pattern"] = kw["PATTERN"]
+    if "FORCE" in kw:
+        args["force"] = kw["FORCE"].lower() == "true"
+    return copy_into(spark, _table_dir(tref, tables), source, **args)
+
+
 def _do_reorg(spark, stmt, tables):
     # Delta's REORG TABLE ... APPLY (PURGE): rewrite ONLY the files
     # carrying deletion vectors, materializing the soft deletes into
@@ -1142,6 +1198,30 @@ def _do_alter(spark, stmt, tables):
         )
 
         return add_column(d, m.group(1), m.group(2))
+    m = re.match(
+        r"ALTER\s+COLUMN\s+(" + _IDENT + r")\s+(SET|DROP)\s+NOT\s+NULL\s*$",
+        rest,
+        re.IGNORECASE,
+    )
+    if m:
+        # Delta's column-level NOT NULL, routed through the CHECK
+        # machinery (one named invariant per column): SET validates
+        # existing rows with one pushed-down scan and refuses if any
+        # NULL sneaks the gate; enforcement then rides every write
+        # path like any constraint. The declared relation schema keeps
+        # nullable=true (Spark's parquet relations always do) — the
+        # contract is write-time, exactly Delta's observable behavior.
+        col, verb = m.group(1), m.group(2).upper()
+        cname = f"notnull_{col}"
+        if verb == "DROP":
+            return drop_constraint(d, cname)
+        names = _table_schema_names(d)
+        if names is not None and col not in names:
+            raise TxSqlError(
+                f"SET NOT NULL on unknown column {col!r} "
+                f"(table has {names})"
+            )
+        return add_constraint(spark, d, cname, f"{col} IS NOT NULL")
     m = re.match(
         r"ALTER\s+COLUMN\s+(" + _IDENT + r")\s+SET\s+DEFAULT\s+(.+)$",
         rest,
@@ -1298,6 +1378,7 @@ _HANDLERS = [
     ("VACUUM", _do_vacuum),
     ("CREATE TABLE", _do_create),
     ("CONVERT TO TXLOG", _do_convert),
+    ("COPY INTO", _do_copy),
     ("REORG TABLE", _do_reorg),
     ("TRUNCATE TABLE", _do_truncate),
     ("SHOW PARTITIONS", _do_show_partitions),
@@ -1362,7 +1443,7 @@ def tx_sql(
     raise TxSqlError(
         "unsupported statement (MERGE INTO / UPDATE / DELETE FROM / "
         "INSERT INTO / OPTIMIZE / VACUUM / CREATE TABLE / CONVERT TO "
-        "TXLOG / REORG TABLE / TRUNCATE TABLE / RESTORE TABLE / "
-        "ALTER TABLE / DESCRIBE): "
+        "TXLOG / COPY INTO / REORG TABLE / TRUNCATE TABLE / RESTORE "
+        "TABLE / ALTER TABLE / DESCRIBE): "
         f"{stmt[:60]!r}"
     )

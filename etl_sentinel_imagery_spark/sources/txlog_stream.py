@@ -856,6 +856,8 @@ class TxlogChangesStreamReader(DataSourceStreamReader):
             str(options.get("includerewrites", "false")).lower() == "true"
         )
         self.max_versions = options.get("maxversionspertrigger")
+        self.max_files = options.get("maxfilespertrigger")
+        self.max_bytes = options.get("maxbytespertrigger")
         self.max_diff_rows = int(options.get("maxdiffrows", "5000000"))
         # the head the DataSource's schema() already pinned — resolving
         # a SECOND current_version here would let a schema-evolving
@@ -895,7 +897,49 @@ class TxlogChangesStreamReader(DataSourceStreamReader):
         head = current_version(self.table_dir)
         if self.max_versions is not None and self._cursor is not None:
             head = min(head, self._cursor + int(self.max_versions))
+        if (
+            self.max_files is not None or self.max_bytes is not None
+        ) and self._cursor is not None:
+            head = self._admit_by_size(self._cursor, head)
         return {"version": head}
+
+    def _admit_by_size(self, cursor: int, head: int) -> int:
+        """Delta's ``maxFilesPerTrigger`` / ``maxBytesPerTrigger``:
+        clamp the batch end so the PENDING commits' added-file count /
+        bytes stay under the caps — admission control so a backlogged
+        stream (restart after downtime, a bulk backfill upstream)
+        drains in bounded micro-batches instead of one giant one.
+        Version-granular (offsets are versions): the first version
+        over the cap is the cut, and at least ONE version is always
+        admitted so the stream can never stall. Driver-side manifest
+        reads only — O(pending commits), no data IO."""
+        from etl_sentinel_imagery_spark.operators.txlog import (
+            read_manifest,
+        )
+
+        max_f = None if self.max_files is None else int(self.max_files)
+        max_b = None if self.max_bytes is None else int(self.max_bytes)
+        files = 0
+        tot = 0
+        for v in range(cursor + 1, head + 1):
+            m = read_manifest(self.table_dir, v)
+            adds = m.get("adds")
+            if adds is None:
+                # full-list manifest (init / truncate horizon): the
+                # planner emits every live file as inserts
+                adds = m.get("files") or []
+            files += len(adds)
+            tot += sum(
+                int(e.get("bytes", 0))
+                for e in adds
+                if isinstance(e, dict)
+            )
+            over = (max_f is not None and files > max_f) or (
+                max_b is not None and tot > max_b
+            )
+            if over and v > cursor + 1:
+                return v - 1
+        return head
 
     def partitions(self, start, end):
         lo, hi = start["version"], end["version"]

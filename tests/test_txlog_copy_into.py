@@ -1,0 +1,212 @@
+"""COPY INTO — idempotent file ingestion with a crash-atomic ledger.
+
+The ledger rides the manifest chain exactly like SetTransaction
+watermarks: per-commit increments, checkpoint embeddings, horizon
+carry. Reference surface: Databricks COPY INTO (dedup by path,
+FORCE reload, PATTERN/FILEFORMAT, retention window)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.operators import txlog as tx
+from etl_sentinel_imagery_spark.operators.txlog import (
+    append,
+    copy_into,
+    current_version,
+    init_table,
+    resolve_copy_ledger,
+    snapshot,
+    truncate_history,
+)
+from etl_sentinel_imagery_spark.operators.txlog_sql import tx_sql
+
+
+def _src_file(d: str, name: str, ids, extra_col: bool = False):
+    os.makedirs(d, exist_ok=True)
+    cols = {
+        "doc_id": pa.array(list(ids), pa.int64()),
+        "body": pa.array([f"b{i}" for i in ids], pa.string()),
+    }
+    if extra_col:
+        cols["lang"] = pa.array(["en"] * len(list(ids)), pa.string())
+    p = os.path.join(d, name)
+    pq.write_table(pa.table(cols), p)
+    return p
+
+
+def _seed(spark, n=5, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("body"),
+    )
+
+
+def test_copy_into_loads_once_then_noops(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    _src_file(src, "a.parquet", range(10))
+    _src_file(src, "b.parquet", range(10, 15))
+    t = str(tmp_path / "tbl")
+    init_table(spark, t, _seed(spark, 3, offset=1000))
+
+    v, stats = copy_into(spark, t, src)
+    assert stats == {
+        "files_matched": 2, "files_loaded": 2, "files_skipped": 0,
+    }
+    assert snapshot(spark, t).count() == 18
+    led = resolve_copy_ledger(t)
+    assert set(led) == {
+        os.path.join(src, "a.parquet"), os.path.join(src, "b.parquet"),
+    }
+
+    # idempotent: nothing new → no commit at all
+    v2, stats2 = copy_into(spark, t, src)
+    assert v2 == v and stats2["files_loaded"] == 0
+    assert stats2["files_skipped"] == 2
+    assert snapshot(spark, t).count() == 18
+
+    # a new drop loads ONLY the new file
+    _src_file(src, "c.parquet", range(20, 24))
+    v3, stats3 = copy_into(spark, t, src)
+    assert v3 == v2 + 1
+    assert stats3 == {
+        "files_matched": 3, "files_loaded": 1, "files_skipped": 2,
+    }
+    assert snapshot(spark, t).count() == 22
+
+
+def test_copy_into_force_reloads(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    _src_file(src, "a.parquet", range(4))
+    t = str(tmp_path / "tbl")
+    init_table(spark, t, _seed(spark, 0))
+    copy_into(spark, t, src)
+    assert snapshot(spark, t).count() == 4
+    v, stats = copy_into(spark, t, src, force=True)
+    assert stats["files_loaded"] == 1
+    assert snapshot(spark, t).count() == 8  # duplicates, by request
+
+
+def test_copy_into_pattern_and_junk_files(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    _src_file(src, "a.parquet", range(3))
+    _src_file(src, "keep.pq", range(3, 6))
+    _src_file(src, "_started.parquet", range(6, 9))  # marker: ignored
+    with open(os.path.join(src, "notes.txt"), "w") as f:
+        f.write("not data")
+    t = str(tmp_path / "tbl")
+    init_table(spark, t, _seed(spark, 0))
+    v, stats = copy_into(spark, t, src, pattern="*.parquet")
+    assert stats["files_matched"] == 1  # marker + txt + .pq excluded
+    assert snapshot(spark, t).count() == 3
+    v2, stats2 = copy_into(spark, t, src, pattern="*.pq")
+    assert stats2["files_loaded"] == 1
+    assert snapshot(spark, t).count() == 6
+
+
+def test_copy_ledger_survives_checkpoints_and_truncate(
+    spark, tmp_path
+):
+    src = str(tmp_path / "landing")
+    _src_file(src, "a.parquet", range(6))
+    t = str(tmp_path / "tbl")
+    init_table(spark, t, _seed(spark, 2, offset=500))
+    copy_into(spark, t, src)
+    n = snapshot(spark, t).count()
+    # drive the chain across a checkpoint boundary
+    for i in range(tx.CHECKPOINT_EVERY + 2):
+        append(spark, t, _seed(spark, 1, offset=2000 + i))
+    _, stats = copy_into(spark, t, src)
+    assert stats["files_loaded"] == 0, (
+        "ledger lost across checkpoint embedding"
+    )
+    assert snapshot(spark, t).count() == n + tx.CHECKPOINT_EVERY + 2
+
+
+def test_copy_ledger_survives_truncate_history(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    _src_file(src, "a.parquet", range(6))
+    t = str(tmp_path / "tbl")
+    init_table(spark, t, _seed(spark, 2, offset=500))
+    copy_into(spark, t, src)
+    for i in range(4):
+        append(spark, t, _seed(spark, 1, offset=3000 + i))
+    truncate_history(t, keep_versions=1)
+    _, stats = copy_into(spark, t, src)
+    assert stats["files_loaded"] == 0, (
+        "ledger lost across truncate_history horizon"
+    )
+
+
+def test_copy_into_schema_evolution(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    _src_file(src, "a.parquet", range(3))
+    t = str(tmp_path / "tbl")
+    init_table(spark, t, _seed(spark, 2, offset=100))
+    copy_into(spark, t, src)
+    _src_file(src, "b.parquet", range(3, 5), extra_col=True)
+    copy_into(spark, t, src)
+    snap = snapshot(spark, t)
+    assert "lang" in snap.columns
+    assert snap.where(F.col("lang").isNull()).count() == 5
+    assert snap.where(F.col("lang") == "en").count() == 2
+
+
+def test_copy_into_sql_route(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    _src_file(src, "a.parquet", range(7))
+    t = str(tmp_path / "tbl")
+    init_table(spark, t, _seed(spark, 0))
+    v, stats = tx_sql(
+        spark,
+        f"COPY INTO `{t}` FROM '{src}' FILEFORMAT = PARQUET",
+    )
+    assert stats["files_loaded"] == 1
+    assert snapshot(spark, t).count() == 7
+    v2, stats2 = tx_sql(spark, f"COPY INTO `{t}` FROM '{src}'")
+    assert v2 == v and stats2["files_loaded"] == 0
+    v3, stats3 = tx_sql(
+        spark, f"COPY INTO `{t}` FROM '{src}' FORCE = TRUE"
+    )
+    assert stats3["files_loaded"] == 1
+    assert snapshot(spark, t).count() == 14
+
+
+def test_copy_retention_window_ages_entries_out(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    _src_file(src, "a.parquet", range(3))
+    t = str(tmp_path / "tbl")
+    init_table(spark, t, _seed(spark, 0))
+    copy_into(spark, t, src)
+    tx.set_properties(t, {"copy.retention_seconds": 1e-6})
+    # drive to a checkpoint: the embed prunes the aged entry
+    while (current_version(t) + 1) % tx.CHECKPOINT_EVERY != 0:
+        append(spark, t, _seed(spark, 1, offset=9000))
+    append(spark, t, _seed(spark, 1, offset=9100))  # the checkpoint
+    assert resolve_copy_ledger(t) == {}
+    _, stats = copy_into(spark, t, src)
+    assert stats["files_loaded"] == 1  # aged out → loads again
+
+
+def test_copy_into_csv(spark, tmp_path):
+    src = str(tmp_path / "csvland")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.csv"), "w") as f:
+        f.write("doc_id,body\n1,x\n2,y\n")
+    t = str(tmp_path / "tbl")
+    init_table(
+        spark,
+        t,
+        spark.createDataFrame([], "doc_id long, body string"),
+    )
+    _, stats = copy_into(
+        spark, t, src, pattern="*.csv", fmt="csv",
+        options={"header": "true", "inferSchema": "true"},
+    )
+    assert stats["files_loaded"] == 1
+    assert snapshot(spark, t).count() == 2

@@ -884,3 +884,46 @@ def test_truncate_is_metadata_only(spark, tmp_path, monkeypatch):
         if f.endswith(".parquet")
     )
     assert n_parquet >= 3
+
+
+def test_alter_column_not_null(spark, tmp_path):
+    """ALTER COLUMN c SET/DROP NOT NULL — Delta's column invariant via
+    the CHECK machinery: existing NULLs refuse the SET; writes under
+    the invariant refuse NULL batches; DROP re-admits them."""
+    import pytest as _pytest
+
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        append as _append,
+        init_table as _init,
+        snapshot as _snap,
+    )
+
+    t = str(tmp_path / "nn")
+    _init(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, body string"
+        ),
+    )
+    tx_sql(spark, f"ALTER TABLE `{t}` ALTER COLUMN body SET NOT NULL")
+    with _pytest.raises(Exception, match="notnull_body"):
+        _append(
+            spark,
+            t,
+            spark.createDataFrame([(3, None)], "k long, body string"),
+        )
+    with _pytest.raises(TxSqlError, match="unknown column"):
+        tx_sql(spark, f"ALTER TABLE `{t}` ALTER COLUMN nope SET NOT NULL")
+    tx_sql(spark, f"ALTER TABLE `{t}` ALTER COLUMN body DROP NOT NULL")
+    _append(
+        spark,
+        t,
+        spark.createDataFrame([(3, None)], "k long, body string"),
+    )
+    assert _snap(spark, t).count() == 3
+    # SET refuses when existing rows violate
+    with _pytest.raises(Exception):
+        tx_sql(
+            spark, f"ALTER TABLE `{t}` ALTER COLUMN body SET NOT NULL"
+        )

@@ -857,3 +857,77 @@ def test_generated_partition_filter_derivation(spark, tmp_path):
     assert sorted(r["id"] for r in got.collect()) == sorted(
         r["id"] for r in want.collect()
     )
+
+
+def test_admission_caps_clamp_latest_offset(spark, tmp_path):
+    """maxFilesPerTrigger / maxBytesPerTrigger: a backlogged stream
+    drains in bounded micro-batches. Version-granular clamp, at least
+    one version always admitted, manifest-only planning (unit-level on
+    the reader: trigger semantics are Spark's, the clamp is ours)."""
+    from etl_sentinel_imagery_spark.sources.txlog_stream import (
+        TxlogChangesStreamReader,
+    )
+
+    d = str(tmp_path / "adm")
+    init_table(spark, d, _seed(spark, 0, 10).coalesce(1))
+    for i in range(4):  # v1..v4: two files each
+        append(spark, d, _seed(spark, 10 * (i + 1), 10 * (i + 2)).coalesce(2))
+    head = current_version(d)
+    assert head == 4
+
+    r = TxlogChangesStreamReader(
+        None, {"path": d, "maxfilespertrigger": "3"}
+    )
+    assert r.latestOffset() == {"version": head}  # restart: unclamped
+    r._cursor = 0
+    # v1 (2 files) fits; v1+v2 (4) exceeds 3 → clamp to v1
+    assert r.latestOffset() == {"version": 1}
+    r.partitions({"version": 1}, {"version": 1})
+    assert r.latestOffset() == {"version": 2}
+
+    # at-least-one: a cap smaller than any single commit still admits
+    r2 = TxlogChangesStreamReader(
+        None, {"path": d, "maxfilespertrigger": "1"}
+    )
+    r2._cursor = 0
+    assert r2.latestOffset() == {"version": 1}
+
+    # byte cap: admit versions until cumulative added bytes exceed it
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        read_manifest,
+    )
+
+    per_commit = sum(
+        int(e["bytes"]) for e in read_manifest(d, 1)["adds"]
+    )
+    r3 = TxlogChangesStreamReader(
+        None,
+        {"path": d, "maxbytespertrigger": str(per_commit * 2 + 64)},
+    )
+    r3._cursor = 0
+    assert r3.latestOffset() == {"version": 2}
+
+    # both caps compose with maxVersionsPerTrigger (min wins)
+    r4 = TxlogChangesStreamReader(
+        None,
+        {
+            "path": d,
+            "maxfilespertrigger": "100",
+            "maxversionspertrigger": "1",
+        },
+    )
+    r4._cursor = 0
+    assert r4.latestOffset() == {"version": 1}
+
+
+def test_admission_capped_drain_delivers_everything(spark, tmp_path):
+    """End-to-end under the cap: the stream still delivers the FULL
+    feed (caps bound batch size, never drop rows)."""
+    d = str(tmp_path / "admall")
+    ckpt = str(tmp_path / "admck")
+    init_table(spark, d, _seed(spark, 0, 10).coalesce(1))
+    for i in range(3):
+        append(spark, d, _seed(spark, 10 * (i + 1), 10 * (i + 2)).coalesce(2))
+    register(spark)
+    got = _drain(spark, d, ckpt, maxfilespertrigger="2")
+    assert got == _rows(table_changes(spark, d, -1))
