@@ -236,3 +236,54 @@ def weighted_sample_exact_n(
         .orderBy(es_key.asc(), F.col(key_col).asc())
         .limit(n)
     )
+
+
+def temperature_weights(
+    counts: dict[str, float], alpha: float
+) -> dict[str, float]:
+    """Per-source KEEP FRACTIONS realizing temperature-``alpha``
+    sampling (the multilingual/multi-corpus recipe: mT5 / XLM-R style
+    ``p_i ∝ n_i^alpha`` — ``alpha=1`` keeps natural proportions,
+    ``alpha→0`` flattens toward uniform, boosting small sources'
+    SHARE). Downsample-only like :func:`weighted_mix`: the output is
+    the LARGEST corpus whose source shares equal ``p`` without
+    upsampling anyone — ``N = min_i n_i / p_i``, ``frac_i = N·p_i /
+    n_i`` (the binding source keeps 100%; repeat small sources with
+    :func:`upsample_epochs` downstream if you want a bigger N).
+    Pure driver arithmetic over control-plane-sized count maps."""
+    if not counts:
+        raise ValueError("no sources")
+    if any(n <= 0 for n in counts.values()):
+        raise ValueError(f"non-positive source count in {counts}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    p = {s: float(n) ** alpha for s, n in counts.items()}
+    tot = sum(p.values())
+    p = {s: v / tot for s, v in p.items()}
+    n_out = min(counts[s] / p[s] for s in counts)
+    return {s: min(1.0, n_out * p[s] / counts[s]) for s in counts}
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str = "doc_id",
+    alpha: float = 0.7,
+    seed: str = "",
+) -> DataFrame:
+    """Mix a multi-source corpus to temperature-``alpha`` shares in
+    place: ONE count aggregation (control-plane-sized result — one row
+    per source), :func:`temperature_weights` for the keep fractions,
+    then the same per-row md5-threshold filter every sampler here
+    uses. No join, no second shuffle, no RNG state — a 100 TB corpus
+    mixes at scan speed after one count pass, deterministic across
+    runs and partitionings."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).count().collect()
+        if r[0] is not None
+    }
+    fracs = temperature_weights(counts, alpha)
+    return stratified_sample(
+        df, key_col, source_col, fracs, default_fraction=0.0, seed=seed
+    )

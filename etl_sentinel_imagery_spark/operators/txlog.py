@@ -1425,13 +1425,15 @@ def append(
     )
     for _ in range(max_rebase):
         try:
-            return _commit_delta(
+            v = _commit_delta(
                 table_dir, parent, names, [], _op, stat_cols,
                 partition_cols,
                 schema_json=merged,
                 column_mapping=upd,
                 copy_files=_copy_files,
             )
+            _maybe_auto_compact(spark, table_dir)
+            return v
         except TxConflict:
             new_parent = current_version(table_dir)
             nm = read_manifest(table_dir, new_parent)
@@ -1531,6 +1533,40 @@ def copy_into(
     cf = {"source": src, "files": {p: now for p in new}}
     v = append(spark, table_dir, df, _op="copy_into", _copy_files=cf)
     return v, stats
+
+
+def _maybe_auto_compact(spark: SparkSession, table_dir: str) -> None:
+    """Delta's ``autoOptimize.autoCompact``, opt-in via the
+    ``optimize.auto_compact = "true"`` property: after an append-style
+    commit, if the table's live small-file count (under
+    ``optimize.small_bytes``) reaches
+    ``optimize.auto_compact_min_files`` (default 50), run one
+    :func:`optimize_small_files` pass inline. Streaming ingest and
+    micro-append workloads then self-heal instead of waiting for the
+    nightly :func:`maintain_table`. Cost shape: the trigger check is
+    one manifest read (no IO); the pass itself rewrites only
+    candidate files in their leaves — churn-proportional, never
+    O(table). Best-effort by design: a lost maintenance race never
+    fails the append that triggered it."""
+    props = resolve_properties(table_dir)
+    if str(props.get("optimize.auto_compact", "")).lower() != "true":
+        return
+    small = int(props.get("optimize.small_bytes", 32 * 1024 * 1024))
+    min_files = int(props.get("optimize.auto_compact_min_files", 50))
+    n_small = sum(
+        1
+        for e in resolve_files(table_dir)
+        if _entry_bytes(table_dir, e) < small
+    )
+    if n_small < min_files:
+        return
+    try:
+        optimize_small_files(
+            spark, table_dir, small_bytes=small, include_dv=False
+        )
+    except TxConflict:
+        pass  # a concurrent writer/maintainer won; the debt remains
+        # visible and the next trigger retries
 
 
 def _probe_candidates(
@@ -3608,6 +3644,104 @@ def optimize(
     )
 
 
+def cluster_table(
+    spark: SparkSession,
+    table_dir: str,
+    cols: list[str] | None = None,
+    target_bytes: int | None = None,
+    _attempts: int = 3,
+) -> tuple[int, dict]:
+    """INCREMENTAL clustering maintenance — the liquid-clustering
+    shape: rewrite ONLY the live files not yet Z-ordered under the
+    table's CURRENT cluster spec (new appends, merge/UPDATE rewrite
+    outputs, spec changes), into curve-ordered files stamped
+    ``clustered: "<spec>"`` in their manifest entries. Steady ingest
+    then keeps range-pruning sharp on every clustered dimension for
+    the cost of the CHURN, where ``optimize(zorder_by=...)`` re-pays
+    the whole table every pass — at 100 TB the difference between a
+    nightly job proportional to the day's data and one that can
+    never finish. ``cols`` defaults to the ``cluster.by`` table
+    property (``ALTER TABLE ... CLUSTER BY`` records it), so the
+    policy lives with the table and :func:`maintain_table` drives
+    this automatically.
+
+    The pass clusters the candidate set WITHIN itself (one
+    repartitionByRange over the curve value + in-partition sort —
+    the liquid trade: new data is mutually clustered, old generations
+    keep their own curve segments; a spec CHANGE naturally re-marks
+    everything stale and the next pass re-clusters it all). One
+    commit swaps the candidates; content-neutral to the change feed
+    like every rewrite. Returns ``(version, {files_clustered,
+    files_written})``."""
+    if cols is None:
+        spec_prop = str(_prop(table_dir, "cluster.by", "", str))
+        cols = [c.strip() for c in spec_prop.split(",") if c.strip()]
+    if not cols:
+        raise ValueError(
+            "no cluster columns: pass cols=[...] or set the "
+            "'cluster.by' table property (ALTER TABLE ... SET "
+            "TBLPROPERTIES ('cluster.by' = 'c1,c2'))"
+        )
+    spec = ",".join(cols)
+    if target_bytes is None:
+        target_bytes = _prop(
+            table_dir, "optimize.target_bytes", 128 * 1024 * 1024, int
+        )
+    parent = current_version(table_dir)
+    m = read_manifest(table_dir, parent)
+    stat_cols = m.get("stat_cols") or None
+    partition_cols = m.get("partition_cols") or None
+    entries = resolve_files(table_dir, parent)
+    cand = [
+        e
+        for e in entries
+        if isinstance(e, str) or e.get("clustered") != spec
+    ]
+    stats = {"files_clustered": len(cand), "files_written": 0}
+    if not cand:
+        return parent, stats
+    rt = resolve_row_tracking(table_dir, parent)
+    df = _read_entries(spark, table_dir, cand, parent, keep_rid=bool(rt))
+    from etl_sentinel_imagery_spark.operators.layout import (
+        DEFAULT_BITS,
+        zorder_layout,
+    )
+
+    n_out = max(
+        1,
+        -(
+            -sum(_entry_bytes(table_dir, e) for e in cand)
+            // target_bytes
+        ),
+    )
+    out = zorder_layout(df, cols, n_out, DEFAULT_BITS).drop("zval")
+    names = _move_in_data_files(
+        spark, table_dir, out, stat_cols, partition_cols
+    )
+    for e in names:
+        e["clustered"] = spec
+        if rt:
+            e["rid"] = True
+    stats["files_written"] = len(names)
+    old_names = [_entry_name(e) for e in cand]
+    res = _try_commit_dv(
+        table_dir, parent, names, old_names, "cluster", stat_cols,
+        partition_cols, {_entry_name(e): e for e in entries}, None,
+        {"n": 20},
+        require_same_mapping=resolve_mapping(table_dir, parent),
+    )
+    if res is not _RETRY:
+        return res, stats
+    if _attempts <= 1:
+        raise TxConflict(
+            f"cluster_table kept losing to overlapping commits on "
+            f"{table_dir}"
+        )
+    return cluster_table(
+        spark, table_dir, cols, target_bytes, _attempts - 1
+    )
+
+
 def overwrite_table(
     spark: SparkSession,
     table_dir: str,
@@ -4273,9 +4407,13 @@ def maintain_table(
     AND everything derived from it converged, no scheduler-side
     bookkeeping. A declared index whose sync cursor names a different
     source table refuses loudly rather than draining the wrong feed.
-    Returns a report: ``{analyzed_cols, dv_chains_folded,
-    files_rewritten, files_written, orphans_reclaimed, index_syncs,
-    versions}``."""
+    When the table declares ``cluster.by``, the ladder incrementally
+    Z-orders unclustered churn (:func:`cluster_table`) BEFORE the
+    small-file pass, so fresh data pays one rewrite that both packs
+    and clusters it. Returns a report: ``{analyzed_cols,
+    dv_chains_folded, files_rewritten, files_written,
+    orphans_reclaimed, index_syncs, versions}`` plus
+    ``files_clustered`` when clustering is declared."""
     report: dict = {"versions": []}
     v0 = current_version(table_dir)
     want = [
@@ -4295,6 +4433,18 @@ def maintain_table(
     report["dv_chains_folded"] = v != v0
     if v != v0:
         report["versions"].append(v)
+    # declared clustering FIRST: cluster_table bin-packs as it
+    # Z-orders, so fresh churn pays ONE rewrite (the small-file pass
+    # after it then sees mostly right-sized clustered files and
+    # handles what clustering leaves alone — DV debt on already-
+    # clustered files; those rewrites drop the spec marker and the
+    # next nightly re-clusters them)
+    if str(_prop(table_dir, "cluster.by", "", str)).strip():
+        v_prev = v
+        v, cstats = cluster_table(spark, table_dir)
+        report["files_clustered"] = cstats["files_clustered"]
+        if v != v_prev:
+            report["versions"].append(v)
     v_prev = v
     v, stats = optimize_small_files(spark, table_dir)
     report["files_rewritten"] = stats["files_rewritten"]
@@ -5805,6 +5955,12 @@ ENGINE_PROPERTIES = (
     "optimize.target_bytes",
     "dv.max_chain",
     "analyze.cols",  # comma-separated; maintain_table backfills stats
+    "cluster.by",  # comma-separated; maintain_table incrementally
+    # Z-orders unclustered files (liquid-clustering shape)
+    "optimize.auto_compact",  # "true": appends self-heal small-file
+    # debt inline once auto_compact_min_files accumulate
+    "optimize.auto_compact_min_files",
+    "copy.retention_seconds",  # COPY INTO ledger entry age-out window
     "index.dirs",  # comma-separated serving-index dirs derived from
     # this table; maintain_table drains their change-feed sync and
     # age-gates retired index generations away

@@ -266,7 +266,7 @@ def _parse_table_ref(s: str) -> tuple[str, str, str]:
         "using", "on", "when", "set", "where", "values", "select",
         "retain", "dry", "then", "partitioned", "as", "to", "add",
         "drop", "rename", "unset", "zorder", "partition", "shallow",
-        "apply", "alter", "compute",
+        "apply", "alter", "compute", "cluster",
     }
     if am and am.group(1).lower() not in reserved:
         return ref, am.group(1), rest[am.end():].strip()
@@ -1154,6 +1154,33 @@ def _do_alter(spark, stmt, tables):
                 pm.group(2)
             )
         return set_properties(d, props)
+    m = re.match(r"CLUSTER\s+BY\s*(?=\()", rest, re.IGNORECASE)
+    if m:
+        # Delta's liquid-clustering declaration: record the spec as
+        # the cluster.by property; maintain_table / cluster_table
+        # incrementally Z-order whatever churn leaves unclustered.
+        # CLUSTER BY NONE (no parens) handled below.
+        inner = rest[m.end():]
+        i = _paren_span(inner)
+        if inner[i + 1:].strip():
+            raise TxSqlError(
+                f"unexpected tokens after CLUSTER BY: {inner[i + 1:]!r}"
+            )
+        cols = [
+            _unquote_ident(c.strip())
+            for c in _split_commas(inner[1:i])
+        ]
+        names = _table_schema_names(d)
+        if names is not None:
+            for c in cols:
+                if c not in names:
+                    raise TxSqlError(
+                        f"CLUSTER BY unknown column {c!r} "
+                        f"(table has {names})"
+                    )
+        return set_properties(d, {"cluster.by": ",".join(cols)})
+    if re.match(r"CLUSTER\s+BY\s+NONE\s*$", rest, re.IGNORECASE):
+        return set_properties(d, {"cluster.by": None})
     m = re.match(
         r"ADD\s+CONSTRAINT\s+(" + _IDENT + r")\s+CHECK\s*(?=\()",
         rest,
@@ -1347,6 +1374,53 @@ def _do_show(spark, stmt, tables):
     return resolve_properties(d, current_version(d))
 
 
+def _describe_columns(d: str) -> list[dict]:
+    """Rows for plain ``DESCRIBE [TABLE] t`` — one dict per column
+    with every declared facility attached, answered from metadata
+    alone (Delta's DESCRIBE TABLE, plus the facility columns its
+    EXTENDED form scatters across sections)."""
+    import json as _json
+
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        read_manifest,
+        resolve_column_defaults,
+        resolve_constraints,
+        resolve_generated_columns,
+        resolve_identity,
+        resolve_schema,
+    )
+
+    sj = resolve_schema(d)
+    if sj is None:
+        raise TxSqlError(
+            f"{d} records no schema (pre-evolution table); read a "
+            "snapshot to infer one"
+        )
+    m = read_manifest(d)
+    pcols = set(m.get("partition_cols") or [])
+    defaults = resolve_column_defaults(d)
+    gen = resolve_generated_columns(d)
+    ident = resolve_identity(d)
+    cons = resolve_constraints(d)
+    out = []
+    for f in _json.loads(sj)["fields"]:
+        name = f["name"]
+        t = f["type"]
+        out.append(
+            {
+                "col_name": name,
+                "data_type": t if isinstance(t, str) else _json.dumps(t),
+                "partition": name in pcols,
+                "not_null": f"notnull_{name}" in cons,
+                "default": defaults.get(name),
+                "generated": (
+                    "identity" if name in ident else gen.get(name)
+                ),
+            }
+        )
+    return out
+
+
 def _do_describe(spark, stmt, tables):
     from etl_sentinel_imagery_spark.operators.txlog import (
         history,
@@ -1356,9 +1430,17 @@ def _do_describe(spark, stmt, tables):
     body = _split_kw(stmt, "DESCRIBE")[1]
     m = re.match(r"(HISTORY|DETAIL)\s+(.*)$", body, re.IGNORECASE)
     if not m:
-        raise TxSqlError(
-            f"DESCRIBE supports HISTORY / DETAIL, got {body[:40]!r}"
-        )
+        # plain DESCRIBE [TABLE] t — the column listing: name / type /
+        # nullable-invariant / partition flag / default / generation,
+        # all from the RECORDED schema and property channel (no
+        # footer opens, no Spark job)
+        m2 = re.match(r"(?:TABLE\s+)?(.*)$", body, re.IGNORECASE)
+        tref, _alias, rest = _parse_table_ref(m2.group(1))
+        if rest:
+            raise TxSqlError(
+                f"unexpected tokens after table: {rest!r}"
+            )
+        return _describe_columns(_table_dir(tref, tables))
     tref, _alias, rest = _parse_table_ref(m.group(2))
     if rest:
         raise TxSqlError(f"unexpected tokens after table: {rest!r}")

@@ -241,10 +241,61 @@ def _txlog_dml_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_nationkey").cast("long").alias("max_bal"),
         )
     )
+    # round-10 third wave: COPY INTO under the gate — idempotent file
+    # ingestion. The landing dir holds region split across two parquet
+    # files (pyarrow, fully deterministic values rk*7+3); COPY runs
+    # TWICE (the second MUST be a ledger no-op — any re-load doubles n
+    # per key and breaks the hash), then a late-arriving file lands
+    # and a final COPY loads ONLY it (keys 310+ prove it loaded, n=1
+    # everywhere proves nothing else re-loaded).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cp_root = tempfile.mkdtemp(prefix="txdml_")
+    srcd = os.path.join(cp_root, "landing")
+    os.makedirs(srcd)
+    keys = sorted(
+        int(r[0])
+        for r in spark.sql("SELECT r_regionkey FROM region").collect()
+    )
+
+    def _land(name, ks):
+        pq.write_table(
+            pa.table(
+                {
+                    "rk": pa.array(ks, pa.int64()),
+                    "val": pa.array([k * 7 + 3 for k in ks], pa.int64()),
+                }
+            ),
+            os.path.join(srcd, name),
+        )
+
+    _land("a.parquet", keys[: len(keys) // 2])
+    _land("b.parquet", keys[len(keys) // 2:])
+    dcp = os.path.join(cp_root, "cp")
+    tables["cp"] = dcp
+    tx_sql(spark, "CREATE TABLE cp (rk long, val long)", tables)
+    tx_sql(
+        spark, f"COPY INTO cp FROM '{srcd}' FILEFORMAT = PARQUET", tables
+    )
+    tx_sql(spark, f"COPY INTO cp FROM '{srcd}'", tables)  # no-op
+    _land("late.parquet", [k + 10 for k in keys])
+    tx_sql(spark, f"COPY INTO cp FROM '{srcd}'", tables)
+    cp_agg = (
+        snapshot(spark, dcp)
+        .groupBy((F.col("rk") + F.lit(300)).cast("int").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").cast("long").alias("total_bal"),
+            F.min("val").alias("min_bal"),
+            F.max("val").alias("max_bal"),
+        )
+    )
     return (
         cust_agg.unionByName(feed_agg)
         .unionByName(li_agg)
         .unionByName(nat_agg)
+        .unionByName(cp_agg)
     )
 
 
@@ -436,6 +487,20 @@ SELECT CAST(n_regionkey + 200 AS INTEGER) AS c_nationkey,
        CAST(MAX(n_nationkey) AS BIGINT) AS max_bal
 FROM nation WHERE n_nationkey % 3 <> 0
 GROUP BY n_regionkey
+UNION ALL
+-- round-10 COPY INTO leg: two loads of the landing dir plus a late
+-- file; the ledger makes the second load a no-op, so every key
+-- appears exactly ONCE (n=1 is the idempotence proof) — original
+-- keys at +300, the late file's shifted keys at +310
+SELECT CAST(rk + 300 AS INTEGER) AS c_nationkey,
+       COUNT(*) AS n,
+       CAST(SUM(rk * 7 + 3) AS BIGINT) AS total_bal,
+       CAST(MIN(rk * 7 + 3) AS BIGINT) AS min_bal,
+       CAST(MAX(rk * 7 + 3) AS BIGINT) AS max_bal
+FROM (SELECT r_regionkey AS rk FROM region
+      UNION ALL
+      SELECT r_regionkey + 10 FROM region) copied
+GROUP BY rk
 """
 
 
@@ -448,6 +513,8 @@ QUERIES: dict[str, Q] = {
         "lineitem's natural key) + OPTIMIZE; post-state AND the "
         "table_changes feed (per-_change_type deltas incl. exceptAll "
         "netting) vs a relational replay; round-10: CONVERT TO TXLOG "
-        "of a hive parquet dir + DV DELETE + REORG APPLY (PURGE)",
+        "of a hive parquet dir + DV DELETE + REORG APPLY (PURGE), and "
+        "COPY INTO idempotent ingestion (double-load no-op + "
+        "late-file pickup, ledger-atomic)",
     ),
 }

@@ -321,3 +321,58 @@ def test_upsample_epochs_deterministic_replication(spark):
 
     with pytest.raises(ValueError, match="epochs"):
         upsample_epochs(df, 0.0)
+
+
+def test_temperature_weights_formula():
+    from etl_sentinel_imagery_spark.operators.sampling import (
+        temperature_weights,
+    )
+
+    # alpha=1: natural proportions → keep everything
+    assert temperature_weights({"a": 800, "b": 200}, 1.0) == {
+        "a": 1.0, "b": 1.0,
+    }
+    # alpha=0: uniform shares → every source contributes min-count
+    w0 = temperature_weights({"a": 800, "b": 200}, 0.0)
+    assert w0["b"] == 1.0
+    assert abs(w0["a"] - 200 / 800) < 1e-12
+    # the binding source always keeps 100%; shares honor p_i ∝ n_i^α
+    w = temperature_weights({"a": 900, "b": 100}, 0.5)
+    pa_, pb = 900 ** 0.5, 100 ** 0.5
+    n_out = min(900 / (pa_ / (pa_ + pb)), 100 / (pb / (pa_ + pb)))
+    assert abs(w["a"] - n_out * (pa_ / (pa_ + pb)) / 900) < 1e-12
+    assert w["b"] == 1.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        temperature_weights({"a": 0}, 0.5)
+    with pytest.raises(ValueError):
+        temperature_weights({}, 0.5)
+
+
+def test_temperature_mix_flattens_shares(spark):
+    from etl_sentinel_imagery_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    df = (
+        spark.range(10000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 10 < 8, "big")
+            .otherwise("small")
+            .alias("src"),
+        )
+    )  # 8000 big / 2000 small
+    out = temperature_mix(df, "src", "doc_id", alpha=0.0, seed="t")
+    got = {r[0]: r[1] for r in out.groupBy("src").count().collect()}
+    # uniform target: ~2000 each; hash sampling is approximate on the
+    # downsampled source, exact on the binding one
+    assert got["small"] == 2000
+    assert abs(got["big"] - 2000) < 200
+    # deterministic: the same call yields the same rows
+    out2 = temperature_mix(df, "src", "doc_id", alpha=0.0, seed="t")
+    assert out.exceptAll(out2).count() == 0
+    assert out2.exceptAll(out).count() == 0
+    # alpha=1: natural proportions — nothing dropped
+    assert temperature_mix(df, "src", "doc_id", alpha=1.0).count() == 10000

@@ -451,3 +451,42 @@ def test_sync_honors_explicit_columns_on_legacy_cursor(spark, tmp_path):
         spark, t, idx, id_col="doc_id", vec_col="vec"
     )
     assert rep["upserts"] == 5
+
+
+def test_auto_compact_property_triggers_inline(spark, tmp_path):
+    """optimize.auto_compact: micro-appends self-heal once the live
+    small-file count reaches auto_compact_min_files — no nightly job
+    needed; OFF tables never pay it."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        append,
+        init_table,
+        resolve_files,
+        set_properties,
+        snapshot,
+    )
+
+    def seed(n, off=0):
+        return spark.range(off, off + n).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        )
+
+    t = str(tmp_path / "ac")
+    init_table(spark, t, seed(5).coalesce(1))
+    # OFF: files accumulate
+    for i in range(4):
+        append(spark, t, seed(5, 100 + 5 * i).coalesce(1))
+    assert len(resolve_files(t)) == 5
+
+    set_properties(
+        t,
+        {
+            "optimize.auto_compact": "true",
+            "optimize.auto_compact_min_files": 6,
+        },
+    )
+    append(spark, t, seed(5, 200).coalesce(1))  # 6th file: triggers
+    assert len(resolve_files(t)) == 1
+    assert snapshot(spark, t).count() == 30
+    # below threshold again: appends stay cheap, no rewrite storm
+    append(spark, t, seed(5, 300).coalesce(1))
+    assert len(resolve_files(t)) == 2

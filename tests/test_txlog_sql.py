@@ -927,3 +927,33 @@ def test_alter_column_not_null(spark, tmp_path):
         tx_sql(
             spark, f"ALTER TABLE `{t}` ALTER COLUMN body SET NOT NULL"
         )
+
+
+def test_describe_table_columns(spark, tmp_path):
+    """Plain DESCRIBE t: one row per column with partition flag,
+    NOT NULL invariant, DEFAULT, and generation — metadata only."""
+    from etl_sentinel_imagery_spark.operators.txlog import init_table
+
+    t = str(tmp_path / "desc")
+    init_table(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(1, "a", 5)], "k long, body string, grp int"
+        ),
+        partition_cols=["grp"],
+    )
+    tx_sql(spark, f"ALTER TABLE `{t}` ALTER COLUMN body SET NOT NULL")
+    tx_sql(spark, f"ALTER TABLE `{t}` ALTER COLUMN body SET DEFAULT 'x'")
+    rows = {r["col_name"]: r for r in tx_sql(spark, f"DESCRIBE `{t}`")}
+    assert set(rows) == {"k", "body", "grp"}
+    assert rows["grp"]["partition"] is True
+    assert rows["k"]["partition"] is False
+    assert rows["body"]["not_null"] is True
+    assert rows["body"]["default"] == "'x'" or rows["body"]["default"] == "x"
+    assert rows["k"]["default"] is None
+    assert rows["k"]["data_type"] == "long"
+    # DESCRIBE TABLE form routes identically
+    assert tx_sql(spark, f"DESCRIBE TABLE `{t}`") == tx_sql(
+        spark, f"DESCRIBE `{t}`"
+    )
