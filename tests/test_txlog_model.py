@@ -13,8 +13,11 @@ to the final state."""
 
 from __future__ import annotations
 
+import os
 from collections import Counter
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -67,6 +70,12 @@ OP = st.one_of(
     # content-neutral; rows, time travel, and the CDF fold must
     # survive it at any sequence position
     st.tuples(st.just("reorg"), st.just(0)),
+    # round-10 fourth wave: incremental clustering (content-neutral
+    # rewrite stamping spec markers) and COPY INTO (ledger-idempotent
+    # ingest — re-drawing a seed must no-op even across truncate and
+    # restore, because the ledger is monotone by design)
+    st.tuples(st.just("cluster"), st.just(0)),
+    st.tuples(st.just("copy"), st.integers(0, 5)),
 )
 
 
@@ -93,6 +102,8 @@ def test_random_op_sequences_match_reference_model(
     spark, tmp_path_factory, ops
 ):
     t = str(tmp_path_factory.mktemp("txmodel") / "t")
+    copy_root = str(tmp_path_factory.mktemp("txmodel_land"))
+    copied: set[int] = set()
     df0 = spark.createDataFrame(
         _rows_for(0, 8, "init"), ["doc_id", "val"]
     )
@@ -253,6 +264,47 @@ def test_random_op_sequences_match_reference_model(
             model.update(rows)
         elif kind == "reorg":
             optimize_small_files(spark, t, small_bytes=0)
+        elif kind == "cluster":
+            from etl_sentinel_imagery_spark.operators.txlog import (
+                cluster_table,
+            )
+
+            cluster_table(
+                spark, t, cols=["doc_id"], target_bytes=10**9
+            )
+        elif kind == "copy":
+            from etl_sentinel_imagery_spark.operators.txlog import (
+                copy_into,
+            )
+
+            srcd = os.path.join(copy_root, f"land{seed}")
+            if seed not in copied:
+                os.makedirs(srcd, exist_ok=True)
+                rows = _rows_for(seed, 3, "cp")
+                pq.write_table(
+                    pa.table(
+                        {
+                            "doc_id": pa.array(
+                                [k for k, _ in rows], pa.int64()
+                            ),
+                            "val": pa.array(
+                                [v_ for _, v_ in rows], pa.string()
+                            ),
+                        }
+                    ),
+                    os.path.join(srcd, "f.parquet"),
+                )
+            _, stats = copy_into(spark, t, srcd)
+            if seed in copied:
+                assert stats["files_loaded"] == 0, (
+                    "ledger failed to dedup a replayed COPY"
+                )
+            else:
+                assert stats["files_loaded"] == 1
+                model.update(
+                    (k, v_, None) for k, v_ in _rows_for(seed, 3, "cp")
+                )
+                copied.add(seed)
         elif kind == "restore":
             target = sorted(states)[seed % len(states)]
             restore(spark, t, target)
