@@ -792,6 +792,7 @@ def _commit_delta(
     (Delta's SetTransaction): :func:`resolve_txns` serves it back in
     O(CHECKPOINT_EVERY), so streaming sinks check replay in constant
     work instead of scanning the whole history."""
+    check_write_protocol(table_dir, parent)
     version = parent + 1
     body = {
         "version": version,
@@ -864,6 +865,7 @@ def _commit_delta(
         body["copy_ledger"] = _merged_copy_ledger(
             table_dir, parent, copy_files
         )
+        body["protocol"] = resolve_protocol(table_dir, parent)
         if "column_mapping" not in body:
             body["column_mapping"] = resolve_mapping(table_dir, parent)
         if "identity" not in body:
@@ -894,7 +896,11 @@ def resolve_copy_ledger(
         if "copy_ledger" in m:
             out = dict(m["copy_ledger"])
             break
-        if m.get("parent") is None:
+        if m.get("parent") is None or _has_full_list(m) or "txns" in m:
+            # root, or a PRE-FEATURE checkpoint: every build that can
+            # write copy_files also embeds copy_ledger at checkpoints,
+            # so a ledger-less checkpoint proves nothing upstream —
+            # legacy chains stay O(CHECKPOINT_EVERY)
             out = dict((m.get("copy_files") or {}).get("files") or {})
             break
         chain.append(m)
@@ -917,6 +923,123 @@ def _merged_copy_ledger(
         cut = time.time() - keep
         led = {p: t for p, t in led.items() if t >= cut}
     return led
+
+
+#: Protocol versions THIS engine build understands (Delta's
+#: min-reader/min-writer gate). Tables never record a protocol until
+#: :func:`upgrade_protocol` raises it — absent means (1, 1), so every
+#: pre-feature table keeps reading/writing unchanged. A FUTURE engine
+#: that changes the manifest semantics incompatibly bumps the table's
+#: recorded minimums; this build then refuses loudly instead of
+#: misreading bytes it does not understand.
+SUPPORTED_READER = 1
+SUPPORTED_WRITER = 1
+
+
+def resolve_protocol(
+    table_dir: str, version: int | None = None
+) -> dict:
+    """{min_reader, min_writer} in force at ``version`` — nearest
+    record wins (checkpoint-embedded like every metadata map; the
+    truncate horizon carries it); absent anywhere → (1, 1). Versioned
+    like Delta's protocol action: time travel to a pre-upgrade
+    version reads under the OLD requirement."""
+    v = current_version(table_dir) if version is None else version
+    while v >= 0:
+        m = read_manifest(table_dir, v)
+        if "protocol" in m:
+            return dict(m["protocol"])
+        # a checkpoint WITHOUT a protocol record bounds the walk: every
+        # engine build that can write a protocol record also embeds it
+        # at checkpoints, so a protocol-less checkpoint proves no
+        # record exists upstream (legacy chains resolve to the default
+        # in O(CHECKPOINT_EVERY), not O(history))
+        if _has_full_list(m) or "txns" in m:
+            break
+        parent = m.get("parent")
+        if parent is None:
+            break
+        v = parent
+    return {"min_reader": 1, "min_writer": 1}
+
+
+def check_read_protocol(
+    table_dir: str, version: int | None = None
+) -> None:
+    p = resolve_protocol(table_dir, version)
+    if int(p.get("min_reader", 1)) > SUPPORTED_READER:
+        raise ValueError(
+            f"table {table_dir} requires reader protocol "
+            f">= {p['min_reader']}; this engine supports "
+            f"{SUPPORTED_READER} — upgrade the engine (a newer writer "
+            "raised the table's minimum)"
+        )
+
+
+def check_write_protocol(table_dir: str, parent: int) -> None:
+    p = resolve_protocol(table_dir, parent)
+    if int(p.get("min_writer", 1)) > SUPPORTED_WRITER:
+        raise ValueError(
+            f"table {table_dir} requires writer protocol "
+            f">= {p['min_writer']}; this engine supports "
+            f"{SUPPORTED_WRITER} — upgrade the engine before writing"
+        )
+
+
+def upgrade_protocol(
+    table_dir: str,
+    min_reader: int | None = None,
+    min_writer: int | None = None,
+) -> int:
+    """Raise the table's protocol minimums in one metadata commit —
+    UPWARD only (Delta's rule: a protocol never downgrades, or a
+    reader admitted yesterday could misread tomorrow). Future engines
+    call this when first using a manifest feature old builds cannot
+    serve."""
+    parent = current_version(table_dir)
+    cur = resolve_protocol(table_dir, parent)
+    new = dict(cur)
+    if min_reader is not None:
+        if min_reader < int(cur["min_reader"]):
+            raise ValueError(
+                f"protocol never downgrades (reader {cur['min_reader']}"
+                f" → {min_reader})"
+            )
+        new["min_reader"] = int(min_reader)
+    if min_writer is not None:
+        if min_writer < int(cur["min_writer"]):
+            raise ValueError(
+                f"protocol never downgrades (writer {cur['min_writer']}"
+                f" → {min_writer})"
+            )
+        new["min_writer"] = int(min_writer)
+    m = read_manifest(table_dir, parent)
+    version = parent + 1
+    body = {
+        "version": version,
+        "parent": parent,
+        "op": "upgrade_protocol",
+        "ts": time.time(),
+        "stat_cols": m.get("stat_cols") or [],
+        "partition_cols": m.get("partition_cols") or [],
+        "adds": [],
+        "removes": [],
+        "schema": resolve_schema(table_dir, parent),
+        "protocol": new,
+    }
+    if CHECKPOINT_EVERY and version % CHECKPOINT_EVERY == 0:
+        body.update(
+            _checkpoint_files_payload(table_dir, parent, [], [])
+        )
+        body["txns"] = resolve_txns(table_dir, parent)
+        body["constraints"] = resolve_constraints(table_dir, parent)
+        body["properties"] = resolve_properties(table_dir, parent)
+        body["copy_ledger"] = _merged_copy_ledger(table_dir, parent, None)
+        # body["protocol"] stays `new` — the commit's own record wins
+        body["column_mapping"] = resolve_mapping(table_dir, parent)
+        body["identity"] = resolve_identity(table_dir, parent)
+    _claim(table_dir, version, json.dumps(body, indent=0))
+    return version
 
 
 def resolve_txns(table_dir: str, version: int | None = None) -> dict:
@@ -1291,6 +1414,7 @@ def snapshot(
         if version is not None:
             raise ValueError("pass version OR timestamp, not both")
         version = version_at_timestamp(table_dir, timestamp)
+    check_read_protocol(table_dir, version)
     files = resolve_files(table_dir, version)
     ver = current_version(table_dir) if version is None else version
     if not files:
@@ -3155,6 +3279,117 @@ def clone_table(table_dir: str, dest_dir: str) -> int:
             "row_tracking": resolve_row_tracking(src),
             # operational config clones with the table
             "properties": resolve_properties(src),
+            # CHECK invariants + the IDENTITY watermark + the COPY
+            # ledger travel too (round-10 fix: a clone previously
+            # dropped all three — writes to the clone went
+            # unenforced, identity ids restarted at 0 colliding with
+            # cloned rows', and a re-run ingestion double-loaded)
+            "constraints": resolve_constraints(src),
+            "identity": resolve_identity(src),
+            "copy_ledger": resolve_copy_ledger(src),
+            "protocol": resolve_protocol(src),
+        },
+        indent=0,
+    )
+    path = _manifest_path(dest, 0)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    if not _LOG_STORE.claim(tmp, path):
+        os.unlink(tmp)
+        raise TxConflict("destination table already initialized")
+    os.unlink(tmp)
+    _write_pointer(dest, 0)
+    return 0
+
+
+def deep_clone(
+    spark: SparkSession, table_dir: str, dest_dir: str
+) -> int:
+    """DEEP CLONE: an independent table with its OWN copies of the
+    source's live data files and DV sidecars — unlike
+    :func:`clone_table`'s zero-copy shallow form, the clone's lifetime
+    is decoupled from the source's retention (VACUUM/rewrites on the
+    source can never strand it), which is the archival / cross-env
+    promotion use. Hive-partitioned sources work (relative leaf paths
+    copy verbatim — the shallow form must refuse them). Carried
+    metadata matches the shallow clone: schema, column mapping,
+    row-tracking and identity watermarks, properties, CHECK
+    constraints, and the COPY INTO ledger; history does NOT carry
+    (the clone starts at version 0 — Delta's deep-clone stance).
+
+    Scale shape: the driver ships only the live file LIST; the byte
+    copying runs as one ``mapInPandas`` pass on executors (a 100 TB
+    clone is a distributed copy job, not a driver loop). Entries keep
+    their stats/rows/DV chains verbatim, so the clone plans and
+    prunes identically from commit zero."""
+    src = os.path.abspath(table_dir)
+    dest = os.path.abspath(dest_dir)
+    parent = current_version(src)
+    m = read_manifest(src, parent)
+    entries = resolve_files(src, parent)
+    rels: list[str] = []
+    for e in entries:
+        n = _entry_name(e)
+        if os.path.isabs(n):
+            raise ValueError(
+                f"source entry {n!r} is absolute (a shallow clone?) — "
+                "deep-clone the ORIGINAL table, or compact this one "
+                "first to materialize local files"
+            )
+        rels.append(n)
+        rels.extend(_entry_dvs(e))
+    os.makedirs(dest, exist_ok=True)
+
+    def _copy_batch(it):
+        import shutil
+
+        import pandas as pd
+
+        for pdf in it:
+            done = 0
+            for rel in pdf["rel"]:
+                s = os.path.join(src, rel)
+                d = os.path.join(dest, rel)
+                os.makedirs(os.path.dirname(d), exist_ok=True)
+                if os.path.isdir(s):  # DV sidecars are directories
+                    shutil.copytree(s, d, dirs_exist_ok=True)
+                else:
+                    tmp = d + ".tmpcopy"
+                    shutil.copyfile(s, tmp)
+                    os.replace(tmp, d)
+                done += 1
+            yield pd.DataFrame({"n": [done]})
+
+    if rels:
+        copied = (
+            spark.createDataFrame(
+                [(r,) for r in sorted(set(rels))], "rel string"
+            )
+            .repartition(min(len(rels), 64))
+            .mapInPandas(_copy_batch, "n long")
+            .agg(F.sum("n"))
+            .collect()[0][0]
+        )
+        assert copied == len(set(rels))
+    os.makedirs(_log_dir(dest), exist_ok=True)
+    payload = json.dumps(
+        {
+            "version": 0,
+            "parent": None,
+            "op": f"deep_clone_of:{src}@{parent}",
+            "ts": time.time(),
+            "stat_cols": m.get("stat_cols") or [],
+            "partition_cols": m.get("partition_cols") or [],
+            **_files_payload_from_full(dest, entries),
+            "schema": resolve_schema(src, parent),
+            "column_mapping": resolve_mapping(src, parent),
+            "row_tracking": resolve_row_tracking(src, parent),
+            "properties": resolve_properties(src, parent),
+            "constraints": resolve_constraints(src, parent),
+            "identity": resolve_identity(src, parent),
+            "copy_ledger": resolve_copy_ledger(src, parent),
+            "protocol": resolve_protocol(src, parent),
         },
         indent=0,
     )
@@ -4337,6 +4572,7 @@ def _analyze_commit_parts(
             "files_parts": {"segments": segments},
             "txns": resolve_txns(table_dir, parent),
             "copy_ledger": _merged_copy_ledger(table_dir, parent, None),
+            "protocol": resolve_protocol(table_dir, parent),
             "constraints": resolve_constraints(table_dir, parent),
             "properties": resolve_properties(table_dir, parent),
             "column_mapping": resolve_mapping(table_dir, parent),
@@ -5140,6 +5376,7 @@ def table_changes(
     manifest) and the data files still on disk (vacuum after
     consuming, as with any CDF retention window).
     """
+    check_read_protocol(table_dir, to_version)
     to_version = (
         current_version(table_dir) if to_version is None else to_version
     )
@@ -5917,6 +6154,7 @@ def _commit_constraints(
         )
         body["txns"] = resolve_txns(table_dir, parent)
         body["copy_ledger"] = _merged_copy_ledger(table_dir, parent, None)
+        body["protocol"] = resolve_protocol(table_dir, parent)
         body["column_mapping"] = resolve_mapping(table_dir, parent)
     _claim(table_dir, version, json.dumps(body, indent=0))
     return version
@@ -6007,6 +6245,7 @@ def set_properties(table_dir: str, props: dict) -> int:
         )
         body["txns"] = resolve_txns(table_dir, parent)
         body["copy_ledger"] = _merged_copy_ledger(table_dir, parent, None)
+        body["protocol"] = resolve_protocol(table_dir, parent)
         body["column_mapping"] = resolve_mapping(table_dir, parent)
         body["constraints"] = resolve_constraints(table_dir, parent)
     _claim(table_dir, version, json.dumps(body, indent=0))
@@ -6463,6 +6702,7 @@ def truncate_history(table_dir: str, keep_versions: int) -> dict:
         not _has_full_list(m)
         or "txns" not in m
         or "copy_ledger" not in m
+        or "protocol" not in m
         or "constraints" not in m
         or "column_mapping" not in m
         or "identity" not in m
@@ -6482,6 +6722,7 @@ def truncate_history(table_dir: str, keep_versions: int) -> dict:
         # the COPY INTO ledger survives retention (or every pre-horizon
         # ingested file would silently re-load as duplicates)
         m["copy_ledger"] = _merged_copy_ledger(table_dir, horizon, None)
+        m["protocol"] = resolve_protocol(table_dir, horizon)
         # CHECK constraints survive retention too: resolve_constraints
         # walks parent links, so a self-contained horizon without the
         # map would silently drop every pre-horizon constraint and

@@ -870,6 +870,11 @@ class TxlogChangesStreamReader(DataSourceStreamReader):
             if pinned_head is not None
             else current_version(self.table_dir)
         )
+        from etl_sentinel_imagery_spark.operators.txlog import (
+            check_read_protocol,
+        )
+
+        check_read_protocol(self.table_dir, head)
         sv = str(options.get("startingversion", "0"))
         # "latest": only commits AFTER stream start (offset = head)
         self.start_version = head + 1 if sv == "latest" else int(sv)
@@ -999,6 +1004,11 @@ class TxlogChangesBatchReader(DataSourceReader):
             str(options.get("includerewrites", "false")).lower() == "true"
         )
         self.max_diff_rows = int(options.get("maxdiffrows", "5000000"))
+        from etl_sentinel_imagery_spark.operators.txlog import (
+            check_read_protocol,
+        )
+
+        check_read_protocol(self.table_dir, self.to_version)
         self.fields = _full_schema_json(self.table_dir, self.to_version)
         self.bindings = _bindings(self.table_dir, self.to_version)
         self.options = options or {}

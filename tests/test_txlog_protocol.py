@@ -1,0 +1,172 @@
+"""Protocol versioning (Delta's min-reader/min-writer gate) and DEEP
+CLONE; plus the round-10 clone-metadata fix (constraints, identity
+watermark and COPY ledger now travel with clones)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.operators import txlog as tx
+from etl_sentinel_imagery_spark.operators.txlog import (
+    add_constraint,
+    append,
+    clone_table,
+    copy_into,
+    current_version,
+    deep_clone,
+    delete_rows_dv,
+    init_table,
+    resolve_copy_ledger,
+    resolve_protocol,
+    snapshot,
+    table_changes,
+    truncate_history,
+    upgrade_protocol,
+    vacuum,
+)
+
+
+def _seed(spark, n=10, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("int").alias("grp"),
+        F.concat(F.lit("v"), F.col("id")).alias("body"),
+    )
+
+
+def test_protocol_defaults_and_upgrade(spark, tmp_path):
+    t = str(tmp_path / "p")
+    init_table(spark, t, _seed(spark))
+    assert resolve_protocol(t) == {"min_reader": 1, "min_writer": 1}
+    snapshot(spark, t).count()  # legacy default: everything works
+
+    v_pre = current_version(t)
+    upgrade_protocol(t, min_reader=99)
+    assert resolve_protocol(t)["min_reader"] == 99
+    # versioned like Delta: pre-upgrade versions read under the OLD gate
+    assert snapshot(spark, t, version=v_pre).count() == 10
+    with pytest.raises(ValueError, match="reader protocol"):
+        snapshot(spark, t)
+    with pytest.raises(ValueError, match="reader protocol"):
+        table_changes(spark, t, -1).count()
+    with pytest.raises(ValueError, match="downgrades"):
+        upgrade_protocol(t, min_reader=1)
+
+
+def test_protocol_write_gate_and_stream_refusal(spark, tmp_path):
+    t = str(tmp_path / "pw")
+    init_table(spark, t, _seed(spark))
+    upgrade_protocol(t, min_writer=99)
+    snapshot(spark, t).count()  # reads still fine
+    with pytest.raises(ValueError, match="writer protocol"):
+        append(spark, t, _seed(spark, 2, offset=100))
+
+    t2 = str(tmp_path / "ps")
+    init_table(spark, t2, _seed(spark))
+    upgrade_protocol(t2, min_reader=99)
+    from etl_sentinel_imagery_spark.sources.txlog_stream import (
+        TxlogChangesStreamReader,
+    )
+
+    with pytest.raises(ValueError, match="reader protocol"):
+        TxlogChangesStreamReader(None, {"path": t2})
+
+
+def test_protocol_survives_checkpoint_and_horizon(spark, tmp_path):
+    t = str(tmp_path / "pc")
+    init_table(spark, t, _seed(spark))
+    upgrade_protocol(t, min_reader=1, min_writer=1)  # explicit record
+    for i in range(tx.CHECKPOINT_EVERY + 2):
+        append(spark, t, _seed(spark, 1, offset=100 + i))
+    truncate_history(t, keep_versions=1)
+    assert resolve_protocol(t) == {"min_reader": 1, "min_writer": 1}
+    m = tx.read_manifest(t)  # walk is anchored, not falling to default
+    hv = current_version(t) - 1
+    horizon = tx.read_manifest(t, hv)
+    assert "protocol" in horizon or "protocol" in m
+
+
+def test_shallow_clone_carries_constraints_identity_ledger(
+    spark, tmp_path
+):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src_land = str(tmp_path / "land")
+    os.makedirs(src_land)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([100, 101], pa.int64()),
+                "grp": pa.array([0, 1], pa.int32()),
+                "body": pa.array(["x", "y"], pa.string()),
+            }
+        ),
+        os.path.join(src_land, "a.parquet"),
+    )
+    t = str(tmp_path / "src")
+    init_table(spark, t, _seed(spark))
+    add_constraint(spark, t, "grp_ok", "grp BETWEEN 0 AND 2")
+    copy_into(spark, t, src_land)
+    c = str(tmp_path / "clone")
+    clone_table(t, c)
+    # constraints enforce on clone writes (previously silently dropped)
+    with pytest.raises(Exception, match="grp_ok"):
+        append(
+            spark,
+            c,
+            spark.createDataFrame(
+                [(999, 7, "bad")], "doc_id long, grp int, body string"
+            ),
+        )
+    # the COPY ledger traveled: a replayed ingest no-ops on the clone
+    _, stats = copy_into(spark, c, src_land)
+    assert stats["files_loaded"] == 0
+
+
+def test_deep_clone_is_independent_and_complete(spark, tmp_path):
+    t = str(tmp_path / "dsrc")
+    init_table(
+        spark,
+        t,
+        _seed(spark, 30).repartition(2),
+        partition_cols=["grp"],
+        stat_cols=["doc_id"],
+    )
+    delete_rows_dv(spark, t, "doc_id", [3, 7])
+    add_constraint(spark, t, "grp_ok", "grp BETWEEN 0 AND 2")
+    want = sorted(map(tuple, snapshot(spark, t).collect()))
+
+    d = str(tmp_path / "dclone")
+    deep_clone(spark, t, d)
+    assert sorted(map(tuple, snapshot(spark, d).collect())) == want
+    # stats traveled: entries still carry pruning metadata
+    assert all("stats" in e for e in tx.resolve_files(d))
+    # constraints traveled
+    with pytest.raises(Exception, match="grp_ok"):
+        append(
+            spark,
+            d,
+            spark.createDataFrame(
+                [(999, 7, "bad")], "doc_id long, grp int, body string"
+            ),
+        )
+    # the clone is INDEPENDENT: destroy the source entirely
+    shutil.rmtree(t)
+    assert sorted(map(tuple, snapshot(spark, d).collect())) == want
+    # and writable on its own
+    append(spark, d, _seed(spark, 2, offset=500))
+    assert snapshot(spark, d).count() == 30 - 2 + 2
+
+
+def test_deep_clone_refuses_shallow_source(spark, tmp_path):
+    t = str(tmp_path / "s1")
+    init_table(spark, t, _seed(spark))
+    c1 = str(tmp_path / "s2")
+    clone_table(t, c1)
+    with pytest.raises(ValueError, match="absolute"):
+        deep_clone(spark, c1, str(tmp_path / "s3"))
