@@ -266,7 +266,7 @@ def _parse_table_ref(s: str) -> tuple[str, str, str]:
         "using", "on", "when", "set", "where", "values", "select",
         "retain", "dry", "then", "partitioned", "as", "to", "add",
         "drop", "rename", "unset", "zorder", "partition", "shallow",
-        "apply", "alter", "compute", "cluster",
+        "apply", "alter", "compute", "cluster", "deep",
     }
     if am and am.group(1).lower() not in reserved:
         return ref, am.group(1), rest[am.end():].strip()
@@ -906,13 +906,24 @@ def _do_create(spark, stmt, tables):
 
     body = _split_kw(stmt, "CREATE TABLE")[1]
     tref, _alias, rest = _parse_table_ref(body)
-    cm = re.match(r"SHALLOW\s+CLONE\s+(.*)$", rest, re.IGNORECASE)
+    cm = re.match(
+        r"(SHALLOW|DEEP)\s+CLONE\s+(.*)$", rest, re.IGNORECASE
+    )
     if cm:
-        # CREATE TABLE dest SHALLOW CLONE src — the zero-copy branch
-        sref, _alias2, extra = _parse_table_ref(cm.group(1))
+        # CREATE TABLE dest SHALLOW CLONE src (zero-copy branch) /
+        # DEEP CLONE src (independent copy, distributed file copy)
+        sref, _alias2, extra = _parse_table_ref(cm.group(2))
         if extra:
             raise TxSqlError(
                 f"unexpected tokens after clone source: {extra!r}"
+            )
+        if cm.group(1).upper() == "DEEP":
+            from etl_sentinel_imagery_spark.operators.txlog import (
+                deep_clone,
+            )
+
+            return deep_clone(
+                spark, _table_dir(sref, tables), _table_dir(tref, tables)
             )
         return clone_table(
             _table_dir(sref, tables), _table_dir(tref, tables)
@@ -960,7 +971,7 @@ def _do_create(spark, stmt, tables):
     if not am:
         raise TxSqlError(
             "CREATE TABLE takes AS <select>, a (col type, ...) "
-            "schema list, or SHALLOW CLONE src"
+            "schema list, or SHALLOW|DEEP CLONE src"
         )
     df = spark.sql(am.group(1).strip())
     return init_table(

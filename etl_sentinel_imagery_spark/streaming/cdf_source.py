@@ -89,6 +89,30 @@ class CdfCursor:
         os.replace(tmp, self._path)
 
 
+def _clamp_by_files(
+    table_dir: str, from_v: int, to_v: int, max_files: int
+) -> int:
+    """maxFilesPerTrigger for the foreachBatch wrapper: clamp the
+    range end where the pending commits' added-file count crosses the
+    cap (at least one version always admitted) — same contract as the
+    DataSource stream reader's admission control, manifest reads
+    only."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        read_manifest,
+    )
+
+    files = 0
+    for v in range(from_v + 1, to_v + 1):
+        m = read_manifest(table_dir, v)
+        adds = m.get("adds")
+        if adds is None:
+            adds = m.get("files") or []
+        files += len(adds)
+        if files > max_files and v > from_v + 1:
+            return v - 1
+    return to_v
+
+
 def cdf_step(
     spark: SparkSession,
     table_dir: str,
@@ -97,6 +121,7 @@ def cdf_step(
     initial_version: int = -1,
     max_versions: int | None = None,
     include_rewrites: bool = False,
+    max_files: int | None = None,
 ):
     """ONE micro-batch: consume the change feed for versions
     ``(cursor, to]`` where ``to`` is the current committed version
@@ -117,6 +142,8 @@ def cdf_step(
     to_v = current_version(table_dir)
     if max_versions is not None:
         to_v = min(to_v, from_v + max_versions)
+    if max_files is not None and to_v > from_v:
+        to_v = _clamp_by_files(table_dir, from_v, to_v, max_files)
     if to_v <= from_v:
         return None
     changes = table_changes(
@@ -135,6 +162,7 @@ def drain_table_changes(
     initial_version: int = -1,
     max_versions: int | None = None,
     include_rewrites: bool = False,
+    max_files: int | None = None,
 ) -> list:
     """Run :func:`cdf_step` until the cursor catches the table's
     current version; returns the list of consumed ranges. The batch
@@ -149,6 +177,7 @@ def drain_table_changes(
             initial_version,
             max_versions,
             include_rewrites,
+            max_files,
         )
         if r is None:
             return out

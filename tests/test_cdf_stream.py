@@ -432,3 +432,27 @@ def test_filtered_replication_derived_silver(spark, tmp_path):
     assert got == want()
     ids = {r[0] for r in got}
     assert 6 in ids and 3 not in ids and 4 not in ids and 9 not in ids
+
+
+def test_max_files_chunks_the_feed(spark, tmp_path):
+    """maxFilesPerTrigger on the foreachBatch wrapper: ranges clamp
+    where pending added files cross the cap; nothing is dropped."""
+    src = str(tmp_path / "mfsrc")
+    ckpt = str(tmp_path / "mfck")
+    init_table(spark, src, _seed(spark, 5).coalesce(1))
+    for i in range(3):
+        append(
+            spark, src, _seed(spark, 5, offset=5 * (i + 1)).coalesce(2)
+        )
+    rows = []
+    ranges = drain_table_changes(
+        spark,
+        src,
+        ckpt,
+        lambda df, rng: rows.extend(tuple(r) for r in df.collect()),
+        max_files=2,
+    )
+    assert len(ranges) >= 3  # 2-file commits chunk one per batch
+    assert sorted(rows) == sorted(
+        tuple(r) for r in table_changes(spark, src, -1).collect()
+    )

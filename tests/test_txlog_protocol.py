@@ -170,3 +170,14 @@ def test_deep_clone_refuses_shallow_source(spark, tmp_path):
     clone_table(t, c1)
     with pytest.raises(ValueError, match="absolute"):
         deep_clone(spark, c1, str(tmp_path / "s3"))
+
+
+def test_deep_clone_sql_route(spark, tmp_path):
+    from etl_sentinel_imagery_spark.operators.txlog_sql import tx_sql
+
+    t = str(tmp_path / "dq")
+    init_table(spark, t, _seed(spark, 8))
+    d = str(tmp_path / "dqc")
+    tx_sql(spark, f"CREATE TABLE `{d}` DEEP CLONE `{t}`")
+    shutil.rmtree(t)
+    assert snapshot(spark, d).count() == 8
