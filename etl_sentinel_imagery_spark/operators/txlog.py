@@ -3889,7 +3889,10 @@ def cluster_table(
     """INCREMENTAL clustering maintenance — the liquid-clustering
     shape: rewrite ONLY the live files not yet Z-ordered under the
     table's CURRENT cluster spec (new appends, merge/UPDATE rewrite
-    outputs, spec changes), into curve-ordered files stamped
+    outputs, spec changes) — plus stamped files carrying DELETION
+    VECTORS, whose soft deletes materialize in the same rewrite with
+    the marker kept (one pass, not a re-cluster the following
+    night) — into curve-ordered files stamped
     ``clustered: "<spec>"`` in their manifest entries. Steady ingest
     then keeps range-pruning sharp on every clustered dimension for
     the cost of the CHURN, where ``optimize(zorder_by=...)`` re-pays
@@ -3927,10 +3930,18 @@ def cluster_table(
     stat_cols = m.get("stat_cols") or None
     partition_cols = m.get("partition_cols") or None
     entries = resolve_files(table_dir, parent)
+    # candidates: anything not stamped with the CURRENT spec, plus
+    # stamped files carrying DV debt — the rewrite materializes their
+    # soft deletes AND keeps them clustered in the same pass (the
+    # round-10 fusion: previously optimize_small_files materialized
+    # DVs but dropped the marker, so the same bytes paid a second
+    # rewrite the following night)
     cand = [
         e
         for e in entries
-        if isinstance(e, str) or e.get("clustered") != spec
+        if isinstance(e, str)
+        or e.get("clustered") != spec
+        or _entry_dvs(e)
     ]
     stats = {"files_clustered": len(cand), "files_written": 0}
     if not cand:

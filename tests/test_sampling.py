@@ -376,3 +376,29 @@ def test_temperature_mix_flattens_shares(spark):
     assert out2.exceptAll(out).count() == 0
     # alpha=1: natural proportions — nothing dropped
     assert temperature_mix(df, "src", "doc_id", alpha=1.0).count() == 10000
+
+
+def test_temperature_weights_closed_form():
+    """The implementation's minimize-then-scale arithmetic must equal
+    the closed form frac_i = (n_min / n_i)^(1-alpha) (derivation:
+    n_j/p_j = n_j^(1-alpha)·Σn^alpha is minimized by n_min for
+    alpha<1, and the Σ terms cancel)."""
+    import random
+
+    from etl_sentinel_imagery_spark.operators.sampling import (
+        temperature_weights,
+    )
+
+    rng = random.Random(7)
+    for _ in range(50):
+        counts = {
+            f"s{i}": rng.randint(1, 10**7)
+            for i in range(rng.randint(1, 8))
+        }
+        alpha = rng.choice([0.0, 0.3, 0.5, 0.7, 1.0])
+        w = temperature_weights(counts, alpha)
+        n_min = min(counts.values())
+        for s, n in counts.items():
+            assert abs(w[s] - (n_min / n) ** (1 - alpha)) < 1e-9, (
+                counts, alpha, s,
+            )

@@ -143,3 +143,40 @@ def test_cluster_survives_partitioned_layout(spark, tmp_path):
     # rows stayed in their hive leaves
     for e in resolve_files(t):
         assert tx._entry_name(e).startswith("grp=")
+
+
+def test_cluster_materializes_dv_debt_in_one_pass(spark, tmp_path):
+    """Fusion: a clustered file that later gained deletion vectors
+    re-enters the candidate set — ONE rewrite materializes the soft
+    deletes and keeps the spec marker (no second rewrite the next
+    nightly; DV-free stamped files stay untouched)."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        delete_rows_dv,
+    )
+
+    t = str(tmp_path / "clf")
+    init_table(spark, t, _seed(spark, 200).repartition(2))
+    cluster_table(spark, t, cols=["a"], target_bytes=10**9)
+    delete_rows_dv(spark, t, "k", [5, 6, 7])
+    dv_files = [
+        tx._entry_name(e)
+        for e in resolve_files(t)
+        if tx._entry_dvs(e)
+    ]
+    assert dv_files  # the delete left soft-deleted positions
+    clean = {
+        tx._entry_name(e)
+        for e in resolve_files(t)
+        if not tx._entry_dvs(e)
+    }
+
+    v, stats = cluster_table(spark, t, cols=["a"], target_bytes=10**9)
+    assert stats["files_clustered"] == len(dv_files)
+    after = resolve_files(t)
+    assert clean <= {tx._entry_name(e) for e in after}  # untouched
+    assert all(not tx._entry_dvs(e) for e in after)  # debt gone
+    assert all(e.get("clustered") == "a" for e in after)  # marker kept
+    assert snapshot(spark, t).count() == 197
+    # converged: third pass no-ops
+    v2, stats2 = cluster_table(spark, t, cols=["a"])
+    assert v2 == v and stats2["files_clustered"] == 0
