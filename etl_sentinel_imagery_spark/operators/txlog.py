@@ -862,9 +862,7 @@ def _commit_delta(
         # horizon finds them locally)
         body["constraints"] = resolve_constraints(table_dir, parent)
         body["properties"] = resolve_properties(table_dir, parent)
-        body["copy_ledger"] = _merged_copy_ledger(
-            table_dir, parent, copy_files
-        )
+        _embed_copy_ledger(table_dir, parent, copy_files, body)
         body["protocol"] = resolve_protocol(table_dir, parent)
         if "column_mapping" not in body:
             body["column_mapping"] = resolve_mapping(table_dir, parent)
@@ -893,6 +891,9 @@ def resolve_copy_ledger(
     v = version
     while True:
         m = read_manifest(table_dir, v)
+        if "copy_ledger_parts" in m:
+            out = _read_copy_segments(table_dir, m["copy_ledger_parts"])
+            break
         if "copy_ledger" in m:
             out = dict(m["copy_ledger"])
             break
@@ -918,11 +919,124 @@ def _merged_copy_ledger(
     led = resolve_copy_ledger(table_dir, parent)
     if copy_files:
         led.update(copy_files["files"])
+    return _prune_ledger(table_dir, led)
+
+
+def _prune_ledger(table_dir: str, led: dict) -> dict:
     keep = _prop(table_dir, "copy.retention_seconds", 0.0)
     if keep:
         cut = time.time() - keep
         led = {p: t for p, t in led.items() if t >= cut}
     return led
+
+
+#: above this many entries the checkpoint-embedded COPY ledger moves
+#: out of inline JSON into immutable parquet SEGMENTS (the same
+#: O(churn) trick as parts checkpoints: each checkpoint reuses prior
+#: segments and appends only the entries since)
+COPY_LEDGER_INLINE_MAX = 10_000
+#: segment-count bound; past it a compaction rewrites the union (and
+#: applies the retention window) into one segment
+COPY_LEDGER_MAX_SEGMENTS = 8
+
+
+def _copy_parts_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_txlog", "copy_parts")
+
+
+def _write_copy_segment(table_dir: str, entries: dict) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = _copy_parts_dir(table_dir)
+    os.makedirs(d, exist_ok=True)
+    rel = os.path.join("_txlog", "copy_parts", f"seg-{uuid.uuid4().hex}.parquet")
+    items = sorted(entries.items())
+    pq.write_table(
+        pa.table(
+            {
+                "path": pa.array([p for p, _ in items], pa.string()),
+                "ts": pa.array([float(t) for _, t in items], pa.float64()),
+            }
+        ),
+        os.path.join(table_dir, rel),
+    )
+    return rel
+
+
+def _read_copy_segments(table_dir: str, segs: list[str]) -> dict:
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for rel in segs:  # in order: later segments override
+        t = pq.read_table(os.path.join(table_dir, rel))
+        out.update(
+            zip(t.column("path").to_pylist(), t.column("ts").to_pylist())
+        )
+    return out
+
+
+def _copy_ledger_state(
+    table_dir: str, version: int
+) -> tuple[list[str], dict]:
+    """(segments, inline-entries-since-the-last-segment-write) at
+    ``version`` — the incremental view :func:`_embed_copy_ledger`
+    needs so a checkpoint appends ONE churn segment instead of
+    rewriting the whole ledger."""
+    chain = []
+    v = version
+    segs: list[str] = []
+    while True:
+        m = read_manifest(table_dir, v)
+        if "copy_ledger_parts" in m:
+            segs = list(m["copy_ledger_parts"])
+            inline = {}
+            break
+        if "copy_ledger" in m:
+            inline = dict(m["copy_ledger"])
+            break
+        if m.get("parent") is None or _has_full_list(m) or "txns" in m:
+            inline = dict(
+                (m.get("copy_files") or {}).get("files") or {}
+            )
+            break
+        chain.append(m)
+        v = m["parent"]
+    for m in reversed(chain):
+        cf = m.get("copy_files")
+        if cf:
+            inline.update(cf["files"])
+    return segs, inline
+
+
+def _embed_copy_ledger(
+    table_dir: str, parent: int, copy_files: dict | None, body: dict
+) -> None:
+    """Embed the accumulated COPY ledger into a checkpoint-style
+    manifest ``body``: inline JSON below
+    :data:`COPY_LEDGER_INLINE_MAX` entries, else immutable parquet
+    SEGMENTS under ``_txlog/copy_parts/`` — each checkpoint reuses the
+    previous segments verbatim and lands one churn segment (O(new
+    entries), never O(ledger)); past
+    :data:`COPY_LEDGER_MAX_SEGMENTS` a compaction rewrites the union
+    (applying ``copy.retention_seconds``) into one. Segments land
+    BEFORE the claim like every part file; lost races leave orphans
+    vacuum sweeps age-gated."""
+    segs, inline = _copy_ledger_state(table_dir, parent)
+    delta = dict(inline)
+    if copy_files:
+        delta.update(copy_files["files"])
+    if not segs and len(delta) <= COPY_LEDGER_INLINE_MAX:
+        body["copy_ledger"] = _prune_ledger(table_dir, delta)
+        return
+    if delta:
+        segs = segs + [_write_copy_segment(table_dir, delta)]
+    if len(segs) > COPY_LEDGER_MAX_SEGMENTS:
+        union = _prune_ledger(
+            table_dir, _read_copy_segments(table_dir, segs)
+        )
+        segs = [_write_copy_segment(table_dir, union)]
+    body["copy_ledger_parts"] = segs
 
 
 #: Protocol versions THIS engine build understands (Delta's
@@ -1034,7 +1148,7 @@ def upgrade_protocol(
         body["txns"] = resolve_txns(table_dir, parent)
         body["constraints"] = resolve_constraints(table_dir, parent)
         body["properties"] = resolve_properties(table_dir, parent)
-        body["copy_ledger"] = _merged_copy_ledger(table_dir, parent, None)
+        _embed_copy_ledger(table_dir, parent, None, body)
         # body["protocol"] stays `new` — the commit's own record wins
         body["column_mapping"] = resolve_mapping(table_dir, parent)
         body["identity"] = resolve_identity(table_dir, parent)
@@ -4582,7 +4696,6 @@ def _analyze_commit_parts(
             "schema": resolve_schema(table_dir, parent),
             "files_parts": {"segments": segments},
             "txns": resolve_txns(table_dir, parent),
-            "copy_ledger": _merged_copy_ledger(table_dir, parent, None),
             "protocol": resolve_protocol(table_dir, parent),
             "constraints": resolve_constraints(table_dir, parent),
             "properties": resolve_properties(table_dir, parent),
@@ -4590,6 +4703,7 @@ def _analyze_commit_parts(
             "identity": resolve_identity(table_dir, parent),
             "row_tracking": resolve_row_tracking(table_dir, parent),
         }
+        _embed_copy_ledger(table_dir, parent, None, body)
         try:
             _claim(table_dir, parent + 1, json.dumps(body, indent=0))
             return parent + 1
@@ -4825,6 +4939,7 @@ def vacuum(
     referenced: set[str] = set()
     referenced_dv: set[str] = set()
     referenced_parts: set[str] = set()
+    referenced_copy_parts: set[str] = set()
     for v in range(current_version(table_dir) + 1):
         p = _manifest_path(table_dir, v)
         if os.path.exists(p):
@@ -4840,6 +4955,7 @@ def vacuum(
                     for s in m["files_parts"]["segments"]
                     if "part" in s
                 )
+            referenced_copy_parts.update(m.get("copy_ledger_parts", []))
     # entries inside referenced checkpoint parts pin their data files
     # and DV sidecars exactly like inline manifest entries (drop
     # segments don't unpin — a dropped entry was live at some earlier
@@ -4889,6 +5005,20 @@ def vacuum(
             if rel in referenced_parts:
                 continue
             full = os.path.join(parts_root, fname)
+            if min_age_seconds and now - os.path.getmtime(full) < min_age_seconds:
+                continue
+            if not dry_run:
+                os.unlink(full)
+            removed.append(rel)
+    # COPY-ledger segments (same discipline): orphans from lost claim
+    # races and compaction rewrites past truncated history
+    cparts_root = os.path.join(table_dir, "_txlog", "copy_parts")
+    if os.path.isdir(cparts_root):
+        for fname in sorted(os.listdir(cparts_root)):
+            rel = os.path.join("_txlog", "copy_parts", fname)
+            if rel in referenced_copy_parts:
+                continue
+            full = os.path.join(cparts_root, fname)
             if min_age_seconds and now - os.path.getmtime(full) < min_age_seconds:
                 continue
             if not dry_run:
@@ -6164,7 +6294,7 @@ def _commit_constraints(
             _checkpoint_files_payload(table_dir, parent, [], [])
         )
         body["txns"] = resolve_txns(table_dir, parent)
-        body["copy_ledger"] = _merged_copy_ledger(table_dir, parent, None)
+        _embed_copy_ledger(table_dir, parent, None, body)
         body["protocol"] = resolve_protocol(table_dir, parent)
         body["column_mapping"] = resolve_mapping(table_dir, parent)
     _claim(table_dir, version, json.dumps(body, indent=0))
@@ -6255,7 +6385,7 @@ def set_properties(table_dir: str, props: dict) -> int:
             _checkpoint_files_payload(table_dir, parent, [], [])
         )
         body["txns"] = resolve_txns(table_dir, parent)
-        body["copy_ledger"] = _merged_copy_ledger(table_dir, parent, None)
+        _embed_copy_ledger(table_dir, parent, None, body)
         body["protocol"] = resolve_protocol(table_dir, parent)
         body["column_mapping"] = resolve_mapping(table_dir, parent)
         body["constraints"] = resolve_constraints(table_dir, parent)
@@ -6712,7 +6842,7 @@ def truncate_history(table_dir: str, keep_versions: int) -> dict:
     if (
         not _has_full_list(m)
         or "txns" not in m
-        or "copy_ledger" not in m
+        or ("copy_ledger" not in m and "copy_ledger_parts" not in m)
         or "protocol" not in m
         or "constraints" not in m
         or "column_mapping" not in m
@@ -6732,7 +6862,8 @@ def truncate_history(table_dir: str, keep_versions: int) -> dict:
         m["txns"] = resolve_txns(table_dir, horizon)
         # the COPY INTO ledger survives retention (or every pre-horizon
         # ingested file would silently re-load as duplicates)
-        m["copy_ledger"] = _merged_copy_ledger(table_dir, horizon, None)
+        if "copy_ledger" not in m and "copy_ledger_parts" not in m:
+            _embed_copy_ledger(table_dir, horizon, None, m)
         m["protocol"] = resolve_protocol(table_dir, horizon)
         # CHECK constraints survive retention too: resolve_constraints
         # walks parent links, so a self-contained horizon without the

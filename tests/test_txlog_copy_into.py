@@ -210,3 +210,73 @@ def test_copy_into_csv(spark, tmp_path):
     )
     assert stats["files_loaded"] == 1
     assert snapshot(spark, t).count() == 2
+
+
+def test_copy_ledger_parts_scale(spark, tmp_path, monkeypatch):
+    """Past COPY_LEDGER_INLINE_MAX the checkpoint-embedded ledger
+    moves into immutable parquet SEGMENTS: each checkpoint reuses the
+    previous segments verbatim + one churn segment (O(new entries));
+    past the segment bound a compaction unions them; resolution,
+    dedup, truncate-horizon carry, and vacuum discipline all hold."""
+    monkeypatch.setattr(tx, "CHECKPOINT_EVERY", 4)
+    monkeypatch.setattr(tx, "COPY_LEDGER_INLINE_MAX", 2)
+
+    src = str(tmp_path / "landing")
+    t = str(tmp_path / "tbl")
+    init_table(spark, t, _seed(spark, 2, offset=9000))
+    made = 0
+
+    def land(n):
+        nonlocal made
+        for _ in range(n):
+            _src_file(src, f"f{made:04d}.parquet", range(made, made + 1))
+            made += 1
+
+    # three copies with appends between, crossing checkpoint versions
+    seg_histories = []
+    for round_ in range(3):
+        land(3)
+        copy_into(spark, t, src)
+        for i in range(4):
+            append(
+                spark, t, _seed(spark, 1, offset=50_000 + 100 * round_ + i)
+            )
+        m = tx.read_manifest(
+            t, (current_version(t) // 4) * 4
+        )  # the latest checkpoint
+        if "copy_ledger_parts" in m:
+            seg_histories.append(list(m["copy_ledger_parts"]))
+    assert seg_histories, "ledger never reached parts scale"
+    # segment REUSE: each later checkpoint's list extends the earlier
+    for a, b in zip(seg_histories, seg_histories[1:]):
+        assert b[: len(a)] == a or len(b) <= len(a)  # reuse or compacted
+    # resolution exact at parts scale
+    led = resolve_copy_ledger(t)
+    assert len(led) == made == 9
+    # dedup still holds: a replayed copy loads nothing
+    _, stats = copy_into(spark, t, src)
+    assert stats["files_loaded"] == 0
+    assert snapshot(spark, t).where(F.col("doc_id") < 9).count() == 9
+
+    # compaction: past the segment bound the list collapses to one
+    monkeypatch.setattr(tx, "COPY_LEDGER_MAX_SEGMENTS", 1)
+    land(1)
+    copy_into(spark, t, src)
+    while current_version(t) % 4 != 0:
+        append(spark, t, _seed(spark, 1, offset=7000 + current_version(t)))
+    m = tx.read_manifest(t)
+    assert len(m["copy_ledger_parts"]) == 1
+    assert len(resolve_copy_ledger(t)) == 10
+
+    # truncate horizon carries the parts reference; vacuum keeps
+    # referenced segments and sweeps an orphan
+    truncate_history(t, keep_versions=1)
+    assert len(resolve_copy_ledger(t)) == 10
+    orphan = os.path.join(t, "_txlog", "copy_parts", "seg-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    removed = tx.vacuum(t, min_age_seconds=0)
+    assert os.path.join("_txlog", "copy_parts", "seg-orphan.parquet") in removed
+    assert len(resolve_copy_ledger(t)) == 10
+    _, stats = copy_into(spark, t, src)
+    assert stats["files_loaded"] == 0
