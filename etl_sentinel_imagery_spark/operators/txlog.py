@@ -1714,6 +1714,7 @@ def copy_into(
     fmt: str = "parquet",
     force: bool = False,
     options: dict | None = None,
+    max_files: int | None = None,
 ) -> tuple[int, dict]:
     """``COPY INTO`` — IDEMPOTENT file ingestion (Databricks' verb):
     load the files under ``source`` matching ``pattern`` that have NOT
@@ -1754,6 +1755,11 @@ def copy_into(
     paths = [p for p in paths if not os.path.basename(p).startswith(("_", "."))]
     ledger = {} if force else resolve_copy_ledger(table_dir)
     new = [p for p in paths if p not in ledger]
+    if max_files is not None:
+        # admission control for streaming ingest: ONE commit loads at
+        # most this many files (sorted order → drains deterministic);
+        # deferred files count as skipped and load on the next call
+        new = new[:max_files]
     stats = {
         "files_matched": len(paths),
         "files_loaded": len(new),
