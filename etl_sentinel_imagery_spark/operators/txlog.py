@@ -1775,6 +1775,22 @@ def copy_into(
     df = reader.load(new)
     now = time.time()
     cf = {"source": src, "files": {p: now for p in new}}
+    ident = resolve_identity(table_dir)
+    if ident:
+        # identity tables: COPY routes through the ASSIGNING append —
+        # a silent NULL-filled GENERATED ALWAYS column is never ok;
+        # source files that carry the column refuse (same stance as
+        # the SQL INSERT route)
+        supplied = set(ident) & set(df.columns)
+        if supplied:
+            raise ValueError(
+                f"identity column(s) {sorted(supplied)} are GENERATED "
+                "ALWAYS — the ingested files must not carry them"
+            )
+        v = append_identity(
+            spark, table_dir, df, _op="copy_into", _copy_files=cf
+        )
+        return v, stats
     v = append(spark, table_dir, df, _op="copy_into", _copy_files=cf)
     return v, stats
 
@@ -5927,7 +5943,13 @@ def enable_identity(
     )
 
 
-def append_identity(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
+def append_identity(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    _op: str = "append_identity",
+    _copy_files: dict | None = None,
+) -> int:
     """Transactional append that ASSIGNS the table's identity
     column(s): each new row gets ``watermark + its dense rank`` (the
     two-phase distributed prefix sum — no single-task window, no
@@ -5994,12 +6016,13 @@ def append_identity(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
         parent,
         names,
         [],
-        "append_identity",
+        _op,
         stat_cols,
         partition_cols,
         schema_json=merged,
         column_mapping=upd,
         identity=new_ident,
+        copy_files=_copy_files,
     )
 
 

@@ -280,3 +280,51 @@ def test_copy_ledger_parts_scale(spark, tmp_path, monkeypatch):
     assert len(resolve_copy_ledger(t)) == 10
     _, stats = copy_into(spark, t, src)
     assert stats["files_loaded"] == 0
+
+
+def test_copy_into_identity_table_assigns(spark, tmp_path):
+    """COPY on an identity table routes through the assigning append
+    (never a silent NULL GENERATED ALWAYS column); files carrying the
+    column refuse, like the SQL INSERT route."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        enable_identity,
+    )
+
+    src = str(tmp_path / "landing")
+    _src_file(src, "a.parquet", range(3))
+    t = str(tmp_path / "tbl")
+    init_table(
+        spark,
+        t,
+        spark.createDataFrame([], "doc_id long, body string"),
+    )
+    enable_identity(t, "rid", start=10)
+    copy_into(spark, t, src)
+    snap = snapshot(spark, t)
+    assert sorted(r["rid"] for r in snap.collect()) == [10, 11, 12]
+    # a second batch continues the watermark, ledger still dedups
+    _src_file(src, "b.parquet", range(3, 5))
+    copy_into(spark, t, src)
+    assert sorted(
+        r["rid"] for r in snapshot(spark, t).collect()
+    ) == [10, 11, 12, 13, 14]
+    _, stats = copy_into(spark, t, src)
+    assert stats["files_loaded"] == 0
+
+    # files CARRYING the identity column refuse
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([9], pa.int64()),
+                "body": pa.array(["x"], pa.string()),
+                "rid": pa.array([999], pa.int64()),
+            }
+        ),
+        os.path.join(bad, "c.parquet"),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="GENERATED"):
+        copy_into(spark, t, bad)
