@@ -1775,6 +1775,12 @@ def copy_into(
     df = reader.load(new)
     now = time.time()
     cf = {"source": src, "files": {p: now for p in new}}
+    # ingestion honors the table's declared column facilities like
+    # the SQL INSERT route (Delta's COPY INTO stance): omitted
+    # DEFAULTs fill, omitted GENERATED columns compute, supplied
+    # generated values are enforced against their derivation
+    df = apply_column_defaults(spark, table_dir, df)
+    df = apply_generated_columns(spark, table_dir, df)
     ident = resolve_identity(table_dir)
     if ident:
         # identity tables: COPY routes through the ASSIGNING append —

@@ -328,3 +328,47 @@ def test_copy_into_identity_table_assigns(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="GENERATED"):
         copy_into(spark, t, bad)
+
+
+def test_copy_into_applies_defaults_and_generated(spark, tmp_path):
+    """Ingestion honors declared column facilities like the SQL
+    INSERT route: omitted DEFAULTs fill, omitted GENERATED columns
+    compute, supplied generated values enforce."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        set_column_default,
+        set_generated_column,
+    )
+
+    src = str(tmp_path / "landing")
+    _src_file(src, "a.parquet", range(3))
+    t = str(tmp_path / "tbl")
+    init_table(
+        spark,
+        t,
+        spark.createDataFrame(
+            [],
+            "doc_id long, body string, src string, body_len int",
+        ),
+    )
+    set_column_default(spark, t, "src", "'landing'")
+    set_generated_column(spark, t, "body_len", "length(body)")
+    copy_into(spark, t, src)
+    snap = snapshot(spark, t).collect()
+    assert all(r["src"] == "landing" for r in snap)
+    assert all(r["body_len"] == len(r["body"]) for r in snap)
+
+    # a supplied-but-contradictory generated value refuses
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([9], pa.int64()),
+                "body": pa.array(["xx"], pa.string()),
+                "body_len": pa.array([99], pa.int32()),
+            }
+        ),
+        os.path.join(bad, "c.parquet"),
+    )
+    with pytest.raises(Exception, match="GENERATED ALWAYS"):
+        copy_into(spark, t, bad)
