@@ -6708,6 +6708,16 @@ def table_details(table_dir: str, version: int | None = None) -> dict:
         "identity_columns": sorted(
             resolve_identity(table_dir, version)
         ),
+        "protocol": resolve_protocol(table_dir, version),
+        "cluster_by": [
+            c.strip()
+            for c in str(
+                resolve_properties(table_dir, version).get(
+                    "cluster.by", ""
+                )
+            ).split(",")
+            if c.strip()
+        ],
     }
 
 

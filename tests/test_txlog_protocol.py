@@ -181,3 +181,21 @@ def test_deep_clone_sql_route(spark, tmp_path):
     tx_sql(spark, f"CREATE TABLE `{d}` DEEP CLONE `{t}`")
     shutil.rmtree(t)
     assert snapshot(spark, d).count() == 8
+
+
+def test_table_details_surfaces_protocol_and_cluster(spark, tmp_path):
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        set_properties,
+        table_details,
+    )
+
+    t = str(tmp_path / "td")
+    init_table(spark, t, _seed(spark, 4))
+    d = table_details(t)
+    assert d["protocol"] == {"min_reader": 1, "min_writer": 1}
+    assert d["cluster_by"] == []
+    set_properties(t, {"cluster.by": "grp,doc_id"})
+    upgrade_protocol(t, min_writer=2)
+    d2 = table_details(t)
+    assert d2["cluster_by"] == ["grp", "doc_id"]
+    assert d2["protocol"]["min_writer"] == 2
