@@ -115,6 +115,60 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # COPY INTO ingest row (round-10): a FIXED-size synthetic ingest
+    # (20 files × 10k rows, sf-independent so the trend is pure
+    # engine cost) — one batched load commit, the ledger no-op, and a
+    # 5-file incremental pickup. Tracked separately so future write-
+    # row drift attributes in one read instead of an A/B.
+    import shutil as _sh
+    import tempfile as _tf
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        copy_into as _copy_into,
+        init_table as _init_table,
+    )
+
+    _root = _tf.mkdtemp(prefix="bench_copy_")
+    _land = os.path.join(_root, "land")
+    os.makedirs(_land)
+
+    def _drop(n0, n):
+        for i in range(n0, n0 + n):
+            ks = list(range(i * 10_000, (i + 1) * 10_000))
+            _pq.write_table(
+                _pa.table(
+                    {
+                        "k": _pa.array(ks, _pa.int64()),
+                        "v": _pa.array([k * 3 for k in ks], _pa.int64()),
+                    }
+                ),
+                os.path.join(_land, f"f{i:03d}.parquet"),
+            )
+
+    _drop(0, 20)
+    _tbl = os.path.join(_root, "t")
+    _init_table(spark, _tbl, spark.createDataFrame([], "k long, v long"))
+    t0 = time.time()
+    _copy_into(spark, _tbl, _land)
+    write_timings["copy_ingest_20f"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _copy_into(spark, _tbl, _land)
+    write_timings["copy_noop"] = round(time.time() - t0, 3)
+    _drop(20, 5)
+    t0 = time.time()
+    _copy_into(spark, _tbl, _land)
+    write_timings["copy_pickup_5f"] = round(time.time() - t0, 3)
+    _sh.rmtree(_root)
+    print(
+        f"# write_path copy: {write_timings['copy_ingest_20f']:.3f}s "
+        f"load / {write_timings['copy_noop']:.3f}s noop / "
+        f"{write_timings['copy_pickup_5f']:.3f}s pickup",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
