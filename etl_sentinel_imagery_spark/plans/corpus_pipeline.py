@@ -85,6 +85,12 @@ class CurationConfig:
     #: disables. Sources absent from the dict keep mix_default.
     source_mix: dict | None = None
     mix_default: float = 1.0
+    #: TEMPERATURE mixing instead of explicit fractions: keep
+    #: fractions derive from per-source counts as (n_min/n_i)^(1-α)
+    #: (operators.sampling.temperature_weights — the mT5/XLM-R
+    #: p_i ∝ n_i^α recipe, downsample-only). Mutually exclusive with
+    #: source_mix; the computed fractions land in the report.
+    mix_temperature: float | None = None
     #: Chunk the train split by REAL BPE token budget
     #: (operators.bpe.chunk_documents_bpe) instead of whitespace-token
     #: windows; requires bpe_merges > 0 (the tokenizer trained above).
@@ -231,7 +237,32 @@ def curate_corpus(
 
     stage("ingested", docs)
     ingested = docs
-    if cfg.source_mix is not None:
+    if cfg.source_mix is not None and cfg.mix_temperature is not None:
+        raise ValueError(
+            "pass source_mix (explicit fractions) OR mix_temperature "
+            "(derived fractions), not both"
+        )
+    mix_fracs = cfg.source_mix
+    if cfg.mix_temperature is not None:
+        if "source" not in docs.columns:
+            raise ValueError(
+                "mix_temperature set but docs has no 'source' column"
+            )
+        from etl_sentinel_imagery_spark.operators.sampling import (
+            temperature_weights,
+        )
+
+        counts = {
+            r[0]: r[1]
+            for r in docs.groupBy("source").count().collect()
+            if r[0] is not None
+        }
+        mix_fracs = temperature_weights(counts, cfg.mix_temperature)
+        if collect_stats:
+            report["mix_fractions"] = {
+                s: round(f, 6) for s, f in mix_fracs.items()
+            }
+    if mix_fracs is not None:
         if "source" not in docs.columns:
             raise ValueError(
                 "source_mix set but docs has no 'source' column"
@@ -246,7 +277,7 @@ def curate_corpus(
                 docs,
                 "doc_id",
                 "source",
-                cfg.source_mix,
+                mix_fracs,
                 default_fraction=cfg.mix_default,
                 seed=cfg.split_seed,
             ),

@@ -473,3 +473,44 @@ def test_max_docs_cap_uniform_and_weighted(spark, tmp_path):
     # the 5 heavy docs carry 250/285 of the weight: all should make a
     # 10-slot budget (overwhelmingly)
     assert {0, 1, 2, 3, 4} <= kept_w
+
+
+def test_mix_temperature_stage(spark, tmp_path):
+    """mix_temperature: keep fractions DERIVE from per-source counts
+    ((n_min/n_i)^(1-alpha)); the report carries them; alpha=1 keeps
+    natural proportions; mutually exclusive with source_mix."""
+    import pytest
+
+    base = _mk_docs(spark)
+    docs = base.withColumn(
+        "source",
+        F.when(F.col("doc_id") <= 2, F.lit("small")).otherwise(
+            F.lit("big")
+        ),
+    )
+    out = str(tmp_path / "tmix")
+    report = curate_corpus(
+        spark, docs, out, cfg=CurationConfig(mix_temperature=0.0)
+    )
+    # alpha=0: uniform shares — the binding small source keeps 100%
+    assert report["mix_fractions"]["small"] == 1.0
+    assert 0 < report["mix_fractions"]["big"] < 1.0
+    assert report["mix_by_source"]["small"] == 2
+
+    r1 = curate_corpus(
+        spark,
+        docs,
+        str(tmp_path / "t1"),
+        cfg=CurationConfig(mix_temperature=1.0),
+    )
+    assert r1["after_source_mix"] == r1["ingested"]  # nothing dropped
+
+    with pytest.raises(ValueError, match="not both"):
+        curate_corpus(
+            spark,
+            docs,
+            out,
+            cfg=CurationConfig(
+                mix_temperature=0.5, source_mix={"small": 1.0}
+            ),
+        )
