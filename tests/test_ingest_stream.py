@@ -91,3 +91,62 @@ def test_copy_stream_live_and_checkpoint_disposable(spark, tmp_path):
         assert snapshot(spark, t).count() == 15
     finally:
         q2.stop()
+
+
+def test_landing_to_curated_medallion(spark, tmp_path):
+    """The full ingestion story composed end to end: landing dir →
+    COPY (ledger-exactly-once) bronze → change feed → upsert silver
+    (latest state per key) → clustered maintenance. A late drop and a
+    bronze correction both flow through; replays load nothing twice."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        merge_upsert,
+        resolve_files,
+        set_properties,
+        maintain_table,
+    )
+    from etl_sentinel_imagery_spark.streaming.cdf_source import (
+        cdf_upsert_sink,
+        drain_table_changes,
+    )
+
+    land = str(tmp_path / "land")
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ck = str(tmp_path / "ck")
+    _land(land, "a.parquet", range(10))
+    _land(land, "b.parquet", range(10, 20))
+    init_table(spark, bronze, spark.createDataFrame([], "k long, v long"))
+    sink = cdf_upsert_sink(silver, "k", app_id="med")
+
+    copy_into(spark, bronze, land)
+    drain_table_changes(spark, bronze, ck, sink)
+    assert snapshot(spark, silver).count() == 20
+
+    # late drop + a bronze correction both flow through the feed
+    _land(land, "c.parquet", range(20, 25))
+    copy_into(spark, bronze, land)
+    merge_upsert(
+        spark,
+        bronze,
+        spark.createDataFrame([(0, 999)], "k long, v long"),
+        "k",
+    )
+    drain_table_changes(spark, bronze, ck, sink)
+    snap = snapshot(spark, silver)
+    assert snap.count() == 25
+    assert snap.where("k = 0").collect()[0]["v"] == 999
+
+    # replay: ledger refuses, feed cursor is caught up, silver stable
+    _, stats = copy_into(spark, bronze, land)
+    assert stats["files_loaded"] == 0
+    assert drain_table_changes(spark, bronze, ck, sink) == []
+    assert snapshot(spark, silver).count() == 25
+
+    # clustered maintenance on silver: one nightly call converges it
+    set_properties(silver, {"cluster.by": "k"})
+    report = maintain_table(spark, silver, vacuum_min_age_seconds=10**9)
+    assert report["files_clustered"] >= 1
+    assert all(
+        e.get("clustered") == "k" for e in resolve_files(silver)
+    )
+    assert snapshot(spark, silver).count() == 25
