@@ -6017,7 +6017,7 @@ def append_identity(
         spark, table_dir, assigned, stat_cols, partition_cols,
         mapping=upd or mapping,
     )
-    return _commit_delta(
+    v = _commit_delta(
         table_dir,
         parent,
         names,
@@ -6030,6 +6030,8 @@ def append_identity(
         identity=new_ident,
         copy_files=_copy_files,
     )
+    _maybe_auto_compact(spark, table_dir)
+    return v
 
 
 def resolve_mapping(

@@ -47,9 +47,14 @@ Supported grammar (case-insensitive keywords)::
     OPTIMIZE t [WHERE ...] [ZORDER BY (c1, ...)]
     OPTIMIZE t [WHERE col = val [AND ...]]
     VACUUM t [RETAIN n HOURS] [DRY RUN]
-    CREATE TABLE t [PARTITIONED BY (c1, ...)] AS <select ...>
+    CREATE TABLE t [PARTITIONED BY (c1, ...)] [CLUSTER BY (c1, ...)]
+        AS <select ...>
     CREATE TABLE t (col type[, ...]) [PARTITIONED BY (c1, ...)]
+        [CLUSTER BY (c1, ...)]
     CREATE TABLE t SHALLOW CLONE src
+    CREATE TABLE t DEEP CLONE src
+    COPY INTO t FROM '<dir-or-glob>' [FILEFORMAT = PARQUET|JSON|CSV]
+        [PATTERN = '<glob>'] [FORCE = TRUE]
     CONVERT TO TXLOG `dir` [PARTITIONED BY (c1[, ...])]
     REORG TABLE t [WHERE col = val [AND ...]] APPLY (PURGE)
     SHOW TBLPROPERTIES t
@@ -63,6 +68,8 @@ Supported grammar (case-insensitive keywords)::
     ALTER TABLE t DROP CONSTRAINT name
     ALTER TABLE t RENAME COLUMN a TO b
     ALTER TABLE t DROP COLUMN c
+    ALTER TABLE t CLUSTER BY (c1, ...) | CLUSTER BY NONE
+    ALTER TABLE t ALTER COLUMN c SET NOT NULL | DROP NOT NULL
     ALTER TABLE t ALTER COLUMN c SET DEFAULT <expr>
     ALTER TABLE t ALTER COLUMN c DROP DEFAULT
     ALTER TABLE t ALTER COLUMN c SET GENERATED ALWAYS AS (<expr>)
@@ -71,6 +78,7 @@ Supported grammar (case-insensitive keywords)::
         [START WITH n]
     DESCRIBE HISTORY t
     DESCRIBE DETAIL t
+    DESCRIBE [TABLE] t
 
 MERGE's ON clause takes conjunctive equi-keys (``a.k = b.k [AND
 a.k2 = b.k2 ...]`` with the same column name on both sides of each
@@ -944,6 +952,31 @@ def _do_create(spark, stmt, tables):
             c.split(".")[-1] for c in _split_commas(rest2[1:i])
         ]
         rest = rest2[i + 1:].strip()
+    cluster_cols = None
+    km = re.match(r"CLUSTER\s+BY\s*(?=\()", rest, re.IGNORECASE)
+    if km:
+        # Delta's liquid-clustering declaration at CREATE time: the
+        # spec lands as the cluster.by property right after init, so
+        # maintain_table clusters from the table's first nightly
+        rest2 = rest[km.end():]
+        i = _paren_span(rest2)
+        cluster_cols = [
+            _unquote_ident(c.strip())
+            for c in _split_commas(rest2[1:i])
+        ]
+        rest = rest2[i + 1:].strip()
+
+    def _finish(version):
+        if cluster_cols:
+            from etl_sentinel_imagery_spark.operators.txlog import (
+                set_properties,
+            )
+
+            return set_properties(
+                _table_dir(tref, tables),
+                {"cluster.by": ",".join(cluster_cols)},
+            )
+        return version
     if schema_ddl is not None:
         if rest:
             raise TxSqlError(
@@ -963,10 +996,15 @@ def _do_create(spark, stmt, tables):
             raise TxSqlError(
                 f"PARTITIONED BY names unknown columns {bad}"
             )
-        return init_table(
+        badc = [
+            c for c in (cluster_cols or []) if c not in empty.columns
+        ]
+        if badc:
+            raise TxSqlError(f"CLUSTER BY names unknown columns {badc}")
+        return _finish(init_table(
             spark, _table_dir(tref, tables), empty,
             partition_cols=part_cols,
-        )
+        ))
     am = re.match(r"AS\s+(.*)$", rest, re.IGNORECASE | re.DOTALL)
     if not am:
         raise TxSqlError(
@@ -974,9 +1012,12 @@ def _do_create(spark, stmt, tables):
             "schema list, or SHALLOW|DEEP CLONE src"
         )
     df = spark.sql(am.group(1).strip())
-    return init_table(
+    badc = [c for c in (cluster_cols or []) if c not in df.columns]
+    if badc:
+        raise TxSqlError(f"CLUSTER BY names unknown columns {badc}")
+    return _finish(init_table(
         spark, _table_dir(tref, tables), df, partition_cols=part_cols
-    )
+    ))
 
 
 def _do_truncate(spark, stmt, tables):

@@ -180,3 +180,37 @@ def test_cluster_materializes_dv_debt_in_one_pass(spark, tmp_path):
     # converged: third pass no-ops
     v2, stats2 = cluster_table(spark, t, cols=["a"])
     assert v2 == v and stats2["files_clustered"] == 0
+
+
+def test_create_table_cluster_by(spark, tmp_path):
+    """CREATE TABLE ... CLUSTER BY records the spec at birth (both the
+    schema-list and AS-select forms); the first maintenance pass
+    clusters; unknown columns refuse."""
+    import pytest
+
+    t = str(tmp_path / "ccb")
+    tx_sql(
+        spark,
+        f"CREATE TABLE `{t}` (k long, a long) CLUSTER BY (a)",
+    )
+    assert tx.resolve_properties(t)["cluster.by"] == "a"
+
+    _seed(spark, 100).createOrReplaceTempView("ccb_src")
+    t2 = str(tmp_path / "ccb2")
+    tx_sql(
+        spark,
+        f"CREATE TABLE `{t2}` CLUSTER BY (a, b) AS "
+        "SELECT * FROM ccb_src",
+    )
+    assert tx.resolve_properties(t2)["cluster.by"] == "a,b"
+    report = maintain_table(spark, t2, vacuum_min_age_seconds=10**9)
+    assert all(
+        e.get("clustered") == "a,b" for e in resolve_files(t2)
+    )
+    assert snapshot(spark, t2).count() == 100
+
+    with pytest.raises(Exception, match="unknown columns"):
+        tx_sql(
+            spark,
+            f"CREATE TABLE `{tmp_path / 'x'}` (k long) CLUSTER BY (z)",
+        )
