@@ -62,6 +62,7 @@ Supported grammar (case-insensitive keywords)::
     ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS c1[, ...]
     TRUNCATE TABLE t
     RESTORE TABLE t TO VERSION AS OF n
+    RESTORE TABLE t TO TIMESTAMP AS OF <epoch | 'YYYY-MM-DD[ HH:MM:SS]'>
     ALTER TABLE t SET TBLPROPERTIES ('k' = v, ...)
     ALTER TABLE t UNSET TBLPROPERTIES ('k', ...)
     ALTER TABLE t ADD CONSTRAINT name CHECK (pred)
@@ -1162,11 +1163,38 @@ def _do_restore(spark, stmt, tables):
     m = re.match(
         r"TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$", rest, re.IGNORECASE
     )
-    if not m:
-        raise TxSqlError(
-            f"RESTORE TABLE t TO VERSION AS OF <n>, got {rest!r}"
+    if m:
+        return restore(
+            spark, _table_dir(tref, tables), int(m.group(1))
         )
-    return restore(spark, _table_dir(tref, tables), int(m.group(1)))
+    m = re.match(
+        r"TO\s+TIMESTAMP\s+AS\s+OF\s+"
+        r"('([^']+)'|\"([^\"]+)\"|[0-9.]+)\s*$",
+        rest,
+        re.IGNORECASE,
+    )
+    if m:
+        from etl_sentinel_imagery_spark.operators.txlog import (
+            version_at_timestamp,
+        )
+
+        raw = m.group(2) or m.group(3) or m.group(1)
+        try:
+            ts = float(raw)
+        except ValueError:
+            # 'YYYY-MM-DD[ HH:MM:SS]' — local time, Delta's literal
+            from datetime import datetime
+
+            fmt = (
+                "%Y-%m-%d %H:%M:%S" if " " in raw.strip() else "%Y-%m-%d"
+            )
+            ts = datetime.strptime(raw.strip(), fmt).timestamp()
+        d = _table_dir(tref, tables)
+        return restore(spark, d, version_at_timestamp(d, ts))
+    raise TxSqlError(
+        "RESTORE TABLE t TO VERSION AS OF <n> | TO TIMESTAMP AS OF "
+        f"'<ts>', got {rest!r}"
+    )
 
 
 def _do_alter(spark, stmt, tables):

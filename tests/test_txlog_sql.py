@@ -957,3 +957,41 @@ def test_describe_table_columns(spark, tmp_path):
     assert tx_sql(spark, f"DESCRIBE TABLE `{t}`") == tx_sql(
         spark, f"DESCRIBE `{t}`"
     )
+
+
+def test_restore_to_timestamp(spark, tmp_path):
+    """RESTORE ... TO TIMESTAMP AS OF: epoch-seconds form resolves via
+    the commit-time index (version_at_timestamp's monotonicity
+    adjustment included); a pre-history timestamp refuses."""
+    import time as _time
+
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        append as _append,
+        init_table as _init,
+        read_manifest as _rm,
+        snapshot as _snap,
+    )
+
+    t = str(tmp_path / "rts")
+    _init(
+        spark,
+        t,
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+    )
+    _append(
+        spark,
+        t,
+        spark.createDataFrame([(2, "b")], "k long, v string"),
+    )
+    ts_v1 = _rm(t, 1)["ts"]
+    _append(
+        spark,
+        t,
+        spark.createDataFrame([(3, "c")], "k long, v string"),
+    )
+    tx_sql(
+        spark, f"RESTORE TABLE `{t}` TO TIMESTAMP AS OF {ts_v1 + 0.001}"
+    )
+    assert _snap(spark, t).count() == 2  # the v1 state
+    with pytest.raises(Exception, match="pre-history|predates"):
+        tx_sql(spark, f"RESTORE TABLE `{t}` TO TIMESTAMP AS OF 1.5")
