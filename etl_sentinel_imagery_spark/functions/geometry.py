@@ -90,6 +90,13 @@ def clip_polygon_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
             # t solves cross(e, p + t·d − a) = 0 → t = −cross(e, p−a)/cross(e, d)
             dx, dy = q[0] - p[0], q[1] - p[1]
             denom = ex * dy - ey * dx
+            if denom == 0.0:
+                # only reached when inside(p) != inside(q), which for a
+                # segment PARALLEL to the clip edge (cross(e, d) == 0)
+                # is possible solely through floating-point noise at
+                # the edge line — both endpoints are then ON the line
+                # to within ulps, so the midpoint is the intersection
+                return ((p[0] + q[0]) / 2.0, (p[1] + q[1]) / 2.0)
             t = (ey * (p[0] - ax) - ex * (p[1] - ay)) / denom
             return (p[0] + t * dx, p[1] + t * dy)
 

@@ -270,6 +270,7 @@ def temperature_mix(
     key_col: str = "doc_id",
     alpha: float = 0.7,
     seed: str = "",
+    report: dict | None = None,
 ) -> DataFrame:
     """Mix a multi-source corpus to temperature-``alpha`` shares in
     place: ONE count aggregation (control-plane-sized result — one row
@@ -277,13 +278,36 @@ def temperature_mix(
     then the same per-row md5-threshold filter every sampler here
     uses. No join, no second shuffle, no RNG state — a 100 TB corpus
     mixes at scan speed after one count pass, deterministic across
-    runs and partitionings."""
-    counts = {
-        r[0]: r[1]
-        for r in df.groupBy(source_col).count().collect()
-        if r[0] is not None
-    }
+    runs and partitionings.
+
+    Rows with a NULL ``source_col`` RAISE: a temperature share is
+    undefined for an unlabeled source, and silently dropping them
+    (the pre-round-11 behavior) loses data without a trace — filter
+    or fill the column first (round-10 advice, low).
+
+    Pass a ``report`` dict for pipeline observability (the same shape
+    ``curate_corpus`` records for explicit ``source_mix``): it is
+    filled with ``source_counts`` (input rows per source),
+    ``fractions`` (the derived keep fractions) and ``kept_by_source``
+    (output rows per source — costs one extra count pass, only run
+    when asked)."""
+    rows = df.groupBy(source_col).count().collect()
+    null_rows = sum(r[1] for r in rows if r[0] is None)
+    if null_rows:
+        raise ValueError(
+            f"{null_rows} rows have NULL {source_col!r} — a "
+            "temperature share is undefined for an unlabeled source; "
+            "filter them out or fill the column before mixing"
+        )
+    counts = {r[0]: r[1] for r in rows}
     fracs = temperature_weights(counts, alpha)
-    return stratified_sample(
+    out = stratified_sample(
         df, key_col, source_col, fracs, default_fraction=0.0, seed=seed
     )
+    if report is not None:
+        report["source_counts"] = dict(counts)
+        report["fractions"] = {s: round(fracs[s], 6) for s in counts}
+        report["kept_by_source"] = {
+            r[0]: r[1] for r in out.groupBy(source_col).count().collect()
+        }
+    return out

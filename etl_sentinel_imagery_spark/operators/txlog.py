@@ -56,6 +56,16 @@ class TxConflict(RuntimeError):
     """Another writer committed the version this commit was based on."""
 
 
+class CopyLedgerConflict(TxConflict):
+    """A concurrent ``COPY INTO`` ledgered (some of) this commit's
+    source files between our ledger read and our claim. Unlike a plain
+    lost claim race, an append-path rebase must NOT just re-commit —
+    the staged rows would double-load files the other writer already
+    ingested. :func:`copy_into` catches this and restarts from the
+    top: re-list, re-subtract the FRESH ledger, re-stage only the
+    genuinely new files (round-10 advice, medium)."""
+
+
 class PosixLogStore:
     """Default commit substrate: POSIX atomic link (claim) + replace
     (pointer). On an object store neither is atomic — subclass with a
@@ -913,6 +923,31 @@ def resolve_copy_ledger(
     return out
 
 
+def _check_copy_ledger_clear(
+    table_dir: str, parent: int, copy_files: dict | None, guard: bool
+) -> None:
+    """Raise :class:`CopyLedgerConflict` if any of this commit's COPY
+    source files are ALREADY in the ledger at ``parent`` — the
+    commit-path half of COPY INTO's exactly-once contract. The
+    initial ledger subtraction in :func:`copy_into` races against
+    concurrent copiers (list → stage → claim is not atomic); this
+    check runs against the claim parent on every attempt INCLUDING
+    rebases, so two concurrent COPY INTO runs over the same landing
+    dir can never both load a file (round-10 advice, medium).
+    O(ledger) dict lookups + the usual bounded chain walk; only runs
+    on copy commits."""
+    if not (copy_files and guard):
+        return
+    led = resolve_copy_ledger(table_dir, parent)
+    dup = sorted(p for p in copy_files.get("files", {}) if p in led)
+    if dup:
+        raise CopyLedgerConflict(
+            f"{len(dup)} staged source file(s) were ledgered by a "
+            f"concurrent COPY INTO (first: {dup[0]!r}); re-resolve "
+            "the landing dir against the fresh ledger"
+        )
+
+
 def _merged_copy_ledger(
     table_dir: str, parent: int, copy_files: dict | None
 ) -> dict:
@@ -1111,6 +1146,11 @@ def upgrade_protocol(
     call this when first using a manifest feature old builds cannot
     serve."""
     parent = current_version(table_dir)
+    # an upgrade is itself a WRITE: an engine whose writer level is
+    # below the table's current minimum must not be able to commit a
+    # protocol manifest to a table it is forbidden to write
+    # (round-10 advice, low)
+    check_write_protocol(table_dir, parent)
     cur = resolve_protocol(table_dir, parent)
     new = dict(cur)
     if min_reader is not None:
@@ -1614,6 +1654,7 @@ def append(
     max_rebase: int = 20,
     _op: str = "append",
     _copy_files: dict | None = None,
+    _copy_guard: bool = True,
 ) -> int:
     """Transactional append: new files land, then one commit adds them.
     Stats tracking (stat_cols) is inherited from the parent manifest.
@@ -1662,6 +1703,11 @@ def append(
         mapping=upd or mapping,
     )
     for _ in range(max_rebase):
+        # copy commits re-check the ledger at EVERY attempt's parent
+        # (first try and each rebase): a concurrent COPY INTO landing
+        # between our ledger read and our claim must abort this
+        # commit, not double-load its files
+        _check_copy_ledger_clear(table_dir, parent, _copy_files, _copy_guard)
         try:
             v = _commit_delta(
                 table_dir, parent, names, [], _op, stat_cols,
@@ -1726,13 +1772,26 @@ def copy_into(
     reloads everything matched (duplicate rows, ledger timestamps
     refresh) — Delta's ``COPY_OPTIONS ('force'='true')``.
 
-    Exactly-once by construction: the ledger entry and the data files
-    land in the SAME manifest claim, so a crash can never record files
-    as loaded without their rows (or vice versa). Dedup is by absolute
-    PATH — a same-name file re-uploaded with new content is skipped,
-    like Delta; load under a new name, use ``force``, or set a
-    ``copy.retention_seconds`` window after which ledger entries age
-    out at checkpoint embedding.
+    Exactly-once by construction, even under CONCURRENT copiers: the
+    ledger entry and the data files land in the SAME manifest claim,
+    so a crash can never record files as loaded without their rows
+    (or vice versa) — and the commit path re-checks the ledger at
+    every claim parent (:func:`_check_copy_ledger_clear`), so two
+    simultaneous runs over the same landing dir cannot both load a
+    file: the loser restarts here against the fresh ledger and loads
+    only the remainder (usually nothing).
+
+    Dedup keys are ``relative_path#size`` — relative to the landing
+    dir (so remounting or moving it does NOT re-ingest history; ledger
+    idempotence follows the files, not the mount point) and
+    size-qualified (so distinct landing dirs that happen to share a
+    file name don't mask each other). Two deliberate deviations from
+    Delta's absolute-path dedup, both safer on POSIX mounts: a
+    same-name re-upload with the SAME size is skipped like Delta, but
+    one with a DIFFERENT size re-loads (visible rows beat silently
+    dropped data). Entries written by older engine builds (absolute
+    paths) keep deduping. ``copy.retention_seconds`` ages entries out
+    at checkpoint embedding, after which a file loads again.
 
     Scale shape: the driver does one directory LIST plus an O(ledger)
     dict subtraction (the manifest chain serves the ledger in
@@ -1742,63 +1801,110 @@ def copy_into(
     :func:`append` path unchanged. ``fmt`` ∈ parquet/json/csv with
     reader ``options`` passed through (csv needs header/schema
     options, exactly as ``spark.read``)."""
+    src = os.path.abspath(source)
+    is_pattern = any(ch in src for ch in "*?[")
+    base = (os.path.dirname(src) or "/") if is_pattern else src
+    for _ in range(5):
+        paths = _list_copy_source(src, pattern, is_pattern)
+        keyed = [(p, _copy_ledger_key(p, base)) for p in paths]
+        ledger = {} if force else resolve_copy_ledger(table_dir)
+        # `p in ledger`: absolute-path entries written by older
+        # engine builds keep deduping
+        new = [
+            (p, k) for p, k in keyed if k not in ledger and p not in ledger
+        ]
+        if max_files is not None:
+            # admission control for streaming ingest: ONE commit loads
+            # at most this many files (sorted order → drains
+            # deterministic); deferred files count as skipped and load
+            # on the next call
+            new = new[:max_files]
+        stats = {
+            "files_matched": len(paths),
+            "files_loaded": len(new),
+            "files_skipped": len(paths) - len(new),
+        }
+        if not new:
+            return current_version(table_dir), stats
+        reader = spark.read.format(fmt)
+        if fmt == "parquet":
+            reader = reader.option("mergeSchema", "true")
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        df = reader.load([p for p, _ in new])
+        now = time.time()
+        cf = {"source": src, "files": {k: now for _, k in new}}
+        # ingestion honors the table's declared column facilities like
+        # the SQL INSERT route (Delta's COPY INTO stance): omitted
+        # DEFAULTs fill, omitted GENERATED columns compute, supplied
+        # generated values are enforced against their derivation
+        df = apply_column_defaults(spark, table_dir, df)
+        df = apply_generated_columns(spark, table_dir, df)
+        try:
+            ident = resolve_identity(table_dir)
+            if ident:
+                # identity tables: COPY routes through the ASSIGNING
+                # append — a silent NULL-filled GENERATED ALWAYS column
+                # is never ok; source files that carry the column
+                # refuse (same stance as the SQL INSERT route)
+                supplied = set(ident) & set(df.columns)
+                if supplied:
+                    raise ValueError(
+                        f"identity column(s) {sorted(supplied)} are "
+                        "GENERATED ALWAYS — the ingested files must "
+                        "not carry them"
+                    )
+                v = append_identity(
+                    spark, table_dir, df, _op="copy_into",
+                    _copy_files=cf, _copy_guard=not force,
+                )
+            else:
+                v = append(
+                    spark, table_dir, df, _op="copy_into",
+                    _copy_files=cf, _copy_guard=not force,
+                )
+            return v, stats
+        except CopyLedgerConflict:
+            # a concurrent COPY ledgered (some of) our files between
+            # the ledger read and the claim; this attempt's staged
+            # data files are vacuumable orphans — restart from the
+            # list, subtracting the FRESH ledger (usually a no-op)
+            continue
+    raise TxConflict(
+        f"copy_into lost 5 consecutive ledger races on {table_dir}"
+    )
+
+
+def _list_copy_source(
+    src: str, pattern: str, is_pattern: bool
+) -> list[str]:
+    """Landing-dir discovery for :func:`copy_into` — one driver-side
+    LIST, sorted for deterministic admission order. Hidden files
+    (``_``/``.`` prefixes, Spark's own markers) are never ingested."""
     import glob as _glob
 
-    src = os.path.abspath(source)
-    if any(ch in src for ch in "*?["):
+    if is_pattern:
         paths = _glob.glob(src)
     else:
         paths = _glob.glob(os.path.join(src, pattern))
     paths = sorted(
         os.path.abspath(p) for p in paths if os.path.isfile(p)
     )
-    paths = [p for p in paths if not os.path.basename(p).startswith(("_", "."))]
-    ledger = {} if force else resolve_copy_ledger(table_dir)
-    new = [p for p in paths if p not in ledger]
-    if max_files is not None:
-        # admission control for streaming ingest: ONE commit loads at
-        # most this many files (sorted order → drains deterministic);
-        # deferred files count as skipped and load on the next call
-        new = new[:max_files]
-    stats = {
-        "files_matched": len(paths),
-        "files_loaded": len(new),
-        "files_skipped": len(paths) - len(new),
-    }
-    if not new:
-        return current_version(table_dir), stats
-    reader = spark.read.format(fmt)
-    if fmt == "parquet":
-        reader = reader.option("mergeSchema", "true")
-    for k, v in (options or {}).items():
-        reader = reader.option(k, v)
-    df = reader.load(new)
-    now = time.time()
-    cf = {"source": src, "files": {p: now for p in new}}
-    # ingestion honors the table's declared column facilities like
-    # the SQL INSERT route (Delta's COPY INTO stance): omitted
-    # DEFAULTs fill, omitted GENERATED columns compute, supplied
-    # generated values are enforced against their derivation
-    df = apply_column_defaults(spark, table_dir, df)
-    df = apply_generated_columns(spark, table_dir, df)
-    ident = resolve_identity(table_dir)
-    if ident:
-        # identity tables: COPY routes through the ASSIGNING append —
-        # a silent NULL-filled GENERATED ALWAYS column is never ok;
-        # source files that carry the column refuse (same stance as
-        # the SQL INSERT route)
-        supplied = set(ident) & set(df.columns)
-        if supplied:
-            raise ValueError(
-                f"identity column(s) {sorted(supplied)} are GENERATED "
-                "ALWAYS — the ingested files must not carry them"
-            )
-        v = append_identity(
-            spark, table_dir, df, _op="copy_into", _copy_files=cf
-        )
-        return v, stats
-    v = append(spark, table_dir, df, _op="copy_into", _copy_files=cf)
-    return v, stats
+    return [
+        p for p in paths if not os.path.basename(p).startswith(("_", "."))
+    ]
+
+
+def _copy_ledger_key(path: str, base: str) -> str:
+    """``relative_path#size`` — the COPY ledger's dedup key. Relative
+    to the landing dir so a remount/move does not re-ingest history
+    (round-10 verdict #6); size-qualified so same-named files from
+    DIFFERENT landing dirs don't mask each other and a changed
+    re-upload re-loads instead of being silently dropped."""
+    rel = os.path.relpath(path, base)
+    if rel.startswith(".."):
+        rel = os.path.basename(path)
+    return f"{rel}#{os.path.getsize(path)}"
 
 
 def _maybe_auto_compact(spark: SparkSession, table_dir: str) -> None:
@@ -1833,6 +1939,21 @@ def _maybe_auto_compact(spark: SparkSession, table_dir: str) -> None:
     except TxConflict:
         pass  # a concurrent writer/maintainer won; the debt remains
         # visible and the next trigger retries
+    except Exception:  # noqa: BLE001 — best-effort by contract
+        # the append that triggered this pass has ALREADY committed;
+        # letting a maintenance failure (Spark job error, IO blip)
+        # propagate would make the caller see a failed append that
+        # actually landed — and a retry would duplicate the rows.
+        # Swallow, warn, leave the debt for the next trigger /
+        # maintain_table (round-10 advice, medium).
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "auto-compact pass failed on %s (append already "
+            "committed; small-file debt remains)",
+            table_dir,
+            exc_info=True,
+        )
 
 
 def _probe_candidates(
@@ -5955,6 +6076,7 @@ def append_identity(
     df: DataFrame,
     _op: str = "append_identity",
     _copy_files: dict | None = None,
+    _copy_guard: bool = True,
 ) -> int:
     """Transactional append that ASSIGNS the table's identity
     column(s): each new row gets ``watermark + its dense rank`` (the
@@ -6017,6 +6139,10 @@ def append_identity(
         spark, table_dir, assigned, stat_cols, partition_cols,
         mapping=upd or mapping,
     )
+    # same commit-path exactly-once check as append(): a concurrent
+    # COPY INTO ledgering our files between ledger read and claim
+    # must abort (copy_into restages), never double-load
+    _check_copy_ledger_clear(table_dir, parent, _copy_files, _copy_guard)
     v = _commit_delta(
         table_dir,
         parent,

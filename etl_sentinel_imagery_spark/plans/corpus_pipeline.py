@@ -252,11 +252,15 @@ def curate_corpus(
             temperature_weights,
         )
 
-        counts = {
-            r[0]: r[1]
-            for r in docs.groupBy("source").count().collect()
-            if r[0] is not None
-        }
+        rows = docs.groupBy("source").count().collect()
+        null_rows = sum(r[1] for r in rows if r[0] is None)
+        if null_rows:
+            raise ValueError(
+                f"{null_rows} docs have NULL 'source' — a temperature "
+                "share is undefined for an unlabeled source; filter "
+                "or fill the column before mix_temperature"
+            )
+        counts = {r[0]: r[1] for r in rows}
         mix_fracs = temperature_weights(counts, cfg.mix_temperature)
         if collect_stats:
             report["mix_fractions"] = {

@@ -887,11 +887,21 @@ class TxlogChangesStreamReader(DataSourceStreamReader):
         # maxVersionsPerTrigger admission control lives in
         # latestOffset (clamping in partitions() would DROP rows —
         # the checkpoint still advances to `end`). The cursor learns
-        # the true consumed offset from partitions(); the first
-        # trigger after a restart is unclamped (cursor unknown).
+        # the true consumed offset from partitions(); initialOffset
+        # seeds it on a FRESH stream so the very first micro-batch —
+        # the backlog-drain case the caps exist for — is capped too
+        # (round-10 advice, low). Only the first planned batch after
+        # a RESTART with no pending batch remains uncapped: Spark
+        # skips initialOffset there and the checkpointed offset is
+        # not exposed to the reader until partitions(); clamping from
+        # start_version-1 instead could move latestOffset BEHIND the
+        # checkpoint and re-deliver consumed versions.
         self._cursor: int | None = None
 
     def initialOffset(self):
+        # called exactly once, on an EMPTY checkpoint — this IS the
+        # consumed offset, so the admission caps bound batch one
+        self._cursor = self.start_version - 1
         return {"version": self.start_version - 1}
 
     def latestOffset(self):
@@ -948,7 +958,10 @@ class TxlogChangesStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         lo, hi = start["version"], end["version"]
-        self._cursor = hi
+        # max(): a replayed/degenerate batch must never move the
+        # admission cursor BEHIND the checkpointed start — a backward
+        # cursor would re-admit consumed versions at the next clamp
+        self._cursor = max(lo, hi)
         payloads = plan_change_partitions(
             self.table_dir,
             lo,

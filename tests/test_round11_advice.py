@@ -1,0 +1,296 @@
+"""Round-11 regressions: the five round-10 ADVICE findings plus the
+verdict's COPY-ledger keying item.
+
+1. concurrent COPY INTO cannot double-load (commit-path ledger
+   re-check, first attempt AND rebase) — ADVICE medium;
+2. auto-compact failures never fail an already-committed append —
+   ADVICE medium;
+3. a FRESH stream's first micro-batch honors the admission caps —
+   ADVICE low;
+4. upgrade_protocol is itself write-gated — ADVICE low;
+5. temperature_mix raises on NULL sources (and reports per-source
+   counts) — ADVICE low + verdict #7;
+6. the COPY ledger survives a landing-dir move (relative+size keys) —
+   verdict #6.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sentinel_imagery_spark.operators import txlog as tx
+from etl_sentinel_imagery_spark.operators.txlog import (
+    append,
+    copy_into,
+    current_version,
+    init_table,
+    resolve_copy_ledger,
+    snapshot,
+    upgrade_protocol,
+)
+
+
+def _src_file(d: str, name: str, ids):
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, name)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(ids), pa.int64()),
+                "body": pa.array([f"b{i}" for i in ids], pa.string()),
+            }
+        ),
+        p,
+    )
+    return p
+
+
+def _seed(spark, n=5, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("body"),
+    )
+
+
+# ---------------------------------------------------------------- #
+# 1. concurrent COPY INTO — exactly-once under the race             #
+# ---------------------------------------------------------------- #
+
+
+def test_concurrent_copy_into_rebase_path(spark, tmp_path, monkeypatch):
+    """Loser stages, then a concurrent COPY commits → loser's claim
+    loses, its rebase must NOT re-commit the same files: the ledger
+    re-check fires, copy_into restarts against the fresh ledger and
+    no-ops. Rows land exactly once."""
+    src = str(tmp_path / "landing")
+    _src_file(src, "a.parquet", range(10))
+    _src_file(src, "b.parquet", range(10, 15))
+    t = str(tmp_path / "tbl")
+    init_table(spark, t, _seed(spark, 0))
+
+    real_move = tx._move_in_data_files
+    state = {"raced": False}
+
+    def racing_move(*a, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            # the concurrent winner lands while we are staging
+            _, w = copy_into(spark, t, src)
+            assert w["files_loaded"] == 2
+        return real_move(*a, **kw)
+
+    monkeypatch.setattr(tx, "_move_in_data_files", racing_move)
+    v, stats = copy_into(spark, t, src)
+    assert stats["files_loaded"] == 0
+    assert stats["files_skipped"] == 2
+    got = snapshot(spark, t)
+    assert got.count() == 15  # each row exactly once
+    assert got.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_concurrent_copy_into_pre_claim_path(spark, tmp_path, monkeypatch):
+    """Winner lands AFTER the loser's ledger read but BEFORE the
+    loser's append resolves its parent: the pre-first-attempt ledger
+    check (not a claim race) must catch it."""
+    src = str(tmp_path / "landing")
+    _src_file(src, "a.parquet", range(8))
+    t = str(tmp_path / "tbl")
+    init_table(spark, t, _seed(spark, 0))
+
+    real_defaults = tx.apply_column_defaults
+    state = {"raced": False}
+
+    def racing_defaults(spark_, table_dir, df):
+        if not state["raced"]:
+            state["raced"] = True
+            copy_into(spark_, table_dir, src)
+        return real_defaults(spark_, table_dir, df)
+
+    monkeypatch.setattr(tx, "apply_column_defaults", racing_defaults)
+    _, stats = copy_into(spark, t, src)
+    assert stats["files_loaded"] == 0
+    assert snapshot(spark, t).count() == 8
+
+
+def test_force_copy_still_duplicates_on_purpose(spark, tmp_path):
+    """force=True disables the guard by design: duplicates are the
+    requested behavior."""
+    src = str(tmp_path / "landing")
+    _src_file(src, "a.parquet", range(4))
+    t = str(tmp_path / "tbl")
+    init_table(spark, t, _seed(spark, 0))
+    copy_into(spark, t, src)
+    _, stats = copy_into(spark, t, src, force=True)
+    assert stats["files_loaded"] == 1
+    assert snapshot(spark, t).count() == 8
+
+
+# ---------------------------------------------------------------- #
+# 2. auto-compact is best-effort for EVERY failure kind             #
+# ---------------------------------------------------------------- #
+
+
+def test_auto_compact_failure_never_fails_the_append(
+    spark, tmp_path, monkeypatch
+):
+    t = str(tmp_path / "tbl")
+    init_table(spark, t, _seed(spark, 1))
+    tx.set_properties(
+        t,
+        {
+            "optimize.auto_compact": "true",
+            "optimize.auto_compact_min_files": "1",
+        },
+    )
+
+    def boom(*a, **kw):
+        raise RuntimeError("executor lost")
+
+    monkeypatch.setattr(tx, "optimize_small_files", boom)
+    before = current_version(t)
+    v = append(spark, t, _seed(spark, 3, offset=100))
+    assert v == before + 1  # commit stands, maintenance failure swallowed
+    assert snapshot(spark, t).count() == 4
+
+
+# ---------------------------------------------------------------- #
+# 3. fresh stream: first micro-batch is capped                      #
+# ---------------------------------------------------------------- #
+
+
+def test_fresh_stream_first_batch_capped(spark, tmp_path):
+    from etl_sentinel_imagery_spark.sources.txlog_stream import (
+        TxlogChangesStreamReader,
+    )
+
+    d = str(tmp_path / "tbl")
+    init_table(spark, d, _seed(spark, 10).coalesce(1))
+    for i in range(4):  # backlog: v1..v4, two files each
+        append(
+            spark, d, _seed(spark, 10, offset=10 * (i + 1)).coalesce(2)
+        )
+
+    r = TxlogChangesStreamReader(
+        None, {"path": d, "maxfilespertrigger": "3"}
+    )
+    # fresh stream: Spark calls initialOffset first — it seeds the
+    # admission cursor, so the FIRST latestOffset is already clamped
+    assert r.initialOffset() == {"version": -1}
+    # v0 (1 file) + v1 (2 files) = 3 ≤ 3; +v2 exceeds → clamp at v1
+    assert r.latestOffset() == {"version": 1}
+    r.partitions({"version": -1}, {"version": 1})
+    assert r.latestOffset() == {"version": 2}
+
+    # a degenerate/replayed batch never moves the cursor backwards
+    r.partitions({"version": 2}, {"version": 1})
+    assert r._cursor == 2
+
+
+# ---------------------------------------------------------------- #
+# 4. upgrade_protocol is write-gated                                #
+# ---------------------------------------------------------------- #
+
+
+def test_upgrade_protocol_respects_write_gate(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    init_table(spark, t, _seed(spark, 1))
+    upgrade_protocol(t, min_writer=tx.SUPPORTED_WRITER + 1)
+    # the table now requires a newer writer: THIS engine may not
+    # write — not even another protocol bump
+    with pytest.raises(ValueError, match="writer protocol"):
+        upgrade_protocol(t, min_writer=tx.SUPPORTED_WRITER + 2)
+
+
+# ---------------------------------------------------------------- #
+# 5. temperature_mix: NULL sources raise; report counts             #
+# ---------------------------------------------------------------- #
+
+
+def test_temperature_mix_null_source_raises(spark):
+    from etl_sentinel_imagery_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "wiki"), (2, None), (3, "crawl")], "doc_id long, src string"
+    )
+    with pytest.raises(ValueError, match="NULL 'src'"):
+        temperature_mix(df, "src", "doc_id", alpha=0.5)
+
+
+def test_temperature_mix_report_counts(spark):
+    from etl_sentinel_imagery_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 900, "big").otherwise("small").alias("src"),
+    )
+    report: dict = {}
+    out = temperature_mix(df, "src", "doc_id", alpha=0.0, seed="r", report=report)
+    assert report["source_counts"] == {"big": 900, "small": 100}
+    assert report["fractions"]["small"] == 1.0
+    kept = {
+        r[0]: r[1] for r in out.groupBy("src").count().collect()
+    }
+    assert report["kept_by_source"] == kept
+    assert kept["small"] == 100  # binding source keeps 100%
+
+
+def test_curate_corpus_mix_temperature_null_source_raises(spark, tmp_path):
+    from etl_sentinel_imagery_spark.plans.corpus_pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x y z", None), (2, "a b c", "wiki")],
+        "doc_id long, body string, source string",
+    )
+    with pytest.raises(ValueError, match="NULL 'source'"):
+        curate_corpus(
+            spark,
+            docs,
+            str(tmp_path / "out"),
+            cfg=CurationConfig(mix_temperature=0.5),
+        )
+
+
+# ---------------------------------------------------------------- #
+# 6. COPY ledger survives a landing-dir move (remount)              #
+# ---------------------------------------------------------------- #
+
+
+def test_copy_ledger_survives_landing_dir_move(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    _src_file(src, "a.parquet", range(6))
+    _src_file(src, "b.parquet", range(6, 9))
+    t = str(tmp_path / "tbl")
+    init_table(spark, t, _seed(spark, 0))
+    copy_into(spark, t, src)
+    assert snapshot(spark, t).count() == 9
+
+    moved = str(tmp_path / "mnt" / "landing")
+    os.makedirs(os.path.dirname(moved))
+    shutil.move(src, moved)
+    _, stats = copy_into(spark, t, moved)
+    assert stats == {
+        "files_matched": 2,
+        "files_loaded": 0,
+        "files_skipped": 2,
+    }
+    assert snapshot(spark, t).count() == 9
+
+    # distinct landing dirs sharing a NAME but not content don't mask
+    other = str(tmp_path / "other")
+    _src_file(other, "a.parquet", range(100, 110))  # different size
+    _, stats = copy_into(spark, t, other)
+    assert stats["files_loaded"] == 1
+    assert snapshot(spark, t).count() == 19
