@@ -105,15 +105,29 @@ def main() -> None:
     # BESIDE the total, not inside it — `value` stays name-comparable
     # with every earlier round's read-only headline set (the
     # ann_ivf_tiers precedent).
+    # round-10 verdict #1: per-LEG timings recorded by the battery
+    # itself — drift attribution becomes one read instead of an ABAB.
+    # The battery row total stays name-comparable; `final_aggregates`
+    # is the residual (the lazy post-state SELECTs at .count()).
+    from etl_sentinel_imagery_spark.queries.dml_q import (
+        _txlog_dml_battery,
+    )
+
     write_timings: dict[str, float] = {}
+    legs: dict[str, float] = {}
     t0 = time.time()
-    qs["txlog_dml_battery"](spark, sf_dir).count()
+    _txlog_dml_battery(spark, sf_dir, leg_timings=legs).count()
     write_timings["txlog_dml_battery"] = round(time.time() - t0, 3)
+    legs["final_aggregates"] = round(
+        write_timings["txlog_dml_battery"] - sum(legs.values()), 3
+    )
     print(
         f"# write_path txlog_dml_battery: "
         f"{write_timings['txlog_dml_battery']:.3f}s",
         file=sys.stderr,
     )
+    for leg, sec in legs.items():
+        print(f"#   dml leg {leg}: {sec:.3f}s", file=sys.stderr)
 
     # COPY INTO ingest row (round-10): a FIXED-size synthetic ingest
     # (20 files × 10k rows, sf-independent so the trend is pure
@@ -178,7 +192,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "ann_ivf_tiers": tier_timings,
-                "write_path": write_timings,
+                "write_path": {
+                    **write_timings,
+                    "txlog_dml_battery_legs": legs,
+                },
                 "sf": sf,
                 "load_avg_start": load_avg,
             }

@@ -1081,23 +1081,54 @@ def _embed_copy_ledger(
 #: that changes the manifest semantics incompatibly bumps the table's
 #: recorded minimums; this build then refuses loudly instead of
 #: misreading bytes it does not understand.
-SUPPORTED_READER = 1
-SUPPORTED_WRITER = 1
+SUPPORTED_READER = 2
+SUPPORTED_WRITER = 2
+
+#: NAMED table features (Delta's readerFeatures/writerFeatures,
+#: round-10 verdict #4): integer minimums say "how new an engine",
+#: names say "which capabilities" — a build missing ONE feature can
+#: still serve every table that doesn't use it, instead of being
+#: locked out by a blanket version bump. Level 2 = understands named
+#: features; stamping a feature auto-bumps the integer minimum to 2
+#: so pre-feature builds (integer gate only) refuse feature-bearing
+#: tables instead of silently ignoring the names.
+#: The sets list what THIS build genuinely implements.
+SUPPORTED_READER_FEATURES = frozenset(
+    {
+        "deletionVectors",      # merge-on-read DV sidecars
+        "columnMapping",        # RENAME/DROP via logical→physical map
+        "rowTracking",          # materialized _row_id read path
+        "copyLedger",           # COPY INTO ledger (+ parquet segments)
+        "identityColumns",      # GENERATED ALWAYS AS IDENTITY
+        "generatedColumns",     # GENERATED ALWAYS AS (expr)
+        "columnDefaults",       # ALTER COLUMN SET DEFAULT
+        "checkConstraints",     # CHECK constraint enforcement
+        "clustering",           # cluster.by incremental clustering
+        "partsCheckpoints",     # parquet-segment checkpoints
+    }
+)
+SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES
 
 
 def resolve_protocol(
     table_dir: str, version: int | None = None
 ) -> dict:
-    """{min_reader, min_writer} in force at ``version`` — nearest
-    record wins (checkpoint-embedded like every metadata map; the
-    truncate horizon carries it); absent anywhere → (1, 1). Versioned
-    like Delta's protocol action: time travel to a pre-upgrade
-    version reads under the OLD requirement."""
+    """{min_reader, min_writer, reader_features, writer_features} in
+    force at ``version`` — nearest record wins (checkpoint-embedded
+    like every metadata map; the truncate horizon carries it); absent
+    anywhere → (1, 1, [], []). Versioned like Delta's protocol
+    action: time travel to a pre-upgrade version reads under the OLD
+    requirement."""
     v = current_version(table_dir) if version is None else version
     while v >= 0:
         m = read_manifest(table_dir, v)
         if "protocol" in m:
-            return dict(m["protocol"])
+            p = dict(m["protocol"])
+            # normalized shape: feature lists always present (older
+            # records lack the keys), sorted for stable display
+            p["reader_features"] = sorted(p.get("reader_features") or [])
+            p["writer_features"] = sorted(p.get("writer_features") or [])
+            return p
         # a checkpoint WITHOUT a protocol record bounds the walk: every
         # engine build that can write a protocol record also embeds it
         # at checkpoints, so a protocol-less checkpoint proves no
@@ -1109,7 +1140,12 @@ def resolve_protocol(
         if parent is None:
             break
         v = parent
-    return {"min_reader": 1, "min_writer": 1}
+    return {
+        "min_reader": 1,
+        "min_writer": 1,
+        "reader_features": [],
+        "writer_features": [],
+    }
 
 
 def check_read_protocol(
@@ -1123,6 +1159,16 @@ def check_read_protocol(
             f"{SUPPORTED_READER} — upgrade the engine (a newer writer "
             "raised the table's minimum)"
         )
+    missing = (
+        set(p.get("reader_features") or []) - SUPPORTED_READER_FEATURES
+    )
+    if missing:
+        raise ValueError(
+            f"table {table_dir} uses reader feature(s) "
+            f"{sorted(missing)} this engine build does not implement "
+            "— upgrade the engine (name-gated, so every OTHER table "
+            "keeps reading)"
+        )
 
 
 def check_write_protocol(table_dir: str, parent: int) -> None:
@@ -1133,18 +1179,42 @@ def check_write_protocol(table_dir: str, parent: int) -> None:
             f">= {p['min_writer']}; this engine supports "
             f"{SUPPORTED_WRITER} — upgrade the engine before writing"
         )
+    # a writer must be able to MAINTAIN every declared feature (and
+    # read what it is about to rewrite), Delta's stance — so both
+    # lists gate writes
+    missing = (
+        set(p.get("writer_features") or []) - SUPPORTED_WRITER_FEATURES
+    ) | (set(p.get("reader_features") or []) - SUPPORTED_READER_FEATURES)
+    if missing:
+        raise ValueError(
+            f"table {table_dir} uses feature(s) {sorted(missing)} "
+            "this engine build does not implement — writing would "
+            "corrupt invariants it cannot see; upgrade the engine"
+        )
 
 
 def upgrade_protocol(
     table_dir: str,
     min_reader: int | None = None,
     min_writer: int | None = None,
+    reader_features: list[str] | None = None,
+    writer_features: list[str] | None = None,
 ) -> int:
     """Raise the table's protocol minimums in one metadata commit —
     UPWARD only (Delta's rule: a protocol never downgrades, or a
     reader admitted yesterday could misread tomorrow). Future engines
     call this when first using a manifest feature old builds cannot
-    serve."""
+    serve.
+
+    ``reader_features``/``writer_features`` ADD named table features
+    (Delta's readerFeatures/writerFeatures; round-10 verdict #4):
+    names UNION into the existing lists (never drop — same
+    no-downgrade rule), the stamping engine must itself implement
+    each name (it is about to maintain them), and the integer
+    minimums auto-bump to 2 so integer-only legacy builds refuse the
+    table instead of silently ignoring names. A build missing one
+    named feature is locked out of THIS table only, by name — every
+    other table keeps serving."""
     parent = current_version(table_dir)
     # an upgrade is itself a WRITE: an engine whose writer level is
     # below the table's current minimum must not be able to commit a
@@ -1167,6 +1237,25 @@ def upgrade_protocol(
                 f" → {min_writer})"
             )
         new["min_writer"] = int(min_writer)
+    for names, key, supported, floor_key in (
+        (reader_features, "reader_features",
+         SUPPORTED_READER_FEATURES, "min_reader"),
+        (writer_features, "writer_features",
+         SUPPORTED_WRITER_FEATURES, "min_writer"),
+    ):
+        if not names:
+            continue
+        unknown = set(names) - supported
+        if unknown:
+            raise ValueError(
+                f"cannot stamp feature(s) {sorted(unknown)}: this "
+                "engine build does not implement them (a writer must "
+                "maintain every feature it declares)"
+            )
+        new[key] = sorted(set(new.get(key) or []) | set(names))
+        # named features imply the feature-aware integer level, so
+        # integer-only legacy builds refuse instead of ignoring names
+        new[floor_key] = max(int(new.get(floor_key, 1)), 2)
     m = read_manifest(table_dir, parent)
     version = parent + 1
     body = {

@@ -100,12 +100,41 @@ WHERE o_custkey % 97 = 0
 """
 
 
-def _txlog_dml_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _txlog_dml_battery(
+    spark: SparkSession,
+    sf_dir: str,
+    leg_timings: dict | None = None,
+) -> DataFrame:
+    """``leg_timings``: pass a dict and each statement GROUP records
+    its wall seconds into it (round-10 verdict #1 — the write bench
+    row grew round over round and every explanation was by
+    construction; per-leg numbers make drift attribution one read).
+    The final SELECT aggregates are lazy and excluded — bench reports
+    them as the residual against the battery total."""
+    import time as _time
+
     from etl_sentinel_imagery_spark.operators.txlog import (
         snapshot,
         table_changes,
     )
     from etl_sentinel_imagery_spark.operators.txlog_sql import tx_sql
+
+    class _leg:
+        def __init__(self, name: str):
+            self.name = name
+
+        def __enter__(self):
+            self.t0 = _time.time()
+
+        def __exit__(self, *exc):
+            if leg_timings is not None and exc[0] is None:
+                leg_timings[self.name] = round(
+                    leg_timings.get(self.name, 0.0)
+                    + _time.time()
+                    - self.t0,
+                    3,
+                )
+            return False
 
     register_views(spark, sf_dir)
     d = os.path.join(tempfile.mkdtemp(prefix="txdml_"), "cust")
@@ -114,40 +143,48 @@ def _txlog_dml_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gate; the synthetic VALUES row exercises the round-8 positional
     # binding (arity matches → binds c_custkey/c_nationkey/bal, with
     # int→bigint widening on append)
-    tx_sql(
-        spark,
-        "CREATE TABLE cust AS SELECT c_custkey, c_nationkey, "
-        "CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal FROM customer",
-        tables,
-    )
-    tx_sql(
-        spark,
-        "INSERT INTO cust VALUES (9000001, CAST(5 AS INT), 123456)",
-        tables,
-    )
+    with _leg("ctas_cust"):
+        tx_sql(
+            spark,
+            "CREATE TABLE cust AS SELECT c_custkey, c_nationkey, "
+            "CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal FROM customer",
+            tables,
+        )
+    with _leg("insert_values"):
+        tx_sql(
+            spark,
+            "INSERT INTO cust VALUES (9000001, CAST(5 AS INT), 123456)",
+            tables,
+        )
     # round-10: column DEFAULTs under the gate — declared as metadata,
     # applied by an INSERT that OMITS the column; the defaulted row
     # then rides every later statement (the by-source MERGE leg
     # negates it), so the hash proves the fill value end to end
-    tx_sql(
-        spark,
-        "ALTER TABLE cust ALTER COLUMN bal SET DEFAULT 31337",
-        tables,
-    )
-    tx_sql(
-        spark,
-        "INSERT INTO cust (c_custkey, c_nationkey) "
-        "VALUES (9000002, CAST(6 AS INT))",
-        tables,
-    )
-    tx_sql(spark, _UPDATE, tables)
-    tx_sql(spark, _DELETE, tables)
-    spark.sql(_SRC_SQL).createOrReplaceTempView("dml_src")
-    tx_sql(spark, _MERGE, tables)
+    with _leg("default_insert"):
+        tx_sql(
+            spark,
+            "ALTER TABLE cust ALTER COLUMN bal SET DEFAULT 31337",
+            tables,
+        )
+        tx_sql(
+            spark,
+            "INSERT INTO cust (c_custkey, c_nationkey) "
+            "VALUES (9000002, CAST(6 AS INT))",
+            tables,
+        )
+    with _leg("update"):
+        tx_sql(spark, _UPDATE, tables)
+    with _leg("delete"):
+        tx_sql(spark, _DELETE, tables)
+    with _leg("merge"):
+        spark.sql(_SRC_SQL).createOrReplaceTempView("dml_src")
+        tx_sql(spark, _MERGE, tables)
     # both maintenance forms are content-neutral by contract — the
     # hash gate is what proves it on this battery's post-state
-    tx_sql(spark, "OPTIMIZE cust", tables)
-    tx_sql(spark, "OPTIMIZE cust ZORDER BY (c_custkey)", tables)
+    with _leg("optimize"):
+        tx_sql(spark, "OPTIMIZE cust", tables)
+    with _leg("zorder"):
+        tx_sql(spark, "OPTIMIZE cust ZORDER BY (c_custkey)", tables)
     cust_agg = (
         snapshot(spark, d)
         .groupBy("c_nationkey")
@@ -185,15 +222,17 @@ def _txlog_dml_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # linenumber (disjoint from the 0..24 nation keys)
     dli = os.path.join(tempfile.mkdtemp(prefix="txdml_"), "li")
     tables["li"] = dli
-    tx_sql(
-        spark,
-        "CREATE TABLE li AS SELECT l_orderkey, l_linenumber, "
-        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price "
-        "FROM lineitem",
-        tables,
-    )
-    spark.sql(_LI_SRC_SQL).createOrReplaceTempView("li_src")
-    tx_sql(spark, _MERGE_COMPOSITE, tables)
+    with _leg("ctas_li"):
+        tx_sql(
+            spark,
+            "CREATE TABLE li AS SELECT l_orderkey, l_linenumber, "
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price "
+            "FROM lineitem",
+            tables,
+        )
+    with _leg("merge_composite"):
+        spark.sql(_LI_SRC_SQL).createOrReplaceTempView("li_src")
+        tx_sql(spark, _MERGE_COMPOSITE, tables)
     li_agg = (
         snapshot(spark, dli)
         .groupBy(
@@ -216,17 +255,18 @@ def _txlog_dml_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REORG is content-neutral by contract, so one aggregate proves
     # the adoption, the exact full-name DV keying, AND the rewrite.
     dn = os.path.join(tempfile.mkdtemp(prefix="txdml_"), "nat")
-    spark.sql(
-        "SELECT n_nationkey, n_name, n_regionkey FROM nation"
-    ).repartition(2).write.partitionBy("n_regionkey").parquet(dn)
-    tables["nat"] = dn
-    tx_sql(
-        spark,
-        f"CONVERT TO TXLOG `{dn}` PARTITIONED BY (n_regionkey)",
-        tables,
-    )
-    tx_sql(spark, "DELETE FROM nat WHERE n_nationkey % 3 = 0", tables)
-    tx_sql(spark, "REORG TABLE nat APPLY (PURGE)", tables)
+    with _leg("convert_reorg"):
+        spark.sql(
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+        ).repartition(2).write.partitionBy("n_regionkey").parquet(dn)
+        tables["nat"] = dn
+        tx_sql(
+            spark,
+            f"CONVERT TO TXLOG `{dn}` PARTITIONED BY (n_regionkey)",
+            tables,
+        )
+        tx_sql(spark, "DELETE FROM nat WHERE n_nationkey % 3 = 0", tables)
+        tx_sql(spark, "REORG TABLE nat APPLY (PURGE)", tables)
     nat_agg = (
         snapshot(spark, dn)
         .groupBy(
@@ -274,13 +314,15 @@ def _txlog_dml_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     _land("b.parquet", keys[len(keys) // 2:])
     dcp = os.path.join(cp_root, "cp")
     tables["cp"] = dcp
-    tx_sql(spark, "CREATE TABLE cp (rk long, val long)", tables)
-    tx_sql(
-        spark, f"COPY INTO cp FROM '{srcd}' FILEFORMAT = PARQUET", tables
-    )
-    tx_sql(spark, f"COPY INTO cp FROM '{srcd}'", tables)  # no-op
-    _land("late.parquet", [k + 10 for k in keys])
-    tx_sql(spark, f"COPY INTO cp FROM '{srcd}'", tables)
+    with _leg("copy_into"):
+        tx_sql(spark, "CREATE TABLE cp (rk long, val long)", tables)
+        tx_sql(
+            spark, f"COPY INTO cp FROM '{srcd}' FILEFORMAT = PARQUET",
+            tables,
+        )
+        tx_sql(spark, f"COPY INTO cp FROM '{srcd}'", tables)  # no-op
+        _land("late.parquet", [k + 10 for k in keys])
+        tx_sql(spark, f"COPY INTO cp FROM '{srcd}'", tables)
     cp_agg = (
         snapshot(spark, dcp)
         .groupBy((F.col("rk") + F.lit(300)).cast("int").alias("c_nationkey"))

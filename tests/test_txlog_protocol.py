@@ -41,7 +41,7 @@ def _seed(spark, n=10, offset=0):
 def test_protocol_defaults_and_upgrade(spark, tmp_path):
     t = str(tmp_path / "p")
     init_table(spark, t, _seed(spark))
-    assert resolve_protocol(t) == {"min_reader": 1, "min_writer": 1}
+    assert resolve_protocol(t) == {"min_reader": 1, "min_writer": 1, "reader_features": [], "writer_features": []}
     snapshot(spark, t).count()  # legacy default: everything works
 
     v_pre = current_version(t)
@@ -83,7 +83,7 @@ def test_protocol_survives_checkpoint_and_horizon(spark, tmp_path):
     for i in range(tx.CHECKPOINT_EVERY + 2):
         append(spark, t, _seed(spark, 1, offset=100 + i))
     truncate_history(t, keep_versions=1)
-    assert resolve_protocol(t) == {"min_reader": 1, "min_writer": 1}
+    assert resolve_protocol(t) == {"min_reader": 1, "min_writer": 1, "reader_features": [], "writer_features": []}
     m = tx.read_manifest(t)  # walk is anchored, not falling to default
     hv = current_version(t) - 1
     horizon = tx.read_manifest(t, hv)
@@ -192,10 +192,71 @@ def test_table_details_surfaces_protocol_and_cluster(spark, tmp_path):
     t = str(tmp_path / "td")
     init_table(spark, t, _seed(spark, 4))
     d = table_details(t)
-    assert d["protocol"] == {"min_reader": 1, "min_writer": 1}
+    assert d["protocol"] == {"min_reader": 1, "min_writer": 1, "reader_features": [], "writer_features": []}
     assert d["cluster_by"] == []
     set_properties(t, {"cluster.by": "grp,doc_id"})
     upgrade_protocol(t, min_writer=2)
     d2 = table_details(t)
     assert d2["cluster_by"] == ["grp", "doc_id"]
     assert d2["protocol"]["min_writer"] == 2
+
+
+def test_named_feature_stamp_and_refusal(spark, tmp_path, monkeypatch):
+    """Round-10 verdict #4: readerFeatures/writerFeatures beside the
+    integer gate. A feature-bearing table refuses engines that lack
+    the NAMED feature (every other table keeps serving); stamping
+    auto-bumps the integer floor to 2 so integer-only legacy builds
+    refuse too; the stamping engine must implement what it stamps."""
+    t = str(tmp_path / "feat")
+    init_table(spark, t, _seed(spark))
+
+    # this build cannot stamp a feature it does not implement
+    with pytest.raises(ValueError, match="does not implement"):
+        upgrade_protocol(t, reader_features=["v9Checksums"])
+
+    # a FUTURE build (simulated by widening the supported sets)
+    # stamps a new reader feature
+    fut_r = tx.SUPPORTED_READER_FEATURES | {"v9Checksums"}
+    monkeypatch.setattr(tx, "SUPPORTED_READER_FEATURES", fut_r)
+    monkeypatch.setattr(tx, "SUPPORTED_WRITER_FEATURES", fut_r)
+    upgrade_protocol(t, reader_features=["v9Checksums"])
+    p = resolve_protocol(t)
+    assert p["reader_features"] == ["v9Checksums"]
+    assert p["min_reader"] >= 2  # legacy integer-only builds refuse
+    snapshot(spark, t).count()  # the future build itself reads fine
+    monkeypatch.undo()
+
+    # THIS build now refuses, by name — reads and writes
+    with pytest.raises(ValueError, match="v9Checksums"):
+        snapshot(spark, t)
+    with pytest.raises(ValueError, match="v9Checksums"):
+        append(spark, t, _seed(spark, 1, offset=100))
+
+    # features a build DOES implement pass the gate
+    t2 = str(tmp_path / "feat2")
+    init_table(spark, t2, _seed(spark))
+    upgrade_protocol(
+        t2,
+        reader_features=["deletionVectors"],
+        writer_features=["deletionVectors", "checkConstraints"],
+    )
+    p2 = resolve_protocol(t2)
+    assert p2["reader_features"] == ["deletionVectors"]
+    assert p2["writer_features"] == [
+        "checkConstraints", "deletionVectors",
+    ]
+    assert p2["min_reader"] >= 2 and p2["min_writer"] >= 2
+    snapshot(spark, t2).count()
+    append(spark, t2, _seed(spark, 2, offset=200))
+
+    # feature lists never shrink: a second stamp UNIONS
+    upgrade_protocol(t2, writer_features=["rowTracking"])
+    assert resolve_protocol(t2)["writer_features"] == [
+        "checkConstraints", "deletionVectors", "rowTracking",
+    ]
+
+    # DESCRIBE DETAIL surfaces the names
+    from etl_sentinel_imagery_spark.operators.txlog import table_details
+
+    d = table_details(t2)
+    assert d["protocol"]["reader_features"] == ["deletionVectors"]
