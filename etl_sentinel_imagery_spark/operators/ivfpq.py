@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_sentinel_imagery_spark.operators.similarity import (
+    _collect_query_batch,
     _pq_reconstruct,
     _train_subspace_books,
     ivf_assign,
@@ -391,7 +392,7 @@ def ivfpq_topk(
     cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     shortlist = shortlist or 4 * k
 
-    q_rows = queries_df.select(id_col, vec_col).collect()
+    q_rows = _collect_query_batch(queries_df, id_col, vec_col)
     q_ids = [int(r[id_col]) for r in q_rows]
     q_mat = np.stack(
         [np.asarray(r[vec_col], dtype="float64") for r in q_rows]

@@ -82,6 +82,39 @@ def _div_by(denom: Column):
     return lambda x: x / denom
 
 
+#: Ceiling on a driver-collected QUERY batch (round-10 verdict #8).
+#: Every ANN serving entry point collects the query side to build
+#: probe sets / LUTs — "small by construction", but a caller wiring a
+#: corpus-sized frame in by mistake deserves a clear refusal, not a
+#: 2 AM driver OOM. Override via env for genuinely huge batches.
+ANN_QUERY_BATCH_MAX = int(
+    os.environ.get("SPARK_GRAFT_ANN_QUERY_BATCH_MAX", "100000")
+)
+
+
+def _collect_query_batch(
+    queries_df: DataFrame, id_col: str, vec_col: str
+) -> list:
+    """Driver-collect the query batch under :data:`ANN_QUERY_BATCH_MAX`.
+    The cap is enforced by a ``limit(cap + 1)`` collect — one extra
+    row proves the overflow without counting (or materializing) the
+    rest of an accidentally-huge frame."""
+    rows = (
+        queries_df.select(id_col, vec_col)
+        .limit(ANN_QUERY_BATCH_MAX + 1)
+        .collect()
+    )
+    if len(rows) > ANN_QUERY_BATCH_MAX:
+        raise ValueError(
+            f"query batch exceeds ANN_QUERY_BATCH_MAX="
+            f"{ANN_QUERY_BATCH_MAX} rows — the query side is collected "
+            "driver-side (probe sets / LUTs are computed per query); "
+            "split the batch, or raise "
+            "SPARK_GRAFT_ANN_QUERY_BATCH_MAX if the driver can hold it"
+        )
+    return rows
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_ids_filter: Column,
@@ -611,7 +644,7 @@ def ivf_topk_indexed(
     (they are the small side by construction) and broadcast into the
     bucket join."""
     cent_normed = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    q_rows = queries_df.select(id_col, vec_col).collect()
+    q_rows = _collect_query_batch(queries_df, id_col, vec_col)
     q_ids = [r[id_col] for r in q_rows]
     q_mat = np.stack([np.asarray(r[vec_col], dtype="float64") for r in q_rows])
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -770,7 +803,7 @@ def ivf_topk_indexed_adaptive(
             min(1.0, max(-1.0, float(r["min_cos"])))
         )
 
-    q_rows = queries_df.select(id_col, vec_col).collect()
+    q_rows = _collect_query_batch(queries_df, id_col, vec_col)
     q_ids = [int(r[id_col]) for r in q_rows]
     q_mat = np.stack([np.asarray(r[vec_col], dtype="float64") for r in q_rows])
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -1169,7 +1202,7 @@ def pq_topk(
     rotate identically, and since rotation preserves L2/cosine, the
     ranking semantics are unchanged."""
     m, kk, sub = codebooks.shape
-    q_rows = queries_df.select(id_col, vec_col).collect()
+    q_rows = _collect_query_batch(queries_df, id_col, vec_col)
     luts = {}
     for r in q_rows:
         qv = np.asarray(r[vec_col], dtype="float64")
@@ -1234,7 +1267,7 @@ def brute_force_topk_gemm(
     (GEMM accumulates in a different order than the sequential fold) —
     identical top-k sets on non-degenerate data, pinned in pytest.
     """
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = _collect_query_batch(queries, id_col, vec_col)
     q_ids = np.array([r[id_col] for r in q_rows])
     q_mat = np.stack(
         [np.asarray(r[vec_col], dtype="float64") for r in q_rows]

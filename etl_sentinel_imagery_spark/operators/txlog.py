@@ -196,6 +196,132 @@ def set_log_store(store) -> None:
     _LOG_STORE = store
 
 
+class PosixTableFS:
+    """Driver-side FILE-SYSTEM seam (round-10 verdict #2) — the
+    LogStore abstraction covers manifest claims/pointers; this covers
+    everything else the txlog driver does to storage: landing-dir
+    listing for COPY INTO, staging→table moves in
+    :func:`_move_in_data_files`, and the vacuum walks. Data-plane IO
+    (Spark/pyarrow reads and writes) does NOT route through here —
+    executors speak to storage natively; the seam is for the
+    DRIVER-side control operations whose POSIX assumptions (atomic
+    rename, consistent listing) object stores break. Swap with
+    :func:`set_table_fs` for s3/abfss adapters or the simulated store
+    in tests."""
+
+    def glob(self, pattern: str) -> list[str]:
+        import glob as _glob
+
+        return _glob.glob(pattern)
+
+    def walk(self, d: str):
+        yield from os.walk(d)
+
+    def listdir(self, d: str) -> list[str]:
+        return os.listdir(d)
+
+    def isfile(self, p: str) -> bool:
+        return os.path.isfile(p)
+
+    def isdir(self, p: str) -> bool:
+        return os.path.isdir(p)
+
+    def getsize(self, p: str) -> int:
+        return os.path.getsize(p)
+
+    def getmtime(self, p: str) -> float:
+        return os.path.getmtime(p)
+
+    def makedirs(self, d: str) -> None:
+        os.makedirs(d, exist_ok=True)
+
+    def move(self, src: str, dst: str) -> None:
+        """Publish ``src`` at ``dst`` and drop ``src``. POSIX: one
+        atomic rename. Object stores: no rename exists — see
+        :class:`SimulatedObjectStoreFS` for the copy+delete shape."""
+        os.replace(src, dst)
+
+    def remove(self, p: str) -> None:
+        os.unlink(p)
+
+    def rmtree(self, p: str) -> None:
+        import shutil
+
+        shutil.rmtree(p, ignore_errors=True)
+
+
+class SimulatedObjectStoreFS(PosixTableFS):
+    """Object-store semantics over a local dir, for tests — the FS
+    half of what :class:`MemoryLogStore` does for commits:
+
+    - **no rename**: :meth:`move` is PUT-bytes + DELETE-source (two
+      operations; a crash between them leaves the source behind as a
+      duplicate object — harmless here because staging dirs are
+      ``_``-prefixed and never listed as data, mirroring why Delta
+      writes data files ONCE under unique names instead of renaming);
+    - **list-after-write lag**: a file PUT through this FS stays
+      INVISIBLE to :meth:`glob`/:meth:`walk`/:meth:`listdir` for the
+      next ``list_lag`` listing calls (pre-2020 S3 eventual listing
+      consistency, still the contract on some stores). Correctness
+      must not depend on listings: manifests are the source of truth
+      for data files, so lag may only DELAY copy_into discovery and
+      vacuum reclaim, never lose or duplicate rows — the model test
+      runs under this FS to prove it.
+    """
+
+    def __init__(self, list_lag: int = 0):
+        self.list_lag = int(list_lag)
+        self._pending: dict[str, int] = {}
+
+    def _tick(self, p: str) -> bool:
+        """One listing observation of ``p``: visible?"""
+        n = self._pending.get(p)
+        if n is None:
+            return True
+        if n <= 1:
+            del self._pending[p]
+        else:
+            self._pending[p] = n - 1
+        return False
+
+    def glob(self, pattern: str) -> list[str]:
+        return [p for p in super().glob(pattern) if self._tick(p)]
+
+    def walk(self, d: str):
+        for root, dirs, fnames in super().walk(d):
+            yield root, dirs, [
+                f for f in fnames if self._tick(os.path.join(root, f))
+            ]
+
+    def listdir(self, d: str) -> list[str]:
+        return [
+            f
+            for f in super().listdir(d)
+            if self._tick(os.path.join(d, f))
+        ]
+
+    def move(self, src: str, dst: str) -> None:
+        with open(src, "rb") as f:
+            data = f.read()
+        with open(dst, "wb") as f:  # a PUT is atomic per key
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.unlink(src)
+        if self.list_lag:
+            self._pending[dst] = self.list_lag
+
+
+#: Module-level FS — swap with set_table_fs() for object-store
+#: deployments or listing-lag injection in tests.
+_TABLE_FS = PosixTableFS()
+
+
+def set_table_fs(fs) -> None:
+    global _TABLE_FS
+    _TABLE_FS = fs
+
+
 def _entry_name(e) -> str:
     """Manifest file entries are plain names, or {name, stats?, dv?,
     dv_n?} dicts when the table tracks column stats or the file
@@ -1423,7 +1549,12 @@ def _move_in_data_files(
     else:
         df.write.parquet(staging)
     names: list = []
-    for root, _dirs, fnames in os.walk(staging):
+    # driver-side control IO routes through the FS seam: staged files
+    # PUBLISH into the table tree under fresh unique names (an object
+    # store has no rename — the seam's move() is copy+delete there,
+    # safe because nothing references a staged name and the unique
+    # dest name can't collide)
+    for root, _dirs, fnames in _TABLE_FS.walk(staging):
         for entry in fnames:
             if not entry.endswith(".parquet") or entry.startswith("_"):
                 continue
@@ -1433,27 +1564,25 @@ def _move_in_data_files(
                 rel_dir = dest_subdir
             name = os.path.join(rel_dir, f"part-{uuid.uuid4().hex}.parquet")
             dest = os.path.join(table_dir, name)
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            os.replace(os.path.join(root, entry), dest)
+            _TABLE_FS.makedirs(os.path.dirname(dest))
+            _TABLE_FS.move(os.path.join(root, entry), dest)
             md = pq.ParquetFile(dest).metadata
             if md.num_rows == 0:
                 # a sparse frame's empty partitions write schema-only
                 # part files; manifest entries for them are pure noise
                 # (phantom files in every probe/plan, and an append of
                 # an empty frame would commit a content-free version)
-                os.remove(dest)
+                _TABLE_FS.remove(dest)
                 continue
             e: dict = {
                 "name": name,
                 "rows": md.num_rows,
-                "bytes": os.path.getsize(dest),
+                "bytes": _TABLE_FS.getsize(dest),
             }
             if stat_cols:
                 e["stats"] = _file_stats(md, stat_cols)
             names.append(e)
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
+    _TABLE_FS.rmtree(staging)
     return names
 
 
@@ -1968,16 +2097,17 @@ def _list_copy_source(
     src: str, pattern: str, is_pattern: bool
 ) -> list[str]:
     """Landing-dir discovery for :func:`copy_into` — one driver-side
-    LIST, sorted for deterministic admission order. Hidden files
-    (``_``/``.`` prefixes, Spark's own markers) are never ingested."""
-    import glob as _glob
-
+    LIST through the FS seam (listing lag on an object store only
+    DELAYS a file's ingestion to a later call; the ledger guarantees
+    it still loads exactly once), sorted for deterministic admission
+    order. Hidden files (``_``/``.`` prefixes, Spark's own markers)
+    are never ingested."""
     if is_pattern:
-        paths = _glob.glob(src)
+        paths = _TABLE_FS.glob(src)
     else:
-        paths = _glob.glob(os.path.join(src, pattern))
+        paths = _TABLE_FS.glob(os.path.join(src, pattern))
     paths = sorted(
-        os.path.abspath(p) for p in paths if os.path.isfile(p)
+        os.path.abspath(p) for p in paths if _TABLE_FS.isfile(p)
     )
     return [
         p for p in paths if not os.path.basename(p).startswith(("_", "."))
@@ -1985,15 +2115,21 @@ def _list_copy_source(
 
 
 def _copy_ledger_key(path: str, base: str) -> str:
-    """``relative_path#size`` — the COPY ledger's dedup key. Relative
-    to the landing dir so a remount/move does not re-ingest history
-    (round-10 verdict #6); size-qualified so same-named files from
-    DIFFERENT landing dirs don't mask each other and a changed
-    re-upload re-loads instead of being silently dropped."""
+    """``landing_basename/relative_path#size`` — the COPY ledger's
+    dedup key. Relative to the landing dir so a remount/move does not
+    re-ingest history (round-10 verdict #6), scoped by the landing
+    dir's LEAF name and size-qualified so same-named files from
+    DIFFERENT landing dirs don't mask each other, and a changed
+    re-upload (new size) re-loads instead of being silently dropped.
+    The residual collision — two landing dirs sharing leaf name,
+    relative path AND byte size — is accepted: a content hash would
+    close it but costs a full read of EVERY matched file per call,
+    which breaks the metadata-only dedup contract at scale."""
     rel = os.path.relpath(path, base)
     if rel.startswith(".."):
         rel = os.path.basename(path)
-    return f"{rel}#{os.path.getsize(path)}"
+    leaf = os.path.basename(base.rstrip(os.sep)) or os.sep
+    return f"{leaf}/{rel}#{_TABLE_FS.getsize(path)}"
 
 
 def _maybe_auto_compact(spark: SparkSession, table_dir: str) -> None:
@@ -5165,7 +5301,6 @@ def vacuum(
     Delta's 7-day default. ``dry_run=True`` returns the would-delete
     list without touching anything — the audit an operator runs
     before an aggressive window."""
-    import shutil
     import time
 
     if min_age_seconds is None:
@@ -5204,7 +5339,11 @@ def vacuum(
             referenced_dv.update(_entry_dvs(e))
     removed = []
     now = time.time()
-    for root, dirs, fnames in os.walk(table_dir):
+    # the sweep walks through the FS seam: on a lagging object store
+    # a just-published file may be missing from the listing — the
+    # safe direction (an unseen file is never deleted; the next
+    # vacuum sees it)
+    for root, dirs, fnames in _TABLE_FS.walk(table_dir):
         dirs[:] = [d for d in dirs if not d.startswith("_")]
         for entry in fnames:
             if not entry.endswith(".parquet") or entry.startswith("_"):
@@ -5213,54 +5352,54 @@ def vacuum(
             if rel in referenced:
                 continue
             path = os.path.join(root, entry)
-            if min_age_seconds and now - os.path.getmtime(path) < min_age_seconds:
+            if min_age_seconds and now - _TABLE_FS.getmtime(path) < min_age_seconds:
                 continue
             if not dry_run:
-                os.unlink(path)
+                _TABLE_FS.remove(path)
             removed.append(rel)
     # deletion-vector sidecars (directories under _dv/, skipped by the
     # underscore rule above) sweep separately: orphans come from
     # crashed/conflicted delete_rows_dv writers
     dv_root = os.path.join(table_dir, "_dv")
-    if os.path.isdir(dv_root):
-        for d in sorted(os.listdir(dv_root)):
+    if _TABLE_FS.isdir(dv_root):
+        for d in sorted(_TABLE_FS.listdir(dv_root)):
             rel = os.path.join("_dv", d)
             if rel in referenced_dv:
                 continue
             full = os.path.join(dv_root, d)
-            if min_age_seconds and now - os.path.getmtime(full) < min_age_seconds:
+            if min_age_seconds and now - _TABLE_FS.getmtime(full) < min_age_seconds:
                 continue
             if not dry_run:
-                shutil.rmtree(full, ignore_errors=True)
+                _TABLE_FS.rmtree(full)
             removed.append(rel)
     # checkpoint part files (under _txlog/, skipped by the underscore
     # rule): orphans come from lost claim races and from compaction
     # rewrites whose old parts' manifests were later truncated
     parts_root = os.path.join(table_dir, "_txlog", "parts")
-    if os.path.isdir(parts_root):
-        for fname in sorted(os.listdir(parts_root)):
+    if _TABLE_FS.isdir(parts_root):
+        for fname in sorted(_TABLE_FS.listdir(parts_root)):
             rel = os.path.join("_txlog", "parts", fname)
             if rel in referenced_parts:
                 continue
             full = os.path.join(parts_root, fname)
-            if min_age_seconds and now - os.path.getmtime(full) < min_age_seconds:
+            if min_age_seconds and now - _TABLE_FS.getmtime(full) < min_age_seconds:
                 continue
             if not dry_run:
-                os.unlink(full)
+                _TABLE_FS.remove(full)
             removed.append(rel)
     # COPY-ledger segments (same discipline): orphans from lost claim
     # races and compaction rewrites past truncated history
     cparts_root = os.path.join(table_dir, "_txlog", "copy_parts")
-    if os.path.isdir(cparts_root):
-        for fname in sorted(os.listdir(cparts_root)):
+    if _TABLE_FS.isdir(cparts_root):
+        for fname in sorted(_TABLE_FS.listdir(cparts_root)):
             rel = os.path.join("_txlog", "copy_parts", fname)
             if rel in referenced_copy_parts:
                 continue
             full = os.path.join(cparts_root, fname)
-            if min_age_seconds and now - os.path.getmtime(full) < min_age_seconds:
+            if min_age_seconds and now - _TABLE_FS.getmtime(full) < min_age_seconds:
                 continue
             if not dry_run:
-                os.unlink(full)
+                _TABLE_FS.remove(full)
             removed.append(rel)
     return removed
 

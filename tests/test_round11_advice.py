@@ -294,3 +294,93 @@ def test_copy_ledger_survives_landing_dir_move(spark, tmp_path):
     _, stats = copy_into(spark, t, other)
     assert stats["files_loaded"] == 1
     assert snapshot(spark, t).count() == 19
+
+
+# ---------------------------------------------------------------- #
+# 7. object-store FS seam (round-10 verdict #2)                     #
+# ---------------------------------------------------------------- #
+
+
+def test_simulated_object_store_fs_semantics(tmp_path):
+    """move is copy+delete (no rename) and PUT files lag out of
+    listings for list_lag calls — GET/stat stay strongly consistent."""
+    fs = tx.SimulatedObjectStoreFS(list_lag=2)
+    src = str(tmp_path / "a.bin")
+    dst = str(tmp_path / "b.bin")
+    with open(src, "wb") as f:
+        f.write(b"payload")
+    fs.move(src, dst)
+    assert not os.path.exists(src)
+    assert open(dst, "rb").read() == b"payload"  # GET consistent
+    assert fs.getsize(dst) == 7  # stat consistent
+    # LIST lags two observations behind the write
+    assert dst not in fs.glob(str(tmp_path / "*.bin"))
+    assert "b.bin" not in fs.listdir(str(tmp_path))
+    assert dst in fs.glob(str(tmp_path / "*.bin"))
+
+
+def test_copy_into_under_listing_lag_never_duplicates(
+    spark, tmp_path, monkeypatch
+):
+    """A landing file invisible to the first LIST simply loads on a
+    later call — delayed, never lost, never doubled."""
+    t = str(tmp_path / "tbl")
+    init_table(spark, t, _seed(spark, 0))
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    fs = tx.SimulatedObjectStoreFS(list_lag=2)
+    monkeypatch.setattr(tx, "_TABLE_FS", fs)
+
+    # the uploader PUTs through the store: subject to listing lag
+    staged = str(tmp_path / "upload.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "body": pa.array([f"b{i}" for i in range(5)])}),
+        staged,
+    )
+    fs.move(staged, os.path.join(src, "f.parquet"))
+
+    _, s1 = copy_into(spark, t, src)  # lagging list: not visible yet
+    assert s1 == {
+        "files_matched": 0, "files_loaded": 0, "files_skipped": 0,
+    }
+    copy_into(spark, t, src)  # second observation still lagged
+    _, s3 = copy_into(spark, t, src)  # now visible → loads once
+    assert s3["files_loaded"] == 1
+    _, s4 = copy_into(spark, t, src)
+    assert s4["files_loaded"] == 0  # ledger no-op
+    assert snapshot(spark, t).count() == 5
+
+
+# ---------------------------------------------------------------- #
+# 8. ANN query-batch collects are size-asserted                     #
+# ---------------------------------------------------------------- #
+
+
+def test_ann_query_batch_cap(spark, monkeypatch):
+    """Round-10 verdict #8: every serving entry point that collects
+    the query side refuses a corpus-sized frame with a clear error
+    instead of a driver OOM."""
+    import numpy as np
+
+    from etl_sentinel_imagery_spark.operators import similarity as sim
+
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 3).cast("double"),
+            F.lit(1.0),
+        ).alias("embedding"),
+    )
+    monkeypatch.setattr(sim, "ANN_QUERY_BATCH_MAX", 10)
+    cents = np.eye(3)[:2]
+    with pytest.raises(ValueError, match="ANN_QUERY_BATCH_MAX"):
+        sim.brute_force_topk_gemm(emb, emb, k=2)
+    # under the cap everything serves normally
+    small = emb.limit(4)
+    assert sim.brute_force_topk_gemm(emb, small, k=2).count() == 8
+    monkeypatch.undo()

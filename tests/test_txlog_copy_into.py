@@ -60,8 +60,11 @@ def test_copy_into_loads_once_then_noops(spark, tmp_path):
     }
     assert snapshot(spark, t).count() == 18
     led = resolve_copy_ledger(t)
-    # keys are landing-relative + size-qualified (remount-safe)
-    assert {k.split("#")[0] for k in led} == {"a.parquet", "b.parquet"}
+    # keys are leaf-scoped landing-relative + size-qualified
+    # (remount-safe, cross-landing collision-safe)
+    assert {k.split("#")[0] for k in led} == {
+        "landing/a.parquet", "landing/b.parquet",
+    }
 
     # idempotent: nothing new → no commit at all
     v2, stats2 = copy_into(spark, t, src)

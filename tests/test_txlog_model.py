@@ -96,11 +96,7 @@ def _snapshot_counter(spark, t, version=None) -> Counter:
     return Counter((r["doc_id"], r["val"], None) for r in rows)
 
 
-@settings(max_examples=8, deadline=None)
-@given(st.lists(OP, min_size=1, max_size=7))
-def test_random_op_sequences_match_reference_model(
-    spark, tmp_path_factory, ops
-):
+def _drive_model(spark, tmp_path_factory, ops):
     t = str(tmp_path_factory.mktemp("txmodel") / "t")
     copy_root = str(tmp_path_factory.mktemp("txmodel_land"))
     copied: set[int] = set()
@@ -336,3 +332,36 @@ def test_random_op_sequences_match_reference_model(
     # vacuum never breaks the current snapshot
     vacuum(t, min_age_seconds=0)
     assert _snapshot_counter(spark, t) == model
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(OP, min_size=1, max_size=7))
+def test_random_op_sequences_match_reference_model(
+    spark, tmp_path_factory, ops
+):
+    _drive_model(spark, tmp_path_factory, ops)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(OP, min_size=1, max_size=7))
+def test_model_on_simulated_object_store(
+    spark, tmp_path_factory, ops
+):
+    """Round-10 verdict #2: the SAME model sequences under OBJECT-
+    STORE semantics end to end — commits arbitrated by the CAS-backed
+    MemoryLogStore (no atomic link/replace) AND every driver-side
+    file operation through SimulatedObjectStoreFS (no rename: publish
+    is copy+delete; listings lag two calls behind writes). Rows, time
+    travel, the CDF fold, ledger idempotence and vacuum safety must
+    all hold — correctness never depends on rename atomicity or
+    listing consistency."""
+    from etl_sentinel_imagery_spark.operators import txlog as tx
+
+    store, fs = tx._LOG_STORE, tx._TABLE_FS
+    tx.set_log_store(tx.MemoryLogStore())
+    tx.set_table_fs(tx.SimulatedObjectStoreFS(list_lag=2))
+    try:
+        _drive_model(spark, tmp_path_factory, ops)
+    finally:
+        tx.set_log_store(store)
+        tx.set_table_fs(fs)
