@@ -589,7 +589,15 @@ def make_coverage_ratio_udf(aoi_wkt: str):
     needed when footprints are not axis-aligned (true Sentinel-2 swath
     footprints are clipped parallelograms). Handles CONCAVE AOIs
     (triangulated clip), multi-part AOIs, MULTIPOLYGON footprints, and
-    interior rings (holes) on both sides via signed ring arithmetic."""
+    interior rings (holes) on both sides via signed ring arithmetic.
+
+    CATALOG-SCALE ONLY: the body maps a Python lambda per row inside
+    the Arrow batch (the polygon kernel is per-geometry recursive
+    clipping, not vectorizable) — fine for its only use, ranking a few
+    hundred catalog footprints per AOI; do NOT lift it onto a
+    billion-row table. The scale paths are the bbox fast path
+    (operators.selection.with_coverage_ratio, pure JVM expressions)
+    and the grid-partitioned spatial join (operators.spatial_join)."""
     aoi_rings = parse_wkt_signed_rings(aoi_wkt)
     aoi_area = sum(sign * shoelace_area(r) for r, sign in aoi_rings)
 

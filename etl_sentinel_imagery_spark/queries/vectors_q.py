@@ -755,6 +755,14 @@ QUERIES: dict[str, Q] = {
         _ann_ivf_battery, None,
         "approximate ANN tiers: adaptive-probe IVF serving default "
         "(exactness certificate; its CERTIFIED subset is strict-hash "
-        "gated in ann_deterministic_battery) + k-means + PQ + HNSW",
+        "gated in ann_deterministic_battery) + k-means + PQ + HNSW. "
+        "Rows-only BY MEASUREMENT, not taste (round-10 verdict #3): "
+        "the certificate rate on this battery's raw near-isotropic "
+        "corpus is 0.00 at the serving probe budget vs 1.00 on the "
+        "clustered twin (pinned in tests/test_vectors.py::"
+        "test_ann_ivf_battery_certificate_rate_measured) — everything "
+        "that CAN certify is already hash-gated on the twin; the "
+        "remainder has no exactness proof any SQL oracle could "
+        "restate",
     ),
 }

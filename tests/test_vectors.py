@@ -552,3 +552,82 @@ def test_certified_twin_corpus_soundness(spark, tmp_path):
             f"certificate lied for query {qid}: probe answer differs "
             "from brute force"
         )
+
+
+def test_ann_ivf_battery_certificate_rate_measured(spark):
+    """Round-10 verdict #3 (documented-refusal branch): MEASURE the
+    exactness-certificate rate on the battery's own corpora, so the
+    decision to keep ann_ivf_battery rows-only is a number, not an
+    assertion of taste.
+
+    - On the RAW testdata corpus (near-isotropic embeddings) the
+      serving tier's certificates fire rarely or never at the
+      n_probe=2 default — whatever DOES certify is proven equal to
+      brute force here, and the rest is approximate IN PRINCIPLE: no
+      SQL oracle can restate a probe answer whose exactness nothing
+      proves, so the rows-only check is the honest gate.
+    - On the CLUSTERED TWIN corpus the rate is high — which is exactly
+      why the strict-hash certified leg lives there
+      (ann_deterministic_battery's ivf_certified method, round-9): the
+      certified part of the serving surface IS hash-gated; the
+      rows-only remainder of ann_ivf_battery (uncertified adaptive +
+      kmeans + pq + hnsw) is the approximate-in-principle residue."""
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_indexed_adaptive,
+    )
+    from etl_sentinel_imagery_spark.queries.vectors_q import (
+        N_QUERIES,
+        TOP_K,
+        _cert_twin_setup,
+        ann_ivf_tiers,
+    )
+    from etl_sentinel_imagery_spark.sources.tables import load_table
+
+    # raw-corpus serving tier, exactly as the battery runs it
+    adaptive = ann_ivf_tiers(spark, SF_DIR)["ivf_adaptive"]()
+    rows = adaptive.collect()
+    certified_q = {r["query_id"] for r in rows if r["exact"]}
+    raw_rate = len(certified_q) / N_QUERIES
+
+    # soundness ON THE BATTERY CORPUS: every certified query's rows
+    # equal brute force (not just on the unit-test fixture)
+    if certified_q:
+        emb = load_table(spark, SF_DIR, "embeddings")
+        brute = {}
+        for r in brute_force_topk(
+            emb, F.col("vec_id") < N_QUERIES, k=TOP_K
+        ).collect():
+            brute.setdefault(r["query_id"], set()).add(r["cand_id"])
+        got = {}
+        for r in rows:
+            if r["query_id"] in certified_q:
+                got.setdefault(r["query_id"], set()).add(r["cand_id"])
+        for q in certified_q:
+            assert got[q] == brute[q], f"certificate lied for query {q}"
+
+    # twin-corpus rate: high by construction — the strict leg's home
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus2, anchors, index_path = _cert_twin_setup(spark, SF_DIR, emb)
+    twin = ivf_topk_indexed_adaptive(
+        spark,
+        index_path,
+        corpus2.filter(F.col("vec_id") < N_QUERIES),
+        anchors,
+        k=TOP_K,
+    ).collect()
+    twin_certified = {r["query_id"] for r in twin if r["exact"]}
+    twin_rate = len(twin_certified) / N_QUERIES
+    assert twin_rate >= 0.5, (
+        f"twin certificate rate collapsed to {twin_rate:.2f} — the "
+        "strict ivf_certified leg would be near-empty"
+    )
+    # the measured gap IS the refusal rationale: certificates live on
+    # clustered data; the raw battery's uncertified remainder has no
+    # exactness proof for an oracle to restate
+    assert raw_rate <= twin_rate
+    print(
+        f"certificate rate: raw={raw_rate:.2f} twin={twin_rate:.2f} "
+        f"({len(certified_q)}/{N_QUERIES} vs "
+        f"{len(twin_certified)}/{N_QUERIES})"
+    )
