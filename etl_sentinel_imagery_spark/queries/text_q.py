@@ -841,6 +841,92 @@ FROM mlv
 """
 
 
+def _decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination under the strict gate (round 11 —
+    operators.decontaminate was pytest-only through round 10): the
+    corpus splits deterministically into a tiny EVAL set (doc_id %
+    97 == 0, the benchmark stand-in) and the TRAIN remainder; the
+    REAL operators then produce, in one result:
+
+    - ``pair`` rows — ngram_contamination's (train_id, eval_id,
+      n_shared_grams) for pairs sharing ≥ 2 distinct 3-grams (3/2
+      instead of the production 8/1 so the synthetic corpus yields a
+      non-vacuous set at every SF: 36 / 12 / 2055 pairs at sf
+      0.001/0.01/0.1);
+    - ``quarantined`` rows — contaminated_train_ids' removal set;
+    - one ``kept_count`` row — decontaminate()'s post-anti-join
+      corpus size, proving the quarantine actually filters.
+
+    Scale shape unchanged from the operator docstrings: eval grams
+    broadcast, the train side never shuffles on gram text, only the
+    (train, eval) hit triples reach the one aggregation shuffle."""
+    from etl_sentinel_imagery_spark.operators.decontaminate import (
+        contaminated_train_ids,
+        decontaminate,
+        ngram_contamination,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    pairs = ngram_contamination(tr, ev, n=3, min_shared=2)
+    quarantined = contaminated_train_ids(tr, ev, n=3, min_shared=2)
+    kept = decontaminate(tr, ev, n=3, min_shared=2)
+    null_id = F.lit(None).cast("long")
+    return (
+        pairs.select(
+            F.lit("pair").alias("kind"),
+            F.col("train_id").cast("long").alias("train_id"),
+            F.col("eval_id").cast("long").alias("eval_id"),
+            F.col("n_shared_grams").cast("long").alias("n"),
+        )
+        .unionByName(
+            quarantined.select(
+                F.lit("quarantined").alias("kind"),
+                F.col("doc_id").cast("long").alias("train_id"),
+                null_id.alias("eval_id"),
+                F.lit(1).cast("long").alias("n"),
+            )
+        )
+        .unionByName(
+            kept.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("kept_count").alias("kind"),
+                null_id.alias("train_id"),
+                null_id.alias("eval_id"),
+                F.col("n").cast("long").alias("n"),
+            )
+        )
+    )
+
+
+_DECONTAMINATION_SQL = f"""
+WITH grams AS (
+    SELECT doc_id, unnest({_ngrams_sql(3)}) AS g FROM documents
+),
+ev AS (SELECT doc_id AS eval_id, g FROM grams WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id AS train_id, g FROM grams WHERE doc_id % 97 <> 0),
+pairs AS (
+    SELECT train_id, eval_id, COUNT(*) AS n
+    FROM tr JOIN ev USING (g)
+    GROUP BY train_id, eval_id
+    HAVING COUNT(*) >= 2
+),
+quar AS (SELECT DISTINCT train_id FROM pairs)
+SELECT 'pair' AS kind, train_id, eval_id, CAST(n AS BIGINT) AS n
+FROM pairs
+UNION ALL
+SELECT 'quarantined', train_id, CAST(NULL AS BIGINT),
+       CAST(1 AS BIGINT)
+FROM quar
+UNION ALL
+SELECT 'kept_count', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST((SELECT COUNT(*) FROM documents
+             WHERE doc_id % 97 <> 0
+               AND doc_id NOT IN (SELECT train_id FROM quar))
+            AS BIGINT)
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_profile": Q(
         _text_profile, _finish_text_profile_sql(),
@@ -868,5 +954,12 @@ QUERIES: dict[str, Q] = {
     "docs_intra_line_dedup": Q(
         _intra_line_dedup, _INTRA_LINE_DEDUP_SQL,
         "within-doc repeated-line removal: zero-shuffle HOF, no corpus state",
+    ),
+    "docs_decontamination": Q(
+        _decontamination, _DECONTAMINATION_SQL,
+        "train/eval n-gram contamination: broadcast eval grams → hit "
+        "pairs + quarantine set + post-anti-join kept count (round 11 "
+        "— graduates operators.decontaminate from pytest-only to the "
+        "strict gate)",
     ),
 }

@@ -114,6 +114,15 @@ CHECKS = {
         "HashAggregate": False,
         "Project": True,
     },
+    # decontamination (round 11): the eval gram set must BROADCAST into
+    # the train scan — a SortMergeJoin here would shuffle the 100 TB
+    # train side on gram text, the exact shape the operator exists to
+    # avoid
+    "docs_decontamination": {
+        "BroadcastHashJoin": True,
+        "SortMergeJoin": False,
+        "BroadcastNestedLoop": False,
+    },
     # production EWMA (round 5): the applyInPandas scan groups once on
     # event_type — exactly the resample axis's own exchanges plus the
     # group-for-Arrow hash exchange; no window, no sort-merge join
