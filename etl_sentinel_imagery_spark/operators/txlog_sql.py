@@ -64,7 +64,11 @@ Supported grammar (case-insensitive keywords)::
     RESTORE TABLE t TO VERSION AS OF n
     RESTORE TABLE t TO TIMESTAMP AS OF <epoch | 'YYYY-MM-DD[ HH:MM:SS]'>
     ALTER TABLE t SET TBLPROPERTIES ('k' = v, ...)
+        ('feature.<name>' = 'supported' stamps a named protocol
+        feature; 'minReaderVersion'/'minWriterVersion' raise the
+        integer minimums — both route to upgrade_protocol)
     ALTER TABLE t UNSET TBLPROPERTIES ('k', ...)
+        (feature./protocol keys refuse — protocol never downgrades)
     ALTER TABLE t ADD CONSTRAINT name CHECK (pred)
     ALTER TABLE t DROP CONSTRAINT name
     ALTER TABLE t RENAME COLUMN a TO b
@@ -1222,9 +1226,20 @@ def _do_alter(spark, stmt, tables):
             )
         parts = _split_commas(inner[1:i])
         if m.group(1).upper() == "UNSET":
-            return set_properties(
-                d, {_unquote_ident(p): None for p in parts}
+            keys = {_unquote_ident(p) for p in parts}
+            locked = sorted(
+                k
+                for k in keys
+                if k.startswith("feature.")
+                or k in ("minReaderVersion", "minWriterVersion")
             )
+            if locked:
+                raise TxSqlError(
+                    f"cannot UNSET {locked}: the protocol never "
+                    "downgrades (a feature once stamped must stay "
+                    "maintained)"
+                )
+            return set_properties(d, {k: None for k in keys})
         props = {}
         for p in parts:
             pm = re.match(r"(.+?)\s*=\s*(.+)$", p, re.DOTALL)
@@ -1233,6 +1248,37 @@ def _do_alter(spark, stmt, tables):
             props[_unquote_ident(pm.group(1))] = _scalar_literal(
                 pm.group(2)
             )
+        # Delta's protocol-via-properties route: 'feature.<name>' =
+        # 'supported' stamps a NAMED table feature (reader+writer),
+        # minReaderVersion / minWriterVersion raise the integer
+        # minimums. Routed to upgrade_protocol — a versioned protocol
+        # record, never a plain property (properties are mutable;
+        # protocol only ratchets).
+        feat_names = []
+        for k in [k for k in props if k.startswith("feature.")]:
+            v = str(props.pop(k)).lower()
+            if v != "supported":
+                raise TxSqlError(
+                    f"feature property {k!r} accepts only "
+                    f"'supported' (features never unstamp), got {v!r}"
+                )
+            feat_names.append(k[len("feature."):])
+        mr = props.pop("minReaderVersion", None)
+        mw = props.pop("minWriterVersion", None)
+        if feat_names or mr is not None or mw is not None:
+            from etl_sentinel_imagery_spark.operators.txlog import (
+                upgrade_protocol,
+            )
+
+            ver = upgrade_protocol(
+                d,
+                min_reader=int(mr) if mr is not None else None,
+                min_writer=int(mw) if mw is not None else None,
+                reader_features=feat_names or None,
+                writer_features=feat_names or None,
+            )
+            if not props:
+                return ver
         return set_properties(d, props)
     m = re.match(r"CLUSTER\s+BY\s*(?=\()", rest, re.IGNORECASE)
     if m:

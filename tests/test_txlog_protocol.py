@@ -260,3 +260,67 @@ def test_named_feature_stamp_and_refusal(spark, tmp_path, monkeypatch):
 
     d = table_details(t2)
     assert d["protocol"]["reader_features"] == ["deletionVectors"]
+
+
+def test_sql_feature_property_route(spark, tmp_path):
+    """Delta's SQL route for protocol changes: TBLPROPERTIES
+    'feature.<name>' = 'supported' stamps the named feature,
+    minReaderVersion/minWriterVersion raise the integer gate, both
+    land as a versioned protocol record — and UNSET of either
+    refuses (protocol never downgrades)."""
+    from etl_sentinel_imagery_spark.operators.txlog_sql import (
+        TxSqlError,
+        tx_sql,
+    )
+
+    t = str(tmp_path / "sqlfeat")
+    init_table(spark, t, _seed(spark))
+    tables = {"t": t}
+    tx_sql(
+        spark,
+        "ALTER TABLE t SET TBLPROPERTIES "
+        "('feature.deletionVectors' = 'supported')",
+        tables,
+    )
+    p = resolve_protocol(t)
+    assert p["reader_features"] == ["deletionVectors"]
+    assert p["writer_features"] == ["deletionVectors"]
+    assert p["min_reader"] >= 2 and p["min_writer"] >= 2
+
+    # integer bump + a plain property in ONE statement: protocol
+    # records the bump, the property lands as a property
+    tx_sql(
+        spark,
+        "ALTER TABLE t SET TBLPROPERTIES "
+        "('minWriterVersion' = '2', 'retention.min_age_seconds' = 0)",
+        tables,
+    )
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        resolve_properties,
+    )
+
+    assert resolve_protocol(t)["min_writer"] == 2
+    assert resolve_properties(t)["retention.min_age_seconds"] == 0
+    assert "minWriterVersion" not in resolve_properties(t)
+
+    with pytest.raises(TxSqlError, match="never unstamp"):
+        tx_sql(
+            spark,
+            "ALTER TABLE t SET TBLPROPERTIES "
+            "('feature.deletionVectors' = 'off')",
+            tables,
+        )
+    with pytest.raises(TxSqlError, match="never downgrades"):
+        tx_sql(
+            spark,
+            "ALTER TABLE t UNSET TBLPROPERTIES "
+            "('feature.deletionVectors')",
+            tables,
+        )
+    with pytest.raises(ValueError, match="does not implement"):
+        tx_sql(
+            spark,
+            "ALTER TABLE t SET TBLPROPERTIES "
+            "('feature.futureMagic' = 'supported')",
+            tables,
+        )
