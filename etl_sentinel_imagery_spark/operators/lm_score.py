@@ -199,6 +199,53 @@ def score_docs(
     )
 
 
+def score_doc_counts(
+    docs: DataFrame,
+    lm: BigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """The INTEGER skeleton of :func:`score_docs` — per document the
+    exact count sums its probability is computed from: ``n_scored``
+    (bigram pairs), ``sum_c_vw`` / ``sum_c_v`` / ``sum_cw`` (model
+    count mass the doc's pairs matched) and ``n_unk_w`` (OOV
+    next-tokens). Same tokenization, BOS prefixing, OOV mapping and
+    three-way model join as score_docs; only the final log arithmetic
+    is absent — which is exactly why this facet sits under the strict
+    DuckDB hash gate (round 11) while nll scores stay pytest-pinned
+    (libm last-ulp variance, see module docstring). A hash-green row
+    here proves the train→map→join→aggregate machinery end to end;
+    the log curve on top is three lines of float."""
+    vocab = lm.unigrams.select("w")
+    pairs = _map_oov(
+        docs.select(
+            F.col(id_col),
+            F.explode(_bigram_pairs(tokens(text_col))).alias("p"),
+        ).select(id_col, F.col("p.v").alias("v"), F.col("p.w").alias("w")),
+        ["v", "w"],
+        vocab,
+    )
+    big, ctx, uni = lm.bigrams, lm.context_totals, lm.unigrams
+    if broadcast_model:
+        big, ctx, uni = F.broadcast(big), F.broadcast(ctx), F.broadcast(uni)
+    scored = (
+        pairs.join(big, ["v", "w"], "left")
+        .join(ctx, "v", "left")
+        .join(uni.withColumnRenamed("c_w", "_cw"), "w", "left")
+    )
+    zero = F.lit(0).cast("long")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum(F.coalesce("c_vw", zero)).cast("long").alias("sum_c_vw"),
+        F.sum(F.coalesce("c_v", zero)).cast("long").alias("sum_c_v"),
+        F.sum(F.coalesce("_cw", zero)).cast("long").alias("sum_cw"),
+        F.sum(
+            F.when(F.col("w") == UNK, 1).otherwise(0)
+        ).cast("long").alias("n_unk_w"),
+    )
+
+
 def perplexity_filter(
     docs: DataFrame,
     lm: BigramLM,

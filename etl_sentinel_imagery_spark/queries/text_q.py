@@ -927,6 +927,77 @@ SELECT 'kept_count', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
 """
 
 
+def _lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style bigram LM's integer skeleton under the strict
+    gate (round 11 — operators.lm_score was pytest-only through round
+    10, refused over libm log variance): train the real
+    train_bigram_lm on the doc_id % 3 ≠ 0 split (max_vocab=50 so the
+    OOV→<unk> path carries real weight), then score_doc_counts over
+    the FULL corpus — per doc the exact integer count sums its
+    probability would be computed from. The log arithmetic on top
+    stays pytest-pinned; everything else (tokenize → BOS-prefix →
+    OOV-map via broadcast vocab join → three-way model join →
+    aggregate) is hash-matched against a DuckDB replay."""
+    from etl_sentinel_imagery_spark.operators.lm_score import (
+        score_doc_counts,
+        train_bigram_lm,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    lm = train_bigram_lm(
+        docs.filter(F.col("doc_id") % 3 != 0), max_vocab=50
+    )
+    return score_doc_counts(docs, lm)
+
+
+_LM_COUNTS_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+vocab AS (
+    SELECT w FROM (
+        SELECT unnest(t) AS w FROM d WHERE doc_id % 3 <> 0
+    ) GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT 50
+),
+train_uni AS (
+    SELECT CASE WHEN w0 IN (SELECT w FROM vocab)
+                THEN w0 ELSE '<unk>' END AS w,
+           COUNT(*) AS c_w
+    FROM (SELECT unnest(t) AS w0 FROM d WHERE doc_id % 3 <> 0)
+    GROUP BY 1
+),
+pairs AS (
+    SELECT doc_id,
+           CASE WHEN i = 1 THEN '<s>' ELSE t[i-1] END AS v0,
+           t[i] AS w0
+    FROM d, unnest(range(1, len(t)+1)) AS r(i)
+),
+mapped AS (
+    SELECT doc_id,
+           CASE WHEN v0 = '<s>' OR v0 IN (SELECT w FROM vocab)
+                THEN v0 ELSE '<unk>' END AS v,
+           CASE WHEN w0 IN (SELECT w FROM vocab)
+                THEN w0 ELSE '<unk>' END AS w
+    FROM pairs
+),
+train_big AS (
+    SELECT v, w, COUNT(*) AS c_vw FROM mapped
+    WHERE doc_id % 3 <> 0 GROUP BY v, w
+),
+ctx AS (SELECT v, SUM(c_vw) AS c_v FROM train_big GROUP BY v)
+SELECT m.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(COALESCE(b.c_vw, 0)) AS BIGINT) AS sum_c_vw,
+       CAST(SUM(COALESCE(c.c_v, 0)) AS BIGINT) AS sum_c_v,
+       CAST(SUM(COALESCE(u.c_w, 0)) AS BIGINT) AS sum_cw,
+       CAST(SUM(CASE WHEN m.w = '<unk>' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unk_w
+FROM mapped m
+LEFT JOIN train_big b ON m.v = b.v AND m.w = b.w
+LEFT JOIN ctx c ON m.v = c.v
+LEFT JOIN train_uni u ON m.w = u.w
+GROUP BY m.doc_id
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_profile": Q(
         _text_profile, _finish_text_profile_sql(),
@@ -961,5 +1032,12 @@ QUERIES: dict[str, Q] = {
         "pairs + quarantine set + post-anti-join kept count (round 11 "
         "— graduates operators.decontaminate from pytest-only to the "
         "strict gate)",
+    ),
+    "docs_lm_counts": Q(
+        _lm_counts, _LM_COUNTS_SQL,
+        "CCNet bigram-LM integer skeleton: train on a split, "
+        "tokenize → BOS → OOV-map → three-way model join → per-doc "
+        "count sums (round 11 — the log curve stays pytest; the "
+        "machinery is now hash-gated)",
     ),
 }

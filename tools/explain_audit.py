@@ -123,6 +123,15 @@ CHECKS = {
         "SortMergeJoin": False,
         "BroadcastNestedLoop": False,
     },
+    # LM count skeleton (round 11): vocabulary and model tables are
+    # bounded (max_vocab + observed bigrams) and must BROADCAST into
+    # the corpus-side pair scan — a SortMergeJoin would shuffle the
+    # corpus on token text
+    "docs_lm_counts": {
+        "BroadcastHashJoin": True,
+        "SortMergeJoin": False,
+        "BroadcastNestedLoop": False,
+    },
     # production EWMA (round 5): the applyInPandas scan groups once on
     # event_type — exactly the resample axis's own exchanges plus the
     # group-for-Arrow hash exchange; no window, no sort-merge join
