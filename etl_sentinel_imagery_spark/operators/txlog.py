@@ -1411,6 +1411,38 @@ def upgrade_protocol(
     return version
 
 
+def _maybe_stamp_feature(table_dir: str, *names: str) -> None:
+    """AUTO feature stamping (opt-in via the
+    ``protocol.auto_feature_stamp = "true"`` property): the first use
+    of a named capability records it in the table's protocol, so the
+    feature list reflects what the table ACTUALLY uses without anyone
+    running the TBLPROPERTIES route by hand — Delta's automatic
+    feature enablement. Called at each capability's entry point,
+    BEFORE its commit (a stamped-but-unused feature is harmless; the
+    reverse — used but unstamped — is what the option exists to
+    prevent). Best-effort: a lost claim race or any other failure
+    never blocks the triggering write; the next use retries."""
+    try:
+        props = resolve_properties(table_dir)
+        if str(
+            props.get("protocol.auto_feature_stamp", "")
+        ).lower() != "true":
+            return
+        cur = resolve_protocol(table_dir)
+        have = set(cur.get("reader_features") or []) & set(
+            cur.get("writer_features") or []
+        )
+        missing = [n for n in names if n not in have]
+        if missing:
+            upgrade_protocol(
+                table_dir,
+                reader_features=missing,
+                writer_features=missing,
+            )
+    except Exception:  # noqa: BLE001 — advisory by contract
+        pass
+
+
 def resolve_txns(table_dir: str, version: int | None = None) -> dict:
     """{app_id: latest committed txn version} at ``version`` — the
     Delta SetTransaction read: walk back to the nearest manifest
@@ -2019,6 +2051,7 @@ def copy_into(
     :func:`append` path unchanged. ``fmt`` ∈ parquet/json/csv with
     reader ``options`` passed through (csv needs header/schema
     options, exactly as ``spark.read``)."""
+    _maybe_stamp_feature(table_dir, "copyLedger")
     src = os.path.abspath(source)
     is_pattern = any(ch in src for ch in "*?[")
     base = (os.path.dirname(src) or "/") if is_pattern else src
@@ -2694,6 +2727,7 @@ def delete_rows_dv(
     abandoned sidecar vacuums away. Returns the committed version —
     ``parent`` unchanged when nothing matched (no empty commits).
     """
+    _maybe_stamp_feature(table_dir, "deletionVectors")
     if isinstance(values, DataFrame):
         # DataFrame-sized key sets stay distributed end-to-end: one
         # eager pin (the probe must see a consistent slice), a
@@ -6195,6 +6229,7 @@ def enable_row_tracking(table_dir: str) -> int:
     it empty). Like Delta: :func:`merge_upsert` (the fast upsert path)
     and :func:`apply_changes` re-assign ids for the rows they touch —
     use clause-form :func:`merge` when updates must preserve ids."""
+    _maybe_stamp_feature(table_dir, "rowTracking")
     parent = current_version(table_dir)
     if resolve_row_tracking(table_dir, parent):
         raise ValueError("row tracking is already enabled")
@@ -6274,6 +6309,7 @@ def enable_identity(
     collision-free, monotonically increasing values from it. The
     column must not already exist (identity values are engine-owned);
     it enters the schema at the first identity append."""
+    _maybe_stamp_feature(table_dir, "identityColumns")
     parent = current_version(table_dir)
     m = read_manifest(table_dir, parent)
     sj = resolve_schema(table_dir, parent)
@@ -6433,6 +6469,7 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
     commit itself (no rows changed); consumers spanning it see the
     old name NULL on new rows and vice versa — the rename is a
     schema-level identity, not a row rewrite."""
+    _maybe_stamp_feature(table_dir, "columnMapping")
     parent = current_version(table_dir)
     m = read_manifest(table_dir, parent)
     sj = resolve_schema(table_dir, parent)
@@ -6535,6 +6572,7 @@ def drop_column(table_dir: str, col: str) -> int:
     (``name#2``), so the dropped values can never silently resurrect
     under the new column. Refused for partition columns and columns a
     CHECK constraint references."""
+    _maybe_stamp_feature(table_dir, "columnMapping")
     parent = current_version(table_dir)
     m = read_manifest(table_dir, parent)
     sj = resolve_schema(table_dir, parent)
@@ -6640,6 +6678,7 @@ def add_constraint(
     pushed-down scan — adding a constraint the data violates raises
     without committing). The constraint commit itself is a pure
     metadata delta."""
+    _maybe_stamp_feature(table_dir, "checkConstraints")
     parent = current_version(table_dir)
     cons = resolve_constraints(table_dir, parent)
     if name in cons:
@@ -6750,6 +6789,9 @@ def set_properties(table_dir: str, props: dict) -> int:
                 f"property {k!r} must be a JSON scalar, got "
                 f"{type(v).__name__}"
             )
+    if props.get("cluster.by"):
+        # declaring a clustering spec is the capability's first use
+        _maybe_stamp_feature(table_dir, "clustering")
     parent = current_version(table_dir)
     merged = resolve_properties(table_dir, parent)
     for k, v in props.items():
@@ -6831,6 +6873,7 @@ def set_column_default(
     parse/cast to the column's recorded type — validated here by
     ANALYZING it over a zero-column frame (no job runs), so a typo
     fails at SET time, not at the first insert."""
+    _maybe_stamp_feature(table_dir, "columnDefaults")
     dt = _field_type(table_dir, col)
     if f"{_GENERATED_PROP}{col}" in resolve_properties(table_dir):
         raise ValueError(
@@ -6912,6 +6955,7 @@ def set_generated_column(
     time). Partition-filter derivation from generation expressions is
     NOT implemented — queries should filter on the generated column
     directly (it carries stats like any other column)."""
+    _maybe_stamp_feature(table_dir, "generatedColumns")
     from pyspark.sql.types import StructType
 
     dt = _field_type(table_dir, col)

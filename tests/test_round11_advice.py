@@ -384,3 +384,43 @@ def test_ann_query_batch_cap(spark, monkeypatch):
     small = emb.limit(4)
     assert sim.brute_force_topk_gemm(emb, small, k=2).count() == 8
     monkeypatch.undo()
+
+
+def test_concurrent_copy_into_true_threads(spark, tmp_path):
+    """The REAL race, not a monkeypatched one: four threads run
+    copy_into on the same landing dir simultaneously. Whatever
+    interleaving the scheduler picks, the invariants hold: every
+    source row lands EXACTLY once, the ledger covers every file, and
+    the per-run stats sum to one full load."""
+    import threading
+
+    src = str(tmp_path / "landing")
+    for i in range(6):
+        _src_file(src, f"f{i}.parquet", range(i * 10, i * 10 + 10))
+    t = str(tmp_path / "tbl")
+    init_table(spark, t, _seed(spark, 0))
+
+    results: list = []
+    errors: list = []
+
+    def run():
+        try:
+            _, stats = copy_into(spark, t, src)
+            results.append(stats)
+        except Exception as exc:  # noqa: BLE001 — surface in assert
+            errors.append(exc)
+
+    threads = [threading.Thread(target=run) for _ in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    got = snapshot(spark, t)
+    assert got.count() == 60
+    assert got.groupBy("doc_id").count().filter("count > 1").count() == 0
+    assert sum(s["files_loaded"] for s in results) == 6
+    assert len(resolve_copy_ledger(t)) == 6
+    # idempotent afterwards
+    _, s = copy_into(spark, t, src)
+    assert s["files_loaded"] == 0

@@ -324,3 +324,38 @@ def test_sql_feature_property_route(spark, tmp_path):
             "('feature.futureMagic' = 'supported')",
             tables,
         )
+
+
+def test_auto_feature_stamping(spark, tmp_path):
+    """protocol.auto_feature_stamp = true: the first USE of a named
+    capability records its feature in the protocol (Delta's automatic
+    enablement); off by default; best-effort (a failing stamp never
+    blocks the write)."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        delete_rows_dv,
+        set_column_default,
+        set_properties,
+    )
+
+    t = str(tmp_path / "auto")
+    init_table(spark, t, _seed(spark))
+    # OFF by default: using DVs stamps nothing
+    delete_rows_dv(spark, t, "doc_id", [0])
+    assert resolve_protocol(t)["reader_features"] == []
+
+    set_properties(t, {"protocol.auto_feature_stamp": "true"})
+    delete_rows_dv(spark, t, "doc_id", [1])
+    p = resolve_protocol(t)
+    assert "deletionVectors" in p["reader_features"]
+    assert p["min_reader"] >= 2
+
+    set_column_default(spark, t, "body", "'dflt'")
+    p = resolve_protocol(t)
+    assert "columnDefaults" in p["writer_features"]
+    # already-stamped features don't commit again
+    v0 = current_version(t)
+    delete_rows_dv(spark, t, "doc_id", [2])
+    assert current_version(t) == v0 + 1  # only the delete committed
+
+    set_properties(t, {"cluster.by": "doc_id"})
+    assert "clustering" in resolve_protocol(t)["writer_features"]
