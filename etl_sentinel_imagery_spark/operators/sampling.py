@@ -311,3 +311,91 @@ def temperature_mix(
             r[0]: r[1] for r in out.groupBy(source_col).count().collect()
         }
     return out
+
+
+def sample_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    token_count: Column | str,
+    key_col: str = "doc_id",
+    seed: str = "",
+    cum_col: str = "cum_before",
+) -> DataFrame:
+    """Deterministic TOKEN-BUDGET sampling — "give me a ~N-token
+    corpus", the unit training actually budgets in, where every
+    row-fraction sampler here would over/under-shoot on variable doc
+    lengths. Rows are ranked by the same md5 hash as every sampler
+    (uniform, reproducible, engine-portable), then the EXCLUSIVE
+    prefix sum of ``token_count`` in hash order is computed and rows
+    keep while it is `< budget_tokens` — so the selection is the
+    hash-order prefix whose total first reaches the budget (the
+    crossing doc included; totals land in
+    [budget, budget + max_doc_tokens)). NESTED like
+    :func:`sample_exact_n`: budgets N and N+M share the N-budget
+    prefix exactly, because hash ranks don't change with the budget.
+
+    Scale shape: the prefix sum is
+    :func:`~etl_sentinel_imagery_spark.operators.packing.with_global_offset`'s
+    two-phase range-partitioned sum — one range shuffle + a
+    control-plane totals collect, never a single-task global window.
+    Output carries ``cum_col`` (the exclusive prefix) for audit.
+
+    ``budget_tokens`` ≤ 0 raises; ``token_count`` must be an integer
+    column/expression (token counting itself is upstream — e.g.
+    ``F.size(tokens(text))``)."""
+    from etl_sentinel_imagery_spark.operators.packing import (
+        with_global_offset,
+    )
+
+    if budget_tokens <= 0:
+        raise ValueError(
+            f"budget_tokens must be > 0, got {budget_tokens}"
+        )
+    tok = (
+        F.col(token_count) if isinstance(token_count, str) else token_count
+    )
+    # unique sortable key: fixed-width (bucket, key) — lexicographic
+    # string order == numeric (bucket, key) order on both engines
+    ordk = F.concat(
+        F.lpad(hash_bucket(key_col, seed).cast("string"), 10, "0"),
+        F.lit(":"),
+        F.lpad(F.col(key_col).cast("string"), 20, "0"),
+    )
+    staged = df.withColumn("_tok", tok.cast("long")).withColumn(
+        "_ord", ordk
+    )
+    out = with_global_offset(staged, "_ord", "_tok", out_col=cum_col)
+    return (
+        out.filter(F.col(cum_col) < F.lit(int(budget_tokens)))
+        .drop("_tok", "_ord")
+    )
+
+
+def stratified_token_budget(
+    df: DataFrame,
+    source_col: str,
+    budgets: dict[str, int],
+    token_count: Column | str,
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Per-source token budgets ("500M wiki + 2B crawl"): one
+    :func:`sample_token_budget` pass per listed source, unioned.
+    Sources not listed are dropped. The loop is over the BUDGET MAP
+    (control-plane-sized — a mixture spec names a handful of
+    sources), not the data; each pass prunes to its source before the
+    range shuffle, and the per-source hash order is seed-scoped so
+    sources draw independent permutations."""
+    out = None
+    for src, budget in budgets.items():
+        part = sample_token_budget(
+            df.filter(F.col(source_col) == src),
+            budget,
+            token_count,
+            key_col=key_col,
+            seed=f"{seed}:{src}",
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("no sources given")
+    return out

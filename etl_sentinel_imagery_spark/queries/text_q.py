@@ -998,6 +998,98 @@ GROUP BY m.doc_id
 """
 
 
+def _token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling under the strict gate (round 11 — new
+    operator): corpora are budgeted in TOKENS, not rows, so the
+    sampler keeps the hash-order prefix whose token total first
+    reaches the budget (operators.sampling.sample_token_budget — the
+    two-phase range-partitioned prefix sum, never a single-task
+    global window). Two legs: one GLOBAL 10k-token budget, and a
+    stratified mix ("600 src0 + 300 src1 + 50 src2 tokens") whose
+    per-source hash orders are seed-scoped. Budgets are fixed
+    constants, token counts are integers, and the prefix sums are
+    exact — DuckDB restates both legs with window sums."""
+    from etl_sentinel_imagery_spark.functions.text import tokens
+    from etl_sentinel_imagery_spark.operators.sampling import (
+        sample_token_budget,
+        stratified_token_budget,
+    )
+
+    docs = _docs_spread(spark, sf_dir).withColumn(
+        "n_tok", F.size(tokens(F.col("text"))).cast("long")
+    )
+    glob = sample_token_budget(
+        docs, 10_000, "n_tok", key_col="doc_id", seed="tb"
+    ).select(
+        F.lit("global").alias("kind"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tok",
+        F.col("cum_before").cast("long").alias("cum_before"),
+    )
+    strat = stratified_token_budget(
+        docs,
+        "source",
+        {"src0": 600, "src1": 300, "src2": 50},
+        "n_tok",
+        key_col="doc_id",
+        seed="strat",
+    ).select(
+        F.concat(F.lit("strat:"), F.col("source")).alias("kind"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tok",
+        F.col("cum_before").cast("long").alias("cum_before"),
+    )
+    return glob.unionByName(strat)
+
+
+def _tb_ord_sql(seed_expr: str) -> str:
+    """lpad(bucket):lpad(doc_id) — the sampler's unique sort key."""
+    bucket = (
+        f"CAST(('0x' || substr(md5({seed_expr} || "
+        f"CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+    return (
+        f"lpad(CAST({bucket} AS VARCHAR), 10, '0') || ':' || "
+        f"lpad(CAST(doc_id AS VARCHAR), 20, '0')"
+    )
+
+
+_TOKEN_BUDGET_SQL = f"""
+WITH base AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+),
+g AS (
+    SELECT doc_id, n_tok,
+           COALESCE(SUM(n_tok) OVER (
+               ORDER BY {_tb_ord_sql("'tb'")}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_before
+    FROM base
+),
+s AS (
+    SELECT doc_id, source, n_tok,
+           COALESCE(SUM(n_tok) OVER (
+               PARTITION BY source
+               ORDER BY {_tb_ord_sql("'strat:' || source")}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_before
+    FROM base
+    WHERE source IN ('src0', 'src1', 'src2')
+)
+SELECT 'global' AS kind, doc_id, n_tok,
+       CAST(cum_before AS BIGINT) AS cum_before
+FROM g WHERE cum_before < 10000
+UNION ALL
+SELECT 'strat:' || source, doc_id, n_tok, CAST(cum_before AS BIGINT)
+FROM s
+WHERE (source = 'src0' AND cum_before < 600)
+   OR (source = 'src1' AND cum_before < 300)
+   OR (source = 'src2' AND cum_before < 50)
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_profile": Q(
         _text_profile, _finish_text_profile_sql(),
@@ -1039,5 +1131,12 @@ QUERIES: dict[str, Q] = {
         "tokenize → BOS → OOV-map → three-way model join → per-doc "
         "count sums (round 11 — the log curve stays pytest; the "
         "machinery is now hash-gated)",
+    ),
+    "docs_token_budget": Q(
+        _token_budget, _TOKEN_BUDGET_SQL,
+        "token-budget sampling (round 11): hash-order prefix whose "
+        "token total first reaches the budget — global leg + "
+        "per-source stratified mix; two-phase distributed prefix "
+        "sum, never a single-task global window",
     ),
 }

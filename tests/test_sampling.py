@@ -402,3 +402,55 @@ def test_temperature_weights_closed_form():
             assert abs(w[s] - (n_min / n) ** (1 - alpha)) < 1e-9, (
                 counts, alpha, s,
             )
+
+
+def test_sample_token_budget_semantics(spark):
+    """Budget semantics: selected = hash-order prefix; total crosses
+    the budget by at most one doc; NESTED (budget N's selection ⊆
+    budget N+M's); deterministic across partitionings; budget ≤ 0
+    raises."""
+    import pytest
+
+    from etl_sentinel_imagery_spark.operators.sampling import (
+        sample_token_budget,
+        stratified_token_budget,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 + 1).cast("long").alias("n_tok"),
+        F.concat(F.lit("src"), (F.col("id") % 2).cast("string")).alias(
+            "source"
+        ),
+    )
+    out = sample_token_budget(df, 100, "n_tok", seed="s").collect()
+    total = sum(r["n_tok"] for r in out)
+    max_tok = 7
+    assert 100 <= total < 100 + max_tok
+    # exclusive prefix recorded per row
+    assert all(r["cum_before"] < 100 for r in out)
+
+    small = {
+        r["doc_id"]
+        for r in sample_token_budget(df, 50, "n_tok", seed="s").collect()
+    }
+    big = {r["doc_id"] for r in out}
+    assert small <= big  # nested
+
+    repart = {
+        r["doc_id"]
+        for r in sample_token_budget(
+            df.repartition(13), 100, "n_tok", seed="s"
+        ).collect()
+    }
+    assert repart == big  # partitioning-independent
+
+    strat = stratified_token_budget(
+        df, "source", {"src0": 40, "src1": 25}, "n_tok", seed="s"
+    ).collect()
+    for src, budget in (("src0", 40), ("src1", 25)):
+        tot = sum(r["n_tok"] for r in strat if r["source"] == src)
+        assert budget <= tot < budget + max_tok
+
+    with pytest.raises(ValueError, match="> 0"):
+        sample_token_budget(df, 0, "n_tok")
