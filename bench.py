@@ -81,6 +81,23 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # round-11 rows, timed OUTSIDE the headline total so `value` stays
+    # name-comparable with every earlier round (the ann_ivf_tiers /
+    # write_path precedent); they join HEADLINE proper next round with
+    # a recorded baseline here
+    new_rows: dict[str, float] = {}
+    for name in (
+        "docs_decontamination",
+        "docs_lm_counts",
+        "docs_token_budget",
+    ):
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        new_rows[name] = round(time.time() - t0, 3)
+        print(
+            f"# new row {name}: {new_rows[name]:.3f}s", file=sys.stderr
+        )
+
     # per-tier attribution for the most expensive battery (round-4
     # verdict #4): each tier re-times with its own training/build work
     # AFTER the battery row above (which stays name-comparable across
@@ -191,6 +208,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "new_rows": new_rows,
                 "ann_ivf_tiers": tier_timings,
                 "write_path": {
                     **write_timings,

@@ -114,6 +114,12 @@ class CurationConfig:
     #: None disables.
     max_docs: int | None = None
     max_docs_weight_col: str | None = None
+    #: TOKEN-budget cap (round 11, the unit training actually budgets
+    #: in): keep the hash-order prefix of docs whose whitespace-token
+    #: total first reaches this budget
+    #: (operators.sampling.sample_token_budget — nested/reproducible
+    #: like max_docs; the two compose, max_docs first). None disables.
+    max_tokens: int | None = None
     #: Sketch-based corpus monitoring (operators.sketches): for each
     #: named column build a MERGEABLE monitor row (HLL registers +
     #: top-k heavy hitters + Count-Min grid) at ingest and at final.
@@ -425,6 +431,25 @@ def curate_corpus(
                 canon, cfg.max_docs, key_col="doc_id", seed=cfg.split_seed
             )
         canon = stage("after_cap", capped)
+
+    if cfg.max_tokens is not None:
+        from etl_sentinel_imagery_spark.functions.text import tokens
+        from etl_sentinel_imagery_spark.operators.sampling import (
+            sample_token_budget,
+        )
+
+        canon = stage(
+            "after_token_budget",
+            sample_token_budget(
+                canon.withColumn(
+                    "_n_tok", F.size(tokens(F.col("text"))).cast("long")
+                ),
+                cfg.max_tokens,
+                "_n_tok",
+                key_col="doc_id",
+                seed=cfg.split_seed,
+            ).drop("_n_tok", "cum_before"),
+        )
 
     final = canon.withColumn(
         "split", assign_split("doc_id", cfg.split_weights, seed=cfg.split_seed)

@@ -514,3 +514,56 @@ def test_mix_temperature_stage(spark, tmp_path):
                 mix_temperature=0.5, source_mix={"small": 1.0}
             ),
         )
+
+
+def test_token_budget_stage(spark, tmp_path):
+    """max_tokens: the post-curation corpus is capped by TOKEN budget
+    — kept docs' token total crosses the budget by at most one doc,
+    the selection is reproducible, and the report records the stage."""
+    from etl_sentinel_imagery_spark.plans.corpus_pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(
+                    F.lit(0), (F.col("id") % 5 + 2).cast("int")
+                ),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.col("id").cast("string"),
+                    F.lit("x"),
+                    i.cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    out = str(tmp_path / "out")
+    report = curate_corpus(
+        spark, docs, out,
+        cfg=CurationConfig(max_tokens=100, min_tokens=1),
+    )
+    kept = spark.read.parquet(f"{out}/documents")
+    from etl_sentinel_imagery_spark.functions.text import tokens as _t
+
+    total = sum(
+        r[0] for r in kept.select(F.size(_t(F.col("text")))).collect()
+    )
+    assert 100 <= total < 100 + 7  # crossing doc only
+    assert report["after_token_budget"] == kept.count()
+    # reproducible
+    out2 = str(tmp_path / "out2")
+    curate_corpus(
+        spark, docs, out2,
+        cfg=CurationConfig(max_tokens=100, min_tokens=1),
+    )
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out2}/documents").collect()
+    }
+    assert a == b
