@@ -238,6 +238,24 @@ def weighted_sample_exact_n(
     )
 
 
+def source_counts_strict(df: DataFrame, source_col: str) -> dict:
+    """Per-source row counts (one control-plane-sized aggregation),
+    RAISING on NULL sources — a temperature share is undefined for an
+    unlabeled source, and silently dropping such rows loses data
+    without a trace. Shared by :func:`temperature_mix` and the
+    pipeline's ``mix_temperature`` stage (round-11 review: the check
+    lived twice and would have drifted)."""
+    rows = df.groupBy(source_col).count().collect()
+    null_rows = sum(r[1] for r in rows if r[0] is None)
+    if null_rows:
+        raise ValueError(
+            f"{null_rows} rows have NULL {source_col!r} — a "
+            "temperature share is undefined for an unlabeled source; "
+            "filter them out or fill the column before mixing"
+        )
+    return {r[0]: r[1] for r in rows}
+
+
 def temperature_weights(
     counts: dict[str, float], alpha: float
 ) -> dict[str, float]:
@@ -291,15 +309,7 @@ def temperature_mix(
     ``fractions`` (the derived keep fractions) and ``kept_by_source``
     (output rows per source — costs one extra count pass, only run
     when asked)."""
-    rows = df.groupBy(source_col).count().collect()
-    null_rows = sum(r[1] for r in rows if r[0] is None)
-    if null_rows:
-        raise ValueError(
-            f"{null_rows} rows have NULL {source_col!r} — a "
-            "temperature share is undefined for an unlabeled source; "
-            "filter them out or fill the column before mixing"
-        )
-    counts = {r[0]: r[1] for r in rows}
+    counts = source_counts_strict(df, source_col)
     fracs = temperature_weights(counts, alpha)
     out = stratified_sample(
         df, key_col, source_col, fracs, default_fraction=0.0, seed=seed

@@ -98,19 +98,21 @@ def _collect_query_batch(
     """Driver-collect the query batch under :data:`ANN_QUERY_BATCH_MAX`.
     The cap is enforced by a ``limit(cap + 1)`` collect — one extra
     row proves the overflow without counting (or materializing) the
-    rest of an accidentally-huge frame."""
+    rest of an accidentally-huge frame. The env override is read at
+    CALL time, so the error's own advice (raise it and retry) works
+    inside a running session (round-11 review)."""
+    env = os.environ.get("SPARK_GRAFT_ANN_QUERY_BATCH_MAX")
+    cap = int(env) if env is not None else ANN_QUERY_BATCH_MAX
     rows = (
-        queries_df.select(id_col, vec_col)
-        .limit(ANN_QUERY_BATCH_MAX + 1)
-        .collect()
+        queries_df.select(id_col, vec_col).limit(cap + 1).collect()
     )
-    if len(rows) > ANN_QUERY_BATCH_MAX:
+    if len(rows) > cap:
         raise ValueError(
-            f"query batch exceeds ANN_QUERY_BATCH_MAX="
-            f"{ANN_QUERY_BATCH_MAX} rows — the query side is collected "
-            "driver-side (probe sets / LUTs are computed per query); "
-            "split the batch, or raise "
-            "SPARK_GRAFT_ANN_QUERY_BATCH_MAX if the driver can hold it"
+            f"query batch exceeds ANN_QUERY_BATCH_MAX={cap} rows — "
+            "the query side is collected driver-side (probe sets / "
+            "LUTs are computed per query); split the batch, or raise "
+            "SPARK_GRAFT_ANN_QUERY_BATCH_MAX (read per call) if the "
+            "driver can hold it"
         )
     return rows
 

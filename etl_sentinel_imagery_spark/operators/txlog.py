@@ -1421,7 +1421,12 @@ def _maybe_stamp_feature(table_dir: str, *names: str) -> None:
     BEFORE its commit (a stamped-but-unused feature is harmless; the
     reverse — used but unstamped — is what the option exists to
     prevent). Best-effort: a lost claim race or any other failure
-    never blocks the triggering write; the next use retries."""
+    never blocks the triggering write (logged, not silent — a
+    persistently failing stamp should be visible); the next use
+    retries. Cost when the property is off: one bounded
+    resolve_properties chain walk (O(CHECKPOINT_EVERY) manifest
+    reads) per write-entry call — metadata-only, small next to the
+    write's own distributed IO."""
     try:
         props = resolve_properties(table_dir)
         if str(
@@ -1440,7 +1445,15 @@ def _maybe_stamp_feature(table_dir: str, *names: str) -> None:
                 writer_features=missing,
             )
     except Exception:  # noqa: BLE001 — advisory by contract
-        pass
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "auto feature stamp %s failed on %s (write proceeds; "
+            "next use retries)",
+            names,
+            table_dir,
+            exc_info=True,
+        )
 
 
 def resolve_txns(table_dir: str, version: int | None = None) -> dict:
@@ -2054,7 +2067,7 @@ def copy_into(
     _maybe_stamp_feature(table_dir, "copyLedger")
     src = os.path.abspath(source)
     is_pattern = any(ch in src for ch in "*?[")
-    base = (os.path.dirname(src) or "/") if is_pattern else src
+    base = _glob_static_prefix(src) if is_pattern else src
     for _ in range(5):
         paths = _list_copy_source(src, pattern, is_pattern)
         keyed = [(p, _copy_ledger_key(p, base)) for p in paths]
@@ -2145,6 +2158,24 @@ def _list_copy_source(
     return [
         p for p in paths if not os.path.basename(p).startswith(("_", "."))
     ]
+
+
+def _glob_static_prefix(pattern: str) -> str:
+    """The wildcard-free directory prefix of a glob pattern — the
+    ledger-key base for pattern sources. dirname alone is wrong when
+    the DIRECTORY part carries wildcards ('/data/*/landing/*.parquet'
+    → dirname '/data/*/landing' makes relpath start with '..' and the
+    key collapse to a bare basename, so same-named same-size files
+    from different matched dirs would mask each other — round-11
+    review, medium): keys must stay relative to the static prefix
+    ('/data' here → '2024-01/landing/part-0.parquet#SIZE')."""
+    parts = pattern.split(os.sep)
+    static = []
+    for p in parts:
+        if any(ch in p for ch in "*?["):
+            break
+        static.append(p)
+    return os.sep.join(static) or os.sep
 
 
 def _copy_ledger_key(path: str, base: str) -> str:

@@ -255,18 +255,11 @@ def curate_corpus(
                 "mix_temperature set but docs has no 'source' column"
             )
         from etl_sentinel_imagery_spark.operators.sampling import (
+            source_counts_strict,
             temperature_weights,
         )
 
-        rows = docs.groupBy("source").count().collect()
-        null_rows = sum(r[1] for r in rows if r[0] is None)
-        if null_rows:
-            raise ValueError(
-                f"{null_rows} docs have NULL 'source' — a temperature "
-                "share is undefined for an unlabeled source; filter "
-                "or fill the column before mix_temperature"
-            )
-        counts = {r[0]: r[1] for r in rows}
+        counts = source_counts_strict(docs, "source")
         mix_fracs = temperature_weights(counts, cfg.mix_temperature)
         if collect_stats:
             report["mix_fractions"] = {
@@ -289,7 +282,11 @@ def curate_corpus(
                 "source",
                 mix_fracs,
                 default_fraction=cfg.mix_default,
-                seed=cfg.split_seed,
+                # DERIVED seed: sampling with the raw split_seed would
+                # keep exactly the low-bucket docs that assign_split
+                # later thresholds on — every survivor would land in
+                # 'train' and val/test would be empty (round-11 review)
+                seed=f"{cfg.split_seed}:mix",
             ),
         )
         if collect_stats:
@@ -418,17 +415,20 @@ def curate_corpus(
             weighted_sample_exact_n,
         )
 
+        # derived seed — see the mix stage: the cap must not select by
+        # the same hash the split thresholds on
         if cfg.max_docs_weight_col is not None:
             capped = weighted_sample_exact_n(
                 canon,
                 cfg.max_docs,
                 cfg.max_docs_weight_col,
                 key_col="doc_id",
-                seed=cfg.split_seed,
+                seed=f"{cfg.split_seed}:cap",
             )
         else:
             capped = sample_exact_n(
-                canon, cfg.max_docs, key_col="doc_id", seed=cfg.split_seed
+                canon, cfg.max_docs, key_col="doc_id",
+                seed=f"{cfg.split_seed}:cap",
             )
         canon = stage("after_cap", capped)
 
@@ -447,7 +447,7 @@ def curate_corpus(
                 cfg.max_tokens,
                 "_n_tok",
                 key_col="doc_id",
-                seed=cfg.split_seed,
+                seed=f"{cfg.split_seed}:token_budget",
             ).drop("_n_tok", "cum_before"),
         )
 

@@ -958,7 +958,8 @@ vocab AS (
     ) GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT 50
 ),
 train_uni AS (
-    SELECT CASE WHEN w0 IN (SELECT w FROM vocab)
+    -- same BOS passthrough as mapped below (_map_oov semantics)
+    SELECT CASE WHEN w0 = '<s>' OR w0 IN (SELECT w FROM vocab)
                 THEN w0 ELSE '<unk>' END AS w,
            COUNT(*) AS c_w
     FROM (SELECT unnest(t) AS w0 FROM d WHERE doc_id % 3 <> 0)
@@ -971,10 +972,13 @@ pairs AS (
     FROM d, unnest(range(1, len(t)+1)) AS r(i)
 ),
 mapped AS (
+    -- the BOS sentinel passes through in BOTH slots, exactly like
+    -- _map_oov (a literal '<s>' corpus token must not map to <unk>
+    -- on one engine only — round-11 review)
     SELECT doc_id,
            CASE WHEN v0 = '<s>' OR v0 IN (SELECT w FROM vocab)
                 THEN v0 ELSE '<unk>' END AS v,
-           CASE WHEN w0 IN (SELECT w FROM vocab)
+           CASE WHEN w0 = '<s>' OR w0 IN (SELECT w FROM vocab)
                 THEN w0 ELSE '<unk>' END AS w
     FROM pairs
 ),

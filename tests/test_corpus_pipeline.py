@@ -453,7 +453,7 @@ def test_max_docs_cap_uniform_and_weighted(spark, tmp_path):
     want = {
         r["doc_id"]
         for r in sample_exact_n(
-            docs, 10, key_col="doc_id", seed="curate"
+            docs, 10, key_col="doc_id", seed="curate:cap"
         ).collect()
     }
     assert kept == want

@@ -424,3 +424,82 @@ def test_concurrent_copy_into_true_threads(spark, tmp_path):
     # idempotent afterwards
     _, s = copy_into(spark, t, src)
     assert s["files_loaded"] == 0
+
+
+# ---------------------------------------------------------------- #
+# round-11 review findings                                          #
+# ---------------------------------------------------------------- #
+
+
+def test_budget_stages_do_not_degenerate_split(spark, tmp_path):
+    """Review finding (high): budget samplers seeded with the RAW
+    split_seed keep exactly the low-bucket docs assign_split later
+    thresholds on — every survivor would label 'train' and val/test
+    would be silently EMPTY. The stages now derive their seeds, so a
+    budgeted corpus still spans splits. Deterministic: every hash is
+    a pure function of fixed seeds."""
+    from etl_sentinel_imagery_spark.plans.corpus_pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(5)),
+                lambda i: F.concat(
+                    F.lit("w"), F.col("id").cast("string"),
+                    F.lit("x"), i.cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    out = str(tmp_path / "out")
+    curate_corpus(
+        spark, docs, out,
+        cfg=CurationConfig(max_tokens=900, min_tokens=1),
+    )
+    splits = {
+        r["split"]
+        for r in spark.read.parquet(f"{out}/documents")
+        .select("split").distinct().collect()
+    }
+    assert len(splits) >= 2, f"token budget degenerated split: {splits}"
+
+    out2 = str(tmp_path / "out2")
+    curate_corpus(
+        spark, docs, out2,
+        cfg=CurationConfig(max_docs=150, min_tokens=1),
+    )
+    splits2 = {
+        r["split"]
+        for r in spark.read.parquet(f"{out2}/documents")
+        .select("split").distinct().collect()
+    }
+    assert len(splits2) >= 2, f"doc cap degenerated split: {splits2}"
+
+
+def test_copy_glob_dir_wildcards_key_on_static_prefix(spark, tmp_path):
+    """Review finding (medium): a glob whose DIRECTORY part carries
+    wildcards must key ledger entries relative to the static prefix —
+    same-named same-size files in different matched dirs are distinct
+    files and BOTH load."""
+    for batch in ("b1", "b2"):
+        _src_file(
+            str(tmp_path / batch / "land"), "part.parquet", range(5)
+        )  # identical size by construction, different dirs
+    t = str(tmp_path / "tbl")
+    init_table(spark, t, _seed(spark, 0))
+    pat = str(tmp_path / "*" / "land" / "*.parquet")
+    _, stats = copy_into(spark, t, pat)
+    assert stats["files_loaded"] == 2
+    assert snapshot(spark, t).count() == 10
+    led = resolve_copy_ledger(t)
+    assert {k.split("#")[0] for k in led} == {
+        f"{os.path.basename(str(tmp_path))}/b1/land/part.parquet",
+        f"{os.path.basename(str(tmp_path))}/b2/land/part.parquet",
+    }
+    _, stats = copy_into(spark, t, pat)  # replay no-ops
+    assert stats["files_loaded"] == 0

@@ -42,6 +42,11 @@ from etl_sentinel_imagery_spark.session import get_spark
 
 def _land(d: str, name: str, lo: int, n: int) -> None:
     ks = list(range(lo, lo + n))
+    # write-then-rename: the landing contract is atomic PUBLISH — a
+    # racer's glob must never observe a half-written parquet (it
+    # would either fail the read or ledger a partial size and
+    # re-ingest the completed file later)
+    tmp = os.path.join(d, f"_tmp_{name}")
     pq.write_table(
         pa.table(
             {
@@ -49,8 +54,9 @@ def _land(d: str, name: str, lo: int, n: int) -> None:
                 "v": pa.array([k * 3 for k in ks], pa.int64()),
             }
         ),
-        os.path.join(d, name),
+        tmp,
     )
+    os.replace(tmp, os.path.join(d, name))
 
 
 def main() -> None:
