@@ -1094,6 +1094,73 @@ WHERE (source = 'src0' AND cum_before < 600)
 """
 
 
+def _sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining deterministic samplers under the strict gate
+    (round 11 — text_profile already gates hash_sample/assign_split
+    thresholds; this row gates the SELECTION SETS themselves):
+
+    - ``epoch`` rows — upsample_epochs(2.3): every doc appears 2 or 3
+      times tagged epoch_idx, the fractional epoch hash-selected (the
+      oversampling half of corpus mixing);
+    - ``exact_n`` rows — sample_exact_n(40): the 40 smallest-hash
+      docs (TakeOrderedAndProject, the reservoir-free exact-N cap);
+    - ``bernoulli`` rows — hash_sample(0.25): the keyed 25% draw.
+
+    Every leg is a pure function of md5 buckets and integers — DuckDB
+    restates selection sets, epoch counts and ranks exactly."""
+    from etl_sentinel_imagery_spark.operators.sampling import (
+        hash_sample,
+        sample_exact_n,
+        upsample_epochs,
+    )
+
+    docs = _docs_spread(spark, sf_dir).select("doc_id")
+    null_l = F.lit(None).cast("long")
+    ep = upsample_epochs(docs, 2.3, key_col="doc_id", seed="ue").select(
+        F.lit("epoch").alias("kind"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("epoch_idx").cast("long").alias("val"),
+    )
+    ex = sample_exact_n(docs, 40, key_col="doc_id", seed="xn").select(
+        F.lit("exact_n").alias("kind"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        null_l.alias("val"),
+    )
+    be = hash_sample(docs, "doc_id", 0.25, seed="bs").select(
+        F.lit("bernoulli").alias("kind"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        null_l.alias("val"),
+    )
+    return ep.unionByName(ex).unionByName(be)
+
+
+def _bucket_sql(seed: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{seed}' || "
+        f"CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+
+
+_SAMPLING_BATTERY_SQL = f"""
+WITH d AS (SELECT doc_id FROM documents),
+ep AS (
+    SELECT doc_id,
+           2 + CASE WHEN {_bucket_sql("ue")}
+                    < {int(0.3 * (1 << 32))} THEN 1 ELSE 0 END AS n
+    FROM d
+)
+SELECT 'epoch' AS kind, doc_id, CAST(epoch_idx AS BIGINT) AS val
+FROM ep, unnest(range(0, n)) AS r(epoch_idx)
+UNION ALL
+SELECT 'exact_n', doc_id, CAST(NULL AS BIGINT)
+FROM (SELECT doc_id FROM d
+      ORDER BY {_bucket_sql("xn")}, doc_id LIMIT 40)
+UNION ALL
+SELECT 'bernoulli', doc_id, CAST(NULL AS BIGINT)
+FROM d WHERE {_bucket_sql("bs")} < {int(0.25 * (1 << 32))}
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_profile": Q(
         _text_profile, _finish_text_profile_sql(),
@@ -1142,5 +1209,11 @@ QUERIES: dict[str, Q] = {
         "token total first reaches the budget — global leg + "
         "per-source stratified mix; two-phase distributed prefix "
         "sum, never a single-task global window",
+    ),
+    "docs_sampling_battery": Q(
+        _sampling_battery, _SAMPLING_BATTERY_SQL,
+        "deterministic sampler selection SETS under the hash gate "
+        "(round 11): upsample_epochs fractional-epoch explode + "
+        "sample_exact_n smallest-hash cap + keyed Bernoulli draw",
     ),
 }
