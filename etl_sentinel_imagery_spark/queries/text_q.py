@@ -9,6 +9,8 @@ because every hash is the engine-portable polynomial hash
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1161,6 +1163,150 @@ FROM d WHERE {_bucket_sql("bs")} < {int(0.25 * (1 << 32))}
 """
 
 
+def _incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup vs a persisted index under the strict gate
+    (round 11 — operators.incremental_dedup was pytest-only): the
+    corpus splits into an INDEXED old partition (doc_id % 4 ≠ 0,
+    build_signature_index) and a NEW batch (doc_id % 4 = 0) that
+    classifies against it through the REAL daily-ingest machinery —
+    within-batch dedup_clusters, canonical band probe with the
+    distinct-count mega-bucket guard on the INDEX side, signature-
+    agreement verification (matching minhash positions / n_perm ≥
+    0.5), smallest-matching-id attribution. The oracle restates every
+    stage relationally, including the recursive-CTE connected
+    components for the within-batch tier. Integer/hash arithmetic
+    end to end — no float in any comparison."""
+    import tempfile
+
+    from etl_sentinel_imagery_spark.operators.incremental_dedup import (
+        build_signature_index,
+        incremental_dedup,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    idx = os.path.join(
+        tempfile.mkdtemp(prefix="incdedup_"), "idx"
+    )
+    build_signature_index(old, idx)
+    out = incremental_dedup(new, idx, append=False)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "status",
+        F.col("dup_of").cast("long").alias("dup_of"),
+    )
+
+
+def _inc_bands_sql(sigs_cte: str) -> str:
+    """bands over a sig0..sig7 CTE (band_size=2, 4 bands) — the same
+    key layout _band_table / _LSH_CTES build."""
+    return f"""
+    SELECT doc_id, b,
+           concat_ws('_',
+               CASE b WHEN 0 THEN sig0 WHEN 1 THEN sig2
+                      WHEN 2 THEN sig4 ELSE sig6 END,
+               CASE b WHEN 0 THEN sig1 WHEN 1 THEN sig3
+                      WHEN 2 THEN sig5 ELSE sig7 END
+           ) AS band_key
+    FROM {sigs_cte} CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)"""
+
+
+_INCREMENTAL_DEDUP_SQL = f"""
+WITH RECURSIVE
+new_docs AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+old_docs AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
+nsigs AS (
+    SELECT doc_id, {", ".join(_minhash_sig_sql_exprs())} FROM new_docs
+),
+nbands AS ({_inc_bands_sql("nsigs")}),
+ncapped AS (
+    SELECT doc_id, b, band_key
+    FROM (SELECT *, COUNT(*) OVER (PARTITION BY b, band_key) AS bn
+          FROM nbands)
+    WHERE bn <= {MAX_BUCKET}
+),
+ncand AS (
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM ncapped l
+    JOIN ncapped r
+      ON l.b = r.b AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    GROUP BY 1, 2
+),
+ngr AS (SELECT doc_id, {_ngrams_sql(3)} AS g FROM new_docs),
+nverified AS (
+    SELECT id_a, id_b FROM ncand
+    JOIN ngr a ON a.doc_id = id_a
+    JOIN ngr b ON b.doc_id = id_b
+    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+          / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+          >= 0.5
+),
+nexact AS (
+    SELECT MIN(doc_id) OVER (PARTITION BY md5(text)) AS id_a,
+           doc_id AS id_b
+    FROM new_docs
+    QUALIFY id_a != id_b
+),
+nedges AS (
+    SELECT id_a AS u, id_b AS v FROM nverified
+    UNION SELECT id_b, id_a FROM nverified
+    UNION SELECT id_a, id_b FROM nexact
+    UNION SELECT id_b, id_a FROM nexact
+),
+nreach(u, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM nedges)
+    UNION
+    SELECT e.v, nreach.r FROM nreach JOIN nedges e ON e.u = nreach.u
+),
+ncomp AS (SELECT u AS node, MIN(r) AS component FROM nreach GROUP BY u),
+clusters AS (
+    SELECT d.doc_id AS doc,
+           coalesce(c.component, d.doc_id) AS batch_canonical,
+           coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+    FROM new_docs d LEFT JOIN ncomp c ON c.node = d.doc_id
+),
+osigs AS (
+    SELECT doc_id, {", ".join(_minhash_sig_sql_exprs())} FROM old_docs
+),
+obands AS ({_inc_bands_sql("osigs")}),
+osizes AS (
+    SELECT b, band_key, COUNT(DISTINCT doc_id) AS n
+    FROM obands GROUP BY 1, 2
+),
+canon_bands AS (
+    SELECT nb.doc_id, nb.b, nb.band_key
+    FROM nbands nb JOIN clusters c
+      ON c.doc = nb.doc_id AND c.is_canonical
+),
+cand2 AS (
+    SELECT DISTINCT cb.doc_id AS new_doc, ob.doc_id AS old_doc
+    FROM canon_bands cb
+    JOIN obands ob ON cb.b = ob.b AND cb.band_key = ob.band_key
+    JOIN osizes z ON z.b = cb.b AND z.band_key = cb.band_key
+                 AND z.n <= {MAX_BUCKET}
+),
+agree AS (
+    SELECT new_doc, MIN(old_doc) AS dup_of_existing
+    FROM cand2
+    JOIN nsigs ns ON ns.doc_id = new_doc
+    JOIN osigs os ON os.doc_id = old_doc
+    WHERE ({" + ".join(
+        f"(CASE WHEN ns.sig{p} = os.sig{p} THEN 1 ELSE 0 END)"
+        for p in range(N_PERM)
+    )}) >= {N_PERM // 2}
+    GROUP BY new_doc
+)
+SELECT c.doc AS doc_id,
+       CASE WHEN NOT c.is_canonical THEN 'batch_dup'
+            WHEN a.dup_of_existing IS NOT NULL THEN 'exists'
+            ELSE 'new' END AS status,
+       CAST(CASE WHEN NOT c.is_canonical THEN c.batch_canonical
+                 ELSE a.dup_of_existing END AS BIGINT) AS dup_of
+FROM clusters c LEFT JOIN agree a ON a.new_doc = c.doc
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_profile": Q(
         _text_profile, _finish_text_profile_sql(),
@@ -1215,5 +1361,13 @@ QUERIES: dict[str, Q] = {
         "deterministic sampler selection SETS under the hash gate "
         "(round 11): upsample_epochs fractional-epoch explode + "
         "sample_exact_n smallest-hash cap + keyed Bernoulli draw",
+    ),
+    "docs_incremental_dedup": Q(
+        _incremental_dedup_q, _INCREMENTAL_DEDUP_SQL,
+        "incremental dedup vs a PERSISTED LSH index (round 11): "
+        "within-batch clusters + canonical band probe with the "
+        "index-side mega-bucket guard + signature-agreement verify + "
+        "smallest-id attribution, hash-matched against a relational "
+        "replay incl. the recursive connected-components tier",
     ),
 }
