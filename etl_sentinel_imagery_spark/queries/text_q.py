@@ -1307,6 +1307,93 @@ FROM clusters c LEFT JOIN agree a ON a.new_doc = c.doc
 """
 
 
+def _sketch_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch REGISTER STATE under the strict gate (round 11 —
+    operators.sketches was pytest-only: merge-exactness and estimate
+    accuracy are pinned there, but nothing hash-checked the registers
+    themselves): per-source HLL sparse registers (md5-60-bit idx/rho,
+    exact-integer bit-length path) and Count-Min cells (d salted md5
+    rows mod w), both pure integer functions of the keys, restated by
+    DuckDB bit-for-bit. A register-level gate catches what estimate
+    tests can't — a biased idx/rho split or a salt drift changes
+    registers long before it moves an estimate outside tolerance."""
+    from etl_sentinel_imagery_spark.operators.sketches import (
+        cm_sketch,
+        hll_sketch_sparse,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    hll = (
+        hll_sketch_sparse(docs, ["source"], "doc_id")
+        .select("source", F.explode("hll").alias("idx", "val"))
+        .select(
+            F.lit("hll").alias("kind"),
+            "source",
+            F.col("idx").cast("long").alias("idx"),
+            F.col("val").cast("long").alias("val"),
+        )
+    )
+    w = 64
+    cm = (
+        cm_sketch(docs, ["source"], "doc_id", w=w)
+        .select("source", F.posexplode("cm").alias("r", "row"))
+        .select("source", "r", F.posexplode("row").alias("i", "v"))
+        .filter(F.col("v") > 0)
+        .select(
+            F.lit("cm").alias("kind"),
+            "source",
+            (F.col("r") * w + F.col("i")).cast("long").alias("idx"),
+            F.col("v").cast("long").alias("val"),
+        )
+    )
+    return hll.unionByName(cm)
+
+
+def _h60_sql(expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+    )
+
+
+def _sketch_battery_sql() -> str:
+    from etl_sentinel_imagery_spark.operators.sketches import (
+        CM_D,
+        HLL_P,
+    )
+
+    m = 1 << HLL_P
+    sub = 60 - HLL_P
+    w = 64
+    h = _h60_sql("CAST(doc_id AS VARCHAR)")
+    hj = _h60_sql("'cm' || j || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH hll_pre AS (
+    SELECT source,
+           {h} & {m - 1} AS idx,
+           CASE WHEN ({h} >> {HLL_P}) = 0 THEN {sub + 1}
+                ELSE {sub + 1} - length(bin({h} >> {HLL_P}))
+           END AS rho
+    FROM documents
+),
+hll AS (
+    SELECT source, idx, MAX(rho) AS val FROM hll_pre GROUP BY 1, 2
+),
+cm AS (
+    SELECT source, r * {w} + i AS idx, COUNT(*) AS val
+    FROM (
+        SELECT source, j AS r, {hj} % {w} AS i
+        FROM documents, unnest(range(0, {CM_D})) AS t(j)
+    )
+    GROUP BY 1, 2
+)
+SELECT 'hll' AS kind, source, CAST(idx AS BIGINT) AS idx,
+       CAST(val AS BIGINT) AS val
+FROM hll
+UNION ALL
+SELECT 'cm', source, CAST(idx AS BIGINT), CAST(val AS BIGINT) FROM cm
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_profile": Q(
         _text_profile, _finish_text_profile_sql(),
@@ -1361,6 +1448,12 @@ QUERIES: dict[str, Q] = {
         "deterministic sampler selection SETS under the hash gate "
         "(round 11): upsample_epochs fractional-epoch explode + "
         "sample_exact_n smallest-hash cap + keyed Bernoulli draw",
+    ),
+    "docs_sketch_battery": Q(
+        _sketch_battery, _sketch_battery_sql(),
+        "sketch register state under the hash gate (round 11): "
+        "per-source HLL sparse registers + Count-Min cells, pure "
+        "integer md5 functions restated bit-for-bit",
     ),
     "docs_incremental_dedup": Q(
         _incremental_dedup_q, _INCREMENTAL_DEDUP_SQL,
