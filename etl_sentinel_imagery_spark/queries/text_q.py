@@ -1394,6 +1394,77 @@ SELECT 'cm', source, CAST(idx AS BIGINT), CAST(val AS BIGINT) FROM cm
 """
 
 
+def _langid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL language classifier under the strict gate (round 11 —
+    text_profile gates only the stopword heuristic; the Cavnar–
+    Trenkle trigram classifier was pytest-only): per-doc predicted
+    language + out-of-place score over the embedded seed profiles.
+    Everything is integer rank arithmetic — trigram explode,
+    broadcast profile join, matched-rank sum + absent-gram penalty,
+    min-score window with (score, lang) tie-break — so DuckDB
+    restates the whole classifier with the SAME trained profile
+    embedded as literals (train_profiles is deterministic:
+    frequency desc, gram asc)."""
+    from etl_sentinel_imagery_spark.operators.langid import classify
+
+    docs = _docs_spread(spark, sf_dir)
+    return classify(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang_pred",
+        F.col("lang_score").cast("long").alias("lang_score"),
+    )
+
+
+def _langid_sql() -> str:
+    from etl_sentinel_imagery_spark.operators.langid import (
+        PROFILE_N,
+        train_profiles,
+    )
+
+    profs = train_profiles()
+    rows = ", ".join(
+        f"('{lang}', '{g.replace(chr(39), chr(39) * 2)}', {r})"
+        for lang in sorted(profs)
+        for g, r in sorted(profs[lang].items())
+    )
+    return f"""
+WITH prof(lang, gram, rank) AS (VALUES {rows}),
+norm AS (
+    SELECT doc_id,
+           ' ' || regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+               || ' ' AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(length(t) - 2, 1) + 1),
+                   i -> substr(t, i, 3))) AS g
+        FROM norm
+    ) WHERE length(g) = 3
+),
+tot AS (SELECT doc_id, COUNT(*) AS total FROM grams GROUP BY 1),
+m AS (
+    SELECT doc_id, lang, COUNT(*) AS n, SUM(rank) AS s
+    FROM grams JOIN prof ON prof.gram = grams.g
+    GROUP BY 1, 2
+),
+per AS (
+    SELECT m.doc_id, lang,
+           s + (total - n) * {PROFILE_N} AS score
+    FROM m JOIN tot ON tot.doc_id = m.doc_id
+)
+SELECT doc_id, lang AS lang_pred, CAST(score AS BIGINT) AS lang_score
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score, lang) AS r
+    FROM per
+)
+WHERE r = 1
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_profile": Q(
         _text_profile, _finish_text_profile_sql(),
@@ -1454,6 +1525,13 @@ QUERIES: dict[str, Q] = {
         "sketch register state under the hash gate (round 11): "
         "per-source HLL sparse registers + Count-Min cells, pure "
         "integer md5 functions restated bit-for-bit",
+    ),
+    "docs_langid": Q(
+        _langid_q, _langid_sql(),
+        "Cavnar-Trenkle trigram language ID under the hash gate "
+        "(round 11): broadcast rank profiles + out-of-place integer "
+        "scoring, classifier restated in SQL with the same trained "
+        "profile literals",
     ),
     "docs_incremental_dedup": Q(
         _incremental_dedup_q, _INCREMENTAL_DEDUP_SQL,
