@@ -132,6 +132,14 @@ CHECKS = {
         "SortMergeJoin": False,
         "BroadcastNestedLoop": False,
     },
+    # language ID (round 11): the 1800-row profile table must
+    # BROADCAST into the trigram explode — never a shuffle keyed on
+    # gram text
+    "docs_langid": {
+        "BroadcastHashJoin": True,
+        "SortMergeJoin": False,
+        "BroadcastNestedLoop": False,
+    },
     # production EWMA (round 5): the applyInPandas scan groups once on
     # event_type — exactly the resample axis's own exchanges plus the
     # group-for-Arrow hash exchange; no window, no sort-merge join
