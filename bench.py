@@ -90,6 +90,10 @@ def main() -> None:
         "docs_decontamination",
         "docs_lm_counts",
         "docs_token_budget",
+        "docs_sampling_battery",
+        "docs_sketch_battery",
+        "docs_langid",
+        "docs_incremental_dedup",
     ):
         t0 = time.time()
         qs[name](spark, sf_dir).count()
