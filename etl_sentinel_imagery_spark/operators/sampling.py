@@ -364,12 +364,20 @@ def sample_token_budget(
     tok = (
         F.col(token_count) if isinstance(token_count, str) else token_count
     )
-    # unique sortable key: fixed-width (bucket, key) — lexicographic
-    # string order == numeric (bucket, key) order on both engines
+    # unique sortable key: fixed-width (bucket, md5(key)) — both legs
+    # are constant-width, so lexicographic string order == numeric
+    # bucket order with a collision-free tiebreak for ANY key type.
+    # The tiebreak is md5 of the stringified key, NOT lpad(key):
+    # lpad truncates values past the pad width and mis-orders
+    # '0'-prefix/'-' forms, so long string doc ids could collide and
+    # break with_global_offset's unique-order requirement at the
+    # budget boundary (round-11 advice, low). Distinct keys map to
+    # distinct 128-bit digests (md5 collisions are the accepted
+    # epsilon, same stance as every hash-keyed sampler here).
     ordk = F.concat(
         F.lpad(hash_bucket(key_col, seed).cast("string"), 10, "0"),
         F.lit(":"),
-        F.lpad(F.col(key_col).cast("string"), 20, "0"),
+        F.md5(F.col(key_col).cast("string")),
     )
     staged = df.withColumn("_tok", tok.cast("long")).withColumn(
         "_ord", ordk

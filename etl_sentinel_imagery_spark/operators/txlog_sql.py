@@ -1270,15 +1270,18 @@ def _do_alter(spark, stmt, tables):
                 upgrade_protocol,
             )
 
-            ver = upgrade_protocol(
+            # a statement mixing protocol keys with plain properties
+            # lands in ONE commit carrying both records — two commits
+            # could leave it half-applied on a failure between them
+            # (round-11 advice, low)
+            return upgrade_protocol(
                 d,
                 min_reader=int(mr) if mr is not None else None,
                 min_writer=int(mw) if mw is not None else None,
                 reader_features=feat_names or None,
                 writer_features=feat_names or None,
+                properties=props or None,
             )
-            if not props:
-                return ver
         return set_properties(d, props)
     m = re.match(r"CLUSTER\s+BY\s*(?=\()", rest, re.IGNORECASE)
     if m:

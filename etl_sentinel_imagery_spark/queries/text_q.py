@@ -1049,14 +1049,15 @@ def _token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tb_ord_sql(seed_expr: str) -> str:
-    """lpad(bucket):lpad(doc_id) — the sampler's unique sort key."""
+    """lpad(bucket):md5(doc_id) — the sampler's unique sort key
+    (md5 tiebreak, fixed-width for any key type — round-11 advice)."""
     bucket = (
         f"CAST(('0x' || substr(md5({seed_expr} || "
         f"CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
     )
     return (
         f"lpad(CAST({bucket} AS VARCHAR), 10, '0') || ':' || "
-        f"lpad(CAST(doc_id AS VARCHAR), 20, '0')"
+        f"md5(CAST(doc_id AS VARCHAR))"
     )
 
 

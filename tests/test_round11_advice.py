@@ -197,14 +197,19 @@ def test_fresh_stream_first_batch_capped(spark, tmp_path):
 # ---------------------------------------------------------------- #
 
 
-def test_upgrade_protocol_respects_write_gate(spark, tmp_path):
+def test_upgrade_protocol_respects_write_gate(spark, tmp_path, monkeypatch):
     t = str(tmp_path / "tbl")
     init_table(spark, t, _seed(spark, 1))
-    upgrade_protocol(t, min_writer=tx.SUPPORTED_WRITER + 1)
+    # a FUTURE build stamps a level past this one (the issuing build
+    # refuses to stamp levels it cannot itself serve — round-11
+    # advice — so the stamp impersonates a newer build)
+    with monkeypatch.context() as m:
+        m.setattr(tx, "SUPPORTED_WRITER", tx.SUPPORTED_WRITER + 1)
+        upgrade_protocol(t, min_writer=tx.SUPPORTED_WRITER)
     # the table now requires a newer writer: THIS engine may not
     # write — not even another protocol bump
     with pytest.raises(ValueError, match="writer protocol"):
-        upgrade_protocol(t, min_writer=tx.SUPPORTED_WRITER + 2)
+        upgrade_protocol(t, min_writer=tx.SUPPORTED_WRITER)
 
 
 # ---------------------------------------------------------------- #
@@ -481,11 +486,16 @@ def test_budget_stages_do_not_degenerate_split(spark, tmp_path):
     assert len(splits2) >= 2, f"doc cap degenerated split: {splits2}"
 
 
-def test_copy_glob_dir_wildcards_key_on_static_prefix(spark, tmp_path):
-    """Review finding (medium): a glob whose DIRECTORY part carries
-    wildcards must key ledger entries relative to the static prefix —
-    same-named same-size files in different matched dirs are distinct
-    files and BOTH load."""
+def test_copy_glob_dir_wildcards_single_call_loads_all(spark, tmp_path):
+    """A glob whose DIRECTORY part carries wildcards: same-named
+    same-size files in different matched dirs are distinct paths in
+    ONE listing, so one call loads BOTH — and the replay no-ops.
+    (Round 12 rekeyed the ledger to the invocation-invariant
+    ``parent_leaf/basename#size`` form — round-11 advice, medium —
+    so the two files now share a ledger key; the documented residual
+    collision. Within a call that changes nothing; across calls the
+    second same-leaf dir would be skipped, the accepted trade for
+    keys that survive switching invocation forms.)"""
     for batch in ("b1", "b2"):
         _src_file(
             str(tmp_path / batch / "land"), "part.parquet", range(5)
@@ -497,9 +507,10 @@ def test_copy_glob_dir_wildcards_key_on_static_prefix(spark, tmp_path):
     assert stats["files_loaded"] == 2
     assert snapshot(spark, t).count() == 10
     led = resolve_copy_ledger(t)
-    assert {k.split("#")[0] for k in led} == {
-        f"{os.path.basename(str(tmp_path))}/b1/land/part.parquet",
-        f"{os.path.basename(str(tmp_path))}/b2/land/part.parquet",
-    }
+    assert {k.split("#")[0] for k in led} == {"land/part.parquet"}
     _, stats = copy_into(spark, t, pat)  # replay no-ops
+    assert stats["files_loaded"] == 0
+    # ...and so does the DIRECT-dir form over either matched dir —
+    # the invariance the rekey exists to provide
+    _, stats = copy_into(spark, t, str(tmp_path / "b1" / "land"))
     assert stats["files_loaded"] == 0

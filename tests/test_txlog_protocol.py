@@ -38,14 +38,25 @@ def _seed(spark, n=10, offset=0):
     )
 
 
-def test_protocol_defaults_and_upgrade(spark, tmp_path):
+def _future_stamp(monkeypatch, t, **kw):
+    """Simulate a FUTURE engine stamping protocol levels this build
+    cannot serve (the issuing build itself refuses such levels —
+    round-11 advice, low — so the tests below impersonate a newer
+    build for the stamp, then restore this one for the gate checks)."""
+    with monkeypatch.context() as m:
+        m.setattr(tx, "SUPPORTED_READER", 99)
+        m.setattr(tx, "SUPPORTED_WRITER", 99)
+        upgrade_protocol(t, **kw)
+
+
+def test_protocol_defaults_and_upgrade(spark, tmp_path, monkeypatch):
     t = str(tmp_path / "p")
     init_table(spark, t, _seed(spark))
     assert resolve_protocol(t) == {"min_reader": 1, "min_writer": 1, "reader_features": [], "writer_features": []}
     snapshot(spark, t).count()  # legacy default: everything works
 
     v_pre = current_version(t)
-    upgrade_protocol(t, min_reader=99)
+    _future_stamp(monkeypatch, t, min_reader=99)
     assert resolve_protocol(t)["min_reader"] == 99
     # versioned like Delta: pre-upgrade versions read under the OLD gate
     assert snapshot(spark, t, version=v_pre).count() == 10
@@ -57,17 +68,17 @@ def test_protocol_defaults_and_upgrade(spark, tmp_path):
         upgrade_protocol(t, min_reader=1)
 
 
-def test_protocol_write_gate_and_stream_refusal(spark, tmp_path):
+def test_protocol_write_gate_and_stream_refusal(spark, tmp_path, monkeypatch):
     t = str(tmp_path / "pw")
     init_table(spark, t, _seed(spark))
-    upgrade_protocol(t, min_writer=99)
+    _future_stamp(monkeypatch, t, min_writer=99)
     snapshot(spark, t).count()  # reads still fine
     with pytest.raises(ValueError, match="writer protocol"):
         append(spark, t, _seed(spark, 2, offset=100))
 
     t2 = str(tmp_path / "ps")
     init_table(spark, t2, _seed(spark))
-    upgrade_protocol(t2, min_reader=99)
+    _future_stamp(monkeypatch, t2, min_reader=99)
     from etl_sentinel_imagery_spark.sources.txlog_stream import (
         TxlogChangesStreamReader,
     )
