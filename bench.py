@@ -1,11 +1,29 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line:
-{"metric": "...", "value": <total sec>, "unit": "sec",
- "queries": {name: sec, ...}, "sf": <scale factor>,
- "load_avg_start": <1-min load average at start — quiescence marker;
-  readings far above the core count mean a contended box and the run
-  is not comparable across rounds>}
+{"metric": "...", "value": <sum of per-query MEDIANS over the headline
+ set>, "unit": "sec", "queries": {name: median sec}, "queries_min":
+ {name: min sec}, "ann": {...same shape for the ANN batteries...},
+ "reps": 3, "sf": <scale factor>,
+ "load_avg_start"/"load_avg_end": <1-min load average — quiescence
+  markers; readings far above the core count mean a contended box>}
+
+Round-12 protocol (round-11 verdict #2/#4): every query runs REPS
+times and the artifact records min AND median — single-shot walls on
+this box swung up to 7x between identical runs, so one sample is not
+a signal. The ANN batteries (the heaviest, noisiest rows — 35-60% of
+the old headline wall) report in their own ``ann`` group so the
+relational+text trend line stays legible; ``value`` is the
+relational+text headline only.
+
+Round-12 registry consolidation renamed several rows (see PERF.md for
+the cross-round mapping): docs_minhash_lsh_pairs + docs_jaccard_pairs
+(+ docs_signatures) → docs_neardup_battery; docs_sampling_battery
+absorbed docs_token_budget; docs_sketch_lm_battery = docs_sketch_battery
++ docs_lm_counts + the new rational probability curve;
+docs_classify_battery = docs_langid + docs_incremental_dedup;
+ann_deterministic_battery absorbed embedding_quant_battery;
+scalar_battery = scalar_string_battery + scalar_date_battery.
 """
 
 from __future__ import annotations
@@ -13,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -21,8 +40,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from etl_sentinel_imagery_spark.queries import queries as _queries
 from etl_sentinel_imagery_spark.session import get_spark
 
+REPS = 3
+
 #: Headline set: the flagship plus the heaviest representative per family
-#: (agg, join+window, sessionization, windows, dedup tiers, similarity).
+#: (agg, join+window, sessionization, windows, dedup tiers, text ops).
+#: The round-11 "new rows" (decontamination, sampling, sketch/LM,
+#: classify) joined here with their merged-battery names.
 HEADLINE = [
     "flagship_top_supplier_per_region",
     "pricing_summary",
@@ -32,19 +55,49 @@ HEADLINE = [
     "events_windows_battery",
     "events_sessionize",
     "docs_exact_dedup",
-    "docs_minhash_lsh_pairs",
-    "docs_jaccard_pairs",
+    "docs_neardup_battery",
     "dedup_clusters",
     "docs_chunking",
     "text_profile",
-    # round-6 fold: the brute/near-dup exact anchors live inside
-    # ann_deterministic_battery now (one strict-oracle row; their
-    # timings merge into it — compare the SUM of the three r5 names)
+    "spatial_fuzzy_join_battery",
+    "docs_decontamination",
+    "docs_sampling_battery",
+    "docs_sketch_lm_battery",
+    "docs_classify_battery",
+]
+
+#: The ANN batteries bench apart (round-11 verdict #4): they are the
+#: heaviest and noisiest rows; isolating them keeps the headline trend
+#: legible. Same REPS/min/median protocol.
+ANN = [
     "ann_deterministic_battery",
     "ann_ivf_battery",
-    # round-4 addition: the oracled spatial joins (grid pip + radius)
-    "spatial_fuzzy_join_battery",
 ]
+
+
+def _measure(qs, names: list[str], spark, sf_dir: str):
+    """Run each named query REPS times; return (medians, mins).
+
+    Reps are interleaved (A B C A B C ...) rather than back-to-back so
+    a transient load spike degrades one REP of many queries instead of
+    every rep of one query — the median then still lands on a clean
+    sample."""
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for rep in range(REPS):
+        for name in names:
+            t0 = time.time()
+            n_rows = qs[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            samples[name].append(dt)
+            print(
+                f"# rep{rep} {name}: {dt:.3f}s ({n_rows} rows)",
+                file=sys.stderr,
+            )
+    medians = {
+        n: round(statistics.median(v), 3) for n, v in samples.items()
+    }
+    mins = {n: round(min(v), 3) for n, v in samples.items()}
+    return medians, mins
 
 
 def main() -> None:
@@ -54,9 +107,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # machine-quiescence provenance: a contended box inflates every
     # query uniformly (round-5's driver run measured 1.8-2.2x across
-    # plan-unchanged queries); recording the 1-min load average at
-    # start makes such runs self-identifying instead of adjudicated
-    # after the fact. Quiet baseline on this 32-cpu box is < ~2.
+    # plan-unchanged queries). Quiet baseline on this 32-cpu box < ~2.
     load_avg = round(os.getloadavg()[0], 2)
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -67,44 +118,18 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     for warm in (
         "flagship_top_supplier_per_region",
-        "docs_minhash_lsh_pairs",
+        "docs_neardup_battery",
         "ann_ivf_battery",
         "events_sessionize",
     ):
         qs[warm](spark, warm_dir).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-
-    # round-11 rows, timed OUTSIDE the headline total so `value` stays
-    # name-comparable with every earlier round (the ann_ivf_tiers /
-    # write_path precedent); they join HEADLINE proper next round with
-    # a recorded baseline here
-    new_rows: dict[str, float] = {}
-    for name in (
-        "docs_decontamination",
-        "docs_lm_counts",
-        "docs_token_budget",
-        "docs_sampling_battery",
-        "docs_sketch_battery",
-        "docs_langid",
-        "docs_incremental_dedup",
-    ):
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        new_rows[name] = round(time.time() - t0, 3)
-        print(
-            f"# new row {name}: {new_rows[name]:.3f}s", file=sys.stderr
-        )
+    medians, mins = _measure(qs, HEADLINE, spark, sf_dir)
+    ann_medians, ann_mins = _measure(qs, ANN, spark, sf_dir)
 
     # per-tier attribution for the most expensive battery (round-4
     # verdict #4): each tier re-times with its own training/build work
-    # AFTER the battery row above (which stays name-comparable across
+    # AFTER the battery rows above (which stay name-comparable across
     # rounds). The adaptive tier's persisted index was cached by the
     # battery run, so its tier time is probe-only — labeled as such.
     from etl_sentinel_imagery_spark.queries.vectors_q import ann_ivf_tiers
@@ -123,13 +148,11 @@ def main() -> None:
     # statement sequence (2×CTAS, INSERT, UPDATE, DELETE, two MERGEs
     # incl. the composite-key leg, OPTIMIZE+ZORDER, change-feed read)
     # gets the same round-over-round tracking reads have. Reported
-    # BESIDE the total, not inside it — `value` stays name-comparable
-    # with every earlier round's read-only headline set (the
-    # ann_ivf_tiers precedent).
-    # round-10 verdict #1: per-LEG timings recorded by the battery
-    # itself — drift attribution becomes one read instead of an ABAB.
-    # The battery row total stays name-comparable; `final_aggregates`
-    # is the residual (the lazy post-state SELECTs at .count()).
+    # BESIDE the total, not inside it. Single-shot by design: the
+    # battery creates and mutates real tables, so reps would measure
+    # different state; per-LEG timings (round-10 verdict #1) attribute
+    # drift instead. `final_aggregates` is the residual (the lazy
+    # post-state SELECTs at .count()).
     from etl_sentinel_imagery_spark.queries.dml_q import (
         _txlog_dml_battery,
     )
@@ -204,15 +227,21 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(medians.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": "headline_queries_median_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "new_rows": new_rows,
+                "reps": REPS,
+                "queries": medians,
+                "queries_min": mins,
+                "ann": {
+                    "total": round(sum(ann_medians.values()), 3),
+                    "queries": ann_medians,
+                    "queries_min": ann_mins,
+                },
                 "ann_ivf_tiers": tier_timings,
                 "write_path": {
                     **write_timings,
@@ -220,6 +249,7 @@ def main() -> None:
                 },
                 "sf": sf,
                 "load_avg_start": load_avg,
+                "load_avg_end": round(os.getloadavg()[0], 2),
             }
         )
     )

@@ -246,6 +246,68 @@ def score_doc_counts(
     )
 
 
+def model_prob_rational(
+    docs: DataFrame,
+    lm: BigramLM,
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """The interpolated probability CURVE as exact BIGINT rationals —
+    ``(v, w, p_num, p_den)`` for every DISTINCT post-OOV bigram
+    occurring in ``docs`` (round-11 verdict #6 / ROADMAP #4: the one
+    pytest-only piece of the CCNet scorer joins the hash gate).
+
+    With λ = L/D (``lm.lam`` rationalized exactly from its decimal
+    literal), the scorer's
+    ``p(w|v) = λ·c_vw/c_v + (1−λ)·(c_w+1)/(T+V)`` is the rational
+
+        p_num = L·c_vw·(T+V) + (D−L)·c_v·(c_w+1)
+        p_den = D·c_v·(T+V)
+
+    — pure BIGINT arithmetic (no gcd reduction needed: both engines
+    compute the SAME canonical num/den), with the same coalesce
+    semantics as :func:`score_docs` (missing bigram → c_vw=0, unseen
+    context → c_v=1, OOV unigram → c_w=0). ``score_docs``'s float
+    ``log(p)`` equals ``log(p_num/p_den)`` up to libm rounding —
+    pinned in tests/test_lm_score.py. Magnitude: num ≤ D·T·(T+V),
+    ~2^62 headroom until T+V nears 2^30 tokens per trained model —
+    models are vocab-bounded by construction, not corpus-sized.
+
+    Scale shape: the distinct-pair set is bounded by (V+1)²; model
+    tables broadcast (or sort-merge when ``broadcast_model=False``);
+    nothing corpus-sized leaves the executors."""
+    from fractions import Fraction
+
+    frac = Fraction(str(lm.lam))
+    lnum, lden = frac.numerator, frac.denominator
+    tv = lm.total_tokens + lm.vocab_size
+    vocab = lm.unigrams.select("w")
+    pairs = _map_oov(
+        docs.select(
+            F.explode(_bigram_pairs(tokens(text_col))).alias("p")
+        ).select(F.col("p.v").alias("v"), F.col("p.w").alias("w")),
+        ["v", "w"],
+        vocab,
+    ).distinct()
+    big, ctx, uni = lm.bigrams, lm.context_totals, lm.unigrams
+    if broadcast_model:
+        big, ctx, uni = F.broadcast(big), F.broadcast(ctx), F.broadcast(uni)
+    j = (
+        pairs.join(big, ["v", "w"], "left")
+        .join(ctx, "v", "left")
+        .join(uni.withColumnRenamed("c_w", "_cw"), "w", "left")
+    )
+    c_vw = F.coalesce("c_vw", F.lit(0)).cast("long")
+    c_v = F.coalesce("c_v", F.lit(1)).cast("long")
+    c_w = F.coalesce("_cw", F.lit(0)).cast("long")
+    num = (
+        F.lit(lnum) * c_vw * F.lit(tv)
+        + F.lit(lden - lnum) * c_v * (c_w + F.lit(1))
+    ).cast("long")
+    den = (F.lit(lden) * c_v * F.lit(tv)).cast("long")
+    return j.select("v", "w", num.alias("p_num"), den.alias("p_den"))
+
+
 def perplexity_filter(
     docs: DataFrame,
     lm: BigramLM,

@@ -286,13 +286,33 @@ FROM (
 """
 
 
+def _scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + date scalar tiers in one strict row (round 12 —
+    merged the former scalar_string_battery + scalar_date_battery
+    rows so the registry fits the driver's 50-row correctness
+    window; every oracle column of both survives). ``str`` rows are
+    the part-table string battery; ``date`` rows the orders-table
+    date battery; columns absent from a tier are NULL on its rows,
+    identically in the DuckDB restatement."""
+    s = _string_battery(spark, sf_dir).withColumn("kind", F.lit("str"))
+    d = _date_battery(spark, sf_dir).withColumn("kind", F.lit("date"))
+    return s.unionByName(d, allowMissingColumns=True)
+
+
+_SCALAR_BATTERY_SQL = f"""
+SELECT 'str' AS kind, * FROM ({_STRING_BATTERY_SQL})
+UNION ALL BY NAME
+SELECT 'date' AS kind, * FROM ({_DATE_BATTERY_SQL})
+"""
+
+
 QUERIES: dict[str, Q] = {
-    "scalar_string_battery": Q(
-        _string_battery, _STRING_BATTERY_SQL,
-        "F1/F3/F8/F9 strings + replace/translate/pad/trim/case tier",
-    ),
-    "scalar_date_battery": Q(
-        _date_battery, _DATE_BATTERY_SQL, "F2/F4 date assembly + arithmetic"
+    "scalar_battery": Q(
+        _scalar_battery, _SCALAR_BATTERY_SQL,
+        "F1-F4/F8/F9 scalar tiers (round 12 — merged "
+        "scalar_string_battery + scalar_date_battery): strings + "
+        "replace/translate/pad/trim/case over part, date assembly + "
+        "arithmetic over orders",
     ),
     "part_collections_battery": Q(
         _part_collections_battery, _PART_COLLECTIONS_SQL,

@@ -952,8 +952,10 @@ def _lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_doc_counts(docs, lm)
 
 
-_LM_COUNTS_SQL = """
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+#: the trained-model CTE chain (tokenize → vocab → OOV-map → counts),
+#: shared by the count-skeleton row and the rational-curve leg
+_LM_CTES = """
+d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 vocab AS (
     SELECT w FROM (
         SELECT unnest(t) AS w FROM d WHERE doc_id % 3 <> 0
@@ -989,6 +991,10 @@ train_big AS (
     WHERE doc_id % 3 <> 0 GROUP BY v, w
 ),
 ctx AS (SELECT v, SUM(c_vw) AS c_v FROM train_big GROUP BY v)
+"""
+
+_LM_COUNTS_SQL = f"""
+WITH {_LM_CTES.strip()}
 SELECT m.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_scored,
        CAST(SUM(COALESCE(b.c_vw, 0)) AS BIGINT) AS sum_c_vw,
@@ -1107,10 +1113,19 @@ def _sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
       oversampling half of corpus mixing);
     - ``exact_n`` rows — sample_exact_n(40): the 40 smallest-hash
       docs (TakeOrderedAndProject, the reservoir-free exact-N cap);
-    - ``bernoulli`` rows — hash_sample(0.25): the keyed 25% draw.
+    - ``bernoulli`` rows — hash_sample(0.25): the keyed 25% draw;
+    - ``tb:*`` rows (round 12 — absorbed the former docs_token_budget
+      row so the registry fits the driver's 50-row correctness
+      window, round-11 verdict #1): sample_token_budget's GLOBAL
+      10k-token hash-order prefix plus the per-source stratified mix
+      ("600 src0 + 300 src1 + 50 src2 tokens"), each row carrying its
+      exact exclusive prefix sum (``cum_before``) — the two-phase
+      range-partitioned prefix sum, never a single-task global
+      window.
 
     Every leg is a pure function of md5 buckets and integers — DuckDB
-    restates selection sets, epoch counts and ranks exactly."""
+    restates selection sets, epoch counts, ranks and prefix sums
+    exactly."""
     from etl_sentinel_imagery_spark.operators.sampling import (
         hash_sample,
         sample_exact_n,
@@ -1134,7 +1149,17 @@ def _sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         null_l.alias("val"),
     )
-    return ep.unionByName(ex).unionByName(be)
+    tb = _token_budget(spark, sf_dir).select(
+        F.concat(F.lit("tb:"), F.col("kind")).alias("kind"),
+        "doc_id",
+        "n_tok",
+        "cum_before",
+    )
+    return (
+        ep.unionByName(ex)
+        .unionByName(be)
+        .unionByName(tb, allowMissingColumns=True)
+    )
 
 
 def _bucket_sql(seed: str) -> str:
@@ -1161,6 +1186,17 @@ FROM (SELECT doc_id FROM d
 UNION ALL
 SELECT 'bernoulli', doc_id, CAST(NULL AS BIGINT)
 FROM d WHERE {_bucket_sql("bs")} < {int(0.25 * (1 << 32))}
+"""
+
+# round 12: the battery absorbed docs_token_budget — same legs, same
+# columns, one registry row (driver 50-row window, round-11 verdict #1)
+_SAMPLING_BATTERY_SQL = f"""
+SELECT kind, doc_id, val,
+       CAST(NULL AS BIGINT) AS n_tok, CAST(NULL AS BIGINT) AS cum_before
+FROM ({_SAMPLING_BATTERY_SQL})
+UNION ALL
+SELECT 'tb:' || kind, doc_id, CAST(NULL AS BIGINT), n_tok, cum_before
+FROM ({_TOKEN_BUDGET_SQL})
 """
 
 
@@ -1466,6 +1502,138 @@ WHERE r = 1
 """
 
 
+def _classify_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc classification tiers in one strict row (round 12 —
+    merged the former docs_langid + docs_incremental_dedup rows so
+    the registry fits the driver's 50-row correctness window,
+    round-11 verdict #1; every oracle column of both survives):
+
+    - ``lang`` rows: the full Cavnar–Trenkle trigram classifier
+      (see :func:`_langid_q`) — (doc_id, lang_pred, lang_score);
+    - ``incdedup`` rows: incremental dedup vs a persisted LSH index
+      (see :func:`_incremental_dedup_q`) — (doc_id, status, dup_of).
+
+    Tag-disjoint union by name; columns absent from a tier are NULL
+    on its rows, identically in the DuckDB restatement."""
+    lang = _langid_q(spark, sf_dir).withColumn("kind", F.lit("lang"))
+    inc = _incremental_dedup_q(spark, sf_dir).withColumn(
+        "kind", F.lit("incdedup")
+    )
+    return lang.unionByName(inc, allowMissingColumns=True)
+
+
+def _classify_battery_sql() -> str:
+    return f"""
+SELECT 'lang' AS kind, doc_id, lang_pred, lang_score,
+       CAST(NULL AS VARCHAR) AS status, CAST(NULL AS BIGINT) AS dup_of
+FROM ({_langid_sql()})
+UNION ALL
+SELECT 'incdedup', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       status, dup_of
+FROM ({_INCREMENTAL_DEDUP_SQL})
+"""
+
+
+def _sketch_lm_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch register state + the bigram LM under one strict row
+    (round 12 — merged the former docs_sketch_battery +
+    docs_lm_counts rows for the driver's 50-row window; every oracle
+    column of both survives, and the LM side GAINS the full
+    interpolated-probability curve, round-11 verdict #6):
+
+    - ``hll`` / ``cm`` rows: per-source HLL sparse registers and
+      Count-Min cells, bit-for-bit (see :func:`_sketch_battery`);
+    - ``lm`` rows: the CCNet bigram LM's per-doc integer count sums
+      (see :func:`_lm_counts`);
+    - ``lm_p`` rows (NEW): the interpolated probability itself for
+      every distinct post-OOV corpus bigram as exact BIGINT
+      rationals — p = 4/5·c_vw/c_v + 1/5·(c_w+1)/(T+V) stated as
+      (p_num, p_den) = (4·c_vw·(T+V) + c_v·(c_w+1), 5·c_v·(T+V)),
+      :func:`~etl_sentinel_imagery_spark.operators.lm_score.model_prob_rational`.
+      Only the final ``log`` stays pytest-pinned (libm variance);
+      the probability curve is now hash-gated."""
+    from etl_sentinel_imagery_spark.operators.lm_score import (
+        model_prob_rational,
+        train_bigram_lm,
+    )
+
+    sk = _sketch_battery(spark, sf_dir)
+    lm_counts = _lm_counts(spark, sf_dir).withColumn("kind", F.lit("lm"))
+    docs = _docs_spread(spark, sf_dir)
+    lm = train_bigram_lm(
+        docs.filter(F.col("doc_id") % 3 != 0), max_vocab=50
+    )
+    pr = model_prob_rational(docs, lm).withColumn("kind", F.lit("lm_p"))
+    return sk.unionByName(lm_counts, allowMissingColumns=True).unionByName(
+        pr, allowMissingColumns=True
+    )
+
+
+def _sketch_lm_battery_sql() -> str:
+    # the rational-curve restatement extends the lm_counts CTE chain:
+    # distinct post-OOV corpus bigrams × (train_big, ctx, train_uni)
+    # with T+V derived from train_uni exactly as train_bigram_lm does
+    # (vocab_size = |unigrams| + 1 unless <unk> already appeared)
+    rational_sql = f"""
+WITH {_LM_CTES.strip()},
+tv AS (
+    SELECT SUM(c_w)
+           + COUNT(*)
+           + CASE WHEN SUM(CASE WHEN w = '<unk>' THEN 1 ELSE 0 END) > 0
+                  THEN 0 ELSE 1 END AS tv
+    FROM train_uni
+),
+lm_pairs AS (SELECT DISTINCT v, w FROM mapped)
+SELECT p.v, p.w,
+       CAST(4 * COALESCE(b.c_vw, 0) * tv.tv
+            + COALESCE(c.c_v, 1) * (COALESCE(u.c_w, 0) + 1)
+            AS BIGINT) AS p_num,
+       CAST(5 * COALESCE(c.c_v, 1) * tv.tv AS BIGINT) AS p_den
+FROM lm_pairs p
+CROSS JOIN tv
+LEFT JOIN train_big b ON b.v = p.v AND b.w = p.w
+LEFT JOIN ctx c ON c.v = p.v
+LEFT JOIN train_uni u ON u.w = p.w
+"""
+    return f"""
+SELECT * FROM ({_sketch_battery_sql()})
+UNION ALL BY NAME
+SELECT 'lm' AS kind, * FROM ({_LM_COUNTS_SQL})
+UNION ALL BY NAME
+SELECT 'lm_p' AS kind, * FROM ({rational_sql})
+"""
+
+
+def _neardup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-duplicate pipeline's three strict tiers in one row
+    (round 12 — merged the former docs_signatures +
+    docs_minhash_lsh_pairs + docs_jaccard_pairs rows for the
+    driver's 50-row window; every oracle column survives):
+
+    - ``sig`` rows: per-doc rolling-hash / min-5-gram / SimHash /
+      8-perm MinHash signatures (see :func:`_signatures`);
+    - ``lsh`` rows: banded MinHash-LSH candidate pairs with the
+      MAX_BUCKET quadratic-regime guard (see :func:`_minhash_pairs`);
+    - ``jac`` rows: exact 3-gram Jaccard verification of the LSH
+      candidates, joined BY DOC ID — the 100 TB path where no
+      shuffle is ever keyed on a gram value (see :func:`_jaccard`)."""
+    sig = _signatures(spark, sf_dir).withColumn("kind", F.lit("sig"))
+    lsh = _minhash_pairs(spark, sf_dir).withColumn("kind", F.lit("lsh"))
+    jac = _jaccard(spark, sf_dir).withColumn("kind", F.lit("jac"))
+    return sig.unionByName(lsh, allowMissingColumns=True).unionByName(
+        jac, allowMissingColumns=True
+    )
+
+
+_NEARDUP_BATTERY_SQL = f"""
+SELECT 'sig' AS kind, * FROM ({_SIGNATURES_SQL})
+UNION ALL BY NAME
+SELECT 'lsh' AS kind, * FROM ({_MINHASH_PAIRS_SQL})
+UNION ALL BY NAME
+SELECT 'jac' AS kind, * FROM ({_JACCARD_SQL})
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_profile": Q(
         _text_profile, _finish_text_profile_sql(),
@@ -1473,14 +1641,13 @@ QUERIES: dict[str, Q] = {
     ),
     "term_stats": Q(_term_stats, _TERM_STATS_SQL, "corpus TF/DF statistics"),
     "docs_exact_dedup": Q(_exact_dedup, _EXACT_DEDUP_SQL, "exact dedup via md5"),
-    "docs_signatures": Q(
-        _signatures, _SIGNATURES_SQL,
-        "rolling-hash + min-gram + SimHash + MinHash signatures, one pass",
-    ),
-    "docs_minhash_lsh_pairs": Q(_minhash_pairs, _MINHASH_PAIRS_SQL, "MinHash LSH candidate pairs"),
-    "docs_jaccard_pairs": Q(
-        _jaccard, _JACCARD_SQL,
-        "LSH candidates → exact 3-gram Jaccard verification (scale path)",
+    "docs_neardup_battery": Q(
+        _neardup_battery, _NEARDUP_BATTERY_SQL,
+        "near-dup pipeline tiers in one strict row (round 12 — merged "
+        "the former docs_signatures + docs_minhash_lsh_pairs + "
+        "docs_jaccard_pairs rows for the driver's 50-row window): "
+        "per-doc signature families, banded LSH candidate pairs, "
+        "exact Jaccard verification by doc id",
     ),
     "docs_chunking": Q(
         _chunking, _CHUNKING_SQL,
@@ -1501,45 +1668,28 @@ QUERIES: dict[str, Q] = {
         "— graduates operators.decontaminate from pytest-only to the "
         "strict gate)",
     ),
-    "docs_lm_counts": Q(
-        _lm_counts, _LM_COUNTS_SQL,
-        "CCNet bigram-LM integer skeleton: train on a split, "
-        "tokenize → BOS → OOV-map → three-way model join → per-doc "
-        "count sums (round 11 — the log curve stays pytest; the "
-        "machinery is now hash-gated)",
-    ),
-    "docs_token_budget": Q(
-        _token_budget, _TOKEN_BUDGET_SQL,
-        "token-budget sampling (round 11): hash-order prefix whose "
-        "token total first reaches the budget — global leg + "
-        "per-source stratified mix; two-phase distributed prefix "
-        "sum, never a single-task global window",
-    ),
     "docs_sampling_battery": Q(
         _sampling_battery, _SAMPLING_BATTERY_SQL,
-        "deterministic sampler selection SETS under the hash gate "
-        "(round 11): upsample_epochs fractional-epoch explode + "
-        "sample_exact_n smallest-hash cap + keyed Bernoulli draw",
+        "deterministic sampler selection SETS under the hash gate: "
+        "upsample_epochs fractional-epoch explode + sample_exact_n "
+        "smallest-hash cap + keyed Bernoulli draw + (round 12, "
+        "absorbed docs_token_budget) global and stratified "
+        "token-budget prefixes with exact prefix sums",
     ),
-    "docs_sketch_battery": Q(
-        _sketch_battery, _sketch_battery_sql(),
-        "sketch register state under the hash gate (round 11): "
-        "per-source HLL sparse registers + Count-Min cells, pure "
-        "integer md5 functions restated bit-for-bit",
+    "docs_sketch_lm_battery": Q(
+        _sketch_lm_battery, _sketch_lm_battery_sql(),
+        "sketch register state (HLL sparse + Count-Min, bit-for-bit) "
+        "+ the CCNet bigram LM: per-doc integer count sums AND the "
+        "full interpolated-probability curve as BIGINT rationals "
+        "(round 12 — merged docs_sketch_battery + docs_lm_counts; "
+        "the probability curve is new, round-11 verdict #6)",
     ),
-    "docs_langid": Q(
-        _langid_q, _langid_sql(),
-        "Cavnar-Trenkle trigram language ID under the hash gate "
-        "(round 11): broadcast rank profiles + out-of-place integer "
-        "scoring, classifier restated in SQL with the same trained "
-        "profile literals",
-    ),
-    "docs_incremental_dedup": Q(
-        _incremental_dedup_q, _INCREMENTAL_DEDUP_SQL,
-        "incremental dedup vs a PERSISTED LSH index (round 11): "
-        "within-batch clusters + canonical band probe with the "
-        "index-side mega-bucket guard + signature-agreement verify + "
-        "smallest-id attribution, hash-matched against a relational "
-        "replay incl. the recursive connected-components tier",
+    "docs_classify_battery": Q(
+        _classify_battery, _classify_battery_sql(),
+        "per-doc classification tiers (round 12 — merged docs_langid "
+        "+ docs_incremental_dedup): Cavnar-Trenkle trigram language "
+        "ID vs embedded profile literals + incremental dedup against "
+        "a persisted LSH index incl. the recursive "
+        "connected-components replay",
     ),
 }

@@ -422,11 +422,19 @@ def _ann_deterministic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         dequantize_topk(quantized, qids.select("vec_id"), scale, k=TOP_K),
         "int8",
     )
+    # round 12: the battery absorbed the former embedding_quant_battery
+    # row (per-vector norms + int8/sign-bit quantization integer stats)
+    # so the registry fits the driver's 50-row correctness window —
+    # same columns, tagged method='quant', NULL on the ANN tiers' rows
+    quant = _quant_battery(spark, sf_dir).withColumn(
+        "method", F.lit("quant")
+    )
     return (
         brute.unionByName(near)
         .unionByName(seeded)
         .unionByName(int8)
         .unionByName(certified)
+        .unionByName(quant, allowMissingColumns=True)
     )
 
 
@@ -627,6 +635,14 @@ UNION ALL SELECT * FROM int8_topk
 UNION ALL SELECT * FROM cert_topk
 """
 
+# round 12: the quant tier rides in the same strict row (driver 50-row
+# window) — same oracle columns, tagged method='quant'
+_ANN_DETERMINISTIC_SQL = f"""
+SELECT * FROM ({_ANN_DETERMINISTIC_SQL})
+UNION ALL BY NAME
+SELECT 'quant' AS method, * FROM ({_QUANT_BATTERY_SQL})
+"""
+
 
 def _ann_ivf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every compressed/approximate ANN tier in one result, tagged by
@@ -736,10 +752,6 @@ def ann_ivf_tiers(spark: SparkSession, sf_dir: str) -> dict:
 
 
 QUERIES: dict[str, Q] = {
-    "embedding_quant_battery": Q(
-        _quant_battery, _QUANT_BATTERY_SQL,
-        "l2 norms + int8 quantization integer stats (exact)",
-    ),
     "ann_deterministic_battery": Q(
         _ann_deterministic_battery, _ANN_DETERMINISTIC_SQL,
         "deterministic similarity ground truths in one strict oracle: "
@@ -749,7 +761,9 @@ QUERIES: dict[str, Q] = {
         "expression-seeded IVF + int8 brute force + the "
         "exactness-CERTIFIED adaptive-probe serving answers over a "
         "clustered twin corpus (certificate set re-derived by the "
-        "oracle from pure bound arithmetic)",
+        "oracle from pure bound arithmetic) + (round 12, absorbed "
+        "embedding_quant_battery) per-vector norm / int8 / sign-bit "
+        "quantization integer stats tagged method='quant'",
     ),
     "ann_ivf_battery": Q(
         _ann_ivf_battery, None,

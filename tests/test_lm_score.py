@@ -128,3 +128,37 @@ def test_shuffle_join_path_matches_broadcast(spark):
         # join strategy changes the avg()'s partial-sum order → last-ulp
         # drift is expected, equality is semantic not bitwise here
         assert abs(a[d][1] - b[d][1]) < 1e-12
+
+
+def test_rational_curve_matches_float_scorer(spark):
+    """model_prob_rational (round-12: the full interpolated curve
+    under exact BIGINT arithmetic) agrees with the float scorer: for
+    every doc, -mean(log(p_num/p_den)) over its bigrams == score_docs
+    nll to 1e-12; and every p is a valid probability (0 < p ≤ 1,
+    positive denominators)."""
+    from fractions import Fraction
+
+    from etl_sentinel_imagery_spark.operators.lm_score import (
+        model_prob_rational,
+    )
+
+    docs = spark.createDataFrame(TRAIN, "doc_id bigint, text string")
+    lm = train_bigram_lm(docs)
+    curve = {
+        (r["v"], r["w"]): Fraction(r["p_num"], r["p_den"])
+        for r in model_prob_rational(docs, lm).collect()
+    }
+    assert all(0 < p <= 1 for p in curve.values())
+    ref = _ref_lm([t for _, t in TRAIN])
+    got = {r["doc_id"]: r["nll"] for r in score_docs(docs, lm).collect()}
+    # reconstruct each doc's nll from the rational curve alone
+    uni = {r["w"] for r in lm.unigrams.collect()}
+    m = lambda w: w if (w in uni or w == BOS) else UNK
+    for d, t in TRAIN:
+        toks = [m(w) for w in t.split()]
+        nll = -sum(
+            math.log(curve[(v, w)])
+            for v, w in zip([BOS] + toks[:-1], toks)
+        ) / len(toks)
+        assert abs(nll - got[d]) < 1e-12
+        assert abs(nll - ref(t)) < 1e-12

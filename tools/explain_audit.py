@@ -140,6 +140,32 @@ CHECKS = {
         "SortMergeJoin": False,
         "BroadcastNestedLoop": False,
     },
+    # round-12 merged batteries — component plans are pinned above
+    # under their original names; these pin what must hold for the
+    # UNION plan as a whole:
+    # sketch+LM battery: every join anywhere (lm count joins, the new
+    # rational-curve model joins) must broadcast — the sketch tiers
+    # are join-free, so no SortMergeJoin may appear at all
+    "docs_sketch_lm_battery": {
+        "BroadcastHashJoin": True,
+        "SortMergeJoin": False,
+        "BroadcastNestedLoop": False,
+    },
+    # classify battery: the langid profile join must broadcast; the
+    # incremental-dedup tier legitimately sort-merges its band joins,
+    # so only BNLJ is banned battery-wide
+    "docs_classify_battery": {
+        "BroadcastHashJoin": True,
+        "BroadcastNestedLoop": False,
+    },
+    # near-dup battery: the LSH band self-join and the Jaccard verify
+    # stay sort-merge (the only spilling strategy at corpus scale) —
+    # never a shuffled-hash build of a corpus-sized side
+    "docs_neardup_battery": {
+        "SortMergeJoin": True,
+        "ShuffledHashJoin": False,
+        "BroadcastNestedLoop": False,
+    },
     # production EWMA (round 5): the applyInPandas scan groups once on
     # event_type — exactly the resample axis's own exchanges plus the
     # group-for-Arrow hash exchange; no window, no sort-merge join
@@ -163,7 +189,27 @@ def main() -> int:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("explain-audit")
-    qs = _queries()
+    qs = dict(_queries())
+    # round 12: several registry rows merged into batteries (driver
+    # 50-row window). The audit keeps pinning the COMPONENT plans —
+    # a union battery's plan would blur per-tier assertions (e.g. the
+    # langid tier must never sort-merge, while the incremental-dedup
+    # tier legitimately does) — so the merged-away names resolve to
+    # their component query functions here.
+    from etl_sentinel_imagery_spark.queries import (
+        scalars as _scalars,
+        text_q as _text_q,
+        vectors_q as _vectors_q,
+    )
+
+    qs["docs_minhash_lsh_pairs"] = _text_q._minhash_pairs
+    qs["docs_jaccard_pairs"] = _text_q._jaccard
+    qs["docs_signatures"] = _text_q._signatures
+    qs["docs_lm_counts"] = _text_q._lm_counts
+    qs["docs_langid"] = _text_q._langid_q
+    qs["embedding_quant_battery"] = _vectors_q._quant_battery
+    qs["scalar_string_battery"] = _scalars._string_battery
+    qs["scalar_date_battery"] = _scalars._date_battery
     os.makedirs("tools/plans", exist_ok=True)
     warns = 0
     for name, markers in CHECKS.items():
