@@ -84,6 +84,82 @@ def with_global_offset(
     )
 
 
+def with_grouped_offset(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: Column | str,
+    out_col: str = "offset",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """PER-GROUP exclusive prefix sums in ONE job — the N-group
+    generalization of :func:`with_global_offset` (round 12): a
+    stratified token budget over a 100-source mixture spec was one
+    range-shuffle-plus-collect Spark job PER SOURCE; this computes
+    every group's prefix in a single range shuffle + one control-plane
+    collect.
+
+    Same two-phase shape: range-partition on (group, order) and sort
+    within partitions; local running sum windowed by
+    (partition, group); per-(partition, group) totals collected to the
+    driver (size ≤ n_partitions + n_groups rows — each partition holds
+    a contiguous (group, order) range, so it touches at most one more
+    group than it wholly contains); driver computes each group's
+    exclusive pid-prefix; broadcast join back.
+
+    Contract: ``order_col`` must be unique WITHIN each group (same
+    determinism argument as with_global_offset); group values must be
+    non-NULL (the offsets join is null-dropping — filter or fill
+    first). Intended for control-plane-sized group cardinality (a
+    mixture spec's source list); the collect grows with the number of
+    groups."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    gcols = list(group_cols)
+    # same materialization barrier as with_global_offset: totals and
+    # the returned frame must consume ONE shuffle with ONE boundary
+    # sample, or offsets could disagree with placements
+    parted = (
+        df.withColumn("_val", val.cast("long"))
+        .repartitionByRange(n, *gcols, order_col)
+        .sortWithinPartitions(*gcols, order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy("_pid", *gcols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parted.withColumn(
+        "_local_off", F.coalesce(F.sum("_val").over(w), F.lit(0).cast("long"))
+    )
+    tot_rows = (
+        parted.groupBy("_pid", *gcols)
+        .agg(F.sum("_val").alias("_tot"))
+        .collect()
+    )
+    acc: dict[tuple, int] = {}
+    data = []
+    for r in sorted(tot_rows, key=lambda r: r["_pid"]):
+        k = tuple(r[g] for g in gcols)
+        data.append((r["_pid"], *k, acc.get(k, 0)))
+        acc[k] = acc.get(k, 0) + r["_tot"]
+    fields = (
+        [StructField("_pid", IntegerType())]
+        + [df.schema[g] for g in gcols]
+        + [StructField("_poff", LongType())]
+    )
+    offsets = df.sparkSession.createDataFrame(data, StructType(fields))
+    return (
+        local.join(F.broadcast(offsets), ["_pid", *gcols])
+        .withColumn(out_col, F.col("_poff") + F.col("_local_off"))
+        .drop("_pid", "_poff", "_local_off", "_val")
+    )
+
+
 def pack_sequence_slices(
     docs: DataFrame,
     id_col: str,

@@ -397,23 +397,59 @@ def stratified_token_budget(
     key_col: str = "doc_id",
     seed: str = "",
 ) -> DataFrame:
-    """Per-source token budgets ("500M wiki + 2B crawl"): one
-    :func:`sample_token_budget` pass per listed source, unioned.
-    Sources not listed are dropped. The loop is over the BUDGET MAP
-    (control-plane-sized — a mixture spec names a handful of
-    sources), not the data; each pass prunes to its source before the
-    range shuffle, and the per-source hash order is seed-scoped so
-    sources draw independent permutations."""
-    out = None
-    for src, budget in budgets.items():
-        part = sample_token_budget(
-            df.filter(F.col(source_col) == src),
-            budget,
-            token_count,
-            key_col=key_col,
-            seed=f"{seed}:{src}",
-        )
-        out = part if out is None else out.unionByName(part)
-    if out is None:
+    """Per-source token budgets ("500M wiki + 2B crawl"), computed in
+    ONE job (round 12 — the per-source loop ran a range shuffle plus
+    a totals collect PER listed source, a 100-job plan for a
+    100-source mixture spec): sources not listed are pruned, every
+    source's hash-order prefix sum comes from a single
+    :func:`~etl_sentinel_imagery_spark.operators.packing.with_grouped_offset`
+    pass (range-partitioned on (source, order key), one control-plane
+    totals collect), and each row keeps while its exclusive prefix is
+    below ITS source's budget (tiny literal map lookup).
+
+    Selection sets are BIT-IDENTICAL to the per-source loop: the
+    per-source hash order is seed-scoped as ``md5(seed ∥ ':' ∥ source
+    ∥ key)`` — exactly the string the loop's ``seed=f"{seed}:{src}"``
+    produced — so sources still draw independent permutations and
+    existing oracles/replays are unaffected."""
+    if not budgets:
         raise ValueError("no sources given")
-    return out
+    for src, budget in budgets.items():
+        if budget <= 0:
+            raise ValueError(
+                f"budget_tokens must be > 0, got {budget} for {src!r}"
+            )
+    from etl_sentinel_imagery_spark.operators.packing import (
+        with_grouped_offset,
+    )
+
+    tok = (
+        F.col(token_count) if isinstance(token_count, str) else token_count
+    )
+    src_c = F.col(source_col)
+    bucket = hash_bucket(
+        F.concat(src_c, F.col(key_col).cast("string")), seed=f"{seed}:"
+    )
+    ordk = F.concat(
+        F.lpad(bucket.cast("string"), 10, "0"),
+        F.lit(":"),
+        F.md5(F.col(key_col).cast("string")),
+    )
+    staged = (
+        df.filter(src_c.isin(list(budgets)))
+        .withColumn("_tok", tok.cast("long"))
+        .withColumn("_ord", ordk)
+    )
+    out = with_grouped_offset(
+        staged, [source_col], "_ord", "_tok", out_col="cum_before"
+    )
+    bmap = F.create_map(
+        *[
+            x
+            for s, b in budgets.items()
+            for x in (F.lit(s), F.lit(int(b)))
+        ]
+    )
+    return out.filter(F.col("cum_before") < bmap[src_c]).drop(
+        "_tok", "_ord"
+    )

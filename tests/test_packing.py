@@ -169,3 +169,102 @@ def test_pack_ffd_deterministic_and_oversize(spark):
         )
     )
     assert a == b
+
+
+def test_grouped_offset_matches_grouped_window(spark):
+    """with_grouped_offset (round 12) == the naive per-group window,
+    for every group, at several partition counts."""
+    from etl_sentinel_imagery_spark.operators.packing import (
+        with_grouped_offset,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 7).cast("string")).alias("g"),
+        (F.col("id") % 13 + 1).cast("long").alias("v"),
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ref = {
+        (r["g"], r["k"]): r["off"]
+        for r in df.withColumn(
+            "off", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    for n in (1, 4, 17):
+        got = {
+            (r["g"], r["k"]): r["off"]
+            for r in with_grouped_offset(
+                df.repartition(5), ["g"], "k", "v", "off",
+                num_partitions=n,
+            ).collect()
+        }
+        assert got == ref, n
+
+
+def test_grouped_offset_collect_is_control_plane_sized(spark):
+    """The totals collect is ≤ n_partitions + n_groups rows: each
+    range partition holds a contiguous (group, order) span, so the
+    per-(pid, group) total count stays bounded however the rows are
+    distributed upstream."""
+    from etl_sentinel_imagery_spark.operators.packing import (
+        with_grouped_offset,
+    )
+
+    n_parts, n_groups = 8, 5
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % n_groups).cast("string").alias("g"),
+        F.lit(1).cast("long").alias("v"),
+    )
+    parted = (
+        df.withColumn("_val", F.col("v"))
+        .repartitionByRange(n_parts, "g", "k")
+        .sortWithinPartitions("g", "k")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    n_tot = parted.groupBy("_pid", "g").count().count()
+    assert n_tot <= n_parts + n_groups
+    # and the operator's answer is still right at this shape
+    out = with_grouped_offset(df, ["g"], "k", "v", num_partitions=n_parts)
+    assert out.filter(F.col("offset") >= 200).count() == 0
+    assert out.count() == 1000
+
+
+def test_stratified_token_budget_one_pass_equals_loop(spark):
+    """The one-job stratified_token_budget selects BIT-IDENTICAL rows
+    (and cum_before values) to the per-source sample_token_budget
+    loop it replaced — the seed scoping md5(seed:src ∥ key) is the
+    same string the loop produced."""
+    from etl_sentinel_imagery_spark.operators.sampling import (
+        sample_token_budget,
+        stratified_token_budget,
+    )
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 9 + 1).cast("long").alias("n_tok"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias(
+            "source"
+        ),
+    )
+    budgets = {"s0": 50, "s1": 80, "s2": 30}
+    got = {
+        (r["source"], r["doc_id"]): r["cum_before"]
+        for r in stratified_token_budget(
+            df, "source", budgets, "n_tok", seed="mix"
+        ).collect()
+    }
+    ref = {}
+    for s, b in budgets.items():
+        for r in sample_token_budget(
+            df.filter(F.col("source") == s), b, "n_tok",
+            seed=f"mix:{s}",
+        ).collect():
+            ref[(s, r["doc_id"])] = r["cum_before"]
+    assert got == ref
+    # s3 was not listed → absent entirely
+    assert not any(k[0] == "s3" for k in got)
