@@ -149,7 +149,14 @@ def incremental_dedup(
         "is_canonical",
         F.col("canonical_id").alias("batch_canonical"),
     )
-    sigs = _sig_table(new_docs, id_col, text_col, n_perm)
+    # the batch's signature table feeds BOTH the band probe (bands →
+    # canon_bands → cand, itself referenced twice) and the agreement
+    # verification join — without a barrier the CPU-bound MinHash
+    # pipeline re-runs per reference (round 12). Batch-sized, so the
+    # checkpoint is cheap by construction.
+    sigs = _sig_table(new_docs, id_col, text_col, n_perm).localCheckpoint(
+        eager=True
+    )
     bands = _band_table(sigs, n_perm, band_size)
     canon_bands = bands.join(
         clusters.filter("is_canonical").select("doc"), "doc", "left_semi"

@@ -7,12 +7,16 @@ embedded seed corpora, classification by summed profile ranks.
 Spark shape — the whole classifier is one declarative plan:
 
 1. explode each doc's char trigrams (JVM ``sequence`` + ``substring``
-   transform — no Python),
+   transform — no Python), carrying the doc's trigram COUNT as a
+   length-arithmetic column (no second counting pass),
 2. join the (lang, gram, rank) profile table — a few hundred rows per
    language, BROADCAST by construction,
-3. per (doc, lang): sum ranks, charging absent grams the out-of-place
-   penalty (computed via the doc's trigram total minus matched count),
-4. rank-1 window per doc → predicted language.
+3. ONE grouped aggregation per doc: conditional per-language
+   (match count, rank sum) pairs — partial aggregation compresses the
+   explode map-side, so the single exchange carries ~one row per doc,
+4. argmin over the per-language scores (absent grams charged the
+   out-of-place penalty) as a struct ``array_min`` in the projection —
+   no window, no second shuffle.
 
 Accuracy note: trigram profiles are the classic solution for
 whitespace languages; the embedded seeds cover en/de/fr/es/it/pt.
@@ -27,7 +31,7 @@ from __future__ import annotations
 
 from collections import Counter
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: Profile length (top-N trigrams per language). 300 is the classic
@@ -125,16 +129,26 @@ def classify(
     grouped sum + one per-doc window; trigram extraction is a JVM
     sequence/substring transform."""
     profs = profiles if profiles is not None else train_profiles(n=n)
+    langs = sorted(profs)
     pdf = F.broadcast(profiles_df(docs.sparkSession, profs))
     norm = F.concat(
         F.lit(" "),
         F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
         F.lit(" "),
     )
+    # The doc's trigram COUNT is pure length arithmetic (norm is always
+    # ≥ 2 chars; every position 1..len−2 yields one length-3 gram), so
+    # it rides the explode as a column — no second explode/aggregation
+    # pass over the corpus just to count grams (round 12; the old plan
+    # scanned and exploded twice, then joined the totals back).
+    total = F.when(
+        F.length(norm) >= 3, (F.length(norm) - 2).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
     # NB sequence(1, 0) is DESCENDING in Spark — clamp the stop to ≥1
     # and drop short grams so empty/tiny docs contribute nothing
     grams = docs.select(
         F.col(id_col),
+        total.alias("_total"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(F.length(norm) - 2, F.lit(1))),
@@ -142,36 +156,53 @@ def classify(
             )
         ).alias("gram"),
     ).filter(F.length("gram") == 3)
-    scored = (
+    # ONE grouped aggregation replaces the old
+    # groupBy(doc, lang) + per-doc totals join + rank-1 window chain
+    # (round 12): per language, conditional (match count, rank sum)
+    # pairs; the argmin with (score, lang) tie-break is a struct
+    # array_min in the projection. Langs the doc matched 0 grams of
+    # score exactly total·n, STRICTLY above any matched lang (every
+    # matched gram saves ≥ 1 since rank ≤ n−1), so including them in
+    # the argmin cannot change the winner — and docs matching nothing
+    # anywhere are dropped by the _m filter, exactly the old inner-join
+    # semantics. Partial aggregation compresses the explode map-side,
+    # so the single exchange carries ≤ one row per (doc, partition).
+    aggs = []
+    for lang in langs:
+        hit = F.col("lang") == lang
+        aggs.append(
+            F.sum(F.when(hit, 1).otherwise(0)).alias(f"_n_{lang}")
+        )
+        aggs.append(F.sum(F.when(hit, F.col("rank"))).alias(f"_s_{lang}"))
+    aggs.append(
+        F.sum(F.when(F.col("lang").isNotNull(), 1).otherwise(0)).alias("_m")
+    )
+    per_doc = (
         grams.join(pdf, "gram", "left")
-        .groupBy(id_col, F.col("lang"))
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.sum("rank").alias("_s"),
+        .groupBy(id_col, "_total")
+        .agg(*aggs)
+    )
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        F.coalesce(F.col(f"_s_{lang}"), F.lit(0)).cast("long")
+                        + (F.col("_total") - F.col(f"_n_{lang}"))
+                        * F.lit(n)
+                    ).alias("score"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang in langs
+            ]
         )
     )
-    # rows with lang NULL are grams matching NO profile — their count
-    # must charge the penalty against EVERY language, so pivot the
-    # per-doc unmatched count back in via a per-doc total
-    totals = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("_total"))
-    per_lang = (
-        scored.filter(F.col("lang").isNotNull())
-        .join(totals, id_col)
+    return (
+        per_doc.filter(F.col("_m") >= 1)
+        .select(F.col(id_col), best.alias("_best"))
         .select(
             id_col,
-            "lang",
-            (F.col("_s") + (F.col("_total") - F.col("_n")) * F.lit(n)).alias(
-                "score"
-            ),
-        )
-    )
-    w = Window.partitionBy(id_col).orderBy(F.asc("score"), F.asc("lang"))
-    return (
-        per_lang.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select(
-            F.col(id_col),
-            F.col("lang").alias("lang_pred"),
-            F.col("score").alias("lang_score"),
+            F.col("_best.lang").alias("lang_pred"),
+            F.col("_best.score").alias("lang_score"),
         )
     )

@@ -75,9 +75,21 @@ def train_bigram_lm(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # The model tables are all vocab-bounded (vocab ≤ max_vocab rows,
+    # uni ≤ V+1, big ≤ observed bigrams ≤ (V+1)², ctx ≤ V+1) — tiny by
+    # construction while their LINEAGE is a full corpus pass each.
+    # Every downstream consumer (the two vocab joins inside _map_oov,
+    # the three-way model join of score_docs/score_doc_counts/
+    # model_prob_rational) builds a broadcast from them, and without a
+    # materialization barrier each broadcast build re-runs the whole
+    # tokenize→explode→groupBy training pipeline: the round-12 plan
+    # audit counted 56 parquet scans / 170 Exchanges in the sketch+LM
+    # battery from exactly this. localCheckpoint pins each table once;
+    # training is 3 corpus passes (vocab, uni, big) and model joins
+    # read checkpointed rows.
     vocab = (
         uni_all.orderBy(F.desc("c"), "w").limit(max_vocab).select("w")
-    )
+    ).localCheckpoint(eager=True)
     # map OOV → UNK by joining exploded rows against the (bounded,
     # broadcast) vocab table — O(1) per token via the hash join, not an
     # O(max_vocab) array_contains scan inside a transform (review
@@ -92,7 +104,7 @@ def train_bigram_lm(
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c_w"))
-    )
+    ).localCheckpoint(eager=True)
     pairs = docs.select(
         F.explode(_bigram_pairs(tokens(text_col))).alias("p")
     ).select(F.col("p.v").alias("v"), F.col("p.w").alias("w"))
@@ -100,7 +112,7 @@ def train_bigram_lm(
         _map_oov(pairs, ["v", "w"], vocab)
         .groupBy("v", "w")
         .agg(F.count(F.lit(1)).alias("c_vw"))
-    )
+    ).localCheckpoint(eager=True)
     ctx = big.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
     totals = uni.agg(
         F.sum("c_w").alias("t"), F.count(F.lit(1)).alias("vs")

@@ -863,17 +863,30 @@ def _decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, the train side never shuffles on gram text, only the
     (train, eval) hit triples reach the one aggregation shuffle."""
     from etl_sentinel_imagery_spark.operators.decontaminate import (
-        contaminated_train_ids,
-        decontaminate,
         ngram_contamination,
     )
 
     docs = _docs_spread(spark, sf_dir)
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     tr = docs.filter(F.col("doc_id") % 97 != 0)
-    pairs = ngram_contamination(tr, ev, n=3, min_shared=2)
-    quarantined = contaminated_train_ids(tr, ev, n=3, min_shared=2)
-    kept = decontaminate(tr, ev, n=3, min_shared=2)
+    # ONE gram pass (round 12): the pair/quarantine/kept legs are all
+    # functions of the SAME (train, eval, n_shared) hit table, but
+    # calling the three operators separately re-ran the full
+    # explode → broadcast-join → aggregate contamination pipeline per
+    # leg (the round-12 plan audit counted 14 parquet scans / 34
+    # Exchanges in this battery). The hit table is vanishingly small
+    # (contaminated pairs only), so it checkpoints once and the other
+    # two legs derive from it relationally — identical rows, the
+    # operators' own composition (contaminated_train_ids IS
+    # pairs.select(train_id).distinct(); decontaminate IS the
+    # broadcast anti-join on that set).
+    pairs = ngram_contamination(
+        tr, ev, n=3, min_shared=2
+    ).localCheckpoint(eager=True)
+    quarantined = pairs.select(
+        F.col("train_id").alias("doc_id")
+    ).distinct()
+    kept = tr.join(F.broadcast(quarantined), "doc_id", "left_anti")
     null_id = F.lit(None).cast("long")
     return (
         pairs.select(
@@ -952,6 +965,19 @@ def _lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_doc_counts(docs, lm)
 
 
+def _lm_counts_with(docs: DataFrame, lm) -> DataFrame:
+    """:func:`_lm_counts` body over a PRE-TRAINED model — the battery
+    trains once and shares the model between the count-skeleton and
+    rational-curve legs (round 12: two train_bigram_lm calls doubled
+    the training passes AND the model-table lineage both legs' joins
+    rebuilt)."""
+    from etl_sentinel_imagery_spark.operators.lm_score import (
+        score_doc_counts,
+    )
+
+    return score_doc_counts(docs, lm)
+
+
 #: the trained-model CTE chain (tokenize → vocab → OOV-map → counts),
 #: shared by the count-skeleton row and the rational-curve leg
 _LM_CTES = """
@@ -1027,8 +1053,21 @@ def _token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         stratified_token_budget,
     )
 
-    docs = _docs_spread(spark, sf_dir).withColumn(
-        "n_tok", F.size(tokens(F.col("text"))).cast("long")
+    # Narrow projection BEFORE the prefix-sum machinery (guide §2.3 —
+    # project before the exchange): both budget legs range-shuffle and
+    # checkpoint their input inside with_global/grouped_offset, and
+    # passing the full document rows dragged `text` through both
+    # shuffles AND tokenized the corpus twice. One checkpointed
+    # (doc_id, source, n_tok) frame feeds both legs: tokenize runs
+    # once and the range exchanges move three columns.
+    docs = (
+        _docs_spread(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        )
+        .localCheckpoint(eager=True)
     )
     glob = sample_token_budget(
         docs, 10_000, "n_tok", key_col="doc_id", seed="tb"
@@ -1132,7 +1171,11 @@ def _sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         upsample_epochs,
     )
 
-    docs = _docs_spread(spark, sf_dir).select("doc_id")
+    # md5-per-row legs need no parallelism exchange (round 12 — the
+    # _docs_spread repartition added one Exchange per leg for hashing
+    # that costs less than the shuffle; the samplers are row-local and
+    # partitioning-independent by construction)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     null_l = F.lit(None).cast("long")
     ep = upsample_epochs(docs, 2.3, key_col="doc_id", seed="ue").select(
         F.lit("epoch").alias("kind"),
@@ -1359,7 +1402,12 @@ def _sketch_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_sketch_sparse,
     )
 
-    docs = _docs_spread(spark, sf_dir)
+    # md5-per-row sketch updates are row-local; the hashing is cheaper
+    # than the repartition exchange _docs_spread added (round 12), and
+    # the register groupBys shuffle on (source, idx) anyway
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id"
+    )
     hll = (
         hll_sketch_sparse(docs, ["source"], "doc_id")
         .select("source", F.explode("hll").alias("idx", "val"))
@@ -1558,11 +1606,15 @@ def _sketch_lm_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sk = _sketch_battery(spark, sf_dir)
-    lm_counts = _lm_counts(spark, sf_dir).withColumn("kind", F.lit("lm"))
     docs = _docs_spread(spark, sf_dir)
+    # ONE training pass shared by both LM legs (round 12 — the battery
+    # trained the identical model twice; with the checkpointed model
+    # tables inside train_bigram_lm this is now 3 corpus passes total
+    # for training instead of ~2 × 5 lineage replays)
     lm = train_bigram_lm(
         docs.filter(F.col("doc_id") % 3 != 0), max_vocab=50
     )
+    lm_counts = _lm_counts_with(docs, lm).withColumn("kind", F.lit("lm"))
     pr = model_prob_rational(docs, lm).withColumn("kind", F.lit("lm_p"))
     return sk.unionByName(lm_counts, allowMissingColumns=True).unionByName(
         pr, allowMissingColumns=True
@@ -1617,9 +1669,22 @@ def _neardup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``jac`` rows: exact 3-gram Jaccard verification of the LSH
       candidates, joined BY DOC ID — the 100 TB path where no
       shuffle is ever keyed on a gram value (see :func:`_jaccard`)."""
+    docs = load_table(spark, sf_dir, "documents")
     sig = _signatures(spark, sf_dir).withColumn("kind", F.lit("sig"))
-    lsh = _minhash_pairs(spark, sf_dir).withColumn("kind", F.lit("lsh"))
-    jac = _jaccard(spark, sf_dir).withColumn("kind", F.lit("jac"))
+    # ONE LSH pipeline (round 12): the lsh rows and the jac leg's
+    # candidate input are the SAME pair set, but building them
+    # independently ran the full signature→band→self-join pipeline
+    # twice (plan audit: 10 parquet scans / 28 Exchanges). The pair
+    # set is tiny (candidate pairs only) — checkpoint once, emit it as
+    # the lsh rows, and feed the identical frame to the Jaccard
+    # verifier (which re-checkpoints a checkpoint: a no-op pass).
+    cands = minhash_lsh_pairs(docs, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    lsh = cands.withColumn("kind", F.lit("lsh"))
+    jac = jaccard_verify_pairs(
+        docs, "doc_id", "text", cands, n=3, threshold=0.5
+    ).withColumn("kind", F.lit("jac"))
     return sig.unionByName(lsh, allowMissingColumns=True).unionByName(
         jac, allowMissingColumns=True
     )
