@@ -11,12 +11,12 @@ Spark shape — the whole classifier is one declarative plan:
    length-arithmetic column (no second counting pass),
 2. join the (lang, gram, rank) profile table — a few hundred rows per
    language, BROADCAST by construction,
-3. ONE grouped aggregation per doc: conditional per-language
-   (match count, rank sum) pairs — partial aggregation compresses the
-   explode map-side, so the single exchange carries ~one row per doc,
-4. argmin over the per-language scores (absent grams charged the
-   out-of-place penalty) as a struct ``array_min`` in the projection —
-   no window, no second shuffle.
+3. per (doc, lang): matched count + rank sum in one aggregation
+   (partial aggregation compresses the explode map-side); the
+   out-of-place penalty for absent grams comes from the carried
+   total column,
+4. argmin per doc via a combinable min(struct(score, lang)) —
+   no window.
 
 Accuracy note: trigram profiles are the classic solution for
 whitespace languages; the embedded seeds cover en/de/fr/es/it/pt.
@@ -125,11 +125,10 @@ def classify(
 
     Score per (doc, lang) = Σ rank(gram) over the doc's trigrams, with
     every trigram ABSENT from that language's profile charged the
-    out-of-place penalty ``n``. One explode + one broadcast join + one
-    grouped sum + one per-doc window; trigram extraction is a JVM
+    out-of-place penalty ``n``. One explode + one broadcast join + two
+    combinable aggregations (no window); trigram extraction is a JVM
     sequence/substring transform."""
     profs = profiles if profiles is not None else train_profiles(n=n)
-    langs = sorted(profs)
     pdf = F.broadcast(profiles_df(docs.sparkSession, profs))
     norm = F.concat(
         F.lit(" "),
@@ -156,53 +155,38 @@ def classify(
             )
         ).alias("gram"),
     ).filter(F.length("gram") == 3)
-    # ONE grouped aggregation replaces the old
-    # groupBy(doc, lang) + per-doc totals join + rank-1 window chain
-    # (round 12): per language, conditional (match count, rank sum)
-    # pairs; the argmin with (score, lang) tie-break is a struct
-    # array_min in the projection. Langs the doc matched 0 grams of
-    # score exactly total·n, STRICTLY above any matched lang (every
-    # matched gram saves ≥ 1 since rank ≤ n−1), so including them in
-    # the argmin cannot change the winner — and docs matching nothing
-    # anywhere are dropped by the _m filter, exactly the old inner-join
-    # semantics. Partial aggregation compresses the explode map-side,
-    # so the single exchange carries ≤ one row per (doc, partition).
-    aggs = []
-    for lang in langs:
-        hit = F.col("lang") == lang
-        aggs.append(
-            F.sum(F.when(hit, 1).otherwise(0)).alias(f"_n_{lang}")
-        )
-        aggs.append(F.sum(F.when(hit, F.col("rank"))).alias(f"_s_{lang}"))
-    aggs.append(
-        F.sum(F.when(F.col("lang").isNotNull(), 1).otherwise(0)).alias("_m")
-    )
-    per_doc = (
-        grams.join(pdf, "gram", "left")
-        .groupBy(id_col, "_total")
-        .agg(*aggs)
-    )
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    (
-                        F.coalesce(F.col(f"_s_{lang}"), F.lit(0)).cast("long")
-                        + (F.col("_total") - F.col(f"_n_{lang}"))
-                        * F.lit(n)
-                    ).alias("score"),
-                    F.lit(lang).alias("lang"),
-                )
-                for lang in langs
-            ]
+    # INNER profile join + carried total (round 12): unmatched grams
+    # die at the broadcast join instead of flowing into the
+    # aggregation (the out-of-place penalty they owe every language is
+    # recovered from the arithmetic `_total` column), the old per-doc
+    # totals join disappears, and the rank-1 window is replaced by a
+    # combinable struct-MIN aggregation — min(struct(score, lang)) is
+    # field-lexicographic, exactly the (score asc, lang asc) tie-break.
+    # Docs matching no profile gram anywhere have no post-join rows and
+    # are absent, the old inner-join semantics. Measured at sf0.1:
+    # 4.1 s (two explodes + window) → 2.6-3.7 s; the 13-way
+    # conditional-aggregate variant tried first read 7-8.6 s — more
+    # per-row agg work than the explode pass it saved.
+    scored = (
+        grams.join(pdf, "gram")
+        .groupBy(id_col, "lang", "_total")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("rank").alias("_s"),
         )
     )
-    return (
-        per_doc.filter(F.col("_m") >= 1)
-        .select(F.col(id_col), best.alias("_best"))
-        .select(
-            id_col,
-            F.col("_best.lang").alias("lang_pred"),
-            F.col("_best.score").alias("lang_score"),
-        )
+    per_lang = scored.select(
+        id_col,
+        "lang",
+        (F.col("_s") + (F.col("_total") - F.col("_n")) * F.lit(n)).alias(
+            "score"
+        ),
+    )
+    best = per_lang.groupBy(id_col).agg(
+        F.min(F.struct("score", "lang")).alias("_b")
+    )
+    return best.select(
+        id_col,
+        F.col("_b.lang").alias("lang_pred"),
+        F.col("_b.score").alias("lang_score"),
     )

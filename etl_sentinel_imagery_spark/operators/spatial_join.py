@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -55,6 +56,51 @@ def point_in_wkt(px: float, py: float, rings: list) -> bool:
     return not any(
         point_in_polygon(px, py, ring) for ring, sign in rings if sign < 0
     )
+
+
+def _point_in_ring_vec(
+    px: np.ndarray, py: np.ndarray, ring: np.ndarray
+) -> np.ndarray:
+    """Vectorized :func:`functions.geometry.point_in_polygon` — the
+    identical ray-casting arithmetic (same operations, same IEEE
+    results per element, edges count as inside) over arrays of points.
+    The loop is over the ring's EDGES (a handful), not the points."""
+    inside = np.zeros(len(px), dtype=bool)
+    on_edge = np.zeros(len(px), dtype=bool)
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        between_y = (min(y1, y2) <= py) & (py <= max(y1, y2))
+        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        on_edge |= (
+            between_y
+            & (cross == 0)
+            & (min(x1, x2) <= px)
+            & (px <= max(x1, x2))
+        )
+        straddles = (y1 > py) != (y2 > py)
+        if y1 != y2:
+            xin = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            inside ^= straddles & (px < xin)
+    return on_edge | inside
+
+
+def point_in_wkt_vec(
+    px: np.ndarray, py: np.ndarray, rings: list
+) -> np.ndarray:
+    """Vectorized :func:`point_in_wkt`: even-odd membership for arrays
+    of points against one parsed polygon. Row-for-row identical to the
+    scalar kernel (pinned in tests/test_spatial_vec.py)."""
+    outer = np.zeros(len(px), dtype=bool)
+    for ring, sign in rings:
+        if sign > 0:
+            outer |= _point_in_ring_vec(px, py, ring)
+    hole = np.zeros(len(px), dtype=bool)
+    for ring, sign in rings:
+        if sign < 0:
+            hole |= _point_in_ring_vec(px, py, ring)
+    return outer & ~hole
 
 
 def grid_spatial_join(
@@ -123,17 +169,23 @@ def grid_spatial_join(
     wkt_out = f"poly_{wkt_col}"
 
     def _exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized even-odd (round 12): the old pdf.apply ran the
+        # ray-casting kernel per candidate ROW in Python; grouping the
+        # batch by polygon runs it per (polygon, batch) over numpy
+        # arrays — same arithmetic, same IEEE results, edges-inclusive
+        # (row-parity pinned in tests/test_spatial_vec.py)
         for pdf in batches:
-            memo: dict = {}
-
-            def hit(row) -> bool:
-                w = row[wkt_out]
-                rings = memo.get(w)
-                if rings is None:
-                    rings = memo[w] = parse_wkt_signed_rings(w)
-                return point_in_wkt(row[x_col], row[y_col], rings)
-
-            keep = pdf[pdf.apply(hit, axis=1)] if len(pdf) else pdf
+            if len(pdf):
+                px = pdf[x_col].to_numpy(dtype="float64")
+                py = pdf[y_col].to_numpy(dtype="float64")
+                keep_mask = np.zeros(len(pdf), dtype=bool)
+                grouped = pdf.groupby(wkt_out, sort=False).indices
+                for w, idx in grouped.items():
+                    rings = parse_wkt_signed_rings(w)
+                    keep_mask[idx] = point_in_wkt_vec(px[idx], py[idx], rings)
+                keep = pdf[keep_mask]
+            else:
+                keep = pdf
             yield keep.drop(columns=["_cx", "_cy", "_pcx", "_pcy"])
 
     matched = cand.mapInPandas(_exact, schema=out_schema)
