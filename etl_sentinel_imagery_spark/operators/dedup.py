@@ -122,6 +122,7 @@ def minhash_lsh_pairs(
     band_size: int = BAND_SIZE,
     max_bucket: int | None = MAX_BUCKET,
     observation=None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature, bucket-join within bands.
 
@@ -140,23 +141,31 @@ def minhash_lsh_pairs(
     ``largest_dropped_bucket`` (worst offender's size). At 100 TB this
     is the dashboard signal that a boilerplate mega-bucket was skipped
     and must be handled by the exact-dedup tier instead.
+
+    ``sigs``: optionally pass a precomputed ``(doc, sig)`` signature
+    table (the :func:`minhash_signature` projection, e.g. an already-
+    checkpointed one) so callers that need signatures for their own
+    purposes — incremental dedup probes both cluster and verify on
+    them — don't pay the CPU-bound MinHash pipeline twice (round 12).
     """
     n_bands = n_perm // band_size
-    # Two exchanges around the signature projection, for different reasons:
-    # the one BELOW spreads the CPU-bound shingle hashing across cores even
-    # when the source is a single parquet split; the one ABOVE is a
-    # materialization barrier — without it, projection collapse inlines the
-    # full MinHash expression into each of the band keys and recomputes it
-    # 2×n_bands times per doc. The second shuffle moves only (doc, 8 longs).
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sigs = (
-        df.repartition(par)
-        .select(
-            F.col(id_col).alias("doc"),
-            minhash_signature(text_col, n_perm).alias("sig"),
+    if sigs is None:
+        # Two exchanges around the signature projection, for different
+        # reasons: the one BELOW spreads the CPU-bound shingle hashing
+        # across cores even when the source is a single parquet split;
+        # the one ABOVE is a materialization barrier — without it,
+        # projection collapse inlines the full MinHash expression into
+        # each of the band keys and recomputes it 2×n_bands times per
+        # doc. The second shuffle moves only (doc, 8 longs).
+        par = df.sparkSession.sparkContext.defaultParallelism
+        sigs = (
+            df.repartition(par)
+            .select(
+                F.col(id_col).alias("doc"),
+                minhash_signature(text_col, n_perm).alias("sig"),
+            )
+            .repartition(par, "doc")
         )
-        .repartition(par, "doc")
-    )
     bands = sigs.select(
         "doc",
         F.explode(
@@ -272,9 +281,13 @@ def jaccard_verify_pairs(
     pairs: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
+    pairs_materialized: bool = False,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard, verified ONLY on candidate ``pairs``
     (columns id_a < id_b) — the 100 TB companion of :func:`jaccard_pairs`.
+    Pass ``pairs_materialized=True`` when ``pairs`` is already a
+    checkpoint/materialized frame to skip the redundant re-checkpoint
+    job (round 12).
 
     Scale shape: the corpus is semi-join-pruned to docs that appear in a
     candidate pair, each surviving doc computes its distinct-gram set once
@@ -291,7 +304,8 @@ def jaccard_verify_pairs(
     # entire candidate-generation lineage (e.g. the full MinHash-LSH
     # pipeline) once per branch — measured 3× the LSH cost at sf0.1.
     # localCheckpoint materializes the (tiny) pair set once, eagerly.
-    pairs = pairs.localCheckpoint(eager=True)
+    if not pairs_materialized:
+        pairs = pairs.localCheckpoint(eager=True)
     cand_ids = (
         pairs.select(F.col("id_a").alias("cid"))
         .union(pairs.select(F.col("id_b").alias("cid")))
@@ -426,6 +440,7 @@ def dedup_clusters(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end near-dup clustering: exact-duplicate edges ∪ (LSH
     candidates → exact Jaccard verification) → connected components →
@@ -436,8 +451,11 @@ def dedup_clusters(
     groups larger than MAX_BUCKET are deliberately dropped by the LSH
     bucket cap (the quadratic-regime guard), so without the hash-groupBy
     edges a 10k-copy boilerplate group would sail through unclustered —
-    the cap's docstring defers exactly this case to exact dedup."""
-    cands = minhash_lsh_pairs(df, id_col, text_col)
+    the cap's docstring defers exactly this case to exact dedup.
+
+    ``sigs``: optional precomputed signature table, forwarded to
+    :func:`minhash_lsh_pairs` (see its docstring)."""
+    cands = minhash_lsh_pairs(df, id_col, text_col, sigs=sigs)
     verified = jaccard_verify_pairs(df, id_col, text_col, cands, threshold=threshold)
     # exact-duplicate edges: every copy → its group's min id. Linear
     # (one edge per duplicate row), immune to the bucket cap.
@@ -580,20 +598,27 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev = checksum(edges)
-    if small_graph_edges is not None and prev[0] <= small_graph_edges:
-        from pyspark.sql.types import StructField, StructType
+    if small_graph_edges is not None:
+        # limit(cap + 1).collect() probes smallness AND fetches the
+        # edge list in one job (round 12 — the old shape paid a
+        # checksum aggregation job first, then a second collect; one
+        # overflow row proves bigness without materializing the rest)
+        rows = edges.limit(small_graph_edges + 1).collect()
+        if len(rows) <= small_graph_edges:
+            from pyspark.sql.types import StructField, StructType
 
-        node_type = edges.schema["u"].dataType
-        out_schema = StructType(
-            [
-                StructField("node", node_type),
-                StructField("component", node_type),
-            ]
-        )
-        rows = [(r["u"], r["v"]) for r in edges.collect()]
-        labeled = _union_find_components(rows)
-        return pairs.sparkSession.createDataFrame(labeled, out_schema)
+            node_type = edges.schema["u"].dataType
+            out_schema = StructType(
+                [
+                    StructField("node", node_type),
+                    StructField("component", node_type),
+                ]
+            )
+            labeled = _union_find_components(
+                [(r["u"], r["v"]) for r in rows]
+            )
+            return pairs.sparkSession.createDataFrame(labeled, out_schema)
+    prev = checksum(edges)
     from pyspark.sql import Observation
 
     for _ in range(max_iter):

@@ -141,21 +141,31 @@ def incremental_dedup(
     meta = _load_meta(index_dir)
     n_perm, band_size = meta["n_perm"], meta["band_size"]
 
-    # 1. within-batch dedup — batch-sized, full machinery
+    # the batch's signature table feeds the within-batch LSH, the band
+    # probe (bands → canon_bands → cand, itself referenced twice) AND
+    # the agreement verification join — without a barrier the
+    # CPU-bound MinHash pipeline re-ran per consumer (round 12).
+    # Batch-sized, so one eager checkpoint is cheap by construction;
+    # dedup_clusters reuses it via its sigs parameter instead of
+    # recomputing its own.
+    sigs = _sig_table(new_docs, id_col, text_col, n_perm).localCheckpoint(
+        eager=True
+    )
+    # 1. within-batch dedup — batch-sized, full machinery. The shared
+    # sigs are only valid for the clusterer when the index's layout
+    # matches dedup_clusters' defaults (a custom n_perm/band_size
+    # index must not band foreign-width signature arrays).
+    share = n_perm == N_PERM and band_size == BAND_SIZE
     clusters = dedup_clusters(
-        new_docs, id_col, text_col, threshold=threshold
+        new_docs,
+        id_col,
+        text_col,
+        threshold=threshold,
+        sigs=sigs if share else None,
     ).select(
         F.col("id").alias("doc"),
         "is_canonical",
         F.col("canonical_id").alias("batch_canonical"),
-    )
-    # the batch's signature table feeds BOTH the band probe (bands →
-    # canon_bands → cand, itself referenced twice) and the agreement
-    # verification join — without a barrier the CPU-bound MinHash
-    # pipeline re-runs per reference (round 12). Batch-sized, so the
-    # checkpoint is cheap by construction.
-    sigs = _sig_table(new_docs, id_col, text_col, n_perm).localCheckpoint(
-        eager=True
     )
     bands = _band_table(sigs, n_perm, band_size)
     canon_bands = bands.join(

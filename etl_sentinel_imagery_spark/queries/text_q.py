@@ -1683,7 +1683,8 @@ def _neardup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lsh = cands.withColumn("kind", F.lit("lsh"))
     jac = jaccard_verify_pairs(
-        docs, "doc_id", "text", cands, n=3, threshold=0.5
+        docs, "doc_id", "text", cands, n=3, threshold=0.5,
+        pairs_materialized=True,
     ).withColumn("kind", F.lit("jac"))
     return sig.unionByName(lsh, allowMissingColumns=True).unionByName(
         jac, allowMissingColumns=True
