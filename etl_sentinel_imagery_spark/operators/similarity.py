@@ -230,6 +230,7 @@ def ivf_topk_expr(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normed: DataFrame | None = None,
 ) -> DataFrame:
     """Seeded-IVF top-k with EXPRESSION-ONLY math — the oracle-checkable
     twin of ivf_topk. Centroids are the first ``n_centroids`` vectors by
@@ -245,8 +246,14 @@ def ivf_topk_expr(
     id (never-skewed keys); the probe join stays a bucket equi-join with
     the tiny query side broadcast. Prefer the numpy path when
     n_centroids × dim makes the matmul dominate; this path keeps
-    everything inside whole-stage codegen."""
-    normed = with_normalized(embeddings, id_col, vec_col, "vid", "vn")
+    everything inside whole-stage codegen.
+
+    ``normed``: optional precomputed ``(vid, vn)`` unit-normalized
+    frame (a battery computing several legs over the same corpus
+    shares one checkpointed normalization instead of re-deriving it
+    per leg — round 12)."""
+    if normed is None:
+        normed = with_normalized(embeddings, id_col, vec_col, "vid", "vn")
     cent = normed.filter(F.col("vid") < n_centroids).select(
         F.col("vid").cast("int").alias("cidx"), F.col("vn").alias("cv")
     )

@@ -194,17 +194,30 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _near_dup_pairs(
+    spark: SparkSession, sf_dir: str, normed: DataFrame | None = None
+) -> DataFrame:
     """Embedding-cosine high-similarity pairs, exact pairwise.
 
     At 100 TB this exact form is replaced by LSH/IVF blocking; it stays
     here as the oracle-checkable ground truth the blocked variants are
-    measured against."""
+    measured against. ``normed``: optional shared (vid, vn) frame
+    (see :func:`_ann_deterministic_battery` — round 12)."""
     from etl_sentinel_imagery_spark.operators.similarity import dot, with_normalized
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = with_normalized(emb, "vec_id", "embedding", "id_a", "va")
-    b = with_normalized(emb, "vec_id", "embedding", "id_b", "vb", spread=False)
+    if normed is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        a = with_normalized(emb, "vec_id", "embedding", "id_a", "va")
+        b = with_normalized(
+            emb, "vec_id", "embedding", "id_b", "vb", spread=False
+        )
+    else:
+        a = normed.select(
+            F.col("vid").alias("id_a"), F.col("vn").alias("va")
+        )
+        b = normed.select(
+            F.col("vid").alias("id_b"), F.col("vn").alias("vb")
+        )
     # broadcast the right side: the theta-join (id_a < id_b) is a nested-
     # loop join — broadcasting parallelizes it across the left's partitions
     # (broadcast-bound side skips the parallelism exchange: spread=False)
@@ -231,7 +244,7 @@ CLUSTER_PULL = 4.0
 _CERT_INDEX_CACHE: dict[str, str] = {}
 
 
-def _certified_leg(spark, sf_dir, emb, tag):
+def _certified_leg(spark, sf_dir, emb, tag, normed=None):
     """Round-9 verdict #5: the exactness-certified part of the serving
     tier under the STRICT hash. Build the clustered twin corpus with
     fold-only arithmetic (DuckDB restates it bit-for-bit), run the
@@ -251,7 +264,9 @@ def _certified_leg(spark, sf_dir, emb, tag):
         ivf_topk_indexed_adaptive,
     )
 
-    corpus2, anchors, index_path = _cert_twin_setup(spark, sf_dir, emb)
+    corpus2, anchors, index_path = _cert_twin_setup(
+        spark, sf_dir, emb, normed=normed
+    )
     cert_ids = (
         ivf_topk_indexed_adaptive(
             spark,
@@ -272,18 +287,20 @@ def _certified_leg(spark, sf_dir, emb, tag):
     )
 
 
-def _cert_twin_setup(spark, sf_dir, emb):
+def _cert_twin_setup(spark, sf_dir, emb, normed=None):
     """(clustered twin corpus, anchors, persisted index path) — shared
     by the certified leg and its engine-side soundness pytest (the
     battery emits brute rows BY PROOF, so the proof itself — certified
     probe answers equal brute force — is pinned where certificates
-    actually fire, tests/test_vectors.py)."""
+    actually fire, tests/test_vectors.py). ``normed``: optional shared
+    (vid, vn) unit-normalized frame (round 12)."""
     from etl_sentinel_imagery_spark.operators.similarity import (
         with_normalized,
         write_ivf_index,
     )
 
-    normed = with_normalized(emb, "vec_id", "embedding", "vid", "vn")
+    if normed is None:
+        normed = with_normalized(emb, "vec_id", "embedding", "vid", "vn")
     anch = normed.filter(F.col("vid") < N_CENTROIDS).select(
         F.col("vid").cast("int").alias("cidx"),
         F.col("vn").alias("av"),
@@ -378,9 +395,11 @@ def _ann_deterministic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_sentinel_imagery_spark.operators.similarity import (
         dequantize_topk,
+        dot,
         ivf_topk_expr,
         ivf_topk_indexed_adaptive,
         quantize_embeddings_int8,
+        with_normalized,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -394,13 +413,43 @@ def _ann_deterministic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
 
-    brute_df = _cosine_topk(spark, sf_dir)
+    # ONE unit-normalization of the corpus, checkpointed and shared by
+    # the brute / near_dup / seeded_expr / certified legs (round 12 —
+    # each leg re-derived its own scan + repartition + fold-normalize;
+    # normalization is per-row arithmetic, so the shared frame is
+    # value-identical to each leg's private one). The int8 and quant
+    # legs normalize DIFFERENT vectors (dequantized / raw norms) and
+    # keep their own paths.
+    normed = with_normalized(
+        emb, "vec_id", "embedding", "vid", "vn"
+    ).localCheckpoint(eager=True)
+    cand = normed.select(
+        F.col("vid").alias("cand_id"), F.col("vn").alias("cand_vec")
+    )
+    qry = normed.filter(F.col("vid") < N_QUERIES).select(
+        F.col("vid").alias("query_id"), F.col("vn").alias("query_vec")
+    )
+    bw = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    brute_df = (
+        cand.join(F.broadcast(qry))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            dot(F.col("query_vec"), F.col("cand_vec")).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(bw))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", "cos_sim", "rnk")
+    )
     brute = tag(brute_df, "brute")
-    certified = _certified_leg(spark, sf_dir, emb, tag)
+    certified = _certified_leg(spark, sf_dir, emb, tag, normed=normed)
     w = Window.partitionBy("id_a").orderBy(
         F.col("cos_sim").desc(), F.col("id_b")
     )
-    near = _near_dup_pairs(spark, sf_dir).select(
+    near = _near_dup_pairs(spark, sf_dir, normed=normed).select(
         F.lit("near_dup").alias("method"),
         F.col("id_a").alias("query_id"),
         F.col("id_b").alias("cand_id"),
@@ -413,6 +462,7 @@ def _ann_deterministic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id") < N_QUERIES,
             n_centroids=N_CENTROIDS,
             k=TOP_K,
+            normed=normed,
         ),
         "seeded_expr",
     )
