@@ -5946,6 +5946,31 @@ def _read_entries(
                 F.col("pos").alias("_row_pos"),
             )
         )
+        # join strategy picked from MANIFEST metadata (guide §3.1 —
+        # round 12): without a hint the planner's estimate for the
+        # sidecar scan ran the anti-join as SortMergeJoin, shuffling
+        # and sorting the whole TABLE on (_file_name, _row_pos) to
+        # drop a handful of dead positions. Each entry records its
+        # cumulative dead-row count (dv_n, chain links hold disjoint
+        # positions), so the post-translation DV side's exact row
+        # bound is known driver-side with zero IO: broadcast it when
+        # provably small; a genuinely huge deletion set (beyond the
+        # env-tunable cap) keeps the spilling sort-merge.
+        total_dv = 0
+        dv_known = True
+        for e in entries:
+            if isinstance(e, dict) and e.get("dv"):
+                if "dv_n" in e:
+                    total_dv += int(e["dv_n"])
+                else:
+                    dv_known = False
+        cap = int(
+            os.environ.get(
+                "SPARK_GRAFT_DV_BROADCAST_MAX", str(1 << 22)
+            )
+        )
+        if dv_known and total_dv <= cap:
+            dv = F.broadcast(dv)
         keyed = keyed.join(
             dv, ["_file_name", "_row_pos"], "left_anti"
         )
