@@ -52,16 +52,15 @@ def _sig_table(
     docs: DataFrame, id_col: str, text_col: str, n_perm: int
 ) -> DataFrame:
     par = docs.sparkSession.sparkContext.defaultParallelism
-    # same two-exchange shape as minhash_lsh_pairs: spread the CPU-bound
-    # hashing, then a materialization barrier so banding doesn't inline
-    # the signature expression once per band
-    return (
-        docs.repartition(par)
-        .select(
-            F.col(id_col).alias("doc"),
-            minhash_signature(text_col, n_perm).alias("sig"),
-        )
-        .repartition(par, "doc")
+    # ONE exchange (round 12): the repartition below spreads the
+    # CPU-bound hashing; the doc-keyed second exchange
+    # minhash_lsh_pairs needs as a materialization barrier is redundant
+    # HERE because both consumers provide their own barrier — the
+    # index build writes sigs to parquet before banding, and the probe
+    # path localCheckpoints the table before any reuse.
+    return docs.repartition(par).select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(text_col, n_perm).alias("sig"),
     )
 
 
