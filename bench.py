@@ -1,29 +1,31 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line:
-{"metric": "...", "value": <sum of per-query MEDIANS over the headline
- set>, "unit": "sec", "queries": {name: median sec}, "queries_min":
- {name: min sec}, "ann": {...same shape for the ANN batteries...},
+{"metric": "headline_queries_total_wall", "value": <sum of per-query
+ MEDIANS over the headline set>, "unit": "sec",
+ "queries": {name: median sec}, "queries_min": {name: min sec},
+ "new_rows"/"merged_batteries": {...same-protocol groups...},
  "reps": 3, "sf": <scale factor>,
  "load_avg_start"/"load_avg_end": <1-min load average — quiescence
   markers; readings far above the core count mean a contended box>}
 
-Round-12 protocol (round-11 verdict #2/#4): every query runs REPS
-times and the artifact records min AND median — single-shot walls on
-this box swung up to 7x between identical runs, so one sample is not
-a signal. The ANN batteries (the heaviest, noisiest rows — 35-60% of
-the old headline wall) report in their own ``ann`` group so the
-relational+text trend line stays legible; ``value`` is the
-relational+text headline only.
+Round-12 protocol notes (both changes declared in OPTIMIZATION_r12.md,
+per the optimization brief's measurement-fix clause):
 
-Round-12 registry consolidation renamed several rows (see PERF.md for
-the cross-round mapping): docs_minhash_lsh_pairs + docs_jaccard_pairs
-(+ docs_signatures) → docs_neardup_battery; docs_sampling_battery
-absorbed docs_token_budget; docs_sketch_lm_battery = docs_sketch_battery
-+ docs_lm_counts + the new rational probability curve;
-docs_classify_battery = docs_langid + docs_incremental_dedup;
-ann_deterministic_battery absorbed embedding_quant_battery;
-scalar_battery = scalar_string_battery + scalar_date_battery.
+- VARIANCE (round-11 verdict #2): every query runs REPS times and the
+  artifact records min AND median — single-shot walls on this box swung
+  up to 7x between identical runs, so one sample is not a signal. The
+  metric stays ``headline_queries_total_wall`` (same name, same unit,
+  same 16-query set as BENCH_r11.json) with the per-query MEDIAN as the
+  recorded wall; BENCH_r11's values were single-shot, so cross-round
+  deltas inside box noise should still be read with the recorded load
+  markers in hand.
+- QUERY SET: the ``queries`` dict keys are EXACTLY BENCH_r11.json's 16
+  names (never remove or rename), and ``new_rows`` keeps its round-11
+  names too. The round-12 merged batteries (docs_neardup_battery,
+  docs_sampling_battery's token-budget legs, docs_sketch_lm_battery,
+  docs_classify_battery, scalar_battery) are ADDED as their own group
+  ``merged_batteries`` — additions only, nothing renamed.
 """
 
 from __future__ import annotations
@@ -42,10 +44,11 @@ from etl_sentinel_imagery_spark.session import get_spark
 
 REPS = 3
 
-#: Headline set: the flagship plus the heaviest representative per family
-#: (agg, join+window, sessionization, windows, dedup tiers, text ops).
-#: The round-11 "new rows" (decontamination, sampling, sketch/LM,
-#: classify) joined here with their merged-battery names.
+#: Headline set — EXACTLY BENCH_r11.json's ``queries`` keys (the bench
+#: contract forbids removing or renaming recorded entries): the
+#: flagship plus the heaviest representative per family (agg,
+#: join+window, sessionization, windows, dedup tiers, text ops, ANN,
+#: spatial).
 HEADLINE = [
     "flagship_top_supplier_per_region",
     "pricing_summary",
@@ -55,23 +58,37 @@ HEADLINE = [
     "events_windows_battery",
     "events_sessionize",
     "docs_exact_dedup",
-    "docs_neardup_battery",
+    "docs_minhash_lsh_pairs",
+    "docs_jaccard_pairs",
     "dedup_clusters",
     "docs_chunking",
     "text_profile",
-    "spatial_fuzzy_join_battery",
-    "docs_decontamination",
-    "docs_sampling_battery",
-    "docs_sketch_lm_battery",
-    "docs_classify_battery",
-]
-
-#: The ANN batteries bench apart (round-11 verdict #4): they are the
-#: heaviest and noisiest rows; isolating them keeps the headline trend
-#: legible. Same REPS/min/median protocol.
-ANN = [
     "ann_deterministic_battery",
     "ann_ivf_battery",
+    "spatial_fuzzy_join_battery",
+]
+
+#: BENCH_r11.json's ``new_rows`` group, same names. NOTE
+#: docs_sampling_battery now ALSO computes the token-budget legs
+#: (round-12 battery absorption) — its trend breaks upward by design;
+#: docs_token_budget remains the comparable stand-alone row.
+NEW_ROWS = [
+    "docs_decontamination",
+    "docs_lm_counts",
+    "docs_token_budget",
+    "docs_sampling_battery",
+    "docs_sketch_battery",
+    "docs_langid",
+    "docs_incremental_dedup",
+]
+
+#: Round-12 additions (new group): the consolidated battery rows.
+MERGED = [
+    "docs_neardup_battery",
+    "docs_sketch_lm_battery",
+    "docs_classify_battery",
+    "scalar_battery",
+    "embedding_quant_battery",
 ]
 
 
@@ -85,6 +102,7 @@ def _measure(qs, names: list[str], spark, sf_dir: str):
     samples: dict[str, list[float]] = {n: [] for n in names}
     for rep in range(REPS):
         for name in names:
+            spark.sparkContext.setJobDescription(f"bench rep{rep} {name}")
             t0 = time.time()
             n_rows = qs[name](spark, sf_dir).count()
             dt = time.time() - t0
@@ -93,6 +111,7 @@ def _measure(qs, names: list[str], spark, sf_dir: str):
                 f"# rep{rep} {name}: {dt:.3f}s ({n_rows} rows)",
                 file=sys.stderr,
             )
+    spark.sparkContext.setJobDescription(None)
     medians = {
         n: round(statistics.median(v), 3) for n, v in samples.items()
     }
@@ -118,14 +137,15 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     for warm in (
         "flagship_top_supplier_per_region",
-        "docs_neardup_battery",
+        "docs_minhash_lsh_pairs",
         "ann_ivf_battery",
         "events_sessionize",
     ):
         qs[warm](spark, warm_dir).count()
 
     medians, mins = _measure(qs, HEADLINE, spark, sf_dir)
-    ann_medians, ann_mins = _measure(qs, ANN, spark, sf_dir)
+    nr_medians, nr_mins = _measure(qs, NEW_ROWS, spark, sf_dir)
+    mg_medians, mg_mins = _measure(qs, MERGED, spark, sf_dir)
 
     # per-tier attribution for the most expensive battery (round-4
     # verdict #4): each tier re-times with its own training/build work
@@ -231,17 +251,16 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_median_total",
+                "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
                 "reps": REPS,
                 "queries": medians,
                 "queries_min": mins,
-                "ann": {
-                    "total": round(sum(ann_medians.values()), 3),
-                    "queries": ann_medians,
-                    "queries_min": ann_mins,
-                },
+                "new_rows": nr_medians,
+                "new_rows_min": nr_mins,
+                "merged_batteries": mg_medians,
+                "merged_batteries_min": mg_mins,
                 "ann_ivf_tiers": tier_timings,
                 "write_path": {
                     **write_timings,

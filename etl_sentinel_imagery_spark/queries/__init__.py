@@ -37,6 +37,66 @@ _MODULES = (
     vectors_q,
 )
 
+#: Round 12: the driver's round-11 correctness record
+#: (CORRECTNESS_r11.json) pins these 50 names in this order. They lead
+#: the registry so (a) no previously driver-declared query ever
+#: disappears from the gate's window, and (b) the round-over-round
+#: correctness diff is key-identical. Everything else (the round-12
+#: merged batteries and the rows the round-11 judge verified outside
+#: the window) follows in module order.
+_R11_WINDOW = (
+    "sentinel_coverage_ranking",
+    "sentinel_select_best",
+    "sentinel_attrs_unpack",
+    "sentinel_name_parse",
+    "sentinel_band_resolve",
+    "sentinel_select_best_multi_aoi",
+    "sentinel_coverage_ranking_exact",
+    "sentinel_xml_scan",
+    "purchase_asof_click",
+    "error_preceding_clicks",
+    "sql_api_battery",
+    "txlog_dml_battery",
+    "flagship_top_supplier_per_region",
+    "filter_range_pushdown",
+    "pricing_summary",
+    "orders_per_nation",
+    "customer_order_presence",
+    "latest_order_per_customer",
+    "window_frames_battery",
+    "nation_set_ops",
+    "rollup_region_nation",
+    "pivot_unpivot_status",
+    "part_size_classes",
+    "percentiles_by_flag",
+    "shipping_priority_top20",
+    "customer_supplier_balance",
+    "nation_volume_by_year",
+    "agg_battery2",
+    "scalar_string_battery",
+    "scalar_date_battery",
+    "part_collections_battery",
+    "array_transform_battery",
+    "spatial_fuzzy_join_battery",
+    "events_windows_battery",
+    "events_sessionize",
+    "events_dedup_first",
+    "events_scalar_battery",
+    "events_ewma_production",
+    "text_profile",
+    "term_stats",
+    "docs_exact_dedup",
+    "docs_signatures",
+    "docs_minhash_lsh_pairs",
+    "docs_jaccard_pairs",
+    "docs_chunking",
+    "dedup_clusters",
+    "docs_intra_line_dedup",
+    "docs_decontamination",
+    "docs_lm_counts",
+    "docs_token_budget",
+)
+
 
 def all_queries() -> dict[str, Q]:
     out: dict[str, Q] = {}
@@ -45,7 +105,14 @@ def all_queries() -> dict[str, Q]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         out.update(m.QUERIES)
-    return out
+    missing = [n for n in _R11_WINDOW if n not in out]
+    if missing:
+        raise ValueError(
+            f"driver-declared round-11 queries missing from the "
+            f"registry: {missing}"
+        )
+    rest = [n for n in out if n not in set(_R11_WINDOW)]
+    return {n: out[n] for n in (*_R11_WINDOW, *rest)}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

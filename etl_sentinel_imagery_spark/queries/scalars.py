@@ -307,6 +307,19 @@ SELECT 'date' AS kind, * FROM ({_DATE_BATTERY_SQL})
 
 
 QUERIES: dict[str, Q] = {
+    # round 12: the standalone rows are RESTORED beside the merged
+    # battery — the optimization brief forbids any driver-declared
+    # query from disappearing or renaming (scalar_string_battery and
+    # scalar_date_battery are rows 29-30 of CORRECTNESS_r11.json), so
+    # both shapes stay declared: the originals bit-for-bit, plus the
+    # round-12 battery as an additional row.
+    "scalar_string_battery": Q(
+        _string_battery, _STRING_BATTERY_SQL,
+        "F1/F3/F8/F9 strings + replace/translate/pad/trim/case tier",
+    ),
+    "scalar_date_battery": Q(
+        _date_battery, _DATE_BATTERY_SQL, "F2/F4 date assembly + arithmetic"
+    ),
     "scalar_battery": Q(
         _scalar_battery, _SCALAR_BATTERY_SQL,
         "F1-F4/F8/F9 scalar tiers (round 12 — merged "

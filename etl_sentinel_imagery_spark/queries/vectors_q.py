@@ -802,6 +802,13 @@ def ann_ivf_tiers(spark: SparkSession, sf_dir: str) -> dict:
 
 
 QUERIES: dict[str, Q] = {
+    # round 12: restored beside the merged battery — no declared row
+    # may disappear or rename (it was a round-8-to-11 registry row);
+    # the ann battery ALSO carries these columns tagged method='quant'.
+    "embedding_quant_battery": Q(
+        _quant_battery, _QUANT_BATTERY_SQL,
+        "l2 norms + int8 quantization integer stats (exact)",
+    ),
     "ann_deterministic_battery": Q(
         _ann_deterministic_battery, _ANN_DETERMINISTIC_SQL,
         "deterministic similarity ground truths in one strict oracle: "
