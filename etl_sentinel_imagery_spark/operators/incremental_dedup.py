@@ -121,6 +121,7 @@ def incremental_dedup(
     threshold: float = 0.5,
     max_bucket: int | None = MAX_BUCKET,
     append: bool = True,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Classify a new batch against the persisted index.
 
@@ -135,6 +136,14 @@ def incremental_dedup(
 
     The returned DataFrame is computed EAGERLY (localCheckpoint) so the
     append can't race the classification that decided it.
+
+    ``sigs``: optional pre-MATERIALIZED ``(doc, sig)`` signature table
+    of the batch (``_sig_table(new_docs, id_col, text_col, n_perm)``,
+    already checkpointed) — a caller that overlaps the index build
+    with the batch's signature pass (guide §2.6) hands the result in
+    so it is not recomputed. Ignored (recomputed internally) when the
+    index's ``n_perm`` differs from the module default the caller
+    would have used.
     """
     spark: SparkSession = new_docs.sparkSession
     meta = _load_meta(index_dir)
@@ -147,9 +156,10 @@ def incremental_dedup(
     # Batch-sized, so one eager checkpoint is cheap by construction;
     # dedup_clusters reuses it via its sigs parameter instead of
     # recomputing its own.
-    sigs = _sig_table(new_docs, id_col, text_col, n_perm).localCheckpoint(
-        eager=True
-    )
+    if sigs is None or n_perm != N_PERM:
+        sigs = _sig_table(
+            new_docs, id_col, text_col, n_perm
+        ).localCheckpoint(eager=True)
     # 1. within-batch dedup — batch-sized, full machinery. The shared
     # sigs are only valid for the clusterer when the index's layout
     # matches dedup_clusters' defaults (a custom n_perm/band_size
@@ -181,17 +191,28 @@ def incremental_dedup(
     hit = index_bands.join(
         F.broadcast(probe_keys), ["band_idx", "band_key"], "left_semi"
     )
+    # DISTINCT rows first: a crash-replayed append may leave duplicate
+    # band rows (see the append ordering below) and the guard must not
+    # spuriously trip on them; candidates are .distinct()-ed anyway, so
+    # the dedup is result-neutral with or without the guard.
+    hit = hit.select("band_idx", "band_key", "doc").distinct()
     if max_bucket is not None:
-        # DISTINCT docs, not rows: a crash-replayed append may leave
-        # duplicate band rows (see the append ordering below), and the
-        # guard must not spuriously trip on them
-        sizes = hit.groupBy("band_idx", "band_key").agg(
-            F.countDistinct("doc").alias("bucket_n")
-        )
-        hit = hit.join(
-            F.broadcast(sizes.filter(F.col("bucket_n") <= max_bucket)),
-            ["band_idx", "band_key"],
-            "left_semi",
+        # single-pass guard (round 12): the old shape aggregated
+        # bucket sizes into a SECOND broadcast and semi-joined the hit
+        # rows against it — one more index scan and one more
+        # broadcast-build job per probe. A count window over the same
+        # filtered subset computes the identical per-bucket size
+        # in-line; the subset is bounded by the batch's collision
+        # fan-out, and the sort-window spills if a boilerplate bucket
+        # is huge (the rows it counts are exactly the rows the old
+        # groupBy counted).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_key")
+        hit = (
+            hit.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("bucket_n") <= max_bucket)
+            .drop("bucket_n")
         )
     cand = (
         canon_bands.join(

@@ -6022,6 +6022,42 @@ def _align_for_diff(a: DataFrame | None, r: DataFrame | None):
     return pad(a), pad(r)
 
 
+def _diff_both(a: DataFrame | None, r: DataFrame | None):
+    """Both multiset differences from ONE aggregation (round 12):
+    ``(a ∖ r, r ∖ a)`` with exceptAll semantics — per distinct row
+    value, ``max(count_a − count_r, 0)`` insert copies and
+    ``max(count_r − count_a, 0)`` delete copies.
+
+    ``a.exceptAll(r)`` and ``r.exceptAll(a)`` plan as two DIFFERENT
+    count-aggregate subtrees (the +1/−1 tags swap sides), so each
+    side's files scan twice and two shuffles run per commit. Tagging
+    once (+1/−1), aggregating the signed count once, and deriving both
+    directions from the SAME net column makes the two branches share
+    one Exchange (ReusedExchange in the unioned feed plan): half the
+    file reads, half the shuffles, identical multisets by the algebra
+    above. Row order within a feed chunk is and was undefined."""
+    if a is None or r is None:
+        return a, r
+    cols = list(a.columns)
+    net = (
+        a.withColumn("_sgn", F.lit(1))
+        .unionByName(r.withColumn("_sgn", F.lit(-1)))
+        .groupBy(*cols)
+        .agg(F.sum("_sgn").alias("_net"))
+    )
+    ins = (
+        net.filter(F.col("_net") > 0)
+        .withColumn("_i", F.explode(F.expr("sequence(1, _net)")))
+        .select(*cols)
+    )
+    dels = (
+        net.filter(F.col("_net") < 0)
+        .withColumn("_i", F.explode(F.expr("sequence(1, -_net)")))
+        .select(*cols)
+    )
+    return ins, dels
+
+
 def table_changes(
     spark: SparkSession,
     table_dir: str,
@@ -6125,8 +6161,7 @@ def table_changes(
         a, r = _align_for_diff(a, r)
         if a is None and r is None:
             continue
-        ins = a if r is None else (None if a is None else a.exceptAll(r))
-        dels = r if a is None else (None if r is None else r.exceptAll(a))
+        ins, dels = _diff_both(a, r)
         for df, kind in ((ins, "insert"), (dels, "delete")):
             if df is None:
                 continue

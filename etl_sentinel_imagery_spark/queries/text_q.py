@@ -1257,11 +1257,14 @@ def _incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     components for the within-batch tier. Integer/hash arithmetic
     end to end — no float in any comparison."""
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from etl_sentinel_imagery_spark.operators.incremental_dedup import (
+        _sig_table,
         build_signature_index,
         incremental_dedup,
     )
+    from etl_sentinel_imagery_spark.operators.dedup import N_PERM
 
     docs = _docs_spread(spark, sf_dir)
     old = docs.filter(F.col("doc_id") % 4 != 0)
@@ -1269,8 +1272,19 @@ def _incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = os.path.join(
         tempfile.mkdtemp(prefix="incdedup_"), "idx"
     )
-    build_signature_index(old, idx)
-    out = incremental_dedup(new, idx, append=False)
+    # Overlap the two INDEPENDENT jobs (guide §2.6): the index build
+    # over the old partition and the batch's signature checkpoint
+    # don't depend on each other, yet ran back-to-back — the second
+    # job's tasks now back-fill executors the first one's tail frees.
+    # Spark's scheduler handles concurrent driver threads natively;
+    # the probe below starts only after BOTH complete.
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(build_signature_index, old, idx)
+        sigs = _sig_table(new, "doc_id", "text", N_PERM).localCheckpoint(
+            eager=True
+        )
+        fut.result()
+    out = incremental_dedup(new, idx, append=False, sigs=sigs)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "status",
