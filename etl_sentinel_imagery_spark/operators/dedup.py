@@ -149,43 +149,57 @@ def minhash_lsh_pairs(
     them — don't pay the CPU-bound MinHash pipeline twice (round 12).
     """
     n_bands = n_perm // band_size
-    if sigs is None:
-        # Two exchanges around the signature projection, for different
-        # reasons: the one BELOW spreads the CPU-bound shingle hashing
-        # across cores even when the source is a single parquet split;
-        # the one ABOVE is a materialization barrier — without it,
-        # projection collapse inlines the full MinHash expression into
-        # each of the band keys and recomputes it 2×n_bands times per
-        # doc. The second shuffle moves only (doc, 8 longs).
-        par = df.sparkSession.sparkContext.defaultParallelism
-        sigs = (
-            df.repartition(par)
-            .select(
-                F.col(id_col).alias("doc"),
-                minhash_signature(text_col, n_perm).alias("sig"),
-            )
-            .repartition(par, "doc")
+
+    def _band_structs(sig: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.element_at(sig, b * band_size + i + 1)
+                            for i in range(band_size)
+                        ],
+                    ).alias("band_key"),
+                )
+                for b in range(n_bands)
+            ]
         )
-    bands = sigs.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.element_at("sig", b * band_size + i + 1)
-                                for i in range(band_size)
-                            ],
-                        ).alias("band_key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc", "band.band_idx", "band.band_key")
+
+    if sigs is None:
+        # ONE exchange (round 12): the repartition spreads the
+        # CPU-bound shingle hashing across cores even when the source
+        # is a single parquet split. The doc-keyed SECOND exchange the
+        # old shape paid existed only as a materialization barrier —
+        # without one, projection collapse inlines the full MinHash
+        # expression into each band key and recomputes it 2×n_bands
+        # times per doc. Binding the signature array through a
+        # higher-order-function lambda variable gives the same
+        # compute-once guarantee INSIDE one projection (a lambda
+        # variable is evaluated once per element — the same idiom
+        # minhash_signature itself uses for the shingle array), so the
+        # barrier exchange — a corpus-sized shuffle of (doc, sig) at
+        # 100 TB — disappears while staying deterministic and
+        # fault-tolerant (no checkpoint).
+        par = df.sparkSession.sparkContext.defaultParallelism
+        bands = df.repartition(par).select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.element_at(
+                    F.transform(
+                        F.array(minhash_signature(text_col, n_perm)),
+                        _band_structs,
+                    ),
+                    1,
+                )
+            ).alias("band"),
+        ).select("doc", "band.band_idx", "band.band_key")
+    else:
+        bands = sigs.select(
+            "doc",
+            F.explode(_band_structs(F.col("sig"))).alias("band"),
+        ).select("doc", "band.band_idx", "band.band_key")
     if max_bucket is not None:
         w = Window.partitionBy("band_idx", "band_key")
         bands = bands.withColumn("bucket_n", F.count(F.lit(1)).over(w))
