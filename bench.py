@@ -150,8 +150,9 @@ def main() -> None:
     # per-tier attribution for the most expensive battery (round-4
     # verdict #4): each tier re-times with its own training/build work
     # AFTER the battery rows above (which stay name-comparable across
-    # rounds). The adaptive tier's persisted index was cached by the
-    # battery run, so its tier time is probe-only — labeled as such.
+    # rounds). Round 12: the cross-invocation index memo was removed
+    # (no module-level memo keyed on the test data), so every tier —
+    # including ivf_adaptive — now times its OWN index build + probe.
     from etl_sentinel_imagery_spark.queries.vectors_q import ann_ivf_tiers
 
     tier_timings: dict[str, float] = {}

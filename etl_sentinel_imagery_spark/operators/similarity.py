@@ -344,11 +344,13 @@ def _read_bucket_stats(spark, path: str) -> DataFrame:
     return spark.read.parquet(sdir)
 
 
-def _commit_bucket_stats(stats: DataFrame, path: str) -> None:
+def _commit_bucket_stats(stats, path: str) -> None:
     """Versioned-dir + atomic pointer-replace commit (the same protocol
     as streaming.sketch_stream): a crash at any point leaves the
     pointer naming a COMPLETE version — no window where the sidecar is
-    missing or half-written."""
+    missing or half-written. ``stats``: a (bucket, n_members, min_cos)
+    DataFrame, or pre-collected rows (dicts/Rows) for callers that
+    already hold them driver-side."""
     import os
     import shutil
     import uuid
@@ -356,8 +358,30 @@ def _commit_bucket_stats(stats: DataFrame, path: str) -> None:
     sdir = _stats_dir(path)
     os.makedirs(sdir, exist_ok=True)
     vname = f"v_{uuid.uuid4().hex[:8]}"
-    stats.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(sdir, vname)
+    # stats are n_centroids-bounded BY CONSTRUCTION (one row per
+    # bucket), so a Spark write job here is pure scheduling overhead —
+    # collect the bounded rows and write the single file driver-side
+    # (round 12); same columns, same dtypes, same commit protocol.
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    rows = stats.collect() if hasattr(stats, "collect") else list(stats)
+    os.makedirs(os.path.join(sdir, vname), exist_ok=True)
+    _pq.write_table(
+        _pa.table(
+            {
+                "bucket": _pa.array(
+                    [r["bucket"] for r in rows], _pa.int32()
+                ),
+                "n_members": _pa.array(
+                    [r["n_members"] for r in rows], _pa.int64()
+                ),
+                "min_cos": _pa.array(
+                    [r["min_cos"] for r in rows], _pa.float64()
+                ),
+            }
+        ),
+        os.path.join(sdir, vname, "part-0.parquet"),
     )
     ptr_tmp = os.path.join(sdir, f"_CURRENT.tmp{vname}")
     with open(ptr_tmp, "w") as f:
@@ -630,8 +654,30 @@ def write_ivf_index(
     convention, the same trick Spark itself uses for _SUCCESS) — and
     commit via the versioned-pointer protocol (_commit_bucket_stats)."""
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    # hash-distribute by the partition column before the partitioned
+    # write (guide §6): without it every scan task writes a sliver
+    # into every bucket directory — tasks × buckets tiny files that
+    # every later stats read and probe scan pays to open. One file
+    # per bucket here; a production-scale build would add a
+    # deterministic within-bucket split key (pmod(xxhash64(id), n))
+    # to hold files at the 128 MB–1 GB target.
+    assigned = assigned.repartition(F.col("bucket"))
     assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    _commit_bucket_stats(ivf_bucket_stats(assigned, centroids, vec_col), path)
+    # stats read the JUST-WRITTEN layout instead of re-evaluating
+    # `assigned` (round 12): the second consumer re-ran the whole
+    # upstream lineage including the Arrow assign pass; the written
+    # parquet round-trips the same doubles bit-for-bit and the stats
+    # aggregate is order-free, so the committed stats are identical.
+    # Explicit schema: no inference job, and an empty corpus still
+    # yields the empty stats frame the old shape produced. (An
+    # Observation piggybacking k conditional (count, min-cos) pairs on
+    # the write job was tried and REJECTED on measurement: CollectMetrics
+    # evaluates its aggregates interpreted, and 8 interpreted 64-element
+    # cosine folds per row cost 3.1–4.8 s vs 1.5 s for this shape.)
+    written = assigned.sparkSession.read.schema(assigned.schema).parquet(
+        path
+    )
+    _commit_bucket_stats(ivf_bucket_stats(written, centroids, vec_col), path)
     publish_layout_manifest(path, list_layout_data_files(path))
 
 

@@ -149,9 +149,13 @@ def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, F.col("vec_id") < N_QUERIES, k=TOP_K)
 
 
-#: Per-sf_dir temp path of the persisted seeded-IVF index the battery's
-#: ivf_adaptive serving tier probes — built once per process.
-_IVF_INDEX_CACHE: dict[str, str] = {}
+# round 12: the per-(process, sf_dir) index-path memos that let repeat
+# invocations skip the index build were REMOVED — the optimization
+# brief forbids module-level memos keyed on the test data (a bench rep
+# that reuses the previous rep's persisted index measures probe-only
+# and misreports the battery's cost). Every invocation now builds its
+# index from the parquet inputs in a fresh temp dir; the build is
+# deterministic, so results are unchanged.
 
 
 def _centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
@@ -168,20 +172,16 @@ def _centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
 
 
 def _seeded_index_path(spark: SparkSession, sf_dir: str, emb) -> str:
-    """Build-once per (process, sf_dir) persisted seeded-IVF index —
-    shared by ann_ivf_battery's serving tier and the deterministic
-    battery's certified leg (same centroids, same layout)."""
-    index_path = _IVF_INDEX_CACHE.get(sf_dir)
-    if index_path is None:
-        import tempfile
+    """Persisted seeded-IVF index for this invocation, built fresh
+    from the parquet inputs (no cross-invocation memo — round 12)."""
+    import tempfile
 
-        from etl_sentinel_imagery_spark.operators.similarity import (
-            write_ivf_index,
-        )
+    from etl_sentinel_imagery_spark.operators.similarity import (
+        write_ivf_index,
+    )
 
-        index_path = tempfile.mkdtemp(prefix="ann_ivf_idx_")
-        write_ivf_index(emb, _centroids(spark, sf_dir), index_path)
-        _IVF_INDEX_CACHE[sf_dir] = index_path
+    index_path = tempfile.mkdtemp(prefix="ann_ivf_idx_")
+    write_ivf_index(emb, _centroids(spark, sf_dir), index_path)
     return index_path
 
 
@@ -241,7 +241,8 @@ def _near_dup_pairs(
 CLUSTER_PULL = 4.0
 
 #: Per-sf_dir temp path of the certified leg's clustered index.
-_CERT_INDEX_CACHE: dict[str, str] = {}
+# (the former _CERT_INDEX_CACHE memo was removed in round 12 — see the
+# note above _centroids: no module-level memo keyed on the test data)
 
 
 def _certified_leg(spark, sf_dir, emb, tag, normed=None):
@@ -332,20 +333,17 @@ def _cert_twin_setup(spark, sf_dir, emb, normed=None):
         ],
         dtype="float64",
     )
-    index_path = _CERT_INDEX_CACHE.get(sf_dir)
-    if index_path is None:
-        import tempfile
+    import tempfile
 
-        index_path = tempfile.mkdtemp(prefix="ann_cert_idx_")
-        # the BUILD path evaluates corpus2 three times (assign, stats,
-        # write) — pin it there; the probe/brute path re-derives the
-        # tiny frame lazily instead of paying an eager checkpoint job
-        # on every battery run (pure fold arithmetic: re-evaluation is
-        # deterministic)
-        write_ivf_index(
-            corpus2.localCheckpoint(eager=True), anchors, index_path
-        )
-        _CERT_INDEX_CACHE[sf_dir] = index_path
+    index_path = tempfile.mkdtemp(prefix="ann_cert_idx_")
+    # the BUILD path evaluates corpus2 three times (assign, stats,
+    # write) — pin it there; the probe/brute path re-derives the
+    # tiny frame lazily instead of paying an eager checkpoint job
+    # on every battery run (pure fold arithmetic: re-evaluation is
+    # deterministic)
+    write_ivf_index(
+        corpus2.localCheckpoint(eager=True), anchors, index_path
+    )
     return corpus2, anchors, index_path
 
 
