@@ -96,15 +96,6 @@ def train_bigram_lm(
     # finding: the scan made train/score cost corpus_tokens × V).
     # Mapping is pointwise, so pairing raw tokens FIRST and mapping the
     # two pair slots afterwards equals mapping-then-pairing.
-    uni = (
-        _map_oov(
-            docs.select(F.explode(tokens(text_col)).alias("w")),
-            ["w"],
-            vocab,
-        )
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c_w"))
-    ).localCheckpoint(eager=True)
     pairs = docs.select(
         F.explode(_bigram_pairs(tokens(text_col))).alias("p")
     ).select(F.col("p.v").alias("v"), F.col("p.w").alias("w"))
@@ -112,6 +103,16 @@ def train_bigram_lm(
         _map_oov(pairs, ["v", "w"], vocab)
         .groupBy("v", "w")
         .agg(F.count(F.lit(1)).alias("c_vw"))
+    ).localCheckpoint(eager=True)
+    # the mapped-unigram table DERIVES from the bigram table instead of
+    # paying its own corpus pass (round 12): BOS is prepended before
+    # pairing, so every token of every doc appears exactly once in the
+    # w slot — c_w = Σ_v c_vw, mapped identically (the w slot went
+    # through the same OOV join). Training drops from 3 corpus passes
+    # to 2 (vocab, bigrams); the aggregate runs over the checkpointed
+    # vocab-bounded bigram table, not the corpus.
+    uni = (
+        big.groupBy("w").agg(F.sum("c_vw").alias("c_w"))
     ).localCheckpoint(eager=True)
     ctx = big.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
     totals = uni.agg(
