@@ -239,3 +239,65 @@ def test_crash_between_band_and_sig_append_repairs(spark, corpus, tmp_path):
     incremental_dedup(batch, idx, threshold=0.5)
     sigs = spark.read.parquet(f"{idx}/sigs")
     assert sigs.filter("doc = 40").count() == 1
+
+
+def test_shared_sigs_param_identical_and_mismatch_ignored(
+    spark, corpus, tmp_path
+):
+    """Round 12: a caller that overlaps the index build with the
+    batch's signature pass hands the materialized signatures in via
+    ``sigs``. (a) A matching shared table yields classifications
+    identical to the recompute path; (b) when the index was built
+    with a DIFFERENT n_perm, the passed default-width table is
+    IGNORED (recomputed internally) — foreign-width signature arrays
+    must never be banded."""
+    from etl_sentinel_imagery_spark.operators.dedup import N_PERM
+    from etl_sentinel_imagery_spark.operators.incremental_dedup import (
+        _sig_table,
+    )
+
+    batch = spark.createDataFrame(
+        [
+            (10, BASE.replace("fox", "wolf")),
+            (11, THIRD),
+        ],
+        ["doc_id", "text"],
+    )
+
+    idx = str(tmp_path / "idx_default")
+    build_signature_index(corpus, idx)
+    want = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in incremental_dedup(
+            batch, idx, threshold=0.5, append=False
+        ).collect()
+    }
+    shared = _sig_table(batch, "doc_id", "text", N_PERM).localCheckpoint(
+        eager=True
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in incremental_dedup(
+            batch, idx, threshold=0.5, append=False, sigs=shared
+        ).collect()
+    }
+    assert got == want
+    assert got[10] == ("exists", 1)
+
+    # custom-n_perm index: the default-width shared table must be
+    # ignored, and the classification must match the recompute path
+    idx4 = str(tmp_path / "idx_n4")
+    build_signature_index(corpus, idx4, n_perm=4)
+    want4 = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in incremental_dedup(
+            batch, idx4, threshold=0.5, append=False
+        ).collect()
+    }
+    got4 = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in incremental_dedup(
+            batch, idx4, threshold=0.5, append=False, sigs=shared
+        ).collect()
+    }
+    assert got4 == want4
