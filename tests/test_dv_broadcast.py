@@ -52,6 +52,34 @@ def test_small_dv_anti_join_broadcasts(spark, dv_table):
     assert "SortMergeJoin LeftAnti" not in plan, plan
 
 
+def test_byte_cap_boundary(spark, dv_table):
+    """Round 13: the cap is denominated in estimated bytes
+    (positions × _DV_BCAST_ROW_BYTES). At exactly the estimate the
+    broadcast fires; one byte under it falls back to sort-merge —
+    rows identical either way."""
+    from etl_sentinel_imagery_spark.operators.txlog import (
+        _DV_BCAST_ROW_BYTES,
+    )
+
+    n_dv = len([i for i in range(0, 10_000, 17)])
+    est = n_dv * _DV_BCAST_ROW_BYTES
+    expected = {(i, i * 3) for i in range(10_000) if i % 17 != 0}
+    try:
+        os.environ["SPARK_GRAFT_DV_BROADCAST_MAX_BYTES"] = str(est)
+        plan = _plan(snapshot(spark, dv_table))
+        assert "BroadcastHashJoin LeftAnti" in plan, plan
+        os.environ["SPARK_GRAFT_DV_BROADCAST_MAX_BYTES"] = str(est - 1)
+        plan = _plan(snapshot(spark, dv_table))
+        assert "SortMergeJoin LeftAnti" in plan, plan
+        got = {
+            (r["k"], r["v"])
+            for r in snapshot(spark, dv_table).collect()
+        }
+    finally:
+        del os.environ["SPARK_GRAFT_DV_BROADCAST_MAX_BYTES"]
+    assert got == expected
+
+
 def test_rows_identical_under_both_strategies(spark, dv_table):
     expected = {
         (i, i * 3) for i in range(10_000) if i % 17 != 0
