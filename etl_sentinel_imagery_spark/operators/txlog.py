@@ -6145,6 +6145,51 @@ def _align_for_diff(a: DataFrame | None, r: DataFrame | None):
     return pad(a), pad(r)
 
 
+def _fresh_name(base: str, taken) -> str:
+    """A working-column name guaranteed absent from ``taken`` — diff
+    plumbing must never capture or shadow a user column (round-12
+    ADVICE: ``withColumn('_sgn', …)`` silently replaced a user column
+    of that name and every row diffed as changed)."""
+    name = base
+    while name in taken:
+        name += "_"
+    return name
+
+
+#: Per-explode bound for multiplicity expansion: one sequence() array
+#: never exceeds this many elements (round-12 ADVICE: a single
+#: ``sequence(1, net)`` materializes the whole array on one row — a
+#: near-constant table rewrite could OOM a task). Two bounded levels
+#: cover net counts up to _NET_CHUNK² (16.7M copies of ONE identical
+#: row value) before a third would be needed.
+_NET_CHUNK = 1 << 12
+
+
+def _expand_net(df: DataFrame, ncol: str) -> DataFrame:
+    """Each row repeated ``ncol`` times (ncol >= 1), via a two-level
+    bounded explode instead of one unbounded sequence()."""
+    c_outer = _fresh_name("_chunk", df.columns)
+    c_inner = _fresh_name("_i", df.columns)
+    return (
+        df.withColumn(
+            c_outer,
+            F.explode(
+                F.expr(f"sequence(0, ({ncol} - 1) div {_NET_CHUNK})")
+            ),
+        )
+        .withColumn(
+            c_inner,
+            F.explode(
+                F.expr(
+                    f"sequence(1, least({ncol} - {c_outer} * "
+                    f"{_NET_CHUNK}, {_NET_CHUNK}))"
+                )
+            ),
+        )
+        .drop(c_outer, c_inner)
+    )
+
+
 def _diff_both(a: DataFrame | None, r: DataFrame | None):
     """Both multiset differences from ONE aggregation (round 12):
     ``(a ∖ r, r ∖ a)`` with exceptAll semantics — per distinct row
@@ -6158,27 +6203,167 @@ def _diff_both(a: DataFrame | None, r: DataFrame | None):
     directions from the SAME net column makes the two branches share
     one Exchange (ReusedExchange in the unioned feed plan): half the
     file reads, half the shuffles, identical multisets by the algebra
-    above. Row order within a feed chunk is and was undefined."""
+    above. Row order within a feed chunk is and was undefined.
+    Working columns draw collision-free names and the multiplicity
+    expansion is chunk-bounded (round-12 ADVICE)."""
     if a is None or r is None:
         return a, r
     cols = list(a.columns)
+    scol = _fresh_name("_sgn", cols)
+    ncol = _fresh_name("_net", cols)
     net = (
-        a.withColumn("_sgn", F.lit(1))
-        .unionByName(r.withColumn("_sgn", F.lit(-1)))
+        a.withColumn(scol, F.lit(1))
+        .unionByName(r.withColumn(scol, F.lit(-1)))
         .groupBy(*cols)
-        .agg(F.sum("_sgn").alias("_net"))
+        .agg(F.sum(scol).alias(ncol))
     )
-    ins = (
-        net.filter(F.col("_net") > 0)
-        .withColumn("_i", F.explode(F.expr("sequence(1, _net)")))
-        .select(*cols)
-    )
-    dels = (
-        net.filter(F.col("_net") < 0)
-        .withColumn("_i", F.explode(F.expr("sequence(1, -_net)")))
-        .select(*cols)
-    )
+    ins = _expand_net(net.filter(F.col(ncol) > 0), ncol).select(*cols)
+    dels = _expand_net(
+        net.filter(F.col(ncol) < 0).withColumn(ncol, -F.col(ncol)),
+        ncol,
+    ).select(*cols)
     return ins, dels
+
+
+def _entry_core(e: dict) -> dict:
+    """An entry minus its DV-chain fields — equal cores mean a commit
+    merely re-pointed the file at a widened chain."""
+    return {k: v for k, v in e.items() if k not in ("dv", "dv_n")}
+
+
+def _newly_dead_rows(
+    spark, table_dir: str, repoint: list, parent_version: int
+) -> DataFrame:
+    """Rows of re-pointed files at the positions their NEW sidecar
+    links record — exactly the commit's deleted rows (chain links hold
+    disjoint positions, so every new-link position is live at the
+    parent; no anti-join needed). DELTA-sized where the full diff read
+    whole touched files. ``repoint``:
+    [(old_entry, new_link_paths, position_count)]."""
+    plain = []
+    for old, _links, _growth in repoint:
+        e2 = dict(old)
+        e2.pop("dv", None)
+        e2.pop("dv_n", None)
+        plain.append(e2)
+    live = _read_entries(
+        spark, table_dir, plain, parent_version, keep_pos=True
+    )
+    cols = [
+        c for c in live.columns if c not in ("_file_name", "_row_pos")
+    ]
+    link_paths = sorted(
+        {p for _, links, _g in repoint for p in links}
+    )
+    trans = spark.createDataFrame(
+        sorted(
+            {
+                (cand, _entry_name(old))
+                for old, links, _g in repoint
+                for cand in _dv_row_candidates(
+                    table_dir, _entry_name(old), links
+                )
+            }
+        ),
+        "file_name string, _dv_name string",
+    )
+    links = (
+        spark.read.parquet(
+            *[os.path.join(table_dir, p) for p in link_paths]
+        )
+        .join(F.broadcast(trans), "file_name")
+        .select(
+            F.col("_dv_name").alias("_file_name"),
+            F.col("pos").alias("_row_pos"),
+        )
+    )
+    # position count per pair = dv_n growth — known driver-side; the
+    # same byte cap as the read path's anti-join governs the hint
+    n_pos = sum(growth for _old, _links, growth in repoint)
+    byte_cap = int(
+        os.environ.get(
+            "SPARK_GRAFT_DV_BROADCAST_MAX_BYTES", str(64 << 20)
+        )
+    )
+    if n_pos * _DV_BCAST_ROW_BYTES <= byte_cap:
+        links = F.broadcast(links)
+    return live.join(
+        links, ["_file_name", "_row_pos"], "left_semi"
+    ).select(*cols)
+
+
+def _feed_sides(spark, table_dir: str, v: int, parent, adds, removes):
+    """The (insert-side, delete-side) frames a commit contributes to
+    the change feed. Round 13: a commit whose removes are all clean
+    DV re-points (same entry, chain extended) or whole-file deaths
+    diffs DELTA-sized sides — images vs newly-dead positions — instead
+    of netting every untouched row of every touched file through the
+    aggregate; multiset semantics are unchanged because the untouched
+    rows cancelled identically on both sides. Any shape the re-point
+    algebra can't prove falls back to the full two-side read."""
+    if not removes:
+        return _read_entries(spark, table_dir, adds, v), None
+    by_rm = {_entry_name(e): e for e in removes}
+    add_names = {_entry_name(e) for e in adds}
+    img_adds: list = []
+    repoint: list = []
+    clean = True
+    for e in adds:
+        n = _entry_name(e)
+        old = by_rm.get(n)
+        if old is None:
+            if isinstance(e, dict) and e.get("dv"):
+                clean = False  # fresh add carrying a DV: unprovable
+                break
+            img_adds.append(e)
+            continue
+        if not (isinstance(e, dict) and isinstance(old, dict)):
+            clean = False
+            break
+        old_dv, new_dv = _entry_dvs(old), _entry_dvs(e)
+        if (
+            list(new_dv[: len(old_dv)]) == list(old_dv)
+            and len(new_dv) > len(old_dv)
+            and _entry_core(e) == _entry_core(old)
+        ):
+            repoint.append(
+                (
+                    old,
+                    list(new_dv[len(old_dv):]),
+                    int(e.get("dv_n", 0)) - int(old.get("dv_n", 0)),
+                )
+            )
+        else:
+            clean = False
+            break
+    if not clean:
+        return (
+            _read_entries(spark, table_dir, adds, v),
+            _read_entries(spark, table_dir, removes, parent),
+        )
+    fully_dead = [
+        e for n, e in by_rm.items() if n not in add_names
+    ]
+    r_parts = []
+    if repoint:
+        r_parts.append(
+            _newly_dead_rows(spark, table_dir, repoint, parent)
+        )
+    if fully_dead:
+        # a file whose every live row died: those live-at-parent rows
+        # ARE the delta
+        r_parts.append(
+            _read_entries(spark, table_dir, fully_dead, parent)
+        )
+    r = r_parts[0] if r_parts else None
+    for p in r_parts[1:]:
+        r = r.unionByName(p)
+    a = (
+        _read_entries(spark, table_dir, img_adds, v)
+        if img_adds
+        else None
+    )
+    return a, r
 
 
 def table_changes(
@@ -6225,10 +6410,18 @@ def table_changes(
         current_version(table_dir) if to_version is None else to_version
     )
     chunks = []
+    # round 13: (a) the live-entry map advances INCREMENTALLY through
+    # the range instead of resolve_files per removing commit (driver
+    # plan-build was O(commits × log replay) — ~1 s on a 12-commit
+    # battery feed); (b) every diff commit of one aligned schema lands
+    # in ONE signed-count aggregation (guide §2.4: the per-commit
+    # groupBys shuffled the same bytes over many tiny stages).
+    state: dict | None = None
+    diff_groups: dict[tuple, list] = {}
     for v in range(max(from_version + 1, 0), to_version + 1):
         m = read_manifest(table_dir, v)
         op = m.get("op", "")
-        if (
+        skipped = (
             op
             in (
                 "compact",
@@ -6241,22 +6434,10 @@ def table_changes(
                 "analyze",
             )
             and not include_rewrites
-        ):
-            continue
+        )
         if "adds" in m or "removes" in m:
             adds = list(m.get("adds", []))
             remove_names = list(m.get("removes", []))
-            if remove_names:
-                # the removed files' pre-state (incl. their deletion
-                # vectors at the PARENT version) is what the diff is
-                # against
-                parent_by_name = {
-                    _entry_name(e): e
-                    for e in resolve_files(table_dir, m["parent"])
-                }
-                removes = [parent_by_name[n] for n in remove_names]
-            else:
-                removes = []
         else:  # init manifest: the full list IS the insert set
             adds = (
                 sorted(
@@ -6268,30 +6449,85 @@ def table_changes(
                 if "files_parts" in m
                 else list(m.get("files", []))
             )
-            removes = []
-        a = _read_entries(spark, table_dir, adds, v)
+            remove_names = []
+        removes = []
+        if remove_names and not skipped:
+            # the removed files' pre-state (incl. their deletion
+            # vectors at the PARENT version) is what the diff is
+            # against
+            if state is None:
+                state = {
+                    _entry_name(e): e
+                    for e in resolve_files(table_dir, m["parent"])
+                }
+            removes = [state[n] for n in remove_names]
+        # the live map advances through EVERY commit once initialized —
+        # skipped rewrites still change the file set
+        if state is not None:
+            for n in remove_names:
+                state.pop(n, None)
+            for e in adds:
+                state[_entry_name(e)] = e
+        if skipped:
+            continue
         # removed rows are read under the PARENT's schema — the schema
         # they were LIVE under. Reading them under v's schema is lossy
         # when v NARROWED it (a restore across an add-column
         # evolution): the delete rows would silently drop the evolved
         # column and the feed's insert/delete pairs stop cancelling
         # (found by the hypothesis model test, round 5).
-        r = (
-            _read_entries(spark, table_dir, removes, m["parent"])
-            if removes
-            else None
+        a, r = _feed_sides(
+            spark, table_dir, v, m.get("parent"), adds, removes
         )
         a, r = _align_for_diff(a, r)
         if a is None and r is None:
             continue
-        ins, dels = _diff_both(a, r)
-        for df, kind in ((ins, "insert"), (dels, "delete")):
-            if df is None:
-                continue
+        if a is None or r is None:
+            # pure append / pure remove: no aggregation needed — the
+            # side passes through whole (the round-12 fast path)
+            df, kind = (a, "insert") if r is None else (r, "delete")
             chunks.append(
                 df.withColumn("_change_type", F.lit(kind))
                 .withColumn("_commit_version", F.lit(v))
                 .withColumn("_commit_op", F.lit(op))
+            )
+            continue
+        sig = tuple(
+            (f.name, f.dataType.json()) for f in a.schema.fields
+        )
+        diff_groups.setdefault(sig, []).append((v, op, a, r))
+    for group in diff_groups.values():
+        cols = list(group[0][2].columns)
+        vcol = _fresh_name("_v", cols)
+        scol = _fresh_name("_sgn", cols)
+        ncol = _fresh_name("_net", cols)
+        tagged = None
+        for v, op, a, r in group:
+            pair = a.withColumn(scol, F.lit(1)).unionByName(
+                r.withColumn(scol, F.lit(-1))
+            ).withColumn(vcol, F.lit(v))
+            tagged = (
+                pair if tagged is None else tagged.unionByName(pair)
+            )
+        net = tagged.groupBy(vcol, *cols).agg(F.sum(scol).alias(ncol))
+        op_expr = F.lit(None).cast("string")
+        for v, op, _a, _r in group:
+            op_expr = F.when(
+                F.col(vcol) == F.lit(v), F.lit(op)
+            ).otherwise(op_expr)
+        for positive, kind in ((True, "insert"), (False, "delete")):
+            side = net.filter(
+                F.col(ncol) > 0 if positive else F.col(ncol) < 0
+            )
+            if not positive:
+                side = side.withColumn(ncol, -F.col(ncol))
+            chunks.append(
+                _expand_net(side, ncol).select(
+                    *cols,
+                    F.lit(kind).alias("_change_type"),
+                    F.col(vcol).cast("int").alias("_commit_version"),
+                    op_expr.alias("_commit_op"),
+                )
             )
     if not chunks:
         base = snapshot(spark, table_dir, to_version)
