@@ -160,6 +160,25 @@ def incremental_dedup(
         sigs = _sig_table(
             new_docs, id_col, text_col, n_perm
         ).localCheckpoint(eager=True)
+    else:
+        # round-12 ADVICE #3: a caller-passed sigs table of the WRONG
+        # signature width against a default-n_perm index would be
+        # silently banded and verified with foreign-width arrays
+        # (wrong agreement scores). Validate every row inline — a
+        # per-row size() on an n_perm-element array costs nothing and
+        # adds no job, unlike a .first() probe.
+        sigs = sigs.withColumn(
+            "sig",
+            F.when(F.size("sig") == n_perm, F.col("sig")).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "incremental_dedup: passed sigs width %s != "
+                        f"index n_perm {n_perm}",
+                        F.size("sig"),
+                    )
+                )
+            ),
+        )
     # 1. within-batch dedup — batch-sized, full machinery. The shared
     # sigs are only valid for the clusterer when the index's layout
     # matches dedup_clusters' defaults (a custom n_perm/band_size

@@ -26,6 +26,22 @@ from etl_sentinel_imagery_spark.sources.tables import load_table
 N_QUERIES = 20
 TOP_K = 5
 N_CENTROIDS = 8
+
+
+def _tmp_index_dir(prefix: str) -> str:
+    """A fresh single-use persisted-index dir, reclaimed at process
+    exit. With the cross-invocation memos removed (round 12), every
+    invocation builds its own index — bench runs (REPS × batteries)
+    were accumulating corpus-scale parquet under /tmp with no owner
+    (round-12 ADVICE #4). Deletion must wait for exit because the
+    returned DataFrames read the index lazily at action time."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 NEAR_DUP_THRESHOLD = 0.42  # this corpus's max pairwise cosine is ~0.51 —
 # 0.42 keeps the query discriminating; real near-dup dedup uses ~0.95
 # (operator default), which on THIS synthetic data returns an empty set.
@@ -174,13 +190,11 @@ def _centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
 def _seeded_index_path(spark: SparkSession, sf_dir: str, emb) -> str:
     """Persisted seeded-IVF index for this invocation, built fresh
     from the parquet inputs (no cross-invocation memo — round 12)."""
-    import tempfile
-
     from etl_sentinel_imagery_spark.operators.similarity import (
         write_ivf_index,
     )
 
-    index_path = tempfile.mkdtemp(prefix="ann_ivf_idx_")
+    index_path = _tmp_index_dir("ann_ivf_idx_")
     write_ivf_index(emb, _centroids(spark, sf_dir), index_path)
     return index_path
 
@@ -333,9 +347,7 @@ def _cert_twin_setup(spark, sf_dir, emb, normed=None):
         ],
         dtype="float64",
     )
-    import tempfile
-
-    index_path = tempfile.mkdtemp(prefix="ann_cert_idx_")
+    index_path = _tmp_index_dir("ann_cert_idx_")
     # the BUILD path evaluates corpus2 three times (assign, stats,
     # write) — pin it there; the probe/brute path re-derives the
     # tiny frame lazily instead of paying an eager checkpoint job

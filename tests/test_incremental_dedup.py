@@ -301,3 +301,26 @@ def test_shared_sigs_param_identical_and_mismatch_ignored(
         ).collect()
     }
     assert got4 == want4
+
+
+def test_foreign_width_sigs_rejected(spark, corpus, tmp_path):
+    """Round-12 ADVICE #3: a caller-passed sigs table whose signature
+    width differs from the index's n_perm must raise, not be silently
+    banded with foreign-width arrays."""
+    from etl_sentinel_imagery_spark.operators.incremental_dedup import (
+        _sig_table,
+    )
+
+    idx = str(tmp_path / "lsh_index")
+    build_signature_index(corpus, idx)  # default n_perm
+    batch = spark.createDataFrame([(10, BASE)], ["doc_id", "text"])
+    # truncate the signature arrays to a foreign width
+    bad = (
+        _sig_table(batch, "doc_id", "text", 8)
+        .withColumn("sig", F.slice("sig", 1, 4))
+        .localCheckpoint(eager=True)
+    )
+    with pytest.raises(Exception, match="sigs width"):
+        incremental_dedup(
+            batch, idx, append=False, sigs=bad
+        ).collect()
