@@ -253,14 +253,25 @@ def hnsw_topk(
     ef_search: int = 48,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_shards: int = DEFAULT_SHARDS,
 ) -> DataFrame:
     """Search every shard's graph for the broadcast query set and merge:
-    per-shard beam search (applyInPandas, one task per shard) → one
-    global per-query window over shards × k rows.
+    per-shard beam search (cogrouped applyInPandas, one task per shard)
+    → one global per-query window over shards × k rows.
 
     The query VECTORS are fetched driver-side (queries are
     control-plane-sized — the same contract as IVF's centroid collect);
-    candidates never leave their shard until the final k rows."""
+    candidates never leave their shard until the final k rows.
+
+    ``n_shards`` MUST be the build's shard count: the vector side is
+    re-sharded with the same ``shard_of`` hash and COGROUPED with the
+    graph instead of joined on node_id (round 13, guide §2.3/§2.4) —
+    the old shape shuffled every vector by node_id into the join and
+    then shuffled the joined (graph row × vector) pairs AGAIN by shard,
+    moving each vector once per adjacency level; the cogroup moves each
+    vector exactly once, keyed by shard. A wrong n_shards fails loudly
+    (missing-vector ValueError), exactly like the old inner join's
+    silent node drop would have crashed adjacency reconstruction."""
     qset = sorted(int(q) for q in query_ids)
     # int8-quantized tables search as-is: cosine is scale-invariant, so
     # dequantization reduces to the float cast the kernel does anyway —
@@ -280,18 +291,31 @@ def hnsw_topk(
     qids = np.array([r["qid"] for r in qrows], dtype="int64")
     qvecs = _normalize(np.stack([np.array(r[1]) for r in qrows]).astype("float64"))
 
-    def search(pdf: pd.DataFrame) -> pd.DataFrame:
-        # reassemble this shard's graph + vectors
-        node_rows = pdf[pdf["level"] == 0]
+    def search(gpdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(gpdf):
+            return pd.DataFrame(
+                columns=["query_id", "cand_id", "cos_sim"]
+            ).astype({"query_id": "int64", "cand_id": "int64",
+                      "cos_sim": "float64"})
+        # reassemble this shard's graph, then attach its vectors from
+        # the cogrouped vector side (node order pinned by node_id so
+        # position numbering is deterministic)
+        node_rows = gpdf[gpdf["level"] == 0].sort_values("node_id")
         ids = node_rows["node_id"].to_numpy()
         pos_of = {int(i): p for p, i in enumerate(ids)}
-        vecs = _normalize(
-            np.stack(node_rows["_v"].to_numpy()).astype("float64")
-        )
-        max_lvl = int(pdf["level"].max())
+        by_vid = dict(zip(vpdf["node_id"].astype("int64"), vpdf["_v"]))
+        try:
+            raw = np.stack([np.asarray(by_vid[int(i)]) for i in ids])
+        except KeyError as e:
+            raise ValueError(
+                f"hnsw_topk: no vector for graph node {e} in its "
+                "shard cogroup — does n_shards match the build's?"
+            ) from None
+        vecs = _normalize(raw.astype("float64"))
+        max_lvl = int(gpdf["level"].max())
         adj: list[dict[int, list[int]]] = [dict() for _ in range(max_lvl + 1)]
         for lev, nid, nbrs in zip(
-            pdf["level"], pdf["node_id"], pdf["neighbors"]
+            gpdf["level"], gpdf["node_id"], gpdf["neighbors"]
         ):
             adj[int(lev)][pos_of[int(nid)]] = [
                 pos_of[int(o)] for o in nbrs
@@ -319,10 +343,11 @@ def hnsw_topk(
     vecs_df = embeddings.select(
         F.col(id_col).alias("node_id"),
         vec_expr.alias("_v"),
+        shard_of(id_col, n_shards).alias("shard"),
     )
     per_shard = (
-        graph.join(vecs_df, "node_id")
-        .groupBy("shard")
+        graph.groupBy("shard")
+        .cogroup(vecs_df.groupBy("shard"))
         .applyInPandas(search, _SEARCH_SCHEMA)
     )
     w = Window.partitionBy("query_id").orderBy(

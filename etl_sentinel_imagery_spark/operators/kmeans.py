@@ -56,52 +56,65 @@ def fit(
         centroids = init_centroids(embeddings, k, id_col, vec_col)
     inertias: list[float] = []
 
+    narrow = embeddings.select(vec_col)
     for _ in range(n_iter):
-        assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+        # one fused corpus pass per Lloyd iteration (round 13, guide
+        # §2.4/§4): assignment and the per-cluster partial sums happen
+        # in a SINGLE mapInPandas — the old shape crossed the Python
+        # boundary twice per pass (ivf_assign's pandas UDF, then a
+        # second mapInPandas over (embedding, bucket)) and shuffled the
+        # partials into a JVM collect_list fold. Each task now yields
+        # at most k rows, so the ≤ tasks×k partials skip the exchange
+        # entirely and reduce driver-side (control-plane sized, like
+        # the packing/stats collects). Assignment math is byte-for-byte
+        # ivf_assign's: row-normalize, argmax(mat @ unit-centroids.T).
+        cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        cent_raw = centroids
 
-        def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _assign_partial(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            kk, dim = cent.shape
+            vec_sum = np.zeros((kk, dim))
+            n = np.zeros(kk, dtype="int64")
+            cos_sum = np.zeros(kk)
             for pdf in batches:
+                if not len(pdf):
+                    continue
                 mat = _normalize_rows(np.stack(pdf[vec_col].map(np.asarray)))
-                buckets = pdf["bucket"].to_numpy()
-                rows = []
+                buckets = np.argmax(mat @ cent.T, axis=1)
                 for b in np.unique(buckets):
                     sel = mat[buckets == b]
-                    rows.append(
-                        {
-                            "bucket": int(b),
-                            "vec_sum": sel.sum(axis=0).tolist(),
-                            "n": int(sel.shape[0]),
-                            "cos_sum": float((sel @ centroids[int(b)]).sum()),
-                        }
-                    )
-                yield pd.DataFrame(rows)
-
-        partials = assigned.mapInPandas(
-            _partial, schema="bucket int, vec_sum array<double>, n bigint, cos_sum double"
-        )
-        agg = (
-            partials.groupBy("bucket")
-            .agg(
-                F.aggregate(
-                    F.collect_list("vec_sum"),
-                    F.array_repeat(F.lit(0.0), int(centroids.shape[1])),
-                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-                ).alias("vec_sum"),
-                F.sum("n").alias("n"),
-                F.sum("cos_sum").alias("cos_sum"),
+                    vec_sum[b] += sel.sum(axis=0)
+                    n[b] += sel.shape[0]
+                    cos_sum[b] += float((sel @ cent_raw[int(b)]).sum())
+            hit = np.nonzero(n)[0]
+            yield pd.DataFrame(
+                {
+                    "bucket": hit.astype("int32"),
+                    "vec_sum": [vec_sum[b].tolist() for b in hit],
+                    "n": n[hit],
+                    "cos_sum": cos_sum[hit],
+                }
             )
-            .collect()
-        )
+
+        agg = narrow.mapInPandas(
+            _assign_partial,
+            schema="bucket int, vec_sum array<double>, n bigint, cos_sum double",
+        ).collect()
         total_n = sum(r["n"] for r in agg)
         total_cos = sum(r["cos_sum"] for r in agg)
         inertias.append(1.0 - total_cos / total_n)
         new_centroids = centroids.copy()
+        by_bucket: dict[int, tuple[np.ndarray, int]] = {}
         for r in agg:
-            if r["n"] > 0:
-                v = np.array(r["vec_sum"])
+            v, cnt = by_bucket.get(r["bucket"], (np.zeros(centroids.shape[1]), 0))
+            by_bucket[r["bucket"]] = (v + np.array(r["vec_sum"]), cnt + r["n"])
+        for b, (v, cnt) in by_bucket.items():
+            if cnt > 0:
                 norm = np.linalg.norm(v)
                 if norm > 0:
-                    new_centroids[r["bucket"]] = v / norm
+                    new_centroids[b] = v / norm
         centroids = new_centroids
     return centroids, inertias
 

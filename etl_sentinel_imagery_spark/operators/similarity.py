@@ -53,6 +53,22 @@ def as_double_array(c: Column | str) -> Column:
     return col.cast("array<double>")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the frame across the cluster ONLY when it is
+    under-partitioned (fewer partitions than cores). A single-split
+    parquet scan otherwise serializes every downstream pairwise
+    scoring job on one core (measured 1.66 s → 0.51 s on the int8
+    battery leg at sf0.1); at production scale the scan is already
+    parallel and the conditional skips the shuffle entirely — the
+    scale-adaptive form of the old unconditional repartition
+    (guide §2: partitioning must not be tuned for either local mode
+    or the cluster)."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def with_normalized(
     df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str,
     spread: bool = True,
@@ -74,7 +90,7 @@ def with_normalized(
         .select(out_id, F.transform("_v", _div_by(F.col("_norm"))).alias(out_vec))
     )
     if spread:
-        out = out.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        out = _spread(out)
     return out
 
 
@@ -180,7 +196,12 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: probe the n_probe nearest centroid buckets only."""
+    """Approximate top-k: probe the n_probe nearest centroid buckets only.
+
+    (A _spread of the corpus side before the assign pass was measured
+    and REJECTED here, round 13: medians 0.84–1.25 s both ways at
+    sf0.1 — the probed pair count is small enough that the scoring
+    never dominates, unlike dequantize_topk's full corpus×queries.)"""
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     cent_normed = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
@@ -1038,7 +1059,14 @@ def dequantize_topk(
             ).alias("vn"),
         )
     )
-    cand = base.select(F.col(id_col).alias("cand_id"), F.col("vn").alias("cv"))
+    # the corpus side drives the O(queries·corpus) pairwise scoring —
+    # spread it like with_normalized(spread=True) does: a single-split
+    # parquet scan would otherwise serialize the whole join+dot on one
+    # core (measured 1.66 s → 0.51 s on the int8 battery leg at sf0.1).
+    # The query side stays unspread (broadcast-bound, rows ≤ batch cap).
+    cand = _spread(base).select(
+        F.col(id_col).alias("cand_id"), F.col("vn").alias("cv")
+    )
     qry = base.join(
         query_ids.select(F.col(id_col).alias("qid")),
         base[id_col] == F.col("qid"),

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_sentinel_imagery_spark.operators.hnsw import (
+    DEFAULT_SHARDS,
     hnsw_build,
     hnsw_persist,
     hnsw_topk,
@@ -186,6 +187,19 @@ def build_serving_index(
             ),
             _hnsw_dir(index_dir),
         )
+        # record the build's shard count (round 13): the cogrouped
+        # hnsw_topk re-shards the vector side with the same shard_of
+        # hash, so searches must know the modulus; built_nodes seeds
+        # the maintenance churn ratio without the legacy fallback
+        # counts
+        _write_hnsw_meta(
+            index_dir,
+            {
+                "n_shards": int(hnsw_shards),
+                "built_nodes": embeddings.count(),
+                "churn": 0,
+            },
+        )
     if pq:
         # the compressed serving tier: same centroids, PQ/OPQ codes
         from etl_sentinel_imagery_spark.operators.similarity import (
@@ -298,6 +312,15 @@ def topk(
         # corpus row when a query IS a member, vectors identical either
         # way); graph nodes are unaffected (the search joins on node_id)
         vecs = corpus.unionByName(q).dropDuplicates([id_col])
+        hmeta = _read_hnsw_meta(index_dir)
+        if hmeta is None:
+            # legacy index built before the meta existed: recover the
+            # modulus from the persisted layout (partition-column-only
+            # scan — metadata-cheap), same fallback as the sync path
+            hmeta = {
+                "n_shards": graph.select("shard").distinct().count()
+                or DEFAULT_SHARDS
+            }
         short = hnsw_topk(
             vecs,
             graph,
@@ -306,6 +329,9 @@ def topk(
             ef_search=ef_search,
             id_col=id_col,
             vec_col=vec_col,
+            # the cogrouped search re-shards vectors with the BUILD's
+            # shard count (round 13)
+            n_shards=int(hmeta["n_shards"]),
         ).select("query_id", "cand_id")
     # two-stage serving: exact cosine on full-precision vectors, but the
     # query side must resolve external query ids too

@@ -215,9 +215,13 @@ def test_int8_quantized_search_recall(spark):
     queries = list(range(5))
     float_hits = {
         (r["query_id"], r["cand_id"])
-        for r in hnsw_topk(emb, graph, queries, k=5, ef_search=48).collect()
+        for r in hnsw_topk(
+            emb, graph, queries, k=5, ef_search=48, n_shards=2
+        ).collect()
     }
-    int8_rows = hnsw_topk(q8, graph, queries, k=5, ef_search=48).collect()
+    int8_rows = hnsw_topk(
+        q8, graph, queries, k=5, ef_search=48, n_shards=2
+    ).collect()
     int8_hits = {(r["query_id"], r["cand_id"]) for r in int8_rows}
     # per query, the quantized search agrees with the float search on
     # at least 4 of 5 neighbors
