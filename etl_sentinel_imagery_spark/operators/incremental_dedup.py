@@ -134,8 +134,12 @@ def incremental_dedup(
     - ``'new'`` — survives (and, with ``append=True``, its signature
       and band rows are appended to the index before returning).
 
-    The returned DataFrame is computed EAGERLY (localCheckpoint) so the
-    append can't race the classification that decided it.
+    With ``append=True`` the returned DataFrame is computed EAGERLY
+    (localCheckpoint) so the append can't race the classification that
+    decided it; a read-only call (``append=False``) returns the lazy
+    plan and computes with the caller's action (round 13 — one fewer
+    serial job wave, and deterministic on replay since nothing
+    mutates).
 
     ``sigs``: optional pre-MATERIALIZED ``(doc, sig)`` signature table
     of the batch (``_sig_table(new_docs, id_col, text_col, n_perm)``,
@@ -250,23 +254,22 @@ def incremental_dedup(
         .distinct()
     )
 
-    # 3. verify by signature agreement — old TEXT is never read
-    old_sigs = (
-        spark.read.parquet(f"{index_dir}/sigs")
-        .join(
-            F.broadcast(
-                cand.select(F.col("old_doc").alias("doc")).distinct()
-            ),
-            "doc",
-            "left_semi",
-        )
-        .select(F.col("doc").alias("old_doc"), F.col("sig").alias("old_sig"))
+    # 3. verify by signature agreement — old TEXT is never read. The
+    # batch-sized candidate set (pairs + the new doc's signature) is
+    # broadcast ONCE into the index-sigs join (round 13): the old
+    # shape referenced `cand` twice — a broadcast semi-join build of
+    # its old-doc ids AND the matches join — so the whole probe
+    # subtree (index scan + bucket-guard window included) evaluated
+    # twice per run. One broadcast prunes the index scan exactly like
+    # the semi-join did, with the probe chain computed once.
+    cand_sig = cand.join(
+        sigs.select(F.col("doc").alias("new_doc"), "sig"), "new_doc"
+    )
+    old_sigs = spark.read.parquet(f"{index_dir}/sigs").select(
+        F.col("doc").alias("old_doc"), F.col("sig").alias("old_sig")
     )
     matches = (
-        cand.join(
-            sigs.select(F.col("doc").alias("new_doc"), "sig"), "new_doc"
-        )
-        .join(old_sigs, "old_doc")
+        old_sigs.join(F.broadcast(cand_sig), "old_doc")
         .withColumn(
             "agreement",
             F.aggregate(
@@ -301,10 +304,17 @@ def incremental_dedup(
             .otherwise(F.col("dup_of_existing"))
             .alias("dup_of"),
         )
-        .localCheckpoint()
     )
-
+    # the eager barrier exists so the APPEND below can't race the
+    # classification that decided it (and so the survivor set is
+    # pinned across the two index writes). A read-only call has no
+    # race and one downstream consumer — skipping the checkpoint
+    # lets the probe/verify plan ride the caller's own action, where
+    # it overlaps with whatever else that action computes (round 13,
+    # guide §2.6; the classify battery's langid leg runs concurrently
+    # with it).
     if append:
+        status = status.localCheckpoint()
         survivors = status.filter("status = 'new'").select(
             F.col(id_col).alias("doc")
         )
