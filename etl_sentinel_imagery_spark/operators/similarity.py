@@ -54,19 +54,15 @@ def as_double_array(c: Column | str) -> Column:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin the frame across the cluster ONLY when it is
-    under-partitioned (fewer partitions than cores). A single-split
-    parquet scan otherwise serializes every downstream pairwise
-    scoring job on one core (measured 1.66 s → 0.51 s on the int8
-    battery leg at sf0.1); at production scale the scan is already
-    parallel and the conditional skips the shuffle entirely — the
-    scale-adaptive form of the old unconditional repartition
-    (guide §2: partitioning must not be tuned for either local mode
-    or the cluster)."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        return df.repartition(p)
-    return df
+    """Round-robin the frame across the cluster before pairwise
+    scoring: a single-split parquet scan otherwise serializes the
+    whole O(queries·corpus) join on one core (measured 1.66 s → 0.51 s
+    on the int8 battery leg at sf0.1). Unconditional by design — a
+    conditional `.rdd.getNumPartitions()` probe was measured at
+    ~0.1–0.2 s of driver planning per fresh frame (several probes per
+    battery), and at production scale this one LINEAR shuffle is noise
+    next to the quadratic pairwise compute it feeds."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def with_normalized(
@@ -329,21 +325,54 @@ def ivf_bucket_stats(
     doubles — broadcast-scale). The radius is what turns fixed-n_probe
     IVF into bounded multi-probe: for any member x of bucket b,
     angle(q,x) ≥ angle(q,c_b) − r_b, so cos(angle(q,c_b) − r_b) is a
-    sound upper bound on any similarity hiding in b."""
+    sound upper bound on any similarity hiding in b.
+
+    Round 13 (guide §4.2): the per-row cosine is a numpy matmul inside
+    one mapInPandas emitting ≤ tasks×k partial rows, not the old JVM
+    fold against ``element_at(<k×d literal array>, bucket+1)`` — that
+    expression inlined the full centroid literal into both the dot and
+    the norm folds (hundreds of literals per lambda, re-codegen'd per
+    build; measured 0.95 s → 0.56 s warm at sf0.1). min_cos moves by
+    ≤1 ulp (pairwise vs sequential summation); the certificate bound
+    it feeds carries a 1e-12 conservative pad and the probe math that
+    consumes it is already numpy."""
     cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    cent_arr = F.array(
-        *[F.array(*[F.lit(float(v)) for v in row]) for row in cent]
-    )
-    c_vec = F.element_at(cent_arr, F.col("bucket") + 1)
+
+    def _partials(batches):
+        import pandas as pd
+
+        k = cent.shape[0]
+        n = np.zeros(k, dtype="int64")
+        mc = np.full(k, 2.0)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].map(np.asarray)).astype("float64")
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            b = pdf["bucket"].to_numpy()
+            cos = np.einsum("ij,ij->i", mat, cent[b])
+            for bb in np.unique(b):
+                sel = cos[b == bb]
+                n[bb] += sel.shape[0]
+                mc[bb] = min(mc[bb], float(sel.min()))
+        hit = np.nonzero(n)[0]
+        yield pd.DataFrame(
+            {
+                "bucket": hit.astype("int32"),
+                "n_members": n[hit],
+                "min_cos": mc[hit],
+            }
+        )
+
     return (
-        assigned.select(
-            "bucket",
-            cosine(as_double_array(vec_col), c_vec).alias("_cos"),
+        assigned.select("bucket", vec_col)
+        .mapInPandas(
+            _partials, schema="bucket int, n_members bigint, min_cos double"
         )
         .groupBy("bucket")
         .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.min("_cos").alias("min_cos"),
+            F.sum("n_members").alias("n_members"),
+            F.min("min_cos").alias("min_cos"),
         )
     )
 
@@ -363,6 +392,32 @@ def _read_bucket_stats(spark, path: str) -> DataFrame:
         with open(ptr) as f:
             return spark.read.parquet(os.path.join(sdir, f.read().strip()))
     return spark.read.parquet(sdir)
+
+
+def _read_bucket_stats_rows(path: str) -> list[dict]:
+    """The sidecar as driver-side rows: it is n_centroids-bounded by
+    construction and every consumer that needs it driver-side
+    (the adaptive probe's radius table) paid a full Spark job +
+    planning pass to collect one tiny file (round 13, guide §5 — the
+    driver mirror of the driver-side stats COMMIT). Same pointer
+    resolution as :func:`_read_bucket_stats`."""
+    import glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    sdir = _stats_dir(path)
+    ptr = os.path.join(sdir, "_CURRENT")
+    if os.path.isfile(ptr):
+        with open(ptr) as f:
+            sdir = os.path.join(sdir, f.read().strip())
+    files = sorted(
+        p
+        for p in glob.glob(os.path.join(sdir, "*.parquet"))
+        if not os.path.basename(p).startswith("_")
+    )
+    tbl = _pq.read_table(files if files else sdir)
+    return tbl.to_pylist()
 
 
 def _commit_bucket_stats(stats, path: str) -> None:
@@ -872,7 +927,10 @@ def ivf_topk_indexed_adaptive(
     — the small side by construction — and the scan stays partition-
     pruned by the probed-bucket IN-filter."""
     cent_normed = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    stats_rows = _read_bucket_stats(spark, index_path).collect()
+    # driver-side read of the n_centroids-bounded sidecar — the old
+    # spark.read + collect paid a planning pass and a scheduled job
+    # for one tiny file on every probe (round 13)
+    stats_rows = _read_bucket_stats_rows(index_path)
     radius = np.zeros(len(cent_normed))
     for r in stats_rows:
         radius[int(r["bucket"])] = math.acos(

@@ -433,6 +433,18 @@ def _ann_deterministic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = with_normalized(
         emb, "vec_id", "embedding", "vid", "vn"
     ).localCheckpoint(eager=True)
+    # the certified leg's construction is EAGER (twin-corpus
+    # checkpoint, anchor collect, persisted index build+stats) and
+    # independent of every other leg once `normed` lands — run it on a
+    # driver thread so the int8 leg's amax collect and the remaining
+    # lazy plan-building overlap it instead of queueing behind it
+    # (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    cert_fut = pool.submit(
+        _certified_leg, spark, sf_dir, emb, tag, normed
+    )
     cand = normed.select(
         F.col("vid").alias("cand_id"), F.col("vn").alias("cand_vec")
     )
@@ -455,7 +467,6 @@ def _ann_deterministic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "cos_sim", "rnk")
     )
     brute = tag(brute_df, "brute")
-    certified = _certified_leg(spark, sf_dir, emb, tag, normed=normed)
     w = Window.partitionBy("id_a").orderBy(
         F.col("cos_sim").desc(), F.col("id_b")
     )
@@ -489,6 +500,11 @@ def _ann_deterministic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     quant = _quant_battery(spark, sf_dir).withColumn(
         "method", F.lit("quant")
     )
+    # join the certified leg's overlapped construction last — by now
+    # the amax collect and every lazy leg's plan-building have run
+    # concurrently with its index build
+    certified = cert_fut.result()
+    pool.shutdown()
     return (
         brute.unionByName(near)
         .unionByName(seeded)
@@ -728,7 +744,18 @@ def _ann_ivf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the strict hash oracle. (``exact`` is NULL for the tiers that
     carry no certificate.)"""
     tiers = ann_ivf_tiers(spark, sf_dir)
-    dfs = [tiers[name]() for name in ("ivf_adaptive", "kmeans", "pq", "hnsw")]
+    # the tiers' EAGER construction work — the kmeans fit's Lloyd
+    # collects, the PQ sample collect, the adaptive tier's persisted
+    # index build — is mutually independent driver-blocking work that
+    # ran back-to-back; overlap it on driver threads (guide §2.6).
+    # Each thunk returns a lazy DataFrame; the union's single action
+    # still computes every tier's probe plan together as before.
+    from concurrent.futures import ThreadPoolExecutor
+
+    order = ("ivf_adaptive", "kmeans", "pq", "hnsw")
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = {name: pool.submit(tiers[name]) for name in order}
+        dfs = [futs[name].result() for name in order]
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
