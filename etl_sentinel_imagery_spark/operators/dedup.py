@@ -260,6 +260,14 @@ def jaccard_pairs(
     Gram-explode self-join: shared-gram counting joins on the gram value,
     then |A∪B| = |A|+|B|-shared. The division is a single integer→double
     op, so the similarity value is cross-engine exact.
+
+    (Round 13, measured and REJECTED: carrying each doc's gram count
+    on every gram row through the self-join — to drop the sizes
+    aggregate and its two pair-table joins — benched 2.2 s → 5.3 s at
+    sf0.1: the n_grams projection re-inlines the whole ngram build
+    beside the explode, and the wider rows slow the gram-keyed
+    sort-merge more than the two tiny-broadcast joins cost. The sizes
+    joins broadcast at runtime; keep this shape.)
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     grams = df.repartition(par).select(
